@@ -1,0 +1,117 @@
+package graft.catalog
+
+import org.apache.spark.sql.types._
+
+import graft.model.{EntityMeta, FieldMeta}
+import graft.types.TypeMapper
+
+/** Metadata catalog → Spark `StructType` factory.
+  *
+  * The reference discovers per-entity schemas from the ERP's OData
+  * `$metadata` XML at deploy time and stores them as documents
+  * (resources/priorityDataSource.py:336-447); table objects are then built
+  * from those documents (resources/sqlDwh.py:300-370). Schemas are runtime
+  * values, so the engine works in `DataFrame` space with `StructType`s
+  * emitted here (SURVEY.md §1.3).
+  *
+  * Naming rule reproduced: all identifiers are lowercased before storage
+  * (priorityDataSource.py:780,801; sqlDwh.py:218-222).
+  */
+final class SchemaRegistry(mapper: TypeMapper.Mapper = TypeMapper.default) {
+
+  import SchemaRegistry._
+
+  private val entities = scala.collection.concurrent.TrieMap.empty[String, EntityMeta]
+
+  /** Overwrite-semantics registration (reference deletes + reinserts the
+    * whole catalog on refresh, priorityDataSource.py:103,111). */
+  def putAll(metas: Seq[EntityMeta]): Unit = {
+    entities.clear()
+    metas.foreach(m => entities.put(m.id, m))
+  }
+
+  def put(meta: EntityMeta): Unit = entities.put(meta.id, meta)
+  def get(id: String): Option[EntityMeta] = entities.get(id)
+  def list: Seq[EntityMeta] = entities.values.toSeq.sortBy(_.id)
+
+  /** Spark field for one metadata field: lowercased name, mapped type,
+    * PK⇒StringType (sqlDwh.py:346-350). */
+  private def toStructField(system: String, f: FieldMeta): StructField =
+    StructField(f.fieldName.toLowerCase, mapper.sparkType(system, f), nullable = !f.keyFlag)
+
+  /** Full raw schema of an entity (every catalog field). */
+  def schemaOf(meta: EntityMeta): StructType =
+    StructType(meta.fields.map(toStructField(meta.sourceSystem, _)))
+
+  /** Parent staging-table schema: entity fields minus subform columns,
+    * plus audit columns (sqlDwh.py:360-365). */
+  def parentSchema(meta: EntityMeta, subformNames: Seq[String]): StructType = {
+    val drop = subformNames.map(s => s"${s.toLowerCase}_subform").toSet
+    StructType(
+      meta.fields.map(toStructField(meta.sourceSystem, _))
+        .filterNot(f => drop.contains(f.name)) ++ auditFields)
+  }
+
+  /** Child staging-table schema: subform fields + parent PK columns
+    * (propagated, PK⇒String) + audit columns (priorityDataSource.py:792-810). */
+  def childSchema(child: EntityMeta, parent: EntityMeta): StructType = {
+    val childCols = child.fields.map(toStructField(child.sourceSystem, _))
+    val pkCols = parent.entityPk
+      .map(_.toLowerCase)
+      .filterNot(pk => childCols.exists(_.name == pk))
+      .map(pk => StructField(pk, StringType, nullable = false))
+    StructType(pkCols ++ childCols ++ auditFields)
+  }
+}
+
+object SchemaRegistry {
+
+  /** Audit lineage columns stamped on every staged row
+    * (reference: priorityDataSource.py:54-55,760-761; sqlDwh.py:360-365). */
+  val ExtractionIdCol = "extractionid"
+  val ExtractionTsCol = "extractiontimestamputc"
+
+  val auditFields: Seq[StructField] = Seq(
+    StructField(ExtractionIdCol, StringType, nullable = false),
+    StructField(ExtractionTsCol, TimestampType, nullable = false))
+
+  /** Parse an OData `$metadata` document into entity metadata.
+    *
+    * Behavioral contract from the reference parser
+    * (priorityDataSource.py:336-447):
+    *   - one catalog row per `EntityType`;
+    *   - keys come from `Key/PropertyRef` — scalar or list (:380-388);
+    *     entities with no Key element get an empty PK (:387-388);
+    *   - fields come from `Property` elements — scalar or list
+    *     (single-field entities are a scalar, not a 1-list, :408-420);
+    *   - entity/field descriptions from Annotation elements when present;
+    *   - EntityPk is derived from the KeyFlag'd fields (:441-444).
+    *
+    * This is driver-side catalog bootstrap, not a distributed op
+    * (SURVEY.md §2.1 S5) — `scala.xml` is fine at catalog scale
+    * (thousands of entities).
+    */
+  def parseMetadataXml(xml: String, sourceSystem: String): Seq[EntityMeta] = {
+    val root = scala.xml.XML.loadString(xml)
+    (root \\ "EntityType").map { et =>
+      val name = (et \ "@Name").text
+      val keyNames = (et \ "Key" \ "PropertyRef").map(pr => (pr \ "@Name").text).toSet
+      val fields = (et \ "Property").map { p =>
+        val fname = (p \ "@Name").text
+        val desc = (p \ "Annotation")
+          .find(a => (a \ "@Term").text.endsWith("Description"))
+          .map(a => (a \ "@String").text).getOrElse("")
+        FieldMeta(
+          fieldName = fname,
+          sourceDataType = (p \ "@Type").text,
+          desc = desc,
+          keyFlag = keyNames.contains(fname))
+      }
+      val desc = (et \ "Annotation")
+        .find(a => (a \ "@Term").text.endsWith("Description"))
+        .map(a => (a \ "@String").text).getOrElse("")
+      val meta = EntityMeta(name, sourceSystem, desc, fields)
+      meta.copy(entityPk = meta.derivedPk)
+    }
+  }
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+/** DuckDB oracle SQL for every entry in [[Queries.all]] — same column
+  * names, same value types (BIGINT counts, DECIMAL→DOUBLE money sums),
+  * same deterministic ordering rules (SURVEY.md §5).
+  */
+object Oracles {
+
+  val all: Map[String, String] = Map(
+    "s2_filter_pushdown" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'""".stripMargin,
+
+    "s4_limit_probe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows
+        |FROM (SELECT * FROM lineitem LIMIT 500)""".stripMargin,
+
+    "p4_incremental_window" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'""".stripMargin,
+
+    "g1_explode_child" ->
+      """SELECT CAST(o.o_orderkey AS VARCHAR) AS o_orderkey,
+        |       l.l_linenumber, l.l_orderkey, l.l_partkey, l.l_suppkey,
+        |       l.l_quantity, l.l_extendedprice, l.l_discount, l.l_tax,
+        |       l.l_returnflag, l.l_linestatus, l.l_shipdate
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey""".stripMargin,
+
+    "p1_parent_projection" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_custkey,
+        |       o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+
+    "j1_typemap_join" ->
+      """WITH fields(field_name, source_type) AS (VALUES
+        |    ('l_orderkey', 'Edm.Int64'), ('l_quantity', 'Edm.Decimal'),
+        |    ('l_returnflag', 'Edm.String'), ('l_shipdate', 'Edm.DateTimeOffset'),
+        |    ('l_comment', 'Edm.Guid')),
+        |  mapping(source_type, target_type) AS (VALUES
+        |    ('Edm.String', 'VARCHAR'), ('Edm.Decimal', 'NUMERIC'),
+        |    ('Edm.DateTimeOffset', 'TIMESTAMP'), ('Edm.Int64', 'BIGINT'))
+        |SELECT field_name, source_type, target_type
+        |FROM fields LEFT JOIN mapping USING (source_type)""".stripMargin,
+
+    "q3_star_join" ->
+      """SELECT r_name, n_name,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a2_latest_top1" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""".stripMargin,
+
+    "w1_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "t2_union_append" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+        |FROM (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |                         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')""".stripMargin)
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.{FetchRequest, ParquetSimSource}
+import graft.xform.Normalizer
+
+/** The oracle-checked query inventory (SURVEY.md §7.3): one named query
+  * per operator family of §2, each paired with ANSI SQL for the DuckDB
+  * oracle in [[Oracles]]. Conventions for hash-stable comparison:
+  *
+  *   - every aggregate/computed column is aliased identically in the
+  *     DataFrame code and the SQL;
+  *   - money sums go through DECIMAL(18,2) and back to DOUBLE so results
+  *     are order-independent and bit-exact on both engines;
+  *   - counts are cast to BIGINT on the DuckDB side (its COUNT/SUM over
+  *     ints widens to HUGEINT, Spark's stays LongType);
+  *   - top-k queries carry a full deterministic tiebreak;
+  *   - run-dependent audit columns (uuid, wall clock) are excluded from
+  *     query outputs (their semantics are ScalaTest-verified instead).
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Decimal-exact, order-independent money sum returned as DOUBLE. */
+  private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ---------------------------------------------------------------- scans
+
+  /** S2: incremental predicate pushed into the parquet scan. */
+  def s2FilterPushdown(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(Timestamp.valueOf("1997-06-01 00:00:00")))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+  /** S4: limit pushdown — deterministic via count-over-limit. */
+  def s4LimitProbe(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").limit(500)
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** P4: incremental watermark window over the events stream table. */
+  def p4IncrementalWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+  // ------------------------------------------------------- normalization
+
+  /** G1: the engine's subform explode — ORDERS fetched with
+    * `$expand=ORDERITEMS`, normalized into the child frame with the
+    * parent PK propagated and cast to string (PK→String rule). */
+  def g1ExplodeChild(spark: SparkSession, dir: String): DataFrame = {
+    val src = new ParquetSimSource(spark, dir)
+    val raw = src.fetch(FetchRequest("ORDERS", expand = Seq("ORDERITEMS")))
+    val n = Normalizer.normalize("ORDERS", raw, Seq("o_orderkey"),
+      "verify", Timestamp.valueOf("2026-01-01 00:00:00"))
+    n.children("orderitems")
+      .drop("extractionid", "extractiontimestamputc")
+  }
+
+  /** P1-P3: parent projection — subform dropped, identifiers lowercased,
+    * PK cast to string. (Audit columns excluded: run-dependent.) */
+  def p1ParentProjection(spark: SparkSession, dir: String): DataFrame = {
+    val src = new ParquetSimSource(spark, dir)
+    val raw = src.fetch(FetchRequest("ORDERS", expand = Seq("ORDERITEMS")))
+    val n = Normalizer.normalize("ORDERS", raw, Seq("o_orderkey"),
+      "verify", Timestamp.valueOf("2026-01-01 00:00:00"))
+    n.parent.drop("extractionid", "extractiontimestamputc")
+  }
+
+  // --------------------------------------------------------------- joins
+
+  /** J1: the 6-row type-mapping lookup join (broadcast). Materialized as
+    * data so the oracle can check it: map each lineitem column's source
+    * type. */
+  def j1TypeMapJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fields = Seq(
+      ("l_orderkey", "Edm.Int64"), ("l_quantity", "Edm.Decimal"),
+      ("l_returnflag", "Edm.String"), ("l_shipdate", "Edm.DateTimeOffset"),
+      ("l_comment", "Edm.Guid")).toDF("field_name", "source_type")
+    val mapping = graft.types.TypeMapper.defaultMappings
+      .map(m => (m.sourceSystem, m.sourceDataType, m.targetDataType))
+      .toDF("source_system", "source_type", "target_type")
+      .filter(col("source_system") === "priority")
+    fields.join(broadcast(mapping), Seq("source_type"), "left_outer")
+      .select(col("field_name"), col("source_type"), col("target_type"))
+  }
+
+  /** J2 + star schema: fact-dim equi-joins with broadcast dims, grouped
+    * revenue per region/nation (drawio mart shape). */
+  def q3StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  // -------------------------------------------------------- aggregations
+
+  /** TPC-H Q1-shaped pricing summary: the group-by/agg surface. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        // decimal × decimal keeps the whole sum exact (order-independent)
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** A2: latest-of (top-1 by sort with full tiebreak) — the reference's
+    * latest-config-version read. */
+  def a2LatestTop1(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .limit(1)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+  // ------------------------------------------------------------- windows
+
+  /** Ranking window: top-3 orders per customer, deterministic tiebreak. */
+  def w1WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  // ------------------------------------------------------------ set ops
+
+  /** T2: append-as-union semantics (UNION ALL of two incremental batches). */
+  def t2UnionAppend(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val lo = Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = Timestamp.valueOf("1997-01-01 00:00:00")
+    val batch1 = o.filter(col("o_orderdate") < lit(lo))
+    val batch2 = o.filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+    batch1.unionByName(batch2)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"))
+  }
+
+  // ----------------------------------------------------------- inventory
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s2_filter_pushdown" -> (s2FilterPushdown _),
+    "s4_limit_probe" -> (s4LimitProbe _),
+    "p4_incremental_window" -> (p4IncrementalWindow _),
+    "g1_explode_child" -> (g1ExplodeChild _),
+    "p1_parent_projection" -> (p1ParentProjection _),
+    "j1_typemap_join" -> (j1TypeMapJoin _),
+    "q3_star_join" -> (q3StarJoin _),
+    "q1_agg" -> (q1Agg _),
+    "a2_latest_top1" -> (a2LatestTop1 _),
+    "w1_window_rank" -> (w1WindowRank _),
+    "t2_union_append" -> (t2UnionAppend _))
+}

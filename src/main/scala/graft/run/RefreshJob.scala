@@ -1,0 +1,161 @@
+package graft.run
+
+import java.sql.Timestamp
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDateTime, ZoneId}
+import java.util.UUID
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.sinks.StagingWriter
+import graft.sources.{EntitySource, FetchRequest}
+import graft.xform.Normalizer
+
+/** Per-entity refresh orchestration — the engine's `/refreshData`
+  * (SURVEY.md §3.2), re-expressed as declarative DataFrame jobs:
+  *
+  * for each configured entity:
+  *   1. build the incremental predicate (`filterField >= lastRun` when
+  *      incremental, `>= dataStartDate` on full refresh, none when
+  *      `filterFlag=false`) — priorityDataSource.py:646-682;
+  *   2. fetch with expand pushdown;
+  *   3. normalize into parent + child frames (explode, lowercase, audit);
+  *   4. write each frame to `stg_<name>` (append when incremental,
+  *      overwrite on full refresh) — priorityDataSource.py:861-866;
+  *   5. advance the per-entity `lastRun` watermark.
+  *
+  * Fixes over the reference, documented per SURVEY.md §7.4:
+  *   - watermark advances to max(filterField) observed in the batch when
+  *     available, not the wall clock, closing the reference's late-data
+  *     race (priorityDataSource.py:595); falls back to wall clock for
+  *     unfiltered entities;
+  *   - timestamps parsed strictly (`yyyy-MM-dd HH:mm:ss` in the
+  *     configured zone), no substring-boolean parsing (app.py:258 bug);
+  *   - entities run in parallel (the reference loop is serial,
+  *     priorityDataSource.py:161) — per-entity work is independent, and
+  *     each entity's job is itself distributed.
+  *
+  * Error isolation matches the reference: one entity failing logs an
+  * error into the run report and the rest continue
+  * (priorityDataSource.py:173-184).
+  */
+final class RefreshJob(
+    spark: SparkSession,
+    source: EntitySource,
+    writer: StagingWriter,
+    parallelism: Int = 4) {
+
+  import RefreshJob._
+
+  /** Run one refresh over every configured entity.
+    * Returns the run report and the config with advanced watermarks. */
+  def run(config: ExtractionConfig, incremental: Boolean): (RunReport, ExtractionConfig) = {
+    val extractionId = UUID.randomUUID().toString
+    val ts = Timestamp.from(Instant.now())
+    val t0 = System.nanoTime()
+    val zone = ZoneId.of(zoneName(config.systemTimezone))
+
+    val results: Seq[Either[EntityError, (Seq[TableReport], EntityConfig)]] = {
+      import scala.concurrent._
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val futs = config.entities.map { e =>
+        Future(runEntity(e, zone, incremental, extractionId, ts))
+      }
+      try Await.result(Future.sequence(futs), 1.hour)
+      finally pool.shutdown()
+    }
+
+    val tables = results.collect { case Right((trs, _)) => trs }.flatten
+    val errors = results.collect { case Left(err) => err }
+    val updatedEntities = config.entities.zip(results).map {
+      case (_, Right((_, updated))) => updated
+      case (orig, Left(_))          => orig // failed entity keeps its watermark
+    }
+    val report = RunReport(extractionId, tables, errors, (System.nanoTime() - t0) / 1e9)
+    (report, config.copy(entities = updatedEntities))
+  }
+
+  private def runEntity(
+      e: EntityConfig,
+      zone: ZoneId,
+      incremental: Boolean,
+      extractionId: String,
+      ts: Timestamp): Either[EntityError, (Seq[TableReport], EntityConfig)] =
+    try {
+      val filter: Option[(String, Timestamp)] =
+        if (!e.filterFlag) None // unfiltered entity: full table every run
+        else {
+          val from =
+            if (incremental) e.lastRun.getOrElse(e.dataStartDate) else e.dataStartDate
+          Some(e.filterField -> parseTs(from, zone))
+        }
+
+      val raw = source.fetch(FetchRequest(e.entityId, filter, e.expand))
+
+      // Watermark candidate: max(filterField) actually observed. The
+      // column may be TIMESTAMP or TIMESTAMP_NTZ (Spark 4 infers NTZ from
+      // parquet isAdjustedToUTC=false), so normalize the collected value.
+      val maxSeen: Option[String] =
+        if (e.filterFlag)
+          raw.agg(max(col(e.filterField.toLowerCase))).collect()(0) match {
+            case r if r.isNullAt(0) => None
+            case r                  => Some(formatAny(r.get(0), zone))
+          }
+        else None
+
+      val n = Normalizer.normalize(e.entityId, raw, pkOf(e), extractionId, ts)
+      val append = incremental
+      val parentCount = writer.writeEntity(n.parent, n.entityName, append)
+      val reports = TableReport(n.entityName, writer.stagingName(n.entityName), parentCount) +:
+        n.children.toSeq.sortBy(_._1).map { case (name, df) =>
+          TableReport(name, writer.stagingName(name), writer.writeEntity(df, name, append))
+        }
+
+      val newLastRun = maxSeen.getOrElse(formatTs(ts, zone))
+      Right((reports, e.copy(lastRun = Some(newLastRun))))
+    } catch {
+      case NonFatal(ex) => Left(EntityError(e.entityId, String.valueOf(ex.getMessage)))
+    }
+
+  /** PK columns used for propagation/casting: source relation PKs when the
+    * simulator knows them. */
+  private def pkOf(e: EntityConfig): Seq[String] = source match {
+    case p: graft.sources.ParquetSimSource => p.relationOf(e.entityId).pk
+    case _                                 => Nil
+  }
+}
+
+object RefreshJob {
+
+  private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** Legacy tz aliases the reference config uses (e.g. "Israel"). */
+  def zoneName(tz: String): String = tz match {
+    case "Israel" => "Asia/Jerusalem"
+    case other    => other
+  }
+
+  /** Strict `yyyy-MM-dd HH:mm:ss` parse in the configured zone
+    * (priorityDataSource.py:667-669). */
+  def parseTs(s: String, zone: ZoneId): Timestamp =
+    Timestamp.from(LocalDateTime.parse(s, fmt).atZone(zone).toInstant)
+
+  def formatTs(t: Timestamp, zone: ZoneId): String =
+    fmt.format(LocalDateTime.ofInstant(t.toInstant, zone))
+
+  /** Format a collected timestamp value of any of Spark's external
+    * timestamp representations. */
+  def formatAny(v: Any, zone: ZoneId): String = v match {
+    case t: Timestamp              => formatTs(t, zone)
+    case i: java.time.Instant      => fmt.format(LocalDateTime.ofInstant(i, zone))
+    case l: LocalDateTime          => fmt.format(l) // NTZ: zoneless wall clock
+    case other =>
+      throw new IllegalArgumentException(s"not a timestamp value: $other")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sinks
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.SchemaRegistry
+import graft.model.EntityMeta
+
+/** Catalog DDL operators (SURVEY.md §2.7 D1-D5), re-expressed against the
+  * Spark session catalog instead of SQLAlchemy/Postgres:
+  *
+  *   - D1 create-database-per-account (`acc_<accountID>` — the reference's
+  *     `acc-<id>`, hyphen normalized to a legal identifier;
+  *     sqlDwh.py:238-256)
+  *   - D2 create typed table from metadata, idempotent, with the
+  *     {success, exists, failed} report shape (sqlDwh.py:176-215,300-370)
+  *   - D3 drop all tables+views (sqlDwh.py:85-123)
+  *   - D5 schema introspection (spark.table(t).schema /
+  *     spark.catalog.tableExists)
+  */
+final class Ddl(spark: SparkSession, registry: SchemaRegistry) {
+
+  final case class DeployReport(
+      success: Seq[String] = Nil,
+      exists: Seq[String] = Nil,
+      failed: Seq[(String, String)] = Nil)
+
+  def databaseName(accountId: String): String =
+    "acc_" + accountId.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+
+  /** D1: idempotent database create. Returns the database name. */
+  def createDatabase(accountId: String): String = {
+    val db = databaseName(accountId)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    db
+  }
+
+  /** D2: one typed, empty table per entity, created from the registry
+    * schema (parent form: all fields + audit columns). */
+  def createTable(db: String, meta: EntityMeta, subformNames: Seq[String] = Nil): DeployReport = {
+    val name = s"$db.${meta.id.toLowerCase}"
+    if (spark.catalog.tableExists(name)) DeployReport(exists = Seq(name))
+    else
+      try {
+        val schema = registry.parentSchema(meta, subformNames)
+        spark.sql(s"CREATE TABLE $name (${schema.toDDL}) USING parquet")
+        DeployReport(success = Seq(name))
+      } catch {
+        case e: Exception => DeployReport(failed = Seq(name -> e.getMessage))
+      }
+  }
+
+  /** D2 dispatcher: deploy every entity in the list, merging reports
+    * (sqlDwh.py:176-215). */
+  def deployAll(db: String, metas: Seq[EntityMeta]): DeployReport =
+    metas.map(m => createTable(db, m)).foldLeft(DeployReport()) { (a, b) =>
+      DeployReport(a.success ++ b.success, a.exists ++ b.exists, a.failed ++ b.failed)
+    }
+
+  /** D3: drop all views, then all tables, in a database; returns dropped
+    * names + count — the reference's reset report (sqlDwh.py:114-118). */
+  def dropAll(db: String): (Seq[String], Int) = {
+    val tables = spark.catalog.listTables(db).collect()
+    val (views, plain) = tables.partition(_.tableType == "VIEW")
+    views.foreach(v => spark.sql(s"DROP VIEW IF EXISTS $db.${v.name}"))
+    plain.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.${t.name}"))
+    val names = (views ++ plain).map(_.name).toSeq
+    (names, names.size)
+  }
+
+  /** D5: column name → type introspection (priorityDataSource.py:912-924). */
+  def describe(table: String): Map[String, String] =
+    spark.table(table).schema.fields.map(f => f.name -> f.dataType.sql).toMap
+}

@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed simulator of the OData entity source, over the driver
+  * testdata tables (TESTDATA.md). Plays the role of the reference's HTTP
+  * fetch (priorityDataSource.py:629-736) for the offline harness:
+  *
+  *   - entity scan  → parquet scan (columnar, footer-pruned)
+  *   - `$filter`    → `df.filter(col >= ts)` — Catalyst pushes the
+  *                    predicate into the parquet reader (`PushedFilters`)
+  *   - `$expand`    → children nested as `<SUB>_SUBFORM`
+  *                    `array<struct>` columns, built with a sorted
+  *                    `collect_list` group + join (deterministic order)
+  *   - `$top`       → `df.limit(n)`, applied to parents BEFORE the expand
+  *                    join so a probe never scans the child table
+  *
+  * Scale notes (100 TB): the expand join shuffles both sides on the join
+  * key; with the child table bucketed/partitioned by that key it is a
+  * co-located join. Probes stay O(top) because the child side is
+  * semi-join-pruned by the already-limited parent keys.
+  */
+object ParquetSimSource {
+
+  /** A child ("subform") relation: child rows attach to the parent via
+    * parentKey == childKey, ordered inside the array by `orderCol` so the
+    * nested representation is deterministic. */
+  final case class Subform(table: String, parentKey: String, childKey: String, orderCol: String)
+
+  /** One simulated entity: backing table, PK columns, available subforms. */
+  final case class Relation(table: String, pk: Seq[String], subforms: Map[String, Subform] = Map.empty)
+
+  /** Default registry mapping FIXTURES.md usage: ORDERS plays the
+    * filtered entity with ORDERITEMS_SUBFORM; region/nation/customer play
+    * small unfiltered (CTYPE-style) entities; events drives incremental
+    * watermark semantics. */
+  val defaultRelations: Map[String, Relation] = Map(
+    "ORDERS" -> Relation("orders", Seq("o_orderkey"),
+      Map("ORDERITEMS" -> Subform("lineitem", "o_orderkey", "l_orderkey", "l_linenumber"))),
+    "LINEITEM" -> Relation("lineitem", Seq("l_orderkey", "l_linenumber")),
+    "CUSTOMER" -> Relation("customer", Seq("c_custkey")),
+    "SUPPLIER" -> Relation("supplier", Seq("s_suppkey")),
+    "PART" -> Relation("part", Seq("p_partkey")),
+    "NATION" -> Relation("nation", Seq("n_nationkey")),
+    "REGION" -> Relation("region", Seq("r_regionkey")),
+    "EVENTS" -> Relation("events", Seq("event_id")),
+    "DOCUMENTS" -> Relation("documents", Seq("doc_id")),
+    "EMBEDDINGS" -> Relation("embeddings", Seq("vec_id")))
+}
+
+final class ParquetSimSource(
+    spark: SparkSession,
+    dataDir: String,
+    relations: Map[String, ParquetSimSource.Relation] = ParquetSimSource.defaultRelations)
+  extends EntitySource {
+
+  import ParquetSimSource._
+
+  private def table(name: String): DataFrame =
+    spark.read.parquet(s"$dataDir/$name.parquet")
+
+  def relationOf(entityId: String): Relation =
+    relations.getOrElse(entityId.toUpperCase,
+      Relation(entityId.toLowerCase, Nil))
+
+  override def fetch(req: FetchRequest): DataFrame = {
+    val rel = relationOf(req.entityId)
+    var df = table(rel.table)
+
+    // Predicate pushdown: applied directly on the scan so Catalyst
+    // emits it as a parquet PushedFilter (SURVEY.md §4).
+    req.filter.foreach { case (field, ts) =>
+      df = df.filter(col(field.toLowerCase) >= lit(ts))
+    }
+
+    // Limit pushdown: parents first, so expand below only ever joins
+    // against the limited key set.
+    req.top.foreach(n => df = df.limit(n))
+
+    req.expand.foldLeft(df) { (parent, sub) =>
+      val sf = rel.subforms.getOrElse(sub.toUpperCase,
+        throw new IllegalArgumentException(
+          s"entity ${req.entityId} has no subform $sub"))
+      nest(parent, sf, s"${sub.toUpperCase}_SUBFORM", probe = req.top.isDefined)
+    }
+  }
+
+  /** Attach child rows as a deterministic array<struct> column. */
+  private def nest(parent: DataFrame, sf: Subform, colName: String, probe: Boolean): DataFrame = {
+    var child = table(sf.table)
+    // A probe (`$top`) fetched only a handful of parents: semi-join-prune
+    // the child scan down to those keys (broadcast the tiny parent side)
+    // instead of grouping the whole child table.
+    if (probe) {
+      val keys = broadcast(parent.select(col(sf.parentKey).as(sf.childKey)).distinct())
+      child = child.join(keys, Seq(sf.childKey), "left_semi")
+    }
+    val structCols: Array[Column] =
+      (sf.orderCol +: child.columns.filterNot(_ == sf.orderCol).toSeq).map(col(_)).toArray
+    val nested = child
+      .groupBy(col(sf.childKey))
+      // sort_array over struct(orderCol, ...) gives a deterministic
+      // in-array order regardless of shuffle arrival order.
+      .agg(sort_array(collect_list(struct(structCols: _*))).as(colName))
+    parent.join(nested, parent(sf.parentKey) === nested(sf.childKey), "left")
+      .drop(nested(sf.childKey))
+  }
+}

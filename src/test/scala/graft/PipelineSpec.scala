@@ -1,0 +1,163 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model._
+import graft.run.RefreshJob
+import graft.sinks.StagingWriter
+import graft.sources.{FetchRequest, ParquetSimSource}
+import graft.xform.Normalizer
+
+class NormalizerSpec extends SparkSpec {
+
+  def fixture = {
+    val schema = StructType(Seq(
+      StructField("ORDNAME", StringType),
+      StructField("QPRICE", DoubleType),
+      StructField("ORDERITEMS_SUBFORM", ArrayType(StructType(Seq(
+        StructField("LINE", LongType), StructField("PARTNAME", StringType)))))))
+    val rows = Seq(
+      Row("SO1", 1200.5, Seq(Row(1L, "P-100"), Row(2L, "P-200"))),
+      Row("SO2", 0.0, Seq()),
+      Row("SO3", 7.0, null))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
+  val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+
+  test("parent drops subform col, lowercases, stamps audit, casts pk") {
+    val n = Normalizer.normalize("ORDERS", fixture, Seq("ORDNAME"), "run-1", ts)
+    assert(n.parent.columns.toSeq ==
+      Seq("ordname", "qprice", "extractionid", "extractiontimestamputc"))
+    assert(n.parent.count() == 3)
+    val r = n.parent.filter(col("ordname") === "SO1").collect()(0)
+    assert(r.getAs[String]("extractionid") == "run-1")
+    assert(r.getAs[Timestamp]("extractiontimestamputc") == ts)
+  }
+
+  test("child: exploded rows carry parent PK; empty/null subforms skipped") {
+    val n = Normalizer.normalize("ORDERS", fixture, Seq("ORDNAME"), "run-1", ts)
+    val child = n.children("orderitems")
+    assert(child.columns.toSeq ==
+      Seq("ordname", "line", "partname", "extractionid", "extractiontimestamputc"))
+    assert(child.count() == 2) // SO2 empty + SO3 null contribute nothing
+    assert(child.select("ordname").distinct().collect().map(_.getString(0)).toSet == Set("SO1"))
+  }
+
+  test("pk already inside subform struct is not duplicated") {
+    val schema = StructType(Seq(
+      StructField("ORDNAME", StringType),
+      StructField("X_SUBFORM", ArrayType(StructType(Seq(
+        StructField("ORDNAME", StringType), StructField("V", LongType)))))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("SO1", Seq(Row("SO1", 5L))))), schema)
+    val n = Normalizer.normalize("ORDERS", df, Seq("ORDNAME"), "r", ts)
+    assert(n.children("x").columns.count(_ == "ordname") == 1)
+  }
+}
+
+class ParquetSimSourceSpec extends SparkSpec {
+
+  lazy val src = new ParquetSimSource(spark, sf)
+
+  test("plain scan returns table rows") {
+    assert(src.fetch(FetchRequest("REGION")).count() == 5)
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = src.fetch(FetchRequest("ORDERS",
+      filter = Some("o_orderdate" -> Timestamp.valueOf("1997-01-01 00:00:00"))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(o_orderdate"), s"no pushdown in:\n$plan")
+    assert(df.count() > 0 && df.count() < 1500)
+  }
+
+  test("expand nests lineitems as ORDERITEMS_SUBFORM, ordered by linenumber") {
+    val df = src.fetch(FetchRequest("ORDERS", expand = Seq("ORDERITEMS")))
+    assert(df.columns.contains("ORDERITEMS_SUBFORM"))
+    val withItems = df.filter(size(col("ORDERITEMS_SUBFORM")) > 1)
+      .select(col("ORDERITEMS_SUBFORM")).limit(5).collect()
+    withItems.foreach { r =>
+      val lines = r.getSeq[Row](0).map(_.getAs[Int]("l_linenumber"))
+      assert(lines == lines.sorted)
+    }
+    // every lineitem lands in exactly one order's subform
+    val total = df.select(explode(col("ORDERITEMS_SUBFORM"))).count()
+    assert(total == spark.read.parquet(s"$sf/lineitem.parquet").count())
+  }
+
+  test("top probe returns n rows without scanning the child table") {
+    val df = src.fetch(FetchRequest("ORDERS", expand = Seq("ORDERITEMS"), top = Some(1)))
+    assert(df.count() == 1)
+    assert(src.probe("CUSTOMER") == 1)
+  }
+}
+
+class RefreshJobSpec extends SparkSpec {
+
+  def config = ExtractionConfig(
+    id = "ds1", datasourceName = "priority_companyA", accountId = "03445d66",
+    systemTimezone = "UTC",
+    entities = Seq(
+      EntityConfig("ORDERS", filterFlag = true, filterField = "o_orderdate",
+        expand = Seq("ORDERITEMS"), dataStartDate = "1990-01-01 00:00:00"),
+      EntityConfig("REGION")))
+
+  test("initial full refresh: stg tables, counts, audit, watermark=max(filterField)") {
+    val wh = tmpDir("wh")
+    val writer = new StagingWriter(spark, wh)
+    val job = new RefreshJob(spark, new ParquetSimSource(spark, sf), writer)
+
+    val (report, updated) = job.run(config, incremental = false)
+    assert(report.errors.isEmpty)
+    val byTable = report.tables.map(t => t.tableName -> t.recordsWritten).toMap
+    assert(byTable("stg_orders") == 1500)
+    assert(byTable("stg_orderitems") == 6000)
+    assert(byTable("stg_region") == 5)
+
+    val orders = writer.read("stg_orders")
+    assert(orders.columns.contains("extractionid"))
+    assert(!orders.columns.exists(_.toLowerCase.endsWith("_subform")))
+    assert(orders.schema("o_orderkey").dataType == StringType) // PK→String
+
+    // watermark advanced to max(o_orderdate), not wall clock
+    val maxDate = spark.read.parquet(s"$sf/orders.parquet")
+      .agg(max("o_orderdate")).collect()(0).get(0)
+    val expected = RefreshJob.formatAny(maxDate, java.time.ZoneId.of("UTC"))
+    assert(updated.entities.head.lastRun.contains(expected))
+  }
+
+  test("incremental append after watermark: only new rows, append semantics") {
+    val wh = tmpDir("wh")
+    val writer = new StagingWriter(spark, wh)
+    val job = new RefreshJob(spark, new ParquetSimSource(spark, sf), writer)
+
+    val (_, afterFull) = job.run(config, incremental = false)
+    val fullCount = writer.read("stg_orders").count()
+
+    // incremental from max watermark re-fetches only rows >= lastRun
+    val (r2, _) = job.run(afterFull, incremental = true)
+    assert(r2.errors.isEmpty)
+    val incOrders = r2.tables.find(_.tableName == "stg_orders").get.recordsWritten
+    assert(incOrders >= 1) // ties at the max date re-fetch (documented overlap)
+    assert(writer.read("stg_orders").count() == fullCount + incOrders)
+    // unfiltered entity reloaded in full, appended
+    assert(writer.read("stg_region").count() == 10)
+  }
+
+  test("error isolation: unknown entity logged, rest proceed") {
+    val wh = tmpDir("wh")
+    val writer = new StagingWriter(spark, wh)
+    val job = new RefreshJob(spark, new ParquetSimSource(spark, sf), writer)
+    val bad = config.copy(entities =
+      EntityConfig("NOPE") +: config.entities)
+    val (report, _) = job.run(bad, incremental = false)
+    assert(report.errors.map(_.entityId) == Seq("NOPE"))
+    assert(report.tables.exists(_.tableName == "stg_orders"))
+  }
+}
