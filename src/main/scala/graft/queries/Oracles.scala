@@ -16,7 +16,7 @@ object Oracles {
         |FROM (SELECT * FROM lineitem LIMIT 500)""".stripMargin,
 
     "p4_incremental_window" ->
-      """SELECT event_id, ts, user_id, event_type, value
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'""".stripMargin,
 
     "g1_explode_child" ->

@@ -45,11 +45,16 @@ object Queries {
     t(spark, dir, "lineitem").limit(500)
       .agg(count(lit(1)).as("n_rows"))
 
-  /** P4: incremental watermark window over the events stream table. */
-  def p4IncrementalWindow(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+  /** P4: incremental watermark window over the events stream table.
+    * Goes through the source so the TIMESTAMP(NANOS) shim applies: the
+    * predicate is pushed on the raw INT64 nanos, the output column is
+    * normalized to TIMESTAMP_NTZ micros. */
+  def p4IncrementalWindow(spark: SparkSession, dir: String): DataFrame = {
+    val src = new ParquetSimSource(spark, dir)
+    src.fetch(FetchRequest("EVENTS",
+        filter = Some("ts" -> Timestamp.valueOf("2024-01-10 00:00:00"))))
       .select("event_id", "ts", "user_id", "event_type", "value")
+  }
 
   // ------------------------------------------------------- normalization
 

@@ -28,8 +28,23 @@ object ParquetSimSource {
     * nested representation is deterministic. */
   final case class Subform(table: String, parentKey: String, childKey: String, orderCol: String)
 
-  /** One simulated entity: backing table, PK columns, available subforms. */
-  final case class Relation(table: String, pk: Seq[String], subforms: Map[String, Subform] = Map.empty)
+  /** One simulated entity: backing table, PK columns, available subforms.
+    * `nanosTs` lists columns stored as parquet TIMESTAMP(NANOS) — Spark
+    * has no nanosecond timestamp type, so they are read as long nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`) and normalized to
+    * TIMESTAMP_NTZ microseconds by the source. */
+  final case class Relation(
+      table: String,
+      pk: Seq[String],
+      subforms: Map[String, Subform] = Map.empty,
+      nanosTs: Seq[String] = Nil)
+
+  /** Naive wall-clock timestamp → epoch nanos (UTC), for pushing
+    * predicates onto the raw INT64 nanos column. */
+  def tsToNanos(ts: java.sql.Timestamp): Long = {
+    val ldt = ts.toLocalDateTime
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + ldt.getNano
+  }
 
   /** Default registry mapping FIXTURES.md usage: ORDERS plays the
     * filtered entity with ORDERITEMS_SUBFORM; region/nation/customer play
@@ -44,7 +59,7 @@ object ParquetSimSource {
     "PART" -> Relation("part", Seq("p_partkey")),
     "NATION" -> Relation("nation", Seq("n_nationkey")),
     "REGION" -> Relation("region", Seq("r_regionkey")),
-    "EVENTS" -> Relation("events", Seq("event_id")),
+    "EVENTS" -> Relation("events", Seq("event_id"), nanosTs = Seq("ts")),
     "DOCUMENTS" -> Relation("documents", Seq("doc_id")),
     "EMBEDDINGS" -> Relation("embeddings", Seq("vec_id")))
 }
@@ -69,14 +84,26 @@ final class ParquetSimSource(
     var df = table(rel.table)
 
     // Predicate pushdown: applied directly on the scan so Catalyst
-    // emits it as a parquet PushedFilter (SURVEY.md §4).
+    // emits it as a parquet PushedFilter (SURVEY.md §4). Nanosecond
+    // columns are filtered on the raw INT64 (the predicate still pushes
+    // into the footer/page index) and converted after.
     req.filter.foreach { case (field, ts) =>
-      df = df.filter(col(field.toLowerCase) >= lit(ts))
+      val f = field.toLowerCase
+      if (rel.nanosTs.contains(f)) df = df.filter(col(f) >= lit(tsToNanos(ts)))
+      else df = df.filter(col(f) >= lit(ts))
     }
 
     // Limit pushdown: parents first, so expand below only ever joins
     // against the limited key set.
     req.top.foreach(n => df = df.limit(n))
+
+    // Nanos→NTZ normalization (after filter/top so both push down).
+    // Sessions run with UTC session timezone, so the LTZ→NTZ cast is the
+    // identity on the stored naive wall clock.
+    df = rel.nanosTs.foldLeft(df)((d, c) =>
+      if (d.columns.contains(c))
+        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")).cast("timestamp_ntz"))
+      else d)
 
     req.expand.foldLeft(df) { (parent, sub) =>
       val sf = rel.subforms.getOrElse(sub.toUpperCase,
