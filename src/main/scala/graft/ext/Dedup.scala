@@ -1,0 +1,157 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — the
+  * LLM-training-data half of the engine (SURVEY.md §7.1 step 9; the
+  * reference has no analog, these are the 100 TB extension surface).
+  *
+  * Three families, each designed so the expensive step is NEVER all-pairs:
+  *
+  *   - exact dedup: hash-groupBy on a content digest. One shuffle on the
+  *     digest; at 100 TB this is the plain map-side-combinable groupBy
+  *     Spark already does well.
+  *   - MinHash-LSH near-dup: shingle → 64 minhashes → 16 bands of 4 →
+  *     candidates = pairs sharing a band bucket (self-join on the band
+  *     key), then exact Jaccard verification on candidates only. Cost is
+  *     O(docs × shingles) + O(candidate pairs); the quadratic all-pairs
+  *     step never happens. Band keys are integers, so the join shuffles
+  *     narrow rows; skewed buckets (boilerplate shingles) can be salted
+  *     or capped with a bucket-size limit at scale.
+  *   - SimHash near-dup: 32-bit signature from per-token hashes, banded
+  *     into 4 bytes. By pigeonhole, any pair at hamming distance ≤ 3
+  *     shares at least one of the 4 bands, so banding has EXACT recall
+  *     for the distance-3 threshold — the banded plan is provably
+  *     equivalent to the brute-force quadratic one.
+  *
+  * All hashing is done with engine built-ins (codegen'd, no UDFs):
+  * xxhash64 for MinHash permutation bases (oracle-independent — the
+  * correctness oracle verifies the final Jaccard pairs, not the
+  * signatures), md5-derived 32-bit values where the DuckDB oracle must
+  * reproduce the exact signature (SimHash).
+  */
+object Dedup {
+
+  /** Exact dedup by content digest: one row per distinct text, keeper =
+    * min doc_id, with the duplicate count. `md5` groups are
+    * map-side-combinable; the only shuffle is on the 128-bit digest. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles of `text` (split on single spaces).
+    * Documents with fewer than n tokens produce an empty shingle set. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    // sequence(0, x) with x<0 counts DOWN in Spark — guard short docs
+    array_distinct(
+      when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  private val numHashes = 64
+  private val bands = 16
+  private val rowsPerBand = numHashes / bands // 4
+
+  /** doc_id + the 16 LSH band keys, exploded to (doc_id, band, band_hash).
+    * Signature slot i = min over shingles of xxhash64(shingleHash, i) —
+    * seeded re-hashing instead of affine permutations, because wrapping
+    * long multiplication trips ANSI overflow checks and xxhash64 mixes
+    * better anyway. Each band hashes `rowsPerBand` consecutive slots. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val hs = transform(shingles(col("text")), s => xxhash64(s))
+    val sig = (0 until numHashes).map { i =>
+      array_min(transform(col("__hs"), h => xxhash64(h, lit(i))))
+    }
+    val bandHashes = array((0 until bands).map { j =>
+      xxhash64(sig.slice(j * rowsPerBand, (j + 1) * rowsPerBand): _*)
+    }: _*)
+    docs
+      .select(col("doc_id"), hs.as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate near-dup pairs: doc pairs sharing any LSH band bucket.
+    * Self-join on the narrow (band, band_hash) key — shuffle is on
+    * integers, never on document text. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val b = minhashBands(docs)
+    val l = b.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
+    val r = b.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, verified: candidates joined back to
+    * their shingle sets, kept when exact Jaccard ≥ `threshold`. The
+    * Jaccard is an integer ratio (|∩| / |∪|), so the value is bit-exact
+    * and safe for hash-compared oracles. */
+  def minhashNeardup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val cand = minhashCandidates(docs)
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** 32-bit md5-derived token hash — reproducible in ANSI SQL
+    * (`('0x' || substr(md5(t),1,8))::BIGINT` on the DuckDB side), which
+    * is what lets the oracle recompute the identical SimHash. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Per-document 32-bit SimHash over whitespace tokens (with
+    * repetition): bit i is the sign of Σ_tokens (bit_i(h32(token))·2−1).
+    * One explode + one groupBy with 32 integer sums — fully
+    * map-side-combinable, no float math anywhere. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", h32(col("tok")))
+    val bitSums = (0 until 32).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"s$i"))
+    val packed = (0 until 32)
+      .map(i => when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at hamming distance ≤ `maxDist` (≤ 3), found
+    * via 4×8-bit band blocking. Pigeonhole over 4 bands guarantees every
+    * pair within distance 3 shares a band — exact recall, never
+    * all-pairs. */
+  def simhashNeardup(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4, "4-band blocking guarantees recall only for distance <= 3")
+    val sig = simhash(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), 8 * j).bitwiseAND(255)): _*))
+        .as(Seq("band", "band_val")))
+    val l = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("a_id"), col("simhash").as("sig_a"))
+    val r = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("b_id"), col("simhash").as("sig_b"))
+    l.join(r, Seq("band", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

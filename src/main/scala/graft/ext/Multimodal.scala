@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column support: image/audio/video payloads carried as
+  * opaque `binary` columns with typed metadata, plus the
+  * decode / feature-extract / frame-sample operators a training-data
+  * pipeline runs over them.
+  *
+  * The Spark-side plumbing is real and tested — schema (binary payload +
+  * metadata struct), partition-friendly batch iteration
+  * (`mapPartitions` over a typed Dataset, the Scala analog of a
+  * batch-shaped Pandas UDF), and deterministic frame sampling via binary
+  * slicing. The actual codec step is a STUB: this container has no image
+  * or audio libraries, so `decodeFeatures` derives features from the raw
+  * bytes with a clearly-marked deterministic fake in place of a real
+  * decoder. Swapping in a real codec changes only the body of
+  * [[MediaCodec.decode]]; every schema, partitioning, and batching
+  * decision stays.
+  *
+  * At 100 TB: payloads dominate row size, so media tables should be
+  * written with a small `maxRecordsPerFile`/row-group target and the
+  * metadata struct kept in separate columns for pruned, payload-free
+  * scans (Parquet column pruning means metadata-only queries never read
+  * the binary chunk).
+  */
+object Multimodal {
+
+  /** Typed per-row media record (the Dataset view of the media table). */
+  final case class MediaRow(
+      doc_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** Extracted features: byte-level stats standing in for real
+    * embeddings/histograms. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      kind: String,
+      n_bytes: Int,
+      byte_sum: Long,
+      head_byte: Int)
+
+  /** STUB CODEC — deterministic fake. A real deployment replaces this
+    * body with an actual decoder (JPEG/PNG/PCM); the signature — bytes
+    * in, fixed-shape features out — is the contract the pipeline is
+    * built against. */
+  object MediaCodec {
+    def decode(row: MediaRow): MediaFeatures = {
+      // fake "decode": byte statistics instead of pixel decoding
+      var s = 0L
+      var i = 0
+      while (i < row.payload.length) { s += row.payload(i) & 0xff; i += 1 }
+      MediaFeatures(row.doc_id, row.kind, row.payload.length, s,
+        if (row.payload.isEmpty) -1 else row.payload(0) & 0xff)
+    }
+  }
+
+  /** Build the media table from `documents`: payload = UTF-8 bytes of
+    * the text (deterministic fake for an image blob), metadata derived
+    * deterministically from doc_id. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      (lit(64) + (col("doc_id") % 8) * 16).cast("int").as("width"),
+      (lit(48) + (col("doc_id") % 5) * 16).cast("int").as("height"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Metadata-only projection — never touches the payload column, so a
+    * Parquet-backed media table serves it from pruned columns. The md5
+    * digest doubles as a content id for exact media dedup. */
+  def mediaMeta(docs: DataFrame): DataFrame =
+    mediaTable(docs).select(
+      col("doc_id"), col("kind"), col("width"), col("height"),
+      length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("payload_md5"))
+
+  /** Feature extraction: typed batch iteration per partition (the
+    * Scala analog of `mapInPandas` — one JVM-side loop per partition,
+    * no per-row lambda dispatch). */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(MediaCodec.decode))
+  }
+
+  /** Frame sampling: slice `n` evenly-spaced fixed-width windows out of
+    * the payload — pure binary arithmetic, one output row per frame. */
+  def frameSample(media: DataFrame, n: Int = 4, frameBytes: Int = 16): DataFrame =
+    media
+      .select(col("doc_id"), col("kind"), length(col("payload")).as("len"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)), i =>
+          col("payload").substr(
+            (i * greatest(length(col("payload")) / n, lit(1)) + 1).cast("int"),
+            lit(frameBytes)))).as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("kind"), col("frame_idx"),
+        length(col("frame")).as("frame_bytes"), md5(col("frame")).as("frame_md5"))
+}

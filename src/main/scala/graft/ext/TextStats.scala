@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: per-language
+  * corpus stats, a marker-token language-ID heuristic, per-document
+  * quality scoring, BPE-ish token counting, and mod-p content
+  * fingerprinting.
+  *
+  * Determinism rules (these feed a hash-compared DuckDB oracle):
+  *   - cross-row aggregates are integers only (counts/sums of longs) —
+  *     parallel float summation is order-dependent in BOTH engines, so
+  *     no avg(double) ever crosses a row boundary;
+  *   - ratios are computed per row (single division of exact ints) or
+  *     once per group from integer sums;
+  *   - shared hashes are md5-derived so DuckDB can reproduce them.
+  *
+  * Everything is built-in expressions inside whole-stage codegen — one
+  * scan, map-side-combinable aggregates, shuffle only on the tiny group
+  * keys. At 100 TB these are embarrassingly parallel scans.
+  */
+object TextStats {
+
+  private def nTokens(text: Column): Column = size(split(text, " "))
+
+  /** Per-language corpus stats. All aggregates are integer; the two
+    * averages are single divisions of exact integer sums, so the doubles
+    * are bit-reproducible regardless of execution order. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTokens(col("text"))).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .withColumn("avg_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
+      .withColumn("avg_chars",
+        col("total_chars").cast("double") / col("n_docs"))
+
+  /** Marker stopwords per language for the language-ID heuristic. On
+    * real corpora these discriminate scripts/languages; the synthetic
+    * fixture shares one vocabulary, which the heuristic handles by
+    * falling through its deterministic tiebreak (alphabetical). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die", "nicht"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "que", "los"),
+    "fr" -> Seq("le", "la", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Language-ID: score = marker-token hits per language, predict the
+    * argmax (alphabetical-first on ties, "und" when no marker hits).
+    * Output is the (actual, predicted) confusion matrix with integer
+    * counts. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    }
+    val best = scores.foldLeft((lit("und"), lit(0))) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        // strict > keeps the earliest (alphabetical) language on ties
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          greatest(score, bestScore))
+    }._1
+    docs
+      .select(col("lang"), best.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document quality signals and a composite score. Every column is
+    * computed from this row's integers alone (single divisions, fixed
+    * literal weights) — bit-exact on any engine, any plan. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    // non [a-z0-9 space] characters, over total chars
+    val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    val nChars = length(col("text"))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      (nStop.cast("double") / nTok).as("stop_ratio"),
+      (nPunct.cast("double") / nChars).as("punct_ratio"),
+      (nChars.cast("double") / nTok).as("avg_token_len"))
+      .withColumn("quality_score",
+        when(col("n_tokens") < lit(5), lit(0.0))
+          .otherwise(
+            lit(1.0)
+              - col("punct_ratio") * lit(2.0)
+              + least(col("stop_ratio") * lit(1.5), lit(0.3))))
+  }
+
+  /** BPE-ish token counting: word pieces = letter runs, digit runs, or
+    * single non-alphanumeric marks. The regex is dialect-neutral (same
+    * semantics in Java regex and RE2/DuckDB). */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("bpe_tokens"))
+
+  /** Content fingerprinting: md5-derived 32-bit hashes of distinct word
+    * 3-gram shingles, keeping hashes ≡ 0 (mod 16) — content-defined
+    * selection, ~1/16 of shingles survive. Robust to local edits (only
+    * shingles spanning the edit change), and the selection needs no
+    * global state — embarrassingly parallel at 100 TB. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val fps = array_distinct(filter(
+      transform(Dedup.shingles(col("text")),
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")),
+      h => h % 16 === 0))
+    docs.select(
+      col("doc_id"),
+      size(fps).as("n_fingerprints"),
+      array_min(fps).as("min_fingerprint"))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the `graft.ext` query inventory.
+  *
+  * Determinism contract (matches the compare gate's sorted hash):
+  *   - cross-row aggregates are integers only; every double either comes
+  *     from a single division of exact integers or a per-row expression
+  *     tree evaluated identically by both engines;
+  *   - similarity outputs are rank-based (row_number with a full
+  *     tiebreak), never raw float scores across engines;
+  *   - shared hashes are md5-derived: Spark `conv(substring(md5(x),1,8),
+  *     16,10)` ≡ DuckDB `('0x' || substr(md5(x),1,8))::BIGINT`;
+  *   - x6_ann_ivf is approximate by design (float centroids), so it has
+  *     NO oracle entry — the driver records a rows-only check and its
+  *     recall is asserted against the exact baseline in ScalaTest.
+  */
+object ExtOracles {
+
+  /** Distinct word 3-gram shingles per doc, as a DuckDB CTE. */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |                        FOR i IN range(1, len(s)-1)]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))""".stripMargin
+
+  private val simhashSums =
+    (0 until 32).map(i => s"sum(((h>>$i)&1)*2-1) AS s$i").mkString(", ")
+  private val simhashPacked =
+    (0 until 32).map(i => s"(CASE WHEN s$i >= 0 THEN (1::BIGINT<<$i) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+
+  /** Per-language marker scores, generated from the SAME marker lists the
+    * Spark side uses (single source of truth in TextStats.langMarkers). */
+  private val langScore: String =
+    graft.ext.TextStats.langMarkers.map { case (lang, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($inList))) AS s_$lang"
+    }.mkString(", ")
+
+  val all: Map[String, String] = Map(
+    "x1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash,
+        |       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "x2_minhash_neardup" ->
+      s"""WITH $shingleCte
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |         len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+
+    "x3_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |     c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |     s AS (SELECT query_id, vec_id,
+        |                  list_dot_product(qv, v) /
+        |                    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |           FROM q, c WHERE vec_id <> query_id)
+        |SELECT query_id, neighbor_id, "rank" FROM (
+        |  SELECT query_id, vec_id AS neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos DESC, vec_id) AS INT) AS "rank"
+        |  FROM s) WHERE "rank" <= 5""".stripMargin,
+
+    "x4_text_stats" ->
+      """SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens,
+        |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "x5_simhash_neardup" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |     h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+         |     s AS (SELECT doc_id, $simhashSums FROM h GROUP BY doc_id),
+         |     sig AS (SELECT doc_id, CAST($simhashPacked AS BIGINT) AS simhash FROM s)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "x7_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT lang, $langScore
+         |  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)),
+         |  best AS (
+         |  SELECT lang,
+         |         CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+         |              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |              ELSE 'zh' END AS predicted
+         |  FROM scored)
+         |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+         |FROM best GROUP BY lang, predicted""".stripMargin,
+
+    "x8_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop,
+        |         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+        |         length(text) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(n_tokens AS INT) AS n_tokens,
+        |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+        |       CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+        |       CASE WHEN n_tokens < 5 THEN 0.0
+        |            ELSE 1.0 - (CAST(n_punct AS DOUBLE) / n_chars) * 2.0
+        |                 + least((CAST(n_stop AS DOUBLE) / n_tokens) * 1.5, 0.3)
+        |       END AS quality_score
+        |FROM t""".stripMargin,
+
+    "x9_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "x10_fingerprint" ->
+      s"""WITH $shingleCte,
+         |  f AS (SELECT doc_id,
+         |               list_distinct(list_filter(
+         |                 list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT),
+         |                 h -> h % 16 = 0)) AS fps
+         |        FROM sh)
+         |SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
+         |       list_min(fps) AS min_fingerprint
+         |FROM f""".stripMargin,
+
+    "x11_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |       CAST(64 + (doc_id % 8) * 16 AS INT) AS width,
+        |       CAST(48 + (doc_id % 5) * 16 AS INT) AS height,
+        |       CAST(length(text) AS INT) AS n_bytes,
+        |       md5(text) AS payload_md5
+        |FROM documents""".stripMargin)
+}

@@ -81,5 +81,6 @@ object Oracles {
         |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
         |  UNION ALL
         |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |                         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')""".stripMargin)
+        |                         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')""".stripMargin) ++
+    ExtOracles.all
 }

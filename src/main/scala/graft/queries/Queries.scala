@@ -179,5 +179,5 @@ object Queries {
     "q1_agg" -> (q1Agg _),
     "a2_latest_top1" -> (a2LatestTop1 _),
     "w1_window_rank" -> (w1WindowRank _),
-    "t2_union_append" -> (t2UnionAppend _))
+    "t2_union_append" -> (t2UnionAppend _)) ++ ExtQueries.all
 }

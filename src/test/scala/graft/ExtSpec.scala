@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Behavior tests for the LLM-pipeline operators (graft.ext.*) on
+  * constructed data — the oracle gate checks fixture equivalence; these
+  * check the SEMANTICS (dedup actually dedups, LSH recall, codec
+  * plumbing) that the fixture can't distinguish. */
+class ExtSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length($"text"))
+
+  test("exactDedup groups identical texts and keeps the min doc_id") {
+    val d = docsDf(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val r = Dedup.exactDedup(d).collect()
+    assert(r.length == 2)
+    val dup = r.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("shingles handles docs shorter than n") {
+    val d = docsDf(1L -> "a b", 2L -> "a b c d")
+    val r = d.select(Dedup.shingles($"text").as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(r.exists(_.isEmpty))
+    assert(r.exists(_.toSet == Set("a b c", "b c d")))
+  }
+
+  test("minhashNeardup finds a perturbed copy and ignores unrelated text") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val d = docsDf(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minhashNeardup(d, threshold = 0.7).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("simhash: identical texts collide, near-dups are close, pairs dedup across bands") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val d = docsDf(1L -> base, 2L -> base, 3L -> (base + " extra"))
+    val sig = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val pairs = Dedup.simhashNeardup(d, maxDist = 3).collect()
+    // identical pair at distance 0, present exactly once despite sharing all 4 bands
+    assert(pairs.count(r => r.getLong(0) == 1L && r.getLong(1) == 2L) == 1)
+  }
+
+  private def embDf(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("cosTopK ranks by cosine, excludes self, caps at k") {
+    val q = Seq.fill(4)(1.0f)
+    val near = Seq(1.0f, 1.0f, 1.0f, 0.9f)
+    val far = Seq(-1.0f, -1.0f, 1.0f, 0.0f)
+    val d = embDf((0L, q, 0), (1L, near, 0), (2L, far, 0), (3L, q, 0))
+    val r = Similarity.cosTopK(d, k = 2, queryMod = 4) // queries: vec_id 0
+      .orderBy($"rank").collect()
+    assert(r.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 1L))
+    assert(r.forall(_.getAs[Long]("query_id") == 0L))
+  }
+
+  test("ivfTopK recall vs exact baseline on the fixture") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Similarity.cosTopK(emb, k = 5, queryMod = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, k = 5, queryMod = 25, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    // labels are a coarse random quantizer, so probing 3/10 cells cannot
+    // guarantee much — the assertion pins the mechanism, not the number
+    assert(recall >= 0.2, s"IVF recall $recall suspiciously low")
+  }
+
+  test("quality score formula: clean text beats punctuation soup") {
+    val d = docsDf(
+      1L -> "the cat sat on the mat and then a dog came to visit in peace",
+      2L -> "!!! ??? ### $$$ %%%")
+    val r = TextStats.qualityScore(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("quality_score")).toMap
+    assert(r(1L) > r(2L))
+    assert(r(1L) > 1.0) // stopword bonus above base
+  }
+
+  test("tokenCount: BPE-ish pieces split punctuation and digit runs") {
+    val d = docsDf(1L -> "ab12cd, ef")
+    val r = TextStats.tokenCount(d).collect().head
+    assert(r.getAs[Int]("ws_tokens") == 2)
+    // pieces: ab | 12 | cd | , | ef
+    assert(r.getAs[Int]("bpe_tokens") == 5)
+  }
+
+  test("fingerprint selection is stable under distant edits") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val edited = base.replace("w70", "EDIT") // tail edit
+    val d = docsDf(1L -> base, 2L -> edited)
+    val fp = TextStats.fingerprint(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("n_fingerprints")).toMap
+    // mod-p selection is local: a single-token edit changes at most
+    // n (=3) shingles, so counts differ by at most 2*n
+    assert(math.abs(fp(1L) - fp(2L)) <= 6)
+  }
+
+  test("multimodal: metadata projection, codec stub, frame sampling") {
+    val d = docsDf(1L -> "hello world of binary payloads", 2L -> "tiny")
+    val media = Multimodal.mediaTable(d)
+    val meta = Multimodal.mediaMeta(d).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Int]("n_bytes")).toMap
+    assert(meta(1L) == 30 && meta(2L) == 4)
+
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes == 30)
+    assert(feats(2L).head_byte == 't'.toInt)
+    assert(feats(2L).byte_sum == "tiny".getBytes.map(_ & 0xff).sum)
+
+    val frames = Multimodal.frameSample(media, n = 4, frameBytes = 4)
+    assert(frames.count() == 8) // 4 frames per doc
+    assert(frames.filter($"doc_id" === 1L).select(countDistinct($"frame_md5"))
+      .head().getLong(0) == 4) // distinct windows over a 30-byte payload
+  }
+}
