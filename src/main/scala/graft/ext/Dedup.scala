@@ -63,18 +63,22 @@ object Dedup {
     * Signature slot i = min over shingles of xxhash64(shingleHash, i) —
     * seeded re-hashing instead of affine permutations, because wrapping
     * long multiplication trips ANSI overflow checks and xxhash64 mixes
-    * better anyway. Each band hashes `rowsPerBand` consecutive slots. */
+    * better anyway. Each band hashes `rowsPerBand` consecutive slots.
+    *
+    * Computed as explode → groupBy(doc_id) with 64 min aggregates:
+    * hash + min run inside whole-stage codegen with map-side partial
+    * aggregation, an order of magnitude faster than per-document
+    * higher-order-function traversals (which are interpreted). */
   def minhashBands(docs: DataFrame): DataFrame = {
-    val hs = transform(shingles(col("text")), s => xxhash64(s))
-    val sig = (0 until numHashes).map { i =>
-      array_min(transform(col("__hs"), h => xxhash64(h, lit(i))))
-    }
+    val hs = docs
+      .select(col("doc_id"),
+        explode(transform(shingles(col("text")), s => xxhash64(s))).as("h"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     val bandHashes = array((0 until bands).map { j =>
-      xxhash64(sig.slice(j * rowsPerBand, (j + 1) * rowsPerBand): _*)
+      xxhash64((0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}")): _*)
     }: _*)
-    docs
-      .select(col("doc_id"), hs.as("__hs"))
-      .filter(size(col("__hs")) > 0)
+    hs.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "band_hash")))
   }
 

@@ -58,24 +58,28 @@ object Queries {
 
   // ------------------------------------------------------- normalization
 
-  /** G1: the engine's subform explode — ORDERS fetched with
-    * `$expand=ORDERITEMS`, normalized into the child frame with the
-    * parent PK propagated and cast to string (PK→String rule). */
+  /** G1: subform extraction via the FLAT fetch path — the child frame is
+    * a direct scan with the parent PK propagated and cast to string
+    * (PK→String rule); no collect_list/explode round-trip exists in the
+    * plan (EntitySource.fetchFlat). The nested path's semantics are
+    * covered by NormalizerSpec/ParquetSimSourceSpec. */
   def g1ExplodeChild(spark: SparkSession, dir: String): DataFrame = {
     val src = new ParquetSimSource(spark, dir)
-    val raw = src.fetch(FetchRequest("ORDERS", expand = Seq("ORDERITEMS")))
-    val n = Normalizer.normalize("ORDERS", raw, Seq("o_orderkey"),
+    val flat = src.fetchFlat(FetchRequest("ORDERS", expand = Seq("ORDERITEMS"))).get
+    val n = Normalizer.normalizeFlat("ORDERS", flat, Seq("o_orderkey"),
       "verify", Timestamp.valueOf("2026-01-01 00:00:00"))
     n.children("orderitems")
       .drop("extractionid", "extractiontimestamputc")
   }
 
-  /** P1-P3: parent projection — subform dropped, identifiers lowercased,
-    * PK cast to string. (Audit columns excluded: run-dependent.) */
+  /** P1-P3: parent projection — subform never fetched (flat children are
+    * independent lazy plans, and this consumer reads only the parent, so
+    * the child table is not even scanned), identifiers lowercased, PK
+    * cast to string. (Audit columns excluded: run-dependent.) */
   def p1ParentProjection(spark: SparkSession, dir: String): DataFrame = {
     val src = new ParquetSimSource(spark, dir)
-    val raw = src.fetch(FetchRequest("ORDERS", expand = Seq("ORDERITEMS")))
-    val n = Normalizer.normalize("ORDERS", raw, Seq("o_orderkey"),
+    val flat = src.fetchFlat(FetchRequest("ORDERS", expand = Seq("ORDERITEMS"))).get
+    val n = Normalizer.normalizeFlat("ORDERS", flat, Seq("o_orderkey"),
       "verify", Timestamp.valueOf("2026-01-01 00:00:00"))
     n.parent.drop("extractionid", "extractiontimestamputc")
   }

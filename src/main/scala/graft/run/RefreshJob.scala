@@ -7,7 +7,7 @@ import java.util.UUID
 
 import scala.util.control.NonFatal
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model._
@@ -29,15 +29,27 @@ import graft.xform.Normalizer
   *   5. advance the per-entity `lastRun` watermark.
   *
   * Fixes over the reference, documented per SURVEY.md §7.4:
-  *   - watermark advances to max(filterField) observed in the batch when
-  *     available, not the wall clock, closing the reference's late-data
-  *     race (priorityDataSource.py:595); falls back to wall clock for
-  *     unfiltered entities;
+  *   - watermark advances to max(filterField) OBSERVED ON THE WRITE JOB
+  *     (`df.observe` + CollectMetrics), not the wall clock — one job per
+  *     frame, and the watermark provably describes the batch that was
+  *     written, closing both the reference's late-data race
+  *     (priorityDataSource.py:595) and the double-execution a separate
+  *     max() aggregation would cost at scale; if a batch is empty the
+  *     watermark simply does not advance;
+  *   - incremental fetches use strict `>` against the observed-max
+  *     watermark, so boundary-timestamp rows are not re-appended every
+  *     run (the reference's `>=` + append duplicates them);
+  *   - unfiltered entities (filterFlag=false) are OVERWRITTEN on every
+  *     run including incremental ones — the reference appends the whole
+  *     table again each time;
   *   - timestamps parsed strictly (`yyyy-MM-dd HH:mm:ss` in the
   *     configured zone), no substring-boolean parsing (app.py:258 bug);
   *   - entities run in parallel (the reference loop is serial,
   *     priorityDataSource.py:161) — per-entity work is independent, and
-  *     each entity's job is itself distributed.
+  *     each entity's job is itself distributed;
+  *   - flat-capable sources skip the nest→explode round-trip entirely
+  *     (EntitySource.fetchFlat): parent and children are independent
+  *     scans, so no collect_list shuffle ever runs.
   *
   * Error isolation matches the reference: one entity failing logs an
   * error into the run report and the rest continue
@@ -47,7 +59,8 @@ final class RefreshJob(
     spark: SparkSession,
     source: EntitySource,
     writer: StagingWriter,
-    parallelism: Int = 4) {
+    parallelism: Int = 4,
+    timeout: scala.concurrent.duration.Duration = scala.concurrent.duration.Duration.Inf) {
 
   import RefreshJob._
 
@@ -61,13 +74,16 @@ final class RefreshJob(
 
     val results: Seq[Either[EntityError, (Seq[TableReport], EntityConfig)]] = {
       import scala.concurrent._
-      import scala.concurrent.duration._
       val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       val futs = config.entities.map { e =>
         Future(runEntity(e, zone, incremental, extractionId, ts))
       }
-      try Await.result(Future.sequence(futs), 1.hour)
+      // unbounded by default (a 100 TB refresh takes what it takes); on
+      // a configured-timeout failure, cancel running tasks so no orphan
+      // write keeps appending after run() has thrown
+      try Await.result(Future.sequence(futs), timeout)
+      catch { case t: Throwable => pool.shutdownNow(); throw t }
       finally pool.shutdown()
     }
 
@@ -88,6 +104,9 @@ final class RefreshJob(
       extractionId: String,
       ts: Timestamp): Either[EntityError, (Seq[TableReport], EntityConfig)] =
     try {
+      // incremental + observed-max watermark ⇒ strict `>` (the boundary
+      // second was already loaded); first runs use `>=` from the start date
+      val fromWatermark = incremental && e.lastRun.isDefined
       val filter: Option[(String, Timestamp)] =
         if (!e.filterFlag) None // unfiltered entity: full table every run
         else {
@@ -95,30 +114,35 @@ final class RefreshJob(
             if (incremental) e.lastRun.getOrElse(e.dataStartDate) else e.dataStartDate
           Some(e.filterField -> parseTs(from, zone))
         }
+      val req = FetchRequest(e.entityId, filter, e.expand, exclusive = fromWatermark)
 
-      val raw = source.fetch(FetchRequest(e.entityId, filter, e.expand))
+      val n = source.fetchFlat(req) match {
+        case Some(flat) => Normalizer.normalizeFlat(e.entityId, flat, pkOf(e), extractionId, ts)
+        case None => Normalizer.normalize(e.entityId, source.fetch(req), pkOf(e), extractionId, ts)
+      }
 
-      // Watermark candidate: max(filterField) actually observed. The
-      // column may be TIMESTAMP or TIMESTAMP_NTZ (Spark 4 infers NTZ from
-      // parquet isAdjustedToUTC=false), so normalize the collected value.
-      val maxSeen: Option[String] =
-        if (e.filterFlag)
-          raw.agg(max(col(e.filterField.toLowerCase))).collect()(0) match {
-            case r if r.isNullAt(0) => None
-            case r                  => Some(formatAny(r.get(0), zone))
-          }
-        else None
+      // Watermark = max(filterField) observed ON the parent write job
+      // itself — no second execution of the fetch. The column may be
+      // TIMESTAMP or TIMESTAMP_NTZ (Spark 4 infers NTZ from parquet
+      // isAdjustedToUTC=false); formatAny normalizes the metric value.
+      val obs = if (e.filterFlag) Some(Observation()) else None
+      val parent = obs.fold(n.parent)(o =>
+        n.parent.observe(o, max(col(e.filterField.toLowerCase)).as("wm")))
 
-      val n = Normalizer.normalize(e.entityId, raw, pkOf(e), extractionId, ts)
-      val append = incremental
-      val parentCount = writer.writeEntity(n.parent, n.entityName, append)
+      // unfiltered entities are replaced every run (append would
+      // duplicate the full table each incremental cycle)
+      val append = incremental && e.filterFlag
+      val parentCount = writer.writeEntity(parent, n.entityName, append)
       val reports = TableReport(n.entityName, writer.stagingName(n.entityName), parentCount) +:
         n.children.toSeq.sortBy(_._1).map { case (name, df) =>
           TableReport(name, writer.stagingName(name), writer.writeEntity(df, name, append))
         }
 
-      val newLastRun = maxSeen.getOrElse(formatTs(ts, zone))
-      Right((reports, e.copy(lastRun = Some(newLastRun))))
+      val maxSeen = obs.flatMap(_.get.get("wm")).filter(_ != null)
+        .map(formatAny(_, zone))
+      // empty batch ⇒ watermark unchanged (never advance past unseen data)
+      val newLastRun = maxSeen.orElse(e.lastRun).orElse(Some(formatTs(ts, zone)))
+      Right((reports, e.copy(lastRun = newLastRun)))
     } catch {
       case NonFatal(ex) => Left(EntityError(e.entityId, String.valueOf(ex.getMessage)))
     }

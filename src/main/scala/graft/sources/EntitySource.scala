@@ -17,7 +17,21 @@ final case class FetchRequest(
     entityId: String,
     filter: Option[(String, Timestamp)] = None,
     expand: Seq[String] = Nil,
-    top: Option[Int] = None)
+    top: Option[Int] = None,
+    /** Strict `>` instead of `>=` — used for incremental fetches whose
+      * watermark is the max(filterField) observed by the previous run,
+      * so boundary rows are not re-appended every cycle. */
+    exclusive: Boolean = false)
+
+/** One expanded child served FLAT (its own frame) instead of nested:
+  * `df` joins to the parent via `parentKey == childKey`. */
+final case class FlatChild(df: DataFrame, parentKey: String, childKey: String)
+
+/** Flat fetch result: the parent frame (no subform columns) plus each
+  * expanded child as its own frame, keyed by subform name. Children are
+  * independent lazy plans — a consumer that only reads the parent never
+  * executes (or scans) the child side at all. */
+final case class FlatFetch(parent: DataFrame, children: Map[String, FlatChild])
 
 /** Abstraction over where entities come from.
   *
@@ -33,6 +47,14 @@ final case class FetchRequest(
   */
 trait EntitySource {
   def fetch(req: FetchRequest): DataFrame
+
+  /** Flat-capable sources serve expanded children as separate frames,
+    * skipping the nest(collect_list)→explode round-trip entirely — at
+    * scale that round-trip is a full child-table shuffle plus a per-key
+    * array materialization that OOMs on skewed parents (a nested API
+    * artifact, not a semantic requirement). `None` = this source only
+    * produces nested frames; callers fall back to fetch + explode. */
+  def fetchFlat(req: FetchRequest): Option[FlatFetch] = None
 
   /** Connectivity probe — the analog of `$top=1` smoke tests
     * (app.py:65-71). Returns the row count observed (0 or 1). */

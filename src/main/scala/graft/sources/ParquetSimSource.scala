@@ -79,8 +79,9 @@ final class ParquetSimSource(
     relations.getOrElse(entityId.toUpperCase,
       Relation(entityId.toLowerCase, Nil))
 
-  override def fetch(req: FetchRequest): DataFrame = {
-    val rel = relationOf(req.entityId)
+  /** The entity scan with filter/top pushdown and the nanos shim —
+    * everything except the expand. */
+  private def baseScan(rel: Relation, req: FetchRequest): DataFrame = {
     var df = table(rel.table)
 
     // Predicate pushdown: applied directly on the scan so Catalyst
@@ -89,8 +90,10 @@ final class ParquetSimSource(
     // into the footer/page index) and converted after.
     req.filter.foreach { case (field, ts) =>
       val f = field.toLowerCase
-      if (rel.nanosTs.contains(f)) df = df.filter(col(f) >= lit(tsToNanos(ts)))
-      else df = df.filter(col(f) >= lit(ts))
+      val (c, v) =
+        if (rel.nanosTs.contains(f)) (col(f), lit(tsToNanos(ts)))
+        else (col(f), lit(ts))
+      df = df.filter(if (req.exclusive) c > v else c >= v)
     }
 
     // Limit pushdown: parents first, so expand below only ever joins
@@ -100,17 +103,51 @@ final class ParquetSimSource(
     // Nanos→NTZ normalization (after filter/top so both push down).
     // Sessions run with UTC session timezone, so the LTZ→NTZ cast is the
     // identity on the stored naive wall clock.
-    df = rel.nanosTs.foldLeft(df)((d, c) =>
+    rel.nanosTs.foldLeft(df)((d, c) =>
       if (d.columns.contains(c))
         d.withColumn(c, timestamp_micros(expr(s"$c div 1000")).cast("timestamp_ntz"))
       else d)
+  }
 
-    req.expand.foldLeft(df) { (parent, sub) =>
-      val sf = rel.subforms.getOrElse(sub.toUpperCase,
-        throw new IllegalArgumentException(
-          s"entity ${req.entityId} has no subform $sub"))
-      nest(parent, sf, s"${sub.toUpperCase}_SUBFORM", probe = req.top.isDefined)
+  private def subformOf(rel: Relation, entityId: String, sub: String): Subform =
+    rel.subforms.getOrElse(sub.toUpperCase,
+      throw new IllegalArgumentException(s"entity $entityId has no subform $sub"))
+
+  override def fetch(req: FetchRequest): DataFrame = {
+    val rel = relationOf(req.entityId)
+    req.expand.foldLeft(baseScan(rel, req)) { (parent, sub) =>
+      nest(parent, subformOf(rel, req.entityId, sub),
+        s"${sub.toUpperCase}_SUBFORM", probe = req.top.isDefined)
     }
+  }
+
+  /** Flat expand: children served as direct scans joined by key — no
+    * collect_list, no array materialization. When the parent fetch is
+    * restricted (filter/top), the child scan is semi-join-pruned to the
+    * fetched parent keys; an UNRESTRICTED parent fetch trusts the
+    * backing store's referential integrity (children without parents
+    * cannot arrive via `$expand`, and the warehouse tables are loaded
+    * from exactly such fetches), so the child scan runs with no join at
+    * all. At 100 TB this turns the engine's biggest shuffle into a
+    * linear scan. */
+  override def fetchFlat(req: FetchRequest): Option[FlatFetch] = {
+    val rel = relationOf(req.entityId)
+    val parent = baseScan(rel, req)
+    val restricted = req.filter.isDefined || req.top.isDefined
+    val children = req.expand.map { sub =>
+      val sf = subformOf(rel, req.entityId, sub)
+      var child = table(sf.table)
+      if (restricted) {
+        val keys = parent.select(col(sf.parentKey).as(sf.childKey)).distinct()
+        // a probe's key set is tiny — broadcast it; a filtered fetch's
+        // key set is data-sized — let AQE pick the join strategy
+        child = child.join(
+          if (req.top.isDefined) broadcast(keys) else keys,
+          Seq(sf.childKey), "left_semi")
+      }
+      sub.toUpperCase -> FlatChild(child, sf.parentKey, sf.childKey)
+    }.toMap
+    Some(FlatFetch(parent, children))
   }
 
   /** Attach child rows as a deterministic array<struct> column. */

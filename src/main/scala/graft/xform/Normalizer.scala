@@ -88,4 +88,46 @@ object Normalizer {
 
     Normalized(entityId.toLowerCase, parent, children)
   }
+
+  /** Normalize a FLAT fetch (graft.sources.FlatFetch): same contract as
+    * [[normalize]] — lowercase, audit stamp, PK→String, parent-PK
+    * propagation into each child — but with children that are already
+    * separate frames, so no explode (and, upstream, no collect_list
+    * nest) ever happens. Parent-PK propagation is a column copy when the
+    * PK is the join key itself, or a key join against the parent
+    * projection for composite PKs.
+    */
+  def normalizeFlat(
+      entityId: String,
+      flat: graft.sources.FlatFetch,
+      pk: Seq[String],
+      extractionId: String,
+      ts: Timestamp): Normalized = {
+
+    val pkLower = pk.map(_.toLowerCase)
+    val parent = withAudit(
+      castPk(lowercased(flat.parent), pkLower), extractionId, ts)
+
+    val children = flat.children.map { case (sub, c) =>
+      val childName = sub.toLowerCase.stripSuffix(SubformSuffix)
+      val childCols = c.df.columns.map(_.toLowerCase).toSet
+      val pkToAdd = pk.filterNot(k => childCols.contains(k.toLowerCase))
+      val propagated =
+        if (pkToAdd.isEmpty) c.df
+        else if (pkToAdd.forall(_.equalsIgnoreCase(c.parentKey)))
+          // PK == join key: the value is already on the child row
+          c.df.withColumn(c.parentKey.toLowerCase, col(c.childKey))
+        else {
+          // composite parent PK: join the parent's key projection
+          val sel = (Seq(c.parentKey) ++ pkToAdd).distinct
+          val keys = flat.parent.select(sel.map(col): _*)
+          val joined = c.df.join(keys, c.df(c.childKey) === keys(c.parentKey))
+          if (pkToAdd.exists(_.equalsIgnoreCase(c.parentKey))) joined
+          else joined.drop(keys(c.parentKey))
+        }
+      childName -> withAudit(castPk(lowercased(propagated), pkLower), extractionId, ts)
+    }
+
+    Normalized(entityId.toLowerCase, parent, children)
+  }
 }

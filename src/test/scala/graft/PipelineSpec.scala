@@ -132,7 +132,7 @@ class RefreshJobSpec extends SparkSpec {
     assert(updated.entities.head.lastRun.contains(expected))
   }
 
-  test("incremental append after watermark: only new rows, append semantics") {
+  test("incremental after watermark: strict >, no duplicates, unfiltered overwritten") {
     val wh = tmpDir("wh")
     val writer = new StagingWriter(spark, wh)
     val job = new RefreshJob(spark, new ParquetSimSource(spark, sf), writer)
@@ -140,14 +140,57 @@ class RefreshJobSpec extends SparkSpec {
     val (_, afterFull) = job.run(config, incremental = false)
     val fullCount = writer.read("stg_orders").count()
 
-    // incremental from max watermark re-fetches only rows >= lastRun
-    val (r2, _) = job.run(afterFull, incremental = true)
+    // watermark = observed max(filterField); incremental fetches with
+    // strict > so the boundary rows are NOT re-appended — an idle
+    // incremental run is a no-op on the filtered entity
+    val (r2, afterInc) = job.run(afterFull, incremental = true)
     assert(r2.errors.isEmpty)
     val incOrders = r2.tables.find(_.tableName == "stg_orders").get.recordsWritten
-    assert(incOrders >= 1) // ties at the max date re-fetch (documented overlap)
-    assert(writer.read("stg_orders").count() == fullCount + incOrders)
-    // unfiltered entity reloaded in full, appended
-    assert(writer.read("stg_region").count() == 10)
+    assert(incOrders == 0)
+    assert(writer.read("stg_orders").count() == fullCount)
+    // empty batch: watermark unchanged, not wall-clocked forward
+    assert(afterInc.entities.head.lastRun == afterFull.entities.head.lastRun)
+    // unfiltered entity reloaded in full but OVERWRITTEN, not duplicated
+    assert(writer.read("stg_region").count() == 5)
+
+    // a lower watermark re-fetches the strictly-newer slice only
+    val rewound = afterFull.copy(entities = afterFull.entities.map {
+      case e if e.entityId == "ORDERS" => e.copy(lastRun = Some("1997-06-01 00:00:00"))
+      case e => e
+    })
+    val (r3, _) = job.run(rewound, incremental = true)
+    val inc3 = r3.tables.find(_.tableName == "stg_orders").get.recordsWritten
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") > java.sql.Timestamp.valueOf("1997-06-01 00:00:00")).count()
+    assert(inc3 == expected && inc3 > 0)
+    assert(writer.read("stg_orders").count() == fullCount + inc3)
+  }
+
+  test("flat path plans: parent never scans the child table; child never aggregates") {
+    val src = new ParquetSimSource(spark, sf)
+    val pq = graft.queries.Queries.p1ParentProjection(spark, sf)
+    val pPlan = pq.queryExecution.executedPlan.toString
+    assert(!pPlan.contains("lineitem"), s"parent plan scans the child table:\n$pPlan")
+
+    val gq = graft.queries.Queries.g1ExplodeChild(spark, sf)
+    val gPlan = gq.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("HashAggregate") && !gPlan.contains("collect_list"),
+      s"child plan still nests:\n$gPlan")
+    assert(!gPlan.contains("orders.parquet"),
+      s"unrestricted flat child should not join the parent:\n$gPlan")
+
+    // restricted fetch DOES prune the child to fetched parent keys
+    val flat = src.fetchFlat(FetchRequest("ORDERS",
+      filter = Some("o_orderdate" -> java.sql.Timestamp.valueOf("1997-06-01 00:00:00")),
+      expand = Seq("ORDERITEMS"))).get
+    val child = flat.children("ORDERITEMS").df
+    assert(child.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    // pruned child carries only fetched-parent keys (some parents have
+    // no children, so subset — not equality)
+    val orphan = child.join(flat.parent,
+      child("l_orderkey") === flat.parent("o_orderkey"), "left_anti").count()
+    assert(orphan == 0)
+    assert(child.count() > 0)
   }
 
   test("error isolation: unknown entity logged, rest proceed") {
