@@ -92,7 +92,14 @@ object SchemaRegistry {
     * (thousands of entities).
     */
   def parseMetadataXml(xml: String, sourceSystem: String): Seq[EntityMeta] = {
-    val root = scala.xml.XML.loadString(xml)
+    // $metadata comes from an external ERP: parse with DTDs and external
+    // entities disabled (XXE hardening — no file reads / SSRF from a
+    // compromised source)
+    val spf = javax.xml.parsers.SAXParserFactory.newInstance()
+    spf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    spf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    spf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    val root = scala.xml.XML.withSAXParser(spf.newSAXParser()).loadString(xml)
     (root \\ "EntityType").map { et =>
       val name = (et \ "@Name").text
       val keyNames = (et \ "Key" \ "PropertyRef").map(pr => (pr \ "@Name").text).toSet

@@ -3,7 +3,7 @@ package graft.sinks
 import org.apache.spark.sql.SparkSession
 
 import graft.catalog.SchemaRegistry
-import graft.model.EntityMeta
+import graft.model.{EntityMeta, ExtractionConfig}
 
 /** Catalog DDL operators (SURVEY.md §2.7 D1-D5), re-expressed against the
   * Spark session catalog instead of SQLAlchemy/Postgres:
@@ -49,12 +49,54 @@ final class Ddl(spark: SparkSession, registry: SchemaRegistry) {
       }
   }
 
+  /** D2 for a subform: one typed CHILD table, created from the child
+    * schema (subform fields + propagated parent PK + audit). */
+  def createChildTable(db: String, child: EntityMeta, parent: EntityMeta): DeployReport = {
+    val name = s"$db.${child.id.toLowerCase}"
+    if (spark.catalog.tableExists(name)) DeployReport(exists = Seq(name))
+    else
+      try {
+        val schema = registry.childSchema(child, parent)
+        spark.sql(s"CREATE TABLE $name (${schema.toDDL}) USING parquet")
+        DeployReport(success = Seq(name))
+      } catch {
+        case e: Exception => DeployReport(failed = Seq(name -> e.getMessage))
+      }
+  }
+
+  private def merge(reports: Seq[DeployReport]): DeployReport =
+    reports.foldLeft(DeployReport()) { (a, b) =>
+      DeployReport(a.success ++ b.success, a.exists ++ b.exists, a.failed ++ b.failed)
+    }
+
   /** D2 dispatcher: deploy every entity in the list, merging reports
     * (sqlDwh.py:176-215). */
   def deployAll(db: String, metas: Seq[EntityMeta]): DeployReport =
-    metas.map(m => createTable(db, m)).foldLeft(DeployReport()) { (a, b) =>
-      DeployReport(a.success ++ b.success, a.exists ++ b.exists, a.failed ++ b.failed)
-    }
+    merge(metas.map(m => createTable(db, m)))
+
+  /** T3 + D2: the config-driven deploy list — `[EntityID] + expand` per
+    * configured entity (sqlDwh.py:145-172) — dispatched as one typed
+    * PARENT table per entity and one typed CHILD table per subform
+    * (sqlDwh.py:176-215). Entities missing from the catalog land in
+    * `failed`, mirroring the reference's per-table error capture. */
+  def deployConfig(db: String, config: ExtractionConfig): DeployReport =
+    merge(config.entities.flatMap { e =>
+      registry.get(e.entityId) match {
+        case None =>
+          Seq(DeployReport(failed = Seq(
+            s"$db.${e.entityId.toLowerCase}" -> "no metadata for entity")))
+        case Some(parent) =>
+          createTable(db, parent, e.expand) +:
+            e.expand.map { sub =>
+              registry.get(sub) match {
+                case None =>
+                  DeployReport(failed = Seq(
+                    s"$db.${sub.toLowerCase}" -> "no metadata for subform"))
+                case Some(child) => createChildTable(db, child, parent)
+              }
+            }
+      }
+    })
 
   /** D3: drop all views, then all tables, in a database; returns dropped
     * names + count — the reference's reset report (sqlDwh.py:114-118). */

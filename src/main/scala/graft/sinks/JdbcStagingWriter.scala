@@ -1,0 +1,88 @@
+package graft.sinks
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.EntityMeta
+
+/** JDBC staging sink — the production load path of the reference
+  * (`df.to_sql('stg_'+name, …, dtype=<typed cols>)`,
+  * priorityDataSource.py:847-889): `df.write.jdbc` with
+  * `createTableColumnTypes` carrying the warehouse column types derived
+  * from the metadata catalog, so first-write table creation is TYPED
+  * (PK→VARCHAR(255), NUMERIC decimals, TIMESTAMP dates) instead of
+  * Spark's lowest-common-denominator inference.
+  *
+  * Scale notes: `df.write.jdbc` opens one connection per partition and
+  * batches inserts (`batchsize` option); `numPartitions` caps the
+  * connection fan-in so a 1000-partition frame doesn't open 1000
+  * connections against the warehouse. Records written are observed on
+  * the write job (no re-count round trip).
+  */
+final class JdbcStagingWriter(
+    spark: SparkSession,
+    url: String,
+    props: Properties = new Properties,
+    typeOverrides: Map[String, String] = Map.empty,
+    maxConnections: Int = 8) {
+
+  def stagingName(entity: String): String = s"stg_${entity.toLowerCase}"
+
+  /** Warehouse column type for one catalog field: the reference's
+    * dtype-dict semantics (sqlDwh.py:453-466) — PK columns are always
+    * VARCHAR(255) (sqlDwh.py:346-350), everything else comes from the
+    * type-mapping pass, with audit columns appended by the caller. */
+  def columnType(meta: EntityMeta, fieldName: String): String = {
+    val f = meta.fields.find(_.fieldName.equalsIgnoreCase(fieldName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"${meta.id} has no field $fieldName"))
+    if (f.keyFlag) "VARCHAR(255)"
+    else typeOverrides.getOrElse(f.fieldName.toLowerCase,
+      f.targetDataType.map(widen).getOrElse("VARCHAR(255)"))
+  }
+
+  /** Bare warehouse names widened to creatable column types (dialects
+    * need a length/precision on VARCHAR/NUMERIC). */
+  private def widen(t: String): String = t.toUpperCase match {
+    case "VARCHAR" => "VARCHAR(255)"
+    case "NUMERIC" => "NUMERIC(31,6)"
+    case other     => other
+  }
+
+  /** The `createTableColumnTypes` DDL fragment for a frame about to be
+    * written: catalog-typed columns for catalog fields, audit columns
+    * typed per the reference (extractionId TEXT→VARCHAR,
+    * extractionTimestampUTC TIMESTAMP; sqlDwh.py:360-365). Non-catalog
+    * columns (e.g. propagated parent PKs on a child frame) default to
+    * VARCHAR(255) — they are PK propagations by construction. */
+  def columnTypes(meta: EntityMeta, df: DataFrame): String =
+    df.columns.map { c =>
+      val t = c.toLowerCase match {
+        case graft.catalog.SchemaRegistry.ExtractionIdCol => "VARCHAR(255)"
+        case graft.catalog.SchemaRegistry.ExtractionTsCol => "TIMESTAMP"
+        case n if meta.fields.exists(_.fieldName.equalsIgnoreCase(n)) =>
+          columnType(meta, n)
+        case _ => "VARCHAR(255)"
+      }
+      s"$c $t"
+    }.mkString(", ")
+
+  /** Write one frame to `stg_<entity>`; append=false replaces (the
+    * reference's if_exists='replace'). Returns records written. */
+  def writeEntity(df: DataFrame, meta: EntityMeta, append: Boolean): Long = {
+    val obs = Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .coalesce(maxConnections)
+      .write
+      .mode(if (append) SaveMode.Append else SaveMode.Overwrite)
+      .option("createTableColumnTypes", columnTypes(meta, df))
+      .option("truncate", true) // replace keeps the typed table, truncates rows
+      .jdbc(url, stagingName(meta.id), props)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  def read(entity: String): DataFrame =
+    spark.read.jdbc(url, stagingName(entity), props)
+}

@@ -1,0 +1,201 @@
+package graft
+
+import graft.catalog.SchemaRegistry
+import graft.config.ConfigStore
+import graft.model._
+import graft.run.Platform
+import graft.sinks.{Ddl, JdbcStagingWriter, StagingWriter}
+import graft.sources.ParquetSimSource
+
+/** D-family (DDL/catalog), JDBC sink, durable config store, and
+  * control-plane coverage — the §2.7 rows plus the reference's lifecycle
+  * endpoints. */
+class DdlSpec extends SparkSpec {
+
+  private def registryWith(metas: EntityMeta*): SchemaRegistry = {
+    val r = new SchemaRegistry()
+    r.putAll(metas)
+    r
+  }
+
+  private val orders = EntityMeta("ORDERS", "priority", fields = Seq(
+    FieldMeta("ORDNAME", "Edm.String", keyFlag = true),
+    FieldMeta("QPRICE", "Edm.Decimal"),
+    FieldMeta("CURDATE", "Edm.DateTimeOffset"),
+    FieldMeta("ORDERITEMS_SUBFORM", "Edm.String")),
+    entityPk = Seq("ORDNAME"))
+  private val items = EntityMeta("ORDERITEMS", "priority", fields = Seq(
+    FieldMeta("LINE", "Edm.Int64", keyFlag = true),
+    FieldMeta("PARTNAME", "Edm.String")),
+    entityPk = Seq("LINE"))
+
+  test("D1/D2/T3: config deploy list creates parent AND child typed tables") {
+    val reg = registryWith(orders, items)
+    val ddl = new Ddl(spark, reg)
+    val db = ddl.createDatabase("Acct-42")
+    assert(db == "acc_acct_42")
+    try {
+      val config = ExtractionConfig("ds1", "n", "Acct-42", entities = Seq(
+        EntityConfig("ORDERS", expand = Seq("ORDERITEMS"))))
+      val rep = ddl.deployConfig(db, config)
+      assert(rep.success.toSet == Set(s"$db.orders", s"$db.orderitems"))
+      assert(rep.failed.isEmpty)
+
+      // parent drops the subform col; PK is string; audit cols typed
+      val pcols = ddl.describe(s"$db.orders")
+      assert(!pcols.contains("orderitems_subform"))
+      assert(pcols("ordname") == "STRING")
+      assert(pcols("qprice") == "DECIMAL(38,18)")
+      assert(pcols("extractiontimestamputc") == "TIMESTAMP")
+
+      // child carries the propagated parent PK as string
+      val ccols = ddl.describe(s"$db.orderitems")
+      assert(ccols("ordname") == "STRING" && ccols("line") == "STRING")
+      assert(ccols("partname") == "STRING")
+
+      // idempotence: second deploy reports exists, no failures
+      val rep2 = ddl.deployConfig(db, config)
+      assert(rep2.exists.toSet == Set(s"$db.orders", s"$db.orderitems"))
+
+      // missing catalog entry lands in failed, not thrown
+      val rep3 = ddl.deployConfig(db,
+        config.copy(entities = Seq(EntityConfig("NOPE"))))
+      assert(rep3.failed.map(_._1) == Seq(s"$db.nope"))
+
+      // D3: drop-all returns names + count; D5 covered by describe above
+      val (dropped, n) = ddl.dropAll(db)
+      assert(dropped.toSet == Set("orders", "orderitems") && n == 2)
+      assert(spark.catalog.listTables(db).collect().isEmpty)
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+}
+
+class JdbcStagingWriterSpec extends SparkSpec {
+
+  private val meta = EntityMeta("ORDERS", "priority", fields = Seq(
+    FieldMeta("ORDNAME", "Edm.String", keyFlag = true,
+      targetDataType = Some("VARCHAR")),
+    FieldMeta("QTY", "Edm.Int64", targetDataType = Some("BIGINT")),
+    FieldMeta("CURDATE", "Edm.DateTimeOffset", targetDataType = Some("TIMESTAMP"))),
+    entityPk = Seq("ORDNAME"))
+
+  test("typed DDL fragment: PK→VARCHAR(255), catalog types, audit columns") {
+    import spark.implicits._
+    val w = new JdbcStagingWriter(spark, "jdbc:derby:memory:ddlonly;create=true")
+    val df = Seq(("SO1", 2L)).toDF("ordname", "qty")
+      .withColumn("extractionid", org.apache.spark.sql.functions.lit("r1"))
+    val ddl = w.columnTypes(meta, df)
+    assert(ddl == "ordname VARCHAR(255), qty BIGINT, extractionid VARCHAR(255)")
+  }
+
+  test("derby round-trip: typed create, append vs replace semantics") {
+    import spark.implicits._
+    val url = s"jdbc:derby:memory:stg${System.nanoTime()};create=true"
+    val w = new JdbcStagingWriter(spark, url)
+    val df = Seq(("SO1", 1L), ("SO2", 2L)).toDF("ordname", "qty")
+
+    assert(w.writeEntity(df, meta, append = false) == 2L)
+    assert(w.read("ORDERS").count() == 2)
+    assert(w.writeEntity(df, meta, append = true) == 2L)
+    assert(w.read("ORDERS").count() == 4)
+    // replace truncates back to one batch
+    assert(w.writeEntity(df, meta, append = false) == 2L)
+    assert(w.read("ORDERS").count() == 2)
+    // typed creation: PK column came out as VARCHAR, not CLOB
+    val schema = w.read("ORDERS").schema
+    assert(schema("ordname").dataType.typeName == "string")
+    assert(schema("qty").dataType.typeName == "long")
+  }
+}
+
+class ConfigStoreSpec extends SparkSpec {
+
+  private def config(id: String) = ExtractionConfig(
+    id, "priority_companyA", "acc1", systemTimezone = "UTC",
+    entities = Seq(
+      EntityConfig("ORDERS", filterFlag = true, filterField = "o_orderdate",
+        expand = Seq("ORDERITEMS"), dataStartDate = "1990-01-01 00:00:00"),
+      EntityConfig("REGION")))
+
+  test("insert stamps submitTimestampUTC; latest returns newest version") {
+    val store = new ConfigStore(tmpDir("cfg") + "/store.json")
+    val v1 = store.insert(config("ds1"))
+    assert(v1.submitTimestampUtc.isDefined)
+    store.insert(config("other"))
+    val v2 = store.insert(config("ds1").copy(datasourceName = "v2"))
+    assert(store.latest("ds1").get.datasourceName == "v2")
+    assert(store.loadAll().size == 3)
+    assert(v2.submitTimestampUtc.get.getTime >= v1.submitTimestampUtc.get.getTime)
+  }
+
+  test("crash-safe resume: watermarks survive a store reload") {
+    val path = tmpDir("cfg") + "/store.json"
+    val store = new ConfigStore(path)
+    store.insert(config("ds1"))
+
+    val wh = tmpDir("wh")
+    val writer = new StagingWriter(spark, wh)
+    val platform = new Platform(spark, new ParquetSimSource(spark, sf),
+      new SchemaRegistry(), writer, Some(store))
+
+    val (r1, updated) = platform.refreshData(store.latest("ds1").get, incremental = false)
+    assert(r1.errors.isEmpty)
+    val wm = updated.entities.head.lastRun
+    assert(wm.isDefined)
+
+    // "restart": a fresh store instance on the same file
+    val reloaded = new ConfigStore(path).latest("ds1").get
+    assert(reloaded.entities.head.lastRun == wm)
+
+    // incremental resume from the persisted watermark is a no-op
+    val (r2, _) = platform.refreshData(reloaded, incremental = true)
+    assert(r2.tables.find(_.tableName == "stg_orders").get.recordsWritten == 0)
+  }
+
+  test("updateLastRun modifies one entity inside the latest version only") {
+    val store = new ConfigStore(tmpDir("cfg") + "/store.json")
+    store.insert(config("ds1"))
+    store.insert(config("ds1").copy(datasourceName = "v2"))
+    store.updateLastRun("ds1", "ORDERS", "2026-01-01 00:00:00")
+    val latest = store.latest("ds1").get
+    assert(latest.datasourceName == "v2")
+    assert(latest.entities.find(_.entityId == "ORDERS").get.lastRun
+      .contains("2026-01-01 00:00:00"))
+    assert(latest.entities.find(_.entityId == "REGION").get.lastRun.isEmpty)
+    // older version untouched
+    assert(store.loadAll().head.entities.head.lastRun.isEmpty)
+  }
+}
+
+class PlatformSpec extends SparkSpec {
+
+  private def config = ExtractionConfig(
+    "ds1", "priority_companyA", "acct9", systemTimezone = "UTC",
+    uri = "sim://priority/",
+    entities = Seq(
+      EntityConfig("ORDERS", filterFlag = true, filterField = "o_orderdate",
+        expand = Seq("ORDERITEMS"), dataStartDate = "1990-01-01 00:00:00"),
+      EntityConfig("REGION")))
+
+  test("initialDataLoad merges deploy + run reports; probes report per entity") {
+    val writer = new StagingWriter(spark, tmpDir("wh"))
+    val platform = new Platform(spark, new ParquetSimSource(spark, sf),
+      new SchemaRegistry(), writer)
+    try {
+      val resp = platform.initialDataLoad(config)
+      assert(resp.database == "acc_acct9")
+      assert(resp.report.errors.isEmpty)
+      assert(resp.report.tables.map(_.tableName).toSet ==
+        Set("stg_orders", "stg_orderitems", "stg_region"))
+      // no metadata registered: deploy reports failures rather than throwing
+      assert(resp.deploy.failed.nonEmpty && resp.deploy.success.isEmpty)
+
+      val probes = platform.testEntities(config)
+      assert(probes.map(_.result).forall(_ == "200 OK"))
+      assert(probes.head.url == "sim://priority/ORDERS?$top=1")
+
+      assert(platform.ping(Some("REGION")).values.forall(identity))
+      assert(platform.info("engine") == "graft")
+    } finally spark.sql("DROP DATABASE IF EXISTS acc_acct9 CASCADE")
+  }
+}
