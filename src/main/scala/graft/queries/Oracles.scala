@@ -74,6 +74,12 @@ object Oracles {
         |              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
 
+    "q5_event_windows" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "t2_union_append" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys

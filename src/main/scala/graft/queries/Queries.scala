@@ -156,6 +156,14 @@ object Queries {
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
   }
 
+  /** Windowed event aggregation (the fact_events/events_goals reporting
+    * shape): 1-day tumbling windows per event type, via the SAME
+    * windowedCounts the streaming path runs (batch = backfill mode). */
+  def q5EventWindows(spark: SparkSession, dir: String): DataFrame = {
+    val src = new ParquetSimSource(spark, dir)
+    graft.streaming.EventsStream.windowedCounts(src.fetch(FetchRequest("EVENTS")))
+  }
+
   // ------------------------------------------------------------ set ops
 
   /** T2: append-as-union semantics (UNION ALL of two incremental batches). */
@@ -183,5 +191,6 @@ object Queries {
     "q1_agg" -> (q1Agg _),
     "a2_latest_top1" -> (a2LatestTop1 _),
     "w1_window_rank" -> (w1WindowRank _),
+    "q5_event_windows" -> (q5EventWindows _),
     "t2_union_append" -> (t2UnionAppend _)) ++ ExtQueries.all
 }

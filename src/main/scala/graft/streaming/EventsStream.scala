@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension over the `events` stream table
+  * (SURVEY.md §2.9/§7.4): the reference's hand-rolled `lastRun`
+  * micro-batching is subsumed by real incremental execution —
+  * watermarked tumbling windows for the `fact_events`/`events_goals`
+  * reporting shape, and keyed session state via mapGroupsWithState.
+  *
+  * Everything here takes a DataFrame, so the SAME code runs on a
+  * `readStream` source (incremental, stateful, exactly-once with a
+  * checkpoint) and on a batch frame (backfill) — tests drive it with
+  * MemoryStream for deterministic micro-batches.
+  *
+  * Scale notes: the windowed aggregate shuffles on (window, event_type)
+  * with map-side partial aggregation; state store size is bounded by the
+  * watermark (late rows beyond `delay` are dropped, state beyond it is
+  * evicted). Session state is per-user_id and evicted on processing-time
+  * timeout.
+  */
+object EventsStream {
+
+  /** Tumbling-window counts/sums per event type with a late-data
+    * watermark. Money-style sums go through DECIMAL so results are
+    * order-independent (hash-compare safe). */
+  def windowedCounts(
+      events: DataFrame,
+      windowDur: String = "1 day",
+      delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, lastTs: Long)
+  final case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
+
+  /** Keyed custom state: per-user running event count with an optional
+    * processing-time session timeout — the
+    * `KeyValueGroupedDataset.mapGroupsWithState` surface. `timeoutMs =
+    * None` disables eviction (useful for deterministic tests: with a
+    * timeout registered, Spark keeps running empty batches to fire
+    * timeouts, so `processAllAvailable` never sees an idle stream). */
+  def sessionize(
+      spark: SparkSession,
+      events: Dataset[Event],
+      timeoutMs: Option[Long] = Some(30 * 60 * 1000L)): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (timeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](timeoutConf) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(user, s.nEvents, closed = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0L))
+            val batch = rows.toSeq
+            val next = SessionState(
+              prev.nEvents + batch.size,
+              math.max(prev.lastTs, batch.map(_.ts.getTime).max))
+            state.update(next)
+            timeoutMs.foreach(state.setTimeoutDuration)
+            SessionUpdate(user, next.nEvents, closed = false)
+          }
+      }
+  }
+
+  /** Wire a streaming frame of events to a console-free memory sink for
+    * the update-mode windowed aggregate (used by tests; production binds
+    * writeStream to a real sink + checkpoint). */
+  def startWindowedQuery(df: DataFrame, queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedCounts(df)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.Event
+
+/** Streaming extension: watermarked windowed aggregation driven by
+  * MemoryStream micro-batches (incremental updates, late-data drop) and
+  * keyed session state. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(id: Long, ts: String, user: Long, typ: String, v: Double) =
+    Event(id, Timestamp.valueOf(ts), user, typ, v)
+
+  test("windowed counts update incrementally across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventsStream.startWindowedQuery(stream.toDF(), "win_test")
+    try {
+      stream.addData(
+        ev(1, "2024-01-01 01:00:00", 1, "click", 1.5),
+        ev(2, "2024-01-01 02:00:00", 1, "click", 2.5),
+        ev(3, "2024-01-01 03:00:00", 2, "view", 1.0))
+      q.processAllAvailable()
+      val r1 = spark.table("win_test")
+        .groupBy("window_start", "event_type")
+        .agg(max("n_events").as("n_events")) // update mode: keep latest
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(r1("click") == 2 && r1("view") == 1)
+
+      // second micro-batch updates the same window
+      stream.addData(ev(4, "2024-01-01 04:00:00", 3, "click", 1.0))
+      q.processAllAvailable()
+      val r2 = spark.table("win_test")
+        .groupBy("window_start", "event_type")
+        .agg(max("n_events").as("n_events"))
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(r2("click") == 3)
+    } finally q.stop()
+  }
+
+  test("batch mode runs the same windowed aggregation (backfill path)") {
+    val df = Seq(
+      ev(1, "2024-01-01 01:00:00", 1, "click", 1.5),
+      ev(2, "2024-01-02 01:00:00", 1, "click", 2.0)).toDF()
+    val r = EventsStream.windowedCounts(df).collect()
+    assert(r.length == 2)
+    assert(r.map(_.getAs[Long]("n_events")).sum == 2)
+  }
+
+  test("sessionize keeps per-user running counts across batches") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventsStream.sessionize(spark, stream.toDS(), timeoutMs = None)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sess_test").start()
+    try {
+      stream.addData(
+        ev(1, "2024-01-01 01:00:00", 7, "click", 1.0),
+        ev(2, "2024-01-01 01:01:00", 7, "click", 1.0),
+        ev(3, "2024-01-01 01:02:00", 8, "view", 1.0))
+      q.processAllAvailable()
+      stream.addData(ev(4, "2024-01-01 01:03:00", 7, "click", 1.0))
+      q.processAllAvailable()
+      val counts = spark.table("sess_test")
+        .groupBy("user_id").agg(max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(counts(7L) == 3 && counts(8L) == 1)
+      assert(spark.table("sess_test").filter(col("closed")).count() == 0)
+    } finally q.stop()
+  }
+}
