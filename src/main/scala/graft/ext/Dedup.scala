@@ -44,15 +44,21 @@ object Dedup {
         count(lit(1)).as("n_copies"))
 
   /** Distinct word n-gram shingles of `text` (split on single spaces).
-    * Documents with fewer than n tokens produce an empty shingle set. */
+    * Documents with fewer than n tokens produce an empty shingle set.
+    *
+    * Built with zip_with over shifted slices — NOT element_at inside a
+    * transform lambda: lambda-internal subtrees are re-evaluated per
+    * ELEMENT in interpreted HOF execution, so an element_at(split(...))
+    * formulation re-splits the document O(tokens × shingles) times.
+    * Here split() is evaluated O(n) times per ROW and the lambdas only
+    * concatenate. */
   def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(text, " ")
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
-    // sequence(0, x) with x<0 counts DOWN in Spark — guard short docs
-    array_distinct(
-      when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+    val t = split(text, " ")
+    val len = greatest(size(t) - (n - 1), lit(0)) // number of n-grams
+    val first = slice(t, lit(1), len)
+    val grams = (2 to n).foldLeft(first)((acc, k) =>
+      zip_with(acc, slice(t, lit(k), len), (a, b) => concat(a, lit(" "), b)))
+    array_distinct(grams)
   }
 
   private val numHashes = 64
@@ -95,19 +101,30 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash-LSH near-dup pairs, verified: candidates joined back to
-    * their shingle sets, kept when exact Jaccard ≥ `threshold`. The
-    * Jaccard is an integer ratio (|∩| / |∪|), so the value is bit-exact
-    * and safe for hash-compared oracles. */
+  /** MinHash-LSH near-dup pairs, verified: candidates kept when exact
+    * Jaccard ≥ `threshold`. The Jaccard is an integer ratio (|∩| / |∪|),
+    * so the value is bit-exact and safe for hash-compared oracles.
+    *
+    * |∩| is computed by a hash-join count over EXPLODED 64-bit shingle
+    * hashes (codegen'd joins + counts) instead of interpreted
+    * array_intersect over string arrays — same result unless two
+    * distinct shingles of one pair collide in 64 bits (P ≈ |sh|²/2⁶⁴,
+    * vanishing), and the narrow (id, hash) rows shuffle instead of
+    * document-sized arrays. |∪| = |A| + |B| − |∩|. */
   def minhashNeardup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val hs = docs.select(col("doc_id"),
+      explode(transform(shingles(col("text")), s => xxhash64(s))).as("h"))
+    val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val cand = minhashCandidates(docs)
-    cand
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+    val inter = cand
+      .join(hs.select(col("doc_id").as("a_id"), col("h")), "a_id")
+      .join(hs.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("i").cast("double") / (col("sz_a") + col("sz_b") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.{Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model._
-import graft.sinks.StagingWriter
+import graft.sinks.EntityWriter
 import graft.sources.{EntitySource, FetchRequest}
 import graft.xform.Normalizer
 
@@ -58,7 +58,7 @@ import graft.xform.Normalizer
 final class RefreshJob(
     spark: SparkSession,
     source: EntitySource,
-    writer: StagingWriter,
+    writer: graft.sinks.EntityWriter,
     parallelism: Int = 4,
     timeout: scala.concurrent.duration.Duration = scala.concurrent.duration.Duration.Inf) {
 

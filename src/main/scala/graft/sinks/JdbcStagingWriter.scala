@@ -26,9 +26,8 @@ final class JdbcStagingWriter(
     url: String,
     props: Properties = new Properties,
     typeOverrides: Map[String, String] = Map.empty,
-    maxConnections: Int = 8) {
-
-  def stagingName(entity: String): String = s"stg_${entity.toLowerCase}"
+    maxConnections: Int = 8,
+    registry: Option[graft.catalog.SchemaRegistry] = None) extends EntityWriter {
 
   /** Warehouse column type for one catalog field: the reference's
     * dtype-dict semantics (sqlDwh.py:453-466) — PK columns are always
@@ -81,6 +80,15 @@ final class JdbcStagingWriter(
       .option("truncate", true) // replace keeps the typed table, truncates rows
       .jdbc(url, stagingName(meta.id), props)
     obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** EntityWriter contract: resolve the catalog entry by entity name; an
+    * uncataloged entity (e.g. a subform with no metadata) still writes,
+    * with every column defaulting to VARCHAR(255). */
+  override def writeEntity(df: DataFrame, entity: String, append: Boolean): Long = {
+    val meta = registry.flatMap(_.get(entity.toUpperCase))
+      .getOrElse(EntityMeta(entity, "priority"))
+    writeEntity(df, meta, append)
   }
 
   def read(entity: String): DataFrame =

@@ -20,14 +20,12 @@ import org.apache.spark.sql.functions._
   * regardless of standing-table size — nothing ever re-lists or
   * re-counts the standing table.
   */
-final class StagingWriter(spark: SparkSession, warehouseDir: String) {
+final class StagingWriter(spark: SparkSession, warehouseDir: String) extends EntityWriter {
 
   private val whPath = new Path(warehouseDir)
   private def fs = whPath.getFileSystem(spark.sessionState.newHadoopConf())
 
   def path(table: String): String = s"$warehouseDir/$table"
-
-  def stagingName(entity: String): String = s"stg_${entity.toLowerCase}"
 
   /** Write one frame; returns records written in THIS batch, observed on
     * the write job itself. `append=false` replaces the standing table
@@ -40,7 +38,7 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) {
     obs.get("rows").asInstanceOf[Long]
   }
 
-  def writeEntity(df: DataFrame, entity: String, append: Boolean): Long =
+  override def writeEntity(df: DataFrame, entity: String, append: Boolean): Long =
     write(df, stagingName(entity), append)
 
   def read(table: String): DataFrame = spark.read.parquet(path(table))

@@ -88,6 +88,19 @@ class JdbcStagingWriterSpec extends SparkSpec {
     assert(ddl == "ordname VARCHAR(255), qty BIGINT, extractionid VARCHAR(255)")
   }
 
+  test("RefreshJob runs end-to-end against the JDBC sink") {
+    val url = s"jdbc:derby:memory:rj${System.nanoTime()};create=true"
+    val reg = new SchemaRegistry()
+    val w = new JdbcStagingWriter(spark, url, registry = Some(reg))
+    val job = new graft.run.RefreshJob(spark, new ParquetSimSource(spark, sf), w)
+    val cfg = ExtractionConfig("ds1", "n", "a1", systemTimezone = "UTC",
+      entities = Seq(EntityConfig("REGION")))
+    val (report, _) = job.run(cfg, incremental = false)
+    assert(report.errors.isEmpty)
+    assert(report.tables.head.recordsWritten == 5)
+    assert(w.read("REGION").count() == 5)
+  }
+
   test("derby round-trip: typed create, append vs replace semantics") {
     import spark.implicits._
     val url = s"jdbc:derby:memory:stg${System.nanoTime()};create=true"
