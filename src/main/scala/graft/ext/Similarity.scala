@@ -32,11 +32,18 @@ object Similarity {
     * arithmetic is double-precision. */
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two equal-length double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product via higher-order functions — the
+    * built-in baseline. Kept for reference/testing; the hot paths use
+    * the codegen'd [[graft.functions.VectorDot]] (bit-identical result,
+    * same left-to-right summation, no interpreted lambda dispatch). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def normHof(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Native codegen'd vector ops (graft.functions.GraftFunctions). */
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.vecDot(a, b)
+  def norm(a: Column): Column = graft.functions.GraftFunctions.vecNorm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -46,8 +53,8 @@ object Similarity {
     * result is stable under float round-off and safe to hash-compare.
     * Self-matches are excluded. */
   def cosTopK(emb: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
-    // norms precomputed once per vector (higher-order functions are
-    // interpreted, not codegen'd — never recompute them per PAIR)
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    // norms precomputed once per vector — never recompute them per PAIR
     val queries = emb
       .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
@@ -80,6 +87,7 @@ object Similarity {
     * only vectors in the probed cells. Same output shape as [[cosTopK]]
     * plus the probed flag-free rank; approximate by design. */
   def ivfTopK(emb: DataFrame, k: Int = 5, queryMod: Int = 50, nprobe: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val cents = centroids(emb)
     val queries = emb
       .filter(col("vec_id") % queryMod === 0)

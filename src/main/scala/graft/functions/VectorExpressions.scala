@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expressions for the vector math on the similarity
+  * path (SURVEY.md §2.10): a codegen'd dot product and L2 norm over
+  * `array<double>` columns.
+  *
+  * WHY custom expressions: the built-in formulation —
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,x) -> acc+x)` — is
+  * semantically fine but higher-order functions are CodegenFallback:
+  * every element goes through an interpreted lambda call and an
+  * intermediate product array is materialized per row. The brute-force
+  * scorer evaluates |queries| × |corpus| dot products, so the inner loop
+  * is the hottest code in the engine. `doGenCode` emits a tight
+  * primitive `double` loop directly over the ArrayData buffers — no
+  * lambda dispatch, no allocation — inside whole-stage codegen.
+  *
+  * Summation order is left-to-right, IDENTICAL to the sequential HOF
+  * fold it replaces, so results are bit-for-bit unchanged.
+  *
+  * Contract: element nulls are not supported (embedding vectors are
+  * dense); mismatched lengths score over the common prefix.
+  *
+  * Registered as SQL functions `vec_dot` / `vec_norm` either via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (config-time)
+  * or [[GraftFunctions.register]] (runtime).
+  */
+case class VectorDot(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm — sqrt of the self dot product, same codegen shape. */
+case class VectorNorm(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $v = $a.getDouble($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VectorNorm =
+    copy(child = newChild)
+}
+
+/** Runtime registration + Column API for the vector expressions. */
+object GraftFunctions {
+
+  private val fns: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot",
+      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => VectorDot(es(0), es(1))),
+    ("vec_norm",
+      new ExpressionInfo(classOf[VectorNorm].getName, "vec_norm"),
+      (es: Seq[Expression]) => VectorNorm(es.head)))
+
+  /** Idempotent per-session registration (for sessions built without the
+    * extensions config). */
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, _, builder) =>
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+  }
+
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def vecNorm(a: Column): Column = call_function("vec_norm", a)
+}
+
+/** Config-time injection: `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Seq(
+      (FunctionIdentifier("vec_dot"),
+        new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+        (es: Seq[Expression]) => VectorDot(es(0), es(1)): Expression),
+      (FunctionIdentifier("vec_norm"),
+        new ExpressionInfo(classOf[VectorNorm].getName, "vec_norm"),
+        (es: Seq[Expression]) => VectorNorm(es.head): Expression))
+      .foreach(ext.injectFunction)
+}
