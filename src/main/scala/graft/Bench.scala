@@ -30,6 +30,10 @@ object Bench {
       case c => c.toString
     }
 
+    // absorb session/codegen warmup so per-query numbers measure the
+    // queries, not first-job JVM startup
+    spark.range(100).selectExpr("sum(id)").collect()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =

@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, attach the single most
+  * recent right row with the same key and right.time <= left.time.
+  * Spark has no native as-of operator (SURVEY.md §2.12); the naive
+  * formulations are a range theta-join (quadratic per key) or a
+  * per-left-row subquery. This is the scalable composition:
+  *
+  *   1. tag both sides and UNION them on (key, time) — one narrow frame;
+  *   2. one window pass per key ordered by (time, side): `last_value
+  *      (ignoreNulls)` of the right-side payload gives every row the
+  *      most recent right payload at-or-before it;
+  *   3. keep the left rows.
+  *
+  * Cost: ONE shuffle on the key (the window partition), no join at all —
+  * the same plan shape Spark picks for any windowed aggregation, so it
+  * survives 100×. Skewed keys hot-spot one window partition exactly as
+  * any per-key window does; salt the key upstream if one key dominates.
+  *
+  * Right-side ties on (key, time): the row ordered last wins (stable
+  * deterministic order by the extra `rightOrder` tiebreak columns).
+  */
+object AsofJoin {
+
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      rightOrder: Seq[String] = Nil): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    // side flag orders right (0) before left (1) at equal times, so a
+    // right row AT the left row's timestamp is visible to it (<=)
+    val l = left
+      .withColumn("__key", col(leftKey))
+      .withColumn("__time", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select(Seq(col("__key"), col("__time"), col("__side")) ++
+        leftCols.map(col) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right
+      .withColumn("__key", col(rightKey))
+      .withColumn("__time", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(Seq(col("__key"), col("__time"), col("__side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+
+    val ordered = Window.partitionBy(col("__key"))
+      .orderBy((Seq(col("__time"), col("__side")) ++
+        rightOrder.map(c => col(s"__r_$c"))).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = rightPayload.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(ordered))
+    }
+
+    filled
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col(s"__r_$c").as(c)): _*)
+  }
+}

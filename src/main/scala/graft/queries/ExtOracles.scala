@@ -143,6 +143,17 @@ object ExtOracles {
          |       list_min(fps) AS min_fingerprint
          |FROM f""".stripMargin,
 
+    "x12_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                            ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders QUALIFY rn = 1)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |       o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate""".stripMargin,
+
     "x11_multimodal_meta" ->
       """SELECT doc_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -1,8 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{AsofJoin, Dedup, Multimodal, Similarity, TextStats}
+import graft.sources.{FetchRequest, ParquetSimSource}
 
 /** LLM-training-data-pipeline query inventory (the north star's second
   * half): dedup, similarity search, text analysis, multimodal metadata —
@@ -18,7 +21,28 @@ object ExtQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Backward as-of join: each event picks the customer's most recent
+    * order at-or-before the event time. The right side is first made
+    * unique per (key, time) — keep the max o_orderkey — so tie-breaking
+    * is deterministic on both engines (DuckDB's ASOF JOIN leaves
+    * same-timestamp ties unspecified otherwise). */
+  def asofEventOrders(spark: SparkSession, dir: String): DataFrame = {
+    val src = new ParquetSimSource(spark, dir)
+    val events = src.fetch(FetchRequest("EVENTS"))
+      .select("event_id", "user_id", "ts")
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    AsofJoin.asofBackward(events, orders,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightPayload = Seq("o_orderkey", "o_totalprice"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x12_asof_join" -> (asofEventOrders _),
     "x1_exact_dedup" -> ((s, d) => Dedup.exactDedup(docs(s, d))),
     "x2_minhash_neardup" -> ((s, d) => Dedup.minhashNeardup(docs(s, d))),
     "x3_cosine_topk" -> ((s, d) => Similarity.cosTopK(emb(s, d))),

@@ -57,4 +57,26 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
     names.foreach(t => fs.delete(new Path(path(t)), true))
     names
   }
+
+  /** Write a CATALOG table bucketed (and sorted) on the join key.
+    *
+    * The 100 TB co-location path: parent and child staging tables
+    * bucketed on the same key with the same bucket count join with NO
+    * exchange — the per-bucket files are already hash-distributed, so
+    * the engine's hottest repeated join (entity ⋈ subform) skips
+    * shuffling both tables every query (the in-task sort of pre-sorted
+    * single-file buckets is a cheap nearly-sorted pass; fully sorted
+    * scans sit behind a legacy flag since Spark 3.0). Bucketing
+    * requires the session catalog (`saveAsTable`); the path-based
+    * writes above stay for the plain landing layer. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    // one file per bucket (repartition on the bucket key): the scan can
+    // then use the per-file sort order and the join elides its Sort too
+    df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path(table))
+      .saveAsTable(table)
 }

@@ -108,6 +108,28 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(fp(1L) - fp(2L)) <= 6)
   }
 
+  test("asofBackward: most recent right row at-or-before, per key") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")),
+      (2L, 10L, ts("2024-01-02 00:00:00")),
+      (3L, 20L, ts("2024-01-05 00:00:00")),
+      (4L, 30L, ts("2024-01-05 00:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), "a"),
+      (10L, ts("2024-01-03 00:00:00"), "b"),
+      (10L, ts("2024-01-05 00:00:00"), "c"), // equal ts: visible (<=)
+      (20L, ts("2024-01-06 00:00:00"), "late")).toDF("k2", "t2", "v")
+    val r = graft.ext.AsofJoin.asofBackward(left, right,
+      "k", "k2", "t", "t2", Seq("v"))
+      .collect().map(x => x.getLong(0) -> x.getAs[String]("v")).toMap
+    assert(r(1L) == "c")   // equal-timestamp right row included
+    assert(r(2L) == "a")   // only the 01-01 row precedes 01-02
+    assert(r(3L) == null)  // right row is later: no match
+    assert(r(4L) == null)  // key absent from right: left join semantics
+  }
+
   test("multimodal: metadata projection, codec stub, frame sampling") {
     val d = docsDf(1L -> "hello world of binary payloads", 2L -> "tiny")
     val media = Multimodal.mediaTable(d)

@@ -166,6 +166,31 @@ class RefreshJobSpec extends SparkSpec {
     assert(writer.read("stg_orders").count() == fullCount + inc3)
   }
 
+  test("bucketed staging tables join with no exchange") {
+    val wh = tmpDir("whb")
+    val writer = new StagingWriter(spark, wh)
+    try {
+      writer.writeBucketed(spark.read.parquet(s"$sf/orders.parquet"),
+        "b_orders", "o_orderkey", 8)
+      writer.writeBucketed(
+        spark.read.parquet(s"$sf/lineitem.parquet")
+          .withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", "o_orderkey", 8)
+      // hint a sort-merge join: the fixture is small enough to broadcast,
+      // which would sidestep the bucketed path this test demonstrates
+      val joined = spark.table("b_orders").hint("merge")
+        .join(spark.table("b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+      assert(joined.count() ==
+        spark.read.parquet(s"$sf/lineitem.parquet").count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("flat path plans: parent never scans the child table; child never aggregates") {
     val src = new ParquetSimSource(spark, sf)
     val pq = graft.queries.Queries.p1ParentProjection(spark, sf)
