@@ -34,6 +34,15 @@ final class SchemaRegistry(mapper: TypeMapper.Mapper = TypeMapper.default) {
   def get(id: String): Option[EntityMeta] = entities.get(id)
   def list: Seq[EntityMeta] = entities.values.toSeq.sortBy(_.id)
 
+  /** D4: drop the whole metadata catalog (the reference's
+    * `drop_database(metadataDbName)`, mongodbHelper.py:86-94). Returns
+    * the number of entities dropped. */
+  def drop(): Int = {
+    val n = entities.size
+    entities.clear()
+    n
+  }
+
   /** Spark field for one metadata field: lowercased name, mapped type,
     * PK⇒StringType (sqlDwh.py:346-350). */
   private def toStructField(system: String, f: FieldMeta): StructField =

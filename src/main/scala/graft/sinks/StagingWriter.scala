@@ -69,6 +69,38 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
     * scans sit behind a legacy flag since Spark 3.0). Bucketing
     * requires the session catalog (`saveAsTable`); the path-based
     * writes above stay for the plain landing layer. */
+  /** K2: the reference's debug CSV dump of a staged frame
+    * (priorityDataSource.py:879) — optional, off the hot path. */
+  def debugCsv(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", true)
+      .csv(s"${path(table)}__debug_csv")
+
+  /** Late-data compaction (§2.9): incremental re-fetch overlap can land
+    * the same business row twice in staging — keep only the LATEST
+    * extraction per PK (max extractiontimestamputc, extractionid as the
+    * deterministic tiebreak). One window pass over the standing table;
+    * rewritten atomically via a temp path so a crash leaves either the
+    * old or the new table, never a half-written one. */
+  def compact(table: String, pk: Seq[String]): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col(graft.catalog.SchemaRegistry.ExtractionTsCol).desc,
+        col(graft.catalog.SchemaRegistry.ExtractionIdCol).desc)
+    val deduped = read(table)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val obs = Observation()
+    val tmp = path(table) + "__compact_tmp"
+    deduped.observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val kept = obs.get("rows").asInstanceOf[Long]
+    val dst = new Path(path(table))
+    fs.delete(dst, true)
+    fs.rename(new Path(tmp), dst)
+    kept
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
     // one file per bucket (repartition on the bucket key): the scan can
     // then use the per-file sort order and the join elides its Sort too

@@ -225,6 +225,16 @@ final class ODataPartitionReader(
   }
 }
 
+/** Request-building helpers shared with the production transport. */
+object ODataAuth {
+  /** HTTP basic-auth header value (the reference's base64 encode,
+    * priorityDataSource.py:243-245) — driver/executor-side request
+    * concern, F8 in the operator inventory. */
+  def basicAuth(user: String, password: String): String =
+    "Basic " + java.util.Base64.getEncoder.encodeToString(
+      s"$user:$password".getBytes(StandardCharsets.UTF_8))
+}
+
 /** Filter compilation (to the `$filter` string) and row-side evaluation
   * (so correctness never depends on the server). */
 object ODataFilters {

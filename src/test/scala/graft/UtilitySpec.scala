@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.SchemaRegistry
+import graft.ext.SkewJoin
+import graft.model.{EntityMeta, FieldMeta}
+import graft.sinks.StagingWriter
+import graft.sources.odata.ODataAuth
+
+/** Compaction, salted joins, catalog drop, basic-auth — the remaining
+  * small operator-inventory rows. */
+class UtilitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("compact keeps the latest extraction per PK and rewrites atomically") {
+    val wh = tmpDir("whc")
+    val writer = new StagingWriter(spark, wh)
+    def batch(runId: String, ts: String, rows: (String, Double)*) =
+      rows.toDF("pk", "v")
+        .withColumn("extractionid", lit(runId))
+        .withColumn("extractiontimestamputc", lit(Timestamp.valueOf(ts)))
+
+    writer.write(batch("r1", "2024-01-01 00:00:00",
+      "a" -> 1.0, "b" -> 2.0), "stg_t", append = false)
+    // overlap re-fetch: "a" arrives again with a newer value
+    writer.write(batch("r2", "2024-01-02 00:00:00",
+      "a" -> 9.0, "c" -> 3.0), "stg_t", append = true)
+
+    assert(writer.read("stg_t").count() == 4)
+    val kept = writer.compact("stg_t", Seq("pk"))
+    assert(kept == 3)
+    val rows = writer.read("stg_t").collect()
+      .map(r => r.getAs[String]("pk") -> r.getAs[Double]("v")).toMap
+    assert(rows == Map("a" -> 9.0, "b" -> 2.0, "c" -> 3.0))
+    assert(!writer.tables.exists(_.contains("__compact_tmp")))
+  }
+
+  test("saltedJoin equals the plain join and spreads the hot key") {
+    val left = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "payload")
+    val right = Seq((1L, "hot"), (2L, "x"), (77L, "y")).toDF("k2", "name")
+    val plain = left.join(right, left("k") === right("k2"))
+      .select("k", "payload", "name")
+    val salted = SkewJoin.saltedJoin(left, right, "k", "k2", salts = 4)
+      .select("k", "payload", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("registry drop clears the catalog and reports the count") {
+    val reg = new SchemaRegistry()
+    reg.putAll(Seq(
+      EntityMeta("A", "priority", fields = Seq(FieldMeta("F", "Edm.String"))),
+      EntityMeta("B", "priority")))
+    assert(reg.drop() == 2)
+    assert(reg.list.isEmpty && reg.drop() == 0)
+  }
+
+  test("basic-auth header matches RFC 7617 form") {
+    assert(ODataAuth.basicAuth("apiuser", "s3cret") ==
+      "Basic YXBpdXNlcjpzM2NyZXQ=")
+  }
+
+  test("debug CSV dump writes a readable copy off the hot path") {
+    val wh = tmpDir("whd")
+    val writer = new StagingWriter(spark, wh)
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    writer.debugCsv(df, "stg_t")
+    val back = spark.read.option("header", true).csv(s"$wh/stg_t__debug_csv")
+    assert(back.count() == 2 && back.columns.toSeq == Seq("k", "v"))
+  }
+}
