@@ -80,6 +80,31 @@ object Oracles {
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "q6_rollup" ->
+      """SELECT r_name, n_name,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q7_semi_anti" ->
+      """WITH active AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_active
+        |  FROM customer c WHERE EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  GROUP BY c_mktsegment),
+        |inactive AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_inactive
+        |  FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  GROUP BY c_mktsegment)
+        |SELECT c_mktsegment,
+        |       COALESCE(n_active, 0) AS n_active,
+        |       COALESCE(n_inactive, 0) AS n_inactive
+        |FROM active FULL OUTER JOIN inactive USING (c_mktsegment)""".stripMargin,
+
     "t2_union_append" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys

@@ -164,6 +164,35 @@ object Queries {
     graft.streaming.EventsStream.windowedCounts(src.fetch(FetchRequest("EVENTS")))
   }
 
+  /** Hierarchical totals via ROLLUP (region → nation → grand total) —
+    * the grouping-sets surface over the star schema. */
+  def q6Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        moneySum(col("c_acctbal")).as("total_balance"))
+
+  /** Anti + semi join surface: per-segment counts of customers with and
+    * without orders. */
+  def q7SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val withOrders = customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_active"))
+    val withoutOrders = customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_inactive"))
+    withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+  }
+
   // ------------------------------------------------------------ set ops
 
   /** T2: append-as-union semantics (UNION ALL of two incremental batches). */
@@ -192,5 +221,7 @@ object Queries {
     "a2_latest_top1" -> (a2LatestTop1 _),
     "w1_window_rank" -> (w1WindowRank _),
     "q5_event_windows" -> (q5EventWindows _),
+    "q6_rollup" -> (q6Rollup _),
+    "q7_semi_anti" -> (q7SemiAnti _),
     "t2_union_append" -> (t2UnionAppend _)) ++ ExtQueries.all
 }
