@@ -71,6 +71,45 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /** Embedding near-duplicate pairs: cosine ≥ `threshold`, found via
+    * random-hyperplane LSH bucketing — vectors are bucketed by the sign
+    * pattern of `planes` pseudo-random projections (deterministic:
+    * hyperplane components derive from xxhash64(plane, dim)), candidate
+    * pairs share a bucket, then exact cosine verifies. The bucket join
+    * replaces all-pairs; identical/near-identical vectors always share a
+    * bucket, while recall for borderline pairs is tunable (single-table
+    * sign-LSH recall at cos θ is (1−θ/π)^planes — production raises it
+    * with multiple hash tables or multi-probe; the exact-cosine check
+    * keeps PRECISION independent of LSH luck either way). */
+  def embedNeardup(emb: DataFrame, threshold: Double = 0.9, planes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+    // projection p of vector x: Σ_d h(p,d)·x_d with h a deterministic
+    // pseudo-random ±1 from the bit parity of xxhash64(p, d)
+    val sign = (p: Int) => {
+      val proj = aggregate(
+        zip_with(col("v"),
+          transform(sequence(lit(0), lit(63)),
+            d => when(xxhash64(lit(p), d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+          (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1)).otherwise(lit(0))
+    }
+    val bucketed = v.withColumn("bucket",
+      concat_ws("", (0 until planes).map(sign): _*))
+    val l = bucketed.select(col("bucket"), col("vec_id").as("a_id"),
+      col("v").as("va"), col("nv").as("na"))
+    val r = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("nv").as("nb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
   /** Centroid of each quantizer cell (avg per dimension). Returned as
     * (label, centroid array<double>). */
   def centroids(emb: DataFrame): DataFrame = {

@@ -143,6 +143,38 @@ object ExtOracles {
          |       list_min(fps) AS min_fingerprint
          |FROM f""".stripMargin,
 
+    "x13_embed_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(
+        |        list_transform(a.embedding, x -> x::DOUBLE),
+        |        list_transform(b.embedding, x -> x::DOUBLE)) >= 0.9""".stripMargin,
+
+    "x14_prep_pipeline" ->
+      s"""WITH $shingleCte,
+         |  dup AS (
+         |    SELECT DISTINCT b.doc_id AS doc_id
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |  q AS (
+         |    SELECT doc_id, lang, text,
+         |           len(string_split(text, ' ')) AS n_tokens,
+         |           len(list_filter(string_split(text, ' '),
+         |               t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop,
+         |           length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+         |           length(text) AS n_chars
+         |    FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+         |  kept AS (
+         |    SELECT * FROM q
+         |    WHERE (CASE WHEN n_tokens < 5 THEN 0.0
+         |                ELSE 1.0 - (CAST(n_punct AS DOUBLE) / n_chars) * 2.0
+         |                     + least((CAST(n_stop AS DOUBLE) / n_tokens) * 1.5, 0.3)
+         |           END) >= 1.0)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM kept GROUP BY lang""".stripMargin,
+
     "x12_asof_join" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,

@@ -41,8 +41,26 @@ object ExtQueries {
       rightPayload = Seq("o_orderkey", "o_totalprice"))
   }
 
+  /** Composed training-data prep flow — the shape a real corpus pipeline
+    * runs end-to-end: near-dup removal (MinHash keepers: the lower
+    * doc_id of every near-dup pair survives) → quality filter → per-lang
+    * token accounting of what remains. */
+  def prepPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val dupIds = Dedup.minhashNeardup(d, threshold = 0.8)
+      .select(col("b_id").as("doc_id")).distinct()
+    val kept = d.join(dupIds, Seq("doc_id"), "left_anti")
+      .join(TextStats.qualityScore(d).select("doc_id", "quality_score"), "doc_id")
+      .filter(col("quality_score") >= 1.0)
+    kept.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).as("total_tokens"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x12_asof_join" -> (asofEventOrders _),
+    "x13_embed_neardup" -> ((s, d) => Similarity.embedNeardup(emb(s, d))),
+    "x14_prep_pipeline" -> (prepPipeline _),
     "x1_exact_dedup" -> ((s, d) => Dedup.exactDedup(docs(s, d))),
     "x2_minhash_neardup" -> ((s, d) => Dedup.minhashNeardup(docs(s, d))),
     "x3_cosine_topk" -> ((s, d) => Similarity.cosTopK(emb(s, d))),

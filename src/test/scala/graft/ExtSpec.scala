@@ -66,6 +66,16 @@ class ExtSpec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("query_id") == 0L))
   }
 
+  test("embedNeardup finds planted duplicate vectors via LSH buckets only") {
+    val base = (1 to 64).map(i => math.sin(i.toDouble).toFloat)
+    val nearDup = base.updated(0, base(0) + 1e-4f)
+    val other = (1 to 64).map(i => math.cos(i * 3.7).toFloat)
+    val d = embDf((1L, base, 0), (2L, nearDup, 0), (3L, other, 0))
+    val pairs = Similarity.embedNeardup(d, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("ivfTopK recall vs exact baseline on the fixture") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = Similarity.cosTopK(emb, k = 5, queryMod = 25)
