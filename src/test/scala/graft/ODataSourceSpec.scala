@@ -67,6 +67,37 @@ class ODataSourceSpec extends SparkSpec {
     assert(ts.collect().map(_.getString(0)).toSet == Set("SO3", "SO4"))
   }
 
+  test("RefreshJob runs end-to-end over the DSv2 connector source") {
+    import graft.model._
+    val root = tmpDir("odata_root")
+    Files.createDirectories(Paths.get(s"$root/ITEMS"))
+    writePages(s"$root/ITEMS", Seq(
+      """{"value": [
+        |  {"itemid": 1, "moddate": "2024-01-01T00:00:00", "price": 10.5},
+        |  {"itemid": 2, "moddate": "2024-03-01T00:00:00", "price": 20.0}]}""".stripMargin,
+      """{"value": [
+        |  {"itemid": 3, "moddate": "2024-05-01T00:00:00", "price": 30.0}]}""".stripMargin))
+
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("odata_wh"))
+    val job = new graft.run.RefreshJob(spark,
+      new graft.sources.odata.ODataEntitySource(spark, root), writer)
+    val cfg = ExtractionConfig("ds1", "n", "a1", systemTimezone = "UTC",
+      entities = Seq(EntityConfig("ITEMS", filterFlag = true,
+        filterField = "moddate", dataStartDate = "2024-02-01 00:00:00")))
+
+    val (report, updated) = job.run(cfg, incremental = false)
+    assert(report.errors.isEmpty)
+    // dataStartDate filter pushed through the connector: row 1 excluded
+    assert(report.tables.head.recordsWritten == 2)
+    assert(writer.read("stg_items").count() == 2)
+    // watermark observed from the filtered fetch
+    assert(updated.entities.head.lastRun.contains("2024-05-01 00:00:00"))
+
+    // incremental resume: strict > on the watermark, no new rows
+    val (r2, _) = job.run(updated, incremental = true)
+    assert(r2.tables.head.recordsWritten == 0)
+  }
+
   test("unsupported predicates stay as Spark residuals and still apply") {
     val dir = fixture
     val df = spark.read.format("graft-odata").schema(schema)
