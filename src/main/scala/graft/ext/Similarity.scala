@@ -110,46 +110,101 @@ object Similarity {
       .distinct()
   }
 
-  /** Centroid of each quantizer cell (avg per dimension). Returned as
-    * (label, centroid array<double>). */
-  def centroids(emb: DataFrame): DataFrame = {
-    val dim = 64
-    val sums = (0 until dim).map(d =>
-      sum(element_at(col("embedding"), d + 1).cast("double")).as(s"s$d"))
-    emb.groupBy(col("label"))
-      .agg(count(lit(1)).as("cnt"), sums: _*)
-      .select(col("label"),
-        array((0 until dim).map(d => col(s"s$d") / col("cnt")): _*).as("centroid"))
+  /** The id of the nearest centroid (L2) for each row's `v` column —
+    * centroids ride along as literal arrays (k×dim doubles: broadcast-
+    * sized driver state, the same shape MLlib keeps), distances via the
+    * codegen'd vec_dot. First-minimum ties are deterministic. */
+  private def nearestCell(cents: Seq[(Int, Array[Double])]): Column = {
+    val dists = array(cents.map { case (_, c) =>
+      val cl = array(c.map(lit).toSeq: _*)
+      // ||x-c||² = ||x||² − 2x·c + ||c||²; ||x||² constant per row — rank
+      // by −2x·c + ||c||² only
+      lit(-2.0) * graft.functions.GraftFunctions.vecDot(col("v"), cl) +
+        lit(c.map(x => x * x).sum)
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
-  /** IVF approximate top-k: probe the `nprobe` nearest centroids, score
-    * only vectors in the probed cells. Same output shape as [[cosTopK]]
-    * plus the probed flag-free rank; approximate by design. */
-  def ivfTopK(emb: DataFrame, k: Int = 5, queryMod: Int = 50, nprobe: Int = 3): DataFrame = {
+  /** Distributed Lloyd k-means over the embedding column: assignment and
+    * per-cluster sums are full Spark jobs (map-side-combinable
+    * aggregates); only the k×dim centroid matrix ever reaches the driver
+    * (one collect per iteration — how MLlib's KMeans works too, so the
+    * corpus side scales arbitrarily). Deterministic: init = first k
+    * vectors by vec_id, exact integer counts, double sums of a fixed
+    * per-cluster set (order within a cluster's sum is partition-order —
+    * k-means is used as a QUANTIZER here, where centroid last-bit
+    * wobble is harmless; nothing oracle-checked consumes these floats).
+    * Returns the k (cell, centroid) pairs. */
+  def kmeansCentroids(emb: DataFrame, k: Int = 10, iters: Int = 3): Seq[(Int, Array[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val dim = 64
+
+    var cents: Seq[(Int, Array[Double])] = corpus
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("v")).as[Seq[Double]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v.toArray) }.toSeq
+
+    for (_ <- 0 until iters) {
+      val sums = (0 until dim).map(d =>
+        sum(element_at(col("v"), d + 1)).as(s"s$d"))
+      cents = corpus
+        .withColumn("cell", nearestCell(cents))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .collect()
+        .map { r =>
+          val cell = r.getAs[Int]("cell")
+          val cnt = r.getAs[Long]("cnt").toDouble
+          cell -> (0 until dim).map(d => r.getAs[Double](s"s$d") / cnt).toArray
+        }.toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
+  /** IVF approximate top-k over a TRAINED coarse quantizer
+    * ([[kmeansCentroids]]): the corpus is assigned to its nearest cell
+    * (one codegen'd pass — in production this assignment is written once
+    * at ingest, partitioned by cell), each query probes the `nprobe`
+    * nearest cells, and only those cells are scored. Corpus scanned ≈
+    * nprobe/cells of the data; approximate by design. */
+  def ivfTopK(
+      emb: DataFrame,
+      k: Int = 5,
+      queryMod: Int = 50,
+      nprobe: Int = 3,
+      cells: Int = 10,
+      iters: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val cents = centroids(emb)
+    val cents = kmeansCentroids(emb, cells, iters)
+
+    // per-query probe list via expressions over the k (tiny) centroid
+    // literals: score every cell, sort, explode the top nprobe
+    val cellScores = array(cents.map { case (i, c) =>
+      val cl = array(c.map(lit).toSeq: _*)
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      struct(
+        (graft.functions.GraftFunctions.vecDot(col("q"), cl) /
+          (col("nq") * lit(cNorm))).as("s"),
+        lit(i).as("cell"))
+    }: _*)
     val queries = emb
       .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
-
-    // probe list: nprobe nearest centroids per query (centroid table is
-    // tiny — k cells — so this is a broadcast nested loop + window)
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("c_cos").desc, col("label"))
-    val probes = queries
-      .join(broadcast(cents), lit(true))
-      .withColumn("c_cos", cosine(col("q"), col("centroid")))
-      .withColumn("p", row_number().over(wProbe))
-      .filter(col("p") <= nprobe)
-      .select(col("query_id"), col("q"), col("label"))
+      .withColumn("nq", norm(col("q")))
+      .withColumn("probe", explode(slice(reverse(array_sort(cellScores)), 1, nprobe)))
+      .select(col("query_id"), col("q"), col("nq"), col("probe.cell").as("cell"))
 
     // score only the probed cells: corpus join on the cell id
-    val corpus = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cell", nearestCell(cents))
       .withColumn("nv", norm(col("v")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     corpus
-      .join(broadcast(probes.withColumn("nq", norm(col("q")))), Seq("label"))
+      .join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("q"), col("v")) / (col("nq") * col("nv")))
       .withColumn("rank", row_number().over(w))

@@ -84,9 +84,9 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     val recall = (exact & approx).size.toDouble / exact.size
-    // labels are a coarse random quantizer, so probing 3/10 cells cannot
-    // guarantee much — the assertion pins the mechanism, not the number
-    assert(recall >= 0.2, s"IVF recall $recall suspiciously low")
+    // trained Lloyd quantizer, nprobe 3/10 on UNclustered gaussian data
+    // (the hard case): measured ~0.66 at sf0.01; floor guards regressions
+    assert(recall >= 0.4, s"IVF recall $recall below floor")
   }
 
   test("quality score formula: clean text beats punctuation soup") {
