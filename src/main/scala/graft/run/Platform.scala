@@ -29,7 +29,7 @@ final class Platform(
     store: Option[ConfigStore] = None) {
 
   private val ddl = new Ddl(spark, registry)
-  private val refresh = new RefreshJob(spark, source, writer)
+  private val refresh = new RefreshJob(spark, source, writer, registry = Some(registry))
 
   /** Full response of an initial load / reset: what the reference merges
     * into one JSON (app.py:181-189). */

@@ -60,7 +60,8 @@ final class RefreshJob(
     source: EntitySource,
     writer: graft.sinks.EntityWriter,
     parallelism: Int = 4,
-    timeout: scala.concurrent.duration.Duration = scala.concurrent.duration.Duration.Inf) {
+    timeout: scala.concurrent.duration.Duration = scala.concurrent.duration.Duration.Inf,
+    registry: Option[graft.catalog.SchemaRegistry] = None) {
 
   import RefreshJob._
 
@@ -147,12 +148,17 @@ final class RefreshJob(
       case NonFatal(ex) => Left(EntityError(e.entityId, String.valueOf(ex.getMessage)))
     }
 
-  /** PK columns used for propagation/casting: source relation PKs when the
-    * simulator knows them. */
-  private def pkOf(e: EntityConfig): Seq[String] = source match {
-    case p: graft.sources.ParquetSimSource => p.relationOf(e.entityId).pk
-    case _                                 => Nil
-  }
+  /** PK columns used for propagation/casting — from the metadata catalog
+    * when registered (the reference reads EntityPk from its metadata
+    * collection, priorityDataSource.py:752-754), falling back to the
+    * simulator's relation PKs for uncataloged entities. */
+  private def pkOf(e: EntityConfig): Seq[String] =
+    registry.flatMap(_.get(e.entityId.toUpperCase)).map(_.entityPk)
+      .filter(_.nonEmpty)
+      .getOrElse(source match {
+        case p: graft.sources.ParquetSimSource => p.relationOf(e.entityId).pk
+        case _                                 => Nil
+      })
 }
 
 object RefreshJob {

@@ -88,6 +88,28 @@ object TypeMapper {
       mappings.map(m => key(m.sourceSystem, m.sourceDataType) -> m.targetDataType).toMap,
       lenient)
 
+  /** S8: load a mapping collection from a JSON file in the reference's
+    * `datatypesConvert.json` shape — an array of
+    * `{sourceSystem, SourceDataType, postgresDatatype}` objects
+    * (static/datatypesConvert.json:1-50; seeded into the catalog by
+    * mongodbHelper.py:25-41). Driver-side catalog bootstrap: plain
+    * Jackson, not a Spark job. */
+  def loadMappings(path: String): Seq[TypeMapping] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+    require(root.isArray, s"$path: expected a JSON array of mappings")
+    import scala.jdk.CollectionConverters._
+    root.elements().asScala.map { n =>
+      def req(field: String): String = {
+        val v = n.get(field)
+        require(v != null && v.isTextual, s"$path: mapping entry missing '$field'")
+        v.asText
+      }
+      TypeMapping(req("sourceSystem"), req("SourceDataType"), req("postgresDatatype"))
+    }.toSeq
+  }
+
   /** Default strict mapper over the built-in 6-row table. */
   val default: Mapper = new Mapper(defaultTable, lenient = false)
 }

@@ -61,6 +61,42 @@ class UtilitySpec extends SparkSpec {
     assert(reg.list.isEmpty && reg.drop() == 0)
   }
 
+  test("type mappings load from the reference's JSON collection shape") {
+    val p = tmpDir("map") + "/datatypesConvert.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      """[
+        | {"sourceSystem": "priority", "SourceDataType": "Edm.String",
+        |  "postgresDatatype": "VARCHAR", "mysqlDatatype": "TEXT(255)"},
+        | {"sourceSystem": "priority", "SourceDataType": "Edm.Int64",
+        |  "postgresDatatype": "BIGINT"}
+        |]""".stripMargin.getBytes("UTF-8"))
+    val ms = graft.types.TypeMapper.loadMappings(p)
+    assert(ms == Seq(
+      graft.model.TypeMapping("priority", "Edm.String", "VARCHAR"),
+      graft.model.TypeMapping("priority", "Edm.Int64", "BIGINT")))
+    val mapper = graft.types.TypeMapper(ms)
+    assert(mapper.sparkType("priority",
+      FieldMeta("f", "Edm.Int64")) == org.apache.spark.sql.types.LongType)
+  }
+
+  test("RefreshJob takes PKs from the metadata catalog when registered") {
+    val reg = new SchemaRegistry()
+    reg.put(EntityMeta("REGION", "priority",
+      fields = Seq(FieldMeta("R_REGIONKEY", "Edm.Int64", keyFlag = true)),
+      entityPk = Seq("R_REGIONKEY")))
+    val writer = new StagingWriter(spark, tmpDir("whr"))
+    val job = new graft.run.RefreshJob(spark,
+      new graft.sources.ParquetSimSource(spark, sf), writer,
+      registry = Some(reg))
+    val cfg = graft.model.ExtractionConfig("ds", "n", "a",
+      entities = Seq(graft.model.EntityConfig("REGION")))
+    val (report, _) = job.run(cfg, incremental = false)
+    assert(report.errors.isEmpty)
+    // catalog PK applied: PK→String cast on the staged frame
+    assert(writer.read("stg_region").schema("r_regionkey").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
   test("basic-auth header matches RFC 7617 form") {
     assert(ODataAuth.basicAuth("apiuser", "s3cret") ==
       "Basic YXBpdXNlcjpzM2NyZXQ=")
