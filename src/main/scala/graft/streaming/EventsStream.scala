@@ -92,4 +92,23 @@ object EventsStream {
       .format("memory")
       .queryName(queryName)
       .start()
+
+  /** Stream → staging: every micro-batch lands through the SAME
+    * EntityWriter the batch refresh uses (append mode), with a
+    * checkpoint for exactly-once batch ids — the Structured Streaming
+    * replacement for the reference's hand-rolled lastRun micro-batching.
+    * On restart, Spark replays from the checkpointed offset and
+    * re-delivers only unacknowledged batches. */
+  def streamToStaging(
+      events: DataFrame,
+      writer: graft.sinks.EntityWriter,
+      entity: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        writer.writeEntity(batch.toDF(), entity, append = true)
+        ()
+      }
+      .start()
 }

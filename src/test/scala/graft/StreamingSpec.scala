@@ -54,6 +54,24 @@ class StreamingSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_events")).sum == 2)
   }
 
+  test("streamToStaging appends every micro-batch through the EntityWriter") {
+    implicit val sc = spark.sqlContext
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("whs"))
+    val stream = MemoryStream[Event]
+    val q = EventsStream.streamToStaging(
+      stream.toDF(), writer, "EVENTS", tmpDir("ckpt"))
+    try {
+      stream.addData(ev(1, "2024-01-01 01:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(writer.read("stg_events").count() == 1)
+      stream.addData(
+        ev(2, "2024-01-01 02:00:00", 2, "view", 1.0),
+        ev(3, "2024-01-01 03:00:00", 3, "click", 1.0))
+      q.processAllAvailable()
+      assert(writer.read("stg_events").count() == 3)
+    } finally q.stop()
+  }
+
   test("sessionize keeps per-user running counts across batches") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Event]
