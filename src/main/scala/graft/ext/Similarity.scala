@@ -14,14 +14,13 @@ import org.apache.spark.sql.expressions.Window
   *     corpus, no shuffle of the corpus itself; the only exchange is the
   *     final top-k-per-query window over `corpus × |queries|` scored
   *     rows. This is the right plan whenever |queries| ≪ corpus.
-  *   - [[ivfTopK]] — the scale path: IVF-style bucketing. Vectors are
-  *     pre-assigned to coarse clusters (here: the `label` column plays
-  *     the quantizer cell, as a trained k-means would); a query probes
-  *     only the `nprobe` nearest cluster centroids and scores vectors in
-  *     those cells. Corpus scanned ≈ nprobe/k of the data; the centroid
-  *     table is tiny and broadcast. Recall vs the exact baseline is
-  *     asserted in tests (it is approximate by design, so its harness
-  *     check is rows-only, not hash-equality).
+  *   - [[ivfTopK]] — the scale path: IVF bucketing over a quantizer
+  *     TRAINED with distributed Lloyd k-means ([[kmeansCentroids]]); a
+  *     query probes only the `nprobe` nearest cluster centroids and
+  *     scores vectors in those cells. Corpus scanned ≈ nprobe/k of the
+  *     data; the centroid matrix is k×dim driver state (MLlib-shaped).
+  *     Recall vs the exact baseline is asserted in tests (approximate by
+  *     design, so its harness check is rows-only, not hash-equality).
   *
   * All arithmetic is double (floats widened first), computed with
   * higher-order functions inside codegen — no UDFs, no driver collect.

@@ -105,6 +105,37 @@ object Oracles {
         |       COALESCE(n_inactive, 0) AS n_inactive
         |FROM active FULL OUTER JOIN inactive USING (c_mktsegment)""".stripMargin,
 
+    "q8_except" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_churned FROM (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')""".stripMargin,
+
+    "q9_scalar_subquery" ->
+      """WITH na AS (
+        |  SELECT c_nationkey AS nk,
+        |         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) / count(*) AS DOUBLE) AS nat_avg
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_above_avg
+        |FROM customer JOIN na ON c_nationkey = nk
+        |WHERE CAST(c_acctbal AS DOUBLE) > nat_avg
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "q10_pivot" ->
+      """SELECT r_name,
+        |       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+        |       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_filled,
+        |       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_partial
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
     "t2_union_append" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys

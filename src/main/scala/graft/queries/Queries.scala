@@ -193,6 +193,48 @@ object Queries {
         coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
   }
 
+  /** EXCEPT surface: customers active in 1996 but not in 1997 (set
+    * difference over distinct keys). */
+  def q8Except(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def activeIn(y: Int) = o
+      .filter(col("o_orderdate") >= lit(Timestamp.valueOf(s"$y-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(Timestamp.valueOf(s"${y + 1}-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    activeIn(1996).except(activeIn(1997))
+      .agg(count(lit(1)).as("n_churned"))
+  }
+
+  /** Correlated scalar subquery (Catalyst decorrelates it to a join):
+    * customers whose balance exceeds their nation's average. The average
+    * is DECIMAL-sum / count — exact operands, so the derived double is
+    * deterministic on both engines. */
+  def q9ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val natAvg = c.groupBy(col("c_nationkey").as("nk"))
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")) /
+        count(lit(1))).cast("double").as("nat_avg"))
+    c.join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal").cast("double") > col("nat_avg"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_above_avg"))
+  }
+
+  /** Pivot surface: order counts per region × order status (static pivot
+    * values, so the output schema is fixed). */
+  def q10Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("r_name"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_filled"),
+        coalesce(col("P"), lit(0L)).as("n_partial"))
+
   // ------------------------------------------------------------ set ops
 
   /** T2: append-as-union semantics (UNION ALL of two incremental batches). */
@@ -223,5 +265,8 @@ object Queries {
     "q5_event_windows" -> (q5EventWindows _),
     "q6_rollup" -> (q6Rollup _),
     "q7_semi_anti" -> (q7SemiAnti _),
+    "q8_except" -> (q8Except _),
+    "q9_scalar_subquery" -> (q9ScalarSubquery _),
+    "q10_pivot" -> (q10Pivot _),
     "t2_union_append" -> (t2UnionAppend _)) ++ ExtQueries.all
 }
