@@ -89,7 +89,7 @@ object Similarity {
     val sign = (p: Int) => {
       val proj = aggregate(
         zip_with(col("v"),
-          transform(sequence(lit(0), lit(63)),
+          transform(sequence(lit(0), size(col("v")) - 1),
             d => when(xxhash64(lit(p), d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
           (x, h) => x * h),
         lit(0.0), (acc, x) => acc + x)
@@ -109,10 +109,13 @@ object Similarity {
       .distinct()
   }
 
-  /** The id of the nearest centroid (L2) for each row's `v` column —
-    * centroids ride along as literal arrays (k×dim doubles: broadcast-
-    * sized driver state, the same shape MLlib keeps), distances via the
-    * codegen'd vec_dot. First-minimum ties are deterministic. */
+  /** The POSITIONAL index (into `cents`) of the nearest centroid (L2)
+    * for each row's `v` column — centroids ride along as literal arrays
+    * (k×dim doubles: broadcast-sized driver state, the same shape MLlib
+    * keeps), distances via the codegen'd vec_dot. First-minimum ties are
+    * deterministic. Callers must label probe cells by the SAME position
+    * (a Lloyd iteration can leave a cluster empty, making stored cell
+    * ids non-contiguous — positions stay consistent). */
   private def nearestCell(cents: Seq[(Int, Array[Double])]): Column = {
     val dists = array(cents.map { case (_, c) =>
       val cl = array(c.map(lit).toSeq: _*)
@@ -123,6 +126,10 @@ object Similarity {
     }: _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
+
+  /** Embedding dimensionality, read from the first vector. */
+  private def dimOf(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head().getInt(0)
 
   /** Distributed Lloyd k-means over the embedding column: assignment and
     * per-cluster sums are full Spark jobs (map-side-combinable
@@ -139,7 +146,7 @@ object Similarity {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val dim = 64
+    val dim = dimOf(emb)
 
     var cents: Seq[(Int, Array[Double])] = corpus
       .orderBy(col("vec_id")).limit(k)
@@ -180,14 +187,17 @@ object Similarity {
     val cents = kmeansCentroids(emb, cells, iters)
 
     // per-query probe list via expressions over the k (tiny) centroid
-    // literals: score every cell, sort, explode the top nprobe
-    val cellScores = array(cents.map { case (i, c) =>
+    // literals: score every cell, sort, explode the top nprobe. Cells
+    // are labeled by POSITION in `cents` — the same labeling nearestCell
+    // gives the corpus (stored ids may be non-contiguous after an empty
+    // Lloyd cluster).
+    val cellScores = array(cents.zipWithIndex.map { case ((_, c), pos) =>
       val cl = array(c.map(lit).toSeq: _*)
       val cNorm = math.sqrt(c.map(x => x * x).sum)
       struct(
         (graft.functions.GraftFunctions.vecDot(col("q"), cl) /
           (col("nq") * lit(cNorm))).as("s"),
-        lit(i).as("cell"))
+        lit(pos).as("cell"))
     }: _*)
     val queries = emb
       .filter(col("vec_id") % queryMod === 0)

@@ -192,7 +192,7 @@ object ExtOracles {
         |            ELSE 'video' END AS kind,
         |       CAST(64 + (doc_id % 8) * 16 AS INT) AS width,
         |       CAST(48 + (doc_id % 5) * 16 AS INT) AS height,
-        |       CAST(length(text) AS INT) AS n_bytes,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |       md5(text) AS payload_md5
         |FROM documents""".stripMargin)
 }

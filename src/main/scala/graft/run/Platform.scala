@@ -91,13 +91,18 @@ final class Platform(
     }
 
   /** `/pingApi`: connectivity of the engine's externals (app.py:88-118)
-    * — here: the Spark session, the warehouse path, the config store. */
-  def ping(probeEntity: Option[String] = None): Map[String, Boolean] = Map(
-    "spark" -> !spark.sparkContext.isStopped,
-    "warehouse" -> (writer.tables != null),
-    "configStore" -> store.forall(s => { s.loadAll(); true }),
-    "source" -> probeEntity.forall(e =>
-      try { source.probe(e); true } catch { case _: Exception => false }))
+    * — here: the Spark session, the warehouse listing, the config store,
+    * and optionally a $top=1 source probe. Every check reports false on
+    * failure instead of letting the health endpoint itself throw. */
+  def ping(probeEntity: Option[String] = None): Map[String, Boolean] = {
+    def ok(f: => Any): Boolean =
+      try { f; true } catch { case _: Exception => false }
+    Map(
+      "spark" -> ok(require(!spark.sparkContext.isStopped)),
+      "warehouse" -> ok(writer.tables),
+      "configStore" -> store.forall(s => ok(s.loadAll())),
+      "source" -> probeEntity.forall(e => ok(source.probe(e))))
+  }
 
   /** `/info`: environment echo (app.py:76-85). */
   def info: Map[String, String] = Map(

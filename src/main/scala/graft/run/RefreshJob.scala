@@ -141,8 +141,14 @@ final class RefreshJob(
 
       val maxSeen = obs.flatMap(_.get.get("wm")).filter(_ != null)
         .map(formatAny(_, zone))
-      // empty batch ⇒ watermark unchanged (never advance past unseen data)
-      val newLastRun = maxSeen.orElse(e.lastRun).orElse(Some(formatTs(ts, zone)))
+      // Filtered entities: empty batch ⇒ watermark unchanged — an empty
+      // FIRST run stays at None so the next run still fetches from
+      // dataStartDate (never advance past unseen data). Unfiltered
+      // entities are full-replaced every run; their lastRun is purely
+      // informational wall clock.
+      val newLastRun =
+        if (e.filterFlag) maxSeen.orElse(e.lastRun)
+        else Some(formatTs(ts, zone))
       Right((reports, e.copy(lastRun = newLastRun)))
     } catch {
       case NonFatal(ex) => Left(EntityError(e.entityId, String.valueOf(ex.getMessage)))

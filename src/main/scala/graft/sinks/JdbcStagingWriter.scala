@@ -72,8 +72,11 @@ final class JdbcStagingWriter(
     * reference's if_exists='replace'). Returns records written. */
   def writeEntity(df: DataFrame, meta: EntityMeta, append: Boolean): Long = {
     val obs = Observation()
+    // repartition, not coalesce: coalesce would propagate the reduced
+    // parallelism UP through fetch/normalize; a shuffle boundary caps
+    // only the write fan-in
     df.observe(obs, count(lit(1)).as("rows"))
-      .coalesce(maxConnections)
+      .repartition(maxConnections)
       .write
       .mode(if (append) SaveMode.Append else SaveMode.Overwrite)
       .option("createTableColumnTypes", columnTypes(meta, df))

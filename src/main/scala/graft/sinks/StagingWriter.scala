@@ -78,9 +78,12 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
   /** Late-data compaction (§2.9): incremental re-fetch overlap can land
     * the same business row twice in staging — keep only the LATEST
     * extraction per PK (max extractiontimestamputc, extractionid as the
-    * deterministic tiebreak). One window pass over the standing table;
-    * rewritten atomically via a temp path so a crash leaves either the
-    * old or the new table, never a half-written one. */
+    * deterministic tiebreak). One window pass over the standing table.
+    *
+    * Swap protocol: write tmp → rename live→backup → rename tmp→live →
+    * delete backup, checking every rename. A crash between the two
+    * renames leaves the full table at the backup path (recoverable by
+    * one rename), never a half-written or missing table. */
   def compact(table: String, pk: Seq[String]): Long = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -91,13 +94,20 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val obs = Observation()
-    val tmp = path(table) + "__compact_tmp"
+    val tmp = new Path(path(table) + "__compact_tmp")
+    val bak = new Path(path(table) + "__compact_bak")
     deduped.observe(obs, count(lit(1)).as("rows"))
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val kept = obs.get("rows").asInstanceOf[Long]
     val dst = new Path(path(table))
-    fs.delete(dst, true)
-    fs.rename(new Path(tmp), dst)
+    fs.delete(bak, true)
+    if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"compact: cannot move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(bak, dst) // restore; table untouched
+      throw new java.io.IOException(s"compact: cannot activate $tmp")
+    }
+    fs.delete(bak, true)
     kept
   }
 

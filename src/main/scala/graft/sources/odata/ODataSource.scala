@@ -1,7 +1,6 @@
 package graft.sources.odata
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
@@ -54,8 +53,7 @@ final class ODataTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val pages = ODataTableProvider.pageFiles(options.get("path"))
     require(pages.nonEmpty, s"graft-odata: no page files under ${options.get("path")}")
-    val first = ODataTableProvider.mapper.readTree(
-      new String(Files.readAllBytes(Paths.get(pages.head)), StandardCharsets.UTF_8))
+    val first = ODataTableProvider.readPage(pages.head)
     val row = first.get("value").elements().asScala.toSeq.headOption
       .getOrElse(throw new IllegalArgumentException("graft-odata: empty first page"))
     StructType(row.properties().asScala.toSeq.map { e =>
@@ -83,12 +81,22 @@ object ODataTableProvider {
     "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}.*".r
 
   /** Page files in page order — the offline stand-in for `$skiptoken`
-    * pagination. */
+    * pagination. Hadoop FileSystem API (same as the reader), so page
+    * directories on HDFS/S3 plan correctly too. */
   private[odata] def pageFiles(dir: String): Seq[String] = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) Nil
-    else Files.list(d).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".json")).toSeq.sorted
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) Nil
+    else fs.listStatus(p).map(_.getPath.toString)
+      .filter(_.endsWith(".json")).toSeq.sorted
+  }
+
+  /** Read + parse one page through the Hadoop FileSystem (paths may
+    * carry any scheme: file:, hdfs:, s3a:). */
+  private[odata] def readPage(pathStr: String): JsonNode = {
+    val p = new Path(pathStr)
+    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    try mapper.readTree(in) finally in.close()
   }
 }
 
@@ -113,11 +121,22 @@ final class ODataScanBuilder(fullSchema: StructType, path: String)
   private var required: StructType = fullSchema
 
   /** Accept the filter shapes OData `$filter` can express on scalar
-    * columns; everything else stays with Spark as a residual. */
+    * columns AND whose literal the reader can evaluate row-side;
+    * everything else stays with Spark as a residual (accepting a filter
+    * removes it from Spark's plan, so acceptance must guarantee
+    * evaluation). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def evaluable(v: Any): Boolean = v match {
+      case _: Long | _: Int | _: Double | _: String |
+           _: java.sql.Timestamp | _: java.time.Instant => true
+      case _ => false
+    }
     val (accepted, residual) = filters.partition {
-      case _: GreaterThanOrEqual | _: GreaterThan | _: LessThan |
-           _: LessThanOrEqual | _: EqualTo => true
+      case GreaterThanOrEqual(_, v) => evaluable(v)
+      case GreaterThan(_, v)        => evaluable(v)
+      case LessThan(_, v)           => evaluable(v)
+      case LessThanOrEqual(_, v)    => evaluable(v)
+      case EqualTo(_, v)            => evaluable(v)
       case _ => false
     }
     pushed = accepted
@@ -183,13 +202,8 @@ final class ODataPartitionReader(
     filters: Array[Filter],
     limit: Option[Int]) extends PartitionReader[InternalRow] {
 
-  private val rows: Iterator[JsonNode] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val p = new Path(pageFile)
-    val in = p.getFileSystem(conf).open(p)
-    val tree = try ODataTableProvider.mapper.readTree(in) finally in.close()
-    tree.get("value").elements().asScala
-  }
+  private val rows: Iterator[JsonNode] =
+    ODataTableProvider.readPage(pageFile).get("value").elements().asScala
   private var emitted = 0
   private var current: InternalRow = _
 
@@ -239,9 +253,17 @@ object ODataAuth {
   * (so correctness never depends on the server). */
 object ODataFilters {
 
+  /** ISO-ish timestamp → epoch micros. Handles naive ("2024-01-01
+    * 00:00:00"), Zulu ("...Z"), and explicit-offset ("...+02:00")
+    * forms — offsets are APPLIED, not stripped. */
   def toMicros(iso: String): Long = {
-    val t = java.sql.Timestamp.valueOf(iso.replace('T', ' ').takeWhile(_ != '+'))
-    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val s = iso.replace(' ', 'T')
+    val instant =
+      if (s.endsWith("Z") || s.lastIndexOf('+') > 7 ||
+          s.lastIndexOf('-') > 7) // '-' after the date part = offset
+        java.time.OffsetDateTime.parse(s).toInstant
+      else java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+    instant.getEpochSecond * 1000000L + instant.getNano / 1000
   }
 
   def compile(f: Filter): String = f match {

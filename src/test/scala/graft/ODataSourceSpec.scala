@@ -98,6 +98,28 @@ class ODataSourceSpec extends SparkSpec {
     assert(r2.tables.head.recordsWritten == 0)
   }
 
+  test("timezone-suffixed timestamps parse with the offset APPLIED") {
+    import graft.sources.odata.ODataFilters.toMicros
+    val base = toMicros("2024-01-01T12:00:00")
+    assert(toMicros("2024-01-01T12:00:00Z") == base)
+    assert(toMicros("2024-01-01T14:00:00+02:00") == base)
+    assert(toMicros("2024-01-01T07:00:00-05:00") == base)
+    assert(toMicros("2024-01-01 12:00:00") == base)
+  }
+
+  test("filters with unevaluable literal types stay residual, not crash") {
+    val dir = tmpDir("odata_bool")
+    writePages(dir, Seq(
+      """{"value": [
+        |  {"name": "a", "flag": true}, {"name": "b", "flag": false}]}""".stripMargin))
+    val df = spark.read.format("graft-odata").option("path", dir).load()
+    // boolean EqualTo is not reader-evaluable: must NOT be accepted into
+    // the scan (which would crash every task) — Spark evaluates it
+    val q = df.filter(col("flag") === true)
+    assert(!q.queryExecution.executedPlan.toString.contains("flag eq"))
+    assert(q.collect().map(_.getAs[String]("name")).toSeq == Seq("a"))
+  }
+
   test("unsupported predicates stay as Spark residuals and still apply") {
     val dir = fixture
     val df = spark.read.format("graft-odata").schema(schema)
