@@ -46,7 +46,41 @@ object Bench {
     val qs = results.map { case (k, v, _) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => s""""${esc(k)}":"${esc(e)}"""" }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","failed":${failed.mkString("{", ",", "}")},"ok":${failed.isEmpty}}""")
+
+    // Direct comparison with the reference's ONE published wall time:
+    // metadata refresh of 3,755 entity docs in 21.80 s (BASELINE.md).
+    // Same work here: parse the $metadata XML, resolve target datatypes
+    // against the mapping, register the catalog (overwrite semantics).
+    val metaDocs = 3755
+    val xml = {
+      val sb = new StringBuilder("<edmx><Schema>")
+      var i = 0
+      while (i < metaDocs) {
+        sb.append(s"""<EntityType Name="E$i"><Key><PropertyRef Name="ID"/></Key>""")
+        sb.append("""<Property Name="ID" Type="Edm.Int64"/>""")
+        var f = 0
+        while (f < 9) {
+          val t = f % 3 match {
+            case 0 => "Edm.String"
+            case 1 => "Edm.Decimal"
+            case _ => "Edm.DateTimeOffset"
+          }
+          sb.append(s"""<Property Name="F$f" Type="$t"/>"""); f += 1
+        }
+        sb.append("</EntityType>"); i += 1
+      }
+      sb.append("</Schema></edmx>").toString
+    }
+    val mt0 = System.nanoTime()
+    val registry = new graft.catalog.SchemaRegistry()
+    val mapper = graft.types.TypeMapper.default
+    val metas = graft.catalog.SchemaRegistry
+      .parseMetadataXml(xml, "priority").map(mapper.resolve)
+    registry.putAll(metas)
+    val metaSec = (System.nanoTime() - mt0) / 1e9
+    require(registry.list.size == metaDocs)
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","meta_refresh":{"docs":$metaDocs,"sec":$metaSec,"reference_sec":21.8},"failed":${failed.mkString("{", ",", "}")},"ok":${failed.isEmpty}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
