@@ -118,6 +118,17 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(fp(1L) - fp(2L)) <= 6)
   }
 
+  test("multimodal metadata scan over parquet never reads the payload column") {
+    val d = docsDf(1L -> "payload pruning proof text")
+    val dir = tmpDir("media")
+    Multimodal.mediaTable(d).write.mode("overwrite").parquet(dir)
+    val meta = spark.read.parquet(dir)
+      .select("doc_id", "kind", "width", "height")
+    val scan = meta.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") && !scan.contains("payload"),
+      s"payload column not pruned from the scan:\n$scan")
+  }
+
   test("asofBackward: most recent right row at-or-before, per key") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

@@ -56,6 +56,38 @@ class PropertySpec extends SparkSpec {
     }, min = 20)
   }
 
+  test("asofBackward matches the per-row naive definition on generated data") {
+    val rowsGen = for {
+      nl <- Gen.choose(1, 12)
+      nr <- Gen.choose(0, 12)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.choose(1, 4), Gen.choose(0, 50)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.choose(1, 4), Gen.choose(0, 50)))
+    } yield (ls, rs)
+
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-${d / 2 + 1}%02d ${d % 2 * 12}%02d:00:00")
+
+    check("asof-naive-equivalence", Prop.forAll(rowsGen) { case (ls, rs) =>
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      // unique right (key,time): keep max payload — mirrors the dedup
+      // contract the operator documents
+      val right = rs.map { case (k, d) => (k.toLong, ts(d), s"p$d") }
+        .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+      val left = ls.zipWithIndex.map { case ((k, d), i) => (i.toLong, k.toLong, ts(d)) }
+
+      val got = graft.ext.AsofJoin.asofBackward(
+        left.toDF("id", "k", "t"), right.toDF("k2", "t2", "v"),
+        "k", "k2", "t", "t2", Seq("v"))
+        .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("v"))).toMap
+
+      val expected = left.map { case (id, k, t) =>
+        val m = right.filter(r => r._1 == k && !r._2.after(t))
+        id -> (if (m.isEmpty) None else Some(m.maxBy(r => (r._2.getTime, r._3))._3))
+      }.toMap
+      got == expected
+    }, min = 15)
+  }
+
   test("explode then reassemble is the identity on nested frames") {
     val childGen = Gen.listOfN(3, Gen.choose(1, 999))
     val parentsGen: Gen[List[(String, List[Int])]] = for {
