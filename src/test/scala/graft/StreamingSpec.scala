@@ -72,6 +72,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamToStaging restart from checkpoint does not re-append delivered batches") {
+    implicit val sc = spark.sqlContext
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("whs2"))
+    val ckpt = tmpDir("ckpt2")
+    val stream = MemoryStream[Event]
+    val q1 = EventsStream.streamToStaging(stream.toDF(), writer, "EVENTS", ckpt)
+    try {
+      stream.addData(ev(1, "2024-01-01 01:00:00", 1, "click", 1.0))
+      q1.processAllAvailable()
+      assert(writer.read("stg_events").count() == 1)
+    } finally q1.stop()
+
+    // restart on the SAME checkpoint: offsets replay from the committed
+    // point, so the already-delivered batch must not append again
+    val q2 = EventsStream.streamToStaging(stream.toDF(), writer, "EVENTS", ckpt)
+    try {
+      stream.addData(ev(2, "2024-01-01 02:00:00", 2, "view", 1.0))
+      q2.processAllAvailable()
+      assert(writer.read("stg_events").count() == 2)
+    } finally q2.stop()
+  }
+
   test("sessionize keeps per-user running counts across batches") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Event]
