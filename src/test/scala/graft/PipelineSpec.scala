@@ -191,6 +191,31 @@ class RefreshJobSpec extends SparkSpec {
     }
   }
 
+  test("flat child path handles a hot parent key without per-key array state") {
+    import org.apache.spark.sql.functions._
+    // one parent owns 200k children — the nested path would build a
+    // single 200k-element collect_list array inside one task; the flat
+    // path streams them as ordinary rows
+    val dir = tmpDir("skew")
+    spark.range(2).select((col("id") + 1).as("o_orderkey"),
+      lit("HOT").as("o_tag")).write.parquet(s"$dir/orders.parquet")
+    spark.range(200000)
+      .select(lit(1L).as("l_orderkey"), col("id").as("l_linenumber"),
+        (col("id") % 97).as("l_qty"))
+      .write.parquet(s"$dir/lineitem.parquet")
+
+    val src = new ParquetSimSource(spark, dir)
+    val flat = src.fetchFlat(FetchRequest("ORDERS", expand = Seq("ORDERITEMS"))).get
+    val norm = Normalizer.normalizeFlat("ORDERS", flat,
+      Seq("o_orderkey"), "r", Timestamp.valueOf("2026-01-01 00:00:00"))
+    val child = norm.children("orderitems")
+    assert(child.count() == 200000)
+    val plan = child.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), s"hot-key array state:\n$plan")
+    // propagated key is present and correct on every row
+    assert(child.filter(col("o_orderkey") === "1").count() == 200000)
+  }
+
   test("flat path plans: parent never scans the child table; child never aggregates") {
     val src = new ParquetSimSource(spark, sf)
     val pq = graft.queries.Queries.p1ParentProjection(spark, sf)
