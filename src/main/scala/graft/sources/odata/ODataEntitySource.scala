@@ -12,22 +12,29 @@ import graft.sources.{EntitySource, FetchRequest}
   * (filter → `$filter`, top → `$top`, pruning → `$select`) instead of
   * the parquet simulator's Catalyst filters.
   *
-  * Expand: OData serves children inline; the page fixtures for expanded
-  * entities carry the subform arrays in their JSON rows. Offline we keep
-  * the connector scalar (the typed nested-schema path is exercised by
-  * ParquetSimSource); a production build would extend inferSchema with
-  * array-of-struct support and pass `$expand` the same way.
+  * Expand: OData serves children inline, and the connector infers
+  * array-of-record columns as ArrayType(StructType) — exactly the
+  * `<SUB>_SUBFORM` shape Normalizer explodes. A fetch WITHOUT the
+  * expand drops the subform columns (the no-`$expand` request), which
+  * column pruning turns into a `$select` that never reads them.
   */
 final class ODataEntitySource(
     spark: SparkSession,
     rootDir: String) extends EntitySource {
 
   override def fetch(req: FetchRequest): DataFrame = {
-    require(req.expand.isEmpty,
-      "offline graft-odata fixtures are scalar; use ParquetSimSource for expand")
     var df = spark.read.format("graft-odata")
       .option("path", s"$rootDir/${req.entityId.toUpperCase}")
       .load()
+
+    // parity with the request surface: only requested subforms arrive
+    val wanted = req.expand.map(s => s"${s.toUpperCase}_SUBFORM").toSet
+    val subformCols = df.columns.filter(_.toUpperCase.endsWith("_SUBFORM"))
+    val missing = wanted.filterNot(w => subformCols.exists(_.equalsIgnoreCase(w)))
+    require(missing.isEmpty,
+      s"entity ${req.entityId}: fixture pages carry no subform(s) $missing")
+    df = df.drop(subformCols.filterNot(c => wanted.exists(_.equalsIgnoreCase(c))): _*)
+
     req.filter.foreach { case (field, ts) =>
       val c = col(field.toLowerCase)
       df = df.filter(if (req.exclusive) c > lit(ts) else c >= lit(ts))

@@ -49,23 +49,15 @@ final class ODataTableProvider extends TableProvider with DataSourceRegister {
 
   /** Schema inference: peek at the first row of the first page — JSON
     * longs/doubles/booleans map directly, ISO-ish timestamp strings to
-    * TimestampType, everything else to StringType. */
+    * TimestampType, arrays of objects (the `$expand` subform shape) to
+    * ArrayType(StructType(...)), everything else to StringType. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val pages = ODataTableProvider.pageFiles(options.get("path"))
     require(pages.nonEmpty, s"graft-odata: no page files under ${options.get("path")}")
     val first = ODataTableProvider.readPage(pages.head)
     val row = first.get("value").elements().asScala.toSeq.headOption
       .getOrElse(throw new IllegalArgumentException("graft-odata: empty first page"))
-    StructType(row.properties().asScala.toSeq.map { e =>
-      val dt = e.getValue match {
-        case v if v.isIntegralNumber => LongType
-        case v if v.isFloatingPointNumber => DoubleType
-        case v if v.isBoolean => BooleanType
-        case v if v.isTextual && ODataTableProvider.TsPattern.matches(v.asText) => TimestampType
-        case _ => StringType
-      }
-      StructField(e.getKey, dt)
-    })
+    ODataTableProvider.inferStruct(row)
   }
 
   override def getTable(
@@ -79,6 +71,29 @@ object ODataTableProvider {
   private[odata] val mapper = new ObjectMapper()
   private[odata] val TsPattern =
     "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}.*".r
+
+  private[odata] def inferType(v: JsonNode): DataType = v match {
+    case n if n.isIntegralNumber => LongType
+    case n if n.isFloatingPointNumber => DoubleType
+    case n if n.isBoolean => BooleanType
+    case n if n.isTextual && TsPattern.matches(n.asText) => TimestampType
+    case n if n.isArray =>
+      // $expand subform: array of records, element schema from the
+      // first element (empty arrays on the first row cannot be typed —
+      // supply a user schema in that case)
+      n.elements().asScala.toSeq.headOption match {
+        case Some(el) if el.isObject => ArrayType(inferStruct(el))
+        case _ => throw new IllegalArgumentException(
+          "graft-odata: cannot infer element type of an empty/scalar " +
+            "array on the first row; pass an explicit schema")
+      }
+    case _ => StringType
+  }
+
+  private[odata] def inferStruct(row: JsonNode): StructType =
+    StructType(row.properties().asScala.toSeq.map { e =>
+      StructField(e.getKey, inferType(e.getValue))
+    })
 
   /** Page files in page order — the offline stand-in for `$skiptoken`
     * pagination. Hadoop FileSystem API (same as the reader), so page
@@ -222,21 +237,27 @@ final class ODataPartitionReader(
   override def get(): InternalRow = current
   override def close(): Unit = ()
 
-  private def toRow(node: JsonNode): InternalRow = {
-    val values = schema.fields.map { f =>
-      val v = node.get(f.name)
-      if (v == null || v.isNull) null
-      else f.dataType match {
-        case LongType      => v.asLong()
-        case IntegerType   => v.asInt()
-        case DoubleType    => v.asDouble()
-        case BooleanType   => v.asBoolean()
-        case TimestampType => ODataFilters.toMicros(v.asText)
-        case _             => UTF8String.fromString(v.asText)
-      }
+  private def convert(v: JsonNode, dt: DataType): Any =
+    if (v == null || v.isNull) null
+    else dt match {
+      case LongType      => v.asLong()
+      case IntegerType   => v.asInt()
+      case DoubleType    => v.asDouble()
+      case BooleanType   => v.asBoolean()
+      case TimestampType => ODataFilters.toMicros(v.asText)
+      case ArrayType(et, _) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          v.elements().asScala.map(convert(_, et)).toArray)
+      case st: StructType =>
+        new GenericInternalRow(
+          st.fields.map(f => convert(v.get(f.name), f.dataType)).asInstanceOf[Array[Any]])
+      case _             => UTF8String.fromString(v.asText)
     }
-    new GenericInternalRow(values.asInstanceOf[Array[Any]])
-  }
+
+  private def toRow(node: JsonNode): InternalRow =
+    new GenericInternalRow(
+      schema.fields.map(f => convert(node.get(f.name), f.dataType))
+        .asInstanceOf[Array[Any]])
 }
 
 /** Request-building helpers shared with the production transport. */

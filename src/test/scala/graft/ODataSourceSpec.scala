@@ -98,6 +98,38 @@ class ODataSourceSpec extends SparkSpec {
     assert(r2.tables.head.recordsWritten == 0)
   }
 
+  test("nested $expand subforms: inferred array<struct>, normalized parent/child") {
+    val root = tmpDir("odata_nested")
+    Files.createDirectories(Paths.get(s"$root/ORDERS"))
+    writePages(s"$root/ORDERS", Seq(
+      """{"value": [
+        |  {"ORDNAME": "SO1", "QPRICE": 12.5,
+        |   "ORDERITEMS_SUBFORM": [
+        |     {"LINE": 1, "PARTNAME": "P-100"},
+        |     {"LINE": 2, "PARTNAME": "P-200"}]},
+        |  {"ORDNAME": "SO2", "QPRICE": 7.0, "ORDERITEMS_SUBFORM": []}]}""".stripMargin))
+
+    val src = new graft.sources.odata.ODataEntitySource(spark, root)
+    val raw = src.fetch(graft.sources.FetchRequest("ORDERS",
+      expand = Seq("ORDERITEMS")))
+    assert(raw.schema("ORDERITEMS_SUBFORM").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+
+    val n = graft.xform.Normalizer.normalize("ORDERS", raw, Seq("ORDNAME"),
+      "r", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    assert(n.parent.count() == 2)
+    assert(!n.parent.columns.exists(_.endsWith("_subform")))
+    val child = n.children("orderitems")
+    assert(child.count() == 2) // SO2's empty subform contributes nothing
+    assert(child.select("ordname").distinct().collect().map(_.getString(0)).toSet == Set("SO1"))
+    assert(child.columns.toSeq.take(3) == Seq("ordname", "line", "partname"))
+
+    // no expand requested -> subform pruned from the request itself
+    val flatFetch = src.fetch(graft.sources.FetchRequest("ORDERS"))
+    assert(!flatFetch.columns.exists(_.endsWith("_SUBFORM")))
+    val scan = flatFetch.queryExecution.executedPlan.toString
+    assert(scan.contains("$select=ORDNAME,QPRICE"), s"subform not pruned:\n$scan")
+  }
+
   test("timezone-suffixed timestamps parse with the offset APPLIED") {
     import graft.sources.odata.ODataFilters.toMicros
     val base = toMicros("2024-01-01T12:00:00")
