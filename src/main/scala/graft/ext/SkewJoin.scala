@@ -32,7 +32,7 @@ object SkewJoin {
       salts: Int = 8): DataFrame = {
 
     val l = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(salts)))
+      pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val r = right
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))

@@ -28,16 +28,10 @@ final class Platform(
     writer: StagingWriter,
     store: Option[ConfigStore] = None) {
 
+  import Platform.{LoadResponse, ProbeReport}
+
   private val ddl = new Ddl(spark, registry)
   private val refresh = new RefreshJob(spark, source, writer, registry = Some(registry))
-
-  /** Full response of an initial load / reset: what the reference merges
-    * into one JSON (app.py:181-189). */
-  final case class LoadResponse(
-      database: String,
-      deploy: Ddl#DeployReport,
-      report: RunReport,
-      config: ExtractionConfig)
 
   /** §3.1 `/initialDataLoad`: (re)register metadata, create the account
     * database + typed parent AND child tables from the config's
@@ -77,8 +71,6 @@ final class Platform(
     * reference's {entity, url, result} report shape
     * (priorityDataSource.py:137-145 — `url` here is the simulated
     * request descriptor). */
-  final case class ProbeReport(entity: String, url: String, result: String)
-
   def testEntities(config: ExtractionConfig): Seq[ProbeReport] =
     config.entities.map { e =>
       val url = s"${config.uri}${e.entityId}?$$top=1"
@@ -109,4 +101,18 @@ final class Platform(
     "engine" -> "graft",
     "sparkVersion" -> spark.version,
     "catalogEntities" -> registry.list.size.toString)
+}
+
+object Platform {
+
+  /** Full response of an initial load / reset: what the reference merges
+    * into one JSON (app.py:181-189). */
+  final case class LoadResponse(
+      database: String,
+      deploy: Ddl.DeployReport,
+      report: RunReport,
+      config: ExtractionConfig)
+
+  /** Per-entity probe outcome (priorityDataSource.py:137-145). */
+  final case class ProbeReport(entity: String, url: String, result: String)
 }

@@ -17,12 +17,18 @@ import graft.model.{EntityMeta, ExtractionConfig}
   *   - D5 schema introspection (spark.table(t).schema /
   *     spark.catalog.tableExists)
   */
-final class Ddl(spark: SparkSession, registry: SchemaRegistry) {
-
+object Ddl {
+  /** The {success, exists, failed} deploy-report shape
+    * (sqlDwh.py:207-215). */
   final case class DeployReport(
       success: Seq[String] = Nil,
       exists: Seq[String] = Nil,
       failed: Seq[(String, String)] = Nil)
+}
+
+final class Ddl(spark: SparkSession, registry: SchemaRegistry) {
+
+  import Ddl.DeployReport
 
   def databaseName(accountId: String): String =
     "acc_" + accountId.toLowerCase.replaceAll("[^a-z0-9_]", "_")

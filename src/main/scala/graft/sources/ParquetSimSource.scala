@@ -166,7 +166,7 @@ final class ParquetSimSource(
       .groupBy(col(sf.childKey))
       // sort_array over struct(orderCol, ...) gives a deterministic
       // in-array order regardless of shuffle arrival order.
-      .agg(sort_array(collect_list(struct(structCols: _*))).as(colName))
+      .agg(sort_array(collect_list(struct(structCols.toIndexedSeq: _*))).as(colName))
     parent.join(nested, parent(sf.parentKey) === nested(sf.childKey), "left")
       .drop(nested(sf.childKey))
   }

@@ -33,7 +33,7 @@ final class ODataEntitySource(
     val missing = wanted.filterNot(w => subformCols.exists(_.equalsIgnoreCase(w)))
     require(missing.isEmpty,
       s"entity ${req.entityId}: fixture pages carry no subform(s) $missing")
-    df = df.drop(subformCols.filterNot(c => wanted.exists(_.equalsIgnoreCase(c))): _*)
+    df = df.drop(subformCols.toIndexedSeq.filterNot(c => wanted.exists(_.equalsIgnoreCase(c))): _*)
 
     req.filter.foreach { case (field, ts) =>
       val c = col(field.toLowerCase)
