@@ -169,7 +169,17 @@ final class RefreshJob(
 
 object RefreshJob {
 
-  private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  /** Watermark format: second granularity (the reference's contract)
+    * PLUS an optional fractional part — sub-second event times must
+    * round-trip exactly, or a strict-`>` incremental fetch re-appends
+    * the truncated boundary row every run. Zero-fraction values format
+    * identically to the reference's `yyyy-MM-dd HH:mm:ss`. */
+  private val fmt = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .optionalStart()
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
+    .optionalEnd()
+    .toFormatter
 
   /** Legacy tz aliases the reference config uses (e.g. "Israel"). */
   def zoneName(tz: String): String = tz match {

@@ -90,10 +90,18 @@ final class ParquetSimSource(
     // into the footer/page index) and converted after.
     req.filter.foreach { case (field, ts) =>
       val f = field.toLowerCase
-      val (c, v) =
-        if (rel.nanosTs.contains(f)) (col(f), lit(tsToNanos(ts)))
-        else (col(f), lit(ts))
-      df = df.filter(if (req.exclusive) c > v else c >= v)
+      df = df.filter {
+        if (rel.nanosTs.contains(f)) {
+          // Watermarks are observed from the micros-truncated NTZ view
+          // of this column, so strict `>` must mean "past the observed
+          // MICROSECOND" — raw-nanos rows inside the watermark's
+          // microsecond are already loaded and must not re-fetch.
+          if (req.exclusive) col(f) >= lit(tsToNanos(ts) + 1000L)
+          else col(f) >= lit(tsToNanos(ts))
+        } else {
+          if (req.exclusive) col(f) > lit(ts) else col(f) >= lit(ts)
+        }
+      }
     }
 
     // Limit pushdown: parents first, so expand below only ever joins

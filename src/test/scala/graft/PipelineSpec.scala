@@ -243,6 +243,31 @@ class RefreshJobSpec extends SparkSpec {
     assert(child.count() > 0)
   }
 
+  test("EVENTS entity refresh end-to-end: nanos shim + NTZ watermark through the pipeline") {
+    val wh = tmpDir("whe")
+    val writer = new StagingWriter(spark, wh)
+    val job = new RefreshJob(spark, new ParquetSimSource(spark, sf), writer)
+    val cfg = ExtractionConfig("ds", "n", "a", systemTimezone = "UTC",
+      entities = Seq(EntityConfig("EVENTS", filterFlag = true,
+        filterField = "ts", dataStartDate = "2024-01-10 00:00:00")))
+
+    val (r1, updated) = job.run(cfg, incremental = false)
+    assert(r1.errors.isEmpty)
+    val written = r1.tables.head.recordsWritten
+    val expected = graft.queries.Queries.p4IncrementalWindow(spark, sf).count()
+    assert(written == expected && written > 0)
+    // staged ts is a usable timestamp, not raw INT64 nanos
+    assert(writer.read("stg_events").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // watermark = max(ts) observed on the write job, NTZ-formatted
+    assert(updated.entities.head.lastRun.exists(_.startsWith("2024-")))
+
+    // idle incremental: strict > past the observed max, zero rows
+    val (r2, _) = job.run(updated, incremental = true)
+    assert(r2.errors.isEmpty)
+    assert(r2.tables.head.recordsWritten == 0)
+  }
+
   test("error isolation: unknown entity logged, rest proceed") {
     val wh = tmpDir("wh")
     val writer = new StagingWriter(spark, wh)
