@@ -136,6 +136,21 @@ object Oracles {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
 
+    "q11_intersect" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_retained FROM (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')""".stripMargin,
+
+    "q12_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
     "t2_union_append" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys

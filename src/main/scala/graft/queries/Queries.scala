@@ -235,6 +235,24 @@ object Queries {
         coalesce(col("F"), lit(0L)).as("n_filled"),
         coalesce(col("P"), lit(0L)).as("n_partial"))
 
+  /** INTERSECT surface: customers active in BOTH 1996 and 1997. */
+  def q11Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def activeIn(y: Int) = o
+      .filter(col("o_orderdate") >= lit(Timestamp.valueOf(s"$y-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(Timestamp.valueOf(s"${y + 1}-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    activeIn(1996).intersect(activeIn(1997))
+      .agg(count(lit(1)).as("n_retained"))
+  }
+
+  /** CUBE surface: order counts over every subset of
+    * {order status, priority} — all four grouping sets in one pass. */
+  def q12Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
   // ------------------------------------------------------------ set ops
 
   /** T2: append-as-union semantics (UNION ALL of two incremental batches). */
@@ -268,5 +286,7 @@ object Queries {
     "q8_except" -> (q8Except _),
     "q9_scalar_subquery" -> (q9ScalarSubquery _),
     "q10_pivot" -> (q10Pivot _),
+    "q11_intersect" -> (q11Intersect _),
+    "q12_cube" -> (q12Cube _),
     "t2_union_append" -> (t2UnionAppend _)) ++ ExtQueries.all
 }
