@@ -75,10 +75,16 @@ object Dedup {
     * hash + min run inside whole-stage codegen with map-side partial
     * aggregation, an order of magnitude faster than per-document
     * higher-order-function traversals (which are interpreted). */
-  def minhashBands(docs: DataFrame): DataFrame = {
-    val hs = docs
-      .select(col("doc_id"),
-        explode(transform(shingles(col("text")), s => xxhash64(s))).as("h"))
+  /** Exploded (doc_id, shingleHash) rows — the shared intermediate of
+    * the MinHash pipeline. */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(transform(shingles(col("text")), s => xxhash64(s))).as("h"))
+
+  def minhashBands(docs: DataFrame): DataFrame =
+    minhashBandsFrom(shingleHashes(docs))
+
+  private def minhashBandsFrom(hs: DataFrame): DataFrame = {
     val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     val bandHashes = array((0 until bands).map { j =>
       xxhash64((0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}")): _*)
@@ -91,8 +97,11 @@ object Dedup {
   /** Candidate near-dup pairs: doc pairs sharing any LSH band bucket.
     * Self-join on the narrow (band, band_hash) key — shuffle is on
     * integers, never on document text. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val b = minhashBands(docs)
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesFrom(shingleHashes(docs))
+
+  private def minhashCandidatesFrom(hs: DataFrame): DataFrame = {
+    val b = minhashBandsFrom(hs)
     val l = b.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
     val r = b.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
     l.join(r, Seq("band", "band_hash"))
@@ -112,10 +121,13 @@ object Dedup {
     * vanishing), and the narrow (id, hash) rows shuffle instead of
     * document-sized arrays. |∪| = |A| + |B| − |∩|. */
   def minhashNeardup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val hs = docs.select(col("doc_id"),
-      explode(transform(shingles(col("text")), s => xxhash64(s))).as("h"))
+    // the shingle+hash explode feeds FOUR plan subtrees (bands, sizes,
+    // both intersection joins) — persist the narrow (doc_id, h) rows so
+    // text is parsed once; spills to disk at scale, evicted by LRU
+    val hs = shingleHashes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val cand = minhashCandidates(docs)
+    val cand = minhashCandidatesFrom(hs)
     val inter = cand
       .join(hs.select(col("doc_id").as("a_id"), col("h")), "a_id")
       .join(hs.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
