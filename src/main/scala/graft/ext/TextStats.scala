@@ -108,6 +108,41 @@ object TextStats {
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .as("bpe_tokens"))
 
+  /** PII scrubbing: replace email addresses and long digit runs (phone/
+    * id-shaped) with placeholder tokens — the redaction pass a corpus
+    * runs before training. Patterns are dialect-neutral (same semantics
+    * in Java regex and RE2). Emits per-row flags so the scrub is
+    * auditable. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val digits = "[0-9]{7,}"
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), email, "<EMAIL>"), digits, "<NUM>")
+    docs.select(
+      col("doc_id"),
+      scrubbed.as("clean_text"),
+      (scrubbed =!= col("text")).as("was_scrubbed"),
+      length(col("text")).as("n_chars_raw"),
+      length(scrubbed).as("n_chars_clean"))
+  }
+
+  /** Repetition signal (the Gopher-style duplicate-n-gram ratio): the
+    * fraction of a document's word bigrams that are repeats —
+    * 1 − distinct/total. High values flag boilerplate/looping text for
+    * removal. Integer-ratio doubles: hash-compare safe. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val grams = Dedup.shingles(col("text"), n = 2)
+    val toks = split(col("text"), " ")
+    val total = greatest(size(toks) - 1, lit(0))
+    docs.select(
+      col("doc_id"),
+      total.as("n_bigrams"),
+      size(grams).as("n_distinct_bigrams"),
+      when(total > 0,
+        lit(1.0) - size(grams).cast("double") / total).otherwise(lit(0.0))
+        .as("dup_bigram_ratio"))
+  }
+
   /** Content fingerprinting: md5-derived 32-bit hashes of distinct word
     * 3-gram shingles, keeping hashes ≡ 0 (mod 16) — content-defined
     * selection, ~1/16 of shingles survive. Robust to local edits (only

@@ -186,6 +186,35 @@ object ExtOracles {
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate""".stripMargin,
 
+    "x15_pii_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(
+        |           regexp_replace(text,
+        |             '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |           '[0-9]{7,}', '<NUM>', 'g') AS clean_text
+        |  FROM documents)
+        |SELECT doc_id, clean_text,
+        |       clean_text <> text AS was_scrubbed,
+        |       CAST(length(text) AS INT) AS n_chars_raw,
+        |       CAST(length(clean_text) AS INT) AS n_chars_clean
+        |FROM s""".stripMargin,
+
+    "x16_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         greatest(len(string_split(text, ' ')) - 1, 0) AS n_bigrams,
+        |         len(list_distinct([s[i] || ' ' || s[i+1]
+        |                            FOR i IN range(1, len(s))])) AS n_distinct_bigrams
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents))
+        |SELECT doc_id,
+        |       CAST(n_bigrams AS INT) AS n_bigrams,
+        |       CAST(n_distinct_bigrams AS INT) AS n_distinct_bigrams,
+        |       CASE WHEN n_bigrams > 0
+        |            THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+        |            ELSE 0.0 END AS dup_bigram_ratio
+        |FROM t""".stripMargin,
+
     "x11_multimodal_meta" ->
       """SELECT doc_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -71,5 +71,7 @@ object ExtQueries {
     "x8_quality_score" -> ((s, d) => TextStats.qualityScore(docs(s, d))),
     "x9_token_count" -> ((s, d) => TextStats.tokenCount(docs(s, d))),
     "x10_fingerprint" -> ((s, d) => TextStats.fingerprint(docs(s, d))),
-    "x11_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(docs(s, d))))
+    "x11_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(docs(s, d))),
+    "x15_pii_scrub" -> ((s, d) => TextStats.piiScrub(docs(s, d))),
+    "x16_repetition" -> ((s, d) => TextStats.repetition(docs(s, d))))
 }

@@ -107,6 +107,24 @@ class ExtSpec extends SparkSpec {
     assert(r.getAs[Int]("bpe_tokens") == 5)
   }
 
+  test("piiScrub redacts emails and digit runs; repetition flags looping text") {
+    val d = docsDf(
+      1L -> "contact me at john.doe@example.com or 5551234567 thanks",
+      2L -> "clean text with no pii at all",
+      3L -> "spam spam spam spam spam spam")
+    val s = TextStats.piiScrub(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(s(1L).getAs[String]("clean_text") ==
+      "contact me at <EMAIL> or <NUM> thanks")
+    assert(s(1L).getAs[Boolean]("was_scrubbed"))
+    assert(!s(2L).getAs[Boolean]("was_scrubbed"))
+
+    val rep = TextStats.repetition(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("dup_bigram_ratio")).toMap
+    assert(rep(3L) > 0.7) // 5 bigrams, 1 distinct
+    assert(rep(2L) == 0.0)
+  }
+
   test("fingerprint selection is stable under distant edits") {
     val base = (1 to 80).map(i => s"w$i").mkString(" ")
     val edited = base.replace("w70", "EDIT") // tail edit
