@@ -37,6 +37,15 @@ object AsofJoin {
       rightOrder: Seq[String] = Nil): DataFrame = {
 
     val leftCols = left.columns.toSeq
+    // ALL payload columns ride in ONE struct, filled by ONE
+    // last(ignoreNulls) pass — per-column windows would see through a
+    // NULL payload value to an older right row and stitch values from
+    // two different right rows; the struct is atomic, so the attached
+    // payload always comes from exactly one right row (whose individual
+    // fields may legitimately be null).
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
     // side flag orders right (0) before left (1) at equal times, so a
     // right row AT the left row's timestamp is visible to it (<=)
     val l = left
@@ -44,28 +53,25 @@ object AsofJoin {
       .withColumn("__time", col(leftTime))
       .withColumn("__side", lit(1))
       .select(Seq(col("__key"), col("__time"), col("__side")) ++
-        leftCols.map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.map(col) :+
+        lit(null).cast(payloadType).as("__r"): _*)
     val r = right
       .withColumn("__key", col(rightKey))
       .withColumn("__time", col(rightTime))
       .withColumn("__side", lit(0))
       .select(Seq(col("__key"), col("__time"), col("__side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(c => col(c).as(c)): _*).as("__r"): _*)
 
     val ordered = Window.partitionBy(col("__key"))
       .orderBy((Seq(col("__time"), col("__side")) ++
-        rightOrder.map(c => col(s"__r_$c"))).map(_.asc): _*)
+        rightOrder.map(c => col("__r").getField(c))).map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightPayload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(ordered))
-    }
-
-    filled
+    l.unionByName(r)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(ordered))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightPayload.map(c => col(s"__r_$c").as(c)): _*)
+        rightPayload.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

@@ -94,14 +94,24 @@ object Dedup {
       .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "band_hash")))
   }
 
+  /** Default bucket-size cap for the LSH candidate joins: a bucket this
+    * over-full is boilerplate, not duplication signal (see [[BucketCap]]
+    * for why dropped buckets almost never lose a true pair). */
+  val DefaultMaxBucket = 5000
+
   /** Candidate near-dup pairs: doc pairs sharing any LSH band bucket.
     * Self-join on the narrow (band, band_hash) key — shuffle is on
-    * integers, never on document text. */
-  def minhashCandidates(docs: DataFrame): DataFrame =
-    minhashCandidatesFrom(shingleHashes(docs))
+    * integers, never on document text. Buckets above `maxBucket` are
+    * dropped ([[BucketCap]]); [[minhashCapReport]] lists them. */
+  def minhashCandidates(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashCandidatesFrom(shingleHashes(docs), maxBucket)
 
-  private def minhashCandidatesFrom(hs: DataFrame): DataFrame = {
-    val b = minhashBandsFrom(hs)
+  /** Dropped-bucket report for [[minhashCandidates]]'s cap. */
+  def minhashCapReport(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    BucketCap.droppedReport(minhashBands(docs), Seq("band", "band_hash"), maxBucket)
+
+  private def minhashCandidatesFrom(hs: DataFrame, maxBucket: Int): DataFrame = {
+    val b = BucketCap.keepSmall(minhashBandsFrom(hs), Seq("band", "band_hash"), maxBucket)
     val l = b.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
     val r = b.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
     l.join(r, Seq("band", "band_hash"))
@@ -120,14 +130,17 @@ object Dedup {
     * distinct shingles of one pair collide in 64 bits (P ≈ |sh|²/2⁶⁴,
     * vanishing), and the narrow (id, hash) rows shuffle instead of
     * document-sized arrays. |∪| = |A| + |B| − |∩|. */
-  def minhashNeardup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def minhashNeardup(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // the shingle+hash explode feeds FOUR plan subtrees (bands, sizes,
     // both intersection joins) — persist the narrow (doc_id, h) rows so
     // text is parsed once; spills to disk at scale, evicted by LRU
     val hs = shingleHashes(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val cand = minhashCandidatesFrom(hs)
+    val cand = minhashCandidatesFrom(hs, maxBucket)
     val inter = cand
       .join(hs.select(col("doc_id").as("a_id"), col("h")), "a_id")
       .join(hs.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
@@ -168,14 +181,16 @@ object Dedup {
   /** SimHash near-dup pairs at hamming distance ≤ `maxDist` (≤ 3), found
     * via 4×8-bit band blocking. Pigeonhole over 4 bands guarantees every
     * pair within distance 3 shares a band — exact recall, never
-    * all-pairs. */
-  def simhashNeardup(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    * all-pairs. Buckets above `maxBucket` are dropped ([[BucketCap]]):
+    * that trades the pigeonhole exactness for bounded join work, so the
+    * default cap is high and [[simhashCapReport]] makes any drop
+    * visible. */
+  def simhashNeardup(
+      docs: DataFrame,
+      maxDist: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxDist < 4, "4-band blocking guarantees recall only for distance <= 3")
-    val sig = simhash(docs)
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("simhash"), 8 * j).bitwiseAND(255)): _*))
-        .as(Seq("band", "band_val")))
+    val banded = BucketCap.keepSmall(simhashBands(docs), Seq("band", "band_val"), maxBucket)
     val l = banded.select(col("band"), col("band_val"),
       col("doc_id").as("a_id"), col("simhash").as("sig_a"))
     val r = banded.select(col("band"), col("band_val"),
@@ -187,4 +202,16 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** (doc_id, simhash, band, band_val) rows — the SimHash blocking key
+    * space, shared by the candidate join and its cap report. */
+  private def simhashBands(docs: DataFrame): DataFrame =
+    simhash(docs).select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), 8 * j).bitwiseAND(255)): _*))
+        .as(Seq("band", "band_val")))
+
+  /** Dropped-bucket report for [[simhashNeardup]]'s cap. */
+  def simhashCapReport(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    BucketCap.droppedReport(simhashBands(docs), Seq("band", "band_val"), maxBucket)
 }

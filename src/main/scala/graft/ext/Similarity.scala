@@ -70,43 +70,90 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /** splitmix64 — a deterministic driver-side pseudo-random stream for
+    * hyperplane components (public-domain mixer constants). */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic ±1 (Rademacher) hyperplane for (table, plane) as a
+    * literal array — tiny driver state (tables×planes×dim doubles),
+    * scored with the codegen'd vec_dot instead of interpreted HOF
+    * lambdas. */
+  private def hyperplane(table: Int, plane: Int, dim: Int): Column =
+    array((0 until dim).map { d =>
+      lit(if ((splitmix64((table.toLong * 131 + plane) * 65537 + d) & 1L) == 1L) 1.0
+          else -1.0)
+    }: _*)
+
   /** Embedding near-duplicate pairs: cosine ≥ `threshold`, found via
-    * random-hyperplane LSH bucketing — vectors are bucketed by the sign
-    * pattern of `planes` pseudo-random projections (deterministic:
-    * hyperplane components derive from xxhash64(plane, dim)), candidate
-    * pairs share a bucket, then exact cosine verifies. The bucket join
-    * replaces all-pairs; identical/near-identical vectors always share a
-    * bucket, while recall for borderline pairs is tunable (single-table
-    * sign-LSH recall at cos θ is (1−θ/π)^planes — production raises it
-    * with multiple hash tables or multi-probe; the exact-cosine check
-    * keeps PRECISION independent of LSH luck either way). */
-  def embedNeardup(emb: DataFrame, threshold: Double = 0.9, planes: Int = 8): DataFrame = {
+    * OR-amplified random-hyperplane LSH — `tables` independent hash
+    * tables of `planes` sign bits each; a pair is a candidate when it
+    * shares ANY table's bucket, then exact cosine verifies (so PRECISION
+    * is exact regardless of LSH luck; only recall is probabilistic).
+    *
+    * Recall at cosine c is 1 − (1 − (1 − acos(c)/π)^planes)^tables: a
+    * single 8-plane table misses ~70% of borderline cos-0.9 pairs, which
+    * is why the defaults are (planes=10, tables=24) → recall ≈ 0.997 at
+    * 0.9 and ≈ 1 for near-identical vectors. Random unrelated pairs
+    * collide per table with prob ~2⁻ᵖˡᵃⁿᵉˢ, so candidate volume stays
+    * ~2.3% of all-pairs at the defaults — raise `planes` (and `tables`
+    * with it) to sharpen selectivity on larger corpora.
+    *
+    * Scale shape: the banded frame is narrow (vec_id, tbl, bucket) —
+    * vectors are NOT carried through the explode or the candidate join;
+    * pairs are deduped before the verify re-join fetches both vectors.
+    * Buckets above `maxBucket` are dropped ([[BucketCap]]) so one dense
+    * cell can never turn the candidate join quadratic;
+    * [[embedNeardupCapReport]] lists what was dropped. */
+  def embedNeardup(
+      emb: DataFrame,
+      threshold: Double = 0.9,
+      planes: Int = 10,
+      tables: Int = 24,
+      maxBucket: Int = 5000): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
-    // projection p of vector x: Σ_d h(p,d)·x_d with h a deterministic
-    // pseudo-random ±1 from the bit parity of xxhash64(p, d)
-    val sign = (p: Int) => {
-      val proj = aggregate(
-        zip_with(col("v"),
-          transform(sequence(lit(0), size(col("v")) - 1),
-            d => when(xxhash64(lit(p), d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
-          (x, h) => x * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1)).otherwise(lit(0))
-    }
-    val bucketed = v.withColumn("bucket",
-      concat_ws("", (0 until planes).map(sign): _*))
-    val l = bucketed.select(col("bucket"), col("vec_id").as("a_id"),
-      col("v").as("va"), col("nv").as("na"))
-    val r = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
-      col("v").as("vb"), col("nv").as("nb"))
-    l.join(r, Seq("bucket"))
+    val banded = signBands(v, planes, tables)
+    val kept = BucketCap.keepSmall(banded, Seq("tbl", "bucket"), maxBucket)
+    val cand = kept.select(col("tbl"), col("bucket"), col("vec_id").as("a_id"))
+      .join(kept.select(col("tbl"), col("bucket"), col("vec_id").as("b_id")),
+        Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("a_id"), col("v").as("va"), col("nv").as("na")), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nv").as("nb")), "b_id")
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"))
-      .distinct()
+  }
+
+  /** Dropped-bucket report for [[embedNeardup]]'s cap (tbl, bucket,
+    * bucket_size). */
+  def embedNeardupCapReport(
+      emb: DataFrame, planes: Int = 10, tables: Int = 24,
+      maxBucket: Int = 5000): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    BucketCap.droppedReport(signBands(v, planes, tables), Seq("tbl", "bucket"), maxBucket)
+  }
+
+  /** Narrow (vec_id, tbl, bucket) rows: bucket = the `planes` sign bits
+    * of table `tbl`'s hyperplane projections, packed into an int. */
+  private def signBands(v: DataFrame, planes: Int, tables: Int): DataFrame = {
+    val dim = dimOf(v.select(col("v").as("embedding")))
+    val tableBuckets = array((0 until tables).map { t =>
+      (0 until planes).map { p =>
+        when(dot(col("v"), hyperplane(t, p, dim)) >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    v.select(col("vec_id"), posexplode(tableBuckets).as(Seq("tbl", "bucket")))
   }
 
   /** The POSITIONAL index (into `cents`) of the nearest centroid (L2)

@@ -121,10 +121,15 @@ object GraftFunctions {
       (es: Seq[Expression]) => VectorNorm(es.head)))
 
   /** Idempotent per-session registration (for sessions built without the
-    * extensions config). */
+    * extensions config). A no-op when the function already resolves —
+    * whether injected by [[GraftExtensions]] or by a previous call — so
+    * repeated operator invocations don't log
+    * `SimpleFunctionRegistry: ... replaced a previously registered
+    * function` warnings on every query. */
   def register(spark: SparkSession): Unit = fns.foreach { case (name, _, builder) =>
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "built-in")
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier(name)))
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

@@ -143,12 +143,22 @@ object ExtOracles {
          |       list_min(fps) AS min_fingerprint
          |FROM f""".stripMargin,
 
+    // planted near-dups (see ExtQueries.plantedEmb): every 100th vector
+    // duplicated at vec_id+1e6 with exact 0.75/1.25 alternating scaling
+    // (cos ≈ 0.97), so the ≥0.9 brute-force oracle is non-vacuous.
+    // DuckDB lambda index i is 1-based; Spark's is 0-based — (i-1) aligns.
     "x13_embed_neardup" ->
-      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(
-        |        list_transform(a.embedding, x -> x::DOUBLE),
-        |        list_transform(b.embedding, x -> x::DOUBLE)) >= 0.9""".stripMargin,
+      """WITH aug AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         list_transform(embedding,
+        |           (x, i) -> x::DOUBLE * (1.0 + 0.25*((((i-1) % 2)*2)-1)))
+        |  FROM embeddings WHERE vec_id % 100 = 0)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
 
     "x14_prep_pipeline" ->
       s"""WITH $shingleCte,

@@ -57,9 +57,30 @@ object ExtQueries {
       sum(size(split(col("text"), " "))).as("total_tokens"))
   }
 
+  /** x13 corpus: the gaussian embeddings fixture has no pairs above
+    * cos ≈ 0.6, so near-dup pairs are PLANTED deterministically — every
+    * 100th vector gets a copy (vec_id + 1,000,000) with elements scaled
+    * by alternating 0.75/1.25. The copies land at cos ≈ 0.97: above the
+    * 0.9 near-dup threshold but far from identical, so the oracle row
+    * exercises the LSH bucketing + exact-verify path non-vacuously
+    * (round-2 advice: the un-planted fixture made the check vacuous).
+    * The 0.75/1.25 multipliers are exact binary fractions, so the
+    * perturbed elements are bit-identical across engines. */
+  def plantedEmb(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val widened = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val planted = e.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x.cast("double") * (lit(1.0) + lit(0.25) * ((i % 2) * 2 - 1)))
+          .as("embedding"))
+    widened.unionByName(planted)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x12_asof_join" -> (asofEventOrders _),
-    "x13_embed_neardup" -> ((s, d) => Similarity.embedNeardup(emb(s, d))),
+    "x13_embed_neardup" -> ((s, d) => Similarity.embedNeardup(plantedEmb(s, d))),
     "x14_prep_pipeline" -> (prepPipeline _),
     "x1_exact_dedup" -> ((s, d) => Dedup.exactDedup(docs(s, d))),
     "x2_minhash_neardup" -> ((s, d) => Dedup.minhashNeardup(docs(s, d))),

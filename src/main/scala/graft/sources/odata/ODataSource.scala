@@ -297,7 +297,10 @@ object ODataFilters {
   }
 
   private def lit(v: Any): String = v match {
-    case s: String                => s"'$s'"
+    // OData escapes an embedded quote by doubling it ('' — OData v4 ABNF
+    // §7.1 string literals); without it a value containing ' produces a
+    // malformed/injectable $filter once the HTTP transport sends it
+    case s: String                => s"'${s.replace("'", "''")}'"
     case t: java.sql.Timestamp    => s"datetime'${t.toString.replace(' ', 'T')}'"
     case i: java.time.Instant     => s"datetime'$i'"
     case other                    => String.valueOf(other)

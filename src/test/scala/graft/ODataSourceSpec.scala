@@ -130,6 +130,16 @@ class ODataSourceSpec extends SparkSpec {
     assert(scan.contains("$select=ORDNAME,QPRICE"), s"subform not pruned:\n$scan")
   }
 
+  test("string literals escape embedded quotes OData-style (doubled)") {
+    import org.apache.spark.sql.sources.EqualTo
+    // the documented HTTP swap point sends this string verbatim — an
+    // unescaped ' would make the $filter malformed (or injectable)
+    assert(graft.sources.odata.ODataFilters.compile(EqualTo("name", "O'Brien")) ==
+      "name eq 'O''Brien'")
+    assert(graft.sources.odata.ODataFilters.compile(EqualTo("name", "plain")) ==
+      "name eq 'plain'")
+  }
+
   test("timezone-suffixed timestamps parse with the offset APPLIED") {
     import graft.sources.odata.ODataFilters.toMicros
     val base = toMicros("2024-01-01T12:00:00")
