@@ -17,20 +17,28 @@ import graft.types.TypeMapper
   * Naming rule reproduced: all identifiers are lowercased before storage
   * (priorityDataSource.py:780,801; sqlDwh.py:218-222).
   */
-final class SchemaRegistry(mapper: TypeMapper.Mapper = TypeMapper.default) {
+final class SchemaRegistry(
+    mapper: TypeMapper.Mapper = TypeMapper.default,
+    persistPath: Option[String] = None) {
 
   import SchemaRegistry._
 
   private val entities = scala.collection.concurrent.TrieMap.empty[String, EntityMeta]
+
+  // boot: a persisted catalog is served immediately, no $metadata
+  // re-parse needed after a restart (the reference persists its metadata
+  // docs the same way, priorityDataSource.py:103-111)
+  persistPath.foreach(p => readCatalog(p).foreach(m => entities.put(m.id, m)))
 
   /** Overwrite-semantics registration (reference deletes + reinserts the
     * whole catalog on refresh, priorityDataSource.py:103,111). */
   def putAll(metas: Seq[EntityMeta]): Unit = {
     entities.clear()
     metas.foreach(m => entities.put(m.id, m))
+    persist()
   }
 
-  def put(meta: EntityMeta): Unit = entities.put(meta.id, meta)
+  def put(meta: EntityMeta): Unit = { entities.put(meta.id, meta); persist() }
   def get(id: String): Option[EntityMeta] = entities.get(id)
   def list: Seq[EntityMeta] = entities.values.toSeq.sortBy(_.id)
 
@@ -40,8 +48,17 @@ final class SchemaRegistry(mapper: TypeMapper.Mapper = TypeMapper.default) {
   def drop(): Int = {
     val n = entities.size
     entities.clear()
+    persist()
     n
   }
+
+  /** Catalog durability: every mutation rewrites the JSON file with the
+    * same write-temp + atomic-rename protocol as ConfigStore, so a crash
+    * mid-update leaves the previous consistent catalog on disk. No-op
+    * without a persistPath (in-memory mode — e.g. Bench's parse
+    * microbenchmark). Driver-side control-plane state: KBs per entity,
+    * thousands of entities — a file is the right tool. */
+  private def persist(): Unit = persistPath.foreach(p => writeCatalog(p, list))
 
   /** Spark field for one metadata field: lowercased name, mapped type,
     * PK⇒StringType (sqlDwh.py:346-350). */
@@ -74,6 +91,25 @@ final class SchemaRegistry(mapper: TypeMapper.Mapper = TypeMapper.default) {
 }
 
 object SchemaRegistry {
+
+  private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+
+  private[catalog] def readCatalog(path: String): Seq[EntityMeta] = {
+    val f = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(f)) Nil
+    else org.json4s.jackson.Serialization.read[Seq[EntityMeta]](
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+  }
+
+  private[catalog] def writeCatalog(path: String, metas: Seq[EntityMeta]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(path + ".tmp")
+    val file = Paths.get(path)
+    Option(file.getParent).foreach(Files.createDirectories(_))
+    Files.write(tmp, org.json4s.jackson.Serialization.writePretty(metas).getBytes("UTF-8"))
+    Files.move(tmp, file,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Audit lineage columns stamped on every staged row
     * (reference: priorityDataSource.py:54-55,760-761; sqlDwh.py:360-365). */

@@ -61,9 +61,23 @@ object Dedup {
     array_distinct(grams)
   }
 
-  private val numHashes = 64
-  private val bands = 16
-  private val rowsPerBand = numHashes / bands // 4
+  /** MinHash signature geometry. Banding recall: a pair at Jaccard s is
+    * missed by ALL bands with probability (1 − s^rowsPerBand)^bands —
+    * 2.2e-4 at the verification threshold s = 0.8 (pairs above the
+    * threshold miss less), i.e. ≥ 99.97% recall per borderline pair.
+    * The brute-force DuckDB oracle can therefore diverge on a new
+    * fixture without any code change: the miss bound is asserted in
+    * ExtSpec, and the sf0.01/sf0.1 fixtures are empirically verified at
+    * 100% recall vs a Spark-side brute force (256/256 pairs at sf0.1,
+    * see .claude/skills/verify) — re-run that sweep whenever a fixture
+    * or this geometry changes. */
+  val numHashes = 64
+  val bands = 16
+  val rowsPerBand: Int = numHashes / bands // 4
+
+  /** Worst-case per-pair banding miss probability at Jaccard `s`. */
+  def bandingMissProb(s: Double): Double =
+    math.pow(1.0 - math.pow(s, rowsPerBand), bands)
 
   /** doc_id + the 16 LSH band keys, exploded to (doc_id, band, band_hash).
     * Signature slot i = min over shingles of xxhash64(shingleHash, i) —
@@ -136,9 +150,32 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // the shingle+hash explode feeds FOUR plan subtrees (bands, sizes,
     // both intersection joins) — persist the narrow (doc_id, h) rows so
-    // text is parsed once; spills to disk at scale, evicted by LRU
+    // text is parsed once; spills to disk at scale, evicted by LRU.
+    // NOTE: the returned frame is lazy, so this persist outlives the
+    // call (LRU-evicted eventually) — long-lived sessions should prefer
+    // [[minhashNeardupMaterialized]], which scopes it.
     val hs = shingleHashes(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    neardupFrom(hs, threshold, maxBucket)
+  }
+
+  /** [[minhashNeardup]] computed EAGERLY: the (small) verified pair set
+    * is materialized with localCheckpoint and the shingle-hash cache is
+    * released before returning — nothing lingers in the session's cache
+    * budget, and the result can be consumed any number of times without
+    * re-running the LSH pipeline (the ingest-once shape a production
+    * corpus uses for its near-dup artifact). */
+  def minhashNeardupMaterialized(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val hs = shingleHashes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try neardupFrom(hs, threshold, maxBucket).localCheckpoint(true)
+    finally hs.unpersist(blocking = false)
+  }
+
+  private def neardupFrom(hs: DataFrame, threshold: Double, maxBucket: Int): DataFrame = {
     val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val cand = minhashCandidatesFrom(hs, maxBucket)
     val inter = cand

@@ -79,15 +79,21 @@ object Similarity {
     z ^ (z >>> 31)
   }
 
-  /** Deterministic ±1 (Rademacher) hyperplane for (table, plane) as a
-    * literal array — tiny driver state (tables×planes×dim doubles),
-    * scored with the codegen'd vec_dot instead of interpreted HOF
-    * lambdas. */
-  private def hyperplane(table: Int, plane: Int, dim: Int): Column =
-    array((0 until dim).map { d =>
-      lit(if ((splitmix64((table.toLong * 131 + plane) * 65537 + d) & 1L) == 1L) 1.0
-          else -1.0)
-    }: _*)
+  /** The whole deterministic ±1 (Rademacher) hyperplane family as ONE
+    * flat literal array laid out [table][plane][dim] — tiny driver state
+    * (tables×planes×dim doubles), consumed in a single pass by the
+    * codegen'd sign_lsh expression. One Literal node total: composing
+    * per-plane vec_dot columns instead put hundreds of generated loops
+    * into the projection and codegen compile time dominated the query. */
+  private def hyperplaneFamily(tables: Int, planes: Int, dim: Int): Column =
+    typedLit((0 until tables).flatMap { t =>
+      (0 until planes).flatMap { p =>
+        (0 until dim).map { d =>
+          if ((splitmix64((t.toLong * 131 + p) * 65537 + d) & 1L) == 1L) 1.0
+          else -1.0
+        }
+      }
+    })
 
   /** Embedding near-duplicate pairs: cosine ≥ `threshold`, found via
     * OR-amplified random-hyperplane LSH — `tables` independent hash
@@ -145,15 +151,13 @@ object Similarity {
   }
 
   /** Narrow (vec_id, tbl, bucket) rows: bucket = the `planes` sign bits
-    * of table `tbl`'s hyperplane projections, packed into an int. */
+    * of table `tbl`'s hyperplane projections, packed into an int — all
+    * tables computed by one sign_lsh evaluation per row. */
   private def signBands(v: DataFrame, planes: Int, tables: Int): DataFrame = {
     val dim = dimOf(v.select(col("v").as("embedding")))
-    val tableBuckets = array((0 until tables).map { t =>
-      (0 until planes).map { p =>
-        when(dot(col("v"), hyperplane(t, p, dim)) >= 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }: _*)
-    v.select(col("vec_id"), posexplode(tableBuckets).as(Seq("tbl", "bucket")))
+    val buckets = graft.functions.GraftFunctions.signLsh(
+      col("v"), hyperplaneFamily(tables, planes, dim), lit(planes), lit(dim))
+    v.select(col("vec_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
   }
 
   /** The POSITIONAL index (into `cents`) of the nearest centroid (L2)
@@ -165,10 +169,9 @@ object Similarity {
     * ids non-contiguous — positions stay consistent). */
   private def nearestCell(cents: Seq[(Int, Array[Double])]): Column = {
     val dists = array(cents.map { case (_, c) =>
-      val cl = array(c.map(lit).toSeq: _*)
       // ||x-c||² = ||x||² − 2x·c + ||c||²; ||x||² constant per row — rank
-      // by −2x·c + ||c||² only
-      lit(-2.0) * graft.functions.GraftFunctions.vecDot(col("v"), cl) +
+      // by −2x·c + ||c||² only. typedLit: one Literal node per centroid.
+      lit(-2.0) * graft.functions.GraftFunctions.vecDot(col("v"), typedLit(c.toSeq)) +
         lit(c.map(x => x * x).sum)
     }: _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
@@ -243,10 +246,9 @@ object Similarity {
     // gives the corpus (stored ids may be non-contiguous after an empty
     // Lloyd cluster).
     val cellScores = array(cents.zipWithIndex.map { case ((_, c), pos) =>
-      val cl = array(c.map(lit).toSeq: _*)
       val cNorm = math.sqrt(c.map(x => x * x).sum)
       struct(
-        (graft.functions.GraftFunctions.vecDot(col("q"), cl) /
+        (graft.functions.GraftFunctions.vecDot(col("q"), typedLit(c.toSeq)) /
           (col("nq") * lit(cNorm))).as("s"),
         lit(pos).as("cell"))
     }: _*)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, ImplicitCastInputTypes, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -109,6 +109,95 @@ case class VectorNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** All sign-LSH bucket ids of a vector in ONE pass: table t's bucket is
+  * the `planes` sign bits of the hyperplane projections packed into an
+  * int; the result is the array of `tables` bucket ids.
+  *
+  * WHY one expression: composing this from per-plane vec_dot calls puts
+  * tables×planes (hundreds) of dot-product nodes — each with its own
+  * generated loop — into a single projection, and codegen compile time
+  * dominates the query. Here the whole hyperplane family is ONE flat
+  * literal array scanned by one nested loop: tiny generated method,
+  * evaluated once per row.
+  *
+  * Children: (vec array<double>, planesFlat array<double> laid out
+  * [table][plane][dim], planes int, dim int) — tables is derived as
+  * planesFlat.length / (planes·dim). Projections over a shorter vector
+  * score the common prefix, matching [[VectorDot]]. */
+case class SignLshBuckets(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+  extends QuaternaryExpression with ImplicitCastInputTypes with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType),
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "sign_lsh"
+
+  override def nullSafeEval(v: Any, m: Any, p: Any, d: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val mat = m.asInstanceOf[ArrayData]
+    val planes = p.asInstanceOf[Int]
+    val dim = d.asInstanceOf[Int]
+    val tables = mat.numElements() / (planes * dim)
+    val n = math.min(dim, vec.numElements())
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var pl = 0
+      while (pl < planes) {
+        val base = (t * planes + pl) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += mat.getDouble(base + i) * vec.getDouble(i); i += 1 }
+        if (s >= 0) bucket |= (1 << pl)
+        pl += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m, p, d) => {
+      val t = ctx.freshName("t")
+      val pl = ctx.freshName("pl")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val bucket = ctx.freshName("bucket")
+      val tables = ctx.freshName("tables")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $tables = $m.numElements() / ($p * $d);
+         |final int $n = java.lang.Math.min($d, $v.numElements());
+         |final int[] $out = new int[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $bucket = 0;
+         |  for (int $pl = 0; $pl < $p; $pl++) {
+         |    final int $base = ($t * $p + $pl) * $d;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $m.getDouble($base + $i) * $v.getDouble($i);
+         |    }
+         |    if ($s >= 0) $bucket |= (1 << $pl);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): SignLshBuckets =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
 /** Runtime registration + Column API for the vector expressions. */
 object GraftFunctions {
 
@@ -118,7 +207,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => VectorDot(es(0), es(1))),
     ("vec_norm",
       new ExpressionInfo(classOf[VectorNorm].getName, "vec_norm"),
-      (es: Seq[Expression]) => VectorNorm(es.head)))
+      (es: Seq[Expression]) => VectorNorm(es.head)),
+    ("sign_lsh",
+      new ExpressionInfo(classOf[SignLshBuckets].getName, "sign_lsh"),
+      (es: Seq[Expression]) => SignLshBuckets(es(0), es(1), es(2), es(3))))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config). A no-op when the function already resolves —
@@ -134,6 +226,8 @@ object GraftFunctions {
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vecNorm(a: Column): Column = call_function("vec_norm", a)
+  def signLsh(vec: Column, planesFlat: Column, planes: Column, dim: Column): Column =
+    call_function("sign_lsh", vec, planesFlat, planes, dim)
 }
 
 /** Config-time injection: `spark.sql.extensions=graft.functions.GraftExtensions`. */
@@ -145,6 +239,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (es: Seq[Expression]) => VectorDot(es(0), es(1)): Expression),
       (FunctionIdentifier("vec_norm"),
         new ExpressionInfo(classOf[VectorNorm].getName, "vec_norm"),
-        (es: Seq[Expression]) => VectorNorm(es.head): Expression))
+        (es: Seq[Expression]) => VectorNorm(es.head): Expression),
+      (FunctionIdentifier("sign_lsh"),
+        new ExpressionInfo(classOf[SignLshBuckets].getName, "sign_lsh"),
+        (es: Seq[Expression]) => SignLshBuckets(es(0), es(1), es(2), es(3)): Expression))
       .foreach(ext.injectFunction)
 }

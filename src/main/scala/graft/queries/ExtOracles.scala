@@ -45,6 +45,11 @@ object ExtOracles {
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // NOTE: this oracle is brute-force all-pairs while the Spark side is
+    // 16×4 LSH banding — recall ≥ 99.97% per pair at the 0.8 threshold
+    // (Dedup.bandingMissProb), 100% empirically verified on the sf0.01
+    // and sf0.1 fixtures. A NEW fixture can diverge without a code
+    // change; re-run the brute-force recall sweep when fixtures change.
     "x2_minhash_neardup" ->
       s"""WITH $shingleCte
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,

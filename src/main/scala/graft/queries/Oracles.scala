@@ -80,6 +80,22 @@ object Oracles {
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // goal dim inlined as VALUES — same literals as the Spark-side
+    // broadcast dimension in Queries.q13GoalsVsActuals
+    "q13_goals_vs_actuals" ->
+      """WITH actuals AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
+        |         event_type, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |goals(event_type, goal_period, goal) AS (
+        |  VALUES ('view','day',40), ('click','day',20), ('purchase','day',10),
+        |         ('signup','day',5), ('error','day',3))
+        |SELECT window_start, event_type, goal_period,
+        |       CAST(goal AS BIGINT) AS goal, n_events,
+        |       CAST(n_events AS DOUBLE) / goal AS attainment,
+        |       n_events >= goal AS met
+        |FROM actuals JOIN goals USING (event_type)""".stripMargin,
+
     "q6_rollup" ->
       """SELECT r_name, n_name,
         |       CAST(count(*) AS BIGINT) AS n_customers,

@@ -253,6 +253,26 @@ object Queries {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
 
+  /** Goals-vs-actuals reporting — the drawio spec's
+    * `events_goals{event_type, goal_period, goal}` shape (SURVEY §0):
+    * daily actuals per event type ([[q5EventWindows]]) joined to the
+    * tiny goal dimension (broadcast — no shuffle of the actuals beyond
+    * the window agg they already need). Attainment is a per-row division
+    * of exact integers, deterministic under the hash gate. */
+  def q13GoalsVsActuals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val goals = Seq(
+      ("view", "day", 40L), ("click", "day", 20L), ("purchase", "day", 10L),
+      ("signup", "day", 5L), ("error", "day", 3L))
+      .toDF("event_type", "goal_period", "goal")
+    q5EventWindows(spark, dir)
+      .join(broadcast(goals), Seq("event_type"))
+      .select(col("window_start"), col("event_type"), col("goal_period"),
+        col("goal"), col("n_events"),
+        (col("n_events").cast("double") / col("goal")).as("attainment"),
+        (col("n_events") >= col("goal")).as("met"))
+  }
+
   // ------------------------------------------------------------ set ops
 
   /** T2: append-as-union semantics (UNION ALL of two incremental batches). */
@@ -288,5 +308,6 @@ object Queries {
     "q10_pivot" -> (q10Pivot _),
     "q11_intersect" -> (q11Intersect _),
     "q12_cube" -> (q12Cube _),
+    "q13_goals_vs_actuals" -> (q13GoalsVsActuals _),
     "t2_union_append" -> (t2UnionAppend _)) ++ ExtQueries.all
 }

@@ -112,4 +112,26 @@ class SchemaRegistrySpec extends AnyFunSuite {
     val metas = SchemaRegistry.parseMetadataXml(xml, "Priority")
     metas.foreach(m => assert(m.entityPk == m.derivedPk))
   }
+
+  test("catalog persists: a NEW registry instance serves the same StructTypes") {
+    val path =
+      s"${java.nio.file.Files.createTempDirectory("catalog")}/catalog.json"
+    val r1 = new SchemaRegistry(persistPath = Some(path))
+    r1.putAll(SchemaRegistry.parseMetadataXml(xml, "Priority"))
+
+    // a fresh instance boots from disk — no $metadata re-parse
+    val r2 = new SchemaRegistry(persistPath = Some(path))
+    assert(r2.list == r1.list)
+    assert(r2.schemaOf(r2.get("ORDERS").get) == r1.schemaOf(r1.get("ORDERS").get))
+    assert(r2.get("COMPOSITE").get.entityPk == Seq("A", "B"))
+
+    // single-entity update and drop are durable too
+    r2.put(r2.get("ORDERS").get.copy(desc = "updated"))
+    assert(new SchemaRegistry(persistPath = Some(path))
+      .get("ORDERS").get.desc == "updated")
+    r2.drop()
+    assert(new SchemaRegistry(persistPath = Some(path)).list.isEmpty)
+    // no stray temp file from the atomic-rename protocol
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".tmp")))
+  }
 }

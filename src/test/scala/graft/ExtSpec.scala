@@ -91,6 +91,29 @@ class ExtSpec extends SparkSpec {
     assert(lsh == brute, s"LSH missed ${brute -- lsh}, extra ${lsh -- brute}")
   }
 
+  test("MinHash banding geometry keeps the miss bound tight at the 0.8 threshold") {
+    // guards (bands, rowsPerBand) changes: the brute-force oracle only
+    // stays hash-equal while banding recall is effectively total
+    assert(Dedup.bands * Dedup.rowsPerBand == Dedup.numHashes)
+    assert(Dedup.bandingMissProb(0.8) < 1e-3,
+      s"banding miss ${Dedup.bandingMissProb(0.8)} too lax for a brute-force oracle")
+  }
+
+  test("minhashNeardupMaterialized releases the shingle cache, result still consumable") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val d = docsDf(1L -> base, 2L -> nearDup)
+    spark.sharedState.cacheManager.clearCache()
+    val pairs = Dedup.minhashNeardupMaterialized(d, threshold = 0.7)
+    // the shingle persist must not outlive the call (round-2 finding:
+    // lazy minhashNeardup leaks its MEMORY_AND_DISK frame into the
+    // session's cache budget); localCheckpoint is RDD-level, so an empty
+    // cacheManager proves the plan-level cache was released
+    assert(spark.sharedState.cacheManager.isEmpty, "shingle cache lingered")
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.count() == 1) // consumable repeatedly without the cache
+  }
+
   test("LSH bucket cap drops boilerplate buckets, keeps small ones, and reports") {
     val boiler = (1 to 30).map(i =>
       i.toLong -> "the exact same boilerplate text repeated in every document here")

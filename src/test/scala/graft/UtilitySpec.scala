@@ -16,6 +16,33 @@ class UtilitySpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("bucketed staging tables join with NO Exchange on either side") {
+    val wh = tmpDir("whb")
+    val writer = new StagingWriter(spark, wh)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    writer.writeBucketed(orders, "bkt_orders", "o_orderkey", 4)
+    writer.writeBucketed(lineitem, "bkt_lineitem", "l_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bkt_orders")
+        .join(spark.table("bkt_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      // both sides pre-bucketed on the join key: the sort-merge join must
+      // consume the bucketing — any Exchange means co-location was lost
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
+  }
+
   test("compact keeps the latest extraction per PK and rewrites atomically") {
     val wh = tmpDir("whc")
     val writer = new StagingWriter(spark, wh)

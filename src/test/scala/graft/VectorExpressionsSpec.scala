@@ -38,6 +38,36 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.filter($"d" > 0).count() > 0)
   }
 
+  test("sign_lsh packs the same sign bits the per-plane vec_dot composition yields") {
+    GraftFunctions.register(spark)
+    val planes = 3
+    val dim = 4
+    // family laid out [table][plane][dim]: 2 tables of 3 planes
+    val family = Seq(
+      1.0, 1.0, 1.0, 1.0, /* t0 p0: sum>=0 for positive vecs  */
+      -1.0, -1.0, -1.0, -1.0, /* t0 p1: negated                 */
+      1.0, -1.0, 1.0, -1.0, /* t0 p2: alternating               */
+      -1.0, 1.0, -1.0, 1.0, /* t1 p0                            */
+      1.0, 1.0, -1.0, -1.0, /* t1 p1                            */
+      1.0, 1.0, 1.0, -1.0 /* t1 p2                              */ )
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (2L, Seq(-1.0, -1.0, -1.0, -1.0)),
+      (3L, Seq(4.0, -3.0, 2.0, -1.0))).toDF("vec_id", "v")
+    val got = df.select($"vec_id",
+      GraftFunctions.signLsh($"v", typedLit(family), lit(planes), lit(dim)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def ref(v: Seq[Double]): Seq[Int] = (0 until 2).map { t =>
+      (0 until planes).map { p =>
+        val row = family.slice((t * planes + p) * dim, (t * planes + p + 1) * dim)
+        if (row.zip(v).map { case (a, b) => a * b }.sum >= 0) 1 << p else 0
+      }.sum
+    }
+    for ((id, v) <- Seq(1L -> Seq(1.0, 2.0, 3.0, 4.0),
+        2L -> Seq(-1.0, -1.0, -1.0, -1.0), 3L -> Seq(4.0, -3.0, 2.0, -1.0)))
+      assert(got(id) == ref(v), s"vec $id")
+  }
+
   test("null arrays yield null; mismatched lengths score the common prefix") {
     GraftFunctions.register(spark)
     val df = Seq(
