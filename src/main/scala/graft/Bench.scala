@@ -25,8 +25,11 @@ object Bench {
     }
 
     // absorb session/codegen warmup so per-query numbers measure the
-    // queries, not first-job JVM startup
+    // queries, not first-job JVM startup; the tiny parquet read also
+    // initializes the Hadoop/parquet reader stack, which otherwise lands
+    // ~1s on whichever query happens to run first (a2 in sorted order)
     spark.range(100).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

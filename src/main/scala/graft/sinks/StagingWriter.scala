@@ -84,28 +84,51 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
     * delete backup, checking every rename. A crash between the two
     * renames leaves the full table at the backup path (recoverable by
     * one rename), never a half-written or missing table. */
-  def compact(table: String, pk: Seq[String]): Long = {
+  def compact(table: String, pk: Seq[String]): Long =
+    writeAndSwap(latestPerPk(read(table), pk), table)
+
+  /** stg→final promotion (the reference's roadmap step,
+    * readme.md:723-731): materialize the latest-extraction-per-PK view
+    * of `stg_<entity>` as the queryable final table `<entity>`, with the
+    * same crash-safe swap protocol as [[compact]]. Staging keeps its
+    * full append history, so promotion is repeatable after every
+    * incremental batch and the final table is always one row per PK.
+    * Returns the rows in the promoted table. */
+  def promote(entity: String, pk: Seq[String]): Long =
+    writeAndSwap(latestPerPk(read(stagingName(entity)), pk), entity.toLowerCase)
+
+  /** Latest extraction per PK: max extractiontimestamputc, extractionid
+    * as the deterministic tiebreak — one window pass, shuffled on the PK
+    * only. */
+  private def latestPerPk(df: DataFrame, pk: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
     val w = Window.partitionBy(pk.map(col): _*)
       .orderBy(col(graft.catalog.SchemaRegistry.ExtractionTsCol).desc,
         col(graft.catalog.SchemaRegistry.ExtractionIdCol).desc)
-    val deduped = read(table)
-      .withColumn("__rn", row_number().over(w))
+    df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Write `df` at `table` with the crash-safe swap: write tmp → rename
+    * live→backup → rename tmp→live → delete backup, checking every
+    * rename. A crash between the two renames leaves the full table at
+    * the backup path (recoverable by one rename), never a half-written
+    * or missing table. Row count observed on the write job itself. */
+  private def writeAndSwap(df: DataFrame, table: String): Long = {
     val obs = Observation()
-    val tmp = new Path(path(table) + "__compact_tmp")
-    val bak = new Path(path(table) + "__compact_bak")
-    deduped.observe(obs, count(lit(1)).as("rows"))
+    val tmp = new Path(path(table) + "__swap_tmp")
+    val bak = new Path(path(table) + "__swap_bak")
+    df.observe(obs, count(lit(1)).as("rows"))
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val kept = obs.get("rows").asInstanceOf[Long]
     val dst = new Path(path(table))
     fs.delete(bak, true)
-    if (!fs.rename(dst, bak))
-      throw new java.io.IOException(s"compact: cannot move $dst aside")
+    val hadDst = fs.exists(dst) // first promotion has no live table yet
+    if (hadDst && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"swap: cannot move $dst aside")
     if (!fs.rename(tmp, dst)) {
-      fs.rename(bak, dst) // restore; table untouched
-      throw new java.io.IOException(s"compact: cannot activate $tmp")
+      if (hadDst) fs.rename(bak, dst) // restore; table untouched
+      throw new java.io.IOException(s"swap: cannot activate $tmp")
     }
     fs.delete(bak, true)
     kept

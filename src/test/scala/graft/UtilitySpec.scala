@@ -63,7 +63,36 @@ class UtilitySpec extends SparkSpec {
     val rows = writer.read("stg_t").collect()
       .map(r => r.getAs[String]("pk") -> r.getAs[Double]("v")).toMap
     assert(rows == Map("a" -> 9.0, "b" -> 2.0, "c" -> 3.0))
-    assert(!writer.tables.exists(_.contains("__compact_tmp")))
+    assert(!writer.tables.exists(_.contains("__swap_tmp")))
+  }
+
+  test("stg→final promotion: latest-per-PK final table, staging history intact, repeatable") {
+    val wh = tmpDir("whp")
+    val writer = new StagingWriter(spark, wh)
+    def batch(runId: String, ts: String, rows: (String, Double)*) =
+      rows.toDF("pk", "v")
+        .withColumn("extractionid", lit(runId))
+        .withColumn("extractiontimestamputc", lit(Timestamp.valueOf(ts)))
+
+    writer.writeEntity(batch("r1", "2024-01-01 00:00:00",
+      "a" -> 1.0, "b" -> 2.0), "ORDERS", append = false)
+    writer.writeEntity(batch("r2", "2024-01-02 00:00:00",
+      "a" -> 9.0), "ORDERS", append = true)
+
+    assert(writer.promote("ORDERS", Seq("pk")) == 2) // first promote: no live table yet
+    val fin1 = writer.read("orders").collect()
+      .map(r => r.getAs[String]("pk") -> r.getAs[Double]("v")).toMap
+    assert(fin1 == Map("a" -> 9.0, "b" -> 2.0))
+    assert(writer.read("stg_orders").count() == 3) // history untouched
+
+    // another incremental batch → re-promote refreshes the final table
+    writer.writeEntity(batch("r3", "2024-01-03 00:00:00",
+      "b" -> 7.0, "c" -> 5.0), "ORDERS", append = true)
+    assert(writer.promote("ORDERS", Seq("pk")) == 3)
+    val fin2 = writer.read("orders").collect()
+      .map(r => r.getAs[String]("pk") -> r.getAs[Double]("v")).toMap
+    assert(fin2 == Map("a" -> 9.0, "b" -> 7.0, "c" -> 5.0))
+    assert(!writer.tables.exists(_.contains("__swap")))
   }
 
   test("saltedJoin equals the plain join and spreads the hot key") {
