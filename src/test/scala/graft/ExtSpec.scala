@@ -251,6 +251,22 @@ class ExtSpec extends SparkSpec {
     assert(r(4L) == null)  // key absent from right: left join semantics
   }
 
+  test("asofBackward: nullable payload columns come from ONE right row, not stitched") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, 10L, ts("2024-01-05 00:00:00"))).toDF("id", "k", "t")
+    // newest right row carries a NULL in `u`: per-column filling would
+    // see through it to the older row's "old-u" and stitch two rows
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), Some("old-v"), Some("old-u")),
+      (10L, ts("2024-01-03 00:00:00"), Some("new-v"), None))
+      .toDF("k2", "t2", "v", "u")
+    val r = graft.ext.AsofJoin.asofBackward(left, right,
+      "k", "k2", "t", "t2", Seq("v", "u")).collect().head
+    assert(r.getAs[String]("v") == "new-v")
+    assert(r.getAs[String]("u") == null, "null payload must NOT see through to an older row")
+  }
+
   test("multimodal: metadata projection, codec stub, frame sampling") {
     val d = docsDf(1L -> "hello world of binary payloads", 2L -> "tiny")
     val media = Multimodal.mediaTable(d)
