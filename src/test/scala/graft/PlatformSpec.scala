@@ -29,6 +29,23 @@ class DdlSpec extends SparkSpec {
     FieldMeta("PARTNAME", "Edm.String")),
     entityPk = Seq("LINE"))
 
+  test("restarted platform deploys DDL from the PERSISTED catalog, no $metadata re-parse") {
+    val path = s"${tmpDir("cat_boot")}/catalog.json"
+    new SchemaRegistry(persistPath = Some(path)).putAll(Seq(orders, items))
+
+    // process restart: a brand-new registry instance boots from disk
+    val reg2 = new SchemaRegistry(persistPath = Some(path))
+    val ddl = new Ddl(spark, reg2)
+    val db = ddl.createDatabase("Acct-77")
+    try {
+      val config = ExtractionConfig("ds1", "n", "Acct-77", entities = Seq(
+        EntityConfig("ORDERS", expand = Seq("ORDERITEMS"))))
+      val rep = ddl.deployConfig(db, config)
+      assert(rep.success.toSet == Set(s"$db.orders", s"$db.orderitems"))
+      assert(rep.failed.isEmpty)
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("D1/D2/T3: config deploy list creates parent AND child typed tables") {
     val reg = registryWith(orders, items)
     val ddl = new Ddl(spark, reg)
