@@ -52,13 +52,18 @@ final class SchemaRegistry(
     n
   }
 
-  /** Catalog durability: every mutation rewrites the JSON file with the
-    * same write-temp + atomic-rename protocol as ConfigStore, so a crash
-    * mid-update leaves the previous consistent catalog on disk. No-op
-    * without a persistPath (in-memory mode — e.g. Bench's parse
-    * microbenchmark). Driver-side control-plane state: KBs per entity,
-    * thousands of entities — a file is the right tool. */
-  private def persist(): Unit = persistPath.foreach(p => writeCatalog(p, list))
+  /** Catalog durability: every mutation rewrites the JSON file via the
+    * shared [[graft.config.AtomicJsonFile]] protocol, so a crash
+    * mid-update leaves the previous consistent catalog on disk and
+    * concurrent writers cannot tear it (unique temp + atomic rename;
+    * the write itself is serialized per instance so `list` and the file
+    * move stay ordered). No-op without a persistPath (in-memory mode —
+    * e.g. Bench's parse microbenchmark). Driver-side control-plane
+    * state: KBs per entity, thousands of entities — a file is the right
+    * tool. */
+  private def persist(): Unit = synchronized {
+    persistPath.foreach(p => writeCatalog(p, list))
+  }
 
   /** Spark field for one metadata field: lowercased name, mapped type,
     * PK⇒StringType (sqlDwh.py:346-350). */
@@ -94,22 +99,14 @@ object SchemaRegistry {
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
 
-  private[catalog] def readCatalog(path: String): Seq[EntityMeta] = {
-    val f = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(f)) Nil
-    else org.json4s.jackson.Serialization.read[Seq[EntityMeta]](
-      new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
-  }
+  private[catalog] def readCatalog(path: String): Seq[EntityMeta] =
+    graft.config.AtomicJsonFile.readString(path)
+      .map(org.json4s.jackson.Serialization.read[Seq[EntityMeta]](_))
+      .getOrElse(Nil)
 
-  private[catalog] def writeCatalog(path: String, metas: Seq[EntityMeta]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = Paths.get(path + ".tmp")
-    val file = Paths.get(path)
-    Option(file.getParent).foreach(Files.createDirectories(_))
-    Files.write(tmp, org.json4s.jackson.Serialization.writePretty(metas).getBytes("UTF-8"))
-    Files.move(tmp, file,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  private[catalog] def writeCatalog(path: String, metas: Seq[EntityMeta]): Unit =
+    graft.config.AtomicJsonFile.writeString(path,
+      org.json4s.jackson.Serialization.writePretty(metas))
 
   /** Audit lineage columns stamped on every staged row
     * (reference: priorityDataSource.py:54-55,760-761; sqlDwh.py:360-365). */

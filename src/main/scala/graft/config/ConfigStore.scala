@@ -1,6 +1,5 @@
 package graft.config
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.sql.Timestamp
 import java.time.Instant
 
@@ -38,20 +37,13 @@ final class ConfigStore(path: String) {
   private implicit val fmts: Formats =
     DefaultFormats + ConfigStore.TimestampSerializer
 
-  private val file = Paths.get(path)
-
   def loadAll(): Seq[ExtractionConfig] =
-    if (!Files.exists(file)) Nil
-    else Serialization.read[Seq[ExtractionConfig]](
-      new String(Files.readAllBytes(file), "UTF-8"))
+    AtomicJsonFile.readString(path)
+      .map(Serialization.read[Seq[ExtractionConfig]](_))
+      .getOrElse(Nil)
 
-  private def writeAll(configs: Seq[ExtractionConfig]): Unit = {
-    val tmp = Paths.get(path + ".tmp")
-    Option(file.getParent).foreach(Files.createDirectories(_))
-    Files.write(tmp, Serialization.writePretty(configs).getBytes("UTF-8"))
-    Files.move(tmp, file,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeAll(configs: Seq[ExtractionConfig]): Unit =
+    AtomicJsonFile.writeString(path, Serialization.writePretty(configs))
 
   /** Append a new config version, stamping submitTimestampUTC
     * server-side. Returns the stamped config. */

@@ -218,14 +218,22 @@ object Dedup {
   /** SimHash near-dup pairs at hamming distance ≤ `maxDist` (≤ 3), found
     * via 4×8-bit band blocking. Pigeonhole over 4 bands guarantees every
     * pair within distance 3 shares a band — exact recall, never
-    * all-pairs. Buckets above `maxBucket` are dropped ([[BucketCap]]):
-    * that trades the pigeonhole exactness for bounded join work, so the
-    * default cap is high and [[simhashCapReport]] makes any drop
-    * visible. */
+    * all-pairs.
+    *
+    * Bucket cap: OFF by default, unlike MinHash/sign-LSH. A SimHash band
+    * key is one byte (256 buckets per band), so the AVERAGE bucket holds
+    * corpus/256 rows — any fixed cap empties the whole output somewhere
+    * past ~256×cap docs, and a hamming≤3 pair may share exactly ONE band
+    * (dropping that bucket loses the pair outright, breaking the
+    * pigeonhole guarantee). Pass `maxBucket` only on corpora with known
+    * pathological skew, and read [[simhashCapReport]] alongside. The
+    * real scale lever for SimHash is sharding (the n/256 bucket density
+    * makes the candidate join inherently quadratic-ish past ~10⁵ docs
+    * per shard) or widening the signature/band space. */
   def simhashNeardup(
       docs: DataFrame,
       maxDist: Int = 3,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxDist < 4, "4-band blocking guarantees recall only for distance <= 3")
     val banded = BucketCap.keepSmall(simhashBands(docs), Seq("band", "band_val"), maxBucket)
     val l = banded.select(col("band"), col("band_val"),
@@ -249,6 +257,6 @@ object Dedup {
         .as(Seq("band", "band_val")))
 
   /** Dropped-bucket report for [[simhashNeardup]]'s cap. */
-  def simhashCapReport(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
+  def simhashCapReport(docs: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame =
     BucketCap.droppedReport(simhashBands(docs), Seq("band", "band_val"), maxBucket)
 }

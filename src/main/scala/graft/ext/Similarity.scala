@@ -115,12 +115,18 @@ object Similarity {
     * Buckets above `maxBucket` are dropped ([[BucketCap]]) so one dense
     * cell can never turn the candidate join quadratic;
     * [[embedNeardupCapReport]] lists what was dropped. */
+  /** Default LSH geometry: recall ≈ 0.997 at cos 0.9, random-pair
+    * candidate rate ≈ 2.3% (see [[embedNeardup]]). One definition so the
+    * cap report can never audit a different join than the one run. */
+  val DefaultPlanes = 10
+  val DefaultTables = 24
+
   def embedNeardup(
       emb: DataFrame,
       threshold: Double = 0.9,
-      planes: Int = 10,
-      tables: Int = 24,
-      maxBucket: Int = 5000): DataFrame = {
+      planes: Int = DefaultPlanes,
+      tables: Int = DefaultTables,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
@@ -143,8 +149,8 @@ object Similarity {
   /** Dropped-bucket report for [[embedNeardup]]'s cap (tbl, bucket,
     * bucket_size). */
   def embedNeardupCapReport(
-      emb: DataFrame, planes: Int = 10, tables: Int = 24,
-      maxBucket: Int = 5000): DataFrame = {
+      emb: DataFrame, planes: Int = DefaultPlanes, tables: Int = DefaultTables,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     BucketCap.droppedReport(signBands(v, planes, tables), Seq("tbl", "bucket"), maxBucket)

@@ -213,15 +213,22 @@ object GraftFunctions {
       (es: Seq[Expression]) => SignLshBuckets(es(0), es(1), es(2), es(3))))
 
   /** Idempotent per-session registration (for sessions built without the
-    * extensions config). A no-op when the function already resolves —
-    * whether injected by [[GraftExtensions]] or by a previous call — so
-    * repeated operator invocations don't log
-    * `SimpleFunctionRegistry: ... replaced a previously registered
-    * function` warnings on every query. */
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, _, builder) =>
+    * extensions config). Skips a name ONLY when the existing
+    * registration is graft's own expression class (injected by
+    * [[GraftExtensions]] or a previous call) — so repeated operator
+    * invocations don't log `SimpleFunctionRegistry: ... replaced ...`
+    * warnings, while a foreign same-named function is still replaced
+    * (with exactly one replace warning, which is the correct signal that
+    * an override happened) instead of silently computing with someone
+    * else's semantics. */
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, info, builder) =>
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier(name)))
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    val ours = registry.lookupFunction(FunctionIdentifier(name))
+      .exists(_.getClassName == info.getClassName)
+    // registerFunction (not createOrReplaceTempFunction) so the stored
+    // ExpressionInfo carries OUR class name and the skip check above
+    // recognizes a prior runtime registration
+    if (!ours) registry.registerFunction(FunctionIdentifier(name), info, builder)
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

@@ -49,12 +49,30 @@ object ExtQueries {
     * across consumers and the shingle cache is released immediately.
     * Keyed by (applicationId, dir): fixture paths are immutable here; a
     * long-lived server over mutable data would key by snapshot version. */
+  private val MaxCachedPairSets = 8
   private val minhashPairCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    new java.util.LinkedHashMap[(String, String), DataFrame](16, 0.75f, false) {
+      // FIFO-bounded: dropping the reference lets the ContextCleaner
+      // reclaim the evicted entry's localCheckpoint blocks — a server
+      // cycling through many dataset dirs must not pin them all forever
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), DataFrame]): Boolean =
+        size() > MaxCachedPairSets
+    }
 
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    minhashPairCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-      Dedup.minhashNeardupMaterialized(docs(spark, dir), threshold = 0.8))
+    minhashPairCache.synchronized {
+      val key = (spark.sparkContext.applicationId, dir)
+      Option(minhashPairCache.get(key)).getOrElse {
+        val pairs = Dedup.minhashNeardupMaterialized(docs(spark, dir), threshold = 0.8)
+        minhashPairCache.put(key, pairs)
+        pairs
+      }
+    }
+
+  /** Drop all cached pair sets (e.g. after fixtures change). */
+  def clearPairCache(): Unit =
+    minhashPairCache.synchronized(minhashPairCache.clear())
 
   /** Composed training-data prep flow — the shape a real corpus pipeline
     * runs end-to-end: near-dup removal (MinHash keepers: the lower

@@ -131,7 +131,9 @@ class SchemaRegistrySpec extends AnyFunSuite {
       .get("ORDERS").get.desc == "updated")
     r2.drop()
     assert(new SchemaRegistry(persistPath = Some(path)).list.isEmpty)
-    // no stray temp file from the atomic-rename protocol
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".tmp")))
+    // no stray temp files from the atomic-rename protocol
+    import scala.jdk.CollectionConverters._
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(path).getParent)
+      .iterator().asScala.forall(!_.getFileName.toString.contains(".tmp")))
   }
 }
