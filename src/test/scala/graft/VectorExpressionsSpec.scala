@@ -68,6 +68,26 @@ class VectorExpressionsSpec extends SparkSpec {
       assert(got(id) == ref(v), s"vec $id")
   }
 
+  test("interpreted eval matches codegen bit-for-bit (both paths are hand-written)") {
+    GraftFunctions.register(spark)
+    val family = (0 until 2 * 3 * 4).map(i => if (i % 3 == 0) 1.0 else -1.0)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .limit(50)
+    def run() = emb.select($"vec_id",
+      GraftFunctions.vecDot($"v", $"v").as("d"),
+      GraftFunctions.vecNorm($"v").as("n"),
+      GraftFunctions.signLsh(slice($"v", 1, 4), typedLit(family), lit(3), lit(4)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getSeq[Int](3)))
+      .sortBy(_._1).toSeq
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = run()
+      assert(interpreted == codegen)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("null arrays yield null; mismatched lengths score the common prefix") {
     GraftFunctions.register(spark)
     val df = Seq(
