@@ -93,6 +93,25 @@ object EventsStream {
       .queryName(queryName)
       .start()
 
+  /** Streaming exact dedup at ingest — the streaming face of
+    * `Dedup.exactDedup`: drop any row whose content hash was already
+    * seen within the watermark. State is bounded by the watermark
+    * (`dropDuplicatesWithinWatermark` evicts a key once no late arrival
+    * can collide with it), so a continuous 100 TB ingest keeps only a
+    * delay-window of 128-bit hashes, never history; cross-history
+    * dedup belongs to the batch `exactDedup`/`compact`/`promote` path
+    * downstream. */
+  def dedupedStream(
+      rows: DataFrame,
+      tsCol: String = "ts",
+      contentCol: String = "text",
+      delay: String = "1 hour"): DataFrame =
+    rows
+      .withColumn("__content_hash", md5(col(contentCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
+
   /** Stream → staging: every micro-batch lands through the SAME
     * EntityWriter the batch refresh uses (append mode), with a
     * checkpoint for exactly-once batch ids — the Structured Streaming

@@ -18,6 +18,29 @@ class StreamingSpec extends SparkSpec {
   private def ev(id: Long, ts: String, user: Long, typ: String, v: Double) =
     Event(id, Timestamp.valueOf(ts), user, typ, v)
 
+  test("streaming ingest dedup: duplicate content within the watermark is dropped") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val deduped = EventsStream.dedupedStream(
+      stream.toDF().toDF("doc_id", "ts", "text"), "ts", "text")
+    val q = deduped.writeStream
+      .outputMode("append").format("memory").queryName("dedup_test").start()
+    try {
+      stream.addData(
+        (1L, Timestamp.valueOf("2024-01-01 01:00:00"), "alpha doc"),
+        (2L, Timestamp.valueOf("2024-01-01 01:10:00"), "alpha doc"), // dup content
+        (3L, Timestamp.valueOf("2024-01-01 01:20:00"), "beta doc"))
+      q.processAllAvailable()
+      stream.addData( // later micro-batch, still within the watermark
+        (4L, Timestamp.valueOf("2024-01-01 01:30:00"), "alpha doc"),
+        (5L, Timestamp.valueOf("2024-01-01 01:40:00"), "gamma doc"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect().map(_.getLong(0)).toSet
+      // one survivor per distinct content; state carried across batches
+      assert(ids == Set(1L, 3L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("windowed counts update incrementally across micro-batches") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Event]
