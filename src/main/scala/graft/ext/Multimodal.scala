@@ -88,6 +88,33 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(_.map(MediaCodec.decode))
   }
 
+  /** Resize: payload in → (targetW×targetH)-byte payload out with the
+    * metadata updated — the same per-partition batch loop as
+    * [[decodeFeatures]]. The resample is a STUB at the pixel level (1-D
+    * nearest-neighbor over raw bytes — no image libs in this container)
+    * but the contract a real codec drops into is exact: deterministic
+    * output sized by the target geometry, row shape unchanged, so
+    * downstream schema/partitioning/dedup logic is already built and
+    * tested against it. */
+  def resize(
+      spark: SparkSession,
+      media: DataFrame,
+      targetW: Int,
+      targetH: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    val n = targetW * targetH
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      val src = r.payload
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        out(i) = if (src.isEmpty) 0 else src((i.toLong * src.length / n).toInt)
+        i += 1
+      }
+      r.copy(width = targetW, height = targetH, payload = out)
+    })
+  }
+
   /** Frame sampling: slice `n` evenly-spaced fixed-width windows out of
     * the payload — pure binary arithmetic, one output row per frame. */
   def frameSample(media: DataFrame, n: Int = 4, frameBytes: Int = 16): DataFrame =

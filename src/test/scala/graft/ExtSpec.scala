@@ -284,5 +284,15 @@ class ExtSpec extends SparkSpec {
     assert(frames.count() == 8) // 4 frames per doc
     assert(frames.filter($"doc_id" === 1L).select(countDistinct($"frame_md5"))
       .head().getLong(0) == 4) // distinct windows over a 30-byte payload
+
+    // resize: target geometry drives the payload size, metadata updates,
+    // deterministic output (same input → same bytes)
+    val resized = Multimodal.resize(spark, media, targetW = 4, targetH = 3)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(resized.values.forall(r => r.width == 4 && r.height == 3
+      && r.payload.length == 12))
+    val again = Multimodal.resize(spark, media, 4, 3)
+      .collect().map(r => r.doc_id -> r.payload.toSeq).toMap
+    assert(resized.view.mapValues(_.payload.toSeq).toMap == again)
   }
 }
