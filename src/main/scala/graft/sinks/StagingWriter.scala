@@ -134,6 +134,17 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
     kept
   }
 
+  /** Write a table partitioned by a (low-cardinality) column — the
+    * other half of the 100 TB layout story next to [[writeBucketed]]:
+    * a predicate on the partition column prunes whole directories at
+    * PLANNING time (`PartitionFilters` in the scan), so an incremental
+    * consumer of a date-partitioned table reads only the days it asks
+    * for, never listing or opening the rest. */
+  def writePartitioned(df: DataFrame, table: String, partCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .parquet(path(table))
+
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
     // one file per bucket (repartition on the bucket key): the scan can
     // then use the per-file sort order and the join elides its Sort too

@@ -43,6 +43,39 @@ class UtilitySpec extends SparkSpec {
     }
   }
 
+  test("partitioned staging: a partition-column predicate prunes at planning time") {
+    val wh = tmpDir("whpart")
+    val writer = new StagingWriter(spark, wh)
+    // events.ts is TIMESTAMP(NANOS): read through the source's NTZ shim
+    val events = new graft.sources.ParquetSimSource(spark, sf)
+      .fetch(graft.sources.FetchRequest("EVENTS"))
+      .withColumn("event_date", to_date(col("ts")))
+    writer.writePartitioned(events, "part_events", "event_date")
+
+    val oneDay = writer.read("part_events")
+      .filter(col("event_date") === lit("2024-01-05").cast("date"))
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("event_date")),
+      s"partition predicate not pushed to PartitionFilters:\n$plan")
+    // pruned scan must read strictly fewer files than the full table
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // execute THIS plan instance so its scan metrics populate
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan // metrics live under the AQE wrapper
+        case other => other
+      }
+      plan.collectLeaves().map(_.metrics
+        .get("numFiles").map(_.value).getOrElse(0L)).sum
+    }
+    val all = filesRead(writer.read("part_events"))
+    val one = filesRead(writer.read("part_events")
+      .filter(col("event_date") === lit("2024-01-05").cast("date")))
+    assert(one > 0 && one < all, s"pruning ineffective: $one of $all files")
+  }
+
   test("compact keeps the latest extraction per PK and rewrites atomically") {
     val wh = tmpDir("whc")
     val writer = new StagingWriter(spark, wh)
