@@ -46,13 +46,20 @@ object Dedup {
   /** Distinct word n-gram shingles of `text` (split on single spaces).
     * Documents with fewer than n tokens produce an empty shingle set.
     *
-    * Built with zip_with over shifted slices — NOT element_at inside a
-    * transform lambda: lambda-internal subtrees are re-evaluated per
-    * ELEMENT in interpreted HOF execution, so an element_at(split(...))
-    * formulation re-splits the document O(tokens × shingles) times.
-    * Here split() is evaluated O(n) times per ROW and the lambdas only
-    * concatenate. */
-  def shingles(text: Column, n: Int = 3): Column = {
+    * Backed by the native [[graft.functions.WordNgrams]] expression: one
+    * compiled pass per row. The HOF formulation it replaces
+    * ([[shinglesHof]], kept for the equality test) executes interpreted
+    * (higher-order functions are CodegenFallback) with per-element
+    * lambda dispatch — this is the hottest text path in the engine
+    * (MinHash shingling under x2/x10/x14). */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.GraftFunctions.wordNgrams(text, lit(n))
+
+  /** The built-ins-only formulation of [[shingles]] — zip_with over
+    * shifted slices (NOT element_at inside a transform lambda, which
+    * would re-split the document per ELEMENT). Kept as the behavioral
+    * reference the native expression is tested against. */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val t = split(text, " ")
     val len = greatest(size(t) - (n - 1), lit(0)) // number of n-grams
     val first = slice(t, lit(1), len)
@@ -91,9 +98,11 @@ object Dedup {
     * higher-order-function traversals (which are interpreted). */
   /** Exploded (doc_id, shingleHash) rows — the shared intermediate of
     * the MinHash pipeline. */
-  def shingleHashes(docs: DataFrame): DataFrame =
+  def shingleHashes(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"),
       explode(transform(shingles(col("text")), s => xxhash64(s))).as("h"))
+  }
 
   def minhashBands(docs: DataFrame): DataFrame =
     minhashBandsFrom(shingleHashes(docs))

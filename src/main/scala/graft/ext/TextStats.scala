@@ -131,6 +131,7 @@ object TextStats {
     * 1 − distinct/total. High values flag boilerplate/looping text for
     * removal. Integer-ratio doubles: hash-compare safe. */
   def repetition(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = Dedup.shingles(col("text"), n = 2)
     val toks = split(col("text"), " ")
     val total = greatest(size(toks) - 1, lit(0))
@@ -149,6 +150,7 @@ object TextStats {
     * shingles spanning the edit change), and the selection needs no
     * global state — embarrassingly parallel at 100 TB. */
   def fingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val fps = array_distinct(filter(
       transform(Dedup.shingles(col("text")),
         s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")),

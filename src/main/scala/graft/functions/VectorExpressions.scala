@@ -198,6 +198,73 @@ case class SignLshBuckets(
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
+/** Distinct word n-grams of a text column in ONE compiled pass — the
+  * native replacement for the `zip_with`-over-`slice`s + `array_distinct`
+  * higher-order-function chain, which executes interpreted
+  * (CodegenFallback) with per-element lambda dispatch on the hottest
+  * text path in the engine (MinHash shingling feeds dedup and the prep
+  * pipeline).
+  *
+  * Semantics are IDENTICAL to `array_distinct(zip_with-built n-grams of
+  * split(text, " "))`: tokens split on every single space keeping empty
+  * strings (Java split with limit -1, matching Spark's `split`), n-grams
+  * joined with one space, distinct keeping first occurrence, fewer than
+  * n tokens → empty array. The heavy lifting lives in a static helper
+  * the generated code calls, so the expression participates in
+  * whole-stage codegen without inlining string logic. */
+case class WordNgrams(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    WordNgrams.compute(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.WordNgrams.compute($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordNgrams =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordNgrams {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val tokens = text.toString.split(" ", -1) // Spark split(): keep empties
+    val m = tokens.length - (n - 1)
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(tokens(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Runtime registration + Column API for the vector expressions. */
 object GraftFunctions {
 
@@ -210,7 +277,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => VectorNorm(es.head)),
     ("sign_lsh",
       new ExpressionInfo(classOf[SignLshBuckets].getName, "sign_lsh"),
-      (es: Seq[Expression]) => SignLshBuckets(es(0), es(1), es(2), es(3))))
+      (es: Seq[Expression]) => SignLshBuckets(es(0), es(1), es(2), es(3))),
+    ("word_ngrams",
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (es: Seq[Expression]) => WordNgrams(es(0), es(1))))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config). Skips a name ONLY when the existing
@@ -235,6 +305,8 @@ object GraftFunctions {
   def vecNorm(a: Column): Column = call_function("vec_norm", a)
   def signLsh(vec: Column, planesFlat: Column, planes: Column, dim: Column): Column =
     call_function("sign_lsh", vec, planesFlat, planes, dim)
+  def wordNgrams(text: Column, n: Column): Column =
+    call_function("word_ngrams", text, n)
 }
 
 /** Config-time injection: `spark.sql.extensions=graft.functions.GraftExtensions`. */
@@ -249,6 +321,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (es: Seq[Expression]) => VectorNorm(es.head): Expression),
       (FunctionIdentifier("sign_lsh"),
         new ExpressionInfo(classOf[SignLshBuckets].getName, "sign_lsh"),
-        (es: Seq[Expression]) => SignLshBuckets(es(0), es(1), es(2), es(3)): Expression))
+        (es: Seq[Expression]) => SignLshBuckets(es(0), es(1), es(2), es(3)): Expression),
+      (FunctionIdentifier("word_ngrams"),
+        new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+        (es: Seq[Expression]) => WordNgrams(es(0), es(1)): Expression))
       .foreach(ext.injectFunction)
 }

@@ -25,11 +25,34 @@ class ExtSpec extends SparkSpec {
   }
 
   test("shingles handles docs shorter than n") {
+    graft.functions.GraftFunctions.register(spark)
     val d = docsDf(1L -> "a b", 2L -> "a b c d")
     val r = d.select(Dedup.shingles($"text").as("sh"))
       .collect().map(_.getSeq[String](0))
     assert(r.exists(_.isEmpty))
     assert(r.exists(_.toSet == Set("a b c", "b c d")))
+  }
+
+  test("native word_ngrams equals the HOF formulation on tricky inputs") {
+    graft.functions.GraftFunctions.register(spark)
+    val tricky = Seq(
+      "", " ", "  ", "a", "a b", "a b c", "a  b c d", " leading spaces",
+      "trailing spaces ", "a b a b a b", "ünïcödé tökens héré too",
+      "x " * 40 + "x", (1 to 25).map(i => s"w${i % 7}").mkString(" "))
+    val d = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 4)) {
+      val rows = d.select($"doc_id",
+        Dedup.shingles($"text", n).as("nat"),
+        Dedup.shinglesHof($"text", n).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        // set AND multiset-free cardinality must agree (both are distinct)
+        assert(r.getSeq[String](1).toSet == r.getSeq[String](2).toSet,
+          s"n=$n doc=${r.getLong(0)}: ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+        assert(r.getSeq[String](1).length == r.getSeq[String](2).length,
+          s"n=$n doc=${r.getLong(0)} distinct cardinality differs")
+      }
+    }
   }
 
   test("minhashNeardup finds a perturbed copy and ignores unrelated text") {
