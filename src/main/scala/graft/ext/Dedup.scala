@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   *     step never happens. Band keys are integers, so the join shuffles
   *     narrow rows; skewed buckets (boilerplate shingles) can be salted
   *     or capped with a bucket-size limit at scale.
-  *   - SimHash near-dup: 32-bit signature from per-token hashes, banded
-  *     into 4 bytes. By pigeonhole, any pair at hamming distance ≤ 3
-  *     shares at least one of the 4 bands, so banding has EXACT recall
-  *     for the distance-3 threshold — the banded plan is provably
-  *     equivalent to the brute-force quadratic one.
+  *   - SimHash near-dup: 64-bit signature from per-token hashes, banded
+  *     into 4×16-bit blocks (the Manku/Jain/Sarma WWW'07 geometry). By
+  *     pigeonhole, any pair at hamming distance ≤ 3 shares at least one
+  *     of the 4 bands, so banding has EXACT recall for the distance-3
+  *     threshold — the banded plan is provably equivalent to the
+  *     brute-force quadratic one. Each band key spans 65,536 values, so
+  *     unrelated documents (near-uniform signature bits) spread across
+  *     ~2¹⁶ buckets per band: expected candidate volume ≈
+  *     4·n²/(2·65536) = n²/32768 — 256× below the old 32-bit/8-bit-band
+  *     geometry (n²/128), pushing the quadratic-density wall from ~10⁵
+  *     to ~10⁷ docs per shard before bucket joins dominate.
   *
   * All hashing is done with engine built-ins (codegen'd, no UDFs):
   * xxhash64 for MinHash permutation bases (oracle-independent — the
@@ -200,23 +206,41 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** 32-bit md5-derived token hash — reproducible in ANSI SQL
-    * (`('0x' || substr(md5(t),1,8))::BIGINT` on the DuckDB side), which
-    * is what lets the oracle recompute the identical SimHash. */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  /** 32-bit md5-derived token hash from hex digits [from, from+8) —
+    * reproducible in ANSI SQL (`('0x' || substr(md5(t),from,8))::BIGINT`
+    * on the DuckDB side), which is what lets the oracle recompute the
+    * identical SimHash. Two disjoint halves of one md5 give the 64
+    * independent signature bits without a second hash pass. */
+  private def h32(c: Column, from: Int = 1): Column =
+    conv(substring(md5(c), from, 8), 16, 10).cast("long")
 
-  /** Per-document 32-bit SimHash over whitespace tokens (with
-    * repetition): bit i is the sign of Σ_tokens (bit_i(h32(token))·2−1).
-    * One explode + one groupBy with 32 integer sums — fully
-    * map-side-combinable, no float math anywhere. */
+  /** SimHash signature geometry: 64 bits banded as 4 blocks of 16 —
+    * pigeonhole-exact recall for hamming distance ≤ SimhashBands − 1 = 3,
+    * 65,536-value band keys (see the density analysis in the object
+    * doc). */
+  val SimhashBits = 64
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands // 16
+
+  /** Per-document 64-bit SimHash over whitespace tokens (with
+    * repetition): bit i is the sign of Σ_tokens (bit_i(h(token))·2−1),
+    * where bits 0–31 come from md5 hex chars 1–8 and bits 32–63 from
+    * chars 9–16. One explode + one groupBy with 64 integer sums — fully
+    * map-side-combinable, no float math anywhere.
+    *
+    * Packing order sums bits 0..62 first (every ANSI partial sum ≤
+    * 2⁶³−1), then adds bit 63's value (1L<<63 = Long.MinValue in two's
+    * complement) — a positive+negative add that cannot overflow. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", h32(col("tok")))
-    val bitSums = (0 until 32).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"s$i"))
-    val packed = (0 until 32)
+      .withColumn("lo", h32(col("tok"), 1))
+      .withColumn("hi", h32(col("tok"), 9))
+    val bitSums = (0 until SimhashBits).map { i =>
+      val half = if (i < 32) shiftright(col("lo"), i) else shiftright(col("hi"), i - 32)
+      sum(half.bitwiseAND(1) * 2 - 1).as(s"s$i")
+    }
+    val packed = (0 until SimhashBits)
       .map(i => when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
     tok.groupBy(col("doc_id"))
@@ -225,25 +249,28 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs at hamming distance ≤ `maxDist` (≤ 3), found
-    * via 4×8-bit band blocking. Pigeonhole over 4 bands guarantees every
-    * pair within distance 3 shares a band — exact recall, never
-    * all-pairs.
+    * via 4×16-bit band blocking over the 64-bit signature. Pigeonhole
+    * over 4 bands guarantees every pair within distance 3 shares a band
+    * — exact recall, never all-pairs.
     *
-    * Bucket cap: OFF by default, unlike MinHash/sign-LSH. A SimHash band
-    * key is one byte (256 buckets per band), so the AVERAGE bucket holds
-    * corpus/256 rows — any fixed cap empties the whole output somewhere
-    * past ~256×cap docs, and a hamming≤3 pair may share exactly ONE band
-    * (dropping that bucket loses the pair outright, breaking the
-    * pigeonhole guarantee). Pass `maxBucket` only on corpora with known
-    * pathological skew, and read [[simhashCapReport]] alongside. The
-    * real scale lever for SimHash is sharding (the n/256 bucket density
-    * makes the candidate join inherently quadratic-ish past ~10⁵ docs
-    * per shard) or widening the signature/band space. */
+    * Bucket cap: still OFF by default, but for a different reason than
+    * the old 32-bit geometry. With 65,536-value band keys, unrelated
+    * documents spread to ~n/2¹⁶ per bucket — an over-full bucket now
+    * really is pathology (boilerplate duplication), not ambient density.
+    * A hamming≤3 pair may still share exactly ONE band, so any drop can
+    * lose a true pair outright (breaking the pigeonhole guarantee);
+    * opt in only on corpora with known skew, and read
+    * [[simhashCapReport]] alongside. Density bound: candidate volume ≈
+    * SimhashBands·n²/(2·2¹⁶) = n²/32768 on unrelated text, so the
+    * candidate join stays sub-dominant to the O(n·tokens) signature
+    * pass until ~10⁷ docs per shard (vs ~10⁵ for the old 256-value
+    * bands). */
   def simhashNeardup(
       docs: DataFrame,
       maxDist: Int = 3,
       maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(maxDist < 4, "4-band blocking guarantees recall only for distance <= 3")
+    require(maxDist < SimhashBands,
+      s"$SimhashBands-band blocking guarantees recall only for distance <= ${SimhashBands - 1}")
     val banded = BucketCap.keepSmall(simhashBands(docs), Seq("band", "band_val"), maxBucket)
     val l = banded.select(col("band"), col("band_val"),
       col("doc_id").as("a_id"), col("simhash").as("sig_a"))
@@ -261,8 +288,9 @@ object Dedup {
     * space, shared by the candidate join and its cap report. */
   private def simhashBands(docs: DataFrame): DataFrame =
     simhash(docs).select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("simhash"), 8 * j).bitwiseAND(255)): _*))
+      posexplode(array((0 until SimhashBands).map(j =>
+        shiftright(col("simhash"), SimhashBandBits * j)
+          .bitwiseAND((1 << SimhashBandBits) - 1)): _*))
         .as(Seq("band", "band_val")))
 
   /** Dropped-bucket report for [[simhashNeardup]]'s cap. */

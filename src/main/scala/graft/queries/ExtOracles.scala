@@ -24,11 +24,21 @@ object ExtOracles {
       |                        FOR i IN range(1, len(s)-1)]) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))""".stripMargin
 
+  /** 64-bit SimHash, bit i from the lo (md5 hex 1–8) or hi (hex 9–16)
+    * 32-bit token hash — mirrors Dedup.simhash exactly. Bit 63's value
+    * is Long.MinValue; `1::BIGINT<<63` overflows in DuckDB, so it is
+    * spelled `-9223372036854775807 - 1`, and the left-to-right sum adds
+    * it LAST (all positive partial sums fit in a BIGINT). */
   private val simhashSums =
-    (0 until 32).map(i => s"sum(((h>>$i)&1)*2-1) AS s$i").mkString(", ")
+    (0 until 64).map { i =>
+      val src = if (i < 32) s"(lo>>$i)" else s"(hi>>${i - 32})"
+      s"sum(($src&1)*2-1) AS s$i"
+    }.mkString(", ")
   private val simhashPacked =
-    (0 until 32).map(i => s"(CASE WHEN s$i >= 0 THEN (1::BIGINT<<$i) ELSE 0::BIGINT END)")
-      .mkString(" + ")
+    (0 until 64).map { i =>
+      val bitVal = if (i == 63) "(-9223372036854775807 - 1)::BIGINT" else s"(1::BIGINT<<$i)"
+      s"(CASE WHEN s$i >= 0 THEN $bitVal ELSE 0::BIGINT END)"
+    }.mkString(" + ")
 
   /** Per-language marker scores, generated from the SAME marker lists the
     * Spark side uses (single source of truth in TextStats.langMarkers). */
@@ -87,7 +97,8 @@ object ExtOracles {
 
     "x5_simhash_neardup" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-         |     h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+         |     h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS lo,
+         |                  ('0x' || substr(md5(t), 9, 8))::BIGINT AS hi FROM tok),
          |     s AS (SELECT doc_id, $simhashSums FROM h GROUP BY doc_id),
          |     sig AS (SELECT doc_id, CAST($simhashPacked AS BIGINT) AS simhash FROM s)
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
