@@ -116,14 +116,24 @@ object Multimodal {
   }
 
   /** Frame sampling: slice `n` evenly-spaced fixed-width windows out of
-    * the payload — pure binary arithmetic, one output row per frame. */
-  def frameSample(media: DataFrame, n: Int = 4, frameBytes: Int = 16): DataFrame =
+    * the payload — pure binary arithmetic, one output row per frame.
+    *
+    * Oracle-determinism shape: the frame step uses INTEGER division
+    * (`max(len/n, 1)` truncated — float division would round vs
+    * truncate differently across engines), and the window fingerprint
+    * is the lowercased hex of the bytes. Hex is byte-faithful AND
+    * reproducible in ANSI SQL over `hex(encode(text))` sliced at
+    * 2 chars/byte — DuckDB can neither md5 nor substring a BLOB, so a
+    * digest column would be unverifiable there. */
+  def frameSample(media: DataFrame, n: Int = 4, frameBytes: Int = 16): DataFrame = {
+    val step = greatest((length(col("payload")) / n).cast("int"), lit(1))
     media
-      .select(col("doc_id"), col("kind"), length(col("payload")).as("len"),
+      .select(col("doc_id"), col("kind"),
         posexplode(transform(sequence(lit(0), lit(n - 1)), i =>
-          col("payload").substr(
-            (i * greatest(length(col("payload")) / n, lit(1)) + 1).cast("int"),
-            lit(frameBytes)))).as(Seq("frame_idx", "frame")))
+          col("payload").substr(i * step + 1, lit(frameBytes))))
+          .as(Seq("frame_idx", "frame")))
       .select(col("doc_id"), col("kind"), col("frame_idx"),
-        length(col("frame")).as("frame_bytes"), md5(col("frame")).as("frame_md5"))
+        length(col("frame")).as("frame_bytes"),
+        lower(hex(col("frame"))).as("frame_hex"))
+  }
 }

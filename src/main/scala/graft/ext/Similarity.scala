@@ -60,11 +60,50 @@ object Similarity {
       .withColumn("nq", norm(col("q")))
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    corpus
+    val scored = corpus
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("q"), col("v")) / (col("nq") * col("nv")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Exact top-k per query with a BOUNDED pre-rank shuffle.
+    *
+    * The naive plan windows row_number over all |corpus|×|queries|
+    * scored rows, shuffling every one of them before truncation — the
+    * round-3 audit's one remaining plan hazard at extreme scale. Here
+    * each partition first reduces to its LOCAL top-k per query: a
+    * sortWithinPartitions (no exchange — Tungsten sort, spillable)
+    * followed by one streaming pass that keeps the first k rows of each
+    * query's run. Only ≈ k·partitions rows per query reach the final
+    * ranking window's exchange — a |corpus|/(k·partitions) shuffle
+    * reduction.
+    *
+    * Bit-identical to the unbounded window: the per-partition order
+    * (cos desc, vec_id asc) is the SAME total order the final window
+    * ranks by (vec_id makes it total), and every global top-k row is by
+    * definition within the top k of its own partition, so the local
+    * truncation can never drop one. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val local = scored
+      .as[(Long, Long, Double)]
+      .sortWithinPartitions(col("query_id"), col("cos").desc, col("vec_id"))
+      .mapPartitions { it =>
+        var first = true
+        var cur = 0L
+        var n = 0
+        it.filter { case (q, _, _) =>
+          if (first || q != cur) { first = false; cur = q; n = 0 }
+          n += 1
+          n <= k
+        }
+      }
+      .toDF("query_id", "vec_id", "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    local
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -230,12 +269,40 @@ object Similarity {
     cents
   }
 
+  /** Per-query probe-cell scores as one array-of-struct expression over
+    * the k (tiny) centroid literals — consumed as `explode(slice(
+    * reverse(array_sort(..)), 1, nprobe))`. Cells are labeled by
+    * POSITION in `cents` — the same labeling [[nearestCell]] gives the
+    * corpus (stored ids may be non-contiguous after an empty Lloyd
+    * cluster). Expects query columns `q` (double vec) and `nq` (norm). */
+  private def cellScores(cents: Seq[(Int, Array[Double])]): Column =
+    array(cents.zipWithIndex.map { case ((_, c), pos) =>
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      struct(
+        (graft.functions.GraftFunctions.vecDot(col("q"), typedLit(c.toSeq)) /
+          (col("nq") * lit(cNorm))).as("s"),
+        lit(pos).as("cell"))
+    }: _*)
+
+  /** Query set (`vec_id % queryMod = 0`) with its per-query probe cells
+    * exploded: (query_id, q, nq, cell), one row per probed cell. */
+  private def probeQueries(
+      emb: DataFrame, queryMod: Int, nprobe: Int,
+      cents: Seq[(Int, Array[Double])]): DataFrame =
+    emb
+      .filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
+      .withColumn("nq", norm(col("q")))
+      .withColumn("probe", explode(slice(reverse(array_sort(cellScores(cents))), 1, nprobe)))
+      .select(col("query_id"), col("q"), col("nq"), col("probe.cell").as("cell"))
+
   /** IVF approximate top-k over a TRAINED coarse quantizer
     * ([[kmeansCentroids]]): the corpus is assigned to its nearest cell
-    * (one codegen'd pass — in production this assignment is written once
-    * at ingest, partitioned by cell), each query probes the `nprobe`
-    * nearest cells, and only those cells are scored. Corpus scanned ≈
-    * nprobe/cells of the data; approximate by design. */
+    * (one codegen'd pass — [[buildIvfIndex]] is the ingest-time path
+    * that writes this assignment once, partitioned by cell), each query
+    * probes the `nprobe` nearest cluster centroids, and only those
+    * cells are scored. Corpus scanned ≈ nprobe/cells of the data;
+    * approximate by design. */
   def ivfTopK(
       emb: DataFrame,
       k: Int = 5,
@@ -245,38 +312,90 @@ object Similarity {
       iters: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val cents = kmeansCentroids(emb, cells, iters)
-
-    // per-query probe list via expressions over the k (tiny) centroid
-    // literals: score every cell, sort, explode the top nprobe. Cells
-    // are labeled by POSITION in `cents` — the same labeling nearestCell
-    // gives the corpus (stored ids may be non-contiguous after an empty
-    // Lloyd cluster).
-    val cellScores = array(cents.zipWithIndex.map { case ((_, c), pos) =>
-      val cNorm = math.sqrt(c.map(x => x * x).sum)
-      struct(
-        (graft.functions.GraftFunctions.vecDot(col("q"), typedLit(c.toSeq)) /
-          (col("nq") * lit(cNorm))).as("s"),
-        lit(pos).as("cell"))
-    }: _*)
-    val queries = emb
-      .filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
-      .withColumn("nq", norm(col("q")))
-      .withColumn("probe", explode(slice(reverse(array_sort(cellScores)), 1, nprobe)))
-      .select(col("query_id"), col("q"), col("nq"), col("probe.cell").as("cell"))
+    val queries = probeQueries(emb, queryMod, nprobe, cents)
 
     // score only the probed cells: corpus join on the cell id
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("cell", nearestCell(cents))
       .withColumn("nv", norm(col("v")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    corpus
+    val scored = corpus
       .join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("q"), col("v")) / (col("nq") * col("nv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Ingest-time IVF index build (closes round-3 "What's missing #4"):
+    * train the coarse quantizer once, assign every corpus vector to its
+    * nearest cell, and write the corpus PARTITIONED BY cell — plus the
+    * k×dim centroid matrix as a sibling `<table>__centroids` parquet —
+    * so [[ivfTopKIndexed]] probes without retraining or reassigning.
+    * At 100 TB this turns every probe query's corpus scan into a
+    * planning-time directory prune: only ~nprobe/cells of the files are
+    * even listed, the rest never open (proven by the PartitionFilters +
+    * numFiles test). */
+  def buildIvfIndex(
+      emb: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      cells: Int = 10,
+      iters: Int = 2): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val cents = kmeansCentroids(emb, cells, iters)
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("v", asDouble(col("embedding")))
+      .withColumn("cell", nearestCell(cents))
+      .drop("v") // store original float vectors; widen again at read
+    writer.writePartitioned(assigned, table, "cell")
+    cents.map { case (cell, c) => (cell, c.toSeq) }
+      .toDF("cell", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(writer.path(s"${table}__centroids"))
+  }
+
+  /** Centroid matrix of an ingest-time index — k×dim driver state, the
+    * same shape [[kmeansCentroids]] returns. */
+  def readIvfCentroids(
+      writer: graft.sinks.StagingWriter, table: String): Seq[(Int, Array[Double])] =
+    writer.read(s"${table}__centroids").collect()
+      .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+      .toSeq.sortBy(_._1)
+
+  /** IVF top-k over an ingest-time index ([[buildIvfIndex]]): the same
+    * probe/score/rank plan as [[ivfTopK]], except cell assignment is
+    * READ (never recomputed) and the union of all probed cells becomes
+    * a static IN-filter on the index table's partition column — pruned
+    * at PLANNING time, so non-probed cells' files are never listed or
+    * opened. The probed-cell union is collected driver-side: |queries|
+    * is small by the operator's contract (the same assumption that lets
+    * the query set broadcast). */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      k: Int = 5,
+      queryMod: Int = 50,
+      nprobe: Int = 3): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val cents = readIvfCentroids(writer, table)
+    val index = writer.read(table)
+    val queries = probeQueries(index.select(col("vec_id"), col("embedding")),
+      queryMod, nprobe, cents)
+    val probedCells = queries.select(col("cell")).distinct().as[Int].collect().sorted
+    val corpus = index
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("cell"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val scored = corpus
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("q"), col("v")) / (col("nq") * col("nv")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    topKPerQuery(scored, k)
   }
 }

@@ -241,6 +241,23 @@ object ExtOracles {
         |            ELSE 0.0 END AS dup_bigram_ratio
         |FROM t""".stripMargin,
 
+    // frame windows over the media payload (= UTF-8 bytes of text):
+    // step = max(bytes/4, 1) integer division; hex slicing at 2 chars
+    // per byte reproduces the byte windows exactly (start byte i*step+1
+    // -> hex offset 2*i*step+1, 16 bytes -> 32 hex chars)
+    "x17_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         hex(encode(text)) AS ph,
+        |         greatest(octet_length(encode(text)) // 4, 1) AS step
+        |  FROM documents)
+        |SELECT doc_id, kind, CAST(i AS INT) AS frame_idx,
+        |       CAST(length(substr(ph, 2*i*step + 1, 32)) // 2 AS INT) AS frame_bytes,
+        |       lower(substr(ph, 2*i*step + 1, 32)) AS frame_hex
+        |FROM m, range(0, 4) t(i)""".stripMargin,
+
     "x11_multimodal_meta" ->
       """SELECT doc_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -119,5 +119,6 @@ object ExtQueries {
     "x10_fingerprint" -> ((s, d) => TextStats.fingerprint(docs(s, d))),
     "x11_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(docs(s, d))),
     "x15_pii_scrub" -> ((s, d) => TextStats.piiScrub(docs(s, d))),
+    "x17_frame_sample" -> ((s, d) => Multimodal.frameSample(Multimodal.mediaTable(docs(s, d)))),
     "x16_repetition" -> ((s, d) => TextStats.repetition(docs(s, d))))
 }

@@ -200,6 +200,29 @@ class ExtSpec extends SparkSpec {
     assert(Similarity.embedNeardupCapReport(clones, maxBucket = 5).count() > 0)
   }
 
+  test("cosTopK shuffles ~k rows per query per partition, not |corpus|x|queries|") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan: Exchange metrics directly readable
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      val df = ext.Similarity.cosTopK(emb, k = 5, queryMod = 25)
+      df.collect() // execute THIS plan instance so its metrics populate
+      val shuffled = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+      }.sum
+      val nQueries = emb.filter($"vec_id" % 25 === 0).count()
+      val corpus = emb.count()
+      assert(shuffled > 0, "no exchange found — metric plumbing broke")
+      // old plan shuffled every scored row (corpus x queries); the bounded
+      // plan shuffles at most k rows per query per scan partition
+      assert(shuffled < corpus * nQueries / 10,
+        s"shuffled $shuffled of ${corpus * nQueries} scored rows — local top-k not applied")
+      assert(shuffled <= nQueries * 5 * 64,
+        s"shuffled $shuffled > queries*k*64 — more partitions than plausible")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("ivfTopK with a full probe is bit-for-bit the exact baseline") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = Similarity.cosTopK(emb, k = 5, queryMod = 25)
@@ -211,6 +234,53 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(exact.nonEmpty)
     assert(full == exact, s"full-probe IVF diverged: ${exact -- full} vs ${full -- exact}")
+  }
+
+  test("ingest-time IVF index: planning-time pruning, full-probe exactness, parity with retrain path") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("ivfidx"))
+    Similarity.buildIvfIndex(emb, writer, "emb_ivf", cells = 10, iters = 2)
+
+    // full probe over the index == the exact baseline, bit-for-bit: the
+    // stored assignment + pruning path changes WHERE rows are read, never
+    // what is scored
+    val exact = Similarity.cosTopK(emb, k = 5, queryMod = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Similarity.ivfTopKIndexed(spark, writer, "emb_ivf",
+      k = 5, queryMod = 25, nprobe = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact.nonEmpty && full == exact,
+      s"indexed full-probe diverged: ${exact -- full} vs ${full -- exact}")
+
+    // partial probe == the retraining path at the same geometry (Lloyd
+    // training is deterministic, so the stored centroids are the same)
+    val probed = Similarity.ivfTopKIndexed(spark, writer, "emb_ivf",
+      k = 5, queryMod = 25, nprobe = 2)
+    val retrained = Similarity.ivfTopK(emb, k = 5, queryMod = 25,
+      nprobe = 2, cells = 10, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probed.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      == retrained, "indexed probe diverged from the retraining path")
+
+    // the probed corpus scan prunes at PLANNING time: PartitionFilters on
+    // cell, and strictly fewer files read than the whole index
+    assert(probed.queryExecution.executedPlan.toString.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")),
+      "probe filter did not reach PartitionFilters")
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      plan.collectLeaves().map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+    }
+    val allFiles = filesRead(writer.read("emb_ivf"))
+    val probedCells = Seq(0, 1) // any strict subset of the 10 cells
+    val prunedFiles = filesRead(writer.read("emb_ivf")
+      .filter($"cell".isin(probedCells.map(Integer.valueOf): _*)))
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"pruning ineffective: $prunedFiles of $allFiles files")
   }
 
   test("ivfTopK recall vs exact baseline on the oracle-gate fixture") {
@@ -340,8 +410,14 @@ class ExtSpec extends SparkSpec {
 
     val frames = Multimodal.frameSample(media, n = 4, frameBytes = 4)
     assert(frames.count() == 8) // 4 frames per doc
-    assert(frames.filter($"doc_id" === 1L).select(countDistinct($"frame_md5"))
+    assert(frames.filter($"doc_id" === 1L).select(countDistinct($"frame_hex"))
       .head().getLong(0) == 4) // distinct windows over a 30-byte payload
+    // integer-step window positions: 30-byte payload, step max(30/4,1)=7
+    // -> starts 1,8,15,22; first frame = first 4 payload bytes
+    val f0 = frames.filter($"doc_id" === 1L && $"frame_idx" === 0).head()
+    assert(f0.getAs[String]("frame_hex") ==
+      "hell".getBytes("UTF-8").map("%02x".format(_)).mkString)
+    assert(f0.getAs[Int]("frame_bytes") == 4)
 
     // resize: target geometry drives the payload size, metadata updates,
     // deterministic output (same input → same bytes)
