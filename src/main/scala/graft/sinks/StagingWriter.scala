@@ -94,20 +94,8 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
     * full append history, so promotion is repeatable after every
     * incremental batch and the final table is always one row per PK.
     * Returns the rows in the promoted table. */
-  def promote(entity: String, pk: Seq[String]): Long =
+  override def promote(entity: String, pk: Seq[String]): Long =
     writeAndSwap(latestPerPk(read(stagingName(entity)), pk), entity.toLowerCase)
-
-  /** Latest extraction per PK: max extractiontimestamputc, extractionid
-    * as the deterministic tiebreak — one window pass, shuffled on the PK
-    * only. */
-  private def latestPerPk(df: DataFrame, pk: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(pk.map(col): _*)
-      .orderBy(col(graft.catalog.SchemaRegistry.ExtractionTsCol).desc,
-        col(graft.catalog.SchemaRegistry.ExtractionIdCol).desc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
 
   /** Write `df` at `table` with the crash-safe swap: write tmp → rename
     * live→backup → rename tmp→live → delete backup, checking every

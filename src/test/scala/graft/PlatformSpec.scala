@@ -136,6 +136,47 @@ class JdbcStagingWriterSpec extends SparkSpec {
     assert(schema("ordname").dataType.typeName == "string")
     assert(schema("qty").dataType.typeName == "long")
   }
+
+  test("JDBC stg→final promotion and compaction: latest per PK, rename swap, repeatable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val url = s"jdbc:derby:memory:promo${System.nanoTime()};create=true"
+    val w = new JdbcStagingWriter(spark, url)
+    def batch(runId: String, ts: String, rows: (String, Long)*) =
+      rows.toDF("ordname", "qty")
+        .withColumn("extractionid", lit(runId))
+        .withColumn("extractiontimestamputc", lit(java.sql.Timestamp.valueOf(ts)))
+
+    w.writeEntity(batch("r1", "2024-01-01 00:00:00", "a" -> 1L, "b" -> 2L),
+      meta, append = false)
+    w.writeEntity(batch("r2", "2024-01-02 00:00:00", "a" -> 9L),
+      meta, append = true)
+
+    def finalRows() = spark.read.jdbc(url, "orders", new java.util.Properties)
+      .collect().map(r => r.getAs[String]("ordname") -> r.getAs[Long]("qty")).toMap
+    assert(w.promote("ORDERS", Seq("ordname")) == 2) // first promote: no live table yet
+    assert(finalRows() == Map("a" -> 9L, "b" -> 2L))
+    assert(w.read("ORDERS").count() == 3) // staging history untouched
+
+    // re-promote with a live final table present: exercises the rename swap
+    w.writeEntity(batch("r3", "2024-01-03 00:00:00", "b" -> 7L, "c" -> 5L),
+      meta, append = true)
+    assert(w.promote("ORDERS", Seq("ordname")) == 3)
+    assert(finalRows() == Map("a" -> 9L, "b" -> 7L, "c" -> 5L))
+
+    // compaction trims staging itself down to the latest extraction per PK
+    assert(w.compact(w.stagingName("ORDERS"), Seq("ordname")) == 3)
+    assert(w.read("ORDERS").count() == 3)
+
+    // no swap debris left behind in the warehouse
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val names = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("TABLE_NAME")).toList
+      assert(!names.exists(_.toLowerCase.contains("swap")), s"swap debris: $names")
+    } finally conn.close()
+  }
 }
 
 class ConfigStoreSpec extends SparkSpec {
