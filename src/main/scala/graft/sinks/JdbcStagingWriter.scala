@@ -139,10 +139,13 @@ final class JdbcStagingWriter(
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      def exists(t: String): Boolean = {
-        val rs = conn.getMetaData.getTables(null, null, t.toUpperCase, null)
-        try rs.next() finally rs.close()
-      }
+      // unquoted identifiers fold UP on Derby/Oracle-style warehouses and
+      // DOWN on Postgres-style ones — probe both foldings
+      def exists(t: String): Boolean =
+        Seq(t.toUpperCase, t.toLowerCase).exists { n =>
+          val rs = conn.getMetaData.getTables(null, null, n, null)
+          try rs.next() finally rs.close()
+        }
       if (exists(bak)) st.executeUpdate(s"DROP TABLE $bak")
       val hadLive = exists(table)
       if (hadLive) st.executeUpdate(s"RENAME TABLE $table TO $bak")
