@@ -69,41 +69,26 @@ object Similarity {
 
   /** Exact top-k per query with a BOUNDED pre-rank shuffle.
     *
-    * The naive plan windows row_number over all |corpus|×|queries|
-    * scored rows, shuffling every one of them before truncation — the
-    * round-3 audit's one remaining plan hazard at extreme scale. Here
-    * each partition first reduces to its LOCAL top-k per query: a
-    * sortWithinPartitions (no exchange — Tungsten sort, spillable)
-    * followed by one streaming pass that keeps the first k rows of each
-    * query's run. Only ≈ k·partitions rows per query reach the final
-    * ranking window's exchange — a |corpus|/(k·partitions) shuffle
-    * reduction.
+    * Declared as the plain row_number window + rank filter — and that
+    * is the whole optimization: Catalyst rewrites `row_number() ≤ k`
+    * into a WindowGroupLimit with a PARTIAL stage below the exchange
+    * (rank-limit pushdown, SPARK-37099), so each input partition
+    * reduces to its local top-k per query inside whole-stage codegen
+    * before anything shuffles. The exchange carries ≈ k·partitions rows
+    * per query instead of all |corpus|×|queries| scored rows — the
+    * round-3 audit's one remaining plan hazard, closed by the engine
+    * itself. A hand-rolled sortWithinPartitions+mapPartitions local
+    * top-k was measured here and REJECTED: it duplicates the partial
+    * WindowGroupLimit while adding an object serde round-trip that
+    * breaks codegen.
     *
-    * Bit-identical to the unbounded window: the per-partition order
-    * (cos desc, vec_id asc) is the SAME total order the final window
-    * ranks by (vec_id makes it total), and every global top-k row is by
-    * definition within the top k of its own partition, so the local
-    * truncation can never drop one. */
+    * The bounded behavior is pinned by a ShuffleExchangeExec-metrics
+    * test (ExtSpec), so a config/regression that disables the rewrite
+    * (e.g. spark.sql.optimizer.windowGroupLimitThreshold) is caught. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    val local = scored
-      .as[(Long, Long, Double)]
-      .sortWithinPartitions(col("query_id"), col("cos").desc, col("vec_id"))
-      .mapPartitions { it =>
-        var first = true
-        var cur = 0L
-        var n = 0
-        it.filter { case (q, _, _) =>
-          if (first || q != cur) { first = false; cur = q; n = 0 }
-          n += 1
-          n <= k
-        }
-      }
-      .toDF("query_id", "vec_id", "cos")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    local
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))

@@ -207,15 +207,22 @@ class ExtSpec extends SparkSpec {
       val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       val df = ext.Similarity.cosTopK(emb, k = 5, queryMod = 25)
       df.collect() // execute THIS plan instance so its metrics populate
-      val shuffled = df.queryExecution.executedPlan.collect {
+      val plan = df.queryExecution.executedPlan
+      // the rank<=k filter must rewrite to a PARTIAL WindowGroupLimit
+      // below the exchange (SPARK-37099) — the engine's own local top-k
+      assert(plan.toString.contains("WindowGroupLimit") &&
+        plan.toString.contains("Partial"),
+        s"rank-limit pushdown missing from the plan:\n${plan.toString.take(2000)}")
+      val shuffled = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
           e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
       }.sum
       val nQueries = emb.filter($"vec_id" % 25 === 0).count()
       val corpus = emb.count()
       assert(shuffled > 0, "no exchange found — metric plumbing broke")
-      // old plan shuffled every scored row (corpus x queries); the bounded
-      // plan shuffles at most k rows per query per scan partition
+      // an unbounded plan would shuffle every scored row (corpus x
+      // queries); the rank-limit pushdown caps it at k rows per query
+      // per scan partition
       assert(shuffled < corpus * nQueries / 10,
         s"shuffled $shuffled of ${corpus * nQueries} scored rows — local top-k not applied")
       assert(shuffled <= nQueries * 5 * 64,
