@@ -88,6 +88,30 @@ class PropertySpec extends SparkSpec {
     }, min = 15)
   }
 
+  test("simhash 4x16 banding: any pair within hamming 3 shares a band (all 2^64 corners)") {
+    // pure-arithmetic mirror of Dedup.simhashBands's shift+mask keys —
+    // the Spark-side pipeline equality is pinned on the fixture in
+    // ExtSpec; this drives the pigeonhole across random signatures
+    // including sign-bit corners (bit 63 set, negative longs)
+    import graft.ext.Dedup.{SimhashBands, SimhashBandBits}
+    def bands(sig: Long): Seq[Long] =
+      (0 until SimhashBands).map(j => (sig >> (SimhashBandBits * j)) & 0xFFFFL)
+    val sigGen = Gen.choose(Long.MinValue, Long.MaxValue)
+    val flipsGen = Gen.choose(0, SimhashBands - 1)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(0, 63)))
+    check("pigeonhole", Prop.forAll(sigGen, flipsGen) { (a, flips) =>
+      val b = flips.foldLeft(a)((s, i) => s ^ (1L << i)) // hamming(a,b) <= 3
+      bands(a).zip(bands(b)).exists { case (x, y) => x == y }
+    }, min = 500)
+    check("band-keys-cover-the-signature", Prop.forAll(sigGen) { a =>
+      // reassembling the 4 band keys reproduces the signature exactly —
+      // the blocking loses no bits (so banded candidates can verify with
+      // the true hamming distance)
+      bands(a).zipWithIndex.map { case (v, j) => v << (SimhashBandBits * j) }
+        .reduce(_ | _) == a
+    }, min = 200)
+  }
+
   test("explode then reassemble is the identity on nested frames") {
     val childGen = Gen.listOfN(3, Gen.choose(1, 999))
     val parentsGen: Gen[List[(String, List[Int])]] = for {
