@@ -245,6 +245,28 @@ object ExtOracles {
     // step = max(bytes/4, 1) integer division; hex slicing at 2 chars
     // per byte reproduces the byte windows exactly (start byte i*step+1
     // -> hex offset 2*i*step+1, 16 bytes -> 32 hex chars)
+    // Independent check of the exact prefix-filtered join: candidates
+    // here are the COMPLETE shared-shingle equi-join (any pair at
+    // Jaccard > 0 shares a shingle), verified with the same integer
+    // cross-multiplied threshold (10·i ≥ 7·|∪| ⟺ J ≥ 0.7 — no float
+    // boundary). Far cheaper than the all-pairs list_intersect shape of
+    // the x2 oracle at larger scale factors.
+    "x18_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2)
+         |SELECT i.a_id, i.b_id,
+         |       CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jaccard
+         |FROM inter i
+         |JOIN sz sa ON sa.doc_id = i.a_id
+         |JOIN sz sb ON sb.doc_id = i.b_id
+         |WHERE 10 * i.i >= 7 * (sa.sz + sb.sz - i.i)""".stripMargin,
+
     "x17_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -120,5 +120,10 @@ object ExtQueries {
     "x11_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(docs(s, d))),
     "x15_pii_scrub" -> ((s, d) => TextStats.piiScrub(docs(s, d))),
     "x17_frame_sample" -> ((s, d) => Multimodal.frameSample(Multimodal.mediaTable(docs(s, d)))),
-    "x16_repetition" -> ((s, d) => TextStats.repetition(docs(s, d))))
+    "x16_repetition" -> ((s, d) => TextStats.repetition(docs(s, d))),
+    // Exact (non-probabilistic) member of the dedup family: prefix-
+    // filtered n-gram Jaccard join at 0.7 — a threshold where MinHash
+    // banding recall already decays (~1.2% borderline miss), which is
+    // exactly when the exact algorithm is the right choice.
+    "x18_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardJoinMaterialized(docs(s, d))))
 }

@@ -65,6 +65,60 @@ class ExtSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("ngramJaccardJoin equals a driver-side brute force on the fixture") {
+    graft.functions.GraftFunctions.register(spark)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Dedup.ngramJaccardJoin(d, 7, 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // independent oracle: shingle STRING sets + plain Scala set algebra
+    // on the driver (also catches a 64-bit shingle-hash collision)
+    val sets = d.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      i = (sets(a) & sets(b)).size
+      u = (sets(a) | sets(b)).size
+      if u > 0 && i * 10 >= u * 7
+    } yield ((a, b), i.toDouble / u)).toMap
+    assert(want.nonEmpty, "fixture has no qualifying pair — test is vacuous")
+    assert(got.keySet == want.keySet,
+      s"missed ${want.keySet -- got.keySet}, extra ${got.keySet -- want.keySet}")
+    want.foreach { case (k, j) => assert(got(k) == j, s"jaccard differs for $k") }
+  }
+
+  test("ngram prefix filter: exact at the threshold boundary, prunes by length and rarity") {
+    // doc2's 4 shingles are all shared with doc1's 5: J = 4/5, exactly
+    // the 4/5 threshold — must be INCLUDED (>=). Float ceil(0.8*5) can
+    // round to 5 and shrink the prefix below the guarantee; the integer
+    // cross-multiplication cannot.
+    val d = docsDf(
+      1L -> "t1 t2 t3 t4 t5 t6 t7",
+      2L -> "t1 t2 t3 t4 t5 t6",
+      3L -> "t1 t2 t3 t4",
+      4L -> "u1 u2 u3 u4 u5")
+    val r = Dedup.ngramJaccardJoin(d, 4, 5).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSet == Set((1L, 2L)))
+    assert(r.head.getAs[Double]("jaccard") == 0.8)
+    // length filter alone must already drop (1,3): 2*5 < 5*4
+    val hs = Dedup.shingleHashes(d)
+    val pref = Dedup.ngramPrefixCandidates(hs, 4, 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pref.contains((1L, 2L)))
+    assert(!pref.contains((1L, 3L)), "length filter should prune the size-mismatched pair")
+    // fixture-scale pruning: prefix candidates strictly fewer than the
+    // complete shared-shingle candidate set (what makes this subquadratic)
+    val fhs = Dedup.shingleHashes(spark.read.parquet(s"$sf/documents.parquet"))
+      .persist()
+    try {
+      val full = fhs.select($"doc_id".as("a_id"), $"h")
+        .join(fhs.select($"doc_id".as("b_id"), $"h"), "h")
+        .filter($"a_id" < $"b_id").select("a_id", "b_id").distinct().count()
+      val pruned = Dedup.ngramPrefixCandidates(fhs, 7, 10).count()
+      assert(pruned < full, s"prefix filter pruned nothing: $pruned vs $full")
+    } finally fhs.unpersist(blocking = false)
+  }
+
   test("simhash: identical texts collide, near-dups are close, pairs dedup across bands") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val d = docsDf(1L -> base, 2L -> base, 3L -> (base + " extra"))
