@@ -103,11 +103,41 @@ object Dedup {
     * aggregation, an order of magnitude faster than per-document
     * higher-order-function traversals (which are interpreted). */
   /** Exploded (doc_id, shingleHash) rows — the shared intermediate of
-    * the MinHash pipeline. */
-  def shingleHashes(docs: DataFrame): DataFrame = {
+    * the MinHash pipeline (n = 3) and the decontamination semi-join
+    * (n = 13). */
+  def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"),
-      explode(transform(shingles(col("text")), s => xxhash64(s))).as("h"))
+      explode(transform(shingles(col("text"), n), s => xxhash64(s))).as("h"))
+  }
+
+  /** Benchmark decontamination: per training document, how many of its
+    * distinct word `n`-grams appear anywhere in the evaluation corpus
+    * (the 13-gram containment rule used to scrub benchmark leakage from
+    * LLM training sets). Returns one row per training doc:
+    * (doc_id, n_eval_ngrams, contaminated) — all integer/boolean, so
+    * the output is hash-compare safe.
+    *
+    * Scale shape: the eval side is a benchmark, i.e. orders of magnitude
+    * smaller than the corpus — its distinct n-gram hashes are
+    * BROADCAST, so the 100 TB training side streams through a broadcast
+    * hash join plus one map-side-combinable count: the corpus is never
+    * shuffled. (Intersection is counted on 64-bit shingle hashes, the
+    * same vanishing-collision trade the MinHash verify documents.) */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int = 13): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val evalHashes = broadcast(
+      evalDocs
+        .select(explode(transform(shingles(col("text"), n), s => xxhash64(s))).as("h"))
+        .distinct())
+    val hits = shingleHashes(train, n)
+      .join(evalHashes, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_ngrams"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_ngrams"), lit(0L)).as("n_eval_ngrams"),
+        (coalesce(col("n_eval_ngrams"), lit(0L)) > 0).as("contaminated"))
   }
 
   def minhashBands(docs: DataFrame): DataFrame =

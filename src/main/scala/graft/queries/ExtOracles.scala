@@ -267,6 +267,28 @@ object ExtOracles {
          |JOIN sz sb ON sb.doc_id = i.b_id
          |WHERE 10 * i.i >= 7 * (sa.sz + sb.sz - i.i)""".stripMargin,
 
+    // Decontamination: 13-gram containment against the planted eval set
+    // (every 50th doc's token window [5,30] — Spark slice(s,5,26) ==
+    // DuckDB s[5:30], both 26 tokens). The join is on n-gram STRINGS
+    // here vs 64-bit hashes on the Spark side (vanishing-collision
+    // caveat as x2/x18).
+    "x19_decontaminate" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |  tg AS (SELECT doc_id, unnest(list_distinct(
+        |           [array_to_string(s[i:i+12], ' ') FOR i IN range(1, len(s)-11)])) AS g
+        |         FROM tr),
+        |  ev_src AS (SELECT list_slice(string_split(text, ' '), 5, 30) AS s
+        |             FROM documents WHERE doc_id % 50 = 0),
+        |  ev AS (SELECT DISTINCT unnest(
+        |           [array_to_string(s[i:i+12], ' ') FOR i IN range(1, len(s)-11)]) AS g
+        |         FROM ev_src),
+        |  hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_ngrams
+        |           FROM tg JOIN ev USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(h.n_eval_ngrams, 0) AS n_eval_ngrams,
+        |       coalesce(h.n_eval_ngrams, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+
     "x17_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -125,5 +125,16 @@ object ExtQueries {
     // filtered n-gram Jaccard join at 0.7 — a threshold where MinHash
     // banding recall already decays (~1.2% borderline miss), which is
     // exactly when the exact algorithm is the right choice.
-    "x18_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardJoinMaterialized(docs(s, d))))
+    "x18_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardJoinMaterialized(docs(s, d))),
+    // Benchmark decontamination (13-gram containment). The "benchmark"
+    // is PLANTED from the corpus itself — every 50th document's token
+    // window [5, 30] becomes an eval item, so contamination exists by
+    // construction (docs ≥ 17 tokens quote a full 13-gram) and the
+    // oracle row is non-vacuous; near-dups of sliced docs may hit too.
+    "x19_decontaminate" -> ((s, d) => {
+      val dd = docs(s, d)
+      val ev = dd.filter(col("doc_id") % 50 === 0)
+        .select(array_join(slice(split(col("text"), " "), 5, 26), " ").as("text"))
+      Dedup.decontaminate(dd, ev)
+    }))
 }

@@ -119,6 +119,31 @@ class ExtSpec extends SparkSpec {
     } finally fhs.unpersist(blocking = false)
   }
 
+  test("decontaminate flags 13-gram containment and nothing shorter") {
+    val long = (1 to 40).map(i => s"a$i").mkString(" ")
+    // shares only a 12-token run with doc 1 — below the rule, must stay clean
+    val overlap12 = ((1 to 12).map(i => s"a$i") ++ Seq("zz") ++
+      (50 to 70).map(i => s"b$i")).mkString(" ")
+    val unrelated = (1 to 40).map(i => s"c$i").mkString(" ")
+    val d = docsDf(1L -> long, 2L -> overlap12, 3L -> unrelated)
+    // eval item quotes tokens a1..a20 of doc 1 inside other text
+    val ev = Seq("x y " + (1 to 20).map(i => s"a$i").mkString(" ")).toDF("text")
+    val r = Dedup.decontaminate(d, ev)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    // 13-gram windows of a1..a20 fully inside doc 1: starts a1..a8 = 8 grams
+    assert(r(1L) == ((8L, true)), s"doc1 got ${r(1L)}")
+    assert(r(2L) == ((0L, false)), "a 12-token overlap must not contaminate")
+    assert(r(3L) == ((0L, false)))
+  }
+
+  test("decontaminate broadcasts the eval n-gram set (corpus join side never shuffles)") {
+    val d = docsDf((1L to 20L).map(i => i -> (1 to 30).map(j => s"t${i}_$j").mkString(" ")): _*)
+    val ev = Seq((1 to 30).map(j => s"t5_$j").mkString(" ")).toDF("text")
+    val plan = Dedup.decontaminate(d, ev).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [h"),
+      s"eval n-gram join is not a broadcast hash join:\n$plan")
+  }
+
   test("simhash: identical texts collide, near-dups are close, pairs dedup across bands") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val d = docsDf(1L -> base, 2L -> base, 3L -> (base + " extra"))
