@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus assembly — the operators that turn a cleaned document corpus
+  * into training shards: reproducible splits, mixture sampling, and
+  * sequence packing. Downstream of the dedup/quality surface
+  * ([[Dedup]], [[TextStats]]); the reference has no analog (these are
+  * part of the LLM-pipeline extension surface).
+  *
+  * All three are driven by a salted, md5-derived CONTENT bucket rather
+  * than row position or RNG state:
+  *   - deterministic and engine-reproducible (the DuckDB oracles
+  *     recompute identical assignments — md5 is the one cross-engine
+  *     hash, see ExtOracles);
+  *   - stable under re-sharding/re-partitioning — a row's assignment
+  *     never depends on which partition it landed in or how many
+  *     executors ran (sampling by `rand()` or zipWithIndex would);
+  *   - content-keyed: exact duplicates co-travel into the same split,
+  *     so a dup pair can never straddle train/test and leak;
+  *   - per-use salts decorrelate the buckets (the split bucket and the
+  *     mixture bucket of one document are independent hashes).
+  *
+  * Every assignment is integer arithmetic on the bucket — no float
+  * thresholds, so outputs are hash-compare safe and immune to IEEE
+  * boundary drift between engines.
+  */
+object Assemble {
+
+  /** 32-bit md5-derived bucket in [0, den): uniform over content,
+    * decorrelated across salts. Same md5 idiom the SimHash oracle
+    * shares (`('0x'||substr(md5(..),1,8))::BIGINT` in ANSI SQL). */
+  private def bucket(text: Column, salt: String, den: Int): Column =
+    pmod(conv(substring(md5(concat(text, lit(salt))), 1, 8), 16, 10).cast("long"),
+      lit(den.toLong))
+
+  /** Deterministic train/val/test split by content hash (permille
+    * thresholds, default 900/50/50). One narrow projection, no shuffle,
+    * no RNG: re-running on a re-partitioned 100 TB corpus reproduces
+    * the exact assignment, and identical texts always land in the same
+    * split (no dup leakage across the eval boundary). */
+  def hashSplit(
+      docs: DataFrame,
+      trainPermille: Int = 900,
+      valPermille: Int = 50,
+      salt: String = "split-v1"): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000, "permille thresholds must fit in [0, 1000]")
+    val b = bucket(col("text"), salt, 1000)
+    docs.select(col("doc_id"),
+      when(b < trainPermille, lit("train"))
+        .when(b < trainPermille + valPermille, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  /** Mixture denominator: weights are exact rationals over 10000 so the
+    * keep decision is an integer comparison. */
+  private val MixDen = 10000
+
+  /** Deterministic weighted mixture sampling per stratum (the
+    * data-mixing step of a training run: "keep 100% of en, 50% of zh,
+    * 25% of es…"). A document is kept iff its mixture bucket falls
+    * below the stratum's weight: bucket·wDen < wNum·10000 — exact
+    * integer arithmetic, so a weight like 1/3 is honored without any
+    * float boundary. Strata missing from `weights` are DROPPED (weight
+    * 0) — a mixture spec is a whitelist. Embarrassingly parallel scan;
+    * the keep rate converges to the weight per stratum without any
+    * shuffle or global count. */
+  def mixSample(
+      docs: DataFrame,
+      weights: Map[String, (Int, Int)],
+      stratum: String = "lang",
+      salt: String = "mix-v1"): DataFrame = {
+    weights.foreach { case (k, (num, den)) =>
+      require(den > 0 && num >= 0 && num <= den, s"weight $num/$den for '$k' not in [0, 1]")
+    }
+    val b = bucket(col("text"), salt, MixDen)
+    val keep = weights.foldLeft(lit(false)) { case (acc, (value, (num, den))) =>
+      when(col(stratum) === value, b * den < lit(num.toLong) * MixDen).otherwise(acc)
+    }
+    docs.filter(keep).select(col("doc_id"), col(stratum))
+  }
+
+  /** Shard-local sequence packing by token budget: assign each document
+    * to a shard (content bucket) and, within the shard's doc_id order,
+    * to the sequence index its exclusive prefix token sum falls in —
+    * consecutive documents fill ~`budgetTokens`-token sequences, the
+    * contiguous-run shape a pretraining data loader consumes (docs may
+    * straddle a boundary; the loader truncates/pads downstream).
+    *
+    * Scale: the window partitions by shard — `shards` independent
+    * running sums, never a global sort or single-partition window. At
+    * 100 TB, set `shards` ≈ the loader's file parallelism; each shard
+    * streams independently. All arithmetic is integer (token counts,
+    * prefix sums, truncating division on non-negative values). */
+  def packBudget(
+      docs: DataFrame,
+      budgetTokens: Int = 2048,
+      shards: Int = 32,
+      salt: String = "pack-v1"): DataFrame = {
+    require(budgetTokens > 0 && shards > 0, "budget and shard count must be positive")
+    val d = docs.select(col("doc_id"),
+      bucket(col("text"), salt, shards).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        // exclusive prefix sum DIV budget; values ≪ 2^53 so the
+        // double-division + cast truncation is exact (frameSample idiom)
+        ((col("cum") - col("n_tokens")) / budgetTokens).cast("long").as("seq_idx"))
+  }
+}

@@ -289,6 +289,37 @@ object ExtOracles {
         |       coalesce(h.n_eval_ngrams, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
 
+    // Corpus assembly: salted md5 content buckets, integer thresholds
+    // only (a float weight boundary could flip a row between engines).
+    "x20_hash_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN b < 900 THEN 'train'
+        |            WHEN b < 950 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(text || 'split-v1'), 1, 8))::BIGINT % 1000 AS b
+        |      FROM documents)""".stripMargin,
+
+    "x21_mix_sample" ->
+      """SELECT doc_id, lang
+        |FROM (SELECT doc_id, lang,
+        |        ('0x' || substr(md5(text || 'mix-v1'), 1, 8))::BIGINT % 10000 AS b
+        |      FROM documents)
+        |WHERE (lang = 'en' AND b * 1 < 1 * 10000)
+        |   OR (lang = 'zh' AND b * 2 < 1 * 10000)
+        |   OR (lang = 'es' AND b * 4 < 1 * 10000)
+        |   OR (lang = 'de' AND b * 4 < 3 * 10000)""".stripMargin,
+
+    "x22_pack" ->
+      """SELECT doc_id, shard, n_tokens, (cum - n_tokens) // 2048 AS seq_idx
+        |FROM (SELECT doc_id, shard, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM (SELECT doc_id,
+        |              ('0x' || substr(md5(text || 'pack-v1'), 1, 8))::BIGINT % 32 AS shard,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |            FROM documents))""".stripMargin,
+
     "x17_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{AsofJoin, Assemble, Dedup, Multimodal, Similarity, TextStats}
 import graft.sources.{FetchRequest, ParquetSimSource}
 
 /** LLM-training-data-pipeline query inventory (the north star's second
@@ -136,5 +136,12 @@ object ExtQueries {
       val ev = dd.filter(col("doc_id") % 50 === 0)
         .select(array_join(slice(split(col("text"), " "), 5, 26), " ").as("text"))
       Dedup.decontaminate(dd, ev)
-    }))
+    }),
+    // Corpus assembly: reproducible content-hash split, language
+    // mixture (en 100%, zh 50%, es 25%, de 75%, fr dropped — a mixture
+    // spec is a whitelist), and shard-local token-budget packing.
+    "x20_hash_split" -> ((s, d) => Assemble.hashSplit(docs(s, d))),
+    "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
+      Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),
+    "x22_pack" -> ((s, d) => Assemble.packBudget(docs(s, d))))
 }
