@@ -220,19 +220,21 @@ object Dedup {
     finally hs.unpersist(blocking = false)
   }
 
-  private def neardupFrom(hs: DataFrame, threshold: Double, maxBucket: Int): DataFrame =
-    pairJaccard(hs, minhashCandidatesFrom(hs, maxBucket))
+  private def neardupFrom(hs: DataFrame, threshold: Double, maxBucket: Int): DataFrame = {
+    val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    pairJaccard(hs, sizes, minhashCandidatesFrom(hs, maxBucket))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
 
   /** Exact Jaccard for each candidate (a_id, b_id) pair: |∩| by a
     * hash-join count over the exploded shingle hashes, |∪| from the
-    * per-doc set sizes. Emits (a_id, b_id, i, sz_a, sz_b, jaccard);
-    * `jaccard` is a single division of exact integers (bit-stable for
-    * hash-compared oracles). Shared by every candidate generator
-    * (MinHash banding, prefix filtering). */
-  private def pairJaccard(hs: DataFrame, cand: DataFrame): DataFrame = {
-    val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    * per-doc set `sizes` (computed once by the caller — the candidate
+    * generators need it too). Emits (a_id, b_id, i, sz_a, sz_b,
+    * jaccard); `jaccard` is a single division of exact integers
+    * (bit-stable for hash-compared oracles). Shared by every candidate
+    * generator (MinHash banding, prefix filtering). */
+  private def pairJaccard(hs: DataFrame, sizes: DataFrame, cand: DataFrame): DataFrame =
     cand
       .join(hs.select(col("doc_id").as("a_id"), col("h")), "a_id")
       .join(hs.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
@@ -241,7 +243,6 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
       .withColumn("jaccard",
         col("i").cast("double") / (col("sz_a") + col("sz_b") - col("i")))
-  }
 
   /** EXACT n-gram Jaccard similarity self-join at threshold tNum/tDen,
     * via document-frequency-ordered prefix filtering (the AllPairs /
@@ -295,7 +296,8 @@ object Dedup {
 
   private def ngramJaccardFrom(hs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen must be in (0, 1]")
-    pairJaccard(hs, ngramPrefixCandidates(hs, tNum, tDen))
+    val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    pairJaccard(hs, sizes, ngramPrefixCandidates(hs, sizes, tNum, tDen))
       // i/(sz_a+sz_b-i) ≥ tNum/tDen, cross-multiplied: exact in integers
       .filter(col("i") * tDen >= (col("sz_a") + col("sz_b") - col("i")) * tNum)
       .select("a_id", "b_id", "jaccard")
@@ -304,8 +306,8 @@ object Dedup {
   /** Prefix-filtered candidate pairs (complete for Jaccard ≥ tNum/tDen).
     * Exposed for the exactness spec, which compares against the
     * unrestricted shared-shingle candidate set. */
-  private[graft] def ngramPrefixCandidates(hs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+  private[graft] def ngramPrefixCandidates(
+      hs: DataFrame, sizes: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     val dfreq = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))

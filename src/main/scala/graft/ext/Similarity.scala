@@ -271,15 +271,22 @@ object Similarity {
 
   /** Query set (`vec_id % queryMod = 0`) with its per-query probe cells
     * exploded: (query_id, q, nq, cell), one row per probed cell. */
-  private def probeQueries(
-      emb: DataFrame, queryMod: Int, nprobe: Int,
+  /** (query_id, q, nq, cell) rows: each query vector exploded to its
+    * `nprobe` nearest centroids. `queryVecs` is the SMALL external
+    * query set (same contract that lets it broadcast). */
+  private def probeQueriesFor(
+      queryVecs: DataFrame, nprobe: Int,
       cents: Seq[(Int, Array[Double])]): DataFrame =
-    emb
-      .filter(col("vec_id") % queryMod === 0)
+    queryVecs
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
       .withColumn("nq", norm(col("q")))
       .withColumn("probe", explode(slice(reverse(array_sort(cellScores(cents))), 1, nprobe)))
       .select(col("query_id"), col("q"), col("nq"), col("probe.cell").as("cell"))
+
+  private def probeQueries(
+      emb: DataFrame, queryMod: Int, nprobe: Int,
+      cents: Seq[(Int, Array[Double])]): DataFrame =
+    probeQueriesFor(emb.filter(col("vec_id") % queryMod === 0), nprobe, cents)
 
   /** IVF approximate top-k over a TRAINED coarse quantizer
     * ([[kmeansCentroids]]): the corpus is assigned to its nearest cell
@@ -364,15 +371,34 @@ object Similarity {
       table: String,
       k: Int = 5,
       queryMod: Int = 50,
+      nprobe: Int = 3): DataFrame =
+    // fixture-harness convenience: the query set is carved out of the
+    // index itself, which costs ONE column-pruned scan of the index on
+    // the query side (vec_id % mod cannot partition-prune). Production
+    // callers hold their query vectors externally — use
+    // [[ivfTopKIndexedFor]], where nothing reads beyond probed cells.
+    ivfTopKIndexedFor(spark, writer, table,
+      writer.read(table).filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id"), col("embedding")),
+      k, nprobe)
+
+  /** [[ivfTopKIndexed]] with an EXPLICIT query set — the production
+    * entry point: `queryVecs` (vec_id, embedding) is the small external
+    * query frame, so the only index read is the corpus scan itself,
+    * planning-time pruned to the probed cells. */
+  def ivfTopKIndexedFor(
+      spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      queryVecs: DataFrame,
+      k: Int = 5,
       nprobe: Int = 3): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val cents = readIvfCentroids(writer, table)
-    val index = writer.read(table)
-    val queries = probeQueries(index.select(col("vec_id"), col("embedding")),
-      queryMod, nprobe, cents)
+    val queries = probeQueriesFor(queryVecs, nprobe, cents)
     val probedCells = queries.select(col("cell")).distinct().as[Int].collect().sorted
-    val corpus = index
+    val corpus = writer.read(table)
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
       .select(col("vec_id"), col("cell"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))

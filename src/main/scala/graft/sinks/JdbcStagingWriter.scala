@@ -71,6 +71,10 @@ final class JdbcStagingWriter(
   /** Write one frame to `stg_<entity>`; append=false replaces (the
     * reference's if_exists='replace'). Returns records written. */
   def writeEntity(df: DataFrame, meta: EntityMeta, append: Boolean): Long = {
+    // a crashed swap can leave this table's only copy at the backup
+    // name; restore BEFORE writing, or an append would silently
+    // re-create an empty live table and orphan the history
+    recover(stagingName(meta.id))
     val obs = Observation()
     // repartition, not coalesce: coalesce would propagate the reduced
     // parallelism UP through fetch/normalize; a shuffle boundary caps
@@ -100,14 +104,19 @@ final class JdbcStagingWriter(
   /** Late-data compaction of a standing staging table — JDBC parity
     * with [[StagingWriter.compact]]: keep only the latest extraction
     * per PK, swapped in via [[writeAndSwap]]. */
-  def compact(table: String, pk: Seq[String]): Long =
+  def compact(table: String, pk: Seq[String]): Long = {
+    recover(table) // the read below must see a restored live table, not fail on a missing one
     writeAndSwap(latestPerPk(spark.read.jdbc(url, table, props), pk), table)
+  }
 
   /** stg→final promotion on the warehouse itself (the reference's
     * roadmap lists final tables in the SAME database the staging sink
     * targets, readme.md:723-731) — closes round-3 "What's missing #3". */
-  override def promote(entity: String, pk: Seq[String]): Long =
+  override def promote(entity: String, pk: Seq[String]): Long = {
+    recover(stagingName(entity)) // staging side is read; its crashed swap must restore first
+    recover(entity.toLowerCase)
     writeAndSwap(latestPerPk(read(entity), pk), entity.toLowerCase)
+  }
 
   /** Write `df` at `table` with the rename swap: materialize to a side
     * table, then (one JDBC connection) rename live→backup, rename
@@ -139,24 +148,59 @@ final class JdbcStagingWriter(
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      // unquoted identifiers fold UP on Derby/Oracle-style warehouses and
-      // DOWN on Postgres-style ones — probe both foldings
-      def exists(t: String): Boolean =
-        Seq(t.toUpperCase, t.toLowerCase).exists { n =>
-          val rs = conn.getMetaData.getTables(null, null, n, null)
-          try rs.next() finally rs.close()
-        }
-      if (exists(bak)) st.executeUpdate(s"DROP TABLE $bak")
-      val hadLive = exists(table)
+      recoverOrDropBak(conn, st, table, bak)
+      val hadLive = exists(conn, table)
       if (hadLive) st.executeUpdate(s"RENAME TABLE $table TO $bak")
       try st.executeUpdate(s"RENAME TABLE $tmp TO $table")
       catch {
         case e: java.sql.SQLException =>
-          if (hadLive) st.executeUpdate(s"RENAME TABLE $bak TO $table") // restore
+          if (hadLive) {
+            // a failed restore must not mask the original swap failure
+            try st.executeUpdate(s"RENAME TABLE $bak TO $table")
+            catch { case restore: java.sql.SQLException => e.addSuppressed(restore) }
+          }
           throw e
       }
       if (hadLive) st.executeUpdate(s"DROP TABLE $bak")
       kept
     } finally conn.close()
   }
+
+  /** Table-existence probe. Unquoted identifiers fold UP on
+    * Derby/Oracle-style warehouses and DOWN on Postgres-style ones —
+    * probe both foldings — and `_` is a single-char LIKE wildcard in
+    * `DatabaseMetaData.getTables` patterns (every staging name contains
+    * one), so pattern metacharacters are escaped or a similarly-named
+    * table would fake a hit and derail the swap. */
+  private def exists(conn: java.sql.Connection, t: String): Boolean = {
+    val md = conn.getMetaData
+    val esc = md.getSearchStringEscape
+    Seq(t.toUpperCase, t.toLowerCase).distinct.exists { n =>
+      val pat = n.replace(esc, esc + esc)
+        .replace("_", esc + "_").replace("%", esc + "%")
+      val rs = md.getTables(null, null, pat, null)
+      try rs.next() finally rs.close()
+    }
+  }
+
+  /** [[recoverOrDropBak]] on a fresh connection — the preflight every
+    * read-or-write of a swappable table runs first. */
+  private def recover(table: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try recoverOrDropBak(conn, conn.createStatement(), table, s"${table}__swap_bak")
+    finally conn.close()
+  }
+
+  /** Crash recovery for the swap protocol: a backup table WITHOUT a
+    * live table means a previous swap died between its two renames and
+    * the backup is the ONLY full copy — restore it (dropping it would
+    * destroy the staging history). A backup alongside a live table is
+    * post-promotion debris and safe to drop. */
+  private def recoverOrDropBak(
+      conn: java.sql.Connection, st: java.sql.Statement,
+      table: String, bak: String): Unit =
+    if (exists(conn, bak)) {
+      if (exists(conn, table)) st.executeUpdate(s"DROP TABLE $bak")
+      else st.executeUpdate(s"RENAME TABLE $bak TO $table")
+    }
 }

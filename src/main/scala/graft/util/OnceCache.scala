@@ -10,10 +10,14 @@ import java.util.concurrent.{CompletableFuture, CompletionException}
   * under the cache lock serialized unrelated long-lived-server
   * consumers that happened to share the cache).
   *
-  * FIFO-bounded: inserting past `maxEntries` drops the oldest entry;
-  * the evicted value is simply unreferenced, which suits values whose
-  * backing resources are cleaner-managed (e.g. localCheckpointed
-  * DataFrames reclaimed by Spark's ContextCleaner).
+  * FIFO-bounded: inserting past `maxEntries` drops the oldest COMPLETED
+  * entry; the evicted value is simply unreferenced, which suits values
+  * whose backing resources are cleaner-managed (e.g. localCheckpointed
+  * DataFrames reclaimed by Spark's ContextCleaner). An in-flight future
+  * is never evicted — dropping one would break the compute-once
+  * guarantee (a concurrent caller of that key would start a duplicate
+  * load) — so the bound is soft while more than `maxEntries` loads are
+  * simultaneously in flight.
   *
   * A failed loader removes its own entry before rethrowing, so the
   * failure is never cached — waiters of that round see the original
@@ -25,7 +29,7 @@ final class OnceCache[K, V](maxEntries: Int) {
     new java.util.LinkedHashMap[K, CompletableFuture[V]](16, 0.75f, false) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[K, CompletableFuture[V]]): Boolean =
-        size() > maxEntries
+        size() > maxEntries && e.getValue.isDone
     }
 
   def getOrCompute(key: K)(load: => V): V = {

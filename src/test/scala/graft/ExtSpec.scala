@@ -102,7 +102,8 @@ class ExtSpec extends SparkSpec {
     assert(r.head.getAs[Double]("jaccard") == 0.8)
     // length filter alone must already drop (1,3): 2*5 < 5*4
     val hs = Dedup.shingleHashes(d)
-    val pref = Dedup.ngramPrefixCandidates(hs, 4, 5)
+    val szs = hs.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val pref = Dedup.ngramPrefixCandidates(hs, szs, 4, 5)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(pref.contains((1L, 2L)))
     assert(!pref.contains((1L, 3L)), "length filter should prune the size-mismatched pair")
@@ -114,7 +115,8 @@ class ExtSpec extends SparkSpec {
       val full = fhs.select($"doc_id".as("a_id"), $"h")
         .join(fhs.select($"doc_id".as("b_id"), $"h"), "h")
         .filter($"a_id" < $"b_id").select("a_id", "b_id").distinct().count()
-      val pruned = Dedup.ngramPrefixCandidates(fhs, 7, 10).count()
+      val fsz = fhs.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val pruned = Dedup.ngramPrefixCandidates(fhs, fsz, 7, 10).count()
       assert(pruned < full, s"prefix filter pruned nothing: $pruned vs $full")
     } finally fhs.unpersist(blocking = false)
   }
@@ -367,6 +369,19 @@ class ExtSpec extends SparkSpec {
       .filter($"cell".isin(probedCells.map(Integer.valueOf): _*)))
     assert(prunedFiles > 0 && prunedFiles < allFiles,
       s"pruning ineffective: $prunedFiles of $allFiles files")
+
+    // and the OPERATOR'S OWN plan prunes: with an explicit (file-free,
+    // local) query set, the only file scan in ivfTopKIndexedFor is the
+    // index read, which must touch strictly fewer files than the index
+    val qdf = emb.filter($"vec_id" % 25 === 0).select($"vec_id", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toSeq.toDF("vec_id", "embedding")
+    val viaFor = Similarity.ivfTopKIndexedFor(spark, writer, "emb_ivf", qdf,
+      k = 5, nprobe = 2)
+    assert(filesRead(viaFor) < allFiles,
+      "ivfTopKIndexedFor's own corpus scan did not prune")
+    assert(viaFor.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      == retrained, "explicit-query path diverged")
   }
 
   test("ivfTopK recall vs exact baseline on the oracle-gate fixture") {

@@ -69,4 +69,23 @@ class OnceCacheSpec extends AnyFunSuite {
     assert(cache.getOrCompute(1)(-1) == -1)
     assert(cache.getOrCompute(3)(fail("3 must be cached")) == 30)
   }
+
+  test("the bound never evicts an in-flight load (compute-once holds under churn)") {
+    val cache = new OnceCache[String, Int](1)
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t1 = new Thread(() => cache.getOrCompute("slow") {
+      loads.incrementAndGet(); entered.countDown(); release.await(); 1
+    })
+    t1.start()
+    assert(entered.await(5, TimeUnit.SECONDS))
+    // churn past the bound while "slow" is still loading — eviction
+    // must skip the in-flight eldest (soft bound), not drop it
+    (1 to 3).foreach(i => cache.getOrCompute(s"fast$i")(i))
+    release.countDown()
+    t1.join(5000)
+    assert(cache.getOrCompute("slow")(fail("in-flight entry was evicted")) == 1)
+    assert(loads.get() == 1)
+  }
 }

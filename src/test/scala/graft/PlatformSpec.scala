@@ -177,6 +177,42 @@ class JdbcStagingWriterSpec extends SparkSpec {
       assert(!names.exists(_.toLowerCase.contains("swap")), s"swap debris: $names")
     } finally conn.close()
   }
+
+  test("JDBC swap crash recovery: an orphaned backup is restored, never dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val url = s"jdbc:derby:memory:crash${System.nanoTime()};create=true"
+    val w = new JdbcStagingWriter(spark, url)
+    def batch(runId: String, ts: String, rows: (String, Long)*) =
+      rows.toDF("ordname", "qty")
+        .withColumn("extractionid", lit(runId))
+        .withColumn("extractiontimestamputc", lit(java.sql.Timestamp.valueOf(ts)))
+    w.writeEntity(batch("r1", "2024-01-01 00:00:00", "a" -> 1L, "b" -> 2L),
+      meta, append = false)
+
+    // simulate a crash between the two swap renames: live gone, the
+    // ONLY full copy of the history sits at the backup name
+    def crash(table: String): Unit = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try conn.createStatement()
+        .executeUpdate(s"RENAME TABLE $table TO ${table}__swap_bak")
+      finally conn.close()
+    }
+    crash("stg_orders")
+
+    // an incremental append must restore the history first, NOT
+    // re-create an empty table over the orphaned backup
+    w.writeEntity(batch("r2", "2024-01-02 00:00:00", "c" -> 3L),
+      meta, append = true)
+    assert(w.read("ORDERS").count() == 3, "pre-crash staging history lost")
+
+    // compacting a crashed table restores it before reading
+    crash("stg_orders")
+    assert(w.compact(w.stagingName("ORDERS"), Seq("ordname")) == 3)
+    assert(w.read("ORDERS").collect().map(r =>
+      r.getAs[String]("ordname") -> r.getAs[Long]("qty")).toMap ==
+      Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+  }
 }
 
 class ConfigStoreSpec extends SparkSpec {
