@@ -235,12 +235,21 @@ object Dedup {
     * (bit-stable for hash-compared oracles). Shared by every candidate
     * generator (MinHash banding, prefix filtering). */
   private def pairJaccard(hs: DataFrame, sizes: DataFrame, cand: DataFrame): DataFrame =
+    pairJaccardCross(hs, sizes, hs, sizes, cand)
+
+  /** Two-corpus form of the verify step: candidate `a_id`s resolve
+    * against side A's shingles/sizes, `b_id`s against side B's — the
+    * incremental index path, where side A is read back from parquet and
+    * only side B was just shingled. */
+  private def pairJaccardCross(
+      hsA: DataFrame, sizesA: DataFrame,
+      hsB: DataFrame, sizesB: DataFrame, cand: DataFrame): DataFrame =
     cand
-      .join(hs.select(col("doc_id").as("a_id"), col("h")), "a_id")
-      .join(hs.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .join(hsA.select(col("doc_id").as("a_id"), col("h")), "a_id")
+      .join(hsB.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
+      .join(sizesA.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
+      .join(sizesB.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
       .withColumn("jaccard",
         col("i").cast("double") / (col("sz_a") + col("sz_b") - col("i")))
 
@@ -325,6 +334,66 @@ object Dedup {
         greatest(col("sz_a"), col("sz_b")) * tNum)
       .select("a_id", "b_id")
       .distinct()
+  }
+
+  /** Ingest-time MinHash index: persists the per-document signature
+    * artifacts — LSH band keys, shingle hashes, and set sizes — so
+    * incremental batches can near-dup against the FULL corpus history
+    * without recomputing a single corpus signature
+    * ([[neardupAgainstIndex]]). At 100 TB the index is the linear
+    * byproduct of the first dedup pass (narrow integer rows, ~tokens ×
+    * 16 bytes for the shingle table); re-shingling the corpus per batch
+    * would instead re-pay the full text parse on every ingest tick. */
+  def buildMinhashIndex(
+      docs: DataFrame, writer: graft.sinks.StagingWriter, table: String): Unit = {
+    val hs = shingleHashes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import org.apache.spark.sql.SaveMode
+      minhashBandsFrom(hs).write.mode(SaveMode.Overwrite)
+        .parquet(writer.path(s"${table}__bands"))
+      hs.write.mode(SaveMode.Overwrite)
+        .parquet(writer.path(s"${table}__shingles"))
+      hs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(writer.path(s"${table}__sizes"))
+    } finally hs.unpersist(blocking = false)
+  }
+
+  /** Incremental near-dup: pairs (a_id = indexed corpus doc, b_id = new
+    * batch doc) at Jaccard ≥ `threshold`, computed against a
+    * [[buildMinhashIndex]] artifact. Only the NEW batch is shingled and
+    * banded; the corpus side is read back as narrow integer rows.
+    * Candidates = band-bucket collisions between the batch's bands and
+    * the stored bands (batch side broadcast — the incremental contract
+    * is |batch| ≪ |corpus|); the stored buckets get the usual
+    * [[BucketCap]] guard. Within-batch pairs are NOT emitted — run
+    * [[minhashNeardup]] on the batch for those. Id spaces are assumed
+    * disjoint (a shared id would pair a document with its own history,
+    * which is exactly what an UPDATE wants anyway). */
+  def neardupAgainstIndex(
+      newDocs: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val newHs = shingleHashes(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxBands = BucketCap.keepSmall(
+      writer.read(s"${table}__bands"), Seq("band", "band_hash"), maxBucket)
+    val cand = idxBands
+      .select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
+      .join(broadcast(minhashBandsFrom(newHs)
+        .select(col("band"), col("band_hash"), col("doc_id").as("b_id"))),
+        Seq("band", "band_hash"))
+      .select("a_id", "b_id")
+      .distinct()
+    val newSizes = newHs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    pairJaccardCross(
+      writer.read(s"${table}__shingles"), writer.read(s"${table}__sizes"),
+      newHs, newSizes, cand)
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
   }
 
   /** 32-bit md5-derived token hash from hex digits [from, from+8) —

@@ -289,6 +289,27 @@ object ExtOracles {
         |       coalesce(h.n_eval_ngrams, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
 
+    // Incremental near-dup: cross pairs only (a = indexed corpus side,
+    // doc_id % 10 != 0; b = new batch, % 10 == 0), candidates via the
+    // complete shared-shingle equi-join (x18's fast oracle shape),
+    // verified at Jaccard >= 0.8 with integer cross-multiplication.
+    "x23_incr_neardup" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g
+         |    WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+         |    GROUP BY 1, 2)
+         |SELECT i.a_id, i.b_id,
+         |       CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jaccard
+         |FROM inter i
+         |JOIN sz sa ON sa.doc_id = i.a_id
+         |JOIN sz sb ON sb.doc_id = i.b_id
+         |WHERE 10 * i.i >= 8 * (sa.sz + sb.sz - i.i)""".stripMargin,
+
     // Corpus assembly: salted md5 content buckets, integer thresholds
     // only (a float weight boundary could flip a row between engines).
     "x20_hash_split" ->

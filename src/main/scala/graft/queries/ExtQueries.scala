@@ -140,6 +140,20 @@ object ExtQueries {
     // Corpus assembly: reproducible content-hash split, language
     // mixture (en 100%, zh 50%, es 25%, de 75%, fr dropped — a mixture
     // spec is a whitelist), and shard-local token-budget packing.
+    // Incremental ingest dedup: the corpus (doc_id % 10 != 0) is
+    // indexed ONCE (bands + shingle hashes + sizes as parquet
+    // artifacts), then the "new batch" (doc_id % 10 == 0) near-dups
+    // against the index — no corpus signature is recomputed. The index
+    // lands in a per-run temp warehouse; content is deterministic.
+    "x23_incr_neardup" -> ((s, d) => {
+      val dd = docs(s, d)
+      val corpus = dd.filter(col("doc_id") % 10 =!= 0)
+      val batch = dd.filter(col("doc_id") % 10 === 0)
+      val w = new graft.sinks.StagingWriter(s,
+        java.nio.file.Files.createTempDirectory("minhash_idx").toString)
+      Dedup.buildMinhashIndex(corpus, w, "docs")
+      Dedup.neardupAgainstIndex(batch, w, "docs")
+    }),
     "x20_hash_split" -> ((s, d) => Assemble.hashSplit(docs(s, d))),
     "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
       Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),

@@ -146,6 +146,30 @@ class ExtSpec extends SparkSpec {
       s"eval n-gram join is not a broadcast hash join:\n$plan")
   }
 
+  test("incremental near-dup against a MinHash index equals the one-shot join's cross pairs") {
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = all.filter($"doc_id" % 10 =!= 0)
+    val batch = all.filter($"doc_id" % 10 === 0)
+    val w = new graft.sinks.StagingWriter(spark, tmpDir("mhidx"))
+    Dedup.buildMinhashIndex(corpus, w, "docs")
+    val incr = Dedup.neardupAgainstIndex(batch, w, "docs")
+    // the plan must read the stored artifacts, not re-shingle the corpus
+    assert(incr.queryExecution.executedPlan.toString.contains("docs__bands"),
+      "incremental path does not read the band index")
+    val got = incr.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the one-shot near-dup over everything, restricted to
+    // cross pairs, re-oriented to (corpus side, batch side)
+    val want = Dedup.minhashNeardup(all, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect {
+        case (a, b, j) if a % 10 != 0 && b % 10 == 0 => (a, b, j)
+        case (a, b, j) if a % 10 == 0 && b % 10 != 0 => (b, a, j)
+      }.toSet
+    assert(want.nonEmpty, "fixture has no cross near-dup pair — test is vacuous")
+    assert(got == want, s"missed ${want -- got}, extra ${got -- want}")
+  }
+
   test("simhash: identical texts collide, near-dups are close, pairs dedup across bands") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val d = docsDf(1L -> base, 2L -> base, 3L -> (base + " extra"))
