@@ -77,19 +77,26 @@ object TextStats {
   /** Per-document quality signals and a composite score. Every column is
     * computed from this row's integers alone (single divisions, fixed
     * literal weights) — bit-exact on any engine, any plan. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame =
+    withQuality(docs).select("doc_id", "n_tokens", "stop_ratio",
+      "punct_ratio", "avg_token_len", "quality_score")
+
+  /** The quality signals ADDED to a frame (existing columns kept) —
+    * every signal is a per-row projection, so this composes onto batch
+    * frames and continuous streams alike (the streaming prep path uses
+    * it after watermarked dedup). */
+  def withQuality(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
     // non [a-z0-9 space] characters, over total chars
     val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
     val nChars = length(col("text"))
-    docs.select(
-      col("doc_id"),
-      nTok.as("n_tokens"),
-      (nStop.cast("double") / nTok).as("stop_ratio"),
-      (nPunct.cast("double") / nChars).as("punct_ratio"),
-      (nChars.cast("double") / nTok).as("avg_token_len"))
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("stop_ratio", nStop.cast("double") / nTok)
+      .withColumn("punct_ratio", nPunct.cast("double") / nChars)
+      .withColumn("avg_token_len", nChars.cast("double") / nTok)
       .withColumn("quality_score",
         when(col("n_tokens") < lit(5), lit(0.0))
           .otherwise(

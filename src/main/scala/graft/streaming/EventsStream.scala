@@ -112,6 +112,25 @@ object EventsStream {
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
 
+  /** Streaming document prep — the streaming face of the batch prep
+    * pipeline (`ExtQueries.prepPipeline`): watermark-bounded content
+    * dedup, then the per-row quality gate and token accounting
+    * ([[graft.ext.TextStats.withQuality]]). Every stage is a narrow
+    * projection or watermark-evicted state, so a continuous 100 TB
+    * ingest holds only the dedup delay-window — no unbounded state, no
+    * stream-stream join. Near-dup against corpus HISTORY stays on the
+    * batch side (`Dedup.neardupAgainstIndex` at compaction time). */
+  def preppedDocStream(
+      rows: DataFrame,
+      tsCol: String = "ts",
+      contentCol: String = "text",
+      delay: String = "1 hour",
+      minQuality: Double = 1.0): DataFrame =
+    graft.ext.TextStats.withQuality(
+      dedupedStream(rows, tsCol, contentCol, delay)
+        .withColumnRenamed(contentCol, "text"))
+      .filter(col("quality_score") >= minQuality)
+
   /** Stream → staging: every micro-batch lands through the SAME
     * EntityWriter the batch refresh uses (append mode), with a
     * checkpoint for exactly-once batch ids — the Structured Streaming

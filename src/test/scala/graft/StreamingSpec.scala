@@ -41,6 +41,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming doc prep: dedup, quality gate, and token counts across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    val soup = "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( )))"
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val prepped = EventsStream.preppedDocStream(
+      stream.toDF().toDF("doc_id", "ts", "text"))
+    val q = prepped.writeStream
+      .outputMode("append").format("memory").queryName("prep_test").start()
+    try {
+      stream.addData(
+        (1L, Timestamp.valueOf("2024-01-01 01:00:00"), good),
+        (2L, Timestamp.valueOf("2024-01-01 01:10:00"), soup), // quality-gated
+        (3L, Timestamp.valueOf("2024-01-01 01:20:00"), good)) // dup of 1
+      q.processAllAvailable()
+      stream.addData(
+        (4L, Timestamp.valueOf("2024-01-01 01:30:00"), good), // dup across batches
+        (5L, Timestamp.valueOf("2024-01-01 01:40:00"), "short"))  // < 5 tokens → score 0
+      q.processAllAvailable()
+      val rows = spark.table("prep_test").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
+      assert(rows.keySet == Set(1L), s"got ${rows.keySet}")
+      assert(rows(1L) == good.split(" ").length)
+    } finally q.stop()
+  }
+
   test("windowed counts update incrementally across micro-batches") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Event]
