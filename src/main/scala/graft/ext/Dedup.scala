@@ -396,6 +396,52 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Near-dup CLUSTERING: connected components over a pair graph,
+    * labeling every document with the minimum doc_id reachable from it.
+    * Pairwise keeper selection (drop every b_id) under-drops transitive
+    * chains — in a component {3,7,9} with edges (7,9),(3,9) it keeps
+    * both 3 and 7 — while component labeling keeps exactly one document
+    * per duplicate cluster.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes min(own label, neighbors' labels); converges in O(component
+    * diameter) rounds, and near-dup clusters are shallow (a dup cluster's
+    * diameter is small by construction — everything is similar to the
+    * seed). Each round is one join + one map-side-combinable min
+    * aggregate; `localCheckpoint` truncates the lineage so the plan
+    * doesn't deepen per round. The convergence probe is a count, not a
+    * collect — per-round driver state is a single long. For adversarial
+    * long-chain graphs (not the dedup shape) the two-phase
+    * large-star/small-star variant (Kiveris et al., "Connected
+    * Components in MapReduce", SoCC'14) halves rounds; not needed here.
+    *
+    * Returns (doc_id, component) for every doc that appears in ≥ 1
+    * pair; singleton documents are their own implicit component. */
+  def dupComponents(pairs: DataFrame): DataFrame = {
+    // undirected edges, both directions, so one join sees all neighbors
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("dst"), col("component")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("component")).as("nc"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).isEmpty
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("component"))
+  }
+
   /** 32-bit md5-derived token hash from hex digits [from, from+8) —
     * reproducible in ANSI SQL (`('0x' || substr(md5(t),from,8))::BIGINT`
     * on the DuckDB side), which is what lets the oracle recompute the

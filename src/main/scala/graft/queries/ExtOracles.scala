@@ -310,6 +310,35 @@ object ExtOracles {
          |JOIN sz sb ON sb.doc_id = i.b_id
          |WHERE 10 * i.i >= 8 * (sa.sz + sb.sz - i.i)""".stripMargin,
 
+    // Near-dup clustering: pairs via the fast shared-shingle shape at
+    // Jaccard >= 0.8 (integer cross-multiplied — equivalent to x2's
+    // double compare: no fixture ratio can land between the rational
+    // and IEEE 0.8 boundaries), then connected components by recursive
+    // closure; component = min reachable doc_id.
+    "x24_dup_components" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS (
+         |    SELECT a_id, b_id FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 8 * (sa.sz + sb.sz - i.i)),
+         |  e AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |        UNION SELECT b_id, a_id FROM pairs),
+         |  reach(a, b) AS (
+         |    SELECT a, b FROM e
+         |    UNION
+         |    SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+         |SELECT n.a AS doc_id, least(min(r.b), n.a) AS component
+         |FROM (SELECT DISTINCT a FROM e) n JOIN reach r ON r.a = n.a
+         |GROUP BY n.a""".stripMargin,
+
     // Corpus assembly: salted md5 content buckets, integer thresholds
     // only (a float weight boundary could flip a row between engines).
     "x20_hash_split" ->

@@ -154,6 +154,9 @@ object ExtQueries {
       Dedup.buildMinhashIndex(corpus, w, "docs")
       Dedup.neardupAgainstIndex(batch, w, "docs")
     }),
+    // Duplicate-cluster labeling over the SHARED MinHash pair set
+    // (x2/x14's cache): component = min doc_id reachable.
+    "x24_dup_components" -> ((s, d) => Dedup.dupComponents(minhashPairs(s, d))),
     "x20_hash_split" -> ((s, d) => Assemble.hashSplit(docs(s, d))),
     "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
       Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),

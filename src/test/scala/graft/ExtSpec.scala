@@ -170,6 +170,22 @@ class ExtSpec extends SparkSpec {
     assert(got == want, s"missed ${want -- got}, extra ${got -- want}")
   }
 
+  test("dupComponents labels transitive clusters that pairwise keeper-drop misses") {
+    // component {3,7,9} with edges (7,9),(3,9): pairwise drop-every-b
+    // keeps BOTH 3 and 7; components keep only 3. Plus a diameter-4
+    // chain (multi-round convergence) and an isolated pair.
+    val pairs = Seq(
+      (7L, 9L), (3L, 9L),
+      (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (100L, 101L)).toDF("a_id", "b_id")
+    val comp = Dedup.dupComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      3L -> 3L, 7L -> 3L, 9L -> 3L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L, 15L -> 11L,
+      100L -> 100L, 101L -> 100L), s"got $comp")
+  }
+
   test("simhash: identical texts collide, near-dups are close, pairs dedup across bands") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val d = docsDf(1L -> base, 2L -> base, 3L -> (base + " extra"))
