@@ -120,6 +120,22 @@ object TextStats {
     * runs before training. Patterns are dialect-neutral (same semantics
     * in Java regex and RE2). Emits per-row flags so the scrub is
     * auditable. */
+  /** Canonical text normalization — the step that PRECEDES every dedup
+    * family in a real pipeline (a case or whitespace variant of a
+    * document must hash/shingle identically to its canonical form):
+    * case folding, whitespace-run collapse, edge trim. Pure per-row
+    * projection, embarrassingly parallel; the regex (`" +"`) and
+    * `lower`/`trim` carry identical semantics in Java regex and
+    * RE2/DuckDB, so the output is safe for cross-engine hash compare
+    * (on ASCII corpora — locale-sensitive case pairs like İ/ı are out
+    * of scope for the fixture's charset). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), " +", " "))
+
+  /** [[normalize]] applied to a document frame in place. */
+  def normalized(docs: DataFrame): DataFrame =
+    docs.withColumn("text", normalize(col("text")))
+
   def piiScrub(docs: DataFrame): DataFrame = {
     val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val digits = "[0-9]{7,}"

@@ -339,6 +339,22 @@ object ExtOracles {
          |FROM (SELECT DISTINCT a FROM e) n JOIN reach r ON r.a = n.a
          |GROUP BY n.a""".stripMargin,
 
+    // Normalization over planted damage (upper-case every 10th doc,
+    // doubled spaces elsewhere) — lower/trim/' +' collapse carry
+    // identical semantics in both engines; DuckDB regexp_replace needs
+    // the 'g' flag to match Spark's replace-all default.
+    "x25_normalize" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(
+        |         CASE WHEN doc_id % 10 = 0 THEN upper(text)
+        |              ELSE regexp_replace(text, ' th', '  th', 'g') END),
+        |         ' +', ' ', 'g'))) AS norm_hash,
+        |       CAST(length(trim(regexp_replace(lower(
+        |         CASE WHEN doc_id % 10 = 0 THEN upper(text)
+        |              ELSE regexp_replace(text, ' th', '  th', 'g') END),
+        |         ' +', ' ', 'g'))) AS INT) AS n_chars
+        |FROM documents""".stripMargin,
+
     // Corpus assembly: salted md5 content buckets, integer thresholds
     // only (a float weight boundary could flip a row between engines).
     "x20_hash_split" ->

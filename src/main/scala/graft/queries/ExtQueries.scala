@@ -157,6 +157,18 @@ object ExtQueries {
     // Duplicate-cluster labeling over the SHARED MinHash pair set
     // (x2/x14's cache): component = min doc_id reachable.
     "x24_dup_components" -> ((s, d) => Dedup.dupComponents(minhashPairs(s, d))),
+    // Normalization with PLANTED damage (the fixture is already
+    // canonical lowercase/single-space ASCII, so an un-planted oracle
+    // would be vacuous): every 10th doc uppercased, the rest get
+    // doubled spaces before "th" tokens — both repaired by normalize.
+    "x25_normalize" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, upper(col("text")))
+          .otherwise(regexp_replace(col("text"), " th", "  th")).as("text"))
+      TextStats.normalized(planted).select(col("doc_id"),
+        md5(col("text")).as("norm_hash"),
+        length(col("text")).as("n_chars"))
+    }),
     "x20_hash_split" -> ((s, d) => Assemble.hashSplit(docs(s, d))),
     "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
       Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),

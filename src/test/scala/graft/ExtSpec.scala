@@ -170,6 +170,24 @@ class ExtSpec extends SparkSpec {
     assert(got == want, s"missed ${want -- got}, extra ${got -- want}")
   }
 
+  test("normalize repairs case and whitespace damage back to the canonical form") {
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    // the fixture IS canonical, so normalize(damaged) must round-trip
+    // to the original text exactly, for every doc
+    val damaged = d.select($"doc_id",
+      when($"doc_id" % 10 === 0, upper($"text"))
+        .otherwise(regexp_replace($"text", " th", "  th")).as("text"))
+    val bad = graft.ext.TextStats.normalized(damaged)
+      .withColumnRenamed("text", "norm")
+      .join(d, "doc_id")
+      .filter($"norm" =!= $"text")
+      .count()
+    assert(bad == 0, s"$bad docs did not round-trip to canonical form")
+    // the damage itself must be real (test not vacuous)
+    assert(damaged.join(d.withColumnRenamed("text", "orig"), "doc_id")
+      .filter($"text" =!= $"orig").count() > 0)
+  }
+
   test("dupComponents labels transitive clusters that pairwise keeper-drop misses") {
     // component {3,7,9} with edges (7,9),(3,9): pairwise drop-every-b
     // keeps BOTH 3 and 7; components keep only 3. Plus a diameter-4
