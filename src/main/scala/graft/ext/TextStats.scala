@@ -115,11 +115,23 @@ object TextStats {
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .as("bpe_tokens"))
 
-  /** PII scrubbing: replace email addresses and long digit runs (phone/
-    * id-shaped) with placeholder tokens — the redaction pass a corpus
-    * runs before training. Patterns are dialect-neutral (same semantics
-    * in Java regex and RE2). Emits per-row flags so the scrub is
-    * auditable. */
+  /** Corpus vocabulary: the `topN` most frequent whitespace tokens with
+    * counts — the input a tokenizer-training step consumes. Ties at the
+    * cut line break on the token itself, so the selected set is
+    * deterministic. The query-inventory default (20) sits BELOW the
+    * fixture's distinct-token count so the cut and its tie-break are
+    * actually exercised by the oracle at every scale factor (a limit
+    * larger than the vocabulary would make the oracle row vacuous).
+    * Scale shape: map-side-combinable count per token (one narrow
+    * shuffle), then orderBy+limit — Spark plans that as
+    * TakeOrderedAndProject (a bounded per-partition heap merged on the
+    * driver), NEVER a global sort; the plan shape is pinned by a test. */
+  def vocabulary(docs: DataFrame, topN: Int = 20): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+
   /** Canonical text normalization — the step that PRECEDES every dedup
     * family in a real pipeline (a case or whitespace variant of a
     * document must hash/shingle identically to its canonical form):
@@ -136,6 +148,11 @@ object TextStats {
   def normalized(docs: DataFrame): DataFrame =
     docs.withColumn("text", normalize(col("text")))
 
+  /** PII scrubbing: replace email addresses and long digit runs (phone/
+    * id-shaped) with placeholder tokens — the redaction pass a corpus
+    * runs before training. Patterns are dialect-neutral (same semantics
+    * in Java regex and RE2). Emits per-row flags so the scrub is
+    * auditable. */
   def piiScrub(docs: DataFrame): DataFrame = {
     val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val digits = "[0-9]{7,}"

@@ -355,6 +355,15 @@ object ExtOracles {
         |         ' +', ' ', 'g'))) AS INT) AS n_chars
         |FROM documents""".stripMargin,
 
+    // Vocabulary: deterministic top-20 selection — the limit sits BELOW
+    // the fixture's distinct-token count (31), so the cut actually
+    // engages; ties at the cut line break on the token itself on both
+    // engines.
+    "x26_vocab" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
     // Corpus assembly: salted md5 content buckets, integer thresholds
     // only (a float weight boundary could flip a row between engines).
     "x20_hash_split" ->

@@ -169,6 +169,7 @@ object ExtQueries {
         md5(col("text")).as("norm_hash"),
         length(col("text")).as("n_chars"))
     }),
+    "x26_vocab" -> ((s, d) => TextStats.vocabulary(docs(s, d))),
     "x20_hash_split" -> ((s, d) => Assemble.hashSplit(docs(s, d))),
     "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
       Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),

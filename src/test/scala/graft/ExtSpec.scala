@@ -170,6 +170,17 @@ class ExtSpec extends SparkSpec {
     assert(got == want, s"missed ${want -- got}, extra ${got -- want}")
   }
 
+  test("vocabulary: exact counts, deterministic tie cut, bounded top-N plan") {
+    val d = docsDf(1L -> "a a a b b c", 2L -> "b z y")
+    val v = TextStats.vocabulary(d, topN = 3)
+    val rows = v.collect().map(r => r.getString(0) -> r.getLong(1))
+    // b(3) a(3)? a=3, b=3 → tie broken by token: a before b; third is c/y/z tie at 1 → c
+    assert(rows.toSeq == Seq("a" -> 3L, "b" -> 3L, "c" -> 1L), s"got ${rows.toSeq}")
+    // orderBy+limit must plan as a bounded top-N, never a global sort
+    val plan = v.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-N in:\n$plan")
+  }
+
   test("normalize repairs case and whitespace damage back to the canonical form") {
     val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     // the fixture IS canonical, so normalize(damaged) must round-trip
