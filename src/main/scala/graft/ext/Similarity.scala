@@ -409,4 +409,36 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"))
     topKPerQuery(scored, k)
   }
+
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * memory-reduction path for ANN at scale (a 100 TB float corpus
+    * becomes 25 TB of int8 + one scale per vector; candidate scoring
+    * reads int8, the exact re-rank re-reads floats for the short list).
+    * Per row: `m = max_i |x_i|`, `q_i = floor(x_i * 127 / m)` — every
+    * step a per-row IEEE double expression written identically in the
+    * DuckDB oracle, so the output is bit-deterministic (no cross-row
+    * float math anywhere). floor (not round) because the two engines'
+    * rounding modes differ; values land in [-127, 127]. Zero or empty
+    * vectors quantize to all-zero. The quantization error bound
+    * |x_i − q_i·m/127| < m/127 is pinned by a spec, as is top-k rank
+    * agreement between int8 scoring and exact float scoring.
+    *
+    * Emitted as scalars that pin every element — an md5 over the
+    * comma-joined ints plus min/max/sum — so the oracle compare never
+    * hashes raw float arrays. The HOF lambdas here are interpreted
+    * (CodegenFallback) and re-evaluate `m` per element: that is 64×64
+    * flops per row, bounded by the fixed dim, not by data volume. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val e = asDouble(col("embedding"))
+    val m = array_max(transform(e, v => abs(v)))
+    val q = when(m.isNull || m === 0.0, transform(e, _ => lit(0)))
+      .otherwise(transform(e, v => floor(v * lit(127.0) / m).cast("int")))
+    emb.select(col("vec_id"), q.as("q"))
+      .select(
+        col("vec_id"),
+        md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_hash"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"))
+  }
 }

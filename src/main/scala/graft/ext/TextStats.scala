@@ -184,6 +184,36 @@ object TextStats {
         .as("dup_bigram_ratio"))
   }
 
+  /** Per-document keyword extraction: the `k` tokens that best
+    * distinguish each document, ranked by an INTEGER tf·idf proxy —
+    * `score = tf * 1_000_000 DIV df` (term frequency in the doc, over
+    * document frequency in the corpus, integer division). The proxy is
+    * order-equivalent to tf/df and avoids the float log of classic
+    * tf·idf, so the ranking is bit-deterministic across engines (see
+    * the oracle determinism rules); ties break (score desc, token asc)
+    * so the selected rows are a function of the data alone.
+    *
+    * Scale shape: tf is one map-side-combinable count on (doc, token);
+    * df aggregates tf's output (already one row per doc×token, so a
+    * plain count = distinct-doc count) and is BROADCAST — a corpus
+    * vocabulary is bounded by language, not corpus size, so the 100 TB
+    * side never shuffles for the join; the final row_number window
+    * partitions by doc_id (narrow per-doc state, no global sort). */
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(df), "token")
+      .withColumn("score", expr("tf * 1000000L DIV df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("token"), col("score"))
+  }
+
   /** Content fingerprinting: md5-derived 32-bit hashes of distinct word
     * 3-gram shingles, keeping hashes ≡ 0 (mod 16) — content-defined
     * selection, ~1/16 of shingles survive. Robust to local edits (only

@@ -364,6 +364,45 @@ object ExtOracles {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
+    // Keywords: integer tf·idf proxy (tf*1e6 DIV df) — order-equivalent
+    // to tf/df with no float log, so the per-doc ranking is
+    // bit-deterministic; ties break (score desc, token).
+    "x27_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token)
+        |SELECT doc_id, "rank", token, score FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf * 1000000 // df.df AS score,
+        |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |              ORDER BY tf.tf * 1000000 // df.df DESC, tf.token) AS INT)
+        |           AS "rank"
+        |  FROM tf JOIN df USING (token)) WHERE "rank" <= 3""".stripMargin,
+
+    // Int8 quantization: every step per-row IEEE double math written
+    // identically on both sides (cast to double, *127.0, /m, floor) —
+    // bit-deterministic; the md5 over the comma-joined ints pins all 64
+    // elements without hash-comparing raw arrays.
+    "x28_quantize" ->
+      """SELECT vec_id,
+        |       md5(array_to_string(q, ',')) AS q_hash,
+        |       list_min(q) AS q_min,
+        |       list_max(q) AS q_max,
+        |       CAST(list_sum(q) AS BIGINT) AS q_sum
+        |FROM (
+        |  SELECT vec_id,
+        |         CASE WHEN m IS NULL OR m = 0
+        |              THEN list_transform(embedding, x -> 0)
+        |              ELSE list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m) AS INT))
+        |         END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |               list_max(list_transform(embedding,
+        |                 x -> abs(CAST(x AS DOUBLE)))) AS m
+        |        FROM embeddings))""".stripMargin,
+
     // Corpus assembly: salted md5 content buckets, integer thresholds
     // only (a float weight boundary could flip a row between engines).
     "x20_hash_split" ->

@@ -170,6 +170,8 @@ object ExtQueries {
         length(col("text")).as("n_chars"))
     }),
     "x26_vocab" -> ((s, d) => TextStats.vocabulary(docs(s, d))),
+    "x27_keywords" -> ((s, d) => TextStats.keywords(docs(s, d))),
+    "x28_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
     "x20_hash_split" -> ((s, d) => Assemble.hashSplit(docs(s, d))),
     "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
       Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),

@@ -599,4 +599,68 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => r.doc_id -> r.payload.toSeq).toMap
     assert(resized.view.mapValues(_.payload.toSeq).toMap == again)
   }
+
+  test("keywords: tf·idf proxy ranks rare-but-frequent tokens first, full tiebreak") {
+    // "rare" appears 3× in doc 1 and nowhere else (tf=3, df=1 → 3e6);
+    // "common" is everywhere (df=3) so even tf=3 scores 1e6; "solo"
+    // appears once in doc 3 only (tf=1, df=1 → 1e6, ties with nothing
+    // in-doc). Doc 2's best is its unique "mid" (tf=2, df=1 → 2e6).
+    val d = docsDf(
+      1L -> "rare rare rare common common common filler",
+      2L -> "mid mid common filler",
+      3L -> "solo common filler")
+    val r = TextStats.keywords(d, k = 2).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> (x.getString(2), x.getLong(3))).toMap
+    assert(r(1L -> 1) == ("rare", 3000000L))
+    assert(r(2L -> 1) == ("mid", 2000000L))
+    assert(r(3L -> 1) == ("solo", 1000000L))
+    // doc 1 rank 2: common tf=3 df=3 → 1e6; filler tf=1 df=3 → 333333;
+    // the (score desc, token) tiebreak puts common ahead
+    assert(r(1L -> 2) == ("common", 1000000L))
+    // df join must broadcast — the corpus side never shuffles for it
+    val plan = TextStats.keywords(d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"df join not broadcast:\n$plan")
+  }
+
+  test("quantizeInt8: range, error bound, and int8 top-k agreement on the fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeInt8(emb).collect()
+    assert(q.length == emb.count())
+    // symmetric int8: every element in [-127, 127] by construction,
+    // pinned here via the emitted min/max scalars
+    q.foreach { r =>
+      assert(r.getAs[Int]("q_min") >= -127 && r.getAs[Int]("q_max") <= 127)
+    }
+
+    // reconstruction error: |x - q*m/127| < m/127 per element (floor
+    // quantization step), checked exactly on a hand vector
+    val hand = Seq((1L, Array(0.5f, -0.25f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val hq = Similarity.quantizeInt8(hand).head()
+    // m=0.5: q = floor(127*[1,-0.5,0.2,0]) = [127,-64,25,0]
+    assert(hq.getAs[Int]("q_max") == 127 && hq.getAs[Int]("q_min") == -64)
+    assert(hq.getAs[Long]("q_sum") == (127L - 64L + 25L + 0L))
+    for (x <- Seq(0.5, -0.25, 0.1, 0.0)) {
+      val m = 0.5
+      val qi = math.floor(x * 127.0 / m)
+      assert(math.abs(x - qi * m / 127.0) < m / 127.0 + 1e-12)
+    }
+
+    // int8 scoring preserves neighbor ranking: quantized dot-product
+    // top-k overlaps exact float cosine top-k (the deterministic
+    // fixture makes this a fixed number; floor well under it)
+    graft.functions.GraftFunctions.register(spark)
+    val exact = Similarity.cosTopK(emb, k = 5, queryMod = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deq = emb.select($"vec_id",
+      transform($"embedding", _.cast("double")).as("e"))
+      .withColumn("m", array_max(transform($"e", x => abs(x))))
+      .select($"vec_id",
+        transform($"e", x => floor(x * lit(127.0) / $"m").cast("double"))
+          .as("embedding"))
+    val approx = Similarity.cosTopK(deq, k = 5, queryMod = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val overlap = (exact & approx).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"int8 top-k overlap $overlap below floor")
+  }
 }
