@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization — the gaps-and-islands companion to the
+  * streaming `mapGroupsWithState` sessions (`EventsStream`): replaying
+  * history through the batch form must agree with what the stream
+  * computed live, so both faces live in the library.
+  *
+  * All time math is INTEGER microseconds (`unix_micros`), never
+  * interval/float arithmetic, so the session boundaries are
+  * bit-deterministic across engines (the events fixture stores
+  * TIMESTAMP(NANOS); the Spark side reads it through the nanos→NTZ
+  * shim, DuckDB's `CAST(ts AS TIMESTAMP)` truncates identically to
+  * microseconds — the same recipe q5's oracle established).
+  *
+  * Scale shape: ONE shuffle on `user_id`; the lag window and the
+  * running-sum window share the same (partitionBy, orderBy), so
+  * Catalyst evaluates both over a single sort with no second
+  * exchange, and the closing groupBy on (user_id, session_idx) is a
+  * prefix of that partitioning with map-side partial aggregation.
+  * Ordering carries a full (ts, event_id) tiebreak — equal timestamps
+  * cannot flip session assignment between runs or engines. Per-user
+  * state at 100 TB is a sort run, not memory; a pathological hot user
+  * is bounded by their own event count, not the corpus.
+  */
+object Sessions {
+
+  /** Label every event with its session and aggregate per-session
+    * stats: a new session starts when the gap since the user's
+    * previous event exceeds `gapMinutes`. Returns one row per
+    * (user_id, session_idx) with event count, duration, and the
+    * bounding event ids. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val labeled = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("is_new",
+        (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
+          .cast("long"))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    labeled.groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"))
+  }
+}

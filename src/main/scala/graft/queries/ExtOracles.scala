@@ -212,6 +212,34 @@ object ExtOracles {
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate""".stripMargin,
 
+    // Sessionization: all time math in integer microseconds; the
+    // (us, event_id) ordering is unique, and the running sum uses an
+    // explicit ROWS frame on both sides. DuckDB's windowed sum returns
+    // HUGEINT → cast to BIGINT to match Spark's LONG.
+    "x29_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_id, us,
+        |         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |           AS prev_us
+        |  FROM e),
+        |labeled AS (
+        |  SELECT user_id, event_id, us,
+        |         CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                       THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS session_idx
+        |  FROM lagged)
+        |SELECT user_id, session_idx,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       max(us) - min(us) AS duration_us,
+        |       min(event_id) AS first_event_id,
+        |       max(event_id) AS last_event_id
+        |FROM labeled GROUP BY user_id, session_idx""".stripMargin,
+
     "x15_pii_scrub" ->
       """WITH s AS (
         |  SELECT doc_id, text,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, Assemble, Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{AsofJoin, Assemble, Dedup, Multimodal, Sessions, Similarity, TextStats}
 import graft.sources.{FetchRequest, ParquetSimSource}
 
 /** LLM-training-data-pipeline query inventory (the north star's second
@@ -172,6 +172,13 @@ object ExtQueries {
     "x26_vocab" -> ((s, d) => TextStats.vocabulary(docs(s, d))),
     "x27_keywords" -> ((s, d) => TextStats.keywords(docs(s, d))),
     "x28_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
+    // Batch sessionization over the NTZ-shimmed events scan — the
+    // gaps-and-islands replay of the streaming session state.
+    "x29_sessions" -> ((s, d) => {
+      val src = new ParquetSimSource(s, d)
+      Sessions.sessionize(
+        src.fetch(FetchRequest("EVENTS")).select("event_id", "user_id", "ts"))
+    }),
     "x20_hash_split" -> ((s, d) => Assemble.hashSplit(docs(s, d))),
     "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
       Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),

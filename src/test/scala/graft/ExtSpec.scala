@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Sessions, Similarity, TextStats}
 
 /** Behavior tests for the LLM-pipeline operators (graft.ext.*) on
   * constructed data — the oracle gate checks fixture equivalence; these
@@ -662,5 +662,38 @@ class ExtSpec extends SparkSpec {
     assert(exact.nonEmpty)
     val overlap = (exact & approx).size.toDouble / exact.size
     assert(overlap >= 0.8, s"int8 top-k overlap $overlap below floor")
+  }
+
+  test("sessionize: gap splits sessions; ONE shuffle serves both windows and the groupBy") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = Seq(
+        (1L, 1L, "2024-01-01 00:00:00"),
+        (2L, 1L, "2024-01-01 00:10:00"),
+        (3L, 1L, "2024-01-01 00:45:00"), // 35 min gap -> new session
+        (4L, 2L, "2024-01-01 05:00:00")
+      ).toDF("event_id", "user_id", "ts_s")
+        .select($"event_id", $"user_id", to_timestamp($"ts_s").as("ts"))
+      val s = Sessions.sessionize(e, gapMinutes = 30)
+      val rows = s.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(rows(1L -> 1L) == ((2L, 600000000L, 1L, 2L)), s"got $rows")
+      assert(rows(1L -> 2L) == ((1L, 0L, 3L, 3L)))
+      assert(rows(2L -> 1L) == ((1L, 0L, 4L, 4L)))
+      // exactly-30-min gap does NOT split (boundary is strict >)
+      val b = Seq((1L, 1L, "2024-01-01 00:00:00"), (2L, 1L, "2024-01-01 00:30:00"))
+        .toDF("event_id", "user_id", "ts_s")
+        .select($"event_id", $"user_id", to_timestamp($"ts_s").as("ts"))
+      assert(Sessions.sessionize(b, gapMinutes = 30).count() == 1)
+      // both window passes and the closing groupBy must ride ONE
+      // exchange on user_id — the whole point of the shared ordering
+      val nShuffles = s.queryExecution.executedPlan.collect {
+        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
+      }.size
+      assert(nShuffles == 1,
+        s"expected 1 exchange, got $nShuffles:\n${s.queryExecution.executedPlan.toString.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
