@@ -414,13 +414,17 @@ object Similarity {
     * memory-reduction path for ANN at scale (a 100 TB float corpus
     * becomes 25 TB of int8 + one scale per vector; candidate scoring
     * reads int8, the exact re-rank re-reads floats for the short list).
-    * Per row: `m = max_i |x_i|`, `q_i = floor(x_i * 127 / m)` — every
-    * step a per-row IEEE double expression written identically in the
-    * DuckDB oracle, so the output is bit-deterministic (no cross-row
-    * float math anywhere). floor (not round) because the two engines'
-    * rounding modes differ; values land in [-127, 127]. Zero or empty
-    * vectors quantize to all-zero. The quantization error bound
-    * |x_i − q_i·m/127| < m/127 is pinned by a spec, as is top-k rank
+    * Per row: `m = max_i |x_i|`, `q_i = max(−127, floor(x_i * 127 / m))`
+    * — every step a per-row IEEE double expression written identically
+    * in the DuckDB oracle, so the output is bit-deterministic (no
+    * cross-row float math anywhere). floor (not round) because the two
+    * engines' rounding modes differ; the −127 clamp closes the
+    * double-rounding edge where `fl(fl(−m·127)/m)` lands a hair below
+    * −127 and floor would emit −128 (≈2.5e-6 of max-negative vectors —
+    * thousands of rows at 100 TB). Values land in [-127, 127]; NULL and
+    * empty vectors both quantize to the empty signature (q_sum 0,
+    * min/max NULL) on BOTH engines. The quantization error bound
+    * |x_i − q_i·m/127| ≤ m/127 is pinned by a spec, as is top-k rank
     * agreement between int8 scoring and exact float scoring.
     *
     * Emitted as scalars that pin every element — an md5 over the
@@ -429,10 +433,13 @@ object Similarity {
     * (CodegenFallback) and re-evaluate `m` per element: that is 64×64
     * flops per row, bounded by the fixed dim, not by data volume. */
   def quantizeInt8(emb: DataFrame): DataFrame = {
-    val e = asDouble(col("embedding"))
+    // NULL → empty first, so both engines walk the same all-zero path
+    val e = coalesce(asDouble(col("embedding")),
+      array().cast("array<double>"))
     val m = array_max(transform(e, v => abs(v)))
     val q = when(m.isNull || m === 0.0, transform(e, _ => lit(0)))
-      .otherwise(transform(e, v => floor(v * lit(127.0) / m).cast("int")))
+      .otherwise(transform(e,
+        v => greatest(lit(-127L), floor(v * lit(127.0) / m)).cast("int")))
     emb.select(col("vec_id"), q.as("q"))
       .select(
         col("vec_id"),

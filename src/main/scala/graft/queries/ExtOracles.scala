@@ -410,24 +410,26 @@ object ExtOracles {
         |  FROM tf JOIN df USING (token)) WHERE "rank" <= 3""".stripMargin,
 
     // Int8 quantization: every step per-row IEEE double math written
-    // identically on both sides (cast to double, *127.0, /m, floor) —
-    // bit-deterministic; the md5 over the comma-joined ints pins all 64
-    // elements without hash-comparing raw arrays.
+    // identically on both sides (cast to double, *127.0, /m, floor,
+    // clamp at -127 for the double-rounding edge) — bit-deterministic;
+    // the md5 over the comma-joined ints pins all 64 elements without
+    // hash-comparing raw arrays. NULL embeddings coalesce to [] and
+    // empty sums to 0 on both engines.
     "x28_quantize" ->
       """SELECT vec_id,
         |       md5(array_to_string(q, ',')) AS q_hash,
         |       list_min(q) AS q_min,
         |       list_max(q) AS q_max,
-        |       CAST(list_sum(q) AS BIGINT) AS q_sum
+        |       CAST(coalesce(list_sum(q), 0) AS BIGINT) AS q_sum
         |FROM (
         |  SELECT vec_id,
         |         CASE WHEN m IS NULL OR m = 0
-        |              THEN list_transform(embedding, x -> 0)
-        |              ELSE list_transform(embedding,
-        |                x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m) AS INT))
+        |              THEN list_transform(e, x -> 0)
+        |              ELSE list_transform(e,
+        |                x -> CAST(greatest(-127, floor(CAST(x AS DOUBLE) * 127.0 / m)) AS INT))
         |         END AS q
-        |  FROM (SELECT vec_id, embedding,
-        |               list_max(list_transform(embedding,
+        |  FROM (SELECT vec_id, coalesce(embedding, []) AS e,
+        |               list_max(list_transform(coalesce(embedding, []),
         |                 x -> abs(CAST(x AS DOUBLE)))) AS m
         |        FROM embeddings))""".stripMargin,
 

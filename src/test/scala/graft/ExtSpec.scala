@@ -623,7 +623,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("quantizeInt8: range, error bound, and int8 top-k agreement on the fixture") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = Similarity.quantizeInt8(emb).collect()
     assert(q.length == emb.count())
     // symmetric int8: every element in [-127, 127] by construction,
@@ -631,6 +631,13 @@ class ExtSpec extends SparkSpec {
     q.foreach { r =>
       assert(r.getAs[Int]("q_min") >= -127 && r.getAs[Int]("q_max") <= 127)
     }
+
+    // the double-rounding edge: x = -m with fl(fl(-m*127)/m) a hair
+    // below -127 — floor alone would emit -128; the clamp must hold it
+    // at -127 (m found by search; Math.floor(-m*127.0/m) == -128.0)
+    val edgeM = 835765.1039200339 // double on purpose: a float cast would lose the edge
+    val edge = Seq((9L, Array(-edgeM, edgeM / 2))).toDF("vec_id", "embedding")
+    assert(Similarity.quantizeInt8(edge).head().getAs[Int]("q_min") == -127)
 
     // reconstruction error: |x - q*m/127| < m/127 per element (floor
     // quantization step), checked exactly on a hand vector
