@@ -240,6 +240,24 @@ object ExtOracles {
         |       max(event_id) AS last_event_id
         |FROM labeled GROUP BY user_id, session_idx""".stripMargin,
 
+    // Exact PERCENTILE_DISC re-derived as integer rank selection (the
+    // engines' native percentile functions interpolate differently):
+    // the row at rank ceil(p*n/100) of the fully tiebroken ordering.
+    "x30_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id, length(text) AS n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY length(text), doc_id) AS rn
+        |  FROM documents),
+        |targets AS (
+        |  SELECT lang, n, p, (p * n + 99) // 100 AS target_rn
+        |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |        FROM ranked GROUP BY lang),
+        |       (SELECT unnest([50, 90, 99]) AS p))
+        |SELECT r.lang, t.p, t.n AS n_docs, r.n_chars AS n_chars_at_p
+        |FROM ranked r JOIN targets t
+        |  ON r.lang = t.lang AND r.rn = t.target_rn""".stripMargin,
+
     "x15_pii_scrub" ->
       """WITH s AS (
         |  SELECT doc_id, text,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, Assemble, Dedup, Multimodal, Sessions, Similarity, TextStats}
+import graft.ext.{AsofJoin, Assemble, Dedup, Multimodal, Sessions, Similarity, Stats, TextStats}
 import graft.sources.{FetchRequest, ParquetSimSource}
 
 /** LLM-training-data-pipeline query inventory (the north star's second
@@ -179,6 +179,7 @@ object ExtQueries {
       Sessions.sessionize(
         src.fetch(FetchRequest("EVENTS")).select("event_id", "user_id", "ts"))
     }),
+    "x30_quantiles" -> ((s, d) => Stats.lengthQuantiles(docs(s, d))),
     "x20_hash_split" -> ((s, d) => Assemble.hashSplit(docs(s, d))),
     "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
       Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),

@@ -671,6 +671,26 @@ class ExtSpec extends SparkSpec {
     assert(overlap >= 0.8, s"int8 top-k overlap $overlap below floor")
   }
 
+  test("lengthQuantiles: PERCENTILE_DISC semantics by integer rank selection") {
+    // lang a, lengths 1..5 (n=5): p50 → rank ⌈2.5⌉=3 → 3; p90 → ⌈4.5⌉=5
+    // → 5; p99 → ⌈4.95⌉=5 → 5. lang b, n=2: p50 → ⌈1.0⌉=1 → 2 chars.
+    val d = Seq(
+      (1L, "a", "x"), (2L, "a", "xx"), (3L, "a", "xxx"),
+      (4L, "a", "xxxx"), (5L, "a", "xxxxx"),
+      (6L, "b", "yy"), (7L, "b", "yyyy")
+    ).toDF("doc_id", "lang", "text")
+    val q = ext.Stats.lengthQuantiles(d, Seq(50, 90, 99))
+    val r = q.collect()
+      .map(x => (x.getString(0), x.getInt(1)) -> x.getInt(3)).toMap
+    assert(r("a" -> 50) == 3 && r("a" -> 90) == 5 && r("a" -> 99) == 5, s"got $r")
+    assert(r("b" -> 50) == 2 && r("b" -> 90) == 4)
+    // exactly one row per lang × p
+    assert(q.count() == 6)
+    // the targets side must broadcast; no global sort anywhere
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"targets join not broadcast:\n$plan")
+  }
+
   test("sessionize: gap splits sessions; ONE shuffle serves both windows and the groupBy") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
