@@ -53,4 +53,28 @@ object Sessions {
         min(col("event_id")).as("first_event_id"),
         max(col("event_id")).as("last_event_id"))
   }
+
+  /** Trailing-window activity: per (user, day), the event count and the
+    * rolling count over the previous `windowDays` days — the RANGE-frame
+    * window family (frames over a value axis, not row positions: days
+    * with NO events must not shrink the window, which a ROWS frame
+    * gets wrong). Day = integer epoch-day of the microsecond timestamp;
+    * the frame is `RANGE [day−(windowDays−1), day]` — all integer math.
+    *
+    * Scale shape: the groupBy reduces the corpus to user×day cardinality
+    * FIRST (map-side combinable), so the window's exchange moves the
+    * small aggregate, never raw events; per-user frame state is bounded
+    * by `windowDays` distinct days. */
+  def rollingDaily(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daily = events
+      .select(col("user_id"),
+        // integer DIV, not `/` (Spark's `/` is double division); the
+        // epoch is positive here so truncation == floor on both engines
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily.withColumn("n_rolling", sum(col("n_events")).over(w))
+  }
 }

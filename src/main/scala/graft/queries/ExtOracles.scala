@@ -258,6 +258,21 @@ object ExtOracles {
         |FROM ranked r JOIN targets t
         |  ON r.lang = t.lang AND r.rn = t.target_rn""".stripMargin,
 
+    // Rolling RANGE-frame window over integer epoch-days: DuckDB's
+    // windowed sum returns HUGEINT → CAST AS BIGINT.
+    "x31_rolling" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, n_events,
+        |       CAST(sum(n_events) OVER (
+        |         PARTITION BY user_id ORDER BY day
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS n_rolling
+        |FROM daily""".stripMargin,
+
     "x15_pii_scrub" ->
       """WITH s AS (
         |  SELECT doc_id, text,

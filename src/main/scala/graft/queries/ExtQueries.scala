@@ -180,6 +180,11 @@ object ExtQueries {
         src.fetch(FetchRequest("EVENTS")).select("event_id", "user_id", "ts"))
     }),
     "x30_quantiles" -> ((s, d) => Stats.lengthQuantiles(docs(s, d))),
+    "x31_rolling" -> ((s, d) => {
+      val src = new ParquetSimSource(s, d)
+      Sessions.rollingDaily(
+        src.fetch(FetchRequest("EVENTS")).select("user_id", "ts"))
+    }),
     "x20_hash_split" -> ((s, d) => Assemble.hashSplit(docs(s, d))),
     "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
       Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),

@@ -671,6 +671,22 @@ class ExtSpec extends SparkSpec {
     assert(overlap >= 0.8, s"int8 top-k overlap $overlap below floor")
   }
 
+  test("rollingDaily: RANGE frame counts calendar days, not row positions") {
+    val e = Seq(
+      (1L, "2024-01-01 01:00:00"), (1L, "2024-01-01 02:00:00"),
+      (1L, "2024-01-02 01:00:00"), (1L, "2024-01-09 01:00:00"))
+      .toDF("user_id", "ts_s")
+      .select($"user_id", to_timestamp($"ts_s").as("ts"))
+    val r = Sessions.rollingDaily(e, windowDays = 7).collect()
+      .map(x => x.getLong(1) -> ((x.getLong(2), x.getLong(3)))).toMap
+    val d0 = r.keys.min
+    assert(r(d0) == ((2L, 2L)), s"got $r")
+    assert(r(d0 + 1) == ((1L, 3L)))
+    // day 8's frame is RANGE [day 2, day 8]: days 0-1 fall out. A ROWS
+    // frame (2 preceding) would wrongly count 4 here.
+    assert(r(d0 + 8) == ((1L, 1L)))
+  }
+
   test("lengthQuantiles: PERCENTILE_DISC semantics by integer rank selection") {
     // lang a, lengths 1..5 (n=5): p50 → rank ⌈2.5⌉=3 → 3; p90 → ⌈4.5⌉=5
     // → 5; p99 → ⌈4.95⌉=5 → 5. lang b, n=2: p50 → ⌈1.0⌉=1 → 2 chars.
