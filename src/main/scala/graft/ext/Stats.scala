@@ -6,42 +6,54 @@ import org.apache.spark.sql.functions._
 
 /** Exact order statistics over the corpus — the data-quality report a
   * pipeline publishes per ingest (length distribution per language is
-  * the canonical one). Built from rank selection, not an engine
+  * the canonical one). Built from HISTOGRAM selection, not an engine
   * quantile function, because the two engines' `percentile`
   * implementations interpolate differently: `PERCENTILE_DISC(p)` is
-  * re-derived as "the row whose rank is ⌈p·n/100⌉ under a fully
-  * tiebroken ordering", all in integer arithmetic, so Spark and the
-  * DuckDB oracle pick the identical row by construction.
+  * re-derived as "the smallest value whose cumulative count reaches
+  * rank ⌈p·n/100⌉", all in integer arithmetic, so Spark and the
+  * DuckDB oracle pick the identical value by construction.
   *
-  * Scale shape: one row_number window per group (a sort WITHIN each
-  * language partition — never a global sort), group counts broadcast
-  * back (languages × percentiles is dozens of rows), and the selection
-  * filter is a per-row comparison. Exact per-group order statistics
-  * cost that per-group sort by nature; at 100 TB the routine
-  * monitoring path is `percentile_approx` (one pass, mergeable
-  * sketches, no sort) and THIS exact form is for the audited report —
-  * it is the one that can be oracle-checked bit-for-bit.
+  * Scale shape — the whole point of the histogram form: a naive
+  * `row_number() OVER (PARTITION BY lang ORDER BY n_chars)` puts an
+  * ENTIRE language in one task (a handful of languages over 100 TB =
+  * a handful of tasks sorting terabytes each). Instead the corpus
+  * reduces to the (lang, n_chars) histogram FIRST — one map-side-
+  * combinable count whose output is languages × distinct lengths
+  * (thousands of rows, bounded by the value domain, not the corpus) —
+  * and the cumulative window + selection run over that tiny frame.
+  * Exactness is unchanged: the value at rank t of the sorted group IS
+  * the smallest histogram bin with cumulative count ≥ t. At 100 TB
+  * the routine monitoring path is still `percentile_approx` (one
+  * pass, mergeable sketches); THIS exact form is the audited,
+  * oracle-checkable report.
   */
 object Stats {
 
   /** Per-language exact character-length percentiles (PERCENTILE_DISC
-    * semantics): for each lang and each p in `ps`, the `n_chars` value
-    * at rank ⌈p·n/100⌉ of the (n_chars, doc_id)-ordered group. Output:
-    * (lang, p, n_docs, n_chars_at_p), one row per lang × p. */
+    * semantics) via histogram selection: for each lang and each p in
+    * `ps`, the smallest `n_chars` whose cumulative frequency reaches
+    * rank ⌈p·n/100⌉. Output: (lang, p, n_docs, n_chars_at_p), one row
+    * per lang × p. */
   def lengthQuantiles(docs: DataFrame, ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
       s"percentiles $ps must be in [1, 100]")
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("n_chars"), col("doc_id"))
-    val ranked = docs
-      .select(col("lang"), col("doc_id"), length(col("text")).as("n_chars"))
-      .withColumn("rn", row_number().over(w))
-    val targets = ranked.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    // corpus → histogram: the ONLY stage that touches every row, and
+    // it is a map-side-combinable count on (lang, n_chars)
+    val hist = docs
+      .select(col("lang"), length(col("text")).as("n_chars"))
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+    val targets = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
       .select(col("lang"), col("n"), explode(typedLit(ps)).as("p"))
       .withColumn("target_rn", expr("(p * n + 99) DIV 100"))
-    ranked
-      .join(broadcast(targets), Seq("lang"))
-      .filter(col("rn") === col("target_rn"))
+    // smallest bin whose cumulative count reaches the target rank =
+    // the bin where the target falls inside (cum - cnt, cum]
+    cum.join(broadcast(targets), Seq("lang"))
+      .filter(col("cum") >= col("target_rn") &&
+        col("cum") - col("cnt") < col("target_rn"))
       .select(col("lang"), col("p"), col("n").as("n_docs"),
         col("n_chars").as("n_chars_at_p"))
   }

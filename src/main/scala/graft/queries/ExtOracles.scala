@@ -243,6 +243,11 @@ object ExtOracles {
     // Exact PERCENTILE_DISC re-derived as integer rank selection (the
     // engines' native percentile functions interpolate differently):
     // the row at rank ceil(p*n/100) of the fully tiebroken ordering.
+    // DELIBERATELY a different construction than the Spark side (which
+    // selects from the (lang, n_chars) histogram so no single language
+    // ever lands in one task) — the value at rank t of the sorted
+    // group IS the smallest histogram bin with cumulative count >= t,
+    // so the two derivations agreeing is an independent proof of both.
     "x30_quantiles" ->
       """WITH ranked AS (
         |  SELECT lang, doc_id, length(text) AS n_chars,

@@ -705,6 +705,15 @@ class ExtSpec extends SparkSpec {
     // the targets side must broadcast; no global sort anywhere
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"targets join not broadcast:\n$plan")
+    // the scale property: the cumulative window must consume the
+    // (lang, n_chars) HISTOGRAM, never raw documents — a window over
+    // raw docs puts an entire language in one task at 100 TB
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = q.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w.child.collectFirst { case _: Aggregate => () }.isDefined
+    }
+    assert(wins.nonEmpty && wins.forall(identity),
+      s"cumulative window does not sit on the histogram aggregate:\n${q.queryExecution.optimizedPlan}")
   }
 
   test("sessionize: gap splits sessions; ONE shuffle serves both windows and the groupBy") {
