@@ -195,18 +195,23 @@ object TextStats {
     *
     * Scale shape: tf is one map-side-combinable count on (doc, token);
     * df aggregates tf's output (already one row per doc×token, so a
-    * plain count = distinct-doc count) and is BROADCAST — a corpus
-    * vocabulary is bounded by language, not corpus size, so the 100 TB
-    * side never shuffles for the join; the final row_number window
-    * partitions by doc_id (narrow per-doc state, no global sort). */
-  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    * plain count = distinct-doc count) and is BROADCAST by default — a
+    * NATURAL-language vocabulary is bounded by the language, not the
+    * corpus, so the 100 TB side never shuffles for the join. For
+    * adversarial vocabularies (random strings, ids-as-tokens) the df
+    * table grows with the corpus and the broadcast would OOM the
+    * executors: pass `broadcastDf = false` and the join shuffles tf by
+    * token instead — the honest cost when the dimension isn't small.
+    * The final row_number window partitions by doc_id (billions of
+    * tiny groups — narrow per-doc state, no global sort). */
+  def keywords(docs: DataFrame, k: Int = 3, broadcastDf: Boolean = true): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
-    tf.join(broadcast(df), "token")
+    tf.join(if (broadcastDf) broadcast(df) else df, "token")
       .withColumn("score", expr("tf * 1000000L DIV df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

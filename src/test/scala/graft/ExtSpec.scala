@@ -671,6 +671,24 @@ class ExtSpec extends SparkSpec {
     assert(overlap >= 0.8, s"int8 top-k overlap $overlap below floor")
   }
 
+  test("percentile_approx (the 100 TB monitoring path) agrees with the exact histogram quantiles") {
+    // the operator docs point monitoring at percentile_approx; back
+    // that claim with code — at max accuracy on the fixture the sketch
+    // must reproduce the exact PERCENTILE_DISC values bin-for-bin
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = ext.Stats.lengthQuantiles(d, Seq(50, 90, 99)).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(3)).toMap
+    val approx = d.groupBy($"lang")
+      .agg(percentile_approx(length($"text"), typedLit(Seq(0.5, 0.9, 0.99)),
+        lit(10000)).as("qs"))
+      .collect()
+      .flatMap(r => Seq(50, 90, 99).zip(r.getSeq[Int](1)).map {
+        case (p, v) => (r.getString(0), p) -> v
+      }).toMap
+    assert(exact.nonEmpty && exact == approx,
+      s"exact $exact vs approx $approx")
+  }
+
   test("rollingDaily: RANGE frame counts calendar days, not row positions") {
     val e = Seq(
       (1L, "2024-01-01 01:00:00"), (1L, "2024-01-01 02:00:00"),
