@@ -31,13 +31,21 @@ object Sessions {
   /** Label every event with its session and aggregate per-session
     * stats: a new session starts when the gap since the user's
     * previous event exceeds `gapMinutes`. Returns one row per
-    * (user_id, session_idx) with event count, duration, and the
-    * bounding event ids. */
+    * (user_id, session_idx) with event count, duration, and the id
+    * BOUNDS of the session's events (min/max of event_id — NOT "the
+    * temporally first/last event": ids and time need not be aligned
+    * under out-of-order ingest, and an order-dependent pick would need
+    * engine-identical arg-min semantics the oracle can't guarantee).
+    * Events with a NULL timestamp are dropped up front — a session
+    * boundary over an unknown time is meaningless, and the engines
+    * disagree on NULL ordering (Spark NULLS FIRST, DuckDB NULLS LAST),
+    * so keeping them would make session membership engine-dependent. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
     val labeled = events
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
@@ -50,8 +58,8 @@ object Sessions {
       .agg(
         count(lit(1)).as("n_events"),
         (max(col("us")) - min(col("us"))).as("duration_us"),
-        min(col("event_id")).as("first_event_id"),
-        max(col("event_id")).as("last_event_id"))
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
   }
 
   /** Trailing-window activity: per (user, day), the event count and the
@@ -67,6 +75,7 @@ object Sessions {
     * by `windowDays` distinct days. */
   def rollingDaily(events: DataFrame, windowDays: Int = 7): DataFrame = {
     val daily = events
+      .filter(col("ts").isNotNull) // NULL-day ordering differs per engine
       .select(col("user_id"),
         // integer DIV, not `/` (Spark's `/` is double division); the
         // epoch is positive here so truncation == floor on both engines

@@ -424,8 +424,9 @@ object Similarity {
     * thousands of rows at 100 TB). Values land in [-127, 127]; NULL and
     * empty vectors both quantize to the empty signature (q_sum 0,
     * min/max NULL) on BOTH engines. The quantization error bound
-    * |x_i − q_i·m/127| ≤ m/127 is pinned by a spec, as is top-k rank
-    * agreement between int8 scoring and exact float scoring.
+    * |x_i − q_i·m/127| < m/127 still holds strictly (the clamp only
+    * fires where the unclamped error is ~0) and is pinned by a spec,
+    * as is top-k rank agreement between int8 and exact float scoring.
     *
     * Emitted as scalars that pin every element — an md5 over the
     * comma-joined ints plus min/max/sum — so the oracle compare never

@@ -38,8 +38,12 @@ object Stats {
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
       s"percentiles $ps must be in [1, 100]")
     // corpus → histogram: the ONLY stage that touches every row, and
-    // it is a map-side-combinable count on (lang, n_chars)
+    // it is a map-side-combinable count on (lang, n_chars). NULL text
+    // is excluded up front — PERCENTILE_DISC ignores NULLs, and the
+    // engines order a NULL bin differently (Spark first, DuckDB last),
+    // which would shift every cumulative count.
     val hist = docs
+      .filter(col("text").isNotNull)
       .select(col("lang"), length(col("text")).as("n_chars"))
       .groupBy(col("lang"), col("n_chars"))
       .agg(count(lit(1)).as("cnt"))

@@ -219,7 +219,7 @@ object ExtOracles {
     "x29_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |lagged AS (
         |  SELECT user_id, event_id, us,
         |         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
@@ -236,8 +236,8 @@ object ExtOracles {
         |SELECT user_id, session_idx,
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       max(us) - min(us) AS duration_us,
-        |       min(event_id) AS first_event_id,
-        |       max(event_id) AS last_event_id
+        |       min(event_id) AS min_event_id,
+        |       max(event_id) AS max_event_id
         |FROM labeled GROUP BY user_id, session_idx""".stripMargin,
 
     // Exact PERCENTILE_DISC re-derived as integer rank selection (the
@@ -253,7 +253,7 @@ object ExtOracles {
         |  SELECT lang, doc_id, length(text) AS n_chars,
         |         row_number() OVER (PARTITION BY lang
         |                            ORDER BY length(text), doc_id) AS rn
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |targets AS (
         |  SELECT lang, n, p, (p * n + 99) // 100 AS target_rn
         |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n
@@ -270,7 +270,7 @@ object ExtOracles {
         |  SELECT user_id,
         |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
         |         CAST(count(*) AS BIGINT) AS n_events
-        |  FROM events GROUP BY 1, 2)
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
         |SELECT user_id, day, n_events,
         |       CAST(sum(n_events) OVER (
         |         PARTITION BY user_id ORDER BY day

@@ -21,21 +21,24 @@ object ExtQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The events scan through the nanos→NTZ shim — ONE place owns the
+    * fetch, so a shim change can't drift between the event queries. */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    new ParquetSimSource(spark, dir).fetch(FetchRequest("EVENTS"))
+
   /** Backward as-of join: each event picks the customer's most recent
     * order at-or-before the event time. The right side is first made
     * unique per (key, time) — keep the max o_orderkey — so tie-breaking
     * is deterministic on both engines (DuckDB's ASOF JOIN leaves
     * same-timestamp ties unspecified otherwise). */
   def asofEventOrders(spark: SparkSession, dir: String): DataFrame = {
-    val src = new ParquetSimSource(spark, dir)
-    val events = src.fetch(FetchRequest("EVENTS"))
-      .select("event_id", "user_id", "ts")
+    val evts = events(spark, dir).select("event_id", "user_id", "ts")
     val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
       .orderBy(col("o_orderkey").desc)
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
-    AsofJoin.asofBackward(events, orders,
+    AsofJoin.asofBackward(evts, orders,
       leftKey = "user_id", rightKey = "o_custkey",
       leftTime = "ts", rightTime = "o_orderdate",
       rightPayload = Seq("o_orderkey", "o_totalprice"))
@@ -174,17 +177,11 @@ object ExtQueries {
     "x28_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
     // Batch sessionization over the NTZ-shimmed events scan — the
     // gaps-and-islands replay of the streaming session state.
-    "x29_sessions" -> ((s, d) => {
-      val src = new ParquetSimSource(s, d)
-      Sessions.sessionize(
-        src.fetch(FetchRequest("EVENTS")).select("event_id", "user_id", "ts"))
-    }),
+    "x29_sessions" -> ((s, d) =>
+      Sessions.sessionize(events(s, d).select("event_id", "user_id", "ts"))),
     "x30_quantiles" -> ((s, d) => Stats.lengthQuantiles(docs(s, d))),
-    "x31_rolling" -> ((s, d) => {
-      val src = new ParquetSimSource(s, d)
-      Sessions.rollingDaily(
-        src.fetch(FetchRequest("EVENTS")).select("user_id", "ts"))
-    }),
+    "x31_rolling" -> ((s, d) =>
+      Sessions.rollingDaily(events(s, d).select("user_id", "ts"))),
     "x20_hash_split" -> ((s, d) => Assemble.hashSplit(docs(s, d))),
     "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
       Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),

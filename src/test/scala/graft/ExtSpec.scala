@@ -620,6 +620,21 @@ class ExtSpec extends SparkSpec {
     // df join must broadcast — the corpus side never shuffles for it
     val plan = TextStats.keywords(d).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"df join not broadcast:\n$plan")
+
+    // the unbounded-vocabulary escape hatch: same answer, and with the
+    // auto-broadcast threshold off the join genuinely shuffles (the
+    // hint-free branch must not silently re-broadcast)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val noBc = TextStats.keywords(d, k = 2, broadcastDf = false)
+      val got = noBc.collect()
+        .map(x => (x.getLong(0), x.getInt(1)) -> (x.getString(2), x.getLong(3))).toMap
+      assert(got == r, s"shuffle-join branch disagrees: $got vs $r")
+      val noBcPlan = noBc.queryExecution.executedPlan.toString
+      assert(!noBcPlan.contains("BroadcastHashJoin"),
+        s"escape hatch still broadcasts:\n$noBcPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
   test("quantizeInt8: range, error bound, and int8 top-k agreement on the fixture") {
