@@ -278,6 +278,17 @@ object ExtOracles {
         |         AS n_rolling
         |FROM daily""".stripMargin,
 
+    // Banding range join: dim inlined as VALUES (same literals as the
+    // Spark-side broadcast dimension); half-open [lo, hi) bands.
+    "x32_length_bands" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('short', 0, 100), ('medium', 100, 300), ('long', 300, 1000000))
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents d JOIN bands b
+        |  ON length(d.text) >= b.lo AND length(d.text) < b.hi
+        |GROUP BY band""".stripMargin,
+
     "x15_pii_scrub" ->
       """WITH s AS (
         |  SELECT doc_id, text,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, Assemble, Dedup, Multimodal, Sessions, Similarity, Stats, TextStats}
+import graft.ext.{AsofJoin, Assemble, Dedup, Multimodal, RangeJoin, Sessions, Similarity, Stats, TextStats}
 import graft.sources.{FetchRequest, ParquetSimSource}
 
 /** LLM-training-data-pipeline query inventory (the north star's second
@@ -182,6 +182,19 @@ object ExtQueries {
     "x30_quantiles" -> ((s, d) => Stats.lengthQuantiles(docs(s, d))),
     "x31_rolling" -> ((s, d) =>
       Sessions.rollingDaily(events(s, d).select("user_id", "ts"))),
+    // Banding range join: docs × broadcast length-band dimension —
+    // half-open bands so a boundary length lands in exactly one band.
+    "x32_length_bands" -> ((s, d) => {
+      import s.implicits._
+      val dim = Seq(("short", 0, 100), ("medium", 100, 300),
+        ("long", 300, 1000000)).toDF("band", "lo", "hi")
+      RangeJoin.bandJoin(
+          docs(s, d).select(col("doc_id"), length(col("text")).as("n_chars")),
+          dim, "n_chars")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"))
+    }),
     "x20_hash_split" -> ((s, d) => Assemble.hashSplit(docs(s, d))),
     "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
       Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),

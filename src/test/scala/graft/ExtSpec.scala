@@ -686,6 +686,51 @@ class ExtSpec extends SparkSpec {
     assert(overlap >= 0.8, s"int8 top-k overlap $overlap below floor")
   }
 
+  test("bandJoin: half-open boundaries, broadcast nested loop over the tiny dim") {
+    val fact = Seq((1L, 99), (2L, 100), (3L, 299), (4L, 300), (5L, -1))
+      .toDF("id", "v")
+    val dim = Seq(("a", 0, 100), ("b", 100, 300), ("c", 300, 1000))
+      .toDF("band", "lo", "hi")
+    val j = ext.RangeJoin.bandJoin(fact, dim, "v")
+    val got = j.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 99→a (hi exclusive), 100→b (lo inclusive), 299→b, 300→c, -1→none
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "c"), s"got $got")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"dim not broadcast-nested-loop:\n$plan")
+  }
+
+  test("binnedPointInterval equals brute force; the join is equi on the bin, not a cross product") {
+    // intervals spanning multiple bins, sub-bin widths, negative
+    // values, and exact bin-boundary endpoints
+    val points = Seq((1L, -25L), (1L, 0L), (1L, 10L), (1L, 99L), (1L, 100L),
+      (2L, 10L), (2L, 1000L)).toDF("pk", "p")
+    val intervals = Seq(
+      (1L, -30L, 5L),   // spans negative/positive, 4 bins at width 10
+      (1L, 0L, 10L),    // exactly one bin
+      (1L, 95L, 101L),  // straddles a bin boundary
+      (2L, 5L, 15L),    // straddles
+      (2L, 999L, 998L)) // empty (lo >= hi) — must be dropped
+      .toDF("ik", "lo", "hi")
+    val binned = ext.RangeJoin.binnedPointInterval(
+      points, "pk", "p", intervals, "ik", binWidth = 10L)
+      .select($"pk", $"p", $"lo", $"hi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val brute = points.join(intervals,
+      $"pk" === $"ik" && $"p" >= $"lo" && $"p" < $"hi")
+      .select($"pk", $"p", $"lo", $"hi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(brute.nonEmpty && binned == brute,
+      s"binned ${binned.toSeq.sorted} vs brute ${brute.toSeq.sorted}")
+    // the decomposed join must be EQUI (hash/sort-merge on the bin) —
+    // never a nested loop or cartesian re-expansion
+    val plan = ext.RangeJoin.binnedPointInterval(
+      points, "pk", "p", intervals, "ik", binWidth = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"bin join fell back to a product:\n$plan")
+  }
+
   test("percentile_approx (the 100 TB monitoring path) agrees with the exact histogram quantiles") {
     // the operator docs point monitoring at percentile_approx; back
     // that claim with code — at max accuracy on the fixture the sketch
