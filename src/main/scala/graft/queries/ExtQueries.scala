@@ -182,6 +182,10 @@ object ExtQueries {
     "x30_quantiles" -> ((s, d) => Stats.lengthQuantiles(docs(s, d))),
     "x31_rolling" -> ((s, d) =>
       Sessions.rollingDaily(events(s, d).select("user_id", "ts"))),
+    // BPE merge training — rows-only like x6 (per-round argmax
+    // rewriting is not one SQL query); exactness pinned by the
+    // hand-worked ExtSpec example.
+    "x33_bpe_merges" -> ((s, d) => graft.ext.BpeTrain.train(docs(s, d), numMerges = 10)),
     // Banding range join: docs × broadcast length-band dimension —
     // half-open bands so a boundary length lands in exactly one band.
     "x32_length_bands" -> ((s, d) => {

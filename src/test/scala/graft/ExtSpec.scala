@@ -686,6 +686,27 @@ class ExtSpec extends SparkSpec {
     assert(overlap >= 0.8, s"int8 top-k overlap $overlap below floor")
   }
 
+  test("BPE training reproduces the hand-worked merge sequence; merges never re-merge in-round") {
+    // words: hug:2 pug:1 pun:1 bun:1. Round 1: (u,g)=3 wins. Round 2:
+    // (h,ug)=2 ties (u,n)=2, l-tiebreak picks (h,ug). Round 3: (u,n)=2.
+    val d = docsDf(1L -> "hug pug pun bun hug")
+    val merges = ext.BpeTrain.train(d, numMerges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq((1, "u", "g", 3L), (2, "h", "ug", 2L), (3, "u", "n", 2L)),
+      s"got ${merges.toSeq}")
+
+    // leftmost non-overlapping: the merged symbol stays pending and
+    // cannot re-merge with the next element in the same round
+    val syms = Seq(Tuple1(Seq("a", "a", "a", "a")), Tuple1(Seq("a", "a", "a")))
+      .toDF("syms")
+      .select(ext.BpeTrain.applyMerge($"syms", "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0))
+    assert(syms.toSet == Set(Seq("aa", "aa"), Seq("aa", "a")), s"got ${syms.toSeq}")
+
+    // single-symbol corpus: no pairs, training stops with zero merges
+    assert(ext.BpeTrain.train(docsDf(1L -> "a b a"), numMerges = 5).count() == 0)
+  }
+
   test("bandJoin: half-open boundaries, broadcast nested loop over the tiny dim") {
     val fact = Seq((1L, 99), (2L, 100), (3L, 299), (4L, 300), (5L, -1))
       .toDF("id", "v")
