@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   *
   * Right-side ties on (key, time): the row ordered last wins (stable
   * deterministic order by the extra `rightOrder` tiebreak columns).
+  *
+  * NULL right times are dropped up front: Spark's ascending NULLS
+  * FIRST would otherwise sort a null-time right row before everything
+  * and attach it as "older than all" — violating the right.time <=
+  * left.time contract (and DuckDB orders NULLS LAST, so the result
+  * would also be engine-dependent). A left row with a NULL time keeps
+  * its row and gets a NULL payload (nothing can be at-or-before an
+  * unknown time), which the same NULLS FIRST ordering yields naturally.
   */
 object AsofJoin {
 
@@ -56,6 +64,7 @@ object AsofJoin {
         leftCols.map(col) :+
         lit(null).cast(payloadType).as("__r"): _*)
     val r = right
+      .filter(col(rightTime).isNotNull)
       .withColumn("__key", col(rightKey))
       .withColumn("__time", col(rightTime))
       .withColumn("__side", lit(0))

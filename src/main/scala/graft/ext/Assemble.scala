@@ -33,8 +33,7 @@ object Assemble {
     * decorrelated across salts. Same md5 idiom the SimHash oracle
     * shares (`('0x'||substr(md5(..),1,8))::BIGINT` in ANSI SQL). */
   private def bucket(text: Column, salt: String, den: Int): Column =
-    pmod(conv(substring(md5(concat(text, lit(salt))), 1, 8), 16, 10).cast("long"),
-      lit(den.toLong))
+    pmod(OracleHash.md5Hash32(concat(text, lit(salt))), lit(den.toLong))
 
   /** Deterministic train/val/test split by content hash (permille
     * thresholds, default 900/50/50). One narrow projection, no shuffle,

@@ -379,6 +379,24 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val newHs = shingleHashes(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager result + scoped cache: the incremental tick runs repeatedly
+    // in a long-lived session, so leaking one cached shingle table per
+    // batch would squeeze executor storage until LRU evicts real work
+    // (same contract as minhashNeardupMaterialized)
+    try neardupAgainstIndexPlan(newHs, writer, table, threshold, maxBucket)
+      .localCheckpoint(true)
+    finally newHs.unpersist(blocking = false)
+  }
+
+  /** The LAZY incremental plan over an existing shingle frame — exposed
+    * for the index-read plan proof (the public path checkpoints, which
+    * collapses the executed plan to a Scan of the materialized RDD). */
+  private[graft] def neardupAgainstIndexPlan(
+      newHs: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      threshold: Double,
+      maxBucket: Int): DataFrame = {
     val idxBands = BucketCap.keepSmall(
       writer.read(s"${table}__bands"), Seq("band", "band_hash"), maxBucket)
     val cand = idxBands
@@ -442,13 +460,11 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("component"))
   }
 
-  /** 32-bit md5-derived token hash from hex digits [from, from+8) —
-    * reproducible in ANSI SQL (`('0x' || substr(md5(t),from,8))::BIGINT`
-    * on the DuckDB side), which is what lets the oracle recompute the
-    * identical SimHash. Two disjoint halves of one md5 give the 64
-    * independent signature bits without a second hash pass. */
+  /** The shared cross-engine token hash ([[OracleHash.md5Hash32]]).
+    * Two disjoint halves of one md5 give the 64 independent SimHash
+    * signature bits without a second hash pass. */
   private def h32(c: Column, from: Int = 1): Column =
-    conv(substring(md5(c), from, 8), 16, 10).cast("long")
+    OracleHash.md5Hash32(c, from)
 
   /** SimHash signature geometry: 64 bits banded as 4 blocks of 16 —
     * pigeonhole-exact recall for hamming distance ≤ SimhashBands − 1 = 3,

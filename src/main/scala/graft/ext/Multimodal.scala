@@ -65,10 +65,12 @@ object Multimodal {
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
+      // pmod, not %: a negative doc_id under % yields index 0 (runtime
+      // INVALID_INDEX) or a silently different kind from the array end
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      (lit(64) + (col("doc_id") % 8) * 16).cast("int").as("width"),
-      (lit(48) + (col("doc_id") % 5) * 16).cast("int").as("height"),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      (lit(64) + pmod(col("doc_id"), lit(8)) * 16).cast("int").as("width"),
+      (lit(48) + pmod(col("doc_id"), lit(5)) * 16).cast("int").as("height"),
       encode(col("text"), "UTF-8").as("payload"))
 
   /** Metadata-only projection — never touches the payload column, so a
@@ -101,6 +103,8 @@ object Multimodal {
       media: DataFrame,
       targetW: Int,
       targetH: Int): Dataset[MediaRow] = {
+    require(targetW > 0 && targetH > 0,
+      s"target geometry ${targetW}x$targetH must be positive")
     import spark.implicits._
     val n = targetW * targetH
     media.as[MediaRow].mapPartitions(_.map { r =>
@@ -126,6 +130,8 @@ object Multimodal {
     * 2 chars/byte — DuckDB can neither md5 nor substring a BLOB, so a
     * digest column would be unverifiable there. */
   def frameSample(media: DataFrame, n: Int = 4, frameBytes: Int = 16): DataFrame = {
+    require(n > 0 && frameBytes > 0,
+      s"frame plan n=$n frameBytes=$frameBytes must be positive")
     val step = greatest((length(col("payload")) / n).cast("int"), lit(1))
     media
       .select(col("doc_id"), col("kind"),

@@ -74,6 +74,7 @@ object Sessions {
     * small aggregate, never raw events; per-user frame state is bounded
     * by `windowDays` distinct days. */
   def rollingDaily(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays $windowDays must be positive")
     val daily = events
       .filter(col("ts").isNotNull) // NULL-day ordering differs per engine
       .select(col("user_id"),

@@ -53,13 +53,18 @@ object Similarity {
     * Self-matches are excluded. */
   def cosTopK(emb: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    // norms precomputed once per vector — never recompute them per PAIR
+    // norms precomputed once per vector — never recompute them per PAIR.
+    // Zero-norm vectors are EXCLUDED by contract on every cosine path:
+    // a zero vector has no direction, and the division throws under
+    // ANSI (Spark 4 default) instead of yielding a quiet NaN.
     val queries = emb
       .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
       .withColumn("nq", norm(col("q")))
+      .filter(col("nq") > 0)
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
+      .filter(col("nv") > 0)
     val scored = corpus
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("q"), col("v")) / (col("nq") * col("nv")))
@@ -154,6 +159,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
+      .filter(col("nv") > 0) // zero vectors: no direction, ANSI div guard
     val banded = signBands(v, planes, tables)
     val kept = BucketCap.keepSmall(banded, Seq("tbl", "bucket"), maxBucket)
     val cand = kept.select(col("tbl"), col("bucket"), col("vec_id").as("a_id"))
@@ -280,6 +286,7 @@ object Similarity {
     queryVecs
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
       .withColumn("nq", norm(col("q")))
+      .filter(col("nq") > 0) // zero queries: no direction, ANSI div guard
       .withColumn("probe", explode(slice(reverse(array_sort(cellScores(cents))), 1, nprobe)))
       .select(col("query_id"), col("q"), col("nq"), col("probe.cell").as("cell"))
 
@@ -310,6 +317,7 @@ object Similarity {
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("cell", nearestCell(cents))
       .withColumn("nv", norm(col("v")))
+      .filter(col("nv") > 0)
     val scored = corpus
       .join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -402,6 +410,7 @@ object Similarity {
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
       .select(col("vec_id"), col("cell"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
+      .filter(col("nv") > 0)
     val scored = corpus
       .join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -41,9 +41,13 @@ object Stats {
     // it is a map-side-combinable count on (lang, n_chars). NULL text
     // is excluded up front — PERCENTILE_DISC ignores NULLs, and the
     // engines order a NULL bin differently (Spark first, DuckDB last),
-    // which would shift every cumulative count.
+    // which would shift every cumulative count. NULL lang is excluded
+    // EXPLICITLY too: the non-null-safe join below would otherwise
+    // drop that group silently after counting it — an unlabeled group
+    // is out of scope for a per-language report, but by contract, not
+    // by join accident.
     val hist = docs
-      .filter(col("text").isNotNull)
+      .filter(col("text").isNotNull && col("lang").isNotNull)
       .select(col("lang"), length(col("text")).as("n_chars"))
       .groupBy(col("lang"), col("n_chars"))
       .agg(count(lit(1)).as("cnt"))

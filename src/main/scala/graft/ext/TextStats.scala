@@ -94,8 +94,11 @@ object TextStats {
     val nChars = length(col("text"))
     docs
       .withColumn("n_tokens", nTok)
+      // nTok >= 1 always (split("") = [""]); nChars CAN be 0 and double
+      // division by zero throws under ANSI — guard the one divisor
       .withColumn("stop_ratio", nStop.cast("double") / nTok)
-      .withColumn("punct_ratio", nPunct.cast("double") / nChars)
+      .withColumn("punct_ratio",
+        when(nChars === 0, lit(0.0)).otherwise(nPunct.cast("double") / nChars))
       .withColumn("avg_token_len", nChars.cast("double") / nTok)
       .withColumn("quality_score",
         when(col("n_tokens") < lit(5), lit(0.0))
@@ -128,6 +131,9 @@ object TextStats {
     * driver), NEVER a global sort; the plan shape is pinned by a test. */
   def vocabulary(docs: DataFrame, topN: Int = 20): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("token"))
+      // irregular whitespace splits to "" tokens — not vocabulary (the
+      // same rule BpeTrain applies, so both see one word universe)
+      .filter(length(col("token")) > 0)
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(topN)
@@ -207,6 +213,7 @@ object TextStats {
   def keywords(docs: DataFrame, k: Int = 3, broadcastDf: Boolean = true): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0) // same word universe as vocabulary
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -227,8 +234,7 @@ object TextStats {
   def fingerprint(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val fps = array_distinct(filter(
-      transform(Dedup.shingles(col("text")),
-        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")),
+      transform(Dedup.shingles(col("text")), s => OracleHash.md5Hash32(s)),
       h => h % 16 === 0))
     docs.select(
       col("doc_id"),

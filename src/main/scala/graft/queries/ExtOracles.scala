@@ -134,10 +134,12 @@ object ExtOracles {
         |SELECT doc_id,
         |       CAST(n_tokens AS INT) AS n_tokens,
         |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-        |       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+        |       CASE WHEN n_chars = 0 THEN 0e0
+        |            ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
         |       CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
         |       CASE WHEN n_tokens < 5 THEN 0.0
-        |            ELSE 1.0 - (CAST(n_punct AS DOUBLE) / n_chars) * 2.0
+        |            ELSE 1.0 - (CASE WHEN n_chars = 0 THEN 0e0
+        |                        ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 2.0
         |                 + least((CAST(n_stop AS DOUBLE) / n_tokens) * 1.5, 0.3)
         |       END AS quality_score
         |FROM t""".stripMargin,
@@ -253,7 +255,7 @@ object ExtOracles {
         |  SELECT lang, doc_id, length(text) AS n_chars,
         |         row_number() OVER (PARTITION BY lang
         |                            ORDER BY length(text), doc_id) AS rn
-        |  FROM documents WHERE text IS NOT NULL),
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
         |targets AS (
         |  SELECT lang, n, p, (p * n + 99) // 100 AS target_rn
         |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n
@@ -439,6 +441,7 @@ object ExtOracles {
     "x26_vocab" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     // Keywords: integer tf·idf proxy (tf*1e6 DIV df) — order-equivalent
@@ -449,6 +452,7 @@ object ExtOracles {
         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |        FROM documents)
+        |  WHERE length(token) > 0
         |  GROUP BY doc_id, token),
         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token)
         |SELECT doc_id, "rank", token, score FROM (

@@ -153,8 +153,14 @@ class ExtSpec extends SparkSpec {
     val w = new graft.sinks.StagingWriter(spark, tmpDir("mhidx"))
     Dedup.buildMinhashIndex(corpus, w, "docs")
     val incr = Dedup.neardupAgainstIndex(batch, w, "docs")
-    // the plan must read the stored artifacts, not re-shingle the corpus
-    assert(incr.queryExecution.executedPlan.toString.contains("docs__bands"),
+    // the plan must read the stored artifacts, not re-shingle the
+    // corpus — proven on the lazy builder (the public path checkpoints
+    // eagerly to scope its cache, which collapses the executed plan)
+    graft.functions.GraftFunctions.register(spark)
+    val lazyPlan = Dedup.neardupAgainstIndexPlan(
+      Dedup.shingleHashes(batch), w, "docs", 0.8, Dedup.DefaultMaxBucket)
+      .queryExecution.executedPlan.toString
+    assert(lazyPlan.contains("docs__bands"),
       "incremental path does not read the band index")
     val got = incr.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -684,6 +690,38 @@ class ExtSpec extends SparkSpec {
     assert(exact.nonEmpty)
     val overlap = (exact & approx).size.toDouble / exact.size
     assert(overlap >= 0.8, s"int8 top-k overlap $overlap below floor")
+  }
+
+  test("ANSI-hardening: empty text scores, zero vectors are excluded, null right times don't attach") {
+    // empty text: length 0 must not divide (ANSI throws); score defined
+    val q = TextStats.qualityScore(docsDf(1L -> "", 2L -> "a b c d e f")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(q(1L) == 0.0 && q(2L) > 0.0, s"got $q")
+
+    // a zero vector has no direction: excluded from corpus AND queries
+    // instead of crashing the division (vec_id 0 is a query under
+    // queryMod, and also corpus for the other query)
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (25L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f)), (2L, Array(-1.0f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.cosTopK(emb, k = 2, queryMod = 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(topk.nonEmpty && !topk.exists(t => t._1 == 0L || t._2 == 0L), s"got ${topk.toSeq}")
+    assert(Similarity.embedNeardup(
+      Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1f, 2f)), (2L, Array(1f, 2f)))
+        .toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+
+    // a null-time right row must not be treated as "older than all"
+    val left = Seq((10L, 5L)).toDF("l_id", "t")
+    val right = Seq((Some(1L), Option.empty[Long], "bad"),
+      (Some(1L), Some(3L), "good")).toDF("r_key", "rt", "payload")
+      .withColumn("r_key", lit(10L))
+    val asof = ext.AsofJoin.asofBackward(left, right,
+      leftKey = "l_id", rightKey = "r_key", leftTime = "t", rightTime = "rt",
+      rightPayload = Seq("payload")).head()
+    assert(asof.getString(2) == "good", s"got $asof")
   }
 
   test("BPE training reproduces the hand-worked merge sequence; merges never re-merge in-round") {
