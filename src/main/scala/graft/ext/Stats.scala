@@ -65,4 +65,36 @@ object Stats {
       .select(col("lang"), col("p"), col("n").as("n_docs"),
         col("n_chars").as("n_chars_at_p"))
   }
+
+  /** Dedup-funnel report — the per-ingest observability row every real
+    * pipeline publishes: how many documents survive each prep rule.
+    * Stages are RULE counts (each against its stated input), chainable
+    * when the rules nest:
+    *
+    *   - `1_raw` — corpus size;
+    *   - `2_exact_unique` — distinct content digests;
+    *   - `3_neardup_survivors` — docs that are not the dropped (higher
+    *     doc_id) side of an exact n-gram Jaccard pair at 0.7
+    *     ([[Dedup.ngramJaccardJoinMaterialized]] — the EXACT dedup
+    *     family member, so the funnel's oracle stays an equi-join
+    *     shape, never all-pairs);
+    *   - `4_quality_passed` — survivors with quality_score ≥ 1.0 (the
+    *     same per-row score x8 checks).
+    *
+    * Every count is an integer aggregate; the quality threshold is the
+    * same per-row expression tree the x8/x14 oracles already pin. One
+    * small output row per stage — the aggregates fold map-side. */
+  def prepFunnel(docs: DataFrame): DataFrame = {
+    val dropIds = Dedup.ngramJaccardJoinMaterialized(docs)
+      .select(col("b_id").as("doc_id")).distinct()
+    val survivors = docs.join(dropIds, Seq("doc_id"), "left_anti")
+    val stage = (name: String, d: DataFrame) =>
+      d.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    stage("1_raw", docs)
+      .unionByName(docs.agg(countDistinct(md5(col("text"))).as("n_docs"))
+        .select(lit("2_exact_unique").as("stage"), col("n_docs")))
+      .unionByName(stage("3_neardup_survivors", survivors))
+      .unionByName(stage("4_quality_passed",
+        TextStats.withQuality(survivors).filter(col("quality_score") >= 1.0)))
+  }
 }

@@ -196,7 +196,8 @@ object ExtOracles {
          |  kept AS (
          |    SELECT * FROM q
          |    WHERE (CASE WHEN n_tokens < 5 THEN 0.0
-         |                ELSE 1.0 - (CAST(n_punct AS DOUBLE) / n_chars) * 2.0
+         |                ELSE 1.0 - (CASE WHEN n_chars = 0 THEN 0e0
+         |                            ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 2.0
          |                     + least((CAST(n_stop AS DOUBLE) / n_tokens) * 1.5, 0.3)
          |           END) >= 1.0)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -351,6 +352,47 @@ object ExtOracles {
     // DuckDB s[5:30], both 26 tokens). The join is on n-gram STRINGS
     // here vs 64-bit hashes on the Spark side (vanishing-collision
     // caveat as x2/x18).
+    // Dedup funnel: stage counts. The near-dup stage reuses the x18
+    // exact-Jaccard construction (complete shared-shingle equi-join,
+    // integer cross-multiplied threshold), so this oracle never goes
+    // all-pairs; the quality CASE is the x8 guarded form.
+    "x34_prep_funnel" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  dropped AS (
+         |    SELECT DISTINCT i.b_id AS doc_id
+         |    FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 7 * (sa.sz + sb.sz - i.i)),
+         |  surv AS (SELECT * FROM documents
+         |           WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |  q AS (SELECT doc_id,
+         |               len(string_split(text, ' ')) AS n_tokens,
+         |               len(list_filter(string_split(text, ' '),
+         |                   t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop,
+         |               length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+         |               length(text) AS n_chars
+         |        FROM surv)
+         |SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+         |UNION ALL
+         |SELECT '2_exact_unique', CAST(count(DISTINCT md5(text)) AS BIGINT) FROM documents
+         |UNION ALL
+         |SELECT '3_neardup_survivors', CAST(count(*) AS BIGINT) FROM surv
+         |UNION ALL
+         |SELECT '4_quality_passed', CAST(count(*) AS BIGINT) FROM q
+         |WHERE (CASE WHEN n_tokens < 5 THEN 0.0
+         |            ELSE 1.0 - (CASE WHEN n_chars = 0 THEN 0e0
+         |                        ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 2.0
+         |                 + least((CAST(n_stop AS DOUBLE) / n_tokens) * 1.5, 0.3)
+         |       END) >= 1.0""".stripMargin,
+
     "x19_decontaminate" ->
       """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
         |  tg AS (SELECT doc_id, unnest(list_distinct(

@@ -186,6 +186,7 @@ object ExtQueries {
     // rewriting is not one SQL query); exactness pinned by the
     // hand-worked ExtSpec example.
     "x33_bpe_merges" -> ((s, d) => graft.ext.BpeTrain.train(docs(s, d), numMerges = 10)),
+    "x34_prep_funnel" -> ((s, d) => Stats.prepFunnel(docs(s, d))),
     // Banding range join: docs × broadcast length-band dimension —
     // half-open bands so a boundary length lands in exactly one band.
     "x32_length_bands" -> ((s, d) => {

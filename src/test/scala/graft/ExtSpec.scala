@@ -692,6 +692,25 @@ class ExtSpec extends SparkSpec {
     assert(overlap >= 0.8, s"int8 top-k overlap $overlap below floor")
   }
 
+  test("prepFunnel: stage counts match the hand-built corpus") {
+    val base = (1 to 40).map(i => s"the of w$i").mkString(" ") // 120 tokens, stopword-rich
+    val nearDup = base.replace("w20", "CHANGED")
+    val junk = "@#$% ^&* !!! ??? ###" // punctuation soup, 5 tokens
+    val d = docsDf(
+      1L -> base, 2L -> base, // exact dups (also jaccard-1 pair)
+      3L -> nearDup,          // near-dup of 1/2 at J >= 0.7
+      4L -> junk,
+      5L -> "tiny")           // < 5 tokens -> quality 0
+    val got = ext.Stats.prepFunnel(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("1_raw") == 5L, s"got $got")
+    assert(got("2_exact_unique") == 4L)
+    // pairs at 0.7: (1,2) J=1, (1,3)/(2,3) near-dup -> b_ids {2,3} drop
+    assert(got("3_neardup_survivors") == 3L, s"got $got")
+    // of survivors {1,4,5}: 1 passes quality; junk scores low; tiny < 5 tokens
+    assert(got("4_quality_passed") == 1L, s"got $got")
+  }
+
   test("ANSI-hardening: empty text scores, zero vectors are excluded, null right times don't attach") {
     // empty text: length 0 must not divide (ANSI throws); score defined
     val q = TextStats.qualityScore(docsDf(1L -> "", 2L -> "a b c d e f")).collect()
