@@ -84,8 +84,16 @@ object Stats {
     * Every count is an integer aggregate; the quality threshold is the
     * same per-row expression tree the x8/x14 oracles already pin. One
     * small output row per stage — the aggregates fold map-side. */
-  def prepFunnel(docs: DataFrame): DataFrame = {
-    val dropIds = Dedup.ngramJaccardJoinMaterialized(docs)
+  def prepFunnel(docs: DataFrame): DataFrame =
+    prepFunnel(docs, Dedup.ngramJaccardJoinMaterialized(docs))
+
+  /** [[prepFunnel]] over an ALREADY-COMPUTED near-dup pair set — the
+    * shape the query inventory uses: the pair set is an ingest-time
+    * artifact shared with the x18 join (same OnceCache pattern as the
+    * MinHash set x2/x14 share), so the funnel never re-pays the most
+    * expensive prep stage. */
+  def prepFunnel(docs: DataFrame, neardupPairs: DataFrame): DataFrame = {
+    val dropIds = neardupPairs
       .select(col("b_id").as("doc_id")).distinct()
     val survivors = docs.join(dropIds, Seq("doc_id"), "left_anti")
     val stage = (name: String, d: DataFrame) =>

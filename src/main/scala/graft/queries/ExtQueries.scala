@@ -66,8 +66,18 @@ object ExtQueries {
       Dedup.minhashNeardupMaterialized(docs(spark, dir), threshold = 0.8)
     }
 
+  // the exact-Jaccard pair set gets the same share: x18 and the x34
+  // funnel both consume it, and at scale it too is an ingest artifact
+  private val ngramPairCache =
+    new graft.util.OnceCache[(String, String), DataFrame](MaxCachedPairSets)
+
+  private def ngramPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramPairCache.getOrCompute((spark.sparkContext.applicationId, dir)) {
+      Dedup.ngramJaccardJoinMaterialized(docs(spark, dir))
+    }
+
   /** Drop all cached pair sets (e.g. after fixtures change). */
-  def clearPairCache(): Unit = minhashPairCache.clear()
+  def clearPairCache(): Unit = { minhashPairCache.clear(); ngramPairCache.clear() }
 
   /** Composed training-data prep flow — the shape a real corpus pipeline
     * runs end-to-end: near-dup removal (MinHash keepers: the lower
@@ -128,7 +138,7 @@ object ExtQueries {
     // filtered n-gram Jaccard join at 0.7 — a threshold where MinHash
     // banding recall already decays (~1.2% borderline miss), which is
     // exactly when the exact algorithm is the right choice.
-    "x18_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardJoinMaterialized(docs(s, d))),
+    "x18_ngram_jaccard" -> ((s, d) => ngramPairs(s, d)),
     // Benchmark decontamination (13-gram containment). The "benchmark"
     // is PLANTED from the corpus itself — every 50th document's token
     // window [5, 30] becomes an eval item, so contamination exists by
@@ -186,7 +196,7 @@ object ExtQueries {
     // rewriting is not one SQL query); exactness pinned by the
     // hand-worked ExtSpec example.
     "x33_bpe_merges" -> ((s, d) => graft.ext.BpeTrain.train(docs(s, d), numMerges = 10)),
-    "x34_prep_funnel" -> ((s, d) => Stats.prepFunnel(docs(s, d))),
+    "x34_prep_funnel" -> ((s, d) => Stats.prepFunnel(docs(s, d), ngramPairs(s, d))),
     // Banding range join: docs × broadcast length-band dimension —
     // half-open bands so a boundary length lands in exactly one band.
     "x32_length_bands" -> ((s, d) => {
