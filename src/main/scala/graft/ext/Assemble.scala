@@ -111,4 +111,65 @@ object Assemble {
         // double-division + cast truncation is exact (frameSample idiom)
         ((col("cum") - col("n_tokens")) / budgetTokens).cast("long").as("seq_idx"))
   }
+
+  /** Quality-ranked corpus selection to a GLOBAL token budget: walk the
+    * corpus in (quality_score DESC, doc_id) order and keep every
+    * document whose inclusive running token total stays ≤ `budget` —
+    * the curation step that cuts a cleaned corpus down to a target
+    * training-token count, keeping the best documents first. This is a
+    * PREFIX CUT on the inclusive running total: the first document that
+    * would cross the budget ends the selection (every token count is
+    * ≥ 1, so the running total is strictly increasing and nothing after
+    * the straddler can fit) — the document that crosses is excluded
+    * whole, never truncated.
+    *
+    * The naive plan — `sum() OVER (ORDER BY quality DESC, doc_id)` with
+    * no partition — puts the ENTIRE corpus through one task. Instead
+    * the running total is decomposed (same design rationale as the x30
+    * HISTOGRAM quantiles):
+    *
+    *   1. per-VALUE aggregate: groupBy(quality_score) → token totals —
+    *      map-side combinable, corpus-linear;
+    *   2. value-level exclusive prefix over quality DESC — a window
+    *      over the DISTINCT-VALUE aggregate, never raw documents;
+    *   3. per-value inclusive running sum over doc_id — a window
+    *      PARTITIONED by quality_score (parallel across values);
+    *   4. global cum = value prefix + within-value running sum.
+    *
+    * The quality score is the x8 per-row expression tree (bit-exact in
+    * both engines), so ordering and the value-equality join key are
+    * deterministic; doc_id breaks ties totally. The DuckDB oracle
+    * deliberately uses the naive single-window construction — the two
+    * independent derivations cross-prove each other.
+    *
+    * Scale caveat (documented, x30-style): stage 3's parallelism is
+    * bounded by the largest single-value group, and stage 2's window by
+    * the distinct-value count. A continuous score spreads both; a
+    * heavily-discretized score (few distinct values) degrades stage 3
+    * toward per-value sorts — refine the score's granularity before
+    * coarsening it. NULL texts are excluded by contract. */
+  def budgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, s"token budget $budget must be non-negative")
+    val scored = TextStats.withQuality(docs.filter(col("text").isNotNull))
+      .select(col("doc_id"), col("quality_score"),
+        col("n_tokens").cast("long").as("n_tokens"))
+    val byValue = scored.groupBy(col("quality_score"))
+      .agg(sum(col("n_tokens")).as("value_tokens"))
+    val valuePrefix = byValue
+      // exclusive prefix: tokens of all STRICTLY better quality values
+      .withColumn("prefix_tokens",
+        coalesce(sum(col("value_tokens")).over(
+          Window.orderBy(col("quality_score").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("quality_score"), col("prefix_tokens"))
+    val withinValue = Window.partitionBy(col("quality_score"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .join(broadcast(valuePrefix), Seq("quality_score"))
+      .withColumn("cum_tokens",
+        col("prefix_tokens") + sum(col("n_tokens")).over(withinValue))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+  }
 }

@@ -336,6 +336,64 @@ object Dedup {
       .distinct()
   }
 
+  /** Span-level exact-substring dedup (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better" pass,
+    * re-expressed relationally): a token window of width `n` is
+    * DUPLICATED when the identical window occurs at ≥ 2 sites in the
+    * corpus (site = (doc, position) — repeats WITHIN a doc count, they
+    * are the same memorization risk). Per doc this reports how much of
+    * the text sits under duplicated windows — the signal used to cut or
+    * down-weight boilerplate spans, which doc-level Jaccard (x2/x18)
+    * cannot see when the containing documents are otherwise different.
+    *
+    * Plan, all linear and SINGLE-PASS: one
+    * [[graft.functions.WordNgramsAll]] evaluation per row (positional
+    * windows are per-row compute — no token-explode shuffle for
+    * construction), posexplode to (doc, pos, hash) sites, then a count
+    * WINDOW over the window-hash partition (the [[BucketCap]] idiom:
+    * one shuffle on the 8-byte hash, no self-join, and — unlike a
+    * groupBy + join back — no duplicated aggregate subtree feeding two
+    * consumers). Coverage explodes DUP SITES ONLY ×n positions (at
+    * 100 TB dup sites ≪ all sites; the fixture measures ~9%), and ONE
+    * per-doc aggregate serves both outputs: sites are unique per
+    * (doc, pos), so n_dup_windows = countDistinct(pos) rides the same
+    * exploded frame that countDistinct(tok) needs. No all-pairs step
+    * exists at any scale — cost is O(tokens) + O(dup sites × n), never
+    * O(docs²).
+    *
+    * Window identity is xxhash64 of the window string (same
+    * vanishing-collision caveat as x2/x18: the oracle groups on the
+    * window STRING, cross-proving the hash grouping). NULL texts are
+    * excluded by contract, mirrored in the oracle. */
+  def spanDedup(docs: DataFrame, n: Int = 13): DataFrame = {
+    require(n >= 2, s"window width $n must be at least 2")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = docs.filter(col("text").isNotNull)
+    val sites = base
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.wordNgramsAll(col("text"), lit(n)))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("h"))
+    val bySiteCount = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val dupSites = sites
+      .withColumn("n_sites", count(lit(1)).over(bySiteCount))
+      .filter(col("n_sites") >= 2)
+    val perDoc = dupSites
+      .select(col("doc_id"), col("pos"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("pos")).as("n_dup_windows"),
+        countDistinct(col("tok")).as("n_covered_tokens"))
+    val nTokens = size(split(col("text"), " "))
+    base
+      .select(col("doc_id"), nTokens.as("n_tokens"),
+        greatest(nTokens - lit(n - 1), lit(0)).as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_covered_tokens"), lit(0L)).as("n_covered_tokens"))
+  }
+
   /** Ingest-time MinHash index: persists the per-document signature
     * artifacts — LSH band keys, shingle hashes, and set sizes — so
     * incremental batches can near-dup against the FULL corpus history

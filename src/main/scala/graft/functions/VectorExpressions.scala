@@ -235,6 +235,66 @@ case class WordNgrams(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ALL word n-grams of a text column IN TOKEN ORDER, duplicates kept —
+  * the positional sibling of [[WordNgrams]]: element i is exactly the
+  * window starting at token i, so `posexplode` recovers the token
+  * position of every window. That position is what the span-dedup
+  * operator needs (coverage = union of [pos, pos+n) over duplicated
+  * windows); the distinct variant cannot provide it because dedup
+  * discards both order and multiplicity.
+  *
+  * Same tokenization contract as [[WordNgrams]]: split on every single
+  * space keeping empties, windows joined with one space, fewer than n
+  * tokens → empty array. */
+case class WordNgramsAll(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams_all"
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    WordNgramsAll.compute(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.WordNgramsAll.compute($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordNgramsAll =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordNgramsAll {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val tokens = text.toString.split(" ", -1) // Spark split(): keep empties
+    val m = tokens.length - (n - 1)
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(tokens(i + k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object WordNgrams {
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -280,7 +340,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => SignLshBuckets(es(0), es(1), es(2), es(3))),
     ("word_ngrams",
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
-      (es: Seq[Expression]) => WordNgrams(es(0), es(1))))
+      (es: Seq[Expression]) => WordNgrams(es(0), es(1))),
+    ("word_ngrams_all",
+      new ExpressionInfo(classOf[WordNgramsAll].getName, "word_ngrams_all"),
+      (es: Seq[Expression]) => WordNgramsAll(es(0), es(1))))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config). Skips a name ONLY when the existing
@@ -307,6 +370,8 @@ object GraftFunctions {
     call_function("sign_lsh", vec, planesFlat, planes, dim)
   def wordNgrams(text: Column, n: Column): Column =
     call_function("word_ngrams", text, n)
+  def wordNgramsAll(text: Column, n: Column): Column =
+    call_function("word_ngrams_all", text, n)
 }
 
 /** Config-time injection: `spark.sql.extensions=graft.functions.GraftExtensions`. */
@@ -324,6 +389,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (es: Seq[Expression]) => SignLshBuckets(es(0), es(1), es(2), es(3)): Expression),
       (FunctionIdentifier("word_ngrams"),
         new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
-        (es: Seq[Expression]) => WordNgrams(es(0), es(1)): Expression))
+        (es: Seq[Expression]) => WordNgrams(es(0), es(1)): Expression),
+      (FunctionIdentifier("word_ngrams_all"),
+        new ExpressionInfo(classOf[WordNgramsAll].getName, "word_ngrams_all"),
+        (es: Seq[Expression]) => WordNgramsAll(es(0), es(1)): Expression))
       .foreach(ext.injectFunction)
 }

@@ -393,6 +393,61 @@ object ExtOracles {
          |                 + least((CAST(n_stop AS DOUBLE) / n_tokens) * 1.5, 0.3)
          |       END) >= 1.0""".stripMargin,
 
+    // Span dedup: positional 13-token windows (pos recovers the token
+    // index; i is 1-based so pos = i-1), duplicated = the same window
+    // string at >= 2 (doc, pos) sites corpus-wide. Groups on the window
+    // STRING where Spark groups on xxhash64 of it — the usual
+    // vanishing-collision cross-proof (as x2/x18). Coverage counts
+    // DISTINCT token indices under any duplicated window.
+    "x35_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
+        |              FROM documents WHERE text IS NOT NULL),
+        |  wins AS (SELECT doc_id, r['pos'] AS pos, r['g'] AS g FROM (
+        |    SELECT doc_id, unnest([{'pos': i - 1, 'g': array_to_string(s[i:i+12], ' ')}
+        |                           FOR i IN range(1, len(s) - 11)]) AS r
+        |    FROM toks)),
+        |  dup AS (SELECT g FROM wins GROUP BY g HAVING count(*) >= 2),
+        |  sites AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (g)),
+        |  dupc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+        |           FROM sites GROUP BY doc_id),
+        |  cov AS (SELECT doc_id, CAST(count(DISTINCT pos + k) AS BIGINT) AS n_covered_tokens
+        |          FROM sites, generate_series(0, 12) AS gs(k) GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       CAST(len(s) AS INT) AS n_tokens,
+        |       CAST(greatest(len(s) - 12, 0) AS INT) AS n_windows,
+        |       COALESCE(d.n_dup_windows, 0) AS n_dup_windows,
+        |       COALESCE(c.n_covered_tokens, 0) AS n_covered_tokens
+        |FROM toks t
+        |LEFT JOIN dupc d USING (doc_id)
+        |LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    // Budget selection: the quality CASE is the x8/x34 per-row tree
+    // (bit-exact across engines, so the ORDER BY ranks identically;
+    // doc_id completes the total order). Naive global running-sum
+    // window here vs the decomposed value-histogram construction in
+    // Spark — independent derivations of the same prefix cut.
+    "x36_budget_select" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop,
+        |         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+        |         length(text) AS n_chars
+        |  FROM documents WHERE text IS NOT NULL),
+        |  s AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |          (CASE WHEN n_tokens < 5 THEN 0.0
+        |                ELSE 1.0 - (CASE WHEN n_chars = 0 THEN 0e0
+        |                            ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 2.0
+        |                     + least((CAST(n_stop AS DOUBLE) / n_tokens) * 1.5, 0.3)
+        |           END) AS qual
+        |        FROM q),
+        |  c AS (SELECT doc_id, n_tokens,
+        |          CAST(sum(n_tokens) OVER (ORDER BY qual DESC, doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |        FROM s)
+        |SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000""".stripMargin,
+
     "x19_decontaminate" ->
       """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
         |  tg AS (SELECT doc_id, unnest(list_distinct(

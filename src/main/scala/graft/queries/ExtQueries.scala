@@ -197,6 +197,14 @@ object ExtQueries {
     // hand-worked ExtSpec example.
     "x33_bpe_merges" -> ((s, d) => graft.ext.BpeTrain.train(docs(s, d), numMerges = 10)),
     "x34_prep_funnel" -> ((s, d) => Stats.prepFunnel(docs(s, d), ngramPairs(s, d))),
+    // Span-level exact-substring dedup (Lee et al. 2021): per-doc
+    // duplicated-window and covered-token counts at window width 13 —
+    // the same width the x19 decontamination containment uses.
+    "x35_span_dedup" -> ((s, d) => Dedup.spanDedup(docs(s, d))),
+    // Quality-ranked prefix cut to a global token budget — corpus
+    // curation; the decomposed histogram construction here, the naive
+    // global running-sum window in the oracle (cross-proof, x30-style).
+    "x36_budget_select" -> ((s, d) => Assemble.budgetSelect(docs(s, d), budget = 10000L)),
     // Banding range join: docs × broadcast length-band dimension —
     // half-open bands so a boundary length lands in exactly one band.
     "x32_length_bands" -> ((s, d) => {

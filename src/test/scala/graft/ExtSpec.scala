@@ -55,6 +55,67 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("word_ngrams_all returns every window in token order with duplicates") {
+    graft.functions.GraftFunctions.register(spark)
+    val tricky = Seq(
+      "", " ", "a", "a b", "a b c", "a  b c d", "a b a b a b",
+      "p p p p", "trailing spaces ", (1 to 25).map(i => s"w${i % 7}").mkString(" "))
+    val d = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 4)) {
+      val rows = d.select($"doc_id", $"text",
+        graft.functions.GraftFunctions.wordNgramsAll($"text", lit(n)).as("w"))
+        .collect()
+      rows.foreach { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val want = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        assert(r.getSeq[String](2) == want,
+          s"n=$n doc=${r.getLong(0)}: ${r.getSeq[String](2)} vs $want")
+      }
+    }
+  }
+
+  test("spanDedup counts duplicated windows and covered tokens, within-doc included") {
+    val d = Seq(
+      (1L, "a b c d e"),   // shares window "a b c" with doc 2
+      (2L, "x y a b c"),
+      (3L, "p p p p"),     // "p p p" twice WITHIN the doc
+      (4L, "q r"),         // too short for any window
+      (5L, null)           // excluded by contract
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(d, n = 3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // (n_tokens, n_windows, n_dup_windows, n_covered_tokens)
+    assert(got(1L) == ((5, 3, 1L, 3L)), s"got $got") // covered {0,1,2}
+    assert(got(2L) == ((5, 3, 1L, 3L)))              // covered {2,3,4}
+    assert(got(3L) == ((4, 2, 2L, 4L)))              // union {0..2}∪{1..3}
+    assert(got(4L) == ((2, 0, 0L, 0L)))
+  }
+
+  test("budgetSelect keeps the quality-ranked prefix, ties broken by doc_id") {
+    // qualities: doc1 1.3 (capped stopword bonus), doc2/doc5 1.0 (tie),
+    // doc3 ≈0.47 (punctuation-penalized), doc4 0.0 (< 5 tokens)
+    val d = Seq(
+      (1L, "the a of and to in w x y z"),
+      (2L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 5).map(i => s"z$i!").mkString(" ")),
+      (4L, "tiny doc"),
+      (5L, (1 to 10).map(i => s"v$i").mkString(" ")),
+      (6L, null)
+    ).toDF("doc_id", "text")
+    def sel(budget: Long) = graft.ext.Assemble.budgetSelect(d, budget).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // rank order: 1 (10 tok), 2 (10), 5 (10), 3 (5), 4 (2)
+    assert(sel(35L) == Map(1L -> 10L, 2L -> 20L, 5L -> 30L, 3L -> 35L))
+    // budget 25: doc5 (cum 30) straddles -> prefix cut; NOTHING later
+    // re-enters even though doc3/doc4 alone would fit
+    assert(sel(25L) == Map(1L -> 10L, 2L -> 20L))
+    // tie between 2 and 5 resolved by doc_id: 2 enters first
+    assert(sel(20L) == Map(1L -> 10L, 2L -> 20L))
+    assert(sel(5L) == Map.empty[Long, Long])
+  }
+
   test("minhashNeardup finds a perturbed copy and ignores unrelated text") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
