@@ -70,6 +70,16 @@ object BpeTrain {
   def train(docs: DataFrame, numMerges: Int = 10): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    trainMerges(docs, numMerges).toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** [[train]]'s merge table as the driver-side value it already is
+    * (each rank is a driver top-1; the table is numMerges small rows,
+    * never data-sized) — the form the ENCODE side consumes as two
+    * parallel literals ([[graft.functions.BpePieces]]). */
+  def trainMerges(docs: DataFrame, numMerges: Int): Seq[(Int, String, String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     require(numMerges > 0, s"numMerges $numMerges must be positive")
 
     // the one corpus-scale stage: word frequencies
@@ -103,6 +113,5 @@ object BpeTrain {
       }
     }
     merges.result()
-      .toDF("rank", "left", "right", "pair_count")
   }
 }

@@ -325,6 +325,98 @@ object WordNgrams {
   }
 }
 
+/** Total BPE piece count of a text under a trained merge table — the
+  * APPLY side of [[graft.ext.BpeTrain]]: split on single spaces, drop
+  * empty words (the trainer's `length > 0` filter), start each word
+  * from its single-character symbols (`split(word, "")` semantics —
+  * no trailing empty), then apply every merge IN RANK ORDER with the
+  * trainer's leftmost-non-overlapping rewrite (a merged symbol is
+  * never the LEFT side of another merge in the same rank — the
+  * "pending" fold semantics of `BpeTrain.applyMerge`, aaaa→[aa,aa]).
+  * Equality with a composition of `applyMerge` folds is pinned by
+  * spec; a native expression because the fold chain is interpreted
+  * (CodegenFallback) per merge per row, while encoding runs over the
+  * FULL corpus — not the vocab-bounded training set.
+  *
+  * The merge table arrives as two PARALLEL array literals (lefts,
+  * rights) in rank order — two `typedLit`s are two Literal nodes
+  * regardless of merge count (the SignLshBuckets lesson), and parallel
+  * arrays need no separator convention that corpus symbols could
+  * collide with. */
+case class BpePieces(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with ImplicitCastInputTypes with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.StringType,
+      ArrayType(org.apache.spark.sql.types.StringType),
+      ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "bpe_pieces"
+
+  override def nullSafeEval(text: Any, lefts: Any, rights: Any): Any =
+    BpePieces.compute(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      lefts.asInstanceOf[ArrayData],
+      rights.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, l, r) =>
+      s"${ev.value} = graft.functions.BpePieces.compute($t, $l, $r);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BpePieces =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object BpePieces {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Leftmost non-overlapping single-rank rewrite, identical to the
+    * `applyMerge` fold: after emitting a merge the result is "pending"
+    * (skip 2), so it can never left-merge again within the rank. */
+  private def applyMergeLocal(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  def compute(text: UTF8String, lefts: ArrayData, rights: ArrayData): Int = {
+    val nMerges = math.min(lefts.numElements(), rights.numElements())
+    val merges = new Array[(String, String)](nMerges)
+    var m = 0
+    while (m < nMerges) {
+      merges(m) = (lefts.getUTF8String(m).toString, rights.getUTF8String(m).toString)
+      m += 1
+    }
+    var total = 0
+    val words = text.toString.split(" ", -1)
+    var w = 0
+    while (w < words.length) {
+      if (words(w).nonEmpty) {
+        var syms: Array[String] = words(w).split("")
+        var k = 0
+        while (k < nMerges) {
+          syms = applyMergeLocal(syms, merges(k)._1, merges(k)._2)
+          k += 1
+        }
+        total += syms.length
+      }
+      w += 1
+    }
+    total
+  }
+}
+
 /** Runtime registration + Column API for the vector expressions. */
 object GraftFunctions {
 
@@ -343,7 +435,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => WordNgrams(es(0), es(1))),
     ("word_ngrams_all",
       new ExpressionInfo(classOf[WordNgramsAll].getName, "word_ngrams_all"),
-      (es: Seq[Expression]) => WordNgramsAll(es(0), es(1))))
+      (es: Seq[Expression]) => WordNgramsAll(es(0), es(1))),
+    ("bpe_pieces",
+      new ExpressionInfo(classOf[BpePieces].getName, "bpe_pieces"),
+      (es: Seq[Expression]) => BpePieces(es(0), es(1), es(2))))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config). Skips a name ONLY when the existing
@@ -372,6 +467,8 @@ object GraftFunctions {
     call_function("word_ngrams", text, n)
   def wordNgramsAll(text: Column, n: Column): Column =
     call_function("word_ngrams_all", text, n)
+  def bpePieces(text: Column, lefts: Column, rights: Column): Column =
+    call_function("bpe_pieces", text, lefts, rights)
 }
 
 /** Config-time injection: `spark.sql.extensions=graft.functions.GraftExtensions`. */
@@ -392,6 +489,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (es: Seq[Expression]) => WordNgrams(es(0), es(1)): Expression),
       (FunctionIdentifier("word_ngrams_all"),
         new ExpressionInfo(classOf[WordNgramsAll].getName, "word_ngrams_all"),
-        (es: Seq[Expression]) => WordNgramsAll(es(0), es(1)): Expression))
+        (es: Seq[Expression]) => WordNgramsAll(es(0), es(1)): Expression),
+      (FunctionIdentifier("bpe_pieces"),
+        new ExpressionInfo(classOf[BpePieces].getName, "bpe_pieces"),
+        (es: Seq[Expression]) => BpePieces(es(0), es(1), es(2)): Expression))
       .foreach(ext.injectFunction)
 }

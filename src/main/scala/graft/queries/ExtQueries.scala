@@ -76,8 +76,22 @@ object ExtQueries {
       Dedup.ngramJaccardJoinMaterialized(docs(spark, dir))
     }
 
+  // the BPE merge table is shared the same way: x33 publishes it,
+  // x37 encodes with it — training twice per run would double the
+  // most expensive step of the tokenizer path
+  private val bpeMergeCache =
+    new graft.util.OnceCache[(String, String), Seq[(Int, String, String, Long)]](
+      MaxCachedPairSets)
+
+  private def bpeMerges(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    bpeMergeCache.getOrCompute((spark.sparkContext.applicationId, dir)) {
+      graft.ext.BpeTrain.trainMerges(docs(spark, dir), numMerges = 10)
+    }
+
   /** Drop all cached pair sets (e.g. after fixtures change). */
-  def clearPairCache(): Unit = { minhashPairCache.clear(); ngramPairCache.clear() }
+  def clearPairCache(): Unit = {
+    minhashPairCache.clear(); ngramPairCache.clear(); bpeMergeCache.clear()
+  }
 
   /** Composed training-data prep flow — the shape a real corpus pipeline
     * runs end-to-end: near-dup removal (MinHash keepers: the lower
@@ -195,7 +209,24 @@ object ExtQueries {
     // BPE merge training — rows-only like x6 (per-round argmax
     // rewriting is not one SQL query); exactness pinned by the
     // hand-worked ExtSpec example.
-    "x33_bpe_merges" -> ((s, d) => graft.ext.BpeTrain.train(docs(s, d), numMerges = 10)),
+    "x33_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      bpeMerges(s, d).toDF("rank", "left", "right", "pair_count")
+    }),
+    // BPE ENCODE under the x33-trained table (shared via bpeMerges —
+    // training runs once per (app, dir)): per-doc piece counts from
+    // the native bpe_pieces expression, merges passed as two parallel
+    // array literals in rank order. Rows-only like x33 (no SQL BPE);
+    // exactness pinned by the applyMerge-composition equality spec.
+    "x37_bpe_encode" -> ((s, d) => {
+      val m = bpeMerges(s, d)
+      graft.functions.GraftFunctions.register(s)
+      docs(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          graft.functions.GraftFunctions.bpePieces(col("text"),
+            typedLit(m.map(_._2)), typedLit(m.map(_._3))).as("n_pieces"))
+    }),
     "x34_prep_funnel" -> ((s, d) => Stats.prepFunnel(docs(s, d), ngramPairs(s, d))),
     // Span-level exact-substring dedup (Lee et al. 2021): per-doc
     // duplicated-window and covered-token counts at window width 13 —

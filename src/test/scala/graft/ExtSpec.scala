@@ -93,6 +93,41 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) == ((2, 0, 0L, 0L)))
   }
 
+  test("bpe_pieces equals the applyMerge fold composition, rank order respected") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{typedLit => tl}
+    // rank 2 consumes rank 1's output — order-sensitive by construction
+    val merges = Seq(("a", "a"), ("aa", "a"), ("b", "c"))
+    val texts = Seq("", " ", "a", "aa", "aaa", "aaaa", "aaaaa", "abc bca",
+      "aaa bc a", "x", "aaaa aaaa", "cab abc aabc")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // reference: explode words, fold applyMerge per rank, sum piece counts
+    val folded = merges.foldLeft(
+      d.select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .select($"doc_id", split($"w", "").as("syms"))) {
+      case (df, (a, b)) => df.select($"doc_id", ext.BpeTrain.applyMerge($"syms", a, b).as("syms"))
+    }.groupBy($"doc_id").agg(sum(size($"syms")).as("want"))
+    val got = d.select($"doc_id",
+        graft.functions.GraftFunctions.bpePieces(
+          $"text", tl(merges.map(_._1)), tl(merges.map(_._2))).as("got"))
+      .join(folded, Seq("doc_id"), "left")
+      .select($"doc_id", $"got", coalesce($"want", lit(0L)).as("want"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1).toLong == r.getLong(2),
+        s"doc ${r.getLong(0)} (${texts(r.getLong(0).toInt)}): " +
+          s"native ${r.getInt(1)} vs fold ${r.getLong(2)}")
+    }
+    // hand-worked: hug→[hug]=1, bun→[b,un]=2 under the x33 spec's table
+    val handMerges = Seq(("u", "g"), ("h", "ug"), ("u", "n"))
+    val hand = Seq((1L, "hug bun"), (2L, "aaaa")).toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.GraftFunctions.bpePieces(
+        $"text", tl(handMerges.map(_._1)), tl(handMerges.map(_._2))).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hand == Map(1L -> 3, 2L -> 4), s"got $hand") // aaaa untouched: no (a,a) merge
+  }
+
   test("budgetSelect keeps the quality-ranked prefix, ties broken by doc_id") {
     // qualities: doc1 1.3 (capped stopword bonus), doc2/doc5 1.0 (tie),
     // doc3 ≈0.47 (punctuation-penalized), doc4 0.0 (< 5 tokens)
