@@ -66,6 +66,43 @@ object Stats {
         col("n_chars").as("n_chars_at_p"))
   }
 
+  /** Cross-source overlap matrix: for every source pair, the count of
+    * distinct 3-gram shingles both sources contain (plus each side's
+    * distinct-shingle total, the containment denominators) — the
+    * curation diagnostic that answers "which sources duplicate each
+    * other", one level above the doc-level pair operators: a crawl
+    * that mirrors another shows up here even when no individual doc
+    * pair crosses a near-dup threshold.
+    *
+    * Scale shape: the quadratic lives in SOURCES — a config-scale
+    * constant — never documents. The only corpus-scale work is the
+    * distinct (source, shingle-hash) projection (one shuffle on a
+    * narrow pair); the self-join fans out per shingle to at most
+    * (sources containing it)² ≤ s² rows, and s is dozens while the
+    * corpus is 100 TB. Pairs sharing zero shingles are absent (inner
+    * join). Hash-vs-string: Spark joins on xxhash64 of the shingle,
+    * the oracle on the shingle string (the x2/x18 cross-proof). */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sg = docs.filter(col("text").isNotNull)
+      .select(col("source"), explode(Dedup.shingles(col("text"), n)).as("g"))
+      .select(col("source"), xxhash64(col("g")).as("h"))
+      .distinct()
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val shared = sg.select(col("source").as("source_a"), col("h"))
+      .join(sg.select(col("source").as("source_b"), col("h")), "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(
+        col("source").as("source_a"), col("n_grams").as("n_grams_a"))), "source_a")
+      .join(broadcast(sizes.select(
+        col("source").as("source_b"), col("n_grams").as("n_grams_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_grams_a"), col("n_grams_b"))
+  }
+
   /** Dedup-funnel report — the per-ingest observability row every real
     * pipeline publishes: how many documents survive each prep rule.
     * Stages are RULE counts (each against its stated input), chainable

@@ -448,6 +448,26 @@ object ExtOracles {
         |        FROM s)
         |SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000""".stripMargin,
 
+    // Source overlap: distinct (source, 3-gram) pairs, inner-joined on
+    // the gram STRING where Spark joins on xxhash64 (the x2/x18
+    // cross-proof); pairs sharing nothing are absent on both sides.
+    "x38_source_overlap" ->
+      """WITH sg AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT source, unnest(list_distinct(
+        |      [s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s)-1)])) AS g
+        |    FROM (SELECT source, string_split(text, ' ') AS s FROM documents
+        |          WHERE text IS NOT NULL))),
+        |  sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY source),
+        |  p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |               CAST(count(*) AS BIGINT) AS n_shared
+        |        FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        |        GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.n_shared,
+        |       sa.n AS n_grams_a, sb.n AS n_grams_b
+        |FROM p JOIN sz sa ON sa.source = p.source_a
+        |       JOIN sz sb ON sb.source = p.source_b""".stripMargin,
+
     "x19_decontaminate" ->
       """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
         |  tg AS (SELECT doc_id, unnest(list_distinct(

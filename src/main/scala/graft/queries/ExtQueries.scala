@@ -236,6 +236,9 @@ object ExtQueries {
     // curation; the decomposed histogram construction here, the naive
     // global running-sum window in the oracle (cross-proof, x30-style).
     "x36_budget_select" -> ((s, d) => Assemble.budgetSelect(docs(s, d), budget = 10000L)),
+    // Source-pair shared-shingle matrix — the quadratic is in sources
+    // (config-scale), never documents.
+    "x38_source_overlap" -> ((s, d) => Stats.sourceOverlap(docs(s, d))),
     // Banding range join: docs × broadcast length-band dimension —
     // half-open bands so a boundary length lands in exactly one band.
     "x32_length_bands" -> ((s, d) => {

@@ -93,6 +93,23 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) == ((2, 0, 0L, 0L)))
   }
 
+  test("sourceOverlap counts distinct shared shingles per source pair") {
+    val d = Seq(
+      (1L, "a b c d", "A"),   // grams: "a b c", "b c d"
+      (2L, "a b c x", "B"),   // grams: "a b c", "b c x"
+      (3L, "a b c d", "B"),   // duplicates gram "a b c"/"b c d" INTO B
+      (4L, "z z z z", "C"),   // grams: "z z z" (distinct within doc)
+      (5L, null, "C")
+    ).toDF("doc_id", "text", "source")
+    val got = ext.Stats.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // B's distinct grams: {a b c, b c x, b c d} = 3; A's = 2; C's = 1
+    // A∩B = {a b c, b c d} = 2 (doc 3 folds into B, counted once)
+    assert(got == Map(("A", "B") -> ((2L, 2L, 3L))), s"got $got")
+    // C shares nothing -> absent, and the null-text doc contributes nothing
+  }
+
   test("bpe_pieces equals the applyMerge fold composition, rank order respected") {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.{typedLit => tl}
