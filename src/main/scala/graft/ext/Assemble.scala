@@ -150,26 +150,37 @@ object Assemble {
     * coarsening it. NULL texts are excluded by contract. */
   def budgetSelect(docs: DataFrame, budget: Long): DataFrame = {
     require(budget >= 0, s"token budget $budget must be non-negative")
+    // both the value histogram and the final join consume this frame —
+    // persist so the corpus scan + quality tree run once, not twice
+    // (released below; the returned report is materialized)
     val scored = TextStats.withQuality(docs.filter(col("text").isNotNull))
       .select(col("doc_id"), col("quality_score"),
         col("n_tokens").cast("long").as("n_tokens"))
-    val byValue = scored.groupBy(col("quality_score"))
-      .agg(sum(col("n_tokens")).as("value_tokens"))
-    val valuePrefix = byValue
-      // exclusive prefix: tokens of all STRICTLY better quality values
-      .withColumn("prefix_tokens",
-        coalesce(sum(col("value_tokens")).over(
-          Window.orderBy(col("quality_score").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("quality_score"), col("prefix_tokens"))
-    val withinValue = Window.partitionBy(col("quality_score"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored
-      .join(broadcast(valuePrefix), Seq("quality_score"))
-      .withColumn("cum_tokens",
-        col("prefix_tokens") + sum(col("n_tokens")).over(withinValue))
-      .filter(col("cum_tokens") <= budget)
-      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val byValue = scored.groupBy(col("quality_score"))
+        .agg(sum(col("n_tokens")).as("value_tokens"))
+      val valuePrefix = byValue
+        // exclusive prefix: tokens of all STRICTLY better quality values
+        .withColumn("prefix_tokens",
+          coalesce(sum(col("value_tokens")).over(
+            Window.orderBy(col("quality_score").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("quality_score"), col("prefix_tokens"))
+      val withinValue = Window.partitionBy(col("quality_score"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored
+        // no broadcast hint: the prefix table is one row per DISTINCT
+        // quality value — unbounded, and largest exactly when the score
+        // is granular (the shape the caveat below recommends). AQE
+        // broadcasts it when it measures small, shuffles when not.
+        .join(valuePrefix, Seq("quality_score"))
+        .withColumn("cum_tokens",
+          col("prefix_tokens") + sum(col("n_tokens")).over(withinValue))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .localCheckpoint(true)
+    } finally scored.unpersist(blocking = false)
   }
 }

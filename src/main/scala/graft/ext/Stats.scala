@@ -84,23 +84,31 @@ object Stats {
     * the oracle on the shingle string (the x2/x18 cross-proof). */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // three consumers (sizes + both self-join sides) — persist so the
+    // corpus-scale shingle+distinct pass runs once regardless of plan
+    // shape (ReuseExchange is shape-dependent under AQE); the returned
+    // matrix is s² rows at most, materialized before release
     val sg = docs.filter(col("text").isNotNull)
       .select(col("source"), explode(Dedup.shingles(col("text"), n)).as("g"))
       .select(col("source"), xxhash64(col("g")).as("h"))
       .distinct()
-    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-    val shared = sg.select(col("source").as("source_a"), col("h"))
-      .join(sg.select(col("source").as("source_b"), col("h")), "h")
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(broadcast(sizes.select(
-        col("source").as("source_a"), col("n_grams").as("n_grams_a"))), "source_a")
-      .join(broadcast(sizes.select(
-        col("source").as("source_b"), col("n_grams").as("n_grams_b"))), "source_b")
-      .select(col("source_a"), col("source_b"), col("n_shared"),
-        col("n_grams_a"), col("n_grams_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      val shared = sg.select(col("source").as("source_a"), col("h"))
+        .join(sg.select(col("source").as("source_b"), col("h")), "h")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(sizes.select(
+          col("source").as("source_a"), col("n_grams").as("n_grams_a"))), "source_a")
+        .join(broadcast(sizes.select(
+          col("source").as("source_b"), col("n_grams").as("n_grams_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("n_grams_a"), col("n_grams_b"))
+        .localCheckpoint(true)
+    } finally sg.unpersist(blocking = false)
   }
 
   /** Dedup-funnel report — the per-ingest observability row every real

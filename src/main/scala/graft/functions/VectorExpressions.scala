@@ -269,15 +269,20 @@ case class WordNgramsAll(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-object WordNgramsAll {
-  import org.apache.spark.unsafe.types.UTF8String
-
-  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val tokens = text.toString.split(" ", -1) // Spark split(): keep empties
+/** The ONE copy of the tokenize-and-build-windows contract both n-gram
+  * expressions share: split on every single space keeping empties (Java
+  * split with limit -1, matching Spark's `split`), windows of `n`
+  * tokens joined with one space, in token order with duplicates. Fewer
+  * than n tokens → empty; n < 1 → error (n = 0 would fabricate
+  * token-count+1 empty windows). */
+private[functions] object NgramWindows {
+  def build(text: org.apache.spark.unsafe.types.UTF8String, n: Int): Array[String] = {
+    if (n < 1)
+      throw new IllegalArgumentException(s"word n-gram width $n must be at least 1")
+    val tokens = text.toString.split(" ", -1)
     val m = tokens.length - (n - 1)
-    if (m <= 0)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](m)
+    if (m <= 0) return Array.empty[String]
+    val out = new Array[String](m)
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i < m) {
@@ -288,9 +293,21 @@ object WordNgramsAll {
         sb.append(tokens(i + k))
         k += 1
       }
-      out(i) = UTF8String.fromString(sb.toString)
+      out(i) = sb.toString
       i += 1
     }
+    out
+  }
+}
+
+object WordNgramsAll {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val wins = NgramWindows.build(text, n)
+    val out = new Array[Any](wins.length)
+    var i = 0
+    while (i < wins.length) { out(i) = UTF8String.fromString(wins(i)); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
@@ -299,24 +316,12 @@ object WordNgrams {
   import org.apache.spark.unsafe.types.UTF8String
 
   def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val tokens = text.toString.split(" ", -1) // Spark split(): keep empties
-    val m = tokens.length - (n - 1)
-    if (m <= 0)
+    val wins = NgramWindows.build(text, n)
+    if (wins.isEmpty)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
-    val sb = new java.lang.StringBuilder()
     var i = 0
-    while (i < m) {
-      sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(tokens(i + k))
-        k += 1
-      }
-      seen.add(sb.toString)
-      i += 1
-    }
+    while (i < wins.length) { seen.add(wins(i)); i += 1 }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var j = 0
@@ -390,14 +395,53 @@ object BpePieces {
     out.toArray
   }
 
-  def compute(text: UTF8String, lefts: ArrayData, rights: ArrayData): Int = {
-    val nMerges = math.min(lefts.numElements(), rights.numElements())
-    val merges = new Array[(String, String)](nMerges)
+  /** The merge arrays are literals — the SAME ArrayData objects on
+    * every row of a task — so the decoded (lefts, rights) table is
+    * memoized by REFERENCE identity: O(1) per row instead of
+    * re-decoding O(merges) UTF8Strings per document. Identity misses
+    * (defensively-copied inputs) just decode again, so the cache is an
+    * optimization, never a correctness dependency; the bound guards
+    * against such pathological callers. */
+  private final class TableKey(val l: ArrayData, val r: ArrayData) {
+    override def hashCode: Int =
+      System.identityHashCode(l) * 31 + System.identityHashCode(r)
+    override def equals(o: Any): Boolean = o match {
+      case k: TableKey => (k.l eq l) && (k.r eq r)
+      case _ => false
+    }
+  }
+  private val decoded =
+    new java.util.concurrent.ConcurrentHashMap[TableKey, (Array[String], Array[String])]()
+
+  private def decode(lefts: ArrayData, rights: ArrayData): (Array[String], Array[String]) = {
+    if (lefts.numElements() != rights.numElements())
+      throw new IllegalArgumentException(
+        s"bpe_pieces: lefts (${lefts.numElements()}) and rights " +
+          s"(${rights.numElements()}) merge arrays must have equal length")
+    val n = lefts.numElements()
+    val l = new Array[String](n)
+    val r = new Array[String](n)
     var m = 0
-    while (m < nMerges) {
-      merges(m) = (lefts.getUTF8String(m).toString, rights.getUTF8String(m).toString)
+    while (m < n) {
+      if (lefts.isNullAt(m) || rights.isNullAt(m))
+        throw new IllegalArgumentException(
+          s"bpe_pieces: merge arrays must not contain NULL (rank ${m + 1})")
+      l(m) = lefts.getUTF8String(m).toString
+      r(m) = rights.getUTF8String(m).toString
       m += 1
     }
+    (l, r)
+  }
+
+  def compute(text: UTF8String, lefts: ArrayData, rights: ArrayData): Int = {
+    val key = new TableKey(lefts, rights)
+    var table = decoded.get(key)
+    if (table == null) {
+      table = decode(lefts, rights)
+      if (decoded.size > 64) decoded.clear()
+      decoded.put(key, table)
+    }
+    val (ls, rs) = table
     var total = 0
     val words = text.toString.split(" ", -1)
     var w = 0
@@ -405,8 +449,8 @@ object BpePieces {
       if (words(w).nonEmpty) {
         var syms: Array[String] = words(w).split("")
         var k = 0
-        while (k < nMerges) {
-          syms = applyMergeLocal(syms, merges(k)._1, merges(k)._2)
+        while (k < ls.length) {
+          syms = applyMergeLocal(syms, ls(k), rs(k))
           k += 1
         }
         total += syms.length

@@ -143,6 +143,21 @@ class ExtSpec extends SparkSpec {
         $"text", tl(handMerges.map(_._1)), tl(handMerges.map(_._2))).as("p"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(hand == Map(1L -> 3, 2L -> 4), s"got $hand") // aaaa untouched: no (a,a) merge
+
+    // malformed merge tables fail loudly, never truncate or NPE
+    val one = Seq(Tuple1("x")).toDF("text")
+    intercept[Exception] {
+      one.select(graft.functions.GraftFunctions.bpePieces(
+        $"text", tl(Seq("a", "b")), tl(Seq("c")))).collect()
+    }
+    intercept[Exception] {
+      one.select(graft.functions.GraftFunctions.bpePieces(
+        $"text", tl(Seq("a", null)), tl(Seq("c", "d")))).collect()
+    }
+    // width < 1 n-grams error instead of fabricating empty windows
+    intercept[Exception] {
+      one.select(graft.functions.GraftFunctions.wordNgramsAll($"text", lit(0))).collect()
+    }
   }
 
   test("budgetSelect keeps the quality-ranked prefix, ties broken by doc_id") {
