@@ -394,6 +394,61 @@ object Dedup {
         coalesce(col("n_covered_tokens"), lit(0L)).as("n_covered_tokens"))
   }
 
+  /** Chunk-level dedup with reconstruction — the CCNet/RefinedWeb
+    * paragraph-dedup pass (Wenzek et al. 2019 dedup by paragraph hash),
+    * re-expressed over aligned token chunks because this corpus has no
+    * natural line breaks: the document is PARTITIONED into
+    * `chunkTokens`-token chunks (tail partial included — see
+    * [[graft.functions.WordChunks]]: joining the chunks reconstructs
+    * the text exactly), each chunk keeps only its FIRST occurrence
+    * corpus-wide (order = (doc_id, chunk_index) — total, so "first" is
+    * a function of the data alone; a chunk repeated WITHIN a document
+    * keeps only its earliest site too), and every document is
+    * reassembled from its surviving chunks. Unlike span-level counting
+    * ([[spanDedup]] reports how much text is duplicated), this REWRITES
+    * the corpus — the output a pipeline actually trains on.
+    *
+    * Plan, linear end-to-end: one word_chunks evaluation per row (no
+    * token explode), posexplode to (doc, ci, chunk) sites — ~tokens/n
+    * rows — then first-occurrence via row_number over the chunk-hash
+    * partition (one narrow shuffle keyed on the 8-byte xxhash64; same
+    * single-window shape as [[spanDedup]] — no groupBy + join-back
+    * planning the site subtree twice), then one per-doc aggregate
+    * rebuilds the text from kept chunks (array_sort on (ci, chunk)
+    * structs: ci leads, so the sort is deterministic). Emitted as
+    * md5(clean text) + integer counts — the full rewritten corpus would
+    * be the production output, but hash-compared oracles never ship
+    * text bodies. No all-pairs step at any scale: cost is O(sites) +
+    * one text-sized shuffle, the same shape CCNet runs at web scale.
+    *
+    * Chunk identity is xxhash64 of the chunk string; the oracle
+    * partitions on the STRING (the x2/x18/x35 vanishing-collision
+    * cross-proof). NULL texts are excluded by contract; a document
+    * whose every chunk already occurred hashes the empty string. */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens >= 1, s"chunk width $chunkTokens must be at least 1")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sites = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.wordChunks(col("text"), lit(chunkTokens)))
+          .as(Seq("ci", "chunk")))
+    val firstSite = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("chunk")))
+      .orderBy(col("doc_id"), col("ci"))
+    sites
+      .withColumn("rn", row_number().over(firstSite))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("ci"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ")).as("clean_hash"))
+  }
+
   /** Ingest-time MinHash index: persists the per-document signature
     * artifacts — LSH band keys, shingle hashes, and set sizes — so
     * incremental batches can near-dup against the FULL corpus history

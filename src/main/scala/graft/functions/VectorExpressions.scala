@@ -269,6 +269,65 @@ case class WordNgramsAll(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ALIGNED non-overlapping `n`-token chunks of a text column, in order,
+  * INCLUDING the partial tail — the paragraph unit for CCNet-style
+  * chunk-level dedup when the corpus has no natural line breaks.
+  * Element i is exactly tokens [i·n, min((i+1)·n, len)), joined with one
+  * space, so `array_join(word_chunks(text, n), ' ') == text` for every
+  * input (same tokenization contract as [[WordNgrams]]: split on every
+  * single space keeping empties). Unlike the sliding windows this is a
+  * PARTITION of the tokens: "" → one chunk [""], never an empty array,
+  * so reassembly round-trips empties too. */
+case class WordChunks(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_chunks"
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    WordChunks.compute(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.WordChunks.compute($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordChunks =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordChunks {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (n < 1)
+      throw new IllegalArgumentException(s"word chunk width $n must be at least 1")
+    val tokens = text.toString.split(" ", -1)
+    val m = (tokens.length + n - 1) / n
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      val end = math.min((i + 1) * n, tokens.length)
+      var k = i * n
+      while (k < end) {
+        if (k > i * n) sb.append(' ')
+        sb.append(tokens(k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** The ONE copy of the tokenize-and-build-windows contract both n-gram
   * expressions share: split on every single space keeping empties (Java
   * split with limit -1, matching Spark's `split`), windows of `n`
@@ -480,6 +539,9 @@ object GraftFunctions {
     ("word_ngrams_all",
       new ExpressionInfo(classOf[WordNgramsAll].getName, "word_ngrams_all"),
       (es: Seq[Expression]) => WordNgramsAll(es(0), es(1))),
+    ("word_chunks",
+      new ExpressionInfo(classOf[WordChunks].getName, "word_chunks"),
+      (es: Seq[Expression]) => WordChunks(es(0), es(1))),
     ("bpe_pieces",
       new ExpressionInfo(classOf[BpePieces].getName, "bpe_pieces"),
       (es: Seq[Expression]) => BpePieces(es(0), es(1), es(2))))
@@ -511,6 +573,8 @@ object GraftFunctions {
     call_function("word_ngrams", text, n)
   def wordNgramsAll(text: Column, n: Column): Column =
     call_function("word_ngrams_all", text, n)
+  def wordChunks(text: Column, n: Column): Column =
+    call_function("word_chunks", text, n)
   def bpePieces(text: Column, lefts: Column, rights: Column): Column =
     call_function("bpe_pieces", text, lefts, rights)
 }
@@ -534,6 +598,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("word_ngrams_all"),
         new ExpressionInfo(classOf[WordNgramsAll].getName, "word_ngrams_all"),
         (es: Seq[Expression]) => WordNgramsAll(es(0), es(1)): Expression),
+      (FunctionIdentifier("word_chunks"),
+        new ExpressionInfo(classOf[WordChunks].getName, "word_chunks"),
+        (es: Seq[Expression]) => WordChunks(es(0), es(1)): Expression),
       (FunctionIdentifier("bpe_pieces"),
         new ExpressionInfo(classOf[BpePieces].getName, "bpe_pieces"),
         (es: Seq[Expression]) => BpePieces(es(0), es(1), es(2)): Expression))

@@ -421,6 +421,31 @@ object ExtOracles {
         |LEFT JOIN dupc d USING (doc_id)
         |LEFT JOIN cov c USING (doc_id)""".stripMargin,
 
+    // Chunk dedup: aligned 10-token chunks (DuckDB list slices are
+    // INCLUSIVE: s[i*10+1 : i*10+10] is exactly 10 elements, truncated
+    // at the tail), first occurrence ordered (doc_id, ci), documents
+    // reassembled from kept chunks. Partitions the window on the chunk
+    // STRING where Spark partitions on xxhash64 of it — the x2/x18/x35
+    // vanishing-collision cross-proof. string_agg skips NULLs (the
+    // dropped chunks); a fully-deduplicated doc reassembles to '' via
+    // the COALESCE, matching Spark's empty array_join.
+    "x39_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
+        |              FROM documents WHERE text IS NOT NULL),
+        |  ch AS (SELECT doc_id, r['ci'] AS ci, r['c'] AS c FROM (
+        |    SELECT doc_id, unnest([{'ci': i, 'c': array_to_string(s[i*10+1:i*10+10], ' ')}
+        |                           FOR i IN range(0, CAST(ceil(len(s)/10.0) AS INT))]) AS r
+        |    FROM toks)),
+        |  f AS (SELECT doc_id, ci, c,
+        |               row_number() OVER (PARTITION BY c ORDER BY doc_id, ci) AS rn
+        |        FROM ch)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN c END, ' ' ORDER BY ci), ''))
+        |         AS clean_hash
+        |FROM f GROUP BY doc_id""".stripMargin,
+
     // Budget selection: the quality CASE is the x8/x34 per-row tree
     // (bit-exact across engines, so the ORDER BY ranks identically;
     // doc_id completes the total order). Naive global running-sum

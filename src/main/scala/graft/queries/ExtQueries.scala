@@ -232,6 +232,10 @@ object ExtQueries {
     // duplicated-window and covered-token counts at window width 13 —
     // the same width the x19 decontamination containment uses.
     "x35_span_dedup" -> ((s, d) => Dedup.spanDedup(docs(s, d))),
+    // Chunk-level dedup with reconstruction (the CCNet paragraph pass
+    // over aligned 10-token chunks — the fixture duplicates ~127 such
+    // chunks naturally, so the rewrite path is non-vacuous unplanted).
+    "x39_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(docs(s, d))),
     // Quality-ranked prefix cut to a global token budget — corpus
     // curation; the decomposed histogram construction here, the naive
     // global running-sum window in the oracle (cross-proof, x30-style).

@@ -93,6 +93,49 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) == ((2, 0, 0L, 0L)))
   }
 
+  test("word_chunks partitions the tokens and reassembly round-trips exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    val tricky = Seq(
+      "", " ", "a", "a b", "a b c d e f g", "a  b c ", "x y z x y z x",
+      (1 to 25).map(i => s"w${i % 7}").mkString(" "))
+    val d = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 10)) {
+      val rows = d.select($"doc_id", $"text",
+        graft.functions.GraftFunctions.wordChunks($"text", lit(n)).as("c")).collect()
+      rows.foreach { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val want = toks.grouped(n).map(_.mkString(" ")).toSeq
+        assert(r.getSeq[String](2) == want,
+          s"n=$n doc=${r.getLong(0)}: ${r.getSeq[String](2)} vs $want")
+        // the partition property reassembly depends on
+        assert(r.getSeq[String](2).mkString(" ") == r.getString(1))
+      }
+    }
+    intercept[Exception] {
+      d.select(graft.functions.GraftFunctions.wordChunks($"text", lit(0))).collect()
+    }
+  }
+
+  test("chunkDedup keeps first occurrences corpus-wide and reassembles survivors") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = Seq(
+      (1L, "a b c d e f g h"),  // chunks (n=3): "a b c","d e f","g h" — all first
+      (2L, "d e f x y z"),      // "d e f" already seen -> clean = "x y z"
+      (3L, "a b c"),            // fully duplicated -> clean = ""
+      (4L, "m n o m n o"),      // within-doc repeat keeps the earlier site
+      (5L, null)                // excluded by contract
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(d, chunkTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((3L, 3L, md5hex("a b c d e f g h"))), s"got $got")
+    assert(got(2L) == ((2L, 1L, md5hex("x y z"))))
+    assert(got(3L) == ((1L, 0L, md5hex(""))))
+    assert(got(4L) == ((2L, 1L, md5hex("m n o"))))
+  }
+
   test("sourceOverlap counts distinct shared shingles per source pair") {
     val d = Seq(
       (1L, "a b c d", "A"),   // grams: "a b c", "b c d"
