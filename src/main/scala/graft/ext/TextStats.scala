@@ -226,6 +226,52 @@ object TextStats {
         col("token"), col("score"))
   }
 
+  /** The Gopher document-quality rule bundle (Rae et al. 2021 §A1.1,
+    * the subset computable from the text alone): word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio cap, and a minimum
+    * stopword count — emitted as per-rule flags plus the composite
+    * `passes`, so a pipeline can audit WHY a document was cut, not just
+    * that it was. Unlike [[qualityScore]]'s continuous composite, these
+    * are the published hard gates a curation run applies first.
+    *
+    * Every signal is a per-row integer or a single division of exact
+    * integers (hash-compare safe); words are the non-empty whitespace
+    * tokens (the [[vocabulary]]/BpeTrain universe), symbols are the
+    * non-[a-z0-9 space] characters (the [[withQuality]] punct class).
+    * Empty-word-universe rows (n_words = 0) report 0.0 ratios — the
+    * guard mirrors the oracle, and every rule fails them anyway.
+    * Embarrassingly parallel at 100 TB: one scan, no shuffle at all. */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStop: Int = 2): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWords = size(filter(toks, t => length(t) > 0))
+    val nAlpha = length(regexp_replace(col("text"), " ", ""))
+    val nSym = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len",
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(nAlpha.cast("double") / col("n_words")))
+      .withColumn("symbol_ratio",
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(nSym.cast("double") / col("n_words")))
+      .withColumn("n_stop", nStop)
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_word_len",
+        col("mean_word_len") >= minWordLen && col("mean_word_len") <= maxWordLen)
+      .withColumn("ok_symbols", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("ok_stop", col("n_stop") >= minStop)
+      .withColumn("passes",
+        col("ok_words") && col("ok_word_len") && col("ok_symbols") && col("ok_stop"))
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio", "n_stop",
+        "ok_words", "ok_word_len", "ok_symbols", "ok_stop", "passes")
+  }
+
   /** Content fingerprinting: md5-derived 32-bit hashes of distinct word
     * 3-gram shingles, keeping hashes ≡ 0 (mod 16) — content-defined
     * selection, ~1/16 of shingles survive. Robust to local edits (only

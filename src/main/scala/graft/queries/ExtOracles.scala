@@ -576,6 +576,42 @@ object ExtOracles {
         |         ' +', ' ', 'g'))) AS INT) AS n_chars
         |FROM documents""".stripMargin,
 
+    // Gopher rules over the planted damage (CASE order mirrors the
+    // Spark when-chain: %17 wins where both fire). Words = non-empty
+    // whitespace tokens; ratios are single divisions of exact ints with
+    // the n_words=0 guard mirrored; flag thresholds compare the SAME
+    // double value both engines computed identically per row.
+    "x40_gopher_rules" ->
+      """WITH p AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 17 = 0 THEN replace(text, ' ', '')
+        |                  WHEN doc_id % 13 = 0 THEN text || ' !!! ### $$$'
+        |                  ELSE text END AS text
+        |           FROM documents),
+        |  m AS (SELECT doc_id,
+        |          len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_words,
+        |          length(replace(text, ' ', '')) AS n_alpha,
+        |          length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_sym,
+        |          len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+        |        FROM p),
+        |  r AS (SELECT doc_id,
+        |          CAST(n_words AS INT) AS n_words,
+        |          CASE WHEN n_words = 0 THEN 0.0
+        |               ELSE CAST(n_alpha AS DOUBLE) / n_words END AS mean_word_len,
+        |          CASE WHEN n_words = 0 THEN 0.0
+        |               ELSE CAST(n_sym AS DOUBLE) / n_words END AS symbol_ratio,
+        |          CAST(n_stop AS INT) AS n_stop
+        |        FROM m)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stop,
+        |       (n_words >= 50 AND n_words <= 100000) AS ok_words,
+        |       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+        |       (symbol_ratio <= 0.1) AS ok_symbols,
+        |       (n_stop >= 2) AS ok_stop,
+        |       ((n_words >= 50 AND n_words <= 100000)
+        |        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |        AND symbol_ratio <= 0.1 AND n_stop >= 2) AS passes
+        |FROM r""".stripMargin,
+
     // Vocabulary: deterministic top-20 selection — the limit sits BELOW
     // the fixture's distinct-token count (31), so the cut actually
     // engages; ties at the cut line break on the token itself on both

@@ -197,6 +197,19 @@ object ExtQueries {
         length(col("text")).as("n_chars"))
     }),
     "x26_vocab" -> ((s, d) => TextStats.vocabulary(docs(s, d))),
+    // Gopher hard-gate rule bundle over PLANTED damage (the clean
+    // fixture would leave the word-length and symbol flags constant —
+    // vacuous): every 17th doc collapses to one giant word (trips the
+    // word-count AND word-length gates), every other 13th doc gets a
+    // symbol-run suffix (trips the symbol-ratio gate); the word-count
+    // and stopword gates vary naturally (10-99 words, 0-14 stops).
+    "x40_gopher_rules" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, regexp_replace(col("text"), " ", ""))
+          .when(col("doc_id") % 13 === 0, concat(col("text"), lit(" !!! ### $$$")))
+          .otherwise(col("text")).as("text"))
+      TextStats.gopherRules(planted)
+    }),
     "x27_keywords" -> ((s, d) => TextStats.keywords(docs(s, d))),
     "x28_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
     // Batch sessionization over the NTZ-shimmed events scan — the

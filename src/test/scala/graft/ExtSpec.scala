@@ -136,6 +136,29 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) == ((2L, 1L, md5hex("m n o"))))
   }
 
+  test("gopherRules: each gate trips independently and passes requires all") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ") // 50 words, has no stopwords
+    val good = s"the a $fifty" // 52 words incl. 2 stopwords, mwl ~5.8
+    val d = Seq(
+      (1L, good),                        // passes all gates
+      (2L, "the a short doc"),           // word count < 50
+      (3L, good.replace(" ", "")),       // one giant word: words AND word-len fail
+      (4L, good + " !!! ### $$$ %%% &&& ***"), // 18 symbols / 58 words > 0.1
+      (5L, fifty),                       // 0 stopwords
+      (6L, "")                           // empty: n_words=0, every gate fails
+    ).toDF("doc_id", "text")
+    val got = ext.TextStats.gopherRules(d).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)))).toMap
+    // (ok_words, ok_word_len, ok_symbols, ok_stop, passes)
+    assert(got(1L) == ((true, true, true, true, true)), s"got $got")
+    assert(got(2L) == ((false, true, true, true, false)))
+    assert(got(3L) == ((false, false, true, false, false)))
+    assert(got(4L) == ((true, true, false, true, false)))
+    assert(got(5L) == ((true, true, true, false, false)))
+    assert(got(6L) == ((false, false, true, false, false)))
+  }
+
   test("sourceOverlap counts distinct shared shingles per source pair") {
     val d = Seq(
       (1L, "a b c d", "A"),   // grams: "a b c", "b c d"
