@@ -419,6 +419,62 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
+    * cluster-then-compare — embeddings are assigned to a coarse k-means
+    * cell ([[kmeansCentroids]], the same quantizer IVF uses) and the
+    * pairwise-cosine check runs WITHIN cells only; a vector is pruned
+    * when a same-cell vector with a SMALLER vec_id sits at cosine ≥
+    * `threshold` (the same lowest-id-survives keeper rule the MinHash
+    * prep pipeline applies, so "kept" is a function of the data alone,
+    * not of traversal order). Cross-cell near-dup pairs are missed by
+    * design — that is SemDeDup's recall trade, bought so the quadratic
+    * step is bounded by the CELL, never the corpus.
+    *
+    * Scale shape: clustering cost is [[kmeansCentroids]]'s (corpus
+    * scans + k×dim driver state); the self-join shuffles narrow
+    * (cell, id, vec) rows on the cell key and is quadratic in cell
+    * size — at 100 TB, `cells` must grow with the corpus to hold
+    * cell size ≈ constant (the paper runs ~10⁵ clusters for web-scale
+    * corpora; cells ≈ corpus/1e4 keeps the per-cell join ~10⁸ pairs).
+    * Approximate by design (float centroids, cross-cell misses) → the
+    * harness check is rows-only; exactness is pinned in spec: with
+    * cells = 1 the pruned set equals the brute-force rule exactly, and
+    * planted cos≈0.97 copies are pruned while their originals survive.
+    * Zero-norm vectors are excluded by contract (no direction), as on
+    * every cosine path. */
+  def semanticDedup(
+      emb: DataFrame,
+      threshold: Double = 0.9,
+      cells: Int = 10,
+      iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val cents = kmeansCentroids(emb, cells, iters)
+    // the assigned frame feeds THREE subtrees (both join sides and the
+    // output spine) — persist the narrow (vec_id, v, nv, cell) rows so
+    // the k×dim nearest-cell scoring runs once per vector, not thrice;
+    // released before returning (the minhashNeardupMaterialized idiom)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+      .filter(col("nv") > 0)
+      .withColumn("cell", nearestCell(cents))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pruned = v.select(col("cell"), col("vec_id").as("a_id"),
+          col("v").as("va"), col("nv").as("na"))
+        .join(v.select(col("cell"), col("vec_id").as("b_id"),
+          col("v").as("vb"), col("nv").as("nb")), Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+        .select(col("b_id").as("vec_id")).distinct()
+        .withColumn("is_pruned", lit(true))
+      v.select(col("vec_id"), col("cell"))
+        .join(pruned, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("is_pruned"), lit(false)).as("pruned"))
+        .localCheckpoint(true)
+    } finally v.unpersist(blocking = false)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 4×
     * memory-reduction path for ANN at scale (a 100 TB float corpus
     * becomes 25 TB of int8 + one scale per vector; candidate scoring

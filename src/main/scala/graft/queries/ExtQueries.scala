@@ -212,6 +212,11 @@ object ExtQueries {
     }),
     "x27_keywords" -> ((s, d) => TextStats.keywords(docs(s, d))),
     "x28_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
+    // SemDeDup semantic pruning over the planted corpus (cos≈0.97
+    // copies) — rows-only like x6 (float k-means centroids aren't
+    // DuckDB-reproducible); cells=1 ≡ brute force and planted-copy
+    // pruning are pinned in ExtSpec.
+    "x41_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(plantedEmb(s, d))),
     // Batch sessionization over the NTZ-shimmed events scan — the
     // gaps-and-islands replay of the streaming session state.
     "x29_sessions" -> ((s, d) =>

@@ -499,6 +499,27 @@ class ExtSpec extends SparkSpec {
       s"$nearEdge fixture pairs within 0.02 of the 0.9 threshold — cross-engine float risk")
   }
 
+  test("semanticDedup with one cell equals the brute-force smaller-id rule") {
+    val e = graft.queries.ExtQueries.plantedEmb(spark, sf.stripSuffix("/"))
+    val got = Similarity.semanticDedup(e, threshold = 0.9, cells = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val v = e.select($"vec_id", $"embedding".as("v"))
+    val brutePruned = v.select($"vec_id".as("a_id"), $"v".as("va"))
+      .crossJoin(v.select($"vec_id".as("b_id"), $"v".as("vb")))
+      .filter($"a_id" < $"b_id")
+      .filter(Similarity.cosine($"va", $"vb") >= 0.9)
+      .select($"b_id").collect().map(_.getLong(0)).toSet
+    assert(brutePruned.nonEmpty, "planted pairs missing — fixture assumption broke")
+    assert(got.filter(_._2).keySet == brutePruned,
+      s"pruned mismatch: got ${got.filter(_._2).keySet}, want $brutePruned")
+    // every planted copy (id ≥ 1e6) is pruned; its original survives
+    val planted = got.keySet.filter(_ >= 1000000L)
+    assert(planted.nonEmpty && planted.forall(got(_)))
+    assert(planted.map(_ - 1000000L).forall(id => !got(id)))
+    // output covers the whole corpus (no zero-norm rows in the fixture)
+    assert(got.size == v.count())
+  }
+
   test("MinHash banding geometry keeps the miss bound tight at the 0.8 threshold") {
     // guards (bands, rowsPerBand) changes: the brute-force oracle only
     // stays hash-equal while banding recall is effectively total
