@@ -111,6 +111,55 @@ object Stats {
     } finally sg.unpersist(blocking = false)
   }
 
+  /** Sketch-based distinct-gram cardinality per source PLUS the corpus
+    * total, in ONE pass — the fixed-state alternative to exact
+    * `countDistinct` for monitoring at 100 TB: an HLL sketch
+    * (DataSketches HLL++, lgK 12 → RSE ≈ 0.8%) is a few KB of
+    * map-side-mergeable state per group, where the exact count must
+    * shuffle every distinct gram string. `rollup` emits the per-source
+    * rows and the grand total from the same aggregate; Spark's partial
+    * aggregation merges sketches executor-side, so the driver only ever
+    * sees s+1 sketches — the merge path IS the scale property, and the
+    * union≡rollup equivalence is pinned in spec, as is the error bound
+    * vs the exact counts. Approximate by design → rows-only in the
+    * gate (DuckDB's approx_count_distinct is a different sketch). */
+  def sketchDistinct(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.filter(col("text").isNotNull)
+      .select(col("source"), explode(Dedup.shingles(col("text"), n)).as("g"))
+      .rollup(col("source"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("g"))).as("n_grams_est"))
+      .select(coalesce(col("source"), lit("__all__")).as("source"),
+        col("n_grams_est"))
+  }
+
+  /** Sketch-based source-overlap matrix — the theta-sketch path of
+    * [[sourceOverlap]]: per-source theta sketches support set
+    * INTERSECTION (HLL cannot), so pairwise shared-gram estimates come
+    * from s² scalar sketch ops over s KB-sized sketches — after ONE
+    * corpus scan, where the exact matrix's self-join re-shuffles every
+    * (source, gram) pair. Below ~4k distinct grams per source the
+    * sketch is in exact mode and the matrix EQUALS [[sourceOverlap]]
+    * (pinned in spec); past it, estimates degrade gracefully (RSE
+    * ≈ 1/√4096 per side) while state stays fixed — the 100 TB trade.
+    * Zero-overlap pairs are emitted with estimate 0 (the sketch path
+    * cannot distinguish absent from empty without the exact join).
+    * Approximate by design → rows-only in the gate. */
+  def sketchOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sk = docs.filter(col("text").isNotNull)
+      .select(col("source"), explode(Dedup.shingles(col("text"), n)).as("g"))
+      .groupBy(col("source")).agg(theta_sketch_agg(col("g")).as("sk"))
+    // s sketches of a few KB each: the pairwise step is config-scale
+    // (s² rows), broadcast regardless of corpus size
+    sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+      .join(broadcast(sk.select(col("source").as("source_b"), col("sk").as("sk_b"))),
+        col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b")))
+          .as("n_shared_est"))
+  }
+
   /** Dedup-funnel report — the per-ingest observability row every real
     * pipeline publishes: how many documents survive each prep rule.
     * Stages are RULE counts (each against its stated input), chainable

@@ -261,6 +261,12 @@ object ExtQueries {
     // Source-pair shared-shingle matrix — the quadratic is in sources
     // (config-scale), never documents.
     "x38_source_overlap" -> ((s, d) => Stats.sourceOverlap(docs(s, d))),
+    // Sketch family — rows-only (approximate by design; cross-engine
+    // sketches differ): HLL distinct-gram cardinality with a rollup
+    // total, and the theta-sketch overlap matrix whose exact-mode
+    // equality with x38 is pinned in spec.
+    "x42_sketch_distinct" -> ((s, d) => Stats.sketchDistinct(docs(s, d))),
+    "x43_sketch_overlap" -> ((s, d) => Stats.sketchOverlap(docs(s, d))),
     // Banding range join: docs × broadcast length-band dimension —
     // half-open bands so a boundary length lands in exactly one band.
     "x32_length_bands" -> ((s, d) => {

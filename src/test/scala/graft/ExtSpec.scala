@@ -136,6 +136,49 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) == ((2L, 1L, md5hex("m n o"))))
   }
 
+  test("sketchDistinct: estimates within 5% of exact, rollup total ≡ sketch union") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val est = ext.Stats.sketchDistinct(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val grams = d.filter($"text".isNotNull)
+      .select($"source", explode(Dedup.shingles($"text")).as("g"))
+    val exact = grams.groupBy($"source").agg(countDistinct($"g").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = grams.select($"g").distinct().count()
+    exact.foreach { case (src, n) =>
+      assert(math.abs(est(src) - n) <= math.max(1, n * 0.05), s"$src: ${est(src)} vs $n")
+    }
+    assert(math.abs(est("__all__") - exactAll) <= math.max(1, exactAll * 0.05))
+    // mergeability — the property that makes the sketch the scale path:
+    // union of the per-source sketches estimates the same total the
+    // rollup computed from raw rows
+    val unionEst = grams.groupBy($"source").agg(hll_sketch_agg($"g").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("n")).head().getLong(0)
+    assert(math.abs(unionEst - est("__all__")) <= math.max(1, exactAll * 0.01),
+      s"union $unionEst vs rollup ${est("__all__")}")
+  }
+
+  test("sketchOverlap equals the exact overlap matrix while sketches are in exact mode") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val est = ext.Stats.sketchOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = ext.Stats.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(exact.nonEmpty)
+    // fixture sources hold ≪ 4096 distinct grams -> theta retains every
+    // hash and the intersection estimate is the exact count
+    exact.foreach { case (pair, n) =>
+      assert(est.contains(pair) && est(pair) == n,
+        s"$pair: sketch ${est.get(pair)} vs exact $n")
+    }
+    // sketch path emits 0-estimates for non-overlapping pairs instead
+    // of omitting them; every exact pair must be present above, extras
+    // must be zero overlaps
+    (est.keySet -- exact.keySet).foreach { pair =>
+      assert(est(pair) == 0L, s"unexpected overlap ${est(pair)} for $pair")
+    }
+  }
+
   test("gopherRules: each gate trips independently and passes requires all") {
     val fifty = (1 to 50).map(i => s"word$i").mkString(" ") // 50 words, has no stopwords
     val good = s"the a $fifty" // 52 words incl. 2 stopwords, mwl ~5.8
