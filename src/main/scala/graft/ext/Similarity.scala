@@ -419,6 +419,84 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Ingest-time sign-LSH index for embedding near-dup — the embedding
+    * sibling of [[graft.ext.Dedup.buildMinhashIndex]]: persists the
+    * banded (vec_id, tbl, bucket) rows, the normalized vectors, and a
+    * geometry sidecar (planes, tables, dim — the probe MUST band with
+    * the exact same hyperplane family, so the geometry is stored with
+    * the index rather than trusted to the caller). At 100 TB the index
+    * is the linear byproduct of the first dedup pass; re-banding the
+    * corpus per ingest tick would re-pay the full corpus scan. */
+  def buildEmbedIndex(
+      emb: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      planes: Int = DefaultPlanes,
+      tables: Int = DefaultTables): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.SaveMode
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+      .filter(col("nv") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = dimOf(v.select(col("v").as("embedding")))
+      signBands(v, planes, tables).write.mode(SaveMode.Overwrite)
+        .parquet(writer.path(s"${table}__embbands"))
+      v.write.mode(SaveMode.Overwrite).parquet(writer.path(s"${table}__vecs"))
+      Seq((planes, tables, dim)).toDF("planes", "tables", "dim")
+        .write.mode(SaveMode.Overwrite).parquet(writer.path(s"${table}__lshmeta"))
+    } finally v.unpersist(blocking = false)
+  }
+
+  /** Incremental embedding near-dup: pairs (a_id = indexed corpus
+    * vector, b_id = new batch vector) at cosine ≥ `threshold`, computed
+    * against a [[buildEmbedIndex]] artifact. Only the NEW batch is
+    * banded (with the geometry read from the index sidecar — a probe
+    * banded under different hyperplanes would silently miss
+    * everything); candidates are band-bucket collisions between the
+    * batch's bands (broadcast — the incremental contract is |batch| ≪
+    * |corpus|) and the stored bands under the usual [[BucketCap]]
+    * guard, then exact cosine verifies against the stored vectors, so
+    * precision is exact regardless of LSH luck. Within-batch pairs are
+    * NOT emitted — run [[embedNeardup]] on the batch for those. */
+  def embedNeardupAgainstIndex(
+      newEmb: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      threshold: Double = 0.9,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val spark = newEmb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val meta = writer.read(s"${table}__lshmeta").head()
+    val (planes, tables) = (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"))
+    val b = newEmb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+      .filter(col("nv") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idxBands = BucketCap.keepSmall(
+        writer.read(s"${table}__embbands"), Seq("tbl", "bucket"), maxBucket)
+      val cand = idxBands
+        .select(col("tbl"), col("bucket"), col("vec_id").as("a_id"))
+        .join(broadcast(signBands(b, planes, tables)
+          .select(col("tbl"), col("bucket"), col("vec_id").as("b_id"))),
+          Seq("tbl", "bucket"))
+        .select("a_id", "b_id")
+        .distinct()
+      cand
+        .join(writer.read(s"${table}__vecs")
+          .select(col("vec_id").as("a_id"), col("v").as("va"), col("nv").as("na")), "a_id")
+        .join(b.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nv").as("nb")), "b_id")
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= threshold)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
+    } finally b.unpersist(blocking = false)
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
     * cluster-then-compare — embeddings are assigned to a coarse k-means
     * cell ([[kmeansCentroids]], the same quantizer IVF uses) and the

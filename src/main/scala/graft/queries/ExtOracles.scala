@@ -178,6 +178,24 @@ object ExtOracles {
         |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
 
+    // Incremental embedding near-dup: cross pairs only (a = original
+    // corpus, b = planted batch copies) — brute-force cosine on the
+    // same planted construction as x13; the Spark side is the indexed
+    // LSH path, so this row cross-proves the index round-trip AND the
+    // banding recall at once.
+    "x44_incr_embed_neardup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |  batch AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding,
+        |           (x, i) -> x::DOUBLE * (1.0 + 0.25*((((i-1) % 2)*2)-1))) AS v
+        |  FROM embeddings WHERE vec_id % 100 = 0)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM corpus a, batch b
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+
     "x14_prep_pipeline" ->
       s"""WITH $shingleCte,
          |  dup AS (

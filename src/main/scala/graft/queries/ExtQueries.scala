@@ -181,6 +181,19 @@ object ExtQueries {
       Dedup.buildMinhashIndex(corpus, w, "docs")
       Dedup.neardupAgainstIndex(batch, w, "docs")
     }),
+    // Incremental EMBEDDING near-dup: the corpus (original vectors) is
+    // sign-LSH-indexed once (bands + vectors + geometry sidecar as
+    // parquet artifacts), then the "new batch" (the planted cos≈0.97
+    // copies, vec_id ≥ 1e6) near-dups against the index — no corpus
+    // vector is re-banded. Non-vacuous by construction: every planted
+    // copy crosses corpus↔batch. Same per-run temp warehouse as x23.
+    "x44_incr_embed_neardup" -> ((s, d) => {
+      val e = plantedEmb(s, d)
+      val w = new graft.sinks.StagingWriter(s,
+        java.nio.file.Files.createTempDirectory("embed_idx").toString)
+      Similarity.buildEmbedIndex(e.filter(col("vec_id") < 1000000L), w, "emb")
+      Similarity.embedNeardupAgainstIndex(e.filter(col("vec_id") >= 1000000L), w, "emb")
+    }),
     // Duplicate-cluster labeling over the SHARED MinHash pair set
     // (x2/x14's cache): component = min doc_id reachable.
     "x24_dup_components" -> ((s, d) => Dedup.dupComponents(minhashPairs(s, d))),

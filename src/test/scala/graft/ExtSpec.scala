@@ -515,6 +515,27 @@ class ExtSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("embedNeardupAgainstIndex probes the stored geometry, cross pairs only") {
+    val base = (1 to 64).map(i => math.sin(i.toDouble).toFloat)
+    val other = (1 to 64).map(i => math.cos(i * 3.7).toFloat)
+    val corpus = embDf((1L, base, 0), (2L, other, 0))
+    // batch: a near-dup of corpus vec 1, a far vector, and a near-dup
+    // of ANOTHER BATCH vector (must NOT pair within the batch)
+    val farB = (1 to 64).map(i => math.sin(i * 2.9 + 1).toFloat)
+    val batch = embDf(
+      (10L, base.updated(0, base(0) + 1e-4f), 0),
+      (11L, farB, 0),
+      (12L, farB.updated(1, farB(1) + 1e-4f), 0))
+    val w = new graft.sinks.StagingWriter(spark,
+      java.nio.file.Files.createTempDirectory("embidx_spec").toString)
+    // NON-default geometry: the probe must band with the sidecar's
+    // family, not the defaults, or it finds nothing
+    Similarity.buildEmbedIndex(corpus, w, "e", planes = 6, tables = 12)
+    val got = Similarity.embedNeardupAgainstIndex(batch, w, "e", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L)), s"got $got")
+  }
+
   test("embedNeardup on the planted fixture equals brute force (recall AND precision)") {
     val e = graft.queries.ExtQueries.plantedEmb(spark, sf.stripSuffix("/"))
     val lsh = Similarity.embedNeardup(e, threshold = 0.9)
