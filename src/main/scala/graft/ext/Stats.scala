@@ -147,17 +147,24 @@ object Stats {
     * Approximate by design → rows-only in the gate. */
   def sketchOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // both join sides consume the sketch frame — persist the s tiny
+    // rows so the corpus-scale shingle scan runs ONCE, not per side;
+    // the s² output matrix is materialized before release (the
+    // sourceOverlap idiom)
     val sk = docs.filter(col("text").isNotNull)
       .select(col("source"), explode(Dedup.shingles(col("text"), n)).as("g"))
       .groupBy(col("source")).agg(theta_sketch_agg(col("g")).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // s sketches of a few KB each: the pairwise step is config-scale
     // (s² rows), broadcast regardless of corpus size
-    sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+    try sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
       .join(broadcast(sk.select(col("source").as("source_b"), col("sk").as("sk_b"))),
         col("source_a") < col("source_b"))
       .select(col("source_a"), col("source_b"),
         theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b")))
           .as("n_shared_est"))
+      .localCheckpoint(true)
+    finally sk.unpersist(blocking = false)
   }
 
   /** Dedup-funnel report — the per-ingest observability row every real

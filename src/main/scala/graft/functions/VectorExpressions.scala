@@ -308,7 +308,9 @@ object WordChunks {
     if (n < 1)
       throw new IllegalArgumentException(s"word chunk width $n must be at least 1")
     val tokens = text.toString.split(" ", -1)
-    val m = (tokens.length + n - 1) / n
+    // ceil(len/n) written overflow-safe (len >= 1 always): len + n - 1
+    // wraps negative for n near Int.MaxValue
+    val m = (tokens.length - 1) / n + 1
     val out = new Array[Any](m)
     val sb = new java.lang.StringBuilder()
     var i = 0

@@ -114,6 +114,12 @@ class ExtSpec extends SparkSpec {
     intercept[Exception] {
       d.select(graft.functions.GraftFunctions.wordChunks($"text", lit(0))).collect()
     }
+    // n >= token count -> the whole text is ONE chunk, even at the
+    // overflow edge (ceil(len/n) must not wrap for huge n)
+    val whole = d.select($"text",
+      graft.functions.GraftFunctions.wordChunks($"text", lit(Int.MaxValue)).as("c"))
+      .collect()
+    whole.foreach(r => assert(r.getSeq[String](1) == Seq(r.getString(0))))
   }
 
   test("chunkDedup keeps first occurrences corpus-wide and reassembles survivors") {
