@@ -111,6 +111,47 @@ object Stats {
     } finally sg.unpersist(blocking = false)
   }
 
+  /** Per-group standardization (z-score) of an integer signal — the
+    * cross-group comparability step curation needs before a GLOBAL cut
+    * (a raw length/quality threshold cuts unevenly across languages;
+    * x36's budget walk assumes comparable scores): each document's
+    * `n_chars` is standardized against its language's mean and
+    * population standard deviation.
+    *
+    * Float-determinism without rank tricks: the group moments are
+    * INTEGER sums (sum x, sum x², both exact in a long — at 10¹² docs ×
+    * 10⁵ chars², sum x² ≈ 10¹⁷ < 2⁶³), so mean and variance are
+    * per-row expression trees over exact integers, written identically
+    * in the oracle — bit-exact on any engine, any plan, unlike a
+    * avg/stddev aggregate of doubles (order-dependent parallel
+    * summation). Zero-variance groups (all-equal values, singleton
+    * groups) emit z = 0.0 under an explicit guard (the division throws
+    * under ANSI otherwise); NULL-lang rows keep their group (groupBy
+    * treats NULL as a key — the x30 lesson: dropping them silently
+    * loses documents).
+    *
+    * Scale shape: one map-side-combinable (lang, count, sum, sumsq)
+    * aggregate — group cardinality = languages, so the moment table
+    * BROADCASTS; the corpus never shuffles. */
+  def zscoreNorm(docs: DataFrame): DataFrame = {
+    val x = col("n_chars").cast("long")
+    val moments = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("s1"),
+      sum(x * x).as("s2"))
+    val mean = col("s1").cast("double") / col("n")
+    val variance = col("s2").cast("double") / col("n") - mean * mean
+    docs.select(col("doc_id"), col("lang"), x.as("n_chars"))
+      // null-SAFE key: a plain equi-join would silently drop the
+      // NULL-lang group the aggregate just computed
+      .join(broadcast(moments.withColumnRenamed("lang", "m_lang")),
+        col("lang") <=> col("m_lang"))
+      .withColumn("z",
+        when(variance <= 0.0, lit(0.0))
+          .otherwise((col("n_chars").cast("double") - mean) / sqrt(variance)))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("z"))
+  }
+
   /** Sketch-based distinct-gram cardinality per source PLUS the corpus
     * total, in ONE pass — the fixed-state alternative to exact
     * `countDistinct` for monitoring at 100 TB: an HLL sketch

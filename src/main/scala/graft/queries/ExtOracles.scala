@@ -630,6 +630,25 @@ object ExtOracles {
         |        AND symbol_ratio <= 0.1 AND n_stop >= 2) AS passes
         |FROM r""".stripMargin,
 
+    // Z-score standardization: group moments as exact integer sums
+    // (DuckDB integer sum returns HUGEINT — cast to BIGINT), then the
+    // SAME per-row double tree Spark evaluates: s2/n − (s1/n)² variance
+    // with the ≤0 guard, IS NOT DISTINCT FROM for the null-safe join.
+    "x45_zscore_norm" ->
+      """WITH m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(n_chars) AS BIGINT) AS s1,
+        |                  CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |           FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+        |       CASE WHEN (CAST(s2 AS DOUBLE) / n
+        |                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) <= 0.0
+        |            THEN 0.0
+        |            ELSE (CAST(d.n_chars AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+        |                 / sqrt(CAST(s2 AS DOUBLE) / n
+        |                        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |       END AS z
+        |FROM documents d JOIN m ON d.lang IS NOT DISTINCT FROM m.lang""".stripMargin,
+
     // Vocabulary: deterministic top-20 selection — the limit sits BELOW
     // the fixture's distinct-token count (31), so the cut actually
     // engages; ties at the cut line break on the token itself on both

@@ -235,6 +235,10 @@ object ExtQueries {
     "x29_sessions" -> ((s, d) =>
       Sessions.sessionize(events(s, d).select("event_id", "user_id", "ts"))),
     "x30_quantiles" -> ((s, d) => Stats.lengthQuantiles(docs(s, d))),
+    // Per-language z-score standardization — group moments are exact
+    // integer sums, so the per-row standardization tree is bit-exact
+    // across engines (no rank tricks needed for a float output).
+    "x45_zscore_norm" -> ((s, d) => Stats.zscoreNorm(docs(s, d))),
     "x31_rolling" -> ((s, d) =>
       Sessions.rollingDaily(events(s, d).select("user_id", "ts"))),
     // BPE merge training — rows-only like x6 (per-round argmax

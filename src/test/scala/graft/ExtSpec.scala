@@ -142,6 +142,22 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) == ((2L, 1L, md5hex("m n o"))))
   }
 
+  test("zscoreNorm: exact-moment standardization, zero-variance and NULL-lang groups") {
+    val d = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L), // mean 20, popstd sqrt(200/3)
+      (4L, "zh", 7L), (5L, "zh", 7L),                    // zero variance -> z = 0
+      (6L, null, 5L), (7L, null, 15L)                    // NULL lang is a real group
+    ).toDF("doc_id", "lang", "n_chars")
+    val got = ext.Stats.zscoreNorm(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.size == 7, s"NULL-lang rows dropped: $got")
+    val std = math.sqrt(1400.0 / 3 - 400.0) // s2/n - mean^2 over {10,20,30}
+    assert(math.abs(got(1L) - (-10.0 / std)) < 1e-12)
+    assert(got(2L) == 0.0 && math.abs(got(3L) - 10.0 / std) < 1e-12)
+    assert(got(4L) == 0.0 && got(5L) == 0.0)
+    assert(math.abs(got(6L) - (-1.0)) < 1e-12 && math.abs(got(7L) - 1.0) < 1e-12)
+  }
+
   test("sketchDistinct: estimates within 5% of exact, rollup total ≡ sketch union") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val est = ext.Stats.sketchDistinct(d).collect()
