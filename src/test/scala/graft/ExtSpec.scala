@@ -224,6 +224,24 @@ class ExtSpec extends SparkSpec {
     assert(got(6L) == ((false, false, true, false, false)))
   }
 
+  test("chunkDedup plans exactly two exchanges: chunk-hash window + per-doc rebuild") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      val out = Dedup.chunkDedup(d)
+      assert(out.count() > 0)
+      // first-occurrence via ONE window on the chunk hash, then ONE
+      // per-doc aggregate — a groupBy+join-back shape would plan the
+      // site subtree twice and add a third exchange
+      val nShuffles = out.queryExecution.executedPlan.collect {
+        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
+      }.size
+      assert(nShuffles == 2,
+        s"expected 2 exchanges, got $nShuffles:\n${out.queryExecution.executedPlan.toString.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("sourceOverlap counts distinct shared shingles per source pair") {
     val d = Seq(
       (1L, "a b c d", "A"),   // grams: "a b c", "b c d"
