@@ -649,6 +649,33 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Canonical-keeper selection per duplicate component — the step
+    * between [[dupComponents]]' labeling and the corpus rewrite: every
+    * component keeps its BEST member (highest quality score, doc_id
+    * tiebreak), not blindly its lowest id — pairwise lowest-id-survives
+    * can keep a truncated or boilerplate copy over the clean one. Both
+    * ranking inputs are functions of the data alone (the quality score
+    * is the x8 per-row tree, bit-exact across engines, and doc_id
+    * completes the total order), so the keeper set is deterministic.
+    *
+    * One window pass over the component partition serves both outputs
+    * (rank + member count — same exchange); components are dup-cluster
+    * sized (shallow, small), so per-partition state is trivial.
+    * Documents outside any component are implicitly their own keepers
+    * (components only label docs appearing in ≥ 1 pair, per
+    * [[dupComponents]]). */
+  def canonicalPick(docs: DataFrame, components: DataFrame): DataFrame = {
+    val q = TextStats.withQuality(docs).select(col("doc_id"), col("quality_score"))
+    val byComponent = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    val best = byComponent.orderBy(col("quality_score").desc, col("doc_id"))
+    components.join(q, "doc_id")
+      .withColumn("rn", row_number().over(best))
+      .withColumn("n_members", count(lit(1)).over(byComponent))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("keeper_id"),
+        col("n_members"), col("quality_score").as("keeper_quality"))
+  }
+
   /** (doc_id, simhash, band, band_val) rows — the SimHash blocking key
     * space, shared by the candidate join and its cap report. */
   private def simhashBands(docs: DataFrame): DataFrame =

@@ -578,6 +578,57 @@ object ExtOracles {
          |FROM (SELECT DISTINCT a FROM e) n JOIN reach r ON r.a = n.a
          |GROUP BY n.a""".stripMargin,
 
+    // Canonical pick: x24's recursive component closure, then the best
+    // member per component by the x8 quality tree (bit-exact both
+    // engines) with the doc_id tiebreak; one window partition serves
+    // rank and member count on both sides.
+    "x46_canonical_pick" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS (
+         |    SELECT a_id, b_id FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 8 * (sa.sz + sb.sz - i.i)),
+         |  e AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |        UNION SELECT b_id, a_id FROM pairs),
+         |  reach(a, b) AS (
+         |    SELECT a, b FROM e
+         |    UNION
+         |    SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |  comp AS (SELECT n.a AS doc_id, least(min(r.b), n.a) AS component
+         |           FROM (SELECT DISTINCT a FROM e) n JOIN reach r ON r.a = n.a
+         |           GROUP BY n.a),
+         |  m AS (SELECT doc_id,
+         |          len(string_split(text, ' ')) AS n_tokens,
+         |          len(list_filter(string_split(text, ' '),
+         |              t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop,
+         |          length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+         |          length(text) AS n_chars
+         |        FROM documents),
+         |  q AS (SELECT doc_id,
+         |          (CASE WHEN n_tokens < 5 THEN 0.0
+         |                ELSE 1.0 - (CASE WHEN n_chars = 0 THEN 0e0
+         |                            ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 2.0
+         |                     + least((CAST(n_stop AS DOUBLE) / n_tokens) * 1.5, 0.3)
+         |           END) AS quality_score
+         |        FROM m),
+         |  ranked AS (
+         |    SELECT c.component, c.doc_id, q.quality_score,
+         |           row_number() OVER (PARTITION BY c.component
+         |                              ORDER BY q.quality_score DESC, c.doc_id) AS rn,
+         |           CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT) AS n_members
+         |    FROM comp c JOIN q USING (doc_id))
+         |SELECT component, doc_id AS keeper_id, n_members,
+         |       quality_score AS keeper_quality
+         |FROM ranked WHERE rn = 1""".stripMargin,
+
     // Normalization over planted damage (upper-case every 10th doc,
     // doubled spaces elsewhere) — lower/trim/' +' collapse carry
     // identical semantics in both engines; DuckDB regexp_replace needs

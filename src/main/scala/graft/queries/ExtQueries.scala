@@ -88,9 +88,20 @@ object ExtQueries {
       graft.ext.BpeTrain.trainMerges(docs(spark, dir), numMerges = 10)
     }
 
+  // component labels are consumed by x24 AND the x46 canonical pick —
+  // the same ingest-artifact share as the pair sets they derive from
+  private val componentCache =
+    new graft.util.OnceCache[(String, String), DataFrame](MaxCachedPairSets)
+
+  private def dupComps(spark: SparkSession, dir: String): DataFrame =
+    componentCache.getOrCompute((spark.sparkContext.applicationId, dir)) {
+      Dedup.dupComponents(minhashPairs(spark, dir))
+    }
+
   /** Drop all cached pair sets (e.g. after fixtures change). */
   def clearPairCache(): Unit = {
     minhashPairCache.clear(); ngramPairCache.clear(); bpeMergeCache.clear()
+    componentCache.clear()
   }
 
   /** Composed training-data prep flow — the shape a real corpus pipeline
@@ -196,7 +207,11 @@ object ExtQueries {
     }),
     // Duplicate-cluster labeling over the SHARED MinHash pair set
     // (x2/x14's cache): component = min doc_id reachable.
-    "x24_dup_components" -> ((s, d) => Dedup.dupComponents(minhashPairs(s, d))),
+    "x24_dup_components" -> (dupComps _),
+    // Canonical keeper per duplicate component: best quality (x8 tree)
+    // wins, doc_id tiebreak — not blindly the lowest id; shares the
+    // component labels with x24.
+    "x46_canonical_pick" -> ((s, d) => Dedup.canonicalPick(docs(s, d), dupComps(s, d))),
     // Normalization with PLANTED damage (the fixture is already
     // canonical lowercase/single-space ASCII, so an un-planted oracle
     // would be vacuous): every 10th doc uppercased, the rest get

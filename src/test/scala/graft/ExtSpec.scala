@@ -142,6 +142,23 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) == ((2L, 1L, md5hex("m n o"))))
   }
 
+  test("canonicalPick keeps the best-quality member per component, doc_id tiebreak") {
+    import spark.implicits._
+    // quality: doc 2 has stopwords -> higher score than 1 and 3; docs
+    // 4/5 tie exactly (identical text) -> lower doc_id wins
+    val d = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "the a of alpha beta gamma",
+      3L -> "alpha beta gamma delta epsilon!!!",
+      4L -> "same words here exactly now yes",
+      5L -> "same words here exactly now yes")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "component")
+    val got = Dedup.canonicalPick(d, comps).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 3L)), 4L -> ((4L, 2L))), s"got $got")
+  }
+
   test("zscoreNorm: exact-moment standardization, zero-variance and NULL-lang groups") {
     val d = Seq(
       (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L), // mean 20, popstd sqrt(200/3)
