@@ -112,6 +112,44 @@ class PropertySpec extends SparkSpec {
     }, min = 200)
   }
 
+  test("word_chunks / word_ngrams_all window contracts hold on arbitrary text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // tokens may be empty (consecutive spaces) and non-ASCII; they may
+    // not contain the separator itself
+    val tokenGen = Gen.oneOf(
+      Gen.const(""), Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("的", "naïve", "a-b", "x!"))
+    val textGen = Gen.choose(0, 40)
+      .flatMap(k => Gen.listOfN(k, tokenGen)).map(_.mkString(" "))
+    val nGen = Gen.choose(1, 50)
+
+    def strings(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[String] =
+      (0 until a.numElements()).map(a.getUTF8String(_).toString)
+
+    check("chunks-partition-and-roundtrip", Prop.forAll(textGen, nGen) { (text, n) =>
+      val toks = text.split(" ", -1)
+      val chunks = strings(graft.functions.WordChunks.compute(UTF8String.fromString(text), n))
+      chunks.mkString(" ") == text &&
+        chunks.size == (toks.length - 1) / n + 1 &&
+        chunks.dropRight(1).forall(_.split(" ", -1).length == n) &&
+        chunks.last.split(" ", -1).length == toks.length - (chunks.size - 1) * n
+    }, min = 300)
+
+    check("ngrams-all-match-sliding", Prop.forAll(textGen, Gen.choose(1, 8)) { (text, n) =>
+      val toks = text.split(" ", -1)
+      val got = strings(graft.functions.WordNgramsAll.compute(UTF8String.fromString(text), n))
+      val want = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      got == want
+    }, min = 300)
+
+    check("ngrams-distinct-is-first-occurrence-order",
+      Prop.forAll(textGen, Gen.choose(1, 8)) { (text, n) =>
+        val all = strings(graft.functions.WordNgramsAll.compute(UTF8String.fromString(text), n))
+        val got = strings(graft.functions.WordNgrams.compute(UTF8String.fromString(text), n))
+        got == all.distinct
+      }, min = 300)
+  }
+
   test("explode then reassemble is the identity on nested frames") {
     val childGen = Gen.listOfN(3, Gen.choose(1, 999))
     val parentsGen: Gen[List[(String, List[Int])]] = for {
