@@ -419,6 +419,39 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Johnson–Lindenstrauss random projection — the dimensionality leg
+    * of the embedding-ops family (int8 quantization cuts bytes/element,
+    * this cuts ELEMENTS): project to `outDim` dims with a deterministic
+    * Rademacher (±1/√outDim) matrix, preserving inner products in
+    * expectation with distortion ~1/√outDim (Achlioptas 2003 — ±1
+    * entries suffice, no gaussians needed). At 100 TB this runs before
+    * LSH/IVF so every downstream distance costs outDim multiplies, and
+    * the matrix is derived from splitmix64, so it never ships: any
+    * executor, any run, any cluster rebuilds bit-identical planes.
+    *
+    * Per-row compute: outDim codegen'd vec_dot nodes over typedLit
+    * plane literals — dozens of nodes is fine (the SignLshBuckets
+    * lesson applies at hundreds). Approximate by design → rows-only in
+    * the gate; determinism, output geometry, planted-pair cosine
+    * preservation, and per-vector norm-ratio bounds are pinned in
+    * spec. */
+  def randomProject(emb: DataFrame, outDim: Int = 16): DataFrame = {
+    require(outDim >= 1, s"output dimension $outDim must be at least 1")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val dim = dimOf(v.select(col("v").as("embedding")))
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val planes = (0 until outDim).map { j =>
+      typedLit((0 until dim).map { d =>
+        // seed family 7: disjoint from the sign-LSH family's stream
+        if ((splitmix64((j.toLong * 7919 + 7) * 65537 + d) & 1L) == 1L) scale
+        else -scale
+      })
+    }
+    v.select(col("vec_id"),
+      array(planes.map(p => dot(col("v"), p)): _*).as("proj"))
+  }
+
   /** Ingest-time sign-LSH index for embedding near-dup — the embedding
     * sibling of [[graft.ext.Dedup.buildMinhashIndex]]: persists the
     * banded (vec_id, tbl, bucket) rows, the normalized vectors, and a

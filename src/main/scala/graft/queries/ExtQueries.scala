@@ -245,6 +245,9 @@ object ExtQueries {
     // DuckDB-reproducible); cells=1 ≡ brute force and planted-copy
     // pruning are pinned in ExtSpec.
     "x41_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(plantedEmb(s, d))),
+    // JL random projection 64→16 — rows-only (approximate by design);
+    // determinism, geometry, and distortion bounds pinned in ExtSpec.
+    "x47_random_project" -> ((s, d) => Similarity.randomProject(emb(s, d))),
     // Batch sessionization over the NTZ-shimmed events scan — the
     // gaps-and-islands replay of the streaming session state.
     "x29_sessions" -> ((s, d) =>

@@ -620,6 +620,35 @@ class ExtSpec extends SparkSpec {
       s"$nearEdge fixture pairs within 0.02 of the 0.9 threshold — cross-engine float risk")
   }
 
+  test("randomProject: deterministic, right geometry, JL distortion bounded") {
+    val e = graft.queries.ExtQueries.plantedEmb(spark, sf.stripSuffix("/"))
+    val p1 = Similarity.randomProject(e).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val p2 = Similarity.randomProject(e).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p1 == p2, "projection is not run-deterministic")
+    assert(p1.values.forall(_.size == 16))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // planted pairs sit at cos≈0.97 in 64-d; k=16 distortion is
+    // ~sqrt((1-c^2)/k)≈0.06, so >=0.6 is far outside any wobble
+    val plantedIds = p1.keySet.filter(_ >= 1000000L)
+    assert(plantedIds.nonEmpty)
+    plantedIds.foreach { id =>
+      val c = cos(p1(id), p1(id - 1000000L))
+      assert(c >= 0.6, s"planted pair $id projected cosine $c")
+    }
+    // norm preservation in expectation: per-vector ratio stays inside
+    // generous chi-square bounds (deterministic planes -> stable)
+    val orig = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    p1.foreach { case (id, pv) =>
+      val ratio = pv.map(x => x * x).sum / orig(id).map(x => x * x).sum
+      assert(ratio > 0.2 && ratio < 4.0, s"vec $id norm ratio $ratio")
+    }
+  }
+
   test("semanticDedup with one cell equals the brute-force smaller-id rule") {
     val e = graft.queries.ExtQueries.plantedEmb(spark, sf.stripSuffix("/"))
     val got = Similarity.semanticDedup(e, threshold = 0.9, cells = 1)
