@@ -150,6 +150,29 @@ class PropertySpec extends SparkSpec {
       }, min = 300)
   }
 
+  test("zscoreNorm matches the naive per-group standardization on generated data") {
+    val rowsGen = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 1000L)))
+    } yield rows.zipWithIndex.map { case ((g, x), i) => (i.toLong, g, x) }
+
+    check("naive-equivalence", Prop.forAll(rowsGen) { rows =>
+      import spark.implicits._
+      val got = graft.ext.Stats.zscoreNorm(rows.toDF("doc_id", "lang", "n_chars"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val expected = rows.groupBy(_._2).values.flatMap { grp =>
+        val n = grp.size.toDouble
+        val mean = grp.map(_._3).sum / n
+        val variance = grp.map(r => r._3.toDouble * r._3).sum / n - mean * mean
+        grp.map { case (id, _, x) =>
+          id -> (if (variance <= 0.0) 0.0 else (x - mean) / math.sqrt(variance))
+        }
+      }.toMap
+      got.keySet == expected.keySet &&
+        got.forall { case (id, z) => math.abs(z - expected(id)) < 1e-9 }
+    }, min = 12)
+  }
+
   test("explode then reassemble is the identity on nested frames") {
     val childGen = Gen.listOfN(3, Gen.choose(1, 999))
     val parentsGen: Gen[List[(String, List[Int])]] = for {
