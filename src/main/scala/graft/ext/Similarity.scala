@@ -51,18 +51,25 @@ object Similarity {
     * neighbor_id, rank) — with a deterministic vec_id tiebreak, so the
     * result is stable under float round-off and safe to hash-compare.
     * Self-matches are excluded. */
-  def cosTopK(emb: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
+  def cosTopK(emb: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame =
+    cosTopKFor(emb, emb.filter(col("vec_id") % queryMod === 0), k)
+
+  /** [[cosTopK]] over EXPLICIT corpus and query frames — the filtered-
+    * search entry point: pre-filter the corpus on metadata (lang,
+    * quality, source — the predicate composes as a plain semi-join
+    * BEFORE any scoring, so filtered-out vectors are never even dotted)
+    * and rank the survivors. Queries need not satisfy the filter. */
+  def cosTopKFor(corpusVecs: DataFrame, queryVecs: DataFrame, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(corpusVecs.sparkSession)
     // norms precomputed once per vector — never recompute them per PAIR.
     // Zero-norm vectors are EXCLUDED by contract on every cosine path:
     // a zero vector has no direction, and the division throws under
     // ANSI (Spark 4 default) instead of yielding a quiet NaN.
-    val queries = emb
-      .filter(col("vec_id") % queryMod === 0)
+    val queries = queryVecs
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
       .withColumn("nq", norm(col("q")))
       .filter(col("nq") > 0)
-    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val corpus = corpusVecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
       .filter(col("nv") > 0)
     val scored = corpus

@@ -85,6 +85,27 @@ object ExtOracles {
         |              ORDER BY cos DESC, vec_id) AS INT) AS "rank"
         |  FROM s) WHERE "rank" <= 5""".stripMargin,
 
+    // Filtered search: x3's construction with the corpus pre-filtered
+    // on document metadata (the semi-join runs before any scoring on
+    // the Spark side; here it's the same inner join on doc_id).
+    "x48_filtered_topk" ->
+      """WITH keep AS (SELECT doc_id FROM documents
+        |              WHERE lang IN ('en', 'de') AND n_chars >= 100),
+        |     q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |     c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings JOIN keep ON vec_id = doc_id),
+        |     s AS (SELECT query_id, vec_id,
+        |                  list_dot_product(qv, v) /
+        |                    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |           FROM q, c WHERE vec_id <> query_id)
+        |SELECT query_id, neighbor_id, "rank" FROM (
+        |  SELECT query_id, vec_id AS neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos DESC, vec_id) AS INT) AS "rank"
+        |  FROM s) WHERE "rank" <= 5""".stripMargin,
+
     "x4_text_stats" ->
       """SELECT lang,
         |       CAST(count(*) AS BIGINT) AS n_docs,

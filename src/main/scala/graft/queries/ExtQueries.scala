@@ -248,6 +248,18 @@ object ExtQueries {
     // JL random projection 64→16 — rows-only (approximate by design);
     // determinism, geometry, and distortion bounds pinned in ExtSpec.
     "x47_random_project" -> ((s, d) => Similarity.randomProject(emb(s, d))),
+    // Filtered vector search: the metadata predicate (lang + length,
+    // ~50% selective on the fixture) semi-joins the corpus BEFORE any
+    // scoring — filtered-out vectors are never dotted; queries need
+    // not satisfy the filter.
+    "x48_filtered_topk" -> ((s, d) => {
+      val keep = docs(s, d)
+        .filter(col("lang").isin("en", "de") && col("n_chars") >= 100)
+        .select(col("doc_id").as("vec_id"))
+      Similarity.cosTopKFor(
+        emb(s, d).join(keep, "vec_id"),
+        emb(s, d).filter(col("vec_id") % 50 === 0))
+    }),
     // Batch sessionization over the NTZ-shimmed events scan — the
     // gaps-and-islands replay of the streaming session state.
     "x29_sessions" -> ((s, d) =>

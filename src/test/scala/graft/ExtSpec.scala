@@ -620,6 +620,26 @@ class ExtSpec extends SparkSpec {
       s"$nearEdge fixture pairs within 0.02 of the 0.9 threshold — cross-engine float risk")
   }
 
+  test("cosTopKFor: filtered corpus never leaks excluded neighbors; subsumes cosTopK") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the factored entry point must reproduce cosTopK exactly
+    val viaFor = Similarity.cosTopKFor(e, e.filter($"vec_id" % 50 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = Similarity.cosTopK(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaFor == direct)
+    // filter to even vec_ids: no odd neighbor may appear, and ranks
+    // stay dense 1..k per query
+    val filtered = Similarity.cosTopKFor(
+      e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 50 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(_._2 % 2 == 0), "excluded neighbor leaked")
+    filtered.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.size), s"ranks not dense for $q")
+    }
+  }
+
   test("randomProject: deterministic, right geometry, JL distortion bounded") {
     val e = graft.queries.ExtQueries.plantedEmb(spark, sf.stripSuffix("/"))
     val p1 = Similarity.randomProject(e).collect()
