@@ -665,10 +665,15 @@ object Dedup {
     * (components only label docs appearing in ≥ 1 pair, per
     * [[dupComponents]]). */
   def canonicalPick(docs: DataFrame, components: DataFrame): DataFrame = {
-    val q = TextStats.withQuality(docs).select(col("doc_id"), col("quality_score"))
+    // join FIRST, score the survivors: components cover only docs in
+    // ≥ 1 pair (a few percent of a real corpus), so scoring before the
+    // join would pay the full-corpus regex quality scan for rows the
+    // join immediately discards
+    val members = docs.join(components, "doc_id")
     val byComponent = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
     val best = byComponent.orderBy(col("quality_score").desc, col("doc_id"))
-    components.join(q, "doc_id")
+    TextStats.withQuality(members)
+      .select(col("doc_id"), col("component"), col("quality_score"))
       .withColumn("rn", row_number().over(best))
       .withColumn("n_members", count(lit(1)).over(byComponent))
       .filter(col("rn") === 1)

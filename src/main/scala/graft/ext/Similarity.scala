@@ -167,7 +167,9 @@ object Similarity {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
       .filter(col("nv") > 0) // zero vectors: no direction, ANSI div guard
-    val banded = signBands(v, planes, tables)
+    // an empty corpus short-circuits to an empty pair set through the
+    // plan itself — the placeholder dim is never applied to a row
+    val banded = signBands(v, planes, tables, firstDim(v).getOrElse(1))
     val kept = BucketCap.keepSmall(banded, Seq("tbl", "bucket"), maxBucket)
     val cand = kept.select(col("tbl"), col("bucket"), col("vec_id").as("a_id"))
       .join(kept.select(col("tbl"), col("bucket"), col("vec_id").as("b_id")),
@@ -190,18 +192,27 @@ object Similarity {
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    BucketCap.droppedReport(signBands(v, planes, tables), Seq("tbl", "bucket"), maxBucket)
+    BucketCap.droppedReport(
+      signBands(v, planes, tables, firstDim(v).getOrElse(1)),
+      Seq("tbl", "bucket"), maxBucket)
   }
 
   /** Narrow (vec_id, tbl, bucket) rows: bucket = the `planes` sign bits
     * of table `tbl`'s hyperplane projections, packed into an int — all
-    * tables computed by one sign_lsh evaluation per row. */
-  private def signBands(v: DataFrame, planes: Int, tables: Int): DataFrame = {
-    val dim = dimOf(v.select(col("v").as("embedding")))
+    * tables computed by one sign_lsh evaluation per row. `dim` is the
+    * hyperplane family's dimensionality — the CALLER owns it, because
+    * an index probe must band under the INDEX's dim, never the
+    * batch's. */
+  private def signBands(v: DataFrame, planes: Int, tables: Int, dim: Int): DataFrame = {
     val buckets = graft.functions.GraftFunctions.signLsh(
       col("v"), hyperplaneFamily(tables, planes, dim), lit(planes), lit(dim))
     v.select(col("vec_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
   }
+
+  /** Dimensionality of the first vector in a `v`-column frame; None on
+    * an empty frame (take(1), so the empty case never throws). */
+  private def firstDim(v: DataFrame): Option[Int] =
+    v.select(size(col("v"))).take(1).headOption.map(_.getInt(0))
 
   /** The POSITIONAL index (into `cents`) of the nearest centroid (L2)
     * for each row's `v` column — centroids ride along as literal arrays
@@ -450,8 +461,11 @@ object Similarity {
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     val planes = (0 until outDim).map { j =>
       typedLit((0 until dim).map { d =>
-        // seed family 7: disjoint from the sign-LSH family's stream
-        if ((splitmix64((j.toLong * 7919 + 7) * 65537 + d) & 1L) == 1L) scale
+        // seed multipliers start at 1e6+3: the sign-LSH family uses
+        // (t*131 + p)*65537 + d with t*131+p < ~3.2e3, so the two
+        // streams can never share a multiplier — the projection and
+        // any downstream LSH use genuinely independent hyperplanes
+        if ((splitmix64((j.toLong * 7919 + 1000003L) * 65537 + d) & 1L) == 1L) scale
         else -scale
       })
     }
@@ -482,8 +496,9 @@ object Similarity {
       .filter(col("nv") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = dimOf(v.select(col("v").as("embedding")))
-      signBands(v, planes, tables).write.mode(SaveMode.Overwrite)
+      val dim = firstDim(v).getOrElse(throw new IllegalArgumentException(
+        s"buildEmbedIndex($table): empty corpus — nothing to index"))
+      signBands(v, planes, tables, dim).write.mode(SaveMode.Overwrite)
         .parquet(writer.path(s"${table}__embbands"))
       v.write.mode(SaveMode.Overwrite).parquet(writer.path(s"${table}__vecs"))
       Seq((planes, tables, dim)).toDF("planes", "tables", "dim")
@@ -511,17 +526,25 @@ object Similarity {
     val spark = newEmb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val meta = writer.read(s"${table}__lshmeta").head()
-    val (planes, tables) = (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"))
+    val (planes, tables, dim) =
+      (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"), meta.getAs[Int]("dim"))
     val b = newEmb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
       .filter(col("nv") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // dimension mismatch (embedding-model upgrade) must fail LOUDLY:
+      // banding a d'-dim batch under a d-dim family silently projects
+      // on the prefix and reports near-zero duplicates. An EMPTY batch
+      // (routine no-new-data tick) skips the check and flows through
+      // to an empty result — take(1) never throws.
+      firstDim(b).foreach(batchDim => require(batchDim == dim,
+        s"embedNeardupAgainstIndex($table): batch dim $batchDim != index dim $dim"))
       val idxBands = BucketCap.keepSmall(
         writer.read(s"${table}__embbands"), Seq("tbl", "bucket"), maxBucket)
       val cand = idxBands
         .select(col("tbl"), col("bucket"), col("vec_id").as("a_id"))
-        .join(broadcast(signBands(b, planes, tables)
+        .join(broadcast(signBands(b, planes, tables, dim)
           .select(col("tbl"), col("bucket"), col("vec_id").as("b_id"))),
           Seq("tbl", "bucket"))
         .select("a_id", "b_id")

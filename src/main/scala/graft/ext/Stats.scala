@@ -138,7 +138,12 @@ object Stats {
     val moments = docs.groupBy(col("lang")).agg(
       count(lit(1)).as("n"),
       sum(x).as("s1"),
-      sum(x * x).as("s2"))
+      // Σx² in DECIMAL(38,0): a long sum overflows around 10⁹ docs of
+      // 10⁴-char texts (Σx² ~ 10¹⁷ per 10⁹ such docs) and ANSI mode
+      // would kill the job at exactly the scale this operator targets;
+      // the oracle's HUGEINT sum has the same headroom, and both sides
+      // convert the exact integer to double at the same point
+      sum((x * x).cast("decimal(38,0)")).as("s2"))
     val mean = col("s1").cast("double") / col("n")
     val variance = col("s2").cast("double") / col("n") - mean * mean
     docs.select(col("doc_id"), col("lang"), x.as("n_chars"))
@@ -169,8 +174,14 @@ object Stats {
     docs.filter(col("text").isNotNull)
       .select(col("source"), explode(Dedup.shingles(col("text"), n)).as("g"))
       .rollup(col("source"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("g"))).as("n_grams_est"))
-      .select(coalesce(col("source"), lit("__all__")).as("source"),
+      // grouping() — not coalesce — labels the rollup total (it must
+      // sit in the agg clause): a real NULL-source group must stay
+      // distinguishable from the grand total (the x30 NULL-group
+      // lesson applied to rollup keys)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("g"))).as("n_grams_est"),
+        grouping(col("source")).as("is_total"))
+      .select(when(col("is_total") === 1, lit("__all__"))
+        .otherwise(col("source")).as("source"),
         col("n_grams_est"))
   }
 

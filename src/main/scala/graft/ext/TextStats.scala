@@ -239,17 +239,21 @@ object TextStats {
     * tokens (the [[vocabulary]]/BpeTrain universe), symbols are the
     * non-[a-z0-9 space] characters (the [[withQuality]] punct class).
     * Empty-word-universe rows (n_words = 0) report 0.0 ratios — the
-    * guard mirrors the oracle, and every rule fails them anyway.
+    * guard mirrors the oracle, and every rule fails them anyway. NULL
+    * text is treated as empty for the same reason: an audit row must
+    * say REJECTED with reasons, never carry NULL flags that vanish
+    * from both sides of a `passes` filter.
     * Embarrassingly parallel at 100 TB: one scan, no shuffle at all. */
   def gopherRules(
       docs: DataFrame,
       minWords: Int = 50, maxWords: Int = 100000,
       minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minStop: Int = 2): DataFrame = {
-    val toks = split(col("text"), " ")
+    val text = coalesce(col("text"), lit(""))
+    val toks = split(text, " ")
     val nWords = size(filter(toks, t => length(t) > 0))
-    val nAlpha = length(regexp_replace(col("text"), " ", ""))
-    val nSym = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    val nAlpha = length(regexp_replace(text, " ", ""))
+    val nSym = length(regexp_replace(text, "[a-z0-9 ]", ""))
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
     docs
       .withColumn("n_words", nWords)

@@ -308,15 +308,16 @@ object WordChunks {
     if (n < 1)
       throw new IllegalArgumentException(s"word chunk width $n must be at least 1")
     val tokens = text.toString.split(" ", -1)
-    // ceil(len/n) written overflow-safe (len >= 1 always): len + n - 1
-    // wraps negative for n near Int.MaxValue
+    // ceil(len/n) and the chunk end bound in overflow-safe forms
+    // (len >= 1 always): len + n - 1 and (i+1)*n both wrap negative
+    // for n near Int.MaxValue
     val m = (tokens.length - 1) / n + 1
     val out = new Array[Any](m)
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i < m) {
       sb.setLength(0)
-      val end = math.min((i + 1) * n, tokens.length)
+      val end = math.min(i.toLong * n + n, tokens.length.toLong).toInt
       var k = i * n
       while (k < end) {
         if (k > i * n) sb.append(' ')

@@ -672,11 +672,12 @@ object ExtOracles {
     // the n_words=0 guard mirrored; flag thresholds compare the SAME
     // double value both engines computed identically per row.
     "x40_gopher_rules" ->
-      """WITH p AS (SELECT doc_id,
+      """WITH p0 AS (SELECT doc_id,
         |             CASE WHEN doc_id % 17 = 0 THEN replace(text, ' ', '')
         |                  WHEN doc_id % 13 = 0 THEN text || ' !!! ### $$$'
         |                  ELSE text END AS text
         |           FROM documents),
+        |  p AS (SELECT doc_id, COALESCE(text, '') AS text FROM p0),
         |  m AS (SELECT doc_id,
         |          len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_words,
         |          length(replace(text, ' ', '')) AS n_alpha,
@@ -709,7 +710,7 @@ object ExtOracles {
     "x45_zscore_norm" ->
       """WITH m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |                  CAST(sum(n_chars) AS BIGINT) AS s1,
-        |                  CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |                  sum(n_chars * n_chars) AS s2
         |           FROM documents GROUP BY lang)
         |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
         |       CASE WHEN (CAST(s2 AS DOUBLE) / n

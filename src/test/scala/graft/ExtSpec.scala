@@ -227,7 +227,8 @@ class ExtSpec extends SparkSpec {
       (3L, good.replace(" ", "")),       // one giant word: words AND word-len fail
       (4L, good + " !!! ### $$$ %%% &&& ***"), // 18 symbols / 58 words > 0.1
       (5L, fifty),                       // 0 stopwords
-      (6L, "")                           // empty: n_words=0, every gate fails
+      (6L, ""),                          // empty: n_words=0, every gate fails
+      (7L, null)                         // NULL: audited as empty, never NULL flags
     ).toDF("doc_id", "text")
     val got = ext.TextStats.gopherRules(d).collect()
       .map(r => r.getLong(0) -> ((r.getBoolean(5), r.getBoolean(6),
@@ -239,6 +240,8 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) == ((true, true, false, true, false)))
     assert(got(5L) == ((true, true, true, false, false)))
     assert(got(6L) == ((false, false, true, false, false)))
+    assert(got(7L) == ((false, false, true, false, false)),
+      "NULL text must audit as a definite reject, not NULL flags")
   }
 
   test("chunkDedup plans exactly two exchanges: chunk-hash window + per-doc rebuild") {
@@ -591,6 +594,16 @@ class ExtSpec extends SparkSpec {
     val got = Similarity.embedNeardupAgainstIndex(batch, w, "e", threshold = 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 10L)), s"got $got")
+    // empty batch = the routine no-new-data tick: empty result, no crash
+    assert(Similarity.embedNeardupAgainstIndex(
+      batch.filter($"vec_id" < 0), w, "e").count() == 0)
+    // dimension mismatch (embedding-model upgrade) must fail loudly,
+    // not silently band a prefix and report near-zero duplicates
+    val batch128 = embDf((20L, (1 to 128).map(i => math.sin(i.toDouble).toFloat), 0))
+    val err = intercept[Exception] {
+      Similarity.embedNeardupAgainstIndex(batch128, w, "e").collect()
+    }
+    assert(err.getMessage.contains("dim"), s"got: ${err.getMessage}")
   }
 
   test("embedNeardup on the planted fixture equals brute force (recall AND precision)") {
