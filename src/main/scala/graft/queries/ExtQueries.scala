@@ -292,6 +292,30 @@ object ExtQueries {
           graft.functions.GraftFunctions.bpePieces(col("text"),
             typedLit(m.map(_._2)), typedLit(m.map(_._3))).as("n_pieces"))
     }),
+    // Tokenizer fertility by language — the pieces-per-word report
+    // every tokenizer eval publishes (a language whose fertility blows
+    // up is under-served by the trained merges): integer sums of the
+    // per-doc x37 counts, ratio as ONE division per group. Rows-only
+    // like x33/x37 (no SQL BPE); the per-doc counts it sums are pinned
+    // by x37's spec chain. Word universe = non-empty tokens (the
+    // trainer's filter). Map-side-combinable aggregate; group
+    // cardinality = languages.
+    "x49_fertility" -> ((s, d) => {
+      val m = bpeMerges(s, d)
+      graft.functions.GraftFunctions.register(s)
+      val toks = split(col("text"), " ")
+      docs(s, d).filter(col("text").isNotNull)
+        .select(col("lang"),
+          size(filter(toks, t => length(t) > 0)).cast("long").as("n_words"),
+          graft.functions.GraftFunctions.bpePieces(col("text"),
+            typedLit(m.map(_._2)), typedLit(m.map(_._3))).cast("long").as("n_pieces"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("total_words"),
+          sum(col("n_pieces")).as("total_pieces"))
+        .withColumn("fertility",
+          when(col("total_words") === 0, lit(0.0))
+            .otherwise(col("total_pieces").cast("double") / col("total_words")))
+    }),
     "x34_prep_funnel" -> ((s, d) => Stats.prepFunnel(docs(s, d), ngramPairs(s, d))),
     // Span-level exact-substring dedup (Lee et al. 2021): per-doc
     // duplicated-window and covered-token counts at window width 13 —

@@ -279,6 +279,30 @@ class ExtSpec extends SparkSpec {
     // C shares nothing -> absent, and the null-text doc contributes nothing
   }
 
+  test("fertility: pieces per word from hand-applied merges, one division per group") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{typedLit => tl}
+    // merges: (a,a) then (aa,b) — "aab" -> [aa,b] -> [aab] = 1 piece;
+    // "ab" -> [a,b] = 2; "aaa" -> [aa,a] = 2
+    val lefts = Seq("a", "aa"); val rights = Seq("a", "b")
+    val d = Seq(
+      (1L, "en", "aab ab"),   // pieces 1+2=3, words 2
+      (2L, "en", "aaa"),      // pieces 2,   words 1
+      (3L, "zh", "b b  b")    // pieces 3,   words 3 (empty token skipped)
+    ).toDF("doc_id", "lang", "text")
+    val toks = split($"text", " ")
+    val got = d.select($"lang",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.filter(toks, t => length(t) > 0))
+          .cast("long").as("n_words"),
+        graft.functions.GraftFunctions.bpePieces($"text", tl(lefts), tl(rights))
+          .cast("long").as("n_pieces"))
+      .groupBy($"lang")
+      .agg(sum($"n_words").as("w"), sum($"n_pieces").as("p"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("en" -> ((3L, 5L)), "zh" -> ((3L, 3L))), s"got $got")
+  }
+
   test("bpe_pieces equals the applyMerge fold composition, rank order respected") {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.{typedLit => tl}
