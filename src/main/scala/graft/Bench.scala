@@ -80,8 +80,58 @@ object Bench {
     val metaSec = (System.nanoTime() - mt0) / 1e9
     require(registry.list.size == metaDocs)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","meta_refresh":{"docs":$metaDocs,"sec":$metaSec,"reference_sec":21.8},"failed":${failed.mkString("{", ",", "}")},"ok":${failed.isEmpty}}""")
+    // Second reference-comparable datapoint: the full /initialDataLoad
+    // lifecycle — metadata registration, typed DDL for parent + child +
+    // unfiltered entity, filtered full refresh with expand, audit
+    // columns, watermark advance (readme.md:486-500: stg_orders 276 /
+    // stg_orderitems 123 / stg_ctype 5 on the demo ERP; REGION plays
+    // CTYPE here — also exactly 5 rows at every SF). The reference
+    // publishes no wall time for this leg; its initialDataLoad INCLUDES
+    // the 21.8 s metadata refresh, so that is a floor for its total.
+    val (ilSec, ilRows, ilErr) = {
+      val t0 = System.nanoTime()
+      try {
+        import graft.model._
+        val reg = new graft.catalog.SchemaRegistry()
+        def metaFor(entity: String, tbl: String, pk: Seq[String]): EntityMeta = {
+          val schema = spark.read.parquet(s"$sfDir/$tbl.parquet").schema
+          EntityMeta(entity, "priority", fields = schema.fields.toSeq.map(f =>
+            FieldMeta(f.name.toUpperCase, "Edm.String",
+              keyFlag = pk.contains(f.name),
+              targetDataType = Some(f.dataType.sql))),
+            entityPk = pk.map(_.toUpperCase))
+        }
+        reg.putAll(Seq(
+          metaFor("ORDERS", "orders", Seq("o_orderkey")),
+          metaFor("ORDERITEMS", "lineitem", Seq("l_orderkey", "l_linenumber")),
+          metaFor("REGION", "region", Seq("r_regionkey"))))
+        val wh = java.nio.file.Files.createTempDirectory("bench_il").toString
+        val platform = new graft.run.Platform(spark,
+          new graft.sources.ParquetSimSource(spark, sfDir), reg,
+          new graft.sinks.StagingWriter(spark, wh))
+        val config = ExtractionConfig("bench", "bench", "bench9", uri = "sim://priority/",
+          entities = Seq(
+            EntityConfig("ORDERS", filterFlag = true, filterField = "o_orderdate",
+              expand = Seq("ORDERITEMS"), dataStartDate = "1990-01-01 00:00:00"),
+            EntityConfig("REGION")))
+        val resp =
+          try platform.initialDataLoad(config)
+          finally () // warehouse tmpdir reaped by the OS; catalog db dropped below
+        spark.sql("DROP DATABASE IF EXISTS acc_bench9 CASCADE")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val bad = resp.deploy.failed.map(_._1) ++ resp.report.errors.map(_.entityId)
+        val rows = resp.report.tables.map(t => t.tableName -> t.recordsWritten)
+        (sec, rows, if (bad.isEmpty) None else Some(s"initial_load: ${bad.mkString(",")}"))
+      } catch { case e: Throwable =>
+        ((System.nanoTime() - t0) / 1e9, Nil,
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"))
+      }
+    }
+    val ilRowsJson = ilRows.map { case (t, n) => s""""${esc(t)}":$n""" }.mkString("{", ",", "}")
+    val allFailed = failed ++ ilErr.map(e => s""""initial_load":"${esc(e)}"""")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","meta_refresh":{"docs":$metaDocs,"sec":$metaSec,"reference_sec":21.8},"initial_load":{"sec":$ilSec,"rows":$ilRowsJson,"reference_rows":{"stg_orders":276,"stg_orderitems":123,"stg_ctype":5},"reference_sec_floor":21.8},"failed":${allFailed.mkString("{", ",", "}")},"ok":${allFailed.isEmpty}}""")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (allFailed.nonEmpty) sys.exit(1)
   }
 }

@@ -107,9 +107,9 @@ object Assemble {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
-        // exclusive prefix sum DIV budget; values ≪ 2^53 so the
-        // double-division + cast truncation is exact (frameSample idiom)
-        ((col("cum") - col("n_tokens")) / budgetTokens).cast("long").as("seq_idx"))
+        // exclusive prefix sum DIV budget — integer `div` end to end,
+        // so neither side depends on double exactness
+        expr(s"(cum - n_tokens) div ${budgetTokens}L").as("seq_idx"))
   }
 
   /** Quality-ranked corpus selection to a GLOBAL token budget: walk the

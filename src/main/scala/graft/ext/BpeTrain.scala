@@ -19,18 +19,40 @@ import org.apache.spark.sql.functions._
   * by the language's vocabulary, not the corpus (the standard
   * tokenizer-training structure — HuggingFace trains from word counts
   * the same way). Per round: one pair-count aggregate over the word
-  * list, one driver-side top-1 (a single small row — NOT a data-sized
+  * list, one driver-side top-(B+1) (B+1 small rows — NOT a data-sized
   * collect), one per-word merge rewrite, and a localCheckpoint so the
   * plan does not deepen with the merge count. The interpreted HOF fold
   * in the rewrite runs over vocab-sized data, so CodegenFallback cost
   * is bounded by the vocabulary too.
   *
+  * Rounds are BATCHED (standard batched-BPE): each round applies up to
+  * `batch` merges whose application order provably cannot matter, so a
+  * production merge count (32k) costs ~32k/B Spark job rounds instead
+  * of 32k. The batch is the longest prefix of the (count desc, left,
+  * right)-sorted pair list that is pairwise symbol-DISJOINT, cut at
+  * the first conflicting pair, and trimmed to counts STRICTLY above
+  * that conflict's count. Exactly sequential, because:
+  *   - disjoint merges cannot change each other's pair counts (a merge
+  *     only rewrites adjacencies touching its own two symbols);
+  *   - any pair sharing a symbol with the batch sorts at/after the
+  *     first conflict, so its count ≤ the conflict's count (= bound);
+  *   - a merge only CREATES pairs involving its new symbol, each
+  *     occurrence of which was an occurrence of an old pair that
+  *     shares a symbol with the batch — so every created pair's count
+  *     is ≤ bound too, and (by induction over the batch) stays ≤ bound
+  *     through the intermediate sequential states;
+  *   - batch members' counts are strictly > bound, so each would have
+  *     won its own sequential round against every conflicting, later,
+  *     and created pair; equal-count batch members resolve by the same
+  *     (left, right) tiebreak that ordered the batch.
+  *
   * Determinism: the winning pair each round breaks ties on
   * (count desc, left, right) — a total order — so the merge table is a
-  * function of the corpus alone. No DuckDB oracle: per-round argmax
-  * rewriting is not expressible as one SQL query (same rows-only
-  * declaration as IVF); exactness is pinned by a hand-worked spec
-  * instead. */
+  * function of the corpus alone (batched ≡ sequential is additionally
+  * pinned by spec on the hand-worked fixture). No DuckDB oracle:
+  * per-round argmax rewriting is not expressible as one SQL query
+  * (same rows-only declaration as IVF); exactness is pinned by a
+  * hand-worked spec instead. */
 object BpeTrain {
 
   /** One merge round applied to a symbol array: every leftmost,
@@ -66,21 +88,27 @@ object BpeTrain {
 
   /** Train `numMerges` BPE merges over whitespace words. Returns the
     * merge table (rank, left, right, pair_count) in merge order —
-    * stops early if the corpus runs out of repeated pairs. */
-  def train(docs: DataFrame, numMerges: Int = 10): DataFrame = {
+    * stops early if the corpus runs out of repeated pairs. `batch` is
+    * the per-round merge cap (see the object doc: any batch size
+    * yields the identical table; it only divides the job count). */
+  def train(docs: DataFrame, numMerges: Int = 10, batch: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    trainMerges(docs, numMerges).toDF("rank", "left", "right", "pair_count")
+    trainMerges(docs, numMerges, batch).toDF("rank", "left", "right", "pair_count")
   }
 
   /** [[train]]'s merge table as the driver-side value it already is
-    * (each rank is a driver top-1; the table is numMerges small rows,
-    * never data-sized) — the form the ENCODE side consumes as two
-    * parallel literals ([[graft.functions.BpePieces]]). */
-  def trainMerges(docs: DataFrame, numMerges: Int): Seq[(Int, String, String, Long)] = {
+    * (each round collects ≤ batch+1 small rows; the table is numMerges
+    * small rows, never data-sized) — the form the ENCODE side consumes
+    * as two parallel literals ([[graft.functions.BpePieces]]). */
+  def trainMerges(
+      docs: DataFrame,
+      numMerges: Int,
+      batch: Int = 8): Seq[(Int, String, String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(numMerges > 0, s"numMerges $numMerges must be positive")
+    require(batch > 0, s"batch $batch must be positive")
 
     // the one corpus-scale stage: word frequencies
     var words = docs
@@ -94,22 +122,54 @@ object BpeTrain {
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
+      val want = math.min(batch, numMerges - rank + 1)
+      // want+1 rows: the extra row is the safety bound — either the
+      // first symbol-conflicting pair or the best pair left out, both
+      // of which cap every count the intermediate sequential states
+      // could present against the kept batch
       val top = words
         .select(explode(adjacentPairs(col("syms"))).as("p"), col("n"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1)
+        .limit(want + 1)
         .as[(String, String, Long)]
         .collect()
-      top.headOption match {
-        case None => exhausted = true
-        case Some((l, r, cnt)) =>
-          merges += ((rank, l, r, cnt))
-          words = words
-            .select(applyMerge(col("syms"), l, r).as("syms"), col("n"))
-            .localCheckpoint(true)
-          rank += 1
+      if (top.isEmpty) exhausted = true
+      else {
+        // longest disjoint prefix, cut at the first conflict
+        val kept = Seq.newBuilder[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var nKept = 0
+        var bound = Option.empty[Long]
+        var i = 0
+        while (i < top.length && bound.isEmpty && nKept < want) {
+          val (l, r, c) = top(i)
+          if (used(l) || used(r)) bound = Some(c)
+          else { kept += ((l, r, c)); nKept += 1; used += l; used += r; i += 1 }
+        }
+        // no conflict but a row beyond `want` was fetched: ITS count
+        // is the bound. No conflict and nothing beyond: the fetch was
+        // every pair that exists — no bound needed.
+        if (bound.isEmpty && top.length > want) bound = Some(top(want)._3)
+        val keptSeq = kept.result()
+        // kept[0] is the global argmax — always sequential-correct;
+        // the tail only survives strictly above the bound
+        val safe = keptSeq.head +: (bound match {
+          case None => keptSeq.tail
+          case Some(b) => keptSeq.tail.takeWhile(_._3 > b)
+        })
+        safe.foreach { case (l, r, cnt) =>
+          merges += ((rank, l, r, cnt)); rank += 1
+        }
+        // one rewrite pass applies the whole batch (disjoint, so the
+        // in-word composition order is immaterial — rank order kept
+        // for readability); one checkpoint per ROUND, not per merge
+        words = words
+          .select(safe.foldLeft(col("syms")) { case (syms, (l, r, _)) =>
+            applyMerge(syms, l, r)
+          }.as("syms"), col("n"))
+          .localCheckpoint(true)
       }
     }
     merges.result()

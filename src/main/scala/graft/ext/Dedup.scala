@@ -540,9 +540,11 @@ object Dedup {
     * diameter is small by construction — everything is similar to the
     * seed). Each round is one join + one map-side-combinable min
     * aggregate; `localCheckpoint` truncates the lineage so the plan
-    * doesn't deepen per round. The convergence probe is a count, not a
-    * collect — per-round driver state is a single long. For adversarial
-    * long-chain graphs (not the dedup shape) the two-phase
+    * doesn't deepen per round. The convergence probe is an `observe`
+    * metric ON the label-update job itself (changed-label count folded
+    * into the checkpoint action — per-round driver state is a single
+    * long, and there is no second join+isEmpty job per round). For
+    * adversarial long-chain graphs (not the dedup shape) the two-phase
     * large-star/small-star variant (Kiveris et al., "Connected
     * Components in MapReduce", SoCC'14) halves rounds; not needed here.
     *
@@ -562,12 +564,18 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.select(col("id").as("dst"), col("component")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("component")).as("nc"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
+      // old and new labels meet in this projection anyway (the least()),
+      // so the changed count rides the eager-checkpoint action for free
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels.withColumnRenamed("component", "old")
+        .join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nc"), col("old"))).as("component"))
+        .observe(obs, sum(when(col("component") =!= col("old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("id"), col("component"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).isEmpty
+      converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
       labels = next
     }
     labels.select(col("id").as("doc_id"), col("component"))

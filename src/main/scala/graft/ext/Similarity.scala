@@ -457,7 +457,9 @@ object Similarity {
     require(outDim >= 1, s"output dimension $outDim must be at least 1")
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val dim = dimOf(v.select(col("v").as("embedding")))
+    // empty-safe like the LSH paths: dim only shapes the plane literals,
+    // and an empty input yields an empty output for any dim
+    val dim = firstDim(v).getOrElse(1)
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     val planes = (0 until outDim).map { j =>
       typedLit((0 until dim).map { d =>
@@ -472,6 +474,24 @@ object Similarity {
     v.select(col("vec_id"),
       array(planes.map(p => dot(col("v"), p)): _*).as("proj"))
   }
+
+  /** Gate-facing form of [[randomProject]]: pins every element of the
+    * projected vector into SCALARS (the x28 quantize convention —
+    * `Similarity.quantizeInt8`'s md5-over-joined-elements idiom), so the
+    * correctness driver's pandas canonicalizer never sees a raw
+    * `array<double>` column (it cannot sort/hash one). The md5 runs over
+    * a FIXED-FORMAT rendering (format_number-free: Spark's default
+    * double→string is deterministic per value, and the gate row is
+    * rows-only, so the hash needs run-to-run determinism, not
+    * cross-engine equality); norm/min/max pin the geometry coarsely and
+    * human-readably. In-engine consumers keep the raw-array API. */
+  def randomProjectPinned(emb: DataFrame, outDim: Int = 16): DataFrame =
+    randomProject(emb, outDim).select(
+      col("vec_id"),
+      md5(concat_ws(",", transform(col("proj"), _.cast("string")))).as("proj_hash"),
+      sqrt(aggregate(col("proj"), lit(0.0), (acc, x) => acc + x * x)).as("proj_norm"),
+      array_min(col("proj")).as("proj_min"),
+      array_max(col("proj")).as("proj_max"))
 
   /** Ingest-time sign-LSH index for embedding near-dup — the embedding
     * sibling of [[graft.ext.Dedup.buildMinhashIndex]]: persists the
@@ -531,15 +551,19 @@ object Similarity {
     val b = newEmb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
       .filter(col("nv") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
       // dimension mismatch (embedding-model upgrade) must fail LOUDLY:
       // banding a d'-dim batch under a d-dim family silently projects
-      // on the prefix and reports near-zero duplicates. An EMPTY batch
-      // (routine no-new-data tick) skips the check and flows through
-      // to an empty result — take(1) never throws.
-      firstDim(b).foreach(batchDim => require(batchDim == dim,
-        s"embedNeardupAgainstIndex($table): batch dim $batchDim != index dim $dim"))
+      // on the prefix and reports near-zero duplicates. The guard is
+      // PER ROW and rides the banding job — a firstDim probe alone
+      // would pass a partially-upgraded (mixed-dim) batch and silently
+      // mis-band the off-dim tail. An empty batch (routine
+      // no-new-data tick) flows through to an empty result.
+      .withColumn("v", when(size(col("v")) === lit(dim), col("v"))
+        .otherwise(raise_error(concat(
+          lit(s"embedNeardupAgainstIndex($table): batch vector dim "),
+          size(col("v")).cast("string"), lit(s" != index dim $dim")))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
       val idxBands = BucketCap.keepSmall(
         writer.read(s"${table}__embbands"), Seq("tbl", "bucket"), maxBucket)
       val cand = idxBands

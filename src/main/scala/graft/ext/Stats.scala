@@ -177,12 +177,13 @@ object Stats {
       // grouping() — not coalesce — labels the rollup total (it must
       // sit in the agg clause): a real NULL-source group must stay
       // distinguishable from the grand total (the x30 NULL-group
-      // lesson applied to rollup keys)
+      // lesson applied to rollup keys). is_total is its OWN boolean
+      // column — a sentinel string in `source` would collide with a
+      // genuine source literally named that way.
       .agg(hll_sketch_estimate(hll_sketch_agg(col("g"))).as("n_grams_est"),
-        grouping(col("source")).as("is_total"))
-      .select(when(col("is_total") === 1, lit("__all__"))
-        .otherwise(col("source")).as("source"),
-        col("n_grams_est"))
+        grouping(col("source")).as("gflag"))
+      .select(col("source"), col("n_grams_est"),
+        (col("gflag") === 1).as("is_total"))
   }
 
   /** Sketch-based source-overlap matrix — the theta-sketch path of

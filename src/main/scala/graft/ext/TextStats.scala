@@ -40,32 +40,64 @@ object TextStats {
       .withColumn("avg_chars",
         col("total_chars").cast("double") / col("n_docs"))
 
-  /** Marker stopwords per language for the language-ID heuristic. On
-    * real corpora these discriminate scripts/languages; the synthetic
-    * fixture shares one vocabulary, which the heuristic handles by
-    * falling through its deterministic tiebreak (alphabetical). */
+  /** Marker stopwords per language for the language-ID heuristic —
+    * the highest-frequency function words of each language (public
+    * knowledge: any frequency list or stopword collection carries
+    * them). Twenty languages cover the bulk of web text; a production
+    * curation pipeline would swap in a character-n-gram or
+    * fastText-class model, but the per-row scoring SHAPE (narrow
+    * projection, no shuffle, argmax over per-language hit counts) is
+    * exactly what that model needs too. On the synthetic fixture the
+    * shared vocabulary means ties, which the deterministic tiebreak
+    * (alphabetical) absorbs. Markers may collide across languages
+    * ("la" is Spanish AND French); scoring tolerates that — a real
+    * document carries many more distinct markers of its own language.
+    * MUST stay sorted by language code: the Spark fold and the
+    * generated oracle CASE both resolve ties by list order. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "und", "die", "nicht"),
-    "en" -> Seq("the", "a", "of", "and"),
-    "es" -> Seq("el", "la", "que", "los"),
-    "fr" -> Seq("le", "la", "les", "des"),
-    "zh" -> Seq("的", "是", "了", "在"))
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن"),
+    "de" -> Seq("der", "und", "die", "nicht", "das", "ist"),
+    "el" -> Seq("και", "το", "της", "να", "των", "που"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "que", "los", "una", "por"),
+    "fa" -> Seq("که", "در", "به", "از", "را", "این"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une"),
+    "hi" -> Seq("है", "की", "के", "में", "और", "का"),
+    "id" -> Seq("yang", "dan", "di", "ini", "untuk", "dengan"),
+    "it" -> Seq("il", "di", "che", "non", "per", "sono"),
+    "ja" -> Seq("の", "に", "は", "を", "です", "した"),
+    "ko" -> Seq("이", "그", "는", "을", "하는", "있다"),
+    "nl" -> Seq("de", "het", "een", "van", "niet", "dat"),
+    "pl" -> Seq("i", "w", "nie", "się", "jest", "na"),
+    "pt" -> Seq("o", "de", "que", "em", "não", "uma"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "это"),
+    "sv" -> Seq("och", "i", "att", "det", "som", "är"),
+    "tr" -> Seq("ve", "bir", "bu", "için", "ile", "olarak"),
+    "vi" -> Seq("của", "và", "các", "là", "có", "trong"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
 
   /** Language-ID: score = marker-token hits per language, predict the
     * argmax (alphabetical-first on ties, "und" when no marker hits).
     * Output is the (actual, predicted) confusion matrix with integer
-    * counts. */
+    * counts.
+    *
+    * One native `lang_best` pass per row ([[graft.functions.LangBest]]):
+    * the composed per-language `size(filter(toks, isin))` form is N
+    * interpreted HOF nodes each re-walking every token — at 20
+    * languages that multiplied the bench cost ~7× — where the
+    * expression walks tokens ONCE against a marker→language-bitmask
+    * map, O(tokens) regardless of language count. The marker table
+    * rides as three typedLit literals (three Literal nodes total,
+    * decoded once per task — the SignLshBuckets/BpePieces lesson). */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    val scores = langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val langs = langMarkers.map(_._1)
+    val flatMarkers = langMarkers.flatMap(_._2)
+    val markerLang = langMarkers.zipWithIndex.flatMap { case ((_, ms), i) =>
+      Seq.fill(ms.size)(i)
     }
-    val best = scores.foldLeft((lit("und"), lit(0))) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        // strict > keeps the earliest (alphabetical) language on ties
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-          greatest(score, bestScore))
-    }._1
+    val best = graft.functions.GraftFunctions.langBest(
+      col("text"), typedLit(langs), typedLit(flatMarkers), typedLit(markerLang))
     docs
       .select(col("lang"), best.as("predicted"))
       .groupBy(col("lang"), col("predicted"))

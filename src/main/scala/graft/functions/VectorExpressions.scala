@@ -523,6 +523,136 @@ object BpePieces {
   }
 }
 
+/** Predicted language of a text in ONE pass: the argmax over
+  * per-language marker-stopword hit counts, ties to the LOWEST language
+  * index (list order = alphabetical, mirroring the fold/CASE the DuckDB
+  * oracle generates), `"und"` when nothing hits.
+  *
+  * WHY one expression: the composed form is N per-language
+  * `size(filter(toks, isin(markers)))` higher-order nodes — interpreted
+  * (CodegenFallback), each walking every token — and at 20 languages
+  * that multiplied x7's bench cost by ~7. Here one token walk consults
+  * one hash map whose values are LANGUAGE BITMASKS (markers may belong
+  * to several languages: "la" is Spanish and French), so cost is
+  * O(tokens), independent of language count (≤ 64 languages by the
+  * Long mask — a require guards it).
+  *
+  * Children: (text string, langs array<string>, markers array<string>,
+  * markerLang array<int> parallel to markers). The literal arrays are
+  * decoded once per task by reference identity (the BpePieces
+  * memoization), never per row. */
+case class LangBest(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+  extends QuaternaryExpression with ImplicitCastInputTypes with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.StringType,
+      ArrayType(org.apache.spark.sql.types.StringType),
+      ArrayType(org.apache.spark.sql.types.StringType),
+      ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "lang_best"
+
+  override def nullSafeEval(t: Any, l: Any, m: Any, g: Any): Any =
+    LangBest.compute(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      l.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData], g.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, l, m, g) =>
+      s"${ev.value} = graft.functions.LangBest.compute($t, $l, $m, $g);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): LangBest =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+object LangBest {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Und = UTF8String.fromString("und")
+
+  private final class Table(
+      val langs: Array[UTF8String],
+      val masks: java.util.HashMap[UTF8String, java.lang.Long])
+
+  // same identity-keyed memoization as BpePieces: the three literal
+  // arrays are the SAME ArrayData objects on every row of a task
+  private final class Key(val l: ArrayData, val m: ArrayData, val g: ArrayData) {
+    override def hashCode: Int =
+      (System.identityHashCode(l) * 31 + System.identityHashCode(m)) * 31 +
+        System.identityHashCode(g)
+    override def equals(o: Any): Boolean = o match {
+      case k: Key => (k.l eq l) && (k.m eq m) && (k.g eq g)
+      case _ => false
+    }
+  }
+  private val decoded = new java.util.concurrent.ConcurrentHashMap[Key, Table]()
+
+  private def decode(langs: ArrayData, markers: ArrayData, markerLang: ArrayData): Table = {
+    val nLangs = langs.numElements()
+    require(nLangs >= 1 && nLangs <= 64,
+      s"lang_best: $nLangs languages outside the Long-bitmask bound [1, 64]")
+    require(markers.numElements() == markerLang.numElements(),
+      s"lang_best: markers (${markers.numElements()}) and markerLang " +
+        s"(${markerLang.numElements()}) must be parallel")
+    val ls = new Array[UTF8String](nLangs)
+    var i = 0
+    while (i < nLangs) { ls(i) = langs.getUTF8String(i).clone(); i += 1 }
+    val map = new java.util.HashMap[UTF8String, java.lang.Long]()
+    var j = 0
+    while (j < markers.numElements()) {
+      val lang = markerLang.getInt(j)
+      require(lang >= 0 && lang < nLangs,
+        s"lang_best: markerLang[$j] = $lang outside [0, $nLangs)")
+      val w = markers.getUTF8String(j).clone()
+      val prev = map.get(w)
+      map.put(w, java.lang.Long.valueOf(
+        (if (prev == null) 0L else prev.longValue()) | (1L << lang)))
+      j += 1
+    }
+    new Table(ls, map)
+  }
+
+  def compute(text: UTF8String, langs: ArrayData, markers: ArrayData,
+      markerLang: ArrayData): UTF8String = {
+    val key = new Key(langs, markers, markerLang)
+    var table = decoded.get(key)
+    if (table == null) {
+      table = decode(langs, markers, markerLang)
+      if (decoded.size > 64) decoded.clear()
+      decoded.put(key, table)
+    }
+    val counts = new Array[Int](table.langs.length)
+    // split on the single-space char, matching Spark's split(text, " ")
+    // (empty tokens can never be markers, so limit semantics are moot)
+    val toks = text.split(UTF8String.fromString(" "), -1)
+    var i = 0
+    while (i < toks.length) {
+      val mask = table.masks.get(toks(i))
+      if (mask != null) {
+        var m = mask.longValue()
+        while (m != 0L) {
+          val b = java.lang.Long.numberOfTrailingZeros(m)
+          counts(b) += 1
+          m &= m - 1
+        }
+      }
+      i += 1
+    }
+    var best = -1
+    var bestScore = 0
+    var l = 0
+    while (l < counts.length) {
+      // strict > keeps the earliest (list-order) language on ties
+      if (counts(l) > bestScore) { best = l; bestScore = counts(l) }
+      l += 1
+    }
+    if (best < 0) Und else table.langs(best)
+  }
+}
+
 /** Runtime registration + Column API for the vector expressions. */
 object GraftFunctions {
 
@@ -547,7 +677,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => WordChunks(es(0), es(1))),
     ("bpe_pieces",
       new ExpressionInfo(classOf[BpePieces].getName, "bpe_pieces"),
-      (es: Seq[Expression]) => BpePieces(es(0), es(1), es(2))))
+      (es: Seq[Expression]) => BpePieces(es(0), es(1), es(2))),
+    ("lang_best",
+      new ExpressionInfo(classOf[LangBest].getName, "lang_best"),
+      (es: Seq[Expression]) => LangBest(es(0), es(1), es(2), es(3))))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config). Skips a name ONLY when the existing
@@ -580,6 +713,8 @@ object GraftFunctions {
     call_function("word_chunks", text, n)
   def bpePieces(text: Column, lefts: Column, rights: Column): Column =
     call_function("bpe_pieces", text, lefts, rights)
+  def langBest(text: Column, langs: Column, markers: Column, markerLang: Column): Column =
+    call_function("lang_best", text, langs, markers, markerLang)
 }
 
 /** Config-time injection: `spark.sql.extensions=graft.functions.GraftExtensions`. */
@@ -606,6 +741,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (es: Seq[Expression]) => WordChunks(es(0), es(1)): Expression),
       (FunctionIdentifier("bpe_pieces"),
         new ExpressionInfo(classOf[BpePieces].getName, "bpe_pieces"),
-        (es: Seq[Expression]) => BpePieces(es(0), es(1), es(2)): Expression))
+        (es: Seq[Expression]) => BpePieces(es(0), es(1), es(2)): Expression),
+      (FunctionIdentifier("lang_best"),
+        new ExpressionInfo(classOf[LangBest].getName, "lang_best"),
+        (es: Seq[Expression]) => LangBest(es(0), es(1), es(2), es(3)): Expression))
       .foreach(ext.injectFunction)
 }

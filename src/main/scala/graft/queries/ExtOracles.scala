@@ -48,6 +48,17 @@ object ExtOracles {
       s"len(list_filter(toks, t -> t IN ($inList))) AS s_$lang"
     }.mkString(", ")
 
+  /** The argmax CASE, generated from the same list so the 20-language
+    * tiebreak (first-in-list-order = alphabetical, 'und' on zero hits)
+    * can never drift from TextStats.langId's fold. */
+  private val langCase: String = {
+    val langs = graft.ext.TextStats.langMarkers.map(_._1)
+    val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val whens = langs.init
+      .map(l => s"WHEN s_$l = $g THEN '$l'").mkString(" ")
+    s"CASE WHEN $g <= 0 THEN 'und' $whens ELSE '${langs.last}' END"
+  }
+
   val all: Map[String, String] = Map(
     "x1_exact_dedup" ->
       """SELECT md5(text) AS content_hash,
@@ -132,13 +143,7 @@ object ExtOracles {
          |  SELECT lang, $langScore
          |  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)),
          |  best AS (
-         |  SELECT lang,
-         |         CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
-         |              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-         |              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-         |              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-         |              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-         |              ELSE 'zh' END AS predicted
+         |  SELECT lang, $langCase AS predicted
          |  FROM scored)
          |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
          |FROM best GROUP BY lang, predicted""".stripMargin,
@@ -796,7 +801,8 @@ object ExtOracles {
         |   OR (lang = 'de' AND b * 4 < 3 * 10000)""".stripMargin,
 
     "x22_pack" ->
-      """SELECT doc_id, shard, n_tokens, (cum - n_tokens) // 2048 AS seq_idx
+      """SELECT doc_id, shard, n_tokens,
+        |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_idx
         |FROM (SELECT doc_id, shard, n_tokens,
         |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |                            ROWS UNBOUNDED PRECEDING) AS cum

@@ -247,7 +247,9 @@ object ExtQueries {
     "x41_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(plantedEmb(s, d))),
     // JL random projection 64→16 — rows-only (approximate by design);
     // determinism, geometry, and distortion bounds pinned in ExtSpec.
-    "x47_random_project" -> ((s, d) => Similarity.randomProject(emb(s, d))),
+    // Pinned-scalar form: the driver's pandas canonicalizer crashes on
+    // raw array<double> gate outputs (x28 convention).
+    "x47_random_project" -> ((s, d) => Similarity.randomProjectPinned(emb(s, d))),
     // Filtered vector search: the metadata predicate (lang + length,
     // ~50% selective on the fixture) semi-joins the corpus BEFORE any
     // scoring — filtered-out vectors are never dotted; queries need

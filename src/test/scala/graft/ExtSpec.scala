@@ -16,6 +16,22 @@ class ExtSpec extends SparkSpec {
     rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
       .withColumn("source", lit("t")).withColumn("n_chars", length($"text"))
 
+  test("langId discriminates all 20 marker languages and falls back to und") {
+    // one planted doc per language: its own markers + neutral filler.
+    // Markers collide across languages ("la" es/fr, "i" pl/sv, "de"
+    // nl/pt/fr...) — a doc carrying ALL its language's markers must
+    // still win the argmax over any partial overlap.
+    val planted = TextStats.langMarkers.zipWithIndex.map { case ((lang, ms), i) =>
+      (i.toLong, lang, (ms ++ ms ++ Seq("zz1", "zz2")).mkString(" "))
+    } :+ ((999L, "und", "zz1 zz2 zz3"))
+    val d = planted.toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("t")).withColumn("n_chars", length($"text"))
+    val got = TextStats.langId(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == (TextStats.langMarkers.map(_._1).toSet + "und")
+      .map(l => (l, l, 1L)), s"confusion matrix not diagonal: ${got.sorted.toSeq}")
+  }
+
   test("exactDedup groups identical texts and keeps the min doc_id") {
     val d = docsDf(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
     val r = Dedup.exactDedup(d).collect()
@@ -177,7 +193,14 @@ class ExtSpec extends SparkSpec {
 
   test("sketchDistinct: estimates within 5% of exact, rollup total ≡ sketch union") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
-    val est = ext.Stats.sketchDistinct(d).collect()
+    val rows = ext.Stats.sketchDistinct(d).collect()
+    // the grand total is flagged by its own boolean column (NOT a
+    // sentinel source string): exactly one total row, NULL source
+    val totals = rows.filter(_.getBoolean(2))
+    assert(totals.length == 1 && totals.head.isNullAt(0),
+      s"expected one NULL-source total row, got ${totals.toSeq}")
+    val estAll = totals.head.getLong(1)
+    val est = rows.filterNot(_.getBoolean(2))
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val grams = d.filter($"text".isNotNull)
       .select($"source", explode(Dedup.shingles($"text")).as("g"))
@@ -187,14 +210,14 @@ class ExtSpec extends SparkSpec {
     exact.foreach { case (src, n) =>
       assert(math.abs(est(src) - n) <= math.max(1, n * 0.05), s"$src: ${est(src)} vs $n")
     }
-    assert(math.abs(est("__all__") - exactAll) <= math.max(1, exactAll * 0.05))
+    assert(math.abs(estAll - exactAll) <= math.max(1, exactAll * 0.05))
     // mergeability — the property that makes the sketch the scale path:
     // union of the per-source sketches estimates the same total the
     // rollup computed from raw rows
     val unionEst = grams.groupBy($"source").agg(hll_sketch_agg($"g").as("sk"))
       .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("n")).head().getLong(0)
-    assert(math.abs(unionEst - est("__all__")) <= math.max(1, exactAll * 0.01),
-      s"union $unionEst vs rollup ${est("__all__")}")
+    assert(math.abs(unionEst - estAll) <= math.max(1, exactAll * 0.01),
+      s"union $unionEst vs rollup $estAll")
   }
 
   test("sketchOverlap equals the exact overlap matrix while sketches are in exact mode") {
@@ -534,12 +557,37 @@ class ExtSpec extends SparkSpec {
       (7L, 9L), (3L, 9L),
       (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
       (100L, 101L)).toDF("a_id", "b_id")
-    val comp = Dedup.dupComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // convergence is observed ON the label-update action (one action
+    // per round, not update + probe): count SQL executions — raw job
+    // counts would also see AQE's per-shuffle-stage jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        if (e.getClass.getSimpleName == "SparkListenerSQLExecutionStart")
+          jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val comp =
+      try {
+        val m = Dedup.dupComponents(pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // the listener bus is async — poll until the count is stable
+        var last = -1
+        var spins = 0
+        while (jobs.get() != last && spins < 50) {
+          last = jobs.get(); Thread.sleep(100); spins += 1
+        }
+        m
+      } finally spark.sparkContext.removeSparkListener(listener)
     assert(comp == Map(
       3L -> 3L, 7L -> 3L, 9L -> 3L,
       11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L, 15L -> 11L,
       100L -> 100L, 101L -> 100L), s"got $comp")
+    // 2 setup checkpoints (edges, labels) + R update rounds + the final
+    // collect; the diameter-4 chain converges in R <= 5 label rounds
+    // (a second join+isEmpty per round would double the loop's share)
+    assert(jobs.get() <= 2 + 5 + 1, s"too many actions: ${jobs.get()} — " +
+      "is the convergence probe running a separate action per round again?")
   }
 
   test("simhash: identical texts collide, near-dups are close, pairs dedup across bands") {
@@ -628,6 +676,15 @@ class ExtSpec extends SparkSpec {
       Similarity.embedNeardupAgainstIndex(batch128, w, "e").collect()
     }
     assert(err.getMessage.contains("dim"), s"got: ${err.getMessage}")
+    // a MIXED-dim batch (partial embedding-model upgrade: first vector
+    // still right) must fail just as loudly — a first-vector-only
+    // probe would silently mis-band the off-dim tail
+    val mixed = embDf((21L, base, 0),
+      (22L, (1 to 128).map(i => math.sin(i.toDouble).toFloat), 0))
+    val errMixed = intercept[Exception] {
+      Similarity.embedNeardupAgainstIndex(mixed, w, "e").collect()
+    }
+    assert(errMixed.getMessage.contains("dim"), s"got: ${errMixed.getMessage}")
   }
 
   test("embedNeardup on the planted fixture equals brute force (recall AND precision)") {
@@ -704,6 +761,34 @@ class ExtSpec extends SparkSpec {
       val ratio = pv.map(x => x * x).sum / orig(id).map(x => x * x).sum
       assert(ratio > 0.2 && ratio < 4.0, s"vec $id norm ratio $ratio")
     }
+  }
+
+  test("randomProjectPinned: scalar-only schema, pins the raw projection, empty-safe") {
+    val e = graft.queries.ExtQueries.plantedEmb(spark, sf.stripSuffix("/"))
+    val pinned = Similarity.randomProjectPinned(e)
+    // no array/struct/map column may reach the gate (driver canonicalizer)
+    assert(pinned.schema.fields.forall(f =>
+      !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+      !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+      !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]),
+      s"non-scalar column in ${pinned.schema.treeString}")
+    val raw = Similarity.randomProject(e).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val got = pinned.collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == raw.keySet)
+    got.foreach { case (id, (hash, norm, mn, mx)) =>
+      val v = raw(id)
+      assert(math.abs(norm - math.sqrt(v.map(x => x * x).sum)) < 1e-12)
+      assert(mn == v.min && mx == v.max)
+      assert(hash.length == 32, s"vec $id hash '$hash' not md5-shaped")
+    }
+    // distinct vectors hash distinctly on this fixture
+    assert(got.values.map(_._1).toSet.size == got.size)
+    // empty input: empty output, no head()/NoSuchElementException
+    val empty = Similarity.randomProjectPinned(e.filter($"vec_id" < 0))
+    assert(empty.count() == 0)
+    assert(Similarity.randomProject(e.filter($"vec_id" < 0)).count() == 0)
   }
 
   test("semanticDedup with one cell equals the brute-force smaller-id rule") {
@@ -1184,6 +1269,52 @@ class ExtSpec extends SparkSpec {
 
     // single-symbol corpus: no pairs, training stops with zero merges
     assert(ext.BpeTrain.train(docsDf(1L -> "a b a"), numMerges = 5).count() == 0)
+  }
+
+  test("batched BPE training equals sequential, in ~batch-fold fewer rounds") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    def countActions(body: => Seq[(Int, String, String, Long)])
+        : (Seq[(Int, String, String, Long)], Int) = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+          if (e.getClass.getSimpleName == "SparkListenerSQLExecutionStart")
+            n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val r = body
+        var last = -1; var spins = 0
+        while (n.get() != last && spins < 50) { last = n.get(); Thread.sleep(100); spins += 1 }
+        (r, n.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (seqTable, seqActs) = countActions(ext.BpeTrain.trainMerges(d, 16, batch = 1))
+    val (batTable, batActs) = countActions(ext.BpeTrain.trainMerges(d, 16, batch = 8))
+    assert(seqTable.size == 16, s"fixture too small: ${seqTable.size} merges")
+    assert(batTable == seqTable,
+      s"batched != sequential:\n  seq $seqTable\n  bat $batTable")
+    // the fixture's tiny shared vocabulary makes top pairs collide in
+    // symbols constantly, so batches stay small — but never WORSE
+    assert(batActs < seqActs,
+      s"batched used $batActs actions vs sequential $seqActs — not batching?")
+    // where top pairs are symbol-disjoint (the realistic Zipfian case),
+    // the cut approaches the full batch factor: 16 two-unique-char
+    // words with strictly decreasing counts pack 8 merges per round
+    val pairWords = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op",
+      "qr", "st", "uv", "wx", "yz", "01", "23", "45")
+    val disjoint = docsDf(pairWords.zipWithIndex.map { case (w, i) =>
+      (i + 1).toLong -> Seq.fill(100 - i)(w).mkString(" ")
+    }: _*)
+    val (dSeq, dSeqActs) = countActions(ext.BpeTrain.trainMerges(disjoint, 16, batch = 1))
+    val (dBat, dBatActs) = countActions(ext.BpeTrain.trainMerges(disjoint, 16, batch = 8))
+    assert(dBat == dSeq)
+    assert(dBat.map(m => (m._2, m._3)) ==
+      pairWords.map(w => (w.substring(0, 1), w.substring(1))),
+      s"got $dBat")
+    // 2 rounds instead of 16: 1 + 2x2 = 5 actions vs 1 + 16x2 = 33
+    assert(dBatActs * 4 <= dSeqActs,
+      s"disjoint corpus: $dBatActs vs $dSeqActs actions — batch not packing")
   }
 
   test("bandJoin: half-open boundaries, broadcast nested loop over the tiny dim") {

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
+/** Every gate output must be SCALAR-typed: the correctness driver's
+  * pandas canonicalizer sorts rows by every column and cannot hash or
+  * sort an array/struct/map cell (round 4's x47 shipped a raw
+  * `array<double>` column and turned its gate row into a driver error).
+  * Vector-valued results are pinned into scalars instead — md5 over a
+  * fixed-format rendering plus norm/min/max (the x28/x47 convention).
+  *
+  * This builds every `SparkEntry.queries` frame at sf0.001 and checks
+  * the SCHEMA only — dtype drift against the DuckDB oracle (the other
+  * driver-comparator hazard: HUGEINT→float64 promotion, as in round
+  * 4's x22) is checked value-for-value by tools/compare.py's strict
+  * dtype gate, which cannot be expressed Spark-side. */
+class GateSchemaSpec extends SparkSpec {
+
+  test("no SparkEntry.queries output carries an array/struct/map column") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val schema = fn(spark, sf).schema
+      schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[StructType] ||
+          f.dataType.isInstanceOf[MapType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(bad.isEmpty,
+      s"non-scalar gate columns (driver canonicalizer would err):\n  " +
+        bad.mkString("\n  "))
+  }
+}

@@ -106,6 +106,54 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(n == emb.count())
   }
 
+  test("lang_best equals the composed HOF argmax; shared markers, und, empty text") {
+    GraftFunctions.register(spark)
+    import graft.ext.TextStats.langMarkers
+    val langs = typedLit(langMarkers.map(_._1))
+    val flat = typedLit(langMarkers.flatMap(_._2))
+    val idx = typedLit(langMarkers.zipWithIndex.flatMap { case ((_, ms), i) =>
+      Seq.fill(ms.size)(i)
+    })
+    val texts = Seq(
+      "the cat sat on the mat and a dog",   // en
+      "el que la los una por",              // es (also hits fr via 'la')
+      "la la la",                           // es vs fr tie on shared 'la' → es (alphabetical)
+      "de de de",                           // nl vs pt tie → nl
+      "zz yy xx",                           // no hits → und
+      "")                                   // empty → und
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val native = df.select($"id",
+      GraftFunctions.langBest($"text", langs, flat, idx).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the composed reference form this expression replaced
+    val toks = split($"text", " ")
+    val composed = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isin(ms.map(lit): _*)))
+    }.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
+      (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }._1
+    val ref = df.select($"id", composed.as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native == ref, s"native $native vs composed $ref")
+    assert(native(0L) == "en" && native(2L) == "es" && native(3L) == "nl")
+    assert(native(4L) == "und" && native(5L) == "und")
+    // interpreted path agrees with codegen
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select($"id",
+        GraftFunctions.langBest($"text", langs, flat, idx).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(interp == native)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    // > 64 languages must fail loudly (Long bitmask bound)
+    val many = (0 until 65).map(i => f"l$i%02d").toList
+    val err = intercept[Exception] {
+      df.select(GraftFunctions.langBest($"text", typedLit(many),
+        typedLit(many), typedLit(many.indices.toList))).collect()
+    }
+    assert(err.getMessage.contains("64"), s"got: ${err.getMessage}")
+  }
+
   test("config-time extension injection registers the functions") {
     // the runtime register() path is covered above; here: the extensions
     // class wires the same builders through SparkSessionExtensions

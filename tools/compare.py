@@ -1,14 +1,25 @@
 #!/usr/bin/env python3
 """Local pre-validation of SparkEntry.queries vs the DuckDB oracle.
 
-Mimics the driver's correctness gate: run graft.Verify at a scale factor,
-then for each query load the Spark parquet output and run the oracle SQL
-in DuckDB over the same testdata tables; compare row counts, sorted
-schemas, and value hashes (columns sorted by name, rows sorted).
+Mimics the driver's correctness gate AT DRIVER STRICTNESS:
+  - runs graft.Verify at a scale factor, then for each query loads the
+    Spark parquet output;
+  - canonicalizes EVERY output (columns sorted by name, rows sorted) —
+    including rows-only outputs with no oracle entry, because the
+    driver canonicalizes those too (round 4's x47 raw-array column
+    crashed the driver's canonicalizer and compare.py never noticed:
+    it only loaded queries present in oracle_sql.json);
+  - for oracle-backed queries, compares dtypes EXACTLY after the same
+    int-width/datetime normalization the value hash implies (the
+    driver's hash distinguishes int64 7 from float64 7.0 — round 4's
+    x22 slipped through check_dtype=False), and values exactly
+    (check_exact: a bit-different float is a hash mismatch at the
+    driver, so tolerance here would be a lie).
 
-Usage: python3 tools/compare.py [sfdir] [outdir]
+Usage: python3 tools/compare.py [sfdir] [outdir] [--no-verify]
 """
 import json
+import os
 import subprocess
 import sys
 
@@ -22,11 +33,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize representation-only dtype
+    variance (int widths, datetime unit/tz), sort rows. Deliberately
+    does NOT make list/array values sortable: the driver's
+    canonicalizer crashes on them, so they must FAIL here too."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
         # normalize any tz-aware ts to naive, ns to us
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].dt.tz_localize(None) if getattr(df[c].dt, "tz", None) else df[c]
@@ -53,9 +65,19 @@ def main() -> None:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
 
+    # every query output on disk, not just the oracle-backed subset —
+    # a rows-only output that the driver cannot canonicalize is a red
+    # gate row even though it has no oracle SQL
+    outputs = sorted(
+        d for d in os.listdir(OUT)
+        if os.path.isdir(os.path.join(OUT, d)) and not d.startswith("_"))
+    missing = set(oracles) - set(outputs)
     n_bad = 0
-    for name in sorted(oracles):
-        sql = oracles[name]
+    for name in missing:
+        print(f"FAIL {name}: oracle entry but no spark output directory")
+        n_bad += 1
+
+    for name in outputs:
         try:
             spark_df = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
         except Exception as e:
@@ -63,24 +85,45 @@ def main() -> None:
             n_bad += 1
             continue
         try:
-            ora_df = con.sql(sql).df()
+            s = canon(spark_df)
+        except Exception as e:
+            print(f"FAIL {name}: spark output not canonicalizable "
+                  f"(driver would err): {type(e).__name__}: {str(e)[:200]}")
+            n_bad += 1
+            continue
+        if name not in oracles:
+            print(f"OK   {name}: rows-only, rows={len(s)} (canonicalizable)")
+            continue
+        try:
+            ora_df = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_bad += 1
             continue
-        s, o = canon(spark_df), canon(ora_df)
-        rows = len(s) == len(o)
-        schema = list(s.columns) == list(o.columns)
-        if not schema:
+        try:
+            o = canon(ora_df)
+        except Exception as e:
+            print(f"FAIL {name}: ORACLE output not canonicalizable: {e}")
+            n_bad += 1
+            continue
+        if list(s.columns) != list(o.columns):
             print(f"FAIL {name}: schema {list(s.columns)} vs {list(o.columns)}")
             n_bad += 1
             continue
-        if not rows:
+        if len(s) != len(o):
             print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
             n_bad += 1
             continue
+        s_dt, o_dt = [str(t) for t in s.dtypes], [str(t) for t in o.dtypes]
+        if s_dt != o_dt:
+            diffs = [f"{c}: spark {a} vs oracle {b}"
+                     for c, a, b in zip(s.columns, s_dt, o_dt) if a != b]
+            print(f"FAIL {name}: dtype drift (driver hash would differ): "
+                  + "; ".join(diffs))
+            n_bad += 1
+            continue
         try:
-            pd.testing.assert_frame_equal(s, o, check_dtype=False)
+            pd.testing.assert_frame_equal(s, o, check_dtype=True, check_exact=True)
             print(f"OK   {name}: rows={len(s)}")
         except AssertionError as e:
             print(f"FAIL {name}: values differ: {str(e)[:500]}")
