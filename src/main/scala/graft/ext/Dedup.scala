@@ -458,17 +458,35 @@ object Dedup {
     * 16 bytes for the shingle table); re-shingling the corpus per batch
     * would instead re-pay the full text parse on every ingest tick. */
   def buildMinhashIndex(
-      docs: DataFrame, writer: graft.sinks.StagingWriter, table: String): Unit = {
+      docs: DataFrame, writer: graft.sinks.StagingWriter, table: String): Unit =
+    writeMinhashIndex(docs, writer, table, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Grow an existing [[buildMinhashIndex]] artifact with a new batch —
+    * the per-tick write of a CONTINUOUS ingest loop
+    * ([[graft.streaming.EventsStream.neardupIngestQuery]]): the batch's
+    * bands/shingles/sizes are appended, so the next batch's probe sees
+    * this one as history. Append the KEPT (post-dedup) docs only — a
+    * dropped duplicate's signature would pair every future copy twice.
+    * All three artifacts append together; id spaces must stay disjoint
+    * across batches (the [[neardupAgainstIndex]] contract). */
+  def appendMinhashIndex(
+      docs: DataFrame, writer: graft.sinks.StagingWriter, table: String): Unit =
+    writeMinhashIndex(docs, writer, table, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeMinhashIndex(
+      docs: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
     val hs = shingleHashes(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      import org.apache.spark.sql.SaveMode
-      minhashBandsFrom(hs).write.mode(SaveMode.Overwrite)
+      minhashBandsFrom(hs).write.mode(mode)
         .parquet(writer.path(s"${table}__bands"))
-      hs.write.mode(SaveMode.Overwrite)
+      hs.write.mode(mode)
         .parquet(writer.path(s"${table}__shingles"))
       hs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        .write.mode(SaveMode.Overwrite)
+        .write.mode(mode)
         .parquet(writer.path(s"${table}__sizes"))
     } finally hs.unpersist(blocking = false)
   }

@@ -157,6 +157,39 @@ object Stats {
       .select(col("doc_id"), col("lang"), col("n_chars"), col("z"))
   }
 
+  /** One-pass COLUMN PROFILING — the schema-drift/data-quality report
+    * an ingest pipeline publishes per batch: for every column, its
+    * null count, exact distinct count, and min/max stringified length.
+    * A new-feed column suddenly 40% NULL, a categorical whose
+    * cardinality exploded, a text field whose max length collapsed —
+    * this is the row that catches them before training does.
+    *
+    * Shape: the frame is UNPIVOTED (one array-explode per row, C
+    * struct entries — C is the column count, a constant) into
+    * (col_name, stringified value) rows, then ONE groupBy computes
+    * every profile column — a single shuffle keyed by C values, with
+    * the distinct count running as the standard two-phase partial
+    * aggregate (map-side distinct on (col_name, v) first). Profiling
+    * C columns costs one pass over C·n narrow rows, not C separate
+    * jobs. Values profile through their CANONICAL string form (cast
+    * on both engines); NULLs stay NULL through the cast, count into
+    * n_nulls, and are excluded from n_distinct — an all-NULL column
+    * reports 0 distinct and 0 min/max length, never a NULL stat. */
+  def profileColumns(df: DataFrame): DataFrame = {
+    val entries = df.columns.toSeq.map { c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"))
+    }
+    df.select(explode(array(entries: _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"),
+        coalesce(min(length(col("v"))).cast("long"), lit(0L)).as("min_len"),
+        coalesce(max(length(col("v"))).cast("long"), lit(0L)).as("max_len"))
+  }
+
   /** Sketch-based distinct-gram cardinality per source PLUS the corpus
     * total, in ONE pass — the fixed-state alternative to exact
     * `countDistinct` for monitoring at 100 TB: an HLL sketch

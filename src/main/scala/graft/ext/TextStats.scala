@@ -308,6 +308,57 @@ object TextStats {
         "ok_words", "ok_word_len", "ok_symbols", "ok_stop", "passes")
   }
 
+  /** Corpus-relative RARITY scoring — the inverse-document-frequency
+    * density of each document: mean over token occurrences of an
+    * integer idf proxy, `idf(t) = (1e6 · n_docs) div df(t)`. Documents
+    * whose tokens barely recur in the corpus (OCR noise, random ids,
+    * boilerplate-stripped fragments, wrong-corpus content) score near
+    * the 1e6·n_docs ceiling; documents of common vocabulary score low —
+    * the corpus-aware complement to [[qualityScore]]'s per-row signals
+    * and the document-level sibling of [[keywords]]' tf·idf.
+    *
+    * Determinism: integer end to end — the idf proxy is an integer
+    * division, per-(doc, token) products are exact in DECIMAL(38,0)
+    * (tf · idf can pass 2⁶³ at 100 TB corpus sizes: 1e4 · 1e15; DuckDB
+    * computes the same values in HUGEINT), and the mean is an integral
+    * `div`, so the oracle hash-matches with no float anywhere.
+    *
+    * Scale shape: tf is one map-side-combinable (doc, token) count; df
+    * aggregates tf's one-row-per-doc×token output and is BROADCAST
+    * (natural-language vocabulary is language-bounded — the keywords
+    * contract; pass `broadcastDf = false` for adversarial vocabularies
+    * and the join shuffles by token instead). n_docs is ONE aggregate
+    * scan collected as a driver scalar. Tokenless documents (NULL or
+    * empty text) surface with zero counts via the final left join —
+    * never silently dropped (the x30 NULL-group lesson). */
+  def rarityScore(docs: DataFrame, broadcastDf: Boolean = true): DataFrame = {
+    val nDocs = docs.count()
+    // 1e6 · n_docs as one driver-side literal: exact in a Long up to
+    // ~9.2e12 documents, far past any real corpus
+    val scaleN = math.multiplyExact(1000000L, nDocs)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0) // the vocabulary/keywords word universe
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfSide = {
+      val d = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      if (broadcastDf) broadcast(d) else d
+    }
+    val perDoc = tf.join(dfSide, "token")
+      .select(col("doc_id"), col("tf"),
+        (col("tf").cast("decimal(20,0)") *
+          expr(s"${scaleN}L div df").cast("decimal(20,0)")).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("contrib")).as("rarity"))
+      .select(col("doc_id"), col("n_tokens"),
+        // decimal div long → exact truncating Long (ANSI-safe)
+        expr("rarity div n_tokens").as("rarity_mean"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("rarity_mean"), lit(0L)).as("rarity_mean"))
+  }
+
   /** Content fingerprinting: md5-derived 32-bit hashes of distinct word
     * 3-gram shingles, keeping hashes ≡ 0 (mod 16) — content-defined
     * selection, ~1/16 of shingles survive. Robust to local edits (only

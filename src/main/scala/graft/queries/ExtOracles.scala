@@ -740,6 +740,51 @@ object ExtOracles {
     // Keywords: integer tf·idf proxy (tf*1e6 DIV df) — order-equivalent
     // to tf/df with no float log, so the per-doc ranking is
     // bit-deterministic; ties break (score desc, token).
+    // Rarity: same integer idf-proxy family as x27, document-level.
+    // tf·idf products in HUGEINT (Spark: DECIMAL(38,0)) — BIGINT can
+    // overflow at production corpus sizes; the mean's integral `//`
+    // brings the output back to BIGINT on both engines. Tokenless
+    // docs (NULL/empty text) surface with zeros via the left join.
+    "x50_rarity" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |         CAST(sum(tf.tf::HUGEINT * ((1000000 * n.n_docs) // df.df))
+        |              // sum(tf.tf) AS BIGINT) AS rarity_mean
+        |  FROM tf JOIN df USING (token) CROSS JOIN n
+        |  GROUP BY tf.doc_id)
+        |SELECT d.doc_id,
+        |       COALESCE(sc.n_tokens, 0) AS n_tokens,
+        |       COALESCE(sc.rarity_mean, 0) AS rarity_mean
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // Column profiling: the oracle unpivots via UNION ALL (a different
+    // construction than Spark's array-explode — cross-proof). Both
+    // profile the CANONICAL string form; NULL survives the cast, lands
+    // in n_nulls, and is excluded from the distinct/length stats.
+    "x51_profile" ->
+      """WITH s AS (
+        |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents)
+        |SELECT col_name,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) - count(v) AS BIGINT) AS n_nulls,
+        |       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        |       COALESCE(CAST(min(length(v)) AS BIGINT), 0) AS min_len,
+        |       COALESCE(CAST(max(length(v)) AS BIGINT), 0) AS max_len
+        |FROM s GROUP BY col_name""".stripMargin,
+
     "x27_keywords" ->
       """WITH tf AS (
         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf

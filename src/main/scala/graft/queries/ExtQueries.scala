@@ -353,6 +353,12 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars").cast("long")).as("total_chars"))
     }),
+    // Corpus-relative rarity: integer idf-proxy mean per doc — a
+    // quality filter for gibberish/OCR noise (rare-token density).
+    "x50_rarity" -> ((s, d) => TextStats.rarityScore(docs(s, d))),
+    // One-pass column profiling: null/distinct/length stats per column
+    // — the per-ingest schema-drift report.
+    "x51_profile" -> ((s, d) => Stats.profileColumns(docs(s, d))),
     "x20_hash_split" -> ((s, d) => Assemble.hashSplit(docs(s, d))),
     "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
       Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),

@@ -131,6 +131,77 @@ object EventsStream {
         .withColumnRenamed(contentCol, "text"))
       .filter(col("quality_score") >= minQuality)
 
+  /** Continuous ingest near-dup — the streaming composition of the
+    * batch index operators, i.e. the loop a production corpus ingest
+    * actually runs: every micro-batch
+    *
+    *   1. finds its WITHIN-batch near-dup pairs
+    *      ([[graft.ext.Dedup.minhashNeardupMaterialized]]);
+    *   2. probes the standing MinHash index for pairs against ALL
+    *      previously-kept history ([[graft.ext.Dedup.neardupAgainstIndex]]
+    *      — only the batch is shingled; history is read back as narrow
+    *      integer rows, batch side broadcast);
+    *   3. appends the pair evidence to `<table>_pairs` and the
+    *      surviving documents (not the dropped b-side of any pair) to
+    *      `<table>_docs`;
+    *   4. appends ONLY the survivors' signatures to the index
+    *      ([[graft.ext.Dedup.appendMinhashIndex]]), so the NEXT batch
+    *      sees this one as history.
+    *
+    * The first batch bootstraps the index (overwrite). State lives in
+    * the index parquet, not the state store — the stream holds nothing
+    * between ticks, so a 100 TB corpus history costs the stream zero
+    * memory; [[graft.ext.BucketCap]] still guards degenerate buckets at
+    * probe time. Keeper semantics are pairwise b-side drop (the
+    * x14/x34 funnel convention); run [[graft.ext.Dedup.dupComponents]]
+    * over the accumulated pair table for transitive clusters at
+    * compaction time. Document ids must be unique across batches (the
+    * [[graft.ext.Dedup.neardupAgainstIndex]] contract). */
+  def neardupIngestQuery(
+      docs: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      checkpoint: String,
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        neardupIngestBatch(batch.toDF(), writer, table, threshold, batchId)
+        ()
+      }
+      .start()
+
+  /** One tick of [[neardupIngestQuery]] — exposed so the identical
+    * logic is directly testable and reusable as a batch compaction
+    * step. */
+  def neardupIngestBatch(
+      batch: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      threshold: Double,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bandsPath = new org.apache.hadoop.fs.Path(writer.path(s"${table}__bands"))
+      val hasIndex = bandsPath
+        .getFileSystem(spark.sessionState.newHadoopConf()).exists(bandsPath)
+      val inner = graft.ext.Dedup.minhashNeardupMaterialized(b, threshold)
+      val pairs =
+        if (hasIndex)
+          inner.union(graft.ext.Dedup.neardupAgainstIndex(b, writer, table, threshold))
+        else inner
+      writer.write(pairs.withColumn("batch_id", lit(batchId)),
+        s"${table}_pairs", append = true)
+      val kept = b.join(pairs.select(col("b_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      writer.write(kept, s"${table}_docs", append = true)
+      if (hasIndex) graft.ext.Dedup.appendMinhashIndex(kept, writer, table)
+      else graft.ext.Dedup.buildMinhashIndex(kept, writer, table)
+    } finally b.unpersist(blocking = false)
+  }
+
   /** Stream → staging: every micro-batch lands through the SAME
     * EntityWriter the batch refresh uses (append mode), with a
     * checkpoint for exactly-once batch ids — the Structured Streaming

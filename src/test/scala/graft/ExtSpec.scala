@@ -16,6 +16,47 @@ class ExtSpec extends SparkSpec {
     rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
       .withColumn("source", lit("t")).withColumn("n_chars", length($"text"))
 
+  test("rarityScore: hand-worked idf-proxy means; tokenless docs survive with zeros") {
+    // n_docs = 4 (scale 4e6). df: a=2 docs, b=1, c=1 →
+    // idf: a = 2_000_000, b = c = 4_000_000.
+    // doc 1 "a a b": n=3, sum = 2·2e6 + 4e6 = 8e6, mean = 8e6 div 3.
+    // doc 2 "a c":   n=2, sum = 2e6 + 4e6 = 6e6, mean = 3e6.
+    val d = docsDf(1L -> "a a b", 2L -> "a c", 3L -> (null: String), 4L -> "")
+    val got = TextStats.rarityScore(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 8000000L / 3)),
+      2L -> ((2L, 3000000L)),
+      3L -> ((0L, 0L)),
+      4L -> ((0L, 0L))), s"got $got")
+    // rare-token documents outrank common-vocabulary ones — the signal
+    val fix = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+      .union(docsDf(900001L -> "qzxv wkjq mxzp vvqk zzzz"))
+    val r = TextStats.rarityScore(fix).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(r(900001L) > r.filterNot(_._1 == 900001L).values.max,
+      "planted gibberish did not out-score the corpus")
+  }
+
+  test("profileColumns: nulls counted, distincts exact, all-NULL column reports zeros") {
+    val d = Seq(
+      (Some(1L), Some("ab"), Option.empty[String]),
+      (Some(2L), Some("ab"), None),
+      (Some(2L), None, None)).toDF("id", "s", "dead")
+    val got = ext.Stats.profileColumns(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      "id" -> ((3L, 0L, 2L, 1L, 1L)),    // values 1,2,2 as strings
+      "s" -> ((3L, 1L, 1L, 2L, 2L)),     // "ab","ab",NULL
+      "dead" -> ((3L, 3L, 0L, 0L, 0L))), // all NULL: zero stats, not NULL
+      s"got $got")
+    // one shuffle: the plan has exactly one exchange below the final agg
+    val plan = ext.Stats.profileColumns(d).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 2, // partial-distinct + final
+      s"profile shuffles more than the two-phase distinct needs:\n$plan")
+  }
+
   test("langId discriminates all 20 marker languages and falls back to und") {
     // one planted doc per language: its own markers + neutral filler.
     // Markers collide across languages ("la" es/fr, "i" pl/sv, "de"

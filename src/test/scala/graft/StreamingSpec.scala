@@ -103,6 +103,46 @@ class StreamingSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_events")).sum == 2)
   }
 
+  test("neardupIngestQuery: batches dedup against a GROWING index across ticks") {
+    implicit val sc = spark.sqlContext
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("ndwh"))
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"q$i").mkString(" ")
+    def nearDupOf(t: String) = t.replace("w20", "CHANGED")
+    val q = EventsStream.neardupIngestQuery(docs, writer, "nd", tmpDir("ndckpt"))
+    try {
+      // batch 0: two unrelated docs — bootstraps the index, no pairs
+      stream.addData((1L, base), (2L, other))
+      q.processAllAvailable()
+      assert(writer.read("nd_docs").count() == 2)
+
+      // batch 1: 11 near-dups HISTORY doc 1; 12 duplicates 11 WITHIN
+      // the batch; 13 is fresh → only 13 survives and joins the index
+      stream.addData((11L, nearDupOf(base)), (12L, nearDupOf(base)),
+        (13L, (1 to 40).map(i => s"z$i").mkString(" ")))
+      q.processAllAvailable()
+      val pairs1 = writer.read("nd_pairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs1.contains((1L, 11L)), s"history pair missing: $pairs1")
+      assert(pairs1.contains((11L, 12L)) || pairs1.contains((1L, 12L)),
+        s"within-batch dup not paired: $pairs1")
+      val kept1 = writer.read("nd_docs").collect().map(_.getLong(0)).toSet
+      assert(kept1 == Set(1L, 2L, 13L), s"kept $kept1")
+
+      // batch 2: 21 near-dups doc 13 — which entered the index LAST
+      // tick, proving the index grew (not just the bootstrap corpus)
+      stream.addData((21L, (1 to 40).map(i => if (i == 5) "X" else s"z$i").mkString(" ")))
+      q.processAllAvailable()
+      val pairs2 = writer.read("nd_pairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs2.contains((13L, 21L)), s"grown-index pair missing: $pairs2")
+      assert(writer.read("nd_docs").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 13L), s"dup 21 must not land in the kept docs")
+    } finally q.stop()
+  }
+
   test("streamToStaging appends every micro-batch through the EntityWriter") {
     implicit val sc = spark.sqlContext
     val writer = new graft.sinks.StagingWriter(spark, tmpDir("whs"))
