@@ -526,6 +526,46 @@ object Similarity {
     } finally v.unpersist(blocking = false)
   }
 
+  /** Grow an existing [[buildEmbedIndex]] artifact with a new batch —
+    * the embedding sibling of [[graft.ext.Dedup.appendMinhashIndex]]
+    * and the per-tick write of the continuous embedding ingest
+    * ([[graft.streaming.EventsStream.embedNeardupIngestQuery]]). The
+    * batch is banded with the geometry READ FROM THE SIDECAR (never
+    * caller-supplied — mixed hyperplane families silently miss
+    * everything), with the same per-row dim guard as the probe, and
+    * the sidecar itself is left untouched. Zero-norm vectors are
+    * excluded by the similarity contract; append the KEPT (post-dedup)
+    * batch only; vec_id spaces must stay disjoint across batches. */
+  def appendEmbedIndex(
+      newEmb: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String): Unit = {
+    val spark = newEmb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.SaveMode
+    val metaDf = writer.read(s"${table}__lshmeta")
+    // the index frames carry the WRITER's session — under foreachBatch
+    // that is the outer session, not the micro-batch clone, and joins
+    // led by an index frame resolve new columns with ITS analyzer
+    graft.functions.GraftFunctions.register(metaDf.sparkSession)
+    val meta = metaDf.head()
+    val (planes, tables, dim) =
+      (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"), meta.getAs[Int]("dim"))
+    val v = newEmb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+      .filter(col("nv") > 0)
+      .withColumn("v", when(size(col("v")) === lit(dim), col("v"))
+        .otherwise(raise_error(concat(
+          lit(s"appendEmbedIndex($table): batch vector dim "),
+          size(col("v")).cast("string"), lit(s" != index dim $dim")))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      signBands(v, planes, tables, dim).write.mode(SaveMode.Append)
+        .parquet(writer.path(s"${table}__embbands"))
+      v.write.mode(SaveMode.Append).parquet(writer.path(s"${table}__vecs"))
+    } finally v.unpersist(blocking = false)
+  }
+
   /** Incremental embedding near-dup: pairs (a_id = indexed corpus
     * vector, b_id = new batch vector) at cosine ≥ `threshold`, computed
     * against a [[buildEmbedIndex]] artifact. Only the NEW batch is
@@ -545,7 +585,10 @@ object Similarity {
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val spark = newEmb.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val meta = writer.read(s"${table}__lshmeta").head()
+    val metaDf = writer.read(s"${table}__lshmeta")
+    // register on the index frames' session too (see appendEmbedIndex)
+    graft.functions.GraftFunctions.register(metaDf.sparkSession)
+    val meta = metaDf.head()
     val (planes, tables, dim) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"), meta.getAs[Int]("dim"))
     val b = newEmb.select(col("vec_id"), asDouble(col("embedding")).as("v"))

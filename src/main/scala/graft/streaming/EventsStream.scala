@@ -202,6 +202,68 @@ object EventsStream {
     } finally b.unpersist(blocking = false)
   }
 
+  /** The EMBEDDING sibling of [[neardupIngestQuery]]: continuous
+    * cosine near-dup ingest against a growing sign-LSH index. Per
+    * micro-batch: within-batch pairs
+    * ([[graft.ext.Similarity.embedNeardup]]), probe of the stored
+    * index with the sidecar geometry
+    * ([[graft.ext.Similarity.embedNeardupAgainstIndex]] — per-row dim
+    * guard, exact-cosine verify), pair evidence to `<table>_pairs`,
+    * survivors to `<table>_docs`, survivors' bands+vectors appended
+    * ([[graft.ext.Similarity.appendEmbedIndex]]). First batch
+    * bootstraps via [[graft.ext.Similarity.buildEmbedIndex]] with the
+    * default geometry. Zero state between ticks; vec_id spaces must be
+    * unique across batches. Expects (vec_id, embedding) columns. */
+  def embedNeardupIngestQuery(
+      emb: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      checkpoint: String,
+      threshold: Double = 0.9): org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        embedNeardupIngestBatch(batch.toDF(), writer, table, threshold, batchId)
+        ()
+      }
+      .start()
+
+  /** One tick of [[embedNeardupIngestQuery]] — directly testable and
+    * reusable as a batch compaction step. */
+  def embedNeardupIngestBatch(
+      batch: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      threshold: Double,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val metaPath = new org.apache.hadoop.fs.Path(writer.path(s"${table}__lshmeta"))
+      val hasIndex = metaPath
+        .getFileSystem(spark.sessionState.newHadoopConf()).exists(metaPath)
+      // embedNeardup returns lazily — pin it before the writes below
+      // (the minhash side's Materialized variant does this internally)
+      val inner = graft.ext.Similarity.embedNeardup(b, threshold)
+        .localCheckpoint(true)
+      val pairs =
+        if (hasIndex)
+          inner.union(
+            graft.ext.Similarity.embedNeardupAgainstIndex(b, writer, table, threshold))
+        else inner
+      writer.write(pairs.withColumn("batch_id", lit(batchId)),
+        s"${table}_pairs", append = true)
+      val kept = b.join(pairs.select(col("b_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      writer.write(kept, s"${table}_docs", append = true)
+      if (hasIndex) graft.ext.Similarity.appendEmbedIndex(kept, writer, table)
+      // an empty first batch cannot bootstrap (buildEmbedIndex needs a
+      // vector to size the geometry) — the next nonempty tick will
+      else if (!kept.isEmpty) graft.ext.Similarity.buildEmbedIndex(kept, writer, table)
+    } finally b.unpersist(blocking = false)
+  }
+
   /** Stream → staging: every micro-batch lands through the SAME
     * EntityWriter the batch refresh uses (append mode), with a
     * checkpoint for exactly-once batch ids — the Structured Streaming

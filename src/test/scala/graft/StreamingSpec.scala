@@ -143,6 +143,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedNeardupIngestQuery: cosine dedup against a growing sign-LSH index") {
+    implicit val sc = spark.sqlContext
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("embwh"))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val emb = stream.toDF().toDF("vec_id", "embedding")
+    val a = (1 to 64).map(i => math.sin(i.toDouble))
+    val c = (1 to 64).map(i => math.cos(i * 3.7))
+    val z = (1 to 64).map(i => math.sin(i * 2.9 + 1))
+    def scaled(v: Seq[Double], f: Double) = v.map(_ * f) // cosine 1.0 with v
+    val q = EventsStream.embedNeardupIngestQuery(emb, writer, "ei", tmpDir("eickpt"),
+      threshold = 0.99)
+    try {
+      // batch 0 bootstraps: two far vectors, no pairs
+      stream.addData((1L, a), (2L, c))
+      q.processAllAvailable()
+      assert(writer.read("ei_docs").count() == 2)
+
+      // batch 1: 11 = scaled copy of history vec 1; 12 = scaled copy
+      // of 11 (within-batch); 13 fresh → only 13 survives
+      stream.addData((11L, scaled(a, 0.75)), (12L, scaled(a, 1.25)), (13L, z))
+      q.processAllAvailable()
+      val kept1 = writer.read("ei_docs").collect().map(_.getLong(0)).toSet
+      assert(kept1 == Set(1L, 2L, 13L), s"kept $kept1")
+      val pairs1 = writer.read("ei_pairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs1.contains((1L, 11L)), s"history pair missing: $pairs1")
+
+      // batch 2: 21 duplicates 13 — indexed only LAST tick: the index grew
+      stream.addData((21L, scaled(z, 0.5)))
+      q.processAllAvailable()
+      assert(writer.read("ei_pairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet.contains((13L, 21L)),
+        "grown-index pair missing")
+      assert(writer.read("ei_docs").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 13L))
+    } finally q.stop()
+  }
+
   test("streamToStaging appends every micro-batch through the EntityWriter") {
     implicit val sc = spark.sqlContext
     val writer = new graft.sinks.StagingWriter(spark, tmpDir("whs"))
