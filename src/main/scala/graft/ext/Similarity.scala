@@ -375,6 +375,38 @@ object Similarity {
       .parquet(writer.path(s"${table}__centroids"))
   }
 
+  /** Grow an existing [[buildIvfIndex]] artifact: assign the new batch
+    * to the STORED centroids and append into the cell partitions — the
+    * IVF leg of the growing-index family ([[appendEmbedIndex]],
+    * [[graft.ext.Dedup.appendMinhashIndex]]). The quantizer is NEVER
+    * retrained by an append: cell ids must stay stable or every stored
+    * assignment and the probe's partition-pruning filter go stale —
+    * re-centering is a compaction-time [[buildIvfIndex]] rebuild.
+    * Assignment uses [[readIvfCentroids]] (the probe's own view of the
+    * sidecar), so appended rows land exactly where the probe will look
+    * for them; the per-row dim guard mirrors [[appendEmbedIndex]]. */
+  def appendIvfIndex(
+      newEmb: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String): Unit = {
+    graft.functions.GraftFunctions.register(newEmb.sparkSession)
+    val cents = readIvfCentroids(writer, table)
+    require(cents.nonEmpty, s"appendIvfIndex($table): no stored centroids")
+    graft.functions.GraftFunctions.register(
+      writer.read(s"${table}__centroids").sparkSession)
+    val dim = cents.head._2.length
+    val assigned = newEmb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("v", asDouble(col("embedding")))
+      .withColumn("v", when(size(col("v")) === lit(dim), col("v"))
+        .otherwise(raise_error(concat(
+          lit(s"appendIvfIndex($table): batch vector dim "),
+          size(col("v")).cast("string"), lit(s" != index dim $dim")))))
+      .withColumn("cell", nearestCell(cents))
+      .drop("v")
+    writer.appendPartitioned(assigned, table, "cell")
+  }
+
   /** Centroid matrix of an ingest-time index — k×dim driver state, the
     * same shape [[kmeansCentroids]] returns. */
   def readIvfCentroids(

@@ -133,6 +133,14 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
       .partitionBy(partCol)
       .parquet(path(table))
 
+  /** Append into an existing partitioned table — new files land inside
+    * the matching partition directories, so planning-time partition
+    * pruning keeps working across appends (the growing-index write). */
+  def appendPartitioned(df: DataFrame, table: String, partCol: String): Unit =
+    df.write.mode(SaveMode.Append)
+      .partitionBy(partCol)
+      .parquet(path(table))
+
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
     // one file per bucket (repartition on the bucket key): the scan can
     // then use the per-file sort order and the join elides its Sort too

@@ -1007,6 +1007,44 @@ class ExtSpec extends SparkSpec {
       == retrained, "explicit-query path diverged")
   }
 
+  test("appendIvfIndex: stable quantizer, appended vectors probe-visible, dim guard") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("ivfapp"))
+    Similarity.buildIvfIndex(emb, writer, "ivf", cells = 10, iters = 2)
+    val centsBefore = Similarity.readIvfCentroids(writer, "ivf")
+      .map { case (c, v) => c -> v.toSeq }
+
+    // append exact copies of three indexed vectors under fresh ids: the
+    // stored quantizer must put each copy in ITS SOURCE's cell
+    val srcIds = Seq(3L, 17L, 42L)
+    val batch = emb.filter($"vec_id".isin(srcIds.map(java.lang.Long.valueOf): _*))
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    Similarity.appendIvfIndex(batch, writer, "ivf")
+    val cellOf = writer.read("ivf").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    srcIds.foreach { id =>
+      assert(cellOf(id + 1000000L) == cellOf(id),
+        s"copy of $id landed in cell ${cellOf(id + 1000000L)} != ${cellOf(id)}")
+    }
+    // the quantizer itself is untouched by an append
+    assert(Similarity.readIvfCentroids(writer, "ivf")
+      .map { case (c, v) => c -> v.toSeq } == centsBefore)
+
+    // the appended vector is probe-visible: querying with the source
+    // vector finds its appended twin (cosine exactly 1) at rank 1
+    val q = emb.filter($"vec_id" === 3L).select($"vec_id", $"embedding")
+    val top = Similarity.ivfTopKIndexedFor(spark, writer, "ivf", q, k = 1, nprobe = 1)
+      .collect()
+    assert(top.length == 1 && top.head.getLong(1) == 1000003L,
+      s"appended twin not found: ${top.toSeq}")
+
+    // dim-mismatch batches fail loudly, per row (the appendEmbedIndex guard)
+    val bad = Seq((5000000L, (1 to 128).map(i => math.sin(i.toDouble).toFloat)))
+      .toDF("vec_id", "embedding")
+    val err = intercept[Exception] { Similarity.appendIvfIndex(bad, writer, "ivf") }
+    assert(err.getMessage.contains("dim"), s"got: ${err.getMessage}")
+  }
+
   test("ivfTopK recall vs exact baseline on the oracle-gate fixture") {
     // sf0.01 — the fixture the correctness gate runs on (sf0.001's
     // gaussian draw happens to measure 0.58 at nprobe=3; this one 0.66)
