@@ -116,8 +116,13 @@ object Bench {
             EntityConfig("REGION")))
         val resp =
           try platform.initialDataLoad(config)
-          finally () // warehouse tmpdir reaped by the OS; catalog db dropped below
-        spark.sql("DROP DATABASE IF EXISTS acc_bench9 CASCADE")
+          finally {
+            // clean up even when the load throws: the catalog database
+            // would otherwise haunt the session (and spark-warehouse)
+            // for the rest of the run, and /tmp is not reliably reaped
+            spark.sql("DROP DATABASE IF EXISTS acc_bench9 CASCADE")
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+          }
         val sec = (System.nanoTime() - t0) / 1e9
         val bad = resp.deploy.failed.map(_._1) ++ resp.report.errors.map(_.entityId)
         val rows = resp.report.tables.map(t => t.tableName -> t.recordsWritten)

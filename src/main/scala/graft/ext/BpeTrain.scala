@@ -29,18 +29,34 @@ import org.apache.spark.sql.functions._
   * `batch` merges whose application order provably cannot matter, so a
   * production merge count (32k) costs ~32k/B Spark job rounds instead
   * of 32k. The batch is the longest prefix of the (count desc, left,
-  * right)-sorted pair list that is pairwise symbol-DISJOINT, cut at
-  * the first conflicting pair, and trimmed to counts STRICTLY above
-  * that conflict's count. Exactly sequential, because:
+  * right)-sorted pair list that is pairwise symbol-DISJOINT and whose
+  * members each create a FRESH symbol string, cut at the first
+  * conflicting pair, and trimmed to counts STRICTLY above that
+  * conflict's count. Exactly sequential, because:
+  *   - a candidate whose concatenation l+r matches ANY recorded
+  *     merge's concatenation (any round, or earlier in this batch) is
+  *     treated as a conflict: every multi-character symbol in the
+  *     corpus is some recorded merge's concatenation, so a kept
+  *     member's created symbol string provably does not yet exist —
+  *     without this, a merge could mint MORE copies of an existing
+  *     symbol via a different split composition ("ab"+"c" and "a"+"bc"
+  *     both make "abc") and silently inflate a pre-existing pair's
+  *     count between the batch's sequential rounds;
   *   - disjoint merges cannot change each other's pair counts (a merge
-  *     only rewrites adjacencies touching its own two symbols);
+  *     only rewrites adjacencies touching its own two symbols, and
+  *     freshness means no OTHER pair's symbols can be minted);
   *   - any pair sharing a symbol with the batch sorts at/after the
   *     first conflict, so its count ≤ the conflict's count (= bound);
-  *   - a merge only CREATES pairs involving its new symbol, each
-  *     occurrence of which was an occurrence of an old pair that
-  *     shares a symbol with the batch — so every created pair's count
-  *     is ≤ bound too, and (by induction over the batch) stays ≤ bound
-  *     through the intermediate sequential states;
+  *   - a merge only CREATES pairs involving its fresh symbol — each
+  *     new pair's occurrences map to old adjacencies touching the
+  *     merged symbols, so created-pair counts are ≤ bound, and (by
+  *     induction over the batch) stay ≤ bound through the
+  *     intermediate sequential states;
+  *   - a SELF-pair (l == r) terminates its batch: merging (ab,ab) over
+  *     an [ab,ab,ab] run creates (abab,ab) with a count bounded by the
+  *     self-pair's OWN count rather than by the conflict bound, so
+  *     nothing may sequentially follow it within the round (found by
+  *     the aliasing-corpora spec, not by inspection — see the test);
   *   - batch members' counts are strictly > bound, so each would have
   *     won its own sequential round against every conflicting, later,
   *     and created pair; equal-count batch members resolve by the same
@@ -119,6 +135,10 @@ object BpeTrain {
       .localCheckpoint(true)
 
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    // every concatenation ever minted: multi-char symbols in the corpus
+    // are a subset of this, so "candidate's l+r not in here" proves the
+    // created symbol is fresh (see the freshness bullet in the doc)
+    val mintedConcats = scala.collection.mutable.Set.empty[String]
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
@@ -143,11 +163,49 @@ object BpeTrain {
         var nKept = 0
         var bound = Option.empty[Long]
         var i = 0
-        while (i < top.length && bound.isEmpty && nKept < want) {
+        // same-round freshness: two candidates can mint one string via
+        // different splits — tracked separately so a TRIMMED candidate
+        // (kept in the scan, dropped below the bound) does not
+        // permanently poison the minted set it never actually joined
+        val scanMinted = scala.collection.mutable.Set.empty[String]
+        // the global argmax is ALWAYS applied — sequential does exactly
+        // that — but if ITS concat re-mints an existing symbol (a prior
+        // concat via a different split, e.g. prior "ab"+"c" then
+        // "a"+"bc"), its merge can inflate other pairs' counts and the
+        // batch must stay singleton
+        var headFresh = true
+        var selfStop = false
+        while (i < top.length && bound.isEmpty && !selfStop && nKept < want) {
           val (l, r, c) = top(i)
-          if (used(l) || used(r)) bound = Some(c)
-          else { kept += ((l, r, c)); nKept += 1; used += l; used += r; i += 1 }
+          if (nKept == 0) {
+            headFresh = !mintedConcats(l + r)
+            kept += ((l, r, c)); nKept += 1
+            used += l; used += r; scanMinted += (l + r)
+            i += 1
+            // a SELF-pair (l == r) creates pairs bounded by its OWN
+            // count, not by the conflict bound — e.g. merging (ab,ab)
+            // over [ab,ab,ab] creates (abab,ab), which can tie a later
+            // member and win the tiebreak. It must be the batch's LAST
+            // member (nothing sequential runs after it this round).
+            // For l != r merges, every created pair maps onto a pair
+            // sharing one of the merged symbols, which is either
+            // conflict-bounded or nonexistent.
+            selfStop = l == r
+          } else if (!headFresh ||
+            used(l) || used(r) || mintedConcats(l + r) || scanMinted(l + r)) {
+            // conflict = non-fresh head, shares a symbol with the
+            // batch, or would re-mint an existing/just-minted string
+            bound = Some(c)
+          } else {
+            kept += ((l, r, c)); nKept += 1
+            used += l; used += r; scanMinted += (l + r)
+            i += 1
+            selfStop = l == r
+          }
         }
+        // a terminating self-pair still needs the bound for the TRIM of
+        // the members kept before it
+        if (selfStop && bound.isEmpty && i < top.length) bound = Some(top(i)._3)
         // no conflict but a row beyond `want` was fetched: ITS count
         // is the bound. No conflict and nothing beyond: the fetch was
         // every pair that exists — no bound needed.
@@ -161,6 +219,7 @@ object BpeTrain {
         })
         safe.foreach { case (l, r, cnt) =>
           merges += ((rank, l, r, cnt)); rank += 1
+          mintedConcats += (l + r) // only APPLIED merges mint symbols
         }
         // one rewrite pass applies the whole batch (disjoint, so the
         // in-word composition order is immaterial — rank order kept

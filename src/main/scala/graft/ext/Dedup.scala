@@ -477,17 +477,27 @@ object Dedup {
       docs: DataFrame,
       writer: graft.sinks.StagingWriter,
       table: String,
-      mode: org.apache.spark.sql.SaveMode): Unit = {
+      mode: org.apache.spark.sql.SaveMode): Unit =
+    minhashIndexSink(docs) { (df, suffix) =>
+      df.write.mode(mode).parquet(writer.path(s"$table$suffix"))
+    }
+
+  /** The three index artifacts of a batch, handed to an arbitrary
+    * `sink(frame, tableSuffix)` — one shared shingle parse feeds all
+    * three writes, whatever the layout (flat overwrite/append for the
+    * batch paths, idempotent batch partitions for the streaming
+    * ingest loop). */
+  private[graft] def minhashIndexSink(
+      docs: DataFrame)(sink: (DataFrame, String) => Unit): Unit = {
     val hs = shingleHashes(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      minhashBandsFrom(hs).write.mode(mode)
-        .parquet(writer.path(s"${table}__bands"))
-      hs.write.mode(mode)
-        .parquet(writer.path(s"${table}__shingles"))
-      hs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        .write.mode(mode)
-        .parquet(writer.path(s"${table}__sizes"))
+      // __bands LAST: it is the probe's existence gate, so a crash
+      // mid-sink can never leave a gate that passes while the probe's
+      // other reads (__shingles/__sizes) are still missing
+      sink(hs, "__shingles")
+      sink(hs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")), "__sizes")
+      sink(minhashBandsFrom(hs), "__bands")
     } finally hs.unpersist(blocking = false)
   }
 

@@ -389,11 +389,12 @@ object Similarity {
       newEmb: DataFrame,
       writer: graft.sinks.StagingWriter,
       table: String): Unit = {
+    // registering on newEmb's session suffices: unlike the sign-LSH
+    // probe, no index-session frame leads a join here — the centroids
+    // enter the plan only as collected typedLit literals
     graft.functions.GraftFunctions.register(newEmb.sparkSession)
     val cents = readIvfCentroids(writer, table)
     require(cents.nonEmpty, s"appendIvfIndex($table): no stored centroids")
-    graft.functions.GraftFunctions.register(
-      writer.read(s"${table}__centroids").sparkSession)
     val dim = cents.head._2.length
     val assigned = newEmb
       .select(col("vec_id"), col("embedding"))
@@ -571,10 +572,56 @@ object Similarity {
   def appendEmbedIndex(
       newEmb: DataFrame,
       writer: graft.sinks.StagingWriter,
-      table: String): Unit = {
+      table: String): Unit =
+    embedIndexSink(newEmb, writer, table) { (df, suffix) =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(writer.path(s"$table$suffix"))
+    }
+
+  /** IDEMPOTENT per-batch form of [[appendEmbedIndex]] for the
+    * streaming ingest loop: artifacts land as `ingest_batch=<batchId>`
+    * partitions (dynamic overwrite — an at-least-once replay replaces
+    * its own partition, never duplicates it), and a missing geometry
+    * sidecar is bootstrapped from this batch (idempotent overwrite; an
+    * empty batch defers the bootstrap). Do not mix with the flat
+    * [[buildEmbedIndex]]/[[appendEmbedIndex]] layout on one table. */
+  def writeEmbedIndexBatch(
+      newEmb: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      batchId: Long,
+      planes: Int = DefaultPlanes,
+      tables: Int = DefaultTables): Unit = {
+    val spark = newEmb.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val metaPath = new org.apache.hadoop.fs.Path(writer.path(s"${table}__lshmeta"))
+    if (!metaPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(metaPath)) {
+      val v0 = newEmb.select(asDouble(col("embedding")).as("v"))
+        .withColumn("nv", norm(col("v"))).filter(col("nv") > 0)
+      firstDim(v0) match {
+        case None => return // nothing indexable yet — next tick bootstraps
+        case Some(dim) =>
+          Seq((planes, tables, dim)).toDF("planes", "tables", "dim")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(writer.path(s"${table}__lshmeta"))
+      }
+    }
+    embedIndexSink(newEmb, writer, table) { (df, suffix) =>
+      writer.writeBatchPartition(df, s"$table$suffix", batchId)
+    }
+  }
+
+  /** The banded rows and normalized vectors of a batch under the
+    * SIDECAR's geometry (per-row dim guard), handed to an arbitrary
+    * `sink(frame, tableSuffix)` — one shared normalize/guard pass
+    * feeds both writes, whatever the layout. */
+  private def embedIndexSink(
+      newEmb: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String)(sink: (DataFrame, String) => Unit): Unit = {
     val spark = newEmb.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    import org.apache.spark.sql.SaveMode
     val metaDf = writer.read(s"${table}__lshmeta")
     // the index frames carry the WRITER's session — under foreachBatch
     // that is the outer session, not the micro-batch clone, and joins
@@ -592,9 +639,11 @@ object Similarity {
           size(col("v")).cast("string"), lit(s" != index dim $dim")))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      signBands(v, planes, tables, dim).write.mode(SaveMode.Append)
-        .parquet(writer.path(s"${table}__embbands"))
-      v.write.mode(SaveMode.Append).parquet(writer.path(s"${table}__vecs"))
+      // __embbands LAST — the streaming probe's existence gate (see
+      // minhashIndexSink): a mid-sink crash must not leave a passing
+      // gate over a missing __vecs
+      sink(v, "__vecs")
+      sink(signBands(v, planes, tables, dim), "__embbands")
     } finally v.unpersist(blocking = false)
   }
 

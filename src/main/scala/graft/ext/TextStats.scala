@@ -96,8 +96,12 @@ object TextStats {
     val markerLang = langMarkers.zipWithIndex.flatMap { case ((_, ms), i) =>
       Seq.fill(ms.size)(i)
     }
+    // NULL text scores as empty (→ 'und'), never as a NULL prediction:
+    // the expression is null-propagating by Spark convention, and the
+    // un-coalesced oracle CASE would skew NULL rows to its ELSE branch
     val best = graft.functions.GraftFunctions.langBest(
-      col("text"), typedLit(langs), typedLit(flatMarkers), typedLit(markerLang))
+      coalesce(col("text"), lit("")),
+      typedLit(langs), typedLit(flatMarkers), typedLit(markerLang))
     docs
       .select(col("lang"), best.as("predicted"))
       .groupBy(col("lang"), col("predicted"))

@@ -141,7 +141,8 @@ object ExtOracles {
     "x7_lang_id" ->
       s"""WITH scored AS (
          |  SELECT lang, $langScore
-         |  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)),
+         |  FROM (SELECT lang, string_split(coalesce(text, ''), ' ') AS toks
+         |        FROM documents)),
          |  best AS (
          |  SELECT lang, $langCase AS predicted
          |  FROM scored)

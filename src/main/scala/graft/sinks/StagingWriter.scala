@@ -141,6 +141,21 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
       .partitionBy(partCol)
       .parquet(path(table))
 
+  /** IDEMPOTENT per-batch write: the frame lands as partition
+    * `ingest_batch=<batchId>` under DYNAMIC partition overwrite, so an
+    * at-least-once replay of the same batch (foreachBatch after a
+    * crash between write and checkpoint commit) REPLACES its own
+    * partition instead of appending a duplicate — the write other
+    * partitions never notice. Readers see `ingest_batch` as an extra
+    * column; a first write creates the table in partitioned layout
+    * (never mix with flat writes to the same path). */
+  def writeBatchPartition(df: DataFrame, table: String, batchId: Long): Unit =
+    df.withColumn("ingest_batch", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(path(table))
+
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
     // one file per bucket (repartition on the bucket key): the scan can
     // then use the per-file sort order and the join elides its Sort too

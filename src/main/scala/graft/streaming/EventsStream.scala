@@ -187,18 +187,27 @@ object EventsStream {
       val hasIndex = bandsPath
         .getFileSystem(spark.sessionState.newHadoopConf()).exists(bandsPath)
       val inner = graft.ext.Dedup.minhashNeardupMaterialized(b, threshold)
+      // foreachBatch is AT-LEAST-ONCE: a crash between these writes and
+      // the checkpoint commit replays the whole tick. Every write is
+      // therefore an ingest_batch-partition overwrite (idempotent), and
+      // the pair set drops self-matches (a replayed doc colliding with
+      // its own already-indexed copy) and double-finds (a within-batch
+      // pair the replayed probe finds AGAIN against the index).
       val pairs =
-        if (hasIndex)
+        (if (hasIndex)
           inner.union(graft.ext.Dedup.neardupAgainstIndex(b, writer, table, threshold))
-        else inner
-      writer.write(pairs.withColumn("batch_id", lit(batchId)),
-        s"${table}_pairs", append = true)
+        else inner)
+          .filter(col("a_id") =!= col("b_id"))
+          .distinct()
+          .localCheckpoint(true)
+      writer.writeBatchPartition(pairs, s"${table}_pairs", batchId)
       val kept = b.join(pairs.select(col("b_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
-      writer.write(kept, s"${table}_docs", append = true)
-      if (hasIndex) graft.ext.Dedup.appendMinhashIndex(kept, writer, table)
-      else graft.ext.Dedup.buildMinhashIndex(kept, writer, table)
+      writer.writeBatchPartition(kept, s"${table}_docs", batchId)
+      graft.ext.Dedup.minhashIndexSink(kept) { (df, suffix) =>
+        writer.writeBatchPartition(df, s"$table$suffix", batchId)
+      }
     } finally b.unpersist(blocking = false)
   }
 
@@ -239,28 +248,34 @@ object EventsStream {
     val spark = batch.sparkSession
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val metaPath = new org.apache.hadoop.fs.Path(writer.path(s"${table}__lshmeta"))
-      val hasIndex = metaPath
-        .getFileSystem(spark.sessionState.newHadoopConf()).exists(metaPath)
+      // gate on __embbands — the LAST artifact the index sink writes —
+      // so a bootstrap that crashed mid-sink (sidecar written, bands
+      // not) reads as "no index yet" instead of crash-looping the probe
+      val bandsPath = new org.apache.hadoop.fs.Path(writer.path(s"${table}__embbands"))
+      val hasIndex = bandsPath
+        .getFileSystem(spark.sessionState.newHadoopConf()).exists(bandsPath)
       // embedNeardup returns lazily — pin it before the writes below
       // (the minhash side's Materialized variant does this internally)
       val inner = graft.ext.Similarity.embedNeardup(b, threshold)
         .localCheckpoint(true)
+      // at-least-once replay discipline: see neardupIngestBatch — every
+      // write is an idempotent batch-partition overwrite, self-matches
+      // and double-finds are dropped from the pair set
       val pairs =
-        if (hasIndex)
+        (if (hasIndex)
           inner.union(
             graft.ext.Similarity.embedNeardupAgainstIndex(b, writer, table, threshold))
-        else inner
-      writer.write(pairs.withColumn("batch_id", lit(batchId)),
-        s"${table}_pairs", append = true)
+        else inner)
+          .filter(col("a_id") =!= col("b_id"))
+          .distinct()
+          .localCheckpoint(true)
+      writer.writeBatchPartition(pairs, s"${table}_pairs", batchId)
       val kept = b.join(pairs.select(col("b_id").as("vec_id")).distinct(),
         Seq("vec_id"), "left_anti")
         .localCheckpoint(true)
-      writer.write(kept, s"${table}_docs", append = true)
-      if (hasIndex) graft.ext.Similarity.appendEmbedIndex(kept, writer, table)
-      // an empty first batch cannot bootstrap (buildEmbedIndex needs a
-      // vector to size the geometry) — the next nonempty tick will
-      else if (!kept.isEmpty) graft.ext.Similarity.buildEmbedIndex(kept, writer, table)
+      writer.writeBatchPartition(kept, s"${table}_docs", batchId)
+      // bootstraps the geometry sidecar on the first nonempty tick
+      graft.ext.Similarity.writeEmbedIndexBatch(kept, writer, table, batchId)
     } finally b.unpersist(blocking = false)
   }
 

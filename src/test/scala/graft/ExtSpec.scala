@@ -64,13 +64,15 @@ class ExtSpec extends SparkSpec {
     // still win the argmax over any partial overlap.
     val planted = TextStats.langMarkers.zipWithIndex.map { case ((lang, ms), i) =>
       (i.toLong, lang, (ms ++ ms ++ Seq("zz1", "zz2")).mkString(" "))
-    } :+ ((999L, "und", "zz1 zz2 zz3"))
+    } :+ ((999L, "und", "zz1 zz2 zz3")) :+ ((998L, "nul", null: String))
     val d = planted.toDF("doc_id", "lang", "text")
       .withColumn("source", lit("t")).withColumn("n_chars", length($"text"))
     val got = TextStats.langId(d).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // NULL text predicts 'und' (coalesced), never a NULL prediction row
     assert(got.toSet == (TextStats.langMarkers.map(_._1).toSet + "und")
-      .map(l => (l, l, 1L)), s"confusion matrix not diagonal: ${got.sorted.toSeq}")
+      .map(l => (l, l, 1L)) + (("nul", "und", 1L)),
+      s"confusion matrix not diagonal: ${got.sorted.toSeq}")
   }
 
   test("exactDedup groups identical texts and keeps the min doc_id") {
@@ -1394,6 +1396,32 @@ class ExtSpec extends SparkSpec {
     // 2 rounds instead of 16: 1 + 2x2 = 5 actions vs 1 + 16x2 = 33
     assert(dBatActs * 4 <= dSeqActs,
       s"disjoint corpus: $dBatActs vs $dSeqActs actions — batch not packing")
+  }
+
+  test("batched BPE ≡ sequential on symbol-aliasing corpora (tiny alphabets)") {
+    // tiny alphabets maximize the hazard the freshness rule exists
+    // for: one string mintable via different splits ("ab"+"c" vs
+    // "a"+"bc"), merges re-minting copies of existing symbols, runs
+    // of one character. Each corpus: full table equality at two
+    // batch sizes against sequential.
+    val corpora = Seq(
+      "aaaa aaa aa aaaaa a",
+      "abab ab abab ababab ba",
+      "aab ab abc abcc aabc abca",
+      "aabb abab bbaa baba abba",
+      "abc ab bc abc a b c abcabc",
+      "xyxy xyx yxy xy yx xyxyx",
+      "aabbcc aabb bbcc aab bcc abc",
+      "cababc abcabc cbacba abccba cab abc")
+    corpora.zipWithIndex.foreach { case (corpus, ci) =>
+      val d = docsDf((ci + 1).toLong -> corpus)
+      val seqT = ext.BpeTrain.trainMerges(d, 12, batch = 1)
+      Seq(3, 8).foreach { bsz =>
+        val batT = ext.BpeTrain.trainMerges(d, 12, batch = bsz)
+        assert(batT == seqT,
+          s"corpus[$ci] '$corpus' batch=$bsz:\n  seq $seqT\n  bat $batT")
+      }
+    }
   }
 
   test("bandJoin: half-open boundaries, broadcast nested loop over the tiny dim") {

@@ -181,6 +181,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest ticks are idempotent under at-least-once replay (both index kinds)") {
+    // foreachBatch replays a batch after a crash between its writes and
+    // the checkpoint commit — re-running the SAME tick must leave
+    // pairs, kept docs, and the index byte-identical in content
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("replaywh"))
+    val b0 = Seq((1L, base), (2L, (1 to 40).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val b1 = Seq((11L, base.replace("w20", "CHANGED")), (13L, "fresh " * 40))
+      .toDF("doc_id", "text")
+    def state(): (Set[Long], Set[(Long, Long)], Long, Long) = (
+      writer.read("nd_docs").collect().map(_.getLong(0)).toSet,
+      writer.read("nd_pairs").collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      writer.read("nd__bands").count(),
+      writer.read("nd__shingles").count())
+    EventsStream.neardupIngestBatch(b0, writer, "nd", 0.8, batchId = 0L)
+    EventsStream.neardupIngestBatch(b1, writer, "nd", 0.8, batchId = 1L)
+    val before = state()
+    assert(before._1 == Set(1L, 2L, 13L) && before._2 == Set((1L, 11L)))
+    // replay BOTH ticks (11 now collides with its own indexed history;
+    // 1's copy self-matches) — state must not change
+    EventsStream.neardupIngestBatch(b0, writer, "nd", 0.8, batchId = 0L)
+    EventsStream.neardupIngestBatch(b1, writer, "nd", 0.8, batchId = 1L)
+    assert(state() == before, s"minhash replay drifted: ${state()} vs $before")
+
+    // embedding loop: same discipline
+    val a = (1 to 64).map(i => math.sin(i.toDouble))
+    val e0 = Seq((1L, a), (2L, (1 to 64).map(i => math.cos(i * 3.7))))
+      .toDF("vec_id", "embedding")
+    val e1 = Seq((11L, a.map(_ * 0.75)), (13L, (1 to 64).map(i => math.sin(i * 2.9 + 1))))
+      .toDF("vec_id", "embedding")
+    def estate(): (Set[Long], Set[(Long, Long)], Long, Long) = (
+      writer.read("ei_docs").collect().map(_.getLong(0)).toSet,
+      writer.read("ei_pairs").collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      writer.read("ei__embbands").count(),
+      writer.read("ei__vecs").count())
+    EventsStream.embedNeardupIngestBatch(e0, writer, "ei", 0.99, batchId = 0L)
+    EventsStream.embedNeardupIngestBatch(e1, writer, "ei", 0.99, batchId = 1L)
+    val ebefore = estate()
+    assert(ebefore._1 == Set(1L, 2L, 13L) && ebefore._2 == Set((1L, 11L)))
+    EventsStream.embedNeardupIngestBatch(e0, writer, "ei", 0.99, batchId = 0L)
+    EventsStream.embedNeardupIngestBatch(e1, writer, "ei", 0.99, batchId = 1L)
+    assert(estate() == ebefore, s"embed replay drifted: ${estate()} vs $ebefore")
+  }
+
   test("streamToStaging appends every micro-batch through the EntityWriter") {
     implicit val sc = spark.sqlContext
     val writer = new graft.sinks.StagingWriter(spark, tmpDir("whs"))
