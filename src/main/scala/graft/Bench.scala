@@ -114,16 +114,21 @@ object Bench {
             EntityConfig("ORDERS", filterFlag = true, filterField = "o_orderdate",
               expand = Seq("ORDERITEMS"), dataStartDate = "1990-01-01 00:00:00"),
             EntityConfig("REGION")))
+        var sec = 0.0
         val resp =
-          try platform.initialDataLoad(config)
-          finally {
+          try {
+            val r = platform.initialDataLoad(config)
+            // stop the clock BEFORE cleanup — the measured lifecycle is
+            // the load, not the teardown of the bench's own scratch
+            sec = (System.nanoTime() - t0) / 1e9
+            r
+          } finally {
             // clean up even when the load throws: the catalog database
             // would otherwise haunt the session (and spark-warehouse)
             // for the rest of the run, and /tmp is not reliably reaped
             spark.sql("DROP DATABASE IF EXISTS acc_bench9 CASCADE")
             org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
           }
-        val sec = (System.nanoTime() - t0) / 1e9
         val bad = resp.deploy.failed.map(_._1) ++ resp.report.errors.map(_.entityId)
         val rows = resp.report.tables.map(t => t.tableName -> t.recordsWritten)
         (sec, rows, if (bad.isEmpty) None else Some(s"initial_load: ${bad.mkString(",")}"))
