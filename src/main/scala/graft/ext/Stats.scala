@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -188,6 +188,68 @@ object Stats {
         countDistinct(col("v")).as("n_distinct"),
         coalesce(min(length(col("v"))).cast("long"), lit(0L)).as("min_len"),
         coalesce(max(length(col("v"))).cast("long"), lit(0L)).as("max_len"))
+  }
+
+  /** Per-source token-distribution DRIFT vs the whole corpus — the
+    * domain-shift monitor a multi-source ingest publishes: the scaled
+    * L1 distance Σ_t |p̂(t|source) − p̂(t)|, reported in ppm (0 = the
+    * corpus distribution, 2,000,000 = disjoint support). A source
+    * whose drift jumps between ingests changed domain, language mix,
+    * or extraction quality; a source far above its peers is the one
+    * to sample first in a curation review.
+    *
+    * Exact integer arithmetic throughout, so the DuckDB oracle
+    * hash-matches: with c_st = token count in source, c_t = corpus
+    * count, n_s = source total, N = corpus total,
+    *
+    *   drift_ppm = 1e6 · Σ_t |c_st·N − c_t·n_s| div (N·n_s)
+    *
+    * where tokens ABSENT from the source contribute c_t·n_s each,
+    * folded in closed form as n_s·(N − Σ_{t in s} c_t) — no outer
+    * join materializes the absent (source, token) pairs. Products
+    * reach N² (~10²⁶ at 100 TB), so per-term math runs in
+    * DECIMAL(38,0) (DuckDB: HUGEINT); the final ppm division returns
+    * to BIGINT. A tokenless source reports 0 drift (guarded — ANSI
+    * division). Scale shape: one map-side-combinable (source, token)
+    * count, token totals BROADCAST (vocabulary-bounded, the keywords
+    * contract), then a per-source aggregate over vocabulary-sized
+    * rows — the corpus is scanned once. */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val st = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_st"))
+      // feeds the token totals, the source totals, AND the scored join
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tok = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+      val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+      // N: one scalar collect of the corpus token total (config-scale)
+      val nRow = srcTot.agg(sum(col("n_s")).as("n")).head()
+      val nTotal = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+      // sources with zero tokens have no distribution to drift — they
+      // simply don't appear (on either engine), so nothing divides by 0
+      st.join(broadcast(tok), "token")
+        .join(broadcast(srcTot.withColumnRenamed("source", "__s")),
+          col("source") <=> col("__s")) // null-safe: a NULL source survives
+        .groupBy(col("source"))
+        .agg(
+          sum(col("c_st")).as("n_tokens"),
+          sum(abs(dec(col("c_st")) * lit(nTotal) - dec(col("c_t")) * dec(col("n_s"))))
+            .as("present_abs"),
+          sum(col("c_t")).as("present_ct"),
+          max(col("n_s")).as("n_s"))
+        .select(col("source"), col("n_tokens"),
+          (dec(lit(1000000L)) *
+            (col("present_abs") +
+              dec(col("n_s")) * (dec(lit(nTotal)) - dec(col("present_ct")))))
+            .as("num"),
+          (dec(lit(nTotal)) * dec(col("n_s"))).as("den"))
+        .select(col("source"), col("n_tokens"),
+          expr("num div den").as("drift_ppm"))
+        .localCheckpoint(true)
+    } finally st.unpersist(blocking = false)
   }
 
   /** Sketch-based distinct-gram cardinality per source PLUS the corpus

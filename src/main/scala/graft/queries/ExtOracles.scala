@@ -786,6 +786,38 @@ object ExtOracles {
         |       COALESCE(CAST(max(length(v)) AS BIGINT), 0) AS max_len
         |FROM s GROUP BY col_name""".stripMargin,
 
+    // Source drift: scaled L1 distance between each source's token
+    // distribution and the corpus, exact in HUGEINT (Spark side:
+    // DECIMAL(38,0)) — absent tokens folded in closed form as
+    // n_s·(N − Σ_present c_t), so no outer join. Sources with zero
+    // tokens appear on NEITHER side (no distribution to drift).
+    "x52_source_drift" ->
+      """WITH st AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS c_st
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY source, token),
+        |tok AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY token),
+        |src AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+        |tot AS (SELECT CAST(coalesce(sum(n_s), 0) AS BIGINT) AS n FROM src),
+        |agg AS (
+        |  SELECT st.source,
+        |         CAST(sum(st.c_st) AS BIGINT) AS n_tokens,
+        |         sum(abs(st.c_st::HUGEINT * tot.n - tok.c_t::HUGEINT * src.n_s))
+        |           AS present_abs,
+        |         sum(tok.c_t::HUGEINT) AS present_ct,
+        |         max(src.n_s) AS n_s, max(tot.n) AS n
+        |  FROM st
+        |  JOIN tok USING (token)
+        |  JOIN src ON st.source IS NOT DISTINCT FROM src.source
+        |  CROSS JOIN tot
+        |  GROUP BY st.source)
+        |SELECT source, n_tokens,
+        |       CAST((1000000::HUGEINT * (present_abs + n_s::HUGEINT * (n - present_ct)))
+        |            // (n::HUGEINT * n_s::HUGEINT) AS BIGINT) AS drift_ppm
+        |FROM agg""".stripMargin,
+
     "x27_keywords" ->
       """WITH tf AS (
         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf

@@ -359,6 +359,9 @@ object ExtQueries {
     // One-pass column profiling: null/distinct/length stats per column
     // — the per-ingest schema-drift report.
     "x51_profile" -> ((s, d) => Stats.profileColumns(docs(s, d))),
+    // Per-source token-distribution drift vs the corpus (scaled L1 in
+    // ppm) — the domain-shift monitor; integer end to end.
+    "x52_source_drift" -> ((s, d) => Stats.sourceDrift(docs(s, d))),
     "x20_hash_split" -> ((s, d) => Assemble.hashSplit(docs(s, d))),
     "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
       Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),

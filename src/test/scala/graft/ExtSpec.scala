@@ -57,6 +57,37 @@ class ExtSpec extends SparkSpec {
       s"profile shuffles more than the two-phase distinct needs:\n$plan")
   }
 
+  test("sourceDrift: hand-worked L1 ppm; one-source corpus drifts zero; disjoint near 2e6") {
+    // corpus: source A = "x x y" (n_A=3), source B = "y z" (n_B=2), N=5
+    // c: x=2 (A only), y=2 (1 each), z=1 (B only)
+    // A: present |2·5−2·3|=4, |1·5−2·3|=1; present_ct=4 → absent 3·(5−4)=3
+    //    num = (4+1+3)·1e6 = 8e6; den = 5·3 → ppm = 533333
+    // B: |1·5−2·2|=1, |1·5−1·2|=3; present_ct=3 → absent 2·(5−3)=4
+    //    num = 8e6; den = 5·2 → ppm = 800000
+    val d = Seq((1L, "x x y", "A"), (2L, "y z", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = ext.Stats.sourceDrift(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("A" -> ((3L, 533333L)), "B" -> ((2L, 800000L))), s"got $got")
+    // one source = the corpus distribution itself: drift exactly 0
+    val solo = ext.Stats.sourceDrift(
+      Seq((1L, "a b b", "S"), (2L, "c a", "S")).toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(solo.toSeq == Seq(("S", 0L)), s"got ${solo.toSeq}")
+    // disjoint-vocabulary source: ppm → 2e6·(1 − n_s/N)
+    val disj = ext.Stats.sourceDrift(Seq(
+      (1L, "p p p p p p p p p", "BIG"), // 9 tokens
+      (2L, "q", "ALIEN")).toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(disj("ALIEN") == 1800000L, s"got $disj") // 2e6·(1−1/10)
+    // a tokenless source has no distribution — absent, not a 0/0 row
+    val sparse = ext.Stats.sourceDrift(Seq(
+      (1L, "m n", "HAS"), (2L, "", "EMPTY"), (3L, null: String, "NULLTEXT"))
+      .toDF("doc_id", "text", "source"))
+      .collect().map(_.getString(0)).toSet
+    assert(sparse == Set("HAS"), s"got $sparse")
+  }
+
   test("langId discriminates all 20 marker languages and falls back to und") {
     // one planted doc per language: its own markers + neutral filler.
     // Markers collide across languages ("la" es/fr, "i" pl/sv, "de"
