@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
   * dtype gate, which cannot be expressed Spark-side. */
 class GateSchemaSpec extends SparkSpec {
 
-  test("no SparkEntry.queries output carries an array/struct/map column") {
+  test("no SparkEntry.queries output carries an array/struct/map/decimal column") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val schema = fn(spark, sf).schema
       schema.fields.collect {
@@ -24,10 +24,17 @@ class GateSchemaSpec extends SparkSpec {
           f.dataType.isInstanceOf[StructType] ||
           f.dataType.isInstanceOf[MapType] =>
           s"$name.${f.name}: ${f.dataType.simpleString}"
+        // DECIMAL is scalar but lands as pandas `object` while DuckDB's
+        // HUGEINT arrives as float64 — guaranteed dtype drift at the
+        // driver's hash. Intermediates may be decimal (x45's moments,
+        // x50/x52's cross-products); OUTPUTS return to BIGINT/DOUBLE
+        // via integral div or an explicit cast.
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString} (decimal output — dtype drift)"
       }
     }
     assert(bad.isEmpty,
-      s"non-scalar gate columns (driver canonicalizer would err):\n  " +
+      s"gate-hazard columns (driver comparator would err/drift):\n  " +
         bad.mkString("\n  "))
   }
 }
