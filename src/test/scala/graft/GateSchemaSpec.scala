@@ -37,4 +37,26 @@ class GateSchemaSpec extends SparkSpec {
       s"gate-hazard columns (driver comparator would err/drift):\n  " +
         bad.mkString("\n  "))
   }
+
+  test("oracle keys match query keys; rows-only set is the declared one") {
+    // an oracle without a query is a typo'd key (the driver would
+    // record a phantom failure); a query without an oracle must be a
+    // CONSCIOUS rows-only declaration, not a forgotten oracle — every
+    // addition below needs its exactness pinned by a spec instead
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty, s"oracle SQL without a query: $orphanOracles")
+    val declaredRowsOnly = Set(
+      "x6_ann_ivf",          // approximate ANN; full-probe ≡ exact pinned
+      "x33_bpe_merges",      // per-round argmax isn't one SQL query; hand-worked spec
+      "x37_bpe_encode",      // same; applyMerge-composition spec
+      "x41_semantic_dedup",  // approximate; cells=1 ≡ brute force pinned
+      "x42_sketch_distinct", // cross-engine sketches differ; 5% bound pinned
+      "x43_sketch_overlap",  // same; exact-mode ≡ x38 pinned
+      "x47_random_project",  // approximate; determinism/geometry pinned
+      "x49_fertility")       // composes the x33 merge table; hand-applied spec
+    val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(actual == declaredRowsOnly,
+      s"rows-only drift: undeclared ${actual -- declaredRowsOnly}, " +
+        s"stale ${declaredRowsOnly -- actual}")
+  }
 }
