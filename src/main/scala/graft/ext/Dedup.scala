@@ -140,6 +140,38 @@ object Dedup {
         (coalesce(col("n_eval_ngrams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Graded contamination: per training doc, the fraction (ppm) of its
+    * DISTINCT word n-grams that appear in the eval corpus, alongside the
+    * raw counts — the report curation teams act on when the binary
+    * [[decontaminate]] flag is too blunt (a 2000-gram doc quoting one
+    * eval sentence is a trim candidate, not a drop candidate; Dolma and
+    * FineWeb both publish this graded form). Integer end to end
+    * (matched/total counts, ppm by integral `div`), so the output is
+    * hash-compare safe; docs too short to have any n-gram report zeros.
+    *
+    * Scale shape: identical to [[decontaminate]] — eval n-gram hashes
+    * broadcast, the corpus streams through narrowly; the only additions
+    * are a per-row `size()` and the same map-side-combinable count. */
+  def contaminationRate(train: DataFrame, evalDocs: DataFrame, n: Int = 13): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val evalHashes = broadcast(
+      evalDocs
+        .select(explode(transform(shingles(col("text"), n), s => xxhash64(s))).as("h"))
+        .distinct())
+    val totals = train.select(col("doc_id"),
+      coalesce(size(shingles(col("text"), n)).cast("long"), lit(0L)).as("n_ngrams"))
+    val hits = shingleHashes(train, n)
+      .join(evalHashes, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        col("n_ngrams"),
+        when(col("n_ngrams") === 0, lit(0L))
+          .otherwise(expr("(1000000 * coalesce(n_matched, CAST(0 AS BIGINT))) div n_ngrams"))
+          .as("rate_ppm"))
+  }
+
   def minhashBands(docs: DataFrame): DataFrame =
     minhashBandsFrom(shingleHashes(docs))
 

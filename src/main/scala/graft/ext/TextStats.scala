@@ -363,6 +363,60 @@ object TextStats {
         coalesce(col("rarity_mean"), lit(0L)).as("rarity_mean"))
   }
 
+  /** Bigram predictability score — the integer-exact stand-in for the
+    * CCNet/Wenzek-et-al perplexity filter: train corpus bigram and
+    * unigram counts in one pass each, then score every document by the
+    * mean conditional probability of its bigram occurrences,
+    * `mean_i (1e6 · c(w_i, w_{i+1})) div c(w_i)` in ppm. Repetitive or
+    * templated text scores high (its transitions dominate the corpus
+    * LM), incoherent or wrong-corpus text scores near zero — the same
+    * ranking signal KenLM perplexity gives CCNet, in exact integer
+    * arithmetic a DuckDB oracle reproduces hash-for-hash (no log, no
+    * float: the monotone per-transition ratio replaces log-prob).
+    *
+    * Determinism: per-occurrence scores are integral divisions of exact
+    * longs (1e6 · c₂ stays under 2⁶³ through corpus bigram counts of
+    * ~9e12); the doc mean is one `div` of their long sum.
+    *
+    * Scale shape: counts are two map-side-combinable groupBys over one
+    * corpus scan each; the (doc, bigram) stream is persisted once and
+    * feeds both the bigram count and the scoring join (the sourceOverlap
+    * contract). Count tables are vocabulary-bounded (unigrams) and
+    * vocabulary²-bounded-in-theory but Zipf-thin in practice (bigrams);
+    * they BROADCAST by default — pass `broadcastCounts = false` for
+    * adversarial vocabularies and both joins shuffle on the gram key
+    * instead. Docs with fewer than two tokens surface with zeros via
+    * the final left join, never dropped. */
+  def lmScore(docs: DataFrame, broadcastCounts: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // every bigram OCCURRENCE (positional, duplicates kept) — consumed
+    // by the count and the scoring join; persisted so the corpus text
+    // is shingled once
+    val docBi = docs
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.wordNgramsAll(col("text"), lit(2))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val biCounts = {
+      val c = docBi.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      if (broadcastCounts) broadcast(c) else c
+    }
+    val uniCounts = {
+      val c = docs.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      if (broadcastCounts) broadcast(c) else c
+    }
+    val perDoc = docBi
+      .join(biCounts, "g")
+      .join(uniCounts, substring_index(col("g"), " ", 1) === col("w"))
+      .select(col("doc_id"), expr("(1000000 * c2) div c1").as("ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("tot"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("tot div n_bigrams"), lit(0L)).as("score_ppm"))
+  }
+
   /** Content fingerprinting: md5-derived 32-bit hashes of distinct word
     * 3-gram shingles, keeping hashes ≡ 0 (mod 16) — content-defined
     * selection, ~1/16 of shingles survive. Robust to local edits (only

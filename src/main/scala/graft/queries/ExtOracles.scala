@@ -555,6 +555,53 @@ object ExtOracles {
         |       coalesce(h.n_eval_ngrams, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
 
+    // Bloom-pre-filtered decontamination ≡ the exact path by
+    // construction (no false negatives + exact confirm join), so its
+    // oracle IS x19's query verbatim: the same 13-gram containment
+    // counts over the same planted eval set.
+    "x53_bloom_decontaminate" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |  tg AS (SELECT doc_id, unnest(list_distinct(
+        |           [array_to_string(s[i:i+12], ' ') FOR i IN range(1, len(s)-11)])) AS g
+        |         FROM tr),
+        |  ev_src AS (SELECT list_slice(string_split(text, ' '), 5, 30) AS s
+        |             FROM documents WHERE doc_id % 50 = 0),
+        |  ev AS (SELECT DISTINCT unnest(
+        |           [array_to_string(s[i:i+12], ' ') FOR i IN range(1, len(s)-11)]) AS g
+        |         FROM ev_src),
+        |  hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_ngrams
+        |           FROM tg JOIN ev USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(h.n_eval_ngrams, 0) AS n_eval_ngrams,
+        |       coalesce(h.n_eval_ngrams, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+
+    // Graded contamination: x19's construction plus the per-doc DISTINCT
+    // n-gram total and the ppm ratio — integral `//` on BIGINTs matches
+    // Spark's `div` (both operands non-negative, floor ≡ truncate).
+    "x54_contamination_rate" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |  grams AS (SELECT doc_id, list_distinct(
+        |           [array_to_string(s[i:i+12], ' ') FOR i IN range(1, len(s)-11)]) AS gs
+        |         FROM tr),
+        |  tg AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        |  tot AS (SELECT doc_id, coalesce(CAST(len(gs) AS BIGINT), 0) AS n_ngrams FROM grams),
+        |  ev_src AS (SELECT list_slice(string_split(text, ' '), 5, 30) AS s
+        |             FROM documents WHERE doc_id % 50 = 0),
+        |  ev AS (SELECT DISTINCT unnest(
+        |           [array_to_string(s[i:i+12], ' ') FOR i IN range(1, len(s)-11)]) AS g
+        |         FROM ev_src),
+        |  hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+        |           FROM tg JOIN ev USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(h.n_matched, 0) AS n_matched,
+        |       t.n_ngrams,
+        |       CASE WHEN t.n_ngrams = 0 THEN 0
+        |            ELSE (1000000 * coalesce(h.n_matched, 0)) // t.n_ngrams
+        |       END AS rate_ppm
+        |FROM documents d JOIN tot t USING (doc_id)
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+
     // Incremental near-dup: cross pairs only (a = indexed corpus side,
     // doc_id % 10 != 0; b = new batch, % 10 == 0), candidates via the
     // complete shared-shingle equi-join (x18's fast oracle shape),
@@ -766,6 +813,31 @@ object ExtOracles {
         |       COALESCE(sc.n_tokens, 0) AS n_tokens,
         |       COALESCE(sc.rarity_mean, 0) AS rarity_mean
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // Bigram predictability: the oracle rebuilds the corpus bigram LM
+    // from the same positional construction (w1 carried directly from
+    // the token array rather than re-split from the gram — cross-proof
+    // of the head-token extraction) and scores with identical integer
+    // math; the HUGEINT sum of per-occurrence ppm casts back via the
+    // integral `//` mean.
+    "x55_lm_score" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |  bo AS (SELECT doc_id, b['w1'] AS w1, b['g'] AS g FROM (
+        |    SELECT doc_id, unnest(
+        |      [{'w1': s[i], 'g': s[i] || ' ' || s[i+1]} FOR i IN range(1, len(s))]) AS b
+        |    FROM tr)),
+        |  c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM bo GROUP BY g),
+        |  c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |         FROM (SELECT unnest(s) AS w FROM tr) GROUP BY w),
+        |  sc AS (SELECT bo.doc_id,
+        |           CAST(count(*) AS BIGINT) AS n_bigrams,
+        |           CAST(sum((1000000 * c2.c2) // c1.c1) AS BIGINT) AS tot
+        |         FROM bo JOIN c2 USING (g) JOIN c1 ON bo.w1 = c1.w
+        |         GROUP BY bo.doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |       coalesce(s.tot // s.n_bigrams, 0) AS score_ppm
+        |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin,
 
     // Column profiling: the oracle unpivots via UNION ALL (a different
     // construction than Spark's array-explode — cross-proof). Both

@@ -175,6 +175,25 @@ object ExtQueries {
         .select(array_join(slice(split(col("text"), " "), 5, 26), " ").as("text"))
       Dedup.decontaminate(dd, ev)
     }),
+    // Bloom-pre-filtered decontamination: the scale path for when the
+    // eval n-gram set outgrows a broadcast. Bit-identical output to x19
+    // by construction (Bloom prefilter has no false negatives; the
+    // exact confirm join removes false positives) — same planted eval
+    // set, same oracle SQL.
+    "x53_bloom_decontaminate" -> ((s, d) => {
+      val dd = docs(s, d)
+      val ev = dd.filter(col("doc_id") % 50 === 0)
+        .select(array_join(slice(split(col("text"), " "), 5, 26), " ").as("text"))
+      graft.ext.Bloom.decontaminateBloom(dd, ev, bits = 1 << 16, k = 5)
+    }),
+    // Graded contamination (matched/total distinct 13-grams + ppm) over
+    // the same planted eval set as x19 — the trim-vs-drop report.
+    "x54_contamination_rate" -> ((s, d) => {
+      val dd = docs(s, d)
+      val ev = dd.filter(col("doc_id") % 50 === 0)
+        .select(array_join(slice(split(col("text"), " "), 5, 26), " ").as("text"))
+      Dedup.contaminationRate(dd, ev)
+    }),
     // Corpus assembly: reproducible content-hash split, language
     // mixture (en 100%, zh 50%, es 25%, de 75%, fr dropped — a mixture
     // spec is a whitelist), and shard-local token-budget packing.
@@ -356,6 +375,9 @@ object ExtQueries {
     // Corpus-relative rarity: integer idf-proxy mean per doc — a
     // quality filter for gibberish/OCR noise (rare-token density).
     "x50_rarity" -> ((s, d) => TextStats.rarityScore(docs(s, d))),
+    // Bigram predictability in ppm — the integer-exact CCNet-style
+    // perplexity filter (corpus bigram LM, mean conditional prob).
+    "x55_lm_score" -> ((s, d) => TextStats.lmScore(docs(s, d))),
     // One-pass column profiling: null/distinct/length stats per column
     // — the per-ingest schema-drift report.
     "x51_profile" -> ((s, d) => Stats.profileColumns(docs(s, d))),

@@ -42,6 +42,37 @@ object EventsStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Event-time sessionization with the native `session_window` — the
+    * streaming sibling of the batch gaps-and-islands pass
+    * (`ext/Sessions.sessionize`, x29): per user, events closer than
+    * `gap` merge into one session whose window end is lastEvent + gap.
+    * Declarative Spark-first form — the state store holds ONE
+    * (user, open-session) row per key, merged by the engine, evicted
+    * once the watermark passes the session end; in append mode a
+    * session row emits exactly when it can no longer grow (watermark >
+    * end), so downstream sees each session once, final. Contrast with
+    * [[sessionize]], the imperative mapGroupsWithState surface kept for
+    * custom state shapes the built-in can't express.
+    *
+    * Scale notes: shuffles on user_id with partial merge; state is
+    * bounded by (active users × open sessions ≤ 1) and the watermark —
+    * a 100 TB/day event stream holds state only for users active within
+    * `delay + gap`. */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(nEvents: Long, lastTs: Long)

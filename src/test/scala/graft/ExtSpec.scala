@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Sessions, Similarity, TextStats}
+import graft.ext.{Bloom, Dedup, Multimodal, Sessions, Similarity, TextStats}
 
 /** Behavior tests for the LLM-pipeline operators (graft.ext.*) on
   * constructed data — the oracle gate checks fixture equivalence; these
@@ -562,6 +562,101 @@ class ExtSpec extends SparkSpec {
     val plan = Dedup.decontaminate(d, ev).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin [h"),
       s"eval n-gram join is not a broadcast hash join:\n$plan")
+  }
+
+  test("bloom bitset has no false negatives and a bounded false-positive rate") {
+    val members = spark.range(2000).select(xxhash64($"id").as("h"))
+    val words = Bloom.buildBitset(members, bits = 1 << 16, k = 5)
+    // no false negatives: EVERY member must pass the probe
+    val missed = members.filter(!Bloom.mightContain(words, $"h", k = 5)).count()
+    assert(missed == 0, s"$missed members failed the bloom probe")
+    // bounded FPR: 20k deterministic non-members (disjoint hash stream)
+    val nonMembers = spark.range(20000)
+      .select(xxhash64($"id", lit(987654321L)).as("h"))
+      .join(members, Seq("h"), "left_anti")
+    val total = nonMembers.count().toDouble
+    val fp = nonMembers.filter(Bloom.mightContain(words, $"h", k = 5)).count()
+    // theory at m=65536, n=2000, k=5: ≈ 0.0006; allow 10× headroom
+    assert(fp / total < 0.006, s"false-positive rate ${fp / total} (fp=$fp/$total)")
+  }
+
+  test("decontaminateBloom is bit-identical to the exact broadcast path") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val ev = d.filter($"doc_id" % 50 === 0)
+      .select(array_join(slice(split($"text", " "), 5, 26), " ").as("text"))
+    val exact = Dedup.decontaminate(d, ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val bloom = Bloom.decontaminateBloom(d, ev, bits = 1 << 16, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(exact.count(_._3) > 0, "fixture plants no contamination — test is vacuous")
+    assert(bloom == exact,
+      s"bloom path diverges: missing ${exact -- bloom}, extra ${bloom -- exact}")
+  }
+
+  test("bloom pre-filter is narrow: the corpus probe stage has zero exchanges") {
+    val d = docsDf((1L to 20L).map(i => i -> (1 to 30).map(j => s"t${i}_$j").mkString(" ")): _*)
+    val ev = Seq((1 to 30).map(j => s"t5_$j").mkString(" ")).toDF("text")
+    graft.functions.GraftFunctions.register(spark)
+    val evalHashes = ev.select(
+      explode(transform(Dedup.shingles($"text", 13), s => xxhash64(s))).as("h"))
+    val words = Bloom.buildBitset(evalHashes, bits = 1 << 16, k = 5)
+    val survivors = Dedup.shingleHashes(d, 13)
+      .filter(Bloom.mightContain(words, $"h", k = 5))
+    val exchanges = survivors.queryExecution.executedPlan.collect {
+      case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
+    }.size
+    assert(exchanges == 0, s"bloom pre-filter shuffles ($exchanges exchanges):\n" +
+      survivors.queryExecution.executedPlan.toString.take(1500))
+  }
+
+  test("lmScore: hand-worked bigram conditional-probability ppm") {
+    // corpus: doc1 "a b a b", doc2 "a b c", doc3 "z"
+    // unigrams: a=3, b=3, c=1, z=1
+    // bigrams:  "a b"=3, "b a"=1, "b c"=1
+    // ppm("a b") = 3e6 div 3 = 1e6; ppm("b a") = 1e6 div 3 = 333333;
+    // ppm("b c") = 1e6 div 3 = 333333
+    val d = docsDf(1L -> "a b a b", 2L -> "a b c", 3L -> "z")
+    val r = TextStats.lmScore(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // doc1: 3 bigrams (1e6 + 333333 + 1e6) div 3 = 777777
+    assert(r(1L) == ((3L, 777777L)), s"doc1 got ${r(1L)}")
+    // doc2: 2 bigrams (1e6 + 333333) div 2 = 666666
+    assert(r(2L) == ((2L, 666666L)), s"doc2 got ${r(2L)}")
+    // doc3: no bigram → zeros, surfaced by the left join
+    assert(r(3L) == ((0L, 0L)), s"doc3 got ${r(3L)}")
+  }
+
+  test("lmScore shuffle-join mode equals broadcast mode") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val bc = TextStats.lmScore(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = TextStats.lmScore(d, broadcastCounts = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bc == sh, s"modes diverge: ${bc.diff(sh).take(3)} vs ${sh.diff(bc).take(3)}")
+  }
+
+  test("contaminationRate: hand-worked ppm; short docs report zeros") {
+    val long = (1 to 40).map(i => s"a$i").mkString(" ")          // 28 distinct 13-grams
+    val overlap12 = ((1 to 12).map(i => s"a$i") ++ Seq("zz") ++
+      (50 to 70).map(i => s"b$i")).mkString(" ")                 // 34 toks → 22 grams, 0 matched
+    val short = "one two three"                                  // < 13 tokens → 0 grams
+    val d = docsDf(1L -> long, 2L -> overlap12, 3L -> short)
+    val ev = Seq("x y " + (1 to 20).map(i => s"a$i").mkString(" ")).toDF("text")
+    val r = Dedup.contaminationRate(d, ev).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // doc 1: grams starting a1..a8 are inside the eval quote → 8 of 28;
+    // ppm = 8e6 div 28 = 285714
+    assert(r(1L) == ((8L, 28L, 285714L)), s"doc1 got ${r(1L)}")
+    assert(r(2L) == ((0L, 22L, 0L)), s"doc2 got ${r(2L)}")
+    assert(r(3L) == ((0L, 0L, 0L)), s"doc3 got ${r(3L)}")
+  }
+
+  test("decontaminateBloom with an empty eval set reports every doc clean") {
+    val d = docsDf(1L -> (1 to 20).map(i => s"a$i").mkString(" "))
+    val ev = Seq.empty[String].toDF("text")
+    val r = Bloom.decontaminateBloom(d, ev, bits = 1 << 10, k = 3).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq ==
+      Seq((1L, 0L, false)))
   }
 
   test("incremental near-dup against a MinHash index equals the one-shot join's cross pairs") {

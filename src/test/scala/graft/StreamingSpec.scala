@@ -94,6 +94,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window: gap-split sessions finalize when the watermark passes") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val sessions = EventsStream.sessionWindows(stream.toDF(), gap = "30 minutes")
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("session_test").start()
+    try {
+      stream.addData(
+        ev(1, "2024-01-01 01:00:00", 1, "view", 1.0),
+        ev(2, "2024-01-01 01:10:00", 1, "click", 2.0), // < gap → same session
+        ev(3, "2024-01-01 03:00:00", 1, "view", 4.0),  // > gap → new session
+        ev(4, "2024-01-01 01:05:00", 2, "view", 8.0))
+      q.processAllAvailable()
+      // nothing final yet: watermark (max ts − 1h = 02:00) has not
+      // passed every session end… the 01:xx sessions (ends 01:40/01:35)
+      // may emit, but the 03:00 one cannot
+      stream.addData(ev(5, "2024-01-01 09:00:00", 3, "view", 0.0))
+      q.processAllAvailable() // watermark → 08:00: all prior sessions final
+      val rows = spark.table("session_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+          r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      val want = Set(
+        ("2024-01-01 01:00:00.0", "2024-01-01 01:40:00.0", 1L, 2L, 3.0),
+        ("2024-01-01 03:00:00.0", "2024-01-01 03:30:00.0", 1L, 1L, 4.0),
+        ("2024-01-01 01:05:00.0", "2024-01-01 01:35:00.0", 2L, 1L, 8.0))
+      assert(rows == want, s"got $rows")
+      // the 09:00 session is still open (watermark has not passed it)
+      assert(!rows.exists(_._3 == 3L), "open session leaked into append output")
+    } finally q.stop()
+  }
+
   test("batch mode runs the same windowed aggregation (backfill path)") {
     val df = Seq(
       ev(1, "2024-01-01 01:00:00", 1, "click", 1.5),
