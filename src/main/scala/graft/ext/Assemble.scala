@@ -148,6 +148,32 @@ object Assemble {
     * heavily-discretized score (few distinct values) degrades stage 3
     * toward per-value sorts — refine the score's granularity before
     * coarsening it. NULL texts are excluded by contract. */
+  /** Per-source document cap — the per-domain cap every crawl-derived
+    * corpus applies (Common-Crawl-style pipelines bound any one domain's
+    * share so boilerplate-heavy hosts can't dominate the mixture): keep
+    * each source's top `maxPerSource` documents by quality, ranked
+    * deterministically (the x8 per-row quality tree — bit-exact across
+    * engines — with doc_id completing the total order), and report the
+    * surviving rank.
+    *
+    * Scale shape: ONE shuffle on source, and the `rank <= N` filter
+    * rewrites to a PARTIAL WindowGroupLimit below the exchange
+    * (SPARK-37099, plan-pinned in the spec) — each scan partition
+    * forwards at most N rows per source, so the exchange moves
+    * O(sources × N × partitions), never the corpus; per-source state
+    * after the exchange is the open top-N, not the source's documents. */
+  def sourceCap(docs: DataFrame, maxPerSource: Int = 100): DataFrame = {
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    TextStats.withQuality(docs)
+      .select(col("source"), col("doc_id"), col("quality_score"))
+      .withColumn("rn", row_number().over(bySource))
+      .filter(col("rn") <= maxPerSource)
+      .select(col("source"), col("doc_id"),
+        col("rn").cast("long").as("source_rank"), col("quality_score"))
+  }
+
   def budgetSelect(docs: DataFrame, budget: Long): DataFrame = {
     require(budget >= 0, s"token budget $budget must be non-negative")
     // both the value histogram and the final join consume this frame —

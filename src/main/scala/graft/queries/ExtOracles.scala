@@ -703,6 +703,87 @@ object ExtOracles {
          |       quality_score AS keeper_quality
          |FROM ranked WHERE rn = 1""".stripMargin,
 
+    // Classifier distillation: gopher-teacher labels on the even half
+    // of the x40 planted corpus, integer NB likelihood ratios with
+    // add-one smoothing scoring every doc. Cross products ride in
+    // HUGEINT (Spark: DECIMAL(38,0)); every output returns to BIGINT
+    // through the integral `//`.
+    "x57_nb_quality" ->
+      """WITH p0 AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 17 = 0 THEN replace(text, ' ', '')
+        |                  WHEN doc_id % 13 = 0 THEN text || ' !!! ### $$$'
+        |                  ELSE text END AS text
+        |           FROM documents),
+        |  p AS (SELECT doc_id, COALESCE(text, '') AS text FROM p0),
+        |  m AS (SELECT doc_id,
+        |          len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_words,
+        |          length(replace(text, ' ', '')) AS n_alpha,
+        |          length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_sym,
+        |          len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+        |        FROM p WHERE doc_id % 2 = 0),
+        |  lab AS (SELECT doc_id,
+        |          ((n_words >= 50 AND n_words <= 100000)
+        |           AND ((CASE WHEN n_words = 0 THEN 0.0
+        |                 ELSE CAST(n_alpha AS DOUBLE) / n_words END) >= 3.0
+        |            AND (CASE WHEN n_words = 0 THEN 0.0
+        |                 ELSE CAST(n_alpha AS DOUBLE) / n_words END) <= 10.0)
+        |           AND (CASE WHEN n_words = 0 THEN 0.0
+        |                ELSE CAST(n_sym AS DOUBLE) / n_words END) <= 0.1
+        |           AND n_stop >= 2) AS passes
+        |        FROM m),
+        |  tok AS (SELECT doc_id, w FROM (
+        |            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM p)
+        |          WHERE length(w) > 0),
+        |  cnt AS (SELECT w,
+        |            CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS c_g,
+        |            CAST(sum(CASE WHEN passes THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |          FROM tok t JOIN lab l USING (doc_id) GROUP BY w),
+        |  tots AS (SELECT CAST(sum(c_g) AS BIGINT) AS n_g,
+        |                  CAST(sum(c_b) AS BIGINT) AS n_b,
+        |                  CAST(count(*) AS BIGINT) AS v
+        |           FROM cnt),
+        |  model AS (SELECT w,
+        |              (1000000::HUGEINT * (tots.n_b + tots.v) * (c_g + 1)) //
+        |              ((tots.n_g + tots.v)::HUGEINT * (c_b + 1)) AS r_ppm
+        |            FROM cnt CROSS JOIN tots),
+        |  r0 AS (SELECT (1000000::HUGEINT * (n_b + v)) // (n_g + v) AS r FROM tots),
+        |  sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |           sum(COALESCE(mo.r_ppm, r0.r)) AS tot
+        |         FROM tok t LEFT JOIN model mo USING (w) CROSS JOIN r0
+        |         GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |       COALESCE(s.n_tokens, 0) AS n_tokens,
+        |       CAST(COALESCE(s.tot // s.n_tokens, 0) AS BIGINT) AS nb_ppm
+        |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin,
+
+    // Per-source quality cap: the x46 quality tree (identical per-row
+    // double construction on both engines) under a per-source ranked
+    // window, cut at rank 15. row_number is BIGINT in DuckDB — the
+    // Spark side casts its int rank to long to match.
+    "x56_source_cap" ->
+      """WITH m AS (SELECT doc_id, source,
+        |          len(string_split(text, ' ')) AS n_tokens,
+        |          len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop,
+        |          length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+        |          length(text) AS n_chars
+        |        FROM documents),
+        |  q AS (SELECT doc_id, source,
+        |          (CASE WHEN n_tokens < 5 THEN 0.0
+        |                ELSE 1.0 - (CASE WHEN n_chars = 0 THEN 0e0
+        |                            ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 2.0
+        |                     + least((CAST(n_stop AS DOUBLE) / n_tokens) * 1.5, 0.3)
+        |           END) AS quality_score
+        |        FROM m),
+        |  ranked AS (
+        |    SELECT source, doc_id, quality_score,
+        |           row_number() OVER (PARTITION BY source
+        |                              ORDER BY quality_score DESC, doc_id) AS rn
+        |    FROM q)
+        |SELECT source, doc_id, rn AS source_rank, quality_score
+        |FROM ranked WHERE rn <= 15""".stripMargin,
+
     // Normalization over planted damage (upper-case every 10th doc,
     // doubled spaces elsewhere) — lower/trim/' +' collapse carry
     // identical semantics in both engines; DuckDB regexp_replace needs

@@ -257,6 +257,18 @@ object ExtQueries {
           .otherwise(col("text")).as("text"))
       TextStats.gopherRules(planted)
     }),
+    // Classifier distillation over the x40 planted corpus: the gopher
+    // teacher labels the even half, the integer NB model scores ALL
+    // docs (held-out odd half included) — the FineWeb-edu loop.
+    "x57_nb_quality" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, regexp_replace(col("text"), " ", ""))
+          .when(col("doc_id") % 13 === 0, concat(col("text"), lit(" !!! ### $$$")))
+          .otherwise(col("text")).as("text"))
+      val labels = TextStats.gopherRules(planted.filter(col("doc_id") % 2 === 0))
+        .select(col("doc_id"), col("passes"))
+      TextStats.nbScore(planted, labels)
+    }),
     "x27_keywords" -> ((s, d) => TextStats.keywords(docs(s, d))),
     "x28_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
     // SemDeDup semantic pruning over the planted corpus (cos≈0.97
@@ -385,6 +397,9 @@ object ExtQueries {
     // ppm) — the domain-shift monitor; integer end to end.
     "x52_source_drift" -> ((s, d) => Stats.sourceDrift(docs(s, d))),
     "x20_hash_split" -> ((s, d) => Assemble.hashSplit(docs(s, d))),
+    // Per-source cap at the 15 best-quality docs (non-vacuous: the
+    // fixture carries ~25 docs per source) — the per-domain crawl cap.
+    "x56_source_cap" -> ((s, d) => Assemble.sourceCap(docs(s, d), maxPerSource = 15)),
     "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
       Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),
     "x22_pack" -> ((s, d) => Assemble.packBudget(docs(s, d))))

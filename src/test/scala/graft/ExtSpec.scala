@@ -609,6 +609,69 @@ class ExtSpec extends SparkSpec {
       survivors.queryExecution.executedPlan.toString.take(1500))
   }
 
+  test("sourceCap keeps exactly the top-N per source (brute-force check) " +
+    "and plans a partial rank-limit pushdown") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ext.Assemble.sourceCap(d, maxPerSource = 3)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = TextStats.withQuality(d)
+      .select($"source", $"doc_id", $"quality_score").collect()
+      .groupBy(_.getString(0))
+      .flatMap { case (s, rows) =>
+        rows.toSeq.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(3)
+          .zipWithIndex.map { case (r, i) => (s, r.getLong(1), (i + 1).toLong) }
+      }.toSet
+    assert(got == expect,
+      s"cap diverges from brute force: missing ${expect -- got}, extra ${got -- expect}")
+    assert(got.size < d.count(), "cap cut nothing — fixture too small for the test")
+    // the rank<=N filter must rewrite to a PARTIAL WindowGroupLimit
+    // below the exchange (each scan partition forwards ≤ N rows/source)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank-limit pushdown missing:\n${plan.take(1500)}")
+  }
+
+  test("nbScore: hand-worked likelihood ratios, unseen-token prior, zero-token docs") {
+    // labeled: d1 "x x y" good, d2 "z z" bad → c: x=(2,0) y=(1,0) z=(0,2)
+    // N_g=3, N_b=2, V=3 → scaleNum=1e6·5=5e6, denomBase=6
+    // r(x)=(5e6·3) div 6 = 2_500_000; r(y)=(5e6·2) div 6 = 1_666_666
+    // r(z)=(5e6·1) div (6·3) = 277_777; unseen r0 = 5e6 div 6 = 833_333
+    val d = docsDf(1L -> "x x y", 2L -> "z z", 3L -> "x q")
+    val labels = Seq((1L, true), (2L, false)).toDF("doc_id", "passes")
+    val r = TextStats.nbScore(d, labels).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // d1: (2.5e6 + 2.5e6 + 1_666_666) div 3 = 2_222_222
+    assert(r(1L) == ((3L, 2222222L)), s"d1 got ${r(1L)}")
+    // d2: (277_777 · 2) div 2 = 277_777
+    assert(r(2L) == ((2L, 277777L)), s"d2 got ${r(2L)}")
+    // d3: (2_500_000 + 833_333) div 2 = 1_666_666 (q is unseen → prior)
+    assert(r(3L) == ((2L, 1666666L)), s"d3 got ${r(3L)}")
+  }
+
+  test("nbScore separates planted damage on held-out docs; empty labels fail loudly") {
+    val planted = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id",
+      when($"doc_id" % 17 === 0, regexp_replace($"text", " ", ""))
+        .when($"doc_id" % 13 === 0, concat($"text", lit(" !!! ### $$$")))
+        .otherwise($"text").as("text"))
+    val labels = TextStats.gopherRules(planted.filter($"doc_id" % 2 === 0))
+      .select($"doc_id", $"passes")
+    val scored = TextStats.nbScore(planted, labels)
+      // held-out half only, scored against the teacher's own verdict
+      .filter($"doc_id" % 2 =!= 0)
+      .join(TextStats.gopherRules(planted).select($"doc_id", $"passes"), "doc_id")
+      .groupBy($"passes").agg(avg($"nb_ppm").as("mean_ppm"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(scored.contains(true) && scored.contains(false),
+      s"held-out half lacks a class — test is vacuous: $scored")
+    assert(scored(true) > scored(false),
+      s"distilled score does not separate the teacher's classes: $scored")
+    val err = intercept[IllegalArgumentException] {
+      TextStats.nbScore(planted, labels.filter(lit(false)))
+    }
+    assert(err.getMessage.contains("no model to train"))
+  }
+
   test("lmScore: hand-worked bigram conditional-probability ppm") {
     // corpus: doc1 "a b a b", doc2 "a b c", doc3 "z"
     // unigrams: a=3, b=3, c=1, z=1

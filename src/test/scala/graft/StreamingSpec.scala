@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import graft.ext.Sessions
 import graft.streaming.EventsStream
 import graft.streaming.EventsStream.Event
 
@@ -123,6 +124,43 @@ class StreamingSpec extends SparkSpec {
       // the 09:00 session is still open (watermark has not passed it)
       assert(!rows.exists(_._3 == 3L), "open session leaked into append output")
     } finally q.stop()
+  }
+
+  test("session_window in batch mode equals the x29 gaps-and-islands sessions") {
+    // the declarative session_window and the imperative lag/sum window
+    // must agree on (user, session start, event count) — boundary
+    // semantics differ only at diff == gap exactly (session_window
+    // splits, the strict > keeps), so first prove the fixture has no
+    // exact-boundary gap, then compare the full session sets
+    val events = new graft.sources.ParquetSimSource(spark, sf)
+      .fetch(graft.sources.FetchRequest("EVENTS"))
+    val gapUs = 30L * 60L * 1000000L
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    val exactBoundary = events.filter($"ts".isNotNull)
+      .select($"user_id", $"event_id", unix_micros($"ts".cast("timestamp")).as("us"))
+      .withColumn("prev_us", lag($"us", 1).over(byUser))
+      .filter($"us" - $"prev_us" === gapUs).count()
+    assert(exactBoundary == 0,
+      "fixture has an exact-gap boundary — the two session definitions diverge here")
+    // compare (user, duration_us, n_events) MULTISETS: session_window's
+    // end is lastEvent + gap, so duration = (end − gap) − start
+    val declarative = EventsStream.sessionWindows(
+      events.filter($"ts".isNotNull).withColumn("ts", $"ts".cast("timestamp")),
+      gap = "30 minutes")
+      // duration in MICROS inside the query — java.sql.Timestamp.getTime
+      // is ms-truncated and would shave the sub-ms digits off the bound
+      .select($"user_id",
+        (unix_micros($"session_end") - unix_micros($"session_start") - gapUs).as("dur"),
+        $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val imperative = Sessions.sessionize(events, gapMinutes = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(2))).toSeq.sorted
+    assert(declarative.nonEmpty, "no sessions — test is vacuous")
+    assert(declarative == imperative,
+      s"batch session_window diverges from gaps-and-islands: " +
+        s"${declarative.size} vs ${imperative.size} sessions; " +
+        s"first diff ${declarative.zip(imperative).find(p => p._1 != p._2)}")
   }
 
   test("batch mode runs the same windowed aggregation (backfill path)") {
