@@ -533,6 +533,27 @@ object Dedup {
     } finally hs.unpersist(blocking = false)
   }
 
+  /** Compact a streaming-grown MinHash index
+    * ([[graft.streaming.EventsStream.neardupIngestQuery]] appends one
+    * `ingest_batch=N` partition per tick to each artifact): fold every
+    * artifact's history into one partition with `files` output files.
+    * A month of 1-minute ticks is ~43k directories × tasks files PER
+    * artifact — the probe's file listing, not its join, becomes the
+    * bottleneck; compaction is the standing maintenance job of any
+    * growing index (the X59 IVF note's "compaction-time rebuild" is the
+    * quantizer analog). Probe results are BYTE-IDENTICAL before/after
+    * (spec-pinned): compaction moves rows between files, never changes
+    * them. `__bands` compacts LAST, mirroring the build-order gate
+    * contract (a crash mid-compaction leaves every gate-passing state
+    * with all three artifacts readable — the swap never exposes a
+    * missing table). */
+  def compactMinhashIndex(
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      files: Int = 1): Map[String, Long] =
+    Seq("__shingles", "__sizes", "__bands")
+      .map(s => s -> writer.compactBatchPartitions(s"$table$s", files)).toMap
+
   /** Incremental near-dup: pairs (a_id = indexed corpus doc, b_id = new
     * batch doc) at Jaccard ≥ `threshold`, computed against a
     * [[buildMinhashIndex]] artifact. Only the NEW batch is shingled and

@@ -578,6 +578,22 @@ object Similarity {
         .parquet(writer.path(s"$table$suffix"))
     }
 
+  /** Compact a streaming-grown sign-LSH embedding index — the
+    * [[graft.ext.Dedup.compactMinhashIndex]] sibling: fold the
+    * per-tick `ingest_batch=N` partitions of `__embbands` and `__vecs`
+    * into one partition with `files` output files (crash-safe swap,
+    * probe results byte-identical — spec-pinned). The `__lshmeta`
+    * geometry sidecar is one row and is deliberately NOT touched:
+    * compaction must never rewrite the hyperplane family, only the
+    * file layout (`__embbands` last — it is the probe's existence
+    * gate). */
+  def compactEmbedIndex(
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      files: Int = 1): Map[String, Long] =
+    Seq("__vecs", "__embbands")
+      .map(s => s -> writer.compactBatchPartitions(s"$table$s", files)).toMap
+
   /** IDEMPOTENT per-batch form of [[appendEmbedIndex]] for the
     * streaming ingest loop: artifacts land as `ingest_batch=<batchId>`
     * partitions (dynamic overwrite — an at-least-once replay replaces

@@ -102,12 +102,14 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
     * rename. A crash between the two renames leaves the full table at
     * the backup path (recoverable by one rename), never a half-written
     * or missing table. Row count observed on the write job itself. */
-  private def writeAndSwap(df: DataFrame, table: String): Long = {
+  private def writeAndSwap(
+      df: DataFrame, table: String, partCol: Option[String] = None): Long = {
     val obs = Observation()
     val tmp = new Path(path(table) + "__swap_tmp")
     val bak = new Path(path(table) + "__swap_bak")
-    df.observe(obs, count(lit(1)).as("rows"))
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val w = df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite)
+    partCol.fold(w)(c => w.partitionBy(c)).parquet(tmp.toString)
     val kept = obs.get("rows").asInstanceOf[Long]
     val dst = new Path(path(table))
     fs.delete(bak, true)
@@ -155,6 +157,30 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch")
       .parquet(path(table))
+
+  /** Compact a batch-partitioned table (the growing-index / streaming-
+    * ingest small-files problem: every micro-batch leaves its own
+    * `ingest_batch=N` directory with per-task files, and a month of
+    * ticks turns the probe's scan into a file-listing stall): fold ALL
+    * partitions into `ingest_batch=0` with `files` output files, under
+    * the same crash-safe swap as [[compact]]. The partitioned LAYOUT is
+    * preserved — readers and the appending writers rely on directory-
+    * partition discovery, and a flat rewrite would poison the path for
+    * the next [[writeBatchPartition]] (mixed flat + partitioned files
+    * fail discovery). History lands in `ingest_batch=-1`: foreachBatch
+    * ids are never negative, so no future tick's dynamic overwrite can
+    * ever REPLACE compacted history by reusing its partition (batch ids
+    * restart at 0 after a checkpoint reset — 0 would collide). Returns
+    * the row count (unchanged by compaction — the caller's spec
+    * asserts it cheaply). */
+  def compactBatchPartitions(table: String, files: Int = 1): Long = {
+    require(files > 0, s"files must be positive, got $files")
+    val df = read(table)
+      .drop("ingest_batch")
+      .repartition(files)
+      .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(-1L))
+    writeAndSwap(df, table, partCol = Some("ingest_batch"))
+  }
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
     // one file per bucket (repartition on the bucket key): the scan can

@@ -212,6 +212,81 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactMinhashIndex: probes identical, partitions folded, later ticks unaffected") {
+    implicit val sc = spark.sqlContext
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("cmpwh"))
+    def mk(p: String) = (1 to 40).map(i => s"$p$i").mkString(" ")
+    val stream = MemoryStream[(Long, String)]
+    val q = EventsStream.neardupIngestQuery(
+      stream.toDF().toDF("doc_id", "text"), writer, "nd", tmpDir("cmpck"))
+    try { // three ticks → three ingest_batch partitions per artifact
+      stream.addData((1L, mk("w")), (2L, mk("q"))); q.processAllAvailable()
+      stream.addData((3L, mk("z"))); q.processAllAvailable()
+      stream.addData((4L, mk("y"))); q.processAllAvailable()
+    } finally q.stop()
+    val probe = Seq((100L, mk("z").replace("z7", "X"))).toDF("doc_id", "text")
+    def probeSet() = graft.ext.Dedup.neardupAgainstIndex(probe, writer, "nd")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = probeSet()
+    assert(before.exists(p => p._1 == 3L && p._2 == 100L),
+      s"probe found nothing pre-compaction: $before")
+    graft.ext.Dedup.compactMinhashIndex(writer, "nd", files = 1)
+    assert(probeSet() == before, "compaction changed probe results")
+    // layout: every tick partition folded into ingest_batch=-1, 1 file
+    val bandsDir = new java.io.File(writer.path("nd__bands"))
+    val parts = bandsDir.listFiles()
+      .filter(_.getName.startsWith("ingest_batch=")).map(_.getName).toSet
+    assert(parts == Set("ingest_batch=-1"), s"got $parts")
+    val nFiles = new java.io.File(bandsDir, "ingest_batch=-1")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles == 1, s"$nFiles files after compaction")
+    // a later tick (fresh checkpoint → batch ids restart at 0, which
+    // must NOT collide with compacted history) appends next to the
+    // folded partition; both old and new history stay probe-visible
+    val stream2 = MemoryStream[(Long, String)]
+    val q2 = EventsStream.neardupIngestQuery(
+      stream2.toDF().toDF("doc_id", "text"), writer, "nd", tmpDir("cmpck2"))
+    try {
+      stream2.addData((5L, mk("v"))); q2.processAllAvailable()
+    } finally q2.stop()
+    val probeV = Seq((101L, mk("v").replace("v7", "X"))).toDF("doc_id", "text")
+    val afterTick = graft.ext.Dedup.neardupAgainstIndex(probeV, writer, "nd")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterTick.contains((5L, 101L)), s"post-compaction tick invisible: $afterTick")
+    assert(probeSet() == before, "old history lost after the post-compaction tick")
+  }
+
+  test("compactEmbedIndex: probes identical, geometry sidecar untouched") {
+    implicit val sc = spark.sqlContext
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("cmpemb"))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val a = (1 to 64).map(i => math.sin(i.toDouble))
+    val c = (1 to 64).map(i => math.cos(i * 3.7))
+    val z = (1 to 64).map(i => math.sin(i * 2.9 + 1))
+    val q = EventsStream.embedNeardupIngestQuery(
+      stream.toDF().toDF("vec_id", "embedding"), writer, "ei", tmpDir("cmpembck"),
+      threshold = 0.99)
+    try { // two ticks → two partitions per artifact
+      stream.addData((1L, a), (2L, c)); q.processAllAvailable()
+      stream.addData((3L, z)); q.processAllAvailable()
+    } finally q.stop()
+    val probe = Seq((100L, z.map(_ * 0.5))).toDF("vec_id", "embedding")
+    def probeSet() = graft.ext.Similarity
+      .embedNeardupAgainstIndex(probe, writer, "ei", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probeSet()
+    assert(before.exists(p => p._1 == 3L && p._2 == 100L),
+      s"probe found nothing pre-compaction: $before")
+    val metaBefore = writer.read("ei__lshmeta").collect().toSeq
+    graft.ext.Similarity.compactEmbedIndex(writer, "ei", files = 1)
+    assert(probeSet() == before, "compaction changed embed probe results")
+    assert(writer.read("ei__lshmeta").collect().toSeq == metaBefore,
+      "compaction touched the geometry sidecar")
+    val parts = new java.io.File(writer.path("ei__vecs")).listFiles()
+      .filter(_.getName.startsWith("ingest_batch=")).map(_.getName).toSet
+    assert(parts == Set("ingest_batch=-1"), s"got $parts")
+  }
+
   test("embedNeardupIngestQuery: cosine dedup against a growing sign-LSH index") {
     implicit val sc = spark.sqlContext
     val writer = new graft.sinks.StagingWriter(spark, tmpDir("embwh"))
