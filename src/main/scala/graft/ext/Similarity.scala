@@ -408,6 +408,47 @@ object Similarity {
     writer.appendPartitioned(assigned, table, "cell")
   }
 
+  /** Compaction-time RE-CENTERING of an IVF index — the rebuild the
+    * [[appendIvfIndex]] contract defers to: after enough appends the
+    * stored centroids no longer describe the data (drifted corpus, or
+    * a cell count sized for last year's volume), so retrain the
+    * quantizer on EVERYTHING stored and rewrite the cell layout,
+    * optionally at a new cell count. New artifacts are fully staged
+    * under `<table>__rebuild*` and then swapped in ([[graft.sinks.StagingWriter.swapIn]],
+    * backup-protocol renames), so a crash before the first swap
+    * changes nothing.
+    *
+    * NOT probe-concurrent: the cells and the centroid sidecar are two
+    * directories and cannot swap as one — a probe interleaved between
+    * the swaps (or a crash between them: cells new, centroids old)
+    * prunes partitions under the WRONG quantizer and silently loses
+    * recall. Run in the index's maintenance window, the standard IVF
+    * retrain contract; rerunning the rebuild repairs a half-swapped
+    * state. Cells swap FIRST so the common crash point (between
+    * stage and any swap) is harmless. */
+  def rebuildIvfIndex(
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      cells: Int = 10,
+      iters: Int = 2): Unit = {
+    val stored = writer.read(table).select(col("vec_id"), col("embedding"))
+    val spark = stored.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val cents = kmeansCentroids(stored, cells, iters)
+    val assigned = stored
+      .withColumn("v", asDouble(col("embedding")))
+      .withColumn("cell", nearestCell(cents))
+      .drop("v")
+    writer.writePartitioned(assigned, s"${table}__rebuild", "cell")
+    cents.map { case (cell, c) => (cell, c.toSeq) }
+      .toDF("cell", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(writer.path(s"${table}__rebuild_cents"))
+    writer.swapIn(s"${table}__rebuild", table)
+    writer.swapIn(s"${table}__rebuild_cents", s"${table}__centroids")
+  }
+
   /** Centroid matrix of an ingest-time index — k×dim driver state, the
     * same shape [[kmeansCentroids]] returns. */
   def readIvfCentroids(

@@ -158,6 +158,29 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
       .partitionBy("ingest_batch")
       .parquet(path(table))
 
+  /** Replace `table` with the already-written `tmpTable` under the
+    * [[compact]] backup protocol (rename live→backup, tmp→live, drop
+    * backup) — the swap half of a MULTI-ARTIFACT rebuild, where the
+    * caller stages every new artifact first and then swaps them in.
+    * Single-table swaps are atomic-with-recovery as in [[compact]];
+    * atomicity ACROSS artifacts is the caller's contract to document
+    * (two renames cannot be one). */
+  def swapIn(tmpTable: String, table: String): Unit = {
+    val tmp = new Path(path(tmpTable))
+    require(fs.exists(tmp), s"swapIn: staged table $tmpTable does not exist")
+    val dst = new Path(path(table))
+    val bak = new Path(path(table) + "__swap_bak")
+    fs.delete(bak, true)
+    val hadDst = fs.exists(dst)
+    if (hadDst && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"swapIn: cannot move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      if (hadDst) fs.rename(bak, dst)
+      throw new java.io.IOException(s"swapIn: cannot activate $tmp")
+    }
+    fs.delete(bak, true)
+  }
+
   /** Compact a batch-partitioned table (the growing-index / streaming-
     * ingest small-files problem: every micro-batch leaves its own
     * `ingest_batch=N` directory with per-task files, and a month of

@@ -1236,6 +1236,44 @@ class ExtSpec extends SparkSpec {
     assert(err.getMessage.contains("dim"), s"got: ${err.getMessage}")
   }
 
+  test("rebuildIvfIndex: re-centered at a new cell count, full-probe still exact") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("ivfreb"))
+    Similarity.buildIvfIndex(emb, writer, "ivf", cells = 5, iters = 2)
+    // grow it (appends keep the old quantizer), then rebuild at 8 cells
+    val batch = emb.filter($"vec_id".isin(java.lang.Long.valueOf(7L)))
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    Similarity.appendIvfIndex(batch, writer, "ivf")
+    val nBefore = writer.read("ivf").count()
+    Similarity.rebuildIvfIndex(writer, "ivf", cells = 8, iters = 2)
+    // nothing lost, quantizer resized, every stored row assigned to a
+    // live cell of the NEW sidecar
+    assert(writer.read("ivf").count() == nBefore, "rebuild lost vectors")
+    val cents = Similarity.readIvfCentroids(writer, "ivf")
+    assert(cents.map(_._1).toSet == (0 until 8).toSet, s"got cells ${cents.map(_._1)}")
+    val cellsUsed = writer.read("ivf").select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cellsUsed.subsetOf(cents.map(_._1).toSet), s"stale cell ids: $cellsUsed")
+    // the x6 exactness contract must survive the rebuild: a full probe
+    // (nprobe = cells) over the rebuilt index is bit-for-bit the exact
+    // brute-force ranking over the same stored vectors
+    val stored = writer.read("ivf").select($"vec_id", $"embedding")
+    val q = stored.filter($"vec_id" % 50 === 0)
+    val exact = Similarity.cosTopKFor(stored, q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Similarity.ivfTopKIndexedFor(spark, writer, "ivf", q, k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == exact,
+      s"full probe diverges after rebuild: missing ${(exact -- full).take(3)}, " +
+        s"extra ${(full -- exact).take(3)}")
+    // the appended twin is still probe-visible under the new quantizer
+    val qq = emb.filter($"vec_id" === 7L).select($"vec_id", $"embedding")
+    val top = Similarity.ivfTopKIndexedFor(spark, writer, "ivf", qq, k = 1, nprobe = 1)
+      .collect()
+    assert(top.length == 1 && top.head.getLong(1) == 1000007L,
+      s"appended twin lost by rebuild: ${top.toSeq}")
+  }
+
   test("ivfTopK recall vs exact baseline on the oracle-gate fixture") {
     // sf0.01 — the fixture the correctness gate runs on (sf0.001's
     // gaussian draw happens to measure 0.58 at nprobe=3; this one 0.66)
