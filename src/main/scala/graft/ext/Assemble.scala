@@ -148,6 +148,67 @@ object Assemble {
     * heavily-discretized score (few distinct values) degrades stage 3
     * toward per-value sorts — refine the score's granularity before
     * coarsening it. NULL texts are excluded by contract. */
+  /** Temperature-weighted mixture allocation (α = ½) — the standard
+    * multi-source rebalancing step (Pile/FineWeb style: raw source
+    * sizes span orders of magnitude, so sampling ∝ n flattens nothing
+    * and sampling uniformly starves the big sources; weights ∝ √n are
+    * the classic compromise): allocate an exact `budget` of documents
+    * across sources with weights floor(√n_s), rounded by LARGEST
+    * REMAINDER so the allocations sum to the budget exactly (never
+    * budget±sources like independent rounding), each source capped at
+    * its own size (an exhausted source under-fills the budget rather
+    * than redistributing — deterministic and oracle-expressible), then
+    * select each source's first alloc_s documents in content-hash
+    * order (the md5-32 idiom — reproducible sampling, no RNG).
+    *
+    * Determinism: weights/allocation are integer driver math over the
+    * per-source counts (sources are driver-bounded, the x38/x52
+    * contract); floor(√·) over an integral double is IEEE-identical
+    * across engines. The DuckDB oracle re-derives the whole allocation
+    * in SQL — cross-proof of the largest-remainder arithmetic.
+    *
+    * Scale shape: one map-side count, one window per source over the
+    * hash order. The selection filter is `rn <= alloc_s` with a
+    * PER-SOURCE bound, which the WindowGroupLimit rewrite cannot
+    * consume (it needs a literal) — so the filter ALSO carries the
+    * static bound `rn <= max alloc` to restore the partial push-down:
+    * each scan partition forwards at most max-alloc rows per source
+    * and the dynamic cut runs on the survivors. */
+  def temperatureMix(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMix: empty corpus")
+    val weighted = counts.map { case (s, n) => (s, n, math.sqrt(n.toDouble).toLong) }
+    val totalW = weighted.map(_._3).sum
+    // BigInt products: budget·w can pass 2⁶³ at production sizes
+    val base = weighted.map { case (s, n, w) =>
+      (s, n, (BigInt(budget) * w / totalW).toLong, (BigInt(budget) * w % totalW).toLong)
+    }
+    val remainder = base.map(_._3).foldLeft(budget)(_ - _)
+    val bonus = base.sortBy { case (s, _, _, rem) => (-rem, s) }
+      .zipWithIndex
+      .map { case ((s, n, b, _), i) =>
+        (s, math.min(b + (if (i < remainder) 1L else 0L), n))
+      }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val alloc = bonus.toDF("source", "alloc_s")
+    val maxAlloc = bonus.map(_._2).max
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("pick_hash"), col("doc_id"))
+    docs.select(col("source"), col("doc_id"))
+      .withColumn("pick_hash", OracleHash.md5Hash32(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(bySource))
+      // literal bound first: restores the partial WindowGroupLimit
+      .filter(col("rn") <= lit(maxAlloc))
+      .join(broadcast(alloc), "source")
+      .filter(col("rn") <= col("alloc_s"))
+      .select(col("source"), col("doc_id"),
+        col("rn").cast("long").as("pick_rank"), col("alloc_s"))
+  }
+
   /** Per-source document cap — the per-domain cap every crawl-derived
     * corpus applies (Common-Crawl-style pipelines bound any one domain's
     * share so boilerplate-heavy hosts can't dominate the mixture): keep

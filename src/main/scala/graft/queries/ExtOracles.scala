@@ -784,6 +784,36 @@ object ExtOracles {
         |SELECT source, doc_id, rn AS source_rank, quality_score
         |FROM ranked WHERE rn <= 15""".stripMargin,
 
+    // √n temperature mixture: the oracle re-derives the ENTIRE
+    // largest-remainder allocation in SQL (integer base + remainder
+    // bonus by (rem DESC, source) rank, capped at n_s) — cross-proof
+    // of the driver-side arithmetic; selection order is the md5-32
+    // content hash, identical on both engines.
+    "x58_temperature_mix" ->
+      """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |           FROM documents GROUP BY source),
+        |  w AS (SELECT source, n_s,
+        |          CAST(floor(sqrt(CAST(n_s AS DOUBLE))) AS BIGINT) AS w_s FROM n),
+        |  t AS (SELECT CAST(sum(w_s) AS BIGINT) AS wt FROM w),
+        |  b AS (SELECT source, n_s,
+        |          CAST((300::HUGEINT * w_s) // t.wt AS BIGINT) AS base_s,
+        |          CAST((300::HUGEINT * w_s) % t.wt AS BIGINT) AS rem_s
+        |        FROM w CROSS JOIN t),
+        |  r AS (SELECT CAST(300 - sum(base_s) AS BIGINT) AS remainder FROM b),
+        |  a AS (SELECT source,
+        |          least(base_s + (CASE WHEN row_number()
+        |                  OVER (ORDER BY rem_s DESC, source) <= r.remainder
+        |                THEN 1 ELSE 0 END), n_s) AS alloc_s
+        |        FROM b CROSS JOIN r),
+        |  ranked AS (SELECT d.source, d.doc_id,
+        |               CAST(row_number() OVER (PARTITION BY d.source
+        |                 ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |                          d.doc_id) AS BIGINT) AS pick_rank
+        |             FROM documents d)
+        |SELECT ranked.source, ranked.doc_id, pick_rank, a.alloc_s
+        |FROM ranked JOIN a USING (source)
+        |WHERE pick_rank <= a.alloc_s""".stripMargin,
+
     // Normalization over planted damage (upper-case every 10th doc,
     // doubled spaces elsewhere) — lower/trim/' +' collapse carry
     // identical semantics in both engines; DuckDB regexp_replace needs

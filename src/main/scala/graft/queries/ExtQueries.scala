@@ -400,6 +400,9 @@ object ExtQueries {
     // Per-source cap at the 15 best-quality docs (non-vacuous: the
     // fixture carries ~25 docs per source) — the per-domain crawl cap.
     "x56_source_cap" -> ((s, d) => Assemble.sourceCap(docs(s, d), maxPerSource = 15)),
+    // √n temperature mixture at a 300-doc budget (non-vacuous: below
+    // the 500-doc fixture, so the largest-remainder cut really cuts).
+    "x58_temperature_mix" -> ((s, d) => Assemble.temperatureMix(docs(s, d), budget = 300)),
     "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
       Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),
     "x22_pack" -> ((s, d) => Assemble.packBudget(docs(s, d))))

@@ -632,6 +632,40 @@ class ExtSpec extends SparkSpec {
       s"rank-limit pushdown missing:\n${plan.take(1500)}")
   }
 
+  test("temperatureMix: hand-worked largest-remainder allocation, caps, exact budget") {
+    // sources: A n=9 (w=3), B n=4 (w=2), C n=1 (w=1) → W=6
+    val d = ((1 to 9).map(i => (i.toLong, "A")) ++ (10 to 13).map(i => (i.toLong, "B")) ++
+      Seq((14L, "C"))).toDF("doc_id", "source").withColumn("text", lit("t"))
+    // budget 5: base A=2(rem 3) B=1(rem 4) C=0(rem 5) → remainder 2 →
+    // bonus to C(5) and B(4) → alloc A=2 B=2 C=1, Σ=5 exactly
+    val r5 = graft.ext.Assemble.temperatureMix(d, budget = 5).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(r5 == Map("A" -> 2, "B" -> 2, "C" -> 1), s"got $r5")
+    // budget 100 (exceeds the corpus): base A=50 B=33 C=16, remainder 1
+    // → bonus to C (highest rem 4) — then every source caps at n_s, the
+    // budget deliberately under-fills without redistribution
+    val r100 = graft.ext.Assemble.temperatureMix(d, budget = 100).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(r100 == Map("A" -> 9, "B" -> 4, "C" -> 1), s"got $r100")
+  }
+
+  test("temperatureMix: per-source counts equal the allocation; rank-limit pushdown") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ext.Assemble.temperatureMix(d, budget = 20)
+    val perSource = out.collect().groupBy(_.getString(0))
+    // every source's selected count equals its advertised alloc_s
+    perSource.foreach { case (s, rows) =>
+      val alloc = rows.head.getLong(3)
+      assert(rows.length == alloc, s"source $s: ${rows.length} picked, alloc $alloc")
+    }
+    assert(out.count() <= 20, "allocation exceeded the budget")
+    // the literal max-alloc bound must restore the partial rank-limit
+    // pushdown the per-source dynamic bound alone cannot get
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank-limit pushdown missing:\n${plan.take(1500)}")
+  }
+
   test("nbScore: hand-worked likelihood ratios, unseen-token prior, zero-token docs") {
     // labeled: d1 "x x y" good, d2 "z z" bad → c: x=(2,0) y=(1,0) z=(0,2)
     // N_g=3, N_b=2, V=3 → scaleNum=1e6·5=5e6, denomBase=6
