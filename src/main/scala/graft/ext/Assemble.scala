@@ -148,6 +148,41 @@ object Assemble {
     * heavily-discretized score (few distinct values) degrades stage 3
     * toward per-value sorts — refine the score's granularity before
     * coarsening it. NULL texts are excluded by contract. */
+  /** Sliding-window chunking WITH OVERLAP — the training-sample
+    * construction step for context-length fitting (`word_chunks` /
+    * X44's chunking is a PARTITION: exact reassembly, dedup keys; this
+    * is its strided sibling: windows of `window` tokens every `stride`
+    * tokens, so a span near a chunk boundary still appears intact in
+    * the next chunk — the standard long-document treatment when
+    * truncation would lose the boundary context). The last window
+    * starts at the final stride position and simply runs short —
+    * every token is covered, the tail is never dropped.
+    *
+    * Per-row arithmetic only (chunk count = 1 + ceil((n−window)/stride)
+    * in integer `div`, starts from `sequence`, bodies from codegen'd
+    * `slice`) — embarrassingly parallel, no shuffle at all; output
+    * rows ≈ corpus tokens × (1/stride) · window. */
+  def overlapChunks(docs: DataFrame, window: Int = 12, stride: Int = 8): DataFrame = {
+    require(window >= 1, s"window must be at least 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks",
+        when(col("n") > window,
+          expr(s"CAST((n - $window + $stride - 1) div $stride AS INT) + 1"))
+          .otherwise(lit(1)))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("ci"))
+      .select(col("doc_id"),
+        col("ci").cast("long").as("chunk_idx"),
+        array_join(slice(col("toks"), col("ci") * stride + 1, lit(window)), " ")
+          .as("chunk_text"),
+        size(slice(col("toks"), col("ci") * stride + 1, lit(window)))
+          .cast("long").as("chunk_tokens"))
+  }
+
   /** Temperature-weighted mixture allocation (α = ½) — the standard
     * multi-source rebalancing step (Pile/FineWeb style: raw source
     * sizes span orders of magnitude, so sampling ∝ n flattens nothing

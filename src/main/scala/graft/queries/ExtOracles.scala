@@ -784,6 +784,28 @@ object ExtOracles {
         |SELECT source, doc_id, rn AS source_rank, quality_score
         |FROM ranked WHERE rn <= 15""".stripMargin,
 
+    // Overlap chunking: DuckDB's INCLUSIVE list slice spells a
+    // 12-token window s[a : a+11]; chunk starts every 8 via the x35
+    // struct-comprehension idiom; ceil is integer `//` on both sides.
+    "x59_overlap_chunks" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS s
+        |            FROM documents WHERE text IS NOT NULL),
+        |  m AS (SELECT doc_id, s,
+        |          CASE WHEN len(s) > 12
+        |               THEN (len(s) - 12 + 7) // 8 + 1 ELSE 1 END AS nc
+        |        FROM tr),
+        |  c AS (SELECT doc_id, r['ci'] AS chunk_idx, r['t'] AS chunk_text,
+        |               r['k'] AS chunk_tokens FROM (
+        |    SELECT doc_id, unnest(
+        |      [{'ci': i - 1,
+        |        't': array_to_string(s[(i-1)*8 + 1 : (i-1)*8 + 12], ' '),
+        |        'k': len(s[(i-1)*8 + 1 : (i-1)*8 + 12])}
+        |       FOR i IN range(1, CAST(nc AS BIGINT) + 1)]) AS r
+        |    FROM m))
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+        |       CAST(chunk_tokens AS BIGINT) AS chunk_tokens
+        |FROM c""".stripMargin,
+
     // √n temperature mixture: the oracle re-derives the ENTIRE
     // largest-remainder allocation in SQL (integer base + remainder
     // bonus by (rem DESC, source) rank, capped at n_s) — cross-proof

@@ -403,6 +403,9 @@ object ExtQueries {
     // √n temperature mixture at a 300-doc budget (non-vacuous: below
     // the 500-doc fixture, so the largest-remainder cut really cuts).
     "x58_temperature_mix" -> ((s, d) => Assemble.temperatureMix(docs(s, d), budget = 300)),
+    // Strided 12-token windows every 8 — the overlap sibling of x39's
+    // exact partition; boundary spans appear intact in the next chunk.
+    "x59_overlap_chunks" -> ((s, d) => Assemble.overlapChunks(docs(s, d))),
     "x21_mix_sample" -> ((s, d) => Assemble.mixSample(docs(s, d),
       Map("en" -> ((1, 1)), "zh" -> ((1, 2)), "es" -> ((1, 4)), "de" -> ((3, 4))))),
     "x22_pack" -> ((s, d) => Assemble.packBudget(docs(s, d))))

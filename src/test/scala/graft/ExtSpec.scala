@@ -632,6 +632,24 @@ class ExtSpec extends SparkSpec {
       s"rank-limit pushdown missing:\n${plan.take(1500)}")
   }
 
+  test("overlapChunks: strided windows cover every token, tail runs short") {
+    val d20 = docsDf(1L -> (1 to 20).map(i => s"t$i").mkString(" "),
+      2L -> (1 to 12).map(i => s"u$i").mkString(" "),
+      3L -> (1 to 21).map(i => s"v$i").mkString(" "))
+    val r = graft.ext.Assemble.overlapChunks(d20, window = 12, stride = 8).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> ((x.getString(2), x.getLong(3)))).toMap
+    // 20 tokens → 2 chunks: [1..12] and [9..20] (tail exactly full)
+    assert(r((1L, 0L)) == (((1 to 12).map(i => s"t$i").mkString(" "), 12L)))
+    assert(r((1L, 1L)) == (((9 to 20).map(i => s"t$i").mkString(" "), 12L)))
+    // 12 tokens → exactly one chunk, no empty second window
+    assert(!r.contains((2L, 1L)) && r((2L, 0L))._2 == 12L)
+    // 21 tokens → 3 chunks, last one short: [17..21] = 5 tokens
+    assert(r((3L, 2L)) == (((17 to 21).map(i => s"v$i").mkString(" "), 5L)))
+    // coverage: every token of doc 3 appears in some chunk
+    val covered = (0 to 2).flatMap(i => r((3L, i.toLong))._1.split(" ")).toSet
+    assert(covered == (1 to 21).map(i => s"v$i").toSet, s"missing ${21 - covered.size}")
+  }
+
   test("temperatureMix: hand-worked largest-remainder allocation, caps, exact budget") {
     // sources: A n=9 (w=3), B n=4 (w=2), C n=1 (w=1) → W=6
     val d = ((1 to 9).map(i => (i.toLong, "A")) ++ (10 to 13).map(i => (i.toLong, "B")) ++
