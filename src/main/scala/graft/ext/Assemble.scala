@@ -211,8 +211,14 @@ object Assemble {
     * and the dynamic cut runs on the survivors. */
   def temperatureMix(docs: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // NULL source is its own group (the x30/x52 lesson: never silently
+    // drop a NULL key) — driver orderings spell null-LAST explicitly
+    // (Ordering[String] NPEs on null; DuckDB's ASC default is NULLS
+    // LAST, which the oracle's tiebreak relies on)
+    def nullLast(s: String): (Boolean, String) = (s == null, Option(s).getOrElse(""))
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .sortBy { case (s, _) => nullLast(s) }
     require(counts.nonEmpty, "temperatureMix: empty corpus")
     val weighted = counts.map { case (s, n) => (s, n, math.sqrt(n.toDouble).toLong) }
     val totalW = weighted.map(_._3).sum
@@ -221,14 +227,14 @@ object Assemble {
       (s, n, (BigInt(budget) * w / totalW).toLong, (BigInt(budget) * w % totalW).toLong)
     }
     val remainder = base.map(_._3).foldLeft(budget)(_ - _)
-    val bonus = base.sortBy { case (s, _, _, rem) => (-rem, s) }
+    val bonus = base.sortBy { case (s, _, _, rem) => (-rem, nullLast(s)) }
       .zipWithIndex
       .map { case ((s, n, b, _), i) =>
         (s, math.min(b + (if (i < remainder) 1L else 0L), n))
       }
     val spark = docs.sparkSession
     import spark.implicits._
-    val alloc = bonus.toDF("source", "alloc_s")
+    val alloc = bonus.toDF("alloc_source", "alloc_s")
     val maxAlloc = bonus.map(_._2).max
     val bySource = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
@@ -238,7 +244,8 @@ object Assemble {
       .withColumn("rn", row_number().over(bySource))
       // literal bound first: restores the partial WindowGroupLimit
       .filter(col("rn") <= lit(maxAlloc))
-      .join(broadcast(alloc), "source")
+      // null-SAFE join so the NULL-source group meets its allocation
+      .join(broadcast(alloc), col("source") <=> col("alloc_source"))
       .filter(col("rn") <= col("alloc_s"))
       .select(col("source"), col("doc_id"),
         col("rn").cast("long").as("pick_rank"), col("alloc_s"))

@@ -123,13 +123,8 @@ object Bloom {
     val words = buildBitset(evalHashes, bits, k)
     val survivors = Dedup.shingleHashes(train, n)
       .filter(mightContain(words, col("h"), k))
-    val hits = survivors
-      .join(evalHashes, "h")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_ngrams"))
-    train.select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_eval_ngrams"), lit(0L)).as("n_eval_ngrams"),
-        (coalesce(col("n_eval_ngrams"), lit(0L)) > 0).as("contaminated"))
+    // the exact confirm + report tail is Dedup's own — bit-identity
+    // with decontaminate is structural, not a parallel copy
+    Dedup.evalHitReport(train, survivors.join(evalHashes, "h"))
   }
 }

@@ -130,9 +130,17 @@ object Dedup {
       evalDocs
         .select(explode(transform(shingles(col("text"), n), s => xxhash64(s))).as("h"))
         .distinct())
-    val hits = shingleHashes(train, n)
-      .join(evalHashes, "h")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_ngrams"))
+    evalHitReport(train, shingleHashes(train, n).join(evalHashes, "h"))
+  }
+
+  /** The confirm-and-report tail of every decontamination flavor: count
+    * matched (doc_id, h) evidence rows per doc and surface EVERY
+    * training doc with (n_eval_ngrams, contaminated). ONE definition —
+    * [[Bloom.decontaminateBloom]]'s contract is bit-identity with
+    * [[decontaminate]], so the shared output shape must be structural,
+    * not coincidental. */
+  private[ext] def evalHitReport(train: DataFrame, matched: DataFrame): DataFrame = {
+    val hits = matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_ngrams"))
     train.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -150,24 +158,28 @@ object Dedup {
     * hash-compare safe; docs too short to have any n-gram report zeros.
     *
     * Scale shape: identical to [[decontaminate]] — eval n-gram hashes
-    * broadcast, the corpus streams through narrowly; the only additions
-    * are a per-row `size()` and the same map-side-combinable count. */
+    * broadcast, the corpus streams through narrowly and is shingled
+    * exactly ONCE: the total and the matched count ride the same
+    * exploded hash stream (membership left-join + one aggregate), so
+    * the expensive n-gram parse never runs twice. */
   def contaminationRate(train: DataFrame, evalDocs: DataFrame, n: Int = 13): DataFrame = {
     graft.functions.GraftFunctions.register(train.sparkSession)
     val evalHashes = broadcast(
       evalDocs
         .select(explode(transform(shingles(col("text"), n), s => xxhash64(s))).as("h"))
-        .distinct())
-    val totals = train.select(col("doc_id"),
-      coalesce(size(shingles(col("text"), n)).cast("long"), lit(0L)).as("n_ngrams"))
-    val hits = shingleHashes(train, n)
-      .join(evalHashes, "h")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
-    totals.join(hits, Seq("doc_id"), "left")
+        .distinct()
+        .withColumn("m", lit(1L)))
+    val perDoc = shingleHashes(train, n)
+      .join(evalHashes, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("m"), lit(0L))).as("n_matched"))
+    train.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-        col("n_ngrams"),
-        when(col("n_ngrams") === 0, lit(0L))
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        when(coalesce(col("n_ngrams"), lit(0L)) === 0, lit(0L))
           .otherwise(expr("(1000000 * coalesce(n_matched, CAST(0 AS BIGINT))) div n_ngrams"))
           .as("rate_ppm"))
   }

@@ -358,7 +358,21 @@ object Similarity {
       writer: graft.sinks.StagingWriter,
       table: String,
       cells: Int = 10,
-      iters: Int = 2): Unit = {
+      iters: Int = 2): Unit =
+    trainAndWriteIvf(emb, writer, table, s"${table}__centroids", cells, iters)
+
+  /** Train a quantizer on `emb` and write the cell-partitioned index +
+    * centroid sidecar to the GIVEN table names — the single definition
+    * of the stored index format, shared by [[buildIvfIndex]] (live
+    * names) and [[rebuildIvfIndex]] (staged `__rebuild*` names), so a
+    * format change cannot diverge between them. */
+  private def trainAndWriteIvf(
+      emb: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      cellsTable: String,
+      centsTable: String,
+      cells: Int,
+      iters: Int): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
@@ -368,11 +382,11 @@ object Similarity {
       .withColumn("v", asDouble(col("embedding")))
       .withColumn("cell", nearestCell(cents))
       .drop("v") // store original float vectors; widen again at read
-    writer.writePartitioned(assigned, table, "cell")
+    writer.writePartitioned(assigned, cellsTable, "cell")
     cents.map { case (cell, c) => (cell, c.toSeq) }
       .toDF("cell", "centroid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(writer.path(s"${table}__centroids"))
+      .parquet(writer.path(centsTable))
   }
 
   /** Grow an existing [[buildIvfIndex]] artifact: assign the new batch
@@ -432,19 +446,8 @@ object Similarity {
       cells: Int = 10,
       iters: Int = 2): Unit = {
     val stored = writer.read(table).select(col("vec_id"), col("embedding"))
-    val spark = stored.sparkSession
-    import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
-    val cents = kmeansCentroids(stored, cells, iters)
-    val assigned = stored
-      .withColumn("v", asDouble(col("embedding")))
-      .withColumn("cell", nearestCell(cents))
-      .drop("v")
-    writer.writePartitioned(assigned, s"${table}__rebuild", "cell")
-    cents.map { case (cell, c) => (cell, c.toSeq) }
-      .toDF("cell", "centroid")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(writer.path(s"${table}__rebuild_cents"))
+    trainAndWriteIvf(stored, writer,
+      s"${table}__rebuild", s"${table}__rebuild_cents", cells, iters)
     writer.swapIn(s"${table}__rebuild", table)
     writer.swapIn(s"${table}__rebuild_cents", s"${table}__centroids")
   }

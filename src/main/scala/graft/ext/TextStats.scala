@@ -397,8 +397,14 @@ object TextStats {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val counts = toks
+    // join BEFORE exploding: the label join cannot push below a
+    // Generate, so tokenizing the corpus first would explode every
+    // document only to discard all but the labeled subset — training
+    // cost must be proportional to the (small) teacher-labeled set
+    val counts = docs
       .join(labels.select(col("doc_id"), col("passes")), "doc_id")
+      .select(col("passes"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
       .groupBy(col("w"))
       .agg(
         sum(when(col("passes"), 1L).otherwise(0L)).as("c_g"),

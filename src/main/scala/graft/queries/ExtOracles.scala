@@ -833,7 +833,7 @@ object ExtOracles {
         |                          d.doc_id) AS BIGINT) AS pick_rank
         |             FROM documents d)
         |SELECT ranked.source, ranked.doc_id, pick_rank, a.alloc_s
-        |FROM ranked JOIN a USING (source)
+        |FROM ranked JOIN a ON ranked.source IS NOT DISTINCT FROM a.source
         |WHERE pick_rank <= a.alloc_s""".stripMargin,
 
     // Normalization over planted damage (upper-case every 10th doc,

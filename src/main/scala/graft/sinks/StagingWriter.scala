@@ -185,7 +185,7 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
     * ingest small-files problem: every micro-batch leaves its own
     * `ingest_batch=N` directory with per-task files, and a month of
     * ticks turns the probe's scan into a file-listing stall): fold ALL
-    * partitions into `ingest_batch=0` with `files` output files, under
+    * partitions into `ingest_batch=-1` with `files` output files, under
     * the same crash-safe swap as [[compact]]. The partitioned LAYOUT is
     * preserved — readers and the appending writers rely on directory-
     * partition discovery, and a flat rewrite would poison the path for

@@ -667,6 +667,16 @@ class ExtSpec extends SparkSpec {
     assert(r100 == Map("A" -> 9, "B" -> 4, "C" -> 1), s"got $r100")
   }
 
+  test("temperatureMix: a NULL-source group is allocated, never dropped") {
+    // A n=4 (w=2), NULL n=1 (w=1) → W=3; budget 3: base A=2(rem 0),
+    // NULL=1(rem 0) → remainder 0 → alloc A=2, NULL=1
+    val d = ((1 to 4).map(i => (i.toLong, "A")) ++ Seq((5L, null.asInstanceOf[String])))
+      .toDF("doc_id", "source").withColumn("text", lit("t"))
+    val r = graft.ext.Assemble.temperatureMix(d, budget = 3).collect()
+      .groupBy(r => Option(r.getString(0))).view.mapValues(_.length).toMap
+    assert(r == Map(Option("A") -> 2, (None: Option[String]) -> 1), s"got $r")
+  }
+
   test("temperatureMix: per-source counts equal the allocation; rank-limit pushdown") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.ext.Assemble.temperatureMix(d, budget = 20)
