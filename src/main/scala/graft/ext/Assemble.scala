@@ -148,6 +148,34 @@ object Assemble {
     * heavily-discretized score (few distinct values) degrades stage 3
     * toward per-value sorts — refine the score's granularity before
     * coarsening it. NULL texts are excluded by contract. */
+  /** Curriculum-ordered shard export: write the corpus as `shards`
+    * parquet files in GLOBAL quality order (easy → hard staged
+    * training reads shard 0, 1, … in sequence and sees a monotone
+    * difficulty ramp; deterministic tiebreak on doc_id).
+    *
+    * The scale point is the sort primitive: a global `orderBy` into
+    * one writer is a single-task funnel, and `TakeOrderedAndProject`
+    * (X31's bounded top-N) doesn't apply to a FULL ordering — the
+    * scalable total sort is RANGE partitioning (sampled split points,
+    * each shard owns a disjoint key range) + a per-shard local sort,
+    * which is exactly `repartitionByRange + sortWithinPartitions`
+    * (plan-pinned RangePartitioning in the spec). Cross-shard order
+    * holds because ranges are disjoint; within-shard order by the
+    * local sort — no stage ever holds more than one shard. */
+  def curriculumExport(
+      docs: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      shards: Int): Unit = {
+    require(shards >= 1, s"shards must be at least 1, got $shards")
+    TextStats.withQuality(docs)
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .repartitionByRange(shards, col("quality_score").asc, col("doc_id").asc)
+      .sortWithinPartitions(col("quality_score").asc, col("doc_id").asc)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(writer.path(table))
+  }
+
   /** Sliding-window chunking WITH OVERLAP — the training-sample
     * construction step for context-length fitting (`word_chunks` /
     * X44's chunking is a PARTITION: exact reassembly, dedup keys; this
@@ -209,29 +237,37 @@ object Assemble {
     * static bound `rn <= max alloc` to restore the partial push-down:
     * each scan partition forwards at most max-alloc rows per source
     * and the dynamic cut runs on the survivors. */
-  def temperatureMix(docs: DataFrame, budget: Long): DataFrame = {
-    require(budget > 0, s"budget must be positive, got $budget")
-    // NULL source is its own group (the x30/x52 lesson: never silently
-    // drop a NULL key) — driver orderings spell null-LAST explicitly
-    // (Ordering[String] NPEs on null; DuckDB's ASC default is NULLS
-    // LAST, which the oracle's tiebreak relies on)
+  /** The pure allocation math of [[temperatureMix]], exposed for
+    * property tests: √n weights, largest-remainder rounding to exactly
+    * `budget` (before caps), each source capped at its own count.
+    * NULL keys sort LAST (Ordering[String] NPEs on null; DuckDB's ASC
+    * default is NULLS LAST, which the oracle's tiebreak mirrors). */
+  private[graft] def temperatureAllocation(
+      counts: Seq[(String, Long)], budget: Long): Seq[(String, Long)] = {
     def nullLast(s: String): (Boolean, String) = (s == null, Option(s).getOrElse(""))
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-      .sortBy { case (s, _) => nullLast(s) }
-    require(counts.nonEmpty, "temperatureMix: empty corpus")
-    val weighted = counts.map { case (s, n) => (s, n, math.sqrt(n.toDouble).toLong) }
+    val weighted = counts.sortBy { case (s, _) => nullLast(s) }
+      .map { case (s, n) => (s, n, math.sqrt(n.toDouble).toLong) }
     val totalW = weighted.map(_._3).sum
     // BigInt products: budget·w can pass 2⁶³ at production sizes
     val base = weighted.map { case (s, n, w) =>
       (s, n, (BigInt(budget) * w / totalW).toLong, (BigInt(budget) * w % totalW).toLong)
     }
     val remainder = base.map(_._3).foldLeft(budget)(_ - _)
-    val bonus = base.sortBy { case (s, _, _, rem) => (-rem, nullLast(s)) }
+    base.sortBy { case (s, _, _, rem) => (-rem, nullLast(s)) }
       .zipWithIndex
       .map { case ((s, n, b, _), i) =>
         (s, math.min(b + (if (i < remainder) 1L else 0L), n))
       }
+  }
+
+  def temperatureMix(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    // NULL source is its own group (the x30/x52 lesson: never silently
+    // drop a NULL key)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    require(counts.nonEmpty, "temperatureMix: empty corpus")
+    val bonus = temperatureAllocation(counts, budget)
     val spark = docs.sparkSession
     import spark.implicits._
     val alloc = bonus.toDF("alloc_source", "alloc_s")

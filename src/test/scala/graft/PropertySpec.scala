@@ -208,4 +208,25 @@ class PropertySpec extends SparkSpec {
       reassembled == expected
     }, min = 8)
   }
+
+  test("temperature allocation: exact budget unless capped, per-source bounds, determinism") {
+    val countsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf(Gen.alphaStr.map(_.take(6)), Gen.const(null: String)),
+      Gen.choose(1L, 10000L)))
+      .map(_.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }.toSeq)
+    val budgetGen = Gen.choose(1L, 20000L)
+    check("allocation-invariants", Prop.forAll(countsGen, budgetGen) { (counts, budget) =>
+      val alloc = graft.ext.Assemble.temperatureAllocation(counts, budget)
+      val byKey = counts.toMap
+      val total = alloc.map(_._2).sum
+      val capped = alloc.exists { case (s, a) => a == byKey(s) }
+      // every source appears once; never above its own size or below 0
+      alloc.map(_._1).toSet == counts.map(_._1).toSet &&
+        alloc.forall { case (s, a) => a >= 0 && a <= byKey(s) } &&
+        // sums to the budget exactly unless a cap bound it (then ≤)
+        (if (capped) total <= budget else total == budget) &&
+        // purely a function of its inputs: order of counts is irrelevant
+        graft.ext.Assemble.temperatureAllocation(counts.reverse, budget).toMap == alloc.toMap
+    }, min = 200)
+  }
 }

@@ -43,6 +43,38 @@ class UtilitySpec extends SparkSpec {
     }
   }
 
+  test("curriculumExport: shards carry disjoint quality ranges in global order") {
+    val wh = tmpDir("whcurr")
+    val writer = new StagingWriter(spark, wh)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // plan must total-sort via RANGE partitioning, never a single task
+    val planned = graft.ext.TextStats.withQuality(docs)
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .repartitionByRange(4, col("quality_score").asc, col("doc_id").asc)
+    assert(planned.queryExecution.toString.toLowerCase.contains("rangepartitioning"),
+      s"no range partitioning in:\n${planned.queryExecution.toString.take(1200)}")
+    graft.ext.Assemble.curriculumExport(docs, writer, "curr", shards = 4)
+    val parts = new java.io.File(writer.path("curr")).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 4, s"expected 4 shard files, got ${parts.length}")
+    // within-shard sorted, cross-shard ranges strictly ordered on (q, id)
+    val perShard = parts.map { f =>
+      spark.read.parquet(f.getPath).collect()
+        .map(r => (r.getDouble(2), r.getLong(0))).toSeq
+    }.filter(_.nonEmpty)
+    perShard.foreach { rows =>
+      assert(rows == rows.sorted, "shard not internally sorted")
+    }
+    val ordered = perShard.toSeq.sortBy(_.head)
+    val ord = Ordering[(Double, Long)]
+    ordered.sliding(2).foreach {
+      case Seq(a, b) => assert(ord.lt(a.last, b.head),
+        s"shard ranges overlap: ${a.last} vs ${b.head}")
+      case _ =>
+    }
+    assert(perShard.map(_.size).sum == docs.count(), "export lost rows")
+  }
+
   test("partitioned staging: a partition-column predicate prunes at planning time") {
     val wh = tmpDir("whpart")
     val writer = new StagingWriter(spark, wh)
