@@ -264,6 +264,35 @@ object Stats {
     * union≡rollup equivalence is pinned in spec, as is the error bound
     * vs the exact counts. Approximate by design → rows-only in the
     * gate (DuckDB's approx_count_distinct is a different sketch). */
+  /** Version-over-version corpus diff — the ingest observability row a
+    * refreshing corpus publishes every cycle (a re-crawl that silently
+    * REPLACED half a source's documents looks identical in row counts;
+    * this catches it): full-outer join of the two versions on doc_id
+    * comparing content digests, rolled up to (source, status) counts
+    * with status ∈ added / removed / changed / same.
+    *
+    * Scale shape: each side reduces to (doc_id, source, digest) at the
+    * scan (the md5 rides the projection — no text ever shuffles), one
+    * doc_id-keyed shuffle per side for the full-outer sort-merge, then
+    * a map-side-combinable rollup of source×4 cardinality. NULL text
+    * digests as '' (deterministic; a vanished text column must read as
+    * changed, never re-classify an existing doc as added). */
+  def corpusDiff(old: DataFrame, newer: DataFrame): DataFrame = {
+    val o = old.select(col("doc_id"), col("source").as("o_source"),
+      md5(coalesce(col("text"), lit(""))).as("o_digest"))
+    val n = newer.select(col("doc_id"), col("source").as("n_source"),
+      md5(coalesce(col("text"), lit(""))).as("n_digest"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("n_source"), col("o_source")).as("source"),
+        when(col("o_digest").isNull, lit("added"))
+          .when(col("n_digest").isNull, lit("removed"))
+          .when(col("o_digest") =!= col("n_digest"), lit("changed"))
+          .otherwise(lit("same")).as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   def sketchDistinct(docs: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.filter(col("text").isNotNull)

@@ -784,6 +784,24 @@ object ExtOracles {
         |SELECT source, doc_id, rn AS source_rank, quality_score
         |FROM ranked WHERE rn <= 15""".stripMargin,
 
+    // Corpus diff: both engines md5 the coalesced text (NULL ≡ '') and
+    // classify via the same CASE ladder over the full-outer join.
+    "x60_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, source, md5(coalesce(text, '')) AS dg
+        |           FROM documents WHERE doc_id % 29 <> 0),
+        |  nw AS (SELECT doc_id, source,
+        |           md5(coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |                             ELSE text END, '')) AS dg
+        |         FROM documents WHERE doc_id % 31 <> 0),
+        |  j AS (SELECT coalesce(nw.source, o.source) AS source,
+        |          CASE WHEN o.dg IS NULL THEN 'added'
+        |               WHEN nw.dg IS NULL THEN 'removed'
+        |               WHEN o.dg <> nw.dg THEN 'changed'
+        |               ELSE 'same' END AS status
+        |        FROM o FULL OUTER JOIN nw USING (doc_id))
+        |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM j GROUP BY source, status""".stripMargin,
+
     // Overlap chunking: DuckDB's INCLUSIVE list slice spells a
     // 12-token window s[a : a+11]; chunk starts every 8 via the x35
     // struct-comprehension idiom; ceil is integer `//` on both sides.

@@ -396,6 +396,18 @@ object ExtQueries {
     // Per-source token-distribution drift vs the corpus (scaled L1 in
     // ppm) — the domain-shift monitor; integer end to end.
     "x52_source_drift" -> ((s, d) => Stats.sourceDrift(docs(s, d))),
+    // Version-over-version diff: v1 lacks the %29 docs (added later),
+    // v2 lacks the %31 docs (removed) and rewrites the %7 texts
+    // (changed) — every status is planted and non-vacuous.
+    "x60_corpus_diff" -> ((s, d) => {
+      val dd = docs(s, d)
+      val v1 = dd.filter(col("doc_id") % 29 =!= 0)
+      val v2 = dd.filter(col("doc_id") % 31 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      Stats.corpusDiff(v1, v2)
+    }),
     "x20_hash_split" -> ((s, d) => Assemble.hashSplit(docs(s, d))),
     // Per-source cap at the 15 best-quality docs (non-vacuous: the
     // fixture carries ~25 docs per source) — the per-domain crawl cap.

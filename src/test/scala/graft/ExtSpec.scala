@@ -632,6 +632,17 @@ class ExtSpec extends SparkSpec {
       s"rank-limit pushdown missing:\n${plan.take(1500)}")
   }
 
+  test("corpusDiff: every status classified, NULL text digests as empty") {
+    val v1 = Seq((1L, "s", "same text"), (2L, "s", "old text"), (3L, "t", "goner"),
+      (5L, "t", null.asInstanceOf[String])).toDF("doc_id", "source", "text")
+    val v2 = Seq((1L, "s", "same text"), (2L, "s", "new text"), (4L, "t", "fresh"),
+      (5L, "t", null.asInstanceOf[String])).toDF("doc_id", "source", "text")
+    val r = graft.ext.Stats.corpusDiff(v1, v2).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r == Map(("s", "same") -> 1L, ("s", "changed") -> 1L,
+      ("t", "removed") -> 1L, ("t", "added") -> 1L, ("t", "same") -> 1L), s"got $r")
+  }
+
   test("overlapChunks: strided windows cover every token, tail runs short") {
     val d20 = docsDf(1L -> (1 to 20).map(i => s"t$i").mkString(" "),
       2L -> (1 to 12).map(i => s"u$i").mkString(" "),
