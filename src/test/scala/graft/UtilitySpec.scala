@@ -43,6 +43,30 @@ class UtilitySpec extends SparkSpec {
     }
   }
 
+  test("jsonl ingest: every line lands in exactly one of parsed/quarantine") {
+    val dir = tmpDir("jsonl")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "good one", "source": "a"}""",
+      """{"doc_id": 2, "text": "also fine", "source": "a"}""",
+      """{"doc_id": 3, "text": "truncat""", // cut mid-string
+      """not json at all""",
+      """{}""") // valid JSON, violates the contract — NOT quarantine's job
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType)))
+    val split = graft.sources.JsonlIngest.read(spark, dir, schema)
+    val ids = split.docs.collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    // 1, 2 parse; {} parses with all-NULL fields (contract gate's job)
+    assert(ids.toSet == Set(Some(1L), Some(2L), None), s"got ${ids.toSet}")
+    val bad = split.quarantined.collect().map(_.getString(0)).toSet
+    assert(bad == Set("""{"doc_id": 3, "text": "truncat""", "not json at all"), s"got $bad")
+    // exhaustive and disjoint: counts add up to the input lines
+    assert(split.docs.count() + split.quarantined.count() == lines.size)
+  }
+
   test("curriculumExport: shards carry disjoint quality ranges in global order") {
     val wh = tmpDir("whcurr")
     val writer = new StagingWriter(spark, wh)
