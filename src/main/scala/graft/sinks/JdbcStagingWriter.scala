@@ -101,6 +101,39 @@ final class JdbcStagingWriter(
   def read(entity: String): DataFrame =
     spark.read.jdbc(url, stagingName(entity), props)
 
+  /** IDEMPOTENT per-batch JDBC write — the warehouse sibling of
+    * [[StagingWriter.writeBatchPartition]] for streaming `foreachBatch`
+    * ticks that land directly in the relational staging layer:
+    * delete-then-append keyed on an `ingest_batch` discriminator
+    * column, so an at-least-once replay REPLACES its own slice and
+    * never duplicates it, and other batches' rows are untouched.
+    * DELETE+INSERT rather than a parquet-style partition overwrite
+    * because a JDBC table has no partition directories — the
+    * discriminator predicate is the partition. First write creates
+    * the table (Append creates-if-absent); the write fan-in cap is
+    * the [[writeEntity]] contract. */
+  def writeBatchIdempotent(df: DataFrame, table: String, batchId: Long): Long = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      if (exists(conn, table)) {
+        // the Spark JDBC writer creates case-sensitive (quoted)
+        // column names; an unquoted predicate folds per the warehouse
+        // and misses — quote with the connection's own quote string
+        val qi = conn.getMetaData.getIdentifierQuoteString
+        conn.createStatement()
+          .executeUpdate(
+            s"DELETE FROM $table WHERE ${qi}ingest_batch$qi = $batchId")
+      }
+    } finally conn.close()
+    val obs = Observation()
+    df.withColumn("ingest_batch", lit(batchId))
+      .observe(obs, count(lit(1)).as("rows"))
+      .repartition(maxConnections)
+      .write.mode(SaveMode.Append)
+      .jdbc(url, table, props)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
   /** Late-data compaction of a standing staging table — JDBC parity
     * with [[StagingWriter.compact]]: keep only the latest extraction
     * per PK, swapped in via [[writeAndSwap]]. */

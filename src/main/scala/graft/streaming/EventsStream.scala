@@ -242,6 +242,26 @@ object EventsStream {
     } finally b.unpersist(blocking = false)
   }
 
+  /** Stream rows straight into the RELATIONAL staging layer — the
+    * warehouse-sink tick of the ingest family: each micro-batch lands
+    * via [[graft.sinks.JdbcStagingWriter.writeBatchIdempotent]]
+    * (delete-then-append on the `ingest_batch` discriminator), so the
+    * at-least-once `foreachBatch` contract holds against a JDBC
+    * warehouse exactly as the parquet ticks hold against the lake:
+    * a replayed batch replaces its own slice, never duplicates it. */
+  def jdbcIngestQuery(
+      rows: DataFrame,
+      writer: graft.sinks.JdbcStagingWriter,
+      table: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writer.writeBatchIdempotent(batch.toDF(), table, batchId)
+        ()
+      }
+      .start()
+
   /** The EMBEDDING sibling of [[neardupIngestQuery]]: continuous
     * cosine near-dup ingest against a growing sign-LSH index. Per
     * micro-batch: within-batch pairs

@@ -256,6 +256,29 @@ class StreamingSpec extends SparkSpec {
     assert(probeSet() == before, "old history lost after the post-compaction tick")
   }
 
+  test("jdbcIngestQuery: micro-batches land in Derby; a replayed batch never duplicates") {
+    implicit val sc = spark.sqlContext
+    val url = s"jdbc:derby:memory:jstr${System.nanoTime()};create=true"
+    val writer = new graft.sinks.JdbcStagingWriter(spark, url)
+    val stream = MemoryStream[(Long, String)]
+    val q = EventsStream.jdbcIngestQuery(
+      stream.toDF().toDF("doc_id", "text"), writer, "stream_docs", tmpDir("jdbcck"))
+    try {
+      stream.addData((1L, "alpha"), (2L, "beta")); q.processAllAvailable()
+      stream.addData((3L, "gamma")); q.processAllAvailable()
+    } finally q.stop()
+    def rows() = spark.read.jdbc(url, "stream_docs", new java.util.Properties)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val after = rows()
+    assert(after == Set((1L, "alpha", 0L), (2L, "beta", 0L), (3L, "gamma", 1L)),
+      s"got $after")
+    // an at-least-once REPLAY of batch 0 (same id, same data) must
+    // REPLACE its slice, not append a duplicate
+    writer.writeBatchIdempotent(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"), "stream_docs", 0L)
+    assert(rows() == after, s"replay duplicated rows: ${rows()}")
+  }
+
   test("compactEmbedIndex: probes identical, geometry sidecar untouched") {
     implicit val sc = spark.sqlContext
     val writer = new graft.sinks.StagingWriter(spark, tmpDir("cmpemb"))
