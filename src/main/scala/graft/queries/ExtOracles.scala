@@ -1091,6 +1091,37 @@ object ExtOracles {
         |        ('0x' || substr(md5(text || 'split-v1'), 1, 8))::BIGINT % 1000 AS b
         |      FROM documents)""".stripMargin,
 
+    // Cross-split leakage: the x20 split (hashed on ORIGINAL text) +
+    // the x19 containment body; the planted quote is a scalar subquery
+    // over the first test doc, appended to every 10th train doc.
+    "x61_split_leakage" ->
+      """WITH sp AS (
+        |    SELECT doc_id, text,
+        |           CASE WHEN b < 900 THEN 'train'
+        |                WHEN b < 950 THEN 'val'
+        |                ELSE 'test' END AS split
+        |    FROM (SELECT doc_id, text,
+        |            ('0x' || substr(md5(text || 'split-v1'), 1, 8))::BIGINT % 1000 AS b
+        |          FROM documents)),
+        |  q AS (SELECT array_to_string(list_slice(string_split(text, ' '), 5, 30), ' ') AS quote
+        |        FROM sp WHERE split = 'test' ORDER BY doc_id LIMIT 1),
+        |  tr AS (SELECT doc_id,
+        |           CASE WHEN doc_id % 10 = 0 THEN text || ' ' || q.quote
+        |                ELSE text END AS text
+        |         FROM sp CROSS JOIN q WHERE split = 'train'),
+        |  tg AS (SELECT doc_id, unnest(list_distinct(
+        |           [array_to_string(s[i:i+12], ' ') FOR i IN range(1, len(s)-11)])) AS g
+        |         FROM (SELECT doc_id, string_split(text, ' ') AS s FROM tr)),
+        |  ev AS (SELECT DISTINCT unnest(
+        |           [array_to_string(s[i:i+12], ' ') FOR i IN range(1, len(s)-11)]) AS g
+        |         FROM (SELECT string_split(text, ' ') AS s FROM sp WHERE split = 'test')),
+        |  hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_ngrams
+        |           FROM tg JOIN ev USING (g) GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       coalesce(h.n_eval_ngrams, 0) AS n_eval_ngrams,
+        |       coalesce(h.n_eval_ngrams, 0) > 0 AS contaminated
+        |FROM tr t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin,
+
     "x21_mix_sample" ->
       """SELECT doc_id, lang
         |FROM (SELECT doc_id, lang,

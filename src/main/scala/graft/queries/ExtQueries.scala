@@ -194,6 +194,25 @@ object ExtQueries {
         .select(array_join(slice(split(col("text"), " "), 5, 26), " ").as("text"))
       Dedup.contaminationRate(dd, ev)
     }),
+    // Cross-split leakage: the decontamination report run BETWEEN a
+    // split's own halves (did test leak into train?) — the check every
+    // training run owes its eval numbers. Leakage is PLANTED (every
+    // 10th train doc quotes a 26-token window of the first test doc)
+    // so the row is non-vacuous; split assignment hashes the ORIGINAL
+    // text, so planting can't move a doc across splits.
+    "x61_split_leakage" -> ((s, d) => {
+      val dd = docs(s, d)
+      val joined = dd.join(Assemble.hashSplit(dd), "doc_id")
+      val testDocs = joined.filter(col("split") === "test")
+      val quote = testDocs.orderBy(col("doc_id")).limit(1)
+        .select(array_join(slice(split(col("text"), " "), 5, 26), " "))
+        .head().getString(0)
+      val train = joined.filter(col("split") === "train")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" " + quote)))
+            .otherwise(col("text")).as("text"))
+      Dedup.decontaminate(train, testDocs.select(col("text")))
+    }),
     // Corpus assembly: reproducible content-hash split, language
     // mixture (en 100%, zh 50%, es 25%, de 75%, fr dropped — a mixture
     // spec is a whitelist), and shard-local token-budget packing.

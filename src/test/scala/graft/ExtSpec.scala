@@ -632,6 +632,35 @@ class ExtSpec extends SparkSpec {
       s"rank-limit pushdown missing:\n${plan.take(1500)}")
   }
 
+  test("split leakage: planted quoting train docs flagged, clean ones stay clean") {
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+    val joined = dd.join(graft.ext.Assemble.hashSplit(dd), "doc_id")
+    val testDocs = joined.filter($"split" === "test")
+    val quote = testDocs.orderBy($"doc_id").limit(1)
+      .select(array_join(slice(split($"text", " "), 5, 26), " ")).head().getString(0)
+    val train = joined.filter($"split" === "train")
+      .select($"doc_id",
+        when($"doc_id" % 10 === 0, concat($"text", lit(" " + quote)))
+          .otherwise($"text").as("text"))
+    val r = Dedup.decontaminate(train, testDocs.select($"text")).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    val planted = train.filter($"doc_id" % 10 === 0).collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty, "no planted train doc — fixture split starves the test")
+    // every planted doc contains ≥ 14 test 13-grams (the quote's own windows)
+    planted.foreach { id =>
+      assert(r(id)._2 && r(id)._1 >= 14L, s"planted $id under-flagged: ${r(id)}")
+    }
+    // unplanted flags are GENUINE leakage, not noise: the fixture
+    // plants near-duplicate docs (the MinHash family's ground truth),
+    // and a near-dup pair straddling the split boundary is exactly the
+    // leakage this report exists to catch — but it must stay a small
+    // minority of the train split
+    val unplanted = r.filterNot { case (id, _) => planted(id) }
+    val flagged = unplanted.count(_._2._2)
+    assert(flagged <= unplanted.size / 10,
+      s"$flagged of ${unplanted.size} unplanted train docs flagged — split or fixture broke")
+  }
+
   test("corpusDiff: every status classified, NULL text digests as empty") {
     val v1 = Seq((1L, "s", "same text"), (2L, "s", "old text"), (3L, "t", "goner"),
       (5L, "t", null.asInstanceOf[String])).toDF("doc_id", "source", "text")
