@@ -168,12 +168,16 @@ object Assemble {
       table: String,
       shards: Int): Unit = {
     require(shards >= 1, s"shards must be at least 1, got $shards")
-    TextStats.withQuality(docs)
-      .select(col("doc_id"), col("source"), col("quality_score"))
-      .repartitionByRange(shards, col("quality_score").asc, col("doc_id").asc)
-      .sortWithinPartitions(col("quality_score").asc, col("doc_id").asc)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(writer.path(table))
+    // through the sink's crash-safe swap: a re-export that dies
+    // mid-write must leave the PREVIOUS export readable (plain
+    // Overwrite deletes the live table before writing a byte)
+    writer.writeAndSwap(
+      TextStats.withQuality(docs)
+        .select(col("doc_id"), col("source"), col("quality_score"))
+        .repartitionByRange(shards, col("quality_score").asc, col("doc_id").asc)
+        .sortWithinPartitions(col("quality_score").asc, col("doc_id").asc),
+      table)
+    ()
   }
 
   /** Sliding-window chunking WITH OVERLAP — the training-sample

@@ -114,17 +114,21 @@ object Bloom {
       k: Int = DefaultK): DataFrame = {
     graft.functions.GraftFunctions.register(train.sparkSession)
     // consumed twice (bitset build action + confirm join) — pay the
-    // eval-side scan once; scoped to this query, evictable under
-    // pressure. The build below materializes it eagerly.
+    // eval-side scan once; released below once the report is eager
     val evalHashes = evalDocs
       .select(explode(transform(Dedup.shingles(col("text"), n), s => xxhash64(s))).as("h"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val words = buildBitset(evalHashes, bits, k)
-    val survivors = Dedup.shingleHashes(train, n)
-      .filter(mightContain(words, col("h"), k))
-    // the exact confirm + report tail is Dedup's own — bit-identity
-    // with decontaminate is structural, not a parallel copy
-    Dedup.evalHitReport(train, survivors.join(evalHashes, "h"))
+    try {
+      val words = buildBitset(evalHashes, bits, k)
+      val survivors = Dedup.shingleHashes(train, n)
+        .filter(mightContain(words, col("h"), k))
+      // the exact confirm + report tail is Dedup's own — bit-identity
+      // with decontaminate is structural, not a parallel copy
+      Dedup.evalHitReport(train, survivors.join(evalHashes, "h"))
+        // eager result so the cached eval hashes can be released here —
+        // the sourceDrift ownership convention (Stats.scala)
+        .localCheckpoint(true)
+    } finally evalHashes.unpersist(blocking = false)
   }
 }

@@ -410,6 +410,7 @@ object TextStats {
         sum(when(col("passes"), 1L).otherwise(0L)).as("c_g"),
         sum(when(col("passes"), 0L).otherwise(1L)).as("c_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val t = counts.agg(
       sum(col("c_g")), sum(col("c_b")), count(lit(1))).head()
     val (nG, nB, v) =
@@ -438,6 +439,10 @@ object TextStats {
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(expr("tot div n_tokens"), lit(0L)).as("nb_ppm"))
+      // eager result so the cached counts can be released here — the
+      // sourceDrift ownership convention (Stats.scala)
+      .localCheckpoint(true)
+    } finally counts.unpersist(blocking = false)
   }
 
   /** Bigram predictability score — the integer-exact stand-in for the
@@ -473,6 +478,7 @@ object TextStats {
       .select(col("doc_id"),
         explode(graft.functions.GraftFunctions.wordNgramsAll(col("text"), lit(2))).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val biCounts = {
       val c = docBi.groupBy(col("g")).agg(count(lit(1)).as("c2"))
       if (broadcastCounts) broadcast(c) else c
@@ -492,6 +498,10 @@ object TextStats {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(expr("tot div n_bigrams"), lit(0L)).as("score_ppm"))
+      // eager result so the cached bigram stream can be released here —
+      // the sourceDrift ownership convention (Stats.scala)
+      .localCheckpoint(true)
+    } finally docBi.unpersist(blocking = false)
   }
 
   /** Content fingerprinting: md5-derived 32-bit hashes of distinct word

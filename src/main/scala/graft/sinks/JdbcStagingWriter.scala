@@ -115,14 +115,17 @@ final class JdbcStagingWriter(
   def writeBatchIdempotent(df: DataFrame, table: String, batchId: Long): Long = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      if (exists(conn, table)) {
-        // the Spark JDBC writer creates case-sensitive (quoted)
-        // column names; an unquoted predicate folds per the warehouse
-        // and misses — quote with the connection's own quote string
+      // the Spark JDBC writer creates case-sensitive (quoted) column
+      // names; an unquoted predicate folds per the warehouse and
+      // misses — quote with the connection's own quote string. The
+      // TABLE identifier gets the same treatment, spelled as the
+      // warehouse actually stored it (a mixed-case argument may live
+      // exact-case or folded depending on who created it).
+      resolveInSchema(conn, table).foreach { stored =>
         val qi = conn.getMetaData.getIdentifierQuoteString
         conn.createStatement()
           .executeUpdate(
-            s"DELETE FROM $table WHERE ${qi}ingest_batch$qi = $batchId")
+            s"DELETE FROM $qi$stored$qi WHERE ${qi}ingest_batch$qi = $batchId")
       }
     } finally conn.close()
     val obs = Observation()
@@ -214,6 +217,27 @@ final class JdbcStagingWriter(
       val rs = md.getTables(null, null, pat, null)
       try rs.next() finally rs.close()
     }
+  }
+
+  /** Resolve `t` to its ACTUAL stored spelling in the connection's
+    * CURRENT schema (probing exact case, then both foldings), or None
+    * if absent. Unlike [[exists]], the lookup is schema-scoped — a
+    * same-named table in another schema must not trigger a DELETE
+    * against this one — and it returns the stored name so the caller
+    * can build a correctly-quoted statement whichever folding (or
+    * quoted exact case) created the table. */
+  private def resolveInSchema(
+      conn: java.sql.Connection, t: String): Option[String] = {
+    val md = conn.getMetaData
+    val esc = md.getSearchStringEscape
+    val schema = conn.getSchema // null on drivers without a notion — falls back to all-schema search
+    Seq(t, t.toUpperCase, t.toLowerCase).distinct.iterator.map { n =>
+      val pat = n.replace(esc, esc + esc)
+        .replace("_", esc + "_").replace("%", esc + "%")
+      val rs = md.getTables(null, schema, pat, null)
+      try { if (rs.next()) Some(rs.getString("TABLE_NAME")) else None }
+      finally rs.close()
+    }.collectFirst { case Some(n) => n }
   }
 
   /** [[recoverOrDropBak]] on a fresh connection — the preflight every

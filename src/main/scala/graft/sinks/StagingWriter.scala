@@ -102,7 +102,7 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
     * rename. A crash between the two renames leaves the full table at
     * the backup path (recoverable by one rename), never a half-written
     * or missing table. Row count observed on the write job itself. */
-  private def writeAndSwap(
+  private[graft] def writeAndSwap(
       df: DataFrame, table: String, partCol: Option[String] = None): Long = {
     val obs = Observation()
     val tmp = new Path(path(table) + "__swap_tmp")

@@ -27,7 +27,18 @@ import org.apache.spark.sql.types.StructType
   * parseable rows are a quality gate's job (X45), not the parser's. */
 object JsonlIngest {
 
-  final case class Split(docs: DataFrame, quarantined: DataFrame)
+  /** Both sides of one persisted scan. The CALLER owns the cache:
+    * after consuming (or durably materializing) both frames, call
+    * [[Split.unpersist]]. After release the docs side falls back to
+    * re-scanning the input; the quarantine side fails LOUDLY if
+    * queried again (Spark refuses corrupt-record-only queries over an
+    * uncached scan — the cache is what makes that side legal at all),
+    * so release strictly after the quarantine is drained. */
+  final case class Split(docs: DataFrame, quarantined: DataFrame,
+      private val raw: DataFrame) {
+    /** Release the shared cached scan; see ordering contract above. */
+    def unpersist(): Unit = raw.unpersist(blocking = false)
+  }
 
   val CorruptCol = "_corrupt_record"
 
@@ -48,6 +59,7 @@ object JsonlIngest {
     Split(
       docs = raw.filter(col(CorruptCol).isNull).drop(CorruptCol),
       quarantined = raw.filter(col(CorruptCol).isNotNull)
-        .select(col(CorruptCol).as("raw_line")))
+        .select(col(CorruptCol).as("raw_line")),
+      raw = raw)
   }
 }

@@ -279,6 +279,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows() == after, s"replay duplicated rows: ${rows()}")
   }
 
+  test("writeBatchIdempotent: mixed-case table name replays cleanly (quoted, schema-scoped DELETE)") {
+    val url = s"jdbc:derby:memory:jmix${System.nanoTime()};create=true"
+    val writer = new graft.sinks.JdbcStagingWriter(spark, url)
+    // mixed case + underscore: exercises identifier quoting AND the
+    // LIKE-metacharacter escaping in the stored-name lookup
+    val table = "Mixed_Case"
+    writer.writeBatchIdempotent(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), table, 0L)
+    writer.writeBatchIdempotent(
+      Seq((3L, "c")).toDF("doc_id", "text"), table, 1L)
+    // replay of batch 0 with DIFFERENT content must REPLACE its slice —
+    // an unquoted or wrong-schema DELETE silently misses and appends
+    writer.writeBatchIdempotent(
+      Seq((1L, "a2")).toDF("doc_id", "text"), table, 0L)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      val esc = md.getSearchStringEscape
+      val stored = Seq(table, table.toUpperCase).distinct.flatMap { n =>
+        val rs = md.getTables(null, conn.getSchema,
+          n.replace("_", esc + "_"), null)
+        try { if (rs.next()) Some(rs.getString("TABLE_NAME")) else None }
+        finally rs.close()
+      }.head
+      val qi = md.getIdentifierQuoteString
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT ${qi}doc_id$qi, ${qi}text$qi, ${qi}ingest_batch$qi FROM $qi$stored$qi")
+      val got = Iterator.continually(rs)
+        .takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      assert(got == Set((1L, "a2", 0L), (3L, "c", 1L)),
+        s"replay did not replace its slice: $got")
+    } finally conn.close()
+  }
+
   test("compactEmbedIndex: probes identical, geometry sidecar untouched") {
     implicit val sc = spark.sqlContext
     val writer = new graft.sinks.StagingWriter(spark, tmpDir("cmpemb"))

@@ -65,6 +65,17 @@ class UtilitySpec extends SparkSpec {
     assert(bad == Set("""{"doc_id": 3, "text": "truncat""", "not json at all"), s"got $bad")
     // exhaustive and disjoint: counts add up to the input lines
     assert(split.docs.count() + split.quarantined.count() == lines.size)
+    // caller-owned cache release: after unpersist nothing of this scan
+    // stays cached; the docs side re-scans, the quarantine side (a
+    // corrupt-record-only query, legal only over the cache) fails loudly
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    split.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore,
+      "JsonlIngest scan still cached after Split.unpersist()")
+    // a data-column projection re-scans fine (count() would prune to
+    // the corrupt-filter column alone and hit the same restriction)
+    assert(split.docs.select("text").collect().length == 3)
+    intercept[org.apache.spark.sql.AnalysisException](split.quarantined.count())
   }
 
   test("curriculumExport: shards carry disjoint quality ranges in global order") {

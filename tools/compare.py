@@ -16,7 +16,16 @@ Mimics the driver's correctness gate AT DRIVER STRICTNESS:
     (check_exact: a bit-different float is a hash mismatch at the
     driver, so tolerance here would be a lie).
 
-Usage: python3 tools/compare.py [sfdir] [outdir] [--no-verify]
+With --twice, graft.Verify runs a SECOND time into <outdir>_run2 and
+every output (including rows-only ones that have no oracle) must be
+value-identical across the two runs after canonicalization — the
+determinism check the single-run oracle can't do: a plan that breaks a
+tie differently per run (partition ordering, top-k ties, float
+summation order) passes its own oracle twice with two different
+answers and flakes only at the driver. Row ORDER may differ (the
+driver sorts before hashing); values may not.
+
+Usage: python3 tools/compare.py [sfdir] [outdir] [--no-verify] [--twice]
 """
 import json
 import os
@@ -51,20 +60,62 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def run_verify_into(out: str) -> None:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {out}'],
+        capture_output=True, text=True, cwd="/root/repo")
+    if r.returncode != 0:
+        print(r.stdout[-3000:], r.stderr[-3000:])
+        sys.exit(1)
+
+
+def determinism_check(con, out1: str, out2: str) -> int:
+    """Every output dir present in either run must exist in both and be
+    value-identical after canonicalization (rows-only included)."""
+    bad = 0
+    dirs1 = {d for d in os.listdir(out1)
+             if os.path.isdir(os.path.join(out1, d)) and not d.startswith("_")}
+    dirs2 = {d for d in os.listdir(out2)
+             if os.path.isdir(os.path.join(out2, d)) and not d.startswith("_")}
+    for name in sorted(dirs1 ^ dirs2):
+        print(f"FAIL {name}: present in only one Verify run")
+        bad += 1
+    if json.load(open(f"{out1}/oracle_sql.json")) != \
+            json.load(open(f"{out2}/oracle_sql.json")):
+        print("FAIL oracle_sql.json differs between runs")
+        bad += 1
+    for name in sorted(dirs1 & dirs2):
+        try:
+            a = canon(con.sql(f"SELECT * FROM '{out1}/{name}/*.parquet'").df())
+            b = canon(con.sql(f"SELECT * FROM '{out2}/{name}/*.parquet'").df())
+            pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
+            print(f"OK   {name}: deterministic across runs, rows={len(a)}")
+        except Exception as e:
+            print(f"FAIL {name}: runs differ (nondeterministic plan): "
+                  f"{type(e).__name__}: {str(e)[:300]}")
+            bad += 1
+    return bad
+
+
 def main() -> None:
     run_verify = "--no-verify" not in sys.argv
+    twice = "--twice" in sys.argv
     if run_verify:
-        r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
-            capture_output=True, text=True, cwd="/root/repo")
-        if r.returncode != 0:
-            print(r.stdout[-3000:], r.stderr[-3000:])
-            sys.exit(1)
+        run_verify_into(OUT)
+        if twice:
+            run_verify_into(OUT + "_run2")
 
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+
+    n_bad_det = 0
+    if twice:
+        if not os.path.isdir(OUT + "_run2"):
+            print(f"FAIL --twice: {OUT}_run2 missing (ran with --no-verify?)")
+            sys.exit(1)
+        n_bad_det = determinism_check(con, OUT, OUT + "_run2")
 
     # every query output on disk, not just the oracle-backed subset —
     # a rows-only output that the driver cannot canonicalize is a red
@@ -73,7 +124,7 @@ def main() -> None:
         d for d in os.listdir(OUT)
         if os.path.isdir(os.path.join(OUT, d)) and not d.startswith("_"))
     missing = set(oracles) - set(outputs)
-    n_bad = 0
+    n_bad = n_bad_det
     for name in missing:
         print(f"FAIL {name}: oracle entry but no spark output directory")
         n_bad += 1
