@@ -1091,6 +1091,120 @@ object ExtOracles {
         |        ('0x' || substr(md5(text || 'split-v1'), 1, 8))::BIGINT % 1000 AS b
         |      FROM documents)""".stripMargin,
 
+    // The composed prep-job funnel: the planted raw corpus (x25 damage
+    // + exact copies of every 25th doc), then every stage re-derived in
+    // SQL — normalize (x25's chain), the gopher gate predicate (x40's
+    // metrics), exact-unique keeper window, the x2 brute-force pair set
+    // restricted to the unique survivors feeding the x24 recursive
+    // closure and the x46 quality-ranked keeper, the x19 containment
+    // drop, and the x20 split of what remains. Counts only — one row
+    // per stage.
+    "x62_prep_job" ->
+      """WITH RECURSIVE
+        |  raw AS (
+        |    SELECT doc_id,
+        |           CASE WHEN doc_id % 10 = 0 THEN upper(text)
+        |                ELSE regexp_replace(text, ' th', '  th', 'g') END AS text
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 2000000, upper(text) FROM documents WHERE doc_id % 25 = 0),
+        |  norm AS (SELECT doc_id,
+        |             trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS text
+        |           FROM raw),
+        |  gm AS (SELECT doc_id,
+        |           len(list_filter(string_split(COALESCE(text, ''), ' '),
+        |               t -> length(t) > 0)) AS n_words,
+        |           length(replace(COALESCE(text, ''), ' ', '')) AS n_alpha,
+        |           length(regexp_replace(COALESCE(text, ''), '[a-z0-9 ]', '', 'g')) AS n_sym,
+        |           len(list_filter(string_split(COALESCE(text, ''), ' '),
+        |               t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+        |         FROM norm),
+        |  gate AS (SELECT n.doc_id, n.text FROM norm n JOIN gm USING (doc_id)
+        |           WHERE gm.n_words >= 50 AND gm.n_words <= 100000
+        |             AND (CASE WHEN gm.n_words = 0 THEN 0.0
+        |                       ELSE CAST(gm.n_alpha AS DOUBLE) / gm.n_words END) >= 3.0
+        |             AND (CASE WHEN gm.n_words = 0 THEN 0.0
+        |                       ELSE CAST(gm.n_alpha AS DOUBLE) / gm.n_words END) <= 10.0
+        |             AND (CASE WHEN gm.n_words = 0 THEN 0.0
+        |                       ELSE CAST(gm.n_sym AS DOUBLE) / gm.n_words END) <= 0.1
+        |             AND gm.n_stop >= 2),
+        |  uniq AS (SELECT doc_id, text FROM (
+        |             SELECT doc_id, text,
+        |                    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |             FROM gate) WHERE rn = 1),
+        |  us AS (SELECT doc_id, string_split(text, ' ') AS s FROM uniq),
+        |  sh AS (SELECT doc_id,
+        |           list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                          FOR i IN range(1, len(s)-1)]) AS sh
+        |         FROM us),
+        |  exg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+        |  inter AS (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS i
+        |    FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2),
+        |  pairs AS (
+        |    SELECT a_id, b_id FROM inter i
+        |    JOIN sz sa ON sa.doc_id = i.a_id
+        |    JOIN sz sb ON sb.doc_id = i.b_id
+        |    WHERE 10 * i.i >= 8 * (sa.sz + sb.sz - i.i)),
+        |  e AS (SELECT a_id AS a, b_id AS b FROM pairs
+        |        UNION SELECT b_id, a_id FROM pairs),
+        |  reach(a, b) AS (
+        |    SELECT a, b FROM e
+        |    UNION
+        |    SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |  comp AS (SELECT n.a AS doc_id, least(min(r.b), n.a) AS component
+        |           FROM (SELECT DISTINCT a FROM e) n JOIN reach r ON r.a = n.a
+        |           GROUP BY n.a),
+        |  qm AS (SELECT doc_id,
+        |           len(string_split(text, ' ')) AS n_tokens,
+        |           len(list_filter(string_split(text, ' '),
+        |               t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop,
+        |           length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+        |           length(text) AS n_chars
+        |         FROM uniq),
+        |  q AS (SELECT doc_id,
+        |          (CASE WHEN n_tokens < 5 THEN 0.0
+        |                ELSE 1.0 - (CASE WHEN n_chars = 0 THEN 0e0
+        |                            ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 2.0
+        |                     + least((CAST(n_stop AS DOUBLE) / n_tokens) * 1.5, 0.3)
+        |           END) AS quality_score
+        |        FROM qm),
+        |  ranked AS (
+        |    SELECT c.component, c.doc_id,
+        |           row_number() OVER (PARTITION BY c.component
+        |                              ORDER BY q.quality_score DESC, c.doc_id) AS rn
+        |    FROM comp c JOIN q USING (doc_id)),
+        |  dropids AS (SELECT doc_id FROM ranked WHERE rn > 1),
+        |  nd AS (SELECT u.doc_id, u.text FROM uniq u
+        |         LEFT JOIN dropids dr ON u.doc_id = dr.doc_id WHERE dr.doc_id IS NULL),
+        |  tg AS (SELECT doc_id, unnest(list_distinct(
+        |           [array_to_string(s2[i:i+12], ' ') FOR i IN range(1, len(s2)-11)])) AS g
+        |         FROM (SELECT doc_id, string_split(text, ' ') AS s2 FROM nd)),
+        |  ev_src AS (SELECT list_slice(string_split(text, ' '), 5, 30) AS s
+        |             FROM documents WHERE doc_id % 50 = 0),
+        |  ev AS (SELECT DISTINCT unnest(
+        |           [array_to_string(s[i:i+12], ' ') FOR i IN range(1, len(s)-11)]) AS g
+        |         FROM ev_src),
+        |  cont AS (SELECT DISTINCT doc_id FROM tg JOIN ev USING (g)),
+        |  clean AS (SELECT nd.doc_id, nd.text FROM nd
+        |            LEFT JOIN cont ON nd.doc_id = cont.doc_id WHERE cont.doc_id IS NULL),
+        |  spl AS (SELECT doc_id,
+        |            CASE WHEN b < 900 THEN 'train'
+        |                 WHEN b < 950 THEN 'val'
+        |                 ELSE 'test' END AS split
+        |          FROM (SELECT doc_id,
+        |                  ('0x' || substr(md5(text || 'split-v1'), 1, 8))::BIGINT % 1000 AS b
+        |                FROM clean))
+        |SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM raw
+        |UNION ALL SELECT '2_gate_passed', CAST(count(*) AS BIGINT) FROM gate
+        |UNION ALL SELECT '3_exact_unique', CAST(count(*) AS BIGINT) FROM uniq
+        |UNION ALL SELECT '4_neardup_kept', CAST(count(*) AS BIGINT) FROM nd
+        |UNION ALL SELECT '5_clean', CAST(count(*) AS BIGINT) FROM clean
+        |UNION ALL SELECT '6_split_' || split, CAST(count(*) AS BIGINT) FROM spl
+        |GROUP BY split""".stripMargin,
+
     // Cross-split leakage: the x20 split (hashed on ORIGINAL text) +
     // the x19 containment body; the planted quote is a scalar subquery
     // over the first test doc, appended to every 10th train doc.

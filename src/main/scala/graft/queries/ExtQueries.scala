@@ -213,6 +213,35 @@ object ExtQueries {
             .otherwise(col("text")).as("text"))
       Dedup.decontaminate(train, testDocs.select(col("text")))
     }),
+    // The COMPOSED end-to-end prep job (run.CorpusPrepJob): every
+    // stage is an operator verified solo elsewhere; this row pins
+    // their composition — normalize repairing the planted damage is
+    // load-bearing for the exact-dedup stage (copies carry DIFFERENT
+    // damage than their originals, so only a correct normalize makes
+    // them collide), dedup precedes near-dup (the copies never reach
+    // the pair set), decontamination runs on deduped survivors, the
+    // split hashes cleaned text. Damage: x25's scheme on the base
+    // corpus; exact copies of every 25th doc (id + 2e6, uppercased —
+    // ids ≡ 0 mod 50 share the original's damage class, ids ≡ 25 mod
+    // 50 don't). Eval set: x19's planted construction. Artifacts land
+    // in a per-run temp warehouse (the x23 convention); the output is
+    // the funnel — one (stage, n_docs) row per stage.
+    "x62_prep_job" -> ((s, d) => {
+      val base = docs(s, d)
+      val damaged = base.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, upper(col("text")))
+          .otherwise(regexp_replace(col("text"), " th", "  th")).as("text"),
+        col("lang"), col("source"))
+      val copies = base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          upper(col("text")).as("text"), col("lang"), col("source"))
+      val ev = base.filter(col("doc_id") % 50 === 0)
+        .select(array_join(slice(split(col("text"), " "), 5, 26), " ").as("text"))
+      val w = new graft.sinks.StagingWriter(s,
+        java.nio.file.Files.createTempDirectory("prep_job").toString)
+      graft.run.CorpusPrepJob
+        .run(damaged.unionByName(copies), ev, w).funnel
+    }),
     // Corpus assembly: reproducible content-hash split, language
     // mixture (en 100%, zh 50%, es 25%, de 75%, fr dropped — a mixture
     // spec is a whitelist), and shard-local token-budget packing.

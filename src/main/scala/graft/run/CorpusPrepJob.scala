@@ -1,0 +1,199 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.ext.{Assemble, Dedup, TextStats}
+import graft.sinks.StagingWriter
+import graft.sources.JsonlIngest
+
+/** The ONE runnable end-to-end curation pipeline — the LLM-data analog
+  * of [[Platform.initialDataLoad]]'s lifecycle composition (the
+  * reference's identity is composing its operators into a single
+  * launched job, app.py:146-189; this is the same move over the corpus
+  * operators): ingest → normalize → quality gate → exact dedup →
+  * MinHash near-dup components + canonical rewrite → decontaminate →
+  * split → pack/export, with a per-stage funnel row published and the
+  * artifacts laid out exactly where the incremental ingest loops
+  * ([[graft.streaming.EventsStream.neardupIngestQuery]],
+  * [[Dedup.appendMinhashIndex]]) expect to grow them.
+  *
+  * Every stage is an operator verified solo in its own gate query; the
+  * job pins their COMPOSITION — the ordering constraints that only
+  * show up end-to-end (exact dedup must precede near-dup or planted
+  * copies flood the pair set; decontamination runs on the deduped
+  * survivors so eval hits are counted once; the split hashes the
+  * CLEANED text so a near-dup pair can never straddle train/test).
+  *
+  * Scale shape: the corpus flows through narrow projections and the
+  * operators' own bounded shuffles. The two text-bearing intermediates
+  * that feed multiple consumers are persisted and RELEASED in a
+  * finally (the sourceDrift ownership convention); the near-dup pair
+  * set is materialized once ([[Dedup.minhashNeardupMaterialized]]);
+  * everything durable lands in the warehouse via the staging writer.
+  * Nothing is ever collected to the driver except funnel counts
+  * (one row per stage).
+  */
+object CorpusPrepJob {
+
+  /** Knobs of a prep run. Defaults mirror the solo-operator gate
+    * queries so the composed funnel stays oracle-checkable. */
+  final case class PrepConfig(
+      neardupThreshold: Double = 0.8,
+      decontamNgram: Int = 13,
+      trainPermille: Int = 900,
+      valPermille: Int = 50,
+      splitSalt: String = "split-v1",
+      packTokens: Int = 2048,
+      packShards: Int = 32,
+      curriculumShards: Int = 8,
+      /** When set, the train split is additionally temperature-mixed
+        * to this document budget and the selection is written as the
+        * `train_mix` artifact. */
+      mixBudget: Option[Long] = None)
+
+  /** What a run leaves behind: the funnel (one row per stage — the
+    * observability row a curation team watches), the same counts as a
+    * driver-side map, the quarantine count (JSONL entry point only),
+    * and the warehouse tables written. */
+  final case class PrepReport(
+      funnel: DataFrame,
+      stageCounts: Map[String, Long],
+      quarantined: Long,
+      artifacts: Seq[String])
+
+  /** Table names of the durable artifacts a run lays out. */
+  val CorpusTable = "corpus_clean"
+  val IndexTable = "corpus_minhash"
+  val PackedTable = "train_packed"
+  val CurriculumTable = "curriculum"
+  val FunnelTable = "prep_funnel"
+  val MixTable = "train_mix"
+
+  /** Run the full prep pipeline over an already-loaded document frame
+    * (`doc_id, text, ...` — extra columns ride along). `evalDocs`
+    * carries the benchmark/eval texts to decontaminate against. */
+  def run(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      writer: StagingWriter,
+      cfg: PrepConfig = PrepConfig()): PrepReport = {
+
+    // stage 1→2: normalize, then the Gopher hard gate on the repaired
+    // text. Persisted: feeds the gate flags, the gated frame, and the
+    // raw funnel count — text is parsed once.
+    val normalized = TextStats.normalized(docs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // stage 3: exact dedup keeps the lowest doc_id per content hash —
+    // ONE shuffle on the hash; dup groups are tiny, so the window
+    // holds no meaningful state. Persisted: feeds the pair set, the
+    // component join, the decontamination and the funnel.
+    val exactKept = {
+      val gated = normalized.join(
+        TextStats.gopherRules(normalized).filter(col("passes")).select("doc_id"),
+        "doc_id")
+      val byHash = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      gated.withColumn("__rn", row_number().over(byHash))
+        .filter(col("__rn") === 1).drop("__rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    try {
+      // recompute the gate count from the cached normalized frame (a
+      // count, not a second text scan)
+      val gatedCount = TextStats.gopherRules(normalized).filter(col("passes"))
+
+      // stage 4: near-dup pairs → components → canonical keeper per
+      // component; non-keepers are rewritten away. The pair set is the
+      // ingest artifact shape — materialized once, consumed twice.
+      val pairs = Dedup.minhashNeardupMaterialized(exactKept, cfg.neardupThreshold)
+      val components = Dedup.dupComponents(pairs)
+      val keepers = Dedup.canonicalPick(exactKept, components)
+      val dropIds = components
+        .join(keepers.select(col("component"), col("keeper_id")), "component")
+        .filter(col("doc_id") =!= col("keeper_id"))
+        .select("doc_id")
+      val neardupKept = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
+
+      // stage 5: benchmark decontamination over the deduped survivors
+      val contaminatedIds = Dedup
+        .decontaminate(neardupKept, evalDocs, cfg.decontamNgram)
+        .filter(col("contaminated")).select("doc_id")
+      val clean = neardupKept.join(contaminatedIds, Seq("doc_id"), "left_anti")
+
+      // stage 6: content-hash split rides the cleaned corpus to disk —
+      // THE durable deliverable; downstream stages read it back, so
+      // their lineage starts at the warehouse, not at the raw scan
+      val withSplit = clean.join(
+        Assemble.hashSplit(clean, cfg.trainPermille, cfg.valPermille, cfg.splitSalt),
+        "doc_id")
+      writer.write(withSplit, CorpusTable, append = false)
+      val corpus = writer.read(CorpusTable)
+
+      // artifacts: the MinHash index the streaming ingest loop grows
+      // ([[Dedup.appendMinhashIndex]] / compaction), the packed train
+      // sequences, the curriculum export, the optional mixture
+      Dedup.buildMinhashIndex(corpus, writer, IndexTable)
+      writer.write(
+        Assemble.packBudget(corpus.filter(col("split") === "train"),
+          cfg.packTokens, cfg.packShards),
+        PackedTable, append = false)
+      Assemble.curriculumExport(corpus, writer, CurriculumTable, cfg.curriculumShards)
+      val mixArtifacts = cfg.mixBudget.toSeq.map { budget =>
+        writer.write(
+          Assemble.temperatureMix(corpus.filter(col("split") === "train"), budget),
+          MixTable, append = false)
+        MixTable
+      }
+
+      // the funnel: one unioned aggregate query — every count is an
+      // integer aggregate, map-side combinable, one small row per stage
+      def stage(name: String, d: DataFrame): DataFrame =
+        d.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"))
+      val funnel = stage("1_raw", normalized)
+        .unionByName(stage("2_gate_passed", gatedCount))
+        .unionByName(stage("3_exact_unique", exactKept))
+        .unionByName(stage("4_neardup_kept", neardupKept))
+        .unionByName(stage("5_clean", clean))
+        .unionByName(corpus.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+          .select(concat(lit("6_split_"), col("split")).as("stage"), col("n_docs")))
+        // eager: the funnel must survive the finally-release of the
+        // cached intermediates it counts
+        .localCheckpoint(true)
+      writer.write(funnel, FunnelTable, append = false)
+
+      val counts = funnel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      PrepReport(funnel, counts, quarantined = 0L,
+        artifacts = Seq(CorpusTable, IndexTable, PackedTable, CurriculumTable,
+          FunnelTable) ++ mixArtifacts)
+    } finally {
+      normalized.unpersist(blocking = false)
+      exactKept.unpersist(blocking = false)
+    }
+  }
+
+  /** JSONL landing entry point: quarantine-splitting ingest
+    * ([[JsonlIngest]]), then [[run]] over the parsed side. The
+    * quarantine is written as a durable table (re-ingest fodder) and
+    * its count lands in the report; the shared ingest cache is
+    * released once both sides are consumed (the Split ownership
+    * contract). */
+  def runFromJsonl(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      evalDocs: DataFrame,
+      writer: StagingWriter,
+      cfg: PrepConfig = PrepConfig()): PrepReport = {
+    val split = JsonlIngest.read(spark, path, schema)
+    try {
+      val quarantined = writer.write(split.quarantined, "quarantine", append = false)
+      val report = run(split.docs, evalDocs, writer, cfg)
+      report.copy(
+        quarantined = quarantined,
+        artifacts = report.artifacts :+ "quarantine")
+    } finally split.unpersist()
+  }
+}
