@@ -81,7 +81,17 @@ object Stats {
     * (sources containing it)² ≤ s² rows, and s is dozens while the
     * corpus is 100 TB. Pairs sharing zero shingles are absent (inner
     * join). Hash-vs-string: Spark joins on xxhash64 of the shingle,
-    * the oracle on the shingle string (the x2/x18 cross-proof). */
+    * the oracle on the shingle string (the x2/x18 cross-proof).
+    *
+    * Profiled at sf0.1 (r6, 3 reps each, quiet machine): the distinct
+    * projection is ~0.6 s of a ~1.0 s steady-state total and the
+    * self-join adds ~0.4 s; the 5.7 s single-run bench reading was
+    * first-run JIT noise (the median bench erases it). A
+    * groupBy(h)+sorted-collect_set pair-expansion variant (one
+    * exchange, half the fan-out rows) measured SLOWER
+    * (1.24 s steady-state) — ObjectHashAggregate over mostly-unique
+    * hashes beats nothing here; the current two-sided hash join over
+    * the cached narrow frame stands as the right plan. */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // three consumers (sizes + both self-join sides) — persist so the

@@ -66,6 +66,25 @@ class CorpusPrepJobSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(found.contains((keeper.getLong(0), 9999999L)),
       s"index probe missed the planted near-copy: $found")
+
+    // and the incremental loop GROWS that same artifact: append a new
+    // batch through the ingest-time writer, then a later probe pairs
+    // against the appended doc — the prep job's layout and the
+    // streaming tick's layout are one artifact, not two copies
+    val newDoc = spark.createDataFrame(Seq(
+      (8888888L, "a wholly fresh document about migratory lighthouse maintenance schedules " +
+        "and the keepers who follow them across the northern coast every single year")))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.appendMinhashIndex(newDoc, writer, CorpusPrepJob.IndexTable)
+    val probe2 = spark.createDataFrame(Seq(
+      (8888889L, "a wholly fresh document about migratory lighthouse maintenance schedules " +
+        "and the keepers who follow them across the northern coast every single year indeed")))
+      .toDF("doc_id", "text")
+    val found2 = graft.ext.Dedup
+      .neardupAgainstIndex(probe2, writer, CorpusPrepJob.IndexTable)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found2.contains((8888888L, 8888889L)),
+      s"appended batch invisible to a later probe: $found2")
   }
 
   test("runFromJsonl: quarantine is counted and written; parsed side feeds the pipeline") {
