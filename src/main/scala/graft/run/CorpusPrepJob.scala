@@ -174,6 +174,107 @@ object CorpusPrepJob {
     }
   }
 
+  /** The refresh leg of the lifecycle — [[run]] is the corpus analog
+    * of [[Platform.initialDataLoad]]; this is its `refreshData`: clean
+    * a NEW batch against the STANDING artifacts and grow them, never
+    * re-touching history. Stages mirror [[run]] with the two
+    * incremental twists a production tick needs:
+    *
+    *   - exact dedup is within-batch AND against the standing corpus
+    *     (content digests computed at the corpus scan — text never
+    *     shuffles for the anti-join's build side);
+    *   - near-dup is within-batch (components + canonical keeper)
+    *     THEN a probe of the survivors against the stored MinHash
+    *     index ([[Dedup.neardupAgainstIndex]]) — history always wins,
+    *     the streaming loop's semantic, and no standing signature is
+    *     ever recomputed.
+    *
+    * Survivors append to the corpus table and the index
+    * ([[Dedup.appendMinhashIndex]]), so the NEXT tick — batch or
+    * streaming — sees this one as history. The curriculum/pack exports
+    * are compaction-cadence jobs, deliberately NOT re-run per tick
+    * (re-sorting the full corpus per batch would be quadratic over a
+    * day of ticks); re-run [[run]]-style exports when compaction runs.
+    * The returned funnel describes THIS batch only and is not written
+    * over the initial run's funnel table — publishing cadence belongs
+    * to the caller. */
+  def increment(
+      newDocs: DataFrame,
+      evalDocs: DataFrame,
+      writer: StagingWriter,
+      cfg: PrepConfig = PrepConfig()): PrepReport = {
+    val normalized = TextStats.normalized(newDocs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exactKept = {
+      val gated = normalized.join(
+        TextStats.gopherRules(normalized).filter(col("passes")).select("doc_id"),
+        "doc_id")
+      val byHash = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val batchUniq = gated.withColumn("__rn", row_number().over(byHash))
+        .filter(col("__rn") === 1).drop("__rn")
+      // standing-corpus digests ride the scan projection — narrow
+      batchUniq.join(
+        writer.read(CorpusTable).select(md5(col("text")).as("__corpus_hash")).distinct(),
+        md5(batchUniq("text")) === col("__corpus_hash"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    try {
+      val gatedCount = TextStats.gopherRules(normalized).filter(col("passes"))
+
+      // within-batch near-dup rewrite, then the history probe
+      val pairs = Dedup.minhashNeardupMaterialized(exactKept, cfg.neardupThreshold)
+      val components = Dedup.dupComponents(pairs)
+      val keepers = Dedup.canonicalPick(exactKept, components)
+      val dropIds = components
+        .join(keepers.select(col("component"), col("keeper_id")), "component")
+        .filter(col("doc_id") =!= col("keeper_id"))
+        .select("doc_id")
+      val batchKept = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
+      val dupOfHistory = Dedup
+        .neardupAgainstIndex(batchKept, writer, IndexTable, cfg.neardupThreshold)
+        .select(col("b_id").as("doc_id")).distinct()
+      val neardupKept = batchKept.join(dupOfHistory, Seq("doc_id"), "left_anti")
+
+      val contaminatedIds = Dedup
+        .decontaminate(neardupKept, evalDocs, cfg.decontamNgram)
+        .filter(col("contaminated")).select("doc_id")
+      val clean = neardupKept.join(contaminatedIds, Seq("doc_id"), "left_anti")
+
+      val withSplit = clean.join(
+        Assemble.hashSplit(clean, cfg.trainPermille, cfg.valPermille, cfg.splitSalt),
+        "doc_id")
+        // eager before the appends: the writes must see ONE evaluation
+        // of the batch chain, and the corpus append must not re-read
+        // the corpus it is appending to via the anti-join lineage
+        .localCheckpoint(true)
+
+      // the funnel is ALSO materialized before the artifacts grow —
+      // a lazy count evaluated after the append would re-run the
+      // standing-corpus anti-join against a corpus that now contains
+      // this batch's own survivors and report them as duplicates
+      def stage(name: String, d: DataFrame): DataFrame =
+        d.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"))
+      val funnel = stage("1_raw", normalized)
+        .unionByName(stage("2_gate_passed", gatedCount))
+        .unionByName(stage("3_exact_unique", exactKept))
+        .unionByName(stage("4_neardup_kept", neardupKept))
+        .unionByName(stage("5_clean", clean))
+        .unionByName(withSplit.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+          .select(concat(lit("6_split_"), col("split")).as("stage"), col("n_docs")))
+        .localCheckpoint(true)
+
+      writer.write(withSplit, CorpusTable, append = true)
+      Dedup.appendMinhashIndex(withSplit, writer, IndexTable)
+      val counts = funnel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      PrepReport(funnel, counts, quarantined = 0L,
+        artifacts = Seq(CorpusTable, IndexTable))
+    } finally {
+      normalized.unpersist(blocking = false)
+      exactKept.unpersist(blocking = false)
+    }
+  }
+
   /** JSONL landing entry point: quarantine-splitting ingest
     * ([[JsonlIngest]]), then [[run]] over the parsed side. The
     * quarantine is written as a durable table (re-ingest fodder) and

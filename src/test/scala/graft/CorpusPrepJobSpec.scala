@@ -87,6 +87,61 @@ class CorpusPrepJobSpec extends SparkSpec {
       s"appended batch invisible to a later probe: $found2")
   }
 
+  test("increment: a new batch dedups against standing artifacts and grows them") {
+    val wh = tmpDir("prepincr")
+    val writer = new StagingWriter(spark, wh)
+    val initial = CorpusPrepJob.run(docs, evalDocs, writer)
+    val corpusBefore = writer.read(CorpusPrepJob.CorpusTable)
+      .select("doc_id", "text").collect()
+    val kept = corpusBefore.sortBy(_.getLong(0))
+    assert(kept.length >= 2, "fixture too small for the increment scenario")
+
+    // four batch docs, one per drop stage:
+    //  (a) exact copy of a standing doc        -> exact stage
+    //  (b) near-dup of a standing doc          -> history-probe stage
+    //  (c) fresh text quoting an eval window   -> decontamination stage
+    //  (d) genuinely new clean doc             -> survives
+    val t1 = kept.head.getString(1)
+    val t2 = kept(1).getString(1)
+    val evalWindow = evalDocs.limit(1).head().getString(0)
+    val contaminated = (t1.split(" ").take(40) ++ evalWindow.split(" ") ++
+      t2.split(" ").takeRight(40)).mkString(" ")
+    val fresh = ("the keepers of a coastal lighthouse follow maintenance schedules " +
+      "across the northern route every year and the log of each visit records " +
+      "paint wear lens state and the long slow drift of the foundation stones " +
+      "while a small boat waits in the cove below the cliff path and the gulls " +
+      "turn slow circles over the light before the fog rolls in again").trim
+    val batch = spark.createDataFrame(Seq(
+      (9000001L, t1, "en", "incr"),
+      (9000002L, t2 + " with a few extra trailing tokens appended", "en", "incr"),
+      (9000003L, contaminated, "en", "incr"),
+      (9000004L, fresh, "en", "incr")))
+      .toDF("doc_id", "text", "lang", "source")
+
+    val tick = CorpusPrepJob.increment(batch, evalDocs, writer)
+    val c = tick.stageCounts
+    assert(c("1_raw") == 4, s"got $c")
+    assert(c("2_gate_passed") == 4, s"gate dropped a crafted doc: $c")
+    assert(c("3_exact_unique") == 3, s"exact copy not dropped vs corpus: $c")
+    assert(c("4_neardup_kept") == 2, s"near-dup not dropped vs index: $c")
+    assert(c("5_clean") == 1, s"contaminated doc not dropped: $c")
+    assert(c.filter(_._1.startsWith("6_split_")).values.sum == 1)
+
+    // artifacts grew by exactly the surviving doc...
+    val corpusAfter = writer.read(CorpusPrepJob.CorpusTable)
+    assert(corpusAfter.count() == corpusBefore.length + 1)
+    assert(corpusAfter.filter(col("doc_id") === 9000004L).count() == 1)
+    // ...and the NEXT tick sees it as history: a near-copy of the
+    // survivor probes to it through the grown index
+    val probe = spark.createDataFrame(Seq(
+      (9000005L, fresh + " indeed"))).toDF("doc_id", "text")
+    val found = graft.ext.Dedup
+      .neardupAgainstIndex(probe, writer, CorpusPrepJob.IndexTable)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((9000004L, 9000005L)),
+      s"grown index invisible to the next tick: $found")
+  }
+
   test("runFromJsonl: quarantine is counted and written; parsed side feeds the pipeline") {
     val dir = tmpDir("prepjsonl")
     val lines =
