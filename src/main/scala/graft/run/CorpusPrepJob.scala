@@ -128,7 +128,11 @@ object CorpusPrepJob {
       val withSplit = clean.join(
         Assemble.hashSplit(clean, cfg.trainPermille, cfg.valPermille, cfg.splitSalt),
         "doc_id")
-      writer.write(withSplit, CorpusTable, append = false)
+      // through the crash-safe swap: a re-run that dies mid-write must
+      // leave the PREVIOUS corpus readable (the curriculumExport
+      // lesson); the cheap derived artifacts below are re-derivable
+      // from this table, so they keep plain overwrite
+      writer.writeAndSwap(withSplit, CorpusTable)
       val corpus = writer.read(CorpusTable)
 
       // artifacts: the MinHash index the streaming ingest loop grows
@@ -197,7 +201,14 @@ object CorpusPrepJob {
     * day of ticks); re-run [[run]]-style exports when compaction runs.
     * The returned funnel describes THIS batch only and is not written
     * over the initial run's funnel table — publishing cadence belongs
-    * to the caller. */
+    * to the caller.
+    *
+    * Delivery semantics: at-most-once per batch — the corpus/index
+    * appends are flat (not batch-partitioned), so REPLAYING a crashed
+    * tick would duplicate its survivors. A caller needing
+    * at-least-once replay safety should feed batches through the
+    * streaming loop ([[graft.streaming.EventsStream.neardupIngestQuery]]),
+    * whose ingest_batch-partition writes replace their own slice. */
   def increment(
       newDocs: DataFrame,
       evalDocs: DataFrame,
