@@ -184,6 +184,60 @@ object Dedup {
           .as("rate_ppm"))
   }
 
+  /** FUZZY decontamination — the near-duplicate sibling of the exact
+    * n-gram containment ([[decontaminate]]): a training document is
+    * flagged when it is a MinHash near-dup (3-gram Jaccard ≥
+    * `threshold`) of ANY eval document — the paragraph/document-level
+    * fuzzy scrub the major open corpus pipelines run next to the exact
+    * 13-gram rule, catching lightly-edited benchmark copies the exact
+    * rule misses (a paraphrased prompt shares few 13-grams but most of
+    * its 3-gram shingles). Returns one row per training doc:
+    * (doc_id, n_eval_neardups, contaminated) — integer/boolean, hash-
+    * compare safe; the per-pair Jaccard stays internal.
+    *
+    * Scale shape: the x19 story made fuzzy — the eval side (bands AND
+    * the verify join's shingles) is benchmark-sized and BROADCAST; the
+    * corpus streams through its shingle projection once and never
+    * shuffles in full. Candidates come from the same 16×4 banding as
+    * [[minhashNeardup]] (recall regime verified by RecallCheck), with
+    * the train-side band buckets capped — an over-full bucket is
+    * boilerplate, and here it would fan out across every eval doc in
+    * the bucket. */
+  def fuzzyDecontaminate(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val trainHs = shingleHashes(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val evalHs = shingleHashes(evalDocs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cand = BucketCap
+          .keepSmall(minhashBandsFrom(trainHs), Seq("band", "band_hash"), maxBucket)
+          .select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
+          .join(broadcast(minhashBandsFrom(evalHs)
+            .select(col("band"), col("band_hash"), col("doc_id").as("b_id"))),
+            Seq("band", "band_hash"))
+          .select("a_id", "b_id")
+          .distinct()
+        val trainSizes = trainHs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val evalSizes = evalHs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val hits = pairJaccardCross(
+          trainHs, trainSizes, broadcast(evalHs), evalSizes, cand)
+          .filter(col("jaccard") >= threshold)
+          .groupBy(col("a_id")).agg(count(lit(1)).as("n_eval_neardups"))
+        train.select(col("doc_id"))
+          .join(hits.withColumnRenamed("a_id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_eval_neardups"), lit(0L)).as("n_eval_neardups"),
+            (coalesce(col("n_eval_neardups"), lit(0L)) > 0).as("contaminated"))
+          .localCheckpoint(true)
+      } finally evalHs.unpersist(blocking = false)
+    } finally trainHs.unpersist(blocking = false)
+  }
+
   def minhashBands(docs: DataFrame): DataFrame =
     minhashBandsFrom(shingleHashes(docs))
 

@@ -1091,6 +1091,28 @@ object ExtOracles {
         |        ('0x' || substr(md5(text || 'split-v1'), 1, 8))::BIGINT % 1000 AS b
         |      FROM documents)""".stripMargin,
 
+    // Fuzzy decontamination: brute-force cross-set Jaccard (corpus ×
+    // planted eval set — full texts of every 50th doc plus a suffix)
+    // vs the Spark side's banded candidates + exact verify; the
+    // quadratic is corpus × benchmark (small), not corpus².
+    "x63_fuzzy_decontaminate" ->
+      s"""WITH $shingleCte,
+         |  ev0 AS (SELECT doc_id, string_split(text || ' zz eval benchmark suffix', ' ') AS s
+         |          FROM documents WHERE doc_id % 50 = 0),
+         |  evs AS (SELECT doc_id AS eval_id,
+         |            list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+         |                           FOR i IN range(1, len(s)-1)]) AS sh
+         |          FROM ev0),
+         |  hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_eval_neardups
+         |           FROM sh t JOIN evs e
+         |             ON CAST(len(list_intersect(t.sh, e.sh)) AS DOUBLE) /
+         |                len(list_distinct(list_concat(t.sh, e.sh))) >= 0.8
+         |           GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(h.n_eval_neardups, 0) AS n_eval_neardups,
+         |       coalesce(h.n_eval_neardups, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+
     // The composed prep-job funnel: the planted raw corpus (x25 damage
     // + exact copies of every 25th doc), then every stage re-derived in
     // SQL — normalize (x25's chain), the gopher gate predicate (x40's

@@ -213,6 +213,21 @@ object ExtQueries {
             .otherwise(col("text")).as("text"))
       Dedup.decontaminate(train, testDocs.select(col("text")))
     }),
+    // FUZZY decontamination: MinHash near-dup (j >= 0.8) between the
+    // corpus and a planted eval set — every 50th doc's FULL text with
+    // a suffix appended (j ~= 0.98 vs its source, unlike x19's 26-token
+    // slices which share most 13-grams but few enough 3-gram shingles
+    // to stay far below any Jaccard threshold). Non-vacuous both ways:
+    // the planted copies flag their sources, and natural near-dup
+    // partners of those sources flag too (the lightly-edited-copy case
+    // the exact rule misses).
+    "x63_fuzzy_decontaminate" -> ((s, d) => {
+      val dd = docs(s, d)
+      val ev = dd.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" zz eval benchmark suffix")).as("text"))
+      Dedup.fuzzyDecontaminate(dd, ev)
+    }),
     // The COMPOSED end-to-end prep job (run.CorpusPrepJob): every
     // stage is an operator verified solo elsewhere; this row pins
     // their composition — normalize repairing the planted damage is
