@@ -184,6 +184,60 @@ object Dedup {
           .as("rate_ppm"))
   }
 
+  /** Span-level decontamination REWRITE — the third member of the
+    * decontamination family: where [[decontaminate]] DROPS a
+    * contaminated document and [[contaminationRate]] grades it, this
+    * TRIMS it — every token covered by an eval-matching `n`-gram
+    * window is removed and the document is rebuilt from what remains
+    * (the span-removal treatment the open-corpus pipelines apply when
+    * a long document quotes one benchmark passage: dropping it whole
+    * wastes the other 95%). Returns one row per (non-NULL-text)
+    * training doc: (doc_id, n_tokens, n_removed, clean_hash) — the
+    * rewritten text ships in production; the hash-compared gate form
+    * follows the [[chunkDedup]] convention of never shipping bodies.
+    *
+    * Scale shape: eval n-gram hashes BROADCAST (the x19 story); the
+    * corpus contributes its positional window stream (filtered to
+    * matches immediately against the broadcast) and its token stream —
+    * two narrow per-doc-keyed shuffles (coverage join + rebuild
+    * aggregate), both O(corpus tokens), no all-pairs step. The rebuild
+    * is the [[chunkDedup]] null-skipping collect + array_sort idiom:
+    * deterministic (tpos leads the sort), and a fully-covered document
+    * hashes the empty string on both engines. NULL texts excluded by
+    * contract (the x39 convention). */
+  def decontaminateTrim(train: DataFrame, evalDocs: DataFrame, n: Int = 13): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val evalHashes = broadcast(
+      evalDocs
+        .select(explode(transform(shingles(col("text"), n), s => xxhash64(s))).as("h"))
+        .distinct())
+    val base = train.filter(col("text").isNotNull)
+    val matched = base
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.wordNgramsAll(col("text"), lit(n)))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("h"))
+      .join(evalHashes, "h")
+    val covered = matched
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tpos"))
+      .distinct()
+      .withColumn("cov", lit(1))
+    base
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("tpos", "tok")))
+      .join(covered, Seq("doc_id", "tpos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cov") === 1, lit(1L)).otherwise(lit(0L))).as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("cov").isNull,
+              struct(col("tpos"), col("tok"))))),
+            s => s.getField("tok")),
+          " ")).as("clean_hash"))
+  }
+
   /** FUZZY decontamination — the near-duplicate sibling of the exact
     * n-gram containment ([[decontaminate]]): a training document is
     * flagged when it is a MinHash near-dup (3-gram Jaccard ≥

@@ -1091,6 +1091,37 @@ object ExtOracles {
         |        ('0x' || substr(md5(text || 'split-v1'), 1, 8))::BIGINT % 1000 AS b
         |      FROM documents)""".stripMargin,
 
+    // Span-trim decontamination: positional 13-token windows (the x35
+    // struct-comprehension idiom), eval hits expand to covered token
+    // positions, and the doc rebuilds from uncovered tokens via
+    // ORDER BY string_agg — md5 cross-proves the rebuild against
+    // Spark's array_sort(collect_list) construction; a fully-covered
+    // doc hashes '' on both sides.
+    "x64_decontaminate_trim" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS s
+        |            FROM documents WHERE text IS NOT NULL),
+        |  tg AS (SELECT doc_id, r['pos'] AS pos, r['g'] AS g FROM (
+        |     SELECT doc_id, unnest([{'pos': i-1, 'g': array_to_string(s[i:i+12], ' ')}
+        |                            FOR i IN range(1, len(s)-11)]) AS r FROM tr)),
+        |  ev_src AS (SELECT list_slice(string_split(text, ' '), 5, 30) AS s
+        |             FROM documents WHERE doc_id % 50 = 0),
+        |  ev AS (SELECT DISTINCT unnest(
+        |           [array_to_string(s[i:i+12], ' ') FOR i IN range(1, len(s)-11)]) AS g
+        |         FROM ev_src),
+        |  mw AS (SELECT doc_id, pos FROM tg JOIN ev USING (g)),
+        |  cov AS (SELECT DISTINCT doc_id, unnest([pos + i FOR i IN range(0, 13)]) AS tpos
+        |          FROM mw),
+        |  tok AS (SELECT doc_id, r['p'] AS tpos, r['t'] AS tok FROM (
+        |     SELECT doc_id, unnest([{'p': i-1, 't': s[i]} FOR i IN range(1, len(s)+1)]) AS r
+        |     FROM tr)),
+        |  j AS (SELECT t.doc_id, t.tpos, t.tok, c.tpos IS NOT NULL AS covered
+        |        FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |       md5(COALESCE(string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY tpos), ''))
+        |         AS clean_hash
+        |FROM j GROUP BY doc_id""".stripMargin,
+
     // Fuzzy decontamination: brute-force cross-set Jaccard (corpus ×
     // planted eval set — full texts of every 50th doc plus a suffix)
     // vs the Spark side's banded candidates + exact verify; the

@@ -213,6 +213,18 @@ object ExtQueries {
             .otherwise(col("text")).as("text"))
       Dedup.decontaminate(train, testDocs.select(col("text")))
     }),
+    // Span-level decontamination REWRITE: x19's planted eval set, but
+    // instead of dropping a contaminated doc the eval-matching 13-gram
+    // windows are removed and the doc is rebuilt from what remains —
+    // the span-removal treatment for long docs quoting one benchmark
+    // passage. Output pins the rebuild via md5 of the cleaned text
+    // (the x39 convention), never the body.
+    "x64_decontaminate_trim" -> ((s, d) => {
+      val dd = docs(s, d)
+      val ev = dd.filter(col("doc_id") % 50 === 0)
+        .select(array_join(slice(split(col("text"), " "), 5, 26), " ").as("text"))
+      Dedup.decontaminateTrim(dd, ev)
+    }),
     // FUZZY decontamination: MinHash near-dup (j >= 0.8) between the
     // corpus and a planted eval set — every 50th doc's FULL text with
     // a suffix appended (j ~= 0.98 vs its source, unlike x19's 26-token
