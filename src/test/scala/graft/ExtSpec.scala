@@ -1893,4 +1893,42 @@ class ExtSpec extends SparkSpec {
         s"expected 1 exchange, got $nShuffles:\n${s.queryExecution.executedPlan.toString.take(2000)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("decontaminateTrim: short docs and empty eval pass through; full coverage hashes ''") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), // shorter than n: no windows, never trimmed
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13")) // exactly n tokens: one window
+      .toDF("doc_id", "text")
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text").select(col("text"))
+    val untouched = Dedup.decontaminateTrim(docs, emptyEval)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(untouched(1L) == ((3L, 0L,
+      java.security.MessageDigest.getInstance("MD5").digest("a b c".getBytes)
+        .map("%02x".format(_)).mkString)))
+    assert(untouched(2L)._2 == 0L)
+    // eval contains doc 2's single window: doc 2 fully covered -> md5('')
+    val ev = Seq(Tuple1("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13")).toDF("text")
+    val trimmed = Dedup.decontaminateTrim(docs, ev)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(trimmed(2L) == ((13L, 13L, "d41d8cd98f00b204e9800998ecf8427e")),
+      s"full coverage should hash '': ${trimmed(2L)}")
+    assert(trimmed(1L)._2 == 0L, "short doc must never be trimmed")
+  }
+
+  test("fuzzyDecontaminate: empty eval flags nothing; a verbatim eval copy flags") {
+    import spark.implicits._
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, (100 to 140).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val none = Dedup.fuzzyDecontaminate(docs,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(none == Map(1L -> false, 2L -> false))
+    val ev = Seq((900L, body + " suffix")).toDF("doc_id", "text")
+    val flagged = Dedup.fuzzyDecontaminate(docs, ev)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(flagged(1L) == ((1L, true)), s"near-copy not flagged: $flagged")
+    assert(flagged(2L) == ((0L, false)), s"unrelated doc flagged: $flagged")
+  }
 }
