@@ -208,6 +208,39 @@ object TextStats {
       length(scrubbed).as("n_chars_clean"))
   }
 
+  /** HTML → text extraction — the FIRST prep step of every web-crawl
+    * corpus (the CommonCrawl-style WET construction): strip markup
+    * tags, decode the five core character entities, collapse the
+    * whitespace the removed tags leave behind. Deliberately a
+    * deterministic regex contract, not a DOM parse — the semantics
+    * must be reproducible by any engine auditing the corpus (the
+    * DuckDB oracle re-derives the extraction character-for-character),
+    * and at 100 TB the extraction is a pure per-row projection with no
+    * library dependency. Order matters and is part of the contract:
+    * tags strip FIRST, then entities decode — so `&lt;b&gt;` in the
+    * source renders as the literal text `<b>` instead of being eaten
+    * as markup (the classic double-decode bug inverted).
+    *
+    * Output: (doc_id, clean_hash, n_chars, n_tags) — the extracted
+    * text ships in production; the gate form pins it by md5 (the
+    * chunk-dedup convention). Patterns are dialect-neutral (same
+    * semantics in Java regex and RE2/DuckDB). */
+  def htmlExtract(docs: DataFrame): DataFrame = {
+    val entities = Seq(
+      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'")
+    val stripped = regexp_replace(col("text"), "<[^>]+>", " ")
+    val decoded = entities.foldLeft(stripped) { case (c, (e, v)) =>
+      regexp_replace(c, e, v)
+    }
+    val clean = trim(regexp_replace(decoded, " +", " "))
+    docs.select(
+      col("doc_id"),
+      md5(clean).as("clean_hash"),
+      length(clean).as("n_chars"),
+      regexp_count(col("text"), lit("<[^>]+>")).as("n_tags"))
+  }
+
   /** Repetition signal (the Gopher-style duplicate-n-gram ratio): the
     * fraction of a document's word bigrams that are repeats —
     * 1 − distinct/total. High values flag boilerplate/looping text for

@@ -1091,6 +1091,28 @@ object ExtOracles {
         |        ('0x' || substr(md5(text || 'split-v1'), 1, 8))::BIGINT % 1000 AS b
         |      FROM documents)""".stripMargin,
 
+    // HTML extraction: the same strip-then-decode-then-collapse chain
+    // character-for-character (order is the contract: tags first, so
+    // literal &lt;b&gt; text is never eaten as markup); round-trips to
+    // original + ' tail & done' by construction, which the md5 pins.
+    "x65_html_extract" ->
+      """WITH p AS (SELECT doc_id,
+        |    '<html><body class="doc"><p>' ||
+        |    regexp_replace(text, ' value ', ' <b>value</b> ', 'g') ||
+        |    '</p> <p>tail &amp; done</p></body></html>' AS text
+        |  FROM documents),
+        |  s AS (SELECT doc_id, text,
+        |    trim(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(text, '<[^>]+>', ' ', 'g'),
+        |        '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |        '&quot;', '"', 'g'), '&#39;', chr(39), 'g'),
+        |      ' +', ' ', 'g')) AS clean
+        |  FROM p)
+        |SELECT doc_id, md5(clean) AS clean_hash, CAST(length(clean) AS INT) AS n_chars,
+        |       CAST(len(regexp_extract_all(text, '<[^>]+>')) AS INT) AS n_tags
+        |FROM s""".stripMargin,
+
     // Span-trim decontamination: positional 13-token windows (the x35
     // struct-comprehension idiom), eval hits expand to covered token
     // positions, and the doc rebuilds from uncovered tokens via

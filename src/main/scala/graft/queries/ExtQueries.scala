@@ -213,6 +213,19 @@ object ExtQueries {
             .otherwise(col("text")).as("text"))
       Dedup.decontaminate(train, testDocs.select(col("text")))
     }),
+    // HTML -> text extraction over PLANTED markup (the fixture is
+    // plain text, so the wrap is the damage): every doc gets a fixed
+    // document frame plus <b> wraps around its ' value ' tokens and a
+    // trailing entity-bearing paragraph. The extraction must
+    // round-trip to original-text + ' tail & done' — pinned by md5 —
+    // and n_tags counts the planted markup (8 fixed + 2 per wrap).
+    "x65_html_extract" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        concat(lit("<html><body class=\"doc\"><p>"),
+          regexp_replace(col("text"), " value ", " <b>value</b> "),
+          lit("</p> <p>tail &amp; done</p></body></html>")).as("text"))
+      TextStats.htmlExtract(planted)
+    }),
     // Span-level decontamination REWRITE: x19's planted eval set, but
     // instead of dropping a contaminated doc the eval-matching 13-gram
     // windows are removed and the doc is rebuilt from what remains —
