@@ -199,8 +199,10 @@ object Dedup {
     * Scale shape: eval n-gram hashes BROADCAST (the x19 story); the
     * corpus contributes its positional window stream (filtered to
     * matches immediately against the broadcast) and its token stream —
-    * two narrow per-doc-keyed shuffles (coverage join + rebuild
-    * aggregate), both O(corpus tokens), no all-pairs step. The rebuild
+    * two narrow per-doc-keyed shuffles of O(corpus tokens) (coverage
+    * join + rebuild aggregate) plus one MATCH-scale exchange (the
+    * covered-position distinct, sized by contamination, not corpus),
+    * no all-pairs step. The rebuild
     * is the [[chunkDedup]] null-skipping collect + array_sort idiom:
     * deterministic (tpos leads the sort), and a fully-covered document
     * hashes the empty string on both engines. NULL texts excluded by
