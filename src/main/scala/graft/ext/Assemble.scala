@@ -317,6 +317,38 @@ object Assemble {
         col("rn").cast("long").as("source_rank"), col("quality_score"))
   }
 
+  /** Deterministic stratified sample — the held-out / eval-set
+    * construction step (the set the decontamination family then
+    * scrubs against): keep exactly `perStratum` documents per stratum,
+    * ranked by a salted content hash (uniform over the stratum,
+    * reproducible on any engine and any partitioning — no RNG) with
+    * doc_id completing the total order. A different `salt` draws an
+    * independent sample; identical texts always rank adjacently, so a
+    * dedup BEFORE sampling keeps the draw honest.
+    *
+    * Scale shape: ONE shuffle on the stratum, and the literal
+    * `rank <= N` bound rewrites to a PARTIAL WindowGroupLimit below
+    * the exchange (the [[sourceCap]] / SPARK-37099 shape) — each scan
+    * partition forwards at most N rows per stratum, so the exchange
+    * moves O(strata × N × partitions), never the corpus. */
+  def stratifiedSample(
+      docs: DataFrame,
+      perStratum: Int = 20,
+      stratum: String = "lang",
+      salt: String = "sample-v1"): DataFrame = {
+    require(perStratum >= 1, s"perStratum must be at least 1, got $perStratum")
+    // coalesce before hashing: a NULL text must get a rank too, and
+    // NULL ordering differs across engines (Spark nulls-first vs
+    // DuckDB NULLS LAST) — '' hashes identically everywhere
+    val h = OracleHash.md5Hash32(concat(coalesce(col("text"), lit("")), lit(salt)))
+    val byStratum = Window.partitionBy(col(stratum)).orderBy(h, col("doc_id"))
+    docs
+      .withColumn("rn", row_number().over(byStratum))
+      .filter(col("rn") <= perStratum)
+      .select(col("doc_id"), col(stratum),
+        col("rn").cast("long").as("sample_rank"))
+  }
+
   def budgetSelect(docs: DataFrame, budget: Long): DataFrame = {
     require(budget >= 0, s"token budget $budget must be non-negative")
     // both the value histogram and the final join consume this frame —

@@ -225,15 +225,22 @@ object TextStats {
     * text ships in production; the gate form pins it by md5 (the
     * chunk-dedup convention). Patterns are dialect-neutral (same
     * semantics in Java regex and RE2/DuckDB). */
-  def htmlExtract(docs: DataFrame): DataFrame = {
+  /** The extraction itself as a column — the production form
+    * ([[htmlExtract]] is its md5-pinned gate shape), and the form the
+    * prep pipeline composes as its landing stage. */
+  def htmlToText(text: Column): Column = {
     val entities = Seq(
       "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'")
-    val stripped = regexp_replace(col("text"), "<[^>]+>", " ")
+    val stripped = regexp_replace(text, "<[^>]+>", " ")
     val decoded = entities.foldLeft(stripped) { case (c, (e, v)) =>
       regexp_replace(c, e, v)
     }
-    val clean = trim(regexp_replace(decoded, " +", " "))
+    trim(regexp_replace(decoded, " +", " "))
+  }
+
+  def htmlExtract(docs: DataFrame): DataFrame = {
+    val clean = htmlToText(col("text"))
     docs.select(
       col("doc_id"),
       md5(clean).as("clean_hash"),

@@ -1091,6 +1091,17 @@ object ExtOracles {
         |        ('0x' || substr(md5(text || 'split-v1'), 1, 8))::BIGINT % 1000 AS b
         |      FROM documents)""".stripMargin,
 
+    // Stratified sample: the same salted-hash ranking (md5-32 idiom)
+    // with the doc_id tiebreak; text coalesced to '' BEFORE hashing on
+    // both engines so NULL ordering can never matter.
+    "x66_stratified_sample" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY ('0x' || substr(md5(coalesce(text, '') || 'sample-v1'), 1, 8))::BIGINT,
+        |                    doc_id) AS rn
+        |  FROM documents) WHERE rn <= 15""".stripMargin,
+
     // HTML extraction: the same strip-then-decode-then-collapse chain
     // character-for-character (order is the contract: tags first, so
     // literal &lt;b&gt; text is never eaten as markup); round-trips to

@@ -213,6 +213,11 @@ object ExtQueries {
             .otherwise(col("text")).as("text"))
       Dedup.decontaminate(train, testDocs.select(col("text")))
     }),
+    // Deterministic stratified eval-set sampling: 15 docs per lang
+    // ranked by salted content hash (the fixture carries ~100 per
+    // lang, so the cut is non-vacuous in every stratum).
+    "x66_stratified_sample" -> ((s, d) =>
+      Assemble.stratifiedSample(docs(s, d), perStratum = 15)),
     // HTML -> text extraction over PLANTED markup (the fixture is
     // plain text, so the wrap is the damage): every doc gets a fixed
     // document frame plus <b> wraps around its ' value ' tokens and a

@@ -52,7 +52,13 @@ object CorpusPrepJob {
       /** When set, the train split is additionally temperature-mixed
         * to this document budget and the selection is written as the
         * `train_mix` artifact. */
-      mixBudget: Option[Long] = None)
+      mixBudget: Option[Long] = None,
+      /** When true, the input text is raw web markup: the pipeline
+        * prepends the HTML→text extraction ([[TextStats.htmlToText]])
+        * as stage 0, before normalization. The extraction is a pure
+        * per-row projection — it fuses into the normalize scan, no
+        * extra pass. */
+      htmlInput: Boolean = false)
 
   /** What a run leaves behind: the funnel (one row per stage — the
     * observability row a curation team watches), the same counts as a
@@ -81,10 +87,16 @@ object CorpusPrepJob {
       writer: StagingWriter,
       cfg: PrepConfig = PrepConfig()): PrepReport = {
 
+    // stage 0 (optional): HTML→text landing extraction, fused into
+    // the same scan as normalization (both pure projections).
     // stage 1→2: normalize, then the Gopher hard gate on the repaired
     // text. Persisted: feeds the gate flags, the gated frame, and the
     // raw funnel count — text is parsed once.
-    val normalized = TextStats.normalized(docs)
+    val landed =
+      if (cfg.htmlInput)
+        docs.withColumn("text", TextStats.htmlToText(col("text")))
+      else docs
+    val normalized = TextStats.normalized(landed)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // stage 3: exact dedup keeps the lowest doc_id per content hash —
     // ONE shuffle on the hash; dup groups are tiny, so the window

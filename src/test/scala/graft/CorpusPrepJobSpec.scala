@@ -164,6 +164,22 @@ class CorpusPrepJobSpec extends SparkSpec {
     assert(writer.read("quarantine").count() == 2)
   }
 
+  test("htmlInput: a markup-wrapped corpus lands at the same funnel as its plain original") {
+    val whPlain = tmpDir("prephtml1")
+    val whHtml = tmpDir("prephtml2")
+    val plain = CorpusPrepJob.run(docs, evalDocs, new StagingWriter(spark, whPlain))
+    // wrap every doc in markup the landing stage must strip; the
+    // extraction round-trips, so every downstream count must match
+    val wrapped = docs.withColumn("text",
+      concat(lit("<html><p>"),
+        regexp_replace(col("text"), " value ", " <b>value</b> "),
+        lit("</p></html>")))
+    val html = CorpusPrepJob.run(wrapped, evalDocs, new StagingWriter(spark, whHtml),
+      CorpusPrepJob.PrepConfig(htmlInput = true))
+    assert(html.stageCounts == plain.stageCounts,
+      s"landing extraction changed the funnel: ${html.stageCounts} vs ${plain.stageCounts}")
+  }
+
   test("mixBudget: the train mixture artifact is written and within budget") {
     val wh = tmpDir("prepmix")
     val writer = new StagingWriter(spark, wh)

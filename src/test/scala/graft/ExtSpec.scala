@@ -1894,6 +1894,24 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("stratifiedSample: exact per-stratum counts, salt independence, partial push") {
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ext.Assemble.stratifiedSample(dd, perStratum = 3)
+    val byLang = out.collect().groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length }
+    val strata = dd.select("lang").distinct().count()
+    assert(byLang.values.forall(_ == 3) && byLang.size == strata,
+      s"expected 3 per each of $strata strata, got $byLang")
+    // a different salt draws a different sample (overwhelmingly)
+    val other = graft.ext.Assemble.stratifiedSample(dd, perStratum = 3, salt = "sample-v2")
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.getLong(0)).toSet
+    assert(ids(out) != ids(other), "independent salts drew identical samples")
+    // literal bound -> PARTIAL WindowGroupLimit below the exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank-limit pushdown missing:\n${plan.take(1500)}")
+  }
+
   test("decontaminateTrim: short docs and empty eval pass through; full coverage hashes ''") {
     import spark.implicits._
     val docs = Seq(
