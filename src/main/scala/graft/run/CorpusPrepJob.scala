@@ -298,6 +298,31 @@ object CorpusPrepJob {
     }
   }
 
+  /** The compaction-cadence job [[increment]]'s contract defers to:
+    * re-derive every derived artifact from the (appended-to) corpus
+    * table — a fresh MinHash index built in one pass (collapsing the
+    * per-tick append files), the packed train sequences, the
+    * curriculum export, the optional mixture. Run this when the tick
+    * count makes the index's file listing expensive or the exports
+    * stale; the corpus table itself is never rewritten (it is the
+    * source of truth the derivations read). */
+  def refreshArtifacts(
+      writer: StagingWriter,
+      cfg: PrepConfig = PrepConfig()): Unit = {
+    val corpus = writer.read(CorpusTable)
+    Dedup.buildMinhashIndex(corpus, writer, IndexTable)
+    writer.write(
+      Assemble.packBudget(corpus.filter(col("split") === "train"),
+        cfg.packTokens, cfg.packShards),
+      PackedTable, append = false)
+    Assemble.curriculumExport(corpus, writer, CurriculumTable, cfg.curriculumShards)
+    cfg.mixBudget.foreach { budget =>
+      writer.write(
+        Assemble.temperatureMix(corpus.filter(col("split") === "train"), budget),
+        MixTable, append = false)
+    }
+  }
+
   /** JSONL landing entry point: quarantine-splitting ingest
     * ([[JsonlIngest]]), then [[run]] over the parsed side. The
     * quarantine is written as a durable table (re-ingest fodder) and

@@ -142,6 +142,35 @@ class CorpusPrepJobSpec extends SparkSpec {
       s"grown index invisible to the next tick: $found")
   }
 
+  test("refreshArtifacts: post-increment rebuild covers the grown corpus, probes intact") {
+    val wh = tmpDir("preprefresh")
+    val writer = new StagingWriter(spark, wh)
+    CorpusPrepJob.run(docs, evalDocs, writer)
+    val fresh = ("the keepers of a coastal lighthouse follow maintenance schedules " +
+      "across the northern route every year and the log of each visit records " +
+      "paint wear lens state and the long slow drift of the foundation stones " +
+      "while a small boat waits in the cove below the cliff path and the gulls " +
+      "turn slow circles over the light before the fog rolls in again").trim
+    val batch = spark.createDataFrame(Seq((9100001L, fresh, "en", "incr")))
+      .toDF("doc_id", "text", "lang", "source")
+    CorpusPrepJob.increment(batch, evalDocs, writer)
+    CorpusPrepJob.refreshArtifacts(writer)
+    val corpus = writer.read(CorpusPrepJob.CorpusTable)
+    // exports re-derive over the FULL grown corpus
+    assert(writer.read(CorpusPrepJob.PackedTable).count() ==
+      corpus.filter(col("split") === "train").count())
+    val curriculum = spark.read.parquet(writer.path(CorpusPrepJob.CurriculumTable))
+    assert(curriculum.count() == corpus.count())
+    // the rebuilt index still answers for BOTH original and appended docs
+    val probe = spark.createDataFrame(Seq(
+      (9100002L, fresh + " indeed"))).toDF("doc_id", "text")
+    val found = graft.ext.Dedup
+      .neardupAgainstIndex(probe, writer, CorpusPrepJob.IndexTable)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((9100001L, 9100002L)),
+      s"rebuilt index lost the appended doc: $found")
+  }
+
   test("runFromJsonl: quarantine is counted and written; parsed side feeds the pipeline") {
     val dir = tmpDir("prepjsonl")
     val lines =
