@@ -108,6 +108,49 @@ object TextStats {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Chunk-level language consistency — the mixed-language detector a
+    * corpus runs next to doc-level [[langId]]: a document whose
+    * CHUNKS classify differently (embedded foreign quotes, bilingual
+    * boilerplate, concatenation artifacts) is a quality risk that
+    * doc-level argmax hides (the majority language wins and the
+    * minority segment rides into training silently). Chunks are the
+    * [[graft.functions.WordChunks]] partition (exact reassembly, the
+    * X44 unit); each classifies via the same `lang_best` marker
+    * machinery as [[langId]]; the report is per-doc: chunk count,
+    * distinct chunk languages, adjacent-chunk switches, mixed flag.
+    *
+    * Scale shape: ONE shuffle on doc_id serves the lag window AND the
+    * final aggregate (the sessionize lesson — HashPartitioning(doc_id)
+    * satisfies the distinct-aggregate's clustering too); the
+    * per-chunk classification is the O(tokens) single-pass native
+    * expression, never per-language HOF re-walks. NULL texts excluded
+    * by contract (x39 convention). */
+  def langSegments(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val langs = langMarkers.map(_._1)
+    val flatMarkers = langMarkers.flatMap(_._2)
+    val markerLang = langMarkers.zipWithIndex.flatMap { case ((_, ms), i) =>
+      Seq.fill(ms.size)(i)
+    }
+    val chunkLang = graft.functions.GraftFunctions.langBest(
+      col("chunk"), typedLit(langs), typedLit(flatMarkers), typedLit(markerLang))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("ci"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.wordChunks(col("text"), lit(chunkTokens)))
+          .as(Seq("ci", "chunk")))
+      .select(col("doc_id"), col("ci"), chunkLang.as("chunk_lang"))
+      .withColumn("prev", lag(col("chunk_lang"), 1).over(byDoc))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_lang")).as("n_langs"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("chunk_lang"), 1L)
+          .otherwise(0L)).as("n_switches"))
+      .withColumn("is_mixed", col("n_langs") > 1)
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Per-document quality signals and a composite score. Every column is

@@ -1091,6 +1091,34 @@ object ExtOracles {
         |        ('0x' || substr(md5(text || 'split-v1'), 1, 8))::BIGINT % 1000 AS b
         |      FROM documents)""".stripMargin,
 
+    // Chunk-level language consistency: the x39 chunk comprehension +
+    // the GENERATED per-language scores and argmax CASE (single source
+    // of truth in TextStats.langMarkers, like x7) applied per chunk,
+    // then a lag window counts adjacent switches.
+    "x67_lang_segments" ->
+      s"""WITH toks0 AS (
+         |  SELECT doc_id, string_split(
+         |    CASE WHEN doc_id % 20 = 0
+         |         THEN text || repeat(' der und die das nicht ist', 3)
+         |         ELSE text END, ' ') AS s
+         |  FROM documents WHERE text IS NOT NULL),
+         |  ch AS (SELECT doc_id, r['ci'] AS ci, r['c'] AS c FROM (
+         |    SELECT doc_id, unnest([{'ci': i, 'c': array_to_string(s[i*10+1:i*10+10], ' ')}
+         |                           FOR i IN range(0, CAST(ceil(len(s)/10.0) AS INT))]) AS r
+         |    FROM toks0)),
+         |  scored AS (SELECT doc_id, ci, $langScore
+         |             FROM (SELECT doc_id, ci, string_split(c, ' ') AS toks FROM ch)),
+         |  best AS (SELECT doc_id, ci, $langCase AS chunk_lang FROM scored),
+         |  lagd AS (SELECT doc_id, chunk_lang,
+         |             lag(chunk_lang) OVER (PARTITION BY doc_id ORDER BY ci) AS prev
+         |           FROM best)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(count(DISTINCT chunk_lang) AS BIGINT) AS n_langs,
+         |       CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> chunk_lang
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_switches,
+         |       count(DISTINCT chunk_lang) > 1 AS is_mixed
+         |FROM lagd GROUP BY doc_id""".stripMargin,
+
     // Stratified sample: the same salted-hash ranking (md5-32 idiom)
     // with the doc_id tiebreak; text coalesced to '' BEFORE hashing on
     // both engines so NULL ordering can never matter.

@@ -213,6 +213,18 @@ object ExtQueries {
             .otherwise(col("text")).as("text"))
       Dedup.decontaminate(train, testDocs.select(col("text")))
     }),
+    // Chunk-level language consistency over PLANTED mixing: every 20th
+    // doc gets three repetitions of the German marker set appended, so
+    // its tail chunks classify 'de' (or tie deterministically at the
+    // boundary) while the rest of the corpus stays single-language —
+    // the embedded-foreign-quote case doc-level argmax hides.
+    "x67_lang_segments" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 20 === 0,
+          concat(col("text"), lit(" der und die das nicht ist" * 3)))
+          .otherwise(col("text")).as("text"))
+      TextStats.langSegments(planted)
+    }),
     // Deterministic stratified eval-set sampling: 15 docs per lang
     // ranked by salted content hash (the fixture carries ~100 per
     // lang, so the cut is non-vacuous in every stratum).
