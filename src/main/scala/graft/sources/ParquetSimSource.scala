@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet-backed simulator of the OData entity source, over the driver
   * testdata tables (TESTDATA.md). Plays the role of the reference's HTTP
@@ -29,10 +30,21 @@ object ParquetSimSource {
   final case class Subform(table: String, parentKey: String, childKey: String, orderCol: String)
 
   /** One simulated entity: backing table, PK columns, available subforms.
-    * `nanosTs` lists columns stored as parquet TIMESTAMP(NANOS) — Spark
-    * has no nanosecond timestamp type, so they are read as long nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong=true`) and normalized to
-    * TIMESTAMP_NTZ microseconds by the source. */
+    * `nanosTs` lists event-time columns the source normalizes to
+    * TIMESTAMP_NTZ regardless of the fixture's physical encoding. The
+    * shim is schema-adaptive — it branches on the type the scan
+    * actually produced:
+    *
+    *   - `LongType` — parquet TIMESTAMP(NANOS) read as raw INT64 nanos
+    *     (`spark.sql.legacy.parquet.nanosAsLong=true`; Spark has no
+    *     nanosecond timestamp type): filter on the raw nanos literal,
+    *     then `div 1000 → timestamp_micros → NTZ`.
+    *   - `TimestampNTZType` — parquet TIMESTAMP(MICROS,
+    *     isAdjustedToUTC=false) read natively: no conversion, filter
+    *     with an NTZ literal.
+    *   - `TimestampType` — UTC-adjusted micros: filter with a
+    *     timestamp literal, then cast to NTZ (identity wall clock
+    *     under the blessed UTC session timezone). */
   final case class Relation(
       table: String,
       pk: Seq[String],
@@ -85,19 +97,32 @@ final class ParquetSimSource(
     var df = table(rel.table)
 
     // Predicate pushdown: applied directly on the scan so Catalyst
-    // emits it as a parquet PushedFilter (SURVEY.md §4). Nanosecond
-    // columns are filtered on the raw INT64 (the predicate still pushes
-    // into the footer/page index) and converted after.
+    // emits it as a parquet PushedFilter (SURVEY.md §4). Event-time
+    // columns branch on the physically-scanned type (see Relation
+    // scaladoc): raw-nanos fixtures filter on an INT64 literal,
+    // native-timestamp fixtures on a timestamp literal — both push
+    // into the footer/page index.
+    def scannedType(d: DataFrame, c: String): DataType = d.schema(c).dataType
     req.filter.foreach { case (field, ts) =>
       val f = field.toLowerCase
       df = df.filter {
-        if (rel.nanosTs.contains(f)) {
+        if (rel.nanosTs.contains(f) && df.columns.contains(f)) {
           // Watermarks are observed from the micros-truncated NTZ view
           // of this column, so strict `>` must mean "past the observed
-          // MICROSECOND" — raw-nanos rows inside the watermark's
-          // microsecond are already loaded and must not re-fetch.
-          if (req.exclusive) col(f) >= lit(tsToNanos(ts) + 1000L)
-          else col(f) >= lit(tsToNanos(ts))
+          // MICROSECOND" — rows inside the watermark's microsecond are
+          // already loaded and must not re-fetch. On the raw-nanos
+          // branch that is `>= wm + 1000ns`; on the native branches
+          // micros IS the storage resolution, so it is exactly `>`.
+          scannedType(df, f) match {
+            case LongType =>
+              if (req.exclusive) col(f) >= lit(tsToNanos(ts) + 1000L)
+              else col(f) >= lit(tsToNanos(ts))
+            case TimestampNTZType =>
+              val l = lit(ts.toLocalDateTime)
+              if (req.exclusive) col(f) > l else col(f) >= l
+            case _ =>
+              if (req.exclusive) col(f) > lit(ts) else col(f) >= lit(ts)
+          }
         } else {
           if (req.exclusive) col(f) > lit(ts) else col(f) >= lit(ts)
         }
@@ -108,13 +133,19 @@ final class ParquetSimSource(
     // against the limited key set.
     req.top.foreach(n => df = df.limit(n))
 
-    // Nanos→NTZ normalization (after filter/top so both push down).
-    // Sessions run with UTC session timezone, so the LTZ→NTZ cast is the
+    // NTZ normalization (after filter/top so both push down). Sessions
+    // run with UTC session timezone, so the LTZ→NTZ cast is the
     // identity on the stored naive wall clock.
     rel.nanosTs.foldLeft(df)((d, c) =>
-      if (d.columns.contains(c))
-        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")).cast("timestamp_ntz"))
-      else d)
+      if (!d.columns.contains(c)) d
+      else scannedType(d, c) match {
+        case LongType =>
+          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")).cast("timestamp_ntz"))
+        case TimestampNTZType => d
+        case TimestampType =>
+          d.withColumn(c, col(c).cast("timestamp_ntz"))
+        case _ => d
+      })
   }
 
   private def subformOf(rel: Relation, entityId: String, sub: String): Subform =
