@@ -164,7 +164,19 @@ object Bench {
     val ilRowsJson = ilRows.map { case (t, n) => s""""${esc(t)}":$n""" }.mkString("{", ",", "}")
     val allFailed = failed ++ ilErr.map(e => s""""initial_load":"${esc(e)}"""")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"sf":"${esc(sfDir)}","meta_refresh":{"docs":$metaDocs,"sec":$metaSec,"reference_sec":21.8},"initial_load":{"sec":$ilSec,"rows":$ilRowsJson,"reference_rows":{"stg_orders":276,"stg_orderitems":123,"stg_ctype":5},"reference_sec_floor":21.8},"failed":${allFailed.mkString("{", ",", "}")},"ok":${allFailed.isEmpty}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"sf":"${esc(sfDir)}","meta_refresh":{"docs":$metaDocs,"sec":$metaSec,"reference_sec":21.8},"initial_load":{"sec":$ilSec,"rows":$ilRowsJson,"reference_rows":{"stg_orders":276,"stg_orderitems":123,"stg_ctype":5},"reference_sec_floor":21.8},"failed":${allFailed.mkString("{", ",", "}")},"ok":${allFailed.isEmpty}}"""
+    println(json)
+    // The stdout line is the primary channel, but a non-zero exit makes
+    // the launcher (sbt) append its own [error] lines AFTER it, which in
+    // round 7 broke the driver's parse and discarded timings for the ~75
+    // healthy queries (VERDICT r7 "What's wrong" #2). Persist the same
+    // payload to a file so partial failure can never erase the medians
+    // that WERE measured.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"bench_last.json write failed: $e") }
     spark.stop()
     if (allFailed.nonEmpty) sys.exit(1)
   }
