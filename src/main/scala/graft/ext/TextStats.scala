@@ -272,9 +272,14 @@ object TextStats {
     * ([[htmlExtract]] is its md5-pinned gate shape), and the form the
     * prep pipeline composes as its landing stage. */
   def htmlToText(text: Column): Column = {
+    // the named core five plus the NUMERIC character references for
+    // the apostrophe — `&#39;` (decimal) and `&#x27;` (hex) are what
+    // sanitizers emit instead of the unnamed `&apos;`, so real web
+    // text carries both; same fixed-set regex contract (a general
+    // numeric decode needs chr(code) and stops being dialect-neutral)
     val entities = Seq(
       "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'")
+      "&quot;" -> "\"", "&#39;" -> "'", "&#x27;" -> "'")
     val stripped = regexp_replace(text, "<[^>]+>", " ")
     val decoded = entities.foldLeft(stripped) { case (c, (e, v)) =>
       regexp_replace(c, e, v)

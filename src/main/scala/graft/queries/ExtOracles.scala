@@ -1132,20 +1132,23 @@ object ExtOracles {
 
     // HTML extraction: the same strip-then-decode-then-collapse chain
     // character-for-character (order is the contract: tags first, so
-    // literal &lt;b&gt; text is never eaten as markup); round-trips to
-    // original + ' tail & done' by construction, which the md5 pins.
+    // literal &lt;b&gt; text is never eaten as markup; the numeric
+    // apostrophe decodes in both its decimal and hex spellings);
+    // round-trips to original + ' tail & it''s ''done''' by
+    // construction, which the md5 pins.
     "x65_html_extract" ->
       """WITH p AS (SELECT doc_id,
         |    '<html><body class="doc"><p>' ||
         |    regexp_replace(text, ' value ', ' <b>value</b> ', 'g') ||
-        |    '</p> <p>tail &amp; done</p></body></html>' AS text
+        |    '</p> <p>tail &amp; it&#39;s &#x27;done&#x27;</p></body></html>' AS text
         |  FROM documents),
         |  s AS (SELECT doc_id, text,
         |    trim(regexp_replace(
         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(
         |        regexp_replace(text, '<[^>]+>', ' ', 'g'),
         |        '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-        |        '&quot;', '"', 'g'), '&#39;', chr(39), 'g'),
+        |        '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&#x27;', chr(39), 'g'),
         |      ' +', ' ', 'g')) AS clean
         |  FROM p)
         |SELECT doc_id, md5(clean) AS clean_hash, CAST(length(clean) AS INT) AS n_chars,
