@@ -636,6 +636,48 @@ object Dedup {
       df.write.mode(mode).parquet(writer.path(s"$table$suffix"))
     }
 
+  /** CRASH-SAFE full rebuild of a [[buildMinhashIndex]] artifact — the
+    * compaction-cadence variant ([[graft.run.CorpusPrepJob.refreshArtifacts]]):
+    * every artifact is STAGED under a `__rebuild` name first (the live
+    * index is not touched by a single byte of the write), then swapped
+    * in through the sink's backup protocol. A crash anywhere leaves a
+    * probe-consistent index:
+    *
+    *   - during staging — the live three artifacts are untouched;
+    *   - between swaps — the index mixes new shingles/sizes with old
+    *     bands, which stays CONSISTENT because the rebuild derives
+    *     from the same (appended-to) corpus the old index covers: every
+    *     doc_id the old `__bands` gate emits still finds its shingle
+    *     rows, and per-doc shingle content is deterministic, so probe
+    *     Jaccards are unchanged;
+    *   - `__bands` swaps LAST, mirroring the build-order gate contract
+    *     (no candidate can reference a signature that is not yet live).
+    *
+    * The leftover `__rebuild*` staging of a crashed run is overwritten
+    * by the next rebuild (staged writes are mode=Overwrite). */
+  def rebuildMinhashIndex(
+      docs: DataFrame, writer: graft.sinks.StagingWriter, table: String): Unit = {
+    val staged = stageMinhashIndex(docs, writer, table)
+    rebuildSwapOrder.foreach(s => writer.swapIn(s"$staged$s", s"$table$s"))
+  }
+
+  /** The staging half of [[rebuildMinhashIndex]] — writes the three
+    * `__rebuild*` artifacts WITHOUT touching the live index; exposed so
+    * the crash-safety spec can stop at (and between) the swap points. */
+  private[graft] def stageMinhashIndex(
+      docs: DataFrame, writer: graft.sinks.StagingWriter, table: String): String = {
+    val staged = s"${table}__rebuild"
+    minhashIndexSink(docs) { (df, suffix) =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(writer.path(s"$staged$suffix"))
+    }
+    staged
+  }
+
+  /** Swap order of [[rebuildMinhashIndex]] — `__bands` LAST (the probe
+    * gate), shared with the crash-safety spec. */
+  private[graft] val rebuildSwapOrder = Seq("__shingles", "__sizes", "__bands")
+
   /** The three index artifacts of a batch, handed to an arbitrary
     * `sink(frame, tableSuffix)` — one shared shingle parse feeds all
     * three writes, whatever the layout (flat overwrite/append for the

@@ -305,21 +305,31 @@ object CorpusPrepJob {
     * curriculum export, the optional mixture. Run this when the tick
     * count makes the index's file listing expensive or the exports
     * stale; the corpus table itself is never rewritten (it is the
-    * source of truth the derivations read). */
+    * source of truth the derivations read).
+    *
+    * CRASH-SAFE throughout: the index rebuild stages all three
+    * artifacts under `__rebuild*` names and swaps them in through the
+    * sink's backup protocol ([[Dedup.rebuildMinhashIndex]] — a refresh
+    * that dies mid-rebuild leaves the PREVIOUS index probe-consistent,
+    * which matters because the INCREMENTAL ingest loops keep probing
+    * it between refreshes), and the derived exports go through the
+    * same [[graft.sinks.StagingWriter.writeAndSwap]] as the corpus
+    * write (a plain Overwrite deletes the live table before writing a
+    * byte). */
   def refreshArtifacts(
       writer: StagingWriter,
       cfg: PrepConfig = PrepConfig()): Unit = {
     val corpus = writer.read(CorpusTable)
-    Dedup.buildMinhashIndex(corpus, writer, IndexTable)
-    writer.write(
+    Dedup.rebuildMinhashIndex(corpus, writer, IndexTable)
+    writer.writeAndSwap(
       Assemble.packBudget(corpus.filter(col("split") === "train"),
         cfg.packTokens, cfg.packShards),
-      PackedTable, append = false)
+      PackedTable)
     Assemble.curriculumExport(corpus, writer, CurriculumTable, cfg.curriculumShards)
     cfg.mixBudget.foreach { budget =>
-      writer.write(
+      writer.writeAndSwap(
         Assemble.temperatureMix(corpus.filter(col("split") === "train"), budget),
-        MixTable, append = false)
+        MixTable)
     }
   }
 

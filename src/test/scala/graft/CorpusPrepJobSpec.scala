@@ -171,6 +171,51 @@ class CorpusPrepJobSpec extends SparkSpec {
       s"rebuilt index lost the appended doc: $found")
   }
 
+  test("refreshArtifacts crash-safety: an interrupt at EVERY swap point leaves the index probe-consistent") {
+    val wh = tmpDir("preprebuildcrash")
+    val writer = new StagingWriter(spark, wh)
+    CorpusPrepJob.run(docs, evalDocs, writer)
+    val fresh = ("the keepers of a coastal lighthouse follow maintenance schedules " +
+      "across the northern route every year and the log of each visit records " +
+      "paint wear lens state and the long slow drift of the foundation stones " +
+      "while a small boat waits in the cove below the cliff path and the gulls " +
+      "turn slow circles over the light before the fog rolls in again").trim
+    val batch = spark.createDataFrame(Seq((9200001L, fresh, "en", "incr")))
+      .toDF("doc_id", "text", "lang", "source")
+    CorpusPrepJob.increment(batch, evalDocs, writer)
+
+    // probes cover BOTH index generations' content: a near-copy of an
+    // initial-corpus keeper and one of the appended tick's survivor
+    val keeper = writer.read(CorpusPrepJob.CorpusTable)
+      .orderBy(col("doc_id")).limit(1).select(col("doc_id"), col("text")).head()
+    val probe = spark.createDataFrame(Seq(
+      (9200002L, keeper.getString(1) + " tail tweak"),
+      (9200003L, fresh + " indeed")))
+      .toDF("doc_id", "text")
+    def probeSet() = graft.ext.Dedup
+      .neardupAgainstIndex(probe, writer, CorpusPrepJob.IndexTable)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probeSet()
+    assert(before.contains((keeper.getLong(0), 9200002L)))
+    assert(before.contains((9200001L, 9200003L)))
+
+    // crash point 1: staging completed, NO swap yet — live index
+    // untouched by construction (staged writes land under __rebuild*)
+    val staged = graft.ext.Dedup.stageMinhashIndex(
+      writer.read(CorpusPrepJob.CorpusTable), writer, CorpusPrepJob.IndexTable)
+    assert(probeSet() == before, "staging alone disturbed the live index")
+
+    // crash points 2..4: after EACH individual swap (shingles, sizes,
+    // bands — the rebuild's order). Mixed generations stay consistent
+    // because the rebuild derives from the same corpus the old index
+    // covers: every doc the old bands gate emits still finds its
+    // shingle rows, and per-doc shingle content is deterministic.
+    graft.ext.Dedup.rebuildSwapOrder.foreach { s =>
+      writer.swapIn(s"$staged$s", s"${CorpusPrepJob.IndexTable}$s")
+      assert(probeSet() == before, s"probe diverged after swapping $s")
+    }
+  }
+
   test("runFromJsonl: quarantine is counted and written; parsed side feeds the pipeline") {
     val dir = tmpDir("prepjsonl")
     val lines =
