@@ -627,6 +627,22 @@ object Dedup {
       docs: DataFrame, writer: graft.sinks.StagingWriter, table: String): Unit =
     writeMinhashIndex(docs, writer, table, org.apache.spark.sql.SaveMode.Append)
 
+  /** [[appendMinhashIndex]] under the flat-table batch discriminator
+    * ([[graft.sinks.StagingWriter.appendBatchSlice]]) — the replay-safe
+    * variant a batch-cadence tick uses
+    * ([[graft.run.CorpusPrepJob.increment]] with a `batchId`): each
+    * artifact's batch rows land as a named slice that a replayed tick
+    * first rolls back, so a crash between artifact appends can never
+    * strand a half-applied batch. `__bands` still lands last (the
+    * probe's existence gate). */
+  def appendMinhashIndexSlice(
+      docs: DataFrame, writer: graft.sinks.StagingWriter, table: String,
+      batchId: Long): Unit =
+    minhashIndexSink(docs) { (df, suffix) =>
+      writer.appendBatchSlice(df, s"$table$suffix", batchId)
+      ()
+    }
+
   private def writeMinhashIndex(
       docs: DataFrame,
       writer: graft.sinks.StagingWriter,

@@ -215,17 +215,42 @@ object CorpusPrepJob {
     * over the initial run's funnel table — publishing cadence belongs
     * to the caller.
     *
-    * Delivery semantics: at-most-once per batch — the corpus/index
-    * appends are flat (not batch-partitioned), so REPLAYING a crashed
-    * tick would duplicate its survivors. A caller needing
-    * at-least-once replay safety should feed batches through the
-    * streaming loop ([[graft.streaming.EventsStream.neardupIngestQuery]]),
-    * whose ingest_batch-partition writes replace their own slice. */
+    * Delivery semantics: EXACTLY-ONCE per batch when a `batchId` is
+    * supplied — the tick then runs the flat-table replay protocol:
+    *
+    *   1. a batch whose commit marker exists is SKIPPED wholesale (the
+    *      crashed run finished its appends; replay is a no-op);
+    *   2. otherwise every partial slice the crashed attempt may have
+    *      left — corpus and all three index artifacts — is ROLLED BACK
+    *      by its `b<batchId>_` file-name discriminator
+    *      ([[graft.sinks.StagingWriter.deleteBatchSlice]]) BEFORE any
+    *      frame reads the standing tables, so the recomputation sees
+    *      exactly the pre-batch state (and the anti-joins can never
+    *      count the batch's own crashed appends as history);
+    *   3. the appends land as named slices
+    *      ([[graft.sinks.StagingWriter.appendBatchSlice]]) and the
+    *      commit marker is written LAST — the tick's commit point.
+    *
+    * WITHOUT a `batchId` the appends are plain flat appends:
+    * at-most-once per batch, the caller owns replay. The streaming
+    * loop ([[graft.streaming.EventsStream.neardupIngestQuery]]) keeps
+    * its own idempotence protocol (ingest_batch-partition overwrite) —
+    * use it when batches arrive as a stream. */
   def increment(
       newDocs: DataFrame,
       evalDocs: DataFrame,
       writer: StagingWriter,
-      cfg: PrepConfig = PrepConfig()): PrepReport = {
+      cfg: PrepConfig = PrepConfig(),
+      batchId: Option[Long] = None): PrepReport = {
+    if (batchId.exists(writer.batchCommitted(CorpusTable, _)))
+      return PrepReport(
+        emptyFunnel(newDocs.sparkSession), Map.empty, quarantined = 0L,
+        artifacts = Seq(CorpusTable, IndexTable))
+    // rollback BEFORE any read below lists the standing tables
+    batchId.foreach { id =>
+      (CorpusTable +: Seq("__shingles", "__sizes", "__bands").map(IndexTable + _))
+        .foreach(t => writer.deleteBatchSlice(t, id))
+    }
     val normalized = TextStats.normalized(newDocs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val exactKept = {
@@ -287,8 +312,15 @@ object CorpusPrepJob {
           .select(concat(lit("6_split_"), col("split")).as("stage"), col("n_docs")))
         .localCheckpoint(true)
 
-      writer.write(withSplit, CorpusTable, append = true)
-      Dedup.appendMinhashIndex(withSplit, writer, IndexTable)
+      batchId match {
+        case Some(id) =>
+          writer.appendBatchSlice(withSplit, CorpusTable, id)
+          Dedup.appendMinhashIndexSlice(withSplit, writer, IndexTable, id)
+          writer.commitBatch(CorpusTable, id) // the tick's commit point
+        case None =>
+          writer.write(withSplit, CorpusTable, append = true)
+          Dedup.appendMinhashIndex(withSplit, writer, IndexTable)
+      }
       val counts = funnel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       PrepReport(funnel, counts, quarantined = 0L,
         artifacts = Seq(CorpusTable, IndexTable))
@@ -296,6 +328,17 @@ object CorpusPrepJob {
       normalized.unpersist(blocking = false)
       exactKept.unpersist(blocking = false)
     }
+  }
+
+  /** The funnel's (stage, n_docs) shape with no rows — what a replayed,
+    * already-committed [[increment]] batch reports. */
+  private def emptyFunnel(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("stage", StringType, nullable = false),
+        StructField("n_docs", LongType, nullable = false))))
   }
 
   /** The compaction-cadence job [[increment]]'s contract defers to:

@@ -205,6 +205,72 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
     writeAndSwap(df, table, partCol = Some("ingest_batch"))
   }
 
+  /** IDEMPOTENT append into a FLAT table under a batch discriminator —
+    * the replay-safety protocol for batch-cadence appends
+    * ([[graft.run.CorpusPrepJob.increment]]), where the standing table
+    * was created by a flat write and the partitioned
+    * [[writeBatchPartition]] layout is not an option (mixed flat +
+    * partitioned files fail discovery). The batch's rows are staged to
+    * a scratch table first (mode=Overwrite — a replay overwrites a
+    * crashed staging attempt), then its data files are RENAMED into the
+    * live directory with a `b<batchId>_` name prefix. The prefix is the
+    * discriminator: [[deleteBatchSlice]] removes exactly this batch's
+    * files and nothing else, so rollback-then-recompute replay is
+    * possible on a flat table. Returns rows written (observed on the
+    * staging write job). */
+  def appendBatchSlice(df: DataFrame, table: String, batchId: Long): Long = {
+    val obs = Observation()
+    val stage = new Path(path(s"${table}__slice_b$batchId"))
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val rows = obs.get("rows").asInstanceOf[Long]
+    val dst = new Path(path(table))
+    if (!fs.exists(dst)) fs.mkdirs(dst)
+    // defensive: a crashed earlier move of THIS batch left a partial
+    // slice — replace it wholesale, never mix two attempts' files
+    deleteBatchSlice(table, batchId)
+    fs.listStatus(stage)
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+      .foreach { s =>
+        val to = new Path(dst, s"b${batchId}_${s.getPath.getName}")
+        if (!fs.rename(s.getPath, to))
+          throw new java.io.IOException(s"appendBatchSlice: cannot move ${s.getPath} to $to")
+      }
+    fs.delete(stage, true)
+    rows
+  }
+
+  /** Remove one batch's [[appendBatchSlice]] files from a flat table —
+    * the rollback half of the replay protocol. No-op when the table or
+    * the slice does not exist. */
+  def deleteBatchSlice(table: String, batchId: Long): Unit = {
+    val dst = new Path(path(table))
+    if (fs.exists(dst))
+      fs.listStatus(dst)
+        .filter(_.getPath.getName.startsWith(s"b${batchId}_"))
+        .foreach(s => fs.delete(s.getPath, false))
+  }
+
+  private def commitMarker(table: String, batchId: Long): Path =
+    new Path(path(table), s"_graft_commit_b$batchId")
+
+  /** Whether `batchId` fully committed against `table` ([[commitBatch]]
+    * ran after every one of the tick's slice appends). */
+  def batchCommitted(table: String, batchId: Long): Boolean =
+    fs.exists(commitMarker(table, batchId))
+
+  /** The COMMIT POINT of a multi-table batch tick: an underscore-
+    * prefixed marker file (invisible to Spark's readers) created after
+    * every slice of the batch has landed. A replay that finds the
+    * marker skips the batch; one that doesn't rolls every slice back
+    * and recomputes. */
+  def commitBatch(table: String, batchId: Long): Unit = {
+    val m = commitMarker(table, batchId)
+    val out = fs.create(m, true)
+    out.close()
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
     // one file per bucket (repartition on the bucket key): the scan can
     // then use the per-file sort order and the join elides its Sort too

@@ -171,6 +171,66 @@ class CorpusPrepJobSpec extends SparkSpec {
       s"rebuilt index lost the appended doc: $found")
   }
 
+  test("increment with batchId is exactly-once: committed replays no-op, crashed replays rebuild the same state") {
+    val wh = tmpDir("prepreplay")
+    val writer = new StagingWriter(spark, wh)
+    CorpusPrepJob.run(docs, evalDocs, writer)
+    val fresh1 = ("the keepers of a coastal lighthouse follow maintenance schedules " +
+      "across the northern route every year and the log of each visit records " +
+      "paint wear lens state and the long slow drift of the foundation stones " +
+      "while a small boat waits in the cove below the cliff path and the gulls " +
+      "turn slow circles over the light before the fog rolls in again").trim
+    val fresh2 = ("a completely different field journal follows the migration of " +
+      "shore birds along the eastern flats where the tide uncovers long mud banks " +
+      "and the counting teams wade out before dawn with their spotting scopes and " +
+      "their notebooks to record each flock as the light comes up over the water " +
+      "and the first skeins lift away toward the north").trim
+    val batch = spark.createDataFrame(Seq(
+      (9300001L, fresh1, "en", "incr"), (9300002L, fresh2, "en", "incr")))
+      .toDF("doc_id", "text", "lang", "source")
+
+    val tables = CorpusPrepJob.CorpusTable +:
+      Seq("__shingles", "__sizes", "__bands").map(CorpusPrepJob.IndexTable + _)
+    def snapshot(): Map[String, Seq[org.apache.spark.sql.Row]] =
+      tables.map { t =>
+        val df = writer.read(t)
+        t -> df.orderBy(df.columns.map(col): _*).collect().toSeq
+      }.toMap
+
+    val tick = CorpusPrepJob.increment(batch, evalDocs, writer, batchId = Some(7L))
+    assert(tick.stageCounts("6_split_train") +
+      tick.stageCounts.getOrElse("6_split_val", 0L) +
+      tick.stageCounts.getOrElse("6_split_test", 0L) == 2L)
+    val committed = snapshot()
+
+    // replay of a COMMITTED batch: a recognized no-op, state untouched
+    val replay = CorpusPrepJob.increment(batch, evalDocs, writer, batchId = Some(7L))
+    assert(replay.stageCounts.isEmpty, "committed replay recomputed the batch")
+    assert(replay.funnel.columns.toSeq == Seq("stage", "n_docs"))
+    assert(snapshot() == committed)
+
+    // crash BETWEEN the appends and the commit marker: the slices
+    // landed, the marker didn't — replay rolls back and re-lands the
+    // identical state (the anti-joins must not see the crashed
+    // attempt's own rows as history, or the funnel drops to zero)
+    val marker = new java.io.File(
+      writer.path(CorpusPrepJob.CorpusTable), "_graft_commit_b7")
+    assert(marker.delete(), "commit marker missing after a committed tick")
+    val replay2 = CorpusPrepJob.increment(batch, evalDocs, writer, batchId = Some(7L))
+    assert(replay2.stageCounts == tick.stageCounts,
+      s"crash replay diverged: ${replay2.stageCounts} vs ${tick.stageCounts}")
+    assert(snapshot() == committed)
+
+    // crash BETWEEN artifact appends (corpus landed, bands didn't):
+    // rollback restores the pre-batch state before recomputing
+    assert(new java.io.File(
+      writer.path(CorpusPrepJob.CorpusTable), "_graft_commit_b7").delete())
+    writer.deleteBatchSlice(s"${CorpusPrepJob.IndexTable}__bands", 7L)
+    val replay3 = CorpusPrepJob.increment(batch, evalDocs, writer, batchId = Some(7L))
+    assert(replay3.stageCounts == tick.stageCounts)
+    assert(snapshot() == committed)
+  }
+
   test("refreshArtifacts crash-safety: an interrupt at EVERY swap point leaves the index probe-consistent") {
     val wh = tmpDir("preprebuildcrash")
     val writer = new StagingWriter(spark, wh)
