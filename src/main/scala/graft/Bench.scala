@@ -46,7 +46,19 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // ARTIFACT-WRITING queries (per-run temp warehouse: index builds,
+    // the composed prep jobs) get ONE untimed warm-up rep: their first
+    // rep pays parquet-writer + FileSystem-init JIT that no later rep
+    // sees, which made x62's max/min spread read as a regression
+    // (r6 12 s median / 56 s first rep). The warm-up runs the SAME
+    // code against its own scratch dir; errors there fall through to
+    // the timed reps, which fail loudly as before.
+    val warmupFirst = Set(
+      "x23_incr_neardup", "x44_incr_embed_neardup", "x62_prep_job",
+      "x68_incr_funnel")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (warmupFirst(name))
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       var r = 0

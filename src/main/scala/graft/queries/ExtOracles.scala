@@ -1322,6 +1322,229 @@ object ExtOracles {
         |UNION ALL SELECT '6_split_' || split, CAST(count(*) AS BIGINT) FROM spl
         |GROUP BY split""".stripMargin,
 
+    // The incremental prep-job funnel: phase A re-derives the initial
+    // run()'s standing corpus (the x62 chain over the docs with
+    // doc_id % 3 <> 0, no planted damage), phase B re-derives ONE
+    // increment() tick over the % 3 = 0 docs + planted history
+    // collisions — exact copies of standing docs (hash anti-join vs
+    // the corpus), near-copies of standing docs (brute-force corpus x
+    // batch Jaccard >= 0.8, the stored-index probe's cross-proof),
+    // within-batch near-twins (the batch's own closure + quality
+    // keeper), then containment decontamination and the content-hash
+    // split. CTEs shared across both phases are MATERIALIZED: DuckDB
+    // inlines CTE uses, and the doubled chain re-expands the whole
+    // upstream tree per reference (bind time opened the source
+    // parquet thousands of times and died on fds before
+    // materialization pinned the DAG).
+    "x68_incr_funnel" ->
+      """WITH RECURSIVE
+        |  raw0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |  norm0 AS MATERIALIZED (SELECT doc_id,
+        |              trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS text
+        |            FROM raw0),
+        |  gm0 AS (SELECT doc_id,
+        |           len(list_filter(string_split(COALESCE(text, ''), ' '),
+        |               t -> length(t) > 0)) AS n_words,
+        |           length(replace(COALESCE(text, ''), ' ', '')) AS n_alpha,
+        |           length(regexp_replace(COALESCE(text, ''), '[a-z0-9 ]', '', 'g')) AS n_sym,
+        |           len(list_filter(string_split(COALESCE(text, ''), ' '),
+        |               t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+        |         FROM norm0),
+        |  gate0 AS MATERIALIZED (SELECT n.doc_id, n.text FROM norm0 n JOIN gm0 USING (doc_id)
+        |           WHERE gm0.n_words >= 50 AND gm0.n_words <= 100000
+        |             AND (CASE WHEN gm0.n_words = 0 THEN 0.0
+        |                       ELSE CAST(gm0.n_alpha AS DOUBLE) / gm0.n_words END) >= 3.0
+        |             AND (CASE WHEN gm0.n_words = 0 THEN 0.0
+        |                       ELSE CAST(gm0.n_alpha AS DOUBLE) / gm0.n_words END) <= 10.0
+        |             AND (CASE WHEN gm0.n_words = 0 THEN 0.0
+        |                       ELSE CAST(gm0.n_sym AS DOUBLE) / gm0.n_words END) <= 0.1
+        |             AND gm0.n_stop >= 2),
+        |  uniq0 AS MATERIALIZED (SELECT doc_id, text FROM (
+        |             SELECT doc_id, text,
+        |                    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |             FROM gate0) WHERE rn = 1),
+        |  us0 AS (SELECT doc_id, string_split(text, ' ') AS s FROM uniq0),
+        |  sh0 AS MATERIALIZED (SELECT doc_id,
+        |           list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                          FOR i IN range(1, len(s)-1)]) AS sh
+        |         FROM us0),
+        |  exg0 AS (SELECT doc_id, unnest(sh) AS g FROM sh0),
+        |  sz0 AS (SELECT doc_id, len(sh) AS sz FROM sh0),
+        |  inter0 AS (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS i
+        |    FROM exg0 a JOIN exg0 b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2),
+        |  pairs0 AS (
+        |    SELECT a_id, b_id FROM inter0 i
+        |    JOIN sz0 sa ON sa.doc_id = i.a_id
+        |    JOIN sz0 sb ON sb.doc_id = i.b_id
+        |    WHERE 10 * i.i >= 8 * (sa.sz + sb.sz - i.i)),
+        |  e0 AS (SELECT a_id AS a, b_id AS b FROM pairs0
+        |        UNION SELECT b_id, a_id FROM pairs0),
+        |  reach0(a, b) AS (
+        |    SELECT a, b FROM e0
+        |    UNION
+        |    SELECT r.a, e2.b FROM reach0 r JOIN e0 e2 ON r.b = e2.a),
+        |  comp0 AS (SELECT n.a AS doc_id, least(min(r.b), n.a) AS component
+        |           FROM (SELECT DISTINCT a FROM e0) n JOIN reach0 r ON r.a = n.a
+        |           GROUP BY n.a),
+        |  qm0 AS (SELECT doc_id,
+        |           len(string_split(text, ' ')) AS n_tokens,
+        |           len(list_filter(string_split(text, ' '),
+        |               t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop,
+        |           length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+        |           length(text) AS n_chars
+        |         FROM uniq0),
+        |  q0 AS (SELECT doc_id,
+        |          (CASE WHEN n_tokens < 5 THEN 0.0
+        |                ELSE 1.0 - (CASE WHEN n_chars = 0 THEN 0e0
+        |                            ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 2.0
+        |                     + least((CAST(n_stop AS DOUBLE) / n_tokens) * 1.5, 0.3)
+        |           END) AS quality_score
+        |        FROM qm0),
+        |  ranked0 AS (
+        |    SELECT c.component, c.doc_id,
+        |           row_number() OVER (PARTITION BY c.component
+        |                              ORDER BY q.quality_score DESC, c.doc_id) AS rn
+        |    FROM comp0 c JOIN q0 q USING (doc_id)),
+        |  drop0 AS (SELECT doc_id FROM ranked0 WHERE rn > 1),
+        |  nd0 AS (SELECT u.doc_id, u.text FROM uniq0 u
+        |         LEFT JOIN drop0 dr ON u.doc_id = dr.doc_id WHERE dr.doc_id IS NULL),
+        |  ev_src AS (SELECT list_slice(string_split(text, ' '), 5, 30) AS s
+        |             FROM documents WHERE doc_id % 50 = 0),
+        |  ev AS MATERIALIZED (SELECT DISTINCT unnest(
+        |           [array_to_string(s[i:i+12], ' ') FOR i IN range(1, len(s)-11)]) AS g
+        |         FROM ev_src),
+        |  tg0 AS (SELECT doc_id, unnest(list_distinct(
+        |           [array_to_string(s2[i:i+12], ' ') FOR i IN range(1, len(s2)-11)])) AS g
+        |         FROM (SELECT doc_id, string_split(text, ' ') AS s2 FROM nd0)),
+        |  cont0 AS (SELECT DISTINCT doc_id FROM tg0 JOIN ev USING (g)),
+        |  clean0 AS MATERIALIZED (SELECT nd0.doc_id, nd0.text FROM nd0
+        |            LEFT JOIN cont0 ON nd0.doc_id = cont0.doc_id WHERE cont0.doc_id IS NULL),
+        |  braw AS (
+        |    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |    UNION ALL
+        |    SELECT doc_id + 4000000, text FROM documents
+        |    WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
+        |    UNION ALL
+        |    SELECT doc_id + 5000000, text || ' zz incr suffix' FROM documents
+        |    WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
+        |    UNION ALL
+        |    SELECT doc_id + 6000000, text || ' qq batch twin' FROM documents
+        |    WHERE doc_id % 3 = 0 AND doc_id % 11 = 0),
+        |  bnorm AS MATERIALIZED (SELECT doc_id,
+        |              trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS text
+        |            FROM braw),
+        |  bgm AS (SELECT doc_id,
+        |           len(list_filter(string_split(COALESCE(text, ''), ' '),
+        |               t -> length(t) > 0)) AS n_words,
+        |           length(replace(COALESCE(text, ''), ' ', '')) AS n_alpha,
+        |           length(regexp_replace(COALESCE(text, ''), '[a-z0-9 ]', '', 'g')) AS n_sym,
+        |           len(list_filter(string_split(COALESCE(text, ''), ' '),
+        |               t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+        |         FROM bnorm),
+        |  bgate AS MATERIALIZED (SELECT n.doc_id, n.text FROM bnorm n JOIN bgm USING (doc_id)
+        |           WHERE bgm.n_words >= 50 AND bgm.n_words <= 100000
+        |             AND (CASE WHEN bgm.n_words = 0 THEN 0.0
+        |                       ELSE CAST(bgm.n_alpha AS DOUBLE) / bgm.n_words END) >= 3.0
+        |             AND (CASE WHEN bgm.n_words = 0 THEN 0.0
+        |                       ELSE CAST(bgm.n_alpha AS DOUBLE) / bgm.n_words END) <= 10.0
+        |             AND (CASE WHEN bgm.n_words = 0 THEN 0.0
+        |                       ELSE CAST(bgm.n_sym AS DOUBLE) / bgm.n_words END) <= 0.1
+        |             AND bgm.n_stop >= 2),
+        |  buw AS (SELECT doc_id, text FROM (
+        |             SELECT doc_id, text,
+        |                    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |             FROM bgate) WHERE rn = 1),
+        |  ch AS (SELECT DISTINCT md5(text) AS h FROM clean0),
+        |  buniq AS MATERIALIZED (SELECT u.doc_id, u.text FROM buw u
+        |            LEFT JOIN ch ON md5(u.text) = ch.h WHERE ch.h IS NULL),
+        |  bus AS (SELECT doc_id, string_split(text, ' ') AS s FROM buniq),
+        |  bsh AS MATERIALIZED (SELECT doc_id,
+        |           list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                          FOR i IN range(1, len(s)-1)]) AS sh
+        |         FROM bus),
+        |  bexg AS (SELECT doc_id, unnest(sh) AS g FROM bsh),
+        |  bsz AS (SELECT doc_id, len(sh) AS sz FROM bsh),
+        |  binter AS (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS i
+        |    FROM bexg a JOIN bexg b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2),
+        |  bpairs AS (
+        |    SELECT a_id, b_id FROM binter i
+        |    JOIN bsz sa ON sa.doc_id = i.a_id
+        |    JOIN bsz sb ON sb.doc_id = i.b_id
+        |    WHERE 10 * i.i >= 8 * (sa.sz + sb.sz - i.i)),
+        |  be AS (SELECT a_id AS a, b_id AS b FROM bpairs
+        |        UNION SELECT b_id, a_id FROM bpairs),
+        |  breach(a, b) AS (
+        |    SELECT a, b FROM be
+        |    UNION
+        |    SELECT r.a, e2.b FROM breach r JOIN be e2 ON r.b = e2.a),
+        |  bcomp AS (SELECT n.a AS doc_id, least(min(r.b), n.a) AS component
+        |           FROM (SELECT DISTINCT a FROM be) n JOIN breach r ON r.a = n.a
+        |           GROUP BY n.a),
+        |  bqm AS (SELECT doc_id,
+        |           len(string_split(text, ' ')) AS n_tokens,
+        |           len(list_filter(string_split(text, ' '),
+        |               t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop,
+        |           length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+        |           length(text) AS n_chars
+        |         FROM buniq),
+        |  bq AS (SELECT doc_id,
+        |          (CASE WHEN n_tokens < 5 THEN 0.0
+        |                ELSE 1.0 - (CASE WHEN n_chars = 0 THEN 0e0
+        |                            ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 2.0
+        |                     + least((CAST(n_stop AS DOUBLE) / n_tokens) * 1.5, 0.3)
+        |           END) AS quality_score
+        |        FROM bqm),
+        |  branked AS (
+        |    SELECT c.component, c.doc_id,
+        |           row_number() OVER (PARTITION BY c.component
+        |                              ORDER BY q.quality_score DESC, c.doc_id) AS rn
+        |    FROM bcomp c JOIN bq q USING (doc_id)),
+        |  bdrop AS (SELECT doc_id FROM branked WHERE rn > 1),
+        |  bkept AS MATERIALIZED (SELECT u.doc_id, u.text FROM buniq u
+        |           LEFT JOIN bdrop dr ON u.doc_id = dr.doc_id WHERE dr.doc_id IS NULL),
+        |  cs AS (SELECT doc_id, string_split(text, ' ') AS s FROM clean0),
+        |  csh AS MATERIALIZED (SELECT doc_id,
+        |           list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                          FOR i IN range(1, len(s)-1)]) AS sh
+        |         FROM cs),
+        |  cexg AS (SELECT doc_id, unnest(sh) AS g FROM csh),
+        |  csz AS (SELECT doc_id, len(sh) AS sz FROM csh),
+        |  bkexg AS (SELECT e.doc_id, e.g FROM bexg e JOIN bkept k ON e.doc_id = k.doc_id),
+        |  hinter AS (
+        |    SELECT c.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS i
+        |    FROM cexg c JOIN bkexg b ON c.g = b.g
+        |    GROUP BY 1, 2),
+        |  hist AS (SELECT DISTINCT h.b_id AS doc_id FROM hinter h
+        |           JOIN csz sa ON sa.doc_id = h.a_id
+        |           JOIN bsz sb ON sb.doc_id = h.b_id
+        |           WHERE 10 * h.i >= 8 * (sa.sz + sb.sz - h.i)),
+        |  bnd AS (SELECT k.doc_id, k.text FROM bkept k
+        |         LEFT JOIN hist ON k.doc_id = hist.doc_id WHERE hist.doc_id IS NULL),
+        |  btg AS (SELECT doc_id, unnest(list_distinct(
+        |           [array_to_string(s2[i:i+12], ' ') FOR i IN range(1, len(s2)-11)])) AS g
+        |         FROM (SELECT doc_id, string_split(text, ' ') AS s2 FROM bnd)),
+        |  bcont AS (SELECT DISTINCT doc_id FROM btg JOIN ev USING (g)),
+        |  bclean AS (SELECT bnd.doc_id, bnd.text FROM bnd
+        |            LEFT JOIN bcont ON bnd.doc_id = bcont.doc_id WHERE bcont.doc_id IS NULL),
+        |  bspl AS (SELECT doc_id,
+        |            CASE WHEN b < 900 THEN 'train'
+        |                 WHEN b < 950 THEN 'val'
+        |                 ELSE 'test' END AS split
+        |          FROM (SELECT doc_id,
+        |                  ('0x' || substr(md5(text || 'split-v1'), 1, 8))::BIGINT % 1000 AS b
+        |                FROM bclean))
+        |SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM braw
+        |UNION ALL SELECT '2_gate_passed', CAST(count(*) AS BIGINT) FROM bgate
+        |UNION ALL SELECT '3_exact_unique', CAST(count(*) AS BIGINT) FROM buniq
+        |UNION ALL SELECT '4_neardup_kept', CAST(count(*) AS BIGINT) FROM bnd
+        |UNION ALL SELECT '5_clean', CAST(count(*) AS BIGINT) FROM bclean
+        |UNION ALL SELECT '6_split_' || split, CAST(count(*) AS BIGINT) FROM bspl
+        |GROUP BY split""".stripMargin,
+
     // Cross-split leakage: the x20 split (hashed on ORIGINAL text) +
     // the x19 containment body; the planted quote is a scalar subquery
     // over the first test doc, appended to every 10th train doc.

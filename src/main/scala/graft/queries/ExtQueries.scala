@@ -302,6 +302,42 @@ object ExtQueries {
       graft.run.CorpusPrepJob
         .run(damaged.unionByName(copies), ev, w).funnel
     }),
+    // The INCREMENTAL leg of the composed prep job
+    // (CorpusPrepJob.increment): an initial run() over the %3≠0 docs
+    // lays the standing artifacts, then ONE batch tick cleans the
+    // %3=0 docs plus planted history collisions against them — exact
+    // copies of standing docs (id+4e6, every %5 of the initial set →
+    // dropped at the standing-corpus hash anti-join), near-copies of
+    // standing docs (id+5e6, every %7, suffixed → dropped at the
+    // stored-index history probe), and within-batch near-twins
+    // (id+6e6, every %11 of the batch, suffixed → the within-batch
+    // component/keeper leg is non-vacuous). The output is the BATCH
+    // funnel; the oracle re-derives the initial corpus AND the tick
+    // in one SQL chain (both closures, both containment joins).
+    "x68_incr_funnel" -> ((s, d) => {
+      val dd = docs(s, d)
+      val ev = dd.filter(col("doc_id") % 50 === 0)
+        .select(array_join(slice(split(col("text"), " "), 5, 26), " ").as("text"))
+      val initial = dd.filter(col("doc_id") % 3 =!= 0)
+      val exactOfHist = dd.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"))
+      val nearOfHist = dd.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" zz incr suffix")).as("text"),
+          col("lang"), col("source"))
+      val batchTwin = dd.filter(col("doc_id") % 3 === 0 && col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(col("text"), lit(" qq batch twin")).as("text"),
+          col("lang"), col("source"))
+      val batch = dd.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .unionByName(exactOfHist).unionByName(nearOfHist).unionByName(batchTwin)
+      val w = new graft.sinks.StagingWriter(s,
+        java.nio.file.Files.createTempDirectory("incr_funnel").toString)
+      graft.run.CorpusPrepJob.run(initial, ev, w)
+      graft.run.CorpusPrepJob.increment(batch, ev, w).funnel
+    }),
     // Corpus assembly: reproducible content-hash split, language
     // mixture (en 100%, zh 50%, es 25%, de 75%, fr dropped — a mixture
     // spec is a whitelist), and shard-local token-budget packing.
