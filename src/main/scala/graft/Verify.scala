@@ -17,7 +17,23 @@ object Verify {
         None
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        Some(name -> s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}")
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}"
+        // A throwing ORACLE-BACKED query must surface as a RED row, not
+        // a silently-absent key (round 7 lost six keys invisibly this
+        // way): write a one-row frame whose single __verify_error
+        // column carries the reason — it can never schema/hash-match
+        // any oracle, so the compare shows FAIL with the why in-band.
+        // Rows-only keys keep the absent-dir signal instead: a planted
+        // error row would PASS their weaker rows>0 check.
+        if (SparkEntry.oracleSql.contains(name))
+          try {
+            import spark.implicits._
+            Seq(msg.take(2000)).toDF("__verify_error").coalesce(1)
+              .write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case e2: Throwable =>
+            System.err.println(s"[verify] $name error-row write failed: $e2")
+          }
+        Some(name -> msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
