@@ -698,8 +698,10 @@ object Dedup {
     staged
   }
 
-  /** Swap order of [[rebuildMinhashIndex]] — `__bands` LAST (the probe
-    * gate), shared with the crash-safety spec. */
+  /** THE artifact-suffix list of a MinHash index — every enumeration
+    * of the three tables (build sink, rebuild swap, compaction, batch
+    * rollback) derives from this one value so they can never drift.
+    * Order is the build/swap order: `__bands` LAST (the probe gate). */
   private[graft] val rebuildSwapOrder = Seq("__shingles", "__sizes", "__bands")
 
   /** The three index artifacts of a batch, handed to an arbitrary
@@ -739,7 +741,7 @@ object Dedup {
       writer: graft.sinks.StagingWriter,
       table: String,
       files: Int = 1): Map[String, Long] =
-    Seq("__shingles", "__sizes", "__bands")
+    rebuildSwapOrder
       .map(s => s -> writer.compactBatchPartitions(s"$table$s", files)).toMap
 
   /** Incremental near-dup: pairs (a_id = indexed corpus doc, b_id = new

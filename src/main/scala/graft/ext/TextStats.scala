@@ -262,7 +262,9 @@ object TextStats {
     * library dependency. Order matters and is part of the contract:
     * tags strip FIRST, then entities decode — so `&lt;b&gt;` in the
     * source renders as the literal text `<b>` instead of being eaten
-    * as markup (the classic double-decode bug inverted).
+    * as markup — and `&amp;` decodes LAST so escaped references
+    * (`&amp;#39;`) render as their literal entity text instead of
+    * double-decoding.
     *
     * Output: (doc_id, clean_hash, n_chars, n_tags) — the extracted
     * text ships in production; the gate form pins it by md5 (the
@@ -276,10 +278,14 @@ object TextStats {
     // the apostrophe — `&#39;` (decimal) and `&#x27;` (hex) are what
     // sanitizers emit instead of the unnamed `&apos;`, so real web
     // text carries both; same fixed-set regex contract (a general
-    // numeric decode needs chr(code) and stops being dialect-neutral)
+    // numeric decode needs chr(code) and stops being dialect-neutral).
+    // `&amp;` decodes LAST: decoding it first turns an ESCAPED
+    // reference (`&amp;#39;` — the correct encoding of the literal
+    // string `&#39;`) into `&#39;`, which a later pass then wrongly
+    // decodes to an apostrophe — the classic double-decode bug.
     val entities = Seq(
-      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&#x27;" -> "'")
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&#x27;" -> "'", "&amp;" -> "&")
     val stripped = regexp_replace(text, "<[^>]+>", " ")
     val decoded = entities.foldLeft(stripped) { case (c, (e, v)) =>
       regexp_replace(c, e, v)

@@ -1133,22 +1133,24 @@ object ExtOracles {
     // HTML extraction: the same strip-then-decode-then-collapse chain
     // character-for-character (order is the contract: tags first, so
     // literal &lt;b&gt; text is never eaten as markup; the numeric
-    // apostrophe decodes in both its decimal and hex spellings);
-    // round-trips to original + ' tail & it''s ''done''' by
-    // construction, which the md5 pins.
+    // apostrophe decodes in both its decimal and hex spellings; &amp;
+    // decodes LAST so the planted ESCAPED reference &amp;#x27;
+    // survives as the literal '&#x27;' instead of double-decoding);
+    // round-trips to original + ' tail & it''s ''done'' aka &#x27;'
+    // by construction, which the md5 pins.
     "x65_html_extract" ->
       """WITH p AS (SELECT doc_id,
         |    '<html><body class="doc"><p>' ||
         |    regexp_replace(text, ' value ', ' <b>value</b> ', 'g') ||
-        |    '</p> <p>tail &amp; it&#39;s &#x27;done&#x27;</p></body></html>' AS text
+        |    '</p> <p>tail &amp; it&#39;s &#x27;done&#x27; aka &amp;#x27;</p></body></html>' AS text
         |  FROM documents),
         |  s AS (SELECT doc_id, text,
         |    trim(regexp_replace(
         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |      regexp_replace(
         |        regexp_replace(text, '<[^>]+>', ' ', 'g'),
-        |        '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-        |        '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&#x27;', chr(39), 'g'),
+        |        '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |        '&#39;', chr(39), 'g'), '&#x27;', chr(39), 'g'), '&amp;', '&', 'g'),
         |      ' +', ' ', 'g')) AS clean
         |  FROM p)
         |SELECT doc_id, md5(clean) AS clean_hash, CAST(length(clean) AS INT) AS n_chars,

@@ -233,17 +233,19 @@ object ExtQueries {
     // HTML -> text extraction over PLANTED markup (the fixture is
     // plain text, so the wrap is the damage): every doc gets a fixed
     // document frame plus <b> wraps around its ' value ' tokens and a
-    // trailing entity-bearing paragraph carrying the named ampersand
-    // AND both numeric apostrophe forms (`&#39;` decimal, `&#x27;`
-    // hex — the sanitizer-emitted spellings). The extraction must
-    // round-trip to original-text + " tail & it's 'done'" — pinned by
-    // md5 — and n_tags counts the planted markup (8 fixed + 2 per
-    // wrap).
+    // trailing entity-bearing paragraph carrying the named ampersand,
+    // both numeric apostrophe forms (`&#39;` decimal, `&#x27;` hex —
+    // the sanitizer-emitted spellings), AND an ESCAPED reference
+    // (`&amp;#x27;` — the correct encoding of the literal string
+    // `&#x27;`), which must survive as that literal because `&amp;`
+    // decodes last. The extraction round-trips to original-text +
+    // " tail & it's 'done' aka &#x27;" — pinned by md5 — and n_tags
+    // counts the planted markup (8 fixed + 2 per wrap).
     "x65_html_extract" -> ((s, d) => {
       val planted = docs(s, d).select(col("doc_id"),
         concat(lit("<html><body class=\"doc\"><p>"),
           regexp_replace(col("text"), " value ", " <b>value</b> "),
-          lit("</p> <p>tail &amp; it&#39;s &#x27;done&#x27;</p></body></html>")).as("text"))
+          lit("</p> <p>tail &amp; it&#39;s &#x27;done&#x27; aka &amp;#x27;</p></body></html>")).as("text"))
       TextStats.htmlExtract(planted)
     }),
     // Span-level decontamination REWRITE: x19's planted eval set, but

@@ -73,6 +73,12 @@ object CorpusPrepJob {
   /** Table names of the durable artifacts a run lays out. */
   val CorpusTable = "corpus_clean"
   val IndexTable = "corpus_minhash"
+
+  /** Every table an [[increment]] batch appends a slice to — the
+    * rollback set of the replay protocol, derived from the index's own
+    * artifact list so the two can never drift. */
+  private def batchSliceTables: Seq[String] =
+    CorpusTable +: Dedup.rebuildSwapOrder.map(IndexTable + _)
   val PackedTable = "train_packed"
   val CurriculumTable = "curriculum"
   val FunnelTable = "prep_funnel"
@@ -248,8 +254,7 @@ object CorpusPrepJob {
         artifacts = Seq(CorpusTable, IndexTable))
     // rollback BEFORE any read below lists the standing tables
     batchId.foreach { id =>
-      (CorpusTable +: Seq("__shingles", "__sizes", "__bands").map(IndexTable + _))
-        .foreach(t => writer.deleteBatchSlice(t, id))
+      batchSliceTables.foreach(t => writer.deleteBatchSlice(t, id))
     }
     val normalized = TextStats.normalized(newDocs)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -362,6 +367,18 @@ object CorpusPrepJob {
   def refreshArtifacts(
       writer: StagingWriter,
       cfg: PrepConfig = PrepConfig()): Unit = {
+    // An UNCOMMITTED crashed tick's slices must not be absorbed: the
+    // batch is still replayable, and baking its rows into fresh
+    // (undiscriminated) index/export files would make the replay's
+    // rollback a no-op and its recompute see the crashed attempt as
+    // history (every batch doc self-near-dups against its own crashed
+    // copy and the batch vanishes). Roll such slices back first —
+    // exactly what the replay itself would do on arrival.
+    val committed = writer.committedBatchIds(CorpusTable)
+    batchSliceTables.foreach { t =>
+      (writer.batchSliceIds(t) -- committed)
+        .foreach(id => writer.deleteBatchSlice(t, id))
+    }
     val corpus = writer.read(CorpusTable)
     Dedup.rebuildMinhashIndex(corpus, writer, IndexTable)
     writer.writeAndSwap(

@@ -252,6 +252,33 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
         .foreach(s => fs.delete(s.getPath, false))
   }
 
+  /** Batch ids with [[appendBatchSlice]] files present in `table` —
+    * the discriminator scan a maintenance job uses to find ticks that
+    * appended but may not have committed. */
+  def batchSliceIds(table: String): Set[Long] = {
+    val dst = new Path(path(table))
+    if (!fs.exists(dst)) Set.empty
+    else fs.listStatus(dst).flatMap { s =>
+      val n = s.getPath.getName
+      val digits = if (n.startsWith("b")) n.drop(1).takeWhile(_.isDigit) else ""
+      if (digits.nonEmpty && n.startsWith(s"b${digits}_")) Some(digits.toLong)
+      else None
+    }.toSet
+  }
+
+  /** Batch ids whose [[commitBatch]] marker exists on `table`. */
+  def committedBatchIds(table: String): Set[Long] = {
+    val dst = new Path(path(table))
+    val prefix = "_graft_commit_b"
+    if (!fs.exists(dst)) Set.empty
+    else fs.listStatus(dst).flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit) &&
+        n.length > prefix.length) Some(n.drop(prefix.length).toLong)
+      else None
+    }.toSet
+  }
+
   private def commitMarker(table: String, batchId: Long): Path =
     new Path(path(table), s"_graft_commit_b$batchId")
 

@@ -101,12 +101,15 @@ final class ParquetSimSource(
     // columns branch on the physically-scanned type (see Relation
     // scaladoc): raw-nanos fixtures filter on an INT64 literal,
     // native-timestamp fixtures on a timestamp literal — both push
-    // into the footer/page index.
-    def scannedType(d: DataFrame, c: String): DataType = d.schema(c).dataType
+    // into the footer/page index. Column lookups are CASE-INSENSITIVE
+    // (matching Spark's own col() resolution): a fixture regen that
+    // re-cases a column must not silently skip the event-time branch.
+    def scannedType(d: DataFrame, c: String): Option[DataType] =
+      d.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
     req.filter.foreach { case (field, ts) =>
       val f = field.toLowerCase
       df = df.filter {
-        if (rel.nanosTs.contains(f) && df.columns.contains(f)) {
+        if (rel.nanosTs.contains(f) && scannedType(df, f).isDefined) {
           // Watermarks are observed from the micros-truncated NTZ view
           // of this column, so strict `>` must mean "past the observed
           // MICROSECOND" — rows inside the watermark's microsecond are
@@ -114,10 +117,10 @@ final class ParquetSimSource(
           // branch that is `>= wm + 1000ns`; on the native branches
           // micros IS the storage resolution, so it is exactly `>`.
           scannedType(df, f) match {
-            case LongType =>
+            case Some(LongType) =>
               if (req.exclusive) col(f) >= lit(tsToNanos(ts) + 1000L)
               else col(f) >= lit(tsToNanos(ts))
-            case TimestampNTZType =>
+            case Some(TimestampNTZType) =>
               val l = lit(ts.toLocalDateTime)
               if (req.exclusive) col(f) > l else col(f) >= l
             case _ =>
@@ -137,14 +140,12 @@ final class ParquetSimSource(
     // run with UTC session timezone, so the LTZ→NTZ cast is the
     // identity on the stored naive wall clock.
     rel.nanosTs.foldLeft(df)((d, c) =>
-      if (!d.columns.contains(c)) d
-      else scannedType(d, c) match {
-        case LongType =>
-          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")).cast("timestamp_ntz"))
-        case TimestampNTZType => d
-        case TimestampType =>
+      scannedType(d, c) match {
+        case Some(LongType) =>
+          d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")).cast("timestamp_ntz"))
+        case Some(TimestampType) =>
           d.withColumn(c, col(c).cast("timestamp_ntz"))
-        case _ => d
+        case _ => d // NTZ already, or the column is absent from this scan
       })
   }
 

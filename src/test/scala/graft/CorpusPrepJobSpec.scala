@@ -276,6 +276,48 @@ class CorpusPrepJobSpec extends SparkSpec {
     }
   }
 
+  test("refreshArtifacts rolls back an uncommitted crashed tick instead of absorbing it; the replay still lands it") {
+    val wh = tmpDir("preprebuilduncommitted")
+    val writer = new StagingWriter(spark, wh)
+    CorpusPrepJob.run(docs, evalDocs, writer)
+    val corpusBefore = writer.read(CorpusPrepJob.CorpusTable).count()
+    val fresh = ("the keepers of a coastal lighthouse follow maintenance schedules " +
+      "across the northern route every year and the log of each visit records " +
+      "paint wear lens state and the long slow drift of the foundation stones " +
+      "while a small boat waits in the cove below the cliff path and the gulls " +
+      "turn slow circles over the light before the fog rolls in again").trim
+    val batch = spark.createDataFrame(Seq((9400001L, fresh, "en", "incr")))
+      .toDF("doc_id", "text", "lang", "source")
+    val tick = CorpusPrepJob.increment(batch, evalDocs, writer, batchId = Some(3L))
+    assert(tick.stageCounts("5_clean") == 1L)
+
+    // the crash: every append landed, the commit marker didn't
+    assert(new java.io.File(
+      writer.path(CorpusPrepJob.CorpusTable), "_graft_commit_b3").delete())
+    CorpusPrepJob.refreshArtifacts(writer)
+
+    // the rebuild covered exactly the COMMITTED corpus — the crashed
+    // tick's doc is in neither the corpus nor the rebuilt index
+    assert(writer.read(CorpusPrepJob.CorpusTable).count() == corpusBefore)
+    val probe = spark.createDataFrame(Seq(
+      (9400002L, fresh + " indeed"))).toDF("doc_id", "text")
+    def probeHits() = graft.ext.Dedup
+      .neardupAgainstIndex(probe, writer, CorpusPrepJob.IndexTable)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!probeHits().exists(_._1 == 9400001L),
+      "rebuilt index absorbed the uncommitted crashed tick")
+
+    // the replay lands the batch as if the crash never happened —
+    // in particular its docs must NOT self-near-dup against any
+    // absorbed copy of themselves
+    val replay = CorpusPrepJob.increment(batch, evalDocs, writer, batchId = Some(3L))
+    assert(replay.stageCounts == tick.stageCounts,
+      s"replay diverged after refresh: ${replay.stageCounts} vs ${tick.stageCounts}")
+    assert(writer.read(CorpusPrepJob.CorpusTable)
+      .filter(col("doc_id") === 9400001L).count() == 1)
+    assert(probeHits().contains((9400001L, 9400002L)))
+  }
+
   test("runFromJsonl: quarantine is counted and written; parsed side feeds the pipeline") {
     val dir = tmpDir("prepjsonl")
     val lines =
