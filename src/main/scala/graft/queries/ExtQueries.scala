@@ -337,7 +337,12 @@ object ExtQueries {
         .unionByName(exactOfHist).unionByName(nearOfHist).unionByName(batchTwin)
       val w = new graft.sinks.StagingWriter(s,
         java.nio.file.Files.createTempDirectory("incr_funnel").toString)
-      graft.run.CorpusPrepJob.run(initial, ev, w)
+      // the initial load defers its exports (pack/curriculum) to
+      // compaction cadence — the tick only needs corpus + index, and
+      // the export sorts are re-derivable (refreshArtifacts); funnel
+      // counts are identical either way
+      graft.run.CorpusPrepJob.run(initial, ev, w,
+        graft.run.CorpusPrepJob.PrepConfig(exports = false))
       graft.run.CorpusPrepJob.increment(batch, ev, w).funnel
     }),
     // Corpus assembly: reproducible content-hash split, language

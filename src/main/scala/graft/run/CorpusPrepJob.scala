@@ -58,7 +58,14 @@ object CorpusPrepJob {
         * as stage 0, before normalization. The extraction is a pure
         * per-row projection — it fuses into the normalize scan, no
         * extra pass. */
-      htmlInput: Boolean = false)
+      htmlInput: Boolean = false,
+      /** When false, [[run]] skips the derived EXPORTS (packed train
+        * sequences, curriculum, mixture) — they are re-derivable from
+        * the corpus table at compaction cadence ([[refreshArtifacts]]),
+        * so a caller that ingests continuously can defer them instead
+        * of paying the export sorts on every initial load. The corpus,
+        * the MinHash index, and the funnel always land. */
+      exports: Boolean = true)
 
   /** What a run leaves behind: the funnel (one row per stage — the
     * observability row a curation team watches), the same counts as a
@@ -154,20 +161,27 @@ object CorpusPrepJob {
       val corpus = writer.read(CorpusTable)
 
       // artifacts: the MinHash index the streaming ingest loop grows
-      // ([[Dedup.appendMinhashIndex]] / compaction), the packed train
-      // sequences, the curriculum export, the optional mixture
+      // ([[Dedup.appendMinhashIndex]] / compaction), then — unless the
+      // caller defers them to compaction cadence (cfg.exports) — the
+      // packed train sequences, the curriculum export, the optional
+      // mixture
       Dedup.buildMinhashIndex(corpus, writer, IndexTable)
-      writer.write(
-        Assemble.packBudget(corpus.filter(col("split") === "train"),
-          cfg.packTokens, cfg.packShards),
-        PackedTable, append = false)
-      Assemble.curriculumExport(corpus, writer, CurriculumTable, cfg.curriculumShards)
-      val mixArtifacts = cfg.mixBudget.toSeq.map { budget =>
-        writer.write(
-          Assemble.temperatureMix(corpus.filter(col("split") === "train"), budget),
-          MixTable, append = false)
-        MixTable
-      }
+      val exportArtifacts =
+        if (!cfg.exports) Nil
+        else {
+          writer.write(
+            Assemble.packBudget(corpus.filter(col("split") === "train"),
+              cfg.packTokens, cfg.packShards),
+            PackedTable, append = false)
+          Assemble.curriculumExport(corpus, writer, CurriculumTable, cfg.curriculumShards)
+          val mixArtifacts = cfg.mixBudget.toSeq.map { budget =>
+            writer.write(
+              Assemble.temperatureMix(corpus.filter(col("split") === "train"), budget),
+              MixTable, append = false)
+            MixTable
+          }
+          Seq(PackedTable, CurriculumTable) ++ mixArtifacts
+        }
 
       // the funnel: one unioned aggregate query — every count is an
       // integer aggregate, map-side combinable, one small row per stage
@@ -188,8 +202,7 @@ object CorpusPrepJob {
 
       val counts = funnel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       PrepReport(funnel, counts, quarantined = 0L,
-        artifacts = Seq(CorpusTable, IndexTable, PackedTable, CurriculumTable,
-          FunnelTable) ++ mixArtifacts)
+        artifacts = Seq(CorpusTable, IndexTable) ++ exportArtifacts :+ FunnelTable)
     } finally {
       normalized.unpersist(blocking = false)
       exactKept.unpersist(blocking = false)

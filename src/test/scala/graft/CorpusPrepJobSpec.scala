@@ -356,6 +356,30 @@ class CorpusPrepJobSpec extends SparkSpec {
       s"landing extraction changed the funnel: ${html.stageCounts} vs ${plain.stageCounts}")
   }
 
+  test("exports=false: run defers pack/curriculum to refreshArtifacts; funnel identical") {
+    val whFull = tmpDir("prepexp1")
+    val whLean = tmpDir("prepexp2")
+    val full = CorpusPrepJob.run(docs, evalDocs, new StagingWriter(spark, whFull))
+    val leanWriter = new StagingWriter(spark, whLean)
+    val lean = CorpusPrepJob.run(docs, evalDocs, leanWriter,
+      PrepConfig(exports = false))
+    assert(lean.stageCounts == full.stageCounts)
+    // corpus, index, and funnel always land; the export tables don't
+    assert(leanWriter.exists(CorpusPrepJob.CorpusTable))
+    assert(leanWriter.exists(s"${CorpusPrepJob.IndexTable}__bands"))
+    assert(leanWriter.exists(CorpusPrepJob.FunnelTable))
+    assert(!leanWriter.exists(CorpusPrepJob.PackedTable))
+    assert(!leanWriter.exists(CorpusPrepJob.CurriculumTable))
+    assert(!lean.artifacts.contains(CorpusPrepJob.PackedTable))
+    // the compaction-cadence job materializes the deferred exports
+    CorpusPrepJob.refreshArtifacts(leanWriter)
+    val corpus = leanWriter.read(CorpusPrepJob.CorpusTable)
+    assert(leanWriter.read(CorpusPrepJob.PackedTable).count() ==
+      corpus.filter(col("split") === "train").count())
+    assert(spark.read.parquet(leanWriter.path(CorpusPrepJob.CurriculumTable)).count() ==
+      corpus.count())
+  }
+
   test("mixBudget: the train mixture artifact is written and within budget") {
     val wh = tmpDir("prepmix")
     val writer = new StagingWriter(spark, wh)
