@@ -302,6 +302,56 @@ object TextStats {
       regexp_count(col("text"), lit("<[^>]+>")).as("n_tags"))
   }
 
+  /** CORPUS-LEVEL boilerplate-prefix removal — the cross-document
+    * counterpart of the per-doc quality rules (X45) and the per-doc
+    * HTML extraction (X78): web extraction leaves the same
+    * navigation/header line at the head of every page of a site, and
+    * no per-document signal can see it (each doc looks fine alone —
+    * only the CORPUS knows the prefix repeats). A document's first
+    * `n`-token prefix is flagged when, within its source, at least
+    * `sharePct`% of documents (and ≥ 2 — a single-doc source must not
+    * flag its own head) share it; flagged docs are rebuilt with the
+    * prefix dropped once. The CCNet/C4 pipelines apply exactly this
+    * family of site-level boilerplate treatment before per-doc
+    * filtering.
+    *
+    * Scale shape: ONE map-side-combinable groupBy on (source, prefix)
+    * plus a per-source total; the flagged set is bounded by
+    * sources × (100/sharePct) rows — broadcast by construction, so
+    * the corpus never shuffles: flag + trim ride the scan as a
+    * broadcast join + projection. Output pins the rebuild by md5 (the
+    * chunk-dedup convention); a fully-trimmed short doc hashes ''.
+    * All comparisons are integer (cnt·100 ≥ tot·sharePct) so both
+    * engines agree exactly. */
+  def boilerplatePrefix(docs: DataFrame, n: Int = 10, sharePct: Int = 20): DataFrame = {
+    require(n >= 1, s"prefix length must be positive, got $n")
+    require(sharePct >= 1 && sharePct <= 100, s"sharePct in 1..100, got $sharePct")
+    val base = docs.select(
+      col("doc_id"),
+      coalesce(col("source"), lit("")).as("source"),
+      split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .withColumn("prefix", array_join(slice(col("toks"), 1, n), " "))
+    val counts = base.groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = base.groupBy(col("source")).agg(count(lit(1)).as("tot"))
+    val flagged = counts.join(totals, Seq("source"))
+      .filter(col("cnt") >= 2 && col("cnt") * 100 >= col("tot") * lit(sharePct))
+      .select(col("source"), col("prefix"), lit(true).as("__flag"))
+    val cleaned = when(col("__flag"),
+      array_join(slice(col("toks"), lit(n + 1),
+        greatest(size(col("toks")) - n, lit(0))), " "))
+      .otherwise(array_join(col("toks"), " "))
+    base.join(broadcast(flagged), Seq("source", "prefix"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("__flag"), lit(false)).as("is_boilerplate"),
+        size(col("toks")).cast("int").as("n_tokens"),
+        when(coalesce(col("__flag"), lit(false)),
+          least(lit(n), size(col("toks")))).otherwise(lit(0))
+          .cast("int").as("n_trimmed"),
+        md5(cleaned).as("clean_hash"))
+  }
+
   /** Repetition signal (the Gopher-style duplicate-n-gram ratio): the
     * fraction of a document's word bigrams that are repeats —
     * 1 − distinct/total. High values flag boilerplate/looping text for

@@ -1547,6 +1547,40 @@ object ExtOracles {
         |UNION ALL SELECT '6_split_' || split, CAST(count(*) AS BIGINT) FROM bspl
         |GROUP BY split""".stripMargin,
 
+    // Corpus-level boilerplate-prefix removal: the planted nav line's
+    // per-source share (~25%) crosses the 20% flag threshold; exact
+    // integer share arithmetic (cnt*100 >= tot*20, cnt >= 2 so a
+    // single-doc source never flags its own head), per-(source,
+    // prefix) grouping, md5-pinned trimmed rebuild. DuckDB's
+    // inclusive list slice toks[11:len] == Spark slice(toks, 11,
+    // greatest(len-10, 0)); both engines split '' to [''] so an
+    // empty text is one token on each side.
+    "x69_boilerplate_prefix" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN 'home menu search login cart help contact about terms privacy ' || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |  b AS (SELECT doc_id, COALESCE(source, '') AS source,
+        |          string_split(COALESCE(text, ''), ' ') AS toks
+        |        FROM p),
+        |  wp AS (SELECT doc_id, source, toks,
+        |           array_to_string(toks[1:10], ' ') AS prefix FROM b),
+        |  c AS (SELECT source, prefix, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM wp GROUP BY 1, 2),
+        |  t AS (SELECT source, CAST(count(*) AS BIGINT) AS tot FROM wp GROUP BY 1),
+        |  f AS (SELECT c.source, c.prefix FROM c JOIN t USING (source)
+        |        WHERE c.cnt >= 2 AND c.cnt * 100 >= t.tot * 20)
+        |SELECT w.doc_id,
+        |       f.prefix IS NOT NULL AS is_boilerplate,
+        |       CAST(len(w.toks) AS INT) AS n_tokens,
+        |       CAST(CASE WHEN f.prefix IS NOT NULL THEN least(10, len(w.toks)) ELSE 0 END AS INT)
+        |         AS n_trimmed,
+        |       md5(CASE WHEN f.prefix IS NOT NULL
+        |                THEN array_to_string(w.toks[11:len(w.toks)], ' ')
+        |                ELSE array_to_string(w.toks, ' ') END) AS clean_hash
+        |FROM wp w LEFT JOIN f ON w.source = f.source AND w.prefix = f.prefix""".stripMargin,
+
     // Cross-split leakage: the x20 split (hashed on ORIGINAL text) +
     // the x19 containment body; the planted quote is a scalar subquery
     // over the first test doc, appended to every 10th train doc.

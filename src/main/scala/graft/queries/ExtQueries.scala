@@ -345,6 +345,22 @@ object ExtQueries {
         graft.run.CorpusPrepJob.PrepConfig(exports = false))
       graft.run.CorpusPrepJob.increment(batch, ev, w).funnel
     }),
+    // Corpus-level boilerplate-prefix removal (the CCNet/C4 site-level
+    // treatment): every 4th doc gets the same 10-token navigation line
+    // prepended — within each source that lands near a 25% share, so
+    // sources straddle the 20% flag threshold by their own doc mix and
+    // both flagged and unflagged states occur naturally. Detection is
+    // per (source, prefix) with exact integer share arithmetic; the
+    // trimmed rebuild is md5-pinned (the chunk-dedup convention).
+    "x69_boilerplate_prefix" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("home menu search login cart help contact about terms privacy "),
+            col("text")))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"))
+      TextStats.boilerplatePrefix(planted)
+    }),
     // Corpus assembly: reproducible content-hash split, language
     // mixture (en 100%, zh 50%, es 25%, de 75%, fr dropped — a mixture
     // spec is a whitelist), and shard-local token-budget packing.

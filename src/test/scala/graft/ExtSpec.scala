@@ -1934,6 +1934,43 @@ class ExtSpec extends SparkSpec {
     assert(trimmed(1L)._2 == 0L, "short doc must never be trimmed")
   }
 
+  test("boilerplatePrefix: per-source share threshold, single-doc guard, exact trim") {
+    import spark.implicits._
+    val nav = (1 to 10).map(i => s"nav$i").mkString(" ")
+    def doc(i: Int) = (20 to 45).map(j => s"w${i}_$j").mkString(" ")
+    val d = Seq(
+      // source A: 3 of 4 docs share the nav head (75% >= 20%) -> trimmed
+      (1L, s"$nav ${doc(1)}", "A"),
+      (2L, s"$nav ${doc(2)}", "A"),
+      (3L, s"$nav ${doc(3)}", "A"),
+      (4L, doc(4), "A"),
+      // source B: 1 of 6 docs has it (16% < 20%) -> kept even though
+      // the SAME prefix is boilerplate in A (detection is per-source)
+      (10L, s"$nav ${doc(10)}", "B"),
+      (11L, doc(11), "B"), (12L, doc(12), "B"), (13L, doc(13), "B"),
+      (14L, doc(14), "B"), (15L, doc(15), "B"),
+      // source C: a single doc must never flag its own head (cnt >= 2)
+      (20L, s"$nav ${doc(20)}", "C"),
+      // source D: a SHORT doc (< n tokens) shared by both docs -> the
+      // whole text is the prefix, and the trim leaves ''
+      (30L, "only three tokens", "D"),
+      (31L, "only three tokens", "D"))
+      .toDF("doc_id", "text", "source")
+    val got = ext.TextStats.boilerplatePrefix(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getInt(3), r.getString(4)))).toMap
+    def md5s(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got(1L) == ((true, 10, md5s(doc(1)))), s"A not trimmed: ${got(1L)}")
+    assert(got(4L) == ((false, 0, md5s(doc(4)))))
+    assert(got(10L) == ((false, 0, md5s(s"$nav ${doc(10)}"))),
+      "per-source detection leaked across sources")
+    assert(got(20L) == ((false, 0, md5s(s"$nav ${doc(20)}"))),
+      "single-doc source flagged its own head")
+    assert(got(30L) == ((true, 3, md5s(""))), s"short-doc trim: ${got(30L)}")
+  }
+
   test("fuzzyDecontaminate: empty eval flags nothing; a verbatim eval copy flags") {
     import spark.implicits._
     val body = (1 to 40).map(i => s"tok$i").mkString(" ")
