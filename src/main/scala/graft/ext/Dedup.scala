@@ -498,6 +498,77 @@ object Dedup {
       .distinct()
   }
 
+  /** EXACT asymmetric containment self-join at threshold tNum/tDen:
+    * every ordered pair where |A∩B| ≥ t·|A| on distinct 3-gram shingle
+    * sets — the subsumption axis Jaccard cannot see. A 30-token quote
+    * embedded in a 3000-token article has Jaccard ≈ 0.01 (invisible to
+    * X2/X24 at any usable threshold) but containment 1.0; this is the
+    * operator that finds quote-docs, excerpt pages, and
+    * expanded-revision chains so curation can drop the subsumed copy
+    * (keep the superset doc — the X51 keeper policy composes).
+    *
+    * Prefix principle, asymmetric form (the AllPairs/PPJoin bound
+    * applied to one side): order shingles rarest-document-frequency
+    * first; a pair with overlap ≥ ⌈t·|A|⌉ must collide inside A's first
+    * |A| − ⌈t·|A|⌉ + 1 elements BY PIGEONHOLE — but only if the
+    * container side exposes everything, so B contributes its FULL
+    * shingle stream (no symmetric prefix, no length filter: |B| is
+    * unbounded relative to |A| by design — that asymmetry IS the
+    * semantics). Same integer threshold algebra as [[ngramJaccardJoin]]
+    * (never float ceil). Exact intersection verify then gives precision
+    * 1.0 — recall and precision both exact.
+    *
+    * Scale shape: candidate volume = Σ over A-prefix tokens of df(h) —
+    * prefixes keep each doc's RAREST tokens, so the container-side
+    * buckets are the corpus's thinnest; the full stream side only ever
+    * equi-joins (one shuffle on the 8-byte hash), never self-pairs.
+    * `minSz` (shingle-count floor on the contained side) cuts the
+    * trivially-contained short-doc noise a production corpus carries.
+    *
+    * Returns (contained_id, container_id, n_shared, n_shingles) — all
+    * integer, hash-compare safe; identical docs qualify in BOTH
+    * directions. */
+  def containmentJoin(
+      docs: DataFrame, tNum: Int = 9, tDen: Int = 10,
+      minSz: Int = 5): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen must be in (0, 1]")
+    require(minSz >= 1, s"minSz $minSz must be positive")
+    val hs = shingleHashes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val dfreq = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+      val prefix = hs
+        .join(dfreq, "h")
+        .withColumn("rn", row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(col("sz") >= minSz)
+        .filter(lit(tNum) * col("sz") <= lit(tDen) * (col("sz") - col("rn") + 1))
+        .select(col("h"), col("doc_id").as("contained_id"))
+      val cand = prefix
+        .join(hs.select(col("h"), col("doc_id").as("container_id")), "h")
+        .filter(col("contained_id") =!= col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+      cand
+        .join(hs.select(col("doc_id").as("contained_id"), col("h")), "contained_id")
+        .join(hs.select(col("doc_id").as("container_id"), col("h")),
+          Seq("container_id", "h"))
+        .groupBy(col("contained_id"), col("container_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sizes.select(col("doc_id").as("contained_id"),
+          col("sz").as("n_shingles")), "contained_id")
+        .filter(col("n_shared") * tDen >= col("n_shingles") * tNum)
+        .select(col("contained_id"), col("container_id"),
+          col("n_shared"), col("n_shingles"))
+        // eager so the shingle cache can be released here (the
+        // materialized-pair-set idiom)
+        .localCheckpoint(true)
+    } finally hs.unpersist(blocking = false)
+  }
+
   /** Span-level exact-substring dedup (the Lee et al. 2021
     * "Deduplicating Training Data Makes Language Models Better" pass,
     * re-expressed relationally): a token window of width `n` is
@@ -609,6 +680,34 @@ object Dedup {
               struct(col("ci"), col("chunk"))))),
             s => s.getField("chunk")),
           " ")).as("clean_hash"))
+  }
+
+  /** INTRA-document repeated-chunk collapse — the crawler-artifact
+    * cleaner [[chunkDedup]] is not: chunkDedup's first-site-wins runs
+    * CORPUS-wide (cross-document paragraph dedup), while this removes
+    * a chunk repeated WITHIN one document (pagination glitches, infinite
+    * -scroll stutter, template loops re-rendering the same paragraph)
+    * and leaves legitimate cross-document repetition alone. Reports the
+    * X20 repetition family's signal as a REWRITE, not just a ratio.
+    *
+    * Scale shape: zero shuffles — chunks, first-occurrence dedup
+    * (`array_distinct` evaluates left-to-right, so "keep the FIRST
+    * occurrence" is its documented order), and the md5 rebuild are all
+    * per-row array expressions riding the corpus scan; the DuckDB
+    * oracle derives the same result POSITIONALLY (chunk comprehension +
+    * per-doc row_number + ordered string_agg) — two independent
+    * constructions, hash-compared. Same output contract as
+    * [[chunkDedup]]: (doc_id, n_chunks, n_kept, clean_hash). */
+  def collapseRepeatedChunks(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens >= 1, s"chunk width $chunkTokens must be at least 1")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val chunks = graft.functions.GraftFunctions.wordChunks(col("text"), lit(chunkTokens))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), chunks.as("chunks"))
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        size(array_distinct(col("chunks"))).cast("long").as("n_kept"),
+        md5(array_join(array_distinct(col("chunks")), " ")).as("clean_hash"))
   }
 
   /** Ingest-time MinHash index: persists the per-document signature

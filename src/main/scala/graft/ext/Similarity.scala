@@ -863,4 +863,163 @@ object Similarity {
         array_max(col("q")).as("q_max"),
         aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"))
   }
+
+  /** Per-subspace product-quantization codebooks (Jégou et al. 2011):
+    * the vector is split into `m` contiguous subspaces of dim/m dims
+    * and each subspace trains its own `ksub`-centroid quantizer. The
+    * codebooks train on a DETERMINISTIC corpus sample
+    * (`vec_id % trainMod = 0` — the faiss practice: quantizer quality
+    * saturates on a sample while full-corpus Lloyd would pay m·iters
+    * whole-corpus scans), via the same distributed Lloyd used by the
+    * IVF coarse quantizer. Returns m positional centroid lists. */
+  def pqCodebooks(
+      emb: DataFrame, m: Int = 4, ksub: Int = 16,
+      iters: Int = 2, trainMod: Int = 1): Seq[Seq[(Int, Array[Double])]] = {
+    require(m >= 1, s"subspace count $m must be positive")
+    val dim = dimOf(emb)
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
+    val train = emb.filter(col("vec_id") % trainMod === 0)
+    (0 until m).map { s =>
+      kmeansCentroids(
+        train.select(col("vec_id"),
+          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
+        ksub, iters)
+    }
+  }
+
+  /** PQ-encode the corpus: each vector becomes `m` small codes (the
+    * positional index of its nearest sub-centroid per subspace) plus
+    * its exact norm — 4·dim bytes shrink to m codes + one float, the
+    * compressed representation that makes a 100 TB embedding store
+    * scannable (codes for 1e9 × dim=1024 vectors fit where raw floats
+    * cannot). One codegen'd pass; m·ksub vec_dot nodes over dim/m-sized
+    * slices (the SignLshBuckets node-count lesson: this is m·ksub ≈
+    * dozens, not hundreds). */
+  def pqEncode(emb: DataFrame, books: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = asDouble(col("embedding"))
+    emb.select(col("vec_id"), pqCodes(v, books).as("codes"), norm(v).as("nv"))
+  }
+
+  /** The m PQ codes of a double-vector column (positional nearest
+    * sub-centroid per subspace). */
+  private def pqCodes(v: Column, books: Seq[Seq[(Int, Array[Double])]]): Column = {
+    val sub = books.head.head._2.length
+    array(books.zipWithIndex.map { case (cents, s) =>
+      val sv = slice(v, s * sub + 1, sub)
+      val dists = array(cents.map { case (_, c) =>
+        lit(-2.0) * graft.functions.GraftFunctions.vecDot(sv, typedLit(c.toSeq)) +
+          lit(c.map(x => x * x).sum)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** A query's flat m·ksub ADC lookup table: sub-dot-products of its
+    * subvectors against every sub-centroid. */
+  private def pqLut(q: Column, books: Seq[Seq[(Int, Array[Double])]]): Column = {
+    val sub = books.head.head._2.length
+    array(books.zipWithIndex.flatMap { case (cents, s) =>
+      val qs = slice(q, s * sub + 1, sub)
+      cents.map { case (_, c) =>
+        graft.functions.GraftFunctions.vecDot(qs, typedLit(c.toSeq))
+      }
+    }: _*)
+  }
+
+  /** `approx_dot = Σ_s lut[s·ksub + code_s]` — m lookups + adds. */
+  private def pqAdcDot(m: Int, ksub: Int): Column =
+    (0 until m).map(s =>
+      element_at(col("lut"), col("codes")(s) + lit(s * ksub) + 1))
+      .reduce(_ + _)
+
+  /** Compressed-domain approximate top-k by asymmetric distance (the
+    * faiss IndexPQ search): corpus vectors are consulted only through
+    * their PQ codes — each query precomputes its m×ksub lookup table of
+    * sub-dot-products ONCE (on the tiny query frame), and scoring a
+    * corpus row is m array lookups + adds, no vector arithmetic at all.
+    * `approx_dot(q, x) = Σ_s lut[s·ksub + code_s]`, cosine via the
+    * stored exact norm. The scale story is bytes, not cells: the probe
+    * scans every row but touches m bytes + one float per row instead of
+    * 4·dim — compose with [[buildIvfIndex]] partition pruning when scan
+    * count (not width) is the bottleneck.
+    *
+    * Approximate by design (quantization error) → rows-only in the
+    * gate; the spec pins determinism, code geometry, and EXACTNESS on a
+    * codebook-saturating fixture (every subvector is a codeword ⇒ ADC
+    * score ≡ exact cosine ⇒ pqTopK ≡ cosTopK). */
+  def pqTopK(
+      emb: DataFrame,
+      k: Int = 5,
+      queryMod: Int = 50,
+      m: Int = 4,
+      ksub: Int = 16,
+      iters: Int = 2,
+      trainMod: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val books = pqCodebooks(emb, m, ksub, iters, trainMod)
+    val corpus = pqEncode(emb, books).filter(col("nv") > 0)
+    // per-query LUT: flat m·ksub array of sub-dot-products, one row per
+    // query — broadcast-sized by the queryMod contract
+    val q = asDouble(col("embedding"))
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), pqLut(q, books).as("lut"),
+        norm(q).as("nq"))
+      .filter(col("nq") > 0)
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", pqAdcDot(m, ksub) / (col("nq") * col("nv")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** IVF + PQ composed (the faiss IndexIVFPQ shape): the coarse
+    * quantizer prunes WHICH rows are scored (≈ nprobe/cells of the
+    * corpus, the X6 story) and PQ codes shrink WHAT a scored row costs
+    * (m lookups over m bytes + one float, the X83 story) — at 100 TB
+    * the two multiply: scan count × scan width. Design choice: codes
+    * quantize RAW vectors (codebooks shared across cells), not the
+    * per-cell residuals classic IVFPQ encodes — residual encoding
+    * buys accuracy per code at the cost of coupling every code to its
+    * cell's centroid (recompute on [[rebuildIvfIndex]]-style
+    * re-centering); the raw form keeps codes valid across coarse
+    * retrains. Approximate on BOTH axes (pruning misses + quantization
+    * error); the spec pins full-probe + saturating-codebook ≡ exact
+    * cosTopK, so each axis's error collapses to zero when its knob is
+    * opened. */
+  def ivfPqTopK(
+      emb: DataFrame,
+      k: Int = 5,
+      queryMod: Int = 50,
+      nprobe: Int = 3,
+      cells: Int = 10,
+      iters: Int = 2,
+      m: Int = 4,
+      ksub: Int = 16,
+      trainMod: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val cents = kmeansCentroids(emb, cells, iters)
+    val books = pqCodebooks(emb, m, ksub, iters, trainMod)
+    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cell", nearestCell(cents))
+      .withColumn("nv", norm(col("v")))
+      .filter(col("nv") > 0)
+      .select(col("vec_id"), col("cell"),
+        pqCodes(col("v"), books).as("codes"), col("nv"))
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
+      .withColumn("nq", norm(col("q")))
+      .filter(col("nq") > 0)
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(cellScores(cents))), 1, nprobe)))
+      .select(col("query_id"), pqLut(col("q"), books).as("lut"),
+        col("nq"), col("probe.cell").as("cell"))
+    val scored = corpus
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", pqAdcDot(m, ksub) / (col("nq") * col("nv")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    topKPerQuery(scored, k)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: per-language
@@ -662,5 +663,93 @@ object TextStats {
       col("doc_id"),
       size(fps).as("n_fingerprints"),
       array_min(fps).as("min_fingerprint"))
+  }
+
+  /** Blocklist (badwords) filtering — the C4-style wordlist gate
+    * (Raffel et al. 2020 filtered any page containing a listed word):
+    * per document, total occurrences and distinct terms hit from a
+    * curated term list, plus the drop flag. Production lists run to
+    * tens of thousands of terms, so matching is an explode + BROADCAST
+    * equi-join (map-side combinable count — the corpus never
+    * shuffles), not a per-row O(tokens·terms) HOF scan; NULL text
+    * coalesces to '' (definite keep) and no-hit documents survive the
+    * left join with zeros. */
+  def blocklistFilter(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist is empty — every doc would pass vacuously")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bl = broadcast(terms.toDF("w").distinct())
+    val hits = docs
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .join(bl, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("w")).as("n_terms"))
+    docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("flagged"))
+  }
+
+  /** CCNet-style perplexity bucketing: split each language's documents
+    * into `buckets` equal bands (head/middle/tail for the default 3) by
+    * the X63 bigram predictability score — the Wenzek et al. (CCNet,
+    * 2020) partition that trains on the "head" (most LM-predictable
+    * third) per language and lets curricula mix bands explicitly.
+    * Band semantics are exactly `ntile(buckets)` over
+    * (score_ppm DESC, doc_id) within each language — doc_id completes
+    * the total order, so assignment is deterministic.
+    *
+    * Scale shape: a naive per-language ntile is ONE window task per
+    * language — a 50 TB language funnels through a single executor. The
+    * rank is instead decomposed the X42 way: (lang, score) histogram
+    * (map-side combinable; bounded by distinct scores per language) →
+    * per-language totals + exclusive prefix over the tiny histogram →
+    * per-(lang, score) row_number windows, parallel across score
+    * values. The closed-form ntile arithmetic — the first n%b bands get
+    * one extra row — is exact-integer, so a DuckDB ntile oracle agrees
+    * hash-for-hash while deriving the band entirely differently.
+    * Caveat (shared with X42): a single massively-tied score value still
+    * bounds parallelism — granular scores (ppm, here) keep value groups
+    * thin. */
+  def perplexityBuckets(docs: DataFrame, buckets: Int = 3): DataFrame = {
+    require(buckets >= 1, s"bucket count $buckets must be positive")
+    val scored = lmScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score_ppm"))
+    val hist = scored.groupBy(col("lang"), col("score_ppm"))
+      .agg(count(lit(1)).as("value_cnt"))
+      .withColumn("n_lang",
+        sum(col("value_cnt")).over(Window.partitionBy(col("lang"))))
+      .withColumn("prefix_cnt",
+        coalesce(sum(col("value_cnt")).over(
+          Window.partitionBy(col("lang")).orderBy(col("score_ppm").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("score_ppm"), col("n_lang"), col("prefix_cnt"))
+    val withinValue = Window.partitionBy(col("lang"), col("score_ppm"))
+      .orderBy(col("doc_id"))
+    scored
+      // no broadcast hint — the histogram is one row per distinct
+      // (lang, score) value; AQE broadcasts it when it measures small
+      // (the X42 convention)
+      .join(hist, Seq("lang", "score_ppm"))
+      .withColumn("rnk", col("prefix_cnt") + row_number().over(withinValue))
+      // ntile closed form: q+1-sized bands for the first r = n%b bands,
+      // q-sized after. q = 0 (fewer docs than bands) always takes the
+      // first branch — rnk <= n_lang = r*(q+1) — so the q division
+      // never sees zero.
+      .withColumn("q", expr(s"n_lang div $buckets"))
+      .withColumn("r", col("n_lang") % buckets)
+      .withColumn("bucket",
+        when(col("rnk") <= col("r") * (col("q") + 1),
+          expr("(rnk - 1) div (q + 1) + 1"))
+          .otherwise(expr("r + (rnk - r * (q + 1) - 1) div q + 1")))
+      .select(col("doc_id"), col("lang"), col("score_ppm"), col("bucket"),
+        (if (buckets == 3)
+          when(col("bucket") === 1, lit("head"))
+            .when(col("bucket") === 2, lit("middle"))
+            .otherwise(lit("tail"))
+        else concat(lit("b"), col("bucket"))).as("band"))
   }
 }

@@ -392,6 +392,35 @@ object ExtOracles {
          |JOIN sz sb ON sb.doc_id = i.b_id
          |WHERE 10 * i.i >= 7 * (sa.sz + sb.sz - i.i)""".stripMargin,
 
+    // Asymmetric containment (x72): brute-force shared-shingle
+    // equi-join over the planted quote-doc frame — strings here vs
+    // 64-bit hashes on the Spark side (the x2/x18 collision caveat).
+    // DuckDB list slice s[1:25] is INCLUSIVE (25 tokens) = Spark
+    // slice(s, 1, 25).
+    "x72_containment" ->
+      """WITH pl AS (
+        |    SELECT doc_id, text FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 3000000,
+        |           array_to_string((string_split(text, ' '))[1:25], ' ')
+        |    FROM documents WHERE doc_id % 40 = 0),
+        |  sh AS (
+        |    SELECT doc_id,
+        |           list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                          FOR i IN range(1, len(s)-1)]) AS sh
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM pl)),
+        |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+        |  inter AS (
+        |    SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+        |           CAST(count(*) AS BIGINT) AS n_shared
+        |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |    GROUP BY 1, 2)
+        |SELECT i.contained_id, i.container_id, i.n_shared,
+        |       CAST(sa.sz AS BIGINT) AS n_shingles
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.contained_id
+        |WHERE 10 * i.n_shared >= 9 * sa.sz AND sa.sz >= 5""".stripMargin,
+
     // Decontamination: 13-gram containment against the planted eval set
     // (every 50th doc's token window [5,30] — Spark slice(s,5,26) ==
     // DuckDB s[5:30], both 26 tokens). The join is on n-gram STRINGS
@@ -989,6 +1018,82 @@ object ExtOracles {
         |       coalesce(s.n_bigrams, 0) AS n_bigrams,
         |       coalesce(s.tot // s.n_bigrams, 0) AS score_ppm
         |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin,
+
+    // Intra-doc repeated-chunk collapse (x74): the x39 chunk
+    // comprehension, but first-occurrence-wins PER DOCUMENT (row_number
+    // partitioned by doc_id AND chunk, not chunk alone) — the
+    // positional derivation cross-proving Spark's per-row
+    // array_distinct rewrite.
+    "x74_intradoc_collapse" ->
+      """WITH pl AS (
+        |    SELECT doc_id,
+        |           CASE WHEN doc_id % 6 = 0
+        |                THEN array_to_string((string_split(text, ' '))[1:10], ' ')
+        |                     || ' ' || text
+        |                ELSE text END AS text
+        |    FROM documents),
+        |  toks AS (SELECT doc_id, string_split(text, ' ') AS s
+        |           FROM pl WHERE text IS NOT NULL),
+        |  ch AS (SELECT doc_id, r['ci'] AS ci, r['c'] AS c FROM (
+        |    SELECT doc_id, unnest([{'ci': i, 'c': array_to_string(s[i*10+1:i*10+10], ' ')}
+        |                           FOR i IN range(0, CAST(ceil(len(s)/10.0) AS INT))]) AS r
+        |    FROM toks)),
+        |  f AS (SELECT doc_id, ci, c,
+        |               row_number() OVER (PARTITION BY doc_id, c ORDER BY ci) AS rn
+        |        FROM ch)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN c END, ' ' ORDER BY ci), ''))
+        |         AS clean_hash
+        |FROM f GROUP BY doc_id""".stripMargin,
+
+    // C4-style blocklist gate (x73): token join against the term list;
+    // NULL text coalesces to '' on both engines, no-hit docs survive
+    // the left join with zeros.
+    "x73_blocklist" ->
+      """WITH bl AS (SELECT unnest(['slow', 'spark', 'window']) AS w),
+        |  tok AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+        |          FROM documents),
+        |  hit AS (SELECT doc_id,
+        |            CAST(count(*) AS BIGINT) AS n_hits,
+        |            CAST(count(DISTINCT w) AS BIGINT) AS n_terms
+        |          FROM tok JOIN bl USING (w) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(h.n_hits, 0) AS n_hits,
+        |       coalesce(h.n_terms, 0) AS n_terms,
+        |       coalesce(h.n_hits, 0) > 0 AS flagged
+        |FROM documents d LEFT JOIN hit h USING (doc_id)""".stripMargin,
+
+    // CCNet perplexity banding: the x55 LM-score chain, then DuckDB's
+    // NATIVE ntile(3) per language over (score DESC, doc_id) — the
+    // Spark side derives the same band via the x36-style decomposed
+    // rank + closed-form ntile arithmetic, so band assignment is
+    // cross-proved by two independent constructions.
+    "x70_ppl_buckets" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |  bo AS (SELECT doc_id, b['w1'] AS w1, b['g'] AS g FROM (
+        |    SELECT doc_id, unnest(
+        |      [{'w1': s[i], 'g': s[i] || ' ' || s[i+1]} FOR i IN range(1, len(s))]) AS b
+        |    FROM tr)),
+        |  c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM bo GROUP BY g),
+        |  c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |         FROM (SELECT unnest(s) AS w FROM tr) GROUP BY w),
+        |  sc AS (SELECT bo.doc_id,
+        |           CAST(count(*) AS BIGINT) AS n_bigrams,
+        |           CAST(sum((1000000 * c2.c2) // c1.c1) AS BIGINT) AS tot
+        |         FROM bo JOIN c2 USING (g) JOIN c1 ON bo.w1 = c1.w
+        |         GROUP BY bo.doc_id),
+        |  lm AS (SELECT d.doc_id, d.lang,
+        |           CAST(coalesce(s.tot // s.n_bigrams, 0) AS BIGINT) AS score_ppm
+        |         FROM documents d LEFT JOIN sc s USING (doc_id))
+        |SELECT doc_id, lang, score_ppm, CAST(bucket AS BIGINT) AS bucket,
+        |       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |            ELSE 'tail' END AS band
+        |FROM (SELECT doc_id, lang, score_ppm,
+        |        ntile(3) OVER (PARTITION BY lang
+        |                       ORDER BY score_ppm DESC, doc_id) AS bucket
+        |      FROM lm)""".stripMargin,
 
     // Column profiling: the oracle unpivots via UNION ALL (a different
     // construction than Spark's array-explode — cross-proof). Both

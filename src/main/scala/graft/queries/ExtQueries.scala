@@ -151,6 +151,10 @@ object ExtQueries {
     "x4_text_stats" -> ((s, d) => TextStats.textStats(docs(s, d))),
     "x5_simhash_neardup" -> ((s, d) => Dedup.simhashNeardup(docs(s, d))),
     "x6_ann_ivf" -> ((s, d) => Similarity.ivfTopK(emb(s, d))),
+    // Compressed-domain ANN: PQ codes + asymmetric-distance top-k —
+    // approximate by design (rows-only); codebook-saturating exactness
+    // and code geometry pinned in ExtSpec.
+    "x71_pq_topk" -> ((s, d) => Similarity.pqTopK(emb(s, d))),
     "x7_lang_id" -> ((s, d) => TextStats.langId(docs(s, d))),
     "x8_quality_score" -> ((s, d) => TextStats.qualityScore(docs(s, d))),
     "x9_token_count" -> ((s, d) => TextStats.tokenCount(docs(s, d))),
@@ -164,6 +168,21 @@ object ExtQueries {
     // banding recall already decays (~1.2% borderline miss), which is
     // exactly when the exact algorithm is the right choice.
     "x18_ngram_jaccard" -> ((s, d) => ngramPairs(s, d)),
+    // Asymmetric containment: every 40th doc gets a planted "quote doc"
+    // at id+3e6 carrying its first 25 tokens — a contiguous slice, so
+    // the quote's shingle set is wholly contained (containment 1.0)
+    // while its Jaccard vs the original sits far below pair thresholds.
+    // Short originals (≤ 25 tokens) plant an identical copy → mutual
+    // containment, so both directions occur. Oracle = brute-force
+    // shared-shingle equi-join over the same planted frame.
+    "x72_containment" -> ((s, d) => {
+      val base = docs(s, d)
+      val planted = base.select(col("doc_id"), col("text")).union(
+        base.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 25)).as("text")))
+      Dedup.containmentJoin(planted)
+    }),
     // Benchmark decontamination (13-gram containment). The "benchmark"
     // is PLANTED from the corpus itself — every 50th document's token
     // window [5, 30] becomes an eval item, so contamination exists by
@@ -557,6 +576,29 @@ object ExtQueries {
     // Bigram predictability in ppm — the integer-exact CCNet-style
     // perplexity filter (corpus bigram LM, mean conditional prob).
     "x55_lm_score" -> ((s, d) => TextStats.lmScore(docs(s, d))),
+    // Intra-doc repeated-chunk collapse: every 6th doc gets its first
+    // 10 tokens (= its first chunk) prepended, so chunk 0 and chunk 1
+    // repeat within the doc by construction (docs shorter than one
+    // chunk just double — no aligned repeat, handled identically by
+    // both engines). Spark dedupes per-row via order-preserving
+    // array_distinct; the oracle derives it positionally.
+    "x74_intradoc_collapse" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          concat(concat_ws(" ", slice(split(col("text"), " "), 1, 10)),
+            lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.collapseRepeatedChunks(planted)
+    }),
+    // C4-style blocklist gate: three common fixture-vocabulary terms
+    // stand in for a curated badwords list, so hit and no-hit documents
+    // both occur naturally.
+    "x73_blocklist" -> ((s, d) =>
+      TextStats.blocklistFilter(docs(s, d), Seq("slow", "spark", "window"))),
+    // CCNet head/middle/tail banding: per-language ntile(3) over the
+    // x55 score, rank decomposed x36-style (no single-task window);
+    // the oracle uses DuckDB's native ntile — independent derivations.
+    "x70_ppl_buckets" -> ((s, d) => TextStats.perplexityBuckets(docs(s, d))),
     // One-pass column profiling: null/distinct/length stats per column
     // — the per-ingest schema-drift report.
     "x51_profile" -> ((s, d) => Stats.profileColumns(docs(s, d))),

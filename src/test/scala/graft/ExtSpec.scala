@@ -505,6 +505,44 @@ class ExtSpec extends SparkSpec {
     want.foreach { case (k, j) => assert(got(k) == j, s"jaccard differs for $k") }
   }
 
+  test("containmentJoin: equals brute force; asymmetric direction; minSz guard") {
+    graft.functions.GraftFunctions.register(spark)
+    // fixture slice + a planted quote doc (doc 900002 = first 20 tokens
+    // of the longest doc) — Jaccard-invisible, containment 1.0
+    val base = spark.read.parquet(s"$sf/documents.parquet").limit(60)
+      .select($"doc_id", $"text")
+    val longest = base.orderBy(length($"text").desc, $"doc_id").head()
+    val quote = longest.getString(1).split(" ").take(20).mkString(" ")
+    val d = base.union(Seq(
+      (900002L, quote),
+      (900003L, "a b c")) // 1 shingle < minSz — must never flag
+      .toDF("doc_id", "text"))
+    val got = Dedup.containmentJoin(d, 9, 10, 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // driver-side brute force on shingle STRING sets
+    val sets = d.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a != b
+      sa = sets(a).size if sa >= 5
+      i = (sets(a) & sets(b)).size
+      if i * 10 >= sa * 9
+    } yield ((a, b), (i.toLong, sa.toLong))).toMap
+    assert(want.contains((900002L, longest.getLong(0))),
+      "planted quote not contained — plant is vacuous")
+    assert(got == want,
+      s"missed ${want.keySet -- got.keySet}, extra ${got.keySet -- want.keySet}")
+    // asymmetry: the long original is NOT contained in its short quote
+    assert(!got.contains((longest.getLong(0), 900002L)))
+    assert(!got.keys.exists(_._1 == 900003L), "sub-minSz doc flagged")
+    // the quote's Jaccard vs its container is below the x18 threshold —
+    // containment finds what the pair join cannot
+    val sa = sets(900002L); val sb = sets(longest.getLong(0))
+    assert((sa & sb).size * 10 < (sa | sb).size * 7, "quote not Jaccard-invisible")
+  }
+
   test("ngram prefix filter: exact at the threshold boundary, prunes by length and rarity") {
     // doc2's 4 shingles are all shared with doc1's 5: J = 4/5, exactly
     // the 4/5 threshold — must be INCLUDED (>=). Float ceil(0.8*5) can
@@ -1969,6 +2007,141 @@ class ExtSpec extends SparkSpec {
     assert(got(20L) == ((false, 0, md5s(s"$nav ${doc(20)}"))),
       "single-doc source flagged its own head")
     assert(got(30L) == ((true, 3, md5s(""))), s"short-doc trim: ${got(30L)}")
+  }
+
+  test("pqTopK: codebook-saturating fixture makes ADC exact; codes pinned; dim guard") {
+    import spark.implicits._
+    // dim 8 = 2 subspaces × 4 dims; 4 codewords per subspace, all
+    // INTEGER-valued so every product/sum is exact in double — ADC's
+    // two 4-dim dots + add is then bit-equal to the exact 8-dim dot.
+    // The first ksub=4 vectors enumerate every codeword in BOTH
+    // subspaces: Lloyd init lands on the distinct values and stays
+    // (mean of identical points), so reconstruction is EXACT and
+    // pqTopK must equal the exact cosTopK.
+    val cw = Array(
+      Array(1f, 0f, 0f, 0f), Array(0f, 2f, 0f, 0f),
+      Array(0f, 0f, 3f, 0f), Array(1f, 0f, 0f, 5f))
+    def v(i: Int, j: Int) = cw(i) ++ cw(j)
+    val vecs = Seq(
+      0 -> v(0, 0), 1 -> v(1, 1), 2 -> v(2, 2), 3 -> v(3, 3),
+      4 -> v(0, 2), 5 -> v(1, 3), 6 -> v(2, 0), 7 -> v(3, 1),
+      8 -> v(0, 2), // exact copy of 4: identical codes required
+      9 -> v(2, 1))
+    val emb = vecs.map { case (id, a) => (id.toLong, a) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(emb, k = 3, queryMod = 3, m = 2, ksub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Similarity.cosTopK(emb, k = 3, queryMod = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact, s"ADC != exact on saturating fixture:\n$got\nvs\n$exact")
+    // code geometry: m codes per vector, values in [0, ksub); the
+    // planted copy pair encodes identically
+    val books = Similarity.pqCodebooks(emb, m = 2, ksub = 4)
+    val codes = Similarity.pqEncode(emb, books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 4)))
+    assert(codes(4L) == codes(8L), "identical vectors must share codes")
+    assert(codes.values.toSet.size >= 6, "codes must discriminate the fixture")
+    // determinism: a second full run is value-identical
+    val again = Similarity.pqTopK(emb, k = 3, queryMod = 3, m = 2, ksub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == got)
+    // IVF+PQ composed: full probe (nprobe = cells) neutralizes pruning
+    // and the saturating codebooks neutralize quantization — both
+    // approximation axes collapse, so the result must be EXACT too
+    val ivfpq = Similarity.ivfPqTopK(emb, k = 3, queryMod = 3,
+      nprobe = 3, cells = 3, m = 2, ksub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivfpq == exact, s"IVF+PQ full probe != exact:\n$ivfpq\nvs\n$exact")
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(emb, m = 3)
+    }
+  }
+
+  test("collapseRepeatedChunks: intra-doc repeats collapse, cross-doc survive") {
+    import spark.implicits._
+    def toks(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    val chunk = toks(1, 10)
+    val d = Seq(
+      // chunk repeated twice within the doc -> collapsed to once
+      (1L, s"$chunk $chunk ${toks(11, 15)}"),
+      // the SAME chunk in another doc -> kept there (intra-doc only)
+      (2L, s"$chunk ${toks(21, 25)}"),
+      (3L, toks(31, 38)),            // no repeats: round-trips unchanged
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.collapseRepeatedChunks(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5s(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got(1L) == ((3L, 2L, md5s(s"$chunk ${toks(11, 15)}"))), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, md5s(s"$chunk ${toks(21, 25)}"))),
+      "cross-doc repetition must NOT collapse")
+    assert(got(3L) == ((1L, 1L, md5s(toks(31, 38)))))
+    assert(!got.contains(4L), "NULL text is dropped, the x39 convention")
+  }
+
+  test("blocklistFilter: hand-worked counts, NULL text keeps, list deduped") {
+    val d = docsDf(
+      1L -> "bad word bad again",   // 'bad' ×2 → n_hits 2, n_terms 1
+      2L -> "worse and bad mix",    // worse + bad → 2 hits, 2 terms
+      3L -> "clean text only",
+      4L -> (null: String))
+    // duplicate blocklist entries must not double-count occurrences
+    val got = TextStats.blocklistFilter(d, Seq("bad", "worse", "bad"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, true)),
+      2L -> ((2L, 2L, true)),
+      3L -> ((0L, 0L, false)),
+      4L -> ((0L, 0L, false))), s"got $got")
+    intercept[IllegalArgumentException] {
+      TextStats.blocklistFilter(d, Nil)
+    }
+  }
+
+  test("perplexityBuckets: decomposed rank equals native ntile; small languages survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // three languages: en 8 docs (8 = 3·2+2 → band sizes 3/3/2), zh 4
+    // (2/1/1), de 1 (fewer docs than bands — q = 0 edge). Repetitive
+    // texts score high, distinct-vocabulary texts low; docs 5/6 are
+    // copies so their scores TIE and doc_id must break the band edge.
+    val d = Seq(
+      (1L, "a a a a a a a a", "en"), (2L, "a a a a b b b b", "en"),
+      (3L, "a b a b a b", "en"), (4L, "c d e f g h", "en"),
+      (5L, "p q p q r", "en"), (6L, "p q p q r", "en"),
+      (7L, "s t u v w x", "en"), (8L, "y z y y z", "en"),
+      (10L, "m m m m", "zh"), (11L, "m n m n", "zh"),
+      (12L, "o o n m", "zh"), (13L, "k l", "zh"),
+      (20L, "solo doc", "de"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t")).withColumn("n_chars", length($"text"))
+    val got = TextStats.perplexityBuckets(d)
+    // independent derivation: native ntile over the identical ordering
+    val expected = TextStats.lmScore(d)
+      .join(d.select($"doc_id", $"lang"), Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy($"lang").orderBy($"score_ppm".desc, $"doc_id"))
+        .cast("long"))
+    val gotMap = got.collect().map(r => r.getLong(0) ->
+      ((r.getLong(3), r.getString(4)))).toMap
+    val expMap = expected.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("bucket")).toMap
+    assert(gotMap.size == 13 && expMap.size == 13)
+    expMap.foreach { case (id, b) =>
+      assert(gotMap(id)._1 == b, s"doc $id: got ${gotMap(id)._1}, ntile $b")
+      val name = Seq("head", "middle", "tail")(b.toInt - 1)
+      assert(gotMap(id)._2 == name, s"doc $id band name")
+    }
+    // the q = 0 language lands its one doc in head, not a crash
+    assert(gotMap(20L) == ((1L, "head")))
+    // tied copies split across a band edge by doc_id, never same-band
+    // by accident of order: both present, bands weakly ordered
+    assert(gotMap(5L)._1 <= gotMap(6L)._1)
   }
 
   test("fuzzyDecontaminate: empty eval flags nothing; a verbatim eval copy flags") {

@@ -53,7 +53,8 @@ class GateSchemaSpec extends SparkSpec {
       "x42_sketch_distinct", // cross-engine sketches differ; 5% bound pinned
       "x43_sketch_overlap",  // same; exact-mode ≡ x38 pinned
       "x47_random_project",  // approximate; determinism/geometry pinned
-      "x49_fertility")       // composes the x33 merge table; hand-applied spec
+      "x49_fertility",       // composes the x33 merge table; hand-applied spec
+      "x71_pq_topk")         // approximate; codebook-saturating ≡ exact pinned
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == declaredRowsOnly,
       s"rows-only drift: undeclared ${actual -- declaredRowsOnly}, " +
