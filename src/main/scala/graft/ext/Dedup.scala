@@ -710,6 +710,44 @@ object Dedup {
         md5(array_join(array_distinct(col("chunks")), " ")).as("clean_hash"))
   }
 
+  /** Pagination-stitch detection: pairs of documents where one page's
+    * LAST `w` tokens are exactly another page's FIRST `w` tokens —
+    * the boundary-overlap artifact a crawler leaves when a paginated
+    * article is extracted page by page with a repeated carry-over
+    * paragraph. Jaccard misses these (the shared span is a sliver of
+    * either doc) and containment misses the ORDER; the boundary key is
+    * exact and directional: `prev_id`'s tail flows into `next_id`'s
+    * head. Only docs with at least `w` tokens participate (a shorter
+    * doc has no full boundary window); self-pairs are excluded.
+    *
+    * Scale shape: ONE equi-join on the boundary key — each doc emits
+    * one head key and one tail key, so the join input is linear in the
+    * corpus, never all-pairs. The join key is the md5 of the w-token
+    * boundary (a fixed-width integer-like key, so the exchange never
+    * carries the token text); matched pairs re-verify the actual
+    * boundary strings, making an md5 collision harmless. A hot
+    * boundary key is boilerplate, not pagination — the same argument
+    * as the LSH buckets — so over-full keys are dropped via
+    * [[BucketCap]] (default cap 64) rather than salted. */
+  def pageStitch(docs: DataFrame, w: Int = 10, maxBucket: Int = 64): DataFrame = {
+    require(w >= 1, s"boundary width $w must be at least 1")
+    val base = docs
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+    val heads = base.select(col("doc_id").as("next_id"),
+      array_join(slice(col("toks"), 1, w), " ").as("boundary"))
+      .withColumn("bkey", md5(col("boundary")))
+    val tails = base.select(col("doc_id").as("prev_id"),
+      array_join(slice(col("toks"), -w, w), " ").as("boundary"))
+      .withColumn("bkey", md5(col("boundary")))
+    val h = BucketCap.keepSmall(heads, Seq("bkey"), maxBucket)
+    val t = BucketCap.keepSmall(tails, Seq("bkey"), maxBucket)
+    t.join(h, Seq("bkey"))
+      .filter(col("prev_id") =!= col("next_id") &&
+        t("boundary") === h("boundary"))
+      .select(col("prev_id"), col("next_id"))
+  }
+
   /** Ingest-time MinHash index: persists the per-document signature
     * artifacts — LSH band keys, shingle hashes, and set sizes — so
     * incremental batches can near-dup against the FULL corpus history

@@ -87,4 +87,79 @@ object Sessions {
       .rangeBetween(-(windowDays - 1).toLong, 0L)
     daily.withColumn("n_rolling", sum(col("n_events")).over(w))
   }
+
+  /** Ordered conversion funnel: how many users performed `stages(0)`,
+    * then `stages(1)` STRICTLY after it, then `stages(2)` strictly
+    * after that, … — the sequence-matching analytics row (each stage's
+    * clock starts at the user's EARLIEST completion of the previous
+    * stage; strictly-after in integer microseconds, so a same-
+    * microsecond pair can never satisfy two stages at once and the
+    * boundary is bit-deterministic across engines). NULL-timestamp
+    * events are dropped up front (the sessionize rationale). Returns
+    * one row per stage: (stage 1-based, event_type, n_users).
+    *
+    * Scale shape: one min-aggregate per stage, every groupBy and join
+    * keyed on `user_id` — the first stage's exchange establishes
+    * HashPartitioning(user_id) and each subsequent filter→groupBy→join
+    * reuses it (no re-shuffle; the per-stage scans prune to one
+    * event_type at the source). Stage count is a literal list, so the
+    * plan is `stages.length` narrow legs, not a quadratic self-join;
+    * per-user state is one timestamp per stage. */
+  def eventFunnel(
+      events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val base = events.filter(col("ts").isNotNull && col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    // reached(i): per-user earliest completion time of stage i given
+    // the stage-(i-1) clock; fold carries the per-user frame forward
+    val first = base.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+    val reached: Seq[DataFrame] = stages.tail.scanLeft(first) { (prev, stage) =>
+      base.filter(col("event_type") === stage)
+        .join(prev, Seq("user_id"))
+        .filter(col("us") > col("t"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+    }
+    reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(stages(i)).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Cohort retention: users are grouped by the DAY of their first
+    * event (integer epoch-day); for every later active day the matrix
+    * counts how many of that cohort came back `day_offset` days after
+    * signup. Output: (cohort_day, day_offset, n_active, cohort_size)
+    * — all integers, offset 0 is the cohort itself. NULL timestamps
+    * are dropped up front (sessionize rationale).
+    *
+    * Scale shape: the first-touch groupBy and the activity join are
+    * both keyed on `user_id` (one exchange, reused); activity is
+    * pre-collapsed to DISTINCT (user, day) BEFORE the join so the
+    * matrix aggregate moves user×active-day rows, never raw events;
+    * the closing countDistinct plans as a partial-expand two-phase
+    * aggregate on (cohort_day, day_offset). Cohort size rides the
+    * first-touch frame (a second tiny aggregate), broadcast back onto
+    * the matrix. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val withDay = events.filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"))
+    val active = withDay.distinct()
+    val firstTouch = active.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val sizes = firstTouch.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    active.join(firstTouch, Seq("user_id"))
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active")) // distinct by construction upstream
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"))
+  }
 }

@@ -353,6 +353,47 @@ object TextStats {
         md5(cleaned).as("clean_hash"))
   }
 
+  /** Corpus-vocabulary truncation (the `<unk>` scrub tokenizer prep
+    * applies before training): every token whose TOTAL corpus
+    * occurrence count is below `minCount` is replaced by the `<unk>`
+    * sentinel, and the document is rebuilt in place. The long tail of
+    * near-singleton tokens (typos, serial numbers, hashes) bloats a
+    * learned vocabulary and leaks memorizable strings; truncation is
+    * the standard treatment (the word-level precursor of BPE's byte
+    * fallback). Output per doc: token count, scrub count, md5 of the
+    * rebuilt text (the chunk-dedup pinned-rebuild convention).
+    *
+    * Scale shape: token counts are a map-side-combinable groupBy on
+    * the exploded stream (vocab-sized result, Heaps-sublinear in the
+    * corpus); the rare SET is most of the vocab by type count — far
+    * too big to broadcast at 100 TB — so membership is a shuffle join
+    * keyed on the token. Rare tokens are by definition low-frequency,
+    * so the JOIN's matching keys carry no skew; the hot keys (stop
+    * words) are all on the kept side and stream through the left join
+    * unmatched. The rebuild groupBy is the second and last shuffle of
+    * the token stream. */
+  def rareTokenScrub(docs: DataFrame, minCount: Int = 5): DataFrame = {
+    require(minCount >= 1, s"minCount must be positive, got $minCount")
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(coalesce(col("text"), lit("")), " ")).as(Seq("tpos", "tok")))
+    val rare = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") < minCount)
+      .select(col("tok"), lit(1).as("__rare"))
+    toks.join(rare, Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__rare").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_scrubbed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("tpos"),
+              when(col("__rare").isNotNull, lit("<unk>"))
+                .otherwise(col("tok")).as("tok")))),
+            s => s.getField("tok")),
+          " ")).as("clean_hash"))
+  }
+
   /** Repetition signal (the Gopher-style duplicate-n-gram ratio): the
     * fraction of a document's word bigrams that are repeats —
     * 1 − distinct/total. High values flag boilerplate/looping text for

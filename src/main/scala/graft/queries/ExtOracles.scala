@@ -260,6 +260,48 @@ object ExtOracles {
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate""".stripMargin,
 
+    // Ordered conversion funnel over the first three fixture days:
+    // each stage's clock is the user's earliest completion of the
+    // previous stage, next stage strictly after it in integer
+    // microseconds — the same chained min-filter derivation as the
+    // Spark side, re-expressed as dependent CTEs.
+    "x75_event_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-04 00:00:00'),
+        |s1 AS (SELECT user_id, min(us) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > s2.t GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS stage, 'view' AS event_type,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click',
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase',
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin,
+
+    // Cohort retention matrix: first-touch epoch-day cohorts, distinct
+    // (user, day) activity before the offset aggregate, cohort sizes
+    // joined back — integer day arithmetic end to end.
+    "x76_cohort_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |ft AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1),
+        |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+        |       FROM ft GROUP BY 1),
+        |m AS (SELECT ft.cohort_day, act.day - ft.cohort_day AS day_offset,
+        |             CAST(count(*) AS BIGINT) AS n_active
+        |      FROM act JOIN ft USING (user_id) GROUP BY 1, 2)
+        |SELECT m.cohort_day, m.day_offset, m.n_active, sz.cohort_size
+        |FROM m JOIN sz USING (cohort_day)""".stripMargin,
+
     // Sessionization: all time math in integer microseconds; the
     // (us, event_id) ordering is unique, and the running sum uses an
     // explicit ROWS frame on both sides. DuckDB's windowed sum returns
@@ -1685,6 +1727,53 @@ object ExtOracles {
         |                THEN array_to_string(w.toks[11:len(w.toks)], ' ')
         |                ELSE array_to_string(w.toks, ' ') END) AS clean_hash
         |FROM wp w LEFT JOIN f ON w.source = f.source AND w.prefix = f.prefix""".stripMargin,
+
+    // Vocabulary truncation: planted singleton tokens (`uniq<doc_id>`
+    // on every %9 doc) fall below minCount=5, the 31-token shared
+    // vocabulary stays far above; positional rebuild with `<unk>`
+    // substitution, md5-pinned via ORDER BY string_agg (the x64
+    // rebuild cross-proof against Spark's collect_list + array_sort).
+    "x77_rare_token_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 THEN text || ' uniq' || doc_id
+        |         ELSE text END AS text
+        |  FROM documents),
+        |b AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS s FROM p),
+        |tok AS (SELECT doc_id, r['p'] AS tpos, r['t'] AS tok FROM (
+        |   SELECT doc_id, unnest([{'p': i-1, 't': s[i]} FOR i IN range(1, len(s)+1)]) AS r
+        |   FROM b)),
+        |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |rare AS (SELECT tok FROM cnt WHERE c < 5),
+        |j AS (SELECT t.doc_id, t.tpos,
+        |             CASE WHEN r.tok IS NOT NULL THEN '<unk>' ELSE t.tok END AS out_tok,
+        |             r.tok IS NOT NULL AS is_rare
+        |      FROM tok t LEFT JOIN rare r ON t.tok = r.tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN is_rare THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
+        |       md5(string_agg(out_tok, ' ' ORDER BY tpos)) AS clean_hash
+        |FROM j GROUP BY doc_id""".stripMargin,
+
+    // Pagination stitching: planted "page two" docs at id+7e6 open
+    // with their source's last 10 tokens; the boundary join is exact
+    // and directional (tail → head). DuckDB's inclusive slice
+    // s[len-9:len] is Spark's slice(toks, -10, 10).
+    "x78_page_stitch" ->
+      """WITH p2 AS (SELECT doc_id + 7000000 AS doc_id,
+        |    array_to_string(s[len(s)-9:len(s)], ' ')
+        |      || ' stitched continuation page two marker' AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS s
+        |        FROM documents WHERE doc_id % 13 = 0)),
+        |allr AS (SELECT doc_id, text FROM documents
+        |         UNION ALL SELECT doc_id, text FROM p2),
+        |q AS (SELECT doc_id, s FROM
+        |        (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS s FROM allr)
+        |      WHERE len(s) >= 10),
+        |heads AS (SELECT doc_id AS next_id, array_to_string(s[1:10], ' ') AS bd FROM q),
+        |tails AS (SELECT doc_id AS prev_id,
+        |            array_to_string(s[len(s)-9:len(s)], ' ') AS bd FROM q)
+        |SELECT t.prev_id, h.next_id
+        |FROM tails t JOIN heads h USING (bd)
+        |WHERE t.prev_id <> h.next_id""".stripMargin,
 
     // Cross-split leakage: the x20 split (hashed on ORIGINAL text) +
     // the x19 containment body; the planted quote is a scalar subquery

@@ -490,6 +490,19 @@ object ExtQueries {
     "x45_zscore_norm" -> ((s, d) => Stats.zscoreNorm(docs(s, d))),
     "x31_rolling" -> ((s, d) =>
       Sessions.rollingDaily(events(s, d).select("user_id", "ts"))),
+    // Ordered conversion funnel view→click→purchase over the first
+    // three days only — the full month is vacuous (every user of the
+    // 30-day fixture completes all stages: 150/150/150); the 3-day
+    // window leaves a real drop-off (115→66→37 at sf0.01). The cut is
+    // an event-time predicate INSIDE the fetch, so it rides the scan.
+    "x75_event_funnel" -> ((s, d) =>
+      Sessions.eventFunnel(events(s, d)
+        .filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp_ntz"))
+        .select("user_id", "event_type", "ts"))),
+    // Cohort retention matrix on first-touch epoch-day: the fixture
+    // yields two cohorts (day 0: 134 users, day 1: 16) × ~30 offsets.
+    "x76_cohort_retention" -> ((s, d) =>
+      Sessions.cohortRetention(events(s, d).select("user_id", "ts"))),
     // BPE merge training — rows-only like x6 (per-round argmax
     // rewriting is not one SQL query); exactness pinned by the
     // hand-worked ExtSpec example.
@@ -595,6 +608,31 @@ object ExtQueries {
     // both occur naturally.
     "x73_blocklist" -> ((s, d) =>
       TextStats.blocklistFilter(docs(s, d), Seq("slow", "spark", "window"))),
+    // Vocabulary truncation: the 31-token fixture vocabulary has NO
+    // natural tail (every token occurs 10+ times), so every %9 doc
+    // gets a planted singleton token `uniq<doc_id>` appended — below
+    // the minCount=5 bar by construction, while the shared vocabulary
+    // stays far above it; scrubbed and untouched docs both occur.
+    "x77_rare_token_scrub" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(" uniq"), col("doc_id")))
+          .otherwise(col("text")).as("text"))
+      TextStats.rareTokenScrub(planted)
+    }),
+    // Pagination stitching: the fixture has NO natural page-boundary
+    // overlaps (probed), so every %13 doc gets a planted "page two" at
+    // id+7e6 opening with the doc's last 10 tokens. Exact-duplicate
+    // fixture docs make some boundaries shared by several prev pages —
+    // all such pairs are real and both engines derive them.
+    "x78_page_stitch" -> ((s, d) => {
+      val dd = docs(s, d)
+      val page2 = dd.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          concat(concat_ws(" ", slice(split(col("text"), " "), -10, 10)),
+            lit(" stitched continuation page two marker")).as("text"))
+      Dedup.pageStitch(dd.select("doc_id", "text").unionByName(page2))
+    }),
     // CCNet head/middle/tail banding: per-language ntile(3) over the
     // x55 score, rank decomposed x36-style (no single-task window);
     // the oracle uses DuckDB's native ntile — independent derivations.

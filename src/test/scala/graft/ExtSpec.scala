@@ -1932,6 +1932,94 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("eventFunnel: strictly-ordered stages, same-microsecond pair rejected") {
+    def ev(rows: (Long, String, String)*) = rows.toSeq
+      .toDF("user_id", "event_type", "ts_s")
+      .select($"user_id", $"event_type", to_timestamp($"ts_s").as("ts"))
+    val e = ev(
+      // A: clean view -> click -> purchase
+      (1L, "view", "2024-01-01 00:00:01"),
+      (1L, "click", "2024-01-01 00:00:02"),
+      (1L, "purchase", "2024-01-01 00:00:03"),
+      // B: click BEFORE its only view — reaches stage 1 only
+      (2L, "click", "2024-01-01 00:00:01"),
+      (2L, "view", "2024-01-01 00:00:02"),
+      // C: purchase between view and click, second purchase after click
+      (3L, "view", "2024-01-01 00:00:01"),
+      (3L, "purchase", "2024-01-01 00:00:02"),
+      (3L, "click", "2024-01-01 00:00:03"),
+      (3L, "purchase", "2024-01-01 00:00:04"),
+      // D: view and click in the SAME microsecond — strict > rejects
+      (4L, "view", "2024-01-01 00:00:05"),
+      (4L, "click", "2024-01-01 00:00:05"))
+    val out = Sessions.eventFunnel(e).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1 -> ("view", 4L), 2 -> ("click", 2L), 3 -> ("purchase", 2L)),
+      s"got $out")
+    // a user with no first-stage event contributes nowhere
+    val none = Sessions.eventFunnel(ev((9L, "purchase", "2024-01-01 00:00:01")))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(none == Seq((1, 0L), (2, 0L), (3, 0L)))
+  }
+
+  test("cohortRetention: first-touch cohorts, offset matrix, cohort sizes") {
+    val e = Seq(
+      (1L, "2024-01-01 08:00:00"), (1L, "2024-01-01 09:00:00"), // same day: ONE active row
+      (1L, "2024-01-03 00:00:00"),
+      (2L, "2024-01-01 23:59:59"),
+      (3L, "2024-01-03 05:00:00"), (3L, "2024-01-04 05:00:00"))
+      .toDF("user_id", "ts_s")
+      .select($"user_id", to_timestamp($"ts_s").as("ts"))
+    val out = Sessions.cohortRetention(e).collect()
+      .map(r => (r.getLong(0) - 19723L, r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      (0L, 0L) -> ((2L, 2L)), (0L, 2L) -> ((1L, 2L)),
+      (2L, 0L) -> ((1L, 1L)), (2L, 1L) -> ((1L, 1L))),
+      s"got $out")
+  }
+
+  test("rareTokenScrub: corpus-count threshold, <unk> rebuild, clean docs untouched") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dd = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a x"))
+      .toDF("doc_id", "text")
+    val out = TextStats.rareTokenScrub(dd, minCount = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // counts: a=3 b=2 c=1 d=1 x=1 -> c, d, x are rare
+    assert(out(1L) == ((3L, 1L, md5hex("a b <unk>"))), s"got ${out(1L)}")
+    assert(out(2L) == ((3L, 1L, md5hex("a b <unk>"))))
+    assert(out(3L) == ((2L, 1L, md5hex("a <unk>"))))
+    // raise the bar: EVERYTHING is rare
+    val all = TextStats.rareTokenScrub(dd, minCount = 10).collect()
+      .map(r => (r.getLong(2), r.getString(3)))
+    assert(all.forall { case (n, h) => n >= 2 },
+      s"all tokens rare at minCount=10: $all")
+  }
+
+  test("pageStitch: tail->head boundary pairs; short docs and hot keys excluded") {
+    val dd = Seq(
+      (1L, "w1 w2 w3 q r s"),       // tail (w=3): "q r s"
+      (2L, "q r s t u v"),          // head: "q r s" -> pair (1 -> 2)
+      (3L, "k k k"),                // head == tail == own text: self-pair excluded
+      (4L, "a b"))                  // < w tokens: excluded
+      .toDF("doc_id", "text")
+    val pairs = Dedup.pageStitch(dd, w = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // a boundary key shared by MORE heads than the cap is boilerplate:
+    // with maxBucket=1 the two-head bucket is dropped entirely
+    val hot = Seq(
+      (1L, "w1 w2 w3 q r s"),
+      (2L, "q r s t u v"),
+      (5L, "q r s z z z"))
+      .toDF("doc_id", "text")
+    assert(Dedup.pageStitch(hot, w = 3, maxBucket = 1).count() == 0)
+    assert(Dedup.pageStitch(hot, w = 3, maxBucket = 2).count() == 2)
+  }
+
   test("stratifiedSample: exact per-stratum counts, salt independence, partial push") {
     val dd = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.ext.Assemble.stratifiedSample(dd, perStratum = 3)
