@@ -1074,4 +1074,42 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"))
     topKPerQuery(scored, k)
   }
+
+  /** kNN label-agreement — the mislabel/outlier detector over an
+    * annotated embedding corpus: for each probed vector, how many of
+    * its `k` nearest cosine neighbors carry the SAME label. A vector
+    * whose neighborhood out-votes its own label (`suspect`) is a
+    * candidate annotation error or distribution outlier — the standard
+    * label-noise audit before a labeled set is trusted for training.
+    *
+    * Composes [[cosTopKFor]] unchanged (self-match excluded, top-k
+    * membership decided by the (cos desc, vec_id) tiebreak that the
+    * exact-search gate already pins cross-engine), then joins the
+    * label column back on both sides of each (query, neighbor) edge.
+    * Output is integer-only: (vec_id, label, n_neighbors, n_agree,
+    * suspect = strict-minority agreement).
+    *
+    * Scale shape: inherits cosTopKFor's bounded plan (broadcast
+    * queries, one corpus scan, partial WindowGroupLimit below the
+    * exchange); the label joins move only k rows per query, keyed on
+    * vec_id. At 100 TB the probe set is the sampled audit slice, not
+    * the corpus — the corpus side stays a single scan either way. */
+  def knnLabelAgreement(
+      emb: DataFrame, k: Int = 5, queryMod: Int = 10): DataFrame = {
+    val topk = cosTopKFor(emb, emb.filter(col("vec_id") % queryMod === 0), k)
+    val labels = emb.select(col("vec_id"), col("label"))
+    topk
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nbr_label")), Seq("neighbor_id"))
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), Seq("query_id"))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(
+        count(lit(1)).as("n_neighbors"),
+        sum(when(col("nbr_label") === col("q_label"), lit(1L))
+          .otherwise(lit(0L))).as("n_agree"))
+      .select(col("query_id").as("vec_id"), col("q_label").as("label"),
+        col("n_neighbors"), col("n_agree"),
+        (col("n_agree") * 2 < col("n_neighbors")).as("suspect"))
+  }
 }

@@ -353,6 +353,44 @@ object TextStats {
         md5(cleaned).as("clean_hash"))
   }
 
+  /** N-gram novelty under ingestion order: for each document, the
+    * fraction of its DISTINCT word n-grams whose FIRST corpus
+    * occurrence is this document (`doc_id` as arrival order, minimum
+    * id owns the gram). Low-novelty documents restate what the corpus
+    * already contains — the streaming cousin of span dedup, and the
+    * score dataset-curation recipes threshold when trimming a grown
+    * crawl. Integer output: counts + ppm ratio.
+    *
+    * Scale shape: first-owner is a map-side-combinable MIN groupBy on
+    * the gram hash-key; membership joins the exploded gram stream back
+    * on the same key (the exchange carries gram strings once — at
+    * 100 TB the gram key could be narrowed to xxhash64 like span
+    * dedup; kept as the string here so the oracle joins on identical
+    * values). The closing per-doc aggregate is the second and last
+    * shuffle. A boilerplate gram shared by millions of docs is ONE
+    * group row and joins back row-per-occurrence — linear, no
+    * quadratic pair expansion anywhere. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = docs.select(col("doc_id"),
+      Dedup.shingles(col("text"), n).as("sh"))
+    val ex = base.select(col("doc_id"), explode(col("sh")).as("g"))
+    val firstOwner = ex.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val counts = ex.join(firstOwner, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), lit(1L))
+          .otherwise(lit(0L))).as("n_novel"))
+    base.select(col("doc_id")).join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          expr("1000000 * coalesce(n_novel, 0L) div coalesce(n_shingles, 1L)"))
+          .otherwise(lit(0L)).as("novelty_ppm"))
+  }
+
   /** Corpus-vocabulary truncation (the `<unk>` scrub tokenizer prep
     * applies before training): every token whose TOTAL corpus
     * occurrence count is below `minCount` is replaced by the `<unk>`

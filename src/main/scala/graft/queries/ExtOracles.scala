@@ -1728,6 +1728,78 @@ object ExtOracles {
         |                ELSE array_to_string(w.toks, ' ') END) AS clean_hash
         |FROM wp w LEFT JOIN f ON w.source = f.source AND w.prefix = f.prefix""".stripMargin,
 
+    // N-gram novelty: min-doc_id first-owner per distinct 3-gram, the
+    // doc's novel fraction in integer ppm; left join keeps docs whose
+    // texts are too short for a single shingle at zero.
+    "x79_ngram_novelty" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  fo AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY 1),
+         |  c AS (SELECT ex.doc_id,
+         |          CAST(count(*) AS BIGINT) AS n_shingles,
+         |          CAST(sum(CASE WHEN fo.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS n_novel
+         |        FROM ex JOIN fo USING (g) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(c.n_shingles, 0) AS n_shingles,
+         |       COALESCE(c.n_novel, 0) AS n_novel,
+         |       CASE WHEN COALESCE(c.n_shingles, 0) > 0
+         |            THEN 1000000 * c.n_novel // c.n_shingles
+         |            ELSE 0 END AS novelty_ppm
+         |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id""".stripMargin,
+
+    // kNN label agreement: the x3 brute-force construction at
+    // queryMod=10, labels joined onto both edge ends, strict-minority
+    // suspect flag — integer-only output.
+    "x80_knn_agreement" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS qv
+        |           FROM embeddings WHERE vec_id % 10 = 0),
+        |     c AS (SELECT vec_id, label AS nbr_label,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |     s AS (SELECT query_id, q_label, vec_id, nbr_label,
+        |                  list_dot_product(qv, v) /
+        |                    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |           FROM q, c WHERE vec_id <> query_id),
+        |     topk AS (SELECT query_id, q_label, nbr_label FROM (
+        |       SELECT query_id, q_label, nbr_label,
+        |              row_number() OVER (PARTITION BY query_id
+        |                   ORDER BY cos DESC, vec_id) AS rn
+        |       FROM s) WHERE rn <= 5)
+        |SELECT query_id AS vec_id, q_label AS label,
+        |       CAST(count(*) AS BIGINT) AS n_neighbors,
+        |       CAST(sum(CASE WHEN nbr_label = q_label THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_agree,
+        |       2 * sum(CASE WHEN nbr_label = q_label THEN 1 ELSE 0 END)
+        |         < count(*) AS suspect
+        |FROM topk GROUP BY 1, 2""".stripMargin,
+
+    // Source-pair duplication matrix: the x18 exact-Jaccard pair body
+    // with sources joined onto both ends, canonical (least, greatest)
+    // pair order.
+    "x81_source_dup_matrix" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS (
+         |    SELECT i.a_id, i.b_id FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 7 * (sa.sz + sb.sz - i.i))
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.a_id
+         |JOIN documents db ON db.doc_id = p.b_id
+         |GROUP BY 1, 2""".stripMargin,
+
     // Vocabulary truncation: planted singleton tokens (`uniq<doc_id>`
     // on every %9 doc) fall below minCount=5, the 31-token shared
     // vocabulary stays far above; positional rebuild with `<unk>`

@@ -608,6 +608,27 @@ object ExtQueries {
     // both occur naturally.
     "x73_blocklist" -> ((s, d) =>
       TextStats.blocklistFilter(docs(s, d), Seq("slow", "spark", "window"))),
+    // N-gram novelty under ingestion order: natural on this fixture —
+    // the 31-token vocabulary makes shingle collisions common, so
+    // novel and already-seen grams both occur in every document.
+    "x79_ngram_novelty" -> ((s, d) => TextStats.ngramNovelty(docs(s, d))),
+    // kNN label-agreement audit over every 10th vector: the gaussian
+    // fixture's labels are near-random vs geometry, so agreement
+    // spreads across 0..k and the strict-minority flag is non-vacuous.
+    "x80_knn_agreement" -> ((s, d) => Similarity.knnLabelAgreement(emb(s, d))),
+    // Source-pair duplication matrix over the shared x18 exact-Jaccard
+    // pair set (the x34 sharing convention — the pair set is an
+    // ingest-time artifact, and whichever consumer runs first pays).
+    "x81_source_dup_matrix" -> ((s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      ngramPairs(s, d)
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
     // Vocabulary truncation: the 31-token fixture vocabulary has NO
     // natural tail (every token occurs 10+ times), so every %9 doc
     // gets a planted singleton token `uniq<doc_id>` appended — below

@@ -1999,6 +1999,40 @@ class ExtSpec extends SparkSpec {
       s"all tokens rare at minCount=10: $all")
   }
 
+  test("ngramNovelty: min-id first-owner, within-doc distinct grams, short docs at zero") {
+    val d = docsDf(
+      1L -> "a b c d",         // grams: "a b c", "b c d" — both first here
+      2L -> "a b c x",         // "a b c" owned by doc 1; "b c x" novel
+      3L -> "z z",             // too short for a 3-gram
+      4L -> "a b c a b c")     // distinct grams: "a b c"(d1), "b c a", "c a b"
+    val got = TextStats.ngramNovelty(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1000000L)),
+      2L -> ((2L, 1L, 500000L)),
+      3L -> ((0L, 0L, 0L)),
+      4L -> ((3L, 2L, 666666L))),
+      s"got $got")
+  }
+
+  test("knnLabelAgreement: neighborhood vote, strict-minority suspect flag") {
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),   // query (0 % 10): neighbors v1 (agree), v2
+      (1L, Seq(1.0f, 0.01f), 1),
+      (2L, Seq(1.0f, 0.02f), 2),
+      (10L, Seq(0.0f, 1.0f), 9),  // query: neighbors v11, v12 — zero agreement
+      (11L, Seq(0.01f, 1.0f), 3),
+      (12L, Seq(0.02f, 1.0f), 4))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelAgreement(e, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got == Map(
+      0L -> ((1, 2L, 1L, false)),   // 1 of 2 agree — not a strict minority
+      10L -> ((9, 2L, 0L, true))),  // 0 of 2 agree — suspect
+      s"got $got")
+  }
+
   test("pageStitch: tail->head boundary pairs; short docs and hot keys excluded") {
     val dd = Seq(
       (1L, "w1 w2 w3 q r s"),       // tail (w=3): "q r s"
