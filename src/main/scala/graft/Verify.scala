@@ -5,12 +5,27 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional third arg: comma-separated query names — the targeted
+    // re-verify recipe (one new query at a big SF without re-dumping
+    // the whole inventory). The dumped oracle_sql.json is restricted
+    // to the same subset so tools/compare.py --no-verify sees a
+    // consistent pair; the driver always passes two args and gets the
+    // full inventory.
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(",").map(_.trim).toSet))
+    }
+    val unknown = only.map(_ -- SparkEntry.queries.keySet).getOrElse(Set.empty)
+    require(unknown.isEmpty, s"unknown query names in filter: $unknown")
+    val selected = only match {
+      case Some(f) => SparkEntry.queries.filter { case (k, _) => f(k) }
+      case None    => SparkEntry.queries
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.create(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val failures = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -49,6 +64,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Machine-readable failure record (the driver detects the missing
