@@ -129,6 +129,78 @@ object Sessions {
     }.reduce(_.unionByName(_))
   }
 
+  /** DAU/WAU activity: per active day, the count of distinct users
+    * active THAT day (`dau`) and in the trailing `windowDays`-day
+    * window ending that day (`wau`) — the engagement/stickiness pair.
+    * A windowed DISTINCT cannot be built by summing daily distincts;
+    * the scalable form explodes each (user, day) activity row into the
+    * `windowDays` window-end days it contributes to, re-distincts, and
+    * counts. Only days with at least one active user are reported.
+    *
+    * Scale shape: activity collapses to DISTINCT (user, day) first —
+    * everything downstream moves user×active-day rows, never events.
+    * The explode is a bounded ×windowDays blowup of that small frame;
+    * both distincts and both groupBys key on (user, day)-shaped keys
+    * with map-side partials. No windows, no self-joins — survives any
+    * corpus size whose user×day activity fits a shuffle, which is the
+    * same bound the raw groupBy already has. */
+  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays $windowDays must be positive")
+    val act = events.filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"))
+      .distinct()
+    val dau = act.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = act
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1).toLong))
+          .as("wday"))
+      .distinct()
+      .groupBy(col("wday").as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day")).select(col("day"), col("dau"), col("wau"))
+  }
+
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent view/click at-or-before it, but only within
+    * `windowMinutes` — older touches leave the purchase unattributed
+    * (NULL touch columns, the row kept). Composes [[AsofJoin]]'s
+    * backward join (ONE shuffle, no range theta-join); touches are
+    * first made unique per (user, microsecond) keeping the max
+    * event_id, the x12 tie convention, so the pick is deterministic on
+    * both engines. The lag rides in integer microseconds.
+    *
+    * Scale shape: inherits the as-of plan — union + one window pass on
+    * `user_id`; the window gate is a post-join per-row predicate, so
+    * no second pass and no join-back. */
+  def lastTouchAttribution(
+      events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    require(windowMinutes > 0, s"window $windowMinutes must be positive")
+    val windowUs = windowMinutes.toLong * 60L * 1000000L
+    val base = events.filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("pus"))
+    val w = Window.partitionBy(col("user_id"), col("us"))
+      .orderBy(col("event_id").desc)
+    val touches = base.filter(col("event_type").isin("view", "click"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("us").as("tus"),
+        col("event_id").as("touch_id"), col("event_type").as("touch_type"))
+    val joined = AsofJoin.asofBackward(purchases, touches,
+      leftKey = "user_id", rightKey = "user_id",
+      leftTime = "pus", rightTime = "tus",
+      rightPayload = Seq("touch_id", "touch_type", "tus"))
+    val inWindow = col("touch_id").isNotNull &&
+      col("pus") - col("tus") <= windowUs
+    joined.select(
+      col("purchase_id"), col("user_id"),
+      when(inWindow, col("touch_id")).as("touch_id"),
+      when(inWindow, col("touch_type")).as("touch_type"),
+      when(inWindow, col("pus") - col("tus")).as("lag_us"))
+  }
+
   /** Cohort retention: users are grouped by the DAY of their first
     * event (integer epoch-day); for every later active day the matrix
     * counts how many of that cohort came back `day_offset` days after

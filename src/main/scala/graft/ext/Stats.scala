@@ -29,6 +29,35 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Semi-structured property extraction + profile: parse the JSON
+    * `props` payload column (schema `{"k": int}`), PERMISSIVE — a
+    * malformed document yields a NULL value, never a failed job — and
+    * aggregate per event_type: total rows, parse successes, and the
+    * integer min/max/sum of the extracted key. The parse-success
+    * column doubles as the ingest-quality monitor for a feed whose
+    * payloads drift.
+    *
+    * Scale shape: `from_json` runs inside the projection on the scan
+    * (per-row, no shuffle); the profile is one map-side-combinable
+    * groupBy on event_type. At 100 TB the JSON parse dominates —
+    * which is exactly where it should sit: fused into the first scan,
+    * paid once, never re-parsed downstream. */
+  def propsProfile(events: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
+    events
+      .select(col("event_type"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_parsed"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+  }
+
   /** Per-language exact character-length percentiles (PERCENTILE_DISC
     * semantics) via histogram selection: for each lang and each p in
     * `ps`, the smallest `n_chars` whose cumulative frequency reaches

@@ -302,6 +302,69 @@ object ExtOracles {
         |SELECT m.cohort_day, m.day_offset, m.n_active, sz.cohort_size
         |FROM m JOIN sz USING (cohort_day)""".stripMargin,
 
+    // DAU/WAU: distinct (user, day) activity exploded into the 7
+    // window-end days each row contributes to, re-distincted, counted;
+    // DuckDB range() is end-EXCLUSIVE (day+7 == Spark's inclusive
+    // sequence(day, day+6)).
+    "x82_active_users" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY 1),
+        |wact AS (SELECT DISTINCT user_id, unnest(range(day, day + 7)) AS day
+        |         FROM act),
+        |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM wact GROUP BY 1)
+        |SELECT day, dau, wau FROM dau JOIN wau USING (day)""".stripMargin,
+
+    // Last-touch attribution: DuckDB ASOF LEFT JOIN against the
+    // per-(user, microsecond) uniquified touch stream (max event_id,
+    // the x12 tie convention); the 60-minute gate nulls the touch
+    // columns but keeps the purchase row.
+    "x83_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS pus
+        |      FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, us AS tus, event_id AS touch_id,
+        |             event_type AS touch_type,
+        |             row_number() OVER (PARTITION BY user_id, us
+        |                                ORDER BY event_id DESC) AS rn
+        |      FROM e WHERE event_type IN ('view', 'click') QUALIFY rn = 1)
+        |SELECT p.purchase_id, p.user_id,
+        |       CASE WHEN p.pus - t.tus <= 3600000000 THEN t.touch_id END
+        |         AS touch_id,
+        |       CASE WHEN p.pus - t.tus <= 3600000000 THEN t.touch_type END
+        |         AS touch_type,
+        |       CASE WHEN p.pus - t.tus <= 3600000000 THEN p.pus - t.tus END
+        |         AS lag_us
+        |FROM p ASOF LEFT JOIN t
+        |  ON p.user_id = t.user_id AND p.pus >= t.tus""".stripMargin,
+
+    // Props profile: json_valid gates the extraction exactly where
+    // Spark's PERMISSIVE from_json yields NULL for the planted
+    // brace-dropped rows.
+    "x84_props_profile" ->
+      """WITH pl AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 31 = 0
+        |              THEN substr(props, 1, len(props) - 1)
+        |              ELSE props END AS props
+        |  FROM events),
+        |parsed AS (
+        |  SELECT event_type,
+        |         CASE WHEN json_valid(props)
+        |              THEN json_extract(props, '$.k')::INT END AS k
+        |  FROM pl)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(k) AS BIGINT) AS n_parsed,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM parsed GROUP BY 1""".stripMargin,
+
     // Sessionization: all time math in integer microseconds; the
     // (us, event_id) ordering is unique, and the running sum uses an
     // explicit ROWS frame on both sides. DuckDB's windowed sum returns

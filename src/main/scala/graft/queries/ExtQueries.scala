@@ -503,6 +503,28 @@ object ExtQueries {
     // yields two cohorts (day 0: 134 users, day 1: 16) × ~30 offsets.
     "x76_cohort_retention" -> ((s, d) =>
       Sessions.cohortRetention(events(s, d).select("user_id", "ts"))),
+    // DAU/WAU over the 30-day fixture: 150 users at ~2 events/day give
+    // dau < wau < 150 on interior days — both columns discriminate.
+    "x82_active_users" -> ((s, d) =>
+      Sessions.activeUsers(events(s, d).select("user_id", "ts"))),
+    // Last-touch attribution inside a 60-minute window: at ~40 events
+    // per user-day the fixture leaves attributed AND unattributed
+    // purchases, and some same-microsecond tie groups.
+    "x83_attribution" -> ((s, d) =>
+      Sessions.lastTouchAttribution(
+        events(s, d).select("event_id", "user_id", "event_type", "ts"))),
+    // Semi-structured props profile: every 31st event's props loses
+    // its closing brace — malformed rows parse to NULL (PERMISSIVE) on
+    // the Spark side, json_valid gates the oracle; parse counts and
+    // integer k-stats per event_type.
+    "x84_props_profile" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("event_type"), col("props"))
+        .withColumn("props",
+          when(col("event_id") % 31 === 0,
+            expr("substring(props, 1, length(props) - 1)"))
+            .otherwise(col("props")))
+      Stats.propsProfile(ev)
+    }),
     // BPE merge training — rows-only like x6 (per-round argmax
     // rewriting is not one SQL query); exactness pinned by the
     // hand-worked ExtSpec example.

@@ -1980,6 +1980,66 @@ class ExtSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("activeUsers: windowed distinct is not a sum of daily distincts") {
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 11:00:00"),
+      (1L, "2024-01-02 10:00:00"), // user 1 active twice in the window: once in WAU
+      (2L, "2024-01-10 10:00:00"))
+      .toDF("user_id", "ts_s")
+      .select($"user_id", to_timestamp($"ts_s").as("ts"))
+    val got = Sessions.activeUsers(e).collect()
+      .map(r => (r.getLong(0) - 19723L) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      0L -> ((2L, 2L)),   // dau {1,2}; wau {1,2}
+      1L -> ((1L, 2L)),   // dau {1}; wau [d-6, d1] = {1,2}
+      9L -> ((1L, 1L))),  // user 1's last activity aged out of the window
+      s"got $got")
+  }
+
+  test("lastTouchAttribution: window gate, tie on max event_id, unattributed kept") {
+    val e = Seq(
+      (10L, 1L, "view", "2024-01-01 01:00:00"),
+      (11L, 1L, "click", "2024-01-01 01:30:00"),
+      (12L, 1L, "purchase", "2024-01-01 02:00:00"),   // click, lag 30 min
+      (20L, 2L, "view", "2024-01-01 01:00:00"),
+      (21L, 2L, "purchase", "2024-01-01 03:00:00"),   // 2 h: outside the window
+      (30L, 3L, "purchase", "2024-01-01 00:30:00"),   // no touches at all
+      (40L, 4L, "view", "2024-01-01 01:00:00"),
+      (41L, 4L, "click", "2024-01-01 01:00:00"),      // same microsecond: 41 wins
+      (42L, 4L, "purchase", "2024-01-01 01:10:00"))
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .select($"event_id", $"user_id", $"event_type", to_timestamp($"ts_s").as("ts"))
+    val got = Sessions.lastTouchAttribution(e).collect().map { r =>
+      r.getLong(0) -> ((
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) "" else r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    }.toMap
+    assert(got == Map(
+      12L -> ((11L, "click", 1800000000L)),
+      21L -> ((-1L, "", -1L)),
+      30L -> ((-1L, "", -1L)),
+      42L -> ((41L, "click", 600000000L))),
+      s"got $got")
+  }
+
+  test("propsProfile: PERMISSIVE parse, per-type integer stats, all-null group") {
+    val e = Seq(
+      ("a", """{"k": 1}"""), ("a", """{"k": 3}"""), ("a", "garbage"),
+      ("b", """{"nok": 5}"""))
+      .toDF("event_type", "props")
+    val got = graft.ext.Stats.propsProfile(e).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4),
+        if (r.isNullAt(5)) -1 else r.getInt(5)))
+    }.toMap
+    assert(got == Map(
+      "a" -> ((3L, 2L, 4L, 1, 3)),
+      "b" -> ((1L, 0L, -1L, -1, -1))),
+      s"got $got")
+  }
+
   test("rareTokenScrub: corpus-count threshold, <unk> rebuild, clean docs untouched") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
