@@ -201,6 +201,86 @@ object Sessions {
       when(inWindow, col("pus") - col("tus")).as("lag_us"))
   }
 
+  /** Type-2 slowly-changing-dimension compression: collapse an
+    * observation stream of `(key, time, tiebreak, attr)` into validity
+    * runs — one row per maximal stretch of consecutive-equal `attr`
+    * per key, with `valid_from_us` = the run's first observation,
+    * `valid_to_us` = the next run's start (NULL on the current run),
+    * and `n_obs` = observations compressed into it. This is the batch
+    * MERGE that keeps a warehouse dimension historized from an append
+    * feed (reference `sqlDwh.py`'s staging→promote cycle keeps only
+    * the latest row; the SCD2 form is what a training-data lineage
+    * audit needs — "which priority was in force when this order
+    * shipped").
+    *
+    * Run detection is gaps-and-islands (the [[sessionize]] machinery
+    * on value-change instead of time-gap): lag + change flag + running
+    * sum, ordered by `(time, tiebreak)` so equal timestamps can never
+    * flip version assignment between runs or engines. NULL attr values
+    * are a legal version of their own (`<=>` change comparison — a
+    * NULL→'X' flip is a real transition, not a silent merge).
+    *
+    * Scale shape: ONE shuffle on `key` serves the lag and running-sum
+    * windows (same partition+order); the run groupBy is then a prefix
+    * of that clustering with map-side partials. The closing lead
+    * window (valid_to = next run's start) re-exchanges only the
+    * COMPRESSED frame — key × runs, bounded by attribute churn, not
+    * the observation count. */
+  def changeHistory(
+      obs: DataFrame, key: String, timeUs: String, tieBreak: String,
+      attr: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(timeUs), col(tieBreak))
+    val versioned = obs
+      .select(col(key), col(timeUs), col(tieBreak), col(attr))
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      // first row of a key: lag is NULL and the null-safe compare
+      // flags it as a change iff attr itself is non-NULL — seed the
+      // first version unconditionally via the row_number()==1 test
+      .withColumn("__first", row_number().over(w) === 1)
+      .withColumn("version_idx",
+        sum((col("__first") || !(col("__prev") <=> col(attr))).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = versioned.groupBy(col(key), col("version_idx"))
+      .agg(
+        min(col(attr)).as(attr), // constant within the run
+        min(col(timeUs)).as("valid_from_us"),
+        count(lit(1)).as("n_obs"))
+    val byVersion = Window.partitionBy(col(key)).orderBy(col("version_idx"))
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
+  /** First-order Markov transition matrix over the per-user event
+    * stream: for every consecutive pair (ordered by time, event_id
+    * tiebreak) count `(event_type → next_type)` and report the
+    * transition probability as an exact integer ratio in ppm
+    * (`1e6·n_pairs div row_total`). The last event of each user has
+    * no successor and drops out. The classic "what happens after a
+    * click" product-analytics row, and the input to a next-event
+    * prediction baseline.
+    *
+    * Scale shape: ONE shuffle on `user_id` for the lead window; the
+    * pair stream then collapses through a map-side-combinable groupBy
+    * to type×type cardinality (25 rows here), and the per-from row
+    * totals ride a window over that tiny aggregate — no second pass
+    * over events. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val pairs = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val byFrom = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("row_total", sum(col("n_pairs")).over(byFrom))
+      .withColumn("prob_ppm", expr("1000000 * n_pairs DIV row_total"))
+  }
+
   /** Cohort retention: users are grouped by the DAY of their first
     * event (integer epoch-day); for every later active day the matrix
     * counts how many of that cohort came back `day_offset` days after

@@ -196,6 +196,45 @@ object Stats {
       .select(col("doc_id"), col("lang"), col("n_chars"), col("z"))
   }
 
+  /** Event-rate anomaly flags: per (event_type, day) counts, flagged
+    * when the day sits more than `sigmas` population standard
+    * deviations from that type's across-days mean — the feed-health
+    * monitor that catches a collector outage (count collapse) or a
+    * bot storm (count spike) per event family. The σ test runs in
+    * EXACT integer arithmetic — `(n·c − S)² > sigmas²·(n·Q − S²)`
+    * with S=Σc, Q=Σc² — so the flag is bit-deterministic across
+    * engines (no float σ, no rounding at the boundary). Cross
+    * products sit in DECIMAL(38,0): day counts at 100 TB reach 10¹²
+    * and their squares overflow a long well before ANSI mode would
+    * save you; the oracle's HUGEINT math has the same headroom.
+    *
+    * Scale shape: events collapse map-side to type×day cardinality
+    * first (ONE shuffle, bounded by the calendar × type product, not
+    * the event count); the per-type moments are a second aggregate
+    * over that tiny frame, broadcast back. */
+  def dailyAnomaly(events: DataFrame, sigmas: Int = 3): DataFrame = {
+    require(sigmas > 0, s"sigmas $sigmas must be positive")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val daily = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val moments = daily.groupBy(col("event_type").as("m_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s1"),
+        sum(dec(col("c")) * col("c")).as("s2"))
+    daily
+      .join(broadcast(moments), col("event_type") <=> col("m_type"))
+      .select(col("event_type"), col("day"), col("c").as("n_events"),
+        // (n·c − S)² > sigmas²·(n·Q − S²), everything exact decimal
+        ((dec(col("n")) * col("c") - col("s1")) *
+            (dec(col("n")) * col("c") - col("s1")) >
+          lit(sigmas.toLong * sigmas) *
+            (dec(col("n")) * col("s2") - dec(col("s1")) * col("s1")))
+          .as("is_anomaly"))
+  }
+
   /** One-pass COLUMN PROFILING — the schema-drift/data-quality report
     * an ingest pipeline publishes per batch: for every column, its
     * null count, exact distinct count, and min/max stringified length.

@@ -365,6 +365,92 @@ object ExtOracles {
         |       min(k) AS min_k, max(k) AS max_k
         |FROM parsed GROUP BY 1""".stripMargin,
 
+    // SCD2 change compression: the change flag seeds on rn=1 (NOT
+    // "prev IS NULL" — a NULL attr run mid-stream would re-flag) and
+    // compares IS DISTINCT FROM, mirroring Spark's <=> exactly; the
+    // running sum carries the explicit ROWS frame; windowed
+    // sum/count → CAST AS BIGINT.
+    "x85_scd2_history" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority,
+        |         epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us
+        |  FROM orders),
+        |lagged AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority, us,
+        |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |                                    ORDER BY us, o_orderkey) AS prev_p,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY us, o_orderkey) AS rn
+        |  FROM o),
+        |versioned AS (
+        |  SELECT o_custkey, o_orderpriority, us,
+        |         CAST(sum(CASE WHEN rn = 1
+        |                         OR prev_p IS DISTINCT FROM o_orderpriority
+        |                       THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY o_custkey ORDER BY us, o_orderkey
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS version_idx
+        |  FROM lagged),
+        |runs AS (
+        |  SELECT o_custkey, version_idx,
+        |         min(o_orderpriority) AS o_orderpriority,
+        |         min(us) AS valid_from_us,
+        |         CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM versioned GROUP BY 1, 2)
+        |SELECT o_custkey, version_idx, o_orderpriority, valid_from_us,
+        |       lead(valid_from_us) OVER w AS valid_to_us, n_obs,
+        |       (lead(valid_from_us) OVER w IS NULL) AS is_current
+        |FROM runs
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY version_idx)""".stripMargin,
+
+    // Transition matrix: the lead window mirrors Spark's
+    // (us, event_id) ordering; the ppm division casts the HUGEINT
+    // windowed total back to BIGINT before `//` (the x22 lesson).
+    "x86_transition_matrix" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |pairs AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY us, event_id) AS next_type
+        |  FROM e),
+        |agg AS (
+        |  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n_pairs,
+        |       CAST(sum(n_pairs) OVER (PARTITION BY event_type) AS BIGINT)
+        |         AS row_total,
+        |       1000000 * n_pairs
+        |         // CAST(sum(n_pairs) OVER (PARTITION BY event_type) AS BIGINT)
+        |         AS prob_ppm
+        |FROM agg""".stripMargin,
+
+    // Event-rate anomaly: the planted click outage mirrors the query's
+    // filter; the σ test re-derives Spark's DECIMAL(38,0) tree in
+    // HUGEINT — exact on both engines, so the boolean can't flake.
+    "x87_event_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, ts FROM events
+        |  WHERE NOT (event_type = 'click'
+        |             AND CAST(ts AS DATE) = DATE '2024-01-08'
+        |             AND event_id % 10 <> 0)),
+        |daily AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM ev WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type AS m_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(c) AS BIGINT) AS s1, sum(c * c) AS s2
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, day, c AS n_events,
+        |       (CAST(n AS HUGEINT) * c - s1) * (CAST(n AS HUGEINT) * c - s1)
+        |         > 9 * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+        |         AS is_anomaly
+        |FROM daily JOIN m ON event_type IS NOT DISTINCT FROM m_type""".stripMargin,
+
     // Sessionization: all time math in integer microseconds; the
     // (us, event_id) ordering is unique, and the running sum uses an
     // explicit ROWS frame on both sides. DuckDB's windowed sum returns

@@ -513,6 +513,34 @@ object ExtQueries {
     "x83_attribution" -> ((s, d) =>
       Sessions.lastTouchAttribution(
         events(s, d).select("event_id", "user_id", "event_type", "ts"))),
+    // SCD2 change compression over the per-customer order-priority
+    // observation stream: ~10 orders per customer across 5 priority
+    // values give most customers several validity runs, and every
+    // customer ends with exactly one is_current row.
+    "x85_scd2_history" -> ((s, d) => {
+      val obs = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      Sessions.changeHistory(obs, key = "o_custkey", timeUs = "us",
+        tieBreak = "o_orderkey", attr = "o_orderpriority")
+    }),
+    // Next-event transition matrix: 5 event types at ~13 events per
+    // user fill most of the 25 cells with well-mixed counts.
+    "x86_transition_matrix" -> ((s, d) =>
+      Sessions.transitionMatrix(
+        events(s, d).select("event_id", "user_id", "event_type", "ts"))),
+    // Event-rate anomaly: the uniform fixture has no natural 3σ day,
+    // so one is planted — 90% of the clicks on 2024-01-08 are dropped
+    // (a collector-outage shape). The damaged day lands ~5σ below the
+    // click mean; the other families stay within bounds.
+    "x87_event_anomaly" -> ((s, d) => {
+      val damaged = events(s, d)
+        .select(col("event_id"), col("event_type"), col("ts"))
+        .filter(!(col("event_type") === "click" &&
+          to_date(col("ts")) === lit("2024-01-08").cast("date") &&
+          col("event_id") % 10 =!= 0))
+      Stats.dailyAnomaly(damaged)
+    }),
     // Semi-structured props profile: every 31st event's props loses
     // its closing brace — malformed rows parse to NULL (PERMISSIVE) on
     // the Spark side, json_valid gates the oracle; parse counts and

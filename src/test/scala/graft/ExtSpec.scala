@@ -2040,6 +2040,80 @@ class ExtSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("changeHistory: run compression, NULL runs, tie order, current flag") {
+    val obs = Seq(
+      // key 1: A A B A — three runs (the B interrupts, A re-opens)
+      (1L, 10L, 100L, "A"), (1L, 20L, 101L, "A"),
+      (1L, 30L, 102L, "B"), (1L, 40L, 103L, "A"),
+      // key 2: NULL NULL X — the NULL run is a version of its own
+      (2L, 10L, 200L, null), (2L, 20L, 201L, null), (2L, 30L, 202L, "X"),
+      // key 3: same-time tie broken by tiebreak column: 301 then 302
+      (3L, 10L, 302L, "Q"), (3L, 10L, 301L, "P"))
+      .toDF("k", "us", "tb", "attr")
+    val got = Sessions.changeHistory(obs, "k", "us", "tb", "attr").collect()
+      .map { r =>
+        (r.getLong(0), r.getLong(1)) -> ((
+          if (r.isNullAt(2)) "∅" else r.getString(2),
+          r.getLong(3),
+          r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          r.getBoolean(6)))
+      }.toMap
+    assert(got == Map(
+      (1L, 1L) -> (("A", 10L, 2L, 30L, false)),
+      (1L, 2L) -> (("B", 30L, 1L, 40L, false)),
+      (1L, 3L) -> (("A", 40L, 1L, -1L, true)),
+      (2L, 1L) -> (("∅", 10L, 2L, 30L, false)),
+      (2L, 2L) -> (("X", 30L, 1L, -1L, true)),
+      (3L, 1L) -> (("P", 10L, 1L, 10L, false)),
+      (3L, 2L) -> (("Q", 10L, 1L, -1L, true))),
+      s"got $got")
+  }
+
+  test("transitionMatrix: per-user lead pairs, ppm rounds down, last event drops") {
+    val e = Seq(
+      (1L, 1L, "a", "2024-01-01 00:00:01"),
+      (2L, 1L, "b", "2024-01-01 00:00:02"),
+      (3L, 1L, "a", "2024-01-01 00:00:03"),
+      (4L, 1L, "c", "2024-01-01 00:00:04"), // user 1: a→b, b→a, a→c
+      (5L, 2L, "a", "2024-01-01 00:00:01"),
+      (6L, 2L, "b", "2024-01-01 00:00:02")) // user 2: a→b; trailing b drops
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .select($"event_id", $"user_id", $"event_type",
+        to_timestamp($"ts_s").as("ts"))
+    val got = Sessions.transitionMatrix(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 3L, 666666L)), // 2/3 rounds DOWN in ppm
+      ("a", "c") -> ((1L, 3L, 333333L)),
+      ("b", "a") -> ((1L, 1L, 1000000L))),
+      s"got $got")
+  }
+
+  test("dailyAnomaly: exact integer sigma test flags the planted outage day only") {
+    // The outlier inflates its own σ: with n days, max attainable |z|
+    // is (n−1)/√n, so 3σ needs n ≥ 11 — 13 days here. Type 'x': 12
+    // days at 10 events, one day at 1; type 'y' flat, never flags.
+    val rows = (for {
+      d <- 0 until 13
+      i <- 0 until (if (d == 3) 1 else 10)
+    } yield (f"2024-01-${d + 1}%02d 00:00:0$i%d", "x")) ++
+      (for { d <- 0 until 13; i <- 0 until 5 }
+        yield (f"2024-01-${d + 1}%02d 00:00:0$i%d", "y"))
+    val e = rows.toDF("ts_s", "event_type")
+      .select(to_timestamp($"ts_s").as("ts"), $"event_type")
+    val got = graft.ext.Stats.dailyAnomaly(e).collect()
+      .map(r => (r.getString(0), r.getLong(1) - 19723L) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got((("x", 3L))) == ((1L, true)), s"got $got")
+    assert(got.size == 26)
+    assert(got.count(_._2._2) == 1, s"only the outage flags: $got")
+    // hand-check: n=13 S=121 Q=1201 → 9·(13·1201−121²)=8748;
+    // outage (13·1−121)²=11664 > 8748 flags; a 10-day (13·10−121)²=81 doesn't
+    assert(got((("x", 0L))) == ((10L, false)))
+  }
+
   test("rareTokenScrub: corpus-count threshold, <unk> rebuild, clean docs untouched") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
