@@ -748,6 +748,53 @@ object Dedup {
       .select(col("prev_id"), col("next_id"))
   }
 
+  /** Edit-distance near-dup pairs over a fixed-width title slice: two
+    * docs pair when the first `titleLen` characters of their texts are
+    * within Levenshtein distance `maxDist` — the TYPO axis of the dedup
+    * family. Token-set methods (MinHash/SimHash/Jaccard) are blind to a
+    * one-character slip: "recieved" vs "received" shares NO token and
+    * at most a sliver of character shingles, yet the documents are the
+    * same scan/OCR/keyboard artifact; edit distance is the measure that
+    * sees it. Applied to the title slice (not the full text): that is
+    * where catalog/scrape typo-duplicates disagree, and it bounds the
+    * O(titleLen²) DP cost per comparison to a constant.
+    *
+    * Candidates come from PREFIX BLOCKING — equal first `blockLen`
+    * characters — plus the |len difference| ≤ maxDist necessity filter;
+    * the declared recall contract is "edits past the block prefix"
+    * (a typo inside the first blockLen characters is invisible, the
+    * standard prefix-blocking trade). Matched candidates verify with
+    * the real `levenshtein`, so precision is exact.
+    *
+    * Scale shape: ONE equi-join on the block key, linear join input
+    * (each doc emits one blocking row); an over-full block is a shared
+    * boilerplate head, not a typo cluster — dropped via [[BucketCap]],
+    * the [[pageStitch]] argument. The DP verify runs only on
+    * candidate pairs inside capped buckets, never all-pairs. */
+  def editNeardup(
+      docs: DataFrame, titleLen: Int = 40, blockLen: Int = 10,
+      maxDist: Int = 2, maxBucket: Int = 64): DataFrame = {
+    require(titleLen > blockLen && blockLen >= 1,
+      s"need titleLen $titleLen > blockLen $blockLen >= 1")
+    require(maxDist >= 0, s"maxDist $maxDist must be non-negative")
+    val titled = docs
+      .select(col("doc_id"),
+        substring(coalesce(col("text"), lit("")), 1, titleLen).as("title"))
+      .withColumn("blk", substring(col("title"), 1, blockLen))
+      .withColumn("l", length(col("title")))
+    val capped = BucketCap.keepSmall(titled, Seq("blk"), maxBucket)
+    val a = capped.select(col("blk"), col("doc_id").as("a_id"),
+      col("title").as("a_title"), col("l").as("a_l"))
+    val b = capped.select(col("blk"), col("doc_id").as("b_id"),
+      col("title").as("b_title"), col("l").as("b_l"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("a_l") - col("b_l")) <= maxDist)
+      .withColumn("dist", levenshtein(col("a_title"), col("b_title")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+  }
+
   /** Ingest-time MinHash index: persists the per-document signature
     * artifacts — LSH band keys, shingle hashes, and set sizes — so
     * incremental batches can near-dup against the FULL corpus history

@@ -201,6 +201,51 @@ object Sessions {
       when(inWindow, col("pus") - col("tus")).as("lag_us"))
   }
 
+  /** Linear multi-touch attribution — the fair-share companion of
+    * [[lastTouchAttribution]]: every view/click in the `windowMinutes`
+    * before a purchase (at-or-before, the x12 convention) shares the
+    * credit, in exact integer ppm — `10⁶ div n` per touch with the
+    * rounding remainder assigned to the LAST touch (max time, max
+    * event_id tie — a deterministic home for the leftover ppm, and the
+    * touch last-touch models would credit anyway), so every purchase's
+    * weights sum to exactly 10⁶. Purchases with no in-window touch
+    * produce no row (the kept-row convention belongs to last-touch;
+    * this is the credit ledger, and an empty credit line is noise).
+    *
+    * Scale shape: ONE equi-join on `user_id` (both sides shuffle once;
+    * no range theta-join — the window gate is a post-join predicate),
+    * then the count and rank windows share the purchase_id partition:
+    * one more exchange keyed on purchase, moving only in-window pairs.
+    * Per-purchase pair count is bounded by the user's touch rate ×
+    * `windowMinutes` — the window IS the skew bound, and a pathological
+    * hot user pays their own event count, never the corpus. */
+  def linearAttribution(
+      events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    require(windowMinutes > 0, s"window $windowMinutes must be positive")
+    val windowUs = windowMinutes.toLong * 60L * 1000000L
+    val base = events.filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("pus"))
+    val touches = base.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("us").as("tus"),
+        col("event_id").as("touch_id"), col("event_type").as("touch_type"))
+    val byPurchase = Window.partitionBy(col("purchase_id"))
+    val lastFirst = byPurchase.orderBy(col("tus").desc, col("touch_id").desc)
+    purchases.join(touches, Seq("user_id"))
+      .filter(col("tus") <= col("pus") && col("pus") - col("tus") <= windowUs)
+      .withColumn("n_touches", count(lit(1)).over(byPurchase))
+      .withColumn("__rn", row_number().over(lastFirst))
+      .select(col("purchase_id"), col("user_id"), col("touch_id"),
+        col("touch_type"), col("n_touches"),
+        expr("""1000000 DIV n_touches +
+                CASE WHEN __rn = 1
+                     THEN 1000000 - (1000000 DIV n_touches) * n_touches
+                     ELSE 0 END""").as("weight_ppm"))
+  }
+
   /** Type-2 slowly-changing-dimension compression: collapse an
     * observation stream of `(key, time, tiebreak, attr)` into validity
     * runs — one row per maximal stretch of consecutive-equal `attr`

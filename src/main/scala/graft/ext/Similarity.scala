@@ -1112,4 +1112,55 @@ object Similarity {
         col("n_neighbors"), col("n_agree"),
         (col("n_agree") * 2 < col("n_neighbors")).as("suspect"))
   }
+
+  /** Per-label centroid similarity matrix — the class-prototype
+    * geometry report over an annotated embedding set: how close are
+    * the label means, pairwise? Near-identical prototypes mean the
+    * labels are indistinguishable in embedding space (mislabeled data,
+    * collapsed classes, or an embedding model that can't see the
+    * distinction) — the dataset-level companion of the per-vector
+    * [[knnLabelAgreement]] audit.
+    *
+    * Everything is EXACT INTEGER so the matrix hash-compares across
+    * engines: components quantize per row (`floor(v·10⁶)` in double
+    * precision — both engines run the identical IEEE ops), the
+    * centroid is the integral-div mean of the quantized components
+    * (bounded back to quantized scale regardless of corpus size), and
+    * similarity is reported as sign(dot)·(10⁶·dot²) div (‖a‖²·‖b‖²) —
+    * the signed squared cosine in ppm, a monotone proxy for |cos| that
+    * needs no square root; the self-pair lands at exactly 10⁶ (a
+    * built-in sanity row). Cross products sit in DECIMAL(38,0) ↔
+    * HUGEINT; mean-quantized components keep dot² under 10³⁴ at ANY
+    * corpus size, so the decimal never overflows.
+    *
+    * Scale shape: ONE shuffle — the (label, idx) component groupBy,
+    * bounded by labels × dim, never the vector count (map-side
+    * partials do the reduction); norms, the dim-keyed centroid
+    * self-join and the final ratios all run over the labels×dim frame
+    * (thousands of rows). NULL labels are excluded by contract. */
+  def labelCentroidSimilarity(emb: DataFrame): DataFrame = {
+    val cent = emb
+      .filter(col("label").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .select(col("label"), col("idx"),
+        floor(col("v").cast("double") * lit(1000000.0)).as("q"))
+      .groupBy(col("label"), col("idx"))
+      .agg(expr("sum(CAST(q AS DECIMAL(38,0))) DIV count(1)").as("cq"))
+    val norms = cent.groupBy(col("label"))
+      .agg(sum(col("cq").cast("decimal(38,0)") * col("cq")).as("nrm"))
+    val a = cent.select(col("idx"), col("label").as("label_a"), col("cq").as("qa"))
+    val b = cent.select(col("idx"), col("label").as("label_b"), col("cq").as("qb"))
+    a.join(b, Seq("idx"))
+      .filter(col("label_a") <= col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("qa").cast("decimal(38,0)") * col("qb")).as("dot"))
+      .join(broadcast(norms.select(col("label").as("label_a"), col("nrm").as("na"))),
+        Seq("label_a"))
+      .join(broadcast(norms.select(col("label").as("label_b"), col("nrm").as("nb"))),
+        Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        expr("""(CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+                ((CAST(1000000 AS DECIMAL(38,0)) * dot * dot) DIV (na * nb))""")
+          .as("cos2_ppm"))
+  }
 }

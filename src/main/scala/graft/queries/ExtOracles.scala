@@ -365,6 +365,119 @@ object ExtOracles {
         |       min(k) AS min_k, max(k) AS max_k
         |FROM parsed GROUP BY 1""".stripMargin,
 
+    // Edit near-dup: plant, title slice, prefix blocking and the
+    // length-band necessity filter all mirror the Spark side; the cap
+    // (never binding on this fixture — max bucket ~35) mirrors
+    // BucketCap via QUALIFY. levenshtein is the same classic DP on
+    // both engines.
+    "x88_edit_neardup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |planted AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 8000000, substr(text, 1, 14) || 'Z' || substr(text, 16)
+        |  FROM base WHERE doc_id % 21 = 0),
+        |t AS (SELECT doc_id, substr(coalesce(text, ''), 1, 40) AS title
+        |      FROM planted),
+        |b AS (SELECT doc_id, title, substr(title, 1, 10) AS blk,
+        |             len(title) AS l
+        |      FROM t),
+        |c AS (SELECT * FROM b
+        |      QUALIFY count(*) OVER (PARTITION BY blk) <= 64)
+        |SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+        |       CAST(levenshtein(a.title, b2.title) AS BIGINT) AS dist
+        |FROM c a JOIN c b2 ON a.blk = b2.blk
+        |WHERE a.doc_id < b2.doc_id AND abs(a.l - b2.l) <= 2
+        |  AND levenshtein(a.title, b2.title) <= 2""".stripMargin,
+
+    // CDC latest-wins merge: snapshot rows rank at seq 0, the batch's
+    // duplicate-key rows resolve on the higher seq, inserts survive
+    // trivially.
+    "x89_cdc_upsert" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |         CAST(0 AS BIGINT) AS seq FROM customer),
+        |u1 AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         c_acctbal + 100.0 AS c_acctbal,
+        |         'UPDATED' AS c_mktsegment, CAST(1 AS BIGINT) AS seq
+        |  FROM customer WHERE c_custkey % 11 = 0),
+        |u2 AS (
+        |  SELECT c_custkey, c_name || '-v2' AS c_name, c_nationkey, c_acctbal,
+        |         'SECOND' AS c_mktsegment, CAST(2 AS BIGINT) AS seq
+        |  FROM customer WHERE c_custkey % 33 = 0),
+        |ins AS (
+        |  SELECT c_custkey + 5000000 AS c_custkey, c_name, c_nationkey,
+        |         c_acctbal, 'NEW' AS c_mktsegment, CAST(1 AS BIGINT) AS seq
+        |  FROM customer WHERE c_custkey % 17 = 0),
+        |allr AS (
+        |  SELECT * FROM cur UNION ALL SELECT * FROM u1
+        |  UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM ins)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, seq
+        |FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |                                   ORDER BY seq DESC) AS rn
+        |      FROM allr)
+        |WHERE rn = 1""".stripMargin,
+
+    // Linear attribution: the same user_id equi-join + window gate as
+    // the Spark side; integer ppm split with the remainder on the
+    // last touch (tus DESC, touch_id DESC — deterministic).
+    "x90_multitouch" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS pus
+        |      FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, us AS tus, event_id AS touch_id,
+        |             event_type AS touch_type
+        |      FROM e WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT p.purchase_id, p.user_id, t.touch_id, t.touch_type,
+        |         CAST(count(*) OVER (PARTITION BY p.purchase_id) AS BIGINT)
+        |           AS n_touches,
+        |         row_number() OVER (PARTITION BY p.purchase_id
+        |                            ORDER BY t.tus DESC, t.touch_id DESC) AS rn
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  WHERE t.tus <= p.pus AND p.pus - t.tus <= 3600000000)
+        |SELECT purchase_id, user_id, touch_id, touch_type, n_touches,
+        |       1000000 // n_touches +
+        |         CASE WHEN rn = 1
+        |              THEN 1000000 - (1000000 // n_touches) * n_touches
+        |              ELSE 0 END AS weight_ppm
+        |FROM j""".stripMargin,
+
+    // Label centroids: quantize in DOUBLE (identical IEEE ops),
+    // integral-div mean, HUGEINT cross products mirror Spark's
+    // DECIMAL(38,0); the signed squared cosine needs no sqrt.
+    "x91_label_centroids" ->
+      """WITH q0 AS (
+        |  SELECT label, unnest(range(1, len(embedding) + 1)) AS i,
+        |         unnest(embedding) AS v
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |q AS (
+        |  SELECT label, i,
+        |         CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+        |  FROM q0),
+        |cent AS (
+        |  SELECT label, i, CAST(sum(qv) // count(*) AS BIGINT) AS cq
+        |  FROM q GROUP BY 1, 2),
+        |nrm AS (
+        |  SELECT label, sum(CAST(cq AS HUGEINT) * cq) AS nrm
+        |  FROM cent GROUP BY 1),
+        |dots AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |         sum(CAST(a.cq AS HUGEINT) * b.cq) AS dot
+        |  FROM cent a JOIN cent b ON a.i = b.i AND a.label <= b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |       CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+        |            ((1000000 * dot * dot) // (na.nrm * nb.nrm)) AS BIGINT)
+        |         AS cos2_ppm
+        |FROM dots
+        |JOIN nrm na ON dots.label_a = na.label
+        |JOIN nrm nb ON dots.label_b = nb.label""".stripMargin,
+
     // SCD2 change compression: the change flag seeds on rn=1 (NOT
     // "prev IS NULL" — a NULL attr run mid-stream would re-flag) and
     // compares IS DISTINCT FROM, mirroring Spark's <=> exactly; the

@@ -541,6 +541,53 @@ object ExtQueries {
           col("event_id") % 10 =!= 0))
       Stats.dailyAnomaly(damaged)
     }),
+    // Edit-distance near-dup: every %21 doc gets a typo copy at
+    // id+8e6 — one 'Z' substitution at char 15 ('Z' never occurs in
+    // the fixture, so distance is exactly 1), past the 10-char block
+    // prefix so blocking keeps the pair. Natural distance-0 pairs
+    // (exact-duplicate fixture docs sharing a 40-char title) also
+    // survive — both kinds occur.
+    "x88_edit_neardup" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text")
+      val typo = dd.filter(col("doc_id") % 21 === 0)
+        .select((col("doc_id") + 8000000L).as("doc_id"),
+          concat(expr("substring(text, 1, 14)"), lit("Z"),
+            expr("substring(text, 16)")).as("text"))
+      Dedup.editNeardup(dd.unionByName(typo))
+    }),
+    // CDC latest-wins merge: the batch updates every %11 customer
+    // (seq 1), re-updates every %33 (seq 2 — the within-batch
+    // duplicate that must win), and inserts new keys at id+5e6; the
+    // %33 keys prove sequence resolution, untouched keys pass through.
+    "x89_cdc_upsert" -> ((s, d) => {
+      val cust = s.read.parquet(s"$d/customer.parquet")
+      val u1 = cust.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"),
+          lit("UPDATED").as("c_mktsegment"), lit(1L).as("seq"))
+      val u2 = cust.filter(col("c_custkey") % 33 === 0)
+        .select(col("c_custkey"), concat(col("c_name"), lit("-v2")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"),
+          lit("SECOND").as("c_mktsegment"), lit(2L).as("seq"))
+      val ins = cust.filter(col("c_custkey") % 17 === 0)
+        .select((col("c_custkey") + 5000000L).as("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"),
+          lit("NEW").as("c_mktsegment"), lit(1L).as("seq"))
+      graft.ext.Merge.latestWinsMerge(
+        cust, u1.unionByName(u2).unionByName(ins), "c_custkey", "seq")
+    }),
+    // Linear multi-touch attribution: ~40 events per user-day leave
+    // purchases with 0, 1 and several in-window touches — the ppm
+    // split and the remainder-to-last rule both discriminate.
+    "x90_multitouch" -> ((s, d) =>
+      Sessions.linearAttribution(
+        events(s, d).select("event_id", "user_id", "event_type", "ts"))),
+    // Label-centroid similarity over the 10-label gaussian fixture:
+    // shared isotropic geometry puts every off-diagonal pair near 0
+    // and the diagonal at exactly 1e6 — the sign, the diagonal and
+    // the near-zero spread all come out of the integer pipeline.
+    "x91_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroidSimilarity(emb(s, d))),
     // Semi-structured props profile: every 31st event's props loses
     // its closing brace — malformed rows parse to NULL (PERMISSIVE) on
     // the Spark side, json_valid gates the oracle; parse counts and

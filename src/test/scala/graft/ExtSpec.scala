@@ -2114,6 +2114,85 @@ class ExtSpec extends SparkSpec {
     assert(got((("x", 0L))) == ((10L, false)))
   }
 
+  test("editNeardup: verify distance, length band, prefix-blocking miss, bucket cap") {
+    val d = Seq(
+      (1L, "abcdXY"),        // blk abcd, l 6
+      (2L, "abcdXZ"),        // 1 sub from doc 1
+      (3L, "abcd"),          // l 4: inside the band vs 1/2, not vs 5
+      (4L, "zbcdXY"),        // typo IN the prefix: different block, invisible
+      (5L, "abcdXYQQQ"),     // title caps at 8 chars: "abcdXYQQ"
+      (6L, "qqqqA"), (7L, "qqqqB"), (8L, "qqqqC"), (9L, "qqqqD"),
+      (10L, "qqqqE"))        // 5-member block > cap 4: ALL dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.editNeardup(d, titleLen = 8, blockLen = 4,
+        maxDist = 2, maxBucket = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, 2L) -> 1L,  // one substitution
+      (1L, 3L) -> 2L,  // two deletions, band edge |6-4| = 2
+      (1L, 5L) -> 2L,  // two insertions
+      (2L, 3L) -> 2L), // (2,5) is distance 3; (3,5) fails the band;
+      s"got $got")     // doc 4 blocks apart; the qqqq block is capped
+  }
+
+  test("latestWinsMerge: seq resolution, inserts, snapshot passthrough") {
+    val cur = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "val")
+    val upd = Seq((1L, "a1", 1L), (1L, "a2", 2L), (4L, "d", 1L))
+      .toDF("k", "val", "seq")
+    val got = graft.ext.Merge.latestWinsMerge(cur, upd, "k", "seq").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (("a2", 2L)), // the higher within-batch seq wins
+      2L -> (("b", 0L)),  // untouched snapshot rows pass through
+      3L -> (("c", 0L)),
+      4L -> (("d", 1L))), // insert
+      s"got $got")
+  }
+
+  test("linearAttribution: ppm split sums to 1e6, remainder to last, window gate") {
+    val e = Seq(
+      (10L, 1L, "view", "2024-01-01 00:10:00"),
+      (11L, 1L, "click", "2024-01-01 00:40:00"),
+      (12L, 1L, "purchase", "2024-01-01 01:00:00"),  // two touches: 500k each
+      (20L, 2L, "view", "2024-01-01 00:01:00"),
+      (21L, 2L, "view", "2024-01-01 00:02:00"),
+      (22L, 2L, "click", "2024-01-01 00:03:00"),
+      (23L, 2L, "purchase", "2024-01-01 00:30:00"),  // three: 333333 ×2 + 333334
+      (30L, 3L, "view", "2024-01-01 00:00:00"),
+      (31L, 3L, "purchase", "2024-01-01 02:30:00"))  // out of window: no row
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .select($"event_id", $"user_id", $"event_type",
+        to_timestamp($"ts_s").as("ts"))
+    val rows = Sessions.linearAttribution(e).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> ((r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rows == Map(
+      (12L, 10L) -> ((2L, 500000L)),
+      (12L, 11L) -> ((2L, 500000L)),
+      (23L, 20L) -> ((3L, 333333L)),
+      (23L, 21L) -> ((3L, 333333L)),
+      (23L, 22L) -> ((3L, 333334L))), // the LAST touch absorbs the remainder
+      s"got $rows")
+    // every attributed purchase's credit sums to exactly one million
+    assert(rows.groupBy(_._1._1).forall(_._2.values.map(_._2).sum == 1000000L))
+  }
+
+  test("labelCentroidSimilarity: diagonal is exactly 1e6, sign survives, zero cross") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),   // label 0 centroid (1e6, 0)
+      (3L, Seq(0.0f, 1.0f), 1),   // label 1 centroid (0, 1e6)
+      (4L, Seq(-1.0f, 0.0f), 2))  // label 2 centroid (-1e6, 0)
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidSimilarity(e).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0, 0) -> 1000000L, (1, 1) -> 1000000L, (2, 2) -> 1000000L,
+      (0, 1) -> 0L, (1, 2) -> 0L,
+      (0, 2) -> -1000000L), // anti-parallel keeps its sign
+      s"got $got")
+  }
+
   test("rareTokenScrub: corpus-count threshold, <unk> rebuild, clean docs untouched") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
