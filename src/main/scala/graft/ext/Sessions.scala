@@ -326,6 +326,62 @@ object Sessions {
       .withColumn("prob_ppm", expr("1000000 * n_pairs DIV row_total"))
   }
 
+  /** Conversion-lag percentiles: for each consecutive stage pair in
+    * `stages`, the distribution of per-user lag between the FIRST
+    * occurrence of each stage ("time to convert" — the product
+    * analytics row next to the [[eventFunnel]] counts; note the
+    * difference: the funnel restarts each stage's clock sequentially,
+    * this measures first-to-first and keeps a user when the later
+    * stage is at-or-after the earlier one). Lags bucket to integer
+    * SECONDS and percentiles are EXACT rank selection over the
+    * (stage, lag_s) histogram — the [[Stats.lengthQuantiles]]
+    * machinery: the corpus collapses to a map-side-combinable
+    * histogram first (bounded by the observation window in seconds ×
+    * stage pairs, not by users), the cumulative window and the
+    * target-rank pick run over that small frame, and no stage ever
+    * funnels through a single sort task.
+    *
+    * Scale shape: first-occurrence aggregate is ONE user_id-keyed
+    * shuffle shared by every stage (groupBy user×type); the pair
+    * joins are user-keyed self-joins of that tiny per-user frame;
+    * the histogram is the only later aggregate. */
+  def conversionLagQuantiles(
+      events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      ps: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(stages.size >= 2, s"need at least two stages, got $stages")
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles $ps must be in [1, 100]")
+    val firsts = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .filter(col("event_type").isin(stages: _*))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("us")).as("fus"))
+    val lags = stages.zip(stages.tail).map { case (a, b) =>
+      firsts.filter(col("event_type") === a)
+        .select(col("user_id"), col("fus").as("a_us"))
+        .join(firsts.filter(col("event_type") === b)
+          .select(col("user_id"), col("fus").as("b_us")), Seq("user_id"))
+        .filter(col("b_us") >= col("a_us"))
+        .select(lit(s"$a->$b").as("stage"),
+          expr("(b_us - a_us) DIV 1000000").as("lag_s"))
+    }.reduce(_ unionByName _)
+    val hist = lags.groupBy(col("stage"), col("lag_s"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("stage")).orderBy(col("lag_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+    val targets = hist.groupBy(col("stage")).agg(sum(col("cnt")).as("n"))
+      .select(col("stage"), col("n"), explode(typedLit(ps.toList)).as("p"))
+      .withColumn("target_rn", expr("(p * n + 99) DIV 100"))
+    cum.join(broadcast(targets), Seq("stage"))
+      .filter(col("cum") >= col("target_rn") &&
+        col("cum") - col("cnt") < col("target_rn"))
+      .select(col("stage"), col("p"), col("n").as("n_users"),
+        col("lag_s").as("lag_s_at_p"))
+  }
+
   /** Cohort retention: users are grouped by the DAY of their first
     * event (integer epoch-day); for every later active day the matrix
     * counts how many of that cohort came back `day_offset` days after

@@ -1139,13 +1139,7 @@ object Similarity {
     * self-join and the final ratios all run over the labels×dim frame
     * (thousands of rows). NULL labels are excluded by contract. */
   def labelCentroidSimilarity(emb: DataFrame): DataFrame = {
-    val cent = emb
-      .filter(col("label").isNotNull)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
-      .select(col("label"), col("idx"),
-        floor(col("v").cast("double") * lit(1000000.0)).as("q"))
-      .groupBy(col("label"), col("idx"))
-      .agg(expr("sum(CAST(q AS DECIMAL(38,0))) DIV count(1)").as("cq"))
+    val cent = labelCentroids(emb)
     val norms = cent.groupBy(col("label"))
       .agg(sum(col("cq").cast("decimal(38,0)") * col("cq")).as("nrm"))
     val a = cent.select(col("idx"), col("label").as("label_a"), col("cq").as("qa"))
@@ -1162,5 +1156,67 @@ object Similarity {
         expr("""(CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
                 ((CAST(1000000 AS DECIMAL(38,0)) * dot * dot) DIV (na * nb))""")
           .as("cos2_ppm"))
+  }
+
+  /** Mean-quantized label centroids: (label, idx, cq) with
+    * `cq = Σ floor(v·10⁶) div n` — exact integer, bounded to the
+    * quantized component scale at any corpus size (see
+    * [[labelCentroidSimilarity]]). ONE (label, idx) groupBy with
+    * map-side partials; NULL labels excluded by contract. */
+  private def labelCentroids(emb: DataFrame): DataFrame =
+    emb.filter(col("label").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .select(col("label"), col("idx"),
+        floor(col("v").cast("double") * lit(1000000.0)).as("q"))
+      .groupBy(col("label"), col("idx"))
+      .agg(expr("sum(CAST(q AS DECIMAL(38,0))) DIV count(1)").as("cq"))
+
+  /** Per-label outlier audit — the vectors FARTHEST from their own
+    * label's centroid: for every labeled vector, the signed squared
+    * cosine (ppm, the [[labelCentroidSimilarity]] measure — monotone
+    * in cosine, no square root, exact integer) against the label's
+    * mean-quantized centroid, keeping the bottom `k` per label with a
+    * 1-based rank (1 = farthest). The per-vector counterpart of the
+    * prototype matrix: a vector anti-aligned with its own class mean
+    * is the mislabel/contamination candidate a curation pass reviews
+    * first.
+    *
+    * Scale shape: the quantized explode joins the BROADCAST centroid
+    * frame (labels × dim rows) on (label, idx) — the corpus-scale
+    * stream never shuffles for the join — then ONE vec_id-keyed
+    * aggregate forms dot and self-norm, and the bottom-k window runs
+    * per label with the rank filter rewriting to a partial
+    * WindowGroupLimit below its exchange (the x56/x66 shape): each
+    * map task forwards at most k candidates per label. */
+  def centroidOutliers(emb: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k $k must be positive")
+    val cent = labelCentroids(emb)
+    val q = emb.filter(col("label").isNotNull)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("idx", "v")))
+      .select(col("vec_id"), col("label"), col("idx"),
+        floor(col("v").cast("double") * lit(1000000.0)).as("q"))
+    val scored = q.join(broadcast(cent), Seq("label", "idx"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        sum(col("q").cast("decimal(38,0)") * col("cq")).as("dot"),
+        sum(col("q").cast("decimal(38,0)") * col("q")).as("nv"))
+      .join(broadcast(cent.groupBy(col("label"))
+        .agg(sum(col("cq").cast("decimal(38,0)") * col("cq")).as("nc"))),
+        Seq("label"))
+      // a zero vector (or a degenerate all-zero centroid) has no
+      // direction to compare — excluded by the same contract as every
+      // cosine path in this module
+      .filter(col("nv") > 0 && col("nc") > 0)
+      .select(col("label"), col("vec_id"),
+        expr("""(CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+                ((CAST(1000000 AS DECIMAL(38,0)) * dot * dot) DIV (nv * nc))""")
+          .as("cos2_ppm"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos2_ppm").asc, col("vec_id").asc)
+    // "rank_in_label", not "rank": the bare word collides with the
+    // rank() window function in the oracle's QUALIFY clause
+    scored.withColumn("rank_in_label", row_number().over(w))
+      .filter(col("rank_in_label") <= k)
   }
 }

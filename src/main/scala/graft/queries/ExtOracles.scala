@@ -478,6 +478,73 @@ object ExtOracles {
         |JOIN nrm na ON dots.label_a = na.label
         |JOIN nrm nb ON dots.label_b = nb.label""".stripMargin,
 
+    // Conversion lags: rank selection over the naive per-stage
+    // ordering — the decomposed-histogram cross-proof (the x30
+    // convention); row_number ties on equal lag_s are harmless, only
+    // the lag value at the target rank is output.
+    "x92_conversion_lag" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |firsts AS (
+        |  SELECT user_id, event_type, min(us) AS fus FROM e GROUP BY 1, 2),
+        |lags AS (
+        |  SELECT 'view->click' AS stage, (b.fus - a.fus) // 1000000 AS lag_s
+        |  FROM firsts a JOIN firsts b USING (user_id)
+        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |    AND b.fus >= a.fus
+        |  UNION ALL
+        |  SELECT 'click->purchase', (b.fus - a.fus) // 1000000
+        |  FROM firsts a JOIN firsts b USING (user_id)
+        |  WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |    AND b.fus >= a.fus),
+        |ranked AS (
+        |  SELECT stage, lag_s,
+        |         row_number() OVER (PARTITION BY stage ORDER BY lag_s) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY stage) AS BIGINT) AS n
+        |  FROM lags)
+        |SELECT stage, p, n AS n_users, lag_s AS lag_s_at_p
+        |FROM ranked CROSS JOIN (VALUES (50), (90)) ps(p)
+        |WHERE rn = (p * n + 99) // 100""".stripMargin,
+
+    // Centroid outliers: the x91 centroid construction + per-vector
+    // signed squared cosine to the OWN label's centroid, bottom-5 per
+    // label; rank_in_label (not "rank" — that word is the window
+    // function in QUALIFY).
+    "x93_centroid_outliers" ->
+      """WITH q0 AS (
+        |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS i,
+        |         unnest(embedding) AS v
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |q AS (
+        |  SELECT vec_id, label, i,
+        |         CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+        |  FROM q0),
+        |cent AS (
+        |  SELECT label, i, CAST(sum(qv) // count(*) AS BIGINT) AS cq
+        |  FROM q GROUP BY 1, 2),
+        |ncn AS (
+        |  SELECT label, sum(CAST(cq AS HUGEINT) * cq) AS nc
+        |  FROM cent GROUP BY 1),
+        |scored AS (
+        |  SELECT q.label, q.vec_id,
+        |         sum(CAST(q.qv AS HUGEINT) * cent.cq) AS dot,
+        |         sum(CAST(q.qv AS HUGEINT) * q.qv) AS nv
+        |  FROM q JOIN cent ON q.label = cent.label AND q.i = cent.i
+        |  GROUP BY 1, 2),
+        |ppm AS (
+        |  SELECT s.label, s.vec_id,
+        |         CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+        |              ((1000000 * dot * dot) // (nv * ncn.nc)) AS BIGINT)
+        |           AS cos2_ppm
+        |  FROM scored s JOIN ncn ON s.label = ncn.label
+        |  WHERE nv > 0 AND ncn.nc > 0)
+        |SELECT label, vec_id, cos2_ppm,
+        |       row_number() OVER (PARTITION BY label
+        |                          ORDER BY cos2_ppm, vec_id) AS rank_in_label
+        |FROM ppm QUALIFY rank_in_label <= 5""".stripMargin,
+
     // SCD2 change compression: the change flag seeds on rn=1 (NOT
     // "prev IS NULL" — a NULL attr run mid-stream would re-flag) and
     // compares IS DISTINCT FROM, mirroring Spark's <=> exactly; the

@@ -588,6 +588,17 @@ object ExtQueries {
     // the near-zero spread all come out of the integer pipeline.
     "x91_label_centroids" -> ((s, d) =>
       Similarity.labelCentroidSimilarity(emb(s, d))),
+    // Conversion-lag percentiles: first-view→first-click and
+    // first-click→first-purchase lags over the month give wide,
+    // well-populated second-bucket histograms at every SF.
+    "x92_conversion_lag" -> ((s, d) =>
+      Sessions.conversionLagQuantiles(
+        events(s, d).select("user_id", "event_type", "ts"))),
+    // Centroid-outlier audit: the gaussian fixture's labels are
+    // near-random vs geometry, so per-label cosine-to-centroid spreads
+    // across both signs and the bottom-5 cut is non-vacuous.
+    "x93_centroid_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(emb(s, d))),
     // Semi-structured props profile: every 31st event's props loses
     // its closing brace — malformed rows parse to NULL (PERMISSIVE) on
     // the Spark side, json_valid gates the oracle; parse counts and

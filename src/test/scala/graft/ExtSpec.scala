@@ -2193,6 +2193,50 @@ class ExtSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("conversionLagQuantiles: rank selection, order gate, single-user stage") {
+    val e = Seq(
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-01 00:10:00"),     // 600 s
+      (1L, "purchase", "2024-01-01 00:30:00"),  // click→purchase 1200 s
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "click", "2024-01-01 00:05:00"),     // 300 s, no purchase
+      (3L, "click", "2024-01-01 00:00:00"),
+      (3L, "view", "2024-01-01 00:10:00"),      // click BEFORE view: excluded
+      (4L, "view", "2024-01-01 01:00:00"),
+      (4L, "click", "2024-01-01 01:00:00"))     // same microsecond: lag 0 counts
+      .toDF("user_id", "event_type", "ts_s")
+      .select($"user_id", $"event_type", to_timestamp($"ts_s").as("ts"))
+    val got = Sessions.conversionLagQuantiles(e).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // view→click lags sorted [0, 300, 600]: p50 rank ⌈1.5⌉=2 → 300,
+    // p90 rank ⌈2.7⌉=3 → 600; click→purchase has one user → 1200 both
+    assert(got == Map(
+      ("view->click", 50) -> ((3L, 300L)),
+      ("view->click", 90) -> ((3L, 600L)),
+      ("click->purchase", 50) -> ((1L, 1200L)),
+      ("click->purchase", 90) -> ((1L, 1200L))),
+      s"got $got")
+  }
+
+  test("centroidOutliers: anti-aligned ranks first, ties break on vec_id, zero vector excluded") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 0),
+      (4L, Seq(-1.0f, 0.0f), 0),  // anti-aligned with the (0.2, 0.2) mean
+      (5L, Seq(0.0f, 0.0f), 0))   // zero vector: no direction, excluded
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(e, k = 2).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getInt(3)))).toSeq.sortBy(_._2._2)
+    // centroid = (200000, 200000); v1/v2/v3 land at cos²·1e6 = 500000,
+    // v4 at −500000 (sign survives), v5 drops (nv = 0)
+    assert(got == Seq(
+      4L -> ((-500000L, 1)),
+      1L -> ((500000L, 2))),  // the 500000 tie breaks on min vec_id
+      s"got $got")
+  }
+
   test("rareTokenScrub: corpus-count threshold, <unk> rebuild, clean docs untouched") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
