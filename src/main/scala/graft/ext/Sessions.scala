@@ -265,12 +265,12 @@ object Sessions {
     * are a legal version of their own (`<=>` change comparison — a
     * NULL→'X' flip is a real transition, not a silent merge).
     *
-    * Scale shape: ONE shuffle on `key` serves the lag and running-sum
-    * windows (same partition+order); the run groupBy is then a prefix
-    * of that clustering with map-side partials. The closing lead
-    * window (valid_to = next run's start) re-exchanges only the
-    * COMPRESSED frame — key × runs, bounded by attribute churn, not
-    * the observation count. */
+    * Scale shape: ONE shuffle total (plan-pinned) — the `key` exchange
+    * serves the lag and running-sum windows (same partition+order),
+    * the run groupBy clusters on a superset of `key` so
+    * HashPartitioning(key) already satisfies it, and the closing lead
+    * window partitions on `key` again — the whole chain rides the
+    * first exchange. */
   def changeHistory(
       obs: DataFrame, key: String, timeUs: String, tieBreak: String,
       attr: String): DataFrame = {

@@ -2237,6 +2237,59 @@ class ExtSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("plan shapes: the session-8 operators keep their scale contracts") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ev = new graft.sources.ParquetSimSource(spark, sf)
+        .fetch(graft.sources.FetchRequest("EVENTS"))
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cust = spark.read.parquet(s"$sf/customer.parquet")
+      val upd = cust.limit(5).withColumn("seq", lit(1L))
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+        }.sum
+      def plan(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+
+      // SCD2: the whole lag → running-sum → groupBy → lead chain rides
+      // ONE key exchange (HashPartitioning(key) satisfies every stage)
+      val scd = Sessions.changeHistory(
+        orders, "o_custkey", "us", "o_orderkey", "o_orderpriority")
+      assert(shuffles(scd) == 1, s"SCD2 wants 1 exchange:\n${plan(scd).take(1500)}")
+
+      // CDC merge: the rank-1 filter must rewrite to a PARTIAL
+      // WindowGroupLimit (each map task forwards <=1 candidate per key)
+      val merged = graft.ext.Merge.latestWinsMerge(cust, upd, "c_custkey", "seq")
+      assert(plan(merged).contains("WindowGroupLimit") &&
+        plan(merged).contains("Partial"), plan(merged).take(1500))
+
+      // anomaly: the per-type moments come back as a BROADCAST join —
+      // the daily frame never shuffles again for it
+      val anom = graft.ext.Stats.dailyAnomaly(ev)
+      assert(shuffles(anom) == 2 && plan(anom).contains("BroadcastHashJoin"),
+        s"anomaly wants 2 exchanges + broadcast moments:\n${plan(anom).take(1500)}")
+
+      // centroid outliers: broadcast centroid join + partial
+      // WindowGroupLimit bottom-k
+      val outl = graft.ext.Similarity.centroidOutliers(emb)
+      assert(plan(outl).contains("BroadcastHashJoin") &&
+        plan(outl).contains("WindowGroupLimit") &&
+        plan(outl).contains("Partial"), plan(outl).take(1500))
+
+      // edit near-dup: the BucketCap window's blk exchange is REUSED by
+      // the self-join — one corpus shuffle total
+      val edit = graft.ext.Dedup.editNeardup(
+        spark.read.parquet(s"$sf/documents.parquet"))
+      assert(shuffles(edit) == 1,
+        s"editNeardup wants 1 exchange:\n${plan(edit).take(1500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("rareTokenScrub: corpus-count threshold, <unk> rebuild, clean docs untouched") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
