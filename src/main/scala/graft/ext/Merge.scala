@@ -42,4 +42,39 @@ object Merge {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Point-in-time dimension lookup against an SCD2 history (the
+    * [[Sessions.changeHistory]] output shape: `key`, attr columns,
+    * `valid_from_us`, `valid_to_us` NULL-open) — the "what did this
+    * dimension say WHEN the fact happened" join every warehouse
+    * backfill needs (a latest-version join silently rewrites history;
+    * this one reproduces it). A fact row matches the version whose
+    * half-open validity interval `[valid_from_us, valid_to_us)`
+    * contains `factTimeUs`; versions partition each key's timeline, so
+    * AT MOST ONE version matches — the join can never duplicate a
+    * fact. Facts BEFORE the key's first version (or with no dimension
+    * key at all) survive the left join with NULL attrs: "unknown at
+    * the time" is the honest answer, not the current value.
+    *
+    * Scale shape: ONE equi-join on `key` (SortMergeJoin with the range
+    * test as a residual condition — never a theta-join); the dimension
+    * side is bounded by attribute CHURN (key × versions), typically
+    * orders of magnitude below the fact stream. Per-fact fan-in during
+    * the merge is the key's version count, already grouped by the
+    * key-sorted join. */
+  def pitLookup(
+      facts: DataFrame, dim: DataFrame, key: String,
+      factTimeUs: String): DataFrame = {
+    val f = facts.alias("f")
+    val d = dim.alias("d")
+    val dimCols = dim.columns.filterNot(c => c == key || c == factTimeUs)
+    f.join(d,
+        col(s"f.$key") === col(s"d.$key") &&
+          col(s"f.$factTimeUs") >= col("d.valid_from_us") &&
+          (col("d.valid_to_us").isNull ||
+            col(s"f.$factTimeUs") < col("d.valid_to_us")),
+        "left")
+      .select(facts.columns.map(c => col(s"f.$c")) ++
+        dimCols.map(c => col(s"d.$c")): _*)
+  }
 }

@@ -415,4 +415,52 @@ object Sessions {
       .select(col("cohort_day"), col("day_offset"), col("n_active"),
         col("cohort_size"))
   }
+
+  /** Entry-path mining: the top-of-session behavior report — per
+    * session (the [[sessionize]] 30-minute-gap definition, same
+    * labeling plan), the ordered sequence of the session's FIRST
+    * `prefixLen` event types joined with '>' (`view>click>view…`),
+    * counted across sessions. The prefix cap is what keeps the path
+    * domain enumerable (paths over full 40-event sessions are
+    * near-unique — a count over them is a row-id in disguise); entry
+    * paths are the form product analytics actually reports.
+    *
+    * Ordering inside a session is (us, event_id) — the sessionize
+    * total order — realized as `array_sort` over collected
+    * (us, event_id, event_type) structs (struct compare is
+    * lexicographic by field position, so the sort IS the tiebroken
+    * event order; the same collect-then-sort construction the x64
+    * cross-proof established against DuckDB's ordered `string_agg`).
+    *
+    * Scale shape: ONE shuffle on `user_id` serves the lag window, the
+    * running-sum window AND the per-session collect (a prefix of the
+    * same clustering, map-side partials); per-session state is
+    * bounded by session length. The closing path groupBy is map-side
+    * combinable down to path cardinality — bounded by
+    * |event types|^prefixLen, not by sessions. */
+  def sessionPaths(
+      events: DataFrame, gapMinutes: Int = 30, prefixLen: Int = 5): DataFrame = {
+    require(prefixLen > 0, s"prefixLen $prefixLen must be positive")
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val labeled = events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("is_new",
+        (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
+          .cast("long"))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    labeled.groupBy(col("user_id"), col("session_idx"))
+      .agg(collect_list(
+        struct(col("us"), col("event_id"), col("event_type"))).as("evs"))
+      .select(concat_ws(">",
+        slice(transform(array_sort(col("evs")),
+          e => e.getField("event_type")), 1, prefixLen)).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
 }

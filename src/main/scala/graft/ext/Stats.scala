@@ -461,4 +461,134 @@ object Stats {
       .unionByName(stage("4_quality_passed",
         TextStats.withQuality(survivors).filter(col("quality_score") >= 1.0)))
   }
+
+  /** Join-key skew diagnostic — the report an operator team reads
+    * BEFORE choosing a shuffle strategy ([[SkewJoin]] salting, AQE
+    * skew thresholds, broadcast cut-offs): per candidate key column,
+    * the `topK` heaviest keys with their counts plus the global frame
+    * stats (total rows, distinct keys, mean count ×100 and the key's
+    * skew factor ×100 — both exact integer, the ×100 fixed-point
+    * convention). `skew_x100 = cnt·n_keys·100 div n_rows` is the
+    * "how many times the average is this key" number whose product
+    * can exceed BIGINT at corpus scale, so it runs in DECIMAL(38,0)
+    * (↔ DuckDB HUGEINT, the x87 convention) and casts back after the
+    * division.
+    *
+    * Scale shape: the per-key count is ONE map-side-combinable
+    * groupBy (output bounded by key cardinality, not rows); the
+    * global stats are a second tiny aggregate broadcast back; top-k
+    * is `TakeOrderedAndProject` (each map task forwards its own top
+    * `topK`, the driver merges `topK·tasks` rows — never a global
+    * sort); the closing rank window runs over ≤ `topK` rows. NULL
+    * keys are excluded up front — a NULL never participates in an
+    * equi-join, so it cannot skew one. Tiebreak (cnt DESC, key ASC)
+    * totally orders the pick, so the report is engine-deterministic. */
+  def keySkew(df: DataFrame, key: String, topK: Int = 5): DataFrame = {
+    require(topK > 0, s"topK $topK must be positive")
+    val counts = df.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("key_cnt"))
+    val stats = counts.agg(
+      sum(col("key_cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(col("key_cnt").desc, col(key).asc).limit(topK)
+      .crossJoin(broadcast(stats))
+      // "key_rank", not "rank" — the x93 lesson: DuckDB treats a bare
+      // `rank` in QUALIFY as the window function, not the alias
+      .withColumn("key_rank",
+        row_number().over(Window.orderBy(col("key_cnt").desc, col(key).asc))
+          .cast("long"))
+      .withColumn("avg_cnt_x100", expr("n_rows * 100 DIV n_keys"))
+      .withColumn("skew_x100", expr(
+        "CAST(CAST(key_cnt AS DECIMAL(38,0)) * n_keys * 100 DIV n_rows AS BIGINT)"))
+      .select(col("key_rank"), col(key), col("key_cnt"), col("n_rows"),
+        col("n_keys"), col("avg_cnt_x100"), col("skew_x100"))
+  }
+
+  /** Exact GLOBAL ntile via the decomposed-histogram rank (the X82
+    * per-partition form without the partition key): value histogram →
+    * exclusive prefix over the tiny histogram → per-value row_number
+    * windows parallel across values → closed-form band arithmetic.
+    * Ordering is (`value` DESC|ASC, `id` ASC) — `id` completes the
+    * total order so band assignment is engine-deterministic. The
+    * histogram prefix-sum runs in ONE task over |distinct values|
+    * rows (the X42 caveat: a near-unique value column bounds that
+    * task by key cardinality, not corpus rows — acceptable for the
+    * audited report, not the routine path). */
+  private def globalNtile(
+      df: DataFrame, value: String, descOrder: Boolean, id: String,
+      bands: Int, out: String): DataFrame = {
+    val ord = if (descOrder) col(value).desc else col(value).asc
+    val counts = df.groupBy(col(value)).agg(count(lit(1)).as("value_cnt"))
+    val tot = counts.agg(sum(col("value_cnt")).as("n_tot"))
+    val hist = counts
+      .withColumn("prefix_cnt",
+        coalesce(sum(col("value_cnt")).over(
+          Window.orderBy(ord)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col(value), col("n_tot"), col("prefix_cnt"))
+    val withinValue = Window.partitionBy(col(value)).orderBy(col(id).asc)
+    df.join(hist, Seq(value))
+      .withColumn("rnk", col("prefix_cnt") + row_number().over(withinValue))
+      .withColumn("q", expr(s"n_tot div $bands"))
+      .withColumn("r", col("n_tot") % bands)
+      .withColumn(out,
+        when(col("rnk") <= col("r") * (col("q") + 1),
+          expr("(rnk - 1) div (q + 1) + 1"))
+          .otherwise(expr("r + (rnk - r * (q + 1) - 1) div q + 1")))
+      .drop("n_tot", "prefix_cnt", "rnk", "q", "r")
+  }
+
+  /** RFM segmentation over an order stream — the classic customer-
+    * value report (Recency / Frequency / Monetary quintiles): per
+    * customer, days since last order relative to the corpus max day
+    * (integer epoch-day arithmetic), order count, and lifetime spend
+    * in exact integer cents (`floor(price·100 + 0.5)` — the SAME
+    * IEEE-double expression on both engines, so the half-cent
+    * boundary cannot flake the way a round-mode difference would).
+    * Each dimension scores 1..`bands` with `bands` = best (most
+    * recent / most frequent / highest spend): recency ranks DESC so
+    * the smallest day-gap lands in the top band, frequency and
+    * monetary rank ASC. `segment` is the concatenated "555"-style
+    * label curation rules key on.
+    *
+    * Bands come from the decomposed-histogram [[globalNtile]] —
+    * exact-integer closed-form ntile, cross-proved against the DuckDB
+    * NATIVE ntile over the identical (value, c_custkey) total order:
+    * two independent constructions must agree rank-for-rank.
+    *
+    * Scale shape: the per-customer fold is ONE map-side-combinable
+    * groupBy on `o_custkey`; the corpus max-day is a one-row
+    * broadcast; each score pass joins the customer frame to its own
+    * value histogram (AQE broadcasts the measured-small side) and
+    * runs its row_number parallel across values. Monetary cents are
+    * near-unique per customer, so its histogram prefix task is
+    * customer-bounded — the documented [[globalNtile]] caveat. */
+  def rfmSegments(orders: DataFrame, bands: Int = 5): DataFrame = {
+    require(bands >= 1, s"band count $bands must be positive")
+    val o = orders.filter(col("o_orderdate").isNotNull).select(
+      col("o_custkey"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+        .as("day"),
+      expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    val maxDay = o.agg(max(col("day")).as("max_day"))
+    val rfm = o.groupBy(col("o_custkey"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", col("max_day") - col("last_day"))
+      .withColumnRenamed("o_custkey", "c_custkey")
+      .select(col("c_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"))
+    val scored = globalNtile(
+      globalNtile(
+        globalNtile(rfm, "recency_days", descOrder = true, "c_custkey",
+          bands, "r_score"),
+        "frequency", descOrder = false, "c_custkey", bands, "f_score"),
+      "monetary_cents", descOrder = false, "c_custkey", bands, "m_score")
+    scored.select(col("c_custkey"), col("recency_days"), col("frequency"),
+      col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+      concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+  }
 }

@@ -831,4 +831,38 @@ object TextStats {
             .otherwise(lit("tail"))
         else concat(lit("b"), col("bucket"))).as("band"))
   }
+
+  /** Integer readability scoring — a Flesch-Kincaid-grade proxy in
+    * milli-units, the curation knob next to the X45 Gopher rules
+    * ("keep grade 4–12 text" is a standard web-corpus filter). All
+    * three inputs are deterministic textual counts:
+    * sentences = runs of terminal punctuation `[.!?]+` (floored at 1 —
+    * a fragment with no terminator is one sentence, not a division by
+    * zero); words = the x9 whitespace-token convention; syllables =
+    * vowel-GROUP count (`[aeiouy]+` runs over the lowercased text) —
+    * the classic cheap syllable proxy (a vowel-less token contributes
+    * 0; true FK floors per-word syllables at 1 — documented drift,
+    * constant across engines). The grade is the FK linear form scaled
+    * ×1000 with per-term floor division:
+    * `390·W div S + 11800·Syl div W − 15590` — exact integer, so both
+    * engines agree bit-for-bit (all terms non-negative before the
+    * subtraction; truncation == floor).
+    *
+    * Scale shape: pure per-row expressions riding the corpus scan —
+    * ZERO shuffles, fully inside whole-stage codegen (regexp_count /
+    * regexp_extract_all are codegen'd). NULL text reads as '' (the
+    * x9 convention: definite row, degenerate counts). */
+  def readability(docs: DataFrame): DataFrame = {
+    val text = lower(coalesce(col("text"), lit("")))
+    docs
+      .withColumn("n_sentences",
+        greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("long"))
+      .withColumn("n_words", size(split(text, " ")).cast("long"))
+      .withColumn("n_syllables",
+        size(regexp_extract_all(text, lit("[aeiouy]+"), lit(0))).cast("long"))
+      .withColumn("fk_milli", expr(
+        "390 * n_words DIV n_sentences + 11800 * n_syllables DIV n_words - 15590"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"),
+        col("n_syllables"), col("fk_milli"))
+  }
 }

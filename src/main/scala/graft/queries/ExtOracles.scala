@@ -545,6 +545,114 @@ object ExtOracles {
         |                          ORDER BY cos2_ppm, vec_id) AS rank_in_label
         |FROM ppm QUALIFY rank_in_label <= 5""".stripMargin,
 
+    // RFM quintiles: DuckDB's NATIVE ntile over the identical
+    // (value, c_custkey) total order cross-proves the decomposed-
+    // histogram closed form band-for-band. Cents = floor(p*100+0.5)
+    // — the same IEEE-double expression Spark runs; sum(BIGINT) is
+    // HUGEINT in DuckDB → cast back.
+    "x94_rfm_segments" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+        |           AS day,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderdate IS NOT NULL),
+        |mx AS (SELECT max(day) AS max_day FROM o),
+        |rfm AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         (SELECT max_day FROM mx) - max(day) AS recency_days,
+        |         CAST(count(*) AS BIGINT) AS frequency,
+        |         CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |  FROM o GROUP BY 1),
+        |s AS (
+        |  SELECT c_custkey, recency_days, frequency, monetary_cents,
+        |         CAST(ntile(5) OVER (ORDER BY recency_days DESC, c_custkey)
+        |              AS BIGINT) AS r_score,
+        |         CAST(ntile(5) OVER (ORDER BY frequency, c_custkey)
+        |              AS BIGINT) AS f_score,
+        |         CAST(ntile(5) OVER (ORDER BY monetary_cents, c_custkey)
+        |              AS BIGINT) AS m_score
+        |  FROM rfm)
+        |SELECT c_custkey, recency_days, frequency, monetary_cents,
+        |       r_score, f_score, m_score,
+        |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |         CAST(m_score AS VARCHAR) AS segment
+        |FROM s""".stripMargin,
+
+    // Entry-path mining: the x29 gaps-and-islands session labeling +
+    // ordered string_agg over the first 5 events — the positional
+    // construction vs Spark's collect+array_sort (the x64 pair).
+    "x95_session_paths" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |l AS (
+        |  SELECT *, lag(us) OVER (PARTITION BY user_id
+        |                          ORDER BY us, event_id) AS prev_us
+        |  FROM e),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN prev_us IS NULL
+        |                       OR us - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM l),
+        |r AS (
+        |  SELECT user_id, session_idx, event_type,
+        |         row_number() OVER (PARTITION BY user_id, session_idx
+        |                            ORDER BY us, event_id) AS rn
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, session_idx,
+        |         string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // Integer readability: identical count definitions (punctuation
+    // runs / whitespace tokens / vowel runs) and the same per-term
+    // floor-division FK form; all counts cast to BIGINT on both
+    // sides.
+    "x96_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         greatest(CAST(len(regexp_extract_all(
+        |           lower(coalesce(text, '')), '[.!?]+')) AS BIGINT), 1)
+        |           AS n_sentences,
+        |         CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |           AS n_words,
+        |         CAST(len(regexp_extract_all(
+        |           lower(coalesce(text, '')), '[aeiouy]+')) AS BIGINT)
+        |           AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_sentences, n_words, n_syllables,
+        |       390 * n_words // n_sentences
+        |         + 11800 * n_syllables // n_words - 15590 AS fk_milli
+        |FROM c""".stripMargin,
+
+    // Key-skew diagnostic: exact fixed-point arithmetic with the
+    // HUGEINT ↔ DECIMAL(38,0) product (the x87 convention);
+    // "key_rank", never "rank" (the QUALIFY word).
+    "x97_key_skew" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS key_cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(sum(key_cnt) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_keys
+        |  FROM c),
+        |t AS (
+        |  SELECT user_id, key_cnt,
+        |         CAST(row_number() OVER (ORDER BY key_cnt DESC, user_id)
+        |              AS BIGINT) AS key_rank
+        |  FROM c QUALIFY key_rank <= 5)
+        |SELECT t.key_rank, t.user_id, t.key_cnt, g.n_rows, g.n_keys,
+        |       g.n_rows * 100 // g.n_keys AS avg_cnt_x100,
+        |       CAST(CAST(t.key_cnt AS HUGEINT) * g.n_keys * 100 // g.n_rows
+        |            AS BIGINT) AS skew_x100
+        |FROM t CROSS JOIN g""".stripMargin,
+
     // SCD2 change compression: the change flag seeds on rn=1 (NOT
     // "prev IS NULL" — a NULL attr run mid-stream would re-flag) and
     // compares IS DISTINCT FROM, mirroring Spark's <=> exactly; the

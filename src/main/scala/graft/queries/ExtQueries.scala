@@ -599,6 +599,27 @@ object ExtQueries {
     // across both signs and the bottom-5 cut is non-vacuous.
     "x93_centroid_outliers" -> ((s, d) =>
       Similarity.centroidOutliers(emb(s, d))),
+    // RFM quintiles over the full order history: decomposed-histogram
+    // ntile on the Spark side vs DuckDB's NATIVE ntile over the same
+    // (value, c_custkey) total order — band-for-band cross-proof.
+    "x94_rfm_segments" -> ((s, d) =>
+      Stats.rfmSegments(s.read.parquet(s"$d/orders.parquet"))),
+    // Entry-path mining: first-5-event-type session paths under the
+    // x29 session definition; collect+array_sort vs ordered
+    // string_agg is the x64 cross-proof pair.
+    "x95_session_paths" -> ((s, d) =>
+      Sessions.sessionPaths(
+        events(s, d).select("event_id", "user_id", "event_type", "ts"))),
+    // Integer readability: the fixture has no terminal punctuation so
+    // every doc floors at one sentence (punctuation semantics are
+    // spec-pinned on hand-made frames); words and vowel-run syllables
+    // vary per doc, so the FK arithmetic is exercised corpus-wide.
+    "x96_readability" -> ((s, d) => TextStats.readability(docs(s, d))),
+    // Join-key skew diagnostic over the events stream's natural join
+    // key: top-5 heaviest users + exact fixed-point skew factors.
+    "x97_key_skew" -> ((s, d) =>
+      Stats.keySkew(
+        events(s, d).select("user_id", "event_id"), "user_id")),
     // Semi-structured props profile: every 31st event's props loses
     // its closing brace — malformed rows parse to NULL (PERMISSIVE) on
     // the Spark side, json_valid gates the oracle; parse counts and

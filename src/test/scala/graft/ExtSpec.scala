@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bloom, Dedup, Multimodal, Sessions, Similarity, TextStats}
+import graft.ext.{Bloom, Dedup, Multimodal, Sessions, Similarity, Stats, TextStats}
 
 /** Behavior tests for the LLM-pipeline operators (graft.ext.*) on
   * constructed data — the oracle gate checks fixture equivalence; these
@@ -2287,6 +2287,23 @@ class ExtSpec extends SparkSpec {
         spark.read.parquet(s"$sf/documents.parquet"))
       assert(shuffles(edit) == 1,
         s"editNeardup wants 1 exchange:\n${plan(edit).take(1500)}")
+
+      // session paths: lag window, running-sum window AND the
+      // per-session collect all ride ONE user_id exchange; only the
+      // closing path groupBy re-shuffles (its map-side partial folds
+      // to path cardinality first)
+      val paths = Sessions.sessionPaths(
+        ev.select("event_id", "user_id", "event_type", "ts"))
+      assert(shuffles(paths) == 2,
+        s"sessionPaths wants 2 exchanges (user_id + tiny path agg):\n${
+          plan(paths).take(1500)}")
+
+      // readability: pure per-row regexp projection — ZERO exchanges,
+      // the whole query inside one codegen'd scan
+      val read = TextStats.readability(
+        spark.read.parquet(s"$sf/documents.parquet"))
+      assert(shuffles(read) == 0,
+        s"readability wants 0 exchanges:\n${plan(read).take(1500)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
@@ -2590,5 +2607,101 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(flagged(1L) == ((1L, true)), s"near-copy not flagged: $flagged")
     assert(flagged(2L) == ((0L, false)), s"unrelated doc flagged: $flagged")
+  }
+
+  test("rfmSegments: hand-worked bands incl. the uneven n%b split; exact cents") {
+    import spark.implicits._
+    // 5 customers, bands = 2 → n = 5, q = 2, r = 1: first band takes 3.
+    // days: c1 {1,10}, c2 {10}, c3 {2,3,4}, c4 {1}, c5 {5}; max day 10.
+    val rows = Seq(
+      (1L, "1970-01-02", 10.0), (1L, "1970-01-11", 20.0),
+      (2L, "1970-01-11", 5.01),
+      (3L, "1970-01-03", 1.0), (3L, "1970-01-04", 1.0), (3L, "1970-01-05", 1.0),
+      (4L, "1970-01-02", 100.0),
+      (5L, "1970-01-06", 2.0))
+    val orders = rows.toDF("o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp($"d")).drop("d")
+    val got = Stats.rfmSegments(orders, bands = 2).collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        ((r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+          r.getAs[Long]("monetary_cents"), r.getAs[String]("segment")))).toMap
+    val c2cents = math.floor(5.01 * 100.0 + 0.5).toLong // same IEEE expr
+    assert(got == Map(
+      1L -> ((0L, 2L, 3000L, "222")),
+      2L -> ((0L, 1L, c2cents, "211")),
+      3L -> ((6L, 3L, 300L, "121")),
+      4L -> ((9L, 1L, 10000L, "112")),
+      5L -> ((5L, 1L, 200L, "111"))), s"got $got")
+  }
+
+  test("sessionPaths: gap split, prefix cap, same-us tiebreak, NULL ts dropped") {
+    import spark.implicits._
+    val t0 = 1700000000000000L // us
+    val min = 60L * 1000000L
+    val rows = Seq(
+      // user 1: 30-min-gap split into [view>click] and [purchase]
+      (1L, 1L, "view", t0), (2L, 1L, "click", t0 + 10 * min),
+      (3L, 1L, "purchase", t0 + 50 * min),
+      // user 2: six 1-min-spaced events, prefix caps at 5
+      (11L, 2L, "a", t0), (12L, 2L, "b", t0 + min), (13L, 2L, "c", t0 + 2 * min),
+      (14L, 2L, "d", t0 + 3 * min), (15L, 2L, "e", t0 + 4 * min),
+      (16L, 2L, "f", t0 + 5 * min),
+      // user 3: same microsecond — event_id orders the path
+      (31L, 3L, "x", t0), (32L, 3L, "y", t0))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+      .unionByName(Seq((99L, 9L, "view"))
+        .toDF("event_id", "user_id", "event_type")
+        .withColumn("ts", lit(null).cast("timestamp")))
+    val got = Sessions.sessionPaths(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "view>click" -> 1L, "purchase" -> 1L,
+      "a>b>c>d>e" -> 1L, "x>y" -> 1L), s"got $got")
+  }
+
+  test("readability: punctuation runs, vowel-run syllables, NULL/vowel-less floors") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hello world. it works! ok"), // S=2 W=5 Syl=6
+      (2L, null.asInstanceOf[String]),   // '' → S=1 W=1 Syl=0
+      (3L, "zzz zzz"),                   // vowel-less: S=1 W=2 Syl=0
+      (4L, "wait... what?! yes")         // runs collapse: S=2 W=3 Syl=3
+    ).toDF("doc_id", "text")
+    val got = TextStats.readability(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 5L, 6L, 390L * 5 / 2 + 11800L * 6 / 5 - 15590)),
+      2L -> ((1L, 1L, 0L, 390L - 15590)),
+      3L -> ((1L, 2L, 0L, 780L - 15590)),
+      4L -> ((2L, 3L, 3L, 390L * 3 / 2 + 11800L - 15590))), s"got $got")
+  }
+
+  test("keySkew: exact fixed-point stats, tie ranks on key, NULL keys out, topK cut") {
+    import spark.implicits._
+    // u1×6, u2×3, u3×1, u4×1, NULL×2 → n_rows=11, n_keys=4
+    val rows = (Seq.fill(6)(Some(1L)) ++ Seq.fill(3)(Some(2L)) ++
+      Seq(Some(3L), Some(4L), None, None)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }
+    val df = rows.toDF("user_id", "event_id")
+    val got = Stats.keySkew(df, "user_id").collect()
+      .map(r => r.getAs[Long]("key_rank") ->
+        ((r.getAs[Long]("user_id"), r.getAs[Long]("key_cnt"),
+          r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+          r.getAs[Long]("avg_cnt_x100"), r.getAs[Long]("skew_x100")))).toMap
+    assert(got == Map(
+      1L -> ((1L, 6L, 11L, 4L, 275L, 6L * 4 * 100 / 11)),
+      2L -> ((2L, 3L, 11L, 4L, 275L, 3L * 4 * 100 / 11)),
+      3L -> ((3L, 1L, 11L, 4L, 275L, 400L / 11)),
+      4L -> ((4L, 1L, 11L, 4L, 275L, 400L / 11))), s"got $got")
+    // topK cuts deterministically on (cnt DESC, key ASC)
+    val top = Stats.keySkew(df, "user_id", topK = 3).collect()
+      .map(_.getAs[Long]("user_id")).toSet
+    assert(top == Set(1L, 2L, 3L), s"topK cut picked $top")
+    // scale contract: top-k plans as TakeOrderedAndProject, never a
+    // global sort of the key-count frame
+    val plan = Stats.keySkew(df, "user_id").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 }
