@@ -631,6 +631,108 @@ object ExtOracles {
         |         + 11800 * n_syllables // n_words - 15590 AS fk_milli
         |FROM c""".stripMargin,
 
+    // Point-in-time SCD2 lookup: the x85 history chain re-derived,
+    // then a LEFT JOIN on key + half-open validity containment; the
+    // %7 facts shift 20 years before any version → NULL dim columns.
+    "x98_pit_enrich" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority,
+        |         epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us
+        |  FROM orders),
+        |lagged AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority, us,
+        |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |                                    ORDER BY us, o_orderkey) AS prev_p,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY us, o_orderkey) AS rn
+        |  FROM o),
+        |versioned AS (
+        |  SELECT o_custkey, o_orderpriority, us,
+        |         CAST(sum(CASE WHEN rn = 1
+        |                         OR prev_p IS DISTINCT FROM o_orderpriority
+        |                       THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY o_custkey ORDER BY us, o_orderkey
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS version_idx
+        |  FROM lagged),
+        |runs AS (
+        |  SELECT o_custkey, version_idx,
+        |         min(o_orderpriority) AS o_orderpriority,
+        |         min(us) AS valid_from_us
+        |  FROM versioned GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT o_custkey, o_orderpriority, valid_from_us,
+        |         lead(valid_from_us) OVER (PARTITION BY o_custkey
+        |                                   ORDER BY version_idx) AS valid_to_us
+        |  FROM runs),
+        |facts AS (
+        |  SELECT o_orderkey AS fact_id, o_custkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN us - 631152000000000
+        |              ELSE us END AS fact_us
+        |  FROM o)
+        |SELECT f.fact_id, f.o_custkey, f.fact_us,
+        |       h.o_orderpriority, h.valid_from_us
+        |FROM facts f LEFT JOIN hist h
+        |  ON f.o_custkey = h.o_custkey
+        | AND f.fact_us >= h.valid_from_us
+        | AND (h.valid_to_us IS NULL OR f.fact_us < h.valid_to_us)""".stripMargin,
+
+    // Integer PageRank: the x18 pair derivation (AS MATERIALIZED —
+    // the x68 lesson: the edge frame is referenced by all five
+    // iteration CTEs and plain inlining re-expands the shingle
+    // self-join each time), then the exact recurrence replayed
+    // CTE-per-iteration. Per-edge `r // deg` BEFORE the sum, HUGEINT
+    // windowsums cast back — both sides identically lossy.
+    "x99_pagerank" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS MATERIALIZED (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS MATERIALIZED (
+         |    SELECT i.a_id, i.b_id
+         |    FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 7 * (sa.sz + sb.sz - i.i)),
+         |  e AS MATERIALIZED (
+         |    SELECT a_id AS src, b_id AS dst FROM pairs
+         |    UNION ALL
+         |    SELECT b_id, a_id FROM pairs),
+         |  deg AS MATERIALIZED (
+         |    SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |  r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |  r1 AS MATERIALIZED (
+         |    SELECT e.dst AS node,
+         |           CAST(150000 + 850 * sum(r.r // d.deg) // 1000 AS BIGINT) AS r
+         |    FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |    GROUP BY 1),
+         |  r2 AS MATERIALIZED (
+         |    SELECT e.dst AS node,
+         |           CAST(150000 + 850 * sum(r.r // d.deg) // 1000 AS BIGINT) AS r
+         |    FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |    GROUP BY 1),
+         |  r3 AS MATERIALIZED (
+         |    SELECT e.dst AS node,
+         |           CAST(150000 + 850 * sum(r.r // d.deg) // 1000 AS BIGINT) AS r
+         |    FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |    GROUP BY 1),
+         |  r4 AS MATERIALIZED (
+         |    SELECT e.dst AS node,
+         |           CAST(150000 + 850 * sum(r.r // d.deg) // 1000 AS BIGINT) AS r
+         |    FROM e JOIN r3 r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |    GROUP BY 1),
+         |  r5 AS (
+         |    SELECT e.dst AS node,
+         |           CAST(150000 + 850 * sum(r.r // d.deg) // 1000 AS BIGINT) AS r
+         |    FROM e JOIN r4 r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |    GROUP BY 1)
+         |SELECT r5.node, d.deg, r5.r AS rank_ppm
+         |FROM r5 JOIN deg d ON r5.node = d.src""".stripMargin,
+
     // Key-skew diagnostic: exact fixed-point arithmetic with the
     // HUGEINT ↔ DECIMAL(38,0) product (the x87 convention);
     // "key_rank", never "rank" (the QUALIFY word).

@@ -620,6 +620,30 @@ object ExtQueries {
     "x97_key_skew" -> ((s, d) =>
       Stats.keySkew(
         events(s, d).select("user_id", "event_id"), "user_id")),
+    // Point-in-time SCD2 lookup: orders enriched with the priority
+    // version valid AT each order's own time; %7 facts shift 20 years
+    // earlier — before any version, planting the NULL "unknown at the
+    // time" branch the left join must keep.
+    "x98_pit_enrich" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"))
+      val hist = Sessions.changeHistory(
+        o, "o_custkey", "us", "o_orderkey", "o_orderpriority")
+      val facts = o.select(col("o_orderkey").as("fact_id"), col("o_custkey"),
+        when(col("o_orderkey") % 7 === 0,
+          col("us") - lit(631152000000000L))
+          .otherwise(col("us")).as("fact_us"))
+      graft.ext.Merge.pitLookup(facts, hist, "o_custkey", "fact_us")
+        .select(col("fact_id"), col("o_custkey"), col("fact_us"),
+          col("o_orderpriority"), col("valid_from_us"))
+    }),
+    // Integer PageRank over the shared exact-Jaccard pair graph (the
+    // x18/x34 OnceCache set): hub copies inside duplication clusters.
+    // Fixed 5 iterations of an exact-integer recurrence, so the DuckDB
+    // oracle replays it CTE-for-CTE and hash-compares.
+    "x99_pagerank" -> ((s, d) =>
+      graft.ext.Graph.pagerank(ngramPairs(s, d).select("a_id", "b_id"))),
     // Semi-structured props profile: every 31st event's props loses
     // its closing brace — malformed rows parse to NULL (PERMISSIVE) on
     // the Spark side, json_valid gates the oracle; parse counts and

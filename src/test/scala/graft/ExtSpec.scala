@@ -2678,6 +2678,49 @@ class ExtSpec extends SparkSpec {
       4L -> ((2L, 3L, 3L, 390L * 3 / 2 + 11800L - 15590))), s"got $got")
   }
 
+  test("pitLookup: containment pick, boundary goes to the newer version, NULL branches") {
+    import spark.implicits._
+    // versions partition key 1's timeline at [10,20) "A", [20,∞) "B";
+    // key 2 has one open version from 5
+    val dim = Seq(
+      (1L, "A", 10L, Some(20L)), (1L, "B", 20L, None),
+      (2L, "C", 5L, None))
+      .toDF("k", "attr", "valid_from_us", "valid_to_us")
+      .withColumn("valid_to_us", col("valid_to_us").cast("long"))
+    val facts = Seq(
+      (101L, 1L, 15L),  // inside [10,20) → A
+      (102L, 1L, 20L),  // boundary: half-open → B, never both
+      (103L, 1L, 5L),   // before first version → NULL
+      (104L, 3L, 50L),  // unknown key → NULL
+      (105L, 2L, 5L))   // at its own valid_from → C
+      .toDF("fact_id", "k", "fact_us")
+    val got = graft.ext.Merge.pitLookup(facts, dim, "k", "fact_us")
+      .select("fact_id", "attr").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(
+      101L -> Some("A"), 102L -> Some("B"), 103L -> None,
+      104L -> None, 105L -> Some("C")), s"got $got")
+    // the join can never duplicate a fact
+    assert(graft.ext.Merge.pitLookup(facts, dim, "k", "fact_us").count() == 5)
+  }
+
+  test("pagerank: hand-worked path-graph recurrence; hub ranks highest") {
+    import spark.implicits._
+    // path 1–2–3: deg(2)=2; after two exact-integer iterations
+    // r(1)=r(3)=936250, r(2)=1127500 (worked in the comment margin:
+    // iter1 → 575000/1850000/575000; iter2 applies 850·s div 1000)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val got = graft.ext.Graph.pagerank(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 936250L)), 2L -> ((2L, 1127500L)), 3L -> ((1L, 936250L))),
+      s"got $got")
+    // symmetric graph ⇒ symmetric ranks at any depth; the hub wins
+    val deep = graft.ext.Graph.pagerank(edges, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(deep(1L) == deep(3L) && deep(2L) > deep(1L), s"got $deep")
+  }
+
   test("keySkew: exact fixed-point stats, tie ranks on key, NULL keys out, topK cut") {
     import spark.implicits._
     // u1×6, u2×3, u3×1, u4×1, NULL×2 → n_rows=11, n_keys=4
