@@ -463,4 +463,44 @@ object Sessions {
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"))
   }
+
+  /** Bot/headless-traffic flags — the per-user rate profile abuse
+    * filtering reads before events feed any analytics or training
+    * set: event count, active days, the busiest day's count, and the
+    * minimum inter-event gap in integer microseconds (NULL for a
+    * single-event user — no gap exists, and the flag treats an
+    * unknown gap as human). `is_bot` = busiest day above
+    * `maxDayEvents` OR a minimum gap under `minGapUs` — machine
+    * cadence shows up as one or both.
+    *
+    * Scale shape: everything rides ONE `user_id` exchange — the lag
+    * window, the (user, day) day-count groupBy (a prefix of the same
+    * clustering, map-side partials) and the closing per-user
+    * aggregates; per-user state is a sort run. The two legs join
+    * user-to-user on the already-established partitioning. */
+  def botFlags(
+      events: DataFrame, maxDayEvents: Int = 12,
+      minGapUs: Long = 1000000L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val base = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(byUser))
+      .withColumn("day", expr("us DIV 86400000000"))
+    val gaps = base.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("gap")).as("min_gap_us"))
+    val days = base.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("active_days"),
+        max(col("n_day")).as("max_day_events"))
+    gaps.join(days, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("active_days"),
+        col("max_day_events"), col("min_gap_us"),
+        (col("max_day_events") > maxDayEvents ||
+          (col("min_gap_us").isNotNull && col("min_gap_us") < minGapUs))
+          .as("is_bot"))
+  }
 }

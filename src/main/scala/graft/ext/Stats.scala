@@ -504,6 +504,33 @@ object Stats {
         col("n_keys"), col("avg_cnt_x100"), col("skew_x100"))
   }
 
+  /** Missing-day feed detection — the gap report [[dailyAnomaly]]
+    * cannot produce: a LOW day flags a σ-outlier, but a day with ZERO
+    * events never enters the histogram at all (a dead collector looks
+    * like silence, not an outlier). Per event type, the days between
+    * the type's first and last observed day with NO events: generate
+    * the calendar span, anti-join the observed set.
+    *
+    * Scale shape: the corpus collapses to (type, day) cardinality
+    * FIRST (one map-side-combinable groupBy bounded by calendar ×
+    * types); the span aggregate, the sequence explode (bounded by
+    * calendar days) and the anti-join all run over that tiny frame —
+    * the raw stream is touched exactly once. NULL timestamps are
+    * dropped (no day to attribute). */
+  def ingestGaps(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    span.select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left_anti")
+      .select(col("event_type"), col("day").as("missing_day"))
+  }
+
   /** Exact GLOBAL ntile via the decomposed-histogram rank (the X82
     * per-partition form without the partition key): value histogram →
     * exclusive prefix over the tiny histogram → per-value row_number

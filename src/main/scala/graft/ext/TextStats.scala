@@ -852,6 +852,48 @@ object TextStats {
     * ZERO shuffles, fully inside whole-stage codegen (regexp_count /
     * regexp_extract_all are codegen'd). NULL text reads as '' (the
     * x9 convention: definite row, degenerate counts). */
+  /** Collocation mining — corpus-level bigram LIFT in exact integer
+    * ppm: `lift = c₁₂·N div (c₁·c₂)` where all four counts come from
+    * THE SAME adjacent-bigram stream (N = total bigrams, c₁/c₂ =
+    * first-/second-position marginals — self-consistent, so both
+    * engines derive every term from one construction). Lift is the
+    * exp of PMI; keeping the ratio instead of the log keeps the
+    * output integer-exact (Church & Hanks 1990 report the log for
+    * readability, the RANKING is identical). High-lift pairs are the
+    * multi-word units a tokenizer/vocab pass should treat as one
+    * symbol; `minCount` cuts the unstable singleton tail.
+    *
+    * Scale shape: bigrams come from `arrays_zip` over two slices of
+    * the SAME split array — a per-row codegen'd projection, NOT a
+    * lambda-transform (the HOF pitfall: a subtree referenced inside a
+    * lambda re-evaluates per element). ONE corpus shuffle — the
+    * map-side-combinable (w1, w2) groupBy whose output is bounded by
+    * the observed-bigram vocabulary (Heaps-sublinear), with the
+    * marginals and total re-aggregated from THAT small frame, never
+    * from the stream. Cross-products run in DECIMAL(38,0) ↔ HUGEINT:
+    * c₁·c₂ alone exceeds BIGINT at corpus scale. */
+  def collocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount $minCount must be positive")
+    val toks = split(coalesce(col("text"), lit("")), " ")
+    val bi = docs
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("w1"),
+        slice(toks, lit(2), size(toks) - 1).as("w2"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val cnt = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+    val tot = cnt.agg(sum(col("pair_cnt")).as("n_total"))
+    val c1 = cnt.groupBy(col("w1")).agg(sum(col("pair_cnt")).as("c1"))
+    val c2 = cnt.groupBy(col("w2")).agg(sum(col("pair_cnt")).as("c2"))
+    cnt.filter(col("pair_cnt") >= minCount)
+      .join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("pair_cnt"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_total * pair_cnt" +
+          " DIV (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)").as("lift_ppm"))
+  }
+
   def readability(docs: DataFrame): DataFrame = {
     val text = lower(coalesce(col("text"), lit("")))
     docs

@@ -733,6 +733,90 @@ object ExtOracles {
          |SELECT r5.node, d.deg, r5.r AS rank_ppm
          |FROM r5 JOIN deg d ON r5.node = d.src""".stripMargin,
 
+    // Collocation lift: the struct-comprehension bigram idiom (x35);
+    // all four counts derive from ONE bigram CTE on both engines;
+    // HUGEINT cross-products (c1·c2 alone exceeds BIGINT at scale).
+    "x100_collocations" ->
+      """WITH sp AS (
+        |  SELECT string_split(coalesce(text, ''), ' ') AS s
+        |  FROM documents),
+        |bi AS (
+        |  SELECT unnest([{'w1': s[i], 'w2': s[i+1]}
+        |                 FOR i IN range(1, len(s))]) AS p
+        |  FROM sp),
+        |b AS (
+        |  SELECT p.w1 AS w1, p.w2 AS w2 FROM bi
+        |  WHERE p.w1 <> '' AND p.w2 <> ''),
+        |cnt AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_cnt
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(pair_cnt) AS BIGINT) AS n_total FROM cnt),
+        |c1 AS (SELECT w1, CAST(sum(pair_cnt) AS BIGINT) AS c1
+        |       FROM cnt GROUP BY 1),
+        |c2 AS (SELECT w2, CAST(sum(pair_cnt) AS BIGINT) AS c2
+        |       FROM cnt GROUP BY 1)
+        |SELECT cnt.w1, cnt.w2, cnt.pair_cnt,
+        |       CAST(CAST(1000000 AS HUGEINT) * tot.n_total * cnt.pair_cnt
+        |            // (CAST(c1.c1 AS HUGEINT) * c2.c2) AS BIGINT)
+        |         AS lift_ppm
+        |FROM cnt JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+        |WHERE cnt.pair_cnt >= 5""".stripMargin,
+
+    // Missing-day detection: generate each type's calendar span,
+    // anti-join the observed days; the click outage on days
+    // 19730/19740 is filtered out identically on both sides.
+    "x101_ingest_gaps" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |f AS (
+        |  SELECT * FROM e
+        |  WHERE NOT (event_type = 'click' AND day IN (19730, 19740))),
+        |daily AS (SELECT event_type, day FROM f GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |         FROM daily GROUP BY 1),
+        |expected AS (
+        |  SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM span)
+        |SELECT x.event_type, x.day AS missing_day
+        |FROM expected x LEFT JOIN daily o
+        |  ON x.event_type = o.event_type AND x.day = o.day
+        |WHERE o.day IS NULL""".stripMargin,
+
+    // Bot flags: the planted grid stream re-derived (make_timestamp
+    // takes epoch MICROSECONDS); one lag window + two per-user
+    // aggregates, thresholds inlined to match the Spark defaults.
+    "x102_bot_flags" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id, 9000000 + event_id // 2000,
+        |         make_timestamp(1704067200000000 + (event_id // 120) * 500000)
+        |  FROM events WHERE event_id % 120 = 0),
+        |e AS (SELECT user_id, event_id, epoch_us(t) AS us
+        |      FROM ev WHERE t IS NOT NULL),
+        |g AS (
+        |  SELECT user_id, event_id, us // 86400000000 AS day,
+        |         us - lag(us) OVER (PARTITION BY user_id
+        |                            ORDER BY us, event_id) AS gap
+        |  FROM e),
+        |gu AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         min(gap) AS min_gap_us
+        |  FROM g GROUP BY 1),
+        |dd AS (SELECT user_id, day, count(*) AS c FROM g GROUP BY 1, 2),
+        |du AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS active_days,
+        |         CAST(max(c) AS BIGINT) AS max_day_events
+        |  FROM dd GROUP BY 1)
+        |SELECT gu.user_id, gu.n_events, du.active_days, du.max_day_events,
+        |       gu.min_gap_us,
+        |       (du.max_day_events > 12 OR
+        |        (gu.min_gap_us IS NOT NULL AND gu.min_gap_us < 1000000))
+        |         AS is_bot
+        |FROM gu JOIN du USING (user_id)""".stripMargin,
+
     // Key-skew diagnostic: exact fixed-point arithmetic with the
     // HUGEINT ↔ DECIMAL(38,0) product (the x87 convention);
     // "key_rank", never "rank" (the QUALIFY word).

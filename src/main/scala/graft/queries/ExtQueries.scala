@@ -644,6 +644,35 @@ object ExtQueries {
     // oracle replays it CTE-for-CTE and hash-compares.
     "x99_pagerank" -> ((s, d) =>
       graft.ext.Graph.pagerank(ngramPairs(s, d).select("a_id", "b_id"))),
+    // Collocation lift over the corpus bigram stream: the 31-token
+    // fixture vocabulary gives dense pair counts, so lift spreads well
+    // above and below 1e6 without planting.
+    "x100_collocations" -> ((s, d) => TextStats.collocations(docs(s, d))),
+    // Missing-day feed detection: clicks on two mid-month days are
+    // filtered OUT in the query (and oracle) — the planted outage the
+    // gap report must recover exactly.
+    "x101_ingest_gaps" -> ((s, d) => {
+      val withDay = events(s, d).select(col("event_type"), col("ts"))
+        .withColumn("day",
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"))
+      Stats.ingestGaps(withDay
+        .filter(!(col("event_type") === "click" &&
+          col("day").isin(19730L, 19740L)))
+        .select("event_type", "ts"))
+    }),
+    // Bot flags: a planted 0.5s-grid stream (every 120th event id,
+    // five synthetic users per 2000-id block, all inside one day)
+    // fires BOTH rules deterministically; natural users flag neither
+    // at sf0.01 (max day 10, min gap 8.2 s).
+    "x102_bot_flags" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val bots = ev.filter(col("event_id") % 120 === 0)
+        .select(col("event_id"),
+          (lit(9000000L) + expr("event_id DIV 2000")).as("user_id"),
+          expr("CAST(timestamp_micros(1704067200000000 + " +
+            "(event_id DIV 120) * 500000) AS TIMESTAMP_NTZ)").as("ts"))
+      Sessions.botFlags(ev.unionByName(bots))
+    }),
     // Semi-structured props profile: every 31st event's props loses
     // its closing brace — malformed rows parse to NULL (PERMISSIVE) on
     // the Spark side, json_valid gates the oracle; parse counts and

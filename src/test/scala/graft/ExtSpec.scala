@@ -2678,6 +2678,66 @@ class ExtSpec extends SparkSpec {
       4L -> ((2L, 3L, 3L, 390L * 3 / 2 + 11800L - 15590))), s"got $got")
   }
 
+  test("collocations: self-consistent lift arithmetic, minCount cut, degenerate docs") {
+    import spark.implicits._
+    // corpus bigrams: "a b a b" → (a,b),(b,a),(a,b); "a b" → (a,b)
+    // N=4, c(a,b)=3, c(b,a)=1; c1: a=3,b=1; c2: b=3,a=1
+    // lift(a,b) = 1e6·4·3 div 9 = 1333333; lift(b,a) = 1e6·4·1 div 1 = 4e6
+    val d = docsDf(1L -> "a b a b", 2L -> "a b", 3L -> "solo",
+      4L -> (null: String))
+    val got = TextStats.collocations(d, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((3L, 1333333L)),
+      ("b", "a") -> ((1L, 4000000L))), s"got $got")
+    // minCount cuts the singleton pair; single-token and NULL docs
+    // contribute no bigrams at all
+    val cut = TextStats.collocations(d, minCount = 2).collect()
+    assert(cut.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b")), s"got ${cut.mkString(",")}")
+  }
+
+  test("ingestGaps: interior holes per type, contiguous spans clean, spans independent") {
+    import spark.implicits._
+    val day = 86400000000L
+    val rows =
+      Seq(10L, 11L, 13L, 16L).map(dd => ("x", dd * day + 7L)) ++
+        Seq(("y", 5L * day)) ++ Seq(20L, 21L).map(dd => ("z", dd * day))
+    val ev = rows.toDF("event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = Stats.ingestGaps(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("x", 12L), ("x", 14L), ("x", 15L)), s"got $got")
+  }
+
+  test("botFlags: gap rule, busiest-day rule, single-event NULL gap is human") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    val rows =
+      // user 1: human — min gap 2 s, 3 events one day
+      Seq((1L, 1L, t0), (2L, 1L, t0 + 2000000L), (3L, 1L, t0 + 50000000L)) ++
+        // user 2: rapid-fire — 0.5 s gap
+        Seq((10L, 2L, t0), (11L, 2L, t0 + 500000L)) ++
+        // user 3: heavy day — 13 events spaced 1 h (gap rule silent),
+        // anchored at a day START so the 12-hour span can't cross
+        // midnight (t0 itself sits at 0.93 of a day)
+        (0 until 13).map(i => (20L + i, 3L, 19676L * 86400000000L + i * 3600000000L)) ++
+        // user 4: single event — NULL gap treats as human
+        Seq((50L, 4L, t0))
+    val ev = rows.toDF("event_id", "user_id", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+      .select("event_id", "user_id", "ts")
+    val got = Sessions.botFlags(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 1L, 3L, Some(2000000L), false)),
+      2L -> ((2L, 1L, 2L, Some(500000L), true)),
+      3L -> ((13L, 1L, 13L, Some(3600000000L), true)),
+      4L -> ((1L, 1L, 1L, None, false))), s"got $got")
+  }
+
   test("pitLookup: containment pick, boundary goes to the newer version, NULL branches") {
     import spark.implicits._
     // versions partition key 1's timeline at [10,20) "A", [20,∞) "B";
