@@ -531,6 +531,121 @@ object Stats {
       .select(col("event_type"), col("day").as("missing_day"))
   }
 
+  /** Traffic-concentration report — the Pareto/Lorenz point next to
+    * [[keySkew]]'s per-key view: how many of the heaviest users
+    * account for 80% of all events, and what share of events the top
+    * decile of users generates (ppm). The curation question behind it:
+    * a corpus whose volume concentrates in a handful of emitters is a
+    * deduplication/source-cap problem waiting to happen.
+    *
+    * Exact integer throughout, computed from the per-user-count
+    * HISTOGRAM (value → how many users have that count), NOT a global
+    * sort of users: the crossing rank is closed-form inside the
+    * crossing value group — `k = users_before +
+    * ceil((target − events_before) / v)` — so the corpus-scale sort
+    * task a naive running-sum window needs never exists (the X42
+    * decomposition); the DuckDB oracle takes exactly that naive
+    * ranked-window path, cross-proving the arithmetic. The 80% target
+    * is `ceil(4N/5)`; ties inside a value group are interchangeable
+    * by construction (every user in the group contributes the same
+    * count), so both constructions land on the identical k.
+    *
+    * Scale shape: one map-side-combinable per-user count (bounded by
+    * user cardinality), one count-value histogram (bounded by the
+    * value domain), prefix windows over the HISTOGRAM only. */
+  def paretoConcentration(events: DataFrame): DataFrame = {
+    val perUser = events.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val hist = perUser.groupBy(col("c")).agg(count(lit(1)).as("n_users_c"))
+      .withColumn("ev_c", col("c") * col("n_users_c"))
+      .withColumn("users_before",
+        coalesce(sum(col("n_users_c")).over(
+          Window.orderBy(col("c").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("events_before",
+        coalesce(sum(col("ev_c")).over(
+          Window.orderBy(col("c").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = hist.agg(sum(col("n_users_c")).as("n_users"),
+      sum(col("ev_c")).as("n_events"))
+    val h = hist.crossJoin(broadcast(tot))
+      .withColumn("target", expr("(4 * n_events + 4) DIV 5"))
+      .withColumn("k_decile", expr("(n_users + 9) DIV 10"))
+    val k80 = h
+      .filter(col("events_before") < col("target") &&
+        col("events_before") + col("ev_c") >= col("target"))
+      .select(expr(
+        "users_before + (target - events_before + c - 1) DIV c")
+        .as("users_for_80pct"))
+    val decile = h
+      .filter(col("users_before") < col("k_decile") &&
+        col("users_before") + col("n_users_c") >= col("k_decile"))
+      .select(expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(events_before + (k_decile - users_before) * c) DIV n_events" +
+          " AS BIGINT)").as("top_decile_share_ppm"))
+    tot.crossJoin(k80).crossJoin(decile)
+      .select(col("n_users"), col("n_events"), col("users_for_80pct"),
+        col("top_decile_share_ppm"))
+  }
+
+  /** Diurnal activity profile: per (event type, UTC hour-of-day), the
+    * event count and its exact ppm share within the type — the
+    * time-of-day fingerprint that separates organic traffic (diurnal
+    * curve) from machine feeds (flat or spiked), and the companion
+    * axis to [[dailyAnomaly]]'s per-day view. Integer hour arithmetic
+    * (`us div 3600·10⁶ mod 24`); share = `10⁶·n div type_total`.
+    *
+    * Scale shape: the stream collapses map-side to types × 24 rows;
+    * the per-type totals ride a window over that tiny frame. */
+  def hourlyProfile(events: DataFrame): DataFrame = {
+    val hourly = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24")
+          .as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    hourly
+      .withColumn("type_total",
+        sum(col("n_events")).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        expr("1000000 * n_events DIV type_total").as("share_ppm"))
+  }
+
+  /** Referential-integrity audit over a set of named child→parent key
+    * relations: per relation, child rows, distinct child keys, orphan
+    * keys (child keys with no parent) and the rows they carry — the
+    * data-quality gate a warehouse load runs before promoting staging
+    * (the reference's typed-DDL world implies these FKs but never
+    * checks them). NULL child keys are excluded (SQL FK semantics: a
+    * NULL reference is not a violation).
+    *
+    * Scale shape: each relation reduces the child to its (key, rows)
+    * count frame FIRST (map-side combinable, bounded by key
+    * cardinality) and anti-joins the parent's distinct-key projection
+    * — the raw child table is scanned once and never shuffled beyond
+    * the key-count aggregate; per-relation outputs are one row. */
+  def refIntegrity(
+      relations: Seq[(String, DataFrame, String, DataFrame, String)]
+  ): DataFrame = {
+    relations.map { case (name, child, childKey, parent, parentKey) =>
+      val childCnt = child.filter(col(childKey).isNotNull)
+        .groupBy(col(childKey).as("k")).agg(count(lit(1)).as("rows"))
+      val orphans = childCnt.join(
+        parent.select(col(parentKey).as("k")).distinct(), Seq("k"),
+        "left_anti")
+      val base = childCnt.agg(
+        sum(col("rows")).as("n_child_rows"),
+        count(lit(1)).as("n_child_keys"))
+      val orph = orphans.agg(
+        coalesce(sum(col("rows")), lit(0L)).as("n_orphan_rows"),
+        count(lit(1)).as("n_orphan_keys"))
+      base.crossJoin(orph).select(lit(name).as("relation"),
+        col("n_child_rows"), col("n_child_keys"),
+        col("n_orphan_rows"), col("n_orphan_keys"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Exact GLOBAL ntile via the decomposed-histogram rank (the X82
     * per-partition form without the partition key): value histogram →
     * exclusive prefix over the tiny histogram → per-value row_number

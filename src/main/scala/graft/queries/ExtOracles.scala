@@ -817,6 +817,96 @@ object ExtOracles {
         |         AS is_bot
         |FROM gu JOIN du USING (user_id)""".stripMargin,
 
+    // Pareto concentration: the NAIVE ranked running-sum construction
+    // (global window) cross-proves the histogram closed form; the 80%
+    // target is spelled ceil(4N/5) = (4N+4)//5 on both sides.
+    "x103_pareto_concentration" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rn,
+        |         CAST(sum(c) OVER (ORDER BY c DESC, user_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |             CAST(sum(c) AS BIGINT) AS n_events FROM c),
+        |k80 AS (
+        |  SELECT CAST(min(rn) AS BIGINT) AS users_for_80pct
+        |  FROM r, t WHERE cum >= (4 * n_events + 4) // 5),
+        |dec AS (
+        |  SELECT CAST(CAST(1000000 AS HUGEINT) * cum // n_events AS BIGINT)
+        |           AS top_decile_share_ppm
+        |  FROM r, t WHERE rn = (n_users + 9) // 10)
+        |SELECT t.n_users, t.n_events, k80.users_for_80pct,
+        |       dec.top_decile_share_ppm
+        |FROM t, k80, dec""".stripMargin,
+
+    // Diurnal profile: hour = (us // 3600e6) % 24; the per-type total
+    // rides a window over the tiny types×24 frame (HUGEINT → BIGINT).
+    "x104_hourly_profile" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hour,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, hour, n_events,
+        |       1000000 * n_events //
+        |         CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+        |         AS share_ppm
+        |FROM h""".stripMargin,
+
+    // Referential integrity: per relation, key-count frame LEFT JOIN
+    // the parent's distinct keys; FILTER aggregates split orphan
+    // rows/keys in one pass. Third relation trims the parent to
+    // c_custkey >= 100 (the planted orphans).
+    "x105_ref_integrity" ->
+      """WITH l AS (
+        |  SELECT c.k, c.cr, o.k AS pk
+        |  FROM (SELECT l_orderkey AS k, count(*) AS cr FROM lineitem
+        |        WHERE l_orderkey IS NOT NULL GROUP BY 1) c
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) o
+        |    ON c.k = o.k),
+        |r1 AS (
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
+        |         CAST(sum(cr) AS BIGINT) AS n_child_rows,
+        |         CAST(count(*) AS BIGINT) AS n_child_keys,
+        |         CAST(coalesce(sum(cr) FILTER (pk IS NULL), 0) AS BIGINT)
+        |           AS n_orphan_rows,
+        |         CAST(count(*) FILTER (pk IS NULL) AS BIGINT) AS n_orphan_keys
+        |  FROM l),
+        |o2 AS (
+        |  SELECT c.k, c.cr, p.k AS pk
+        |  FROM (SELECT o_custkey AS k, count(*) AS cr FROM orders
+        |        WHERE o_custkey IS NOT NULL GROUP BY 1) c
+        |  LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    ON c.k = p.k),
+        |r2 AS (
+        |  SELECT 'orders.o_custkey->customer.c_custkey' AS relation,
+        |         CAST(sum(cr) AS BIGINT) AS n_child_rows,
+        |         CAST(count(*) AS BIGINT) AS n_child_keys,
+        |         CAST(coalesce(sum(cr) FILTER (pk IS NULL), 0) AS BIGINT)
+        |           AS n_orphan_rows,
+        |         CAST(count(*) FILTER (pk IS NULL) AS BIGINT) AS n_orphan_keys
+        |  FROM o2),
+        |e3 AS (
+        |  SELECT c.k, c.cr, p.k AS pk
+        |  FROM (SELECT user_id AS k, count(*) AS cr FROM events
+        |        WHERE user_id IS NOT NULL GROUP BY 1) c
+        |  LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer
+        |             WHERE c_custkey >= 100) p
+        |    ON c.k = p.k),
+        |r3 AS (
+        |  SELECT 'events.user_id->customer.c_custkey[>=100]' AS relation,
+        |         CAST(sum(cr) AS BIGINT) AS n_child_rows,
+        |         CAST(count(*) AS BIGINT) AS n_child_keys,
+        |         CAST(coalesce(sum(cr) FILTER (pk IS NULL), 0) AS BIGINT)
+        |           AS n_orphan_rows,
+        |         CAST(count(*) FILTER (pk IS NULL) AS BIGINT) AS n_orphan_keys
+        |  FROM e3)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |UNION ALL SELECT * FROM r3""".stripMargin,
+
     // Key-skew diagnostic: exact fixed-point arithmetic with the
     // HUGEINT ↔ DECIMAL(38,0) product (the x87 convention);
     // "key_rank", never "rank" (the QUALIFY word).

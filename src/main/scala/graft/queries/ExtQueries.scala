@@ -673,6 +673,30 @@ object ExtQueries {
             "(event_id DIV 120) * 500000) AS TIMESTAMP_NTZ)").as("ts"))
       Sessions.botFlags(ev.unionByName(bots))
     }),
+    // Pareto concentration: histogram closed-form crossing vs the
+    // oracle's naive ranked running-sum window — the x30/x36
+    // decomposition cross-proof over the user-count distribution.
+    "x103_pareto_concentration" -> ((s, d) =>
+      Stats.paretoConcentration(events(s, d).select("user_id", "event_id"))),
+    // Diurnal profile: types × 24 hours with exact ppm shares.
+    "x104_hourly_profile" -> ((s, d) =>
+      Stats.hourlyProfile(events(s, d).select("event_type", "ts"))),
+    // Referential-integrity audit: two natural FK relations (clean at
+    // every SF) + the trimmed-parent plant (customers < 100 removed →
+    // events users 0..99 orphan deterministically).
+    "x105_ref_integrity" -> ((s, d) => {
+      val orders = s.read.parquet(s"$d/orders.parquet")
+      val lineitem = s.read.parquet(s"$d/lineitem.parquet")
+      val cust = s.read.parquet(s"$d/customer.parquet")
+      Stats.refIntegrity(Seq(
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          lineitem, "l_orderkey", orders, "o_orderkey"),
+        ("orders.o_custkey->customer.c_custkey",
+          orders, "o_custkey", cust, "c_custkey"),
+        ("events.user_id->customer.c_custkey[>=100]",
+          events(s, d), "user_id",
+          cust.filter(col("c_custkey") >= 100), "c_custkey")))
+    }),
     // Semi-structured props profile: every 31st event's props loses
     // its closing brace — malformed rows parse to NULL (PERMISSIVE) on
     // the Spark side, json_valid gates the oracle; parse counts and

@@ -2678,6 +2678,61 @@ class ExtSpec extends SparkSpec {
       4L -> ((2L, 3L, 3L, 390L * 3 / 2 + 11800L - 15590))), s"got $got")
   }
 
+  test("paretoConcentration: closed-form crossing equals the worked ranking") {
+    import spark.implicits._
+    // user counts: 10, 5, 3, 1, 1 → N = 20, target = ceil(16) = 16.
+    // ranked desc: cum 10, 15, 18 → k80 = 3.
+    // n_users = 5 → decile k = ceil(5/10)... (5+9) div 10 = 1 →
+    // top-1 share = 1e6·10 div 20 = 500000.
+    val rows = (Seq.fill(10)(1L) ++ Seq.fill(5)(2L) ++ Seq.fill(3)(3L) ++
+      Seq(4L, 5L)).zipWithIndex.map { case (u, i) => (u, i.toLong) }
+    val got = graft.ext.Stats.paretoConcentration(
+      rows.toDF("user_id", "event_id")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 20L, 3L, 500000L)), s"got ${r.mkString(",")}")
+    // crossing INSIDE a tied value group: counts 2,2,2,2 → N=8,
+    // target=ceil(32/5)=7 → k80 = ceil(7/2) = 4
+    val tied = (Seq.fill(2)(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(2)(3L) ++
+      Seq.fill(2)(4L)).zipWithIndex.map { case (u, i) => (u, i.toLong) }
+    val t = graft.ext.Stats.paretoConcentration(
+      tied.toDF("user_id", "event_id")).collect().head
+    assert(t.getLong(2) == 4L, s"tied crossing: ${t.mkString(",")}")
+  }
+
+  test("hourlyProfile: hour bucketing and exact ppm shares") {
+    import spark.implicits._
+    val h = 3600000000L
+    // type a: hours 0,0,1 → shares 666666/333333; type b: hour 23
+    val rows = Seq(("a", 0L), ("a", h - 1L), ("a", h), ("b", 23L * h))
+    val ev = rows.toDF("event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.hourlyProfile(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("a", 0L) -> ((2L, 666666L)), ("a", 1L) -> ((1L, 333333L)),
+      ("b", 23L) -> ((1L, 1000000L))), s"got $got")
+  }
+
+  test("refIntegrity: orphan rows vs keys, NULL children excluded, clean relation zeros") {
+    import spark.implicits._
+    val child = Seq((1L, "r"), (1L, "r"), (2L, "r"), (3L, "r"),
+      (3L, "r"), (3L, "r")).toDF("fk", "pay")
+      .unionByName(Seq((Option.empty[Long], "n")).toDF("fk", "pay"))
+    val parent = Seq(1L, 2L).toDF("pk")
+    val got = graft.ext.Stats.refIntegrity(Seq(
+      ("c->p", child, "fk", parent, "pk"),
+      ("clean", parent, "pk", parent, "pk"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // NULL child excluded: 6 rows / 3 keys; key 3 orphan with 3 rows
+    assert(got == Map(
+      "c->p" -> ((6L, 3L, 3L, 1L)),
+      "clean" -> ((2L, 2L, 0L, 0L))), s"got $got")
+  }
+
   test("collocations: self-consistent lift arithmetic, minCount cut, degenerate docs") {
     import spark.implicits._
     // corpus bigrams: "a b a b" → (a,b),(b,a),(a,b); "a b" → (a,b)
