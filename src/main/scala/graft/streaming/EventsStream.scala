@@ -113,6 +113,78 @@ object EventsStream {
       }
   }
 
+  final case class BotState(nEvents: Long, lastUs: Long, minGapUs: Long,
+      curDay: Long, curDayCount: Long, maxDayCount: Long, activeDays: Long)
+  final case class BotUpdate(user_id: Long, n_events: Long,
+      active_days: Long, max_day_events: Long, min_gap_us: Option[Long],
+      is_bot: Boolean)
+
+  /** Streaming face of the batch bot detector
+    * (`ext/Sessions.botFlags`): per-user keyed state carries the rate
+    * profile (last event time, min inter-event gap, current-day
+    * count, busiest-day count, active-day count) and every
+    * micro-batch emits the user's updated flags — the monitoring
+    * path that notices a scraper WHILE it runs, where the batch form
+    * is the end-of-day audit truth. Within a batch, rows process in
+    * (us, event_id) order; across batches the stream's event-time
+    * monotonicity per user is assumed (late cross-batch events can
+    * under-count active days and miss a cross-day gap — the
+    * documented streaming degradation; replay-in-order equals the
+    * batch form EXACTLY, spec-pinned). State per user is seven
+    * longs — bounded regardless of stream length; `timeoutMs` evicts
+    * idle users in production, `None` keeps tests deterministic. */
+  def botState(
+      spark: SparkSession,
+      events: Dataset[Event],
+      maxDayEvents: Int = 12,
+      minGapUs: Long = 1000000L,
+      timeoutMs: Option[Long] = Some(24 * 3600 * 1000L)): Dataset[BotUpdate] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (timeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val dayUs = 86400000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BotState, BotUpdate](
+        OutputMode.Update, timeoutConf) {
+        case (user, rows, state: GroupState[BotState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // exact µs: getTime is ms-truncated (the session_window
+            // cross-proof lesson) — re-attach the sub-ms nanos; the
+            // SORT must use the same precision or a sub-ms pair
+            // orders differently than the batch (us, event_id) key
+            def tsUs(t: java.sql.Timestamp): Long =
+              t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+            val ordered = rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+            if (ordered.isEmpty) Iterator.empty
+            else {
+              var s = state.getOption.getOrElse(
+                BotState(0L, Long.MinValue, Long.MaxValue, Long.MinValue, 0L, 0L, 0L))
+              ordered.foreach { e =>
+                val us = tsUs(e.ts)
+                val day = us / dayUs
+                val gap = if (s.nEvents == 0L) Long.MaxValue else us - s.lastUs
+                val (cd, cc, ad) =
+                  if (day == s.curDay) (day, s.curDayCount + 1L, s.activeDays)
+                  else (day, 1L, s.activeDays + 1L)
+                s = BotState(s.nEvents + 1L, us, math.min(s.minGapUs, gap),
+                  cd, cc, math.max(s.maxDayCount, cc), ad)
+              }
+              state.update(s)
+              timeoutMs.foreach(state.setTimeoutDuration)
+              val minGap =
+                if (s.minGapUs == Long.MaxValue) None else Some(s.minGapUs)
+              Iterator.single(BotUpdate(user, s.nEvents, s.activeDays,
+                s.maxDayCount, minGap,
+                s.maxDayCount > maxDayEvents ||
+                  minGap.exists(_ < minGapUs)))
+            }
+          }
+      }
+  }
+
   /** Wire a streaming frame of events to a console-free memory sink for
     * the update-mode windowed aggregate (used by tests; production binds
     * writeStream to a real sink + checkpoint). */

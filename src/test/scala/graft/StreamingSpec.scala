@@ -489,4 +489,53 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("sess_test").filter(col("closed")).count() == 0)
     } finally q.stop()
   }
+
+  test("botState: in-order replay across micro-batches equals the batch botFlags") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventsStream.botState(spark, stream.toDS(), timeoutMs = None)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("bot_test").start()
+    // user 2 rapid-fires at 0.5 s; user 3 lands 13 events on one day;
+    // user 1 stays human; the day split lands MID-STREAM so the state
+    // carries day counts across batches
+    val batch1 =
+      Seq(ev(1, "2024-01-01 01:00:00", 1, "click", 0),
+        ev(2, "2024-01-01 02:00:00", 1, "view", 0),
+        ev(10, "2024-01-01 01:00:00", 2, "click", 0)) ++
+        (0 until 7).map(i =>
+          ev(20 + i, s"2024-01-01 0${i + 1}:00:00", 3, "view", 0))
+    val batch2 =
+      Seq(ev(3, "2024-01-02 01:00:00", 1, "click", 0),
+        ev(11, "2024-01-01 01:00:00.5", 2, "click", 0)) ++
+        (0 until 6).map(i =>
+          ev(27 + i, s"2024-01-01 ${i + 10}:00:00", 3, "view", 0))
+    try {
+      stream.addData(batch1: _*); q.processAllAvailable()
+      stream.addData(batch2: _*); q.processAllAvailable()
+      // Update mode emits one row per (user, batch); the LAST row per
+      // user is the final profile — compare it against the batch form
+      val fin = spark.table("bot_test")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+        .filter(col("rn") === 1).drop("rn")
+      val batchAll = (batch1 ++ batch2).toDS().toDF()
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val expected = Sessions.botFlags(batchAll)
+      val g = fin.collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("active_days"),
+          r.getAs[Long]("max_day_events"),
+          Option(r.getAs[Any]("min_gap_us")).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("is_bot")))).toMap
+      val e = expected.collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("active_days"),
+          r.getAs[Long]("max_day_events"),
+          Option(r.getAs[Any]("min_gap_us")).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("is_bot")))).toMap
+      assert(g == e, s"stream $g\nvs batch $e")
+      assert(g(2L)._5 && g(3L)._5 && !g(1L)._5, s"flag split: $g")
+    } finally q.stop()
+  }
 }
