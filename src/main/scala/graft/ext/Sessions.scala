@@ -464,6 +464,57 @@ object Sessions {
       .agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** Session-scoped conversion funnel: X87's ordered containment
+    * re-keyed from the user's lifetime to the SESSION — "did this
+    * visit convert", the number a product team actually tracks (a
+    * lifetime funnel credits a purchase to a view from weeks ago).
+    * Stage clocks are the eventFunnel rules verbatim (earliest
+    * completion of the previous stage, strictly-after in integer
+    * microseconds) but the key is (user_id, session_idx) under the
+    * [[sessionize]] gap definition. Returns one row per stage:
+    * (stage 1-based, event_type, n_sessions).
+    *
+    * Scale shape: the session labeling is the ONE user_id exchange
+    * (lag + running-sum windows share it); every per-stage groupBy
+    * and join keys on (user_id, session_idx) — a superset of the
+    * established HashPartitioning(user_id), so the stage chain
+    * reuses the clustering without a second corpus shuffle; per-key
+    * state is one timestamp per stage. */
+  def sessionFunnel(
+      events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      gapMinutes: Int = 720): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val labeled = events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("is_new",
+        (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
+          .cast("long"))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("session_idx"), col("event_type"), col("us"))
+    val keys = Seq(col("user_id"), col("session_idx"))
+    val first = labeled.filter(col("event_type") === stages.head)
+      .groupBy(keys: _*).agg(min(col("us")).as("t"))
+    val reached: Seq[DataFrame] = stages.tail.scanLeft(first) { (prev, stage) =>
+      labeled.filter(col("event_type") === stage)
+        .join(prev, Seq("user_id", "session_idx"))
+        .filter(col("us") > col("t"))
+        .groupBy(keys: _*).agg(min(col("us")).as("t"))
+    }
+    reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_sessions"))
+        .select(lit(i + 1).as("stage"), lit(stages(i)).as("event_type"),
+          col("n_sessions"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Bot/headless-traffic flags — the per-user rate profile abuse
     * filtering reads before events feed any analytics or training
     * set: event count, active days, the busiest day's count, and the

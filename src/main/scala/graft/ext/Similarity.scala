@@ -1219,4 +1219,70 @@ object Similarity {
     scored.withColumn("rank_in_label", row_number().over(w))
       .filter(col("rank_in_label") <= k)
   }
+
+  /** MMR diversified retrieval (Carbonell & Goldstein 1998): re-rank a
+    * top-`poolK` relevance pool so each pick balances relevance
+    * against similarity to what is ALREADY picked —
+    * `argmax λ·rel − (1−λ)·max_sim_to_selected` — the batch-assembly
+    * answer to "my retrieved context is five copies of the same
+    * document" that plain top-k ([[cosTopK]]) structurally cannot
+    * give. λ is integer per-mille (`lambdaPpt`); similarities are
+    * floor-quantized cosine ppm; the greedy argmax ties break on the
+    * smaller vec_id, so selection is fully deterministic.
+    *
+    * Rows-only by the x33 convention: per-round argmax rewriting is
+    * not one SQL query — exactness is pinned by the hand-worked
+    * ExtSpec example, λ=1000 ≡ pure relevance order, and the
+    * diversification property itself. Scale shape: the heavy leg is
+    * the distributed [[cosTopK]] pool (bounded pre-rank shuffle);
+    * the greedy loop is DRIVER math over queries × poolK rows (the
+    * x58 convention — k-bounded collects are config, not data), with
+    * O(k²·poolK) integer ops per query. */
+  def mmrDiversify(emb: DataFrame, k: Int = 5, poolK: Int = 20,
+      queryMod: Int = 50, lambdaPpt: Int = 700): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need poolK $poolK >= k $k >= 1")
+    require(lambdaPpt >= 0 && lambdaPpt <= 1000,
+      s"lambdaPpt $lambdaPpt must be in [0, 1000]")
+    val spark = emb.sparkSession
+    val pool = cosTopK(emb, poolK, queryMod)
+    val ids = pool.select(col("neighbor_id").as("vec_id"))
+      .unionByName(pool.select(col("query_id").as("vec_id"))).distinct()
+    val vecs = emb.join(ids, Seq("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosPpm(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.floor(dot / math.sqrt(na) / math.sqrt(nb) * 1000000.0).toLong
+    }
+    val byQuery = pool.select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val out = byQuery.flatMap { case (q, rows) =>
+      val qv = vecs(q)
+      val cands0 = rows.map(_._2).distinct.sorted.toVector
+      val rel = cands0.map(c => c -> cosPpm(vecs(c), qv)).toMap
+      var selected = Vector.empty[Long]
+      var cands = cands0
+      (1 to math.min(k, cands0.size)).map { r =>
+        val scored = cands.map { c =>
+          val maxSim =
+            if (selected.isEmpty) 0L
+            else selected.map(s => cosPpm(vecs(c), vecs(s))).max
+          val score = Math.floorDiv(lambdaPpt * rel(c), 1000L) -
+            Math.floorDiv((1000L - lambdaPpt) * maxSim, 1000L)
+          (c, score)
+        }
+        val best = scored.minBy { case (c, s) => (-s, c) }
+        selected :+= best._1
+        cands = cands.filterNot(_ == best._1)
+        (q, r.toLong, best._1, best._2)
+      }
+    }
+    import spark.implicits._
+    out.toDF("query_id", "sel_rank", "vec_id", "score_ppm")
+  }
 }

@@ -832,6 +832,38 @@ object TextStats {
         else concat(lit("b"), col("bucket"))).as("band"))
   }
 
+  /** Per-source lexical diversity via Simpson's index — the
+    * "template spam in one number" signal: the exact probability (ppm)
+    * that two tokens drawn without replacement from the source are
+    * the SAME type, `10⁶·Σc(c−1) div (n(n−1))` (Simpson 1949). A
+    * boilerplate mill scores high (mass concentrated in few types), a
+    * diverse corpus low — the cross-document counterpart of the
+    * per-doc repetition ratio (X20). Exact integer end to end; the
+    * Σc(c−1) and n(n−1) products run in DECIMAL(38,0) ↔ HUGEINT
+    * (c ~ n in the degenerate one-token source, so the product is
+    * corpus-quadratic). Sources with fewer than two tokens report 0
+    * (no pair to draw — not a division by zero).
+    *
+    * Scale shape: ONE map-side-combinable (source, token) groupBy
+    * (vocab-bounded per source), the index folds from that frame. */
+  def sourceDiversity(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("source"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("rep"))
+      .select(col("source"), col("n_tokens"), col("distinct_tokens"),
+        when(col("n_tokens") < 2, lit(0L)).otherwise(expr(
+          "CAST(CAST(1000000 AS DECIMAL(38,0)) * rep DIV " +
+            "(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) AS BIGINT)"))
+          .as("simpson_ppm"))
+  }
+
   /** Integer readability scoring — a Flesch-Kincaid-grade proxy in
     * milli-units, the curation knob next to the X45 Gopher rules
     * ("keep grade 4–12 text" is a standard web-corpus filter). All

@@ -817,6 +817,61 @@ object ExtOracles {
         |         AS is_bot
         |FROM gu JOIN du USING (user_id)""".stripMargin,
 
+    // Simpson diversity: repeat probability in exact ppm; Σc(c−1) and
+    // n(n−1) in HUGEINT (corpus-quadratic in the degenerate source).
+    "x107_source_diversity" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM t WHERE w <> '' GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS distinct_tokens,
+        |         sum(CAST(c AS HUGEINT) * (c - 1)) AS rep
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tokens, distinct_tokens,
+        |       CASE WHEN n_tokens < 2 THEN 0
+        |            ELSE CAST(CAST(1000000 AS HUGEINT) * rep //
+        |                      (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+        |                      AS BIGINT) END AS simpson_ppm
+        |FROM a""".stripMargin,
+
+    // Session funnel: the x29 session labeling + the x75 dependent-CTE
+    // chain re-keyed on (user_id, session_idx); 12-hour gap.
+    "x108_session_funnel" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |l AS (
+        |  SELECT *, lag(us) OVER (PARTITION BY user_id
+        |                          ORDER BY us, event_id) AS p
+        |  FROM e),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN p IS NULL OR us - p > 43200000000
+        |                     THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM l),
+        |s1 AS (SELECT user_id, session_idx, min(us) AS t FROM s
+        |       WHERE event_type = 'view' GROUP BY 1, 2),
+        |s2 AS (SELECT s.user_id, s.session_idx, min(s.us) AS t
+        |       FROM s JOIN s1 USING (user_id, session_idx)
+        |       WHERE s.event_type = 'click' AND s.us > s1.t GROUP BY 1, 2),
+        |s3 AS (SELECT s.user_id, s.session_idx, min(s.us) AS t
+        |       FROM s JOIN s2 USING (user_id, session_idx)
+        |       WHERE s.event_type = 'purchase' AND s.us > s2.t GROUP BY 1, 2)
+        |SELECT CAST(1 AS INT) AS stage, 'view' AS event_type,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_sessions
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click',
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase',
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin,
+
     // Pareto concentration: the NAIVE ranked running-sum construction
     // (global window) cross-proves the histogram closed form; the 80%
     // target is spelled ceil(4N/5) = (4N+4)//5 on both sides.

@@ -681,6 +681,18 @@ object ExtQueries {
     // Diurnal profile: types × 24 hours with exact ppm shares.
     "x104_hourly_profile" -> ((s, d) =>
       Stats.hourlyProfile(events(s, d).select("event_type", "ts"))),
+    // MMR diversified retrieval — rows-only like x33 (per-round argmax
+    // rewriting is not one SQL query); hand-worked selection, λ=1000
+    // degeneration and the diversification property pinned in ExtSpec.
+    "x106_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(emb(s, d))),
+    // Simpson lexical diversity per source: exact repeat-probability
+    // ppm over the (source, token) count frame.
+    "x107_source_diversity" -> ((s, d) => TextStats.sourceDiversity(docs(s, d))),
+    // Session-scoped funnel at the 12-hour gap: 1412 → 422 → 120
+    // sessions at sf0.01 — every stage transition is non-vacuous.
+    "x108_session_funnel" -> ((s, d) =>
+      Sessions.sessionFunnel(
+        events(s, d).select("event_id", "user_id", "event_type", "ts"))),
     // Referential-integrity audit: two natural FK relations (clean at
     // every SF) + the trimmed-parent plant (customers < 100 removed →
     // events users 0..99 orphan deterministically).

@@ -2678,6 +2678,62 @@ class ExtSpec extends SparkSpec {
       4L -> ((2L, 3L, 3L, 390L * 3 / 2 + 11800L - 15590))), s"got $got")
   }
 
+  test("mmrDiversify: diversification beats the near-dup, λ=1000 is pure relevance") {
+    import spark.implicits._
+    // q=(1,0); a,b near-dups of each other at rel≈1; c at rel≈0.707.
+    // λ=300 picks [a, c] (b is punished for sitting on a); λ=1000
+    // degenerates to the relevance order [a, b].
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.001f)),
+      (2L, Array(1f, 0.002f)), (3L, Array(0.707f, 0.707f)))
+      .toDF("vec_id", "embedding")
+    def picks(l: Int) = Similarity.mmrDiversify(
+      emb, k = 2, poolK = 3, queryMod = 50, lambdaPpt = l)
+      .orderBy("sel_rank").collect().map(_.getLong(2)).toSeq
+    assert(picks(300) == Seq(1L, 3L), s"λ=300 picked ${picks(300)}")
+    assert(picks(1000) == Seq(1L, 2L), s"λ=1000 picked ${picks(1000)}")
+    // deterministic across runs
+    assert(picks(300) == picks(300))
+  }
+
+  test("sourceDiversity: repeat-probability arithmetic, guards, tokenless absent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a b", "A"), (2L, "x y z", "B"), (3L, "q", "C"),
+      (4L, null.asInstanceOf[String], "D"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length($"text"))
+    val got = TextStats.sourceDiversity(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // A: n=3, rep=2 → 1e6·2 div 6 = 333333; B: rep 0; C: n=1 → guard 0
+    assert(got == Map(
+      "A" -> ((3L, 2L, 333333L)),
+      "B" -> ((3L, 3L, 0L)),
+      "C" -> ((1L, 1L, 0L))), s"got $got")
+  }
+
+  test("sessionFunnel: session-scoped clocks, strict order, same-us rejection") {
+    import spark.implicits._
+    val t0 = 1700006400000000L // a day start
+    val h = 3600000000L
+    val rows = Seq(
+      // u1 session 1 converts fully; session 2 (>12h later) views only
+      (1L, 1L, "view", t0), (2L, 1L, "click", t0 + h),
+      (3L, 1L, "purchase", t0 + 2 * h),
+      (4L, 1L, "view", t0 + 15 * h),
+      // u2: click BEFORE view — stage 2 must not count
+      (10L, 2L, "click", t0), (11L, 2L, "view", t0 + 60000000L),
+      // u3: view and click at the SAME microsecond — strict > rejects
+      (20L, 3L, "view", t0), (21L, 3L, "click", t0))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+      .select("event_id", "user_id", "event_type", "ts")
+    val got = Sessions.sessionFunnel(ev).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 4L, 2 -> 1L, 3 -> 1L), s"got $got")
+  }
+
   test("paretoConcentration: closed-form crossing equals the worked ranking") {
     import spark.implicits._
     // user counts: 10, 5, 3, 1, 1 → N = 20, target = ceil(16) = 16.

@@ -54,7 +54,8 @@ class GateSchemaSpec extends SparkSpec {
       "x43_sketch_overlap",  // same; exact-mode ≡ x38 pinned
       "x47_random_project",  // approximate; determinism/geometry pinned
       "x49_fertility",       // composes the x33 merge table; hand-applied spec
-      "x71_pq_topk")         // approximate; codebook-saturating ≡ exact pinned
+      "x71_pq_topk",         // approximate; codebook-saturating ≡ exact pinned
+      "x106_mmr_diversify")  // per-round argmax isn't one SQL query; hand-worked spec
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == declaredRowsOnly,
       s"rows-only drift: undeclared ${actual -- declaredRowsOnly}, " +
