@@ -2304,6 +2304,41 @@ class ExtSpec extends SparkSpec {
         spark.read.parquet(s"$sf/documents.parquet"))
       assert(shuffles(read) == 0,
         s"readability wants 0 exchanges:\n${plan(read).take(1500)}")
+
+      // PIT lookup: equi-join on key with the range test as a RESIDUAL
+      // condition — SortMergeJoin, never a theta/NL join
+      val o = spark.read.parquet(s"$sf/orders.parquet").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      val hist = Sessions.changeHistory(
+        o, "o_custkey", "us", "o_orderkey", "o_orderpriority")
+      val facts = o.select(col("o_orderkey").as("fact_id"),
+        col("o_custkey"), col("us").as("fact_us"))
+      val pit = graft.ext.Merge.pitLookup(facts, hist, "o_custkey", "fact_us")
+      // an EQUI join on key (SMJ at scale, BHJ when the dim measures
+      // small — both carry the range test as a residual), and never
+      // the theta-join shapes a range predicate can degenerate into
+      assert((plan(pit).contains("SortMergeJoin") ||
+        plan(pit).contains("BroadcastHashJoin")) &&
+        !plan(pit).contains("BroadcastNestedLoopJoin") &&
+        !plan(pit).contains("CartesianProduct"), plan(pit).take(1500))
+
+      // collocations: the bigram stream folds MAP-SIDE (partial_count
+      // below the pair exchange) and the explode is a codegen'd
+      // Generate, never a lambda-transform re-splitting per element
+      val colo = TextStats.collocations(
+        spark.read.parquet(s"$sf/documents.parquet"))
+      assert(plan(colo).contains("partial_count") &&
+        plan(colo).contains("Generate explode") &&
+        !plan(colo).contains("CartesianProduct"), plan(colo).take(1500))
+
+      // session funnel: the stage legs all hang off the SAME labeled
+      // frame — non-AQE plans must REUSE the one user_id exchange
+      // (ReusedExchange), not re-shuffle the raw events per stage
+      val sf3 = Sessions.sessionFunnel(
+        ev.select("event_id", "user_id", "event_type", "ts"))
+      assert(plan(sf3).contains("ReusedExchange") &&
+        !plan(sf3).contains("CartesianProduct"), plan(sf3).take(1500))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
