@@ -384,4 +384,39 @@ object Assemble {
         .localCheckpoint(true)
     } finally scored.unpersist(blocking = false)
   }
+
+  /** Deterministic weighted sampling without replacement — priority
+    * sampling (Duffield, Lund & Thorup 2007; the exponent-free form):
+    * each doc draws a pseudo-uniform `u ∈ [1, 2³²]` from the salted
+    * md5-32 of its id and competes with priority `w·2³² div u`
+    * (integer-exact; a doc's win probability is proportional to its
+    * weight), the top `k` priorities win. Weight = character count —
+    * "sample by volume", the eval-set recipe when long docs should
+    * appear proportionally to the tokens they contribute; the
+    * UNIFORM sibling is X73's stratified sampler. Changing `salt`
+    * redraws independently; the same salt is exactly reproducible —
+    * sampling as a pure function of (corpus, config), the property
+    * every ablation rerun needs.
+    *
+    * Scale shape: one codegen'd projection (md5 + integer ops) and a
+    * `TakeOrderedAndProject` top-k — each map task forwards its own
+    * top `k`, no global sort, no shuffle of the corpus. The priority
+    * product runs in DECIMAL(38,0) ↔ HUGEINT (w·2³² exceeds BIGINT
+    * past ~2³¹ chars). */
+  def weightedSample(docs: DataFrame, k: Int = 100,
+      salt: String = "ws1"): DataFrame = {
+    require(k >= 1, s"sample size $k must be positive")
+    docs
+      .select(col("doc_id"),
+        // greatest AFTER coalesce: Spark's greatest skips NULLs but
+        // DuckDB's returns NULL — the null must die before the compare
+        greatest(coalesce(col("n_chars"), lit(0L)), lit(1L)).cast("long")
+          .as("weight"))
+      .withColumn("u", graft.ext.OracleHash.md5Hash32(
+        concat(lit(salt), lit(":"), col("doc_id").cast("string"))) + 1L)
+      .withColumn("priority", expr(
+        "CAST(CAST(weight AS DECIMAL(38,0)) * 4294967296 DIV u AS BIGINT)"))
+      .orderBy(col("priority").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("weight"), col("priority"))
+  }
 }

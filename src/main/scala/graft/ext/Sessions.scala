@@ -201,6 +201,43 @@ object Sessions {
       when(inWindow, col("pus") - col("tus")).as("lag_us"))
   }
 
+  /** Attribution-window sensitivity sweep: the same last-touch
+    * credit ([[lastTouchAttribution]]) evaluated at several window
+    * widths in one pass — the report that tells an analytics team
+    * whether their "60-minute" convention is load-bearing or
+    * arbitrary (a rate that cliffs between 30 and 60 means the
+    * window IS the model). The expensive leg — the per-purchase
+    * backward as-of join — runs ONCE ungated; each window is then a
+    * post-hoc predicate over the joined frame (the lag doesn't
+    * depend on the window, only the gate does), so sweeping W
+    * windows costs one join plus a ×W blowup of the small purchase
+    * frame, never W joins.
+    *
+    * Output per window: purchases, attributed count, rate in exact
+    * ppm. */
+  def attributionWindowSweep(
+      events: DataFrame,
+      windows: Seq[Int] = Seq(30, 60, 120)): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ > 0),
+      s"windows $windows must be positive")
+    // ~10 years in minutes: effectively ungated, still inside the
+    // Int range the signature takes
+    val all = lastTouchAttribution(events, windowMinutes = 5256000)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wdf = windows.map(_.toLong).toDF("window_minutes")
+    all.crossJoin(broadcast(wdf))
+      .groupBy(col("window_minutes"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("lag_us").isNotNull &&
+          col("lag_us") <= col("window_minutes") * 60000000L, 1L)
+          .otherwise(0L)).as("n_attributed"))
+      .select(col("window_minutes"), col("n_purchases"), col("n_attributed"),
+        when(col("n_purchases") === 0, lit(0L))
+          .otherwise(expr("1000000 * n_attributed DIV n_purchases"))
+          .as("rate_ppm"))
+  }
+
   /** Linear multi-touch attribution — the fair-share companion of
     * [[lastTouchAttribution]]: every view/click in the `windowMinutes`
     * before a purchase (at-or-before, the x12 convention) shares the

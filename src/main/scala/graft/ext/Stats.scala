@@ -646,6 +646,50 @@ object Stats {
     }.reduce(_.unionByName(_))
   }
 
+  /** Deterministic A/B experiment assignment + sample-ratio-mismatch
+    * report: each unit hashes into a per-mille bucket (salted md5-32
+    * mod 1000 — assignment is a pure function of (unit, experiment),
+    * reproducible across runs and engines, sticky under re-ingest) and
+    * the bucket ranges carve the arms; the report row per arm carries
+    * the realized allocation in ppm next to the configured one and the
+    * absolute deviation — the SRM check an experimentation pipeline
+    * gates on before trusting any lift number (a deviation far above
+    * hash noise means the logging, not the users, is biased).
+    *
+    * Scale shape: one codegen'd hash projection + a map-side
+    * combinable groupBy bounded by the arm count; the totals broadcast
+    * back onto the arm frame. */
+  def abAssignment(units: DataFrame, idCol: String,
+      experiment: String = "exp1",
+      arms: Seq[(String, Int)] = Seq("control" -> 500, "treatment" -> 500)
+  ): DataFrame = {
+    require(arms.nonEmpty && arms.map(_._2).sum == 1000,
+      s"arm allocations ${arms.map(_._2)} must sum to 1000 ppt")
+    val bucket = graft.ext.OracleHash.md5Hash32(
+      concat(lit(experiment), lit(":"), col(idCol).cast("string"))) % 1000
+    val cuts = arms.scanLeft(0) { case (acc, (_, ppt)) => acc + ppt }
+    val armCol = arms.zip(cuts.dropRight(1)).zip(cuts.drop(1)).tail
+      .foldLeft(when(bucket < cuts(1), arms.head._1)) {
+        case (c, (((name, _), _), hi)) => c.when(bucket < hi, name)
+      }
+    val counts = units.filter(col(idCol).isNotNull)
+      .select(armCol.as("arm"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("n_units"))
+    val tot = counts.agg(sum(col("n_units")).as("n_total"))
+    val pptDf = arms.foldLeft(Option.empty[DataFrame]) { case (acc, (name, ppt)) =>
+      val row = counts.sparkSession.range(1)
+        .select(lit(name).as("arm"), lit(ppt.toLong).as("ppt"))
+      Some(acc.fold(row)(_.unionByName(row)))
+    }.get
+    counts.join(pptDf, Seq("arm"))
+      .crossJoin(broadcast(tot))
+      .select(col("arm"), col("ppt"), col("n_units"),
+        (col("ppt") * 1000L).as("target_ppm"),
+        expr("1000000 * n_units DIV n_total").as("actual_ppm"),
+        expr("abs(1000000 * n_units DIV n_total - ppt * 1000)")
+          .as("dev_ppm"))
+  }
+
   /** Exact GLOBAL ntile via the decomposed-histogram rank (the X82
     * per-partition form without the partition key): value histogram →
     * exclusive prefix over the tiny histogram → per-value row_number

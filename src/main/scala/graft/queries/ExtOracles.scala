@@ -817,6 +817,76 @@ object ExtOracles {
         |         AS is_bot
         |FROM gu JOIN du USING (user_id)""".stripMargin,
 
+    // Priority sampling: the salted md5-32 draw (the shared idiom) +
+    // integer priority w·2³² div u; top-100 by (priority, doc_id).
+    "x109_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         CAST(greatest(coalesce(n_chars, 0), 1) AS BIGINT) AS weight,
+        |         ('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),
+        |                         1, 8))::BIGINT + 1 AS u
+        |  FROM documents)
+        |SELECT doc_id, weight,
+        |       CAST(CAST(weight AS HUGEINT) * 4294967296 // u AS BIGINT)
+        |         AS priority
+        |FROM w
+        |QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id) <= 100""".stripMargin,
+
+    // A/B assignment + SRM: bucket = salted md5-32 mod 1000; realized
+    // vs configured allocation in ppm with the absolute deviation.
+    "x110_ab_assignment" ->
+      """WITH b AS (
+        |  SELECT ('0x' || substr(md5('exp1:' || CAST(c_custkey AS VARCHAR)),
+        |                         1, 8))::BIGINT % 1000 AS bucket
+        |  FROM customer WHERE c_custkey IS NOT NULL),
+        |a AS (
+        |  SELECT CASE WHEN bucket < 500 THEN 'control'
+        |              ELSE 'treatment' END AS arm
+        |  FROM b),
+        |c AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_units
+        |      FROM a GROUP BY 1),
+        |p AS (SELECT * FROM (VALUES ('control', CAST(500 AS BIGINT)),
+        |                            ('treatment', CAST(500 AS BIGINT)))
+        |      t(arm, ppt)),
+        |tt AS (SELECT CAST(sum(n_units) AS BIGINT) AS n_total FROM c)
+        |SELECT c.arm, p.ppt, c.n_units, p.ppt * 1000 AS target_ppm,
+        |       1000000 * c.n_units // tt.n_total AS actual_ppm,
+        |       abs(1000000 * c.n_units // tt.n_total - p.ppt * 1000)
+        |         AS dev_ppm
+        |FROM c JOIN p USING (arm) CROSS JOIN tt""".stripMargin,
+
+    // Attribution-window sweep: the x83 ASOF construction UNGATED,
+    // then three window predicates over the joined purchase frame.
+    "x111_attribution_windows" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS pus
+        |      FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, us AS tus, event_id AS touch_id,
+        |             row_number() OVER (PARTITION BY user_id, us
+        |                                ORDER BY event_id DESC) AS rn
+        |      FROM e WHERE event_type IN ('view', 'click') QUALIFY rn = 1),
+        |j AS (
+        |  SELECT p.purchase_id, p.pus - t.tus AS lag_us
+        |  FROM p ASOF LEFT JOIN t
+        |    ON p.user_id = t.user_id AND p.pus >= t.tus),
+        |w AS (SELECT CAST(window_minutes AS BIGINT) AS window_minutes
+        |      FROM (VALUES (30), (60), (120)) v(window_minutes))
+        |SELECT w.window_minutes,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(CASE WHEN j.lag_us IS NOT NULL
+        |                       AND j.lag_us <= w.window_minutes * 60000000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+        |       CASE WHEN count(*) = 0 THEN 0
+        |            ELSE 1000000 *
+        |                 CAST(sum(CASE WHEN j.lag_us IS NOT NULL
+        |                             AND j.lag_us <= w.window_minutes * 60000000
+        |                           THEN 1 ELSE 0 END) AS BIGINT)
+        |                 // CAST(count(*) AS BIGINT) END AS rate_ppm
+        |FROM j CROSS JOIN w GROUP BY 1""".stripMargin,
+
     // Simpson diversity: repeat probability in exact ppm; Σc(c−1) and
     // n(n−1) in HUGEINT (corpus-quadratic in the degenerate source).
     "x107_source_diversity" ->

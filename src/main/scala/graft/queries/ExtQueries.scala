@@ -685,6 +685,19 @@ object ExtQueries {
     // rewriting is not one SQL query); hand-worked selection, λ=1000
     // degeneration and the diversification property pinned in ExtSpec.
     "x106_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(emb(s, d))),
+    // Weighted (priority) sampling by character volume: the salted
+    // md5-32 draw makes both engines pick the identical sample.
+    "x109_weighted_sample" -> ((s, d) => Assemble.weightedSample(docs(s, d))),
+    // Deterministic A/B assignment + SRM report over the customer
+    // dimension: 500/500 split, bucket = salted md5-32 mod 1000.
+    "x110_ab_assignment" -> ((s, d) =>
+      Stats.abAssignment(
+        s.read.parquet(s"$d/customer.parquet"), "c_custkey")),
+    // Attribution-window sensitivity: one ungated as-of join, three
+    // window gates over the joined purchase frame.
+    "x111_attribution_windows" -> ((s, d) =>
+      Sessions.attributionWindowSweep(
+        events(s, d).select("event_id", "user_id", "event_type", "ts"))),
     // Simpson lexical diversity per source: exact repeat-probability
     // ppm over the (source, token) count frame.
     "x107_source_diversity" -> ((s, d) => TextStats.sourceDiversity(docs(s, d))),

@@ -2713,6 +2713,72 @@ class ExtSpec extends SparkSpec {
       4L -> ((2L, 3L, 3L, 390L * 3 / 2 + 11800L - 15590))), s"got $got")
   }
 
+  test("weightedSample: salt-reproducible, k cut, weight floor, volume bias") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i =>
+      (i, "t", if (i % 2 == 0) 900L else 1L)).toDF("doc_id", "text", "n_chars")
+    val s1 = graft.ext.Assemble.weightedSample(docs, k = 50)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = graft.ext.Assemble.weightedSample(docs, k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.size == 50, "same salt must reproduce exactly")
+    val s3 = graft.ext.Assemble.weightedSample(docs, k = 50, salt = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 != s3, "a different salt must redraw")
+    // 900:1 weights: heavy docs dominate the sample
+    assert(s1.count(_ % 2 == 0) >= 45, s"volume bias too weak: $s1")
+    // NULL n_chars floors at weight 1 without NULL-ing the row
+    val withNull = docs.withColumn("n_chars",
+      when($"doc_id" === 1L, lit(null).cast("long")).otherwise($"n_chars"))
+    val w = graft.ext.Assemble.weightedSample(withNull, k = 400)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(1L) == 1L && w.size == 400, s"NULL weight handling: ${w.get(1L)}")
+  }
+
+  test("abAssignment: exact bucket carve, sticky hashing, SRM arithmetic") {
+    import spark.implicits._
+    val units = (1L to 1000L).toDF("uid")
+    val got = graft.ext.Stats.abAssignment(units, "uid",
+      arms = Seq("a" -> 200, "b" -> 300, "c" -> 500)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    val n = got.values.map(_._2).sum
+    assert(n == 1000L)
+    got.foreach { case (arm, (ppt, nu, target, actual, dev)) =>
+      assert(target == ppt * 1000, s"$arm target")
+      assert(actual == 1000000L * nu / 1000L, s"$arm actual")
+      assert(dev == math.abs(actual - target), s"$arm dev")
+    }
+    // sticky: same unit set, same assignment
+    val again = graft.ext.Stats.abAssignment(units, "uid",
+      arms = Seq("a" -> 200, "b" -> 300, "c" -> 500)).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again == got.map { case (k, v) => k -> v._2 })
+  }
+
+  test("attributionWindowSweep: monotone rates, gate boundary, ungated join") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    val m = 60L * 1000000L
+    val rows = Seq(
+      (1L, 1L, "view", t0), (2L, 1L, "purchase", t0 + 45 * m),   // 45 min lag
+      (10L, 2L, "click", t0), (11L, 2L, "purchase", t0 + 90 * m), // 90 min
+      (20L, 3L, "purchase", t0 + 10 * m),                          // no touch
+      (30L, 4L, "view", t0), (31L, 4L, "purchase", t0 + 30 * m))   // exactly 30
+    val ev = rows.toDF("event_id", "user_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+      .select("event_id", "user_id", "event_type", "ts")
+    val got = Sessions.attributionWindowSweep(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // 4 purchases; <=30 min: user 4 only; <=60: users 1+4; <=120: 1+2+4
+    assert(got == Map(
+      30L -> ((4L, 1L, 250000L)),
+      60L -> ((4L, 2L, 500000L)),
+      120L -> ((4L, 3L, 750000L))), s"got $got")
+  }
+
   test("mmrDiversify: diversification beats the near-dup, λ=1000 is pure relevance") {
     import spark.implicits._
     // q=(1,0); a,b near-dups of each other at rel≈1; c at rel≈0.707.
