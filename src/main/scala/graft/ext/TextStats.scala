@@ -218,6 +218,33 @@ object TextStats {
       .orderBy(col("n").desc, col("token"))
       .limit(topN)
 
+  /** Vocabulary coverage per source — the tokenizer-eval report next
+    * to X60's fertility: what fraction (exact ppm) of a source's
+    * token OCCURRENCES the top-`topN` corpus vocabulary explains. A
+    * source far below the corpus norm is the one whose text a learned
+    * vocab will shatter into bytes (code, serials, another language)
+    * — the signal for widening the vocab or gating the source. Vocab
+    * = the [[vocabulary]] construction verbatim (count DESC, token
+    * tiebreak), so both engines cut the identical list.
+    *
+    * Scale shape: the vocab is config-sized → BROADCAST; the token
+    * stream takes one map-side-combinable source groupBy and never
+    * shuffles for the membership join. */
+  def vocabCoverage(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val vocab = vocabulary(docs, topN)
+      .select(col("token"), lit(1L).as("inv"))
+    docs
+      .select(col("source"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("inv"), lit(0L))).as("n_in_vocab"))
+      .select(col("source"), col("n_tokens"), col("n_in_vocab"),
+        expr("1000000 * n_in_vocab DIV n_tokens").as("coverage_ppm"))
+  }
+
   /** Canonical text normalization — the step that PRECEDES every dedup
     * family in a real pipeline (a case or whitespace variant of a
     * document must hash/shingle identically to its canonical form):

@@ -887,6 +887,36 @@ object ExtOracles {
         |                 // CAST(count(*) AS BIGINT) END AS rate_ppm
         |FROM j CROSS JOIN w GROUP BY 1""".stripMargin,
 
+    // Salted join ≡ plain join: the oracle is the UNSALTED SQL join —
+    // structural cross-proof that salting changes layout, not results.
+    "x112_salted_join" ->
+      """SELECT c.c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // Vocab coverage: the x26 vocabulary CTE verbatim (count DESC,
+    // token tiebreak, LIMIT 20) + a membership left join per source.
+    "x113_vocab_coverage" ->
+      """WITH v AS (
+        |  SELECT token FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY token ORDER BY count(*) DESC, token LIMIT 20),
+        |f AS (
+        |  SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS token
+        |  FROM documents),
+        |g AS (SELECT source, token FROM f WHERE length(token) > 0)
+        |SELECT g.source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_in_vocab,
+        |       1000000 * CAST(sum(CASE WHEN v.token IS NOT NULL
+        |                              THEN 1 ELSE 0 END) AS BIGINT)
+        |         // CAST(count(*) AS BIGINT) AS coverage_ppm
+        |FROM g LEFT JOIN v ON g.token = v.token
+        |GROUP BY 1""".stripMargin,
+
     // Simpson diversity: repeat probability in exact ppm; Σc(c−1) and
     // n(n−1) in HUGEINT (corpus-quadratic in the degenerate source).
     "x107_source_diversity" ->

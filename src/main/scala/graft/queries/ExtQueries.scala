@@ -698,6 +698,19 @@ object ExtQueries {
     "x111_attribution_windows" -> ((s, d) =>
       Sessions.attributionWindowSweep(
         events(s, d).select("event_id", "user_id", "event_type", "ts"))),
+    // Salted skew join ≡ plain join: the salt must change the LAYOUT,
+    // never the result — the oracle is the unsalted SQL join.
+    "x112_salted_join" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"))
+      val cust = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.ext.SkewJoin.saltedJoin(ev, cust, "user_id", "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+    // Vocabulary coverage per source against the x26 top-20 cut.
+    "x113_vocab_coverage" -> ((s, d) => TextStats.vocabCoverage(docs(s, d))),
     // Simpson lexical diversity per source: exact repeat-probability
     // ppm over the (source, token) count frame.
     "x107_source_diversity" -> ((s, d) => TextStats.sourceDiversity(docs(s, d))),

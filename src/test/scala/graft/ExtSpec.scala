@@ -2713,6 +2713,37 @@ class ExtSpec extends SparkSpec {
       4L -> ((2L, 3L, 3L, 390L * 3 / 2 + 11800L - 15590))), s"got $got")
   }
 
+  test("saltedJoin: result equals the plain join; salt spreads a hot key") {
+    import spark.implicits._
+    val left = (Seq.fill(100)(7L) ++ Seq(1L, 2L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val right = Seq((7L, "hot"), (1L, "a"), (3L, "unused")).toDF("rk", "v")
+    val salted = graft.ext.SkewJoin.saltedJoin(left, right, "k", "rk")
+    val plain = left.join(right, left("k") === right("rk"))
+    assert(salted.count() == plain.count() && salted.count() == 101)
+    // the hot key's rows really land on multiple salts
+    val spread = left.filter($"k" === 7L)
+      .withColumn("__salt", pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread > 1, s"hot key used only $spread salt(s)")
+  }
+
+  test("vocabCoverage: in/out-of-vocab arithmetic per source") {
+    import spark.implicits._
+    // topN=2 vocab over the corpus: "a"(4), "b"(3) beat "z"(2), "q"(1)
+    val d = Seq(
+      (1L, "a a b z", "A"), (2L, "a b q", "B"), (3L, "a b z", "B"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length($"text"))
+    val got = TextStats.vocabCoverage(d, topN = 2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // A: 4 tokens, 3 in {a,b} → 750000; B: 6 tokens, 4 in → 666666
+    assert(got == Map(
+      "A" -> ((4L, 3L, 750000L)),
+      "B" -> ((6L, 4L, 666666L))), s"got $got")
+  }
+
   test("weightedSample: salt-reproducible, k cut, weight floor, volume bias") {
     import spark.implicits._
     val docs = (1L to 400L).map(i =>
