@@ -646,6 +646,40 @@ object Stats {
     }.reduce(_.unionByName(_))
   }
 
+  /** Market-basket co-occurrence (basket affinity): for every part
+    * pair ordered together in at least `minCount` orders, the
+    * co-order count and exact integer LIFT in ppm —
+    * `c₁₂·N div (c₁·c₂)`, the X112 collocation arithmetic with the
+    * basket as the context window instead of adjacency (Agrawal &
+    * Srikant's association-rule support/lift, 1994). The
+    * recommendation/bundling signal the reference's order data
+    * implies but never computes.
+    *
+    * Scale shape: the self-join keys on `l_orderkey` — pair expansion
+    * is bounded by basket size SQUARED (a business constant), never
+    * by part popularity; the pair groupBy folds map-side to observed-
+    * pair cardinality, marginals re-aggregate from the distinct
+    * (order, part) frame, lift products run in DECIMAL(38,0) ↔
+    * HUGEINT. */
+  def basketAffinity(lineitem: DataFrame, minCount: Long = 3L): DataFrame = {
+    require(minCount >= 1, s"minCount $minCount must be positive")
+    val items = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val tot = items.agg(countDistinct(col("o")).as("n_orders"))
+    val pairs = items.select(col("o"), col("p").as("p1"))
+      .join(items.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("pair_cnt"))
+    val pc = items.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    pairs.filter(col("pair_cnt") >= minCount)
+      .join(pc.select(col("p").as("p1"), col("c").as("c1")), Seq("p1"))
+      .join(pc.select(col("p").as("p2"), col("c").as("c2")), Seq("p2"))
+      .crossJoin(broadcast(tot))
+      .select(col("p1"), col("p2"), col("pair_cnt"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_orders * pair_cnt" +
+          " DIV (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)").as("lift_ppm"))
+  }
+
   /** Deterministic A/B experiment assignment + sample-ratio-mismatch
     * report: each unit hashes into a per-mille bucket (salted md5-32
     * mod 1000 — assignment is a pure function of (unit, experiment),

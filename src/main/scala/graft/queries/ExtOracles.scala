@@ -917,6 +917,66 @@ object ExtOracles {
         |FROM g LEFT JOIN v ON g.token = v.token
         |GROUP BY 1""".stripMargin,
 
+    // Triangle counts: canonical u<v<w triple join over the x18 pair
+    // set (AS MATERIALIZED — shared CTEs re-expand otherwise) vs the
+    // Spark side's degree-oriented node-iterator.
+    "x114_triangle_count" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS MATERIALIZED (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS MATERIALIZED (
+         |    SELECT i.a_id, i.b_id
+         |    FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 7 * (sa.sz + sb.sz - i.i)),
+         |  tri AS MATERIALIZED (
+         |    SELECT p1.a_id AS u, p1.b_id AS v, p2.b_id AS w
+         |    FROM pairs p1
+         |    JOIN pairs p2 ON p1.a_id = p2.a_id AND p1.b_id < p2.b_id
+         |    JOIN pairs p3 ON p3.a_id = p1.b_id AND p3.b_id = p2.b_id),
+         |  deg AS (
+         |    SELECT x, CAST(count(*) AS BIGINT) AS deg
+         |    FROM (SELECT a_id AS x FROM pairs
+         |          UNION ALL SELECT b_id FROM pairs)
+         |    GROUP BY 1),
+         |  tn AS (
+         |    SELECT n, CAST(count(*) AS BIGINT) AS n_triangles
+         |    FROM (SELECT u AS n FROM tri UNION ALL SELECT v FROM tri
+         |          UNION ALL SELECT w FROM tri)
+         |    GROUP BY 1)
+         |SELECT deg.x AS node, deg.deg,
+         |       coalesce(tn.n_triangles, 0) AS n_triangles,
+         |       CASE WHEN deg.deg < 2 THEN 0
+         |            ELSE 1000000 * 2 * coalesce(tn.n_triangles, 0)
+         |                 // (deg.deg * (deg.deg - 1)) END AS closure_ppm
+         |FROM deg LEFT JOIN tn ON tn.n = deg.x""".stripMargin,
+
+    // Basket affinity: distinct (order, part) frame, in-order pair
+    // self-join, lift = c12·N // (c1·c2) in HUGEINT.
+    "x115_basket_affinity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+        |pr AS (
+        |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS pair_cnt
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2),
+        |pc AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1)
+        |SELECT pr.p1, pr.p2, pr.pair_cnt,
+        |       CAST(CAST(1000000 AS HUGEINT) * tot.n_orders * pr.pair_cnt
+        |            // (CAST(c1.c AS HUGEINT) * c2.c) AS BIGINT) AS lift_ppm
+        |FROM pr
+        |JOIN pc c1 ON c1.p = pr.p1
+        |JOIN pc c2 ON c2.p = pr.p2
+        |CROSS JOIN tot
+        |WHERE pr.pair_cnt >= 3""".stripMargin,
+
     // Simpson diversity: repeat probability in exact ppm; Σc(c−1) and
     // n(n−1) in HUGEINT (corpus-quadratic in the degenerate source).
     "x107_source_diversity" ->

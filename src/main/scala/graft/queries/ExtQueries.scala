@@ -711,6 +711,15 @@ object ExtQueries {
     }),
     // Vocabulary coverage per source against the x26 top-20 cut.
     "x113_vocab_coverage" -> ((s, d) => TextStats.vocabCoverage(docs(s, d))),
+    // Triangle counts over the shared pair graph: the degree-oriented
+    // node-iterator vs the oracle's canonical u<v<w triple join — two
+    // independent constructions of the same count.
+    "x114_triangle_count" -> ((s, d) =>
+      graft.ext.Graph.triangleCounts(ngramPairs(s, d).select("a_id", "b_id"))),
+    // Market-basket lift over co-ordered parts (63 pairs at count>=3
+    // on sf0.01); pair expansion bounded by basket size squared.
+    "x115_basket_affinity" -> ((s, d) =>
+      Stats.basketAffinity(s.read.parquet(s"$d/lineitem.parquet"))),
     // Simpson lexical diversity per source: exact repeat-probability
     // ppm over the (source, token) count frame.
     "x107_source_diversity" -> ((s, d) => TextStats.sourceDiversity(docs(s, d))),

@@ -2713,6 +2713,45 @@ class ExtSpec extends SparkSpec {
       4L -> ((2L, 3L, 3L, 390L * 3 / 2 + 11800L - 15590))), s"got $got")
   }
 
+  test("triangleCounts: clique vs star, closure coefficients, orientation exactness") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: every node sits in C(3,2)=3 triangles,
+    // closure = 1e6·2·3 div (3·2) = 1e6. Star center 10 with leaves
+    // {11,12,13}: deg 3, zero triangles, closure 0.
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L))
+    val got = graft.ext.Graph.triangleCounts(
+      (k4 ++ star).toDF("a_id", "b_id")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    (1L to 4L).foreach { n =>
+      assert(got(n) == ((3L, 3L, 1000000L)), s"K4 node $n: ${got(n)}")
+    }
+    assert(got(10L) == ((3L, 0L, 0L)), s"star center: ${got(10L)}")
+    assert(got(11L) == ((1L, 0L, 0L)), s"leaf: ${got(11L)}")
+    // a triangle hanging off a hub: counted once, all orientations
+    val mixed = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (3L, 5L))
+    val m = graft.ext.Graph.triangleCounts(mixed.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L),
+      s"got $m")
+  }
+
+  test("basketAffinity: hand-worked lift, threshold cut, duplicate lines collapse") {
+    import spark.implicits._
+    // orders: o1{A,B}, o2{A,B}, o3{A,B,C}, o4{C} (+ a duplicate A line
+    // in o1 that must collapse). N=4; c(A)=3, c(B)=3, c(C)=2.
+    // AB: 3 co-orders → lift = 1e6·4·3 div 9 = 1333333.
+    // AC/BC: 1 co-order — cut by minCount=2.
+    val rows = Seq((1L, 100L), (1L, 100L), (1L, 200L), (2L, 100L),
+      (2L, 200L), (3L, 100L), (3L, 200L), (3L, 300L), (4L, 300L))
+    val li = rows.toDF("l_orderkey", "l_partkey")
+    val got = graft.ext.Stats.basketAffinity(li, minCount = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map((100L, 200L) -> ((3L, 1333333L))), s"got $got")
+  }
+
   test("saltedJoin: result equals the plain join; salt spreads a hot key") {
     import spark.implicits._
     val left = (Seq.fill(100)(7L) ++ Seq(1L, 2L)).zipWithIndex
