@@ -917,6 +917,65 @@ object ExtOracles {
         |FROM g LEFT JOIN v ON g.token = v.token
         |GROUP BY 1""".stripMargin,
 
+    // Dup-cluster profile: the x24 recursive closure (MinHash-threshold
+    // pairs at 0.8) + doc stats per component label.
+    "x116_dup_cluster_profile" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS (
+         |    SELECT a_id, b_id FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 8 * (sa.sz + sb.sz - i.i)),
+         |  e AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |        UNION SELECT b_id, a_id FROM pairs),
+         |  reach(a, b) AS (
+         |    SELECT a, b FROM e
+         |    UNION
+         |    SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |  comp AS (
+         |    SELECT n.a AS doc_id, least(min(r.b), n.a) AS component
+         |    FROM (SELECT DISTINCT a FROM e) n JOIN reach r ON r.a = n.a
+         |    GROUP BY n.a)
+         |SELECT c.component, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(length(coalesce(d.text, ''))) AS BIGINT)
+         |         AS total_chars,
+         |       min(c.doc_id) AS min_doc_id, max(c.doc_id) AS max_doc_id,
+         |       CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+         |FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+         |GROUP BY 1""".stripMargin,
+
+    // Contamination by source: the x19 chain + one source rollup.
+    "x117_contamination_by_source" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |  tg AS (SELECT doc_id, unnest(list_distinct(
+        |           [array_to_string(s[i:i+12], ' ') FOR i IN range(1, len(s)-11)])) AS g
+        |         FROM tr),
+        |  ev_src AS (SELECT list_slice(string_split(text, ' '), 5, 30) AS s
+        |             FROM documents WHERE doc_id % 50 = 0),
+        |  ev AS (SELECT DISTINCT unnest(
+        |           [array_to_string(s[i:i+12], ' ') FOR i IN range(1, len(s)-11)]) AS g
+        |         FROM ev_src),
+        |  hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |           FROM tg JOIN ev USING (g) GROUP BY doc_id),
+        |  flagged AS (
+        |    SELECT d.doc_id, d.source,
+        |           coalesce(h.n, 0) > 0 AS contaminated
+        |    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_contaminated,
+        |       1000000 *
+        |         CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+        |         // CAST(count(*) AS BIGINT) AS rate_ppm
+        |FROM flagged GROUP BY 1""".stripMargin,
+
     // Triangle counts: canonical u<v<w triple join over the x18 pair
     // set (AS MATERIALIZED — shared CTEs re-expand otherwise) vs the
     // Spark side's degree-oriented node-iterator.

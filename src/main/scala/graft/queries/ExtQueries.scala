@@ -720,6 +720,38 @@ object ExtQueries {
     // on sf0.01); pair expansion bounded by basket size squared.
     "x115_basket_affinity" -> ((s, d) =>
       Stats.basketAffinity(s.read.parquet(s"$d/lineitem.parquet"))),
+    // Dup-cluster profile: the x24 component labels (shared OnceCache)
+    // joined back to doc stats — the curation review row per cluster.
+    // Composition in the x81 convention; component aggregate is
+    // map-side-combinable over the component-labeled frame.
+    "x116_dup_cluster_profile" -> ((s, d) => {
+      val dd = docs(s, d)
+      dupComps(s, d)
+        .join(dd.select(col("doc_id"), col("source"),
+          length(coalesce(col("text"), lit(""))).cast("long").as("nc")),
+          Seq("doc_id"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("total_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"),
+          countDistinct(col("source")).as("n_sources"))
+    }),
+    // Contamination rolled up per source — the report a curation team
+    // actually reads (WHICH crawl leaked the eval set); the x19
+    // construction + one source aggregate.
+    "x117_contamination_by_source" -> ((s, d) => {
+      val dd = docs(s, d)
+      val ev = dd.filter(col("doc_id") % 50 === 0)
+        .select(array_join(slice(split(col("text"), " "), 5, 26), " ").as("text"))
+      Dedup.decontaminate(dd, ev)
+        .join(dd.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+        .select(col("source"), col("n_docs"), col("n_contaminated"),
+          expr("1000000 * n_contaminated DIV n_docs").as("rate_ppm"))
+    }),
     // Simpson lexical diversity per source: exact repeat-probability
     // ppm over the (source, token) count frame.
     "x107_source_diversity" -> ((s, d) => TextStats.sourceDiversity(docs(s, d))),
