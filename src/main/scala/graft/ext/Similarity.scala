@@ -1285,4 +1285,56 @@ object Similarity {
     import spark.implicits._
     out.toDF("query_id", "sel_rank", "vec_id", "score_ppm")
   }
+
+  /** Raw inner-product top-k — the unnormalized sibling of [[cosTopK]]
+    * (maximum-inner-product search: when embedding NORM carries signal
+    * — e.g. popularity-scaled item vectors — cosine throws it away).
+    * Same probe-set convention, same bounded-pre-rank top-k plan, same
+    * (score DESC, vec_id) tiebreak. Kept on the cosTopKFor universe
+    * (zero-norm vectors excluded) so the two rankings fuse over the
+    * same candidate space. */
+  def dotTopK(emb: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
+      .withColumn("nq", norm(col("q"))).filter(col("nq") > 0)
+    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v"))).filter(col("nv") > 0)
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      // the score column is named "cos" only because topKPerQuery
+      // ranks that column; the VALUE is the raw dot product
+      .withColumn("cos", dot(col("q"), col("v")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): merge
+    * any number of (query_id, neighbor_id, rank) rankings by
+    * `Σ 10⁶ div (kConst + rank)` — the standard no-tuning ensemble
+    * for heterogeneous retrieval signals (cosine vs inner-product vs
+    * sparse), exact integer so the fusion hash-compares; ties break
+    * on the smaller neighbor_id. The per-list ranks are already
+    * k-bounded, so the union is lists × k × queries rows — config-
+    * scale; the fused top-k rides the same partial WindowGroupLimit
+    * rewrite as every ranking in the family. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 5,
+      kConst: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kConst >= 0, s"kConst $kConst must be non-negative")
+    val all = rankings
+      .map(_.select(col("query_id"), col("neighbor_id"), col("rank")))
+      .reduce(_.unionByName(_))
+    val fused = all
+      .withColumn("contrib", expr(s"1000000 DIV ($kConst + rank)"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("contrib")).as("rrf_ppm"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_ppm").desc, col("neighbor_id"))
+    fused.withColumn("fused_rank", row_number().over(w).cast("int"))
+      .filter(col("fused_rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("n_lists"),
+        col("rrf_ppm"), col("fused_rank"))
+  }
 }

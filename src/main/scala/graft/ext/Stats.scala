@@ -646,6 +646,41 @@ object Stats {
     }.reduce(_.unionByName(_))
   }
 
+  /** Customer-lifetime-value percentiles: exact PERCENTILE_DISC over
+    * per-customer lifetime spend in integer cents (the shared
+    * `floor(p·100 + 0.5)` expression) via the [[lengthQuantiles]]
+    * histogram-selection construction without the group key — the
+    * value at rank ⌈p·n/100⌉ is the smallest LTV whose cumulative
+    * customer count reaches it. The revenue-concentration companion
+    * of X115's event-side view.
+    *
+    * Scale shape: one map-side customer fold, one LTV-value histogram
+    * (cardinality bounded by distinct LTV values — the X42 caveat: a
+    * near-unique money column bounds the prefix task by customer
+    * cardinality, the audited-report trade), selection legs per
+    * requested percentile over the tiny crossed frame. The oracle
+    * cross-proves via the naive global row_number ranking. */
+  def ltvQuantiles(orders: DataFrame, ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles $ps must be in [1, 100]")
+    val ltv = orders.filter(col("o_custkey").isNotNull)
+      .select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("ltv"))
+    val hist = ltv.groupBy(col("ltv")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("ltv"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = hist.agg(sum(col("cnt")).as("n_customers"))
+    val h = hist.crossJoin(broadcast(tot))
+    ps.map { p =>
+      h.filter(expr(s"cum >= ($p * n_customers + 99) DIV 100"))
+        .agg(max(col("n_customers")).as("n_customers"),
+          min(col("ltv")).as("ltv_cents_at_p"))
+        .select(lit(p).as("p"), col("n_customers"), col("ltv_cents_at_p"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Market-basket co-occurrence (basket affinity): for every part
     * pair ordered together in at least `minCount` orders, the
     * co-order count and exact integer LIFT in ppm —

@@ -917,6 +917,76 @@ object ExtOracles {
         |FROM g LEFT JOIN v ON g.token = v.token
         |GROUP BY 1""".stripMargin,
 
+    // LTV percentiles: naive global row_number ranking cross-proves
+    // the decomposed histogram selection; target rank ⌈p·n/100⌉.
+    "x118_ltv_quantiles" ->
+      """WITH l AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS ltv
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |r AS (SELECT ltv, row_number() OVER (ORDER BY ltv) AS rn FROM l),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_customers FROM l)
+        |SELECT CAST(ps.p AS INT) AS p, t.n_customers, r.ltv AS ltv_cents_at_p
+        |FROM (VALUES (50), (90), (99)) ps(p), t, r
+        |WHERE r.rn = (ps.p * t.n_customers + 99) // 100""".stripMargin,
+
+    // Degree histogram over the x18 pair set.
+    "x119_degree_histogram" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS (
+         |    SELECT i.a_id, i.b_id FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 7 * (sa.sz + sb.sz - i.i)),
+         |  d AS (
+         |    SELECT x, CAST(count(*) AS BIGINT) AS deg
+         |    FROM (SELECT a_id AS x FROM pairs
+         |          UNION ALL SELECT b_id FROM pairs)
+         |    GROUP BY 1)
+         |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM d GROUP BY 1""".stripMargin,
+
+    // RRF fusion of the x3 cosine ranking and the raw inner-product
+    // ranking (both brute-force constructions), Σ 1e6 // (60 + rank).
+    "x120_rrf_fuse" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |     c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |     s AS (SELECT query_id, vec_id,
+        |                  list_dot_product(qv, v) AS d,
+        |                  list_dot_product(qv, v) /
+        |                    (sqrt(list_dot_product(qv, qv)) *
+        |                     sqrt(list_dot_product(v, v))) AS cos
+        |           FROM q, c WHERE vec_id <> query_id),
+        |r1 AS (SELECT query_id, vec_id AS neighbor_id,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cos DESC, vec_id) AS rnk
+        |       FROM s QUALIFY rnk <= 10),
+        |r2 AS (SELECT query_id, vec_id AS neighbor_id,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY d DESC, vec_id) AS rnk
+        |       FROM s QUALIFY rnk <= 10),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+        |f AS (SELECT query_id, neighbor_id,
+        |             CAST(count(*) AS BIGINT) AS n_lists,
+        |             CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_ppm
+        |      FROM u GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, n_lists, rrf_ppm,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY rrf_ppm DESC, neighbor_id)
+        |            AS INT) AS fused_rank
+        |FROM f QUALIFY fused_rank <= 5""".stripMargin,
+
     // Dup-cluster profile: the x24 recursive closure (MinHash-threshold
     // pairs at 0.8) + doc stats per component label.
     "x116_dup_cluster_profile" ->

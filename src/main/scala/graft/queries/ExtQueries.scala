@@ -737,6 +737,25 @@ object ExtQueries {
           max(col("doc_id")).as("max_doc_id"),
           countDistinct(col("source")).as("n_sources"))
     }),
+    // LTV percentiles: decomposed histogram selection vs the oracle's
+    // naive global ranking (the x30 cross-proof convention).
+    "x118_ltv_quantiles" -> ((s, d) =>
+      Stats.ltvQuantiles(s.read.parquet(s"$d/orders.parquet"))),
+    // Degree histogram of the shared pair graph — the one-glance
+    // "is this corpus a few boilerplate stars or many small twins".
+    "x119_degree_histogram" -> ((s, d) => {
+      val p = ngramPairs(s, d)
+      p.select(col("a_id").as("n"))
+        .unionByName(p.select(col("b_id").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    }),
+    // Reciprocal-rank fusion of the cosine and inner-product top-10
+    // rankings — both SQL-expressible, so the fusion hash-compares.
+    "x120_rrf_fuse" -> ((s, d) =>
+      Similarity.rrfFuse(Seq(
+        Similarity.cosTopK(emb(s, d), k = 10),
+        Similarity.dotTopK(emb(s, d), k = 10)))),
     // Contamination rolled up per source — the report a curation team
     // actually reads (WHICH crawl leaked the eval set); the x19
     // construction + one source aggregate.

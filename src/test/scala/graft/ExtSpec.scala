@@ -2713,6 +2713,42 @@ class ExtSpec extends SparkSpec {
       4L -> ((2L, 3L, 3L, 390L * 3 / 2 + 11800L - 15590))), s"got $got")
   }
 
+  test("rrfFuse: hand-worked fusion, shared hit outranks, id tiebreak") {
+    import spark.implicits._
+    val r1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val r2 = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.rrfFuse(Seq(r1, r2)).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    // contrib: 1e6 div 61 = 16393, 1e6 div 62 = 16129
+    assert(got == Map(
+      11L -> ((2L, 16393L + 16129L, 1)),
+      10L -> ((1L, 16393L, 2)),
+      12L -> ((1L, 16129L, 3))), s"got $got")
+    // equal scores: the smaller neighbor_id ranks first
+    val ta = Seq((1L, 20L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val tb = Seq((1L, 19L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val tie = Similarity.rrfFuse(Seq(ta, tb)).orderBy("fused_rank")
+      .collect().map(_.getLong(1)).toSeq
+    assert(tie == Seq(19L, 20L), s"tiebreak: $tie")
+  }
+
+  test("ltvQuantiles: rank selection over summed cents, worked percentiles") {
+    import spark.implicits._
+    val rows = Seq((1L, "1995-01-01", 10.0), (1L, "1995-02-01", 20.0),
+      (2L, "1995-01-01", 5.0), (3L, "1995-01-01", 1.0),
+      (4L, "1995-01-01", 100.0))
+    val orders = rows.toDF("o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp($"d")).drop("d")
+    // LTVs sorted: 100, 500, 3000, 10000 (n=4); p50→rank 2 = 500,
+    // p90→rank 4 = 10000, p99→rank 4 = 10000
+    val got = graft.ext.Stats.ltvQuantiles(orders).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      50 -> ((4L, 500L)), 90 -> ((4L, 10000L)), 99 -> ((4L, 10000L))),
+      s"got $got")
+  }
+
   test("triangleCounts: clique vs star, closure coefficients, orientation exactness") {
     import spark.implicits._
     // K4 on {1,2,3,4}: every node sits in C(3,2)=3 triangles,
