@@ -485,6 +485,10 @@ object Stats {
     * totally orders the pick, so the report is engine-deterministic. */
   def keySkew(df: DataFrame, key: String, topK: Int = 5): DataFrame = {
     require(topK > 0, s"topK $topK must be positive")
+    // the key-count frame feeds the stats aggregate AND the top-k,
+    // but its exchange subtree is IDENTICAL in both branches, so
+    // ReuseExchange runs the corpus count once (probed: 1 FileScan,
+    // 1 ReusedExchange) — no persist needed
     val counts = df.filter(col(key).isNotNull)
       .groupBy(col(key)).agg(count(lit(1)).as("key_cnt"))
     val stats = counts.agg(
@@ -518,17 +522,24 @@ object Stats {
     * the raw stream is touched exactly once. NULL timestamps are
     * dropped (no day to attribute). */
   def ingestGaps(events: DataFrame): DataFrame = {
+    // the daily frame feeds the span aggregate AND the anti-join —
+    // persist the calendar-bounded frame or both re-pay the corpus
+    // count (the sourceOverlap lesson)
     val daily = events.filter(col("ts").isNotNull)
       .select(col("event_type"),
         expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
-    val span = daily.groupBy(col("event_type"))
-      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-    span.select(col("event_type"),
-        explode(sequence(col("d0"), col("d1"))).as("day"))
-      .join(daily, Seq("event_type", "day"), "left_anti")
-      .select(col("event_type"), col("day").as("missing_day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val span = daily.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      span.select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left_anti")
+        .select(col("event_type"), col("day").as("missing_day"))
+        .localCheckpoint(true)
+    } finally daily.unpersist(blocking = false)
   }
 
   /** Traffic-concentration report — the Pareto/Lorenz point next to
@@ -556,6 +567,9 @@ object Stats {
   def paretoConcentration(events: DataFrame): DataFrame = {
     val perUser = events.filter(col("user_id").isNotNull)
       .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    // the histogram feeds three consumers, but its exchange subtrees
+    // are identical — ReuseExchange runs the corpus count once
+    // (probed: 1 FileScan, 4 ReusedExchange); no persist needed
     val hist = perUser.groupBy(col("c")).agg(count(lit(1)).as("n_users_c"))
       .withColumn("ev_c", col("c") * col("n_users_c"))
       .withColumn("users_before",
@@ -667,6 +681,10 @@ object Stats {
       .select(col("o_custkey"),
         expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
       .groupBy(col("o_custkey")).agg(sum(col("cents")).as("ltv"))
+    // the totals aggregate and every percentile leg scan the
+    // histogram, but the shared exchange subtree is identical across
+    // legs — ReuseExchange runs the orders fold once (probed: 1
+    // FileScan, 5 ReusedExchange); no persist needed
     val hist = ltv.groupBy(col("ltv")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(
         Window.orderBy(col("ltv"))
@@ -698,21 +716,28 @@ object Stats {
     * HUGEINT. */
   def basketAffinity(lineitem: DataFrame, minCount: Long = 3L): DataFrame = {
     require(minCount >= 1, s"minCount $minCount must be positive")
+    // the distinct item frame feeds FOUR consumers (total, both sides
+    // of the pair self-join, the marginals) — persist it or each
+    // re-pays the lineitem scan + distinct (the sourceOverlap lesson)
     val items = lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val tot = items.agg(countDistinct(col("o")).as("n_orders"))
-    val pairs = items.select(col("o"), col("p").as("p1"))
-      .join(items.select(col("o"), col("p").as("p2")), Seq("o"))
-      .filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("pair_cnt"))
-    val pc = items.groupBy(col("p")).agg(count(lit(1)).as("c"))
-    pairs.filter(col("pair_cnt") >= minCount)
-      .join(pc.select(col("p").as("p1"), col("c").as("c1")), Seq("p1"))
-      .join(pc.select(col("p").as("p2"), col("c").as("c2")), Seq("p2"))
-      .crossJoin(broadcast(tot))
-      .select(col("p1"), col("p2"), col("pair_cnt"),
-        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_orders * pair_cnt" +
-          " DIV (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)").as("lift_ppm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tot = items.agg(countDistinct(col("o")).as("n_orders"))
+      val pairs = items.select(col("o"), col("p").as("p1"))
+        .join(items.select(col("o"), col("p").as("p2")), Seq("o"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("pair_cnt"))
+      val pc = items.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      pairs.filter(col("pair_cnt") >= minCount)
+        .join(pc.select(col("p").as("p1"), col("c").as("c1")), Seq("p1"))
+        .join(pc.select(col("p").as("p2"), col("c").as("c2")), Seq("p2"))
+        .crossJoin(broadcast(tot))
+        .select(col("p1"), col("p2"), col("pair_cnt"),
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_orders * pair_cnt" +
+            " DIV (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)").as("lift_ppm"))
+        .localCheckpoint(true)
+    } finally items.unpersist(blocking = false)
   }
 
   /** Deterministic A/B experiment assignment + sample-ratio-mismatch
@@ -827,6 +852,10 @@ object Stats {
         .as("day"),
       expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
     val maxDay = o.agg(max(col("day")).as("max_day"))
+    // each globalNtile pass reads its input for BOTH the histogram
+    // and the join-back, and three passes chain — persist the
+    // customer-bounded RFM frame or the orders scan re-runs per leg
+    // (the sourceOverlap lesson)
     val rfm = o.groupBy(col("o_custkey"))
       .agg(max(col("day")).as("last_day"),
         count(lit(1)).as("frequency"),
@@ -836,14 +865,18 @@ object Stats {
       .withColumnRenamed("o_custkey", "c_custkey")
       .select(col("c_custkey"), col("recency_days"), col("frequency"),
         col("monetary_cents"))
-    val scored = globalNtile(
-      globalNtile(
-        globalNtile(rfm, "recency_days", descOrder = true, "c_custkey",
-          bands, "r_score"),
-        "frequency", descOrder = false, "c_custkey", bands, "f_score"),
-      "monetary_cents", descOrder = false, "c_custkey", bands, "m_score")
-    scored.select(col("c_custkey"), col("recency_days"), col("frequency"),
-      col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
-      concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val scored = globalNtile(
+        globalNtile(
+          globalNtile(rfm, "recency_days", descOrder = true, "c_custkey",
+            bands, "r_score"),
+          "frequency", descOrder = false, "c_custkey", bands, "f_score"),
+        "monetary_cents", descOrder = false, "c_custkey", bands, "m_score")
+      scored.select(col("c_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+        .localCheckpoint(true)
+    } finally rfm.unpersist(blocking = false)
   }
 }
