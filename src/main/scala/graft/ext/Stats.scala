@@ -852,10 +852,14 @@ object Stats {
         .as("day"),
       expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
     val maxDay = o.agg(max(col("day")).as("max_day"))
-    // each globalNtile pass reads its input for BOTH the histogram
-    // and the join-back, and three passes chain — persist the
-    // customer-bounded RFM frame or the orders scan re-runs per leg
-    // (the sourceOverlap lesson)
+    // deliberately LAZY: a persist here was tried and REVERTED — the
+    // persisted frame loses its size stats, AQE stops broadcasting
+    // the measured-small ntile histograms, every join degrades to
+    // SortMergeJoin and the sf0.1 median went 1.1 s → 6.6 s. The
+    // lazy plan re-derives the orders fold per ntile leg (6 scans of
+    // the small aggregate lineage); at true corpus scale the caller
+    // materializes the per-customer frame ONCE upstream and feeds it
+    // in — the operator keeps the optimizer-friendly shape.
     val rfm = o.groupBy(col("o_custkey"))
       .agg(max(col("day")).as("last_day"),
         count(lit(1)).as("frequency"),
@@ -865,18 +869,14 @@ object Stats {
       .withColumnRenamed("o_custkey", "c_custkey")
       .select(col("c_custkey"), col("recency_days"), col("frequency"),
         col("monetary_cents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val scored = globalNtile(
-        globalNtile(
-          globalNtile(rfm, "recency_days", descOrder = true, "c_custkey",
-            bands, "r_score"),
-          "frequency", descOrder = false, "c_custkey", bands, "f_score"),
-        "monetary_cents", descOrder = false, "c_custkey", bands, "m_score")
-      scored.select(col("c_custkey"), col("recency_days"), col("frequency"),
-        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
-        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
-        .localCheckpoint(true)
-    } finally rfm.unpersist(blocking = false)
+    val scored = globalNtile(
+      globalNtile(
+        globalNtile(rfm, "recency_days", descOrder = true, "c_custkey",
+          bands, "r_score"),
+        "frequency", descOrder = false, "c_custkey", bands, "f_score"),
+      "monetary_cents", descOrder = false, "c_custkey", bands, "m_score")
+    scored.select(col("c_custkey"), col("recency_days"), col("frequency"),
+      col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+      concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
   }
 }
