@@ -753,19 +753,27 @@ object Stats {
     * Scale shape: one codegen'd hash projection + a map-side
     * combinable groupBy bounded by the arm count; the totals broadcast
     * back onto the arm frame. */
-  def abAssignment(units: DataFrame, idCol: String,
-      experiment: String = "exp1",
-      arms: Seq[(String, Int)] = Seq("control" -> 500, "treatment" -> 500)
-  ): DataFrame = {
+  /** The deterministic arm-assignment COLUMN [[abAssignment]] reports
+    * on — exposed so outcome readouts ([[abLift]]) join events to the
+    * same arms the assignment report counted. */
+  def armColumn(idCol: String, experiment: String,
+      arms: Seq[(String, Int)]): Column = {
     require(arms.nonEmpty && arms.map(_._2).sum == 1000,
       s"arm allocations ${arms.map(_._2)} must sum to 1000 ppt")
     val bucket = graft.ext.OracleHash.md5Hash32(
       concat(lit(experiment), lit(":"), col(idCol).cast("string"))) % 1000
     val cuts = arms.scanLeft(0) { case (acc, (_, ppt)) => acc + ppt }
-    val armCol = arms.zip(cuts.dropRight(1)).zip(cuts.drop(1)).tail
+    arms.zip(cuts.dropRight(1)).zip(cuts.drop(1)).tail
       .foldLeft(when(bucket < cuts(1), arms.head._1)) {
         case (c, (((name, _), _), hi)) => c.when(bucket < hi, name)
       }
+  }
+
+  def abAssignment(units: DataFrame, idCol: String,
+      experiment: String = "exp1",
+      arms: Seq[(String, Int)] = Seq("control" -> 500, "treatment" -> 500)
+  ): DataFrame = {
+    val armCol = armColumn(idCol, experiment, arms)
     val counts = units.filter(col(idCol).isNotNull)
       .select(armCol.as("arm"))
       .groupBy(col("arm")).agg(count(lit(1)).as("n_units"))
@@ -782,6 +790,71 @@ object Stats {
         expr("1000000 * n_units DIV n_total").as("actual_ppm"),
         expr("abs(1000000 * n_units DIV n_total - ppt * 1000)")
           .as("dev_ppm"))
+  }
+
+  /** Exact Gini coefficient over per-user event counts — the
+    * single-number companion of [[paretoConcentration]] (a Lorenz
+    * point answers "how many users cover 80%"; Gini integrates the
+    * whole curve). Computed from the count HISTOGRAM in closed form:
+    * for a value group (v, m users, b users before it ascending) the
+    * rank-weighted sum `Σ_{i=b+1}^{b+m} (2i−n−1)·v` collapses to
+    * `v·m·(2b + m − n)` — exact integer, no per-user ranking, so the
+    * corpus-scale sort of the textbook formula never exists; the
+    * DuckDB oracle takes exactly that textbook ranked path. Products
+    * run in DECIMAL(38,0) ↔ HUGEINT. Output: one row —
+    * (n_users, n_events, gini_ppm). Degenerate single-user frames
+    * report 0 (no inequality without a pair). */
+  def giniConcentration(events: DataFrame): DataFrame = {
+    val perUser = events.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val hist = perUser.groupBy(col("c")).agg(count(lit(1)).as("m"))
+      .withColumn("b",
+        coalesce(sum(col("m")).over(
+          Window.orderBy(col("c").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = hist.agg(sum(col("m")).as("n_users"),
+      sum(col("c") * col("m")).as("n_events"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("n_users"), col("n_events"),
+        expr("CAST(c AS DECIMAL(38,0)) * m * (2 * b + m - n_users)")
+          .as("term"))
+      .groupBy(col("n_users"), col("n_events"))
+      .agg(sum(col("term")).as("num"))
+      .select(col("n_users"), col("n_events"),
+        when(col("n_users") < 2, lit(0L)).otherwise(expr(
+          "CAST(CAST(1000000 AS DECIMAL(38,0)) * num DIV " +
+            "(CAST(n_users AS DECIMAL(38,0)) * n_events) AS BIGINT)"))
+          .as("gini_ppm"))
+  }
+
+  /** Experiment OUTCOME readout — the lift report on the other side
+    * of [[abAssignment]]'s coin flip: purchases joined to their arm
+    * by the SAME salted hash, per-arm purchase count, distinct
+    * buyers, and revenue in exact integer cents (the shared
+    * `floor(v·100+0.5)` expression, summed as integers — never a
+    * float aggregate). `mean_cents` is the integral-div per-purchase
+    * average. A real pipeline runs the SRM gate (x110) first, then
+    * reads this.
+    *
+    * Scale shape: one hash projection on the purchase scan + an
+    * arm-bounded map-side groupBy. */
+  def abLift(events: DataFrame,
+      experiment: String = "exp1",
+      arms: Seq[(String, Int)] = Seq("control" -> 500, "treatment" -> 500)
+  ): DataFrame = {
+    events
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull &&
+        col("value").isNotNull)
+      .select(armColumn("user_id", experiment, arms).as("arm"),
+        col("user_id"),
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_buyers"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("arm"), col("n_purchases"), col("n_buyers"),
+        col("total_cents"),
+        expr("total_cents DIV n_purchases").as("mean_cents"))
   }
 
   /** Exact GLOBAL ntile via the decomposed-histogram rank (the X82

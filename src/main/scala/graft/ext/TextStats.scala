@@ -245,6 +245,34 @@ object TextStats {
         expr("1000000 * n_in_vocab DIV n_tokens").as("coverage_ppm"))
   }
 
+  /** Vocabulary-growth (Heaps) curve under ingestion order: bucket the
+    * corpus into `buckets` equal doc-id ranges and count the DISTINCT
+    * tokens whose FIRST occurrence (min doc_id — the X91 first-owner
+    * construction) falls in each, plus the cumulative curve — "is this
+    * crawl still discovering vocabulary or re-treading it", the
+    * corpus-level saturation signal next to X91's per-doc novelty.
+    * Bucket = `buckets·first_id div (max_id+1)` — pure integer, the
+    * same expression on both engines.
+    *
+    * Scale shape: first-owner is ONE map-side-combinable MIN groupBy
+    * on the token (vocab-bounded output); the bucket fold and the
+    * 10-row cumulative window ride that tiny frame. */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"bucket count $buckets must be positive")
+    val firstOwner = docs
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(min(col("doc_id")).as("first_id"))
+    val mx = docs.agg(max(col("doc_id")).as("max_id"))
+    firstOwner.crossJoin(broadcast(mx))
+      .select(expr(s"$buckets * first_id DIV (max_id + 1)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_tokens"))
+      .withColumn("cum_tokens", sum(col("n_new_tokens")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   /** Canonical text normalization — the step that PRECEDES every dedup
     * family in a real pipeline (a case or whitespace variant of a
     * document must hash/shingle identically to its canonical form):

@@ -987,6 +987,75 @@ object ExtOracles {
         |            AS INT) AS fused_rank
         |FROM f QUALIFY fused_rank <= 5""".stripMargin,
 
+    // Gini: the textbook ranked formula Σ(2i−n−1)x_i / (n·S) over
+    // ASC-sorted per-user counts — cross-proves the histogram closed
+    // form v·m·(2b+m−n); HUGEINT products.
+    "x121_gini" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS rn FROM c),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |             CAST(sum(c) AS BIGINT) AS n_events FROM c),
+        |num AS (
+        |  SELECT sum(CAST(2 * rn - n_users - 1 AS HUGEINT) * c) AS num
+        |  FROM r, t)
+        |SELECT t.n_users, t.n_events,
+        |       CASE WHEN t.n_users < 2 THEN 0
+        |            ELSE CAST(CAST(1000000 AS HUGEINT) * num.num //
+        |                      (CAST(t.n_users AS HUGEINT) * t.n_events)
+        |                      AS BIGINT) END AS gini_ppm
+        |FROM t, num""".stripMargin,
+
+    // A/B lift: purchases carved by the same salted bucket; revenue
+    // as summed integer cents, integral-div mean.
+    "x122_ab_lift" ->
+      """WITH p AS (
+        |  SELECT ('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
+        |                         1, 8))::BIGINT % 1000 AS bucket,
+        |         user_id,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |a AS (
+        |  SELECT CASE WHEN bucket < 500 THEN 'control'
+        |              ELSE 'treatment' END AS arm, user_id, cents
+        |  FROM p)
+        |SELECT arm, CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents,
+        |       CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |         AS mean_cents
+        |FROM a GROUP BY 1""".stripMargin,
+
+    // Vocabulary growth: first-owner min doc_id per token over the
+    // planted corpus (the x77 uniq<doc_id> plant), integer bucket
+    // arithmetic, cumulative over the ten-row frame.
+    "x123_vocab_growth" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 9 = 0
+        |              THEN coalesce(text, '') || ' uniq' ||
+        |                   CAST(doc_id AS VARCHAR)
+        |              ELSE text END AS text
+        |  FROM documents),
+        |f AS (
+        |  SELECT w, min(doc_id) AS first_id
+        |  FROM (SELECT doc_id,
+        |               unnest(string_split(coalesce(text, ''), ' ')) AS w
+        |        FROM d)
+        |  WHERE w <> '' GROUP BY 1),
+        |m AS (SELECT max(doc_id) AS max_id FROM d),
+        |b AS (SELECT 10 * first_id // (max_id + 1) AS bucket FROM f, m),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_tokens
+        |      FROM b GROUP BY 1)
+        |SELECT bucket, n_new_tokens,
+        |       CAST(sum(n_new_tokens) OVER (ORDER BY bucket
+        |                                    ROWS UNBOUNDED PRECEDING)
+        |            AS BIGINT) AS cum_tokens
+        |FROM g""".stripMargin,
+
     // Dup-cluster profile: the x24 recursive closure (MinHash-threshold
     // pairs at 0.8) + doc stats per component label.
     "x116_dup_cluster_profile" ->

@@ -756,6 +756,24 @@ object ExtQueries {
       Similarity.rrfFuse(Seq(
         Similarity.cosTopK(emb(s, d), k = 10),
         Similarity.dotTopK(emb(s, d), k = 10)))),
+    // Gini over user event counts: histogram closed form vs the
+    // oracle's textbook ranked formula (the x103 cross-proof pair).
+    "x121_gini" -> ((s, d) =>
+      Stats.giniConcentration(events(s, d).select("user_id", "event_id"))),
+    // Experiment outcome readout: purchases joined to their x110 arm
+    // by the same salted hash; revenue in exact integer cents.
+    "x122_ab_lift" -> ((s, d) =>
+      Stats.abLift(
+        events(s, d).select("user_id", "event_type", "value"))),
+    // Vocabulary-growth curve: every 9th doc plants a forever-new
+    // `uniq<doc_id>` token (the x77 plant — the 31-token synthetic
+    // vocab saturates in bucket 0 otherwise), giving a real Heaps
+    // curve across all ten deciles.
+    "x123_vocab_growth" -> ((s, d) =>
+      TextStats.vocabGrowth(docs(s, d).withColumn("text",
+        when(col("doc_id") % 9 === 0,
+          concat(coalesce(col("text"), lit("")),
+            lit(" uniq"), col("doc_id"))).otherwise(col("text"))))),
     // Contamination rolled up per source — the report a curation team
     // actually reads (WHICH crawl leaked the eval set); the x19
     // construction + one source aggregate.

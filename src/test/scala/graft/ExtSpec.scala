@@ -2713,6 +2713,48 @@ class ExtSpec extends SparkSpec {
       4L -> ((2L, 3L, 3L, 390L * 3 / 2 + 11800L - 15590))), s"got $got")
   }
 
+  test("giniConcentration: closed form equals the textbook sum; degenerate zeros") {
+    import spark.implicits._
+    // counts 1,1,2,4 (n=4, S=8): Σ(2i−5)x = −3−1+2+12 = 10 →
+    // G = 10/(4·8) → 312500 ppm
+    val rows = (Seq.fill(1)(1L) ++ Seq.fill(1)(2L) ++ Seq.fill(2)(3L) ++
+      Seq.fill(4)(4L)).zipWithIndex.map { case (u, i) => (u, i.toLong) }
+    val got = graft.ext.Stats.giniConcentration(
+      rows.toDF("user_id", "event_id")).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((4L, 8L, 312500L)), s"got ${got.mkString(",")}")
+    // perfectly equal counts → 0; single user → 0
+    val eq = (1L to 3L).flatMap(u => Seq((u, u * 10), (u, u * 10 + 1)))
+      .toDF("user_id", "event_id")
+    assert(graft.ext.Stats.giniConcentration(eq).collect().head.getLong(2) == 0L)
+    val solo = Seq((1L, 1L), (1L, 2L)).toDF("user_id", "event_id")
+    assert(graft.ext.Stats.giniConcentration(solo).collect().head.getLong(2) == 0L)
+  }
+
+  test("abLift: exact cents arithmetic on a single-arm frame") {
+    import spark.implicits._
+    // one user → one arm; values 1.0/2.0/2.5 → 100+200+250 cents
+    val ev = Seq((1L, "purchase", 1.0), (1L, "purchase", 2.0),
+      (1L, "purchase", 2.5), (1L, "view", 9.9))
+      .toDF("user_id", "event_type", "value")
+    val got = graft.ext.Stats.abLift(ev).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 1L, 550L, 183L)), s"got ${r.mkString(",")}")
+  }
+
+  test("vocabGrowth: first-owner bucketing and the cumulative curve") {
+    import spark.implicits._
+    // ids 0..9, buckets 10 → bucket == id; firsts: a,b→0, c→5, d→9
+    val d = Seq((0L, "a b"), (5L, "a c"), (9L, "d"))
+      .toDF("doc_id", "text")
+    val got = TextStats.vocabGrowth(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      0L -> ((2L, 2L)), 5L -> ((1L, 3L)), 9L -> ((1L, 4L))), s"got $got")
+  }
+
   test("rrfFuse: hand-worked fusion, shared hit outranks, id tiebreak") {
     import spark.implicits._
     val r1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "neighbor_id", "rank")
