@@ -129,6 +129,42 @@ object Multimodal {
     * reproducible in ANSI SQL over `hex(encode(text))` sliced at
     * 2 chars/byte — DuckDB can neither md5 nor substring a BLOB, so a
     * digest column would be unverifiable there. */
+  /** Windowed energy profile over the media payload — the
+    * silence/clipping detector of an audio QC pass, run here on the
+    * deterministic fake payload (bytes as 8-bit PCM samples): per
+    * non-overlapping `windowBytes` window, the integer sum of byte
+    * values plus the window's byte count (the tail window is short,
+    * not padded — padding would fake energy). Like X16's frames the
+    * contract is byte-level and hex-faithful, so the DuckDB oracle
+    * recomputes it from `hex(encode(text))` slices at 2 chars/byte;
+    * a real deployment swaps the payload source for decoded PCM and
+    * the arithmetic is unchanged.
+    *
+    * Scale shape: one hex projection + a bounded explode
+    * (ceil(bytes/window) rows per doc) — no shuffle at all; the
+    * per-window byte fold is an `aggregate` HOF over ATTRIBUTE
+    * references only (the computed hex lands in a column before the
+    * lambda touches it, so the documented HOF re-evaluation pitfall
+    * does not bite). */
+  def audioEnergy(media: DataFrame, windowBytes: Int = 32): DataFrame = {
+    require(windowBytes > 0, s"windowBytes $windowBytes must be positive")
+    val hexW = windowBytes * 2
+    media.filter(col("payload").isNotNull && length(col("payload")) > 0)
+      .select(col("doc_id"), col("kind"), lower(hex(col("payload"))).as("h"),
+        expr(s"CAST((length(payload) + ${windowBytes - 1})" +
+          s" DIV $windowBytes AS INT)").as("nwin"))
+      .select(col("doc_id"), col("kind"), col("h"),
+        explode(sequence(lit(0), col("nwin") - 1)).as("window_idx"))
+      .select(col("doc_id"), col("kind"), col("window_idx"),
+        expr(s"substring(h, window_idx * $hexW + 1, $hexW)").as("whex"))
+      .select(col("doc_id"), col("kind"), col("window_idx"),
+        expr("CAST(length(whex) DIV 2 AS BIGINT)").as("n_bytes"),
+        expr("aggregate(sequence(1, CAST(length(whex) DIV 2 AS INT)), " +
+          "CAST(0 AS BIGINT), (acc, i) -> acc + " +
+          "CAST(conv(substring(whex, 2 * i - 1, 2), 16, 10) AS BIGINT))")
+          .as("energy"))
+  }
+
   def frameSample(media: DataFrame, n: Int = 4, frameBytes: Int = 16): DataFrame = {
     require(n > 0 && frameBytes > 0,
       s"frame plan n=$n frameBytes=$frameBytes must be positive")

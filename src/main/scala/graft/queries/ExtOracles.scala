@@ -987,6 +987,31 @@ object ExtOracles {
         |            AS INT) AS fused_rank
         |FROM f QUALIFY fused_rank <= 5""".stripMargin,
 
+    // Audio energy: hex-slice windows at 2 chars/byte (the x17
+    // technique), per-window byte sum via a bounded comprehension;
+    // DuckDB slicing is 1-based INCLUSIVE.
+    "x124_audio_energy" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+        |         lower(hex(encode(text))) AS h,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |w AS (
+        |  SELECT doc_id, kind, h,
+        |         unnest(range(0, (nb + 31) // 32)) AS widx
+        |  FROM m),
+        |s AS (
+        |  SELECT doc_id, kind, CAST(widx AS INT) AS window_idx,
+        |         h[widx * 64 + 1 : widx * 64 + 64] AS whex
+        |  FROM w)
+        |SELECT doc_id, kind, window_idx,
+        |       CAST(length(whex) // 2 AS BIGINT) AS n_bytes,
+        |       CAST(list_sum([('0x' || whex[2 * i - 1 : 2 * i])::BIGINT
+        |                      FOR i IN range(1, length(whex) // 2 + 1)])
+        |            AS BIGINT) AS energy
+        |FROM s""".stripMargin,
+
     // Gini: the textbook ranked formula Σ(2i−n−1)x_i / (n·S) over
     // ASC-sorted per-user counts — cross-proves the histogram closed
     // form v·m·(2b+m−n); HUGEINT products.

@@ -162,6 +162,11 @@ object ExtQueries {
     "x11_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(docs(s, d))),
     "x15_pii_scrub" -> ((s, d) => TextStats.piiScrub(docs(s, d))),
     "x17_frame_sample" -> ((s, d) => Multimodal.frameSample(Multimodal.mediaTable(docs(s, d)))),
+    // Windowed byte-energy profile over the fake media payload — the
+    // audio-QC row; hex-faithful so the oracle recomputes from
+    // hex(encode(text)) slices (the x17 technique).
+    "x124_audio_energy" -> ((s, d) =>
+      Multimodal.audioEnergy(Multimodal.mediaTable(docs(s, d)))),
     "x16_repetition" -> ((s, d) => TextStats.repetition(docs(s, d))),
     // Exact (non-probabilistic) member of the dedup family: prefix-
     // filtered n-gram Jaccard join at 0.7 — a threshold where MinHash

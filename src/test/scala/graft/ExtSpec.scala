@@ -2713,6 +2713,21 @@ class ExtSpec extends SparkSpec {
       4L -> ((2L, 3L, 3L, 390L * 3 / 2 + 11800L - 15590))), s"got $got")
   }
 
+  test("audioEnergy: per-window byte sums, short tail window, empty payload dropped") {
+    import spark.implicits._
+    // "ab" = 0x61 0x62 → one window, energy 195; a 33-char doc gets a
+    // 32-byte window plus a 1-byte tail
+    val d = Seq((3L, "ab"), (6L, "a" * 32 + "b"), (9L, ""))
+      .toDF("doc_id", "text")
+    val got = Multimodal.audioEnergy(Multimodal.mediaTable(d)).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      (3L, 0) -> ((2L, 195L)),
+      (6L, 0) -> ((32L, 32L * 0x61)),
+      (6L, 1) -> ((1L, 0x62L))), s"got $got")
+  }
+
   test("giniConcentration: closed form equals the textbook sum; degenerate zeros") {
     import spark.implicits._
     // counts 1,1,2,4 (n=4, S=8): Σ(2i−5)x = −3−1+2+12 = 10 →
