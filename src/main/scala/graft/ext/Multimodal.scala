@@ -134,7 +134,7 @@ object Multimodal {
     * deterministic fake payload (bytes as 8-bit PCM samples): per
     * non-overlapping `windowBytes` window, the integer sum of byte
     * values plus the window's byte count (the tail window is short,
-    * not padded — padding would fake energy). Like X16's frames the
+    * not padded — padding would fake energy). Like [[frameSample]] the
     * contract is byte-level and hex-faithful, so the DuckDB oracle
     * recomputes it from `hex(encode(text))` slices at 2 chars/byte;
     * a real deployment swaps the payload source for decoded PCM and
