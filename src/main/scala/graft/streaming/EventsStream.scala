@@ -113,6 +113,61 @@ object EventsStream {
       }
   }
 
+  final case class LivenessState(lastUs: Long, alerted: Boolean)
+  final case class GapAlert(event_type: String, last_seen_us: Long,
+      silent: Boolean)
+
+  /** Feed-liveness monitor — the STREAMING-NATIVE face of the batch
+    * missing-day report (`ext/Stats.ingestGaps`): absence is
+    * something a batch query can only see after the fact, but a
+    * stateful stream can ALERT on it live. Per event type, keyed
+    * state holds the latest event time and an EVENT-TIME TIMEOUT
+    * armed `maxSilenceDays` past it; when the WATERMARK (driven by
+    * the types that still flow) passes that deadline with no new
+    * data, the timeout fires and emits a `silent=true` alert carrying
+    * the last-seen time. Fresh data for an alerted type emits a
+    * `silent=false` recovery row and re-arms. Event-time (not
+    * processing-time) timeouts make the behavior REPLAY-DETERMINISTIC:
+    * the same batches in the same order fire the same alerts, which
+    * is what the spec pins.
+    *
+    * Scale shape: state is one (type → 16 bytes) entry — bounded by
+    * the type vocabulary; the groupBy shuffles events by type once
+    * per micro-batch with map-side pre-aggregation of the max. */
+  def feedLiveness(
+      spark: SparkSession,
+      events: Dataset[Event],
+      maxSilenceDays: Int = 2,
+      delay: String = "1 hour"): Dataset[GapAlert] = {
+    import spark.implicits._
+    val silenceMs = maxSilenceDays.toLong * 86400000L
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[LivenessState, GapAlert](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (typ, rows, state: GroupState[LivenessState]) =>
+          def tsUs(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.update(s.copy(alerted = true))
+            // no new deadline: the next signal for this type is DATA,
+            // which recovers and re-arms below
+            Iterator.single(GapAlert(typ, s.lastUs, silent = true))
+          } else {
+            val batchMax = rows.map(e => tsUs(e.ts)).max
+            val prev = state.getOption
+            val last = math.max(batchMax, prev.map(_.lastUs).getOrElse(Long.MinValue))
+            val wasAlerted = prev.exists(_.alerted)
+            state.update(LivenessState(last, alerted = false))
+            state.setTimeoutTimestamp(last / 1000L + silenceMs)
+            if (wasAlerted) Iterator.single(GapAlert(typ, last, silent = false))
+            else Iterator.empty
+          }
+      }
+  }
+
   final case class BotState(nEvents: Long, lastUs: Long, minGapUs: Long,
       curDay: Long, curDayCount: Long, maxDayCount: Long, activeDays: Long)
   final case class BotUpdate(user_id: Long, n_events: Long,

@@ -490,6 +490,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("feedLiveness: event-time timeout fires for the silent type, recovery re-arms") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventsStream.feedLiveness(spark, stream.toDS())
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("live_test").start()
+    try {
+      // day 1: both types alive
+      stream.addData(
+        ev(1, "2024-01-01 12:00:00", 1, "click", 0),
+        ev(2, "2024-01-01 12:00:00", 2, "view", 0))
+      q.processAllAvailable()
+      assert(spark.table("live_test").count() == 0, "no alerts while fresh")
+      // day 5 clicks advance the watermark past view's day-3 deadline
+      stream.addData(ev(3, "2024-01-05 12:00:00", 1, "click", 0))
+      q.processAllAvailable()
+      // one more batch so the timeout (evaluated against the ADVANCED
+      // watermark) actually fires
+      stream.addData(ev(4, "2024-01-05 13:00:00", 1, "click", 0))
+      q.processAllAvailable()
+      val alerts = spark.table("live_test")
+        .collect().map(r => (r.getString(0), r.getBoolean(2))).toSet
+      assert(alerts == Set(("view", true)), s"alerts: $alerts")
+      // view recovers: a fresh event emits silent=false and re-arms
+      stream.addData(ev(5, "2024-01-05 14:00:00", 2, "view", 0))
+      q.processAllAvailable()
+      val after = spark.table("live_test")
+        .collect().map(r => (r.getString(0), r.getBoolean(2))).toSet
+      assert(after == Set(("view", true), ("view", false)), s"after: $after")
+    } finally q.stop()
+  }
+
   test("botState: in-order replay across micro-batches equals the batch botFlags") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Event]
