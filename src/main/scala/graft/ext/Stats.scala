@@ -857,6 +857,94 @@ object Stats {
         expr("total_cents DIV n_purchases").as("mean_cents"))
   }
 
+  /** Quantile-rank transform: each row's value replaced by its exact
+    * percentile position `10⁶·(rows ≤ value) div n` — the
+    * rank-normalization that makes heterogeneous signals comparable
+    * before ensembling (scores from different models live on
+    * different scales; their RANKS don't). Integer-exact via the
+    * value histogram + cumulative window (the X42 decomposition: the
+    * corpus never sorts, the window runs over distinct values — with
+    * the documented near-unique-value caveat), joined back on the
+    * value. Ties share the rank of their group's LAST member — the
+    * `cume_dist` convention, spelled in integers. */
+  def percentileRank(df: DataFrame, value: String, id: String): DataFrame = {
+    val hist = df.groupBy(col(value)).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col(value))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    df.select(col(id), col(value))
+      .join(hist.select(col(value), col("cum")), Seq(value))
+      .crossJoin(broadcast(tot))
+      .select(col(id), col(value),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * cum DIV n AS BIGINT)")
+          .as("pct_ppm"))
+  }
+
+  /** Winsorization: clamp a signal at its exact P`loP`/P`hiP` bounds
+    * (rank-selection semantics, the X42 construction) — the robust-
+    * statistics transform that tames outliers WITHOUT dropping rows
+    * (a z-score over raw web-doc lengths is dominated by the tail;
+    * winsorize first and the moments mean something). Bounds are the
+    * smallest values whose cumulative count reaches ⌈p·n/100⌉; the
+    * clamp is a per-row `least(greatest(...))` riding the scan. */
+  def winsorize(df: DataFrame, value: String, id: String,
+      loP: Int = 5, hiP: Int = 95): DataFrame = {
+    require(loP >= 1 && hiP <= 100 && loP < hiP,
+      s"bounds [$loP, $hiP] must satisfy 1 <= lo < hi <= 100")
+    val hist = df.groupBy(col(value)).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col(value))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    val h = hist.crossJoin(broadcast(tot))
+    def bound(p: Int, name: String) =
+      h.filter(expr(s"cum >= ($p * n + 99) DIV 100"))
+        .agg(min(col(value)).as(name))
+    df.select(col(id), col(value))
+      .crossJoin(broadcast(bound(loP, "lo")))
+      .crossJoin(broadcast(bound(hiP, "hi")))
+      .select(col(id), col(value),
+        least(greatest(col(value), col("lo")), col("hi"))
+          .as(s"${value}_winsorized"))
+  }
+
+  /** Order-fulfilment lag percentiles: exact P50/P90 of the
+    * ship-minus-order lag in integer days, per order priority — the
+    * operational-SLA report over the reference's own order data, and
+    * the first quantile instance over a FACT-TO-FACT join (every
+    * lineitem joins its order header first). Selection is the
+    * [[lengthQuantiles]] construction keyed on priority. */
+  def shipLagQuantiles(orders: DataFrame, lineitem: DataFrame,
+      ps: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles $ps must be in [1, 100]")
+    val lag = lineitem
+      .select(col("l_orderkey").as("o_orderkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("ship_us"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("order_us")),
+        Seq("o_orderkey"))
+      .select(col("o_orderpriority"),
+        expr("(ship_us - order_us) DIV 86400000000").as("lag_days"))
+    val hist = lag.groupBy(col("o_orderpriority"), col("lag_days"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("lag_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+    val targets = hist.groupBy(col("o_orderpriority"))
+      .agg(sum(col("cnt")).as("n"))
+      .select(col("o_orderpriority"), col("n"),
+        explode(typedLit(ps)).as("p"))
+      .withColumn("target_rn", expr("(p * n + 99) DIV 100"))
+    cum.join(broadcast(targets), Seq("o_orderpriority"))
+      .filter(col("cum") >= col("target_rn") &&
+        col("cum") - col("cnt") < col("target_rn"))
+      .select(col("o_orderpriority"), col("p"), col("n").as("n_items"),
+        col("lag_days").as("lag_days_at_p"))
+  }
+
   /** Exact GLOBAL ntile via the decomposed-histogram rank (the X82
     * per-partition form without the partition key): value histogram →
     * exclusive prefix over the tiny histogram → per-value row_number

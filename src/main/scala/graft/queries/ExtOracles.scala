@@ -1012,6 +1012,67 @@ object ExtOracles {
         |            AS BIGINT) AS energy
         |FROM s""".stripMargin,
 
+    // Percentile rank: cume_dist spelled in integers — windowed
+    // cumulative count over value groups, 1e6·cum // n.
+    "x125_percentile_rank" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |h AS (
+        |  SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT n_chars,
+        |         CAST(sum(cnt) OVER (ORDER BY n_chars
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS cum
+        |  FROM h),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+        |SELECT d.doc_id, d.n_chars,
+        |       CAST(CAST(1000000 AS HUGEINT) * c.cum // t.n AS BIGINT)
+        |         AS pct_ppm
+        |FROM d JOIN c USING (n_chars) CROSS JOIN t""".stripMargin,
+
+    // Winsorize: rank-selected P5/P95 bounds + per-row clamp.
+    "x126_winsorize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |r AS (SELECT n_chars,
+        |             row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        |      FROM d),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |lo AS (SELECT min(n_chars) AS lo FROM r, t
+        |       WHERE rn >= (5 * n + 99) // 100),
+        |hi AS (SELECT min(n_chars) AS hi FROM r, t
+        |       WHERE rn >= (95 * n + 99) // 100)
+        |SELECT d.doc_id, d.n_chars,
+        |       least(greatest(d.n_chars, lo.lo), hi.hi) AS n_chars_winsorized
+        |FROM d, lo, hi""".stripMargin,
+
+    // Ship-lag percentiles: integer-day lag over the lineitem→orders
+    // join, per-priority rank selection (the x30 construction; the
+    // oracle takes the naive ranked path as usual).
+    "x127_ship_lag" ->
+      """WITH l AS (
+        |  SELECT o.o_orderpriority,
+        |         (epoch_us(CAST(li.l_shipdate AS TIMESTAMP)) -
+        |          epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) // 86400000000
+        |           AS lag_days
+        |  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+        |r AS (
+        |  SELECT o_orderpriority, lag_days,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY lag_days) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY o_orderpriority)
+        |              AS BIGINT) AS n
+        |  FROM l)
+        |SELECT o_orderpriority, p, n AS n_items, lag_days AS lag_days_at_p
+        |FROM r CROSS JOIN (VALUES (50), (90)) ps(p)
+        |WHERE rn = (p * n + 99) // 100""".stripMargin,
+
     // Gini: the textbook ranked formula Σ(2i−n−1)x_i / (n·S) over
     // ASC-sorted per-user counts — cross-proves the histogram closed
     // form v·m·(2b+m−n); HUGEINT products.

@@ -770,6 +770,25 @@ object ExtQueries {
     "x122_ab_lift" -> ((s, d) =>
       Stats.abLift(
         events(s, d).select("user_id", "event_type", "value"))),
+    // Quantile-rank transform over doc length — the rank-normalization
+    // primitive; cume_dist convention in exact integers.
+    "x125_percentile_rank" -> ((s, d) =>
+      Stats.percentileRank(
+        docs(s, d).select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).cast("long").as("n_chars")),
+        "n_chars", "doc_id")),
+    // Winsorized doc length at P5/P95 — robust-statistics clamp.
+    "x126_winsorize" -> ((s, d) =>
+      Stats.winsorize(
+        docs(s, d).select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).cast("long").as("n_chars")),
+        "n_chars", "doc_id")),
+    // Ship-lag percentiles per order priority: the fact-to-fact join
+    // quantile (every lineitem joins its order header first).
+    "x127_ship_lag" -> ((s, d) =>
+      Stats.shipLagQuantiles(
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"))),
     // Vocabulary-growth curve: every 9th doc plants a forever-new
     // `uniq<doc_id>` token (the x77 plant — the 31-token synthetic
     // vocab saturates in bucket 0 otherwise), giving a real Heaps

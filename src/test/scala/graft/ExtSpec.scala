@@ -2728,6 +2728,45 @@ class ExtSpec extends SparkSpec {
       (6L, 1) -> ((1L, 0x62L))), s"got $got")
   }
 
+  test("percentileRank: cume_dist convention in integers, ties share the group rank") {
+    import spark.implicits._
+    val d = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L)).toDF("id", "v")
+    val got = graft.ext.Stats.percentileRank(d, "v", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 500000L, 2L -> 500000L, 3L -> 750000L,
+      4L -> 1000000L), s"got $got")
+  }
+
+  test("winsorize: rank-selected bounds clamp both tails, interior unchanged") {
+    import spark.implicits._
+    val d = (1L to 8L).map(i => (i, i)).toDF("id", "v")
+    // P25 → rank ceil(2·..)=2 → lo=2; P75 → rank 6 → hi=6
+    val got = graft.ext.Stats.winsorize(d, "v", "id", loP = 25, hiP = 75)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L), s"got $got")
+  }
+
+  test("shipLagQuantiles: per-priority rank selection over the joined lag") {
+    import spark.implicits._
+    val day = "1995-01-0"
+    val orders = Seq((1L, "A", s"${day}1"), (2L, "A", s"${day}1"),
+      (3L, "A", s"${day}1"), (4L, "A", s"${day}1"), (5L, "B", s"${day}1"))
+      .toDF("o_orderkey", "o_orderpriority", "d")
+      .withColumn("o_orderdate", to_timestamp($"d")).drop("d")
+    val li = Seq((1L, "1995-01-02"), (2L, "1995-01-03"), (3L, "1995-01-04"),
+      (4L, "1995-01-05"), (5L, "1995-01-11"))
+      .toDF("l_orderkey", "s")
+      .withColumn("l_shipdate", to_timestamp($"s")).drop("s")
+    val got = graft.ext.Stats.shipLagQuantiles(orders, li).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // A lags [1,2,3,4]: P50 → rank 2 = 2, P90 → rank 4 = 4; B: [10]
+    assert(got == Map(
+      ("A", 50) -> ((4L, 2L)), ("A", 90) -> ((4L, 4L)),
+      ("B", 50) -> ((1L, 10L)), ("B", 90) -> ((1L, 10L))), s"got $got")
+  }
+
   test("giniConcentration: closed form equals the textbook sum; degenerate zeros") {
     import spark.implicits._
     // counts 1,1,2,4 (n=4, S=8): Σ(2i−5)x = −3−1+2+12 = 10 →
