@@ -1337,4 +1337,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("n_lists"),
         col("rrf_ppm"), col("fused_rank"))
   }
+
+  /** Kendall-τ ranking agreement between two (query_id, neighbor_id,
+    * rank) lists — the eval metric behind a fusion decision
+    * ([[rrfFuse]] is only worth running when the input rankings
+    * DISAGREE; τ quantifies how much): per query, over the neighbors
+    * COMMON to both lists (the standard treatment for top-k lists —
+    * absent items have no defined rank), count concordant and
+    * discordant pairs and report `τ_ppm = 10⁶·(C−D) div (C+D)`
+    * (0 when no comparable pair exists). Exact integer end to end.
+    *
+    * Scale shape: the common frame is ≤ k rows per query, so the
+    * per-query pair self-join is a CONFIG-bounded k² blowup — never
+    * corpus-scale; both joins are equi-joins on (query, neighbor) /
+    * query. */
+  def kendallTau(rankA: DataFrame, rankB: DataFrame): DataFrame = {
+    val a = rankA.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("ra"))
+    val b = rankB.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("rb"))
+    val common = a.join(b, Seq("query_id", "neighbor_id"))
+    val p1 = common.select(col("query_id"), col("neighbor_id").as("i"),
+      col("ra").as("rai"), col("rb").as("rbi"))
+    val p2 = common.select(col("query_id"), col("neighbor_id").as("j"),
+      col("ra").as("raj"), col("rb").as("rbj"))
+    p1.join(p2, Seq("query_id"))
+      .filter(col("i") < col("j"))
+      .select(col("query_id"),
+        ((col("rai") - col("raj")) * (col("rbi") - col("rbj"))).as("prod"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("prod") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("prod") < 0, 1L).otherwise(0L)).as("discordant"))
+      .select(col("query_id"), col("n_pairs"), col("concordant"),
+        col("discordant"),
+        // sign-decomposed (the x91 convention): Spark's DIV truncates
+        // toward zero, DuckDB's // floors — they differ on negative
+        // numerators, so the division only ever sees |C−D|
+        when(col("concordant") + col("discordant") === 0, lit(0L))
+          .otherwise(
+            when(col("concordant") >= col("discordant"), lit(1L))
+              .otherwise(lit(-1L)) *
+              expr("1000000 * abs(concordant - discordant)" +
+                " DIV (concordant + discordant)"))
+          .as("tau_ppm"))
+  }
 }

@@ -857,6 +857,78 @@ object Stats {
         expr("total_cents DIV n_purchases").as("mean_cents"))
   }
 
+  /** Lag-1 autocorrelation of per-type daily counts — "is this feed
+    * trending/periodic or memoryless", the time-series companion of
+    * X99's point anomalies. Reported as SIGNED SQUARED Pearson in ppm
+    * (`sign(num)·10⁶·num² div (den_x·den_y)` with
+    * `num = m·Σxy − Σx·Σy`, `den = m·Σx² − (Σx)²` — the X103
+    * no-square-root convention, so the statistic is exact integer and
+    * hash-comparable; the division only ever sees non-negative
+    * operands). Products run in DECIMAL(38,0) ↔ HUGEINT; the bound is
+    * documented: num² stays inside 38 digits for daily counts up to
+    * ~10⁸ — normalize the day counts first beyond that. Types with
+    * fewer than 3 days (or zero variance) report 0.
+    *
+    * Scale shape: the corpus collapses map-side to type×day
+    * cardinality; the lag window and the moment fold run over that
+    * calendar-bounded frame. */
+  def dailyAutocorr(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.withColumn("y", lead(col("x"), 1).over(w))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .withColumn("num", expr("m * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("denx", expr("m * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("deny", expr("m * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .select(col("event_type"), col("m").as("n_pairs"),
+        when(col("m") < 2 || col("denx") <= 0 || col("deny") <= 0, lit(0L))
+          .otherwise(expr(
+            "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) * " +
+              "(CAST(1000000 AS DECIMAL(38,0)) * num * num " +
+              "DIV (denx * deny)) AS BIGINT)"))
+          .as("r2_signed_ppm"))
+  }
+
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-data screen (Benford 1938; Nigrini's audit practice):
+    * per leading digit 1–9 of the integer cents, the observed count,
+    * observed ppm, the Benford expectation `log₁₀(1+1/d)` as FIXED
+    * integer-ppm literals (no float log at query time), and the
+    * absolute deviation. A synthetic-uniform price book fails this
+    * loudly — which is itself the point: the gate pins the
+    * ARITHMETIC, not a conformance verdict. */
+  def benfordDigits(orders: DataFrame): DataFrame = {
+    val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val counts = orders.filter(col("o_totalprice").isNotNull)
+      .select(expr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)" +
+          " AS STRING), 1, 1) AS INT)").as("digit"))
+      .filter(col("digit") >= 1) // a zero-cents order has no leading digit
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("n_total"))
+    val exp = expected.zipWithIndex.map { case (e, i) =>
+      counts.sparkSession.range(1)
+        .select(lit(i + 1).as("digit"), lit(e).as("expected_ppm"))
+    }.reduce(_.unionByName(_))
+    counts.join(exp, Seq("digit"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("1000000 * n DIV n_total").as("actual_ppm"),
+        col("expected_ppm"),
+        expr("abs(1000000 * n DIV n_total - expected_ppm)").as("dev_ppm"))
+  }
+
   /** Quantile-rank transform: each row's value replaced by its exact
     * percentile position `10⁶·(rows ≤ value) div n` — the
     * rank-normalization that makes heterogeneous signals comparable

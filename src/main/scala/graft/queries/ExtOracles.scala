@@ -1012,6 +1012,107 @@ object ExtOracles {
         |            AS BIGINT) AS energy
         |FROM s""".stripMargin,
 
+    // Kendall τ: both brute-force rankings (the x120 CTEs), common
+    // neighbors, pair products; sign-decomposed division (Spark DIV
+    // truncates, DuckDB // floors — negatives never reach it).
+    "x128_kendall_tau" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |     c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |     s AS (SELECT query_id, vec_id,
+        |                  list_dot_product(qv, v) AS d,
+        |                  list_dot_product(qv, v) /
+        |                    (sqrt(list_dot_product(qv, qv)) *
+        |                     sqrt(list_dot_product(v, v))) AS cos
+        |           FROM q, c WHERE vec_id <> query_id),
+        |r1 AS (SELECT query_id, vec_id AS neighbor_id,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cos DESC, vec_id) AS rnk
+        |       FROM s QUALIFY rnk <= 10),
+        |r2 AS (SELECT query_id, vec_id AS neighbor_id,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY d DESC, vec_id) AS rnk
+        |       FROM s QUALIFY rnk <= 10),
+        |cm AS (SELECT r1.query_id, r1.neighbor_id,
+        |              r1.rnk AS ra, r2.rnk AS rb
+        |       FROM r1 JOIN r2 USING (query_id, neighbor_id)),
+        |p AS (SELECT a.query_id,
+        |             (a.ra - b.ra) * (a.rb - b.rb) AS prod
+        |      FROM cm a JOIN cm b
+        |        ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id),
+        |g AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |             CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS concordant,
+        |             CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS discordant
+        |      FROM p GROUP BY 1)
+        |SELECT query_id, n_pairs, concordant, discordant,
+        |       CASE WHEN concordant + discordant = 0 THEN 0
+        |            ELSE (CASE WHEN concordant >= discordant THEN 1
+        |                       ELSE -1 END) *
+        |                 (1000000 * abs(concordant - discordant)
+        |                  // (concordant + discordant)) END AS tau_ppm
+        |FROM g""".stripMargin,
+
+    // Lag-1 autocorrelation: per-type daily counts, lead pairs,
+    // moment sums in HUGEINT, signed-squared Pearson ppm.
+    "x129_daily_autocorr" ->
+      """WITH dc AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, x,
+        |         lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+        |  FROM dc),
+        |f AS (SELECT * FROM l WHERE y IS NOT NULL),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM f GROUP BY 1),
+        |b AS (
+        |  SELECT event_type, m,
+        |         m * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |         m * sxx - CAST(sx AS HUGEINT) * sx AS denx,
+        |         m * syy - CAST(sy AS HUGEINT) * sy AS deny
+        |  FROM a)
+        |SELECT event_type, m AS n_pairs,
+        |       CASE WHEN m < 2 OR denx <= 0 OR deny <= 0 THEN 0
+        |            ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |                      (CAST(1000000 AS HUGEINT) * num * num
+        |                       // (denx * deny)) AS BIGINT) END
+        |         AS r2_signed_ppm
+        |FROM b""".stripMargin,
+
+    // Benford: leading digit of integer cents, fixed ppm expectation
+    // literals, exact deviations.
+    "x130_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+        |                               AS BIGINT) AS VARCHAR), 1, 1)
+        |              AS INT) AS digit
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM c WHERE digit >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g),
+        |e AS (SELECT * FROM (VALUES
+        |        (1, CAST(301030 AS BIGINT)), (2, CAST(176091 AS BIGINT)),
+        |        (3, CAST(124939 AS BIGINT)), (4, CAST(96910 AS BIGINT)),
+        |        (5, CAST(79181 AS BIGINT)), (6, CAST(66947 AS BIGINT)),
+        |        (7, CAST(57992 AS BIGINT)), (8, CAST(51153 AS BIGINT)),
+        |        (9, CAST(45757 AS BIGINT))) v(digit, expected_ppm))
+        |SELECT g.digit, g.n,
+        |       1000000 * g.n // t.n_total AS actual_ppm,
+        |       e.expected_ppm,
+        |       abs(1000000 * g.n // t.n_total - e.expected_ppm) AS dev_ppm
+        |FROM g JOIN e USING (digit) CROSS JOIN t""".stripMargin,
+
     // Percentile rank: cume_dist spelled in integers — windowed
     // cumulative count over value groups, 1e6·cum // n.
     "x125_percentile_rank" ->

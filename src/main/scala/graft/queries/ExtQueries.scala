@@ -770,6 +770,21 @@ object ExtQueries {
     "x122_ab_lift" -> ((s, d) =>
       Stats.abLift(
         events(s, d).select("user_id", "event_type", "value"))),
+    // Kendall-τ agreement between the cosine and inner-product top-10
+    // rankings — the disagreement measure behind the x120 fusion.
+    "x128_kendall_tau" -> ((s, d) =>
+      Similarity.kendallTau(
+        Similarity.cosTopK(emb(s, d), k = 10),
+        Similarity.dotTopK(emb(s, d), k = 10))),
+    // Lag-1 autocorrelation of daily counts per type, signed-squared
+    // ppm (the x91 no-sqrt convention).
+    "x129_daily_autocorr" -> ((s, d) =>
+      Stats.dailyAutocorr(events(s, d).select("event_type", "ts"))),
+    // Benford first-digit audit over order totals: fixed integer-ppm
+    // expectations, exact deviations (a uniform price book fails
+    // Benford loudly — the gate pins the arithmetic, not conformance).
+    "x130_benford" -> ((s, d) =>
+      Stats.benfordDigits(s.read.parquet(s"$d/orders.parquet"))),
     // Quantile-rank transform over doc length — the rank-normalization
     // primitive; cume_dist convention in exact integers.
     "x125_percentile_rank" -> ((s, d) =>

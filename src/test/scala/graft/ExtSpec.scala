@@ -2728,6 +2728,62 @@ class ExtSpec extends SparkSpec {
       (6L, 1) -> ((1L, 0x62L))), s"got $got")
   }
 
+  test("kendallTau: hand-worked concordance, reversal hits -1e6, disjoint lists zero") {
+    import spark.implicits._
+    def rk(rows: (Long, Long, Int)*) =
+      rows.toDF("query_id", "neighbor_id", "rank")
+    // identical order → τ = 1e6; full reversal → −1e6
+    val a = rk((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val same = Similarity.kendallTau(a, a).collect().head
+    assert((same.getLong(1), same.getLong(4)) == ((3L, 1000000L)),
+      s"same ${same.mkString(",")}")
+    val rev = rk((1L, 10L, 3), (1L, 11L, 2), (1L, 12L, 1))
+    val r = Similarity.kendallTau(a, rev).collect().head
+    assert(r.getLong(4) == -1000000L, s"rev ${r.mkString(",")}")
+    // partial agreement: b swaps one adjacent pair → τ = (2−1)/3
+    val b = rk((1L, 10L, 2), (1L, 11L, 1), (1L, 12L, 3))
+    val p = Similarity.kendallTau(a, b).collect().head
+    assert((p.getLong(2), p.getLong(3), p.getLong(4)) ==
+      ((2L, 1L, 333333L)), s"partial ${p.mkString(",")}")
+    // disjoint lists: no common rows at all → query absent
+    val d = rk((1L, 90L, 1))
+    assert(Similarity.kendallTau(a, d).collect().isEmpty)
+  }
+
+  test("dailyAutocorr: alternating series is negative, trend positive, flat zero") {
+    import spark.implicits._
+    val day = 86400000000L
+    def evs(typ: String, counts: Seq[Int]): Seq[(String, Long)] =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i => (typ, d * day + i.toLong)) }
+    // alternating 1,5,1,5… → strong negative; ramp 1..6 → positive;
+    // flat → zero variance → 0
+    val rows = evs("alt", Seq(1, 5, 1, 5, 1, 5)) ++
+      evs("ramp", (1 to 6)) ++ evs("flat", Seq(3, 3, 3, 3))
+    val ev = rows.toDF("event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.dailyAutocorr(ev.select("event_type", "ts"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("alt") < -500000L, s"alt ${got("alt")}")
+    assert(got("ramp") > 500000L, s"ramp ${got("ramp")}")
+    assert(got("flat") == 0L, s"flat ${got("flat")}")
+  }
+
+  test("benfordDigits: digit extraction, ppm arithmetic, missing digits absent") {
+    import spark.implicits._
+    // cents: 100, 150, 2000, 900 → digits 1,1,2,9
+    val orders = Seq(1.0, 1.5, 20.0, 9.0).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }
+      .toDF("o_orderkey", "o_totalprice")
+    val got = graft.ext.Stats.benfordDigits(orders).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got.keySet == Set(1, 2, 9))
+    assert(got(1) == ((2L, 500000L, 301030L, 198970L)), s"d1 ${got(1)}")
+    assert(got(2) == ((1L, 250000L, 176091L, 73909L)), s"d2 ${got(2)}")
+    assert(got(9) == ((1L, 250000L, 45757L, 204243L)), s"d9 ${got(9)}")
+  }
+
   test("percentileRank: cume_dist convention in integers, ties share the group rank") {
     import spark.implicits._
     val d = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L)).toDF("id", "v")
