@@ -626,6 +626,81 @@ object Stats {
         expr("1000000 * n_events DIV type_total").as("share_ppm"))
   }
 
+  /** Day-of-week activity profile — the weekly-seasonality axis the
+    * lag-1 autocorrelation (X143) hints at and [[hourlyProfile]]'s
+    * diurnal view can't show: per (type, ISO day-of-week 1=Monday),
+    * counts + exact ppm share within type. Integer dow arithmetic
+    * from the epoch day (`(day + 3) % 7 + 1` — epoch day 0 was a
+    * Thursday), no calendar functions whose week conventions differ
+    * across engines. Map-side collapse to types × 7. */
+  def dowProfile(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("((unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) + 3)" +
+          " % 7 + 1").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"))
+    daily
+      .withColumn("type_total",
+        sum(col("n_events")).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("dow"), col("n_events"),
+        expr("1000000 * n_events DIV type_total").as("share_ppm"))
+  }
+
+  /** The full Lorenz curve behind [[paretoConcentration]]'s single
+    * point and [[giniConcentration]]'s integral: users in DESCENDING
+    * activity deciles (heaviest first), each decile's exact user
+    * count and cumulative event share in ppm — the dataviz-ready
+    * concentration report. Decile membership comes from the count
+    * histogram in closed form (users_before carves each value group
+    * across decile boundaries arithmetically — no per-user ranking);
+    * the oracle ranks users naively and buckets by rank. Decile
+    * d (1-based) covers ranks ((d−1)·n div 10, d·n div 10]. */
+  def lorenzCurve(events: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"bucket count $buckets must be positive")
+    val perUser = events.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val hist = perUser.groupBy(col("c")).agg(count(lit(1)).as("m"))
+      .withColumn("users_before",
+        coalesce(sum(col("m")).over(
+          Window.orderBy(col("c").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = hist.agg(sum(col("m")).as("n_users"),
+      sum(col("c") * col("m")).as("n_events"))
+    // explode each value group into the deciles it straddles: group
+    // ranks (users_before, users_before + m] intersect decile ranges
+    val h = hist.crossJoin(broadcast(tot))
+    val deciles = h
+      .select(col("c"), col("m"), col("users_before"), col("n_users"),
+        col("n_events"),
+        // the range is WIDENED by a unit of slack each side: the
+        // floor-div decile boundaries make an exact first/last-decile
+        // formula off-by-one-prone, while the rank-interval
+        // intersection below is exact — extra deciles self-filter at
+        // users_in <= 0, a missed one would silently drop users
+        explode(sequence(
+          expr(s"greatest(CAST($buckets * users_before DIV n_users AS INT), 1)"),
+          expr(s"least(CAST($buckets * (users_before + m) DIV n_users" +
+            s" + 2 AS INT), $buckets)")))
+          .as("decile"))
+      .withColumn("lo", expr(s"(decile - 1) * n_users DIV $buckets"))
+      .withColumn("hi", expr(s"decile * n_users DIV $buckets"))
+      .withColumn("users_in", expr(
+        "least(users_before + m, hi) - greatest(users_before, lo)"))
+      .filter(col("users_in") > 0)
+      .withColumn("events_in", col("users_in") * col("c"))
+    deciles.groupBy(col("decile"))
+      .agg(sum(col("users_in")).as("n_users_in"),
+        sum(col("events_in")).as("n_events_in"),
+        max(col("n_events")).as("n_events"))
+      .withColumn("cum_events", sum(col("n_events_in")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("decile"), col("n_users_in"), col("n_events_in"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * cum_events" +
+          " DIV n_events AS BIGINT)").as("cum_share_ppm"))
+  }
+
   /** Referential-integrity audit over a set of named child→parent key
     * relations: per relation, child rows, distinct child keys, orphan
     * keys (child keys with no parent) and the rows they carry — the

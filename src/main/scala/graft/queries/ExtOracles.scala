@@ -1012,6 +1012,47 @@ object ExtOracles {
         |            AS BIGINT) AS energy
         |FROM s""".stripMargin,
 
+    // Day-of-week profile: (epoch_day + 3) % 7 + 1, 1 = Monday.
+    "x131_dow_profile" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         ((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) + 3)
+        |           % 7 + 1 AS dow,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, dow, n_events,
+        |       1000000 * n_events //
+        |         CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+        |         AS share_ppm
+        |FROM h""".stripMargin,
+
+    // Lorenz deciles: naive DESC ranking joined onto the half-open
+    // decile rank intervals ((d−1)·n//10, d·n//10] — the interval
+    // semantics the Spark closed form carves arithmetically.
+    "x132_lorenz_curve" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rn
+        |      FROM c),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |             CAST(sum(c) AS BIGINT) AS n_events FROM c),
+        |dec AS (
+        |  SELECT CAST(d AS INT) AS decile,
+        |         (d - 1) * n_users // 10 AS lo, d * n_users // 10 AS hi
+        |  FROM range(1, 11) v(d), t),
+        |g AS (
+        |  SELECT dec.decile, CAST(count(*) AS BIGINT) AS n_users_in,
+        |         CAST(sum(r.c) AS BIGINT) AS n_events_in
+        |  FROM r JOIN dec ON r.rn > dec.lo AND r.rn <= dec.hi
+        |  GROUP BY 1)
+        |SELECT g.decile, g.n_users_in, g.n_events_in,
+        |       CAST(CAST(1000000 AS HUGEINT) *
+        |            CAST(sum(g.n_events_in) OVER (ORDER BY g.decile
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |            // t.n_events AS BIGINT) AS cum_share_ppm
+        |FROM g, t""".stripMargin,
+
     // Kendall τ: both brute-force rankings (the x120 CTEs), common
     // neighbors, pair products; sign-decomposed division (Spark DIV
     // truncates, DuckDB // floors — negatives never reach it).

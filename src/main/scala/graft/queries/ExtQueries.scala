@@ -770,6 +770,14 @@ object ExtQueries {
     "x122_ab_lift" -> ((s, d) =>
       Stats.abLift(
         events(s, d).select("user_id", "event_type", "value"))),
+    // Day-of-week profile: integer dow from the epoch day (epoch day
+    // 0 was a Thursday) — no engine calendar-convention drift.
+    "x131_dow_profile" -> ((s, d) =>
+      Stats.dowProfile(events(s, d).select("event_type", "ts"))),
+    // Lorenz deciles: closed-form straddle carve vs the oracle's
+    // naive ranked bucketing (the x103/x121 family cross-proof).
+    "x132_lorenz_curve" -> ((s, d) =>
+      Stats.lorenzCurve(events(s, d).select("user_id", "event_id"))),
     // Kendall-τ agreement between the cosine and inner-product top-10
     // rankings — the disagreement measure behind the x120 fusion.
     "x128_kendall_tau" -> ((s, d) =>

@@ -2728,6 +2728,48 @@ class ExtSpec extends SparkSpec {
       (6L, 1) -> ((1L, 0x62L))), s"got $got")
   }
 
+  test("dowProfile: epoch-day weekday arithmetic (1970-01-01 is a Thursday)") {
+    import spark.implicits._
+    val day = 86400000000L
+    // epoch days 0 (Thu), 4 (Mon), 5 (Tue), 5 again
+    val rows = Seq(("a", 0L), ("a", 4 * day), ("a", 5 * day),
+      ("a", 5 * day + 1))
+    val ev = rows.toDF("event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.dowProfile(ev.select("event_type", "ts"))
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(4L -> ((1L, 250000L)), 1L -> ((1L, 250000L)),
+      2L -> ((2L, 500000L))), s"got $got")
+  }
+
+  test("lorenzCurve: straddle carve equals the ranked bucketing; shares monotone") {
+    import spark.implicits._
+    // 10 users with counts 10,9,...,1 → decile d holds exactly the
+    // rank-d user; cum shares over total 55
+    val rows = (1L to 10L).flatMap(u =>
+      (0 until (11 - u).toInt).map(i => (u, u * 100 + i)))
+    val got = graft.ext.Stats.lorenzCurve(
+      rows.toDF("user_id", "event_id")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == 10, s"got $got")
+    (1 to 10).foreach { d =>
+      val (nu, ne, _) = got(d)
+      assert(nu == 1L && ne == (11 - d).toLong, s"decile $d: ${got(d)}")
+    }
+    assert(got(1)._3 == 1000000L * 10 / 55, s"d1 share ${got(1)._3}")
+    assert(got(10)._3 == 1000000L, s"d10 share ${got(10)._3}")
+    // a 23-user frame (n not divisible by 10) still covers every user
+    val odd = (1L to 23L).flatMap(u =>
+      (0 to (u % 5).toInt).map(i => (u, u * 1000 + i)))
+    val o = graft.ext.Stats.lorenzCurve(odd.toDF("user_id", "event_id"))
+      .collect()
+    assert(o.map(_.getLong(1)).sum == 23L, s"user coverage: ${o.mkString(";")}")
+    assert(o.map(r => r.getInt(0) -> r.getLong(3)).sortBy(_._1).last._2 ==
+      1000000L)
+  }
+
   test("kendallTau: hand-worked concordance, reversal hits -1e6, disjoint lists zero") {
     import spark.implicits._
     def rk(rows: (Long, Long, Int)*) =
