@@ -59,6 +59,13 @@ object CorpusPrepJob {
         * per-row projection — it fuses into the normalize scan, no
         * extra pass. */
       htmlInput: Boolean = false,
+      /** When non-empty, the C4 blocklist gate
+        * ([[TextStats.blocklistFilter]]) runs between the Gopher gate
+        * and exact dedup: any document containing a listed term drops,
+        * and the funnel gains a `2b_blocklist_passed` row. Empty
+        * (default) leaves the pipeline and its funnel BYTE-identical
+        * to the ungated form — the x62/x68 gate rows depend on that. */
+      blocklist: Seq[String] = Nil,
       /** When false, [[run]] skips the derived EXPORTS (packed train
         * sequences, curriculum, mixture) — they are re-derivable from
         * the corpus table at compaction cadence ([[refreshArtifacts]]),
@@ -115,12 +122,21 @@ object CorpusPrepJob {
     // ONE shuffle on the hash; dup groups are tiny, so the window
     // holds no meaningful state. Persisted: feeds the pair set, the
     // component join, the decontamination and the funnel.
-    val exactKept = {
-      val gated = normalized.join(
+    val gatedForDedup = {
+      val gated0 = normalized.join(
         TextStats.gopherRules(normalized).filter(col("passes")).select("doc_id"),
         "doc_id")
+      // optional C4 blocklist gate — empty list leaves the frame (and
+      // therefore every downstream count) byte-identical
+      if (cfg.blocklist.isEmpty) gated0
+      else gated0.join(
+        TextStats.blocklistFilter(gated0, cfg.blocklist)
+          .filter(col("flagged")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    }
+    val exactKept = {
       val byHash = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-      gated.withColumn("__rn", row_number().over(byHash))
+      gatedForDedup.withColumn("__rn", row_number().over(byHash))
         .filter(col("__rn") === 1).drop("__rn")
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
@@ -188,8 +204,13 @@ object CorpusPrepJob {
       def stage(name: String, d: DataFrame): DataFrame =
         d.agg(count(lit(1)).as("n_docs"))
           .select(lit(name).as("stage"), col("n_docs"))
-      val funnel = stage("1_raw", normalized)
+      val funnelHead = stage("1_raw", normalized)
         .unionByName(stage("2_gate_passed", gatedCount))
+      // the blocklist row exists ONLY when the gate is configured —
+      // the default funnel stays byte-identical (x62/x68 pin it)
+      val funnel = (if (cfg.blocklist.isEmpty) funnelHead
+        else funnelHead.unionByName(
+          stage("2b_blocklist_passed", gatedForDedup)))
         .unionByName(stage("3_exact_unique", exactKept))
         .unionByName(stage("4_neardup_kept", neardupKept))
         .unionByName(stage("5_clean", clean))
@@ -272,9 +293,17 @@ object CorpusPrepJob {
     val normalized = TextStats.normalized(newDocs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val exactKept = {
-      val gated = normalized.join(
+      val gated0 = normalized.join(
         TextStats.gopherRules(normalized).filter(col("passes")).select("doc_id"),
         "doc_id")
+      // the same optional blocklist gate as [[run]] — a batch must
+      // clear the same bar as the initial build or the corpus drifts
+      val gated =
+        if (cfg.blocklist.isEmpty) gated0
+        else gated0.join(
+          TextStats.blocklistFilter(gated0, cfg.blocklist)
+            .filter(col("flagged")).select("doc_id"),
+          Seq("doc_id"), "left_anti")
       val byHash = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       val batchUniq = gated.withColumn("__rn", row_number().over(byHash))
         .filter(col("__rn") === 1).drop("__rn")

@@ -356,6 +356,30 @@ class CorpusPrepJobSpec extends SparkSpec {
       s"landing extraction changed the funnel: ${html.stageCounts} vs ${plain.stageCounts}")
   }
 
+  test("blocklist: listed-term docs drop between gate and dedup; empty list is identity") {
+    val whOff = tmpDir("prepbl1")
+    val whOn = tmpDir("prepbl2")
+    val off = CorpusPrepJob.run(docs, evalDocs, new StagingWriter(spark, whOff))
+    // every fixture doc containing 'customer' is blocked; the term is
+    // frequent enough that the gate is non-vacuous
+    val on = CorpusPrepJob.run(docs, evalDocs, new StagingWriter(spark, whOn),
+      CorpusPrepJob.PrepConfig(blocklist = Seq("customer")))
+    // off-path funnel has NO blocklist row and equals the historical shape
+    assert(!off.stageCounts.contains("2b_blocklist_passed"),
+      s"identity broken: ${off.stageCounts}")
+    val passed = on.stageCounts("2b_blocklist_passed")
+    assert(passed < on.stageCounts("2_gate_passed"),
+      s"blocklist dropped nothing: ${on.stageCounts}")
+    assert(on.stageCounts("3_exact_unique") <= passed,
+      s"dedup saw blocked docs: ${on.stageCounts}")
+    // the blocked docs really carried the term — none survives
+    val survivors = new StagingWriter(spark, whOn).read(CorpusPrepJob.CorpusTable)
+    assert(survivors.filter(col("text").contains("customer")).count() == 0,
+      "a blocklisted doc reached the corpus")
+    // the same corpus WITHOUT the term is untouched by the gate
+    assert(off.stageCounts("1_raw") == on.stageCounts("1_raw"))
+  }
+
   test("exports=false: run defers pack/curriculum to refreshArtifacts; funnel identical") {
     val whFull = tmpDir("prepexp1")
     val whLean = tmpDir("prepexp2")
