@@ -209,6 +209,71 @@ class PropertySpec extends SparkSpec {
     }, min = 8)
   }
 
+  test("closed-form ntile/crossing/gini arithmetic equals naive references") {
+    // the decomposed-histogram operators (x70/x94/x103/x121/x132) all
+    // rest on three pieces of pure integer arithmetic; exercise each
+    // against a brute-force reference over random inputs
+    // 1) ntile closed form: first n%b bands take q+1 rows
+    def closedNtile(rnk: Long, n: Long, b: Long): Long = {
+      val q = n / b; val r = n % b
+      if (rnk <= r * (q + 1)) (rnk - 1) / (q + 1) + 1
+      else r + (rnk - r * (q + 1) - 1) / q + 1
+    }
+    def naiveNtile(rnk: Long, n: Long, b: Long): Long = {
+      // walk the bands exactly as SQL NTILE distributes rows
+      val q = n / b; val r = n % b
+      var band = 1L; var upto = 0L
+      while ({ upto += (if (band <= r) q + 1 else q); upto < rnk }) band += 1
+      band
+    }
+    val nb = Gen.zip(Gen.choose(1L, 500L), Gen.choose(1L, 20L))
+    check("ntile-closed-form", Prop.forAll(nb) { case (n, b0) =>
+      // b0 may exceed n — the q = 0 edge every band-assigner must survive
+      (1L to n).forall(rnk => closedNtile(rnk, n, b0) == naiveNtile(rnk, n, b0))
+    }, min = 100)
+    // 2) Pareto crossing: k = users_before + ceil((target-events_before)/v)
+    //    equals the naive ranked scan
+    val histGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 50L), Gen.choose(1L, 5L))).map(_.take(12))
+    check("pareto-crossing", Prop.forAll(histGen) { groups =>
+      // groups: (value, users) — descending value order
+      val desc = groups.groupBy(_._1).map { case (v, g) => v -> g.map(_._2).sum }
+        .toSeq.sortBy(-_._1)
+      val events = desc.map { case (v, m) => v * m }.sum
+      val target = (4 * events + 4) / 5
+      // closed form over the crossing group
+      var ub = 0L; var eb = 0L; var closed = -1L
+      desc.foreach { case (v, m) =>
+        if (closed < 0 && eb < target && eb + v * m >= target)
+          closed = ub + (target - eb + v - 1) / v
+        ub += m; eb += v * m
+      }
+      // naive: expand users, running sum
+      val flat = desc.flatMap { case (v, m) => Seq.fill(m.toInt)(v) }
+      var cum = 0L
+      val naive = flat.zipWithIndex.collectFirst {
+        case (v, i) if { cum += v; cum >= target } => i + 1L
+      }.get
+      closed == naive
+    }, min = 200)
+    // 3) Gini closed form: Σ v·m·(2b+m−n) over ASC groups equals the
+    //    textbook Σ(2i−n−1)x_i
+    check("gini-closed-form", Prop.forAll(histGen) { groups =>
+      val asc = groups.groupBy(_._1).map { case (v, g) => v -> g.map(_._2).sum }
+        .toSeq.sortBy(_._1)
+      val n = asc.map(_._2).sum
+      var b = 0L
+      var closed = BigInt(0)
+      asc.foreach { case (v, m) =>
+        closed += BigInt(v) * m * (2 * b + m - n); b += m
+      }
+      val flat = asc.flatMap { case (v, m) => Seq.fill(m.toInt)(v) }
+      val naive = flat.zipWithIndex
+        .map { case (x, i) => BigInt(2L * (i + 1) - n - 1) * x }.sum
+      closed == naive
+    }, min = 200)
+  }
+
   test("temperature allocation: exact budget unless capped, per-source bounds, determinism") {
     val countsGen = Gen.nonEmptyListOf(Gen.zip(
       Gen.oneOf(Gen.alphaStr.map(_.take(6)), Gen.const(null: String)),
