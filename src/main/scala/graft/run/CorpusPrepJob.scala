@@ -200,25 +200,13 @@ object CorpusPrepJob {
         }
 
       // the funnel: one unioned aggregate query — every count is an
-      // integer aggregate, map-side combinable, one small row per stage
-      def stage(name: String, d: DataFrame): DataFrame =
-        d.agg(count(lit(1)).as("n_docs"))
-          .select(lit(name).as("stage"), col("n_docs"))
-      val funnelHead = stage("1_raw", normalized)
-        .unionByName(stage("2_gate_passed", gatedCount))
-      // the blocklist row exists ONLY when the gate is configured —
-      // the default funnel stays byte-identical (x62/x68 pin it)
-      val funnel = (if (cfg.blocklist.isEmpty) funnelHead
-        else funnelHead.unionByName(
-          stage("2b_blocklist_passed", gatedForDedup)))
-        .unionByName(stage("3_exact_unique", exactKept))
-        .unionByName(stage("4_neardup_kept", neardupKept))
-        .unionByName(stage("5_clean", clean))
-        .unionByName(corpus.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
-          .select(concat(lit("6_split_"), col("split")).as("stage"), col("n_docs")))
-        // eager: the funnel must survive the finally-release of the
-        // cached intermediates it counts
-        .localCheckpoint(true)
+      // integer aggregate, map-side combinable, one small row per
+      // stage; assembled in [[assembleFunnel]] (blocklist row only
+      // when configured — the default funnel stays byte-identical,
+      // x62/x68 pin it), eager so it survives the finally-release of
+      // the cached intermediates it counts
+      val funnel = assembleFunnel(cfg, normalized, gatedCount,
+        gatedForDedup, exactKept, neardupKept, clean, corpus)
       writer.write(funnel, FunnelTable, append = false)
 
       val counts = funnel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -228,6 +216,26 @@ object CorpusPrepJob {
       normalized.unpersist(blocking = false)
       exactKept.unpersist(blocking = false)
     }
+  }
+
+  private def assembleFunnel(
+      cfg: PrepConfig, normalized: DataFrame, gatedCount: DataFrame,
+      gatedForDedup: DataFrame, exactKept: DataFrame,
+      neardupKept: DataFrame, clean: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    def stage(name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    val head = stage("1_raw", normalized)
+      .unionByName(stage("2_gate_passed", gatedCount))
+    (if (cfg.blocklist.isEmpty) head
+     else head.unionByName(stage("2b_blocklist_passed", gatedForDedup)))
+      .unionByName(stage("3_exact_unique", exactKept))
+      .unionByName(stage("4_neardup_kept", neardupKept))
+      .unionByName(stage("5_clean", clean))
+      .unionByName(corpus.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .select(concat(lit("6_split_"), col("split")).as("stage"), col("n_docs")))
+      .localCheckpoint(true)
   }
 
   /** The refresh leg of the lifecycle — [[run]] is the corpus analog
