@@ -201,6 +201,44 @@ object Sessions {
       when(inWindow, col("pus") - col("tus")).as("lag_us"))
   }
 
+  /** Segment-split conversion funnel: X87's ordered containment
+    * computed per DIMENSION SEGMENT — "which customer segment
+    * converts", the report that turns a funnel into a targeting
+    * decision. The user→segment dimension joins ONCE onto the
+    * per-user stage-completion frames (each is one row per reached
+    * user), so the segment split costs one broadcast-ready join per
+    * stage over already-aggregated frames, never a second events
+    * pass. Users missing from the dimension report as segment NULL —
+    * "unattributed", not dropped (a funnel that silently loses users
+    * undercounts every stage).
+    *
+    * Output: (segment, stage 1-based, event_type, n_users). */
+  def segmentFunnel(
+      events: DataFrame, dim: DataFrame, dimKey: String, segCol: String,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val base = events
+      .filter(col("ts").isNotNull && col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val seg = dim.select(col(dimKey).as("user_id"), col(segCol).as("segment"))
+    val first = base.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+    val reached: Seq[DataFrame] = stages.tail.scanLeft(first) { (prev, stage) =>
+      base.filter(col("event_type") === stage)
+        .join(prev, Seq("user_id"))
+        .filter(col("us") > col("t"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+    }
+    reached.zipWithIndex.map { case (df, i) =>
+      df.join(seg, Seq("user_id"), "left")
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("segment"), lit(i + 1).as("stage"),
+          lit(stages(i)).as("event_type"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Attribution-window sensitivity sweep: the same last-touch
     * credit ([[lastTouchAttribution]]) evaluated at several window
     * widths in one pass — the report that tells an analytics team

@@ -626,6 +626,49 @@ object Stats {
         expr("1000000 * n_events DIV type_total").as("share_ppm"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift per source: the exact KS
+    * statistic (ppm) between each source's doc-length distribution
+    * and the whole corpus — `max_v |10⁶·cdf_s(v) − 10⁶·cdf_all(v)|`
+    * evaluated at every corpus value, all integer (each cdf is
+    * `10⁶·cum div n`). The DISTRIBUTIONAL drift detector next to
+    * X59's token-frequency L1: a source whose docs are the right
+    * words at the wrong lengths (truncation, concatenation, a
+    * changed extractor) shows here first.
+    *
+    * Scale shape: both histograms are map-side-combinable counts
+    * bounded by the value domain; the evaluation grid is
+    * |values| × |sources| (domain-bounded, never corpus-bounded) and
+    * the carry-forward cdf is a cumulative window over that tiny
+    * frame. */
+  def ksDrift(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"),
+      length(coalesce(col("text"), lit(""))).cast("long").as("v"))
+    val allHist = d.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_all", sum(col("cnt")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val nAll = allHist.agg(sum(col("cnt")).as("n_all"))
+    val srcHist = d.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("scnt"))
+    val nSrc = srcHist.groupBy(col("source")).agg(sum(col("scnt")).as("n_src"))
+    // evaluation grid: every corpus value × every source, with the
+    // source's cdf carried forward across values it lacks
+    val grid = allHist.select(col("v"), col("cum_all"))
+      .crossJoin(nSrc.select(col("source")))
+      .join(srcHist, Seq("source", "v"), "left")
+      .withColumn("cum_src",
+        coalesce(sum(coalesce(col("scnt"), lit(0L))).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, 0)), lit(0L)))
+    grid.join(broadcast(nSrc), Seq("source"))
+      .crossJoin(broadcast(nAll))
+      .select(col("source"), col("n_src"),
+        abs(expr("1000000 * cum_src DIV n_src") -
+          expr("1000000 * cum_all DIV n_all")).as("d_ppm"))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_docs"), max(col("d_ppm")).as("ks_ppm"))
+  }
+
   /** Day-of-week activity profile — the weekly-seasonality axis the
     * lag-1 autocorrelation (X143) hints at and [[hourlyProfile]]'s
     * diurnal view can't show: per (type, ISO day-of-week 1=Monday),

@@ -1012,6 +1012,67 @@ object ExtOracles {
         |            AS BIGINT) AS energy
         |FROM s""".stripMargin,
 
+    // Segment funnel: the x75 dependent chain + a left segment join
+    // per stage frame.
+    "x133_segment_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, min(us) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY 1),
+        |d AS (SELECT c_custkey AS user_id, c_mktsegment AS segment
+        |      FROM customer)
+        |SELECT d.segment, CAST(1 AS INT) AS stage, 'view' AS event_type,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM s1 LEFT JOIN d USING (user_id) GROUP BY 1
+        |UNION ALL
+        |SELECT d.segment, CAST(2 AS INT), 'click',
+        |       CAST(count(*) AS BIGINT)
+        |FROM s2 LEFT JOIN d USING (user_id) GROUP BY 1
+        |UNION ALL
+        |SELECT d.segment, CAST(3 AS INT), 'purchase',
+        |       CAST(count(*) AS BIGINT)
+        |FROM s3 LEFT JOIN d USING (user_id) GROUP BY 1""".stripMargin,
+
+    // KS drift: integer cdfs on the corpus value grid with
+    // carry-forward source cumulatives.
+    "x134_ks_drift" ->
+      """WITH dd AS (
+        |  SELECT source,
+        |         CAST(length(coalesce(text, '')) AS BIGINT) AS v
+        |  FROM documents),
+        |ah AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM dd GROUP BY 1),
+        |ac AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all
+        |       FROM ah),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM dd),
+        |sh AS (SELECT source, v, CAST(count(*) AS BIGINT) AS scnt
+        |       FROM dd GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        |       FROM dd GROUP BY 1),
+        |g AS (
+        |  SELECT ns.source, ac.v, ac.cum_all, coalesce(sh.scnt, 0) AS scnt
+        |  FROM ac CROSS JOIN ns
+        |  LEFT JOIN sh ON sh.source = ns.source AND sh.v = ac.v),
+        |c AS (
+        |  SELECT source, v, cum_all,
+        |         CAST(sum(scnt) OVER (PARTITION BY source ORDER BY v
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_src
+        |  FROM g)
+        |SELECT c.source, ns.n_src AS n_docs,
+        |       CAST(max(abs(1000000 * c.cum_src // ns.n_src -
+        |                    1000000 * c.cum_all // na.n_all)) AS BIGINT)
+        |         AS ks_ppm
+        |FROM c JOIN ns USING (source) CROSS JOIN na
+        |GROUP BY 1, 2""".stripMargin,
+
     // Day-of-week profile: (epoch_day + 3) % 7 + 1, 1 = Monday.
     "x131_dow_profile" ->
       """WITH h AS (

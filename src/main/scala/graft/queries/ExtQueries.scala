@@ -770,6 +770,16 @@ object ExtQueries {
     "x122_ab_lift" -> ((s, d) =>
       Stats.abLift(
         events(s, d).select("user_id", "event_type", "value"))),
+    // Segment-split funnel: the x75 chain per customer segment (all
+    // fixture users carry a segment; the NULL branch is spec-pinned).
+    "x133_segment_funnel" -> ((s, d) =>
+      Sessions.segmentFunnel(
+        events(s, d).select("event_id", "user_id", "event_type", "ts"),
+        s.read.parquet(s"$d/customer.parquet"),
+        "c_custkey", "c_mktsegment")),
+    // Two-sample KS drift per source over doc lengths — exact
+    // integer cdfs evaluated on the corpus value grid.
+    "x134_ks_drift" -> ((s, d) => Stats.ksDrift(docs(s, d))),
     // Day-of-week profile: integer dow from the epoch day (epoch day
     // 0 was a Thursday) — no engine calendar-convention drift.
     "x131_dow_profile" -> ((s, d) =>

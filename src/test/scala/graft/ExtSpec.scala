@@ -2728,6 +2728,46 @@ class ExtSpec extends SparkSpec {
       (6L, 1) -> ((1L, 0x62L))), s"got $got")
   }
 
+  test("segmentFunnel: per-segment stage counts, unmapped users keep a NULL row") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    val h = 3600000000L
+    // u1 (seg A) converts fully; u2 (seg B) views only; u9 (no dim
+    // row) views — NULL segment, not dropped
+    val rows = Seq(
+      (1L, 1L, "view", t0), (2L, 1L, "click", t0 + h),
+      (3L, 1L, "purchase", t0 + 2 * h),
+      (10L, 2L, "view", t0), (20L, 9L, "view", t0))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+      .select("event_id", "user_id", "event_type", "ts")
+    val dim = Seq((1L, "A"), (2L, "B")).toDF("uid", "seg")
+    val got = Sessions.segmentFunnel(ev, dim, "uid", "seg").collect()
+      .map(r => (Option(r.getString(0)), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(got == Map(
+      (Some("A"), 1) -> 1L, (Some("B"), 1) -> 1L, (None, 1) -> 1L,
+      (Some("A"), 2) -> 1L, (Some("A"), 3) -> 1L), s"got $got")
+  }
+
+  test("ksDrift: identical source is 0; a shifted source hits its exact gap") {
+    import spark.implicits._
+    // corpus: A has lengths {1,2}, B has {3,4} → at v=2 the cdfs are
+    // A: 1.0 vs all: 0.5 → KS(A) = 500000; symmetric for B
+    val d = Seq((1L, "a", "A"), (2L, "ab", "A"),
+      (3L, "abc", "B"), (4L, "abcd", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ext.Stats.ksDrift(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("A" -> ((2L, 500000L)), "B" -> ((2L, 500000L))),
+      s"got $got")
+    // a source that IS the corpus distribution scores 0
+    val same = Seq((1L, "a", "X"), (2L, "ab", "X"))
+      .toDF("doc_id", "text", "source")
+    val g2 = graft.ext.Stats.ksDrift(same).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(g2 == Map("X" -> 0L), s"got $g2")
+  }
+
   test("dowProfile: epoch-day weekday arithmetic (1970-01-01 is a Thursday)") {
     import spark.implicits._
     val day = 86400000000L
