@@ -165,6 +165,86 @@ object Multimodal {
           .as("energy"))
   }
 
+  /** 64-bit dHash-style perceptual signature over the payload — the
+    * difference-hash construction image dedup uses (resize to a tiny
+    * grid, emit 1 bit per adjacent-sample comparison; Krawetz's dHash
+    * write-up is the public reference), computed here on the raw
+    * payload bytes: 65 nearest-neighbor samples (the [[resize]]
+    * downsample arithmetic — `pos_i = (i·len) div 65`, integer
+    * truncation) and bit `i` = `sample_i > sample_{i+1}`. A real image
+    * deployment decodes to grayscale 65×1 first and keeps every line
+    * below unchanged.
+    *
+    * The signature is returned as FOUR 16-bit band ints (`b0..b3`,
+    * bit `16k+j` of the signature = bit `j` of `b_k`) rather than one
+    * BIGINT: the bands ARE the LSH blocking keys, and 16-bit values
+    * sidestep the sign-bit hazards a packed 64-bit signature carries
+    * cross-engine. Hex idiom throughout (`conv(substring(hex(payload)
+    * ...), 16, 10)`), so the DuckDB oracle recomputes the signature
+    * byte-for-byte from `hex(encode(text))` — the [[audioEnergy]]
+    * convention. Empty/NULL payloads carry no signature. */
+  def dhashSignature(media: DataFrame): DataFrame = {
+    val n = DhashSamples
+    val sampled = media
+      .filter(col("payload").isNotNull && length(col("payload")) > 0)
+      .select(col("doc_id"), hex(col("payload")).as("h"),
+        length(col("payload")).as("len"))
+      // samples land in a column BEFORE the band lambdas touch them
+      // (the documented HOF re-evaluation pitfall); BIGINT in the
+      // index product so a 2 GB payload cannot overflow the position
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${n - 1}), i -> " +
+          "CAST(conv(substring(h, 2 * CAST((CAST(i AS BIGINT) * len)" +
+          s" DIV $n AS INT) + 1, 2), 16, 10) AS INT))").as("s"))
+    val bands = (0 until DhashBands).map { k =>
+      expr(s"aggregate(sequence(0, ${DhashBandBits - 1}), 0, (acc, j) -> " +
+        s"acc + IF(element_at(s, j + ${DhashBandBits * k + 1}) > " +
+        s"element_at(s, j + ${DhashBandBits * k + 2}), shiftleft(1, j), 0))")
+        .as(s"b$k")
+    }
+    sampled.select(col("doc_id") +: bands: _*)
+  }
+
+  /** Perceptual near-dup pairs at signature hamming distance ≤
+    * `maxDist` (< 4) — the media-column dedup axis next to the exact
+    * [[mediaMeta]] md5: X5's exact banded geometry (4×16-bit bands,
+    * pigeonhole: ≤ 3 differing bits touch ≤ 3 of 4 bands, so every
+    * true pair shares a band — exact recall, never all-pairs), with
+    * the same [[graft.ext.BucketCap]] skew guard and the same
+    * distinct-before-verify candidate join as
+    * [[graft.ext.Dedup.simhashNeardup]]. Output: (doc_id_a <
+    * doc_id_b, hamming). Scale: candidates ≈ 4·n²/2¹⁷ per shard on
+    * unrelated payloads — the verify is 4 xor/bit_count adds, no
+    * payload ever re-read. */
+  def mediaNeardup(
+      media: DataFrame,
+      maxDist: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxDist < DhashBands,
+      s"$DhashBands-band blocking guarantees recall only for distance <= ${DhashBands - 1}")
+    val sig = dhashSignature(media)
+    val banded = graft.ext.BucketCap.keepSmall(
+      sig.select(col("doc_id") +: (0 until DhashBands).map(k => col(s"b$k")) :+
+        posexplode(array((0 until DhashBands).map(k => col(s"b$k")): _*))
+          .as(Seq("band", "band_val")): _*),
+      Seq("band", "band_val"), maxBucket)
+    def side(tag: String) = banded.select(
+      col("band") +: col("band_val") +: col("doc_id").as(s"doc_id_$tag") +:
+        (0 until DhashBands).map(k => col(s"b$k").as(s"$tag$k")): _*)
+    val hamming = (0 until DhashBands)
+      .map(k => bit_count(col(s"a$k").bitwiseXOR(col(s"b$k"))))
+      .reduce(_ + _).cast("int")
+    side("a").join(side("b"), Seq("band", "band_val"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  private val DhashSamples = 65
+  private val DhashBands = 4
+  private val DhashBandBits = 16
+
   def frameSample(media: DataFrame, n: Int = 4, frameBytes: Int = 16): DataFrame = {
     require(n > 0 && frameBytes > 0,
       s"frame plan n=$n frameBytes=$frameBytes must be positive")

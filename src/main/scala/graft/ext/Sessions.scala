@@ -212,6 +212,14 @@ object Sessions {
     * "unattributed", not dropped (a funnel that silently loses users
     * undercounts every stage).
     *
+    * The dimension is deduplicated to ONE segment per key before the
+    * join (`min(segment)`, NULL-skipping — deterministic on any
+    * engine): a dimension with duplicate key rows would otherwise
+    * fan out every stage frame and inflate each stage's n_users
+    * (ADVICE r8 #4). Callers with a versioned dimension should
+    * resolve the wanted version upstream (e.g. [[pitLookup]]) —
+    * min() is a tie-break, not SCD semantics.
+    *
     * Output: (segment, stage 1-based, event_type, n_users). */
   def segmentFunnel(
       events: DataFrame, dim: DataFrame, dimKey: String, segCol: String,
@@ -222,6 +230,7 @@ object Sessions {
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
     val seg = dim.select(col(dimKey).as("user_id"), col(segCol).as("segment"))
+      .groupBy(col("user_id")).agg(min(col("segment")).as("segment"))
     val first = base.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("us")).as("t"))
     val reached: Seq[DataFrame] = stages.tail.scanLeft(first) { (prev, stage) =>

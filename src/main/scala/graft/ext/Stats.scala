@@ -212,12 +212,24 @@ object Stats {
     * first (ONE shuffle, bounded by the calendar × type product, not
     * the event count); the per-type moments are a second aggregate
     * over that tiny frame, broadcast back. */
+  /** Epoch-bucket floor division as a SQL snippet: Spark's `DIV`
+    * truncates toward zero while DuckDB's `//` floors, so pre-1970
+    * (negative-epoch) timestamps would land in a bucket one too high
+    * on the Spark side — the sign hazard kendallTau decomposes around
+    * explicitly (ADVICE r8 #2). `us` must be a cheap attribute/expr
+    * snippet (it is re-evaluated three times). Non-negative bucket
+    * POSITIONS (hour-of-day, day-of-week) additionally go through
+    * `pmod` at the call site — `%` follows the dividend's sign. */
+  private def epochFloorDiv(us: String, d: Long): String =
+    s"(($us) DIV $d - (CASE WHEN ($us) % $d < 0 THEN 1 ELSE 0 END))"
+  private val EpochUs = "unix_micros(CAST(ts AS TIMESTAMP))"
+
   def dailyAnomaly(events: DataFrame, sigmas: Int = 3): DataFrame = {
     require(sigmas > 0, s"sigmas $sigmas must be positive")
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val daily = events.filter(col("ts").isNotNull)
       .select(col("event_type"),
-        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"))
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("c"))
     val moments = daily.groupBy(col("event_type").as("m_type"))
@@ -527,7 +539,7 @@ object Stats {
     // count (the sourceOverlap lesson)
     val daily = events.filter(col("ts").isNotNull)
       .select(col("event_type"),
-        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"))
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -615,7 +627,7 @@ object Stats {
   def hourlyProfile(events: DataFrame): DataFrame = {
     val hourly = events.filter(col("ts").isNotNull)
       .select(col("event_type"),
-        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24")
+        expr(s"pmod(${epochFloorDiv(EpochUs, 3600000000L)}, 24)")
           .as("hour"))
       .groupBy(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("n_events"))
@@ -679,8 +691,8 @@ object Stats {
   def dowProfile(events: DataFrame): DataFrame = {
     val daily = events.filter(col("ts").isNotNull)
       .select(col("event_type"),
-        expr("((unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) + 3)" +
-          " % 7 + 1").as("dow"))
+        expr(s"pmod(${epochFloorDiv(EpochUs, 86400000000L)} + 3, 7) + 1")
+          .as("dow"))
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("n_events"))
     daily
@@ -993,7 +1005,7 @@ object Stats {
   def dailyAutocorr(events: DataFrame): DataFrame = {
     val daily = events.filter(col("ts").isNotNull)
       .select(col("event_type"),
-        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"))
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("x"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -1056,14 +1068,22 @@ object Stats {
     * corpus never sorts, the window runs over distinct values — with
     * the documented near-unique-value caveat), joined back on the
     * value. Ties share the rank of their group's LAST member — the
-    * `cume_dist` convention, spelled in integers. */
+    * `cume_dist` convention, spelled in integers.
+    *
+    * NULL values are excluded up front (rows with a NULL signal carry
+    * no rank): Spark windows order NULLs FIRST while DuckDB orders
+    * them LAST, so letting NULL into the histogram shifts every
+    * cumulative count cross-engine — and the join-back would drop the
+    * NULL rows silently anyway. The filter makes the exclusion
+    * explicit and engine-independent. */
   def percentileRank(df: DataFrame, value: String, id: String): DataFrame = {
-    val hist = df.groupBy(col(value)).agg(count(lit(1)).as("cnt"))
+    val nn = df.filter(col(value).isNotNull)
+    val hist = nn.groupBy(col(value)).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(
         Window.orderBy(col(value))
           .rowsBetween(Window.unboundedPreceding, 0)))
     val tot = hist.agg(sum(col("cnt")).as("n"))
-    df.select(col(id), col(value))
+    nn.select(col(id), col(value))
       .join(hist.select(col(value), col("cum")), Seq(value))
       .crossJoin(broadcast(tot))
       .select(col(id), col(value),
@@ -1077,12 +1097,17 @@ object Stats {
     * (a z-score over raw web-doc lengths is dominated by the tail;
     * winsorize first and the moments mean something). Bounds are the
     * smallest values whose cumulative count reaches ⌈p·n/100⌉; the
-    * clamp is a per-row `least(greatest(...))` riding the scan. */
+    * clamp is a per-row `least(greatest(...))` riding the scan.
+    *
+    * NULL values are excluded up front, same contract and reason as
+    * [[percentileRank]]: cross-engine NULL ordering in the cumulative
+    * window would shift the bounds, and a NULL cannot be clamped. */
   def winsorize(df: DataFrame, value: String, id: String,
       loP: Int = 5, hiP: Int = 95): DataFrame = {
     require(loP >= 1 && hiP <= 100 && loP < hiP,
       s"bounds [$loP, $hiP] must satisfy 1 <= lo < hi <= 100")
-    val hist = df.groupBy(col(value)).agg(count(lit(1)).as("cnt"))
+    val nn = df.filter(col(value).isNotNull)
+    val hist = nn.groupBy(col(value)).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(
         Window.orderBy(col(value))
           .rowsBetween(Window.unboundedPreceding, 0)))
@@ -1091,7 +1116,7 @@ object Stats {
     def bound(p: Int, name: String) =
       h.filter(expr(s"cum >= ($p * n + 99) DIV 100"))
         .agg(min(col(value)).as(name))
-    df.select(col(id), col(value))
+    nn.select(col(id), col(value))
       .crossJoin(broadcast(bound(loP, "lo")))
       .crossJoin(broadcast(bound(hiP, "hi")))
       .select(col(id), col(value),
@@ -1116,7 +1141,10 @@ object Stats {
         expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("order_us")),
         Seq("o_orderkey"))
       .select(col("o_orderpriority"),
-        expr("(ship_us - order_us) DIV 86400000000").as("lag_days"))
+        // floor, not truncate: a negative lag (data-entry error, ship
+        // before order) must land in the same day bucket as DuckDB's //
+        expr(epochFloorDiv("ship_us - order_us", 86400000000L))
+          .as("lag_days"))
     val hist = lag.groupBy(col("o_orderpriority"), col("lag_days"))
       .agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(col("o_orderpriority"))
@@ -1199,8 +1227,8 @@ object Stats {
     require(bands >= 1, s"band count $bands must be positive")
     val o = orders.filter(col("o_orderdate").isNotNull).select(
       col("o_custkey"),
-      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
-        .as("day"),
+      expr(epochFloorDiv("unix_micros(CAST(o_orderdate AS TIMESTAMP))",
+        86400000000L)).as("day"),
       expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
     val maxDay = o.agg(max(col("day")).as("max_day"))
     // deliberately LAZY: a persist here was tried and REVERTED — the

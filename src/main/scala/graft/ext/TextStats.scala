@@ -799,10 +799,15 @@ object TextStats {
       array_min(fps).as("min_fingerprint"))
   }
 
-  /** Blocklist (badwords) filtering — the C4-style wordlist gate
-    * (Raffel et al. 2020 filtered any page containing a listed word):
-    * per document, total occurrences and distinct terms hit from a
-    * curated term list, plus the drop flag. Production lists run to
+  /** Blocklist (badwords) filtering — a C4-style wordlist gate
+    * (Raffel et al. 2020): per document, total occurrences and
+    * distinct terms hit from a curated term list, plus the drop flag.
+    * Matching is whitespace-TOKEN exact — 'customers' or 'customer.'
+    * do not hit the term 'customer'. C4's published gate is
+    * substring-based (strictly more aggressive); callers wanting that
+    * fidelity should pre-expand the term list with the inflections
+    * and punctuation-adjacent forms they care about, or normalize
+    * punctuation upstream. Production lists run to
     * tens of thousands of terms, so matching is an explode + BROADCAST
     * equi-join (map-side combinable count — the corpus never
     * shuffles), not a per-row O(tokens·terms) HOF scan; NULL text

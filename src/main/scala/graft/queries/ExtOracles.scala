@@ -1012,6 +1012,47 @@ object ExtOracles {
         |            AS BIGINT) AS energy
         |FROM s""".stripMargin,
 
+    // Perceptual media near-dup: the dHash signature recomputed
+    // byte-for-byte from hex(encode(text)) — 65 truncating-division
+    // samples, bit i = s[i] > s[i+1], packed into four 16-bit band
+    // ints — then BRUTE-FORCED over all pairs (the banded Spark
+    // plan's cross-proof; banded ≡ brute force by pigeonhole at
+    // hamming <= 3).
+    "x135_media_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |         substr(text, 1, 10) || 'Q' || substr(text, 12) AS text
+        |  FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 12),
+        |b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS len
+        |  FROM m WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+        |s AS (
+        |  SELECT doc_id,
+        |         [('0x' || h[2 * CAST((i * len) // 65 AS BIGINT) + 1 :
+        |                     2 * CAST((i * len) // 65 AS BIGINT) + 2])::INT
+        |          FOR i IN range(0, 65)] AS smp
+        |  FROM b),
+        |sig AS (
+        |  SELECT doc_id,
+        |         [CAST(list_sum([CASE WHEN smp[16 * k + j + 1] >
+        |                                   smp[16 * k + j + 2]
+        |                              THEN (1 << j) ELSE 0 END
+        |                         FOR j IN range(0, 16)]) AS INT)
+        |          FOR k IN range(0, 4)] AS bands
+        |  FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
+        |         CAST(bit_count(xor(a.bands[1], c.bands[1])) +
+        |              bit_count(xor(a.bands[2], c.bands[2])) +
+        |              bit_count(xor(a.bands[3], c.bands[3])) +
+        |              bit_count(xor(a.bands[4], c.bands[4])) AS INT) AS hamming
+        |  FROM sig a JOIN sig c ON a.doc_id < c.doc_id)
+        |SELECT doc_id_a, doc_id_b, hamming
+        |FROM pairs WHERE hamming <= 3""".stripMargin,
+
     // Segment funnel: the x75 dependent chain + a left segment join
     // per stage frame.
     "x133_segment_funnel" ->

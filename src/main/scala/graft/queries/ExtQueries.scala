@@ -167,6 +167,27 @@ object ExtQueries {
     // hex(encode(text)) slices (the x17 technique).
     "x124_audio_energy" -> ((s, d) =>
       Multimodal.audioEnergy(Multimodal.mediaTable(docs(s, d)))),
+    // Perceptual media near-dup: dHash-banded pairs at hamming <= 3
+    // over the deterministic payload. Planted: every 25th doc copied
+    // (id + 2e6) with ONE same-length character substitution at
+    // position 11 — at the fixture's ~50-550-byte payloads that flips
+    // at most a couple of signature bits, so copies land as true
+    // near-dup pairs while staying byte-distinct from their originals
+    // (exact-md5 dedup would NOT catch them — the axis this operator
+    // adds). The DuckDB oracle recomputes the signature from
+    // hex(encode(text)) and brute-forces all pairs; banded ≡ brute
+    // force by the 4x16 pigeonhole (spec-pinned in ExtSpec).
+    "x135_media_neardup" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"),
+        col("lang"), col("source"))
+      val copies = base
+        .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 12)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("Q"),
+            expr("substring(text, 12, length(text))")).as("text"),
+          col("lang"), col("source"))
+      Multimodal.mediaNeardup(Multimodal.mediaTable(base.unionByName(copies)))
+    }),
     "x16_repetition" -> ((s, d) => TextStats.repetition(docs(s, d))),
     // Exact (non-probabilistic) member of the dedup family: prefix-
     // filtered n-gram Jaccard join at 0.7 — a threshold where MinHash
@@ -324,7 +345,7 @@ object ExtQueries {
       val ev = base.filter(col("doc_id") % 50 === 0)
         .select(array_join(slice(split(col("text"), " "), 5, 26), " ").as("text"))
       val w = new graft.sinks.StagingWriter(s,
-        java.nio.file.Files.createTempDirectory("prep_job").toString)
+        graft.util.Scratch.dir("prep_job"))
       graft.run.CorpusPrepJob
         .run(damaged.unionByName(copies), ev, w).funnel
     }),
@@ -360,7 +381,7 @@ object ExtQueries {
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .unionByName(exactOfHist).unionByName(nearOfHist).unionByName(batchTwin)
       val w = new graft.sinks.StagingWriter(s,
-        java.nio.file.Files.createTempDirectory("incr_funnel").toString)
+        graft.util.Scratch.dir("incr_funnel"))
       // the initial load defers its exports (pack/curriculum) to
       // compaction cadence — the tick only needs corpus + index, and
       // the export sorts are re-derivable (refreshArtifacts); funnel
@@ -398,7 +419,7 @@ object ExtQueries {
       val corpus = dd.filter(col("doc_id") % 10 =!= 0)
       val batch = dd.filter(col("doc_id") % 10 === 0)
       val w = new graft.sinks.StagingWriter(s,
-        java.nio.file.Files.createTempDirectory("minhash_idx").toString)
+        graft.util.Scratch.dir("minhash_idx"))
       Dedup.buildMinhashIndex(corpus, w, "docs")
       Dedup.neardupAgainstIndex(batch, w, "docs")
     }),
@@ -411,7 +432,7 @@ object ExtQueries {
     "x44_incr_embed_neardup" -> ((s, d) => {
       val e = plantedEmb(s, d)
       val w = new graft.sinks.StagingWriter(s,
-        java.nio.file.Files.createTempDirectory("embed_idx").toString)
+        graft.util.Scratch.dir("embed_idx"))
       Similarity.buildEmbedIndex(e.filter(col("vec_id") < 1000000L), w, "emb")
       Similarity.embedNeardupAgainstIndex(e.filter(col("vec_id") >= 1000000L), w, "emb")
     }),

@@ -7,6 +7,48 @@ package graft.queries
 object Oracles {
 
   val all: Map[String, String] = Map(
+    // the page "server" holds exactly the o_orderkey % 100 = 0 slice
+    // (ODataPages.Modulus); the connector's pushed filter keeps
+    // o_custkey >= 50; the pushed limit never truncates by design
+    "s1_odata_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 0 AND o_custkey >= 50""".stripMargin,
+
+    // the expand "server" serves the o_orderkey % 100 = 0 orders WITH
+    // their lineitems inline; the gate explodes the subform, so the
+    // oracle is the inner join over the same slice — l_linenumber
+    // widened to BIGINT to match the pages' long element schema
+    "s3_odata_expand" ->
+      """SELECT o.o_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+        |       l.l_partkey, l.l_suppkey, l.l_returnflag
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey % 100 = 0""".stripMargin,
+
+    // replays k5PromoteLatest's append history (e1 full, e2 updated %7
+    // keys, e3 same-timestamp re-run over %14 keys) and keeps the
+    // latest extraction per PK — timestamp first, extractionid as the
+    // tiebreak, exactly EntityWriter.latestPerPk's window
+    "k5_promote_latest" ->
+      """WITH h AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |         'e1' AS extractionid,
+        |         TIMESTAMP '2026-01-01 00:00:00' AS extractiontimestamputc
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, 'e2',
+        |         TIMESTAMP '2026-02-01 00:00:00'
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 2000.0, 'e3',
+        |         TIMESTAMP '2026-02-01 00:00:00'
+        |  FROM orders WHERE o_orderkey % 14 = 0)
+        |SELECT o_orderkey, o_custkey, o_totalprice, extractionid,
+        |       extractiontimestamputc
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |        ORDER BY extractiontimestamputc DESC, extractionid DESC) AS rn
+        |      FROM h)
+        |WHERE rn = 1""".stripMargin,
+
     "s2_filter_pushdown" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
         |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'""".stripMargin,

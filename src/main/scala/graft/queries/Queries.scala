@@ -273,6 +273,79 @@ object Queries {
         (col("n_events") >= col("goal")).as("met"))
   }
 
+  /** S1 through the PRODUCTION connector: the DSv2 `graft-odata` read
+    * path — page-file "server" rendered from the orders fixture
+    * ([[graft.sources.odata.ODataPages]]), filter + limit pushed into
+    * the scan (`$filter=o_custkey ge 50&$top=...` lands in the scan
+    * description — plan-asserted in ODataSourceSpec), executor-side
+    * per-page partitions. The limit bound exceeds every SF's slice
+    * size, so it exercises the pushdown without truncating — a
+    * truncating limit would pick nondeterministic rows and can never
+    * hash-gate. The sim-source legs of S1 stay gated by s2/g1/p1. */
+  def s1ODataScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.odata.ODataPages
+    spark.read.format("graft-odata")
+      .schema(ODataPages.ordersSchema)
+      .option("path", ODataPages.ordersPages(spark, dir))
+      .load()
+      .filter(col("o_custkey") >= 50)
+      .limit(2000000)
+  }
+
+  /** S3 through the PRODUCTION connector: the nested `$expand` leg —
+    * page files carry each order's lineitems inline as
+    * `ORDERITEMS_SUBFORM: [...]` (the reference's
+    * `$expand=ORDERITEMS_SUBFORM` response shape,
+    * priorityDataSource.py:680-690), the connector infers the
+    * array<struct> column, [[graft.sources.odata.ODataEntitySource]]
+    * serves the entity fetch, and the explode flattens parent key +
+    * child fields — hash-matched against the DuckDB join over the
+    * same parquet slice. The sim-source leg of S3 stays gated by g1. */
+  def s3ODataExpand(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.odata.{ODataEntitySource, ODataPages}
+    val src = new ODataEntitySource(spark, ODataPages.ordersExpandRoot(spark, dir))
+    src.fetch(FetchRequest("ORDERS", expand = Seq("ORDERITEMS")))
+      .select(col("o_orderkey"),
+        explode(col("ORDERITEMS_SUBFORM")).as("it"))
+      .select(col("o_orderkey"),
+        col("it.l_linenumber").as("l_linenumber"),
+        col("it.l_partkey").as("l_partkey"),
+        col("it.l_suppkey").as("l_suppkey"),
+        col("it.l_returnflag").as("l_returnflag"))
+  }
+
+  /** K-series promote: the stg→final path (`StagingWriter.promote`,
+    * the reference's readme.md:723-731 roadmap semantics — it lists
+    * both `stg_orders` and `orders`) hash-proved end-to-end. An append
+    * HISTORY is laid in a scratch warehouse — full extraction e1, an
+    * incremental re-extraction e2 over the %7 keys with updated
+    * totals, and a SAME-TIMESTAMP re-run e3 over the %14 keys (the
+    * extractionid tiebreak is load-bearing, not decorative) — then
+    * promoted and read back: one row per PK, latest extraction wins.
+    * The oracle replays the identical history through a DuckDB
+    * row_number window. Audit timestamps are fixed literals here so
+    * they can participate in the hash (the run-dependent audit values
+    * are ScalaTest-verified instead, the P3 convention). */
+  def k5PromoteLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = new graft.sinks.StagingWriter(spark, graft.util.Scratch.dir("promote_gate"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    def stamp(df: DataFrame, id: String, ts: String) = df
+      .withColumn("extractionid", lit(id))
+      .withColumn("extractiontimestamputc", lit(Timestamp.valueOf(ts)))
+    w.writeEntity(stamp(o, "e1", "2026-01-01 00:00:00"), "ORDERS", append = false)
+    w.writeEntity(stamp(
+      o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      "e2", "2026-02-01 00:00:00"), "ORDERS", append = true)
+    w.writeEntity(stamp(
+      o.filter(col("o_orderkey") % 14 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(2000.0)),
+      "e3", "2026-02-01 00:00:00"), "ORDERS", append = true)
+    w.promote("ORDERS", Seq("o_orderkey"))
+    w.read("orders")
+  }
+
   // ------------------------------------------------------------ set ops
 
   /** T2: append-as-union semantics (UNION ALL of two incremental batches). */
@@ -290,6 +363,9 @@ object Queries {
   // ----------------------------------------------------------- inventory
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_odata_scan" -> (s1ODataScan _),
+    "s3_odata_expand" -> (s3ODataExpand _),
+    "k5_promote_latest" -> (k5PromoteLatest _),
     "s2_filter_pushdown" -> (s2FilterPushdown _),
     "s4_limit_probe" -> (s4LimitProbe _),
     "p4_incremental_window" -> (p4IncrementalWindow _),

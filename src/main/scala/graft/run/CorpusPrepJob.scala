@@ -61,7 +61,10 @@ object CorpusPrepJob {
       htmlInput: Boolean = false,
       /** When non-empty, the C4 blocklist gate
         * ([[TextStats.blocklistFilter]]) runs between the Gopher gate
-        * and exact dedup: any document containing a listed term drops,
+        * and exact dedup: any document containing a listed TOKEN
+        * (whitespace-delimited exact match — 'customer.' or
+        * 'customers' are NOT caught by 'customer'; C4's published
+        * gate is substring-based and therefore stricter) drops,
         * and the funnel gains a `2b_blocklist_passed` row. Empty
         * (default) leaves the pipeline and its funnel BYTE-identical
         * to the ungated form — the x62/x68 gate rows depend on that. */

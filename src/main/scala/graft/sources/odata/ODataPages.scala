@@ -1,0 +1,136 @@
+package graft.sources.odata
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, pmod, lit}
+import org.apache.spark.sql.types._
+
+/** Offline OData "server" materializer: renders a bounded, deterministic
+  * slice of the `orders` parquet fixture as page files in the response
+  * shape one paged GET returns — `{"value": [ {...}, ... ]}`
+  * (reference `resources/priorityDataSource.py:717-721` unwraps the
+  * same `value` array) — so the DSv2 connector's pushdown path can be
+  * ORACLE-gated end-to-end (`s1_odata_scan`): the gate reads these
+  * pages through `spark.read.format("graft-odata")` with a pushed
+  * filter + limit and must hash-match DuckDB over the same parquet
+  * rows.
+  *
+  * The slice is every (`o_orderkey` % [[Modulus]] == 0) order — 1/100
+  * of the table, so the driver-side render stays bounded (1,500 rows at
+  * sf0.1) while still spanning many pages. Rows are sorted by
+  * `o_orderkey` and chunked [[PageSize]] per page: page content is a
+  * pure function of the fixture, so every Verify/Bench rep regenerates
+  * byte-identical pages. Longs and strings only — JSON round-trips them
+  * exactly; doubles/timestamps would re-open the float-format and
+  * timezone hazards the connector's unit tests cover separately.
+  */
+object ODataPages {
+
+  val Modulus = 100
+  val PageSize = 200
+
+  /** The gate's explicit read schema (schema inference is covered by
+    * ODataSourceSpec; the gate pins the pushdown path, not inference). */
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_orderpriority", StringType)))
+
+  // one render per (application, fixture dir): page files are immutable
+  // once written, so bench reps and repeated Verify calls reuse them.
+  // NOT tracked by Scratch — the bench sweeps Scratch dirs between
+  // queries, which would orphan this cache's path mid-run.
+  private val cache = new graft.util.OnceCache[(String, String), String](8)
+
+  /** Element schema of the nested `ORDERITEMS_SUBFORM` array in the
+    * expand pages — longs + a string only, like [[ordersSchema]]. */
+  val orderitemsElement: StructType = StructType(Seq(
+    StructField("l_linenumber", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_returnflag", StringType)))
+
+  private val expandCache = new graft.util.OnceCache[(String, String), String](8)
+
+  /** Render (once) the `$expand` response shape: a ROOT directory with
+    * `ORDERS/page_*.json`, each order row carrying its lineitems
+    * inline as `ORDERITEMS_SUBFORM: [...]` — the nested shape the
+    * reference requests with `$expand=ORDERITEMS_SUBFORM`
+    * (`resources/priorityDataSource.py:680-690`) and the connector
+    * infers as array<struct>. Same bounded `o_orderkey % 100` slice;
+    * orders with no lineitems are not served (the first page's first
+    * row anchors array-element schema inference, and the child-side
+    * oracle is an inner join — itemless parents contribute nothing
+    * either way). Items are sorted by `l_linenumber` inside each
+    * order and orders by key: byte-identical pages every render. */
+  def ordersExpandRoot(spark: SparkSession, sfDir: String): String =
+    expandCache.getOrCompute((spark.sparkContext.applicationId, sfDir)) {
+      import org.apache.spark.sql.functions.{collect_list, sort_array, struct}
+      val items = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(pmod(col("l_orderkey"), lit(Modulus)) === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_returnflag"))))
+          .as("its"))
+      val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(pmod(col("o_orderkey"), lit(Modulus)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .join(items, col("o_orderkey") === col("l_orderkey"))
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_orderstatus", "its")
+        .collect() // bounded: 1/Modulus of orders — see Scaladoc
+      val root = java.nio.file.Files.createTempDirectory("odata_root")
+      val dir = root.resolve("ORDERS")
+      java.nio.file.Files.createDirectory(dir)
+      val m = ODataTableProvider.mapper
+      rows.grouped(PageSize).zipWithIndex.foreach { case (page, i) =>
+        val rootNode = m.createObjectNode()
+        val arr = rootNode.putArray("value")
+        page.foreach { r =>
+          val o = arr.addObject()
+          o.put("o_orderkey", r.getLong(0))
+          o.put("o_orderstatus", r.getString(1))
+          val sub = o.putArray("ORDERITEMS_SUBFORM")
+          r.getSeq[org.apache.spark.sql.Row](2).foreach { it =>
+            val e = sub.addObject()
+            e.put("l_linenumber", it.getLong(0))
+            e.put("l_partkey", it.getLong(1))
+            e.put("l_suppkey", it.getLong(2))
+            e.put("l_returnflag", it.getString(3))
+          }
+        }
+        java.nio.file.Files.write(
+          dir.resolve(f"page_$i%05d.json"),
+          m.writeValueAsBytes(rootNode))
+      }
+      root.toString
+    }
+
+  /** Render (once) and return the page directory for `sfDir`'s orders. */
+  def ordersPages(spark: SparkSession, sfDir: String): String =
+    cache.getOrCompute((spark.sparkContext.applicationId, sfDir)) {
+      val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(pmod(col("o_orderkey"), lit(Modulus)) === 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .collect() // bounded: 1/Modulus of orders, sorted — see Scaladoc
+      val dir = java.nio.file.Files.createTempDirectory("odata_pages")
+      val m = ODataTableProvider.mapper
+      rows.grouped(PageSize).zipWithIndex.foreach { case (page, i) =>
+        val root = m.createObjectNode()
+        val arr = root.putArray("value")
+        page.foreach { r =>
+          val o = arr.addObject()
+          o.put("o_orderkey", r.getLong(0))
+          o.put("o_custkey", r.getLong(1))
+          o.put("o_orderstatus", r.getString(2))
+          o.put("o_orderpriority", r.getString(3))
+        }
+        java.nio.file.Files.write(
+          dir.resolve(f"page_$i%05d.json"),
+          m.writeValueAsBytes(root))
+      }
+      dir.toString
+    }
+}

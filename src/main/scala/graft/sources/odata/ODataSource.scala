@@ -152,6 +152,11 @@ final class ODataScanBuilder(fullSchema: StructType, path: String)
       case LessThan(_, v)           => evaluable(v)
       case LessThanOrEqual(_, v)    => evaluable(v)
       case EqualTo(_, v)            => evaluable(v)
+      // Spark emits an IsNotNull guard next to every comparison; if it
+      // stays residual it blocks limit pushdown past the filter node.
+      // OData spells both null predicates (`ne null`/`eq null`) and the
+      // reader evaluates them trivially, so accept them always.
+      case IsNotNull(_) | IsNull(_) => true
       case _ => false
     }
     pushed = accepted
@@ -293,6 +298,8 @@ object ODataFilters {
     case LessThan(a, v)           => s"$a lt ${lit(v)}"
     case LessThanOrEqual(a, v)    => s"$a le ${lit(v)}"
     case EqualTo(a, v)            => s"$a eq ${lit(v)}"
+    case IsNotNull(a)             => s"$a ne null"
+    case IsNull(a)                => s"$a eq null"
     case other                    => throw new IllegalArgumentException(s"not pushable: $other")
   }
 
@@ -312,6 +319,8 @@ object ODataFilters {
     case LessThan(a, v)           => cmp(node, a, v).exists(_ < 0)
     case LessThanOrEqual(a, v)    => cmp(node, a, v).exists(_ <= 0)
     case EqualTo(a, v)            => cmp(node, a, v).contains(0)
+    case IsNotNull(a)             => { val j = node.get(a); j != null && !j.isNull }
+    case IsNull(a)                => { val j = node.get(a); j == null || j.isNull }
     case _                        => true
   }
 

@@ -3359,4 +3359,75 @@ class ExtSpec extends SparkSpec {
     val plan = Stats.keySkew(df, "user_id").queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
+
+  test("mediaNeardup: banded equals brute force on the fixture (pigeonhole); " +
+    "exact dup is hamming 0; substitution copy is a near pair") {
+    import spark.implicits._
+    // fixture corpus + one planted same-length substitution copy of
+    // doc 0 and one exact copy — the operator must find both, and the
+    // banded candidate set must equal the all-pairs answer exactly
+    // (4x16 pigeonhole: <= 3 differing bits leave >= 1 band equal)
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val planted = base.filter($"doc_id" === 0)
+      .select(($"doc_id" + 9000000L).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("Q"),
+          expr("substring(text, 12, length(text))")).as("text"))
+      .unionByName(base.filter($"doc_id" === 4)
+        .select(($"doc_id" + 9100000L).as("doc_id"), $"text"))
+    val media = graft.ext.Multimodal.mediaTable(
+      base.unionByName(planted)
+        .withColumn("lang", lit("en")).withColumn("source", lit("t")))
+    val banded = graft.ext.Multimodal.mediaNeardup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute force from the same signatures, driver-side
+    val sigs = graft.ext.Multimodal.dhashSignature(media).collect()
+      .map(r => r.getLong(0) -> Array(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val brute = (for {
+      (ida, a) <- sigs; (idb, b) <- sigs if ida < idb
+      h = (0 until 4).map(k => Integer.bitCount(a(k) ^ b(k))).sum
+      if h <= 3
+    } yield (ida, idb) -> h).toMap
+    assert(banded == brute,
+      s"banded pair set differs from brute force: " +
+        s"missing=${(brute.keySet -- banded.keySet).take(5)} " +
+        s"extra=${(banded.keySet -- brute.keySet).take(5)}")
+    assert(banded.get((4L, 9100004L)).contains(0),
+      s"exact copy must pair at hamming 0: $banded")
+    assert(banded.contains((0L, 9000000L)),
+      s"substitution copy must pair within hamming 3: $banded")
+  }
+
+  test("segmentFunnel: duplicate dimension rows do not inflate stage counts") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    val ev = Seq((1L, 1L, "view", t0), (2L, 1L, "click", t0 + 1000L),
+      (3L, 2L, "view", t0))
+      .toDF("event_id", "user_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+      .select("event_id", "user_id", "event_type", "ts")
+    // u1 has TWO dim rows (A and B): min() keeps A deterministically,
+    // and u1 counts ONCE per stage — a duplicate-keyed dimension used
+    // to double every stage frame (ADVICE r8 #4)
+    val dim = Seq((1L, "B"), (1L, "A"), (2L, "B")).toDF("uid", "seg")
+    val got = Sessions.segmentFunnel(ev, dim, "uid", "seg").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(got == Map(("A", 1) -> 1L, ("B", 1) -> 1L, ("A", 2) -> 1L),
+      s"got $got")
+  }
+
+  test("percentileRank/winsorize: NULL values are excluded, not mis-ranked") {
+    import spark.implicits._
+    val d = Seq((1L, Some(10L)), (2L, None), (3L, Some(20L)))
+      .toDF("id", "v")
+    // NULL row absent; ranks computed over the 2 non-null values only
+    val pr = graft.ext.Stats.percentileRank(d, "v", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pr == Map(1L -> 500000L, 3L -> 1000000L), s"got $pr")
+    // bounds over the 2 non-null values: lo = hi-rank-1 → 10, hi =
+    // rank-2 → 20 — interior unchanged, NULL row absent
+    val wz = graft.ext.Stats.winsorize(d, "v", "id", loP = 25, hiP = 75)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(wz == Map(1L -> 10L, 3L -> 20L), s"got $wz")
+  }
 }

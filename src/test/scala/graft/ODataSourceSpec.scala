@@ -169,4 +169,22 @@ class ODataSourceSpec extends SparkSpec {
     val q = df.filter(col("ordname").endsWith("4")) // not OData-pushable
     assert(q.collect().map(_.getString(0)).toSeq == Seq("SO4"))
   }
+
+  test("s1_odata_scan gate: pushed filter + limit land in the scan; " +
+    "rows equal the parquet slice") {
+    val q = graft.queries.Queries.s1ODataScan(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("o_custkey ge 50"),
+      s"gate filter not compiled into the scan request:\n$plan")
+    assert(plan.contains("$top=2000000"),
+      s"gate limit not pushed into the scan request:\n$plan")
+    // the connector's rows must equal the direct parquet slice — the
+    // same rows the DuckDB oracle computes at the driver's gate
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(pmod(col("o_orderkey"), lit(100)) === 0 && col("o_custkey") >= 50)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    assert(q.count() > 0, "gate slice is empty — threshold regressed")
+    assert(q.exceptAll(expect).isEmpty && expect.exceptAll(q).isEmpty,
+      "connector rows differ from the parquet slice")
+  }
 }
