@@ -222,12 +222,8 @@ object Multimodal {
       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxDist < DhashBands,
       s"$DhashBands-band blocking guarantees recall only for distance <= ${DhashBands - 1}")
-    val sig = dhashSignature(media)
     val banded = graft.ext.BucketCap.keepSmall(
-      sig.select(col("doc_id") +: (0 until DhashBands).map(k => col(s"b$k")) :+
-        posexplode(array((0 until DhashBands).map(k => col(s"b$k")): _*))
-          .as(Seq("band", "band_val")): _*),
-      Seq("band", "band_val"), maxBucket)
+      bandedSigs(dhashSignature(media)), Seq("band", "band_val"), maxBucket)
     def side(tag: String) = banded.select(
       col("band") +: col("band_val") +: col("doc_id").as(s"doc_id_$tag") +:
         (0 until DhashBands).map(k => col(s"b$k").as(s"$tag$k")): _*)
@@ -244,6 +240,65 @@ object Multimodal {
   private val DhashSamples = 65
   private val DhashBands = 4
   private val DhashBandBits = 16
+
+  private def bandedSigs(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id") +: (0 until DhashBands).map(k => col(s"b$k")) :+
+      posexplode(array((0 until DhashBands).map(k => col(s"b$k")): _*))
+        .as(Seq("band", "band_val")): _*)
+
+  /** Ingest-time dHash index — the incremental leg of [[mediaNeardup]]
+    * (the X27/X57 convention the MinHash and embedding families
+    * already follow): signatures AND their banded blocking keys land
+    * as parquet artifacts, so a later batch near-dups against the
+    * standing media corpus without ever re-reading or re-signing a
+    * corpus payload. Bands are derived from the STORED signature
+    * table (read-back, not the in-flight frame), so index content is
+    * self-consistent even if the signature construction evolves
+    * between build and probe releases. */
+  def buildDhashIndex(
+      media: DataFrame, w: graft.sinks.StagingWriter, name: String): Unit = {
+    w.write(dhashSignature(media), s"${name}_dhash_sigs", append = false)
+    w.write(bandedSigs(w.read(s"${name}_dhash_sigs")),
+      s"${name}_dhash_bands", append = false)
+  }
+
+  /** Grow the index with a new batch's signatures — O(batch), the
+    * standing artifacts are appended to, never rewritten. */
+  def appendDhashIndex(
+      media: DataFrame, w: graft.sinks.StagingWriter, name: String): Unit = {
+    val sig = dhashSignature(media).localCheckpoint(true)
+    w.write(sig, s"${name}_dhash_sigs", append = true)
+    w.write(bandedSigs(sig), s"${name}_dhash_bands", append = true)
+  }
+
+  /** Probe: the batch's perceptual near-dups AGAINST the stored index
+    * at hamming ≤ `maxDist` — batch payloads are signed once, corpus
+    * signatures come from the artifacts (structurally: this method
+    * never sees the corpus frame). Same exact pigeonhole recall as
+    * [[mediaNeardup]]; candidates are (band, band_val) matches, the
+    * verify is 4 xor/bit_count adds on the joined band ints.
+    * Output: (doc_id_corpus, doc_id_batch, hamming). */
+  def dhashNeardupAgainstIndex(
+      media: DataFrame,
+      w: graft.sinks.StagingWriter,
+      name: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist < DhashBands,
+      s"$DhashBands-band blocking guarantees recall only for distance <= ${DhashBands - 1}")
+    val stored = w.read(s"${name}_dhash_bands").select(
+      col("band") :: col("band_val") :: col("doc_id").as("doc_id_corpus") ::
+        (0 until DhashBands).map(k => col(s"b$k").as(s"c$k")).toList: _*)
+    val probe = bandedSigs(dhashSignature(media)).select(
+      col("band") :: col("band_val") :: col("doc_id").as("doc_id_batch") ::
+        (0 until DhashBands).map(k => col(s"b$k").as(s"p$k")).toList: _*)
+    val hamming = (0 until DhashBands)
+      .map(k => bit_count(col(s"c$k").bitwiseXOR(col(s"p$k"))))
+      .reduce(_ + _).cast("int")
+    stored.join(probe, Seq("band", "band_val"))
+      .select(col("doc_id_corpus"), col("doc_id_batch"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
 
   def frameSample(media: DataFrame, n: Int = 4, frameBytes: Int = 16): DataFrame = {
     require(n > 0 && frameBytes > 0,

@@ -1053,6 +1053,48 @@ object ExtOracles {
         |SELECT doc_id_a, doc_id_b, hamming
         |FROM pairs WHERE hamming <= 3""".stripMargin,
 
+    // Incremental media near-dup: identical signature machinery, but
+    // the pair set is the corpus×batch CROSS product only (the index
+    // probe's semantics) — side-tagged union so the sig CTE runs once.
+    "x136_incr_media_neardup" ->
+      """WITH m AS (
+        |  SELECT 'c' AS side, doc_id, text FROM documents
+        |  WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT 'b', doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT 'b', doc_id + 2000000,
+        |         substr(text, 1, 10) || 'Q' || substr(text, 12)
+        |  FROM documents
+        |  WHERE doc_id % 10 <> 0 AND doc_id % 25 = 0 AND length(text) >= 12),
+        |b AS (
+        |  SELECT side, doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS len
+        |  FROM m WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+        |s AS (
+        |  SELECT side, doc_id,
+        |         [('0x' || h[2 * CAST((i * len) // 65 AS BIGINT) + 1 :
+        |                     2 * CAST((i * len) // 65 AS BIGINT) + 2])::INT
+        |          FOR i IN range(0, 65)] AS smp
+        |  FROM b),
+        |sig AS (
+        |  SELECT side, doc_id,
+        |         [CAST(list_sum([CASE WHEN smp[16 * k + j + 1] >
+        |                                   smp[16 * k + j + 2]
+        |                              THEN (1 << j) ELSE 0 END
+        |                         FOR j IN range(0, 16)]) AS INT)
+        |          FOR k IN range(0, 4)] AS bands
+        |  FROM s),
+        |pairs AS (
+        |  SELECT c.doc_id AS doc_id_corpus, p.doc_id AS doc_id_batch,
+        |         CAST(bit_count(xor(c.bands[1], p.bands[1])) +
+        |              bit_count(xor(c.bands[2], p.bands[2])) +
+        |              bit_count(xor(c.bands[3], p.bands[3])) +
+        |              bit_count(xor(c.bands[4], p.bands[4])) AS INT) AS hamming
+        |  FROM sig c JOIN sig p ON c.side = 'c' AND p.side = 'b')
+        |SELECT doc_id_corpus, doc_id_batch, hamming
+        |FROM pairs WHERE hamming <= 3""".stripMargin,
+
     // Segment funnel: the x75 dependent chain + a left segment join
     // per stage frame.
     "x133_segment_funnel" ->

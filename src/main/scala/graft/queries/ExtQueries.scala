@@ -188,6 +188,29 @@ object ExtQueries {
           col("lang"), col("source"))
       Multimodal.mediaNeardup(Multimodal.mediaTable(base.unionByName(copies)))
     }),
+    // Incremental MEDIA near-dup (the x23/x44 convention for the
+    // dHash family): the corpus (%10 != 0) is signed + banded ONCE
+    // into parquet artifacts, then the batch (%10 == 0 plus planted
+    // substitution near-copies of corpus docs at id + 2e6) probes the
+    // stored index — no corpus payload is re-read or re-signed at
+    // probe time (structural: the probe never receives the corpus
+    // frame). Oracle: brute-force corpus×batch over the recomputed
+    // signatures.
+    "x136_incr_media_neardup" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"),
+        col("lang"), col("source"))
+      val corpus = base.filter(col("doc_id") % 10 =!= 0)
+      val planted = corpus
+        .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 12)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("Q"),
+            expr("substring(text, 12, length(text))")).as("text"),
+          col("lang"), col("source"))
+      val batch = base.filter(col("doc_id") % 10 === 0).unionByName(planted)
+      val w = new graft.sinks.StagingWriter(s, graft.util.Scratch.dir("dhash_idx"))
+      Multimodal.buildDhashIndex(Multimodal.mediaTable(corpus), w, "media")
+      Multimodal.dhashNeardupAgainstIndex(Multimodal.mediaTable(batch), w, "media")
+    }),
     "x16_repetition" -> ((s, d) => TextStats.repetition(docs(s, d))),
     // Exact (non-probabilistic) member of the dedup family: prefix-
     // filtered n-gram Jaccard join at 0.7 — a threshold where MinHash

@@ -3430,4 +3430,48 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(wz == Map(1L -> 10L, 3L -> 20L), s"got $wz")
   }
+
+  test("dhash index probe: equals corpus-x-batch brute force; append grows the index") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+    val corpus = base.filter($"doc_id" % 10 =!= 0)
+    val batch = base.filter($"doc_id" % 10 === 0)
+      .unionByName(corpus.filter($"doc_id" % 25 === 0)
+        .select(($"doc_id" + 7000000L).as("doc_id"), $"text",
+          $"lang", $"source"))
+    val w = new graft.sinks.StagingWriter(spark, tmpDir("dhash_idx_spec"))
+    graft.ext.Multimodal.buildDhashIndex(
+      graft.ext.Multimodal.mediaTable(corpus), w, "m")
+    val got = graft.ext.Multimodal.dhashNeardupAgainstIndex(
+      graft.ext.Multimodal.mediaTable(batch), w, "m").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute force: corpus x batch over driver-collected signatures
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Multimodal.dhashSignature(
+        graft.ext.Multimodal.mediaTable(df)).collect()
+        .map(r => r.getLong(0) ->
+          Array(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val brute = (for {
+      (cid, c) <- sigs(corpus); (bid, b) <- sigs(batch)
+      h = (0 until 4).map(k => Integer.bitCount(c(k) ^ b(k))).sum
+      if h <= 3
+    } yield (cid, bid) -> h).toMap
+    assert(got == brute, s"probe != brute: missing=${(brute.keySet -- got.keySet).take(5)} " +
+      s"extra=${(got.keySet -- brute.keySet).take(5)}")
+    assert(got.nonEmpty, "planted exact copies must cross corpus <-> batch")
+    // append leg: index the batch too, then a copy of a BATCH doc
+    // pairs against it — the index grew, O(batch) at ingest
+    graft.ext.Multimodal.appendDhashIndex(
+      graft.ext.Multimodal.mediaTable(batch), w, "m")
+    val batchDoc = batch.limit(1).select($"doc_id").as[Long].head()
+    val probe2 = base.filter($"doc_id" === batchDoc)
+      .select(($"doc_id" + 8000000L).as("doc_id"), $"text", $"lang", $"source")
+    val got2 = graft.ext.Multimodal.dhashNeardupAgainstIndex(
+      graft.ext.Multimodal.mediaTable(probe2), w, "m").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2.contains((batchDoc, batchDoc + 8000000L)),
+      s"appended batch doc must be probe-visible: $got2")
+  }
 }
