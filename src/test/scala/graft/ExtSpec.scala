@@ -3474,4 +3474,29 @@ class ExtSpec extends SparkSpec {
     assert(got2.contains((batchDoc, batchDoc + 8000000L)),
       s"appended batch doc must be probe-visible: $got2")
   }
+
+  test("epoch bucketing floors for pre-1970 timestamps (hour/dow/day)") {
+    import spark.implicits._
+    // 1969-12-31T22:30:00Z = -5400s = -5400000000us.
+    // floor(us/3600e6) = -2 -> hour = pmod(-2, 24) = 22 (truncation
+    // toward zero gave -1 -> hour -1 % 24 = -1, the ADVICE r8 bug).
+    // epoch day floor = -1 (Wed); dow = pmod(-1 + 3, 7) + 1 = 3 (Wed).
+    val ev = Seq((1L, 1L, "view", -5400000000L))
+      .toDF("event_id", "user_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+      .select("event_id", "user_id", "event_type", "ts")
+    val hour = Stats.hourlyProfile(ev).collect().map(_.getLong(1)).toSet
+    assert(hour == Set(22L), s"pre-1970 hour bucket: $hour")
+    val dow = Stats.dowProfile(ev).collect().map(_.getLong(1)).toSet
+    assert(dow == Set(3L), s"pre-1970 dow bucket: $dow")
+    // ingestGaps spans a pre-1970 + post-1970 pair: day floor puts
+    // -5400s on day -1, +90000s on day 1 -> day 0 is the gap
+    val ev2 = Seq((1L, 1L, "view", -5400000000L), (2L, 1L, "view", 90000000000L))
+      .toDF("event_id", "user_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+      .select("event_id", "user_id", "event_type", "ts")
+    val gaps = Stats.ingestGaps(ev2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(gaps == Set("view" -> 0L), s"pre-1970 gap days: $gaps")
+  }
 }
