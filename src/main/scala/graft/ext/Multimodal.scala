@@ -262,14 +262,23 @@ object Multimodal {
       s"${name}_dhash_bands", append = false)
   }
 
+  /** Index-write callback form, shared by [[appendDhashIndex]] and the
+    * streaming ingest tick (which writes each artifact as an
+    * idempotent batch partition instead of a plain append). The bands
+    * table is written LAST — it is the existence gate a probe/bootstrap
+    * checks, so a crash between the two writes reads as "no index yet"
+    * (the minhash sink convention). */
+  def dhashIndexSink(media: DataFrame)(sink: (DataFrame, String) => Unit): Unit = {
+    val sig = dhashSignature(media).localCheckpoint(true)
+    sink(sig, "_dhash_sigs")
+    sink(bandedSigs(sig), "_dhash_bands")
+  }
+
   /** Grow the index with a new batch's signatures — O(batch), the
     * standing artifacts are appended to, never rewritten. */
   def appendDhashIndex(
-      media: DataFrame, w: graft.sinks.StagingWriter, name: String): Unit = {
-    val sig = dhashSignature(media).localCheckpoint(true)
-    w.write(sig, s"${name}_dhash_sigs", append = true)
-    w.write(bandedSigs(sig), s"${name}_dhash_bands", append = true)
-  }
+      media: DataFrame, w: graft.sinks.StagingWriter, name: String): Unit =
+    dhashIndexSink(media)((df, suffix) => w.write(df, s"$name$suffix", append = true))
 
   /** Probe: the batch's perceptual near-dups AGAINST the stored index
     * at hamming ≤ `maxDist` — batch payloads are signed once, corpus

@@ -457,6 +457,78 @@ object EventsStream {
     } finally b.unpersist(blocking = false)
   }
 
+  /** The MEDIA sibling of [[neardupIngestQuery]]: continuous
+    * perceptual near-dup ingest against a growing dHash index. Per
+    * micro-batch: within-batch pairs
+    * ([[graft.ext.Multimodal.mediaNeardup]] — exact banded recall at
+    * hamming ≤ `maxDist`), probe of the stored index
+    * ([[graft.ext.Multimodal.dhashNeardupAgainstIndex]] — no corpus
+    * payload ever re-read), pair evidence to `<table>_pairs`,
+    * survivors to `<table>_docs`, survivors' signatures+bands appended
+    * via [[graft.ext.Multimodal.dhashIndexSink]]. Zero state between
+    * ticks; doc_id spaces must be unique across batches. Expects
+    * mediaTable-shaped rows (doc_id + binary payload; extra metadata
+    * columns ride along into `<table>_docs`). */
+  def mediaNeardupIngestQuery(
+      media: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      checkpoint: String,
+      maxDist: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mediaNeardupIngestBatch(batch.toDF(), writer, table, maxDist, batchId)
+        ()
+      }
+      .start()
+
+  /** One tick of [[mediaNeardupIngestQuery]] — directly testable and
+    * reusable as a batch compaction step. */
+  def mediaNeardupIngestBatch(
+      batch: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      maxDist: Int,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // gate on _dhash_bands — the LAST artifact the index sink writes
+      val bandsPath = new org.apache.hadoop.fs.Path(writer.path(s"${table}_dhash_bands"))
+      val hasIndex = bandsPath
+        .getFileSystem(spark.sessionState.newHadoopConf()).exists(bandsPath)
+      // unify both pair shapes to (a_id = standing/earlier, b_id =
+      // batch/later): within-batch pairs keep doc_id_a < doc_id_b, so
+      // the later id is the drop candidate on both legs
+      val inner = graft.ext.Multimodal.mediaNeardup(b, maxDist)
+        .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"),
+          col("hamming"))
+        .localCheckpoint(true)
+      // at-least-once replay discipline: see neardupIngestBatch — every
+      // write is an idempotent batch-partition overwrite, self-matches
+      // and double-finds are dropped from the pair set
+      val pairs =
+        (if (hasIndex)
+          inner.union(
+            graft.ext.Multimodal.dhashNeardupAgainstIndex(b, writer, table, maxDist)
+              .select(col("doc_id_corpus").as("a_id"),
+                col("doc_id_batch").as("b_id"), col("hamming")))
+        else inner)
+          .filter(col("a_id") =!= col("b_id"))
+          .distinct()
+          .localCheckpoint(true)
+      writer.writeBatchPartition(pairs, s"${table}_pairs", batchId)
+      val kept = b.join(pairs.select(col("b_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      writer.writeBatchPartition(kept, s"${table}_docs", batchId)
+      graft.ext.Multimodal.dhashIndexSink(kept) { (df, suffix) =>
+        writer.writeBatchPartition(df, s"$table$suffix", batchId)
+      }
+    } finally b.unpersist(blocking = false)
+  }
+
   /** Stream → staging: every micro-batch lands through the SAME
     * EntityWriter the batch refresh uses (append mode), with a
     * checkpoint for exactly-once batch ids — the Structured Streaming

@@ -571,4 +571,65 @@ class StreamingSpec extends SparkSpec {
       assert(g(2L)._5 && g(3L)._5 && !g(1L)._5, s"flag split: $g")
     } finally q.stop()
   }
+
+  test("mediaNeardupIngestQuery: perceptual dedup against a growing dHash index") {
+    implicit val sc = spark.sqlContext
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("mdwh"))
+    val stream = MemoryStream[(Long, String)]
+    val media = graft.ext.Multimodal.mediaTable(
+      stream.toDF().toDF("doc_id", "text"))
+    // structurally DISTINCT strings (token lengths differ, not just a
+    // letter): uniform "w1 w2 ..." vs "q1 q2 ..." share almost every
+    // adjacent-byte comparison and legitimately near-dup under dHash —
+    // pairwise hamming of these three is 25-37 (simulated), subst is 0
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => "b" * (i % 6 + 1) + (i * i)).mkString(" ")
+    val subst = base.replace("w20", "x20") // same length, few bits flip
+    val fresh = (1 to 35).map(i => s"${i * 37}z" + "y" * (i % 5)).mkString(" ")
+    val q = EventsStream.mediaNeardupIngestQuery(media, writer, "md", tmpDir("mdckpt"))
+    try {
+      // batch 0: two unrelated payloads — bootstraps the index
+      stream.addData((1L, base), (2L, other))
+      q.processAllAvailable()
+      assert(writer.read("md_docs").count() == 2)
+      assert(writer.exists("md_dhash_bands"), "index not bootstrapped")
+
+      // batch 1: 11 near-dups HISTORY doc 1 (substitution); 12 exactly
+      // copies 11 WITHIN the batch; 13 is fresh
+      stream.addData((11L, subst), (12L, subst), (13L, fresh))
+      q.processAllAvailable()
+      val pairs1 = writer.read("md_pairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs1.contains((1L, 11L)), s"history pair missing: $pairs1")
+      assert(pairs1.contains((11L, 12L)) || pairs1.contains((1L, 12L)),
+        s"within-batch copy not paired: $pairs1")
+      val kept1 = writer.read("md_docs").collect().map(_.getLong(0)).toSet
+      assert(kept1 == Set(1L, 2L, 13L), s"kept $kept1")
+
+      // batch 2: 21 copies doc 13 — which entered the index LAST tick,
+      // proving the index grew beyond the bootstrap corpus
+      stream.addData((21L, fresh))
+      q.processAllAvailable()
+      val pairs2 = writer.read("md_pairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs2.contains((13L, 21L)), s"grown-index pair missing: $pairs2")
+      assert(writer.read("md_docs").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 13L), s"copy 21 must not land in the kept docs")
+
+      // at-least-once replay: re-running the LAST tick with the same
+      // batch id must leave pairs/docs/index byte-identical
+      def state() = (
+        writer.read("md_pairs").collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2))).toSet,
+        writer.read("md_docs").collect().map(_.getLong(0)).toSet,
+        writer.read("md_dhash_bands").count(),
+        writer.read("md_dhash_sigs").count())
+      val before = state()
+      EventsStream.mediaNeardupIngestBatch(
+        graft.ext.Multimodal.mediaTable(
+          Seq((21L, fresh)).toDF("doc_id", "text")),
+        writer, "md", 3, batchId = 2L)
+      assert(state() == before, "replayed media tick changed state")
+    } finally q.stop()
+  }
 }
