@@ -280,6 +280,20 @@ object Multimodal {
       media: DataFrame, w: graft.sinks.StagingWriter, name: String): Unit =
     dhashIndexSink(media)((df, suffix) => w.write(df, s"$name$suffix", append = true))
 
+  /** Compaction for the streaming dHash artifacts — the X67
+    * maintenance job applied to this index kind: fold each table's
+    * per-tick `ingest_batch=N` partitions into `ingest_batch=-1` with
+    * a target file count (crash-safe swap inside
+    * [[graft.sinks.StagingWriter.compactBatchPartitions]]). Probe
+    * results are unchanged by construction — same rows, fewer files
+    * (spec-pinned byte-identical); later ticks keep appending
+    * alongside the compacted history. */
+  def compactDhashIndex(
+      w: graft.sinks.StagingWriter, name: String, files: Int = 1): Unit = {
+    w.compactBatchPartitions(s"${name}_dhash_sigs", files)
+    w.compactBatchPartitions(s"${name}_dhash_bands", files)
+  }
+
   /** Probe: the batch's perceptual near-dups AGAINST the stored index
     * at hamming ≤ `maxDist` — batch payloads are signed once, corpus
     * signatures come from the artifacts (structurally: this method

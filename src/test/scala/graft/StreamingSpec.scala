@@ -632,4 +632,51 @@ class StreamingSpec extends SparkSpec {
       assert(state() == before, "replayed media tick changed state")
     } finally q.stop()
   }
+
+  test("compactDhashIndex: probes identical, partitions folded, later ticks unaffected") {
+    implicit val sc = spark.sqlContext
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("cmdwh"))
+    // structurally distinct strings (simulated pairwise hamming 25-37)
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => "b" * (i % 6 + 1) + (i * i)).mkString(" ")
+    val fresh = (1 to 35).map(i => s"${i * 37}z" + "y" * (i % 5)).mkString(" ")
+    val g4 = (1 to 44).map(i => "m" + "o" * (i % 3) + (i * 13)).mkString(" ")
+    def md(df: org.apache.spark.sql.DataFrame) = graft.ext.Multimodal.mediaTable(df)
+    val stream = MemoryStream[(Long, String)]
+    val q = EventsStream.mediaNeardupIngestQuery(
+      md(stream.toDF().toDF("doc_id", "text")), writer, "md", tmpDir("cmdck"))
+    try { // two ticks -> two ingest_batch partitions per artifact
+      stream.addData((1L, base), (2L, other)); q.processAllAvailable()
+      stream.addData((3L, fresh)); q.processAllAvailable()
+    } finally q.stop()
+    val probe = md(Seq((100L, fresh.replace("37z", "37Q")))
+      .toDF("doc_id", "text"))
+    def probeSet() = graft.ext.Multimodal
+      .dhashNeardupAgainstIndex(probe, writer, "md")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = probeSet()
+    assert(before.exists(p => p._1 == 3L && p._2 == 100L),
+      s"probe found nothing pre-compaction: $before")
+    graft.ext.Multimodal.compactDhashIndex(writer, "md", files = 1)
+    assert(probeSet() == before, "compaction changed probe results")
+    val bandsDir = new java.io.File(writer.path("md_dhash_bands"))
+    val parts = bandsDir.listFiles()
+      .filter(_.getName.startsWith("ingest_batch=")).map(_.getName).toSet
+    assert(parts == Set("ingest_batch=-1"), s"got $parts")
+    // a post-compaction tick (fresh checkpoint, ids restart at 0)
+    // appends next to the folded history; both stay probe-visible
+    val stream2 = MemoryStream[(Long, String)]
+    val q2 = EventsStream.mediaNeardupIngestQuery(
+      md(stream2.toDF().toDF("doc_id", "text")), writer, "md", tmpDir("cmdck2"))
+    try {
+      stream2.addData((5L, g4)); q2.processAllAvailable()
+    } finally q2.stop()
+    val probeG = md(Seq((101L, g4.replace("m13", "mQ3")))
+      .toDF("doc_id", "text"))
+    val afterTick = graft.ext.Multimodal
+      .dhashNeardupAgainstIndex(probeG, writer, "md")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterTick.contains((5L, 101L)), s"post-compaction tick invisible: $afterTick")
+    assert(probeSet() == before, "old history lost after the post-compaction tick")
+  }
 }
