@@ -311,7 +311,15 @@ object Multimodal {
     val stored = w.read(s"${name}_dhash_bands").select(
       col("band") :: col("band_val") :: col("doc_id").as("doc_id_corpus") ::
         (0 until DhashBands).map(k => col(s"b$k").as(s"c$k")).toList: _*)
-    val probe = bandedSigs(dhashSignature(media)).select(
+    // PIN the probe's banded signatures (batch-bounded by contract)
+    // before the join: without the barrier, join-key non-null
+    // constraint inference pushes isnotnull(<band expr>) down to the
+    // batch scan, where projection collapse inlines the interpreted
+    // HOF signature tree into every reference — each element_at then
+    // re-evaluates the 65-sample transform, and a 500-doc probe
+    // measured 18 s at sf0.1 (0.6 s pinned). The corpus side never
+    // has the problem: its bands come from parquet columns.
+    val probe = bandedSigs(dhashSignature(media)).localCheckpoint(true).select(
       col("band") :: col("band_val") :: col("doc_id").as("doc_id_batch") ::
         (0 until DhashBands).map(k => col(s"b$k").as(s"p$k")).toList: _*)
     val hamming = (0 until DhashBands)
