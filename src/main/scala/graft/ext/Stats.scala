@@ -29,6 +29,61 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Annotator-agreement audit between two binary raters — the
+    * "is the cheap heuristic a usable proxy for the expensive label"
+    * question every curation pipeline asks before swapping a human/LLM
+    * label for a classifier (fasttext-vs-human is the canonical
+    * instance). Inputs are two 0/1 columns; output is one row:
+    * confusion counts, observed agreement `po`, chance agreement `pe`
+    * (Cohen 1960), Cohen's κ, and McNemar's disagreement-asymmetry
+    * statistic — all exact integers.
+    *
+    * Determinism shape: po/pe in ppm via integral division
+    * (cross-products in DECIMAL(38,0) ↔ DuckDB HUGEINT — pe's
+    * `a0·b0 + a1·b1` reaches n² ≈ 10²⁴ at corpus scale); κ is
+    * SIGN-DECOMPOSED (the x128 convention — Spark's DIV truncates
+    * toward zero, DuckDB's `//` floors, so a negative numerator never
+    * reaches the division): `sign(po−pe) · 10⁶·|po−pe| div (10⁶−pe)`.
+    * Degenerate chance-perfect raters (pe = 10⁶, both constant) emit
+    * κ = 0 under an explicit guard. McNemar is `10³·(n01−n10)²
+    * div (n01+n10)` — squared, so no sign ever divides; zero
+    * discordance emits 0 under the same guard style.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the rater
+    * projection — four conditional counts — then per-row arithmetic
+    * on the single-row frame. Nothing shuffles but four longs. */
+  def raterAgreement(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val counts = df
+      .select(raterA.cast("int").as("ra"), raterB.cast("int").as("rb"))
+      .filter(col("ra").isNotNull && col("rb").isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("ra") === 0 && col("rb") === 0, 1)).as("n00"),
+        count(when(col("ra") === 0 && col("rb") === 1, 1)).as("n01"),
+        count(when(col("ra") === 1 && col("rb") === 0, 1)).as("n10"),
+        count(when(col("ra") === 1 && col("rb") === 1, 1)).as("n11"))
+    counts
+      .withColumn("po_ppm", expr("1000000 * (n00 + n11) DIV n"))
+      // DIV (integral, truncating — matches DuckDB // on the always-
+      // non-negative operands), never decimal `/` + cast (that ROUNDS)
+      .withColumn("pe_ppm", expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(CAST(n00 + n01 AS DECIMAL(38,0)) * (n00 + n10) + " +
+          " CAST(n10 + n11 AS DECIMAL(38,0)) * (n01 + n11)) " +
+          "DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+      .withColumn("kappa_ppm",
+        when(col("pe_ppm") >= 1000000L, lit(0L)).otherwise(
+          when(col("po_ppm") >= col("pe_ppm"),
+            expr("1000000 * (po_ppm - pe_ppm) DIV (1000000 - pe_ppm)"))
+            .otherwise(-expr("1000000 * (pe_ppm - po_ppm) DIV (1000000 - pe_ppm)"))))
+      .withColumn("mcnemar_x1000",
+        when(col("n01") + col("n10") === 0, lit(0L)).otherwise(expr(
+          "CAST(1000 * CAST(n01 - n10 AS DECIMAL(38,0)) * (n01 - n10) " +
+            "DIV (n01 + n10) AS BIGINT)")))
+      .select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+        col("po_ppm"), col("pe_ppm"), col("kappa_ppm"), col("mcnemar_x1000"))
+  }
+
   /** Semi-structured property extraction + profile: parse the JSON
     * `props` payload column (schema `{"k": int}`), PERMISSIVE — a
     * malformed document yields a NULL value, never a failed job — and

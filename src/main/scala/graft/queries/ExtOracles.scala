@@ -1095,6 +1095,40 @@ object ExtOracles {
         |SELECT doc_id_corpus, doc_id_batch, hamming
         |FROM pairs WHERE hamming <= 3""".stripMargin,
 
+    // Rater agreement: the same confusion-matrix arithmetic spelled in
+    // DuckDB — HUGEINT cross-products, // floor on non-negative
+    // operands only (kappa sign-decomposed, McNemar squared).
+    "x137_rater_agreement" ->
+      """WITH e AS (
+        |  SELECT label % 2 AS ra,
+        |         CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END AS rb
+        |  FROM embeddings
+        |  WHERE label IS NOT NULL AND len(embedding) >= 1),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(*) FILTER (ra = 0 AND rb = 0) AS BIGINT) AS n00,
+        |         CAST(count(*) FILTER (ra = 0 AND rb = 1) AS BIGINT) AS n01,
+        |         CAST(count(*) FILTER (ra = 1 AND rb = 0) AS BIGINT) AS n10,
+        |         CAST(count(*) FILTER (ra = 1 AND rb = 1) AS BIGINT) AS n11
+        |  FROM e),
+        |p AS (
+        |  SELECT *,
+        |         CAST(1000000 * (n00 + n11) // n AS BIGINT) AS po_ppm,
+        |         CAST(1000000 * ((n00 + n01) * (n00 + n10) +
+        |                         (n10 + n11) * (n01 + n11))
+        |              // (n * n) AS BIGINT) AS pe_ppm
+        |  FROM c)
+        |SELECT n, n00, n01, n10, n11, po_ppm, pe_ppm,
+        |       CAST(CASE WHEN pe_ppm >= 1000000 THEN 0
+        |                 WHEN po_ppm >= pe_ppm
+        |                 THEN 1000000 * (po_ppm - pe_ppm) // (1000000 - pe_ppm)
+        |                 ELSE -(1000000 * (pe_ppm - po_ppm) // (1000000 - pe_ppm))
+        |            END AS BIGINT) AS kappa_ppm,
+        |       CAST(CASE WHEN n01 + n10 = 0 THEN 0
+        |                 ELSE 1000 * (n01 - n10) * (n01 - n10) // (n01 + n10)
+        |            END AS BIGINT) AS mcnemar_x1000
+        |FROM p""".stripMargin,
+
     // Segment funnel: the x75 dependent chain + a left segment join
     // per stage frame.
     "x133_segment_funnel" ->

@@ -824,6 +824,18 @@ object ExtQueries {
     // Two-sample KS drift per source over doc lengths — exact
     // integer cdfs evaluated on the corpus value grid.
     "x134_ks_drift" -> ((s, d) => Stats.ksDrift(docs(s, d))),
+    // Rater-agreement audit (Cohen's kappa + McNemar, exact ppm):
+    // rater A = label parity, rater B = a cheap heuristic (sign of
+    // the first embedding coordinate) — the label-vs-proxy shape; the
+    // gate pins the ARITHMETIC (the x130 Benford convention), not a
+    // conformance verdict.
+    "x137_rater_agreement" -> ((s, d) => {
+      val e = emb(s, d)
+        .filter(col("label").isNotNull && size(col("embedding")) >= 1)
+      Stats.raterAgreement(e,
+        pmod(col("label"), lit(2)),
+        (element_at(col("embedding"), 1) > 0f).cast("int"))
+    }),
     // Day-of-week profile: integer dow from the epoch day (epoch day
     // 0 was a Thursday) — no engine calendar-convention drift.
     "x131_dow_profile" -> ((s, d) =>

@@ -3499,4 +3499,27 @@ class ExtSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toSet
     assert(gaps == Set("view" -> 0L), s"pre-1970 gap days: $gaps")
   }
+
+  test("raterAgreement: worked kappa/McNemar, degenerate and negative branches") {
+    import spark.implicits._
+    def run(pairs: Seq[(Int, Int)]) = {
+      val df = pairs.toDF("a", "b")
+      graft.ext.Stats.raterAgreement(df, col("a"), col("b")).collect().head
+    }
+    // n00=4 n01=1 n10=2 n11=3 -> po=0.7, pe=(5*6+5*4)/100=0.5,
+    // kappa=(0.7-0.5)/0.5=0.4 -> 400000; mcnemar=1000*(1-2)^2/3=333
+    val r = run(Seq.fill(4)((0, 0)) ++ Seq((0, 1)) ++
+      Seq.fill(2)((1, 0)) ++ Seq.fill(3)((1, 1)))
+    assert((r.getAs[Long]("po_ppm"), r.getAs[Long]("pe_ppm"),
+      r.getAs[Long]("kappa_ppm"), r.getAs[Long]("mcnemar_x1000")) ==
+      ((700000L, 500000L, 400000L, 333L)), s"got $r")
+    // constant raters: pe = 1e6 -> kappa 0 under the guard, no div0
+    val c = run(Seq.fill(3)((0, 0)))
+    assert(c.getAs[Long]("kappa_ppm") == 0L &&
+      c.getAs[Long]("po_ppm") == 1000000L, s"got $c")
+    // pure disagreement: po=0, pe=0.5 -> kappa = -1000000 (sign branch)
+    val neg = run(Seq.fill(5)((0, 1)) ++ Seq.fill(5)((1, 0)))
+    assert(neg.getAs[Long]("kappa_ppm") == -1000000L &&
+      neg.getAs[Long]("mcnemar_x1000") == 0L, s"got $neg")
+  }
 }
