@@ -1228,6 +1228,59 @@ object Stats {
     * rows (the X42 caveat: a near-unique value column bounds that
     * task by key cardinality, not corpus rows — acceptable for the
     * audited report, not the routine path). */
+  /** Calibration / reliability curve: rows bucketed into exact score
+    * ntiles (ascending, `id` tiebreak — [[globalNtile]]'s closed-form
+    * histogram carve, so the corpus never globally sorts), each bucket
+    * reporting its size, positive-outcome count, exact positive rate
+    * in ppm, and its score span. THE classifier-audit report: a
+    * quality score that is well calibrated against a trusted outcome
+    * has a monotone curve; a flat curve means the score carries no
+    * signal at the decision margin. The oracle cross-proves with
+    * DuckDB's NATIVE ntile over the identical (score, id) total order
+    * — two independent constructions must agree bucket-for-bucket
+    * (the X94 convention).
+    *
+    * Scale shape: one value-histogram groupBy + a domain-bounded
+    * prefix window (the [[globalNtile]] plan), then one
+    * map-side-combinable groupBy on the bucket id. */
+  def calibrationCurve(
+      df: DataFrame, score: String, outcome: String, id: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"bucket count $buckets must be positive")
+    val scored = df
+      .filter(col(score).isNotNull && col(outcome).isNotNull)
+      .select(col(id), col(score), col(outcome).cast("int").as("__pos"))
+    globalNtile(scored, score, descOrder = false, id, buckets, "bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__pos")).as("n_pos"),
+        min(col(score)).as("score_lo"),
+        max(col(score)).as("score_hi"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("1000000 * n_pos DIV n").as("pos_ppm"),
+        col("score_lo"), col("score_hi"))
+  }
+
+  /** k-anonymity audit over a set of quasi-identifier columns
+    * (Sweeney 2002): every combination observed in FEWER than `k`
+    * rows — the groups whose members a release would make
+    * re-identifiable — with its observed count. The companion row to
+    * [[refIntegrity]] in the release-gate family: referential health
+    * checks the joins, this checks the privacy floor. NULL is a legal
+    * quasi-identifier value and groups like any other (dropping
+    * NULL-keyed rows would HIDE under-k groups).
+    *
+    * Scale shape: one map-side-combinable groupBy on the
+    * quasi-identifier tuple; the under-k filter rides the aggregate.
+    * Output is bounded by the identifier domain, never the corpus. */
+  def kAnonymity(df: DataFrame, keys: Seq[String], k: Long): DataFrame = {
+    require(keys.nonEmpty, "k-anonymity needs at least one quasi-identifier")
+    require(k >= 2, s"k $k must be at least 2 (k=1 flags nothing)")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") < k)
+  }
+
   private def globalNtile(
       df: DataFrame, value: String, descOrder: Boolean, id: String,
       bands: Int, out: String): DataFrame = {

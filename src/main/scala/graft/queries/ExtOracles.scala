@@ -1095,6 +1095,32 @@ object ExtOracles {
         |SELECT doc_id_corpus, doc_id_batch, hamming
         |FROM pairs WHERE hamming <= 3""".stripMargin,
 
+    // Calibration: DuckDB's NATIVE ntile over (n_chars, doc_id) —
+    // the independent construction the closed-form carve must match.
+    "x138_calibration" ->
+      """WITH e AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |b AS (
+        |  SELECT *, ntile(10) OVER (ORDER BY n_chars, doc_id) AS bucket
+        |  FROM e)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(pos) AS BIGINT) AS n_pos,
+        |       CAST(1000000 * sum(pos) // count(*) AS BIGINT) AS pos_ppm,
+        |       min(n_chars) AS score_lo, max(n_chars) AS score_hi
+        |FROM b GROUP BY bucket""".stripMargin,
+
+    // k-anonymity: GROUP BY the quasi-identifier tuple, HAVING < k.
+    "x139_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |HAVING count(*) < 10""".stripMargin,
+
     // Rater agreement: the same confusion-matrix arithmetic spelled in
     // DuckDB — HUGEINT cross-products, // floor on non-negative
     // operands only (kappa sign-decomposed, McNemar squared).

@@ -824,6 +824,23 @@ object ExtQueries {
     // Two-sample KS drift per source over doc lengths — exact
     // integer cdfs evaluated on the corpus value grid.
     "x134_ks_drift" -> ((s, d) => Stats.ksDrift(docs(s, d))),
+    // Calibration curve: n_chars deciles (exact closed-form ntile)
+    // vs the is-English rate per bucket — cross-proved against
+    // DuckDB's NATIVE ntile over the identical total order.
+    "x138_calibration" -> ((s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("n_chars"),
+        (col("lang") === "en").as("is_en"))
+      Stats.calibrationCurve(dd, "n_chars", "is_en", "doc_id")
+    }),
+    // k-anonymity audit: quasi-identifier combos (nation, segment,
+    // coarse balance band — floor(bal/1000), the same IEEE double op
+    // on both engines) observed in fewer than 10 rows.
+    "x139_k_anonymity" -> ((s, d) => {
+      val qid = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      Stats.kAnonymity(qid, Seq("c_nationkey", "c_mktsegment", "bal_band"), 10)
+    }),
     // Rater-agreement audit (Cohen's kappa + McNemar, exact ppm):
     // rater A = label parity, rater B = a cheap heuristic (sign of
     // the first embedding coordinate) — the label-vs-proxy shape; the

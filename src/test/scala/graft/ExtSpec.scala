@@ -3522,4 +3522,41 @@ class ExtSpec extends SparkSpec {
     assert(neg.getAs[Long]("kappa_ppm") == -1000000L &&
       neg.getAs[Long]("mcnemar_x1000") == 0L, s"got $neg")
   }
+
+  test("calibrationCurve: worked buckets with a value straddling the boundary") {
+    import spark.implicits._
+    // 6 rows, 3 buckets of 2: scores 1,1,2,2,3,3 with outcomes
+    // 1,0,1,1,0,0. Ties on score=1 and 2 split by id. Buckets:
+    // b1 = ids(1,2) scores(1,1) pos 1 -> 500000
+    // b2 = ids(3,4) scores(2,2) pos 2 -> 1000000
+    // b3 = ids(5,6) scores(3,3) pos 0 -> 0
+    val d = Seq((1L, 1L, 1), (2L, 1L, 0), (3L, 2L, 1), (4L, 2L, 1),
+      (5L, 3L, 0), (6L, 3L, 0)).toDF("id", "s", "o")
+    val got = graft.ext.Stats.calibrationCurve(d, "s", "o", "id", buckets = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 500000L, 1L, 1L)),
+      2L -> ((2L, 2L, 1000000L, 2L, 2L)),
+      3L -> ((2L, 0L, 0L, 3L, 3L))), s"got $got")
+    // NULL score/outcome rows are excluded, not mis-bucketed
+    val dn = Seq((1L, Some(1L), Some(1)), (2L, None, Some(0)),
+      (3L, Some(2L), None)).toDF("id", "s", "o")
+    assert(graft.ext.Stats.calibrationCurve(dn, "s", "o", "id", 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 1L)))
+  }
+
+  test("kAnonymity: under-k groups only; NULL is a legal identifier value") {
+    import spark.implicits._
+    val d = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2), ("b", 2),
+      (null, 3)).toDF("qa", "qb")
+    val got = graft.ext.Stats.kAnonymity(d, Seq("qa", "qb"), k = 3)
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1), r.getLong(2))).toSet
+    // (a,1) has 3 rows -> safe at k=3; (b,2)=2 and (NULL,3)=1 flag
+    assert(got == Set((Some("b"), 2, 2L), (None, 3, 1L)), s"got $got")
+    intercept[IllegalArgumentException](
+      graft.ext.Stats.kAnonymity(d, Seq("qa"), k = 1))
+    intercept[IllegalArgumentException](
+      graft.ext.Stats.kAnonymity(d, Nil, k = 3))
+  }
 }
