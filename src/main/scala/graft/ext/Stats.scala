@@ -1261,6 +1261,51 @@ object Stats {
         col("score_lo"), col("score_hi"))
   }
 
+  /** One column's expectations in a data contract: null-rate ceiling
+    * (ppm) and an inclusive [lo, hi] value range. */
+  final case class ColumnContract(
+      column: String, maxNullPpm: Long, lo: Long, hi: Long)
+
+  /** Data-contract check — the dbt-test / expectations-style release
+    * gate: per contracted column, observed row/null counts, exact
+    * null-rate ppm, observed value span, and the two violation
+    * verdicts (null-rate over ceiling; any value outside [lo, hi]).
+    * An all-NULL column reports `range_violation = false` — absence
+    * is the null-rate contract's finding, not the range's.
+    *
+    * Scale shape: ONE pass — a single map-side-combinable aggregate
+    * computes every contracted column's counts/extrema together; the
+    * per-contract rows are then projections of that pinned ONE-ROW
+    * frame (pinned precisely so k contract rows cannot re-run the
+    * corpus aggregate k times). */
+  def contractCheck(df: DataFrame, contracts: Seq[ColumnContract]): DataFrame = {
+    require(contracts.nonEmpty, "contract check needs at least one column")
+    val aggs = contracts.flatMap { c =>
+      Seq(
+        count(when(col(c.column).isNull, 1)).as(s"${c.column}__nulls"),
+        min(col(c.column)).cast("long").as(s"${c.column}__lo"),
+        max(col(c.column)).cast("long").as(s"${c.column}__hi"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*).localCheckpoint(true)
+    contracts.map { c =>
+      // empty-frame guard: ANSI DIV by zero would throw; an empty
+      // table trivially satisfies every null-rate ceiling
+      val nullPpm = expr(s"CASE WHEN n_rows = 0 THEN 0 " +
+        s"ELSE 1000000 * ${c.column}__nulls DIV n_rows END")
+      one.select(
+        lit(c.column).as("column"),
+        col("n_rows"),
+        col(s"${c.column}__nulls").as("n_null"),
+        nullPpm.as("null_ppm"),
+        col(s"${c.column}__lo").as("observed_lo"),
+        col(s"${c.column}__hi").as("observed_hi"),
+        (nullPpm > c.maxNullPpm).as("null_violation"),
+        coalesce(
+          col(s"${c.column}__lo") < c.lo || col(s"${c.column}__hi") > c.hi,
+          lit(false)).as("range_violation"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** k-anonymity audit over a set of quasi-identifier columns
     * (Sweeney 2002): every combination observed in FEWER than `k`
     * rows — the groups whose members a release would make

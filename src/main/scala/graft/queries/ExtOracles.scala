@@ -1095,6 +1095,37 @@ object ExtOracles {
         |SELECT doc_id_corpus, doc_id_batch, hamming
         |FROM pairs WHERE hamming <= 3""".stripMargin,
 
+    // Contract check: the same per-column expectations re-derived as
+    // two independent aggregate rows (lo/hi literals mirror the
+    // Spark-side contract).
+    "x140_contract_check" ->
+      """WITH a AS (
+        |  SELECT 'doc_id' AS "column",
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(count(*) FILTER (doc_id IS NULL) AS BIGINT) AS n_null,
+        |         CAST(min(doc_id) AS BIGINT) AS observed_lo,
+        |         CAST(max(doc_id) AS BIGINT) AS observed_hi,
+        |         CAST(0 AS BIGINT) AS max_null_ppm,
+        |         CAST(0 AS BIGINT) AS lo, CAST(10000000 AS BIGINT) AS hi
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(count(*) FILTER (n_chars IS NULL) AS BIGINT),
+        |         CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT),
+        |         0, 1, 500
+        |  FROM documents)
+        |SELECT "column", n_rows, n_null,
+        |       CAST(CASE WHEN n_rows = 0 THEN 0
+        |                 ELSE 1000000 * n_null // n_rows END AS BIGINT) AS null_ppm,
+        |       observed_lo, observed_hi,
+        |       (CASE WHEN n_rows = 0 THEN 0
+        |             ELSE 1000000 * n_null // n_rows END) > max_null_ppm
+        |         AS null_violation,
+        |       coalesce(observed_lo < lo OR observed_hi > hi, FALSE)
+        |         AS range_violation
+        |FROM a""".stripMargin,
+
     // Calibration: DuckDB's NATIVE ntile over (n_chars, doc_id) —
     // the independent construction the closed-form carve must match.
     "x138_calibration" ->

@@ -824,6 +824,14 @@ object ExtQueries {
     // Two-sample KS drift per source over doc lengths — exact
     // integer cdfs evaluated on the corpus value grid.
     "x134_ks_drift" -> ((s, d) => Stats.ksDrift(docs(s, d))),
+    // Data-contract check: one-pass per-column expectations over
+    // documents — n_chars' hi bound (500) is deliberately tighter
+    // than the fixture span, so the range-violation branch is
+    // non-vacuous; doc_id's contract passes clean.
+    "x140_contract_check" -> ((s, d) =>
+      Stats.contractCheck(docs(s, d), Seq(
+        Stats.ColumnContract("doc_id", maxNullPpm = 0, lo = 0, hi = 10000000L),
+        Stats.ColumnContract("n_chars", maxNullPpm = 0, lo = 1, hi = 500)))),
     // Calibration curve: n_chars deciles (exact closed-form ntile)
     // vs the is-English rate per bucket — cross-proved against
     // DuckDB's NATIVE ntile over the identical total order.

@@ -3559,4 +3559,32 @@ class ExtSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.ext.Stats.kAnonymity(d, Nil, k = 3))
   }
+
+  test("contractCheck: worked violations, all-NULL range semantics, empty frame") {
+    import spark.implicits._
+    import graft.ext.Stats.ColumnContract
+    val d = Seq((Some(5L), Some(1L)), (Some(50L), None), (None, None))
+      .toDF("a", "b")
+    val got = graft.ext.Stats.contractCheck(d, Seq(
+      ColumnContract("a", maxNullPpm = 400000, lo = 0, hi = 10),
+      ColumnContract("b", maxNullPpm = 400000, lo = 0, hi = 10)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(6), r.getBoolean(7)))).toMap
+    // a: 1/3 null = 333333 ppm <= 400000 ok; max 50 > 10 -> range viol
+    // b: 2/3 null = 666666 ppm  > 400000 -> null viol; span [1,1] ok
+    assert(got == Map(
+      "a" -> ((1L, 333333L, false, true)),
+      "b" -> ((2L, 666666L, true, false))), s"got $got")
+    // all-NULL column: range_violation false (absence is the
+    // null-rate contract's finding, not the range's)
+    val allNull = Seq((None: Option[Long]), None).toDF("a")
+    val an = graft.ext.Stats.contractCheck(allNull,
+      Seq(ColumnContract("a", 0, 0, 10))).collect().head
+    assert(an.getBoolean(6) && !an.getBoolean(7), s"got $an")
+    // empty frame: no division error, no violations
+    val empty = spark.emptyDataset[Long].toDF("a")
+    val e = graft.ext.Stats.contractCheck(empty,
+      Seq(ColumnContract("a", 0, 0, 10))).collect().head
+    assert(!e.getBoolean(6) && !e.getBoolean(7) && e.getLong(1) == 0L, s"got $e")
+  }
 }
