@@ -1261,6 +1261,49 @@ object Stats {
         col("score_lo"), col("score_hi"))
   }
 
+  /** Spearman rank correlation between two integer signals — the
+    * monotone-association companion to Kendall's τ (X142): Pearson
+    * over the signals' TIE-AWARE ranks. Ranks are DOUBLED average
+    * ranks (`2·avg_rank(v) = 2·prefix + cnt + 1` — an integer even
+    * under ties, so no fractional half ever enters the arithmetic),
+    * derived from each signal's value histogram + prefix window (the
+    * X139 decomposition: the corpus never sorts; the window runs over
+    * distinct values) and joined back on the value. The output is the
+    * X143 signed-square convention — `sign(num)·10⁶·num² div
+    * (denₓ·den_y)` ppm, exact integer, no sqrt — with moments in
+    * DECIMAL(38,0) ↔ DuckDB HUGEINT. Exactness headroom: `n·Σxy ≈
+    * 4n⁴` must fit 10³⁸ → exact to n ≈ 10⁹ rows; beyond that,
+    * correlate a sample. Degenerate (constant) signals emit 0 under
+    * the explicit zero-variance guard. */
+  def spearman(df: DataFrame, x: String, y: String): DataFrame = {
+    val d = df.filter(col(x).isNotNull && col(y).isNotNull)
+      .select(col(x), col(y))
+    def rank2(c: String) =
+      d.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("prefix",
+          coalesce(sum(col("cnt")).over(
+            Window.orderBy(col(c))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(c), (lit(2) * col("prefix") + col("cnt") + 1).as(s"${c}__r2"))
+    d.join(rank2(x), Seq(x)).join(rank2(y), Seq(y))
+      .select(col(s"${x}__r2").as("rx"), col(s"${y}__r2").as("ry"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * ry")).as("sxy"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * rx")).as("sxx"),
+        sum(expr("CAST(ry AS DECIMAL(38,0)) * ry")).as("syy"))
+      .withColumn("num", expr("m * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("denx", expr("m * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("deny", expr("m * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .select(col("m").as("n_pairs"),
+        when(col("m") < 2 || col("denx") <= 0 || col("deny") <= 0, lit(0L))
+          .otherwise(expr(
+            "CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END * " +
+              "(CAST(1000000 AS DECIMAL(38,0)) * num * num " +
+              "DIV (denx * deny)) AS BIGINT)"))
+          .as("rho2_signed_ppm"))
+  }
+
   /** One column's expectations in a data contract: null-rate ceiling
     * (ppm) and an inclusive [lo, hi] value range. */
   final case class ColumnContract(

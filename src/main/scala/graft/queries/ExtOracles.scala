@@ -1095,6 +1095,43 @@ object ExtOracles {
         |SELECT doc_id_corpus, doc_id_batch, hamming
         |FROM pairs WHERE hamming <= 3""".stripMargin,
 
+    // Spearman: identical doubled-average-rank construction (value
+    // histogram + prefix) and signed-square ppm, HUGEINT moments.
+    "x141_spearman" ->
+      """WITH d AS (
+        |  SELECT n_chars AS x,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        |  FROM documents WHERE text IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |hx AS (
+        |  SELECT x, 2 * coalesce(sum(cnt) OVER (ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         + cnt + 1 AS rx
+        |  FROM (SELECT x, count(*) AS cnt FROM d GROUP BY x)),
+        |hy AS (
+        |  SELECT y, 2 * coalesce(sum(cnt) OVER (ORDER BY y
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         + cnt + 1 AS ry
+        |  FROM (SELECT y, count(*) AS cnt FROM d GROUP BY y)),
+        |r AS (
+        |  SELECT rx, ry FROM d JOIN hx USING (x) JOIN hy USING (y)),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+        |         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx,
+        |         sum(ry * ry) AS syy
+        |  FROM r),
+        |f AS (
+        |  SELECT m, m * sxy - sx * sy AS num,
+        |         m * sxx - sx * sx AS denx, m * syy - sy * sy AS deny
+        |  FROM m)
+        |SELECT m AS n_pairs,
+        |       CAST(CASE WHEN m < 2 OR denx <= 0 OR deny <= 0 THEN 0
+        |                 ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END) *
+        |                      (1000000 * num * num // (denx * deny))
+        |            END AS BIGINT) AS rho2_signed_ppm
+        |FROM f""".stripMargin,
+
     // Contract check: the same per-column expectations re-derived as
     // two independent aggregate rows (lo/hi literals mirror the
     // Spark-side contract).

@@ -824,6 +824,16 @@ object ExtQueries {
     // Two-sample KS drift per source over doc lengths — exact
     // integer cdfs evaluated on the corpus value grid.
     "x134_ks_drift" -> ((s, d) => Stats.ksDrift(docs(s, d))),
+    // Spearman rank correlation between doc length and whitespace
+    // token count — tie-aware doubled ranks, signed-square ppm (the
+    // x129 convention); the x9 token expression keeps both engines
+    // splitting identically.
+    "x141_spearman" -> ((s, d) => {
+      val sig = docs(s, d).filter(col("text").isNotNull)
+        .select(col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Stats.spearman(sig, "n_chars", "n_tokens")
+    }),
     // Data-contract check: one-pass per-column expectations over
     // documents — n_chars' hi bound (500) is deliberately tighter
     // than the fixture span, so the range-violation branch is

@@ -3587,4 +3587,20 @@ class ExtSpec extends SparkSpec {
       Seq(ColumnContract("a", 0, 0, 10))).collect().head
     assert(!e.getBoolean(6) && !e.getBoolean(7) && e.getLong(1) == 0L, s"got $e")
   }
+
+  test("spearman: worked tie case, perfect/reversed extremes, constant guard") {
+    import spark.implicits._
+    def run(pairs: Seq[(Long, Long)]) = {
+      val df = pairs.toDF("x", "y")
+      graft.ext.Stats.spearman(df, "x", "y").collect().head.getLong(1)
+    }
+    // hand-worked with ties: x=(1,1,2), y=(5,7,7) -> rho = 0.5 ->
+    // +250000 signed-square ppm (num=9, denx=deny=18)
+    assert(run(Seq((1L, 5L), (1L, 7L), (2L, 7L))) == 250000L)
+    // perfect monotone / reversed
+    assert(run(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))) == 1000000L)
+    assert(run(Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L))) == -1000000L)
+    // constant signal: zero variance -> 0 under the guard
+    assert(run(Seq((1L, 7L), (2L, 7L), (3L, 7L))) == 0L)
+  }
 }
