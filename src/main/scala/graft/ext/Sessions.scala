@@ -330,6 +330,54 @@ object Sessions {
                      ELSE 0 END""").as("weight_ppm"))
   }
 
+  /** Position-based (U-shaped / 40-20-40) attribution — the third
+    * member of the credit family (X104 last-touch, X124 linear): the
+    * FIRST touch (discovery) and the LAST touch (closer) each take
+    * 400,000 ppm, the middle touches share the remaining 200,000
+    * equally. The degenerate shapes follow the standard renormalized
+    * convention: a single touch takes everything; exactly two touches
+    * split 500,000/500,000. Exact-integer credit: the middle share is
+    * `200000 div (n−2)` and the division remainder goes to the LAST
+    * touch (the X124 remainder-to-last convention), so every
+    * purchase's weights sum to exactly 10⁶ — spec-pinned as a
+    * property over the fixture.
+    *
+    * Same join/window shape as [[linearAttribution]]: one `user_id`
+    * equi-join, per-purchase count + position windows over the
+    * purchase partition (touches per purchase are window-bounded,
+    * never corpus-bounded). Position order is (touch time, touch_id)
+    * ascending — a full deterministic total order. */
+  def uShapedAttribution(
+      events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    require(windowMinutes > 0, s"window $windowMinutes must be positive")
+    val windowUs = windowMinutes.toLong * 60L * 1000000L
+    val base = events.filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("pus"))
+    val touches = base.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("us").as("tus"),
+        col("event_id").as("touch_id"), col("event_type").as("touch_type"))
+    val byPurchase = Window.partitionBy(col("purchase_id"))
+    val firstFirst = byPurchase.orderBy(col("tus").asc, col("touch_id").asc)
+    purchases.join(touches, Seq("user_id"))
+      .filter(col("tus") <= col("pus") && col("pus") - col("tus") <= windowUs)
+      .withColumn("n_touches", count(lit(1)).over(byPurchase))
+      .withColumn("pos", row_number().over(firstFirst))
+      .select(col("purchase_id"), col("user_id"), col("touch_id"),
+        col("touch_type"), col("n_touches"), col("pos"),
+        expr("""CASE WHEN n_touches = 1 THEN 1000000
+                     WHEN n_touches = 2 THEN 500000
+                     WHEN pos = 1 THEN 400000
+                     WHEN pos = n_touches
+                     THEN 400000 + 200000 -
+                          (200000 DIV (n_touches - 2)) * (n_touches - 2)
+                     ELSE 200000 DIV (n_touches - 2) END""")
+          .as("weight_ppm"))
+  }
+
   /** Type-2 slowly-changing-dimension compression: collapse an
     * observation stream of `(key, time, tiebreak, attr)` into validity
     * runs — one row per maximal stretch of consecutive-equal `attr`

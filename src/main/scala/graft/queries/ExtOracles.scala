@@ -447,6 +447,38 @@ object ExtOracles {
         |              ELSE 0 END AS weight_ppm
         |FROM j""".stripMargin,
 
+    // U-shaped attribution: same join, ASCENDING position order,
+    // 40/20/40 CASE with the middle remainder to the last touch.
+    "x142_ushape_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS pus
+        |      FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, us AS tus, event_id AS touch_id,
+        |             event_type AS touch_type
+        |      FROM e WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT p.purchase_id, p.user_id, t.touch_id, t.touch_type,
+        |         CAST(count(*) OVER (PARTITION BY p.purchase_id) AS BIGINT)
+        |           AS n_touches,
+        |         CAST(row_number() OVER (PARTITION BY p.purchase_id
+        |                            ORDER BY t.tus ASC, t.touch_id ASC)
+        |              AS INT) AS pos
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  WHERE t.tus <= p.pus AND p.pus - t.tus <= 3600000000)
+        |SELECT purchase_id, user_id, touch_id, touch_type, n_touches, pos,
+        |       CAST(CASE WHEN n_touches = 1 THEN 1000000
+        |                 WHEN n_touches = 2 THEN 500000
+        |                 WHEN pos = 1 THEN 400000
+        |                 WHEN pos = n_touches
+        |                 THEN 400000 + 200000 -
+        |                      (200000 // (n_touches - 2)) * (n_touches - 2)
+        |                 ELSE 200000 // (n_touches - 2) END AS BIGINT)
+        |         AS weight_ppm
+        |FROM j""".stripMargin,
+
     // Label centroids: quantize in DOUBLE (identical IEEE ops),
     // integral-div mean, HUGEINT cross products mirror Spark's
     // DECIMAL(38,0); the signed squared cosine needs no sqrt.

@@ -631,6 +631,12 @@ object ExtQueries {
     "x90_multitouch" -> ((s, d) =>
       Sessions.linearAttribution(
         events(s, d).select("event_id", "user_id", "event_type", "ts"))),
+    // U-shaped (40-20-40) attribution over the same touch sets: the
+    // n=1/n=2 renormalized shapes, the first/last 400k anchors and
+    // the middle remainder-to-last rule all occur naturally.
+    "x142_ushape_attribution" -> ((s, d) =>
+      Sessions.uShapedAttribution(
+        events(s, d).select("event_id", "user_id", "event_type", "ts"))),
     // Label-centroid similarity over the 10-label gaussian fixture:
     // shared isotropic geometry puts every off-diagonal pair near 0
     // and the diagonal at exactly 1e6 — the sign, the diagonal and

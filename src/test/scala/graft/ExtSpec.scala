@@ -3603,4 +3603,34 @@ class ExtSpec extends SparkSpec {
     // constant signal: zero variance -> 0 under the guard
     assert(run(Seq((1L, 7L), (2L, 7L), (3L, 7L))) == 0L)
   }
+
+  test("uShapedAttribution: worked 40-20-40 shapes; weights sum to 1e6 per purchase") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    def ev(id: Long, u: Long, typ: String, off: Long) = (id, u, typ, t0 + off)
+    // u1: 5 touches -> 400k / 66666 x3 (+2 remainder to last) / 400k+2
+    // u2: 1 touch -> 1000000. u3: 2 touches -> 500000 each.
+    val rows = Seq(
+      ev(1, 1, "view", 0), ev(2, 1, "click", 1000), ev(3, 1, "view", 2000),
+      ev(4, 1, "click", 3000), ev(5, 1, "view", 4000), ev(6, 1, "purchase", 5000),
+      ev(10, 2, "view", 0), ev(11, 2, "purchase", 1000),
+      ev(20, 3, "view", 0), ev(21, 3, "click", 1000), ev(22, 3, "purchase", 2000))
+    val df = rows.toDF("event_id", "user_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+      .select("event_id", "user_id", "event_type", "ts")
+    val got = Sessions.uShapedAttribution(df).collect()
+      .map(r => (r.getLong(0), r.getInt(5)) -> r.getLong(6)).toMap
+    assert(got == Map(
+      (6L, 1) -> 400000L, (6L, 2) -> 66666L, (6L, 3) -> 66666L,
+      (6L, 4) -> 66666L, (6L, 5) -> 400002L,
+      (11L, 1) -> 1000000L,
+      (22L, 1) -> 500000L, (22L, 2) -> 500000L), s"got $got")
+    // property on the fixture: every purchase's weights sum to 1e6
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "user_id", "event_type", "ts")
+    val bad = Sessions.uShapedAttribution(evs)
+      .groupBy($"purchase_id").agg(sum($"weight_ppm").as("w"))
+      .filter($"w" =!= 1000000L).count()
+    assert(bad == 0L, s"$bad purchases with weights not summing to 1e6")
+  }
 }
