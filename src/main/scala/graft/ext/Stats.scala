@@ -1261,6 +1261,57 @@ object Stats {
         col("score_lo"), col("score_hi"))
   }
 
+  /** Per-group trimmed mean — the robust location estimate next to
+    * [[winsorize]] (winsorize CLAMPS the tails, trim DROPS them):
+    * per group, discard the lowest ⌈pLo·n/100⌉ and highest
+    * ⌈pHi·n/100⌉ ranks and report the exact integer sum/count/mean of
+    * the interior. Rank ties are interchangeable by construction
+    * (tied rows share the value), so the kept SUM is independent of
+    * any tiebreak — which is what lets the oracle use a naive
+    * tiebreak-free ranked window as the independent construction.
+    * NULL group values keep their group (the X30 lesson); NULL
+    * signal rows are excluded. Fully-trimmed groups (tiny n, heavy
+    * trim) emit zeros under an explicit guard.
+    *
+    * Scale shape: the X139 decomposition again — per-group value
+    * histogram (map-side-combinable, bounded by group × value
+    * domain), cumulative window over the histogram, and the kept
+    * count per value in closed form (`min(cum, hi) − max(cum−cnt,
+    * lo)` interval intersection, the X146 carve); no group ever
+    * funnels through one sorting task. Mean in x1000 fixed-point via
+    * decimal integral division. */
+  def trimmedMean(
+      df: DataFrame, value: String, group: String,
+      pLo: Int = 5, pHi: Int = 5): DataFrame = {
+    require(pLo >= 0 && pHi >= 0 && pLo + pHi < 100,
+      s"trim [$pLo, $pHi] must be non-negative and leave an interior")
+    val hist = df.filter(col(value).isNotNull)
+      .groupBy(col(group), col(value)).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col(group)).orderBy(col(value))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(group))))
+    hist
+      .withColumn("lo_rank", expr(s"($pLo * n + 99) DIV 100"))
+      .withColumn("hi_rank", expr(s"n - ($pHi * n + 99) DIV 100"))
+      .withColumn("kept", greatest(lit(0L),
+        least(col("cum"), col("hi_rank")) -
+          greatest(col("cum") - col("cnt"), col("lo_rank"))))
+      .groupBy(col(group))
+      .agg(max(col("n")).as("n"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("kept") * col(value)).as("kept_sum"))
+      .select(col(group), col("n"), col("n_kept"),
+        coalesce(col("kept_sum"), lit(0L)).as("kept_sum"),
+        // sign-decomposed (the X142 convention): a negative-signal
+        // kept_sum must not meet the truncate-vs-floor divergence
+        when(col("n_kept") === 0, lit(0L)).otherwise(expr(
+          "CASE WHEN kept_sum >= 0 THEN " +
+            "CAST(CAST(1000 AS DECIMAL(38,0)) * kept_sum DIV n_kept AS BIGINT) " +
+            "ELSE -CAST(CAST(1000 AS DECIMAL(38,0)) * (-kept_sum) DIV n_kept AS BIGINT) END"))
+          .as("trimmed_mean_x1000"))
+  }
+
   /** Spearman rank correlation between two integer signals — the
     * monotone-association companion to Kendall's τ (X142): Pearson
     * over the signals' TIE-AWARE ranks. Ranks are DOUBLED average

@@ -1127,6 +1127,33 @@ object ExtOracles {
         |SELECT doc_id_corpus, doc_id_batch, hamming
         |FROM pairs WHERE hamming <= 3""".stripMargin,
 
+    // Trimmed mean: the NAIVE ranked-window construction (rank ties
+    // need no tiebreak — tied rows share the value, so the kept sum
+    // is tiebreak-invariant) cross-proving the histogram carve.
+    "x143_trimmed_mean" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (
+        |  SELECT lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM d),
+        |k AS (
+        |  SELECT lang, CAST(n AS BIGINT) AS n, n_chars,
+        |         CASE WHEN rk > (5 * n + 99) // 100
+        |               AND rk <= n - (5 * n + 99) // 100
+        |              THEN 1 ELSE 0 END AS kept
+        |  FROM r)
+        |SELECT lang, max(n) AS n,
+        |       CAST(sum(kept) AS BIGINT) AS n_kept,
+        |       CAST(coalesce(sum(n_chars * kept), 0) AS BIGINT) AS kept_sum,
+        |       CAST(CASE WHEN sum(kept) = 0 THEN 0
+        |                 WHEN sum(n_chars * kept) >= 0
+        |                 THEN 1000 * sum(n_chars * kept) // sum(kept)
+        |                 ELSE -(1000 * -sum(n_chars * kept) // sum(kept))
+        |            END AS BIGINT) AS trimmed_mean_x1000
+        |FROM k GROUP BY lang""".stripMargin,
+
     // Spearman: identical doubled-average-rank construction (value
     // histogram + prefix) and signed-square ppm, HUGEINT moments.
     "x141_spearman" ->

@@ -830,6 +830,11 @@ object ExtQueries {
     // Two-sample KS drift per source over doc lengths — exact
     // integer cdfs evaluated on the corpus value grid.
     "x134_ks_drift" -> ((s, d) => Stats.ksDrift(docs(s, d))),
+    // Per-language trimmed mean of doc length (drop 5% each tail,
+    // exact interior sum/mean) — the histogram interval carve vs the
+    // oracle's naive ranked window.
+    "x143_trimmed_mean" -> ((s, d) =>
+      Stats.trimmedMean(docs(s, d), "n_chars", "lang")),
     // Spearman rank correlation between doc length and whitespace
     // token count — tie-aware doubled ranks, signed-square ppm (the
     // x129 convention); the x9 token expression keeps both engines

@@ -3633,4 +3633,32 @@ class ExtSpec extends SparkSpec {
       .filter($"w" =!= 1000000L).count()
     assert(bad == 0L, s"$bad purchases with weights not summing to 1e6")
   }
+
+  test("trimmedMean: worked carve, NULL-group kept, full-trim guard, negative sign") {
+    import spark.implicits._
+    // group g: values 1..10, 10% each tail -> drop rank 1 and 10,
+    // keep 2..9: sum 44, n_kept 8, mean 5.5 -> 5500
+    val g = (1L to 10L).map(v => ("g", v))
+    // NULL group: values (2,2,4) 10%/10% -> ceil(0.3)=1 each side ->
+    // keep middle rank 2 (value 2): sum 2, mean 2000
+    val nulls = Seq((null, 2L), (null, 2L), (null, 4L))
+    // tiny group fully trimmed at 40/40: n=1, lo=hi=1 -> kept 0
+    val tiny = Seq(("t", 9L))
+    val d = (g ++ nulls).toDF("lang", "n_chars")
+    val got = graft.ext.Stats.trimmedMean(d, "n_chars", "lang", 10, 10)
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      Some("g") -> ((10L, 8L, 44L, 5500L)),
+      None -> ((3L, 1L, 2L, 2000L))), s"got $got")
+    val ft = graft.ext.Stats.trimmedMean(tiny.toDF("lang", "n_chars"),
+      "n_chars", "lang", 40, 40).collect().head
+    assert((ft.getLong(2), ft.getLong(4)) == ((0L, 0L)), s"got $ft")
+    // negative signal: values -10..-1 in one group, 10% trim ->
+    // keep -9..-2: sum -44, mean -5500 (sign-decomposed division)
+    val neg = (1L to 10L).map(v => ("n", -v)).toDF("lang", "n_chars")
+    val ng = graft.ext.Stats.trimmedMean(neg, "n_chars", "lang", 10, 10)
+      .collect().head
+    assert((ng.getLong(3), ng.getLong(4)) == ((-44L, -5500L)), s"got $ng")
+  }
 }
