@@ -686,4 +686,48 @@ object Sessions {
           (col("min_gap_us").isNotNull && col("min_gap_us") < minGapUs))
           .as("is_bot"))
   }
+
+  /** Per-user inter-arrival burstiness: the squared coefficient of
+    * variation of the gaps between a user's consecutive events, exact
+    * in ppm — `CV²·10⁶ = 10⁶·(n·Σg² − (Σg)²) div (Σg)²`. CV² ≈ 1 is
+    * memoryless (Poisson) arrival, ≫ 1 is bursty (sessions of rapid
+    * activity separated by silence — organic humans), ≪ 1 is
+    * metronomic (schedulers, pollers) — the CONTINUOUS signal behind
+    * [[botFlags]]' binary min-gap heuristic, and the per-user view of
+    * what [[graft.ext.Stats]] ingestGaps reports per feed. The gap
+    * multiset depends only on the user's SORTED timestamps, so
+    * ordering by `us` alone is deterministic under same-timestamp
+    * ties (no tiebreak column needed — a permutation of equal values
+    * cannot change any gap). Σg telescopes to the user's lifetime
+    * span, which bounds every moment far inside DECIMAL(38,0).
+    *
+    * Scale shape: the [[sessionize]] shape — ONE shuffle on
+    * `user_id`, the lag window and the closing per-user aggregate
+    * share the partitioning, map-side partial aggregation applies;
+    * a hot user costs their own event count, never the corpus.
+    * Users with fewer than `minEvents` events (< 2 gaps at the
+    * default) are dropped: CV² of a single gap is degenerate. An
+    * all-ties user (every event at one instant, Σg = 0) reports 0
+    * under an explicit guard. */
+  def interarrivalBurstiness(
+      events: DataFrame, minEvents: Int = 3): DataFrame = {
+    require(minEvents >= 3, s"minEvents $minEvents needs >= 2 gaps")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(byUser))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("span_us"),
+        sum(expr("CAST(gap AS DECIMAL(38,0)) * gap")).as("sumsq"))
+      .filter(col("n_gaps") >= minEvents - 1)
+      .select(col("user_id"), col("n_gaps"), col("span_us"),
+        when(col("span_us") === 0, lit(0L)).otherwise(expr(
+          "CAST(CAST(1000000 AS DECIMAL(38,0)) * " +
+            "(n_gaps * sumsq - CAST(span_us AS DECIMAL(38,0)) * span_us) " +
+            "DIV (CAST(span_us AS DECIMAL(38,0)) * span_us) AS BIGINT)"))
+          .as("cv2_ppm"))
+  }
 }

@@ -1505,4 +1505,163 @@ object Stats {
       col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
       concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
   }
+
+  /** Chi-squared test of independence between two categorical columns
+    * (Pearson 1900) + Cramér's V² effect size — the categorical
+    * companion to [[ksDrift]]'s numeric drift and the association
+    * question behind every "does segment predict nation" audit. One
+    * output row: n, category counts, degrees of freedom, and
+    * `χ²·10⁶ = Σ 10⁶·(O·n − r·c)² div (n·r·c)` summed over the FULL
+    * R×C grid — zero cells included (omitting them understates the
+    * statistic; the grid is rebuilt from the marginals, so an
+    * unobserved combination still contributes its expected mass).
+    * Per-cell integral division makes the sum a deterministic
+    * recurrence both engines evaluate identically (the X111 PageRank
+    * convention). `V²_ppm = χ²_ppm div (n·min(R−1, C−1))`; a
+    * single-category dimension yields χ² = 0 and dof = 0 (V² guarded
+    * to 0). NULL is a LEGAL category value and groups like any other
+    * (the X154 lesson — dropping NULL-keyed rows would hide their
+    * association), so the grid join is null-safe.
+    *
+    * Scale shape: one map-side-combinable groupBy to the cell frame
+    * (bounded by the category domains, never the corpus), pinned once
+    * so marginals/totals/grid are derived without re-scanning; the
+    * cross join is R×C — marginal-domain-bounded, the one place a
+    * cross join is the RIGHT shape. Exactness headroom:
+    * `10⁶·(O·n − r·c)²` must fit DECIMAL(38,0) and `|O·n − r·c|` is
+    * bounded by n²/4 → exact to n ≈ 10⁸ rows; beyond that, test a
+    * sample (the X156 discipline). */
+  def chiSquaredIndependence(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    // grid keys are RENAMED (fresh attribute ids): the marginals are
+    // derived from `cells`, so joining them straight back on the
+    // original column would be a self-join ambiguity
+    val rowTot = cells.groupBy(col(a)).agg(sum(col("o")).as("r"))
+      .select(col(a).as("__ga"), col("r"))
+    val colTot = cells.groupBy(col(b)).agg(sum(col("o")).as("c"))
+      .select(col(b).as("__gb"), col("c"))
+    val tot = cells.agg(sum(col("o")).as("n")).crossJoin(
+        rowTot.agg(count(lit(1)).as("n_a")))
+      .crossJoin(colTot.agg(count(lit(1)).as("n_b")))
+    val grid = rowTot.crossJoin(colTot)
+    val obs = grid.join(cells,
+        col("__ga") <=> col(a) && col("__gb") <=> col(b), "left")
+      .select(col("r"), col("c"), coalesce(col("o"), lit(0L)).as("o"))
+    obs.crossJoin(tot)
+      .select(col("n"), col("n_a"), col("n_b"), expr(
+        "CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(o * CAST(n AS DECIMAL(38,0)) - CAST(r AS DECIMAL(38,0)) * c) * " +
+          "(o * CAST(n AS DECIMAL(38,0)) - CAST(r AS DECIMAL(38,0)) * c) " +
+          "DIV (CAST(n AS DECIMAL(38,0)) * r * c)").as("term"))
+      .groupBy(col("n"), col("n_a"), col("n_b"))
+      .agg(sum(col("term")).as("chi2dec"))
+      .select(col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        col("chi2dec").cast("long").as("chi2_ppm"),
+        when(col("n_a") < 2 || col("n_b") < 2 || col("n") === 0, lit(0L))
+          .otherwise(expr(
+            "CAST(chi2dec DIV (CAST(n AS DECIMAL(38,0)) * " +
+              "least(n_a - 1, n_b - 1)) AS BIGINT)"))
+          .as("v2_ppm"))
+  }
+
+  /** Seasonal-naive forecast backtest — "does this feed have weekly
+    * structure worth modeling": per event type, the weighted absolute
+    * percentage error (WAPE, ppm) of the two cheapest forecasts —
+    * persistence (`count(d−shortLag)`) and seasonal-naive
+    * (`count(d−longLag)`, Hyndman & Athanasopoulos's benchmark
+    * methods) — over the SAME evaluation days, so
+    * `wape_long < wape_short` is direct evidence of weekly
+    * seasonality. Evaluated on the DENSE per-type day grid
+    * (min..max): zero-event days are real observations a lag must
+    * predict and be predicted from — lagging over only-present days
+    * would silently skip them and shift every horizon. The common
+    * evaluation window starts `longLag` days in, so both errors score
+    * identical rows.
+    *
+    * Scale shape: the corpus collapses map-side to (type, day)
+    * counts; the grid explode and both lag windows run over the
+    * types × days domain, never the corpus. */
+  def seasonalNaiveBacktest(
+      events: DataFrame, shortLag: Int = 1, longLag: Int = 7): DataFrame = {
+    require(shortLag >= 1 && longLag > shortLag,
+      s"lags ($shortLag, $longLag) must be positive and ordered")
+    val daily = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    val dense = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    dense
+      .withColumn("p_short", lag(col("cnt"), shortLag).over(w))
+      .withColumn("p_long", lag(col("cnt"), longLag).over(w))
+      .filter(col("p_long").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("cnt")).as("sum_actual"),
+        sum(abs(col("cnt") - col("p_short"))).as("abs_err_short"),
+        sum(abs(col("cnt") - col("p_long"))).as("abs_err_long"))
+      .select(col("event_type"), col("n_days"), col("sum_actual"),
+        col("abs_err_short"), col("abs_err_long"),
+        when(col("sum_actual") === 0, lit(0L))
+          .otherwise(expr("1000000 * abs_err_short DIV sum_actual"))
+          .as("wape_short_ppm"),
+        when(col("sum_actual") === 0, lit(0L))
+          .otherwise(expr("1000000 * abs_err_long DIV sum_actual"))
+          .as("wape_long_ppm"))
+  }
+
+  /** Mann-Whitney U rank-sum test between two samples of one integer
+    * signal (Mann & Whitney 1947) — the distribution-free "is group A
+    * stochastically larger" companion to [[ksDrift]] (KS asks "do the
+    * shapes differ", U asks "which side wins a random pairing").
+    * Inputs are the value column and a boolean group column; output
+    * is one row with both sample sizes, the DOUBLED U statistics
+    * (`U2_A = R2_A − n_a(n_a+1)` where R2 is the sum of DOUBLED
+    * tie-average ranks — the X156 integer-rank convention, so ties
+    * never produce a fractional half), and the common-language effect
+    * size `cles_ppm = 10⁶·U2_A div (2·n_a·n_b)` — the exact
+    * probability a random A-B pair orders A higher (ties half). The
+    * identity `U2_A + U2_B = 2·n_a·n_b` holds exactly under ties and
+    * is spec-pinned.
+    *
+    * Scale shape: the X139 histogram decomposition — per-value counts
+    * split by group (map-side-combinable, value-domain-bounded), one
+    * prefix window over distinct values, rank sums as weighted sums;
+    * the corpus never sorts. Headroom: R2 ≤ 2n² → BIGINT-exact to
+    * n ≈ 2·10⁹; moments cross in DECIMAL(38,0) ↔ HUGEINT. */
+  def mannWhitneyU(df: DataFrame, value: String, isA: String): DataFrame = {
+    val hist = df.filter(col(value).isNotNull && col(isA).isNotNull)
+      .groupBy(col(value))
+      .agg(count(when(col(isA), 1)).as("cnt_a"),
+        count(when(!col(isA), 1)).as("cnt_b"))
+      .withColumn("cnt", col("cnt_a") + col("cnt_b"))
+      .withColumn("prefix", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col(value))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("r2", lit(2) * col("prefix") + col("cnt") + 1)
+    hist.agg(
+        sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"),
+        sum(expr("CAST(cnt_a AS DECIMAL(38,0)) * r2")).as("r2a"),
+        sum(expr("CAST(cnt_b AS DECIMAL(38,0)) * r2")).as("r2b"))
+      .select(
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        expr("CAST(coalesce(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1), 0) " +
+          "AS BIGINT)").as("u2_a"),
+        expr("CAST(coalesce(r2b - CAST(n_b AS DECIMAL(38,0)) * (n_b + 1), 0) " +
+          "AS BIGINT)").as("u2_b"))
+      .withColumn("cles_ppm",
+        when(col("n_a") === 0 || col("n_b") === 0, lit(0L))
+          .otherwise(expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * u2_a " +
+            "DIV (CAST(2 AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT)")))
+  }
 }

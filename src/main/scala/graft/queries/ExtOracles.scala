@@ -1248,6 +1248,137 @@ object ExtOracles {
         |GROUP BY 1, 2, 3
         |HAVING count(*) < 10""".stripMargin,
 
+    // Chi-squared independence: the identical full-grid recurrence in
+    // DuckDB — marginals from the cell frame, null-safe grid join
+    // (IS NOT DISTINCT FROM ≡ Spark's <=>), per-cell HUGEINT
+    // integral-division terms summed.
+    "x144_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey AS a, c_mktsegment AS b,
+        |         CAST(count(*) AS BIGINT) AS o
+        |  FROM customer GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_a,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_b
+        |        FROM cells),
+        |obs AS (
+        |  SELECT g.r, g.c, coalesce(cells.o, 0) AS o
+        |  FROM (SELECT rt.a, rt.r, ct.b, ct.c FROM rt CROSS JOIN ct) g
+        |  LEFT JOIN cells ON g.a IS NOT DISTINCT FROM cells.a
+        |                 AND g.b IS NOT DISTINCT FROM cells.b),
+        |terms AS (
+        |  SELECT n, n_a, n_b,
+        |         CAST(1000000 AS HUGEINT) *
+        |         (o * CAST(n AS HUGEINT) - CAST(r AS HUGEINT) * c) *
+        |         (o * CAST(n AS HUGEINT) - CAST(r AS HUGEINT) * c)
+        |         // (CAST(n AS HUGEINT) * r * c) AS term
+        |  FROM obs CROSS JOIN tot)
+        |SELECT n, n_a, n_b, (n_a - 1) * (n_b - 1) AS dof,
+        |       CAST(sum(term) AS BIGINT) AS chi2_ppm,
+        |       CAST(CASE WHEN n_a < 2 OR n_b < 2 OR n = 0 THEN 0
+        |                 ELSE sum(term) //
+        |                      (CAST(n AS HUGEINT) * least(n_a - 1, n_b - 1))
+        |            END AS BIGINT) AS v2_ppm
+        |FROM terms GROUP BY n, n_a, n_b""".stripMargin,
+
+    // Seasonal-naive backtest: the identical dense-grid construction
+    // (generate_series ≡ Spark's sequence, both inclusive), lag
+    // windows over the grid, common evaluation window.
+    "x145_seasonal_naive" ->
+      """WITH dc AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(day) AS mn, max(day) AS mx
+        |      FROM dc GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |                unnest(generate_series(mn, mx)) AS day FROM b),
+        |dense AS (
+        |  SELECT g.event_type, g.day, coalesce(dc.cnt, 0) AS cnt
+        |  FROM grid g LEFT JOIN dc
+        |    ON g.event_type = dc.event_type AND g.day = dc.day),
+        |l AS (
+        |  SELECT event_type, cnt,
+        |         lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS ps,
+        |         lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS pl
+        |  FROM dense)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(cnt) AS BIGINT) AS sum_actual,
+        |       CAST(sum(abs(cnt - ps)) AS BIGINT) AS abs_err_short,
+        |       CAST(sum(abs(cnt - pl)) AS BIGINT) AS abs_err_long,
+        |       CAST(CASE WHEN sum(cnt) = 0 THEN 0
+        |                 ELSE 1000000 * sum(abs(cnt - ps)) // sum(cnt)
+        |            END AS BIGINT) AS wape_short_ppm,
+        |       CAST(CASE WHEN sum(cnt) = 0 THEN 0
+        |                 ELSE 1000000 * sum(abs(cnt - pl)) // sum(cnt)
+        |            END AS BIGINT) AS wape_long_ppm
+        |FROM l WHERE pl IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // Burstiness: per-user gap moments via the lag window — the gap
+    // multiset is invariant under same-timestamp tie order, so ORDER
+    // BY us alone is deterministic on both engines.
+    "x146_burstiness" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (
+        |  SELECT user_id,
+        |         us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+        |  FROM e),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |         CAST(sum(gap) AS BIGINT) AS span_us,
+        |         sum(CAST(gap AS HUGEINT) * gap) AS sumsq
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps, span_us,
+        |       CAST(CASE WHEN span_us = 0 THEN 0
+        |                 ELSE CAST(1000000 AS HUGEINT) *
+        |                      (n_gaps * sumsq -
+        |                       CAST(span_us AS HUGEINT) * span_us)
+        |                      // (CAST(span_us AS HUGEINT) * span_us)
+        |            END AS BIGINT) AS cv2_ppm
+        |FROM a WHERE n_gaps >= 2""".stripMargin,
+
+    // Mann-Whitney U: the identical doubled-tie-average-rank
+    // construction (value histogram split by group + prefix window),
+    // HUGEINT rank sums, // floor on non-negative operands only.
+    "x147_mannwhitney" ->
+      """WITH d AS (
+        |  SELECT n_chars AS v, (lang = 'en') AS is_a
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |h AS (
+        |  SELECT v,
+        |         CAST(count(*) FILTER (WHERE is_a) AS BIGINT) AS cnt_a,
+        |         CAST(count(*) FILTER (WHERE NOT is_a) AS BIGINT) AS cnt_b,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY v),
+        |r AS (
+        |  SELECT cnt_a, cnt_b,
+        |         2 * coalesce(sum(cnt) OVER (ORDER BY v
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         + cnt + 1 AS r2
+        |  FROM h),
+        |m AS (
+        |  SELECT CAST(coalesce(sum(cnt_a), 0) AS BIGINT) AS n_a,
+        |         CAST(coalesce(sum(cnt_b), 0) AS BIGINT) AS n_b,
+        |         sum(CAST(cnt_a AS HUGEINT) * r2) AS r2a,
+        |         sum(CAST(cnt_b AS HUGEINT) * r2) AS r2b
+        |  FROM r)
+        |SELECT n_a, n_b,
+        |       CAST(coalesce(r2a - CAST(n_a AS HUGEINT) * (n_a + 1), 0)
+        |            AS BIGINT) AS u2_a,
+        |       CAST(coalesce(r2b - CAST(n_b AS HUGEINT) * (n_b + 1), 0)
+        |            AS BIGINT) AS u2_b,
+        |       CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+        |                 ELSE CAST(1000000 AS HUGEINT) *
+        |                      (r2a - CAST(n_a AS HUGEINT) * (n_a + 1))
+        |                      // (CAST(2 AS HUGEINT) * n_a * n_b)
+        |            END AS BIGINT) AS cles_ppm
+        |FROM m""".stripMargin,
+
     // Rater agreement: the same confusion-matrix arithmetic spelled in
     // DuckDB — HUGEINT cross-products, // floor on non-negative
     // operands only (kappa sign-decomposed, McNemar squared).

@@ -870,6 +870,32 @@ object ExtQueries {
           floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
       Stats.kAnonymity(qid, Seq("c_nationkey", "c_mktsegment", "bal_band"), 10)
     }),
+    // Chi-squared independence of nation x market segment over
+    // customers — full R x C grid (zero cells included), per-cell
+    // integral-division terms summed as a deterministic recurrence
+    // (the x99 PageRank convention); Cramer's V^2 alongside.
+    "x144_chi2_independence" -> ((s, d) =>
+      Stats.chiSquaredIndependence(
+        s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_nationkey"), col("c_mktsegment")),
+        "c_nationkey", "c_mktsegment")),
+    // Seasonal-naive backtest per event type: lag-1 vs lag-7 WAPE on
+    // the DENSE day grid (zero days are real observations), common
+    // evaluation window — "is this feed weekly-seasonal" in one row.
+    "x145_seasonal_naive" -> ((s, d) =>
+      Stats.seasonalNaiveBacktest(events(s, d).select("event_type", "ts"))),
+    // Per-user inter-arrival burstiness: exact CV^2 ppm of the gap
+    // multiset — the continuous signal behind x102's binary min-gap
+    // bot heuristic.
+    "x146_burstiness" -> ((s, d) =>
+      Sessions.interarrivalBurstiness(events(s, d))),
+    // Mann-Whitney U between English and non-English doc lengths —
+    // doubled tie-average ranks from the value histogram (the x141
+    // convention); CLES ppm is the "random en doc is longer" odds.
+    "x147_mannwhitney" -> ((s, d) =>
+      Stats.mannWhitneyU(
+        docs(s, d).select(col("n_chars"), (col("lang") === "en").as("is_a")),
+        "n_chars", "is_a")),
     // Rater-agreement audit (Cohen's kappa + McNemar, exact ppm):
     // rater A = label parity, rater B = a cheap heuristic (sign of
     // the first embedding coordinate) — the label-vs-proxy shape; the

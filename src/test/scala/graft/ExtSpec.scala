@@ -3661,4 +3661,107 @@ class ExtSpec extends SparkSpec {
       .collect().head
     assert((ng.getLong(3), ng.getLong(4)) == ((-44L, -5500L)), s"got $ng")
   }
+
+  test("chiSquaredIndependence: worked 2x2, independence zero, NULL+zero cells, dof-0 guard") {
+    import spark.implicits._
+    def run(rows: Seq[(Option[String], String)]) =
+      graft.ext.Stats.chiSquaredIndependence(
+        rows.toDF("a", "b"), "a", "b").collect().head
+    // classic 2x2: [[30,10],[10,30]] -> chi2 = 20 (n(ad-bc)^2/(r1 r2 c1 c2)),
+    // V = phi = 0.5 -> V^2 = 0.25; per-cell terms are each exactly 5e6
+    val worked = run(
+      Seq.fill(30)((Some("x"), "u")) ++ Seq.fill(10)((Some("x"), "v")) ++
+        Seq.fill(10)((Some("y"), "u")) ++ Seq.fill(30)((Some("y"), "v")))
+    assert((worked.getLong(0), worked.getLong(1), worked.getLong(2),
+      worked.getLong(3), worked.getLong(4), worked.getLong(5)) ==
+      ((80L, 2L, 2L, 1L, 20000000L, 250000L)), s"got $worked")
+    // exact independence: every cell matches its expectation -> 0
+    val indep = run(Seq.fill(20)((Some("x"), "u")) ++
+      Seq.fill(20)((Some("x"), "v")) ++ Seq.fill(20)((Some("y"), "u")) ++
+      Seq.fill(20)((Some("y"), "v")))
+    assert((indep.getLong(4), indep.getLong(5)) == ((0L, 0L)), s"got $indep")
+    // NULL is a legal category and ZERO cells contribute expected mass:
+    // {x->u only, NULL->v only} is perfect association -> V^2 = 1;
+    // each of the 4 grid cells (two unobserved) contributes
+    // 1e6*81 div 54 = 1.5e6 -> chi2_ppm 6e6, v2 = 6e6 div 6 = 1e6
+    val nulls = run(Seq.fill(3)((Some("x"), "u")) ++
+      Seq.fill(3)((Option.empty[String], "v")))
+    assert((nulls.getLong(0), nulls.getLong(3), nulls.getLong(4),
+      nulls.getLong(5)) == ((6L, 1L, 6000000L, 1000000L)), s"got $nulls")
+    // single-category dimension: dof 0, chi2 0, V^2 guarded to 0
+    val flat = run(Seq.fill(5)((Some("x"), "u")) ++ Seq.fill(5)((Some("y"), "u")))
+    assert((flat.getLong(3), flat.getLong(4), flat.getLong(5)) ==
+      ((0L, 0L, 0L)), s"got $flat")
+  }
+
+  test("seasonalNaiveBacktest: weekly pattern scores zero at lag 7, zero days are real") {
+    import spark.implicits._
+    def mk(rows: Seq[(String, Long)]) = rows.toDF("event_type", "day")
+      .select($"event_type", timestamp_micros($"day" * 86400000000L).as("ts"))
+    // counts per day 0..13: [3,1,1,1,1,1,1, 3,1,1,1,1,1,1] — exact
+    // period 7. Eval days 7..13: lag-7 predicts perfectly (wape 0);
+    // lag-1 misses the two spike boundaries (|3-1| twice = 4 over
+    // actual 9 -> 444444 ppm)
+    val weekly = (0L to 13L).flatMap { d =>
+      Seq.fill(if (d % 7 == 0) 3 else 1)(("w", d))
+    }
+    val w = graft.ext.Stats.seasonalNaiveBacktest(mk(weekly)).collect().head
+    assert((w.getLong(1), w.getLong(2), w.getLong(3), w.getLong(4),
+      w.getLong(5), w.getLong(6)) ==
+      ((7L, 9L, 4L, 0L, 444444L, 0L)), s"got $w")
+    // a day with NO events is a real zero observation: days 0,1,3
+    // present, day 2 absent -> dense [2,2,0,2]; lags (1,2): day2
+    // errs 2 against both; day3 errs 2 at lag1, 0 at lag2
+    val gap = Seq(("g", 0L), ("g", 0L), ("g", 1L), ("g", 1L),
+      ("g", 3L), ("g", 3L))
+    val g = graft.ext.Stats.seasonalNaiveBacktest(mk(gap), 1, 2).collect().head
+    assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4),
+      g.getLong(5), g.getLong(6)) ==
+      ((2L, 2L, 4L, 2L, 2000000L, 1000000L)), s"got $g")
+  }
+
+  test("interarrivalBurstiness: metronome 0, worked CV2, tie gaps, all-tie guard, min-events cut") {
+    import spark.implicits._
+    val rows = Seq(
+      // user 1: five events 1s apart -> 4 equal gaps -> CV2 = 0
+      (1L, 0L), (1L, 1000000L), (1L, 2000000L), (1L, 3000000L), (1L, 4000000L),
+      // user 2: gaps [0, 4e6] (same-ts tie) -> CV2 = (2*16-16)/16 = 1 -> 1e6
+      (2L, 0L), (2L, 0L), (2L, 4000000L),
+      // user 3: two events -> one gap -> dropped by minEvents=3
+      (3L, 0L), (3L, 1000000L),
+      // user 4: all at one instant -> span 0 -> guarded 0
+      (4L, 5L), (4L, 5L), (4L, 5L))
+    val got = graft.ext.Sessions.interarrivalBurstiness(
+      rows.toDF("user_id", "us")
+        .select($"user_id", lit(1L).as("event_id"),
+          timestamp_micros($"us").as("ts")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 4000000L, 0L)),
+      2L -> ((2L, 4000000L, 1000000L)),
+      4L -> ((2L, 0L, 0L))), s"got $got")
+  }
+
+  test("mannWhitneyU: worked tie case, extremes, U2 identity, empty-group guard") {
+    import spark.implicits._
+    def run(a: Seq[Long], b: Seq[Long]) =
+      graft.ext.Stats.mannWhitneyU(
+        (a.map((_, true)) ++ b.map((_, false))).toDF("v", "is_a"),
+        "v", "is_a").collect().head
+    // A=[1,2], B=[2,3]: avg ranks 1, 2.5, 2.5, 4 -> R_A=3.5, U_A=0.5
+    // -> doubled U2_A=1, U2_B=7 (identity: 1+7 = 2*2*2), CLES=0.125
+    val tied = run(Seq(1L, 2L), Seq(2L, 3L))
+    assert((tied.getLong(0), tied.getLong(1), tied.getLong(2),
+      tied.getLong(3), tied.getLong(4)) ==
+      ((2L, 2L, 1L, 7L, 125000L)), s"got $tied")
+    // A entirely above B: U2_A = 2*n_a*n_b, CLES = 1e6; reversed -> 0
+    val hi = run(Seq(10L, 20L), Seq(1L, 2L))
+    assert((hi.getLong(2), hi.getLong(4)) == ((8L, 1000000L)), s"got $hi")
+    val lo = run(Seq(1L, 2L), Seq(10L, 20L))
+    assert((lo.getLong(2), lo.getLong(4)) == ((0L, 0L)), s"got $lo")
+    // one-sided input: guards, not crashes
+    val solo = run(Seq(1L, 2L), Seq.empty)
+    assert((solo.getLong(1), solo.getLong(4)) == ((0L, 0L)), s"got $solo")
+  }
 }
