@@ -59,7 +59,8 @@ object Bench {
     val warmupFirst = Set(
       "x23_incr_neardup", "x44_incr_embed_neardup", "x62_prep_job",
       "x68_incr_funnel", "x38_source_overlap", "k5_promote_latest",
-      "s1_odata_scan", "s3_odata_expand", "x136_incr_media_neardup")
+      "s1_odata_scan", "s3_odata_expand", "x136_incr_media_neardup",
+      "k6_csv_roundtrip")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmupFirst(name)) {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }

@@ -54,6 +54,31 @@ object Assemble {
         .otherwise(lit("test")).as("split"))
   }
 
+  /** Grouped k-fold assignment (the GroupKFold guard): every row of a
+    * group lands in ONE fold — fold = md5-32(group ⊕ salt) mod k — so
+    * cross-validation can never train on one document of a source and
+    * validate on its sibling (group leakage, the cross-validation
+    * twin of what [[hashSplit]]'s content hash prevents for exact
+    * dups: hashSplit keys on the TEXT, this keys on the GROUP, and a
+    * multi-doc source is exactly where the two differ). Deterministic,
+    * no RNG, re-partition-stable; a NULL group has no leakage unit
+    * and reports a NULL fold (assignable by neither side — the caller
+    * decides, loudly). One narrow projection, zero shuffles.
+    *
+    * Fold sizes are as balanced as the group-size distribution
+    * allows — a dominant group necessarily dominates its fold; that
+    * is the price of the leakage guarantee and the reason the fold
+    * column rides next to the group for auditing. */
+  def groupedFold(
+      docs: DataFrame, groupCol: String, k: Int = 5,
+      salt: String = "fold-v1"): DataFrame = {
+    require(k >= 2, s"fold count $k must be at least 2")
+    docs.select(col("doc_id"), col(groupCol),
+      pmod(OracleHash.md5Hash32(
+        concat(col(groupCol).cast("string"), lit(salt))), lit(k.toLong))
+        .as("fold"))
+  }
+
   /** Mixture denominator: weights are exact rationals over 10000 so the
     * keep decision is an integer comparison. */
   private val MixDen = 10000

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -685,6 +685,176 @@ object Sessions {
         (col("max_day_events") > maxDayEvents ||
           (col("min_gap_us").isNotNull && col("min_gap_us") < minGapUs))
           .as("is_bot"))
+  }
+
+  /** Daily growth accounting (the new/retained/resurrected
+    * decomposition social-network analytics popularized): every
+    * (user, active day) is classified by the gap since that user's
+    * PREVIOUS active day — no previous day → `n_new`, gap within
+    * `resurrectDays` → `n_retained`, longer → `n_resurrected` — and
+    * the per-day totals decompose the DAU series exactly
+    * (`n_new + n_retained + n_resurrected` = that day's actives,
+    * spec-pinned). The report X88's cohort retention can't give:
+    * retention says who came back; this says what today's actives
+    * are MADE OF, the first chart a growth review asks for.
+    *
+    * Day boundaries floor-divide the epoch (the X160 convention —
+    * Spark DIV truncates toward zero, DuckDB `//` floors; pre-1970
+    * events would diverge under plain DIV). Scale shape: the corpus
+    * collapses map-side to distinct (user, day); the lag window
+    * shuffles once on user_id and the closing per-day aggregate is
+    * map-side-combinable, bounded by the day domain. */
+  def growthAccounting(
+      events: DataFrame, resurrectDays: Int = 14): DataFrame = {
+    require(resurrectDays >= 1, s"resurrectDays $resurrectDays must be >= 1")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 - " +
+          "(CASE WHEN unix_micros(CAST(ts AS TIMESTAMP)) % 86400000000 < 0 " +
+          "THEN 1 ELSE 0 END))").as("day"))
+      .distinct()
+      .withColumn("prev_day", lag(col("day"), 1).over(byUser))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("prev_day").isNull, 1)).as("n_new"),
+        count(when(col("day") - col("prev_day") <= resurrectDays.toLong, 1))
+          .as("n_retained"),
+        count(when(col("day") - col("prev_day") > resurrectDays.toLong, 1))
+          .as("n_resurrected"))
+  }
+
+  /** Event-type co-occurrence lift within sessions: for every type
+    * pair (a < b), the exact ratio between how often the two types
+    * share a session and what independence predicts —
+    * `lift_ppm = 10⁶·n_ab·n_sessions div (n_a·n_b)` (10⁶ =
+    * independent, above = the types travel together, below = they
+    * repel) — plus the raw support counts, so a high-lift rare pair
+    * can't masquerade as signal. The session-scoped sibling of the
+    * X131 basket-affinity matrix (baskets group by order; this
+    * groups by the [[sessionize]] boundary, so it sees cross-type
+    * BEHAVIORAL flow, not purchase composition).
+    *
+    * Scale shape: sessions label with the [[sessionize]] machinery
+    * (one user_id shuffle), collapse to DISTINCT (session, type) —
+    * bounded by sessions × type domain — and the pair self-join fans
+    * out only within a session (≤ |types|² per session, never
+    * corpus-scale); counts broadcast back onto the pair frame. */
+  def cooccurrenceLift(
+      events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    // distinct (session, type) memberships — the [[sessionize]]
+    // labeling, kept at event grain only long enough to label
+    val st = events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("is_new",
+        (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
+          .cast("long"))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("session_idx"), col("event_type"))
+      .distinct()
+      .localCheckpoint(true) // 4 consumers below — label sessions once
+    val nSessions = st.select(col("user_id"), col("session_idx")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val typeCnt = st.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+    val pairs = st.select(col("user_id"), col("session_idx"),
+        col("event_type").as("type_a"))
+      .join(st.select(col("user_id"), col("session_idx"),
+        col("event_type").as("type_b")), Seq("user_id", "session_idx"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(typeCnt.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(typeCnt.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nSessions))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        col("n_a"), col("n_b"), col("n_sessions"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_ab * n_sessions " +
+          "DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("lift_ppm"))
+  }
+
+  /** Kaplan-Meier survival curve for time-to-conversion (Kaplan &
+    * Meier 1958) — the censoring-correct answer to "how long until a
+    * viewer purchases": every user's duration runs from their first
+    * `startType` day to their first at-or-after `eventType` day, and
+    * users who never convert are RIGHT-CENSORED at the corpus's last
+    * observed day instead of being dropped (dropping them — what a
+    * naive x92-style lag average does — biases conversion fast,
+    * because slow converters are exactly the ones still censored).
+    * One row per event time t: the at-risk count, events, and the
+    * survival estimate as an exact-integer ppm recurrence
+    * `S ← S·(n_t − d_t) div n_t` — deterministically lossy,
+    * IDENTICALLY lossy in the oracle's recursive CTE (the X111
+    * PageRank convention for sequential products).
+    *
+    * Scale shape: the corpus collapses to per-user first-day
+    * aggregates (two groupBys keyed on user_id), then to the
+    * duration histogram — bounded by the DAY DOMAIN, never users —
+    * whose event rows alone are collected for the driver-side
+    * product fold (a sequential recurrence is not a windowable
+    * aggregate; the collect is day-domain-bounded by construction,
+    * the config-bounded-collect convention). Day boundaries
+    * floor-divide the epoch (the X160 convention). */
+  def kaplanMeier(
+      events: DataFrame, startType: String = "view",
+      eventType: String = "purchase"): DataFrame = {
+    val sp = events.sparkSession
+    val e = events
+      .filter(col("ts").isNotNull &&
+        col("event_type").isin(startType, eventType))
+      .select(col("user_id"), col("event_type"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 - " +
+          "(CASE WHEN unix_micros(CAST(ts AS TIMESTAMP)) % 86400000000 < 0 " +
+          "THEN 1 ELSE 0 END))").as("day"))
+    val starts = e.filter(col("event_type") === startType)
+      .groupBy(col("user_id")).agg(min(col("day")).as("t0"))
+    val horizon = e.agg(max(col("day")).as("h"))
+    val conv = e.filter(col("event_type") === eventType)
+      .join(starts, Seq("user_id"))
+      .filter(col("day") >= col("t0"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("te"))
+    val durations = starts.join(conv, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("te").isNotNull, col("te") - col("t0"))
+          .otherwise(col("h") - col("t0")).as("t"),
+        col("te").isNotNull.cast("long").as("ob"))
+    val hist = durations.groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ob")).as("d"))
+      .withColumn("n_risk", sum(col("cnt")).over(
+        Window.orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val eventRows = hist.filter(col("d") >= 1)
+      .select(col("t"), col("n_risk"), col("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var s = BigInt(1000000)
+    val out = eventRows.map { case (t, n, d) =>
+      s = s * BigInt(n - d) / BigInt(n) // non-negative: floor == trunc
+      Row(t, n, d, s.toLong)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t_days",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_risk",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("surv_ppm",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    sp.createDataFrame(sp.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 
   /** Per-user inter-arrival burstiness: the squared coefficient of

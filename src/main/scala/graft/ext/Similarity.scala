@@ -79,6 +79,63 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining over labeled vectors — the contrastive-
+    * training data miner (Schroff et al. 2015's semi-hard mining is
+    * the published ancestor): per sampled query, the nearest SAME-
+    * label neighbor, the nearest DIFFERENT-label neighbor (the hard
+    * negative), and the margin verdict `is_violated` — true when the
+    * hard negative outranks the positive, i.e. the pair a metric-
+    * learning batch most wants and a retrieval eval most fears. A
+    * query whose label has no other member reports a NULL positive
+    * and counts as violated (no in-class evidence); a corpus with no
+    * other label reports a NULL negative and is not violated.
+    *
+    * Determinism: both cosines come from the SAME expression tree the
+    * x3 family pins cross-engine (vec_dot/vec_norm ↔
+    * list_dot_product), the two top-1 picks carry the (cos desc,
+    * vec_id) total order, and the verdict compares two doubles each
+    * engine computed identically — rank-and-compare only, no float
+    * aggregation. Zero-norm vectors are excluded on every cosine path
+    * (the [[cosTopKFor]] contract).
+    *
+    * Scale shape: queries are a config-bounded sample BROADCAST
+    * against the corpus — one corpus scan, no corpus-side shuffle
+    * before the rank-limit window (WindowGroupLimit bounds the
+    * exchange to 2 rows per query per partition). The brute-force
+    * scoring is the declared exact baseline, as everywhere in this
+    * family; the IVF index is the scale path when queries grow. */
+  def hardNegatives(emb: DataFrame, queryMod: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val labeled = emb.filter(col("label").isNotNull)
+    val queries = labeled.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("q"), col("label").as("q_label"))
+      .withColumn("nq", norm(col("q")))
+      .filter(col("nq") > 0)
+    val corpus = labeled
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+      .withColumn("nv", norm(col("v")))
+      .filter(col("nv") > 0)
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("q"), col("v")) / (col("nq") * col("nv")))
+      .withColumn("is_same", col("label") === col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("cos"), col("is_same"))
+    val w = Window.partitionBy(col("query_id"), col("is_same"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("is_same"), col("vec_id"))).as("nn_same_id"),
+        max(when(!col("is_same"), col("vec_id"))).as("nn_diff_id"),
+        max(when(col("is_same"), col("cos"))).as("cs"),
+        max(when(!col("is_same"), col("cos"))).as("cd"))
+      .select(col("query_id"), col("nn_same_id"), col("nn_diff_id"),
+        when(col("cd").isNull, lit(false))
+          .when(col("cs").isNull, lit(true))
+          .otherwise(col("cd") > col("cs")).as("is_violated"))
+  }
+
   /** Exact top-k per query with a BOUNDED pre-rank shuffle.
     *
     * Declared as the plain row_number window + rank filter — and that

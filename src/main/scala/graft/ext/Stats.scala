@@ -1420,6 +1420,197 @@ object Stats {
       .filter(col("n_rows") < k)
   }
 
+  /** l-diversity audit — [[kAnonymity]]'s sharper sibling
+    * (Machanavajjhala et al. 2006): a group can be large enough to
+    * pass k-anonymity and still leak, if everyone in it SHARES the
+    * sensitive value (the homogeneity attack — "all 12 patients in
+    * this ZIP/age cell have the same diagnosis"). Flags every
+    * quasi-identifier combination whose sensitive column carries
+    * fewer than `l` DISTINCT non-NULL values, with the group size
+    * alongside (a large low-diversity group is the worst finding).
+    * NULL quasi-identifier values group like any other (the
+    * [[kAnonymity]] rationale); NULL sensitive values do not count
+    * toward diversity — an all-NULL group has 0 distinct and flags,
+    * the conservative reading on both engines (count(DISTINCT)
+    * ignores NULLs identically).
+    *
+    * Scale shape: one groupBy on the identifier tuple with the
+    * standard two-phase distinct aggregate (map-side partial on
+    * (tuple, sensitive) first); output bounded by the identifier
+    * domain. */
+  def lDiversity(
+      df: DataFrame, keys: Seq[String], sensitive: String,
+      l: Long): DataFrame = {
+    require(keys.nonEmpty, "l-diversity needs at least one quasi-identifier")
+    require(l >= 2, s"l $l must be at least 2 (l=1 flags only all-NULL)")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitive)).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
+  }
+
+  /** Quantile normalization of an integer signal across sources
+    * (Bolstad et al. 2003's microarray method, the batch-effect
+    * correction a multi-source corpus needs when per-source
+    * distributions must not leak into downstream thresholds): each
+    * source's value at upper-cdf q is replaced by the CORPUS value at
+    * the same quantile — the smallest corpus value whose cumulative
+    * count reaches `⌈cum_s·N / n_s⌉` — so every source maps onto one
+    * shared reference distribution exactly. Output is one row per
+    * (source, distinct value) with the replacement value; ties within
+    * a source share their rank block's top (upper cdf), the standard
+    * discrete convention.
+    *
+    * Scale shape: both histograms are map-side-combinable and
+    * value-domain-bounded; the rank resolution is ONE ordered window
+    * over the union of corpus boundaries and source targets (corpus
+    * rows sort after equal-rank targets, so `first ignoreNulls`
+    * looking forward picks the ≥-rank boundary) — no non-equi join,
+    * no per-target scan. The window is unpartitioned over the
+    * domain-bounded frame, the X139 convention. Headroom:
+    * `cum_s·N ≤ N²` runs in DECIMAL(38,0). The value column is cast
+    * to long (integer-signal contract, as everywhere in this
+    * family). */
+  def quantileNormalize(
+      df: DataFrame, value: String, group: String): DataFrame = {
+    val d = df.filter(col(value).isNotNull)
+      .select(col(group).cast("string").as("__g"),
+        col(value).cast("long").as("__v"))
+    val corpusHist = d.groupBy(col("__v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = d.agg(count(lit(1)).as("n_total"))
+    val targets = d.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("cnt_s"))
+      .withColumn("cum_s", sum(col("cnt_s")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_s", sum(col("cnt_s")).over(
+        Window.partitionBy(col("__g"))))
+      .crossJoin(broadcast(tot))
+      .withColumn("rk", expr("CAST((CAST(cum_s AS DECIMAL(38,0)) * " +
+        "n_total + n_s - 1) DIV n_s AS BIGINT)"))
+    val merged = targets
+      .select(col("rk"), lit(0).as("tag"), col("__g"), col("__v"),
+        col("cnt_s"), lit(null).cast("long").as("corpus_value"))
+      .unionByName(corpusHist
+        .select(col("cum").as("rk"), lit(1).as("tag"),
+          lit(null).cast("string").as("__g"),
+          lit(null).cast("long").as("__v"),
+          lit(null).cast("long").as("cnt_s"),
+          col("__v").as("corpus_value")))
+    val forward = Window.orderBy(col("rk"), col("tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged
+      .withColumn("normalized_value",
+        first(col("corpus_value"), ignoreNulls = true).over(forward))
+      .filter(col("tag") === 0)
+      .select(col("__g").as(group), col("__v").as(value),
+        col("cnt_s").as("n_docs"), col("normalized_value"))
+  }
+
+  /** Empirical-Bayes shrunk rate per group — the ranking-stable form
+    * of a per-source pass rate: a 3-document source at raw rate 100%
+    * must not outrank a 10,000-document source at 98%, so each
+    * group's rate is pulled toward the corpus prior with
+    * `priorWeight` pseudo-observations (beta-binomial posterior
+    * mean): `shrunk_ppm = 10⁶·(x·N + m·X) div (N·(n + m))` where
+    * (x, n) are the group's flagged/total counts and (X, N) the
+    * corpus's — exact integer, the rational prior X/N never appears.
+    * The raw rate rides alongside so the shrinkage is auditable.
+    *
+    * Scale shape: one map-side-combinable groupBy plus a broadcast
+    * one-row corpus total; cross-products in DECIMAL(38,0) ↔
+    * HUGEINT (x·N ≤ N², exact to N ≈ 10¹⁹ digits-wise — far past any
+    * corpus). NULL flags are excluded (a row that can't be judged is
+    * not evidence either way); NULL groups keep their group. */
+  def shrunkRate(
+      df: DataFrame, flag: String, group: String,
+      priorWeight: Long = 100L): DataFrame = {
+    require(priorWeight >= 1, s"priorWeight $priorWeight must be >= 1")
+    val d = df.filter(col(flag).isNotNull)
+      .select(col(group), col(flag).cast("long").as("__f"))
+    val tot = d.agg(count(lit(1)).as("n_total"), sum(col("__f")).as("x_total"))
+    d.groupBy(col(group))
+      .agg(count(lit(1)).as("n"), sum(col("__f")).as("x"))
+      .crossJoin(broadcast(tot))
+      .select(col(group), col("n"), col("x"),
+        expr("1000000 * x DIV n").as("raw_ppm"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * " +
+          s"(x * CAST(n_total AS DECIMAL(38,0)) + $priorWeight * x_total) " +
+          s"DIV (CAST(n_total AS DECIMAL(38,0)) * (n + $priorWeight)) " +
+          "AS BIGINT)").as("shrunk_ppm"))
+  }
+
+  /** Class-balance report + inverse-frequency training weights (the
+    * `n_total / (k·n_c)` "balanced" weighting sklearn standardized;
+    * King & Zeng 2001 is the statistics ancestor): per label, its
+    * count and exact weight in ppm — the first thing an imbalanced
+    * fine-tuning run reaches for, and the audit row that shows WHY a
+    * rare class dominates the loss after reweighting. The weights
+    * satisfy `Σ n_c·w_c ≈ N·10⁶` by construction (each term floors
+    * once). NULL labels are excluded — an unlabeled row belongs to
+    * no class and must not dilute any weight.
+    *
+    * Scale shape: one map-side-combinable groupBy + a broadcast
+    * one-row total; output bounded by the label domain. */
+  def classWeights(df: DataFrame, label: String): DataFrame = {
+    val d = df.filter(col(label).isNotNull)
+    val tot = d.agg(count(lit(1)).as("n_total"),
+      countDistinct(col(label)).as("n_classes"))
+    d.groupBy(col(label)).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col(label), col("n"), col("n_total"), col("n_classes"),
+        expr("1000000 * n_total DIV (n_classes * n)").as("weight_ppm"))
+  }
+
+  /** CUSUM changepoint detection over per-type daily counts (Page
+    * 1954; the single-split step of binary segmentation): the day
+    * where the cumulative sum of mean-deviations peaks in magnitude
+    * is the maximum-likelihood single level-shift point. All integer:
+    * the per-day deviation is SCALED by n (`d_i = n·c_i − T`, so the
+    * rational mean never appears), the running sum S_i is windowed,
+    * and the changepoint is the (|S| desc, day asc)-first day — a
+    * full total order, tie → earliest. `magnitude_ppm =
+    * 10⁶·|S_cp| div (n·T)` normalizes to the series' own mass
+    * (0 = flat, larger = sharper shift); a zero-total type is
+    * guarded to 0. The companion to [[dailyAnomaly]]/
+    * [[robustDailyAnomaly]]: those flag single outlier days, this
+    * finds the REGIME boundary — a feed whose volume stepped to a
+    * new level (extractor change, source onboarded, outage begun)
+    * has no outlier day at all, just two plateaus.
+    *
+    * Scale shape: the corpus collapses map-side to (type, day); the
+    * per-type total rides a partition window, the running sum an
+    * ordered window, and the argmax a rank-limit window — all over
+    * the types × days frame, never the corpus. Headroom: |S| ≤ n·T
+    * needs n·T inside BIGINT — days × corpus events, fine to ~10¹⁴
+    * events per type. */
+  def changepointCusum(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = byType.orderBy(col("day"))
+    val daily = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val cusum = daily
+      .withColumn("n", sum(lit(1L)).over(byType))
+      .withColumn("t", sum(col("c")).over(byType))
+      .withColumn("s", sum(col("n") * col("c") - col("t")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(
+        byType.orderBy(abs(col("s")).desc, col("day"))))
+    cusum.filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("t").as("total_events"), col("day").as("cp_day"),
+        abs(col("s")).as("cusum_abs"),
+        when(col("t") === 0, lit(0L))
+          .otherwise(expr("1000000 * abs(s) DIV (n * t)"))
+          .as("magnitude_ppm"))
+  }
+
   private def globalNtile(
       df: DataFrame, value: String, descOrder: Boolean, id: String,
       bands: Int, out: String): DataFrame = {
@@ -1564,6 +1755,56 @@ object Stats {
             "CAST(chi2dec DIV (CAST(n AS DECIMAL(38,0)) * " +
               "least(n_a - 1, n_b - 1)) AS BIGINT)"))
           .as("v2_ppm"))
+  }
+
+  /** Robust daily anomaly flags — [[dailyAnomaly]]'s mean/σ gate with
+    * MEDIAN/MAD in its place (Hampel's robust identifier): a burst day
+    * inflates the very σ that is supposed to flag it, so a 3σ gate
+    * can miss a 10× spike on a feed with few days; the median and the
+    * median absolute deviation are unmoved by the outlier itself
+    * (breakdown point ½ vs 0). Flags `|x − med| > k·MAD`, all exact
+    * integers; a zero-MAD type (over half its days identical)
+    * degenerates to "any deviation flags", under an explicit branch —
+    * the behavior Hampel's rule implies and the one a constant-rate
+    * feed wants.
+    *
+    * Scale shape: the corpus collapses map-side to (type, day)
+    * counts; median and MAD each come from the X139 rank carve over a
+    * per-type HISTOGRAM (bounded by types × distinct counts, never by
+    * days), and both per-type frames broadcast back onto the daily
+    * frame. */
+  def robustDailyAnomaly(events: DataFrame, k: Int = 5): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    def medianOf(df: DataFrame, value: String, out: String): DataFrame = {
+      val byType = Window.partitionBy(col("event_type"))
+      df.groupBy(col("event_type"), col(value)).agg(count(lit(1)).as("h"))
+        .withColumn("cum", sum(col("h")).over(
+          byType.orderBy(col(value))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", sum(col("h")).over(byType))
+        .filter(col("cum") >= expr("(n + 1) DIV 2"))
+        .groupBy(col("event_type")).agg(min(col(value)).as(out))
+    }
+    // both intermediates are types × days small AND multi-consumer
+    // (daily feeds the median carve and the deviation frame; dev
+    // feeds the MAD carve and the output) — pin them so the corpus
+    // is scanned exactly once, and so the carve-derived join-backs
+    // are against a settled frame, not a recomputed self-join
+    val daily = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val dev = daily
+      .join(broadcast(medianOf(daily, "c", "med")), Seq("event_type"))
+      .withColumn("abs_dev", abs(col("c") - col("med")))
+      .localCheckpoint(true)
+    dev.join(broadcast(medianOf(dev, "abs_dev", "mad")), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("c").as("n_events"),
+        col("med"), col("mad"), col("abs_dev"),
+        ((col("mad") > 0 && col("abs_dev") > lit(k.toLong) * col("mad")) ||
+          (col("mad") === 0 && col("abs_dev") > 0)).as("is_anomaly"))
   }
 
   /** Seasonal-naive forecast backtest — "does this feed have weekly

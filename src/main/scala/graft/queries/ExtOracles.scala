@@ -1248,6 +1248,301 @@ object ExtOracles {
         |GROUP BY 1, 2, 3
         |HAVING count(*) < 10""".stripMargin,
 
+    // Grouped fold: the shared md5-32 idiom over the GROUP (the
+    // 32-bit value is non-negative, so % ≡ pmod).
+    "x156_grouped_fold" ->
+      """SELECT doc_id, source,
+        |       ('0x' || substr(md5(source || 'fold-v1'), 1, 8))::BIGINT % 5
+        |         AS fold
+        |FROM documents""".stripMargin,
+
+    // Class weights: one grouped count + the corpus totals, integer
+    // inverse-frequency ppm.
+    "x157_class_weights" ->
+      """WITH d AS (SELECT label FROM embeddings WHERE label IS NOT NULL),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |         CAST(count(DISTINCT label) AS BIGINT) AS n_classes
+        |  FROM d)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n, n_total, n_classes,
+        |       1000000 * n_total // (n_classes * CAST(count(*) AS BIGINT))
+        |         AS weight_ppm
+        |FROM d CROSS JOIN tot GROUP BY label, n_total, n_classes""".stripMargin,
+
+    // Kaplan-Meier: identical durations/censoring, at-risk from the
+    // top-down cumulative, and the SAME ppm product recurrence run
+    // through a recursive CTE (the sequential-product twin of the
+    // Spark side's driver fold).
+    "x158_kaplan_meier" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL
+        |    AND event_type IN ('view', 'purchase')),
+        |s AS (SELECT user_id, min(day) AS t0 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |h AS (SELECT max(day) AS mx FROM e),
+        |p AS (SELECT e.user_id, min(e.day) AS te
+        |      FROM e JOIN s USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.day >= s.t0
+        |      GROUP BY 1),
+        |d AS (
+        |  SELECT CASE WHEN p.te IS NOT NULL THEN p.te - s.t0
+        |              ELSE h.mx - s.t0 END AS t,
+        |         CASE WHEN p.te IS NOT NULL THEN 1 ELSE 0 END AS ob
+        |  FROM s LEFT JOIN p USING (user_id) CROSS JOIN h),
+        |hist AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+        |                CAST(sum(ob) AS BIGINT) AS d
+        |         FROM d GROUP BY t),
+        |r AS (SELECT t, d,
+        |        CAST(sum(cnt) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+        |      FROM hist),
+        |et AS (SELECT t, n_risk, d,
+        |         CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn
+        |       FROM r WHERE d >= 1),
+        |km AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST(1000000 AS HUGEINT) AS sv
+        |  UNION ALL
+        |  SELECT et.rn, km.sv * (et.n_risk - et.d) // et.n_risk
+        |  FROM km JOIN et ON et.rn = km.rn + 1)
+        |SELECT et.t AS t_days, et.n_risk, et.d AS n_events,
+        |       CAST(km.sv AS BIGINT) AS surv_ppm
+        |FROM et JOIN km USING (rn)""".stripMargin,
+
+    // Quantile normalization: an INDEPENDENT construction — the
+    // oracle resolves each target rank with a correlated min()
+    // subquery over the corpus cdf instead of the Spark side's
+    // merged-boundary window; both must pick the identical smallest
+    // >=-rank corpus value.
+    "x154_quantile_normalize" ->
+      """WITH d AS (
+        |  SELECT CAST(source AS VARCHAR) AS source,
+        |         CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |ch AS (
+        |  SELECT v, sum(cnt) OVER (ORDER BY v) AS cum
+        |  FROM (SELECT v, count(*) AS cnt FROM d GROUP BY v)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |sc AS (
+        |  SELECT source, v, CAST(count(*) AS BIGINT) AS cnt_s
+        |  FROM d GROUP BY 1, 2),
+        |sr AS (
+        |  SELECT source, v, cnt_s,
+        |         CAST(sum(cnt_s) OVER (PARTITION BY source ORDER BY v)
+        |              AS BIGINT) AS cum_s,
+        |         CAST(sum(cnt_s) OVER (PARTITION BY source) AS BIGINT)
+        |           AS n_s
+        |  FROM sc),
+        |t AS (
+        |  SELECT source, v, cnt_s,
+        |         CAST((CAST(cum_s AS HUGEINT) * n + n_s - 1) // n_s
+        |              AS BIGINT) AS tr
+        |  FROM sr CROSS JOIN tot)
+        |SELECT source, v AS n_chars, cnt_s AS n_docs,
+        |       (SELECT CAST(min(ch.v) AS BIGINT) FROM ch
+        |        WHERE ch.cum >= t.tr) AS normalized_value
+        |FROM t""".stripMargin,
+
+    // Shrunk rate: the same beta-binomial posterior-mean arithmetic —
+    // HUGEINT cross-products, // floor on non-negative operands.
+    "x155_shrunk_rate" ->
+      """WITH d AS (
+        |  SELECT source, CAST(n_chars >= 250 AS BIGINT) AS f
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |         CAST(sum(f) AS BIGINT) AS x_total
+        |  FROM d),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(f) AS BIGINT) AS x
+        |  FROM d GROUP BY 1)
+        |SELECT source, n, x,
+        |       1000000 * x // n AS raw_ppm,
+        |       CAST(CAST(1000000 AS HUGEINT) *
+        |            (x * CAST(n_total AS HUGEINT) + 100 * x_total)
+        |            // (CAST(n_total AS HUGEINT) * (n + 100))
+        |            AS BIGINT) AS shrunk_ppm
+        |FROM g CROSS JOIN tot""".stripMargin,
+
+    // Hard negatives: x3's double-precision cosine tree + the label
+    // split; two rank-1 picks on the (cos desc, vec_id) total order,
+    // verdict = a comparison of identically-computed doubles.
+    "x151_hard_negatives" ->
+      """WITH l AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+        |         label
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS q_label
+        |      FROM l WHERE vec_id % 50 = 0
+        |        AND sqrt(list_dot_product(v, v)) > 0),
+        |c AS (SELECT * FROM l WHERE sqrt(list_dot_product(v, v)) > 0),
+        |s AS (
+        |  SELECT query_id, c.vec_id,
+        |         list_dot_product(qv, c.v) /
+        |           (sqrt(list_dot_product(qv, qv)) *
+        |            sqrt(list_dot_product(c.v, c.v))) AS cos,
+        |         (c.label = q_label) AS is_same
+        |  FROM q, c WHERE c.vec_id <> query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos, is_same,
+        |         row_number() OVER (PARTITION BY query_id, is_same
+        |                            ORDER BY cos DESC, vec_id) AS rn
+        |  FROM s)
+        |SELECT query_id,
+        |       max(CASE WHEN is_same THEN vec_id END) AS nn_same_id,
+        |       max(CASE WHEN NOT is_same THEN vec_id END) AS nn_diff_id,
+        |       CASE WHEN max(CASE WHEN NOT is_same THEN cos END) IS NULL
+        |              THEN false
+        |            WHEN max(CASE WHEN is_same THEN cos END) IS NULL
+        |              THEN true
+        |            ELSE max(CASE WHEN NOT is_same THEN cos END) >
+        |                 max(CASE WHEN is_same THEN cos END)
+        |       END AS is_violated
+        |FROM r WHERE rn = 1 GROUP BY query_id""".stripMargin,
+
+    // l-diversity: one grouped distinct; count(DISTINCT) ignores
+    // NULL sensitive values identically on both engines.
+    "x152_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |            AS BIGINT) AS n_sensitive
+        |FROM customer
+        |GROUP BY 1, 2
+        |HAVING count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 5
+        |""".stripMargin,
+
+    // CUSUM changepoint: the identical scaled-deviation running sum
+    // and (|S| desc, day) argmax in DuckDB windows.
+    "x153_changepoint" ->
+      """WITH dc AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, c,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS n,
+        |         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS t
+        |  FROM dc),
+        |cs AS (
+        |  SELECT event_type, day, n, t,
+        |         CAST(sum(n * c - t) OVER (PARTITION BY event_type
+        |              ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |              AND CURRENT ROW) AS BIGINT) AS s
+        |  FROM w),
+        |r AS (
+        |  SELECT event_type, day, n, t, s,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY abs(s) DESC, day) AS rn
+        |  FROM cs)
+        |SELECT event_type, n AS n_days, t AS total_events, day AS cp_day,
+        |       abs(s) AS cusum_abs,
+        |       CAST(CASE WHEN t = 0 THEN 0
+        |                 ELSE 1000000 * abs(s) // (n * t) END AS BIGINT)
+        |         AS magnitude_ppm
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // Robust anomaly: the identical two-stage rank carve (median of
+    // counts, then median of absolute deviations) re-derived in
+    // DuckDB; rank = (n+1)//2 on both engines.
+    "x148_robust_anomaly" ->
+      """WITH dc AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |h1 AS (SELECT event_type, c, count(*) AS h FROM dc GROUP BY 1, 2),
+        |cum1 AS (SELECT event_type, c,
+        |         sum(h) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |         sum(h) OVER (PARTITION BY event_type) AS n FROM h1),
+        |med AS (SELECT event_type, CAST(min(c) AS BIGINT) AS med FROM cum1
+        |        WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |dev AS (SELECT dc.event_type, dc.day, dc.c, med.med,
+        |               abs(dc.c - med.med) AS abs_dev
+        |        FROM dc JOIN med USING (event_type)),
+        |h2 AS (SELECT event_type, abs_dev, count(*) AS h
+        |       FROM dev GROUP BY 1, 2),
+        |cum2 AS (SELECT event_type, abs_dev,
+        |         sum(h) OVER (PARTITION BY event_type ORDER BY abs_dev)
+        |           AS cum,
+        |         sum(h) OVER (PARTITION BY event_type) AS n FROM h2),
+        |mad AS (SELECT event_type, CAST(min(abs_dev) AS BIGINT) AS mad
+        |        FROM cum2 WHERE cum >= (n + 1) // 2 GROUP BY 1)
+        |SELECT dev.event_type, dev.day, dev.c AS n_events, dev.med,
+        |       mad.mad, dev.abs_dev,
+        |       ((mad.mad > 0 AND dev.abs_dev > 5 * mad.mad) OR
+        |        (mad.mad = 0 AND dev.abs_dev > 0)) AS is_anomaly
+        |FROM dev JOIN mad USING (event_type)""".stripMargin,
+
+    // Growth accounting: distinct (user, day) + the lag classification
+    // — FILTER aggregates mirror Spark's count(when(...)).
+    "x149_growth_accounting" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |l AS (
+        |  SELECT user_id, day,
+        |         lag(day) OVER (PARTITION BY user_id ORDER BY day)
+        |           AS prev_day
+        |  FROM ud)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |       CAST(count(*) FILTER (WHERE prev_day IS NULL) AS BIGINT)
+        |         AS n_new,
+        |       CAST(count(*) FILTER (WHERE day - prev_day <= 14) AS BIGINT)
+        |         AS n_retained,
+        |       CAST(count(*) FILTER (WHERE day - prev_day > 14) AS BIGINT)
+        |         AS n_resurrected
+        |FROM l GROUP BY day""".stripMargin,
+
+    // Co-occurrence lift: the x29 sessionization chain, distinct
+    // (session, type) memberships, pair self-join bounded within
+    // sessions, HUGEINT ratio.
+    "x150_cooccurrence_lift" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |lagged AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |           AS prev_us
+        |  FROM e),
+        |labeled AS (
+        |  SELECT user_id, event_type,
+        |         CAST(sum(CASE WHEN prev_us IS NULL
+        |                       OR us - prev_us > 1800000000
+        |                       THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS session_idx
+        |  FROM lagged),
+        |st AS (SELECT DISTINCT user_id, session_idx, event_type
+        |       FROM labeled),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        |       FROM (SELECT DISTINCT user_id, session_idx FROM st)),
+        |tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        |       FROM st GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM st a JOIN st b
+        |    ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+        |       ns.n_sessions,
+        |       CAST(CAST(1000000 AS HUGEINT) * p.n_ab * ns.n_sessions
+        |            // (CAST(ta.n_t AS HUGEINT) * tb.n_t) AS BIGINT)
+        |         AS lift_ppm
+        |FROM p JOIN tc ta ON p.type_a = ta.event_type
+        |       JOIN tc tb ON p.type_b = tb.event_type
+        |       CROSS JOIN ns""".stripMargin,
+
     // Chi-squared independence: the identical full-grid recurrence in
     // DuckDB — marginals from the cell frame, null-safe grid join
     // (IS NOT DISTINCT FROM ≡ Spark's <=>), per-cell HUGEINT

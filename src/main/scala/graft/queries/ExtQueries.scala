@@ -896,6 +896,66 @@ object ExtQueries {
       Stats.mannWhitneyU(
         docs(s, d).select(col("n_chars"), (col("lang") === "en").as("is_a")),
         "n_chars", "is_a")),
+    // Grouped k-fold: every source's docs share one fold — the
+    // GroupKFold leakage guard, md5-32 group hash mod 5.
+    "x156_grouped_fold" -> ((s, d) =>
+      Assemble.groupedFold(docs(s, d), "source", k = 5)),
+    // Class-balance report + inverse-frequency weights over the
+    // embedding labels — the imbalanced-fine-tuning audit row.
+    "x157_class_weights" -> ((s, d) =>
+      Stats.classWeights(emb(s, d), "label")),
+    // Kaplan-Meier view->purchase conversion curve: right-censored
+    // at the corpus horizon, survival as the exact ppm product
+    // recurrence (driver fold vs the oracle's recursive CTE).
+    "x158_kaplan_meier" -> ((s, d) =>
+      Sessions.kaplanMeier(events(s, d))),
+    // Quantile normalization of doc length across sources: every
+    // source maps onto the corpus reference distribution exactly —
+    // the batch-effect correction for per-source length skew.
+    "x154_quantile_normalize" -> ((s, d) =>
+      Stats.quantileNormalize(docs(s, d), "n_chars", "source")),
+    // Empirical-Bayes shrunk long-doc rate per source: raw and
+    // prior-pulled ppm side by side — the ranking-stable rate (the
+    // x130 convention: the gate pins the arithmetic).
+    "x155_shrunk_rate" -> ((s, d) =>
+      Stats.shrunkRate(
+        docs(s, d).select(col("source"),
+          (col("n_chars") >= 250).as("is_long")),
+        "is_long", "source", priorWeight = 100L)),
+    // Hard-negative mining: per sampled labeled query, nearest
+    // same-label and nearest different-label neighbor + the margin
+    // verdict — rank-and-compare only, the x3 float discipline.
+    "x151_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(emb(s, d))),
+    // l-diversity audit: QI groups whose sensitive column (balance
+    // band) carries fewer than 5 distinct values — the homogeneity-
+    // attack finding k-anonymity (x139) cannot see.
+    "x152_l_diversity" -> ((s, d) => {
+      val c = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      Stats.lDiversity(c, Seq("c_nationkey", "c_mktsegment"), "bal_band", 5)
+    }),
+    // CUSUM changepoint per event type: the day where the scaled
+    // mean-deviation running sum peaks — the regime boundary the
+    // per-day anomaly gates (x87/x148) cannot see.
+    "x153_changepoint" -> ((s, d) =>
+      Stats.changepointCusum(events(s, d).select("event_type", "ts"))),
+    // Robust daily anomaly: median/MAD gate (Hampel) next to x87's
+    // mean/sigma — a burst day can't inflate the scale that is
+    // supposed to flag it; both medians via the per-type rank carve.
+    "x148_robust_anomaly" -> ((s, d) =>
+      Stats.robustDailyAnomaly(events(s, d).select("event_type", "ts"))),
+    // Daily growth accounting: every (user, active day) classified by
+    // the gap since the previous active day — new / retained /
+    // resurrected decompose DAU exactly.
+    "x149_growth_accounting" -> ((s, d) =>
+      Sessions.growthAccounting(events(s, d))),
+    // Session-scoped co-occurrence lift between event types — the
+    // behavioral sibling of x115's co-order baskets; exact ratio vs
+    // the independence prediction.
+    "x150_cooccurrence_lift" -> ((s, d) =>
+      Sessions.cooccurrenceLift(events(s, d))),
     // Rater-agreement audit (Cohen's kappa + McNemar, exact ppm):
     // rater A = label parity, rater B = a cheap heuristic (sign of
     // the first embedding coordinate) — the label-vs-proxy shape; the

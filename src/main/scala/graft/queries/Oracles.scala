@@ -25,6 +25,13 @@ object Oracles {
         |WHERE o.o_orderkey % 100 = 0""".stripMargin,
 
     // replays k5PromoteLatest's append history (e1 full, e2 updated %7
+    // K2 CSV round trip: the dump-and-read-back must be value-equal
+    // to reading the source table directly — the CSV leg is pure
+    // transport, so the oracle IS the plain projection.
+    "k6_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
+
     // keys, e3 same-timestamp re-run over %14 keys) and keeps the
     // latest extraction per PK — timestamp first, extractionid as the
     // tiebreak, exactly EntityWriter.latestPerPk's window

@@ -346,6 +346,26 @@ object Queries {
     w.read("orders")
   }
 
+  /** K2 gate: the reference's debug CSV dump
+    * (priorityDataSource.py:879) hash-proved as a ROUND TRIP — the
+    * staged customer frame dumped through [[graft.sinks.StagingWriter
+    * .debugCsv]] and read back under the original schema must equal
+    * the oracle's read of the source table. The frame crosses the
+    * type hazards a CSV contract must survive: doubles (Java's
+    * `Double.toString` round-trips bit-exactly and Spark's reader
+    * parses its own rendering), negative balances, an int32 column
+    * whose width the explicit read schema must preserve. Audit
+    * columns are omitted (P3: run-dependent values live in
+    * ScalaTest, not hash gates). */
+  def k6CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val w = new graft.sinks.StagingWriter(
+      spark, graft.util.Scratch.dir("csv_gate"))
+    val c = t(spark, dir, "customer")
+    w.debugCsv(c, "customer_dump")
+    spark.read.schema(c.schema).option("header", true)
+      .csv(s"${w.path("customer_dump")}__debug_csv")
+  }
+
   // ------------------------------------------------------------ set ops
 
   /** T2: append-as-union semantics (UNION ALL of two incremental batches). */
@@ -366,6 +386,7 @@ object Queries {
     "s1_odata_scan" -> (s1ODataScan _),
     "s3_odata_expand" -> (s3ODataExpand _),
     "k5_promote_latest" -> (k5PromoteLatest _),
+    "k6_csv_roundtrip" -> (k6CsvRoundtrip _),
     "s2_filter_pushdown" -> (s2FilterPushdown _),
     "s4_limit_probe" -> (s4LimitProbe _),
     "p4_incremental_window" -> (p4IncrementalWindow _),

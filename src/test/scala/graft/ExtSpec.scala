@@ -3764,4 +3764,253 @@ class ExtSpec extends SparkSpec {
     val solo = run(Seq(1L, 2L), Seq.empty)
     assert((solo.getLong(1), solo.getLong(4)) == ((0L, 0L)), s"got $solo")
   }
+
+  test("robustDailyAnomaly: catches the spike a 3-sigma gate misses, zero-MAD branch") {
+    import spark.implicits._
+    def mk(tp: String, counts: Seq[Long]) = counts.zipWithIndex.flatMap {
+      case (c, d) => (0L until c).map(i =>
+        (tp, d.toLong * 86400000000L + i * 1000000L))
+    }
+    // counts [10,12,10,11,10,11,100]: med 11, |dev| [1,1,1,0,0,1,89],
+    // MAD 1 -> day 6 flags at 89 > 5*1. The mean/sigma view of the
+    // SAME series has sigma ~31 (the spike inflates it), so 100 is
+    // only ~2.5 sigma — x87's 3-sigma gate misses exactly this.
+    // counts [5,5,5,7]: med 5, devs [0,0,0,2], MAD 0 -> the
+    // degenerate branch flags ANY deviation.
+    val d = (mk("a", Seq(10, 12, 10, 11, 10, 11, 100)) ++
+      mk("z", Seq(5, 5, 5, 7)))
+      .toDF("event_type", "us")
+      .select($"event_type", timestamp_micros($"us").as("ts"))
+    val got = graft.ext.Stats.robustDailyAnomaly(d)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(6)))).toMap
+    assert(got(("a", 6L)) == ((11L, 1L, true)), s"got $got")
+    assert((0L to 5L).forall(day => !got(("a", day))._3), s"got $got")
+    assert(got(("z", 3L)) == ((5L, 0L, true)), s"got $got")
+    assert((0L to 2L).forall(day => !got(("z", day))._3), s"got $got")
+    // the sigma comparison claimed above, checked against x87's gate:
+    // dailyAnomaly at 3 sigma does NOT flag the spike day
+    val classic = graft.ext.Stats.dailyAnomaly(d, sigmas = 3)
+      .filter($"event_type" === "a" && $"day" === 6L).collect().head
+    assert(!classic.getBoolean(3), s"got $classic")
+  }
+
+  test("growthAccounting: new/retained/resurrected decompose DAU, worked gaps") {
+    import spark.implicits._
+    // u1: days 1, 2, 20 -> new, retained (gap 1), resurrected (gap 18)
+    // u2: day 2 only -> new
+    val d = Seq((1L, 1L), (1L, 2L), (1L, 20L), (2L, 2L))
+      .toDF("user_id", "day")
+      .select($"user_id",
+        timestamp_micros($"day" * 86400000000L + 5L).as("ts"))
+    val got = graft.ext.Sessions.growthAccounting(d, resurrectDays = 14)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 1L, 0L, 0L)),
+      2L -> ((2L, 1L, 1L, 0L)),
+      20L -> ((1L, 0L, 0L, 1L))), s"got $got")
+    // the decomposition identity on the real fixture: every day's
+    // actives = new + retained + resurrected
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val bad = graft.ext.Sessions.growthAccounting(ev)
+      .filter($"n_active" =!= $"n_new" + $"n_retained" + $"n_resurrected")
+      .count()
+    assert(bad == 0L, s"$bad days break the DAU decomposition")
+  }
+
+  test("cooccurrenceLift: worked 4-session lift, within-session duplicates collapse") {
+    import spark.implicits._
+    // four users, one session each (events 1s apart, far under the
+    // 30-min gap): s1 {A,A,B} (duplicate A must not inflate n_A),
+    // s2 {A,B}, s3 {A}, s4 {C}. n_sessions=4, n_A=3, n_B=2, n_C=1,
+    // n_AB=2 -> lift = 1e6*2*4 div (3*2) = 1333333; no AC/BC rows.
+    val d = Seq(
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 3L, "B"),
+      (2L, 4L, "A"), (2L, 5L, "B"),
+      (3L, 6L, "A"),
+      (4L, 7L, "C"))
+      .toDF("user_id", "event_id", "event_type")
+      .select($"user_id", $"event_id", $"event_type",
+        timestamp_micros($"event_id" * 1000000L).as("ts"))
+    val rows = graft.ext.Sessions.cooccurrenceLift(d).collect()
+    assert(rows.length == 1, s"got ${rows.mkString(";")}")
+    val r = rows.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      (("A", "B", 2L, 3L, 2L, 4L, 1333333L)), s"got $r")
+  }
+
+  test("hardNegatives: margin verdicts, sole-label positive NULL counts violated") {
+    import spark.implicits._
+    // 2-D geometry chosen so every ranking is unambiguous:
+    // query 0 (label 1): positive is id 1, but id 2 (label 2) sits
+    // CLOSER to it -> violated; query 50 (label 3): positive id 3 at
+    // cos 1.0 beats every negative -> safe; query 100 (label 5) has
+    // no other label-5 vector -> NULL positive, counts violated
+    val d = Seq(
+      (0L, Array(1f, 0f), 1),
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(1f, 0.01f), 2),
+      (50L, Array(0f, 1f), 3),
+      (3L, Array(0f, 0.5f), 3),
+      (4L, Array(1f, 1f), 4),
+      (100L, Array(1f, 2f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ext.Similarity.hardNegatives(d)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getBoolean(3)))).toMap
+    assert(got == Map(
+      0L -> ((Some(1L), Some(2L), true)),
+      // 50's hard negative is 100 ((1,2): cos 2/sqrt(5) = 0.894),
+      // still under the cos-1.0 positive
+      50L -> ((Some(3L), Some(100L), false)),
+      100L -> ((None, Some(4L), true))), s"got $got")
+  }
+
+  test("lDiversity: homogeneity flags where k-anonymity passes, NULLs don't diversify") {
+    import spark.implicits._
+    // g2 has FIVE rows (passes k=5 anonymity) but one sensitive value
+    // -> exactly the homogeneity attack; g1's three values pass l=3;
+    // g3's all-NULL sensitive column reports 0 distinct and flags
+    val d = (Seq("a", "a", "a", "b", "b", "c").map(v => ("g1", Some(v))) ++
+      Seq.fill(5)(("g2", Some("a"))) ++
+      Seq.fill(2)(("g3", Option.empty[String])))
+      .toDF("qid", "sens")
+    val got = graft.ext.Stats.lDiversity(d, Seq("qid"), "sens", 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("g2" -> ((5L, 1L)), "g3" -> ((2L, 0L))), s"got $got")
+  }
+
+  test("groupedFold: one fold per group, NULL group unassigned, folds in range") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ext.Assemble.groupedFold(d, "source", k = 5)
+    // the leakage guarantee: every source maps to exactly one fold
+    val multi = out.groupBy($"source")
+      .agg(countDistinct($"fold").as("nf")).filter($"nf" > 1).count()
+    assert(multi == 0L, s"$multi sources span folds")
+    val range = out.filter($"fold" < 0 || $"fold" >= 5).count()
+    assert(range == 0L, "fold out of [0, 5)")
+    // NULL group -> NULL fold, assignable by neither side
+    val n = graft.ext.Assemble.groupedFold(
+      Seq((1L, Option.empty[String]), (2L, Some("s"))).toDF("doc_id", "source"),
+      "source", k = 5).collect().map(r => r.getLong(0) ->
+        Option(r.get(2))).toMap
+    assert(n(1L).isEmpty && n(2L).nonEmpty, s"got $n")
+  }
+
+  test("classWeights: worked inverse-frequency weights, NULL labels excluded") {
+    import spark.implicits._
+    val d = (Seq.fill(6)(Some(1)) ++ Seq.fill(2)(Some(2)) ++
+      Seq.fill(2)(Some(3)) ++ Seq(Option.empty[Int]))
+      .toDF("label")
+    val got = graft.ext.Stats.classWeights(d, "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // N=10 (null excluded), k=3: w = 1e6*10 div (3*n_c)
+    assert(got == Map(
+      1 -> ((6L, 10L, 3L, 555555L)),
+      2 -> ((2L, 10L, 3L, 1666666L)),
+      3 -> ((2L, 10L, 3L, 1666666L))), s"got $got")
+  }
+
+  test("kaplanMeier: worked censored curve, pre-view purchases don't count") {
+    import spark.implicits._
+    // u1/u4 convert at t=2, u2 at t=5, u3 never (censored at the
+    // horizon day 7 -> t=6), u5's day-0 purchase precedes their first
+    // view (day 3) and must NOT convert them there — their real
+    // conversion is day 7 -> t=4
+    val d = Seq(
+      (1L, "view", 0L), (1L, "purchase", 2L),
+      (2L, "view", 0L), (2L, "purchase", 5L),
+      (3L, "view", 1L),
+      (4L, "view", 0L), (4L, "purchase", 2L),
+      (5L, "purchase", 0L), (5L, "view", 3L), (5L, "purchase", 7L))
+      .toDF("user_id", "event_type", "day")
+      .select($"user_id", $"event_type",
+        timestamp_micros($"day" * 86400000000L).as("ts"))
+    val got = graft.ext.Sessions.kaplanMeier(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // S(2) = 3/5 of 1e6, S(4) = that * 2/3, S(5) = that * 1/2
+    assert(got.toSeq == Seq(
+      (2L, 5L, 2L, 600000L),
+      (4L, 3L, 1L, 400000L),
+      (5L, 2L, 1L, 200000L)), s"got ${got.mkString(";")}")
+  }
+
+  test("quantileNormalize: two skewed sources land on the shared reference quantiles") {
+    import spark.implicits._
+    // corpus = A [1,2,3,4] + B [10,20,30,40]: N=8, reference order
+    // [1,2,3,4,10,20,30,40]. A's quartiles map to ranks 2/4/6/8 ->
+    // values 2/4/20/40, and B's map to THE SAME — the defining
+    // property of quantile normalization
+    val d = (Seq(1L, 2L, 3L, 4L).map(("A", _)) ++
+      Seq(10L, 20L, 30L, 40L).map(("B", _)))
+      .toDF("source", "n_chars")
+    val got = graft.ext.Stats.quantileNormalize(d, "n_chars", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    assert(got == Map(
+      ("A", 1L) -> 2L, ("A", 2L) -> 4L, ("A", 3L) -> 20L, ("A", 4L) -> 40L,
+      ("B", 10L) -> 2L, ("B", 20L) -> 4L, ("B", 30L) -> 20L,
+      ("B", 40L) -> 40L), s"got $got")
+    // ties share their rank block's top: a one-value source maps to
+    // the corpus maximum (upper cdf 1.0)
+    val tied = (Seq(1L, 2L).map(("A", _)) ++ Seq(5L, 5L).map(("C", _)))
+      .toDF("source", "n_chars")
+    val t = graft.ext.Stats.quantileNormalize(tied, "n_chars", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(t(("C", 5L)) == ((2L, 5L)), s"got $t")
+  }
+
+  test("shrunkRate: small groups pull to the prior, worked posterior means") {
+    import spark.implicits._
+    // big: 100 rows, 50 long (raw 500000); small: 2 rows, both long
+    // (raw 1e6). Corpus X/N = 52/102. m=10:
+    // small = 1e6*(2*102 + 10*52) div (102*12) = 591503
+    // big   = 1e6*(50*102 + 10*52) div (102*110) = 500891
+    val d = ((1 to 100).map(i => ("big", i <= 50)) ++
+      Seq(("small", true), ("small", true)))
+      .toDF("source", "is_long")
+    val got = graft.ext.Stats.shrunkRate(d, "is_long", "source", 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "big" -> ((100L, 50L, 500000L, 500891L)),
+      "small" -> ((2L, 2L, 1000000L, 591503L))), s"got $got")
+    // the property the operator exists for: the tiny perfect-rate
+    // source no longer outranks the large near-half source by as
+    // much as raw rates claim, and both sit between raw and prior
+    val prior = 1000000L * 52 / 102
+    assert(got("small")._4 < got("small")._3 &&
+      got("small")._4 > prior, s"got $got")
+  }
+
+  test("changepointCusum: worked step series, flat series ties to earliest day") {
+    import spark.implicits._
+    def mk(tp: String, counts: Seq[Long]) = counts.zipWithIndex.flatMap {
+      case (c, day) => (0L until c).map(i =>
+        (tp, day.toLong * 86400000000L + i * 1000000L))
+    }
+    // step [1,1,1,5,5,5]: n=6, T=18, scaled devs 6c-18 =
+    // [-12,-12,-12,12,12,12], cusum [-12,-24,-36,-24,-12,0] ->
+    // peak |36| at day 2 (the last day of the first regime),
+    // magnitude 1e6*36 div 108 = 333333
+    val d = (mk("step", Seq(1, 1, 1, 5, 5, 5)) ++ mk("flat", Seq(2, 2, 2)))
+      .toDF("event_type", "us")
+      .select($"event_type", timestamp_micros($"us").as("ts"))
+    val got = graft.ext.Stats.changepointCusum(d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got == Map(
+      "step" -> ((6L, 18L, 2L, 36L, 333333L)),
+      "flat" -> ((3L, 6L, 0L, 0L, 0L))), s"got $got")
+  }
 }
