@@ -49,6 +49,43 @@ object Dedup {
         min(col("doc_id")).as("keeper_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Per-source exact-dedup savings — the "which source is a template
+    * factory, which is a copier" report behind [[exactDedup]]'s
+    * per-digest view: keeper assignment is GLOBAL (min doc_id per
+    * digest, the x1 convention), so a document duplicated across
+    * sources keeps only in the keeper's source and every other
+    * source's row counts as removed there — exactly the attribution
+    * a crawl-budget decision needs. Per source: docs, kept docs,
+    * chars, kept chars, and the removed-chars ppm. The digest
+    * coalesces NULL text to '' so a null-text row keeps one keeper
+    * like any other group (raw `md5(NULL)` would drop the group at
+    * the join).
+    *
+    * Scale shape: the digest groupBy and the flag join key on the
+    * SAME digest column, so the keeper frame joins back without a
+    * second corpus shuffle pattern (co-partitioned on h); the closing
+    * per-source aggregate is map-side-combinable. */
+  def dedupSavings(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      coalesce(col("n_chars"), lit(0L)).as("nc"),
+      md5(coalesce(col("text"), lit(""))).as("h"))
+    val keepers = base.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+    base.join(keepers, Seq("h"))
+      .withColumn("is_k", (col("doc_id") === col("keeper_id")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_k")).as("n_kept"),
+        sum(col("nc")).as("chars_total"),
+        sum(col("nc") * col("is_k")).as("chars_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("chars_total"), col("chars_kept"),
+        when(col("chars_total") === 0, lit(0L))
+          .otherwise(expr(
+            "1000000 * (chars_total - chars_kept) DIV chars_total"))
+          .as("removed_ppm"))
+  }
+
   /** Distinct word n-gram shingles of `text` (split on single spaces).
     * Documents with fewer than n tokens produce an empty shingle set.
     *

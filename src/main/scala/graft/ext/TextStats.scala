@@ -999,4 +999,45 @@ object TextStats {
       .select(col("doc_id"), col("n_sentences"), col("n_words"),
         col("n_syllables"), col("fk_milli"))
   }
+
+  /** Keyword search: global top-k documents for a literal term list,
+    * scored by the integer tf·idf proxy the keyword extractor (X32's
+    * `tf·10⁶ div df`) established — the lexical retrieval face of the
+    * engine next to the vector one (X3's cosine top-k), and the
+    * operator a "find me the docs about X" eval harness calls. Per
+    * matching document, the summed per-term score and the count of
+    * distinct query terms hit (an AND-ish tiebreak signal the caller
+    * can filter on); ranking carries the (score desc, doc_id) total
+    * order.
+    *
+    * Scale shape: the `isin` literal term filter reaches the scan
+    * (only query-term tokens survive the explode), per-term document
+    * frequencies are query-bounded and BROADCAST, and the global
+    * top-k is orderBy+limit — Catalyst's TakeOrderedAndProject, a
+    * per-partition heap + one k-row driver merge, never a full sort
+    * (the X109 convention). The rank window runs on the k-row
+    * result. */
+  def termSearch(
+      docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "term search needs at least one term")
+    require(k >= 1, s"k $k must be positive")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .filter(length(col("token")) > 0 && col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("token"))
+      .withColumn("tscore", expr("tf * 1000000 DIV df"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tscore")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .select(col("rank"), col("doc_id"), col("score"), col("n_terms_hit"))
+  }
 }

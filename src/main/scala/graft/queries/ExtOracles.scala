@@ -1248,6 +1248,50 @@ object ExtOracles {
         |GROUP BY 1, 2, 3
         |HAVING count(*) < 10""".stripMargin,
 
+    // Dedup savings: identical digest (md5 over coalesced text),
+    // global min-doc_id keeper, per-source rollup.
+    "x159_dedup_savings" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, coalesce(n_chars, 0) AS nc,
+        |         md5(coalesce(text, '')) AS h
+        |  FROM documents),
+        |k AS (SELECT h, min(doc_id) AS keeper_id FROM b GROUP BY h),
+        |f AS (
+        |  SELECT b.source, b.nc,
+        |         CASE WHEN b.doc_id = k.keeper_id THEN 1 ELSE 0 END AS is_k
+        |  FROM b JOIN k USING (h))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(is_k) AS BIGINT) AS n_kept,
+        |       CAST(sum(nc) AS BIGINT) AS chars_total,
+        |       CAST(sum(nc * is_k) AS BIGINT) AS chars_kept,
+        |       CAST(CASE WHEN sum(nc) = 0 THEN 0
+        |                 ELSE 1000000 * (sum(nc) - sum(nc * is_k))
+        |                      // sum(nc) END AS BIGINT) AS removed_ppm
+        |FROM f GROUP BY source""".stripMargin,
+
+    // Term search: x27's tf*idf proxy summed per doc over the literal
+    // term list, global top-10 on the (score desc, doc_id) order.
+    "x160_term_search" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' '))
+        |               AS token
+        |        FROM documents)
+        |  WHERE length(token) > 0
+        |    AND token IN ('customer', 'vector', 'merge')
+        |  GROUP BY doc_id, token),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY token),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |         CAST(sum(tf.tf * 1000000 // dfq.df) AS BIGINT) AS score,
+        |         CAST(count(*) AS BIGINT) AS n_terms_hit
+        |  FROM tf JOIN dfq USING (token) GROUP BY tf.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+        |         AS "rank",
+        |       doc_id, score, n_terms_hit
+        |FROM s ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
     // Grouped fold: the shared md5-32 idiom over the GROUP (the
     // 32-bit value is non-negative, so % ≡ pmod).
     "x156_grouped_fold" ->

@@ -896,6 +896,16 @@ object ExtQueries {
       Stats.mannWhitneyU(
         docs(s, d).select(col("n_chars"), (col("lang") === "en").as("is_a")),
         "n_chars", "is_a")),
+    // Per-source exact-dedup savings: global keeper assignment, so a
+    // cross-source duplicate is removed from the copier's source —
+    // the crawl-budget attribution report.
+    "x159_dedup_savings" -> ((s, d) =>
+      Dedup.dedupSavings(docs(s, d))),
+    // Keyword search: global top-10 docs for a three-term query by
+    // the x27 integer tf*idf proxy — the lexical retrieval face next
+    // to x3's vector one.
+    "x160_term_search" -> ((s, d) =>
+      TextStats.termSearch(docs(s, d), Seq("customer", "vector", "merge"))),
     // Grouped k-fold: every source's docs share one fold — the
     // GroupKFold leakage guard, md5-32 group hash mod 5.
     "x156_grouped_fold" -> ((s, d) =>

@@ -3885,6 +3885,40 @@ class ExtSpec extends SparkSpec {
     assert(got == Map("g2" -> ((5L, 1L)), "g3" -> ((2L, 0L))), s"got $got")
   }
 
+  test("dedupSavings: cross-source duplicates charge the copier, zero-chars guard") {
+    import spark.implicits._
+    // "x" appears in A (doc 1) and B (doc 3): global keeper is doc 1,
+    // so A keeps everything and B is charged the removal
+    val d = Seq(
+      (1L, "A", Some("x"), 3L), (2L, "A", Some("y"), 3L),
+      (3L, "B", Some("x"), 3L), (4L, "B", Some("z"), 5L),
+      (5L, "C", Option.empty[String], 0L))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val got = graft.ext.Dedup.dedupSavings(d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got == Map(
+      "A" -> ((2L, 2L, 6L, 6L, 0L)),
+      "B" -> ((2L, 1L, 8L, 5L, 375000L)),
+      // null text keeps its one keeper; zero chars hits the guard
+      "C" -> ((1L, 1L, 0L, 0L, 0L))), s"got $got")
+  }
+
+  test("termSearch: worked scores, doc_id tiebreak, terms-hit count") {
+    import spark.implicits._
+    // df(a)=2, df(b)=2; d1 = 2a+1b -> 1.5e6 over two terms,
+    // d3 = 3b -> 1.5e6 over one, d2 = 1a -> 0.5e6; tie d1 < d3 by id
+    val d = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextStats.termSearch(d, Seq("a", "b"), k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, 1L, 1500000L, 2L),
+      (2, 3L, 1500000L, 1L)), s"got ${got.mkString(";")}")
+  }
+
   test("groupedFold: one fold per group, NULL group unassigned, folds in range") {
     import spark.implicits._
     val d = spark.read.parquet(s"$sf/documents.parquet")
