@@ -3885,6 +3885,119 @@ class ExtSpec extends SparkSpec {
     assert(got == Map("g2" -> ((5L, 1L)), "g3" -> ((2L, 0L))), s"got $got")
   }
 
+  test("mannWhitneyU equals naive pair counting on random tied data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260814L)
+    for (_ <- 1 to 4) {
+      val a = Seq.fill(5 + rng.nextInt(20))(rng.nextInt(8).toLong)
+      val b = Seq.fill(5 + rng.nextInt(20))(rng.nextInt(8).toLong)
+      // doubled U counts each (a, b) pair as 2*win + 1*tie
+      val u2Naive = (for (x <- a; y <- b) yield {
+        if (x > y) 2L else if (x == y) 1L else 0L
+      }).sum
+      val r = graft.ext.Stats.mannWhitneyU(
+        (a.map((_, true)) ++ b.map((_, false))).toDF("v", "is_a"),
+        "v", "is_a").collect().head
+      assert(r.getLong(2) == u2Naive, s"a=$a b=$b got $r want $u2Naive")
+      assert(r.getLong(2) + r.getLong(3) == 2L * a.size * b.size,
+        s"identity broke: $r")
+    }
+  }
+
+  test("chiSquaredIndependence equals the BigInt full-grid recurrence on random tables") {
+    import spark.implicits._
+    val rng = new scala.util.Random(97L)
+    for (_ <- 1 to 3) {
+      val cats = Seq("p", "q", "r").take(2 + rng.nextInt(2))
+      val segs = Seq("u", "v", "w", "x").take(2 + rng.nextInt(3))
+      val rows = Seq.fill(40 + rng.nextInt(200))(
+        (cats(rng.nextInt(cats.size)), segs(rng.nextInt(segs.size))))
+      val o = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val n = rows.size.toLong
+      val rt = rows.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val ct = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+      val want = (for (c <- rt.keys; s <- ct.keys) yield {
+        val obs = BigInt(o.getOrElse((c, s), 0L))
+        val num = BigInt(1000000) *
+          (obs * n - BigInt(rt(c)) * ct(s)).pow(2)
+        num / (BigInt(n) * rt(c) * ct(s))
+      }).sum
+      val got = graft.ext.Stats.chiSquaredIndependence(
+        rows.toDF("a", "b"), "a", "b").collect().head
+      assert(BigInt(got.getLong(4)) == want,
+        s"n=$n cats=${cats.size}x${segs.size} got $got want $want")
+    }
+  }
+
+  test("quantileNormalize equals the naive sorted-list rank pick on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4242L)
+    val rows = Seq.fill(120)(
+      (s"s${rng.nextInt(4)}", (rng.nextInt(30) + 1).toLong))
+    val corpusSorted = rows.map(_._2).sorted
+    val bySrc = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = graft.ext.Stats.quantileNormalize(
+      rows.toDF("source", "n_chars"), "n_chars", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    for ((src, vs) <- bySrc; v <- vs.distinct) {
+      val cumS = vs.count(_ <= v).toLong
+      val tr = ((cumS * corpusSorted.size + vs.size - 1) / vs.size).toInt
+      val want = corpusSorted(tr - 1) // 1-based rank into the sorted corpus
+      assert(got((src, v)) == want,
+        s"($src, $v): got ${got((src, v))} want $want (rank $tr)")
+    }
+  }
+
+  test("changepointCusum equals the naive sequential scan on random series") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7L)
+    val counts = Seq.fill(12)(1L + rng.nextInt(9))
+    val total = counts.sum
+    val n = counts.size.toLong
+    var run = 0L
+    val cusums = counts.map { c => run += n * c - total; run }
+    val peak = cusums.map(math.abs).max
+    val cpDay = cusums.indexWhere(s => math.abs(s) == peak).toLong
+    val d = counts.zipWithIndex.flatMap { case (c, day) =>
+      (0L until c).map(i => ("t", day.toLong * 86400000000L + i))
+    }.toDF("event_type", "us")
+      .select($"event_type", timestamp_micros($"us").as("ts"))
+    val r = graft.ext.Stats.changepointCusum(d).collect().head
+    assert((r.getLong(3), r.getLong(4)) == ((cpDay, peak)),
+      s"counts=$counts got $r want ($cpDay, $peak)")
+  }
+
+  test("kaplanMeier equals the naive BigInt product over random durations") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99L)
+    // users: random conversion day in [0, 9] or never (censored)
+    val users = (1L to 40L).map(u =>
+      u -> (if (rng.nextBoolean()) Some(rng.nextInt(10)) else None))
+    val horizon = 12L
+    val rows = users.flatMap { case (u, conv) =>
+      Seq((u, "view", 0L)) ++ conv.map(c => (u, "purchase", c.toLong))
+    } ++ Seq((999L, "view", 0L), (999L, "purchase", horizon))
+    val durations = users.map { case (_, conv) =>
+      conv.map(_.toLong).getOrElse(horizon) -> conv.nonEmpty
+    } :+ (horizon -> true)
+    val eventTimes = durations.filter(_._2).map(_._1).distinct.sorted
+    var s = BigInt(1000000)
+    val want = eventTimes.map { t =>
+      val nRisk = durations.count(_._1 >= t).toLong
+      val d = durations.count(x => x._2 && x._1 == t).toLong
+      s = s * BigInt(nRisk - d) / BigInt(nRisk)
+      (t, nRisk, d, s.toLong)
+    }
+    val got = graft.ext.Sessions.kaplanMeier(
+      rows.toDF("user_id", "event_type", "day")
+        .select($"user_id", $"event_type",
+          timestamp_micros($"day" * 86400000000L).as("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
   test("dedupSavings: cross-source duplicates charge the copier, zero-chars guard") {
     import spark.implicits._
     // "x" appears in A (doc 1) and B (doc 3): global keeper is doc 1,
