@@ -784,6 +784,50 @@ object Sessions {
           .as("lift_ppm"))
   }
 
+  /** Bounce rate by session entry type — the web-analytics staple
+    * next to [[sessionFunnel]]: per ENTRY event type (the session's
+    * temporally-first event under the full (time, event_id) total
+    * order — deterministic even for same-microsecond ties), how many
+    * sessions started there and how many BOUNCED (one event and
+    * gone), with the exact rate in ppm. The landing-page triage
+    * report: a high-traffic entry with a high bounce rate is where
+    * the funnel actually leaks.
+    *
+    * The entry pick is `min(struct(us, event_id, event_type))` — a
+    * lexicographic arg-min, NOT an order-dependent first() — so both
+    * engines resolve the same entry; the oracle cross-proves with a
+    * row_number window, an independent construction.
+    *
+    * Scale shape: the [[sessionize]] chain's one user_id shuffle; the
+    * per-session aggregate is a prefix of the window partitioning (no
+    * second exchange), the closing per-type rollup map-side-
+    * combinable. */
+  def bounceRate(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val labeled = events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("is_new",
+        (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
+          .cast("long"))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    labeled.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("us"), col("event_id"), col("event_type")))
+          .as("first"))
+      .select(col("first.event_type").as("entry_type"), col("n_events"))
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("n_events") === 1, 1)).as("n_bounces"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        expr("1000000 * n_bounces DIV n_sessions").as("bounce_ppm"))
+  }
+
   /** Kaplan-Meier survival curve for time-to-conversion (Kaplan &
     * Meier 1958) — the censoring-correct answer to "how long until a
     * viewer purchases": every user's duration runs from their first

@@ -1543,6 +1543,77 @@ object Stats {
           "AS BIGINT)").as("shrunk_ppm"))
   }
 
+  /** Order-backlog curve — the operational time series behind X141's
+    * lag percentiles: per day, lineitems entering the backlog (their
+    * order's order date) vs leaving it (ship date), cumulatives, and
+    * the OPEN count — the "how deep is the fulfilment queue and is it
+    * draining" chart. The terminal open count is 0 exactly when every
+    * ordered item shipped inside the window (spec-pinned), and a
+    * rising open curve is the backlog-building alarm. Day boundaries
+    * floor-divide the epoch (the X160 convention); output day is the
+    * integer epoch day, never an engine date type.
+    *
+    * Scale shape: one fact-to-fact equi-join on `l_orderkey` (the
+    * X141 shape), both sides collapsing map-side to day counts; the
+    * full-outer day merge and the two cumulative windows run over the
+    * day domain. */
+  def backlogCurve(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    def day(c: String): Column =
+      expr(epochFloorDiv(s"unix_micros(CAST($c AS TIMESTAMP))", 86400000000L))
+    val ordered = lineitem.select(col("l_orderkey"))
+      .join(orders.filter(col("o_orderdate").isNotNull)
+        .select(col("o_orderkey").as("l_orderkey"),
+          day("o_orderdate").as("day")), Seq("l_orderkey"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_ordered"))
+    val shipped = lineitem.filter(col("l_shipdate").isNotNull)
+      .select(day("l_shipdate").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_shipped"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ordered.join(shipped, Seq("day"), "full")
+      .select(col("day"),
+        coalesce(col("n_ordered"), lit(0L)).as("n_ordered"),
+        coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+      .withColumn("cum_ordered", sum(col("n_ordered")).over(w))
+      .withColumn("cum_shipped", sum(col("n_shipped")).over(w))
+      .withColumn("open_items", col("cum_ordered") - col("cum_shipped"))
+  }
+
+  /** Cohort LTV curve — the revenue companion of X88's retention
+    * counts: customers cohorted by their FIRST order's epoch week
+    * (integer week = epoch-day div 7, the X145 no-calendar-function
+    * convention), each (cohort, age) cell reporting orders, revenue
+    * cents (the shared `floor(p·100 + 0.5)` IEEE expression), the
+    * running cumulative, and cumulative revenue PER COHORT MEMBER
+    * (`ltv_cents = cum div cohort_size`) — the curve a payback-period
+    * decision reads. Revenue stays integer cents end to end; no
+    * float ever aggregates.
+    *
+    * Scale shape: the orders fold collapses map-side to per-customer
+    * firsts and (cohort, age) cells; cohort sizes broadcast; the one
+    * cumulative window partitions by cohort over the age domain. */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val o = orders
+      .filter(col("o_orderdate").isNotNull && col("o_custkey").isNotNull)
+      .select(col("o_custkey"),
+        expr(epochFloorDiv("unix_micros(CAST(o_orderdate AS TIMESTAMP))",
+          604800000000L)).as("week"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    val cohorts = o.groupBy(col("o_custkey"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    o.join(cohorts, Seq("o_custkey"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_cents"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(
+        Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("ltv_cents", expr("cum_revenue_cents DIV cohort_size"))
+  }
+
   /** Class-balance report + inverse-frequency training weights (the
     * `n_total / (k·n_c)` "balanced" weighting sklearn standardized;
     * King & Zeng 2001 is the statistics ancestor): per label, its

@@ -1248,6 +1248,106 @@ object ExtOracles {
         |GROUP BY 1, 2, 3
         |HAVING count(*) < 10""".stripMargin,
 
+    // Bounce rate: the x29 sessionization chain with a row_number
+    // entry pick (vs Spark's struct arg-min — independent
+    // constructions of the same (us, event_id) total order).
+    "x163_bounce_rate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |lagged AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |           AS prev_us
+        |  FROM e),
+        |labeled AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         CAST(sum(CASE WHEN prev_us IS NULL
+        |                       OR us - prev_us > 1800000000
+        |                       THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS session_idx
+        |  FROM lagged),
+        |per_session AS (
+        |  SELECT user_id, session_idx,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM labeled GROUP BY 1, 2),
+        |entries AS (
+        |  SELECT user_id, session_idx, event_type AS entry_type
+        |  FROM (SELECT user_id, session_idx, event_type,
+        |               row_number() OVER (PARTITION BY user_id, session_idx
+        |                                  ORDER BY us, event_id) AS rn
+        |        FROM labeled) WHERE rn = 1)
+        |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT)
+        |         AS n_bounces,
+        |       1000000 * CAST(count(*) FILTER (WHERE n_events = 1)
+        |                      AS BIGINT) // CAST(count(*) AS BIGINT)
+        |         AS bounce_ppm
+        |FROM per_session JOIN entries USING (user_id, session_idx)
+        |GROUP BY entry_type""".stripMargin,
+
+    // Backlog curve: identical day fold on both legs, full-outer day
+    // merge, cumulative windows (HUGEINT -> BIGINT).
+    "x161_backlog_curve" ->
+      """WITH o AS (
+        |  SELECT l.l_orderkey,
+        |         epoch_us(CAST(ord.o_orderdate AS TIMESTAMP))
+        |           // 86400000000 AS day
+        |  FROM lineitem l JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+        |  WHERE ord.o_orderdate IS NOT NULL),
+        |od AS (SELECT day, CAST(count(*) AS BIGINT) AS n_ordered
+        |       FROM o GROUP BY day),
+        |sd AS (SELECT epoch_us(CAST(l_shipdate AS TIMESTAMP))
+        |              // 86400000000 AS day,
+        |              CAST(count(*) AS BIGINT) AS n_shipped
+        |       FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT coalesce(od.day, sd.day) AS day,
+        |         coalesce(od.n_ordered, 0) AS n_ordered,
+        |         coalesce(sd.n_shipped, 0) AS n_shipped
+        |  FROM od FULL OUTER JOIN sd ON od.day = sd.day)
+        |SELECT day, n_ordered, n_shipped,
+        |       CAST(sum(n_ordered) OVER (ORDER BY day) AS BIGINT)
+        |         AS cum_ordered,
+        |       CAST(sum(n_shipped) OVER (ORDER BY day) AS BIGINT)
+        |         AS cum_shipped,
+        |       CAST(sum(n_ordered) OVER (ORDER BY day) -
+        |            sum(n_shipped) OVER (ORDER BY day) AS BIGINT)
+        |         AS open_items
+        |FROM m""".stripMargin,
+
+    // Cohort LTV: identical week fold, shared cents expression,
+    // per-cohort cumulative window.
+    "x162_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         epoch_us(CAST(o_orderdate AS TIMESTAMP))
+        |           // 604800000000 AS week,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL),
+        |c AS (SELECT o_custkey, min(week) AS cohort_week FROM o GROUP BY 1),
+        |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        |       FROM c GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cohort_week, o.week - c.cohort_week AS age_weeks,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+        |  FROM o JOIN c USING (o_custkey)
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cells.*, sz.cohort_size,
+        |         CAST(sum(revenue_cents) OVER (PARTITION BY cells.cohort_week
+        |              ORDER BY age_weeks) AS BIGINT) AS cum_revenue_cents
+        |  FROM cells JOIN sz USING (cohort_week))
+        |SELECT cohort_week, age_weeks, n_orders, revenue_cents,
+        |       cohort_size, cum_revenue_cents,
+        |       cum_revenue_cents // cohort_size AS ltv_cents
+        |FROM cum""".stripMargin,
+
     // Dedup savings: identical digest (md5 over coalesced text),
     // global min-doc_id keeper, per-source rollup.
     "x159_dedup_savings" ->

@@ -896,6 +896,23 @@ object ExtQueries {
       Stats.mannWhitneyU(
         docs(s, d).select(col("n_chars"), (col("lang") === "en").as("is_a")),
         "n_chars", "is_a")),
+    // Bounce rate by session entry type: lexicographic arg-min entry
+    // pick vs the oracle's row_number window — the landing-page
+    // triage report.
+    "x163_bounce_rate" -> ((s, d) =>
+      Sessions.bounceRate(
+        events(s, d).select("event_id", "user_id", "event_type", "ts"))),
+    // Order-backlog curve: lineitems entering (order date) vs leaving
+    // (ship date) the fulfilment queue per day, cumulatives + open
+    // count — the queue-depth operational chart.
+    "x161_backlog_curve" -> ((s, d) =>
+      Stats.backlogCurve(
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"))),
+    // Cohort LTV: first-order epoch-week cohorts, integer cents,
+    // cumulative revenue per cohort member by age week.
+    "x162_cohort_ltv" -> ((s, d) =>
+      Stats.cohortLtv(s.read.parquet(s"$d/orders.parquet"))),
     // Per-source exact-dedup savings: global keeper assignment, so a
     // cross-source duplicate is removed from the copier's source —
     // the crawl-budget attribution report.

@@ -3885,6 +3885,78 @@ class ExtSpec extends SparkSpec {
     assert(got == Map("g2" -> ((5L, 1L)), "g3" -> ((2L, 0L))), s"got $got")
   }
 
+  test("bounceRate: worked entries and bounces, same-microsecond entry tie is deterministic") {
+    import spark.implicits._
+    val us30min = 1800000000L
+    val rows = Seq(
+      // u1 session A: view then click (not a bounce, entry view);
+      // after a >30min gap, session B: a lone purchase (bounce)
+      (1L, 10L, "view", 0L), (1L, 11L, "click", 60000000L),
+      (1L, 12L, "purchase", 60000000L + us30min + 1000000L),
+      // u2: a lone view (bounce)
+      (2L, 20L, "view", 0L),
+      // u3: two events at the SAME microsecond — entry resolves by
+      // event_id (30 < 31 -> click), two events so not a bounce
+      (3L, 30L, "click", 500L), (3L, 31L, "view", 500L))
+      .toDF("user_id", "event_id", "event_type", "us")
+      .select($"event_id", $"user_id", $"event_type",
+        timestamp_micros($"us").as("ts"))
+    val got = graft.ext.Sessions.bounceRate(rows)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "view" -> ((2L, 1L, 500000L)),
+      "purchase" -> ((1L, 1L, 1000000L)),
+      "click" -> ((1L, 0L, 0L))), s"got $got")
+  }
+
+  test("backlogCurve: worked queue depth, terminal open count drains to zero") {
+    import spark.implicits._
+    def d(day: Long) = java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(day))
+    // o1 (day 0): two items shipping days 1 and 3; o2 (day 2): one
+    // item shipping day 2 -> open curve [2, 1, 1, 0]
+    val orders = Seq((1L, d(0)), (2L, d(2))).toDF("o_orderkey", "o_orderdate")
+    val li = Seq((1L, d(1)), (1L, d(3)), (2L, d(2)))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = graft.ext.Stats.backlogCurve(orders, li)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got == Map(
+      0L -> ((2L, 0L, 2L, 0L, 2L)),
+      1L -> ((0L, 1L, 2L, 1L, 1L)),
+      2L -> ((1L, 1L, 3L, 2L, 1L)),
+      3L -> ((0L, 1L, 3L, 3L, 0L))), s"got $got")
+    // fixture-wide drain property: every ordered lineitem ships, so
+    // the terminal open count is exactly zero
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    val last = graft.ext.Stats.backlogCurve(o, l)
+      .orderBy($"day".desc).limit(1).collect().head
+    assert(last.getLong(5) == 0L, s"terminal open != 0: $last")
+  }
+
+  test("cohortLtv: worked per-member curve across two cohorts") {
+    import spark.implicits._
+    def d(week: Long) = java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(week * 7))
+    // cohort 0 = {A, B} (size 2): week-0 revenue 1200c, week-1 500c
+    // -> cum 1200/1700, per-member 600/850; cohort 1 = {C} (size 1)
+    val orders = Seq(
+      ("A", d(0), 10.00), ("A", d(1), 5.00),
+      ("B", d(0), 2.00), ("C", d(1), 1.00))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = graft.ext.Stats.cohortLtv(orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got == Map(
+      (0L, 0L) -> ((2L, 1200L, 2L, 1200L, 600L)),
+      (0L, 1L) -> ((1L, 500L, 2L, 1700L, 850L)),
+      (1L, 0L) -> ((1L, 100L, 1L, 100L, 100L))), s"got $got")
+  }
+
   test("mannWhitneyU equals naive pair counting on random tied data") {
     import spark.implicits._
     val rng = new scala.util.Random(20260814L)
