@@ -86,6 +86,33 @@ object Dedup {
           .as("removed_ppm"))
   }
 
+  /** Soft-dedup reweighting — the keep-but-downweight alternative to
+    * dropping duplicates (the SoftDeDup line of work: duplicated text
+    * still carries signal, it just must not vote `n_copies` times):
+    * every document keeps a training weight `10⁶ div n_copies` from
+    * its exact-duplicate group, plus its whitespace token count and
+    * the weighted token mass `tokens·10⁶ div n_copies` — summing that
+    * column gives the corpus's EFFECTIVE token count after soft
+    * dedup, the number a data-mixing budget should use instead of the
+    * raw total. Copies come from the [[exactDedup]] digest (NULL text
+    * coalesced to '' so null rows form one group like any other).
+    *
+    * Scale shape: one digest groupBy + a join back on the SAME digest
+    * column (co-partitioned, the X174 shape); the weight arithmetic
+    * is per-row integral division — deterministic, identically lossy
+    * cross-engine. */
+  def softDedupWeights(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(split(coalesce(col("text"), lit("")), " "))
+        .cast("long").as("n_tokens"),
+      md5(coalesce(col("text"), lit(""))).as("h"))
+    val counts = base.groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+    base.join(counts, Seq("h"))
+      .select(col("doc_id"), col("n_copies"), col("n_tokens"),
+        expr("1000000 DIV n_copies").as("weight_ppm"),
+        expr("n_tokens * 1000000 DIV n_copies").as("weighted_tokens_ppm"))
+  }
+
   /** Distinct word n-gram shingles of `text` (split on single spaces).
     * Documents with fewer than n tokens produce an empty shingle set.
     *

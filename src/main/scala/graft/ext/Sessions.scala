@@ -784,6 +784,37 @@ object Sessions {
           .as("lift_ppm"))
   }
 
+  /** User contribution capping — the bounding step user-level privacy
+    * and robust aggregation both require (a DP mechanism's
+    * sensitivity is the max per-user contribution; an engagement
+    * metric a bot can inflate without bound is not a metric): each
+    * user keeps their FIRST `maxPerUser` events under the
+    * (time, event_id) total order, and the report shows per event
+    * type what the cap keeps vs drops — the audit row that says
+    * whether the cap is a no-op or a guillotine before anyone turns
+    * it on. Same-microsecond ties resolve by event_id, so the kept
+    * set is engine-identical.
+    *
+    * Scale shape: ONE shuffle on `user_id` for the rank window (a
+    * hot user costs their own event count), then a map-side-
+    * combinable rollup on the type domain. */
+  def contributionCap(
+      events: DataFrame, maxPerUser: Int = 30): DataFrame = {
+    require(maxPerUser >= 1, s"cap $maxPerUser must be positive")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("rn", row_number().over(byUser))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("rn") <= maxPerUser, 1)).as("n_kept"))
+      .select(col("event_type"), col("n_total"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"),
+        expr("1000000 * n_kept DIV n_total").as("kept_ppm"))
+  }
+
   /** Bounce rate by session entry type — the web-analytics staple
     * next to [[sessionFunnel]]: per ENTRY event type (the session's
     * temporally-first event under the full (time, event_id) total

@@ -1248,6 +1248,37 @@ object ExtOracles {
         |GROUP BY 1, 2, 3
         |HAVING count(*) < 10""".stripMargin,
 
+    // Soft dedup: identical digest + per-row integral divisions.
+    "x164_soft_dedup_weights" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |           AS n_tokens,
+        |         md5(coalesce(text, '')) AS h
+        |  FROM documents),
+        |c AS (SELECT h, CAST(count(*) AS BIGINT) AS n_copies
+        |      FROM b GROUP BY h)
+        |SELECT doc_id, n_copies, n_tokens,
+        |       1000000 // n_copies AS weight_ppm,
+        |       n_tokens * 1000000 // n_copies AS weighted_tokens_ppm
+        |FROM b JOIN c USING (h)""".stripMargin,
+
+    // Contribution cap: the same rank window + per-type rollup.
+    "x165_contribution_cap" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |           AS rn
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(count(*) FILTER (WHERE rn <= 30) AS BIGINT) AS n_kept,
+        |       CAST(count(*) - count(*) FILTER (WHERE rn <= 30) AS BIGINT)
+        |         AS n_dropped,
+        |       1000000 * CAST(count(*) FILTER (WHERE rn <= 30) AS BIGINT)
+        |         // CAST(count(*) AS BIGINT) AS kept_ppm
+        |FROM r GROUP BY event_type""".stripMargin,
+
     // Bounce rate: the x29 sessionization chain with a row_number
     // entry pick (vs Spark's struct arg-min — independent
     // constructions of the same (us, event_id) total order).

@@ -896,6 +896,16 @@ object ExtQueries {
       Stats.mannWhitneyU(
         docs(s, d).select(col("n_chars"), (col("lang") === "en").as("is_a")),
         "n_chars", "is_a")),
+    // Soft-dedup reweighting: per-doc 1e6/n_copies training weight +
+    // weighted token mass — the effective-token count a mixing
+    // budget should use instead of the raw total.
+    "x164_soft_dedup_weights" -> ((s, d) =>
+      Dedup.softDedupWeights(docs(s, d))),
+    // User contribution cap at 30 events (time, event_id order):
+    // per-type kept/dropped audit — the DP-style bounding report.
+    "x165_contribution_cap" -> ((s, d) =>
+      Sessions.contributionCap(
+        events(s, d).select("event_id", "user_id", "event_type", "ts"))),
     // Bounce rate by session entry type: lexicographic arg-min entry
     // pick vs the oracle's row_number window — the landing-page
     // triage report.

@@ -3885,6 +3885,49 @@ class ExtSpec extends SparkSpec {
     assert(got == Map("g2" -> ((5L, 1L)), "g3" -> ((2L, 0L))), s"got $got")
   }
 
+  test("softDedupWeights: duplicate groups split the vote, singletons keep it") {
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.softDedupWeights(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 500000L, 1000000L)),
+      2L -> ((2L, 2L, 500000L, 1000000L)),
+      3L -> ((1L, 1L, 1000000L, 1000000L))), s"got $got")
+    // the effective-token readout: the duplicated text contributes
+    // its tokens ONCE in ppm mass (2 copies x 1e6 ppm = 2e6 = one
+    // 2-token vote), the singleton once
+    assert(got.values.map(_._4).sum == 3000000L, s"got $got")
+  }
+
+  test("contributionCap: per-type kept/dropped, cap boundary tie resolves by event_id") {
+    import spark.implicits._
+    val rows = Seq(
+      // u1: five events, cap 3 keeps the first three
+      (1L, 1L, "view", 0L), (1L, 2L, "view", 1000000L),
+      (1L, 3L, "click", 2000000L), (1L, 4L, "click", 3000000L),
+      (1L, 5L, "view", 4000000L),
+      // u2: two events at the SAME microsecond, cap 1 -> event_id
+      // breaks the tie: 10 kept (a), 11 dropped (b)
+      (2L, 10L, "a", 7L), (2L, 11L, "b", 7L))
+      .toDF("user_id", "event_id", "event_type", "us")
+      .select($"event_id", $"user_id", $"event_type",
+        timestamp_micros($"us").as("ts"))
+    def run(cap: Int) = graft.ext.Sessions.contributionCap(rows, cap)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val g3 = run(3)
+    // u1's rank order is e1,e2,e3,e4,e5: views e1/e2 kept, e5 dropped;
+    // clicks e3 kept, e4 dropped
+    assert(g3("view") == ((3L, 2L, 1L, 666666L)), s"got $g3")
+    assert(g3("click") == ((2L, 1L, 1L, 500000L)), s"got $g3")
+    val g1 = run(1)
+    assert(g1("a") == ((1L, 1L, 0L, 1000000L)) &&
+      g1("b") == ((1L, 0L, 1L, 0L)), s"got $g1")
+  }
+
   test("bounceRate: worked entries and bounces, same-microsecond entry tie is deterministic") {
     import spark.implicits._
     val us30min = 1800000000L
