@@ -1589,6 +1589,13 @@ object Stats {
     * decision reads. Revenue stays integer cents end to end; no
     * float ever aggregates.
     *
+    * Input contract: NON-NEGATIVE order totals. The per-member
+    * division is an integral `DIV` whose truncation only coincides
+    * with the oracle's flooring `//` on non-negative operands — a
+    * refunds ledger (negative totals that could drive a cumulative
+    * negative) must be sign-decomposed first (the X142 convention)
+    * before reusing this curve.
+    *
     * Scale shape: the orders fold collapses map-side to per-customer
     * firsts and (cohort, age) cells; cohort sizes broadcast; the one
     * cumulative window partitions by cohort over the age domain. */
