@@ -248,6 +248,69 @@ object Sessions {
     }.reduce(_.unionByName(_))
   }
 
+  /** Deadline (conversion-window) funnel: X87's ordered funnel with
+    * the product-analytics deadline — stage i counts only if it
+    * happens STRICTLY after some valid stage-(i-1) completion AND
+    * within `deadlineMinutes` of it. Unlike the unbounded funnel, the
+    * earliest-completion greedy is WRONG here (a user whose first
+    * stage-1 event is stale may still convert off a later one), so
+    * the exact "exists a valid chain" semantics carries the FULL set
+    * of valid completion times per stage: S(1) = stage-1 event times;
+    * S(i) = stage-i event times t with some t' in S(i-1) in
+    * [t - deadline, t). The membership test needs only the LATEST
+    * S(i-1) time strictly before t (if that one is outside the
+    * window, every other is further), which is exactly
+    * [[AsofJoin.asofBackward]] at t-1 microsecond — so each stage is
+    * one window pass on `user_id`, never a range theta-join. The
+    * DuckDB oracle states the spec naively (EXISTS semi-join with the
+    * range predicate), making the gate a cross-construction proof.
+    *
+    * All time math is integer microseconds; each stage's frame is
+    * deduplicated to distinct (user, us) first, so same-microsecond
+    * duplicates neither inflate the frames nor break determinism.
+    *
+    * Scale shape: `stages.length` narrow legs, each one
+    * HashPartitioning(user_id) window pass over distinct
+    * (user, event-time) rows of two adjacent stages — no self-join,
+    * no per-user blowup beyond the user's own event times.
+    *
+    * Output: one row per stage — (stage 1-based, event_type,
+    * n_users). */
+  def deadlineFunnel(
+      events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      deadlineMinutes: Int = 30): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(deadlineMinutes > 0, s"deadline $deadlineMinutes must be positive")
+    val deadlineUs = deadlineMinutes.toLong * 60L * 1000000L
+    val base = events
+      .filter(col("ts").isNotNull && col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val first = base.filter(col("event_type") === stages.head)
+      .select(col("user_id"), col("us")).distinct()
+    val reached: Seq[DataFrame] = stages.tail.scanLeft(first) { (prev, stage) =>
+      val cand = base.filter(col("event_type") === stage)
+        .select(col("user_id"), col("us")).distinct()
+        // asofBackward attaches the latest prev time <= join time; the
+        // funnel needs STRICTLY before, so the join rides at us-1
+        .withColumn("us_m1", col("us") - 1L)
+      AsofJoin.asofBackward(cand,
+        prev.select(col("user_id"), col("us").as("t")),
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "us_m1", rightTime = "t",
+        rightPayload = Seq("t"))
+        .filter(col("t").isNotNull && col("us") - col("t") <= deadlineUs)
+        .select(col("user_id"), col("us"))
+    }
+    reached.zipWithIndex.map { case (df, i) =>
+      df.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(stages(i)).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Attribution-window sensitivity sweep: the same last-touch
     * credit ([[lastTouchAttribution]]) evaluated at several window
     * widths in one pass — the report that tells an analytics team

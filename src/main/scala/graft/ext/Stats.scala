@@ -1218,6 +1218,51 @@ object Stats {
         col("lag_days").as("lag_days_at_p"))
   }
 
+  /** Repeat-purchase cadence percentiles per customer segment — the
+    * purchase-rhythm report next to X141's fulfilment lag (that one
+    * measures order→ship; this measures order→NEXT order, the number
+    * a replenishment or win-back campaign is timed against): each
+    * customer's consecutive order-day gaps (the gap multiset depends
+    * only on the sorted days, so same-day ties cannot flip it — the
+    * X161 argument), rolled into per-segment exact P50/P90 via the
+    * X42 histogram selection. Day boundaries floor-divide the epoch
+    * (the X160 convention).
+    *
+    * Scale shape: one `o_custkey` shuffle for the lag window, the
+    * segment dim BROADCAST onto the gap rows, then the histogram
+    * carve — everything after the window is bounded by
+    * segments × gap-day domain. */
+  def repeatPurchaseGaps(
+      orders: DataFrame, customer: DataFrame,
+      ps: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles $ps must be in [1, 100]")
+    val byCust = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+    val gaps = orders
+      .filter(col("o_orderdate").isNotNull && col("o_custkey").isNotNull)
+      .select(col("o_custkey"),
+        expr(epochFloorDiv("unix_micros(CAST(o_orderdate AS TIMESTAMP))",
+          86400000000L)).as("day"))
+      .withColumn("gap_days", col("day") - lag(col("day"), 1).over(byCust))
+      .filter(col("gap_days").isNotNull)
+      .join(broadcast(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment"))), Seq("o_custkey"))
+    val hist = gaps.groupBy(col("c_mktsegment"), col("gap_days"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy(col("c_mktsegment")).orderBy(col("gap_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val targets = hist.groupBy(col("c_mktsegment"))
+      .agg(sum(col("cnt")).as("n"))
+      .select(col("c_mktsegment"), col("n"), explode(typedLit(ps)).as("p"))
+      .withColumn("target_rn", expr("(p * n + 99) DIV 100"))
+    cum.join(broadcast(targets), Seq("c_mktsegment"))
+      .filter(col("cum") >= col("target_rn") &&
+        col("cum") - col("cnt") < col("target_rn"))
+      .select(col("c_mktsegment"), col("p"), col("n").as("n_gaps"),
+        col("gap_days").as("gap_days_at_p"))
+  }
+
   /** Exact GLOBAL ntile via the decomposed-histogram rank (the X82
     * per-partition form without the partition key): value histogram →
     * exclusive prefix over the tiny histogram → per-value row_number

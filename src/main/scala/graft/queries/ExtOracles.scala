@@ -1248,6 +1248,41 @@ object ExtOracles {
         |GROUP BY 1, 2, 3
         |HAVING count(*) < 10""".stripMargin,
 
+    // Repeat-purchase cadence: identical gap construction + the x127
+    // rank-selection filter.
+    "x166_repeat_purchase" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         epoch_us(CAST(o_orderdate AS TIMESTAMP))
+        |           // 86400000000 AS day
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL),
+        |g AS (
+        |  SELECT o_custkey,
+        |         day - lag(day) OVER (PARTITION BY o_custkey ORDER BY day)
+        |           AS gap_days
+        |  FROM o),
+        |gs AS (
+        |  SELECT c.c_mktsegment, g.gap_days
+        |  FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+        |  WHERE g.gap_days IS NOT NULL),
+        |h AS (SELECT c_mktsegment, gap_days, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM gs GROUP BY 1, 2),
+        |cumt AS (
+        |  SELECT c_mktsegment, gap_days, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY c_mktsegment
+        |              ORDER BY gap_days) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+        |           AS n
+        |  FROM h),
+        |t AS (SELECT c_mktsegment, gap_days, cnt, cum, n,
+        |             unnest([50, 90]) AS p
+        |      FROM cumt)
+        |SELECT c_mktsegment, CAST(p AS INT) AS p, n AS n_gaps,
+        |       gap_days AS gap_days_at_p
+        |FROM t WHERE cum >= (p * n + 99) // 100
+        |        AND cum - cnt < (p * n + 99) // 100""".stripMargin,
+
     // Soft dedup: identical digest + per-row integral divisions.
     "x164_soft_dedup_weights" ->
       """WITH b AS (

@@ -896,6 +896,13 @@ object ExtQueries {
       Stats.mannWhitneyU(
         docs(s, d).select(col("n_chars"), (col("lang") === "en").as("is_a")),
         "n_chars", "is_a")),
+    // Repeat-purchase cadence: per-segment exact P50/P90 of each
+    // customer's order-to-next-order gap — the replenishment-timing
+    // report (x127's sibling: order->ship vs order->next order).
+    "x166_repeat_purchase" -> ((s, d) =>
+      Stats.repeatPurchaseGaps(
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/customer.parquet"))),
     // Soft-dedup reweighting: per-doc 1e6/n_copies training weight +
     // weighted token mass — the effective-token count a mixing
     // budget should use instead of the raw total.

@@ -3885,6 +3885,27 @@ class ExtSpec extends SparkSpec {
     assert(got == Map("g2" -> ((5L, 1L)), "g3" -> ((2L, 0L))), s"got $got")
   }
 
+  test("repeatPurchaseGaps: worked per-segment cadence percentiles") {
+    import spark.implicits._
+    def d(day: Long) = java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(day))
+    // segment S gaps: c1 [10, 10], c2 [40] -> n=3; P50 target rank
+    // ceil(1.5)=2 -> gap 10 (cum 2); P90 target 3 -> gap 40
+    val orders = Seq(
+      (1L, d(0)), (1L, d(10)), (1L, d(20)),
+      (2L, d(0)), (2L, d(40)),
+      (3L, d(5))) // single order -> no gap, contributes nothing
+      .toDF("o_custkey", "o_orderdate")
+    val cust = Seq((1L, "S"), (2L, "S"), (3L, "S"))
+      .toDF("c_custkey", "c_mktsegment")
+    val got = graft.ext.Stats.repeatPurchaseGaps(orders, cust)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("S", 50) -> ((3L, 10L)),
+      ("S", 90) -> ((3L, 40L))), s"got $got")
+  }
+
   test("softDedupWeights: duplicate groups split the vote, singletons keep it") {
     import spark.implicits._
     val d = Seq((1L, "a b"), (2L, "a b"), (3L, "c"))
