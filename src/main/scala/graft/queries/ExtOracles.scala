@@ -285,6 +285,37 @@ object ExtOracles {
         |SELECT CAST(3 AS INT), 'purchase',
         |       (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin,
 
+    // Deadline funnel: the naive EXISTS range semi-join states the
+    // "exists a valid chain" spec directly — the Spark side composes
+    // as-of window passes, so the gate is a cross-construction proof.
+    "x167_deadline_funnel" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |s1 AS (SELECT DISTINCT user_id, us FROM base
+        |       WHERE event_type = 'view'),
+        |c2 AS (SELECT DISTINCT user_id, us FROM base
+        |       WHERE event_type = 'click'),
+        |s2 AS (SELECT c.user_id, c.us FROM c2 c
+        |       WHERE EXISTS (SELECT 1 FROM s1 p WHERE p.user_id = c.user_id
+        |                     AND p.us < c.us
+        |                     AND c.us - p.us <= 43200000000)),
+        |c3 AS (SELECT DISTINCT user_id, us FROM base
+        |       WHERE event_type = 'purchase'),
+        |s3 AS (SELECT c.user_id, c.us FROM c3 c
+        |       WHERE EXISTS (SELECT 1 FROM s2 p WHERE p.user_id = c.user_id
+        |                     AND p.us < c.us
+        |                     AND c.us - p.us <= 43200000000))
+        |SELECT CAST(1 AS INT) AS stage, 'view' AS event_type,
+        |       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM s1)
+        |         AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click',
+        |       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM s2)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase',
+        |       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM s3)""".stripMargin,
+
     // Cohort retention matrix: first-touch epoch-day cohorts, distinct
     // (user, day) activity before the offset aggregate, cohort sizes
     // joined back — integer day arithmetic end to end.

@@ -548,6 +548,16 @@ object ExtQueries {
       Sessions.eventFunnel(events(s, d)
         .filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp_ntz"))
         .select("user_id", "event_type", "ts"))),
+    // Deadline (conversion-window) funnel over the full month at a
+    // 12-hour deadline: ~2 events/user-day makes minute-scale windows
+    // vacuous (nobody converts) and multi-day ones saturating
+    // (everybody does); 12h leaves 150 -> 136 -> 58 at sf0.01. The
+    // greedy-from-earliest shortcut would report 60/25 at stage 2/3 —
+    // the exists-chain semantics is load-bearing here, not a nicety.
+    "x167_deadline_funnel" -> ((s, d) =>
+      Sessions.deadlineFunnel(
+        events(s, d).select("user_id", "event_type", "ts"),
+        deadlineMinutes = 720)),
     // Cohort retention matrix on first-touch epoch-day: the fixture
     // yields two cohorts (day 0: 134 users, day 1: 16) × ~30 offsets.
     "x76_cohort_retention" -> ((s, d) =>

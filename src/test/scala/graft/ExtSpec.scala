@@ -3906,6 +3906,30 @@ class ExtSpec extends SparkSpec {
       ("S", 90) -> ((3L, 40L))), s"got $got")
   }
 
+  test("deadlineFunnel: exists-chain semantics, greedy trap, strict boundary") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // u1 converts within every 30-min hop; u2's click is 2h after the
+    // only view (dead); u3 is the GREEDY TRAP — the click is 80 min
+    // after the first view but 20 min after the second, so a funnel
+    // that clocks only from the earliest stage-1 completion loses it;
+    // u4's click shares the view's microsecond (strictly-after bound).
+    val events = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      (2L, "view", ts(0)), (2L, "click", ts(120)), (2L, "purchase", ts(130)),
+      (3L, "view", ts(0)), (3L, "view", ts(60)), (3L, "click", ts(80)),
+      (3L, "purchase", ts(90)),
+      (4L, "view", ts(0)), (4L, "click", ts(0)))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.ext.Sessions.deadlineFunnel(events, deadlineMinutes = 30)
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1 -> (("view", 4L)),
+      2 -> (("click", 2L)),   // u1 + u3; u2 over deadline, u4 not strict
+      3 -> (("purchase", 2L))), s"got $got")
+  }
+
   test("softDedupWeights: duplicate groups split the vote, singletons keep it") {
     import spark.implicits._
     val d = Seq((1L, "a b"), (2L, "a b"), (3L, "c"))
