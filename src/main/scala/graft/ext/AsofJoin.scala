@@ -4,16 +4,18 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join — for each left row, attach the single most
-  * recent right row with the same key and right.time <= left.time.
-  * Spark has no native as-of operator (SURVEY.md §2.12); the naive
-  * formulations are a range theta-join (quadratic per key) or a
-  * per-left-row subquery. This is the scalable composition:
+/** As-of joins — for each left row, attach the single nearest right
+  * row with the same key: the most recent at-or-before (`backward`)
+  * or the earliest at-or-after (`forward`). Spark has no native as-of
+  * operator (SURVEY.md §2.12); the naive formulations are a range
+  * theta-join (quadratic per key) or a per-left-row subquery. This is
+  * the scalable composition:
   *
   *   1. tag both sides and UNION them on (key, time) — one narrow frame;
-  *   2. one window pass per key ordered by (time, side): `last_value
+  *   2. one window pass per key ordered by (time, side) — ascending
+  *      for backward, descending time for forward: `last_value
   *      (ignoreNulls)` of the right-side payload gives every row the
-  *      most recent right payload at-or-before it;
+  *      nearest right payload in the scan direction;
   *   3. keep the left rows.
   *
   * Cost: ONE shuffle on the key (the window partition), no join at all —
@@ -21,16 +23,19 @@ import org.apache.spark.sql.functions._
   * survives 100×. Skewed keys hot-spot one window partition exactly as
   * any per-key window does; salt the key upstream if one key dominates.
   *
-  * Right-side ties on (key, time): the row ordered last wins (stable
-  * deterministic order by the extra `rightOrder` tiebreak columns).
+  * Right-side ties on (key, time): the row with the greatest
+  * `rightOrder` tiebreak wins in BOTH directions (stable deterministic
+  * order).
   *
-  * NULL right times are dropped up front: Spark's ascending NULLS
-  * FIRST would otherwise sort a null-time right row before everything
-  * and attach it as "older than all" — violating the right.time <=
-  * left.time contract (and DuckDB orders NULLS LAST, so the result
-  * would also be engine-dependent). A left row with a NULL time keeps
-  * its row and gets a NULL payload (nothing can be at-or-before an
-  * unknown time), which the same NULLS FIRST ordering yields naturally.
+  * NULL right times are dropped up front: Spark's NULL ordering would
+  * otherwise sort a null-time right row to one end of the scan and
+  * attach it as "older/newer than all" — violating the time contract
+  * (and DuckDB orders NULLs oppositely, so the result would also be
+  * engine-dependent). A left row with a NULL time keeps its row and
+  * gets a NULL payload (nothing can be at-or-before/after an unknown
+  * time) — explicit in the projection, because the descending forward
+  * scan sorts null-time left rows LAST where they would otherwise see
+  * every right row.
   */
 object AsofJoin {
 
@@ -42,7 +47,35 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       rightPayload: Seq[String],
-      rightOrder: Seq[String] = Nil): DataFrame = {
+      rightOrder: Seq[String] = Nil): DataFrame =
+    asof(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightPayload, rightOrder, forward = false)
+
+  /** Forward as-of: earliest right row with right.time >= left.time.
+    * For a STRICTLY-after join, pass a left time shifted by +1
+    * microsecond (the mirror of the backward t−1 idiom). */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      rightOrder: Seq[String] = Nil): DataFrame =
+    asof(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightPayload, rightOrder, forward = true)
+
+  private def asof(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      rightOrder: Seq[String],
+      forward: Boolean): DataFrame = {
 
     val leftCols = left.columns.toSeq
     // ALL payload columns ride in ONE struct, filled by ONE
@@ -54,8 +87,9 @@ object AsofJoin {
     val payloadType = org.apache.spark.sql.types.StructType(
       rightPayload.map(c => org.apache.spark.sql.types.StructField(
         c, right.schema(c).dataType, nullable = true)))
-    // side flag orders right (0) before left (1) at equal times, so a
-    // right row AT the left row's timestamp is visible to it (<=)
+    // side flag orders right (0) before left (1) at equal times in both
+    // scan directions, so a right row AT the left row's timestamp is
+    // visible to it (<= backward, >= forward)
     val l = left
       .withColumn("__key", col(leftKey))
       .withColumn("__time", col(leftTime))
@@ -72,15 +106,22 @@ object AsofJoin {
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightPayload.map(c => col(c).as(c)): _*).as("__r"): _*)
 
+    // backward scans time ascending (latest right <= t is scanned
+    // last); forward scans descending (earliest right >= t is scanned
+    // last). Side asc keeps the equal-time right visible; rightOrder
+    // asc makes the max-tiebreak right row the one scanned last among
+    // (key, time) ties in both directions.
+    val timeOrd = if (forward) col("__time").desc else col("__time").asc
     val ordered = Window.partitionBy(col("__key"))
-      .orderBy((Seq(col("__time"), col("__side")) ++
-        rightOrder.map(c => col("__r").getField(c))).map(_.asc): _*)
+      .orderBy(Seq(timeOrd, col("__side").asc) ++
+        rightOrder.map(c => col("__r").getField(c).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(ordered))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightPayload.map(c => col("__r").getField(c).as(c)): _*)
+        rightPayload.map(c =>
+          when(col("__time").isNotNull, col("__r").getField(c)).as(c)): _*)
   }
 }

@@ -248,6 +248,43 @@ object Sessions {
     }.reduce(_.unionByName(_))
   }
 
+  /** Forward conversion lookup: each touch event (default `click`) is
+    * joined to the SAME user's next conversion event (default
+    * `purchase`) STRICTLY after it — [[lastTouchAttribution]]'s mirror
+    * (that one asks "which touch caused this purchase", this asks
+    * "did this touch convert, and how long did it take" — the
+    * time-to-convert column a/b readouts bucket on). Composes
+    * [[AsofJoin.asofForward]] at touch-time+1µs (strictly after); ONE
+    * shuffle on `user_id`, no range theta-join. Unconverted touches
+    * keep their row with NULL conversion columns. Conversion-side
+    * same-microsecond ties resolve to the max event_id via the as-of
+    * tiebreak — deterministic on both engines. NULL-timestamp events
+    * are dropped up front (the sessionize rationale).
+    *
+    * Output: (touch_id, user_id, conv_id, lag_us). */
+  def nextConversion(
+      events: DataFrame,
+      touchType: String = "click",
+      convType: String = "purchase"): DataFrame = {
+    val base = events.filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val touches = base.filter(col("event_type") === touchType)
+      .select(col("event_id").as("touch_id"), col("user_id"),
+        col("us").as("tus"))
+      .withColumn("tus_p1", col("tus") + 1L)
+    val convs = base.filter(col("event_type") === convType)
+      .select(col("user_id"), col("us").as("cus"),
+        col("event_id").as("conv_id"))
+    AsofJoin.asofForward(touches, convs,
+      leftKey = "user_id", rightKey = "user_id",
+      leftTime = "tus_p1", rightTime = "cus",
+      rightPayload = Seq("conv_id", "cus"),
+      rightOrder = Seq("conv_id"))
+      .select(col("touch_id"), col("user_id"), col("conv_id"),
+        (col("cus") - col("tus")).as("lag_us"))
+  }
+
   /** Deadline (conversion-window) funnel: X87's ordered funnel with
     * the product-analytics deadline — stage i counts only if it
     * happens STRICTLY after some valid stage-(i-1) completion AND

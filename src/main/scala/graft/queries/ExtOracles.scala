@@ -285,6 +285,28 @@ object ExtOracles {
         |SELECT CAST(3 AS INT), 'purchase',
         |       (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin,
 
+    // Forward conversion: the naive ranked range join states the
+    // next-conversion spec directly (earliest later purchase, max
+    // conv_id on microsecond ties); the Spark side is one forward
+    // as-of window pass — cross-construction proof.
+    "x168_next_conversion" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |t AS (SELECT event_id AS touch_id, user_id, us AS tus
+        |      FROM base WHERE event_type = 'click'),
+        |c AS (SELECT user_id, event_id AS conv_id, us AS cus
+        |      FROM base WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT t.touch_id, c.conv_id, c.cus - t.tus AS lag_us,
+        |         row_number() OVER (PARTITION BY t.touch_id
+        |                            ORDER BY c.cus ASC, c.conv_id DESC)
+        |           AS rn
+        |  FROM t JOIN c ON t.user_id = c.user_id AND c.cus > t.tus)
+        |SELECT t.touch_id, t.user_id, j.conv_id, j.lag_us
+        |FROM t LEFT JOIN j ON t.touch_id = j.touch_id AND j.rn = 1""".stripMargin,
+
     // Deadline funnel: the naive EXISTS range semi-join states the
     // "exists a valid chain" spec directly — the Spark side composes
     // as-of window passes, so the gate is a cross-construction proof.

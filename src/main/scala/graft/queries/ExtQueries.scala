@@ -548,6 +548,12 @@ object ExtQueries {
       Sessions.eventFunnel(events(s, d)
         .filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp_ntz"))
         .select("user_id", "event_type", "ts"))),
+    // Forward conversion lookup: every click joined to the user's
+    // next purchase strictly after it (NULL when none) — the mirror
+    // of x83's backward last-touch attribution, via asofForward.
+    "x168_next_conversion" -> ((s, d) =>
+      Sessions.nextConversion(
+        events(s, d).select("event_id", "user_id", "event_type", "ts"))),
     // Deadline (conversion-window) funnel over the full month at a
     // 12-hour deadline: ~2 events/user-day makes minute-scale windows
     // vacuous (nobody converts) and multi-day ones saturating

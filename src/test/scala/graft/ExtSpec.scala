@@ -3906,6 +3906,52 @@ class ExtSpec extends SparkSpec {
       ("S", 90) -> ((3L, 40L))), s"got $got")
   }
 
+  test("asofForward: earliest at-or-after, equal-time visible, ties, null times") {
+    import spark.implicits._
+    val left = Seq[(Long, Option[Long], String)](
+      (1L, Some(10L), "a"), (1L, Some(25L), "b"), (2L, Some(5L), "c"),
+      (1L, None, "d"))
+      .toDF("k", "t", "tag")
+    // key 1 rights: 10 (equal-time — visible to 'a'), 20 twice (payload
+    // tie -> max ord wins), 30; key 2 has a null-time right (dropped)
+    val right = Seq[(Long, Option[Long], Long)](
+      (1L, Some(10L), 100L), (1L, Some(20L), 200L), (1L, Some(20L), 201L),
+      (1L, Some(30L), 300L), (2L, None, 999L))
+      .toDF("k", "rt", "ord")
+    val got = graft.ext.AsofJoin.asofForward(left, right,
+      leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "rt",
+      rightPayload = Seq("ord"), rightOrder = Seq("ord"))
+      .collect().map(r => r.getString(2) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map(
+      "a" -> Some(100L),  // right AT the left time is visible (>=)
+      "b" -> Some(300L),  // next after 25 is 30
+      "c" -> None,        // null-time right dropped, nothing remains
+      "d" -> None),       // null left time -> null payload
+      s"got $got")
+  }
+
+  test("nextConversion: strictly-after, unconverted kept, microsecond ties") {
+    import spark.implicits._
+    def ts(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+      us / 1000000L, (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC)
+    // u1: click@10 converts at purchase@20 (two purchases at 20 -> max
+    // event_id 92 wins); purchase@10 shares the click's microsecond and
+    // must NOT count (strictly after). u2: click never converts.
+    val events = Seq(
+      (1L, 1L, "click", ts(10L)), (90L, 1L, "purchase", ts(10L)),
+      (91L, 1L, "purchase", ts(20L)), (92L, 1L, "purchase", ts(20L)),
+      (2L, 2L, "click", ts(10L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.ext.Sessions.nextConversion(events)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(got == Map(
+      1L -> ((Some(92L), Some(10L))),
+      2L -> ((None, None))), s"got $got")
+  }
+
   test("deadlineFunnel: exists-chain semantics, greedy trap, strict boundary") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
