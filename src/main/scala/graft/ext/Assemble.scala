@@ -444,4 +444,60 @@ object Assemble {
       .orderBy(col("priority").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), col("weight"), col("priority"))
   }
+
+  /** Recency-decayed mixing share: per key (source, event type, …),
+    * the HALF-LIFE-weighted row mass and its share of the total — the
+    * freshness-weighted sibling of [[temperatureMix]]'s count-based
+    * allocation (a mixing budget that treats a five-year-old crawl
+    * slice like last week's overweights stale data; exponential decay
+    * is the standard fix, and a power-of-two half-life keeps it EXACT:
+    * weight_ppm = 10⁶ >> (age_days div halfLifeDays), pure integer on
+    * both engines — no float pow, no IEEE drift). Age is measured
+    * backward from the frame's OWN newest row (corpus-derived, so the
+    * result is a pure function of the data, not of run time), with
+    * epoch days floor-divided (the X160 pre-1970 convention).
+    *
+    * The shift is GUARDED at 20 (10⁶ < 2²⁰): Java's `>>` masks the
+    * shift amount to the low 6 bits — `x >> 64 == x`, not 0 — while
+    * DuckDB zeroes it, so an unguarded old row would silently revive
+    * at full weight on the Spark side (worked spec pins ages past the
+    * guard).
+    *
+    * Scale shape: one max-day aggregate broadcast back onto the scan,
+    * one groupBy(key) with map-side partials — two narrow passes, no
+    * window, no join by key. mass_ppm sums row-weights ≤ 10⁶: BIGINT
+    * holds past 9×10¹² rows per key.
+    *
+    * Output: (key, n_rows, mass_ppm, share_ppm). */
+  def decayedMixShare(
+      events: DataFrame, key: String, tsCol: String = "ts",
+      halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays >= 1, s"half-life $halfLifeDays must be positive")
+    val rows = events
+      .filter(col(tsCol).isNotNull && col(key).isNotNull)
+      .select(col(key),
+        expr(Stats.epochFloorDiv(
+          s"unix_micros(CAST($tsCol AS TIMESTAMP))", 86400000000L))
+          .as("day"))
+    // max over ONE tiny aggregate; crossJoin(broadcast) keeps the big
+    // side un-shuffled
+    val newest = rows.agg(max(col("day")).as("max_day"))
+    val weighted = rows.crossJoin(broadcast(newest))
+      // age is non-negative by construction (day <= max_day), so DIV
+      // and floor agree here
+      .withColumn("k", expr(s"(max_day - day) DIV $halfLifeDays"))
+      .withColumn("w",
+        when(col("k") < 20L,
+          expr("shiftright(CAST(1000000 AS BIGINT), CAST(k AS INT))"))
+          .otherwise(0L))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_rows"), sum(col("w")).as("mass_ppm"))
+    val total = weighted.agg(sum(col("mass_ppm")).as("total_mass"))
+    weighted.crossJoin(broadcast(total))
+      .select(col(key), col("n_rows"), col("mass_ppm"),
+        // the ×10⁶ product overflows BIGINT past ~9×10⁶ full-weight
+        // rows — ride DECIMAL(38,0) ↔ HUGEINT; DIV lands back in Long
+        expr("CAST(CAST(mass_ppm AS DECIMAL(38,0)) * 1000000" +
+          " DIV total_mass AS BIGINT)").as("share_ppm"))
+  }
 }

@@ -285,6 +285,31 @@ object ExtOracles {
         |SELECT CAST(3 AS INT), 'purchase',
         |       (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin,
 
+    // Decayed mixing share: identical integer half-life weights;
+    // DuckDB's >> zeroes past the width while Java masks it — both
+    // sides guard the shift at 20 explicitly.
+    "x169_decayed_mix" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (SELECT max(day) AS max_day FROM r),
+        |w AS (
+        |  SELECT r.event_type,
+        |         CASE WHEN (m.max_day - r.day) // 7 < 20
+        |              THEN CAST(1000000 AS BIGINT)
+        |                     >> CAST((m.max_day - r.day) // 7 AS INT)
+        |              ELSE 0 END AS w
+        |  FROM r, m),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |             sum(w) AS mass_h
+        |      FROM w GROUP BY 1),
+        |t AS (SELECT sum(mass_h) AS total_mass FROM g)
+        |SELECT g.event_type, g.n_rows, CAST(g.mass_h AS BIGINT) AS mass_ppm,
+        |       CAST(g.mass_h * 1000000 // t.total_mass AS BIGINT)
+        |         AS share_ppm
+        |FROM g, t""".stripMargin,
+
     // Forward conversion: the naive ranked range join states the
     // next-conversion spec directly (earliest later purchase, max
     // conv_id on microsecond ties); the Spark side is one forward

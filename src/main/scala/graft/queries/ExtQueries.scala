@@ -548,6 +548,12 @@ object ExtQueries {
       Sessions.eventFunnel(events(s, d)
         .filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp_ntz"))
         .select("user_id", "event_type", "ts"))),
+    // Recency-decayed mixing share per event type at a 7-day
+    // half-life over the 30-day fixture (ages span 0..4 half-lives,
+    // so every weight tier 1e6..62500 is exercised).
+    "x169_decayed_mix" -> ((s, d) =>
+      Assemble.decayedMixShare(
+        events(s, d).select("event_type", "ts"), key = "event_type")),
     // Forward conversion lookup: every click joined to the user's
     // next purchase strictly after it (NULL when none) — the mirror
     // of x83's backward last-touch attribution, via asofForward.

@@ -3906,6 +3906,26 @@ class ExtSpec extends SparkSpec {
       ("S", 90) -> ((3L, 40L))), s"got $got")
   }
 
+  test("decayedMixShare: half-life tiers, shift guard incl. the Java >> mask") {
+    import spark.implicits._
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // key a at ages 0/7/14 -> weights 1e6/5e5/2.5e5 (mass 1.75e6);
+    // key b at ages 200 (k=28, guarded to 0) and 500 (k=71 — Java's
+    // long >> masks to 7 and would REVIVE the row at 7812 ppm if the
+    // guard were missing; DuckDB zeroes it — the cross-engine trap)
+    val events = Seq(
+      ("a", ts(500L)), ("a", ts(493L)), ("a", ts(486L)),
+      ("b", ts(300L)), ("b", ts(0L)))
+      .toDF("event_type", "ts")
+    val got = graft.ext.Assemble.decayedMixShare(events, key = "event_type")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      "a" -> ((3L, 1750000L, 1000000L)),
+      "b" -> ((2L, 0L, 0L))), s"got $got")
+  }
+
   test("asofForward: earliest at-or-after, equal-time visible, ties, null times") {
     import spark.implicits._
     val left = Seq[(Long, Option[Long], String)](
