@@ -1325,6 +1325,55 @@ object Stats {
     * lo)` interval intersection, the X146 carve); no group ever
     * funnels through one sorting task. Mean in x1000 fixed-point via
     * decimal integral division. */
+  /** Tukey-fence (box-plot) outlier audit per group: exact
+    * PERCENTILE_DISC Q1/Q3 via the X42 histogram rank carve, then the
+    * count of rows beyond the k·IQR fences on each side — the robust
+    * companion to X35's moment z-score (a single 10⁹ outlier inflates
+    * a z-score's own σ until nothing flags; quartiles don't move).
+    * The classic k = 1.5 rides as `fenceHalf = 3` (half-steps of
+    * IQR/2), so the fence comparison `2v < 2·q1 − fenceHalf·iqr`
+    * stays pure integer — no 1.5 ever enters the arithmetic. NULL
+    * values and NULL groups are dropped up front (cross-engine NULL
+    * ordering, the percentileRank rationale).
+    *
+    * Scale shape: everything after the first groupBy is bounded by
+    * group × distinct-value domain — the histogram feeds the prefix
+    * window, the quartile carve, and the fence count; no per-row
+    * window, no self-join of raw rows.
+    *
+    * Output: (group, n, q1, q3, n_low, n_high). */
+  def tukeyOutliers(
+      df: DataFrame, value: String, group: String,
+      fenceHalf: Int = 3): DataFrame = {
+    require(fenceHalf >= 0, s"fence half-steps $fenceHalf must be >= 0")
+    val hist = df.filter(col(value).isNotNull && col(group).isNotNull)
+      .groupBy(col(group), col(value)).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy(col(group)).orderBy(col(value))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val targets = hist.groupBy(col(group))
+      .agg(sum(col("cnt")).as("n"))
+      .select(col(group), col("n"), explode(typedLit(Seq(25, 75))).as("p"))
+      .withColumn("target_rn", expr("(p * n + 99) DIV 100"))
+    val fences = cum.join(broadcast(targets), Seq(group))
+      .filter(col("cum") >= col("target_rn") &&
+        col("cum") - col("cnt") < col("target_rn"))
+      .groupBy(col(group), col("n"))
+      .agg(min(when(col("p") === 25, col(value))).as("q1"),
+        min(when(col("p") === 75, col(value))).as("q3"))
+    hist.join(broadcast(fences), Seq(group))
+      .groupBy(col(group), col("n"), col("q1"), col("q3"))
+      .agg(
+        sum(when(lit(2L) * col(value) <
+          lit(2L) * col("q1") - lit(fenceHalf.toLong) * (col("q3") - col("q1")),
+          col("cnt")).otherwise(0L)).as("n_low"),
+        sum(when(lit(2L) * col(value) >
+          lit(2L) * col("q3") + lit(fenceHalf.toLong) * (col("q3") - col("q1")),
+          col("cnt")).otherwise(0L)).as("n_high"))
+      .select(col(group), col("n"), col("q1"), col("q3"),
+        col("n_low"), col("n_high"))
+  }
+
   def trimmedMean(
       df: DataFrame, value: String, group: String,
       pLo: Int = 5, pHi: Int = 5): DataFrame = {

@@ -285,6 +285,38 @@ object ExtOracles {
         |SELECT CAST(3 AS INT), 'purchase',
         |       (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin,
 
+    // Tukey fences: identical histogram rank carve (the x127/x166
+    // selection) + pure-integer doubled fence comparisons.
+    "x170_tukey_outliers" ->
+      """WITH v AS (
+        |  SELECT event_type AS g,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM v GROUP BY 1, 2),
+        |c AS (SELECT g, v, cnt,
+        |             CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v)
+        |               AS BIGINT) AS cum,
+        |             CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |      FROM h),
+        |t AS (SELECT g, v, cnt, cum, n, unnest([25, 75]) AS p FROM c),
+        |q AS (SELECT g, n,
+        |             min(CASE WHEN p = 25 THEN v END) AS q1,
+        |             min(CASE WHEN p = 75 THEN v END) AS q3
+        |      FROM t
+        |      WHERE cum >= (p * n + 99) // 100
+        |        AND cum - cnt < (p * n + 99) // 100
+        |      GROUP BY 1, 2)
+        |SELECT q.g AS event_type, q.n, q.q1, q.q3,
+        |       CAST(coalesce(sum(CASE WHEN 2*h.v < 2*q.q1 - 3*(q.q3-q.q1)
+        |                               THEN h.cnt END), 0) AS BIGINT)
+        |         AS n_low,
+        |       CAST(coalesce(sum(CASE WHEN 2*h.v > 2*q.q3 + 3*(q.q3-q.q1)
+        |                               THEN h.cnt END), 0) AS BIGINT)
+        |         AS n_high
+        |FROM q JOIN h ON q.g = h.g
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
     // Decayed mixing share: identical integer half-life weights;
     // DuckDB's >> zeroes past the width while Java masks it — both
     // sides guard the shift at 20 explicitly.

@@ -548,6 +548,15 @@ object ExtQueries {
       Sessions.eventFunnel(events(s, d)
         .filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp_ntz"))
         .select("user_id", "event_type", "ts"))),
+    // Tukey-fence outlier audit over event value cents per type: the
+    // fixture's value tail flags ~90-99 high outliers per group at
+    // the classic 1.5 IQR (fenceHalf = 3) — strongly non-vacuous.
+    "x170_tukey_outliers" -> ((s, d) =>
+      Stats.tukeyOutliers(
+        events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v_cents")),
+        value = "v_cents", group = "event_type")),
     // Recency-decayed mixing share per event type at a 7-day
     // half-life over the 30-day fixture (ages span 0..4 half-lives,
     // so every weight tier 1e6..62500 is exercised).

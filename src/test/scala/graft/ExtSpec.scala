@@ -3906,6 +3906,22 @@ class ExtSpec extends SparkSpec {
       ("S", 90) -> ((3L, 40L))), s"got $got")
   }
 
+  test("tukeyOutliers: worked quartile carve, strict fences, zero-IQR group") {
+    import spark.implicits._
+    // g1: values 1..8 + 100 -> n=9, q1 = 3rd smallest = 3, q3 = 7th = 7,
+    // iqr 4; high fence 2v > 14+12 flags only the 100. g2: constant ->
+    // iqr 0, fences AT the value, strict inequalities flag nothing.
+    val df = ((1L to 8L) :+ 100L).map(("g1", _)).toDF("g", "v")
+      .unionByName(Seq(("g2", 5L), ("g2", 5L), ("g2", 5L)).toDF("g", "v"))
+    val got = graft.ext.Stats.tukeyOutliers(df, "v", "g")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got == Map(
+      "g1" -> ((9L, 3L, 7L, 0L, 1L)),
+      "g2" -> ((3L, 5L, 5L, 0L, 0L))), s"got $got")
+  }
+
   test("decayedMixShare: half-life tiers, shift guard incl. the Java >> mask") {
     import spark.implicits._
     def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
