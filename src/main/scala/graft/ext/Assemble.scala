@@ -44,14 +44,65 @@ object Assemble {
       docs: DataFrame,
       trainPermille: Int = 900,
       valPermille: Int = 50,
-      salt: String = "split-v1"): DataFrame = {
+      salt: String = "split-v1"): DataFrame =
+    docs.select(col("doc_id"),
+      splitColumn(trainPermille, valPermille, salt).as("split"))
+
+  /** The [[hashSplit]] assignment as a column — shared with
+    * [[splitBalance]] so the audit can never drift from the split it
+    * audits. */
+  private def splitColumn(
+      trainPermille: Int, valPermille: Int, salt: String): Column = {
     require(trainPermille >= 0 && valPermille >= 0 &&
       trainPermille + valPermille <= 1000, "permille thresholds must fit in [0, 1000]")
     val b = bucket(col("text"), salt, 1000)
-    docs.select(col("doc_id"),
-      when(b < trainPermille, lit("train"))
-        .when(b < trainPermille + valPermille, lit("val"))
-        .otherwise(lit("test")).as("split"))
+    when(b < trainPermille, lit("train"))
+      .when(b < trainPermille + valPermille, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Split balance audit: does the content-hash split skew sources?
+    * [[hashSplit]] guarantees leak-freedom, not balance — a source
+    * whose documents happen to hash into `test` more than its corpus
+    * share would make eval unrepresentative, and nobody notices
+    * without this report. Per (split, source): docs, char mass, the
+    * source's char share WITHIN the split vs its share of the WHOLE
+    * corpus (both exact ppm via DECIMAL ↔ HUGEINT), and the absolute
+    * gap — the number to alarm on (sum it per split for an L1
+    * imbalance score). Shares a single split-assignment expression
+    * with [[hashSplit]] (audit drift = lying audit).
+    *
+    * Scale shape: one scan → one groupBy(split, source); the three
+    * totals frames are split- or source-bounded and broadcast back.
+    * NULL sources are dropped (no balance contract for them); NULL
+    * char counts weigh zero. */
+  def splitBalance(
+      docs: DataFrame,
+      trainPermille: Int = 900,
+      valPermille: Int = 50,
+      salt: String = "split-v1"): DataFrame = {
+    val g = docs.filter(col("source").isNotNull)
+      .select(splitColumn(trainPermille, valPermille, salt).as("split"),
+        col("source"), coalesce(col("n_chars"), lit(0L)).as("chars"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"))
+    val splitTot = g.groupBy(col("split"))
+      .agg(sum(col("chars")).as("split_chars"))
+    val srcTot = g.groupBy(col("source"))
+      .agg(sum(col("chars")).as("source_chars"))
+    val corpTot = srcTot.agg(sum(col("source_chars")).as("total_chars"))
+    def sharePpm(part: String, whole: String): Column =
+      when(col(whole) > 0L, expr(
+        s"CAST(CAST($part AS DECIMAL(38,0)) * 1000000 DIV $whole AS BIGINT)"))
+        .otherwise(0L)
+    g.join(broadcast(splitTot), Seq("split"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(corpTot))
+      .select(col("split"), col("source"), col("n_docs"), col("chars"),
+        sharePpm("chars", "split_chars").as("split_share_ppm"),
+        sharePpm("source_chars", "total_chars").as("corpus_share_ppm"))
+      .withColumn("abs_gap_ppm",
+        abs(col("split_share_ppm") - col("corpus_share_ppm")))
   }
 
   /** Grouped k-fold assignment (the GroupKFold guard): every row of a

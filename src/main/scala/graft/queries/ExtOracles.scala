@@ -285,6 +285,41 @@ object ExtOracles {
         |SELECT CAST(3 AS INT), 'purchase',
         |       (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin,
 
+    // Split balance: the x20 split CASE + three exact share
+    // divisions in HUGEINT.
+    "x171_split_balance" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN b < 900 THEN 'train'
+        |              WHEN b < 950 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         source, coalesce(n_chars, 0) AS chars
+        |  FROM (SELECT source, n_chars,
+        |          ('0x' || substr(md5(text || 'split-v1'), 1, 8))::BIGINT
+        |            % 1000 AS b
+        |        FROM documents WHERE source IS NOT NULL)),
+        |g AS (SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(chars) AS BIGINT) AS chars
+        |      FROM s GROUP BY 1, 2),
+        |st AS (SELECT split, sum(chars) AS split_chars FROM g GROUP BY 1),
+        |sc AS (SELECT source, sum(chars) AS source_chars FROM g GROUP BY 1),
+        |ct AS (SELECT sum(source_chars) AS total_chars FROM sc)
+        |SELECT g.split, g.source, g.n_docs, g.chars,
+        |       CASE WHEN st.split_chars > 0
+        |            THEN CAST(g.chars * 1000000 // st.split_chars AS BIGINT)
+        |            ELSE 0 END AS split_share_ppm,
+        |       CASE WHEN ct.total_chars > 0
+        |            THEN CAST(sc.source_chars * 1000000 // ct.total_chars
+        |                      AS BIGINT)
+        |            ELSE 0 END AS corpus_share_ppm,
+        |       abs(CASE WHEN st.split_chars > 0
+        |            THEN CAST(g.chars * 1000000 // st.split_chars AS BIGINT)
+        |            ELSE 0 END -
+        |           CASE WHEN ct.total_chars > 0
+        |            THEN CAST(sc.source_chars * 1000000 // ct.total_chars
+        |                      AS BIGINT)
+        |            ELSE 0 END) AS abs_gap_ppm
+        |FROM g JOIN st USING (split) JOIN sc USING (source), ct""".stripMargin,
+
     // Tukey fences: identical histogram rank carve (the x127/x166
     // selection) + pure-integer doubled fence comparisons.
     "x170_tukey_outliers" ->

@@ -548,6 +548,11 @@ object ExtQueries {
       Sessions.eventFunnel(events(s, d)
         .filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp_ntz"))
         .select("user_id", "event_type", "ts"))),
+    // Split balance audit: per (split, source) char-mass share within
+    // the split vs the corpus — the skew report hashSplit itself
+    // cannot give (leak-freedom says nothing about balance).
+    "x171_split_balance" -> ((s, d) =>
+      Assemble.splitBalance(docs(s, d))),
     // Tukey-fence outlier audit over event value cents per type: the
     // fixture's value tail flags ~90-99 high outliers per group at
     // the classic 1.5 IQR (fenceHalf = 3) — strongly non-vacuous.

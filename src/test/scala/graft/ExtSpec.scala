@@ -3906,6 +3906,33 @@ class ExtSpec extends SparkSpec {
       ("S", 90) -> ((3L, 40L))), s"got $got")
   }
 
+  test("splitBalance: agrees with hashSplit's own assignment and exact shares") {
+    import spark.implicits._
+    val docs = (1L to 120L).map(i =>
+      (i, s"doc body $i ${"x" * (i % 7).toInt}", s"src${i % 3}",
+        10L + i % 11)).toDF("doc_id", "text", "source", "n_chars")
+    val got = graft.ext.Assemble.splitBalance(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // reference: join the REAL hashSplit assignment back and redo the
+    // share math in BigInt — the audit must match the split it audits
+    val assign = graft.ext.Assemble.hashSplit(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = (1L to 120L).map(i => (assign(i), s"src${i % 3}", 10L + i % 11))
+    val chars = rows.groupBy(t => (t._1, t._2))
+      .view.mapValues(v => (v.size.toLong, v.map(_._3).sum)).toMap
+    val splitTot = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val srcTot = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = rows.map(_._3).sum
+    val want = chars.map { case ((sp, src), (n, c)) =>
+      val a = BigInt(c) * 1000000 / splitTot(sp)
+      val b = BigInt(srcTot(src)) * 1000000 / total
+      (sp, src) -> ((n, c, a.toLong, b.toLong, (a - b).abs.toLong))
+    }
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("tukeyOutliers: worked quartile carve, strict fences, zero-IQR group") {
     import spark.implicits._
     // g1: values 1..8 + 100 -> n=9, q1 = 3rd smallest = 3, q3 = 7th = 7,
