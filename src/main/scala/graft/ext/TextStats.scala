@@ -1040,4 +1040,46 @@ object TextStats {
         Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
       .select(col("rank"), col("doc_id"), col("score"), col("n_terms_hit"))
   }
+
+  /** Encoding/mojibake QC audit per source: counts of U+FFFD
+    * replacement characters (the scar a botched charset transcode
+    * leaves), C0 control characters (NUL/BEL/VT… — binary bleed; tab
+    * and newline are legitimate and excluded), and non-ASCII mass in
+    * exact ppm — the triage report that says WHICH crawl slice needs
+    * re-decoding before any of it reaches training. A high non-ASCII
+    * share is normal for zh/ar sources and alarming for en ones;
+    * replacement chars are alarming everywhere — the columns ride
+    * together so the reader can tell the two apart.
+    *
+    * Counts are length differences under codegen'd `regexp_replace`
+    * (count = chars removed by deleting the class) — all BMP-safe
+    * code-point arithmetic, identical in Java regex and RE2. One
+    * narrow projection + one map-side-combinable groupBy(source);
+    * nothing shuffles but the per-source partials.
+    *
+    * Output: (source, n_docs, chars, non_ascii, non_ascii_ppm,
+    * n_replacement_docs, control_chars). */
+  def encodingAudit(docs: DataFrame): DataFrame = {
+    val text = coalesce(col("text"), lit(""))
+    def removedBy(pattern: String): Column =
+      (length(text) - length(regexp_replace(text, pattern, ""))).cast("long")
+    docs
+      .filter(col("source").isNotNull)
+      .select(col("source"),
+        length(text).cast("long").as("chars"),
+        removedBy("[^\\x00-\\x7F]").as("non_ascii"),
+        removedBy("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("ctl"),
+        when(text.contains("�"), 1L).otherwise(0L).as("has_repl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("chars"),
+        sum(col("non_ascii")).as("non_ascii"),
+        sum(col("has_repl")).as("n_replacement_docs"),
+        sum(col("ctl")).as("control_chars"))
+      .select(col("source"), col("n_docs"), col("chars"), col("non_ascii"),
+        when(col("chars") > 0L, expr(
+          "CAST(CAST(non_ascii AS DECIMAL(38,0)) * 1000000 DIV chars" +
+            " AS BIGINT)")).otherwise(0L).as("non_ascii_ppm"),
+        col("n_replacement_docs"), col("control_chars"))
+  }
 }

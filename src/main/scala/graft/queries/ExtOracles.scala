@@ -285,6 +285,38 @@ object ExtOracles {
         |SELECT CAST(3 AS INT), 'purchase',
         |       (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin,
 
+    // Encoding audit: identical plant + length-difference counts
+    // under the same regex classes (Java regex ≡ RE2 for these).
+    "x172_encoding_audit" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         CASE WHEN doc_id % 37 = 0
+        |              THEN coalesce(text, '')
+        |                     || chr(65533) || chr(7) || chr(7)
+        |              ELSE coalesce(text, '') END AS text
+        |  FROM documents WHERE source IS NOT NULL),
+        |r AS (
+        |  SELECT source, length(text) AS chars,
+        |         length(text) - length(regexp_replace(
+        |           text, '[^\x00-\x7F]', '', 'g')) AS non_ascii,
+        |         length(text) - length(regexp_replace(
+        |           text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ctl,
+        |         CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END
+        |           AS has_repl
+        |  FROM d),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(chars) AS BIGINT) AS chars,
+        |             CAST(sum(non_ascii) AS BIGINT) AS non_ascii,
+        |             CAST(sum(has_repl) AS BIGINT) AS n_replacement_docs,
+        |             CAST(sum(ctl) AS BIGINT) AS control_chars
+        |      FROM r GROUP BY 1)
+        |SELECT source, n_docs, chars, non_ascii,
+        |       CASE WHEN chars > 0
+        |            THEN CAST(non_ascii * 1000000 // chars AS BIGINT)
+        |            ELSE 0 END AS non_ascii_ppm,
+        |       n_replacement_docs, control_chars
+        |FROM g""".stripMargin,
+
     // Split balance: the x20 split CASE + three exact share
     // divisions in HUGEINT.
     "x171_split_balance" ->

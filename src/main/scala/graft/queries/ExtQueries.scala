@@ -548,6 +548,18 @@ object ExtQueries {
       Sessions.eventFunnel(events(s, d)
         .filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp_ntz"))
         .select("user_id", "event_type", "ts"))),
+    // Encoding/mojibake audit: every 37th doc gets one planted U+FFFD
+    // and two BEL control chars (the fixture is clean — the plant
+    // makes the replacement/control columns non-vacuous, x40's
+    // convention); the zh/ar sources make non_ascii_ppm discriminate
+    // on its own.
+    "x172_encoding_audit" -> ((s, d) =>
+      TextStats.encodingAudit(
+        docs(s, d).select(col("source"), col("doc_id"),
+          when(col("doc_id") % 37 === 0,
+            concat(coalesce(col("text"), lit("")),
+              lit("\uFFFD\u0007\u0007")))
+            .otherwise(col("text")).as("text")))),
     // Split balance audit: per (split, source) char-mass share within
     // the split vs the corpus — the skew report hashSplit itself
     // cannot give (leak-freedom says nothing about balance).

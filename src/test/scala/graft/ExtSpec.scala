@@ -3906,6 +3906,28 @@ class ExtSpec extends SparkSpec {
       ("S", 90) -> ((3L, 40L))), s"got $got")
   }
 
+  test("encodingAudit: worked counts — FFFD, C0 controls, non-ascii ppm") {
+    import spark.implicits._
+    // sA: "héllo" (1 non-ascii of 5) + tab/newline doc (legit
+    // whitespace, NOT control-flagged); sB: replacement + BEL + NUL
+    val docs = Seq(
+      (1L, "héllo", "sA"),
+      (2L, "ab\tcd\nef", "sA"),
+      (3L, "x\uFFFDy\u0007z\u0000", "sB"),
+      (4L, null.asInstanceOf[String], "sB"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ext.TextStats.encodingAudit(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got == Map(
+      // chars 5+8=13, non-ascii 1 (é), ppm 1e6*1/13 = 76923
+      "sA" -> ((2L, 13L, 1L, 76923L, 0L, 0L)),
+      // chars 6+0, non-ascii 1 (the FFFD itself), ppm 166666,
+      // 1 replacement doc, 2 control chars (BEL + NUL)
+      "sB" -> ((2L, 6L, 1L, 166666L, 1L, 2L))), s"got $got")
+  }
+
   test("splitBalance: agrees with hashSplit's own assignment and exact shares") {
     import spark.implicits._
     val docs = (1L to 120L).map(i =>
