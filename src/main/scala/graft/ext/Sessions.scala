@@ -248,6 +248,39 @@ object Sessions {
     }.reduce(_.unionByName(_))
   }
 
+  /** Lag-feature extraction: per event, the user's PREVIOUS event
+    * type and the inter-event gap in microseconds, plus the 1-based
+    * per-user sequence index — the row-shaped feature table a
+    * downstream model trains on (churn/next-event models want "what
+    * did this user just do and how long ago" as columns, not as an
+    * aggregate). The per-user order is the (us, event_id) total order
+    * (the X180 convention: same-microsecond ties resolve by event_id,
+    * so the lag is engine-identical). First events keep their row
+    * with NULL lag columns — a model needs the cold-start rows too.
+    * NULL-timestamp events are dropped up front (the sessionize
+    * rationale).
+    *
+    * Scale shape: ONE shuffle on `user_id`; the lag and row_number
+    * windows share the same (partitionBy, orderBy) so they ride one
+    * sort. Output is row-per-event — the caller filters or samples
+    * downstream, the operator never collects.
+    *
+    * Output: (event_id, user_id, event_type, seq_idx, prev_type,
+    * gap_us). */
+  def lagFeatures(events: DataFrame): DataFrame = {
+    val base = events.filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    base
+      .withColumn("seq_idx", row_number().over(w).cast("long"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("seq_idx"), col("prev_type"), col("gap_us"))
+  }
+
   /** Forward conversion lookup: each touch event (default `click`) is
     * joined to the SAME user's next conversion event (default
     * `purchase`) STRICTLY after it — [[lastTouchAttribution]]'s mirror

@@ -285,6 +285,20 @@ object ExtOracles {
         |SELECT CAST(3 AS INT), 'purchase',
         |       (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin,
 
+    // Lag features: identical lag/row_number windows under the same
+    // total order.
+    "x173_lag_features" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT event_id, user_id, event_type,
+        |       CAST(row_number() OVER w AS BIGINT) AS seq_idx,
+        |       lag(event_type) OVER w AS prev_type,
+        |       us - lag(us) OVER w AS gap_us
+        |FROM base
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+
     // Encoding audit: identical plant + length-difference counts
     // under the same regex classes (Java regex ≡ RE2 for these).
     "x172_encoding_audit" ->

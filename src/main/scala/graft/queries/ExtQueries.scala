@@ -548,6 +548,11 @@ object ExtQueries {
       Sessions.eventFunnel(events(s, d)
         .filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp_ntz"))
         .select("user_id", "event_type", "ts"))),
+    // Lag-feature table: per event, previous type + gap under the
+    // (us, event_id) total order — row-shaped model features.
+    "x173_lag_features" -> ((s, d) =>
+      Sessions.lagFeatures(
+        events(s, d).select("event_id", "user_id", "event_type", "ts"))),
     // Encoding/mojibake audit: every 37th doc gets one planted U+FFFD
     // and two BEL control chars (the fixture is clean — the plant
     // makes the replacement/control columns non-vacuous, x40's

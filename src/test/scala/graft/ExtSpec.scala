@@ -3906,6 +3906,28 @@ class ExtSpec extends SparkSpec {
       ("S", 90) -> ((3L, 40L))), s"got $got")
   }
 
+  test("lagFeatures: total order at microsecond ties, cold-start NULLs") {
+    import spark.implicits._
+    def ts(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+      us / 1000000L, (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC)
+    // u1 has two events at the SAME microsecond: event_id orders them
+    // (5 before 6), so 6's lag is 5's type at gap 0
+    val events = Seq(
+      (5L, 1L, "view", ts(100L)), (6L, 1L, "click", ts(100L)),
+      (7L, 1L, "purchase", ts(250L)),
+      (8L, 2L, "view", ts(10L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.ext.Sessions.lagFeatures(events)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), Option(r.getString(4)),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    assert(got == Map(
+      5L -> ((1L, None, None)),
+      6L -> ((2L, Some("view"), Some(0L))),
+      7L -> ((3L, Some("click"), Some(150L))),
+      8L -> ((1L, None, None))), s"got $got")
+  }
+
   test("encodingAudit: worked counts — FFFD, C0 controls, non-ascii ppm") {
     import spark.implicits._
     // sA: "héllo" (1 non-ascii of 5) + tab/newline doc (legit
