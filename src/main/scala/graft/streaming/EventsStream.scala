@@ -168,6 +168,61 @@ object EventsStream {
       }
   }
 
+  final case class LagState(nEvents: Long, lastUs: Long, lastType: String)
+  final case class LagRow(event_id: Long, user_id: Long, event_type: String,
+      seq_idx: Long, prev_type: Option[String], gap_us: Option[Long])
+
+  /** Streaming face of the batch lag-feature table
+    * (`ext/Sessions.lagFeatures`): per-user keyed state carries only
+    * (count, last event time, last type) and every event emits its
+    * feature row EXACTLY ONCE — the online path that hands a scoring
+    * model "what did this user just do and how long ago" at serve
+    * time, where the batch form is the training-set truth (the same
+    * online/offline pairing as `botState`; a model trained on batch
+    * features and served streaming ones silently skews unless the two
+    * are THIS provably identical). Within a batch, rows process in
+    * (us, event_id) order; across batches per-user event-time
+    * monotonicity is assumed (in-order replay equals the batch form
+    * EXACTLY, spec-pinned). Rows are final at emission — Append mode,
+    * no retraction; state per user is two longs and a type string. */
+  def lagFeatureState(
+      spark: SparkSession,
+      events: Dataset[Event],
+      timeoutMs: Option[Long] = Some(24 * 3600 * 1000L)): Dataset[LagRow] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (timeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LagState, LagRow](
+        OutputMode.Append, timeoutConf) {
+        case (user, rows, state: GroupState[LagState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            def tsUs(t: java.sql.Timestamp): Long =
+              t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+            val ordered = rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+            if (ordered.isEmpty) Iterator.empty
+            else {
+              var s = state.getOption.getOrElse(LagState(0L, 0L, null))
+              val out = ordered.map { e =>
+                val us = tsUs(e.ts)
+                val row = LagRow(e.event_id, user, e.event_type,
+                  s.nEvents + 1L,
+                  Option(s.lastType),
+                  if (s.nEvents == 0L) None else Some(us - s.lastUs))
+                s = LagState(s.nEvents + 1L, us, e.event_type)
+                row
+              }
+              state.update(s)
+              timeoutMs.foreach(state.setTimeoutDuration)
+              out.iterator
+            }
+          }
+      }
+  }
+
   final case class BotState(nEvents: Long, lastUs: Long, minGapUs: Long,
       curDay: Long, curDayCount: Long, maxDayCount: Long, activeDays: Long)
   final case class BotUpdate(user_id: Long, n_events: Long,
