@@ -12,6 +12,15 @@ libraryDependencies ++= Seq(
 scalacOptions ++= Seq("-deprecation", "-unchecked")
 Test / fork := true
 run / fork := true
+// Bench/Verify print machine-parsed JSON lines: sbt's default forked-run
+// logger prefixes every stdout line with "[info] " and appends a
+// "[success] Total time" trailer, which left the driver's BENCH capture
+// `parsed: null` every round (VERDICT r8 task 2 — the compact line alone
+// wasn't enough). Raw StdoutOutput + no success banner makes the LAST
+// line of a bench run the bare compact JSON object.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

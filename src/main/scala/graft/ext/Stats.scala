@@ -63,14 +63,19 @@ object Stats {
         count(when(col("ra") === 1 && col("rb") === 0, 1)).as("n10"),
         count(when(col("ra") === 1 && col("rb") === 1, 1)).as("n11"))
     counts
-      .withColumn("po_ppm", expr("1000000 * (n00 + n11) DIV n"))
+      // empty-input guard (n = 0 → 0, the contractCheck convention):
+      // an empty rater frame must not divide by zero — NULL in
+      // default mode, a throw under ANSI
+      .withColumn("po_ppm", expr(
+        "CASE WHEN n = 0 THEN 0 ELSE 1000000 * (n00 + n11) DIV n END"))
       // DIV (integral, truncating — matches DuckDB // on the always-
       // non-negative operands), never decimal `/` + cast (that ROUNDS)
       .withColumn("pe_ppm", expr(
-        "CAST(CAST(1000000 AS DECIMAL(38,0)) * " +
+        "CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "CAST(CAST(1000000 AS DECIMAL(38,0)) * " +
           "(CAST(n00 + n01 AS DECIMAL(38,0)) * (n00 + n10) + " +
           " CAST(n10 + n11 AS DECIMAL(38,0)) * (n01 + n11)) " +
-          "DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+          "DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) END"))
       .withColumn("kappa_ppm",
         when(col("pe_ppm") >= 1000000L, lit(0L)).otherwise(
           when(col("po_ppm") >= col("pe_ppm"),
@@ -1414,12 +1419,22 @@ object Stats {
     * derived from each signal's value histogram + prefix window (the
     * X139 decomposition: the corpus never sorts; the window runs over
     * distinct values) and joined back on the value. The output is the
-    * X143 signed-square convention — `sign(num)·10⁶·num² div
-    * (denₓ·den_y)` ppm, exact integer, no sqrt — with moments in
-    * DECIMAL(38,0) ↔ DuckDB HUGEINT. Exactness headroom: `n·Σxy ≈
-    * 4n⁴` must fit 10³⁸ → exact to n ≈ 10⁹ rows; beyond that,
-    * correlate a sample. Degenerate (constant) signals emit 0 under
-    * the explicit zero-variance guard. */
+    * X143 signed-square convention — `sign(num)·10⁶·num²/(denₓ·den_y)`
+    * ppm, integer, no sqrt — with moments in DECIMAL(38,0) ↔ DuckDB
+    * HUGEINT, and the final division STAGED so the full-magnitude
+    * numerator is never squared (`10⁶·num²` reaches ≈2.3·10³⁸ at
+    * n ≈ 15k, rho ≈ 0.9 — Spark silently NULLs on DECIMAL overflow
+    * where DuckDB errors): `q = 10⁶·|num| div max(denₓ,den_y)` is
+    * ≤ 10⁶ by Cauchy–Schwarz, then `q·|num| div min(denₓ,den_y)`.
+    * Headroom is now the moment bound only — `m·Σxy ≲ 4n⁴` and
+    * `10⁶·|num| ≲ 10⁶·n⁴/3` both fit 10³⁸ to n ≈ 4·10⁸ rows; beyond
+    * that, correlate a sample. The staging truncates once more than
+    * the one-shot form (drift ≤ √(dmax/dmin) ppm — ≈1 ppm here,
+    * since both denominators are RANK variances, ≈ m³/3 apart from
+    * ties); the oracle computes the IDENTICAL staged expression, so
+    * the cross-engine match is exact by construction. Degenerate
+    * (constant) signals emit 0 under the explicit zero-variance
+    * guard. */
   def spearman(df: DataFrame, x: String, y: String): DataFrame = {
     val d = df.filter(col(x).isNotNull && col(y).isNotNull)
       .select(col(x), col(y))
@@ -1444,8 +1459,9 @@ object Stats {
         when(col("m") < 2 || col("denx") <= 0 || col("deny") <= 0, lit(0L))
           .otherwise(expr(
             "CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END * " +
-              "(CAST(1000000 AS DECIMAL(38,0)) * num * num " +
-              "DIV (denx * deny)) AS BIGINT)"))
+              "((CAST(1000000 AS DECIMAL(38,0)) * abs(num) " +
+              "DIV greatest(denx, deny)) * abs(num) " +
+              "DIV least(denx, deny)) AS BIGINT)"))
           .as("rho2_signed_ppm"))
   }
 

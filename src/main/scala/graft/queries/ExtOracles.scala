@@ -1346,7 +1346,10 @@ object ExtOracles {
         |FROM k GROUP BY lang""".stripMargin,
 
     // Spearman: identical doubled-average-rank construction (value
-    // histogram + prefix) and signed-square ppm, HUGEINT moments.
+    // histogram + prefix) and signed-square ppm, HUGEINT moments,
+    // staged division (q = 10^6|num| // dmax, then q*|num| // dmin)
+    // mirroring the Spark side exactly — operands non-negative, so
+    // DuckDB's flooring // equals Spark's truncating DIV.
     "x141_spearman" ->
       """WITH d AS (
         |  SELECT n_chars AS x,
@@ -1378,7 +1381,8 @@ object ExtOracles {
         |SELECT m AS n_pairs,
         |       CAST(CASE WHEN m < 2 OR denx <= 0 OR deny <= 0 THEN 0
         |                 ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END) *
-        |                      (1000000 * num * num // (denx * deny))
+        |                      ((1000000 * abs(num) // greatest(denx, deny))
+        |                       * abs(num) // least(denx, deny))
         |            END AS BIGINT) AS rho2_signed_ppm
         |FROM f""".stripMargin,
 

@@ -24,7 +24,6 @@ object Oracles {
         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderkey % 100 = 0""".stripMargin,
 
-    // replays k5PromoteLatest's append history (e1 full, e2 updated %7
     // K2 CSV round trip: the dump-and-read-back must be value-equal
     // to reading the source table directly — the CSV leg is pure
     // transport, so the oracle IS the plain projection.
@@ -32,6 +31,7 @@ object Oracles {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
 
+    // replays k5PromoteLatest's append history (e1 full, e2 updated %7
     // keys, e3 same-timestamp re-run over %14 keys) and keeps the
     // latest extraction per PK — timestamp first, extractionid as the
     // tiebreak, exactly EntityWriter.latestPerPk's window

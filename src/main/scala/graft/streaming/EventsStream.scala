@@ -182,9 +182,17 @@ object EventsStream {
     * features and served streaming ones silently skews unless the two
     * are THIS provably identical). Within a batch, rows process in
     * (us, event_id) order; across batches per-user event-time
-    * monotonicity is assumed (in-order replay equals the batch form
-    * EXACTLY, spec-pinned). Rows are final at emission — Append mode,
-    * no retraction; state per user is two longs and a type string. */
+    * monotonicity is assumed. The batch-equals-stream claim holds
+    * with `timeoutMs = None` (or while no user sits idle past the
+    * timeout): in-order replay then equals the batch form EXACTLY,
+    * spec-pinned. With a timeout set, an evicted user's next event
+    * restarts at seq_idx = 1 with NULL prev_type/gap_us — that IS
+    * online/offline feature skew, so production deployments that
+    * need the equivalence must pass `None` (and bound state some
+    * other way, e.g. user-id TTL upstream); the default keeps the
+    * bounded-state posture and documents the trade. Rows are final
+    * at emission — Append mode, no retraction; state per user is two
+    * longs and a type string. */
   def lagFeatureState(
       spark: SparkSession,
       events: Dataset[Event],

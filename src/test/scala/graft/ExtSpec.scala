@@ -3521,6 +3521,13 @@ class ExtSpec extends SparkSpec {
     val neg = run(Seq.fill(5)((0, 1)) ++ Seq.fill(5)((1, 0)))
     assert(neg.getAs[Long]("kappa_ppm") == -1000000L &&
       neg.getAs[Long]("mcnemar_x1000") == 0L, s"got $neg")
+    // empty input: n = 0 must emit all-zero metrics, not divide by
+    // zero (NULL in default mode, a throw under ANSI) — the
+    // contractCheck empty-frame convention (ADVICE r9)
+    val e = run(Nil)
+    assert((e.getAs[Long]("n"), e.getAs[Long]("po_ppm"),
+      e.getAs[Long]("pe_ppm"), e.getAs[Long]("kappa_ppm"),
+      e.getAs[Long]("mcnemar_x1000")) == ((0L, 0L, 0L, 0L, 0L)), s"got $e")
   }
 
   test("calibrationCurve: worked buckets with a value straddling the boundary") {
@@ -3602,6 +3609,54 @@ class ExtSpec extends SparkSpec {
     assert(run(Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L))) == -1000000L)
     // constant signal: zero variance -> 0 under the guard
     assert(run(Seq((1L, 7L), (2L, 7L), (3L, 7L))) == 0L)
+  }
+
+  test("spearman: staged division survives n=15k/rho~0.9 where 10^6*num^2 overflows 38 digits") {
+    import spark.implicits._
+    // ADVICE r9: the one-shot 10^6*num*num DIV (denx*deny) silently
+    // NULLed past DECIMAL(38,0) at n ~ 15,000 / rho ~ 0.9. Fixture:
+    // x = 1..15000, y = x + deterministic noise in [-2000, 2000] ->
+    // strong monotone association. The expected value is an exact
+    // BigInt re-derivation of the SAME staged formula (tie-aware
+    // doubled ranks, Cauchy-Schwarz-bounded q), so this doubles as a
+    // cross-implementation proof, not a self-comparison.
+    val n = 15000
+    val pairs = (1 to n).map { i =>
+      (i.toLong, i.toLong + (i.toLong * 2654435761L) % 4001L - 2000L)
+    }
+    // exact tie-aware doubled rank: 2*|{v' < v}| + |{v' == v}| + 1
+    def ranks2(vs: Seq[Long]): Map[Long, Long] = {
+      val cnt = vs.groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+      val sorted = cnt.toSeq.sortBy(_._1)
+      var prefix = 0L
+      sorted.map { case (v, c) =>
+        val r = 2 * prefix + c + 1; prefix += c; v -> r
+      }.toMap
+    }
+    val rx = ranks2(pairs.map(_._1))
+    val ry = ranks2(pairs.map(_._2))
+    val rs = pairs.map { case (x, y) => (BigInt(rx(x)), BigInt(ry(y))) }
+    val m = BigInt(n)
+    val (sx, sy) = (rs.map(_._1).sum, rs.map(_._2).sum)
+    val sxy = rs.map { case (a, b) => a * b }.sum
+    val sxx = rs.map { case (a, _) => a * a }.sum
+    val syy = rs.map { case (_, b) => b * b }.sum
+    val num = m * sxy - sx * sy
+    val denx = m * sxx - sx * sx
+    val deny = m * syy - sy * sy
+    // the regression precondition: the OLD numerator really exceeds
+    // DECIMAL(38,0) on this fixture (else the test proves nothing)
+    assert(BigInt(10).pow(6) * num * num > BigInt(10).pow(38),
+      s"fixture too small to trigger the overflow: num=$num")
+    val q = BigInt(10).pow(6) * num.abs / denx.max(deny)
+    val expected = (num.signum: BigInt) * (q * num.abs / denx.min(deny))
+    val got = graft.ext.Stats.spearman(pairs.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(!got.isNullAt(1), "rho2_signed_ppm is NULL: the staged division overflowed")
+    assert(got.getLong(1) == expected.toLong,
+      s"got ${got.getLong(1)}, BigInt-exact staged value $expected")
+    // sanity: the association the fixture encodes is strongly positive
+    assert(got.getLong(1) > 600000L && got.getLong(1) <= 1000000L)
   }
 
   test("uShapedAttribution: worked 40-20-40 shapes; weights sum to 1e6 per purchase") {
