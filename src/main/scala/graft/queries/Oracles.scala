@@ -31,6 +31,29 @@ object Oracles {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
 
+    // K-series ORC leg: pure transport, oracle IS the plain projection
+    // of the parquet source (same convention as k6).
+    "k7_orc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
+
+    // partition-layout leg: the hive-partitioned write+pruned read must
+    // equal the plain filtered projection (pruning itself is
+    // plan-pinned in PlatformSpec, not hash-visible).
+    "k8_partition_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+        |       o_orderpriority, o_orderstatus
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    // bucketed-layout leg: the zero-shuffle co-located join must equal
+    // the plain join; money exact via the shared cents idiom.
+    "k9_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
     // replays k5PromoteLatest's append history (e1 full, e2 updated %7
     // keys, e3 same-timestamp re-run over %14 keys) and keeps the
     // latest extraction per PK — timestamp first, extractionid as the

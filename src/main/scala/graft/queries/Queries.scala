@@ -366,6 +366,75 @@ object Queries {
       .csv(s"${w.path("customer_dump")}__debug_csv")
   }
 
+  /** K-series ORC leg: the staging sink contract is format-agnostic —
+    * the same frame written as ORC (Spark's other first-class columnar
+    * format; a warehouse migrating between lakehouse stacks must
+    * round-trip it) and read back must be value-identical to the
+    * parquet source. Crosses the same type hazards as k6: doubles
+    * (ORC stores IEEE bits, no text rendering involved), an int32
+    * column whose width the format must preserve, negative balances.
+    * The oracle reads the original parquet — the ORC leg is pure
+    * transport. */
+  def k7OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.util.Scratch.dir("orc_gate")}/customer_orc"
+    t(spark, dir, "customer").write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+  }
+
+  /** K/S-series partition-layout leg: a 100 TB table is only usable
+    * when a predicate on the partition column prunes the scan to the
+    * matching directories — this gate writes ORDERS hive-partitioned
+    * by `o_orderstatus`, reads it back filtered to one status, and
+    * hash-matches the oracle's plain filtered projection. The PRUNING
+    * itself (PartitionFilters in the scan, numFiles = one partition's
+    * files) is plan-pinned in PlatformSpec — the hash gate proves the
+    * partitioned write+discovery round-trips values and the partition
+    * column's string type exactly. */
+  def k8PartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.util.Scratch.dir("part_gate")}/orders_by_status"
+    t(spark, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+  }
+
+  /** K-series bucketed-layout leg: the co-located join. Both sides are
+    * written bucketed on the join key (8 buckets, sorted within), so
+    * the fact-dimension join needs NO shuffle exchange on either side
+    * — at 100 TB this is the difference between a map-side join over
+    * pre-shuffled files and re-shuffling the fact table on every
+    * query. Zero-exchange is plan-pinned in PlatformSpec with
+    * broadcast disabled (AQE would otherwise hide the proof by
+    * broadcasting the small side); this hash gate proves the bucketed
+    * write+catalog read computes the same answer as the oracle's
+    * plain join. Money exact via the shared floor(p*100+0.5) cents
+    * idiom. */
+  def k9BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    k9WriteBucketedTables(spark, dir)
+    spark.table("k9_orders_b")
+      .join(spark.table("k9_customer_b"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("total_cents"))
+  }
+
+  /** Lays the two bucketed external tables k9 joins — shared with the
+    * PlatformSpec zero-exchange plan pin. Overwrite semantics so bench
+    * reps and spec runs converge on the latest scratch location. */
+  def k9WriteBucketedTables(spark: SparkSession, dir: String): Unit = {
+    val base = graft.util.Scratch.dir("bucket_gate")
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$base/orders_b").saveAsTable("k9_orders_b")
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$base/customer_b").saveAsTable("k9_customer_b")
+  }
+
   // ------------------------------------------------------------ set ops
 
   /** T2: append-as-union semantics (UNION ALL of two incremental batches). */
@@ -387,6 +456,9 @@ object Queries {
     "s3_odata_expand" -> (s3ODataExpand _),
     "k5_promote_latest" -> (k5PromoteLatest _),
     "k6_csv_roundtrip" -> (k6CsvRoundtrip _),
+    "k7_orc_roundtrip" -> (k7OrcRoundtrip _),
+    "k8_partition_prune" -> (k8PartitionPrune _),
+    "k9_bucketed_join" -> (k9BucketedJoin _),
     "s2_filter_pushdown" -> (s2FilterPushdown _),
     "s4_limit_probe" -> (s4LimitProbe _),
     "p4_incremental_window" -> (p4IncrementalWindow _),

@@ -305,4 +305,89 @@ class PlatformSpec extends SparkSpec {
       assert(platform.info("engine") == "graft")
     } finally spark.sql("DROP DATABASE IF EXISTS acc_acct9 CASCADE")
   }
+
+  test("k8: partition pruning — the filtered scan reads ONLY the matching partition's files") {
+    import org.apache.spark.sql.functions.col
+    val out = s"${tmpDir("part_pin")}/orders_by_status"
+    spark.read.parquet(s"$sf/orders.parquet")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val df = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+    // collect() executes THIS queryExecution's plan (count() would build
+    // a separate aggregate plan whose metrics this scan never sees)
+    assert(df.collect().nonEmpty)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, df.queryExecution.executedPlan.toString.take(1500))
+    val scan = scans.head
+    assert(scan.metadata("PartitionFilters").contains("o_orderstatus"),
+      s"no partition filter pushed: ${scan.metadata("PartitionFilters")}")
+    def parquetFiles(p: java.io.File): Int =
+      Option(p.listFiles).toSeq.flatten.map {
+        case d if d.isDirectory => parquetFiles(d)
+        case f if f.getName.endsWith(".parquet") => 1
+        case _ => 0
+      }.sum
+    val fFiles = parquetFiles(new java.io.File(s"$out/o_orderstatus=F"))
+    val allFiles = parquetFiles(new java.io.File(out))
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles == fFiles && numFiles < allFiles,
+      s"scan read $numFiles files; F partition has $fFiles of $allFiles total")
+  }
+
+  test("k9: bucketed co-located join runs with ZERO shuffle exchanges (control join has them)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    graft.queries.Queries.k9WriteBucketedTables(spark, sf)
+    // broadcast would hide the proof: a tiny dimension side gets
+    // broadcast regardless of layout — disable it so the shuffle-free
+    // plan can only come from the bucketing
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+        df.count()
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+      }
+      val bucketed = finalPlan(
+        spark.table("k9_orders_b").join(spark.table("k9_customer_b"),
+          col("o_custkey") === col("c_custkey")))
+      val nBucketed = bucketed.collect { case e: ShuffleExchangeLike => e }.size
+      assert(nBucketed == 0,
+        s"bucketed join shuffled ($nBucketed exchanges):\n${bucketed.toString.take(1500)}")
+      assert(bucketed.toString.contains("SortMergeJoin"), bucketed.toString.take(1500))
+      // control: the SAME join over plain parquet must shuffle both sides
+      val plain = finalPlan(
+        spark.read.parquet(s"$sf/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .join(spark.read.parquet(s"$sf/customer.parquet")
+            .select("c_custkey", "c_mktsegment"),
+            col("o_custkey") === col("c_custkey")))
+      val nPlain = plain.collect { case e: ShuffleExchangeLike => e }.size
+      assert(nPlain == 2,
+        s"control join should shuffle both sides, got $nPlain:\n${plain.toString.take(1500)}")
+      // and the bucketed join's VALUES equal the plain join's
+      assert(graft.queries.Queries.k9BucketedJoin(spark, sf).collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq ==
+        spark.read.parquet(s"$sf/orders.parquet")
+          .join(spark.read.parquet(s"$sf/customer.parquet"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.expr(
+                "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("c"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS k9_orders_b")
+      spark.sql("DROP TABLE IF EXISTS k9_customer_b")
+    }
+  }
 }
