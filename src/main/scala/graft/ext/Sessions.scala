@@ -1108,4 +1108,60 @@ object Sessions {
             "DIV (CAST(span_us AS DECIMAL(38,0)) * span_us) AS BIGINT)"))
           .as("cv2_ppm"))
   }
+
+  /** First-order Markov next-event BACKTEST — the sequence-model
+    * sanity row next to [[transitionMatrix]]: train the argmax
+    * next-type predictor on the first half of the event-time range,
+    * score it on the held-out second half, report per prior type.
+    * The split is data-derived (`min_us + (max_us − min_us) div 2` —
+    * the subtraction keeps the divided operand non-negative, so
+    * Spark's truncating DIV and DuckDB's flooring `//` agree even on
+    * pre-1970 fixtures) — never wall clock. A transition belongs to
+    * the window of its SOURCE event's timestamp, so a pair straddling
+    * the boundary trains nothing and evaluates once. Prediction per
+    * prior type is argmax by (count desc, lexicographic next type) —
+    * a total order, hash-safe. A prior type seen only in eval carries
+    * NULL predicted_next, n_train 0 and zero correct (the honest
+    * cold-start row); accuracy is exact ppm.
+    *
+    * Scale shape: ONE user-keyed window pass produces every
+    * transition (shared by train and eval via the split predicate);
+    * the model is a (type × type)-domain-bounded aggregate joined
+    * broadcast-small onto the eval side; accuracy is one map-side-
+    * combinable groupBy. The one-row split frame cross-joins, never
+    * collects. */
+  def markovBacktest(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val trans = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("prev_type"), col("next_type"), col("us"))
+      .crossJoin(broadcast(
+        ev.agg(expr("min(us) + (max(us) - min(us)) DIV 2").as("split_us"))))
+    val train = trans.filter(col("us") <= col("split_us"))
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    val model = train
+      .withColumn("n_train", sum(col("n")).over(byPrev))
+      .withColumn("rn", row_number().over(
+        byPrev.orderBy(col("n").desc, col("next_type"))))
+      .filter(col("rn") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted_next"),
+        col("n_train"))
+    trans.filter(col("us") > col("split_us"))
+      .join(model, Seq("prev_type"), "left")
+      .groupBy(col("prev_type"))
+      .agg(
+        max(col("predicted_next")).as("predicted_next"),
+        coalesce(max(col("n_train")), lit(0L)).as("n_train"),
+        count(lit(1)).as("n_eval"),
+        sum(when(col("next_type") === col("predicted_next"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("acc_ppm", expr("1000000 * n_correct DIV n_eval"))
+  }
 }

@@ -79,6 +79,51 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Matryoshka truncation audit (the MRL deployment question,
+    * Kusupati et al. 2022): for each query, how much of the
+    * full-dimension exact top-k does a PREFIX-dimension search
+    * recover? Per query: the full top-k ([[cosTopKFor]], the x3
+    * baseline), the top-k over the first `dims` coordinates only, and
+    * their overlap as exact counts + recall ppm — the measurement
+    * that says whether serving can run on the cheap prefix.
+    *
+    * Determinism: both legs are rank-only under the (cos desc,
+    * vec_id) total order; the overlap is a set intersection of two
+    * deterministic rank sets — integers end to end, no float crosses
+    * an aggregate. Vectors whose PREFIX is zero-norm drop out of the
+    * prefix leg only (the cosine-path contract).
+    *
+    * Scale shape: the prefix leg is the point — at matryoshka-ordered
+    * storage it scans `dims/D` of the bytes and does `dims/D` of the
+    * multiplies, so the audit quantifies exactly what a prefix-first
+    * candidates-then-verify pipeline would lose. Both legs here are
+    * the declared exact brute force over a broadcast query set (the
+    * x3 convention); the IVF/LSH indexes are the scale path for the
+    * search itself. */
+  def matryoshkaRecall(
+      emb: DataFrame, dims: Int = 16, k: Int = 10,
+      queryMod: Int = 50): DataFrame = {
+    require(dims >= 1, s"prefix dims $dims must be positive")
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+    val full = cosTopKFor(emb, queries, k)
+    val trunc = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("embedding"))
+    val pref = cosTopKFor(trunc,
+      trunc.filter(col("vec_id") % queryMod === 0), k)
+    val overlap = full.select(col("query_id"), col("neighbor_id"))
+      .join(pref.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    full.groupBy(col("query_id")).agg(count(lit(1)).as("n_full"))
+      .join(pref.groupBy(col("query_id")).agg(count(lit(1)).as("n_prefix")),
+        Seq("query_id"), "left")
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_full"),
+        coalesce(col("n_prefix"), lit(0L)).as("n_prefix"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_ppm", expr("1000000 * n_overlap DIV n_full"))
+  }
+
   /** Hard-negative mining over labeled vectors — the contrastive-
     * training data miner (Schroff et al. 2015's semi-hard mining is
     * the published ancestor): per sampled query, the nearest SAME-

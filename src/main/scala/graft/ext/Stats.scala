@@ -1945,6 +1945,115 @@ object Stats {
           .as("v2_ppm"))
   }
 
+  /** Fleiss' kappa (Fleiss 1971) — [[raterAgreement]]'s m-rater
+    * generalization: chance-corrected agreement when EVERY item is
+    * rated by the same m raters (label-quality audits with an
+    * ensemble of heuristic judges, the multi-annotator QC gate). All
+    * arithmetic exact-integer ppm: per-item agreement mass is
+    * `Σ_j n_ij² − m` (non-negative since Σ_j n_ij = m), so
+    * `P̄_ppm = 10⁶·(Σ_i Σ_j n_ij² − n·m) div (n·m·(m−1))`; chance
+    * agreement needs no per-category floor sum because
+    * `Σ_j p_j² = (Σ_j c_j²)/(n·m)²` is ONE division —
+    * `P̄e_ppm = 10⁶·Σ_j c_j² div (n·m)²` with the squared category
+    * totals in DECIMAL(38,0) ↔ DuckDB HUGEINT (`c_j ≤ n·m` passes
+    * 2⁶³ at n ≈ 10⁹·m). κ is sign-decomposed (the x128 convention)
+    * with the chance-perfect (`P̄e ≥ 10⁶`) and empty-input guards of
+    * [[raterAgreement]]. Items with ANY missing rating are dropped —
+    * kappa's per-item total must equal m (the subset-rated variant
+    * is a different statistic).
+    *
+    * Scale shape: one groupBy to the (item, rating) cell frame, one
+    * per-item aggregate, one category-bounded aggregate; the two
+    * one-row frames cross-join at the end. Nothing shuffles wider
+    * than the corpus's (item, rating) pairs. */
+  def fleissKappa(df: DataFrame, item: Column, raters: Seq[Column]): DataFrame = {
+    val m = raters.size
+    require(m >= 2, s"Fleiss' kappa needs at least two raters, got $m")
+    val rated = df
+      .select(item.as("__item") +: raters.zipWithIndex.map {
+        case (r, i) => r.cast("int").as(s"__r$i") }: _*)
+      .filter(raters.indices.map(i => col(s"__r$i").isNotNull).reduce(_ && _))
+    val nij = rated
+      .select(col("__item"),
+        explode(array(raters.indices.map(i => col(s"__r$i")): _*)).as("rating"))
+      .groupBy(col("__item"), col("rating")).agg(count(lit(1)).as("nij"))
+    val perItem = nij.groupBy(col("__item"))
+      .agg(sum(col("nij") * col("nij")).as("sq"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("sq")), lit(0L)).as("sqsum"))
+    val cats = nij.groupBy(col("rating")).agg(sum(col("nij")).as("c_j"))
+      .agg(coalesce(sum(expr("CAST(c_j AS DECIMAL(38,0)) * c_j")),
+        lit(java.math.BigDecimal.ZERO)).as("csq"))
+    perItem.crossJoin(cats)
+      .withColumn("po_ppm", expr(
+        s"CASE WHEN n = 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE 1000000 * (sqsum - n * $m) DIV (n * $m * ${m - 1}) END"))
+      .withColumn("pe_ppm", expr(
+        s"CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          s"CAST(CAST(1000000 AS DECIMAL(38,0)) * csq " +
+          s"DIV (CAST(n AS DECIMAL(38,0)) * $m * n * $m) AS BIGINT) END"))
+      .select(col("n").as("n_items"), lit(m).as("m_raters"),
+        col("po_ppm"), col("pe_ppm"),
+        when(col("pe_ppm") >= 1000000L, lit(0L)).otherwise(
+          when(col("po_ppm") >= col("pe_ppm"),
+            expr("1000000 * (po_ppm - pe_ppm) DIV (1000000 - pe_ppm)"))
+            .otherwise(-expr(
+              "1000000 * (pe_ppm - po_ppm) DIV (1000000 - pe_ppm)")))
+          .as("kappa_ppm"))
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * leg of the k-anonymity / l-diversity release-gate trio: per
+    * quasi-identifier equivalence class, the TOTAL VARIATION distance
+    * (categorical EMD under unit ground distance) between the class's
+    * sensitive-value distribution and the corpus-global one, in exact
+    * ppm — `tv = ½·Σ_j |p_gj − p_j|` cross-multiplied to
+    * `10⁶·Σ_j |c_gj·N − c_j·n_g| div (2·n_g·N)` so ONE integral
+    * division ends the computation (deviation terms in DECIMAL(38,0)
+    * ↔ DuckDB HUGEINT; `c·N ≤ N²` passes 2⁶³ at N ≈ 3·10⁹). An
+    * l-diverse class can still leak when its sensitive distribution
+    * is badly skewed toward one value — tv is exactly that skew.
+    * Categories ABSENT from a class still contribute `c_j·n_g` (the
+    * chi2 full-grid lesson: omitting zero cells understates the
+    * distance), and NULL is a legal value on both axes (null-safe
+    * grid join).
+    *
+    * Scale shape: one groupBy to the (class × sensitive) cell frame
+    * — domain-bounded, never the corpus — then the class-by-category
+    * grid cross join (the one place a cross join is the right
+    * shape), one aggregate back to classes. */
+  def tCloseness(
+      df: DataFrame, quasi: Seq[String], sensitive: String,
+      tPpm: Long): DataFrame = {
+    require(quasi.nonEmpty, "t-closeness needs at least one quasi-identifier")
+    require(tPpm >= 0, s"threshold $tPpm must be non-negative")
+    val cells = df.groupBy((quasi :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("o")).localCheckpoint(true)
+    val groups = cells.groupBy(quasi.map(col): _*).agg(sum(col("o")).as("n_g"))
+      .select(quasi.map(q => col(q).as(s"__g_$q")) :+ col("n_g"): _*)
+    val cats = cells.groupBy(col(sensitive)).agg(sum(col("o")).as("c_j"))
+      .select(col(sensitive).as("__s"), col("c_j"))
+    val tot = cells.agg(sum(col("o")).as("n_total"))
+    val joined = groups.crossJoin(cats)
+      .join(cells,
+        quasi.map(q => col(s"__g_$q") <=> col(q)).reduce(_ && _) &&
+          (col("__s") <=> col(sensitive)), "left")
+      .crossJoin(broadcast(tot))
+      .select(quasi.map(q => col(s"__g_$q")) ++ Seq(
+        col("n_g"), col("n_total"), expr(
+          "abs(coalesce(o, CAST(0 AS BIGINT)) * CAST(n_total AS DECIMAL(38,0)) - " +
+            "CAST(c_j AS DECIMAL(38,0)) * n_g)").as("dev")): _*)
+    joined
+      .groupBy(quasi.map(q => col(s"__g_$q")) ++
+        Seq(col("n_g"), col("n_total")): _*)
+      .agg(sum(col("dev")).as("devsum"))
+      .select(quasi.map(q => col(s"__g_$q").as(q)) ++ Seq(
+        col("n_g"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * devsum " +
+          "DIV (2 * CAST(n_g AS DECIMAL(38,0)) * n_total) AS BIGINT)")
+          .as("tv_ppm")): _*)
+      .withColumn("violates", col("tv_ppm") > tPpm)
+  }
+
   /** Robust daily anomaly flags — [[dailyAnomaly]]'s mean/σ gate with
     * MEDIAN/MAD in its place (Hampel's robust identifier): a burst day
     * inflates the very σ that is supposed to flag it, so a 3σ gate

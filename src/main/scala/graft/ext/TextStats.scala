@@ -1041,6 +1041,69 @@ object TextStats {
       .select(col("rank"), col("doc_id"), col("score"), col("n_terms_hit"))
   }
 
+  /** Sparse tf·idf cosine top-k via an INVERTED INDEX — the lexical
+    * (BM25-family) retrieval leg next to the dense x3 leg, and the
+    * other half of every hybrid-retrieval stack (x120 fuses such
+    * legs). Weights are exact integers (`w = tf · ((10⁶·n_docs) div
+    * df)`, the x50 idf proxy); per (query, candidate) the score is
+    * the SQUARED cosine in ppm under the x141 staged-division
+    * convention (`q = 10⁶·num div max(den_q, den_d)` — ≤ 10⁶ by
+    * Cauchy–Schwarz even though `num` sums only the SHARED terms,
+    * since missing terms only grow the denominators — then
+    * `q·num div min`; num ≥ 0, no sign handling); ranking is
+    * (score desc, doc_id), a total order.
+    *
+    * Scale shape: THE INVERTED INDEX IS THE OPERATOR — candidates
+    * come from the posting-list equi-join on the term, so a document
+    * sharing no term with the query is never touched (vs. the dense
+    * leg's scan-everything brute force). The query postings are
+    * broadcast; norms are per-doc aggregates computed once; the
+    * ReuseExchange on the shared weight subtree keeps the corpus
+    * tokenized once. The production knob this audit deliberately
+    * does NOT apply is a df ceiling (dropping stop-terms from
+    * MATCHING bounds the posting fan-out at the cost of exactness) —
+    * scores here are the full tf·idf cosine. Exact while
+    * `tf·idf < 2⁶³`: hapax terms carry idf = 10⁶·n_docs, so the
+    * weight leg is exact to n_docs·tf ≈ 9·10¹²; square sums ride
+    * DECIMAL(38,0) ↔ HUGEINT. */
+  def sparseCosTopK(
+      docs: DataFrame, k: Int = 5, queryMod: Int = 250): DataFrame = {
+    require(k >= 1, s"k $k must be positive")
+    val nDocs = docs.count()
+    val scaleN = math.multiplyExact(1000000L, nDocs)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .select(col("token"), expr(s"${scaleN}L div df").as("idf"))
+    val w = tf.join(broadcast(idf), Seq("token"))
+      .select(col("doc_id"), col("token"), (col("tf") * col("idf")).as("w"))
+    val den = w.groupBy(col("doc_id"))
+      .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("den"))
+    val qw = w.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("query_id"), col("token"), col("w").as("wq"))
+    val num = w.join(broadcast(qw), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("CAST(wq AS DECIMAL(38,0)) * w")).as("num"))
+    val scored = num
+      .join(broadcast(den.filter(col("doc_id") % queryMod === 0)
+        .select(col("doc_id").as("query_id"), col("den").as("den_q"))),
+        Seq("query_id"))
+      .join(den, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * num DIV greatest(den_q, den))" +
+          " * num DIV least(den_q, den) AS BIGINT)").as("score_ppm"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_ppm").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score_ppm"))
+  }
+
   /** Encoding/mojibake QC audit per source: counts of U+FFFD
     * replacement characters (the scar a botched charset transcode
     * leaves), C0 control characters (NUL/BEL/VT… — binary bleed; tab

@@ -2097,10 +2097,12 @@ object ExtOracles {
         |  FROM e),
         |p AS (
         |  SELECT *,
-        |         CAST(1000000 * (n00 + n11) // n AS BIGINT) AS po_ppm,
-        |         CAST(1000000 * ((n00 + n01) * (n00 + n10) +
-        |                         (n10 + n11) * (n01 + n11))
-        |              // (n * n) AS BIGINT) AS pe_ppm
+        |         CAST(CASE WHEN n = 0 THEN 0
+        |              ELSE 1000000 * (n00 + n11) // n END AS BIGINT) AS po_ppm,
+        |         CAST(CASE WHEN n = 0 THEN 0
+        |              ELSE 1000000 * ((n00 + n01) * (n00 + n10) +
+        |                              (n10 + n11) * (n01 + n11))
+        |                   // (n * n) END AS BIGINT) AS pe_ppm
         |  FROM c)
         |SELECT n, n00, n01, n10, n11, po_ppm, pe_ppm,
         |       CAST(CASE WHEN pe_ppm >= 1000000 THEN 0
@@ -4436,5 +4438,178 @@ object ExtOracles {
         |       CAST(48 + (doc_id % 5) * 16 AS INT) AS height,
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |       md5(text) AS payload_md5
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // Matryoshka truncation audit: the x3 brute-force construction run
+    // TWICE (full dims; first-16 prefix via inclusive list slicing
+    // [1:16]) and intersected — rank-only on both engines, identical
+    // zero-norm exclusion, (cos DESC, vec_id) tie-break.
+    "x174_matryoshka_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |     c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |     sf_ AS (SELECT query_id, vec_id,
+        |                  list_dot_product(qv, v) /
+        |                    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |           FROM q, c WHERE vec_id <> query_id
+        |             AND list_dot_product(qv, qv) > 0 AND list_dot_product(v, v) > 0),
+        |     ft AS (SELECT query_id, vec_id FROM (
+        |             SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |                    ORDER BY cos DESC, vec_id) AS rn FROM sf_) WHERE rn <= 10),
+        |     sp_ AS (SELECT query_id, vec_id,
+        |                  list_dot_product(qv[1:16], v[1:16]) /
+        |                    (sqrt(list_dot_product(qv[1:16], qv[1:16])) *
+        |                     sqrt(list_dot_product(v[1:16], v[1:16]))) AS cos
+        |           FROM q, c WHERE vec_id <> query_id
+        |             AND list_dot_product(qv[1:16], qv[1:16]) > 0
+        |             AND list_dot_product(v[1:16], v[1:16]) > 0),
+        |     pt AS (SELECT query_id, vec_id FROM (
+        |             SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |                    ORDER BY cos DESC, vec_id) AS rn FROM sp_) WHERE rn <= 10),
+        |     ov AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |            FROM ft JOIN pt USING (query_id, vec_id) GROUP BY query_id),
+        |     nf AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_full
+        |            FROM ft GROUP BY query_id),
+        |     np AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_prefix
+        |            FROM pt GROUP BY query_id)
+        |SELECT nf.query_id, n_full,
+        |       CAST(coalesce(n_prefix, 0) AS BIGINT) AS n_prefix,
+        |       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+        |       CAST(1000000 * coalesce(n_overlap, 0) // n_full AS BIGINT) AS recall_ppm
+        |FROM nf LEFT JOIN np USING (query_id) LEFT JOIN ov USING (query_id)""".stripMargin,
+
+    // Sparse tf-idf cosine top-k: identical inverted-index
+    // construction — x50 idf proxy weights, HUGEINT square sums, the
+    // x141 staged squared-cosine division (num >= 0, no sign leg).
+    "x175_sparse_topk" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |     tok AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
+        |             FROM documents),
+        |     tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |            FROM tok WHERE len(token) > 0 GROUP BY 1, 2),
+        |     idf AS (SELECT token,
+        |                    CAST((1000000 * n_docs) // CAST(count(*) AS BIGINT) AS BIGINT) AS idf
+        |             FROM tf, nd GROUP BY token, n_docs),
+        |     w AS (SELECT doc_id, token, tf * idf AS w FROM tf JOIN idf USING (token)),
+        |     den AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS den
+        |             FROM w GROUP BY doc_id),
+        |     qw AS (SELECT doc_id AS query_id, token, w AS wq
+        |            FROM w WHERE doc_id % 250 = 0),
+        |     num AS (SELECT query_id, w.doc_id, sum(CAST(wq AS HUGEINT) * w.w) AS num
+        |             FROM qw JOIN w ON qw.token = w.token AND w.doc_id <> qw.query_id
+        |             GROUP BY 1, 2),
+        |     s AS (SELECT query_id, num.doc_id,
+        |                  CAST(((1000000 * num) // greatest(dq.den, dd.den))
+        |                       * num // least(dq.den, dd.den) AS BIGINT) AS score_ppm
+        |           FROM num JOIN den dq ON dq.doc_id = query_id
+        |                    JOIN den dd ON dd.doc_id = num.doc_id)
+        |SELECT query_id, doc_id, "rank", score_ppm FROM (
+        |  SELECT query_id, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY score_ppm DESC, doc_id) AS INT) AS "rank",
+        |         score_ppm
+        |  FROM s) WHERE "rank" <= 5""".stripMargin,
+
+    // Markov next-event backtest: same data-derived split (the
+    // subtraction keeps the // operand non-negative — flooring equals
+    // Spark's truncation), same argmax total order.
+    "x176_markov_backtest" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |            FROM events WHERE ts IS NOT NULL),
+        |     tr0 AS (SELECT event_type AS prev_type,
+        |                    lead(event_type) OVER (PARTITION BY user_id
+        |                         ORDER BY us, event_id) AS next_type,
+        |                    us
+        |             FROM ev),
+        |     tr AS (SELECT * FROM tr0 WHERE next_type IS NOT NULL),
+        |     sp AS (SELECT min(us) + (max(us) - min(us)) // 2 AS split_us FROM ev),
+        |     train AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |               FROM tr, sp WHERE us <= split_us GROUP BY 1, 2),
+        |     model AS (SELECT prev_type, next_type AS predicted_next,
+        |                      CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_train,
+        |                      row_number() OVER (PARTITION BY prev_type
+        |                           ORDER BY n DESC, next_type) AS rn
+        |               FROM train),
+        |     m1 AS (SELECT prev_type, predicted_next, n_train FROM model WHERE rn = 1),
+        |     ev2 AS (SELECT tr.* FROM tr, sp WHERE us > split_us)
+        |SELECT e.prev_type,
+        |       max(m.predicted_next) AS predicted_next,
+        |       CAST(coalesce(max(m.n_train), 0) AS BIGINT) AS n_train,
+        |       CAST(count(*) AS BIGINT) AS n_eval,
+        |       CAST(count(*) FILTER (e.next_type = m.predicted_next) AS BIGINT) AS n_correct,
+        |       CAST(1000000 * count(*) FILTER (e.next_type = m.predicted_next)
+        |            // count(*) AS BIGINT) AS acc_ppm
+        |FROM ev2 e LEFT JOIN m1 m USING (prev_type)
+        |GROUP BY e.prev_type""".stripMargin,
+
+    // Fleiss' kappa over the three x137-style proxy raters; one
+    // division for chance agreement (sum of squared category totals),
+    // x128 sign-decomposed kappa.
+    "x177_fleiss_kappa" ->
+      """WITH e AS (SELECT vec_id,
+        |                  CAST(label % 2 AS INT) AS r0,
+        |                  CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END AS r1,
+        |                  CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END AS r2
+        |           FROM embeddings
+        |           WHERE label IS NOT NULL AND len(embedding) >= 2),
+        |     lng AS (SELECT vec_id, unnest([r0, r1, r2]) AS rating FROM e),
+        |     nij AS (SELECT vec_id, rating, CAST(count(*) AS BIGINT) AS nij
+        |             FROM lng GROUP BY 1, 2),
+        |     pi AS (SELECT vec_id, sum(nij * nij) AS sq FROM nij GROUP BY vec_id),
+        |     a1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                   CAST(coalesce(sum(sq), 0) AS HUGEINT) AS sqsum FROM pi),
+        |     a2 AS (SELECT coalesce(sum(CAST(c_j AS HUGEINT) * c_j), 0) AS csq
+        |            FROM (SELECT rating, CAST(sum(nij) AS BIGINT) AS c_j
+        |                  FROM nij GROUP BY rating)),
+        |     f AS (SELECT n,
+        |                  CASE WHEN n = 0 THEN 0
+        |                       ELSE CAST(1000000 * (sqsum - n * 3) // (n * 3 * 2) AS BIGINT)
+        |                  END AS po_ppm,
+        |                  CASE WHEN n = 0 THEN 0
+        |                       ELSE CAST(1000000 * csq
+        |                            // (CAST(n AS HUGEINT) * 3 * n * 3) AS BIGINT)
+        |                  END AS pe_ppm
+        |           FROM a1, a2)
+        |SELECT n AS n_items, 3 AS m_raters, po_ppm, pe_ppm,
+        |       CAST(CASE WHEN pe_ppm >= 1000000 THEN 0
+        |                 WHEN po_ppm >= pe_ppm
+        |                 THEN 1000000 * (po_ppm - pe_ppm) // (1000000 - pe_ppm)
+        |                 ELSE -(1000000 * (pe_ppm - po_ppm) // (1000000 - pe_ppm))
+        |            END AS BIGINT) AS kappa_ppm
+        |FROM f""".stripMargin,
+
+    // t-closeness: full class-by-category grid (zero cells contribute
+    // c_j * n_g — the chi2 lesson), null-safe joins, one terminal
+    // integral division per class.
+    "x178_t_closeness" ->
+      """WITH d AS (SELECT lang, n_chars // 500 AS band, source FROM documents),
+        |     cells AS (SELECT lang, band, source, CAST(count(*) AS BIGINT) AS o
+        |               FROM d GROUP BY 1, 2, 3),
+        |     g AS (SELECT lang, band, CAST(sum(o) AS BIGINT) AS n_g
+        |           FROM cells GROUP BY 1, 2),
+        |     cats AS (SELECT source, CAST(sum(o) AS BIGINT) AS c_j
+        |              FROM cells GROUP BY 1),
+        |     tot AS (SELECT CAST(sum(o) AS BIGINT) AS n_total FROM cells),
+        |     grid AS (SELECT g.lang, g.band, g.n_g, cats.source, cats.c_j
+        |              FROM g CROSS JOIN cats),
+        |     obs AS (SELECT grid.lang, grid.band, grid.n_g, grid.c_j,
+        |                    CAST(coalesce(cells.o, 0) AS BIGINT) AS o
+        |             FROM grid LEFT JOIN cells
+        |               ON grid.lang IS NOT DISTINCT FROM cells.lang
+        |              AND grid.band IS NOT DISTINCT FROM cells.band
+        |              AND grid.source IS NOT DISTINCT FROM cells.source),
+        |     dev AS (SELECT lang, band, n_g, n_total,
+        |                    sum(abs(CAST(o AS HUGEINT) * n_total
+        |                            - CAST(c_j AS HUGEINT) * n_g)) AS devsum
+        |             FROM obs, tot GROUP BY 1, 2, 3, 4)
+        |SELECT lang, band, n_g,
+        |       CAST(1000000 * devsum
+        |            // (2 * CAST(n_g AS HUGEINT) * n_total) AS BIGINT) AS tv_ppm,
+        |       (CAST(1000000 * devsum
+        |             // (2 * CAST(n_g AS HUGEINT) * n_total) AS BIGINT)
+        |        > 200000) AS violates
+        |FROM dev""".stripMargin)
 }

@@ -553,6 +553,39 @@ object ExtQueries {
     "x173_lag_features" -> ((s, d) =>
       Sessions.lagFeatures(
         events(s, d).select("event_id", "user_id", "event_type", "ts"))),
+    // Matryoshka truncation audit: prefix-16-of-64 search vs the full
+    // exact top-10 — overlap counts + recall ppm per query (rank-only,
+    // the x3 tie-break).
+    "x174_matryoshka_recall" -> ((s, d) =>
+      Similarity.matryoshkaRecall(emb(s, d), dims = 16, k = 10)),
+    // Sparse tf-idf cosine top-k via the inverted index: the lexical
+    // retrieval leg (x50 idf proxy, x141 staged squared-cosine ppm).
+    "x175_sparse_topk" -> ((s, d) =>
+      TextStats.sparseCosTopK(docs(s, d))),
+    // Markov next-event backtest: train argmax transition on the first
+    // half of the time range, score accuracy per prior type on the
+    // second (data-derived split, never wall clock).
+    "x176_markov_backtest" -> ((s, d) =>
+      Sessions.markovBacktest(
+        events(s, d).select("event_id", "user_id", "event_type", "ts"))),
+    // Fleiss' kappa over three heuristic judges (label parity + two
+    // embedding-sign raters — x137's proxy-rater shape, m = 3).
+    "x177_fleiss_kappa" -> ((s, d) => {
+      val e = emb(s, d)
+        .filter(col("label").isNotNull && size(col("embedding")) >= 2)
+      Stats.fleissKappa(e, col("vec_id"), Seq(
+        pmod(col("label"), lit(2)),
+        (element_at(col("embedding"), 1) > 0f).cast("int"),
+        (element_at(col("embedding"), 2) > 0f).cast("int")))
+    }),
+    // t-closeness: lang x 500-char band classes vs the global source
+    // distribution — the release gate next to k-anonymity (x139) and
+    // l-diversity (x152); threshold 200000 ppm (tv > 0.2 flags).
+    "x178_t_closeness" -> ((s, d) =>
+      Stats.tCloseness(
+        docs(s, d).withColumn("band", expr("n_chars DIV 500")),
+        quasi = Seq("lang", "band"), sensitive = "source",
+        tPpm = 200000L)),
     // Encoding/mojibake audit: every 37th doc gets one planted U+FFFD
     // and two BEL control chars (the fixture is clean — the plant
     // makes the replacement/control columns non-vacuous, x40's

@@ -4528,4 +4528,118 @@ class ExtSpec extends SparkSpec {
       "step" -> ((6L, 18L, 2L, 36L, 333333L)),
       "flat" -> ((3L, 6L, 0L, 0L, 0L))), s"got $got")
   }
+
+  test("matryoshkaRecall: worked prefix-vs-full divergence, tie-break, full agreement") {
+    import spark.implicits._
+    // query 0 = (1, 0); v1 = (1, 10) cos~0.0995; v2 = (1, 0.5)
+    // cos~0.894; v3 = (-1, 0) cos = -1. Prefix dim 1: cosines are all
+    // +1/-1, so ranking is the vec_id tie-break: v1 before v2.
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 10f)), (2L, Seq(1f, 0.5f)),
+      (3L, Seq(-1f, 0f))).toDF("vec_id", "embedding")
+    def run(k: Int) = graft.ext.Similarity
+      .matryoshkaRecall(emb, dims = 1, k = k, queryMod = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // k=1: full top1 = v2; prefix top1 = v1 (tie on +1, id wins) ->
+    // zero overlap
+    assert(run(1) == Seq((0L, 1L, 1L, 0L, 0L)), s"got ${run(1)}")
+    // k=2: full {v2, v1}; prefix {v1, v2} -> full overlap
+    assert(run(2) == Seq((0L, 2L, 2L, 2L, 1000000L)), s"got ${run(2)}")
+  }
+
+  test("sparseCosTopK: worked tf-idf scores — exact duplicate scores 1e6, disjoint doc absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b"), (250L, "a b"), (1L, "a c"), (2L, "d"))
+      .toDF("doc_id", "text")
+    // query = doc 0 AND doc 250 (doc_id % 250 == 0). n_docs=4;
+    // df: a=3 b=2 c=1 d=1; idf: a=1333333 b=2000000 c=d=4000000.
+    // w(0)=w(250)={a:1333333, b:2000000}; w(1)={a:1333333, c:4000000}.
+    // doc 250 vs query 0: identical weights -> staged score is exactly
+    // 10^6 (q = 1e6*num div num = 1e6; 1e6*num div num... den==num).
+    val wa = BigInt(1333333); val wb = BigInt(2000000); val wc = BigInt(4000000)
+    val den0 = wa * wa + wb * wb
+    val den1 = wa * wa + wc * wc
+    val num01 = wa * wa
+    val q01 = (BigInt(1000000) * num01) / den0.max(den1)
+    val exp01 = (q01 * num01) / den0.min(den1)
+    val got = graft.ext.TextStats.sparseCosTopK(docs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      (0L, 250L) -> ((1, 1000000L)), (0L, 1L) -> ((2, exp01.toLong)),
+      (250L, 0L) -> ((1, 1000000L)), (250L, 1L) -> ((2, exp01.toLong))),
+      s"got $got (expected cross score ${exp01.toLong})")
+  }
+
+  test("markovBacktest: worked split/argmax/accuracy with a cold-start type") {
+    import spark.implicits._
+    // user 1: A B A B A C at us 1..6 -> split = 1 + (6-1) div 2 = 3.
+    // train (us<=3): A->B x2, B->A x1. test: B->A@4 (correct),
+    // A->C@5 (wrong). user 2: D D at us 5,6 -> D->D@5 in test, D
+    // unseen in train -> NULL prediction, n_train 0.
+    val rows = Seq(
+      (1L, 1L, "A", 1L), (2L, 1L, "B", 2L), (3L, 1L, "A", 3L),
+      (4L, 1L, "B", 4L), (5L, 1L, "A", 5L), (6L, 1L, "C", 6L),
+      (10L, 2L, "D", 5L), (11L, 2L, "D", 6L))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+      .select("event_id", "user_id", "event_type", "ts")
+    val got = graft.ext.Sessions.markovBacktest(ev).collect()
+      .map(r => r.getString(0) -> ((Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      "A" -> ((Some("B"), 2L, 1L, 0L, 0L)),
+      "B" -> ((Some("A"), 1L, 1L, 1L, 1000000L)),
+      "D" -> ((None, 0L, 1L, 0L, 0L))), s"got $got")
+  }
+
+  test("fleissKappa: worked two-item case, missing-rating drop, empty input") {
+    import spark.implicits._
+    // item 1: (1,1,1) -> sum nij^2 = 9; item 2: (1,0,0) -> 1+4 = 5.
+    // sqsum=14, n=2, m=3: po = 1e6*(14-6) div 12 = 666666.
+    // c_1=4, c_0=2 -> csq=20; pe = 1e6*20 div 36 = 555555.
+    // kappa = 1e6*(666666-555555) div (1e6-555555).
+    val expKappa = (BigInt(1000000) * (666666 - 555555) /
+      BigInt(1000000 - 555555)).toLong
+    val df = Seq(
+      (1L, Some(1), Some(1), Some(1)),
+      (2L, Some(1), Some(0), Some(0)),
+      (3L, Some(1), None, Some(1))) // missing rating -> dropped
+      .toDF("id", "ra", "rb", "rc")
+    val r = graft.ext.Stats.fleissKappa(df, col("id"),
+      Seq(col("ra"), col("rb"), col("rc"))).collect().head
+    assert((r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 3, 666666L, 555555L, expKappa)), s"got $r")
+    // empty input: all-zero metrics, no division error
+    val e = graft.ext.Stats.fleissKappa(
+      Seq.empty[(Long, Option[Int], Option[Int], Option[Int])]
+        .toDF("id", "ra", "rb", "rc"),
+      col("id"), Seq(col("ra"), col("rb"), col("rc"))).collect().head
+    assert((e.getLong(0), e.getLong(2), e.getLong(3), e.getLong(4)) ==
+      ((0L, 0L, 0L, 0L)), s"got $e")
+  }
+
+  test("tCloseness: worked three-class distances; absent categories still contribute") {
+    import spark.implicits._
+    // g1: a,a; g2: a,b; g3: b,b. N=6, c_a=3, c_b=3.
+    // g1: |2*6-3*2| + |0*6-3*2| = 12 -> tv = 12e6 div (2*2*6) = 500000
+    // (the b term exists ONLY via the grid - g1 never saw b).
+    // g2: both terms 0 -> tv 0. g3: symmetric 500000.
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g2", "a"), ("g2", "b"),
+      ("g3", "b"), ("g3", "b")).toDF("grp", "sens")
+    val got = graft.ext.Stats.tCloseness(df, Seq("grp"), "sens", tPpm = 200000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      "g1" -> ((2L, 500000L, true)),
+      "g2" -> ((2L, 0L, false)),
+      "g3" -> ((2L, 500000L, true))), s"got $got")
+    // NULL is a legal value on both axes (null-safe grid join)
+    val dn = Seq((null, "a"), (null, null), ("g", null), ("g", "a"))
+      .toDF("grp", "sens")
+    val n = graft.ext.Stats.tCloseness(dn, Seq("grp"), "sens", 0L).collect()
+    assert(n.length == 2 && n.forall(_.getLong(1) == 2L), n.mkString(";"))
+  }
 }
