@@ -1109,6 +1109,48 @@ object Sessions {
           .as("cv2_ppm"))
   }
 
+  /** Churn-label builder — the training-table constructor for a churn
+    * model, with the leakage discipline spelled out in the windows:
+    * features come STRICTLY from [split−W, split) and the label
+    * STRICTLY from [split, split+W), so no feature can see the label
+    * period (the x61/x156 leakage concern as a time split). The split
+    * is data-derived ([[markovBacktest]]'s idiom), W in days. Per
+    * user active in the feature window: exact event/purchase counts,
+    * distinct active days (floor-division day buckets, pre-1970-safe
+    * via the x131 correction), and `churned` = no event in the label
+    * window. Users born in the label window are NOT rows (no
+    * features to train on) — the honest survivorship boundary.
+    *
+    * Scale shape: one filter+groupBy over the feature slice, one
+    * distinct-user projection of the label slice, one left join; the
+    * one-row split frame cross-joins, never collects. */
+  def churnLabels(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays $windowDays must be positive")
+    val wUs = windowDays.toLong * 86400000000L
+    val ev = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .crossJoin(broadcast(events.filter(col("ts").isNotNull)
+        .select(unix_micros(col("ts").cast("timestamp")).as("us"))
+        .agg(expr("min(us) + (max(us) - min(us)) DIV 2").as("split_us"))))
+    val feat = ev
+      .filter(col("us") >= col("split_us") - wUs && col("us") < col("split_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events_w"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases_w"),
+        countDistinct(expr(Stats.epochFloorDiv("us", 86400000000L)))
+          .as("days_active_w"))
+    val seen = ev
+      .filter(col("us") >= col("split_us") && col("us") < col("split_us") + wUs)
+      .select(col("user_id")).distinct()
+      .withColumn("seen", lit(true))
+    feat.join(seen, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events_w"), col("n_purchases_w"),
+        col("days_active_w"),
+        (!coalesce(col("seen"), lit(false))).as("churned"))
+  }
+
   /** First-order Markov next-event BACKTEST — the sequence-model
     * sanity row next to [[transitionMatrix]]: train the argmax
     * next-type predictor on the first half of the event-time range,

@@ -124,6 +124,55 @@ object Similarity {
       .withColumn("recall_ppm", expr("1000000 * n_overlap DIV n_full"))
   }
 
+  /** Label-relevance MRR — the retrieval-eval harness row: per sampled
+    * query, the rank of the FIRST same-label vector in the exact
+    * full-corpus cosine ranking, and its reciprocal rank as the exact
+    * integer `rr_ppm = 10⁶ div rank` (the mean over queries — MRR —
+    * is then an integer-sum ratio the caller can take; nDCG's
+    * irrational log discount is deliberately NOT offered: a float
+    * sum across rows can never hash-gate, the x-series
+    * determinism rule). A query with NO same-label partner reports
+    * NULL rank / 0 rr (the honest no-evidence row, counted by
+    * n_relevant = 0).
+    *
+    * Determinism: ranks carry the (cos desc, vec_id) total order of
+    * the x3 family; rr is integral division of a rank. Zero-norm
+    * vectors are excluded on every cosine path; NULL-label corpus
+    * vectors occupy ranks but are never relevant.
+    *
+    * Scale shape: broadcast query set against one corpus scan (the
+    * exact-baseline convention); the per-query ranking window is
+    * bounded by the corpus per query, and at index scale the same
+    * audit runs over the ANN candidates instead (rank-in-candidates
+    * vs rank-exact is precisely the recall story x174 measures). */
+  def labelMrr(emb: DataFrame, queryMod: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val queries = emb.filter(col("vec_id") % queryMod === 0 &&
+        col("label").isNotNull)
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("q"), col("label").as("q_label"))
+      .withColumn("nq", norm(col("q")))
+      .filter(col("nq") > 0)
+    val corpus = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+      .withColumn("nv", norm(col("v")))
+      .filter(col("nv") > 0)
+    val ranked = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("q"), col("v")) / (col("nq") * col("nv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("query_id"),
+        (col("label") <=> col("q_label")).as("is_rel"), col("rnk"))
+    ranked.groupBy(col("query_id"))
+      .agg(
+        sum(when(col("is_rel"), 1L).otherwise(0L)).as("n_relevant"),
+        min(when(col("is_rel"), col("rnk"))).as("first_rel_rank"))
+      .withColumn("rr_ppm", coalesce(
+        expr("1000000 DIV first_rel_rank"), lit(0L)))
+  }
+
   /** Hard-negative mining over labeled vectors — the contrastive-
     * training data miner (Schroff et al. 2015's semi-hard mining is
     * the published ancestor): per sampled query, the nearest SAME-

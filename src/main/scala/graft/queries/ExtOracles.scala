@@ -4581,6 +4581,112 @@ object ExtOracles {
         |            END AS BIGINT) AS kappa_ppm
         |FROM f""".stripMargin,
 
+    // Hybrid retrieval: the x120 RRF formula over the x3 dense leg
+    // (cos, k=10) UNION the x175 sparse leg re-derived at query mod
+    // 50 / top-10 — identical staged-division scores, identical rank
+    // tie-breaks, fused top-5.
+    "x179_hybrid_retrieval" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |     c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |     sd AS (SELECT query_id, vec_id,
+        |                  list_dot_product(qv, v) /
+        |                    (sqrt(list_dot_product(qv, qv)) *
+        |                     sqrt(list_dot_product(v, v))) AS cos
+        |           FROM q, c WHERE vec_id <> query_id),
+        |     r1 AS (SELECT query_id, vec_id AS neighbor_id,
+        |                   row_number() OVER (PARTITION BY query_id
+        |                        ORDER BY cos DESC, vec_id) AS rnk
+        |            FROM sd QUALIFY rnk <= 10),
+        |     ndk AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |     tok AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
+        |             FROM documents),
+        |     tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |            FROM tok WHERE len(token) > 0 GROUP BY 1, 2),
+        |     idf AS (SELECT token,
+        |                    CAST((1000000 * n_docs) // CAST(count(*) AS BIGINT) AS BIGINT) AS idf
+        |             FROM tf, ndk GROUP BY token, n_docs),
+        |     w AS (SELECT doc_id, token, tf * idf AS w FROM tf JOIN idf USING (token)),
+        |     den AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS den
+        |             FROM w GROUP BY doc_id),
+        |     qw AS (SELECT doc_id AS query_id, token, w AS wq
+        |            FROM w WHERE doc_id % 50 = 0),
+        |     num AS (SELECT query_id, w.doc_id, sum(CAST(wq AS HUGEINT) * w.w) AS num
+        |             FROM qw JOIN w ON qw.token = w.token AND w.doc_id <> qw.query_id
+        |             GROUP BY 1, 2),
+        |     sps AS (SELECT query_id, num.doc_id,
+        |                  CAST(((1000000 * num) // greatest(dq.den, dd.den))
+        |                       * num // least(dq.den, dd.den) AS BIGINT) AS score_ppm
+        |           FROM num JOIN den dq ON dq.doc_id = query_id
+        |                    JOIN den dd ON dd.doc_id = num.doc_id),
+        |     r2 AS (SELECT query_id, doc_id AS neighbor_id,
+        |                   row_number() OVER (PARTITION BY query_id
+        |                        ORDER BY score_ppm DESC, doc_id) AS rnk
+        |            FROM sps QUALIFY rnk <= 10),
+        |     u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+        |     f AS (SELECT query_id, neighbor_id,
+        |                  CAST(count(*) AS BIGINT) AS n_lists,
+        |                  CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_ppm
+        |           FROM u GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, n_lists, rrf_ppm,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY rrf_ppm DESC, neighbor_id)
+        |            AS INT) AS fused_rank
+        |FROM f QUALIFY fused_rank <= 5""".stripMargin,
+
+    // Label-MRR: first same-label rank in the exact cosine order;
+    // reciprocal rank by integral division; NULL-label corpus rows
+    // occupy ranks but are never relevant.
+    "x180_label_mrr" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS qv,
+        |                  label AS q_label
+        |           FROM embeddings WHERE vec_id % 50 = 0 AND label IS NOT NULL),
+        |     c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+        |                  label
+        |           FROM embeddings),
+        |     s AS (SELECT query_id, q_label, vec_id, label,
+        |                  list_dot_product(qv, v) /
+        |                    (sqrt(list_dot_product(qv, qv)) *
+        |                     sqrt(list_dot_product(v, v))) AS cos
+        |           FROM q, c WHERE vec_id <> query_id
+        |             AND list_dot_product(qv, qv) > 0
+        |             AND list_dot_product(v, v) > 0),
+        |     r AS (SELECT query_id,
+        |                  (label IS NOT DISTINCT FROM q_label) AS is_rel,
+        |                  CAST(row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        |           FROM s)
+        |SELECT query_id,
+        |       CAST(count(*) FILTER (is_rel) AS BIGINT) AS n_relevant,
+        |       CAST(min(rnk) FILTER (is_rel) AS BIGINT) AS first_rel_rank,
+        |       CAST(coalesce(1000000 // (min(rnk) FILTER (is_rel)), 0) AS BIGINT) AS rr_ppm
+        |FROM r GROUP BY query_id""".stripMargin,
+
+    // Churn labels: [split-7d, split) features, [split, split+7d)
+    // label window; flooring day buckets on both engines.
+    "x181_churn_labels" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |            FROM events WHERE ts IS NOT NULL),
+        |     sp AS (SELECT min(us) + (max(us) - min(us)) // 2 AS split_us FROM ev),
+        |     feat AS (SELECT user_id,
+        |                     CAST(count(*) AS BIGINT) AS n_events_w,
+        |                     CAST(count(*) FILTER (event_type = 'purchase')
+        |                          AS BIGINT) AS n_purchases_w,
+        |                     CAST(count(DISTINCT us // 86400000000)
+        |                          AS BIGINT) AS days_active_w
+        |              FROM ev, sp
+        |              WHERE us >= split_us - 604800000000 AND us < split_us
+        |              GROUP BY user_id),
+        |     seen AS (SELECT DISTINCT user_id FROM ev, sp
+        |              WHERE us >= split_us AND us < split_us + 604800000000)
+        |SELECT f.user_id, n_events_w, n_purchases_w, days_active_w,
+        |       (s.user_id IS NULL) AS churned
+        |FROM feat f LEFT JOIN seen s ON f.user_id = s.user_id""".stripMargin,
+
     // t-closeness: full class-by-category grid (zero cells contribute
     // c_j * n_g — the chi2 lesson), null-safe joins, one terminal
     // integral division per class.

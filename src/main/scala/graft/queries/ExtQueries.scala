@@ -578,6 +578,24 @@ object ExtQueries {
         (element_at(col("embedding"), 1) > 0f).cast("int"),
         (element_at(col("embedding"), 2) > 0f).cast("int")))
     }),
+    // Hybrid retrieval: RRF fusion of the DENSE x3 leg and the SPARSE
+    // x175 inverted-index leg over the aligned id space (the
+    // lexical+vector stack x120 fuses dense-only variants of).
+    "x179_hybrid_retrieval" -> ((s, d) =>
+      Similarity.rrfFuse(Seq(
+        Similarity.cosTopK(emb(s, d), k = 10),
+        TextStats.sparseCosTopK(docs(s, d), k = 10, queryMod = 50)
+          .select(col("query_id"), col("doc_id").as("neighbor_id"),
+            col("rank"))))),
+    // Retrieval eval: rank of the first same-label neighbor in the
+    // exact cosine ranking + integer reciprocal rank (MRR's exact
+    // per-query row; no float crosses an aggregate).
+    "x180_label_mrr" -> ((s, d) => Similarity.labelMrr(emb(s, d))),
+    // Churn training labels: features strictly before the data-derived
+    // split, label window strictly after — the leakage-safe label
+    // builder.
+    "x181_churn_labels" -> ((s, d) =>
+      Sessions.churnLabels(events(s, d).select("user_id", "event_type", "ts"))),
     // t-closeness: lang x 500-char band classes vs the global source
     // distribution — the release gate next to k-anonymity (x139) and
     // l-diversity (x152); threshold 200000 ppm (tv > 0.2 flags).

@@ -4621,6 +4621,56 @@ class ExtSpec extends SparkSpec {
       ((0L, 0L, 0L, 0L)), s"got $e")
   }
 
+  test("labelMrr: worked first-relevant rank; no-evidence query reports NULL/0") {
+    import spark.implicits._
+    // query 0 (label 1): ranking is v1 (label 0, cos~.995), v2
+    // (label 1, cos~.894), v3 (label 1, cos 0) -> first relevant at
+    // rank 2, rr 500000, n_relevant 2
+    val emb = Seq(
+      (0L, Seq(1f, 0f), Some(1)), (1L, Seq(1f, 0.1f), Some(0)),
+      (2L, Seq(1f, 0.5f), Some(1)), (3L, Seq(0f, 1f), Some(1)))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.ext.Similarity.labelMrr(emb, queryMod = 1000)
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq((0L, 2L, 2L, 500000L)), s"got $r")
+    // no same-label partner anywhere: NULL rank, rr 0
+    val lonely = Seq(
+      (0L, Seq(1f, 0f), Some(1)), (1L, Seq(1f, 0.1f), Some(0)),
+      (2L, Seq(1f, 0.5f), Some(0))).toDF("vec_id", "embedding", "label")
+    val l = graft.ext.Similarity.labelMrr(lonely, queryMod = 1000)
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        x.isNullAt(2), x.getLong(3))).toSeq
+    assert(l == Seq((0L, 0L, true, 0L)), s"got $l")
+  }
+
+  test("churnLabels: worked windows — retained, churned, label-window-born excluded") {
+    import spark.implicits._
+    val day = 86400000000L
+    // us range [0, 2d] -> split at 1d. Feature window [0d, 1d),
+    // label window [1d, 2d).
+    val rows = Seq(
+      (1L, "view", day / 2), (1L, "view", day * 3 / 2), // retained
+      (2L, "view", day / 5),                            // churned
+      (3L, "view", day * 6 / 5),                        // born post-split: no row
+      (4L, "purchase", day / 10), (4L, "view", day * 3 / 10), // churned, 1 day
+      (9L, "view", 0L), (9L, "view", 2L * day))         // span pins
+    val ev = rows.toDF("user_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+      .select("user_id", "event_type", "ts")
+    val got = graft.ext.Sessions.churnLabels(ev, windowDays = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    // user 9's return at exactly 2d sits OUTSIDE the half-open label
+    // window [1d, 2d) -> churned by the window's own definition (the
+    // boundary pin: a closed upper bound would have called it retained)
+    assert(got == Map(
+      1L -> ((1L, 0L, 1L, false)),
+      2L -> ((1L, 0L, 1L, true)),
+      4L -> ((2L, 1L, 1L, true)),
+      9L -> ((1L, 0L, 1L, true))), s"got $got")
+  }
+
   test("tCloseness: worked three-class distances; absent categories still contribute") {
     import spark.implicits._
     // g1: a,a; g2: a,b; g3: b,b. N=6, c_a=3, c_b=3.
