@@ -37,6 +37,11 @@ object Oracles {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
 
+    // K-series JSONL leg: same transport convention (k6/k7).
+    "k10_jsonl_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
+
     // partition-layout leg: the hive-partitioned write+pruned read must
     // equal the plain filtered projection (pruning itself is
     // plan-pinned in PlatformSpec, not hash-visible).

@@ -381,6 +381,23 @@ object Queries {
     spark.read.orc(out)
   }
 
+  /** K-series JSONL leg: the third transport format — and the one
+    * every LLM corpus actually ships as. The staged customer frame
+    * dumped as JSON Lines and read back under the original schema
+    * must equal the oracle's direct read: doubles survive because
+    * Jackson renders the shortest round-trippable decimal (the k6
+    * Double.toString argument), the explicit read schema restores the
+    * int32 width JSON numbers don't carry, and absent keys (JSON
+    * writers omit nulls) come back as NULL under the same schema.
+    * `JsonlIngest` covers the PERMISSIVE corrupt-line side; this
+    * gate proves the clean-path value contract. */
+  def k10JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.util.Scratch.dir("jsonl_gate")}/customer_jsonl"
+    val c = t(spark, dir, "customer")
+    c.write.mode("overwrite").json(out)
+    spark.read.schema(c.schema).json(out)
+  }
+
   /** K/S-series partition-layout leg: a 100 TB table is only usable
     * when a predicate on the partition column prunes the scan to the
     * matching directories — this gate writes ORDERS hive-partitioned
@@ -457,6 +474,7 @@ object Queries {
     "k5_promote_latest" -> (k5PromoteLatest _),
     "k6_csv_roundtrip" -> (k6CsvRoundtrip _),
     "k7_orc_roundtrip" -> (k7OrcRoundtrip _),
+    "k10_jsonl_roundtrip" -> (k10JsonlRoundtrip _),
     "k8_partition_prune" -> (k8PartitionPrune _),
     "k9_bucketed_join" -> (k9BucketedJoin _),
     "s2_filter_pushdown" -> (s2FilterPushdown _),

@@ -452,6 +452,39 @@ object EventsStream {
       }
       .start()
 
+  /** Stream-static ENRICHMENT: every micro-batch left-joins a
+    * dimension frame produced by `dim()` — called PER BATCH, so a
+    * slowly-changing dimension (a user→segment table the batch
+    * refresh rewrites, a config frame) is picked up between ticks
+    * without restarting the query; rows with no dimension match keep
+    * NULL dimension columns (enrichment must never DROP facts — the
+    * left-join contract a training pipeline depends on when the dim
+    * lags the stream). The enriched batch lands through
+    * [[graft.sinks.StagingWriter.writeBatchPartition]] — the same
+    * idempotent batch-partition overwrite every ingest loop here
+    * uses, so at-least-once replay cannot double-append.
+    *
+    * Scale shape: the dimension is re-READ per tick but the join is
+    * AQE's choice per batch (a small dim broadcasts); the stream side
+    * is never shuffled by the enrichment when the dim broadcasts.
+    * For a large bucketed dim, pass a `dim()` that reads the bucketed
+    * table — the join co-locates exactly as in the batch K-series. */
+  def enrichIngestQuery(
+      rows: DataFrame,
+      dim: () => DataFrame,
+      joinKeys: Seq[String],
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writer.writeBatchPartition(
+          batch.toDF().join(dim(), joinKeys, "left"), table, batchId)
+        ()
+      }
+      .start()
+
   /** The EMBEDDING sibling of [[neardupIngestQuery]]: continuous
     * cosine near-dup ingest against a growing sign-LSH index. Per
     * micro-batch: within-batch pairs

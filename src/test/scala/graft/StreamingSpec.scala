@@ -679,4 +679,35 @@ class StreamingSpec extends SparkSpec {
     assert(afterTick.contains((5L, 101L)), s"post-compaction tick invisible: $afterTick")
     assert(probeSet() == before, "old history lost after the post-compaction tick")
   }
+
+  test("enrichIngestQuery: per-batch dim re-read picks up updates; unmatched keys keep NULL") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val dimPath = tmpDir("dim") + "/seg"
+    Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+      .write.mode("overwrite").parquet(dimPath)
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("enrwh"))
+    val stream = MemoryStream[(Long, Long)]
+    val q = EventsStream.enrichIngestQuery(
+      stream.toDF().toDF("event_id", "user_id"),
+      () => spark.read.parquet(dimPath),
+      Seq("user_id"), writer, "enriched", tmpDir("enrck"))
+    try {
+      stream.addData((10L, 1L), (11L, 3L)) // 3 has no dim row
+      q.processAllAvailable()
+      // the dimension CHANGES between ticks: user 1 re-segmented,
+      // user 3 appears — the per-batch re-read must see both
+      Seq((1L, "platinum"), (3L, "bronze")).toDF("user_id", "segment")
+        .write.mode("overwrite").parquet(dimPath)
+      stream.addData((12L, 1L), (13L, 3L))
+      q.processAllAvailable()
+      val got = writer.read("enriched").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[String]("segment"))).toMap
+      assert(got == Map(
+        10L -> Some("gold"), 11L -> None,             // batch 1: v1 dim
+        12L -> Some("platinum"), 13L -> Some("bronze") // batch 2: v2 dim
+      ), s"got $got")
+    } finally q.stop()
+  }
 }
