@@ -551,4 +551,49 @@ object Assemble {
         expr("CAST(CAST(mass_ppm AS DECIMAL(38,0)) * 1000000" +
           " DIV total_mass AS BIGINT)").as("share_ppm"))
   }
+
+  /** Deterministic NEGATIVE SAMPLING — the recsys/contrastive
+    * training-pair builder: per user, `k` items they have NOT
+    * interacted with, chosen by salted content hash so the sample is
+    * reproducible, re-shardable, and engine-checkable (the module's
+    * no-RNG discipline). THE SCALE POINT IS WHAT THIS DOES NOT DO:
+    * it never materializes users × items (the naive anti-join domain
+    * — 10⁹ users × 10⁸ items is not a frame). Instead each user gets
+    * `candidates` PROBE slots; each probe hashes (salt, user, slot)
+    * to an item index (md5-32, the one cross-engine hash), the
+    * candidates are validated against the item dimension
+    * (semi-join), de-duplicated (min-hash-value keeps the earliest
+    * probe), anti-joined against the user's interactions, and the
+    * first `k` survive under the (hash, item) total order. Cost is
+    * O(users·candidates) — probe count, never the item domain.
+    * `candidates` must give enough headroom over `k` that a user
+    * whose probes collide with their positives still fills the
+    * sample; the deterministic construction makes the shortfall
+    * VISIBLE (a user row with fewer than k negatives), never
+    * silently re-rolled. */
+  def negativeSamples(
+      interactions: DataFrame, items: DataFrame,
+      k: Int = 5, candidates: Int = 15, salt: String = "neg7"): DataFrame = {
+    require(k >= 1, s"k $k must be positive")
+    require(candidates >= k, s"candidates $candidates must cover k $k")
+    val nItems = items.count()
+    require(nItems > 0, "negative sampling needs a non-empty item dimension")
+    val inter = interactions
+      .select(col("user_id"), col("item_id")).distinct()
+    val probes = inter.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(typedLit((0 until candidates).toList)).as("probe"))
+      .withColumn("h", OracleHash.md5Hash32(
+        concat(lit(salt + "|"), col("user_id"), lit("|"), col("probe"))))
+      .withColumn("item_id", pmod(col("h"), lit(nItems)))
+    probes
+      .join(items.select(col("item_id")), Seq("item_id"), "left_semi")
+      .groupBy(col("user_id"), col("item_id")).agg(min(col("h")).as("h"))
+      .join(inter, Seq("user_id", "item_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("h"), col("item_id"))).cast("int"))
+      .filter(col("neg_rank") <= k)
+      .select(col("user_id"), col("item_id"), col("neg_rank"))
+  }
 }

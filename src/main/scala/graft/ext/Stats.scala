@@ -1945,6 +1945,43 @@ object Stats {
           .as("v2_ppm"))
   }
 
+  /** Period-over-period contribution decomposition — the "what moved
+    * the topline" drill-down every metrics review starts with: the
+    * time range splits in half (the data-derived
+    * `min + (max−min) div 2` idiom — non-negative divided operand,
+    * truncate ≡ floor), and per segment the report carries both
+    * periods' row counts and exact integer cents (the shared
+    * `floor(v·100+0.5)` IEEE expression) plus the segment's delta.
+    * The decomposition identity — segment deltas SUM to the topline
+    * delta exactly, no residual — is what floats can't promise and
+    * integers do (spec-pinned); a segment active in only one period
+    * still reports (its other-period columns are zero, not absent).
+    *
+    * Scale shape: ONE map-side-combinable groupBy over the fact scan
+    * with conditional aggregates — the two periods are CASE branches
+    * of one pass, never two scans; the one-row split frame
+    * cross-joins broadcast. */
+  def periodContribution(
+      df: DataFrame, tsCol: String, segCol: String,
+      valueCol: String): DataFrame = {
+    val rows = df.filter(col(tsCol).isNotNull)
+      .select(col(segCol).as("segment"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        expr(s"CAST(floor($valueCol * 100 + 0.5) AS BIGINT)").as("cents"))
+    val split = rows.agg(
+      expr("min(us) + (max(us) - min(us)) DIV 2").as("split_us"))
+    rows.crossJoin(broadcast(split))
+      .groupBy(col("segment"))
+      .agg(
+        sum(when(col("us") <= col("split_us"), 1L).otherwise(0L)).as("n_p1"),
+        sum(when(col("us") > col("split_us"), 1L).otherwise(0L)).as("n_p2"),
+        coalesce(sum(when(col("us") <= col("split_us"), col("cents"))),
+          lit(0L)).as("cents_p1"),
+        coalesce(sum(when(col("us") > col("split_us"), col("cents"))),
+          lit(0L)).as("cents_p2"))
+      .withColumn("delta_cents", col("cents_p2") - col("cents_p1"))
+  }
+
   /** Fleiss' kappa (Fleiss 1971) — [[raterAgreement]]'s m-rater
     * generalization: chance-corrected agreement when EVERY item is
     * rated by the same m raters (label-quality audits with an

@@ -4581,6 +4581,51 @@ object ExtOracles {
         |            END AS BIGINT) AS kappa_ppm
         |FROM f""".stripMargin,
 
+    // Negative sampling: identical salted md5-32 probe construction
+    // (probe -> item index mod n_items, existence semi-join, min-hash
+    // dedup, anti-join, (h, item) rank).
+    "x182_negative_sampling" ->
+      """WITH items AS (SELECT p_partkey AS item_id FROM part),
+        |     n AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM items),
+        |     inter AS (SELECT DISTINCT o_custkey AS user_id,
+        |                      l_partkey AS item_id
+        |               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |     probes AS (SELECT user_id, i,
+        |                       ('0x' || substr(md5('neg7|' || user_id || '|' || i),
+        |                                       1, 8))::BIGINT AS h
+        |                FROM (SELECT DISTINCT user_id FROM inter), range(0, 15) t(i)),
+        |     cand AS (SELECT user_id, item_id, min(h) AS h
+        |              FROM (SELECT user_id, h % n_items AS item_id, h
+        |                    FROM probes, n) c
+        |              JOIN items USING (item_id)
+        |              GROUP BY 1, 2),
+        |     neg AS (SELECT cand.user_id, cand.item_id, cand.h
+        |             FROM cand ANTI JOIN inter
+        |               USING (user_id, item_id))
+        |SELECT user_id, item_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id
+        |            ORDER BY h, item_id) AS INT) AS neg_rank
+        |FROM neg QUALIFY neg_rank <= 5""".stripMargin,
+
+    // Period contribution: one conditional-aggregate pass over the
+    // joined fact, same data-derived split and cents idiom.
+    "x183_period_contribution" ->
+      """WITH f AS (SELECT c_mktsegment AS segment,
+        |                  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders JOIN customer ON c_custkey = o_custkey
+        |           WHERE o_orderdate IS NOT NULL),
+        |     sp AS (SELECT min(us) + (max(us) - min(us)) // 2 AS split_us FROM f)
+        |SELECT segment,
+        |       CAST(count(*) FILTER (us <= split_us) AS BIGINT) AS n_p1,
+        |       CAST(count(*) FILTER (us > split_us) AS BIGINT) AS n_p2,
+        |       CAST(coalesce(sum(cents) FILTER (us <= split_us), 0) AS BIGINT) AS cents_p1,
+        |       CAST(coalesce(sum(cents) FILTER (us > split_us), 0) AS BIGINT) AS cents_p2,
+        |       CAST(coalesce(sum(cents) FILTER (us > split_us), 0)
+        |            - coalesce(sum(cents) FILTER (us <= split_us), 0)
+        |            AS BIGINT) AS delta_cents
+        |FROM f, sp GROUP BY segment""".stripMargin,
+
     // Hybrid retrieval: the x120 RRF formula over the x3 dense leg
     // (cos, k=10) UNION the x175 sparse leg re-derived at query mod
     // 50 / top-10 — identical staged-division scores, identical rank

@@ -578,6 +578,29 @@ object ExtQueries {
         (element_at(col("embedding"), 1) > 0f).cast("int"),
         (element_at(col("embedding"), 2) > 0f).cast("int")))
     }),
+    // Deterministic negative sampling: 5 never-bought parts per
+    // customer via salted md5 probes — O(users x candidates), the
+    // users x items domain is never materialized.
+    "x182_negative_sampling" -> ((s, d) => {
+      val inter = s.read.parquet(s"$d/orders.parquet")
+        .join(s.read.parquet(s"$d/lineitem.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user_id"),
+          col("l_partkey").as("item_id"))
+      Assemble.negativeSamples(inter,
+        s.read.parquet(s"$d/part.parquet")
+          .select(col("p_partkey").as("item_id")))
+    }),
+    // Period-over-period contribution: revenue drill-down by market
+    // segment across the two halves of the order-time range; segment
+    // deltas sum to the topline delta exactly (integer cents).
+    "x183_period_contribution" -> ((s, d) =>
+      Stats.periodContribution(
+        s.read.parquet(s"$d/orders.parquet")
+          .join(broadcast(s.read.parquet(s"$d/customer.parquet")),
+            col("c_custkey") === col("o_custkey")),
+        tsCol = "o_orderdate", segCol = "c_mktsegment",
+        valueCol = "o_totalprice")),
     // Hybrid retrieval: RRF fusion of the DENSE x3 leg and the SPARSE
     // x175 inverted-index leg over the aligned id space (the
     // lexical+vector stack x120 fuses dense-only variants of).

@@ -452,6 +452,46 @@ object EventsStream {
       }
       .start()
 
+  /** STREAM-STREAM interval join: clicks joined to the same user's
+    * purchases within `horizon` AFTER the click — the online
+    * attribution pair feed (the streaming face of the batch
+    * [[graft.ext.Sessions]] attribution family). Both sides carry
+    * event-time watermarks, and the join condition bounds purchase
+    * time to `[click_ts, click_ts + horizon]`, which is exactly what
+    * lets Spark EVICT state: a click older than the watermark minus
+    * the horizon can never match a future purchase and is dropped
+    * from the state store — without the time bound the state grows
+    * forever (the documented stream-stream join contract). Inner
+    * join: unconverted clicks simply never emit (the left-outer
+    * variant would emit them with NULLs once the watermark passes —
+    * pass `joinType = "leftOuter"` for that training shape).
+    *
+    * Scale notes: shuffles both streams on user_id; state per side is
+    * bounded by the watermark delay + horizon window. Emission is
+    * append-mode and final — each (click, purchase) pair emits once. */
+  def clickPurchaseJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "1 hour",
+      delay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Stream-static ENRICHMENT: every micro-batch left-joins a
     * dimension frame produced by `dim()` — called PER BATCH, so a
     * slowly-changing dimension (a user→segment table the batch

@@ -4621,6 +4621,64 @@ class ExtSpec extends SparkSpec {
       ((0L, 0L, 0L, 0L)), s"got $e")
   }
 
+  test("negativeSamples: exact vs a pure-Scala reference; positives never sampled; shortfall visible") {
+    import spark.implicits._
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val items = (0L to 3L).toSeq
+    val pos = Map(1L -> Set(0L, 1L, 2L), 2L -> Set(0L))
+    val (k, c, salt) = (3, 6, "neg7")
+    // pure-Scala reference of the documented construction
+    val expected = pos.keys.flatMap { u =>
+      val cands = (0 until c).map(i => (h32(s"$salt|$u|$i"), h32(s"$salt|$u|$i") % items.size))
+        .filter { case (_, it) => items.contains(it) }
+        .groupBy(_._2).map { case (it, hs) => (hs.map(_._1).min, it) }
+        .filter { case (_, it) => !pos(u)(it) }
+        .toSeq.sorted
+      cands.take(k).zipWithIndex.map { case ((_, it), r) => (u, it, r + 1) }
+    }.toSet
+    val inter = pos.toSeq.flatMap { case (u, is) => is.map(u -> _) }
+      .toDF("user_id", "item_id")
+    val got = graft.ext.Assemble.negativeSamples(
+      inter, items.toDF("item_id"), k = k, candidates = c, salt = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected, s"got $got expected $expected")
+    // positives never sampled; user 1 has only ONE possible negative
+    // (item 3) so the shortfall is VISIBLE, never silently re-rolled
+    assert(got.forall { case (u, it, _) => !pos(u)(it) })
+    assert(got.count(_._1 == 1L) <= 1)
+    assert(got.filter(_._1 == 2L).map(_._3).toSeq.sorted == (1 to got.count(_._1 == 2L)).toSeq)
+  }
+
+  test("periodContribution: worked halves; segment deltas sum to the topline delta exactly") {
+    import spark.implicits._
+    // us range [0, 10] -> split at 5 (inclusive left period)
+    val rows = Seq(
+      ("A", 1L, 100.0), ("A", 7L, 50.555), // A: p1 10000, p2 5056
+      ("B", 2L, 10.0))                     // B: p2 empty -> zeros
+    val df = rows.toDF("seg", "usv", "v")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.periodContribution(df, "ts", "seg", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      "A" -> ((1L, 1L, 10000L, 5056L, -4944L)),
+      "B" -> ((1L, 0L, 1000L, 0L, -1000L))), s"got $got")
+    // decomposition identity on the big fixture: sum of segment
+    // deltas == topline delta, zero residual
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter($"value".isNotNull)
+    val per = graft.ext.Stats.periodContribution(ev, "ts", "event_type", "value")
+    val sumDelta = per.agg(sum($"delta_cents")).collect().head.getLong(0)
+    val topline = graft.ext.Stats.periodContribution(
+      ev.withColumn("all", lit("all")), "ts", "all", "value")
+      .collect().head.getLong(5)
+    assert(sumDelta == topline, s"residual: $sumDelta vs $topline")
+  }
+
   test("labelMrr: worked first-relevant rank; no-evidence query reports NULL/0") {
     import spark.implicits._
     // query 0 (label 1): ranking is v1 (label 0, cos~.995), v2

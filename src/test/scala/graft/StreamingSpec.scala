@@ -710,4 +710,33 @@ class StreamingSpec extends SparkSpec {
       ), s"got $got")
     } finally q.stop()
   }
+
+  test("clickPurchaseJoin: stream-stream interval join — in-horizon pairs only, append-final") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val joined = EventsStream.clickPurchaseJoin(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"),
+      horizon = "1 hour", delay = "10 minutes")
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("cpj_test").start()
+    try {
+      clicks.addData(
+        (1L, 7L, Timestamp.valueOf("2024-01-01 01:00:00")),
+        (2L, 7L, Timestamp.valueOf("2024-01-01 03:00:00")),
+        (3L, 8L, Timestamp.valueOf("2024-01-01 01:00:00")))
+      purchases.addData(
+        (100L, 7L, Timestamp.valueOf("2024-01-01 01:30:00")), // in horizon of click 1
+        (101L, 7L, Timestamp.valueOf("2024-01-01 02:30:00")), // 90min after click 1: out; before click 2: out
+        (102L, 9L, Timestamp.valueOf("2024-01-01 01:10:00"))) // no click for user 9
+      q.processAllAvailable()
+      purchases.addData(
+        (103L, 7L, Timestamp.valueOf("2024-01-01 03:20:00"))) // in horizon of click 2, cross-batch
+      q.processAllAvailable()
+      val got = spark.table("cpj_test").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+      assert(got == Set((1L, 100L), (2L, 103L)), s"got $got")
+    } finally q.stop()
+  }
 }
