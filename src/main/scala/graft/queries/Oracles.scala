@@ -244,6 +244,20 @@ object Oracles {
         |       CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
+    // Q14: the SAME SQL text the Spark side executes — shared constant,
+    // drift impossible by construction.
+    "q14_sql_entry" -> Queries.q14Sql,
+
+    // Q15: the registered-function surface; DuckDB's list_dot_product
+    // over the same double-transformed list (the x3 pairing).
+    "q15_sql_vector" ->
+      """SELECT vec_id,
+        |       CAST(floor(list_dot_product(v, v) * 1000 + 0.5) AS BIGINT) AS norm2_x1000
+        |FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |      FROM embeddings)
+        |ORDER BY norm2_x1000 DESC, vec_id
+        |LIMIT 5""".stripMargin,
+
     "t2_union_append" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys

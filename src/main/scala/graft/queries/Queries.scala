@@ -452,6 +452,55 @@ object Queries {
       .option("path", s"$base/customer_b").saveAsTable("k9_customer_b")
   }
 
+  /** Q14's SQL text — ONE constant shared verbatim by the Spark entry
+    * (`spark.sql`) and the DuckDB oracle: the dialect-shared subset
+    * (CTE + window + join + aggregate + integer cents) is the
+    * portability contract a SQL user of this engine relies on, and
+    * sharing the literal makes drift impossible. */
+  val q14Sql: String =
+    """WITH r AS (SELECT o_custkey, o_totalprice,
+      |                  row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |           FROM orders)
+      |SELECT c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |            AS BIGINT) AS latest_cents
+      |FROM r JOIN customer ON c_custkey = o_custkey
+      |WHERE rn = 1
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Q14: the SQL ENTRY surface — users run SQL text, not just the
+    * DataFrame API. The latest-order-per-customer rollup (window +
+    * join + aggregate) executes via `spark.sql` over temp views; the
+    * oracle runs the IDENTICAL text. */
+  def q14SqlEntry(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(q14Sql)
+  }
+
+  /** Q15: the registered-function SQL surface — the engine's native
+    * Catalyst vector expressions (`vec_dot` et al.,
+    * `GraftFunctions.register`) are callable from SQL TEXT, not just
+    * the Column API: top-5 vectors by squared norm, fixed-pointed
+    * through the shared floor(x·1000+0.5) idiom so the double tree
+    * hash-compares (the x94 convention), (norm, vec_id) total order.
+    * The float→double transform mirrors the x3 oracle's
+    * list_transform so both engines dot the same doubles. */
+  def q15SqlVector(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    t(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(
+      """SELECT vec_id,
+        |       CAST(floor(vec_dot(transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                          transform(embedding, x -> CAST(x AS DOUBLE)))
+        |                  * 1000 + 0.5) AS BIGINT) AS norm2_x1000
+        |FROM embeddings
+        |ORDER BY norm2_x1000 DESC, vec_id
+        |LIMIT 5""".stripMargin)
+  }
+
   // ------------------------------------------------------------ set ops
 
   /** T2: append-as-union semantics (UNION ALL of two incremental batches). */
@@ -496,5 +545,7 @@ object Queries {
     "q11_intersect" -> (q11Intersect _),
     "q12_cube" -> (q12Cube _),
     "q13_goals_vs_actuals" -> (q13GoalsVsActuals _),
+    "q14_sql_entry" -> (q14SqlEntry _),
+    "q15_sql_vector" -> (q15SqlVector _),
     "t2_union_append" -> (t2UnionAppend _)) ++ ExtQueries.all
 }
