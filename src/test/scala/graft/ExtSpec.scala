@@ -4621,6 +4621,110 @@ class ExtSpec extends SparkSpec {
       ((0L, 0L, 0L, 0L)), s"got $e")
   }
 
+  test("sparseCosTopK plan: posting-list equi-joins, broadcast query side, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ext.TextStats.sparseCosTopK(docs)
+      .queryExecution.executedPlan.toString
+    // the inverted index IS the operator: candidates must come from
+    // token/doc_id equi-joins (hash joins), never an all-pairs product
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    // the query postings and query norms ride broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("markovBacktest equals a naive sequential reference on random event data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(101L)
+    for (_ <- 1 to 3) {
+      val types = Seq("A", "B", "C", "D").take(2 + rng.nextInt(3))
+      val rows = (1 to (60 + rng.nextInt(120))).map { i =>
+        (i.toLong, (1 + rng.nextInt(6)).toLong,
+          types(rng.nextInt(types.size)), rng.nextInt(1000).toLong * 1000L)
+      }
+      // naive reference: per-user (us, event_id) sort -> transitions;
+      // split over ALL events; argmax (count desc, type asc)
+      val split = {
+        val us = rows.map(_._4)
+        us.min + (us.max - us.min) / 2
+      }
+      val trans = rows.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+        val s = es.sortBy(e => (e._4, e._1))
+        s.zip(s.drop(1)).map { case (a, b) => (a._3, b._3, a._4) }
+      }
+      val train = trans.filter(_._3 <= split)
+        .groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.size.toLong }
+      val model = train.groupBy(_._1._1).map { case (p, m) =>
+        val nTrain = m.values.sum
+        val pred = m.toSeq.map { case ((_, nx), n) => (nx, n) }
+          .sortBy { case (nx, n) => (-n, nx) }.head._1
+        p -> ((pred, nTrain))
+      }
+      val want = trans.filter(_._3 > split).groupBy(_._1).map { case (p, es) =>
+        val (pred, nTrain) = model.get(p).map { case (a, b) => (Option(a), b) }
+          .getOrElse((None, 0L))
+        val nCorrect = pred.map(pd => es.count(_._2 == pd).toLong).getOrElse(0L)
+        p -> ((pred, nTrain, es.size.toLong, nCorrect,
+          1000000L * nCorrect / es.size))
+      }
+      val ev = rows.toDF("event_id", "user_id", "event_type", "usv")
+        .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+        .select("event_id", "user_id", "event_type", "ts")
+      val got = graft.ext.Sessions.markovBacktest(ev).collect()
+        .map(r => r.getString(0) -> ((Option(r.getString(1)), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(got == want, s"got $got want $want")
+    }
+  }
+
+  test("tCloseness equals the BigInt reference on random data; fleissKappa on multi-category raters") {
+    import spark.implicits._
+    val rng = new scala.util.Random(555L)
+    for (_ <- 1 to 3) {
+      val rows = Seq.fill(50 + rng.nextInt(150))(
+        (s"g${rng.nextInt(4)}", s"s${rng.nextInt(3)}"))
+      val n = BigInt(rows.size)
+      val cj = rows.groupBy(_._2).map { case (k, v) => k -> BigInt(v.size) }
+      val want = rows.groupBy(_._1).map { case (g, es) =>
+        val ng = BigInt(es.size)
+        val dev = cj.keys.map { s =>
+          val o = BigInt(es.count(_._2 == s))
+          (o * n - cj(s) * ng).abs
+        }.sum
+        g -> (BigInt(1000000) * dev / (2 * ng * n)).toLong
+      }
+      val got = graft.ext.Stats.tCloseness(
+        rows.toDF("grp", "sens"), Seq("grp"), "sens", 0L)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got == want, s"got $got want $want")
+    }
+    // fleissKappa generality: THREE categories (the hand-worked case
+    // was binary), BigInt reference of the published formulas
+    for (_ <- 1 to 3) {
+      val m = 3
+      val items = (1 to (20 + rng.nextInt(60))).map(i =>
+        (i.toLong, rng.nextInt(3), rng.nextInt(3), rng.nextInt(3)))
+      val n = BigInt(items.size)
+      val sqsum = items.map { case (_, a, b, c) =>
+        Seq(a, b, c).groupBy(identity).values
+          .map(g => BigInt(g.size) * g.size).sum
+      }.sum
+      val csq = items.flatMap(i => Seq(i._2, i._3, i._4))
+        .groupBy(identity).values.map(g => BigInt(g.size) * g.size).sum
+      val po = BigInt(1000000) * (sqsum - n * m) / (n * m * (m - 1))
+      val pe = BigInt(1000000) * csq / (n * m * n * m)
+      val kappa =
+        if (pe >= 1000000) BigInt(0)
+        else if (po >= pe) BigInt(1000000) * (po - pe) / (BigInt(1000000) - pe)
+        else -(BigInt(1000000) * (pe - po) / (BigInt(1000000) - pe))
+      val r = graft.ext.Stats.fleissKappa(
+        items.toDF("id", "ra", "rb", "rc"), col("id"),
+        Seq(col("ra"), col("rb"), col("rc"))).collect().head
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((po.toLong, pe.toLong, kappa.toLong)), s"got $r want ($po, $pe, $kappa)")
+    }
+  }
+
   test("negativeSamples: exact vs a pure-Scala reference; positives never sampled; shortfall visible") {
     import spark.implicits._
     def h32(s: String): Long = {
