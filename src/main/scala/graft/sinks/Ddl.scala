@@ -107,7 +107,11 @@ final class Ddl(spark: SparkSession, registry: SchemaRegistry) {
   /** D3: drop all views, then all tables, in a database; returns dropped
     * names + count — the reference's reset report (sqlDwh.py:114-118). */
   def dropAll(db: String): (Seq[String], Int) = {
+    // listTables(db) also returns session-scoped TEMPORARY views (their
+    // database is null) — those belong to the session, not this database,
+    // and must survive a database reset.
     val tables = spark.catalog.listTables(db).collect()
+      .filterNot(_.isTemporary)
     val (views, plain) = tables.partition(_.tableType == "VIEW")
     views.foreach(v => spark.sql(s"DROP VIEW IF EXISTS $db.${v.name}"))
     plain.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.${t.name}"))

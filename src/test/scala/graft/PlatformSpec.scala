@@ -82,7 +82,7 @@ class DdlSpec extends SparkSpec {
       // D3: drop-all returns names + count; D5 covered by describe above
       val (dropped, n) = ddl.dropAll(db)
       assert(dropped.toSet == Set("orders", "orderitems") && n == 2)
-      assert(spark.catalog.listTables(db).collect().isEmpty)
+      assert(spark.catalog.listTables(db).collect().filterNot(_.isTemporary).isEmpty)
     } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 }
