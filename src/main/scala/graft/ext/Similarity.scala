@@ -230,6 +230,91 @@ object Similarity {
           .otherwise(col("cd") > col("cs")).as("is_violated"))
   }
 
+  /** User-user collaborative-filtering neighbor retrieval: per user,
+    * the top-k most-similar OTHER users by exact Jaccard over their
+    * distinct interacted-item sets — the user-based CF neighbor table
+    * a recommender's retrieval stage reads (the positive-side
+    * companion to [[Assemble.negativeSamples]]' contrastive pairs).
+    *
+    * THE INVERTED INDEX IS THE CANDIDATE GENERATOR (the sparse-top-k
+    * convention): candidate pairs come from the per-item equi-join,
+    * so two users sharing no item are never paired — users × users is
+    * never materialized. Intersections aggregate once per ORDERED
+    * pair (u1 < u2) and mirror afterwards, halving the pair shuffle.
+    * Jaccard is exact integer ppm — `10⁶·|A∩B| div (|A|+|B|−|A∩B|)`
+    * (10⁶·inter stays far inside 2⁶³ for any real per-user item
+    * count). Top-k per user under the (jppm desc, neighbor_id) total
+    * order rides the WindowGroupLimit partial rank pushdown
+    * ([[topKPerQuery]]'s story).
+    *
+    * Scale shape: the per-item fan-out is popularity²-bounded — the
+    * df-ceiling trade documented on the sparse retrieval leg applies
+    * verbatim (cap or drop head items in production; exact here,
+    * where item popularity is fixture-bounded). */
+  def jaccardUserTopK(interactions: DataFrame, k: Int = 5): DataFrame = {
+    require(k > 0, s"top-k k $k must be positive")
+    val ui = interactions
+      .filter(col("user_id").isNotNull && col("item_id").isNotNull)
+      .select(col("user_id"), col("item_id")).distinct()
+    val sizes = ui.groupBy(col("user_id")).agg(count(lit(1)).as("n_items"))
+    val inter = ui.as("a")
+      .join(ui.as("b"), Seq("item_id"))
+      .filter(col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("u1"), col("b.user_id").as("u2"))
+      .agg(count(lit(1)).as("inter"))
+    val both = inter.unionByName(inter.select(
+      col("u2").as("u1"), col("u1").as("u2"), col("inter")))
+    val scored = both
+      .join(sizes.select(col("user_id").as("u1"), col("n_items").as("n1")),
+        Seq("u1"))
+      .join(sizes.select(col("user_id").as("u2"), col("n_items").as("n2")),
+        Seq("u2"))
+      .withColumn("jppm", expr("1000000 * inter DIV (n1 + n2 - inter)"))
+    val w = Window.partitionBy(col("u1"))
+      .orderBy(col("jppm").desc, col("u2"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("u1").as("user_id"), col("u2").as("neighbor_id"),
+        col("inter"), col("jppm"), col("rank"))
+  }
+
+  /** Mutual-nearest-neighbor pair mining within label blocks: the
+    * pairs (a, b) where b is a's exact cosine top-1 AND a is b's —
+    * the alignment/bitext-mining primitive (a mutual-kNN consistency
+    * filter keeps only reciprocal matches, dropping hubs that are
+    * "nearest" to everything), next to [[hardNegatives]]' violation
+    * audit. Blocked by `label`: each vector's candidate set is its
+    * own block — the same candidates-then-verify shape the IVF cell
+    * and LSH bucket paths use at scale (a production run blocks by
+    * cell/bucket; the label block keeps the DuckDB oracle exactly
+    * reproducible). Rank-only output under the (cos desc, vec_id)
+    * total order; the canonical a < b orientation emits each mutual
+    * pair once. Zero-norm and NULL-label vectors are out by the
+    * cosine-path contract. */
+  def mutualTopPairs(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb.filter(col("label").isNotNull)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+      .filter(col("nv") > 0)
+    val scored = v.as("a")
+      .join(v.as("b"), col("a.label") === col("b.label") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos",
+        dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        col("a.label").as("label"), col("cos"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val top1 = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("src"), col("dst"), col("label"))
+    top1.as("x").join(top1.as("y"),
+        col("x.dst") === col("y.src") && col("y.dst") === col("x.src") &&
+          col("x.src") < col("y.src"))
+      .select(col("x.src").as("a_id"), col("x.dst").as("b_id"),
+        col("x.label").as("label"))
+  }
+
   /** Exact top-k per query with a BOUNDED pre-rank shuffle.
     *
     * Declared as the plain row_number window + rank filter — and that

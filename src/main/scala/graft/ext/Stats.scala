@@ -2239,4 +2239,57 @@ object Stats {
           .otherwise(expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * u2_a " +
             "DIV (CAST(2 AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT)")))
   }
+
+  /** Incremental rollup maintenance — the partial-aggregate MERGE
+    * contract that makes a 100 TB daily rollup refreshable without
+    * rescanning history: `merge(partial(A), partial(B)) ≡ full(A ∪ B)`
+    * for the mergeable aggregate vector (count, cent sum, min, max).
+    * The frame splits at the data-derived half (the x176 idiom —
+    * `min + (max − min) DIV 2`, subtraction first so truncating DIV ≡
+    * flooring), each side aggregates to its own per-(day, event_type)
+    * partial state — the STORED rollup and the incoming BATCH — and
+    * the output is the merge of the two states: counts and cent sums
+    * re-sum, mins re-min, maxes re-max. A day straddling the split
+    * lands rows in BOTH states, so its final row exists only through
+    * the merge path — exactly the case that breaks naive "append new
+    * days" maintenance.
+    *
+    * The DuckDB oracle aggregates the WHOLE frame directly in one
+    * pass, so the gate IS the merge-identity proof, cross-engine.
+    * Cents via the shared floor(v·100 + 0.5) idiom (NULL values keep
+    * NULL cents — sums/mins/maxes skip them identically on both
+    * engines, counts count the row); day buckets via the pre-1970-safe
+    * floor division.
+    *
+    * Scale shape: both partials are map-side-combinable groupBys over
+    * their slice only; the merge aggregates STATE rows (days × types,
+    * never raw events). An incremental pipeline persists the stored
+    * state and pays only the batch's aggregation per refresh —
+    * O(batch), the X27/X49/X59 growing-index discipline applied to
+    * aggregation. */
+  def rollupMerge(events: DataFrame): DataFrame = {
+    val rows = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val split = rows.agg(
+      expr("min(us) + (max(us) - min(us)) DIV 2").as("split_us"))
+    val keyed = rows.crossJoin(broadcast(split))
+      .withColumn("day", expr(epochFloorDiv("us", 86400000000L)))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("day"), col("event_type")).agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("cents")), lit(0L)).as("cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+    val stored = partial(keyed.filter(col("us") <= col("split_us")))
+    val batch = partial(keyed.filter(col("us") > col("split_us")))
+    stored.unionByName(batch)
+      .groupBy(col("day"), col("event_type"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("cents")).as("cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+  }
 }

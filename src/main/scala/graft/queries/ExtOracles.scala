@@ -4626,6 +4626,147 @@ object ExtOracles {
         |            AS BIGINT) AS delta_cents
         |FROM f, sp GROUP BY segment""".stripMargin,
 
+    // User-user CF neighbors: the same inverted-index construction in
+    // SQL — distinct (user, item), per-item self-join u1 < u2, mirror,
+    // exact Jaccard ppm, top-5 window under (jppm DESC, neighbor).
+    "x184_cf_jaccard" ->
+      """WITH ui AS (SELECT DISTINCT o_custkey AS user_id,
+        |                            l_partkey AS item_id
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |            WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |     sz AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |            FROM ui GROUP BY user_id),
+        |     pr AS (SELECT a.user_id AS u1, b.user_id AS u2,
+        |                   CAST(count(*) AS BIGINT) AS inter
+        |            FROM ui a JOIN ui b USING (item_id)
+        |            WHERE a.user_id < b.user_id
+        |            GROUP BY 1, 2),
+        |     bo AS (SELECT u1, u2, inter FROM pr
+        |            UNION ALL SELECT u2, u1, inter FROM pr),
+        |     j AS (SELECT u1, u2, inter,
+        |                  1000000 * inter // (s1.n + s2.n - inter) AS jppm
+        |           FROM bo JOIN sz s1 ON s1.user_id = u1
+        |                   JOIN sz s2 ON s2.user_id = u2)
+        |SELECT user_id, neighbor_id, inter, jppm, "rank" FROM (
+        |  SELECT u1 AS user_id, u2 AS neighbor_id, inter, jppm,
+        |         CAST(row_number() OVER (PARTITION BY u1
+        |              ORDER BY jppm DESC, u2) AS INT) AS "rank"
+        |  FROM j) WHERE "rank" <= 5""".stripMargin,
+
+    // Incremental rollup merge: the oracle aggregates the WHOLE frame
+    // in one pass — equality with the Spark side's stored+batch
+    // partial-state merge IS the merge-identity proof.
+    "x185_rollup_merge" ->
+      """WITH r AS (SELECT event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM events WHERE ts IS NOT NULL)
+        |SELECT us // 86400000000 AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents,
+        |       CAST(min(cents) AS BIGINT) AS min_cents,
+        |       CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // NB held-out AUC: the x57 model chain (train on the EVEN half's
+    // gopher labels), scores restricted to the ODD half, true odd
+    // labels re-derived, then the PER-ROW doubled tie-averaged rank
+    // formula — the cross-construction partner of the Spark side's
+    // histogram-decomposed Mann-Whitney.
+    "x186_nb_auc" ->
+      """WITH p0 AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 17 = 0 THEN replace(text, ' ', '')
+        |                  WHEN doc_id % 13 = 0 THEN text || ' !!! ### $$$'
+        |                  ELSE text END AS text
+        |           FROM documents),
+        |  p AS (SELECT doc_id, COALESCE(text, '') AS text FROM p0),
+        |  m AS (SELECT doc_id,
+        |          len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_words,
+        |          length(replace(text, ' ', '')) AS n_alpha,
+        |          length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_sym,
+        |          len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+        |        FROM p),
+        |  lab0 AS (SELECT doc_id,
+        |          ((n_words >= 50 AND n_words <= 100000)
+        |           AND ((CASE WHEN n_words = 0 THEN 0.0
+        |                 ELSE CAST(n_alpha AS DOUBLE) / n_words END) >= 3.0
+        |            AND (CASE WHEN n_words = 0 THEN 0.0
+        |                 ELSE CAST(n_alpha AS DOUBLE) / n_words END) <= 10.0)
+        |           AND (CASE WHEN n_words = 0 THEN 0.0
+        |                ELSE CAST(n_sym AS DOUBLE) / n_words END) <= 0.1
+        |           AND n_stop >= 2) AS passes
+        |        FROM m),
+        |  lab AS (SELECT doc_id, passes FROM lab0 WHERE doc_id % 2 = 0),
+        |  tok AS (SELECT doc_id, w FROM (
+        |            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM p)
+        |          WHERE length(w) > 0),
+        |  cnt AS (SELECT w,
+        |            CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS c_g,
+        |            CAST(sum(CASE WHEN passes THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |          FROM tok t JOIN lab l USING (doc_id) GROUP BY w),
+        |  tots AS (SELECT CAST(sum(c_g) AS BIGINT) AS n_g,
+        |                  CAST(sum(c_b) AS BIGINT) AS n_b,
+        |                  CAST(count(*) AS BIGINT) AS v
+        |           FROM cnt),
+        |  model AS (SELECT w,
+        |              (1000000::HUGEINT * (tots.n_b + tots.v) * (c_g + 1)) //
+        |              ((tots.n_g + tots.v)::HUGEINT * (c_b + 1)) AS r_ppm
+        |            FROM cnt CROSS JOIN tots),
+        |  r0 AS (SELECT (1000000::HUGEINT * (n_b + v)) // (n_g + v) AS r FROM tots),
+        |  sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |           sum(COALESCE(mo.r_ppm, r0.r)) AS tot
+        |         FROM tok t LEFT JOIN model mo USING (w) CROSS JOIN r0
+        |         WHERE t.doc_id % 2 <> 0
+        |         GROUP BY t.doc_id),
+        |  score AS (SELECT d.doc_id,
+        |              CAST(COALESCE(s.tot // s.n_tokens, 0) AS BIGINT) AS v
+        |            FROM p d LEFT JOIN sc s USING (doc_id)
+        |            WHERE d.doc_id % 2 <> 0),
+        |  e AS (SELECT v, passes
+        |        FROM score JOIN lab0 USING (doc_id)
+        |        WHERE doc_id % 2 <> 0),
+        |  r AS (SELECT passes,
+        |          2 * (CAST(rank() OVER (ORDER BY v) AS BIGINT) - 1)
+        |          + CAST(count(*) OVER (PARTITION BY v) AS BIGINT) + 1 AS r2
+        |        FROM e),
+        |  t2 AS (SELECT
+        |           CAST(count(*) FILTER (WHERE passes) AS BIGINT) AS n_pass,
+        |           CAST(count(*) FILTER (WHERE NOT passes) AS BIGINT) AS n_fail,
+        |           sum(CASE WHEN passes THEN CAST(r2 AS HUGEINT) ELSE 0 END) AS r2p
+        |         FROM r)
+        |SELECT n_pass, n_fail,
+        |       CAST(coalesce(r2p - CAST(n_pass AS HUGEINT) * (n_pass + 1), 0)
+        |            AS BIGINT) AS u2,
+        |       CAST(CASE WHEN n_pass = 0 OR n_fail = 0 THEN 0
+        |                 ELSE CAST(1000000 AS HUGEINT) *
+        |                      (r2p - CAST(n_pass AS HUGEINT) * (n_pass + 1))
+        |                      // (CAST(2 AS HUGEINT) * n_pass * n_fail)
+        |            END AS BIGINT) AS auc_ppm
+        |FROM t2""".stripMargin,
+
+    // Mutual-NN pairs: both directions' label-blocked cosine top-1
+    // (the x3 idioms), reciprocal join, canonical a < b orientation.
+    "x187_mutual_knn" ->
+      """WITH c AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings WHERE label IS NOT NULL),
+        |     s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |                  a.label AS label,
+        |                  list_dot_product(a.v, b.v) /
+        |                    (sqrt(list_dot_product(a.v, a.v)) *
+        |                     sqrt(list_dot_product(b.v, b.v))) AS cos
+        |           FROM c a JOIN c b
+        |             ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |     t AS (SELECT src, dst, label FROM (
+        |             SELECT src, dst, label,
+        |                    row_number() OVER (PARTITION BY src
+        |                        ORDER BY cos DESC, dst) AS rn
+        |             FROM s) WHERE rn = 1)
+        |SELECT x.src AS a_id, x.dst AS b_id, x.label AS label
+        |FROM t x JOIN t y
+        |  ON x.dst = y.src AND y.dst = x.src AND x.src < y.src""".stripMargin,
+
     // Hybrid retrieval: the x120 RRF formula over the x3 dense leg
     // (cos, k=10) UNION the x175 sparse leg re-derived at query mod
     // 50 / top-10 — identical staged-division scores, identical rank

@@ -601,6 +601,46 @@ object ExtQueries {
             col("c_custkey") === col("o_custkey")),
         tsCol = "o_orderdate", segCol = "c_mktsegment",
         valueCol = "o_totalprice")),
+    // User-user CF neighbors: top-5 most-similar customers by exact
+    // Jaccard over distinct purchased-part sets, candidates from the
+    // per-item inverted-index join (users x users never materialized).
+    "x184_cf_jaccard" -> ((s, d) =>
+      Similarity.jaccardUserTopK(
+        s.read.parquet(s"$d/orders.parquet")
+          .join(s.read.parquet(s"$d/lineitem.parquet"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("user_id"),
+            col("l_partkey").as("item_id")))),
+    // Incremental rollup maintenance: stored-state + batch partial
+    // aggregates MERGED per (day, event_type); the oracle aggregates
+    // the whole frame directly — the merge-identity proof.
+    "x185_rollup_merge" -> ((s, d) =>
+      Stats.rollupMerge(events(s, d))),
+    // Classifier eval harness: train the x57 NB distillation on the
+    // EVEN half's gopher labels, score the held-out ODD half, exact
+    // ROC-AUC (tie-averaged doubled-rank Mann-Whitney form) of the
+    // score against the odd half's true gopher labels.
+    "x186_nb_auc" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, regexp_replace(col("text"), " ", ""))
+          .when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" !!! ### $$$")))
+          .otherwise(col("text")).as("text"))
+      val trainLabels =
+        TextStats.gopherRules(planted.filter(col("doc_id") % 2 === 0))
+          .select(col("doc_id"), col("passes"))
+      val heldOut = TextStats.nbScore(planted, trainLabels)
+        .filter(col("doc_id") % 2 =!= 0)
+        .join(TextStats.gopherRules(planted.filter(col("doc_id") % 2 =!= 0))
+          .select(col("doc_id"), col("passes")), "doc_id")
+      Stats.mannWhitneyU(heldOut, "nb_ppm", "passes")
+        .select(col("n_a").as("n_pass"), col("n_b").as("n_fail"),
+          col("u2_a").as("u2"), col("cles_ppm").as("auc_ppm"))
+    }),
+    // Mutual-NN pair mining within label blocks: reciprocal cosine
+    // top-1 pairs, canonical a < b — the alignment-mining primitive.
+    "x187_mutual_knn" -> ((s, d) =>
+      Similarity.mutualTopPairs(emb(s, d))),
     // Hybrid retrieval: RRF fusion of the DENSE x3 leg and the SPARSE
     // x175 inverted-index leg over the aligned id space (the
     // lexical+vector stack x120 fuses dense-only variants of).

@@ -4854,4 +4854,126 @@ class ExtSpec extends SparkSpec {
     val n = graft.ext.Stats.tCloseness(dn, Seq("grp"), "sens", 0L).collect()
     assert(n.length == 2 && n.forall(_.getLong(1) == 2L), n.mkString(";"))
   }
+
+  test("rollupMerge equals the direct one-pass aggregate on random data (merge identity)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260815L)
+    for (round <- 1 to 3) {
+      // days spread across the split, incl. pre-1970 negatives in round 3
+      val base = if (round == 3) -40L * 86400 else 1700000000L
+      // pin min and max so split = base + 10d, then plant rows on BOTH
+      // sides of the split WITHIN its day — the straddling-day case the
+      // merge identity exists for is non-vacuous by construction
+      val pinned = Seq(base, base + 20L * 86400,
+        base + 10L * 86400, base + 10L * 86400 + 3600)
+      val rows = (pinned ++ Seq.fill(150 + rng.nextInt(100))(
+        base + 1 + rng.nextInt(20 * 86400 - 2).toLong)).map { sec =>
+        val v: java.lang.Double =
+          if (rng.nextInt(10) == 0) null
+          else java.lang.Double.valueOf(rng.nextInt(20000) / 100.0)
+        (new java.sql.Timestamp(sec * 1000L),
+          s"t${rng.nextInt(3)}", v)
+      }
+      val df = rows.toDF("ts", "event_type", "value")
+      val got = graft.ext.Stats.rollupMerge(df).collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+      val want = rows
+        .map { case (ts, t, v) =>
+          val us = ts.getTime * 1000L
+          val day = Math.floorDiv(us, 86400000000L)
+          val cents = Option(v).map(d => math.floor(d * 100 + 0.5).toLong)
+          ((day, t), cents)
+        }
+        .groupBy(_._1)
+        .map { case (k, g) =>
+          val cs = g.flatMap(_._2)
+          k -> ((g.size.toLong, cs.sum,
+            cs.minOption, cs.maxOption))
+        }
+      assert(got == want, s"round $round: got ${got.size} want ${want.size}")
+      // the identity is non-vacuous only if some day straddles the split
+      val us = rows.map(_._1.getTime * 1000L)
+      val split = us.min + (us.max - us.min) / 2
+      val straddle = rows.groupBy(r =>
+          Math.floorDiv(r._1.getTime * 1000L, 86400000000L))
+        .values.exists(g => g.exists(_._1.getTime * 1000L <= split) &&
+          g.exists(_._1.getTime * 1000L > split))
+      assert(straddle, "fixture never straddled the split — vacuous merge")
+    }
+  }
+
+  test("jaccardUserTopK equals the naive all-pairs Jaccard ranking on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4242L)
+    for (_ <- 1 to 3) {
+      val inter = Seq.fill(120 + rng.nextInt(80))(
+        (rng.nextInt(8).toLong + 1, rng.nextInt(15).toLong + 1))
+      val k = 1 + rng.nextInt(3)
+      val sets = inter.distinct.groupBy(_._1)
+        .map { case (u, g) => u -> g.map(_._2).toSet }
+      val naive = (for {
+        (u, su) <- sets.toSeq
+        (v, sv) <- sets if v != u
+        i = (su & sv).size if i > 0
+      } yield {
+        val jppm = 1000000L * i / (su.size + sv.size - i)
+        (u, v, i.toLong, jppm)
+      }).groupBy(_._1).flatMap { case (_, g) =>
+        g.sortBy { case (_, v, _, j) => (-j, v) }.take(k).zipWithIndex
+          .map { case ((u, v, i, j), idx) => (u, v, i, j, idx + 1) }
+      }.toSet
+      val got = graft.ext.Similarity
+        .jaccardUserTopK(inter.toDF("user_id", "item_id"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getInt(4))).toSet
+      assert(got == naive.map { case (u, v, i, j, r) => (u, v, i, j, r) },
+        s"k=$k got=${got.size} want=${naive.size}")
+    }
+  }
+
+  test("mutualTopPairs equals the naive reciprocal-top-1 on random labeled vectors") {
+    import spark.implicits._
+    val rng = new scala.util.Random(777L)
+    val vecs = (1L to 60L).map { id =>
+      (id, Array.fill(6)(rng.nextDouble().toFloat - 0.5f),
+        Integer.valueOf(rng.nextInt(3)))
+    }
+    // same arithmetic, same order: dot/(sqrt(dot aa)*sqrt(dot bb))
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) =>
+        s + a(i).toDouble * b(i).toDouble)
+    val best = vecs.map { case (id, v, l) =>
+      val cands = vecs.filter(o => o._3 == l && o._1 != id)
+        .map { case (oid, ov, _) =>
+          (oid, dot(v, ov) / (math.sqrt(dot(v, v)) * math.sqrt(dot(ov, ov))))
+        }
+      id -> cands.minBy { case (oid, c) => (-c, oid) }._1
+    }.toMap
+    val naive = best.collect {
+      case (a, b) if a < b && best(b) == a => (a, b)
+    }.toSet
+    val got = graft.ext.Similarity.mutualTopPairs(
+        vecs.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"got $got want $naive")
+    assert(naive.nonEmpty, "fixture produced no mutual pairs — vacuous")
+  }
+
+  test("nb_auc composition: perfect separation and all-tied score extremes") {
+    import spark.implicits._
+    // the gate key's terminal stage is mannWhitneyU renamed — pin the
+    // AUC reading at both extremes so the composition's semantics
+    // (auc_ppm = P(score_pass > score_fail) + ties/2) stay fixed
+    val perfect = graft.ext.Stats.mannWhitneyU(
+      Seq((10L, true), (9L, true), (2L, false), (1L, false))
+        .toDF("v", "is_a"), "v", "is_a").collect().head
+    assert(perfect.getLong(4) == 1000000L, s"perfect: $perfect")
+    val tied = graft.ext.Stats.mannWhitneyU(
+      Seq((5L, true), (5L, true), (5L, false), (5L, false))
+        .toDF("v", "is_a"), "v", "is_a").collect().head
+    assert(tied.getLong(4) == 500000L, s"tied: $tied")
+  }
 }
