@@ -82,6 +82,63 @@ object Graph {
     }
   }
 
+  /** Fixed-iteration SYNCHRONOUS label propagation over an undirected
+    * (`a_id`, `b_id`) edge list — community detection one rung above
+    * connected components (Raghavan, Albert & Kumara 2007): components
+    * only say "reachable"; propagation's majority vote separates the
+    * densely-knit blocks INSIDE one giant component (a template hub
+    * chains unrelated doc families into a single component — each
+    * family's internal majority outvotes the one bridge edge, so
+    * their labels stay apart).
+    *
+    * Determinism is the design: labels start as the node id; every
+    * iteration EVERY node simultaneously adopts the most frequent
+    * label among its NEIGHBORS (self excluded), ties to the SMALLEST
+    * label — an argmax under the (count desc, label asc) total order,
+    * no RNG, no visit order (the published sequential variant is
+    * visit-order-dependent; the synchronous form is a pure function
+    * of the graph). Iteration depth is FIXED — a convergence test
+    * would be data-dependent; a fixed depth is hash-comparable and
+    * the DuckDB oracle replays it as chained SQL stages (the X126
+    * PageRank convention).
+    *
+    * Scale shape: per iteration, one map-side-combinable groupBy on
+    * (node, label) then one bounded argmax aggregate (max over a
+    * (cnt, −label) struct — never a per-node window over raw
+    * messages); the symmetric edge frame persists once and every
+    * iteration re-joins it; each label frame materializes and
+    * releases its predecessor, keeping lineage one iteration deep
+    * (the PageRank loop's O(iters²) recompute guard). */
+  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iteration count $iters must be positive")
+    val sym = edges
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = sym.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      var prev: Option[DataFrame] = None
+      for (_ <- 1 to iters) {
+        val next = sym
+          .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+          .groupBy(col("src"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("src"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+          .select(col("src").as("node"), (-col("m.neg")).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the input lineage
+        prev.foreach(_.unpersist(blocking = false))
+        prev = Some(next)
+        labels = next
+      }
+      val out = labels.localCheckpoint(true)
+      prev.foreach(_.unpersist(blocking = false))
+      out
+    } finally sym.unpersist(blocking = false)
+  }
+
   /** Per-node triangle counts + exact local clustering coefficient
     * over an undirected `a_id < b_id` edge list — the cluster-density
     * view of the dup graph (a triangle-rich neighborhood is a

@@ -4745,6 +4745,58 @@ object ExtOracles {
         |            END AS BIGINT) AS auc_ppm
         |FROM t2""".stripMargin,
 
+    // Label propagation: the SAME synchronous recurrence replayed as
+    // four chained SQL stages — per iteration the neighbor-label
+    // counts and the (cnt DESC, label ASC) argmax via a window (the
+    // cross-construction of the Spark side's max-over-struct). The
+    // shared stages MUST be AS MATERIALIZED (the x99 lesson: plain
+    // CTE inlining re-expands the edge self-join per reference).
+    "x188_label_prop" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+        |  FROM li a JOIN li b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (
+        |  SELECT s AS src, t AS dst FROM e0
+        |  UNION ALL SELECT t, s FROM e0),
+        |l0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node, src AS label FROM sym),
+        |i1 AS MATERIALIZED (
+        |  SELECT src AS node, label FROM (
+        |    SELECT src, label, row_number() OVER (PARTITION BY src
+        |           ORDER BY cnt DESC, label) AS rn
+        |    FROM (SELECT sym.src, l.label,
+        |                 CAST(count(*) AS BIGINT) AS cnt
+        |          FROM sym JOIN l0 l ON l.node = sym.dst
+        |          GROUP BY sym.src, l.label)) WHERE rn = 1),
+        |i2 AS MATERIALIZED (
+        |  SELECT src AS node, label FROM (
+        |    SELECT src, label, row_number() OVER (PARTITION BY src
+        |           ORDER BY cnt DESC, label) AS rn
+        |    FROM (SELECT sym.src, l.label,
+        |                 CAST(count(*) AS BIGINT) AS cnt
+        |          FROM sym JOIN i1 l ON l.node = sym.dst
+        |          GROUP BY sym.src, l.label)) WHERE rn = 1),
+        |i3 AS MATERIALIZED (
+        |  SELECT src AS node, label FROM (
+        |    SELECT src, label, row_number() OVER (PARTITION BY src
+        |           ORDER BY cnt DESC, label) AS rn
+        |    FROM (SELECT sym.src, l.label,
+        |                 CAST(count(*) AS BIGINT) AS cnt
+        |          FROM sym JOIN i2 l ON l.node = sym.dst
+        |          GROUP BY sym.src, l.label)) WHERE rn = 1),
+        |i4 AS (
+        |  SELECT src AS node, label FROM (
+        |    SELECT src, label, row_number() OVER (PARTITION BY src
+        |           ORDER BY cnt DESC, label) AS rn
+        |    FROM (SELECT sym.src, l.label,
+        |                 CAST(count(*) AS BIGINT) AS cnt
+        |          FROM sym JOIN i3 l ON l.node = sym.dst
+        |          GROUP BY sym.src, l.label)) WHERE rn = 1)
+        |SELECT node, label FROM i4""".stripMargin,
+
     // Mutual-NN pairs: both directions' label-blocked cosine top-1
     // (the x3 idioms), reciprocal join, canonical a < b orientation.
     "x187_mutual_knn" ->

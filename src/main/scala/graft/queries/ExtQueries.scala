@@ -641,6 +641,17 @@ object ExtQueries {
     // top-1 pairs, canonical a < b — the alignment-mining primitive.
     "x187_mutual_knn" -> ((s, d) =>
       Similarity.mutualTopPairs(emb(s, d))),
+    // Synchronous label propagation (4 fixed iterations) over the
+    // co-purchase part graph — communities inside x114's components.
+    "x188_label_prop" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("a_id"),
+          col("b.l_partkey").as("b_id")).distinct()
+      graft.ext.Graph.labelPropagation(e, iters = 4)
+    }),
     // Hybrid retrieval: RRF fusion of the DENSE x3 leg and the SPARSE
     // x175 inverted-index leg over the aligned id space (the
     // lexical+vector stack x120 fuses dense-only variants of).

@@ -42,6 +42,17 @@ object Oracles {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
 
+    // Schema-evolution leg: the declarative restatement of the grown
+    // layout — v1 rows carry a typed NULL for the column they predate.
+    "k11_schema_evolution" ->
+      """SELECT 1 AS version, c_custkey, c_mktsegment,
+        |       CAST(NULL AS BIGINT) AS acctbal_cents
+        |FROM customer
+        |UNION ALL
+        |SELECT 2, c_custkey, c_mktsegment,
+        |       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+        |FROM customer""".stripMargin,
+
     // partition-layout leg: the hive-partitioned write+pruned read must
     // equal the plain filtered projection (pruning itself is
     // plan-pinned in PlatformSpec, not hash-visible).

@@ -398,6 +398,31 @@ object Queries {
     spark.read.schema(c.schema).json(out)
   }
 
+  /** K-series schema-evolution leg: a staging layout that GREW a
+    * column mid-history must read back as ONE frame without rewriting
+    * old files — at 100 TB that is the only viable path (a schema
+    * change appends new-schema files; history is immutable). The v1
+    * slice is written without `acctbal_cents`, the v2 slice with it,
+    * both under a hive `version=` partition; `mergeSchema` unions the
+    * parquet footers and back-fills the missing column with NULL. The
+    * oracle re-states the same history as an explicit UNION ALL with
+    * typed NULLs — the gate proves Spark's footer-merge semantics
+    * equal the declarative union (values, the int64 width of the new
+    * column, NULL back-fill, and the partition column's int type). */
+  def k11SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.util.Scratch.dir("evo_gate")}/customer_evo"
+    val c = t(spark, dir, "customer")
+    c.select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$out/version=1")
+    c.select(col("c_custkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+          .as("acctbal_cents"))
+      .write.mode("overwrite").parquet(s"$out/version=2")
+    spark.read.option("mergeSchema", true).parquet(out)
+      .select(col("version"), col("c_custkey"), col("c_mktsegment"),
+        col("acctbal_cents"))
+  }
+
   /** K/S-series partition-layout leg: a 100 TB table is only usable
     * when a predicate on the partition column prunes the scan to the
     * matching directories — this gate writes ORDERS hive-partitioned
@@ -524,6 +549,7 @@ object Queries {
     "k6_csv_roundtrip" -> (k6CsvRoundtrip _),
     "k7_orc_roundtrip" -> (k7OrcRoundtrip _),
     "k10_jsonl_roundtrip" -> (k10JsonlRoundtrip _),
+    "k11_schema_evolution" -> (k11SchemaEvolution _),
     "k8_partition_prune" -> (k8PartitionPrune _),
     "k9_bucketed_join" -> (k9BucketedJoin _),
     "s2_filter_pushdown" -> (s2FilterPushdown _),

@@ -4962,6 +4962,46 @@ class ExtSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture produced no mutual pairs — vacuous")
   }
 
+  test("labelPropagation equals the naive synchronous replay on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1212L)
+    for (_ <- 1 to 3) {
+      val n = 12 + rng.nextInt(10)
+      val edges = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rng.nextInt(5) == 0
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val adj = (edges ++ edges.map(e => (e._2, e._1)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        var lab: Map[Long, Long] = adj.keys.map(k => k -> k).toMap
+        for (_ <- 1 to 4) {
+          val prev = lab
+          lab = adj.map { case (node, nbrs) =>
+            val counts = nbrs.groupBy(prev).map { case (l, g) => (l, g.size) }
+            node -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }
+        }
+        val got = graft.ext.Graph.labelPropagation(edges.toDF("a_id", "b_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == lab, s"n=$n edges=${edges.size} got=$got want=$lab")
+      }
+    }
+  }
+
+  test("labelPropagation: bridged triangles keep distinct communities in one component") {
+    import spark.implicits._
+    // two triangles joined by ONE bridge edge — a single connected
+    // component (dupComponents would merge it); the majority vote
+    // keeps the two cliques' labels apart
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val got = graft.ext.Graph.labelPropagation(edges.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
+  }
+
   test("nb_auc composition: perfect separation and all-tied score extremes") {
     import spark.implicits._
     // the gate key's terminal stage is mannWhitneyU renamed — pin the
