@@ -280,7 +280,7 @@ object Stats {
     * snippet (it is re-evaluated three times). Non-negative bucket
     * POSITIONS (hour-of-day, day-of-week) additionally go through
     * `pmod` at the call site — `%` follows the dividend's sign. */
-  private[ext] def epochFloorDiv(us: String, d: Long): String =
+  private[graft] def epochFloorDiv(us: String, d: Long): String =
     s"(($us) DIV $d - (CASE WHEN ($us) % $d < 0 THEN 1 ELSE 0 END))"
   private val EpochUs = "unix_micros(CAST(ts AS TIMESTAMP))"
 

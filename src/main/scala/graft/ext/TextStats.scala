@@ -1104,6 +1104,68 @@ object TextStats {
       .select(col("query_id"), col("doc_id"), col("rank"), col("score_ppm"))
   }
 
+  /** BM25 top-k over the inverted index — the canonical lexical
+    * ranking function (Robertson & Zaragoza 2009) made EXACT-INTEGER.
+    * With the published defaults as rationals (k1 = 6/5, b = 3/4) the
+    * per-term contribution
+    * `idf · tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)`
+    * multiplies through by 10·A (A = total corpus tokens,
+    * avgdl = A/N) into
+    * `(idf · tf · 22 · A) div (10·A·tf + 3·A + 9·dl·N)`
+    * — ONE integral division per (doc, query-term), products riding
+    * DECIMAL(38,0) ↔ DuckDB HUGEINT; a doc's score is the exact long
+    * sum of its term contributions (a sum of longs, order-free). idf
+    * is the established integer proxy `(10⁶·N) div df` — the true
+    * log-idf is irrational; the proxy keeps the same df ordering and
+    * hash-gates (a documented substitution, not an approximation
+    * bug). Headroom: num ≤ idf·tf·22A needs idf·tf·A < 4.5e36 —
+    * holds past 10⁹ docs × 10⁵-token repeats × 10¹³ corpus tokens.
+    *
+    * Queries are the `queryMod` slice's distinct token sets (standard
+    * BM25 counts each query term once). Candidates come from the
+    * posting equi-join (the [[sparseCosTopK]] convention): a doc
+    * sharing no term with the query is never scored, and the same
+    * df-ceiling production trade applies. The corpus-total frame is
+    * one broadcast row (never a driver action over the token stream);
+    * the dl join and the (query, doc) aggregate share one doc_id
+    * exchange (HashPartitioning(doc_id) satisfies the superset
+    * clustering). Top-k under the (score desc, doc_id) total order
+    * rides the WindowGroupLimit partial pushdown. */
+  def bm25TopK(docs: DataFrame, k: Int = 5, queryMod: Int = 250): DataFrame = {
+    require(k >= 1, s"k $k must be positive")
+    val nDocs = docs.count()
+    val scaleN = math.multiplyExact(1000000L, nDocs)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val totals = tf.agg(coalesce(sum(col("tf")), lit(0L)).as("a"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .select(col("token"), expr(s"${scaleN}L div df").as("idf"))
+    val qt = tf.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("query_id"), col("token"))
+    val contrib = tf.join(broadcast(qt), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(idf), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .select(col("query_id"), col("doc_id"), expr(
+        "CAST(idf AS DECIMAL(38,0)) * tf * 22 * a DIV " +
+          "(CAST(10 AS DECIMAL(38,0)) * a * tf + CAST(3 AS DECIMAL(38,0)) * a" +
+          s" + CAST(9 AS DECIMAL(38,0)) * dl * ${nDocs}L)").as("c"))
+    val scored = contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
+
   /** Encoding/mojibake QC audit per source: counts of U+FFFD
     * replacement characters (the scar a botched charset transcode
     * leaves), C0 control characters (NUL/BEL/VT… — binary bleed; tab

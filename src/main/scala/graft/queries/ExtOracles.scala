@@ -4745,6 +4745,43 @@ object ExtOracles {
         |            END AS BIGINT) AS auc_ppm
         |FROM t2""".stripMargin,
 
+    // BM25: the same rational-coefficient integer form — idf proxy,
+    // per-(doc, query-term) HUGEINT division, long-sum score, top-5
+    // window under (score DESC, doc_id).
+    "x189_bm25_topk" ->
+      """WITH tf AS MATERIALIZED (
+        |  SELECT doc_id, w AS token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |               unnest(string_split(COALESCE(text, ''), ' ')) AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0 GROUP BY doc_id, w),
+        |tot AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS a FROM tf),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY doc_id),
+        |idf AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY token),
+        |qt AS (SELECT doc_id AS query_id, token FROM tf
+        |       WHERE doc_id % 250 = 0),
+        |co AS (SELECT q.query_id, t.doc_id,
+        |         (CAST((1000000 * nd.n) // i.df AS HUGEINT)
+        |            * t.tf * 22 * tot.a) //
+        |         (CAST(10 AS HUGEINT) * tot.a * t.tf
+        |            + CAST(3 AS HUGEINT) * tot.a
+        |            + CAST(9 AS HUGEINT) * d.dl * nd.n) AS c
+        |       FROM tf t JOIN qt q USING (token)
+        |            JOIN idf i USING (token)
+        |            JOIN dl d ON d.doc_id = t.doc_id
+        |            CROSS JOIN tot CROSS JOIN nd
+        |       WHERE t.doc_id <> q.query_id),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score
+        |       FROM co GROUP BY 1, 2)
+        |SELECT query_id, doc_id, "rank", score FROM (
+        |  SELECT query_id, doc_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY score DESC, doc_id) AS INT) AS "rank"
+        |  FROM sc) WHERE "rank" <= 5""".stripMargin,
+
     // Label propagation: the SAME synchronous recurrence replayed as
     // four chained SQL stages — per iteration the neighbor-label
     // counts and the (cnt DESC, label ASC) argmax via a window (the

@@ -641,6 +641,9 @@ object ExtQueries {
     // top-1 pairs, canonical a < b — the alignment-mining primitive.
     "x187_mutual_knn" -> ((s, d) =>
       Similarity.mutualTopPairs(emb(s, d))),
+    // BM25 top-k over the inverted index: the canonical lexical
+    // ranker with rational (k1=6/5, b=3/4) defaults made exact-integer.
+    "x189_bm25_topk" -> ((s, d) => TextStats.bm25TopK(docs(s, d))),
     // Synchronous label propagation (4 fixed iterations) over the
     // co-purchase part graph — communities inside x114's components.
     "x188_label_prop" -> ((s, d) => {

@@ -525,6 +525,59 @@ object EventsStream {
       }
       .start()
 
+  /** Per-batch PARTIAL rollup state — the mergeable aggregate vector
+    * (count, cent sum, min, max) per (day, event_type), the streaming
+    * half of [[graft.ext.Stats.rollupMerge]]'s merge contract. Pure
+    * function of the batch; runs identically on a batch frame. */
+  def rollupPartial(batch: DataFrame): DataFrame =
+    batch.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("day",
+        expr(graft.ext.Stats.epochFloorDiv("us", 86400000000L)))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("cents")), lit(0L)).as("cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+
+  /** The CURRENT rollup: merge every stored partial (all batch
+    * partitions, compacted or not) — re-sum counts and cent sums,
+    * re-min/max the extrema. State rows only (days × types × batches),
+    * never raw events. */
+  def rollupRead(writer: graft.sinks.StagingWriter, table: String): DataFrame =
+    writer.read(table)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("cents")).as("cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+
+  /** Continuous incremental rollup maintenance — the streaming form of
+    * the [[graft.ext.Stats.rollupMerge]] contract: each micro-batch
+    * reduces to its own per-(day, event_type) partial state, written
+    * idempotently under its `ingest_batch` partition; [[rollupRead]]
+    * is the merged current rollup, and
+    * [[graft.sinks.StagingWriter.compactBatchPartitions]] folds the
+    * partition history without changing what it reads. Replay-safe by
+    * the established sink protocol: an at-least-once replay of batch N
+    * dynamic-overwrites partition N with identical partials. Each tick
+    * costs O(batch) — the rollup's history is never rescanned, and the
+    * per-tick write is days × types rows, not events. */
+  def rollupIngestQuery(
+      rows: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writer.writeBatchPartition(rollupPartial(batch.toDF()), table, batchId)
+        ()
+      }
+      .start()
+
   /** The EMBEDDING sibling of [[neardupIngestQuery]]: continuous
     * cosine near-dup ingest against a growing sign-LSH index. Per
     * micro-batch: within-batch pairs

@@ -4962,6 +4962,46 @@ class ExtSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture produced no mutual pairs — vacuous")
   }
 
+  test("bm25TopK equals the naive BigInt formula on a random mini corpus") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9090L)
+    val vocab = Vector("w1", "w2", "w3", "w4", "w5", "w6")
+    val docsSeq = (0L until 30L).map { id =>
+      (id, Seq.fill(3 + rng.nextInt(12))(
+        vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val k = 4; val qm = 7
+    val got = graft.ext.TextStats
+      .bm25TopK(docsSeq.toDF("doc_id", "text"), k, qm)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val toks = docsSeq.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val n = BigInt(docsSeq.size)
+    val a = BigInt(toks.values.map(_.size).sum)
+    val df = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (w, g) => w -> BigInt(g.size) }
+    val want = (for {
+      (q, qts) <- toks.toSeq if q % qm == 0
+      scored = toks.toSeq.filter(_._1 != q).flatMap { case (d, ts) =>
+        val tfm = ts.groupBy(identity).map { case (w, g) => w -> BigInt(g.size) }
+        val dlv = BigInt(ts.size)
+        val common = qts.distinct.filter(tfm.contains)
+        if (common.isEmpty) None
+        else Some(d -> common.map { w =>
+          val idf = (BigInt(1000000) * n) / df(w)
+          (idf * tfm(w) * 22 * a) /
+            (BigInt(10) * a * tfm(w) + BigInt(3) * a + BigInt(9) * dlv * n)
+        }.sum)
+      }
+      ((d, s), i) <- scored.sortBy { case (d2, s2) => (-s2, d2) }
+        .take(k).zipWithIndex
+    } yield (q, d, i + 1, s.toLong)).toSet
+    assert(got == want, s"got=$got want=$want")
+    assert(want.nonEmpty, "no query produced candidates — vacuous")
+  }
+
   test("labelPropagation equals the naive synchronous replay on random graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(1212L)

@@ -711,6 +711,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollupIngestQuery: merged partials equal the batch rollup; replay and compaction are no-ops") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("rollwh"))
+    val stream = MemoryStream[(Timestamp, String, Option[Double])]
+    val q = EventsStream.rollupIngestQuery(
+      stream.toDF().toDF("ts", "event_type", "value"),
+      writer, "rollup", tmpDir("rollck"))
+    val b1 = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "a", Some(1.25)),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), "a", Some(2.00)),
+      (Timestamp.valueOf("2024-01-01 12:00:00"), "b", None: Option[Double]))
+    val b2 = Seq(
+      // same day as batch 1 — the straddling-day merge case
+      (Timestamp.valueOf("2024-01-01 23:00:00"), "a", Some(4.50)),
+      (Timestamp.valueOf("2024-01-02 01:00:00"), "a", Some(0.75)))
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)))
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      val direct = EventsStream.rollupPartial(
+          (b1 ++ b2).toDF("ts", "event_type", "value"))
+        .collect().map(row).toSet
+      def current() = EventsStream.rollupRead(writer, "rollup")
+        .collect().map(row).toSet
+      assert(current() == direct, s"merge != direct: ${current()} vs $direct")
+      // the straddling day merged across batches (n=3 on day 1 type a)
+      assert(direct.exists(t => t._2 == "a" && t._3 == 3L))
+      // at-least-once replay of batch 0 rewrites identical partials
+      def stored() = writer.read("rollup").collect()
+        .map(r => (row(r), r.getAs[Long]("ingest_batch"))).toSet
+      val before = stored()
+      writer.writeBatchPartition(
+        EventsStream.rollupPartial(b1.toDF("ts", "event_type", "value")),
+        "rollup", 0L)
+      assert(stored() == before, "replay changed stored state")
+      // compaction folds partitions without changing the read
+      writer.compactBatchPartitions("rollup")
+      assert(current() == direct, "compaction changed the merged rollup")
+    } finally q.stop()
+  }
+
   test("clickPurchaseJoin: stream-stream interval join — in-horizon pairs only, append-final") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
