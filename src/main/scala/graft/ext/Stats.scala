@@ -2240,6 +2240,111 @@ object Stats {
             "DIV (CAST(2 AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT)")))
   }
 
+  /** Morton/Z-order interleave of two `bits`-bit non-negative integer
+    * expressions as a SQL string — ONE generated source of truth (the
+    * langMarkers discipline) whose text runs under BOTH engines:
+    * Spark with `divOp = "DIV"`, DuckDB with `divOp = "//"`. Pure
+    * integer arithmetic (`(x div 2^i) % 2 · 4^i` terms, bigint
+    * promotion throughout), so the oracle can never drift from the
+    * query's bit layout. */
+  def zorderSql(x: String, y: String, bits: Int, divOp: String): String = {
+    require(bits >= 1 && bits <= 31, s"bits $bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      s"((($x) $divOp ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+        s"((($y) $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+  }
+
+  /** Z-order layout audit — the MULTI-dimensional companion to the 1-D
+    * partition-pruning (K2c) and bucketing (K2d) layout legs: Morton-
+    * interleave two filter dimensions into one clustering key, cut the
+    * key space into fixed z-ranges (quadtree regions), and report each
+    * populated region's row count and exact bounding box. The box IS
+    * the pruning contract: a range predicate on EITHER dimension skips
+    * every region whose box misses it — where an x-sorted layout
+    * leaves y unbounded per file, the z-regions bound both (the spec
+    * pins the exact 32×32 tiles on a full grid and the interleave
+    * against a bit-twiddled reference). Coordinates enter modulo
+    * 2^bits (the caller picks dimensions that fit or hashes down).
+    *
+    * Scale shape: the z key is a codegen'd integer projection on the
+    * scan; the audit is one map-side-combinable groupBy over populated
+    * regions (≤ `buckets`). The WRITE path of this layout is
+    * `repartitionByRange` on the same key — the curriculumExport
+    * RangePartitioning story. */
+  def zorderLayout(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 16, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets $buckets must be positive")
+    val m = 1L << bits
+    val zmax = 1L << (2 * bits)
+    val width = (zmax + buckets - 1) / buckets
+    df.select(col(xCol).as("x0"), col(yCol).as("y0"))
+      .filter(col("x0").isNotNull && col("y0").isNotNull)
+      // the folded coordinate IS the audited dimension — boxes are
+      // reported in the same space the z key is built from
+      .select(expr(s"x0 % $m").as("x"), expr(s"y0 % $m").as("y"))
+      .select(col("x"), col("y"),
+        expr(zorderSql("x", "y", bits, "DIV")).as("z"))
+      .groupBy(expr(s"z DIV $width").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+  }
+
+  /** Watermark-lateness audit — THE number that sizes a Structured
+    * Streaming `withWatermark` delay, measured from the data instead
+    * of guessed: with `arrival` as the ingest log's append order (a
+    * Kafka offset, a file sequence — the caller's column; the gate
+    * plants a deterministic delivery delay because the synthetic log
+    * is perfectly ordered), a row's lateness is how far event time
+    * had ALREADY advanced past it when it arrived —
+    * `max(us over strictly-earlier arrivals) − us`, clamped at 0.
+    * Per event type: row count, late-row count, max lateness, and
+    * exact P50/P90/P99 lateness via the histogram rank carve — a
+    * delay at P99 admits 99% of late rows; `max_late_us` is the
+    * loss-free bound. The NULL-vs-greatest ordering is the shared
+    * x109 idiom: coalesce BEFORE greatest on both engines.
+    *
+    * Scale shape: the running max is one per-type window along the
+    * arrival order (the log's native sort — no extra global sort at
+    * the source); everything past the (type, late_us) histogram is
+    * bounded by distinct lateness values (the X42 caveat: µs-granular
+    * lateness can be near-unique — bucket first when a coarser answer
+    * suffices; exact here, where the audit IS the product). */
+  def watermarkLateness(
+      events: DataFrame, ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles $ps must be in [1, 100]")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("arrival"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = events
+      .filter(col("ts").isNotNull && col("event_id").isNotNull)
+      .select(col("event_type"), col("arrival"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .withColumn("late_us",
+        greatest(coalesce(max(col("us")).over(w) - col("us"), lit(0L)),
+          lit(0L)))
+    val hist = late.groupBy(col("event_type"), col("late_us"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy(col("event_type")).orderBy(col("late_us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val targets = hist.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n_events"),
+        coalesce(sum(when(col("late_us") > 0, col("cnt"))), lit(0L))
+          .as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        col("max_late_us"), explode(typedLit(ps.toList)).as("p"))
+      .withColumn("target_rn", expr("(p * n_events + 99) DIV 100"))
+    cum.join(broadcast(targets), Seq("event_type"))
+      .filter(col("cum") >= col("target_rn") &&
+        col("cum") - col("cnt") < col("target_rn"))
+      .select(col("event_type"), col("p"), col("n_events"), col("n_late"),
+        col("max_late_us"), col("late_us").as("late_us_at_p"))
+  }
+
   /** Incremental rollup maintenance — the partial-aggregate MERGE
     * contract that makes a 100 TB daily rollup refreshable without
     * rescanning history: `merge(partial(A), partial(B)) ≡ full(A ∪ B)`

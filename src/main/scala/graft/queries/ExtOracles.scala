@@ -4745,6 +4745,59 @@ object ExtOracles {
         |            END AS BIGINT) AS auc_ppm
         |FROM t2""".stripMargin,
 
+    // Z-order layout: the SAME generated Morton expression (one Scala
+    // source of truth, DuckDB's // for Spark's DIV) and the same
+    // fixed-width z-range bucketing — the oracle cannot drift from
+    // the query's bit layout.
+    "x191_zorder_layout" -> {
+      val z = graft.ext.Stats.zorderSql("x", "y", 8, "//")
+      val width = ((1L << 16) + 63) / 64
+      s"""WITH p AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y
+         |           FROM lineitem
+         |           WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+         |z AS (SELECT x, y, ($z) AS z FROM p)
+         |SELECT z // $width AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |       min(x) AS min_x, max(x) AS max_x,
+         |       min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1""".stripMargin
+    },
+
+    // Watermark lateness: the same planted arrival order, running max
+    // over strictly-earlier arrivals, histogram rank carve per type.
+    "x190_watermark_lateness" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |                  event_id + CASE WHEN event_id % 7 = 0
+        |                                  THEN 25 ELSE 0 END AS arr,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |           FROM events
+        |           WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+        |l AS (SELECT event_type,
+        |        greatest(coalesce(max(us) OVER (PARTITION BY event_type
+        |                 ORDER BY arr, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                 - us, 0), 0) AS late_us
+        |      FROM e),
+        |h AS (SELECT event_type, late_us,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |      FROM l GROUP BY 1, 2),
+        |c AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type
+        |             ORDER BY late_us
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM h),
+        |t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+        |             CAST(coalesce(sum(cnt) FILTER (WHERE late_us > 0), 0)
+        |                  AS BIGINT) AS n_late,
+        |             CAST(max(late_us) AS BIGINT) AS max_late_us
+        |      FROM h GROUP BY 1),
+        |p AS (SELECT event_type, n_events, n_late, max_late_us,
+        |             unnest([50, 90, 99]) AS p
+        |      FROM t),
+        |tr AS (SELECT *, (p * n_events + 99) // 100 AS target FROM p)
+        |SELECT c.event_type, tr.p, tr.n_events, tr.n_late, tr.max_late_us,
+        |       CAST(c.late_us AS BIGINT) AS late_us_at_p
+        |FROM c JOIN tr ON c.event_type = tr.event_type
+        |WHERE c.cum >= tr.target AND c.cum - c.cnt < tr.target""".stripMargin,
+
     // BM25: the same rational-coefficient integer form — idf proxy,
     // per-(doc, query-term) HUGEINT division, long-sum score, top-5
     // window under (score DESC, doc_id).

@@ -644,6 +644,20 @@ object ExtQueries {
     // BM25 top-k over the inverted index: the canonical lexical
     // ranker with rational (k1=6/5, b=3/4) defaults made exact-integer.
     "x189_bm25_topk" -> ((s, d) => TextStats.bm25TopK(docs(s, d))),
+    // Watermark-lateness audit: arrival = event_id with every 7th
+    // event delivered 25 positions late (the plant convention — the
+    // synthetic log is otherwise perfectly ordered); P50/P90/P99/max
+    // event-time regression per type sizes the streaming watermark.
+    "x190_watermark_lateness" -> ((s, d) =>
+      Stats.watermarkLateness(events(s, d)
+        .filter(col("event_id").isNotNull)
+        .withColumn("arrival", col("event_id") +
+          when(col("event_id") % 7 === 0, lit(25L)).otherwise(lit(0L))))),
+    // Z-order layout audit: Morton key over (partkey, suppkey), fixed
+    // z-range quadtree regions, per-region count + exact bounding box.
+    "x191_zorder_layout" -> ((s, d) =>
+      Stats.zorderLayout(s.read.parquet(s"$d/lineitem.parquet"),
+        "l_partkey", "l_suppkey", bits = 8, buckets = 64)),
     // Synchronous label propagation (4 fixed iterations) over the
     // co-purchase part graph — communities inside x114's components.
     "x188_label_prop" -> ((s, d) => {

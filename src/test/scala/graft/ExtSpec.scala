@@ -4962,6 +4962,84 @@ class ExtSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture produced no mutual pairs — vacuous")
   }
 
+  test("zorderSql matches the bit-twiddled Morton reference on random coordinates") {
+    import spark.implicits._
+    val rng = new scala.util.Random(555L)
+    val pts = Seq.fill(200)((rng.nextInt(65536).toLong, rng.nextInt(65536).toLong))
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        expr(graft.ext.Stats.zorderSql("x", "y", 16, "DIV")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == morton(x, y), s"($x,$y): ${got((x, y))} != ${morton(x, y)}")
+    }
+  }
+
+  test("zorderLayout: full 256x256 grid cuts into exact 32x32 quadtree tiles") {
+    import spark.implicits._
+    val grid = for (x <- 0L until 256L; y <- 0L until 256L) yield (x, y)
+    val got = graft.ext.Stats.zorderLayout(
+        grid.toDF("l_partkey", "l_suppkey"), "l_partkey", "l_suppkey",
+        bits = 8, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length == 64, s"${got.length} buckets")
+    // every z-range of width 1024 = one level-5 quadtree cell: exactly
+    // 1024 rows in an exact 32x32 bounding box — BOTH dimensions
+    // bounded, where an x-sorted cut of the same size spans all 256 ys
+    got.foreach { case (b, n, minX, maxX, minY, maxY) =>
+      assert(n == 1024L, s"bucket $b: n=$n")
+      assert(maxX - minX == 31L && maxY - minY == 31L,
+        s"bucket $b box: x[$minX,$maxX] y[$minY,$maxY]")
+    }
+  }
+
+  test("watermarkLateness equals the naive arrival scan; in-order stream reports all zero") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31337L)
+    for (_ <- 1 to 3) {
+      val n = 60 + rng.nextInt(60)
+      // random arrival permutation of a timeline with duplicates
+      val rows = (1L to n.toLong).map { id =>
+        (id, s"t${rng.nextInt(2)}", rng.nextInt(40).toLong * 1000000L,
+          rng.nextInt(200).toLong) // (event_id, type, us, arrival)
+      }
+      val ps = Seq(50, 90, 99)
+      val naive = rows.groupBy(_._2).flatMap { case (t, g) =>
+        val ordered = g.sortBy(r => (r._4, r._1))
+        val lates = ordered.zipWithIndex.map { case (r, i) =>
+          val prior = ordered.take(i).map(_._3)
+          if (prior.isEmpty) 0L else math.max(0L, prior.max - r._3)
+        }
+        val sorted = lates.sorted
+        val nl = lates.count(_ > 0).toLong
+        ps.map { p =>
+          val target = (p * lates.size + 99) / 100
+          (t, p, lates.size.toLong, nl, sorted.max, sorted(target - 1))
+        }
+      }.toSet
+      val got = graft.ext.Stats.watermarkLateness(
+          rows.map { case (id, t, us, arr) =>
+            (id, t, new java.sql.Timestamp(us / 1000L), arr)
+          }.toDF("event_id", "event_type", "ts", "arrival"), ps)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(got == naive, s"got=$got want=$naive")
+      assert(naive.exists(_._4 > 0), "no late rows — vacuous permutation")
+    }
+    // degenerate: arrival == event order on a monotone timeline
+    val inOrder = (1L to 20L).map(i =>
+      (i, "a", new java.sql.Timestamp(i * 1000L), i))
+      .toDF("event_id", "event_type", "ts", "arrival")
+    val z = graft.ext.Stats.watermarkLateness(inOrder).collect()
+    assert(z.length == 3 &&
+      z.forall(r => r.getLong(3) == 0L && r.getLong(5) == 0L), z.mkString(";"))
+  }
+
   test("bm25TopK equals the naive BigInt formula on a random mini corpus") {
     import spark.implicits._
     val rng = new scala.util.Random(9090L)
