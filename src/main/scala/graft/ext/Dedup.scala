@@ -1176,6 +1176,39 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Duplicate-cluster size histogram — "how much of the corpus exists
+    * in how many copies": per cluster size, the number of clusters,
+    * docs covered, and their exact corpus share in ppm — the dedup
+    * savings CURVE behind the per-source charge table (which sizes
+    * dominate decides the strategy: a fat size-2 band is near-dup
+    * noise, a long tail of giant clusters is template spam).
+    * Components label only docs appearing in ≥ 1 pair
+    * ([[dupComponents]]' contract), so the singleton row is the
+    * corpus minus the labeled mass, joined at size 1; Σ n_docs over
+    * the histogram equals the corpus count by construction (the
+    * spec's identity).
+    *
+    * Scale shape: everything past the component labels is bounded by
+    * the cluster-size domain; the two one-row totals broadcast. */
+  def dupSizeHistogram(components: DataFrame, docs: DataFrame): DataFrame = {
+    val h = components.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    val lab = h.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_labeled"))
+    val singles = tot.crossJoin(lab)
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_labeled")).as("n_clusters"),
+        (col("n_total") - col("n_labeled")).as("n_docs"))
+      .filter(col("n_docs") > 0)
+    h.unionByName(singles)
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        expr("1000000 * n_docs DIV n_total").as("docs_ppm"))
+  }
+
   /** Canonical-keeper selection per duplicate component — the step
     * between [[dupComponents]]' labeling and the corpus rewrite: every
     * component keeps its BEST member (highest quality score, doc_id

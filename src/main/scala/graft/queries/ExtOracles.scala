@@ -4745,6 +4745,50 @@ object ExtOracles {
         |            END AS BIGINT) AS auc_ppm
         |FROM t2""".stripMargin,
 
+    // Dup-size histogram: the x24 recursive component closure extended
+    // with the size histogram + the corpus-minus-labeled singleton row.
+    "x193_dup_size_histogram" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS (
+         |    SELECT a_id, b_id FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 8 * (sa.sz + sb.sz - i.i)),
+         |  e AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |        UNION SELECT b_id, a_id FROM pairs),
+         |  reach(a, b) AS (
+         |    SELECT a, b FROM e
+         |    UNION
+         |    SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |  comp AS (SELECT n.a AS doc_id, least(min(r.b), n.a) AS component
+         |           FROM (SELECT DISTINCT a FROM e) n
+         |           JOIN reach r ON r.a = n.a
+         |           GROUP BY n.a),
+         |  cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |         FROM comp GROUP BY 1),
+         |  h AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |        FROM cs GROUP BY 1),
+         |  tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         |  lab AS (SELECT CAST(coalesce(sum(cluster_size * n_clusters), 0)
+         |                      AS BIGINT) AS n_labeled FROM h),
+         |  fh AS (
+         |    SELECT cluster_size, n_clusters,
+         |           cluster_size * n_clusters AS n_docs FROM h
+         |    UNION ALL
+         |    SELECT 1, n_total - n_labeled, n_total - n_labeled
+         |    FROM tot, lab WHERE n_total - n_labeled > 0)
+         |SELECT cluster_size, CAST(n_clusters AS BIGINT) AS n_clusters,
+         |       CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(1000000 * n_docs // n_total AS BIGINT) AS docs_ppm
+         |FROM fh, tot""".stripMargin,
+
     // Z-order layout: the SAME generated Morton expression (one Scala
     // source of truth, DuckDB's // for Spark's DIV) and the same
     // fixed-width z-range bucketing — the oracle cannot drift from

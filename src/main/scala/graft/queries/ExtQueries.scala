@@ -653,6 +653,10 @@ object ExtQueries {
         .filter(col("event_id").isNotNull)
         .withColumn("arrival", col("event_id") +
           when(col("event_id") % 7 === 0, lit(25L)).otherwise(lit(0L))))),
+    // Dup-cluster size histogram over the shared x24 components —
+    // clusters/docs/corpus-share per size, singletons at size 1.
+    "x193_dup_size_histogram" -> ((s, d) =>
+      Dedup.dupSizeHistogram(dupComps(s, d), docs(s, d))),
     // Z-order layout audit: Morton key over (partkey, suppkey), fixed
     // z-range quadtree regions, per-region count + exact bounding box.
     "x191_zorder_layout" -> ((s, d) =>

@@ -4962,6 +4962,26 @@ class ExtSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture produced no mutual pairs — vacuous")
   }
 
+  test("dupSizeHistogram: worked clusters + singleton remainder sum to the corpus") {
+    import spark.implicits._
+    val comps = Seq((11L, 1L), (12L, 1L), (13L, 1L), (21L, 2L), (22L, 2L),
+      (31L, 3L), (32L, 3L)).toDF("id", "component")
+    val docs = (1L to 10L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.dupSizeHistogram(comps, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      3L -> ((1L, 3L, 300000L)),
+      2L -> ((2L, 4L, 400000L)),
+      1L -> ((3L, 3L, 300000L))), s"got $got")
+    assert(got.values.map(_._2).sum == 10L, "doc mass != corpus")
+    // fully-duplicated corpus: no singleton row
+    val all = graft.ext.Dedup.dupSizeHistogram(
+      Seq((1L, 1L), (2L, 1L)).toDF("id", "component"),
+      Seq((1L, "a"), (2L, "a")).toDF("doc_id", "text")).collect()
+    assert(all.length == 1 && all.head.getLong(0) == 2L, all.mkString(";"))
+  }
+
   test("zorderSql matches the bit-twiddled Morton reference on random coordinates") {
     import spark.implicits._
     val rng = new scala.util.Random(555L)
