@@ -61,7 +61,7 @@ object Bench {
       "x68_incr_funnel", "x38_source_overlap", "k5_promote_latest",
       "s1_odata_scan", "s3_odata_expand", "x136_incr_media_neardup",
       "k6_csv_roundtrip", "k7_orc_roundtrip", "k8_partition_prune",
-      "k9_bucketed_join", "k10_jsonl_roundtrip")
+      "k9_bucketed_join", "k10_jsonl_roundtrip", "k11_schema_evolution")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmupFirst(name)) {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }

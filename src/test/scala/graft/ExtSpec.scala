@@ -4962,6 +4962,17 @@ class ExtSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture produced no mutual pairs — vacuous")
   }
 
+  test("jaccardUserTopK plan: rank-limit pushes a partial WindowGroupLimit below the exchange") {
+    import spark.implicits._
+    val out = graft.ext.Similarity.jaccardUserTopK(
+      Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 11L))
+        .toDF("user_id", "item_id"), k = 2)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank-limit pushdown missing:\n${plan.take(1500)}")
+  }
+
   test("dupSizeHistogram: worked clusters + singleton remainder sum to the corpus") {
     import spark.implicits._
     val comps = Seq((11L, 1L), (12L, 1L), (13L, 1L), (21L, 2L), (22L, 2L),
