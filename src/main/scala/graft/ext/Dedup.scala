@@ -1176,6 +1176,40 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Detector confusion audit between two near-dup PAIR SETS — the
+    * meta-report that says which detector to trust before a corpus
+    * rewrite: candidate pairs (e.g. SimHash hamming ≤ 3) against a
+    * reference set (e.g. exact n-gram Jaccard ≥ threshold), agreement
+    * and each side's exclusive mass, plus exact precision/recall ppm
+    * with the reference as truth. The sets must share the canonical
+    * `a_id < b_id` orientation (every pair producer here does).
+    * Degenerate empty sides report 0, never divide.
+    *
+    * Scale shape: one full-outer equi-join on the pair key — pair
+    * sets are detector OUTPUT (orders smaller than the corpus), and
+    * the aggregate is one row. */
+  def neardupConfusion(candPairs: DataFrame, truthPairs: DataFrame): DataFrame = {
+    val c = candPairs.select(col("a_id"), col("b_id")).distinct()
+      .withColumn("in_cand", lit(1L))
+    val t = truthPairs.select(col("a_id"), col("b_id")).distinct()
+      .withColumn("in_truth", lit(1L))
+    c.join(t, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("in_cand").isNotNull &&
+          col("in_truth").isNotNull, 1L)), lit(0L)).as("n_both"),
+        coalesce(sum(when(col("in_truth").isNull, 1L)), lit(0L))
+          .as("n_cand_only"),
+        coalesce(sum(when(col("in_cand").isNull, 1L)), lit(0L))
+          .as("n_truth_only"))
+      .select(col("n_both"), col("n_cand_only"), col("n_truth_only"),
+        when(col("n_both") + col("n_cand_only") === 0, lit(0L))
+          .otherwise(expr("1000000 * n_both DIV (n_both + n_cand_only)"))
+          .as("precision_ppm"),
+        when(col("n_both") + col("n_truth_only") === 0, lit(0L))
+          .otherwise(expr("1000000 * n_both DIV (n_both + n_truth_only)"))
+          .as("recall_ppm"))
+  }
+
   /** Duplicate-cluster size histogram — "how much of the corpus exists
     * in how many copies": per cluster size, the number of clusters,
     * docs covered, and their exact corpus share in ppm — the dedup

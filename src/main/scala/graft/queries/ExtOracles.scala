@@ -4745,6 +4745,54 @@ object ExtOracles {
         |            END AS BIGINT) AS auc_ppm
         |FROM t2""".stripMargin,
 
+    // Detector confusion: the x5 SimHash pair construction FULL OUTER
+    // the x18 exact-Jaccard pair construction, one aggregate row.
+    "x194_neardup_confusion" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |            FROM documents),
+         |  h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS lo,
+         |               ('0x' || substr(md5(t), 9, 8))::BIGINT AS hi FROM tok),
+         |  ssum AS (SELECT doc_id, $simhashSums FROM h GROUP BY doc_id),
+         |  sig AS (SELECT doc_id, CAST($simhashPacked AS BIGINT) AS simhash
+         |          FROM ssum),
+         |  cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |  $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  truth AS (
+         |    SELECT i.a_id, i.b_id FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 7 * (sa.sz + sb.sz - i.i)),
+         |  j AS (SELECT coalesce(c.a_id, t.a_id) AS a_id,
+         |               c.a_id IS NOT NULL AS in_cand,
+         |               t.a_id IS NOT NULL AS in_truth
+         |        FROM cand c FULL OUTER JOIN truth t
+         |          ON c.a_id = t.a_id AND c.b_id = t.b_id),
+         |  agg AS (SELECT
+         |      CAST(coalesce(sum(CASE WHEN in_cand AND in_truth
+         |                              THEN 1 END), 0) AS BIGINT) AS n_both,
+         |      CAST(coalesce(sum(CASE WHEN NOT in_truth THEN 1 END), 0)
+         |           AS BIGINT) AS n_cand_only,
+         |      CAST(coalesce(sum(CASE WHEN NOT in_cand THEN 1 END), 0)
+         |           AS BIGINT) AS n_truth_only
+         |    FROM j)
+         |SELECT n_both, n_cand_only, n_truth_only,
+         |       CAST(CASE WHEN n_both + n_cand_only = 0 THEN 0
+         |                 ELSE 1000000 * n_both // (n_both + n_cand_only)
+         |            END AS BIGINT) AS precision_ppm,
+         |       CAST(CASE WHEN n_both + n_truth_only = 0 THEN 0
+         |                 ELSE 1000000 * n_both // (n_both + n_truth_only)
+         |            END AS BIGINT) AS recall_ppm
+         |FROM agg""".stripMargin,
+
     // Dup-size histogram: the x24 recursive component closure extended
     // with the size histogram + the corpus-minus-labeled singleton row.
     "x193_dup_size_histogram" ->

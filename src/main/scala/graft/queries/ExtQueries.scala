@@ -653,6 +653,12 @@ object ExtQueries {
         .filter(col("event_id").isNotNull)
         .withColumn("arrival", col("event_id") +
           when(col("event_id") % 7 === 0, lit(25L)).otherwise(lit(0L))))),
+    // Detector confusion: SimHash hamming<=3 pairs vs the exact
+    // n-gram Jaccard>=0.7 reference — precision/recall of the cheap
+    // detector against ground truth, one row.
+    "x194_neardup_confusion" -> ((s, d) =>
+      Dedup.neardupConfusion(
+        Dedup.simhashNeardup(docs(s, d)), ngramPairs(s, d))),
     // Dup-cluster size histogram over the shared x24 components —
     // clusters/docs/corpus-share per size, singletons at size 1.
     "x193_dup_size_histogram" -> ((s, d) =>

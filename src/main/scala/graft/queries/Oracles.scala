@@ -14,6 +14,13 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
         |FROM orders WHERE o_orderkey % 100 = 0 AND o_custkey >= 50""".stripMargin,
 
+    // the $orderby+$top leg over the same page "server": the total
+    // order (custkey DESC, orderkey) makes the selected 20 rows exact.
+    "s5_odata_topn" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY o_custkey DESC, o_orderkey LIMIT 20""".stripMargin,
+
     // the expand "server" serves the o_orderkey % 100 = 0 orders WITH
     // their lineitems inline; the gate explodes the subform, so the
     // oracle is the inner join over the same slice — l_linenumber

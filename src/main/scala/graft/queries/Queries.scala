@@ -292,6 +292,23 @@ object Queries {
       .limit(2000000)
   }
 
+  /** S5 through the PRODUCTION connector: the `$orderby`+`$top` leg —
+    * ORDER BY + LIMIT fuse into the connector's TopN pushdown
+    * (partial: each page serves its local top-n under the exact
+    * requested ordering, Spark's TakeOrderedAndProject merges). The
+    * (o_custkey desc, o_orderkey asc) pair is a total order, so the
+    * selected rows hash-gate; the request string in the scan
+    * description carries `$orderby` (plan-pinned in ODataSourceSpec). */
+  def s5ODataTopN(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.odata.ODataPages
+    spark.read.format("graft-odata")
+      .schema(ODataPages.ordersSchema)
+      .option("path", ODataPages.ordersPages(spark, dir))
+      .load()
+      .orderBy(col("o_custkey").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** S3 through the PRODUCTION connector: the nested `$expand` leg —
     * page files carry each order's lineitems inline as
     * `ORDERITEMS_SUBFORM: [...]` (the reference's
@@ -545,6 +562,7 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_odata_scan" -> (s1ODataScan _),
     "s3_odata_expand" -> (s3ODataExpand _),
+    "s5_odata_topn" -> (s5ODataTopN _),
     "k5_promote_latest" -> (k5PromoteLatest _),
     "k6_csv_roundtrip" -> (k6CsvRoundtrip _),
     "k7_orc_roundtrip" -> (k7OrcRoundtrip _),

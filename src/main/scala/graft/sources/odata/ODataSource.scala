@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -17,8 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 OData connector (SURVEY.md §2.1 S1 production design):
   * the real pushdown contract — `SupportsPushDownFilters`,
-  * `SupportsPushDownLimit`, `SupportsPushDownRequiredColumns` — with
-  * paged, executor-side reads.
+  * `SupportsPushDownLimit`, `SupportsPushDownTopN`,
+  * `SupportsPushDownRequiredColumns` — with paged, executor-side
+  * reads.
   *
   * Offline (zero egress), the "server" is a directory of page files,
   * each the OData response shape `{"value": [ {...}, ... ]}` — exactly
@@ -124,15 +125,17 @@ final class ODataTable(tableSchema: StructType, path: String) extends Table with
     new ODataScanBuilder(tableSchema, path)
 }
 
-/** Accumulates the three pushdowns, then emits the scan. */
+/** Accumulates the four pushdowns, then emits the scan. */
 final class ODataScanBuilder(fullSchema: StructType, path: String)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownLimit
+  with SupportsPushDownTopN
   with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None
   private var required: StructType = fullSchema
 
   /** Accept the filter shapes OData `$filter` can express on scalar
@@ -166,17 +169,48 @@ final class ODataScanBuilder(fullSchema: StructType, path: String)
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
+  /** ORDER BY + LIMIT fuse into the OData `$orderby`/`$top` pair —
+    * the fourth rung of the pushdown ladder. PARTIAL pushdown by
+    * contract (`isPartiallyPushed = true`): each page reader returns
+    * its LOCAL top-n under the exact requested ordering (direction +
+    * null placement — the comparator must match Spark's semantics or
+    * a partition could drop a globally-top row), and Spark's own
+    * TakeOrderedAndProject merges the per-page survivors. Accepted
+    * only for top-level columns of the schema; anything else stays
+    * with Spark untouched. */
+  override def pushTopN(orders: Array[V2SortOrder], n: Int): Boolean = {
+    val cols = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 &&
+            fullSchema.fieldNames.contains(nr.fieldNames()(0)) =>
+          Some((nr.fieldNames()(0),
+            o.direction() == SortDirection.ASCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (cols.nonEmpty && cols.forall(_.isDefined)) {
+      topN = Some((cols.map(_.get), n))
+      true
+    } else false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ODataScan(required, path, pushed, limit)
+  override def build(): Scan =
+    new ODataScan(required, path, pushed, limit, topN)
 }
 
 final class ODataScan(
     schema: StructType,
     path: String,
     filters: Array[Filter],
-    limit: Option[Int]) extends Scan with Batch {
+    limit: Option[Int],
+    topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None)
+  extends Scan with Batch {
 
   override def readSchema(): StructType = schema
 
@@ -186,7 +220,11 @@ final class ODataScan(
     val parts =
       (if (filters.nonEmpty) Seq(s"$$filter=${filters.map(ODataFilters.compile).mkString(" and ")}")
        else Nil) ++
-        limit.map(n => s"$$top=$n") ++
+        topN.map { case (cols, _) =>
+          s"$$orderby=" + cols.map { case (c, asc, _) =>
+            s"$c ${if (asc) "asc" else "desc"}" }.mkString(",")
+        } ++
+        (topN.map(t => s"$$top=${t._2}") orElse limit.map(n => s"$$top=$n")) ++
         Seq(s"$$select=${schema.fieldNames.mkString(",")}")
     parts.mkString("&")
   }
@@ -199,7 +237,7 @@ final class ODataScan(
       .map(p => ODataInputPartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ODataReaderFactory(schema, filters, limit)
+    new ODataReaderFactory(schema, filters, limit, topN)
 }
 
 final case class ODataInputPartition(pageFile: String) extends InputPartition
@@ -207,10 +245,13 @@ final case class ODataInputPartition(pageFile: String) extends InputPartition
 final class ODataReaderFactory(
     schema: StructType,
     filters: Array[Filter],
-    limit: Option[Int]) extends PartitionReaderFactory {
+    limit: Option[Int],
+    topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ODataPartitionReader(
-      partition.asInstanceOf[ODataInputPartition].pageFile, schema, filters, limit)
+      partition.asInstanceOf[ODataInputPartition].pageFile, schema, filters,
+      limit, topN)
 }
 
 /** Reads one page (`{"value": [...]}`), applying pushed filters and the
@@ -220,23 +261,78 @@ final class ODataPartitionReader(
     pageFile: String,
     schema: StructType,
     filters: Array[Filter],
-    limit: Option[Int]) extends PartitionReader[InternalRow] {
+    limit: Option[Int],
+    topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None)
+  extends PartitionReader[InternalRow] {
 
-  private val rows: Iterator[JsonNode] =
+  private val pageRows: Iterator[JsonNode] =
     ODataTableProvider.readPage(pageFile).get("value").elements().asScala
+
+  /** Per-page LOCAL top-n when a TopN was pushed: materialize the
+    * page's filtered rows (pages are size-bounded by construction —
+    * the server's `$skiptoken` contract), sort under the EXACT Spark
+    * ordering (direction + null placement; a looser comparator could
+    * drop a globally-top row) and keep n. Spark's own
+    * TakeOrderedAndProject merges pages — partial pushdown is an
+    * optimization, never a correctness dependency, so a sort column
+    * pruned out of the read schema simply disables the local cut. */
+  private val sortedRows: Option[Iterator[InternalRow]] = topN.collect {
+    case (cols, n) if cols.forall(c => schema.fieldNames.contains(c._1)) =>
+      val idx = cols.map { case (c, asc, nf) =>
+        (schema.fieldIndex(c), schema(c).dataType, asc, nf)
+      }
+      val cmp = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = {
+          var k = 0
+          while (k < idx.length) {
+            val (i, dt, asc, nullsFirst) = idx(k)
+            val (an, bn) = (a.isNullAt(i), b.isNullAt(i))
+            val c =
+              if (an && bn) 0
+              else if (an) { if (nullsFirst) -1 else 1 }
+              else if (bn) { if (nullsFirst) 1 else -1 }
+              else {
+                val raw = dt match {
+                  case LongType      => java.lang.Long.compare(a.getLong(i), b.getLong(i))
+                  case IntegerType   => Integer.compare(a.getInt(i), b.getInt(i))
+                  case DoubleType    => java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+                  case BooleanType   => java.lang.Boolean.compare(a.getBoolean(i), b.getBoolean(i))
+                  case TimestampType => java.lang.Long.compare(a.getLong(i), b.getLong(i))
+                  case _ => a.getUTF8String(i).compareTo(b.getUTF8String(i))
+                }
+                if (asc) raw else -raw
+              }
+            if (c != 0) return c
+            k += 1
+          }
+          0
+        }
+      }
+      val kept = new java.util.ArrayList[InternalRow]()
+      pageRows.foreach { node =>
+        if (filters.forall(ODataFilters.eval(_, node))) kept.add(toRow(node))
+      }
+      kept.sort(cmp)
+      kept.asScala.take(n).iterator
+  }
   private var emitted = 0
   private var current: InternalRow = _
 
-  override def next(): Boolean = {
-    while (rows.hasNext && limit.forall(emitted < _)) {
-      val node = rows.next()
-      if (filters.forall(ODataFilters.eval(_, node))) {
-        current = toRow(node)
-        emitted += 1
-        return true
+  override def next(): Boolean = sortedRows match {
+    case Some(it) =>
+      if (it.hasNext && limit.forall(emitted < _)) {
+        current = it.next(); emitted += 1; true
+      } else false
+    case None =>
+      while (pageRows.hasNext && limit.forall(emitted < _)) {
+        val node = pageRows.next()
+        if (filters.forall(ODataFilters.eval(_, node))) {
+          current = toRow(node)
+          emitted += 1
+          return true
+        }
       }
-    }
-    false
+      false
   }
 
   override def get(): InternalRow = current

@@ -4962,6 +4962,20 @@ class ExtSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture produced no mutual pairs — vacuous")
   }
 
+  test("neardupConfusion: worked overlap, empty-side guards") {
+    import spark.implicits._
+    def pairs(p: (Long, Long)*) = p.toSeq.toDF("a_id", "b_id")
+    val r = graft.ext.Dedup.neardupConfusion(
+      pairs((1L, 2L), (1L, 3L)), pairs((1L, 2L), (2L, 3L))).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((1L, 1L, 1L, 500000L, 500000L)), r.toString)
+    val empty = graft.ext.Dedup.neardupConfusion(
+      pairs(), pairs((1L, 2L))).collect().head
+    assert((empty.getLong(0), empty.getLong(1), empty.getLong(2),
+      empty.getLong(3), empty.getLong(4)) == ((0L, 0L, 1L, 0L, 0L)),
+      empty.toString)
+  }
+
   test("jaccardUserTopK plan: rank-limit pushes a partial WindowGroupLimit below the exchange") {
     import spark.implicits._
     val out = graft.ext.Similarity.jaccardUserTopK(

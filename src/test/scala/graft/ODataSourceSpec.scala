@@ -187,4 +187,39 @@ class ODataSourceSpec extends SparkSpec {
     assert(q.exceptAll(expect).isEmpty && expect.exceptAll(q).isEmpty,
       "connector rows differ from the parquet slice")
   }
+
+  test("s5 gate: ORDER BY + LIMIT push $orderby/$top into the scan; " +
+    "rows equal the sorted parquet slice") {
+    val q = graft.queries.Queries.s5ODataTopN(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("$orderby=o_custkey desc,o_orderkey asc"),
+      s"TopN ordering not compiled into the scan request:\n$plan")
+    assert(plan.contains("$top=20"),
+      s"TopN limit not pushed into the scan request:\n$plan")
+    // partial pushdown: Spark's own global TopN must still be there
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"partial-pushdown contract broken — Spark's merge TopN missing:\n$plan")
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(pmod(col("o_orderkey"), lit(100)) === 0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .orderBy(col("o_custkey").desc, col("o_orderkey"))
+      .limit(20)
+    assert(q.collect().toSeq == expect.collect().toSeq,
+      "TopN rows differ from the sorted parquet slice")
+  }
+
+  test("TopN on a descending NULLS-placement ordering keeps every globally-top row") {
+    val dir = fixture
+    val df = spark.read.format("graft-odata").schema(schema)
+      .option("path", dir).load()
+    // local per-page top-2 must be a superset-consistent cut: the
+    // global top-2 by qty desc survives whatever page they sit on
+    val q = df.orderBy(col("qty").desc, col("ordname")).limit(2)
+    val got = q.collect().map(r => r.getAs[String]("ordname")).toSeq
+    val all = df.collect()
+      .map(r => (r.getAs[String]("ordname"), Option(r.getAs[Any]("qty"))
+        .map(_.toString.toLong).getOrElse(Long.MinValue)))
+      .sortBy { case (n, v) => (-v, n) }.map(_._1).take(2).toSeq
+    assert(got == all, s"got $got want $all")
+  }
 }
