@@ -77,4 +77,44 @@ object Merge {
       .select(facts.columns.map(c => col(s"f.$c")) ++
         dimCols.map(c => col(s"d.$c")): _*)
   }
+
+  /** Right-to-erasure rewrite — the deletion half of the privacy
+    * family (k-anonymity/l-diversity/t-closeness audit what may be
+    * RELEASED; this removes what may no longer be KEPT): drop every
+    * row whose `keyCol` appears in the deletion list. A plain
+    * broadcast-able LEFT ANTI join — and the one subtlety is NULL
+    * keys: an anti join never matches a NULL key, so ownerless rows
+    * are KEPT by construction (an erasure request names subjects; a
+    * row with no subject cannot be one of them — spec-pinned).
+    * Production writes the result through `StagingWriter.writeAndSwap`
+    * (the crash-safe rewrite the compaction path already proves). */
+  def eraseSubjects(df: DataFrame, subjects: DataFrame,
+      keyCol: String): DataFrame =
+    df.join(broadcast(subjects.select(col(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+
+  /** The erasure AUDIT row set — proof-of-processing for a deletion
+    * request, per `groupCol`: rows before, rows dropped, rows after
+    * (`before ≡ dropped + after` by construction — the spec identity),
+    * and the DISTINCT subjects actually seen in that group (a subject
+    * with no rows needs no certificate). ONE pass: the deletion list
+    * broadcasts as a membership flag; no second scan of the corpus.
+    * The distinct-subject count plans as the standard two-phase
+    * partial-expand aggregate. */
+  def erasureAudit(df: DataFrame, subjects: DataFrame, keyCol: String,
+      groupCol: String): DataFrame = {
+    val marked = df.join(
+      broadcast(subjects.select(col(keyCol)).distinct()
+        .withColumn("__erase", lit(1L))),
+      Seq(keyCol), "left")
+    marked.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_before"),
+        coalesce(sum(when(col("__erase").isNotNull, 1L)), lit(0L))
+          .as("n_dropped"),
+        coalesce(sum(when(col("__erase").isNull, 1L)), lit(0L))
+          .as("n_after"),
+        countDistinct(when(col("__erase").isNotNull, col(keyCol)))
+          .as("n_subjects_present"))
+  }
 }

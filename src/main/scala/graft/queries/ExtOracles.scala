@@ -4745,6 +4745,22 @@ object ExtOracles {
         |            END AS BIGINT) AS auc_ppm
         |FROM t2""".stripMargin,
 
+    // Erasure audit: the membership flag restated as a CASE on the
+    // same modulus — before = dropped + after by construction.
+    "x195_erasure_audit" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |                  (user_id % 97 = 0) AS erase
+        |           FROM events WHERE user_id IS NOT NULL)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_before,
+        |       CAST(coalesce(sum(CASE WHEN erase THEN 1 END), 0)
+        |            AS BIGINT) AS n_dropped,
+        |       CAST(coalesce(sum(CASE WHEN NOT erase THEN 1 END), 0)
+        |            AS BIGINT) AS n_after,
+        |       CAST(count(DISTINCT CASE WHEN erase THEN user_id END)
+        |            AS BIGINT) AS n_subjects_present
+        |FROM e GROUP BY event_type""".stripMargin,
+
     // Detector confusion: the x5 SimHash pair construction FULL OUTER
     // the x18 exact-Jaccard pair construction, one aggregate row.
     "x194_neardup_confusion" ->

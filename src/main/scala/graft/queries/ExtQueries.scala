@@ -653,6 +653,15 @@ object ExtQueries {
         .filter(col("event_id").isNotNull)
         .withColumn("arrival", col("event_id") +
           when(col("event_id") % 7 === 0, lit(25L)).otherwise(lit(0L))))),
+    // Erasure audit: right-to-be-forgotten proof-of-processing — the
+    // deletion list is every user_id % 97 == 0; per event type,
+    // before/dropped/after + distinct subjects seen.
+    "x195_erasure_audit" -> ((s, d) => {
+      val e = events(s, d).filter(col("user_id").isNotNull)
+      graft.ext.Merge.erasureAudit(
+        e, e.filter(col("user_id") % 97 === 0).select("user_id"),
+        "user_id", "event_type")
+    }),
     // Detector confusion: SimHash hamming<=3 pairs vs the exact
     // n-gram Jaccard>=0.7 reference — precision/recall of the cheap
     // detector against ground truth, one row.

@@ -4962,6 +4962,29 @@ class ExtSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture produced no mutual pairs — vacuous")
   }
 
+  test("eraseSubjects/erasureAudit: exact removal, identity, NULL keys kept") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "a"), (Some(1L), "b"), (Some(2L), "a"),
+      (Some(3L), "b"), (None: Option[Long], "a"))
+      .toDF("user_id", "event_type")
+    val subjects = Seq(1L, 9L).toDF("user_id")
+    val cleaned = graft.ext.Merge.eraseSubjects(df, subjects, "user_id")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1))).toSet
+    // subject 1 fully gone; NULL-key row KEPT (anti join never
+    // matches a null key — ownerless rows are not erasure subjects)
+    assert(cleaned == Set((2L, "a"), (3L, "b"), (-1L, "a")), cleaned.toString)
+    val audit = graft.ext.Merge.erasureAudit(df, subjects, "user_id",
+      "event_type").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(audit == Map(
+      "a" -> ((3L, 1L, 2L, 1L)),
+      "b" -> ((2L, 1L, 1L, 1L))), audit.toString)
+    audit.values.foreach { case (b, d, a, _) =>
+      assert(b == d + a, "audit identity broke") }
+  }
+
   test("neardupConfusion: worked overlap, empty-side guards") {
     import spark.implicits._
     def pairs(p: (Long, Long)*) = p.toSeq.toDF("a_id", "b_id")
