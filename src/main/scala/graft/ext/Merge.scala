@@ -117,4 +117,57 @@ object Merge {
         countDistinct(when(col("__erase").isNotNull, col(keyCol)))
           .as("n_subjects_present"))
   }
+
+  /** Bucketed table-checksum reconciliation — "is the copy equal to
+    * the source" answered WITHOUT moving either table: after a 100 TB
+    * migration (or between the staging and promoted legs of the
+    * reference's refresh cycle), a full-row join to diff two replicas
+    * costs another 100 TB shuffle; this folds each side independently
+    * into `buckets` (row-count, digest-sum) cells and compares the
+    * cells. Each row digests to a 60-bit integer via the shared md5
+    * idiom (first 15 hex chars — Spark `conv(…,16,10)` ≡ DuckDB
+    * `('0x'||…)::BIGINT`) over `rowStr`, a caller-built CANONICAL
+    * string projection (integers/µs/cents spelled explicitly — never
+    * raw doubles or engine-formatted timestamps, whose string forms
+    * drift between engines); the bucket is md5-derived from `keyStr`
+    * alone, so a row whose PAYLOAD changed stays in its bucket (the
+    * mismatch localizes to the key's cell) while a dropped/added row
+    * shows as a count delta there. Digest sums fold in DECIMAL(38,0)
+    * ↔ HUGEINT and report modulo 2³¹−1 (digest sums pass BIGINT at
+    * ~8·10⁹ rows per bucket); a sum collision is a ≤2⁻⁶⁰-ish
+    * per-bucket event — this is a drift DETECTOR, the repair join
+    * runs afterwards against only the mismatched buckets' keys.
+    * Output: one row per populated bucket with both sides' counts,
+    * checksums, and an `is_equal` verdict (empty-on-one-side buckets
+    * compare 0 rows / checksum 0 via the outer-join coalesce).
+    *
+    * Scale shape: each side is ONE map-side-combinable groupBy to
+    * `buckets` rows — the only shuffle moves O(buckets) cells, and
+    * the comparison join is a broadcast of one cell set. Nothing
+    * all-pairs, nothing collected; both scans stream once. */
+  def tableChecksum(
+      src: DataFrame, dst: DataFrame, keyStr: String, rowStr: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def cells(df: DataFrame): DataFrame =
+      df.select(
+          expr(s"CAST(conv(substring(md5($keyStr), 1, 4), 16, 10) " +
+            s"AS BIGINT) % $buckets").as("bucket"),
+          expr(s"CAST(conv(substring(md5($rowStr), 1, 15), 16, 10) " +
+            "AS BIGINT)").as("__digest"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("rows"),
+          expr("CAST(sum(CAST(__digest AS DECIMAL(38,0))) % 2147483647 " +
+            "AS BIGINT)").as("check"))
+    cells(src).as("s")
+      .join(cells(dst).as("d"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("s.rows"), lit(0L)).as("src_rows"),
+        coalesce(col("d.rows"), lit(0L)).as("dst_rows"),
+        coalesce(col("s.check"), lit(0L)).as("src_check"),
+        coalesce(col("d.check"), lit(0L)).as("dst_check"))
+      .withColumn("is_equal",
+        when(col("src_rows") === col("dst_rows") &&
+          col("src_check") === col("dst_check"), 1L).otherwise(0L))
+  }
 }

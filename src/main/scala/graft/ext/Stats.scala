@@ -2397,4 +2397,162 @@ object Stats {
         min(col("min_cents")).as("min_cents"),
         max(col("max_cents")).as("max_cents"))
   }
+
+  /** Interval-union coverage per key — the sweep-line "how much of the
+    * calendar was covered by AT LEAST ONE open interval" report (SLA
+    * uptime, supplier active-exposure, machine busy-time): overlapping
+    * intervals must count once, which no plain sum can do. Classic SQL
+    * sweep: under the total order (start, end, tiebreak…), an interval
+    * starts a new ISLAND iff its start lies strictly past the running
+    * max end of all earlier intervals; islands are the maximal merged
+    * segments, and coverage is the sum of island extents. Zero-length
+    * and fully-contained intervals merge away by construction; `endUs`
+    * is clamped to `startUs` first so a malformed backwards interval
+    * degrades to a point instead of corrupting the running max.
+    * Output per key: interval/island counts, covered span, total span
+    * (max end − min start), utilization ppm (integral; an all-points
+    * key has span 0 and reports 1e6 — covered ≡ span — under the
+    * explicit guard).
+    *
+    * Determinism: the island assignment depends only on the running
+    * max under a TOTAL order (`tiebreak` must complete it — pass the
+    * source PK), so both engines replay the identical sweep; all
+    * outputs are integer µs. The ppm product stages through
+    * DECIMAL(38,0) ↔ HUGEINT (1e6 · covered overflows BIGINT past
+    * ~292 µs-years of coverage).
+    *
+    * Scale shape: ONE shuffle on `key`, two window passes and two
+    * groupBys all under the same partitioning — no join, no
+    * self-comparison; per-key cost is linear in that key's intervals
+    * after the exchange's sort. A key's intervals do funnel through
+    * one task (inherent to an order-dependent sweep) — at 100 TB the
+    * key must be the natural shard (supplier, host, tenant), not a
+    * global constant; for the global case, pre-merge per key then
+    * sweep the island set, which this operator composes with itself. */
+  def intervalUnion(
+      df: DataFrame, key: String, startUs: String, endUs: String,
+      tiebreak: Seq[String]): DataFrame = {
+    require(tiebreak.nonEmpty,
+      "intervalUnion needs tiebreak columns completing a total order")
+    val ord = col("__s") +: col("__e") +: tiebreak.map(col)
+    val prevW = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumW = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = df
+      .filter(col(key).isNotNull && col(startUs).isNotNull &&
+        col(endUs).isNotNull)
+      .select(col(key) +: col(startUs).as("__s") +:
+        greatest(col(endUs), col(startUs)).as("__e") +:
+        tiebreak.map(col): _*)
+    val islands = rows
+      .withColumn("__pmax", max(col("__e")).over(prevW))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(cumW))
+      .groupBy(col(key), col("__isl"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__s")).as("__is"), max(col("__e")).as("__ie"))
+    islands.groupBy(col(key))
+      .agg(
+        sum(col("n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered_us"),
+        (max(col("__ie")) - min(col("__is"))).as("span_us"))
+      .withColumn("utilization_ppm",
+        when(col("span_us") === 0, lit(1000000L))
+          .otherwise(expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * covered_us " +
+              "DIV span_us AS BIGINT)")))
+  }
+
+  /** Time-weighted average per event type — the metering average for
+    * IRREGULARLY sampled signals (a gauge read at random times), where
+    * the arithmetic mean over-weights busy periods: each sample's
+    * value HOLDS until the next sample (step interpolation, the
+    * standard metering convention), so the average is
+    * `Σ value_i · (t_{i+1} − t_i) / (t_n − t_0)` — the last sample
+    * bounds the window and contributes no mass. Cents via the shared
+    * `floor(v·100 + 0.5)` idiom; NULL-valued samples are dropped
+    * up front (a step function cannot hold an unknown). Samples
+    * sharing a timestamp order by `event_id` (total order) — the
+    * earlier one gets a zero-length segment on BOTH engines, so
+    * duplicate-instant feeds stay deterministic. The weighted mass
+    * runs in DECIMAL(38,0) ↔ HUGEINT (`cents · gap_us` sums past
+    * BIGINT at corpus scale); the final division is sign-decomposed
+    * (X142 — a negative-signal mass never meets truncate-vs-floor).
+    * A single-instant group (span 0) reports NULL — no elapsed time,
+    * no average, and NULL hashes identically cross-engine.
+    *
+    * Scale shape: one window pass (lead) and one groupBy under the
+    * SAME (event_type) partitioning — one shuffle total, no join; the
+    * per-type sequential dependency is a single lead(1), so the
+    * window never buffers more than adjacent rows. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val rows = events
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    rows
+      .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        (max(col("us")) - min(col("us"))).as("span_us"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * gap_us")).as("__wsum"))
+      .select(col("event_type"), col("n_samples"), col("span_us"),
+        when(col("span_us") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(CASE WHEN __wsum >= 0 THEN __wsum DIV span_us " +
+              "ELSE -((-__wsum) DIV span_us) END AS BIGINT)"))
+          .as("twa_cents"))
+  }
+
+  /** One candidate functional dependency for [[fdAudit]]: does
+    * `lhs` (a column set) determine `rhs` (a single column)? */
+  final case class FdCandidate(lhs: Seq[String], rhs: String)
+
+  /** Functional-dependency audit — the profiling question behind every
+    * "can I key on this" / "is this column derivable" modeling
+    * decision (Deequ-style uniqueness checks generalized to X→Y): per
+    * candidate FD, the determinant-group count, how many groups
+    * witness MORE than one distinct rhs (violations), the violation
+    * rate in ppm, and the worst group's distinct-rhs fan-out. A held
+    * FD reads `n_violating = 0, max_rhs_distinct ≤ 1`; the fan-out
+    * says whether a violation is noise (2) or a wrong model entirely.
+    * NULL semantics are the SQL ones on both engines: NULL lhs values
+    * form their own group, NULL rhs values don't count as a distinct
+    * witness — an all-NULL rhs group has fan-out 0 and violates
+    * nothing.
+    *
+    * Scale shape: one map-side-combinable two-phase aggregate per
+    * candidate (groupBy lhs → count distinct rhs → one-row rollup),
+    * unioned; candidates never share a shuffle (their keys differ),
+    * but each is the cheapest possible shape for its question and the
+    * k-candidate audit is embarrassingly parallel. Nothing funnels:
+    * the distinct-count plans as partial expand + merge, the rollup
+    * aggregates group rows, never corpus rows. */
+  def fdAudit(df: DataFrame, fds: Seq[FdCandidate]): DataFrame = {
+    require(fds.nonEmpty, "fdAudit needs at least one candidate FD")
+    fds.map { fd =>
+      val label = fd.lhs.mkString("(", ",", ")") + "->" + fd.rhs
+      df.groupBy(fd.lhs.map(col): _*)
+        .agg(countDistinct(col(fd.rhs)).as("nd"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("nd") > 1, 1L)), lit(0L))
+            .as("n_violating"),
+          coalesce(max(col("nd")), lit(0L)).as("max_rhs_distinct"))
+        .select(lit(label).as("fd"), col("n_groups"), col("n_violating"),
+          when(col("n_groups") === 0, lit(0L))
+            .otherwise(expr("1000000 * n_violating DIV n_groups"))
+            .as("violation_ppm"),
+          col("max_rhs_distinct"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -4906,6 +4906,162 @@ object ExtOracles {
         |FROM c JOIN tr ON c.event_type = tr.event_type
         |WHERE c.cum >= tr.target AND c.cum - c.cnt < tr.target""".stripMargin,
 
+    // Interval union: the identical sweep — running max end over
+    // strictly-earlier rows under the SAME total order, island cut
+    // where start passes it, extents summed per key. End clamped to
+    // start; ppm through HUGEINT (Spark DECIMAL(38,0)).
+    "x192_interval_union" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS k,
+        |         epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS s,
+        |         greatest(epoch_us(CAST(l_shipdate AS TIMESTAMP)),
+        |                  epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS e,
+        |         l_orderkey AS ok, l_linenumber AS ln
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_suppkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |        AND l_shipdate IS NOT NULL),
+        |m AS (SELECT *, max(e) OVER (PARTITION BY k ORDER BY s, e, ok, ln
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM iv),
+        |g AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax
+        |                     THEN 1 ELSE 0 END AS nw FROM m),
+        |i AS (SELECT *, sum(nw) OVER (PARTITION BY k ORDER BY s, e, ok, ln
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |      FROM g),
+        |seg AS (SELECT k, isl, CAST(count(*) AS BIGINT) AS n,
+        |               min(s) AS i_s, max(e) AS i_e
+        |        FROM i GROUP BY 1, 2)
+        |SELECT k AS l_suppkey,
+        |       CAST(sum(n) AS BIGINT) AS n_intervals,
+        |       CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(sum(i_e - i_s) AS BIGINT) AS covered_us,
+        |       CAST(max(i_e) - min(i_s) AS BIGINT) AS span_us,
+        |       CASE WHEN max(i_e) - min(i_s) = 0 THEN CAST(1000000 AS BIGINT)
+        |            ELSE CAST((1000000::HUGEINT * sum(i_e - i_s))
+        |                      // (max(i_e) - min(i_s)) AS BIGINT)
+        |       END AS utilization_ppm
+        |FROM seg GROUP BY 1""".stripMargin,
+
+    // Time-weighted average: step-hold mass cents*gap in HUGEINT
+    // (Spark DECIMAL(38,0)), sign-decomposed final division, NULL on
+    // a zero span; duplicate instants order by event_id on both sides.
+    "x196_time_weighted" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |        AND event_id IS NOT NULL),
+        |g AS (SELECT event_type, us, cents,
+        |             lead(us) OVER (PARTITION BY event_type
+        |                            ORDER BY us, event_id) - us AS gap_us
+        |      FROM r)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(max(us) - min(us) AS BIGINT) AS span_us,
+        |       CASE WHEN max(us) - min(us) = 0 THEN NULL
+        |            WHEN sum(CAST(cents AS HUGEINT) * gap_us) >= 0
+        |            THEN CAST(sum(CAST(cents AS HUGEINT) * gap_us)
+        |                      // (max(us) - min(us)) AS BIGINT)
+        |            ELSE -CAST((-sum(CAST(cents AS HUGEINT) * gap_us))
+        |                       // (max(us) - min(us)) AS BIGINT)
+        |       END AS twa_cents
+        |FROM g GROUP BY 1""".stripMargin,
+
+    // FD audit: one rollup per candidate over its determinant groups;
+    // count(DISTINCT rhs) skips NULL witnesses on both engines.
+    "x197_fd_audit" ->
+      """WITH f1 AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd
+        |            FROM orders GROUP BY o_orderkey),
+        |f2 AS (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd
+        |       FROM orders GROUP BY o_custkey),
+        |f3 AS (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd
+        |       FROM orders GROUP BY o_custkey, o_orderstatus)
+        |SELECT '(o_orderkey)->o_custkey' AS fd,
+        |       CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0)
+        |            AS BIGINT) AS n_violating,
+        |       CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(1000000 *
+        |                 coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0)
+        |                 // count(*) AS BIGINT) END AS violation_ppm,
+        |       CAST(coalesce(max(nd), 0) AS BIGINT) AS max_rhs_distinct
+        |FROM f1
+        |UNION ALL
+        |SELECT '(o_custkey)->o_orderpriority',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0) AS BIGINT),
+        |       CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(1000000 *
+        |                 coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0)
+        |                 // count(*) AS BIGINT) END,
+        |       CAST(coalesce(max(nd), 0) AS BIGINT)
+        |FROM f2
+        |UNION ALL
+        |SELECT '(o_custkey,o_orderstatus)->o_orderpriority',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0) AS BIGINT),
+        |       CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(1000000 *
+        |                 coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0)
+        |                 // count(*) AS BIGINT) END,
+        |       CAST(coalesce(max(nd), 0) AS BIGINT)
+        |FROM f3""".stripMargin,
+
+    // Table checksum: the same canonical row string, md5-derived
+    // 60-bit digests (the x5 hex idiom), per-bucket (count, sum mod
+    // 2^31-1) cells on each side, full outer compare.
+    "x198_table_checksum" ->
+      """WITH dst AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 1009 = 0 THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 <> 0),
+        |sc AS (SELECT
+        |         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+        |           ::BIGINT % 64 AS bucket,
+        |         ('0x' || substr(md5(concat_ws('|',
+        |            CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |            o_orderstatus,
+        |            CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                 AS VARCHAR),
+        |            CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+        |                 AS VARCHAR),
+        |            o_orderpriority)), 1, 15))::BIGINT AS dg
+        |       FROM orders),
+        |dc AS (SELECT
+        |         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+        |           ::BIGINT % 64 AS bucket,
+        |         ('0x' || substr(md5(concat_ws('|',
+        |            CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |            o_orderstatus,
+        |            CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                 AS VARCHAR),
+        |            CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+        |                 AS VARCHAR),
+        |            o_orderpriority)), 1, 15))::BIGINT AS dg
+        |       FROM dst),
+        |s2 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rows_,
+        |              CAST(sum(CAST(dg AS HUGEINT)) % 2147483647
+        |                   AS BIGINT) AS chk
+        |       FROM sc GROUP BY 1),
+        |d2 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rows_,
+        |              CAST(sum(CAST(dg AS HUGEINT)) % 2147483647
+        |                   AS BIGINT) AS chk
+        |       FROM dc GROUP BY 1)
+        |SELECT coalesce(s2.bucket, d2.bucket) AS bucket,
+        |       coalesce(s2.rows_, 0) AS src_rows,
+        |       coalesce(d2.rows_, 0) AS dst_rows,
+        |       coalesce(s2.chk, 0) AS src_check,
+        |       coalesce(d2.chk, 0) AS dst_check,
+        |       CASE WHEN coalesce(s2.rows_, 0) = coalesce(d2.rows_, 0)
+        |                 AND coalesce(s2.chk, 0) = coalesce(d2.chk, 0)
+        |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+        |       END AS is_equal
+        |FROM s2 FULL JOIN d2 ON s2.bucket = d2.bucket""".stripMargin,
+
     // BM25: the same rational-coefficient integer form — idf proxy,
     // per-(doc, query-term) HUGEINT division, long-sum score, top-5
     // window under (score DESC, doc_id).

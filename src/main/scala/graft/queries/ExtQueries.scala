@@ -677,6 +677,55 @@ object ExtQueries {
     "x191_zorder_layout" -> ((s, d) =>
       Stats.zorderLayout(s.read.parquet(s"$d/lineitem.parquet"),
         "l_partkey", "l_suppkey", bits = 8, buckets = 64)),
+    // Interval-union coverage per supplier: each lineitem is an open
+    // exposure interval [orderdate, shipdate]; overlaps count once
+    // (sweep-line islands), utilization = covered/span ppm.
+    "x192_interval_union" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val o = s.read.parquet(s"$d/orders.parquet")
+      Stats.intervalUnion(
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(col("l_suppkey"),
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("s_us"),
+            expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("e_us"),
+            col("l_orderkey"), col("l_linenumber")),
+        key = "l_suppkey", startUs = "s_us", endUs = "e_us",
+        tiebreak = Seq("l_orderkey", "l_linenumber"))
+    }),
+    // Time-weighted average of the event value per type — step-hold
+    // metering over irregular samples; the arithmetic mean over-weights
+    // burst periods, the TWA weights by holding time.
+    "x196_time_weighted" -> ((s, d) =>
+      Stats.timeWeightedAvg(events(s, d))),
+    // Functional-dependency audit over orders: the PK candidate holds
+    // (o_orderkey -> o_custkey), the single- and two-column customer
+    // determinants are violated — fan-out says by how much.
+    "x197_fd_audit" -> ((s, d) => Stats.fdAudit(
+      s.read.parquet(s"$d/orders.parquet"),
+      Seq(
+        Stats.FdCandidate(Seq("o_orderkey"), "o_custkey"),
+        Stats.FdCandidate(Seq("o_custkey"), "o_orderpriority"),
+        Stats.FdCandidate(Seq("o_custkey", "o_orderstatus"),
+          "o_orderpriority")))),
+    // Bucketed checksum reconciliation: the replica drops every 997th
+    // order and corrupts every 1009th price — the per-bucket
+    // (count, digest-sum) cells localize both without a row join.
+    "x198_table_checksum" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val dst = o.filter(col("o_orderkey") % 997 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 1009 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      graft.ext.Merge.tableChecksum(o, dst,
+        keyStr = "CAST(o_orderkey AS STRING)",
+        rowStr = "concat_ws('|', CAST(o_orderkey AS STRING), " +
+          "CAST(o_custkey AS STRING), o_orderstatus, " +
+          "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) " +
+          "AS STRING), " +
+          "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS STRING), " +
+          "o_orderpriority)",
+        buckets = 64)
+    }),
     // Synchronous label propagation (4 fixed iterations) over the
     // co-purchase part graph — communities inside x114's components.
     "x188_label_prop" -> ((s, d) => {

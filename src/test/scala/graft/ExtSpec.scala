@@ -5202,4 +5202,139 @@ class ExtSpec extends SparkSpec {
         .toDF("v", "is_a"), "v", "is_a").collect().head
     assert(tied.getLong(4) == 500000L, s"tied: $tied")
   }
+
+  test("intervalUnion equals the naive merge on random intervals; edge geometries pinned") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260815L)
+    for (round <- 1 to 4) {
+      val rows = (1 to (80 + rng.nextInt(80))).map { i =>
+        val k = s"k${rng.nextInt(4)}"
+        val s = rng.nextInt(1000).toLong
+        // rounds exercise: long overlaps, points, backwards (clamped)
+        val len = round match {
+          case 1 => rng.nextInt(200).toLong
+          case 2 => 0L
+          case 3 => rng.nextInt(20).toLong - 10L
+          case _ => rng.nextInt(1000).toLong
+        }
+        (k, s, s + len, i.toLong)
+      }
+      val got = graft.ext.Stats.intervalUnion(
+          rows.toDF("k", "s", "e", "id"), "k", "s", "e", Seq("id"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+      val want = rows.groupBy(_._1).map { case (k, g) =>
+        val iv = g.map(t => (t._2, math.max(t._3, t._2)))
+          .sortBy(identity).toList
+        // naive merge of the sorted interval list
+        val islands = iv.tail.foldLeft(List((iv.head._1, iv.head._2))) {
+          case (acc @ ((as, ae) :: rest), (s, e)) =>
+            if (s > ae) (s, e) :: acc
+            else (as, math.max(ae, e)) :: rest
+          case (Nil, _) => Nil // unreachable: seeded with iv.head
+        }
+        val covered = islands.map { case (s, e) => e - s }.sum
+        val span = iv.map(_._2).max - iv.map(_._1).min
+        val ppm = if (span == 0) 1000000L
+          else (BigInt(1000000) * covered / span).toLong
+        k -> ((g.size.toLong, islands.size.toLong, covered, span, ppm))
+      }
+      assert(got == want, s"round $round: got $got want $want")
+    }
+  }
+
+  test("timeWeightedAvg equals the naive step integral; constant signal is its own TWA") {
+    import spark.implicits._
+    val rng = new scala.util.Random(777L)
+    for (_ <- 1 to 3) {
+      val rows = (1 to (60 + rng.nextInt(60))).map { i =>
+        val t = s"t${rng.nextInt(3)}"
+        val sec = 1700000000L + rng.nextInt(86400)
+        // negative values exercise the sign-decomposed division
+        val v = (rng.nextInt(40000) - 20000) / 100.0
+        (i.toLong, new java.sql.Timestamp(sec * 1000L), t, v)
+      }
+      val got = graft.ext.Stats.timeWeightedAvg(
+          rows.toDF("event_id", "ts", "event_type", "value"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+      val want = rows.groupBy(_._3).map { case (t, g) =>
+        val seq = g.map(r =>
+            (r._2.getTime * 1000L, math.floor(r._4 * 100 + 0.5).toLong, r._1))
+          .sortBy(r => (r._1, r._3)).toList
+        val span = seq.map(_._1).max - seq.map(_._1).min
+        val wsum = seq.zip(seq.tail).map { case ((us, c, _), (us2, _, _)) =>
+          BigInt(c) * (us2 - us) }.sum
+        val twa = if (span == 0) None
+          else Some(if (wsum >= 0) (wsum / span).toLong
+            else -((-wsum) / span).toLong)
+        t -> ((g.size.toLong, span, twa))
+      }
+      assert(got == want, s"got $got want $want")
+    }
+    // constant signal: TWA is exactly the constant, regardless of spacing
+    val const = graft.ext.Stats.timeWeightedAvg(
+      Seq((1L, new java.sql.Timestamp(0L), "c", 3.21),
+        (2L, new java.sql.Timestamp(999000L), "c", 3.21),
+        (3L, new java.sql.Timestamp(1000000L), "c", 3.21))
+        .toDF("event_id", "ts", "event_type", "value")).collect().head
+    assert(const.getLong(3) == 321L, s"constant: $const")
+    // single instant: span 0 reports NULL
+    val inst = graft.ext.Stats.timeWeightedAvg(
+      Seq((1L, new java.sql.Timestamp(5000L), "i", 1.0))
+        .toDF("event_id", "ts", "event_type", "value")).collect().head
+    assert(inst.isNullAt(3) && inst.getLong(2) == 0L, s"instant: $inst")
+  }
+
+  test("fdAudit: held PK, violated determinant, NULL-rhs groups witness nothing") {
+    import spark.implicits._
+    val df = Seq(
+      // (id, grp, attr): id->grp holds; grp->attr violated by g1;
+      // g3's attr is all-NULL — fan-out 0, no violation
+      (1L, "g1", Option("a")), (2L, "g1", Option("b")),
+      (3L, "g2", Option("c")), (4L, "g2", Option("c")),
+      (5L, "g3", None), (6L, "g3", None))
+      .toDF("id", "grp", "attr")
+    val got = graft.ext.Stats.fdAudit(df, Seq(
+        graft.ext.Stats.FdCandidate(Seq("id"), "grp"),
+        graft.ext.Stats.FdCandidate(Seq("grp"), "attr")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("(id)->grp") == ((6L, 0L, 0L, 1L)), s"pk: $got")
+    // 3 groups, 1 violating (g1), ppm = 1e6*1/3 truncated, max fan-out 2
+    assert(got("(grp)->attr") == ((3L, 1L, 333333L, 2L)), s"fd: $got")
+  }
+
+  test("tableChecksum: identical tables all-equal; drop and corruption localize to their buckets") {
+    import spark.implicits._
+    val src = (1L to 400L).map(i => (i, s"p$i", i * 7 % 100))
+      .toDF("id", "name", "v")
+    val key = "CAST(id AS STRING)"
+    val row = "concat_ws('|', CAST(id AS STRING), name, CAST(v AS STRING))"
+    val same = graft.ext.Merge.tableChecksum(src, src, key, row, 16)
+      .collect()
+    assert(same.forall(_.getLong(5) == 1L) && same.nonEmpty,
+      s"identical tables must compare equal: ${same.mkString(";")}")
+    assert(same.map(_.getLong(1)).sum == 400L, "all rows bucketed")
+    // drop id=7, corrupt id=200's payload: EXACTLY the two buckets
+    // containing those keys flag, and the drop shows as a count delta
+    val dst = src.filter(col("id") =!= 7L)
+      .withColumn("v", when(col("id") === 200L, col("v") + 1)
+        .otherwise(col("v")))
+    val diff = graft.ext.Merge.tableChecksum(src, dst, key, row, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(5)))
+    def bucketOf(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % 16
+    }
+    val flagged = diff.filter(_._4 == 0L).map(_._1).toSet
+    assert(flagged == Set(bucketOf(7L), bucketOf(200L)), s"flagged $flagged")
+    val dropCell = diff.find(_._1 == bucketOf(7L)).get
+    assert(dropCell._2 == dropCell._3 + 1, s"drop must show as count delta: $dropCell")
+  }
 }
