@@ -21,6 +21,16 @@ object Oracles {
         |FROM orders WHERE o_orderkey % 100 = 0
         |ORDER BY o_custkey DESC, o_orderkey LIMIT 20""".stripMargin,
 
+    // the $apply GROUP BY leg over the same slice + pushed filter:
+    // count/min/max exact, the sum over a LONG column only.
+    "s6_odata_agg" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_custkey,
+        |       min(o_orderkey) AS min_orderkey,
+        |       max(o_orderkey) AS max_orderkey
+        |FROM orders WHERE o_orderkey % 100 = 0 AND o_custkey >= 50
+        |GROUP BY 1""".stripMargin,
+
     // the expand "server" serves the o_orderkey % 100 = 0 orders WITH
     // their lineitems inline; the gate explodes the subform, so the
     // oracle is the inner join over the same slice — l_linenumber

@@ -309,6 +309,32 @@ object Queries {
       .limit(20)
   }
 
+  /** S6 through the PRODUCTION connector: the `$apply` GROUP BY leg —
+    * the fifth rung of the pushdown ladder. The aggregate fuses into
+    * the scan as a PARTIAL pushdown: each page returns its per-group
+    * (count, sum, min, max) cells and Spark's final aggregate merges
+    * them, so the exchange moves O(pages · groups) cells instead of
+    * every row — the same economy the reference server's `$apply`
+    * offers. The compiled `$apply=groupby((o_orderstatus),
+    * aggregate(...))` request is plan-pinned in ODataSourceSpec along
+    * with a cells-not-rows scan-output assert and an unpushed
+    * cross-proof. Hash-safe by construction: count/min/max are exact
+    * and the only SUM is over a LONG column (a pushed double sum
+    * would merge page partials in nondeterministic order). */
+  def s6ODataAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.odata.ODataPages
+    spark.read.format("graft-odata")
+      .schema(ODataPages.ordersSchema)
+      .option("path", ODataPages.ordersPages(spark, dir))
+      .load()
+      .filter(col("o_custkey") >= 50)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_custkey")).as("sum_custkey"),
+        min(col("o_orderkey")).as("min_orderkey"),
+        max(col("o_orderkey")).as("max_orderkey"))
+  }
+
   /** S3 through the PRODUCTION connector: the nested `$expand` leg —
     * page files carry each order's lineitems inline as
     * `ORDERITEMS_SUBFORM: [...]` (the reference's
@@ -563,6 +589,7 @@ object Queries {
     "s1_odata_scan" -> (s1ODataScan _),
     "s3_odata_expand" -> (s3ODataExpand _),
     "s5_odata_topn" -> (s5ODataTopN _),
+    "s6_odata_agg" -> (s6ODataAgg _),
     "k5_promote_latest" -> (k5PromoteLatest _),
     "k6_csv_roundtrip" -> (k6CsvRoundtrip _),
     "k7_orc_roundtrip" -> (k7OrcRoundtrip _),

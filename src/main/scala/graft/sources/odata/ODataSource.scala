@@ -8,7 +8,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -125,17 +126,28 @@ final class ODataTable(tableSchema: StructType, path: String) extends Table with
     new ODataScanBuilder(tableSchema, path)
 }
 
-/** Accumulates the four pushdowns, then emits the scan. */
+/** One pushed aggregate: `func` ∈ count_star | count | min | max |
+  * sum, `col` absent only for count_star. */
+final case class ODataAggFunc(func: String, col: Option[String])
+
+/** A pushed GROUP BY: grouping columns + aggregate list, both
+  * validated against the table schema at push time. */
+final case class ODataAggregation(
+    groupCols: Seq[String], funcs: Seq[ODataAggFunc])
+
+/** Accumulates the five pushdowns, then emits the scan. */
 final class ODataScanBuilder(fullSchema: StructType, path: String)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownLimit
   with SupportsPushDownTopN
+  with SupportsPushDownAggregates
   with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None
+  private var agg: Option[ODataAggregation] = None
   private var required: StructType = fullSchema
 
   /** Accept the filter shapes OData `$filter` can express on scalar
@@ -197,11 +209,88 @@ final class ODataScanBuilder(fullSchema: StructType, path: String)
 
   override def isPartiallyPushed(): Boolean = true
 
+  /** GROUP BY + aggregate pushdown — the fifth rung, OData's
+    * `$apply=groupby((cols),aggregate(...))`. PARTIAL by contract
+    * ([[supportCompletePushDown]] = false): each page reader returns
+    * its page's per-group (count, min, max, sum) cells and Spark's
+    * final aggregate merges them (counts re-SUM, mins re-MIN, maxes
+    * re-MAX, sums re-SUM — exactly the decomposable-aggregate set, so
+    * DISTINCT and anything non-mergeable is rejected and stays with
+    * Spark). Accepted only when every grouping expression is a
+    * top-level schema column and every aggregate targets one (sums
+    * over Long/Double only; min/max over the scalar types the TopN
+    * comparator already orders). The win at scale is the same as the
+    * reference server's `$apply`: pages ship GROUPS, not rows — a
+    * 1000-page entity whose group count is small moves O(pages ·
+    * groups) cells instead of every row. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def colOf(e: V2Expression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 &&
+          fullSchema.fieldNames.contains(nr.fieldNames()(0)) =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def orderable(c: String): Boolean = fullSchema(c).dataType match {
+      case LongType | IntegerType | DoubleType | BooleanType |
+           TimestampType | StringType => true
+      case _ => false
+    }
+    def summable(c: String): Boolean = fullSchema(c).dataType match {
+      case LongType | DoubleType => true
+      case _ => false
+    }
+    val groups = aggregation.groupByExpressions().toSeq.map(colOf)
+    val funcs = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(ODataAggFunc("count_star", None))
+      // Count(col) — the NON-NULL count — has no OData `$apply`
+      // spelling (aggregate() offers $count and countdistinct only),
+      // so the production transport could not serve it: rejected,
+      // Spark keeps it. Count is all-or-nothing per Aggregation.
+      case _: Count => None
+      case m: Min =>
+        colOf(m.column).filter(orderable).map(n => ODataAggFunc("min", Some(n)))
+      case m: Max =>
+        colOf(m.column).filter(orderable).map(n => ODataAggFunc("max", Some(n)))
+      case s: Sum if !s.isDistinct =>
+        colOf(s.column).filter(summable).map(n => ODataAggFunc("sum", Some(n)))
+      case _ => None
+    }
+    if (groups.forall(_.isDefined) && funcs.forall(_.isDefined) &&
+        funcs.nonEmpty) {
+      agg = Some(ODataAggregation(groups.map(_.get), funcs.map(_.get)))
+      true
+    } else false
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def build(): Scan =
-    new ODataScan(required, path, pushed, limit, topN)
+    new ODataScan(
+      agg.map(a => ODataScan.aggSchema(fullSchema, a)).getOrElse(required),
+      path, pushed, limit, topN, agg)
+}
+
+object ODataScan {
+  /** The read schema a pushed aggregation produces: grouping columns
+    * first (their table types), then one column per aggregate — the
+    * positional contract Spark's pushdown rewrite expects. Counts are
+    * LongType; min/max/sum keep the column's type (a page-local Long
+    * sum has the same wrap/ANSI semantics as Spark's own partial
+    * sum). */
+  def aggSchema(full: StructType, a: ODataAggregation): StructType =
+    StructType(
+      a.groupCols.map(full(_)) ++
+        a.funcs.map {
+          case ODataAggFunc("count_star", _) =>
+            StructField("agg_count_star", LongType, nullable = false)
+          case ODataAggFunc(f, Some(c)) =>
+            StructField(s"agg_${f}_$c", full(c).dataType)
+          case bad => throw new IllegalStateException(s"bad agg: $bad")
+        })
 }
 
 final class ODataScan(
@@ -209,7 +298,8 @@ final class ODataScan(
     path: String,
     filters: Array[Filter],
     limit: Option[Int],
-    topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None)
+    topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None,
+    agg: Option[ODataAggregation] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = schema
@@ -220,12 +310,22 @@ final class ODataScan(
     val parts =
       (if (filters.nonEmpty) Seq(s"$$filter=${filters.map(ODataFilters.compile).mkString(" and ")}")
        else Nil) ++
+        agg.map { a =>
+          val aggs = a.funcs.map {
+            case ODataAggFunc("count_star", _) => "$count as agg_count_star"
+            case ODataAggFunc(f, Some(c)) => s"$c with $f as agg_${f}_$c"
+            case bad => throw new IllegalStateException(s"bad agg: $bad")
+          }.mkString(",")
+          if (a.groupCols.isEmpty) s"$$apply=aggregate($aggs)"
+          else s"$$apply=groupby((${a.groupCols.mkString(",")}),aggregate($aggs))"
+        } ++
         topN.map { case (cols, _) =>
           s"$$orderby=" + cols.map { case (c, asc, _) =>
             s"$c ${if (asc) "asc" else "desc"}" }.mkString(",")
         } ++
         (topN.map(t => s"$$top=${t._2}") orElse limit.map(n => s"$$top=$n")) ++
-        Seq(s"$$select=${schema.fieldNames.mkString(",")}")
+        (if (agg.isEmpty) Seq(s"$$select=${schema.fieldNames.mkString(",")}")
+         else Nil)
     parts.mkString("&")
   }
   override def description(): String = s"ODataScan($path?$requestString)"
@@ -237,7 +337,7 @@ final class ODataScan(
       .map(p => ODataInputPartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ODataReaderFactory(schema, filters, limit, topN)
+    new ODataReaderFactory(schema, filters, limit, topN, agg)
 }
 
 final case class ODataInputPartition(pageFile: String) extends InputPartition
@@ -246,12 +346,13 @@ final class ODataReaderFactory(
     schema: StructType,
     filters: Array[Filter],
     limit: Option[Int],
-    topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None)
+    topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None,
+    agg: Option[ODataAggregation] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ODataPartitionReader(
       partition.asInstanceOf[ODataInputPartition].pageFile, schema, filters,
-      limit, topN)
+      limit, topN, agg)
 }
 
 /** Reads one page (`{"value": [...]}`), applying pushed filters and the
@@ -262,11 +363,74 @@ final class ODataPartitionReader(
     schema: StructType,
     filters: Array[Filter],
     limit: Option[Int],
-    topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None)
+    topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None,
+    agg: Option[ODataAggregation] = None)
   extends PartitionReader[InternalRow] {
 
   private val pageRows: Iterator[JsonNode] =
     ODataTableProvider.readPage(pageFile).get("value").elements().asScala
+
+  /** Per-page PARTIAL aggregation when a GROUP BY was pushed: one
+    * (group key → state) cell per group seen on this page, emitted as
+    * rows in the pushed aggregate schema (group values first, then
+    * count/min/max/sum states — a group's count is never 0 here, a
+    * min/max/sum over only-NULL values emits NULL, and Spark's final
+    * merge handles both). Groups per page are bounded by page size;
+    * the production `$apply` transport would receive these same cells
+    * from the server. */
+  private val aggRows: Option[Iterator[InternalRow]] = agg.map { a =>
+    val gTypes = a.groupCols.zipWithIndex.map {
+      case (c, i) => (c, schema.fields(i).dataType)
+    }
+    val fTypes = a.funcs.zipWithIndex.map {
+      case (f, j) => (f, schema.fields(a.groupCols.length + j).dataType)
+    }
+    val groups = new java.util.LinkedHashMap[List[Any], Array[Any]]()
+    pageRows.foreach { node =>
+      if (filters.forall(ODataFilters.eval(_, node))) {
+        val key = gTypes.map { case (c, dt) => convert(node.get(c), dt) }.toList
+        val st = groups.computeIfAbsent(key,
+          _ => new Array[Any](fTypes.length))
+        var j = 0
+        while (j < fTypes.length) {
+          val (f, dt) = fTypes(j)
+          f.func match {
+            case "count_star" =>
+              st(j) = java.lang.Long.valueOf(
+                if (st(j) == null) 1L
+                else st(j).asInstanceOf[java.lang.Long].longValue + 1L)
+            case "sum" =>
+              val v = convert(node.get(f.col.get), dt)
+              if (v != null) st(j) =
+                if (st(j) == null) v
+                else dt match {
+                  case LongType => java.lang.Long.valueOf(
+                    st(j).asInstanceOf[java.lang.Long].longValue +
+                      v.asInstanceOf[java.lang.Long].longValue)
+                  case _ => java.lang.Double.valueOf(
+                    st(j).asInstanceOf[java.lang.Double].doubleValue +
+                      v.asInstanceOf[java.lang.Double].doubleValue)
+                }
+            case minmax =>
+              val v = convert(node.get(f.col.get), dt)
+              if (v != null) {
+                if (st(j) == null) st(j) = v
+                else {
+                  val c = st(j).asInstanceOf[Comparable[Any]].compareTo(v)
+                  if ((minmax == "min" && c > 0) ||
+                      (minmax == "max" && c < 0)) st(j) = v
+                }
+              }
+          }
+          j += 1
+        }
+      }
+    }
+    groups.entrySet().asScala.iterator.map { e =>
+      new GenericInternalRow(
+        (e.getKey ++ e.getValue.toSeq).toArray[Any])
+    }
+  }
 
   /** Per-page LOCAL top-n when a TopN was pushed: materialize the
     * page's filtered rows (pages are size-bounded by construction —
@@ -318,21 +482,27 @@ final class ODataPartitionReader(
   private var emitted = 0
   private var current: InternalRow = _
 
-  override def next(): Boolean = sortedRows match {
+  override def next(): Boolean = aggRows match {
+    // a pushed aggregate consumed the page up front; limit/topN never
+    // co-occur (Spark pushes them only directly above the relation)
     case Some(it) =>
-      if (it.hasNext && limit.forall(emitted < _)) {
-        current = it.next(); emitted += 1; true
-      } else false
-    case None =>
-      while (pageRows.hasNext && limit.forall(emitted < _)) {
-        val node = pageRows.next()
-        if (filters.forall(ODataFilters.eval(_, node))) {
-          current = toRow(node)
-          emitted += 1
-          return true
+      if (it.hasNext) { current = it.next(); true } else false
+    case None => sortedRows match {
+      case Some(it) =>
+        if (it.hasNext && limit.forall(emitted < _)) {
+          current = it.next(); emitted += 1; true
+        } else false
+      case None =>
+        while (pageRows.hasNext && limit.forall(emitted < _)) {
+          val node = pageRows.next()
+          if (filters.forall(ODataFilters.eval(_, node))) {
+            current = toRow(node)
+            emitted += 1
+            return true
+          }
         }
-      }
-      false
+        false
+    }
   }
 
   override def get(): InternalRow = current

@@ -222,4 +222,92 @@ class ODataSourceSpec extends SparkSpec {
       .sortBy { case (n, v) => (-v, n) }.map(_._1).take(2).toSeq
     assert(got == all, s"got $got want $all")
   }
+
+  test("s6 gate: GROUP BY pushes $apply into the scan; cells, not rows, cross the exchange") {
+    val q = graft.queries.Queries.s6ODataAgg(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("$apply=groupby((o_orderstatus)," +
+      "aggregate($count as agg_count_star," +
+      "o_custkey with sum as agg_sum_o_custkey," +
+      "o_orderkey with min as agg_min_o_orderkey," +
+      "o_orderkey with max as agg_max_o_orderkey))"),
+      s"aggregate not compiled into the scan request:\n$plan")
+    assert(plan.contains("o_custkey ge 50"),
+      s"filter must still ride the aggregated scan:\n$plan")
+    // partial-pushdown contract: Spark's FINAL merge aggregate remains
+    assert(plan.contains("HashAggregate"),
+      s"final merge aggregate missing:\n$plan")
+    // the scan's own output is per-page GROUP cells, not rows: with
+    // |status| = 3, a page of 200 rows collapses to <= 3 cells (AQE
+    // off for this probe — its query-stage wrappers hide the scan's
+    // metrics behind leaf stage nodes)
+    val rows = q.collect()
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val scanRows =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val q2 = graft.queries.Queries.s6ODataAgg(spark, sf)
+        q2.collect()
+        q2.queryExecution.executedPlan.collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.metrics("numOutputRows").value
+        }.get
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val pageDir = graft.sources.odata.ODataPages.ordersPages(spark, sf)
+    val pages = new java.io.File(pageDir.stripPrefix("file:"))
+      .listFiles.count(_.getName.endsWith(".json"))
+    assert(scanRows <= pages.toLong * rows.length,
+      s"scan emitted $scanRows rows for $pages pages x ${rows.length} groups " +
+        "— per-page aggregation is not happening")
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(pmod(col("o_orderkey"), lit(100)) === 0 && col("o_custkey") >= 50)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_custkey")).as("sum_custkey"),
+        min(col("o_orderkey")).as("min_orderkey"),
+        max(col("o_orderkey")).as("max_orderkey"))
+    assert(q.exceptAll(direct).isEmpty && direct.exceptAll(q).isEmpty,
+      "pushed-aggregate result differs from the direct parquet aggregate")
+  }
+
+  test("aggregate pushdown rejects what OData cannot serve; all-NULL page cells merge") {
+    // duplicate ordnames ARE the groups; B's qty is null on BOTH pages
+    val dir = tmpDir("odata_agg")
+    writePages(dir, Seq(
+      """{"value": [
+        |  {"ordname": "A", "qty": 5, "curdate": "2024-01-01T00:00:00"},
+        |  {"ordname": "B", "qty": null, "curdate": "2024-01-02T00:00:00"},
+        |  {"ordname": "A", "qty": 2, "curdate": "2024-01-03T00:00:00"}]}""".stripMargin,
+      """{"value": [
+        |  {"ordname": "B", "qty": null, "curdate": "2024-01-04T00:00:00"},
+        |  {"ordname": "A", "qty": 9, "curdate": "2024-01-05T00:00:00"}]}""".stripMargin))
+    val df = spark.read.format("graft-odata").schema(schema)
+      .option("path", dir).load()
+    // count(col) has no $apply spelling; distinct sums aren't
+    // mergeable — both must stay with Spark (all-or-nothing)
+    for ((frame, n) <- Seq(
+        (df.groupBy(col("ordname")).agg(count(col("qty")).as("c")), 2),
+        (df.groupBy(col("ordname")).agg(sum_distinct(col("qty")).as("s")), 2))) {
+      val plan = frame.queryExecution.executedPlan.toString
+      assert(!plan.contains("$apply"),
+        s"unservable aggregate was pushed:\n$plan")
+      assert(frame.count() == n, "rejected-pushdown frame must still compute")
+    }
+    // pushed min: A's page cells are (2, 9) -> 2; B's are (NULL, NULL)
+    // and the merge must keep NULL, not invent a zero
+    val m = df.groupBy(col("ordname")).agg(min(col("qty")).as("m"))
+    assert(m.queryExecution.executedPlan.toString.contains(
+      "$apply=groupby((ordname),aggregate(qty with min as agg_min_qty))"),
+      "min aggregate not pushed")
+    val got = m.collect().map(r =>
+      (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map("A" -> Some(2L), "B" -> None), s"got $got")
+    // global (no group-by) pushed aggregate over the same pages
+    val g = df.agg(count(lit(1)).as("n"), max(col("qty")).as("mx"))
+    assert(g.queryExecution.executedPlan.toString.contains(
+      "$apply=aggregate($count as agg_count_star,qty with max as agg_max_qty)"),
+      "global aggregate not pushed")
+    assert(g.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((5L, 9L)), "global aggregate wrong")
+  }
 }
