@@ -2513,6 +2513,128 @@ object Stats {
           .as("twa_cents"))
   }
 
+  /** Mass-weighted exact percentiles per source — the Gopher-style
+    * reporting axis [[lengthQuantiles]] cannot give: doc-count
+    * percentiles treat a 40-char stub and a 40k-char book as equal
+    * citizens, but training cost is paid in TOKENS, so the question
+    * that sizes a corpus is "the length at or below which p% of the
+    * CHAR MASS sits". Weighted PERCENTILE_DISC by histogram carve:
+    * smallest value whose cumulative weight reaches ⌈p·W/100⌉, weight
+    * = the bin's char mass (cnt·v). Zero-length docs form zero-weight
+    * bins that can never be selected (the carve's half-open interval
+    * is empty for them), and an all-empty source has no mass to rank —
+    * it is absent by contract, not by accident.
+    *
+    * Scale shape: identical to the X42 carve — one map-side-combinable
+    * histogram is the only corpus-scale stage; the cumulative window
+    * and the target join run over the (source × distinct-length)
+    * domain. Targets broadcast. `p·W` stays integral to ~10¹⁶ chars of
+    * per-source mass — beyond any single source. */
+  def weightedQuantiles(
+      docs: DataFrame, ps: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles $ps must be in [1, 100]")
+    val hist = docs
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), length(col("text")).cast("long").as("v"))
+      .groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w", col("cnt") * col("v"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum_w", sum(col("w")).over(wCum))
+    val targets = hist.groupBy(col("source"))
+      .agg(sum(col("w")).as("char_mass"), sum(col("cnt")).as("n_docs"))
+      .select(col("source"), col("char_mass"), col("n_docs"),
+        explode(typedLit(ps.toList)).as("p"))
+      .withColumn("target_w", expr("(p * char_mass + 99) DIV 100"))
+    cum.join(broadcast(targets), Seq("source"))
+      .filter(col("cum_w") >= col("target_w") &&
+        col("cum_w") - col("w") < col("target_w"))
+      .select(col("source"), col("p"), col("n_docs"), col("char_mass"),
+        col("v").as("chars_at_p"))
+  }
+
+  /** Exact 1-Wasserstein (earth-mover) drift per source — the third
+    * member of the distribution-drift family: X59's L1 compares
+    * token-frequency mass, [[ksDrift]] takes the WORST cdf gap, and
+    * W₁ integrates ALL of it — `∫|cdf_s − cdf_all| dv` — so a source
+    * that is slightly off everywhere (systematic truncation) scores
+    * as high as one that is badly off somewhere, which KS's max
+    * erases. Exact integers end to end: on the corpus value grid,
+    * each segment contributes |cum_s·n_all − cum_all·n_s|·gap (the
+    * cdf difference cross-multiplied; the last grid point has no
+    * segment and contributes nothing), the sum rides DECIMAL(38,0) ↔
+    * HUGEINT, and the report is `10⁶·Σ div (n_s·n_all)` — W₁ in
+    * MICRO-CHARS of transport distance, nonneg so no sign ever meets
+    * the division.
+    *
+    * Scale shape: [[ksDrift]]'s exactly — two map-side histograms
+    * bounded by the value domain, a (values × sources) evaluation
+    * grid with carry-forward cumulatives, totals broadcast. */
+  def wassersteinDrift(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"),
+      length(coalesce(col("text"), lit(""))).cast("long").as("v"))
+    val gridW = Window.orderBy(col("v"))
+    val allHist = d.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_all", sum(col("cnt")).over(
+        gridW.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("gap", lead(col("v"), 1).over(gridW) - col("v"))
+    val nAll = allHist.agg(sum(col("cnt")).as("n_all"))
+    val srcHist = d.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("scnt"))
+    val nSrc = srcHist.groupBy(col("source"))
+      .agg(sum(col("scnt")).as("n_src"))
+    val grid = allHist.select(col("v"), col("cum_all"), col("gap"))
+      .crossJoin(nSrc.select(col("source")))
+      .join(srcHist, Seq("source", "v"), "left")
+      .withColumn("cum_src",
+        coalesce(sum(coalesce(col("scnt"), lit(0L))).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, 0)), lit(0L)))
+    grid.join(broadcast(nSrc), Seq("source"))
+      .crossJoin(broadcast(nAll))
+      .select(col("source"), col("n_src"), col("n_all"),
+        expr("abs(CAST(cum_src AS DECIMAL(38,0)) * n_all - " +
+          "CAST(cum_all AS DECIMAL(38,0)) * n_src) * gap").as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_docs"), max(col("n_all")).as("n_all"),
+        sum(col("term")).as("num"))
+      .select(col("source"), col("n_docs"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * coalesce(num, 0) " +
+          "DIV (n_docs * n_all) AS BIGINT)").as("w1_microchars"))
+  }
+
+  /** Consecutive-day activity streaks per user — the engagement shape
+    * DAU/WAU ([[X94]]) and growth accounting (X-new/retained) both
+    * average away: per user, active-day count, number of maximal
+    * consecutive-day runs, and the longest run. The classic
+    * gaps-and-islands identity: over a user's DISTINCT active days in
+    * order, `day − row_number()` is constant exactly within a
+    * consecutive run, so one window + two groupBys do it all — no
+    * self-join, no recursion. Day buckets via the pre-1970-safe floor
+    * division.
+    *
+    * Scale shape: the distinct collapses map-side; ONE shuffle on
+    * user_id serves the window and both aggregates (the partitioning
+    * satisfies both groupings); per-user cost is linear in that
+    * user's active days. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+  }
+
   /** One candidate functional dependency for [[fdAudit]]: does
     * `lhs` (a column set) determine `rhs` (a single column)? */
   final case class FdCandidate(lhs: Seq[String], rhs: String)

@@ -4969,6 +4969,88 @@ object ExtOracles {
         |       END AS twa_cents
         |FROM g GROUP BY 1""".stripMargin,
 
+    // Weighted percentiles: the same histogram carve with weight =
+    // bin char mass; zero-weight bins can never satisfy the half-open
+    // carve interval on either engine.
+    "x199_weighted_quantiles" ->
+      """WITH h AS (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(count(*) AS BIGINT) * CAST(length(text) AS BIGINT)
+        |           AS w
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |c AS (SELECT *, sum(w) OVER (PARTITION BY source ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+        |      FROM h),
+        |t AS (SELECT source, CAST(sum(w) AS BIGINT) AS char_mass,
+        |             CAST(sum(cnt) AS BIGINT) AS n_docs
+        |      FROM h GROUP BY 1),
+        |p AS (SELECT source, char_mass, n_docs, unnest([50, 90]) AS p
+        |      FROM t),
+        |tr AS (SELECT *, (p * char_mass + 99) // 100 AS target_w FROM p)
+        |SELECT c.source, tr.p, tr.n_docs, tr.char_mass,
+        |       c.v AS chars_at_p
+        |FROM c JOIN tr ON c.source = tr.source
+        |WHERE c.cum_w >= tr.target_w AND c.cum_w - c.w < tr.target_w"""
+        .stripMargin,
+
+    // Wasserstein-1: the x134 shared-grid carry-forward scaffolding
+    // with gap-weighted |cross-multiplied cdf difference| summed in
+    // HUGEINT (Spark DECIMAL(38,0)); the report divides once.
+    "x200_wasserstein_drift" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         CAST(length(coalesce(text, '')) AS BIGINT) AS v
+        |  FROM documents),
+        |ah AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM d GROUP BY 1),
+        |ac AS (SELECT v, cnt,
+        |              CAST(sum(cnt) OVER (ORDER BY v
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                AS BIGINT) AS cum_all,
+        |              lead(v) OVER (ORDER BY v) - v AS gap
+        |       FROM ah),
+        |na AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM ah),
+        |sh AS (SELECT source, v, CAST(count(*) AS BIGINT) AS scnt
+        |       FROM d GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(scnt) AS BIGINT) AS n_src
+        |       FROM sh GROUP BY 1),
+        |g AS (SELECT ns.source, ac.v, ac.cum_all, ac.gap,
+        |             CAST(coalesce(sum(coalesce(sh.scnt, 0)) OVER (
+        |               PARTITION BY ns.source ORDER BY ac.v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |               0) AS BIGINT) AS cum_src
+        |      FROM ac CROSS JOIN ns
+        |           LEFT JOIN sh ON sh.source = ns.source AND sh.v = ac.v)
+        |SELECT g.source, ns.n_src AS n_docs,
+        |       CAST(1000000::HUGEINT *
+        |            coalesce(sum(abs(CAST(g.cum_src AS HUGEINT) * na.n_all
+        |                             - CAST(g.cum_all AS HUGEINT) * ns.n_src)
+        |                         * g.gap), 0)
+        |            // (ns.n_src * na.n_all) AS BIGINT) AS w1_microchars
+        |FROM g JOIN ns ON g.source = ns.source CROSS JOIN na
+        |GROUP BY 1, 2, na.n_all""".stripMargin,
+
+    // Streaks: the day - row_number() gaps-and-islands identity over
+    // distinct active days, replayed verbatim.
+    "x201_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |g AS (SELECT user_id, day,
+        |             day - row_number() OVER (PARTITION BY user_id
+        |                                      ORDER BY day) AS grp
+        |      FROM days),
+        |runs AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |         FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |       CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM runs GROUP BY 1""".stripMargin,
+
     // FD audit: one rollup per candidate over its determinant groups;
     // count(DISTINCT rhs) skips NULL witnesses on both engines.
     "x197_fd_audit" ->

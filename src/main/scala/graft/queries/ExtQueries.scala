@@ -697,6 +697,19 @@ object ExtQueries {
     // burst periods, the TWA weights by holding time.
     "x196_time_weighted" -> ((s, d) =>
       Stats.timeWeightedAvg(events(s, d))),
+    // Mass-weighted length percentiles per source: the length at or
+    // below which p% of the CHAR MASS sits (doc-count percentiles
+    // treat a stub and a book as equals; training cost is mass).
+    "x199_weighted_quantiles" -> ((s, d) =>
+      Stats.weightedQuantiles(docs(s, d))),
+    // Exact 1-Wasserstein length drift per source vs the corpus —
+    // integrates ALL cdf gaps where x134's KS takes the worst one.
+    "x200_wasserstein_drift" -> ((s, d) =>
+      Stats.wassersteinDrift(docs(s, d))),
+    // Consecutive-day activity streaks per user (gaps-and-islands on
+    // distinct active days): active days, runs, longest run.
+    "x201_activity_streaks" -> ((s, d) =>
+      Stats.activityStreaks(events(s, d))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

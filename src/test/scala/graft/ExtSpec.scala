@@ -5307,6 +5307,72 @@ class ExtSpec extends SparkSpec {
     assert(got("(grp)->attr") == ((3L, 1L, 333333L, 2L)), s"fd: $got")
   }
 
+  test("weightedQuantiles: hand-worked mass carve; zero-weight bins unselectable, empty source absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa", "A"), (2L, "aaa", "A"), (3L, "aaaaa", "A"),
+      (4L, "", "A"),              // zero-weight bin
+      (5L, "", "B"), (6L, "", "B")) // all-empty source: no mass
+      .toDF("doc_id", "text", "source")
+    val got = graft.ext.Stats.weightedQuantiles(docs)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // mass bins: (2,2) cum 2, (3,3) cum 5, (5,5) cum 10; W = 10
+    // p50 target 5 -> v=3; p90 target 9 -> v=5; n_docs counts the stub
+    assert(got == Map(
+      ("A", 50) -> ((4L, 10L, 3L)),
+      ("A", 90) -> ((4L, 10L, 5L))), s"got $got")
+  }
+
+  test("wassersteinDrift equals the naive BigInt grid integral on random data; self-corpus is zero") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260815L)
+    for (_ <- 1 to 3) {
+      val rows = (1 to (150 + rng.nextInt(100))).map { i =>
+        (i.toLong, "x" * (1 + rng.nextInt(30)), s"s${rng.nextInt(4)}")
+      }
+      val got = graft.ext.Stats.wassersteinDrift(
+          rows.toDF("doc_id", "text", "source"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      val lens = rows.map(r => (r._3, r._2.length.toLong))
+      val grid = lens.map(_._2).distinct.sorted
+      val nAll = lens.size.toLong
+      val want = lens.groupBy(_._1).map { case (s, g) =>
+        val nS = g.size.toLong
+        val num = grid.zip(grid.tail).map { case (v, v2) =>
+          val cumS = g.count(_._2 <= v).toLong
+          val cumA = lens.count(_._2 <= v).toLong
+          (BigInt(cumS) * nAll - BigInt(cumA) * nS).abs * (v2 - v)
+        }.sum
+        s -> ((nS, (BigInt(1000000) * num / (BigInt(nS) * nAll)).toLong))
+      }
+      assert(got == want, s"got $got want $want")
+    }
+    // a corpus with ONE source drifts zero from itself
+    val one = graft.ext.Stats.wassersteinDrift(
+      Seq((1L, "abc", "s"), (2L, "defgh", "s")).toDF("doc_id", "text", "source"))
+      .collect().head
+    assert(one.getLong(2) == 0L, s"self-corpus: $one")
+  }
+
+  test("activityStreaks: gaps-and-islands identity; same-day repeats collapse") {
+    import spark.implicits._
+    def t(day: Long, h: Int) =
+      new java.sql.Timestamp(day * 86400000L + h * 3600000L)
+    val events = Seq(
+      (1L, t(0, 1)), (1L, t(0, 23)), (1L, t(1, 5)), (1L, t(2, 0)),
+      (1L, t(5, 9)), (1L, t(7, 0)), (1L, t(8, 12)),
+      (2L, t(3, 3))) // single-day user
+      .toDF("user_id", "ts")
+    val got = graft.ext.Stats.activityStreaks(events)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((6L, 3L, 3L)), // days 0-2, 5, 7-8: longest 3
+      2L -> ((1L, 1L, 1L))), s"got $got")
+  }
+
   test("tableChecksum: identical tables all-equal; drop and corruption localize to their buckets") {
     import spark.implicits._
     val src = (1L to 400L).map(i => (i, s"p$i", i * 7 % 100))
