@@ -139,6 +139,61 @@ object Graph {
     } finally sym.unpersist(blocking = false)
   }
 
+  /** k-core decomposition by iterative peeling — the density filter
+    * that separates STRUCTURAL duplication (a boilerplate clique
+    * where every member near-dups many others survives a high-k core)
+    * from incidental pairs (a chain or star peels away immediately):
+    * repeatedly delete nodes of degree < k until none remain; what
+    * survives is the unique maximal subgraph with every degree ≥ k.
+    * The fixpoint is ORDER-INDEPENDENT (the k-core is unique), so
+    * `iters` synchronous rounds of "drop under-k nodes, keep edges
+    * whose BOTH endpoints survive" replayed identically on both
+    * engines hash-gate exactly — the oracle chains the same rounds as
+    * CTE stages (the X111/X127 fixed-iteration convention), and the
+    * cascade (a node above k that sinks below once its neighbors
+    * peel) is what the iteration exists for — spec-pinned on a
+    * chain-into-clique construction, with convergence at fixture
+    * scale pinned by an iters-vs-iters+1 equality check. Output: each
+    * surviving node with its WITHIN-CORE degree (≥ k by construction).
+    *
+    * Scale shape: per round, one map-side-combinable degree count and
+    * two equi-joins keyed on the SAME node columns; the edge frame
+    * shrinks monotonically, each round materializes and releases its
+    * predecessor so lineage stays one round deep (the PageRank loop
+    * discipline). Peeling depth beyond `iters` means a not-yet-
+    * converged core — callers size `iters` to the graph's degeneracy
+    * ordering depth, which for near-dup graphs is small (cliques
+    * converge in one round; the pathological O(n) chain is exactly
+    * the structure dedup graphs don't have). */
+  def kCore(edges: DataFrame, k: Int = 3, iters: Int = 6): DataFrame = {
+    require(k >= 1, s"core order $k must be positive")
+    require(iters >= 1, s"iteration count $iters must be positive")
+    var live = edges
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    live.count()
+    try {
+      for (_ <- 1 to iters) {
+        val keep = live.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("src").as("node"))
+        val next = live
+          .join(keep.select(col("node").as("src")), Seq("src"))
+          .join(keep.select(col("node").as("dst")), Seq("dst"))
+          .select(col("src"), col("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the previous round
+        live.unpersist(blocking = false)
+        live = next
+      }
+      val out = live.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+        .select(col("src").as("node"), col("core_degree"))
+        .localCheckpoint(true)
+      out
+    } finally live.unpersist(blocking = false)
+  }
+
   /** Per-node triangle counts + exact local clustering coefficient
     * over an undirected `a_id < b_id` edge list — the cluster-density
     * view of the dup graph (a triangle-rich neighborhood is a

@@ -40,6 +40,20 @@ object ExtOracles {
       s"(CASE WHEN s$i >= 0 THEN $bitVal ELSE 0::BIGINT END)"
     }.mkString(" + ")
 
+  /** The x202 peel recurrence as chained CTE stages (the x188/x99
+    * fixed-iteration convention): stage i keeps nodes of degree ≥ k in
+    * e(i−1) and the edges both of whose endpoints survive. Generated,
+    * so the round count can never drift from the Spark side's. */
+  private def kcorePeels(k: Int, iters: Int): String =
+    (1 to iters).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src FROM e${i - 1}
+         |  GROUP BY 1 HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON e.src = a.src
+         |  JOIN k$i b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+
   /** Per-language marker scores, generated from the SAME marker lists the
     * Spark side uses (single source of truth in TextStats.langMarkers). */
   private val langScore: String =
@@ -2546,6 +2560,31 @@ object ExtOracles {
          |            ELSE 1000000 * 2 * coalesce(tn.n_triangles, 0)
          |                 // (deg.deg * (deg.deg - 1)) END AS closure_ppm
          |FROM deg LEFT JOIN tn ON tn.n = deg.x""".stripMargin,
+
+    // k-core: the x114 pair closure + 4 generated peel stages; the
+    // fixpoint is order-independent so fixed synchronous rounds
+    // hash-gate exactly.
+    "x202_kcore" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS MATERIALIZED (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS MATERIALIZED (
+         |    SELECT i.a_id, i.b_id
+         |    FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 7 * (sa.sz + sb.sz - i.i)),
+         |  e0 AS MATERIALIZED (
+         |    SELECT a_id AS src, b_id AS dst FROM pairs
+         |    UNION ALL SELECT b_id, a_id FROM pairs),
+         |${kcorePeels(k = 2, iters = 4)}
+         |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM e4 GROUP BY 1""".stripMargin,
 
     // Basket affinity: distinct (order, part) frame, in-order pair
     // self-join, lift = c12·N // (c1·c2) in HUGEINT.

@@ -1047,6 +1047,12 @@ object ExtQueries {
     // independent constructions of the same count.
     "x114_triangle_count" -> ((s, d) =>
       graft.ext.Graph.triangleCounts(ngramPairs(s, d).select("a_id", "b_id"))),
+    // 2-core of the near-dup graph: incidental pairs and chains peel
+    // away (47 -> 3 nodes at sf0.01), structural cliques survive —
+    // 4 synchronous peels, fixpoint spec-pinned.
+    "x202_kcore" -> ((s, d) =>
+      graft.ext.Graph.kCore(ngramPairs(s, d).select("a_id", "b_id"),
+        k = 2, iters = 4)),
     // Market-basket lift over co-ordered parts (63 pairs at count>=3
     // on sf0.01); pair expansion bounded by basket size squared.
     "x115_basket_affinity" -> ((s, d) =>

@@ -5175,6 +5175,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("kCore: chain-into-clique cascade peels one node per round; fixpoint reached and stable") {
+    import spark.implicits._
+    // chain 1-2-3 hangs off triangle 4-5-6: at k=2 the chain peels
+    // ONE node per round (1 drops, 2 sinks below k, then 3) — the
+    // cascade the iteration exists for; the triangle is the 2-core
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a_id", "b_id")
+    def run(iters: Int) = graft.ext.Graph.kCore(edges, k = 2, iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 rounds are NOT enough: node 3 still looks 2-connected
+    val early = run(2)
+    assert(early.contains(3L), s"cascade finished too early: $early")
+    // 3 rounds converge; a 4th changes nothing (fixpoint)
+    val done = run(3)
+    assert(done == Map(4L -> 2L, 5L -> 2L, 6L -> 2L), s"core: $done")
+    assert(run(4) == done, "fixpoint not stable")
+    // k above the max degree empties the graph
+    assert(graft.ext.Graph.kCore(edges, k = 4, iters = 3).isEmpty)
+  }
+
+  test("kCore converges within the gate's round budget on the fixture dup graph") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = graft.ext.Dedup.ngramJaccardJoinMaterialized(docs)
+      .select("a_id", "b_id")
+    def run(iters: Int) = graft.ext.Graph.kCore(pairs, k = 2, iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(4) == run(5),
+      "gate iters=4 is not a fixpoint on the fixture — raise the budget")
+  }
+
   test("labelPropagation: bridged triangles keep distinct communities in one component") {
     import spark.implicits._
     // two triangles joined by ONE bridge edge — a single connected
