@@ -2601,8 +2601,11 @@ object Stats {
       .agg(max(col("n_src")).as("n_docs"), max(col("n_all")).as("n_all"),
         sum(col("term")).as("num"))
       .select(col("source"), col("n_docs"),
+        // divisor staged through DECIMAL too: the long product
+        // n_docs·n_all passes BIGINT at ~3·10⁹ docs
         expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * coalesce(num, 0) " +
-          "DIV (n_docs * n_all) AS BIGINT)").as("w1_microchars"))
+          "DIV (CAST(n_docs AS DECIMAL(38,0)) * n_all) AS BIGINT)")
+          .as("w1_microchars"))
   }
 
   /** Consecutive-day activity streaks per user — the engagement shape

@@ -5068,7 +5068,7 @@ object ExtOracles {
         |            coalesce(sum(abs(CAST(g.cum_src AS HUGEINT) * na.n_all
         |                             - CAST(g.cum_all AS HUGEINT) * ns.n_src)
         |                         * g.gap), 0)
-        |            // (ns.n_src * na.n_all) AS BIGINT) AS w1_microchars
+        |            // (ns.n_src::HUGEINT * na.n_all) AS BIGINT) AS w1_microchars
         |FROM g JOIN ns ON g.source = ns.source CROSS JOIN na
         |GROUP BY 1, 2, na.n_all""".stripMargin,
 
