@@ -5432,5 +5432,23 @@ class ExtSpec extends SparkSpec {
     assert(flagged == Set(bucketOf(7L), bucketOf(200L)), s"flagged $flagged")
     val dropCell = diff.find(_._1 == bucketOf(7L)).get
     assert(dropCell._2 == dropCell._3 + 1, s"drop must show as count delta: $dropCell")
+    // randomized: ANY set of dropped + mutated keys flags exactly the
+    // union of their buckets (and nothing else) — the localization
+    // contract under arbitrary damage, not just the two-plant case
+    val rng = new scala.util.Random(20260815L)
+    for (_ <- 1 to 3) {
+      val dropped = (1 to 1 + rng.nextInt(5))
+        .map(_ => 1L + rng.nextInt(400)).toSet
+      val mutated = (1 to 1 + rng.nextInt(5))
+        .map(_ => 1L + rng.nextInt(400)).toSet -- dropped
+      val dst2 = src.filter(!col("id").isin(dropped.toSeq: _*))
+        .withColumn("v", when(col("id").isin(mutated.toSeq: _*),
+          col("v") + 1000).otherwise(col("v")))
+      val flagged2 = graft.ext.Merge.tableChecksum(src, dst2, key, row, 16)
+        .collect().filter(_.getLong(5) == 0L).map(_.getLong(0)).toSet
+      val want = (dropped ++ mutated).map(bucketOf)
+      assert(flagged2 == want,
+        s"dropped=$dropped mutated=$mutated flagged=$flagged2 want=$want")
+    }
   }
 }
