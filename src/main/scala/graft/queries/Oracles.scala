@@ -21,6 +21,16 @@ object Oracles {
         |FROM orders WHERE o_orderkey % 100 = 0
         |ORDER BY o_custkey DESC, o_orderkey LIMIT 20""".stripMargin,
 
+    // the SQL-catalog leg: the expand "server" serves only orders
+    // WITH lineitems (first-row schema anchoring), so the oracle is
+    // the grouped inner join; size() of the subform = item count.
+    "q16_sql_catalog" ->
+      """SELECT o.o_orderkey, o.o_orderstatus,
+        |       CAST(count(*) AS INT) AS n_items
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey % 100 = 0 AND o.o_orderkey >= 1000
+        |GROUP BY 1, 2""".stripMargin,
+
     // the $apply GROUP BY leg over the same slice + pushed filter:
     // count/min/max exact, the sum over a LONG column only.
     "s6_odata_agg" ->

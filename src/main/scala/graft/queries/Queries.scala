@@ -357,6 +357,30 @@ object Queries {
         col("it.l_returnflag").as("l_returnflag"))
   }
 
+  /** Q16: the SQL-catalog front door — a DSv2 `TableCatalog`
+    * ([[graft.sources.odata.GraftCatalog]]) registered over the
+    * `$expand` page "server", then plain `spark.sql` against
+    * `<cat>.ORDERS`: catalog resolution, schema inference (incl. the
+    * array<struct> subform column), and the pushdown ladder all ride
+    * the same [[graft.sources.odata.ODataTable]] the format reader
+    * serves — the reference's `$metadata` catalog re-expressed as the
+    * Spark catalog plugin it maps to. The catalog NAME is derived
+    * from the root (one immutable root per catalog instance —
+    * CatalogManager caches plugins, so a name must never be rebound
+    * to a different root within a session). */
+  def q16SqlCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.odata.{GraftCatalog, ODataPages}
+    val root = ODataPages.ordersExpandRoot(spark, dir)
+    val cat = s"graft_cat_${math.abs(root.hashCode).toString}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(
+      s"""SELECT o_orderkey, o_orderstatus,
+         |       size(ORDERITEMS_SUBFORM) AS n_items
+         |FROM $cat.ORDERS WHERE o_orderkey >= 1000""".stripMargin)
+  }
+
   /** K-series promote: the stg→final path (`StagingWriter.promote`,
     * the reference's readme.md:723-731 roadmap semantics — it lists
     * both `stg_orders` and `orders`) hash-proved end-to-end. An append
@@ -590,6 +614,7 @@ object Queries {
     "s3_odata_expand" -> (s3ODataExpand _),
     "s5_odata_topn" -> (s5ODataTopN _),
     "s6_odata_agg" -> (s6ODataAgg _),
+    "q16_sql_catalog" -> (q16SqlCatalog _),
     "k5_promote_latest" -> (k5PromoteLatest _),
     "k6_csv_roundtrip" -> (k6CsvRoundtrip _),
     "k7_orc_roundtrip" -> (k7OrcRoundtrip _),

@@ -223,6 +223,50 @@ class ODataSourceSpec extends SparkSpec {
     assert(got == all, s"got $got want $all")
   }
 
+  test("GraftCatalog: entities list as tables, SQL resolves with pushdown, writes refused") {
+    val root = graft.sources.odata.ODataPages.ordersExpandRoot(spark, sf)
+    val cat = s"spec_cat_${math.abs(root.hashCode).toString}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.odata.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // catalog listing sees the entity
+    val tables = spark.sql(s"SHOW TABLES IN $cat")
+      .collect().map(_.getAs[String]("tableName")).toSet
+    assert(tables == Set("ORDERS"), s"tables: $tables")
+    // SQL through the catalog = the direct format read
+    val q = spark.sql(
+      s"SELECT o_orderkey, o_orderstatus FROM $cat.ORDERS " +
+        "WHERE o_orderkey >= 1000")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("o_orderkey ge 1000"),
+      s"catalog-table filter not pushed:\n$plan")
+    val direct = spark.read.format("graft-odata")
+      .option("path", s"$root/ORDERS").load()
+      .filter(col("o_orderkey") >= 1000)
+      .select("o_orderkey", "o_orderstatus")
+    assert(q.exceptAll(direct).isEmpty && direct.exceptAll(q).isEmpty,
+      "catalog rows differ from the direct format read")
+    // aggregate pushdown rides the catalog table too
+    val agg = spark.sql(
+      s"SELECT o_orderstatus, count(*) AS n FROM $cat.ORDERS GROUP BY 1")
+    assert(agg.queryExecution.executedPlan.toString.contains(
+      "$apply=groupby((o_orderstatus),aggregate($count as agg_count_star))"),
+      "aggregate not pushed through the catalog")
+    assert(agg.collect().map(_.getLong(1)).sum ==
+      direct.count() + spark.sql(
+        s"SELECT count(*) FROM $cat.ORDERS WHERE o_orderkey < 1000")
+        .collect().head.getLong(0))
+    // read-only contract: DDL through the catalog fails loudly
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"DROP TABLE $cat.ORDERS")
+    }
+    // unknown table is a NoSuchTableException, not a silent empty
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.NOPE").collect()
+    }
+    assert(err.getMessage.toUpperCase.contains("NOPE"), s"err: $err")
+  }
+
   test("s6 gate: GROUP BY pushes $apply into the scan; cells, not rows, cross the exchange") {
     val q = graft.queries.Queries.s6ODataAgg(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
