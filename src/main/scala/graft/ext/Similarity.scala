@@ -278,6 +278,61 @@ object Similarity {
         col("inter"), col("jppm"), col("rank"))
   }
 
+  /** Embedding isotropy audit per label — the geometry QC next to
+    * centroids (X103) and outliers (X105): anisotropic embeddings
+    * (every vector leaning along one direction — the known failure
+    * mode of contrastive collapse and of un-centered encoder output)
+    * break cosine retrieval long before any individual vector looks
+    * wrong, and the tell is the MEAN PAIRWISE DOT sitting far above 0
+    * relative to the mean squared norm. Exact integers end to end:
+    * coordinates quantize by the shared `floor(x·10⁶ + 0.5)` idiom,
+    * per-dimension sums give `Σᵢ≠ⱼ qᵢ·qⱼ = Σ_d S_d² − Σᵢ‖qᵢ‖²`
+    * (the sum-vector identity — no pair is ever materialized), and
+    * the two report columns are `Σ‖q‖² div n` and the sign-DECOMPOSED
+    * `(Σ_d S_d² − Σ‖q‖²) div n(n−1)` (pair dots go negative; X142).
+    * Their ratio read off the row is the isotropy score (≈0
+    * isotropic, →avg_norm2 collapsed). Single-vector labels have no
+    * pairs — NULL, not 0 (0 claims perfect isotropy). Quantization
+    * bias is bounded by 2ε·E|q|·dims ≈ 10⁻⁶ of the metric — audit
+    * precision, stated not hidden.
+    *
+    * Scale shape: one explode to (label, dim) — the only corpus-scale
+    * stage, map-side combinable — then label-domain aggregates;
+    * moments in DECIMAL(38,0) ↔ HUGEINT (S_d² reaches 10²⁴ at 10⁶
+    * same-label vectors, ×4096 dims still inside 10³⁸). No pairwise
+    * join anywhere: the identity IS the scale story. */
+  def isotropyAudit(emb: DataFrame): DataFrame = {
+    val q = emb
+      .filter(col("label").isNotNull && col("embedding").isNotNull)
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("vec_id"), col("dim"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+          .as("qv"))
+    val dims = q.groupBy(col("label"), col("dim"))
+      .agg(sum(expr("CAST(qv AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(qv AS DECIMAL(38,0)) * qv")).as("ss"))
+    val perLabel = dims.groupBy(col("label"))
+      .agg(sum(expr("s * s")).as("s2"), sum(col("ss")).as("norms"),
+        (count(lit(1))).as("n_dims"))
+    val counts = emb
+      .filter(col("label").isNotNull && col("embedding").isNotNull)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_vectors"))
+    perLabel.join(counts, Seq("label"))
+      .select(col("label"), col("n_vectors"), col("n_dims"),
+        expr("CAST(norms DIV n_vectors AS BIGINT)").as("avg_norm2"),
+        when(col("n_vectors") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            // divisor staged through DECIMAL (n(n−1) passes BIGINT
+            // at n ≈ 3·10⁹ — the wasserstein lesson)
+            "CAST(CASE WHEN s2 - norms >= 0 THEN " +
+              "(s2 - norms) DIV (CAST(n_vectors AS DECIMAL(38,0)) " +
+              "* (n_vectors - 1)) " +
+              "ELSE -((norms - s2) DIV (CAST(n_vectors AS DECIMAL(38,0)) " +
+              "* (n_vectors - 1))) END AS BIGINT)"))
+          .as("avg_pair_dot"))
+  }
+
   /** Mutual-nearest-neighbor pair mining within label blocks: the
     * pairs (a, b) where b is a's exact cosine top-1 AND a is b's —
     * the alignment/bitext-mining primitive (a mutual-kNN consistency

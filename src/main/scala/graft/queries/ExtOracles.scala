@@ -5090,6 +5090,44 @@ object ExtOracles {
         |       CAST(max(len) AS BIGINT) AS longest_streak
         |FROM runs GROUP BY 1""".stripMargin,
 
+    // Isotropy: identical quantized per-dimension sums (the x12/x13
+    // comprehension idiom for element access), the sum-vector
+    // identity, sign-decomposed pair-dot division. Spark's dim index
+    // is 0-based and DuckDB's 1-based — dim is only an internal
+    // grouping key, never an output.
+    "x203_isotropy_audit" ->
+      """WITH q AS (
+        |  SELECT label, vec_id, u.d AS dim, u.q AS qv
+        |  FROM (SELECT label, vec_id,
+        |               unnest([{'d': i,
+        |                        'q': CAST(floor(CAST(embedding[i] AS DOUBLE)
+        |                             * 1000000 + 0.5) AS BIGINT)}
+        |                       FOR i IN range(1, len(embedding) + 1)]) AS u
+        |        FROM embeddings
+        |        WHERE label IS NOT NULL AND embedding IS NOT NULL)),
+        |d AS (SELECT label, dim, sum(CAST(qv AS HUGEINT)) AS s,
+        |             sum(CAST(qv AS HUGEINT) * qv) AS ss
+        |      FROM q GROUP BY 1, 2),
+        |p AS (SELECT label, sum(s * s) AS s2, sum(ss) AS norms,
+        |             CAST(count(*) AS BIGINT) AS n_dims
+        |      FROM d GROUP BY 1),
+        |c AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+        |      FROM embeddings
+        |      WHERE label IS NOT NULL AND embedding IS NOT NULL
+        |      GROUP BY 1)
+        |SELECT p.label, c.n_vectors, p.n_dims,
+        |       CAST(p.norms // c.n_vectors AS BIGINT) AS avg_norm2,
+        |       CASE WHEN c.n_vectors < 2 THEN NULL
+        |            WHEN p.s2 - p.norms >= 0
+        |            THEN CAST((p.s2 - p.norms)
+        |                 // (c.n_vectors::HUGEINT * (c.n_vectors - 1))
+        |                 AS BIGINT)
+        |            ELSE -CAST((p.norms - p.s2)
+        |                 // (c.n_vectors::HUGEINT * (c.n_vectors - 1))
+        |                 AS BIGINT)
+        |       END AS avg_pair_dot
+        |FROM p JOIN c USING (label)""".stripMargin,
+
     // FD audit: one rollup per candidate over its determinant groups;
     // count(DISTINCT rhs) skips NULL witnesses on both engines.
     "x197_fd_audit" ->

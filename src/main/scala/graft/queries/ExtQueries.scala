@@ -710,6 +710,11 @@ object ExtQueries {
     // distinct active days): active days, runs, longest run.
     "x201_activity_streaks" -> ((s, d) =>
       Stats.activityStreaks(events(s, d))),
+    // Embedding isotropy per label: exact quantized mean pairwise dot
+    // via the sum-vector identity — anisotropy breaks cosine
+    // retrieval before any single vector looks wrong.
+    "x203_isotropy_audit" -> ((s, d) =>
+      Similarity.isotropyAudit(emb(s, d))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

@@ -5403,6 +5403,31 @@ class ExtSpec extends SparkSpec {
       2L -> ((1L, 1L, 1L))), s"got $got")
   }
 
+  test("isotropyAudit: collapsed copies read avg_pair_dot == avg_norm2; orthogonal sets read 0; singleton NULL") {
+    import spark.implicits._
+    val emb = Seq(
+      // label 1: three COPIES of (1, 2) — total collapse: every pair
+      // dot equals every squared norm (5e12 quantized)
+      (1L, Array(1.0f, 2.0f), 1), (2L, Array(1.0f, 2.0f), 1),
+      (3L, Array(1.0f, 2.0f), 1),
+      // label 2: orthogonal axes — perfect isotropy, pair dot 0
+      (4L, Array(1.0f, 0.0f), 2), (5L, Array(0.0f, 1.0f), 2),
+      // label 3: opposite vectors — NEGATIVE pair dot (sign branch)
+      (6L, Array(1.0f, 0.0f), 3), (7L, Array(-1.0f, 0.0f), 3),
+      // label 4: a singleton has no pairs — NULL, not 0
+      (8L, Array(3.0f, 4.0f), 4))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ext.Similarity.isotropyAudit(emb)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got(1) == ((3L, 2L, 5000000000000L, Some(5000000000000L))),
+      s"collapsed: ${got(1)}")
+    assert(got(2) == ((2L, 2L, 1000000000000L, Some(0L))), s"ortho: ${got(2)}")
+    assert(got(3) == ((2L, 2L, 1000000000000L, Some(-1000000000000L))),
+      s"opposite: ${got(3)}")
+    assert(got(4) == ((1L, 2L, 25000000000000L, None)), s"singleton: ${got(4)}")
+  }
+
   test("tableChecksum: identical tables all-equal; drop and corruption localize to their buckets") {
     import spark.implicits._
     val src = (1L to 400L).map(i => (i, s"p$i", i * 7 % 100))
