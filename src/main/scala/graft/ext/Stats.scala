@@ -2638,6 +2638,37 @@ object Stats {
         max(col("len")).as("longest_streak"))
   }
 
+  /** Exact group-wise MODE with a stated tie policy — the categorical
+    * profiling primitive next to [[propsProfile]]'s numeric extrema
+    * and [[fdAudit]]'s dependency view: the most frequent value per
+    * group (imputation default, dominant-category sanity), its count,
+    * share, and the group's distinct-value breadth. SQL `mode()` is
+    * tie-UNSPECIFIED on both engines, so this states the policy
+    * instead: highest count, then SMALLEST value — the argmax rides
+    * `min(struct(-cnt, value))` (the X51/X193 struct-argmin idiom),
+    * and the ORACLE resolves the same policy through a ranked window
+    * — a cross-construction, not an echo. NULL values profile as
+    * absence (dropped up front): a NULL mode is a contract violation
+    * report ([[contractCheck]]'s job), not a default anyone imputes.
+    *
+    * Scale shape: one map-side-combinable (group, value) histogram is
+    * the only corpus-scale stage; the argmin and the rollup both ride
+    * the value-domain-bounded frame under one group partitioning. */
+  def groupMode(df: DataFrame, group: String, value: String): DataFrame = {
+    val hist = df
+      .filter(col(group).isNotNull && col(value).isNotNull)
+      .groupBy(col(group), col(value))
+      .agg(count(lit(1)).as("cnt"))
+    hist.groupBy(col(group))
+      .agg(
+        min(struct((-col("cnt")).as("neg"), col(value).as("v"))).as("m"),
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_distinct"))
+      .select(col(group), col("m.v").as("mode_value"),
+        (-col("m.neg")).as("mode_cnt"), col("n_rows"), col("n_distinct"),
+        expr("1000000 * (-m.neg) DIV n_rows").as("mode_share_ppm"))
+  }
+
   /** One candidate functional dependency for [[fdAudit]]: does
     * `lhs` (a column set) determine `rhs` (a single column)? */
   final case class FdCandidate(lhs: Seq[String], rhs: String)

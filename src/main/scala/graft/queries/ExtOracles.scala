@@ -5128,6 +5128,27 @@ object ExtOracles {
         |       END AS avg_pair_dot
         |FROM p JOIN c USING (label)""".stripMargin,
 
+    // Group mode: the tie policy resolved through a ranked window —
+    // the cross-construction of the Spark side's struct argmin.
+    "x204_group_mode" ->
+      """WITH h AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders
+        |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |        ORDER BY cnt DESC, o_orderpriority) AS rn,
+        |        CAST(sum(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+        |          AS n_rows,
+        |        CAST(count(*) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+        |          AS n_distinct
+        |      FROM h)
+        |SELECT o_orderstatus, o_orderpriority AS mode_value,
+        |       cnt AS mode_cnt, n_rows, n_distinct,
+        |       1000000 * cnt // n_rows AS mode_share_ppm
+        |FROM r WHERE rn = 1""".stripMargin,
+
     // FD audit: one rollup per candidate over its determinant groups;
     // count(DISTINCT rhs) skips NULL witnesses on both engines.
     "x197_fd_audit" ->

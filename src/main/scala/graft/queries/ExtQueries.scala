@@ -715,6 +715,12 @@ object ExtQueries {
     // retrieval before any single vector looks wrong.
     "x203_isotropy_audit" -> ((s, d) =>
       Similarity.isotropyAudit(emb(s, d))),
+    // Exact group mode with a STATED tie policy (count desc, value
+    // asc): the dominant order priority per status, its share, and
+    // the group's categorical breadth.
+    "x204_group_mode" -> ((s, d) =>
+      Stats.groupMode(s.read.parquet(s"$d/orders.parquet"),
+        group = "o_orderstatus", value = "o_orderpriority")),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

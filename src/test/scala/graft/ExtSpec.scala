@@ -5428,6 +5428,25 @@ class ExtSpec extends SparkSpec {
     assert(got(4) == ((1L, 2L, 25000000000000L, None)), s"singleton: ${got(4)}")
   }
 
+  test("groupMode: stated tie policy (count desc, value asc); NULLs profile as absence") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", Some("b")), ("g1", Some("b")), ("g1", Some("a")),
+      // g2: a and b tie at 2 — the SMALLER value must win
+      ("g2", Some("b")), ("g2", Some("b")), ("g2", Some("a")),
+      ("g2", Some("a")), ("g2", Some("c")),
+      // g3: only NULL values — no mode row at all
+      ("g3", None), ("g3", None))
+      .toDF("g", "v")
+    val got = graft.ext.Stats.groupMode(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got == Map(
+      "g1" -> (("b", 2L, 3L, 2L, 666666L)),
+      "g2" -> (("a", 2L, 5L, 3L, 400000L))), s"got $got")
+  }
+
   test("tableChecksum: identical tables all-equal; drop and corruption localize to their buckets") {
     import spark.implicits._
     val src = (1L to 400L).map(i => (i, s"p$i", i * 7 % 100))
