@@ -138,6 +138,35 @@ object Dedup {
     array_distinct(grams)
   }
 
+  /** Evidence rows for flagged near-dup pairs — the explainability
+    * report a human reviews BEFORE a corpus rewrite deletes anything:
+    * per pair, the exact shared-shingle count and a DETERMINISTIC
+    * sample of the overlap (the lexicographically smallest shared
+    * 3-gram — a stable policy, not "whatever the first task saw").
+    * The detectors say WHICH pairs; this says WHY, in the pair's own
+    * words. NULL-text members contribute no shingles, so a pair with
+    * an unreadable side simply reports what remains provable.
+    *
+    * Scale shape: the corpus is semi-joined down to the pairs'
+    * MEMBERS before any shingling (pairs are detector output, orders
+    * smaller than the corpus), then two equi-joins on (doc, gram)
+    * bounded by members × shingles-per-doc — never all-pairs, never
+    * a full-corpus re-shingle. */
+  def neardupEvidence(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val ids = pairs.select(col("a_id").as("doc_id"))
+      .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val sh = docs.join(ids, Seq("doc_id"), "left_semi")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
+    pairs
+      .join(sh.select(col("doc_id").as("a_id"), col("gram")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("gram")),
+        Seq("b_id", "gram"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"), min(col("gram")).as("evidence_gram"))
+  }
+
   /** MinHash signature geometry. Banding recall: a pair at Jaccard s is
     * missed by ALL bands with probability (1 − s^rowsPerBand)^bands —
     * 2.2e-4 at the verification threshold s = 0.8 (pairs above the

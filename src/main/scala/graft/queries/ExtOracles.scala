@@ -5128,6 +5128,32 @@ object ExtOracles {
         |       END AS avg_pair_dot
         |FROM p JOIN c USING (label)""".stripMargin,
 
+    // Pair evidence: the x114 pair closure re-joined to the exploded
+    // shingles of the pair MEMBERS; n_shared independently re-derives
+    // inter.i, min(g) is the deterministic sample.
+    "x205_neardup_evidence" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS MATERIALIZED (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS MATERIALIZED (
+         |    SELECT i.a_id, i.b_id
+         |    FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 7 * (sa.sz + sb.sz - i.i)),
+         |  ev AS (SELECT p.a_id, p.b_id, ea.g
+         |         FROM pairs p
+         |         JOIN ex ea ON ea.doc_id = p.a_id
+         |         JOIN ex eb ON eb.doc_id = p.b_id AND eb.g = ea.g)
+         |SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_shared,
+         |       min(g) AS evidence_gram
+         |FROM ev GROUP BY 1, 2""".stripMargin,
+
     // Group mode: the tie policy resolved through a ranked window —
     // the cross-construction of the Spark side's struct argmin.
     "x204_group_mode" ->

@@ -721,6 +721,12 @@ object ExtQueries {
     "x204_group_mode" -> ((s, d) =>
       Stats.groupMode(s.read.parquet(s"$d/orders.parquet"),
         group = "o_orderstatus", value = "o_orderpriority")),
+    // Near-dup pair evidence: per flagged pair, the exact shared
+    // 3-gram count and the lexicographically smallest shared gram —
+    // the human-review row a corpus rewrite is approved on.
+    "x205_neardup_evidence" -> ((s, d) =>
+      Dedup.neardupEvidence(
+        ngramPairs(s, d).select("a_id", "b_id"), docs(s, d))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

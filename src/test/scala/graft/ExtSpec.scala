@@ -5447,6 +5447,23 @@ class ExtSpec extends SparkSpec {
       "g2" -> (("a", 2L, 5L, 3L, 400000L))), s"got $got")
   }
 
+  test("neardupEvidence: exact shared-gram count, smallest-gram sample, null member degrades") {
+    import spark.implicits._
+    // docs 1 and 2 share exactly the grams "a b c" and "b c d"
+    // (doc 2 continues differently after d); doc 3 has NULL text
+    val docs = Seq(
+      (1L, Option("a b c d")), (2L, Option("a b c d x")),
+      (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")
+    val got = graft.ext.Dedup.neardupEvidence(pairs, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    // doc1: {a b c, b c d}; doc2: {a b c, b c d, c d x} -> shared 2,
+    // smallest "a b c"; the NULL-text pair has nothing provable
+    assert(got == Map((1L, 2L) -> ((2L, "a b c"))), s"got $got")
+  }
+
   test("tableChecksum: identical tables all-equal; drop and corruption localize to their buckets") {
     import spark.implicits._
     val src = (1L to 400L).map(i => (i, s"p$i", i * 7 % 100))
