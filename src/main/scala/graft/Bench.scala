@@ -62,7 +62,13 @@ object Bench {
       "s1_odata_scan", "s3_odata_expand", "x136_incr_media_neardup",
       "k6_csv_roundtrip", "k7_orc_roundtrip", "k8_partition_prune",
       "k9_bucketed_join", "k10_jsonl_roundtrip", "k11_schema_evolution")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=x1,x2 — profile a subset locally; unset
+    // (the driver's mode) runs the full inventory unchanged
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       if (warmupFirst(name)) {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
         // reclaim the warm-up's dead warehouse and settle the heap

@@ -570,14 +570,34 @@ object Assemble {
     * whose probes collide with their positives still fills the
     * sample; the deterministic construction makes the shortfall
     * VISIBLE (a user row with fewer than k negatives), never
-    * silently re-rolled. */
+    * silently re-rolled.
+    *
+    * The probe hash lands on a DENSE RANK of the item dimension
+    * (rank of `item_id` under its natural order), not on the raw id
+    * value — sparse, offset, or non-numeric id spaces (UUIDs,
+    * high-offset keys) sample exactly as well as dense ones, and
+    * every probe maps to a real item. The rank is computed by a
+    * distributed sort + zipWithIndex, never a single-task global
+    * window. */
   def negativeSamples(
       interactions: DataFrame, items: DataFrame,
       k: Int = 5, candidates: Int = 15, salt: String = "neg7"): DataFrame = {
     require(k >= 1, s"k $k must be positive")
     require(candidates >= k, s"candidates $candidates must cover k $k")
-    val nItems = items.count()
+    val dim = items.select(col("item_id")).distinct()
+    val nItems = dim.count()
     require(nItems > 0, "negative sampling needs a non-empty item dimension")
+    // dense index of the item dimension: idx = rank of item_id in the
+    // sorted distinct id set. The mapping is a pure function of the id
+    // SET (partition boundaries can vary; global positions cannot).
+    val spark = items.sparkSession
+    val idxField = org.apache.spark.sql.types.StructField(
+      "item_idx", org.apache.spark.sql.types.LongType, nullable = false)
+    val indexed = spark.createDataFrame(
+      dim.sort(col("item_id")).rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      },
+      org.apache.spark.sql.types.StructType(dim.schema.fields :+ idxField))
     val inter = interactions
       .select(col("user_id"), col("item_id")).distinct()
     val probes = inter.select(col("user_id")).distinct()
@@ -585,9 +605,9 @@ object Assemble {
         explode(typedLit((0 until candidates).toList)).as("probe"))
       .withColumn("h", OracleHash.md5Hash32(
         concat(lit(salt + "|"), col("user_id"), lit("|"), col("probe"))))
-      .withColumn("item_id", pmod(col("h"), lit(nItems)))
+      .withColumn("item_idx", pmod(col("h"), lit(nItems)))
     probes
-      .join(items.select(col("item_id")), Seq("item_id"), "left_semi")
+      .join(indexed, Seq("item_idx"))
       .groupBy(col("user_id"), col("item_id")).agg(min(col("h")).as("h"))
       .join(inter, Seq("user_id", "item_id"), "left_anti")
       .withColumn("neg_rank", row_number().over(
@@ -595,5 +615,77 @@ object Assemble {
           .orderBy(col("h"), col("item_id"))).cast("int"))
       .filter(col("neg_rank") <= k)
       .select(col("user_id"), col("item_id"), col("neg_rank"))
+  }
+
+  /** EPOCH-REPETITION PLANNER — data-constrained mixture allocation
+    * (the Muennighoff et al. 2023 "Scaling Data-Constrained Language
+    * Models" regime): given per-source available token counts, a
+    * global training-token budget, and a maximum repetition cap
+    * (epochs, in ppm — 1 500 000 = each source may be seen at most
+    * 1.5×), decide how many tokens each source contributes.
+    *
+    * Policy, all exact integer arithmetic (a budget is a CONTRACT —
+    * float shares drift and the plan stops summing to the budget):
+    *   1. uniform target: `budget div K` per source, remainder to the
+    *      lexicographically smallest source (stated policy);
+    *   2. cap: a source contributes at most
+    *      `n_tokens · cap_ppm div 10⁶` tokens;
+    *   3. ONE proportional redistribution round: the surplus the
+    *      capped sources could not absorb is re-split across sources
+    *      with headroom, proportional to that headroom (exact
+    *      `surplus · headroom div total_headroom`, DECIMAL(38,0)
+    *      staging so a 10¹²-token budget cannot overflow).
+    * The integer-division dribble after round 3 is left UNALLOCATED
+    * and visible (`budget − Σ alloc_tokens`) — a silent re-spread
+    * would hide that the cap binds; callers wanting exhaustion raise
+    * `capPpm` or the budget.
+    *
+    * Output per source: available tokens, uniform target, cap,
+    * allocated tokens, and the resulting repetition `epochs_ppm =
+    * alloc · 10⁶ div n_tokens`. One K-row frame end to end (K =
+    * source count): every aggregate is map-side-combinable over the
+    * input; the planner itself is dimension-sized, never corpus-
+    * sized. */
+  def epochPlan(
+      perSource: DataFrame, budget: Long, capPpm: Long): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    require(capPpm > 0, s"capPpm $capPpm must be positive")
+    val base = perSource
+      .select(col("source"), col("n_tokens").cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val k = base.select(countDistinct(col("source")).as("k"),
+      min(col("source")).as("first_source"))
+    val t1 = base.crossJoin(broadcast(k))
+      .select(col("source"), col("n_tokens"),
+        expr(s"${budget}L DIV k")
+          .plus(when(col("source") === col("first_source"),
+            pmod(lit(budget), col("k"))).otherwise(lit(0L)))
+          .as("target_tokens"),
+        expr(s"CAST(CAST(n_tokens AS DECIMAL(38,0)) * ${capPpm}" +
+          " DIV 1000000 AS BIGINT)").as("cap_tokens"))
+      .select(col("source"), col("n_tokens"), col("target_tokens"),
+        col("cap_tokens"),
+        least(col("target_tokens"), col("cap_tokens")).as("alloc1"))
+    val tot = t1.agg(
+      sum(col("target_tokens") - col("alloc1")).as("surplus"),
+      sum(when(col("alloc1") < col("cap_tokens"),
+        col("cap_tokens") - col("alloc1")).otherwise(lit(0L)))
+        .as("headroom_total"))
+    // extra never exceeds the source's own headroom: with surplus >
+    // total headroom (budget beyond what the cap admits at all) every
+    // source saturates its cap and the rest stays unallocated
+    t1.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("target_tokens"),
+        col("cap_tokens"),
+        (col("alloc1") + when(col("headroom_total") > 0,
+          expr("least(CASE WHEN alloc1 < cap_tokens THEN" +
+            " cap_tokens - alloc1 ELSE 0 END," +
+            " CAST(CAST(surplus AS DECIMAL(38,0)) *" +
+            " (CASE WHEN alloc1 < cap_tokens THEN cap_tokens - alloc1" +
+            " ELSE 0 END) DIV headroom_total AS BIGINT))"))
+          .otherwise(lit(0L))).as("alloc_tokens"))
+      .withColumn("epochs_ppm",
+        expr("CAST(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000" +
+          " DIV n_tokens AS BIGINT)"))
   }
 }

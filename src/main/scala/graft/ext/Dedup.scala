@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table — the
@@ -144,27 +145,108 @@ object Dedup {
     * sample of the overlap (the lexicographically smallest shared
     * 3-gram — a stable policy, not "whatever the first task saw").
     * The detectors say WHICH pairs; this says WHY, in the pair's own
-    * words. NULL-text members contribute no shingles, so a pair with
-    * an unreadable side simply reports what remains provable.
+    * words. EVERY input pair gets a row: a pair with no shared 3-gram
+    * (possible for SimHash-flagged pairs or NULL-text members)
+    * reports n_shared = 0 / NULL evidence_gram — an auditor must be
+    * able to distinguish "no shingle evidence" from "not evaluated",
+    * so zero-overlap pairs are never silently dropped.
     *
     * Scale shape: the corpus is semi-joined down to the pairs'
     * MEMBERS before any shingling (pairs are detector output, orders
     * smaller than the corpus), then two equi-joins on (doc, gram)
     * bounded by members × shingles-per-doc — never all-pairs, never
-    * a full-corpus re-shingle. */
+    * a full-corpus re-shingle; the final left-join back onto the
+    * (distinct) pair list is pair-list-sized. */
   def neardupEvidence(pairs: DataFrame, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val ids = pairs.select(col("a_id").as("doc_id"))
-      .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val pr = pairs.select(col("a_id"), col("b_id")).distinct()
+    val ids = pr.select(col("a_id").as("doc_id"))
+      .unionByName(pr.select(col("b_id").as("doc_id"))).distinct()
     val sh = docs.join(ids, Seq("doc_id"), "left_semi")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
-    pairs
+    val shared = pr
       .join(sh.select(col("doc_id").as("a_id"), col("gram")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("gram")),
         Seq("b_id", "gram"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_shared"), min(col("gram")).as("evidence_gram"))
+      .agg(count(lit(1)).as("shared_cnt"), min(col("gram")).as("shared_gram"))
+    pr.join(shared, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("shared_cnt"), lit(0L)).as("n_shared"),
+        col("shared_gram").as("evidence_gram"))
+  }
+
+  /** EXACT longest shared token span per flagged pair — the
+    * substring-level dedup evidence (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", dedups on ≥50-token
+    * shared substrings): where [[neardupEvidence]] reports SET overlap
+    * (how many grams two docs share), this reports the longest
+    * CONTIGUOUS run of tokens the pair shares verbatim — the quantity
+    * a substring-level corpus rewrite thresholds on, and the
+    * discriminator between "similar wording" (high Jaccard, short
+    * spans) and "block copy-paste" (one long span).
+    *
+    * Exact longest-common-substring over tokens via the DIAGONAL
+    * gaps-and-islands construction — no dynamic-programming table:
+    * join the two docs' (position, token) frames on token equality,
+    * group matches by the diagonal d = i − j (a shared span advances
+    * BOTH positions in lockstep, so all its matches sit on one
+    * diagonal), then run-length the consecutive-i islands inside each
+    * diagonal (i − row_number() is constant exactly along a
+    * consecutive run). Per pair: the max run length, how many maximal
+    * runs achieve it, and the (a_start, b_start) anchor of the FIRST
+    * such run under the (a_start, b_start) order — a stated policy,
+    * not task order. Pairs sharing no token report lcs_tokens = 0
+    * with NULL anchors (the x205 never-silently-dropped contract).
+    *
+    * Scale shape: pairs are detector output (orders smaller than the
+    * corpus); the corpus is semi-joined to pair MEMBERS before any
+    * tokenization; the match join is (pair, token)-keyed with fan-out
+    * Σ_tok cntA·cntB — near-dup pairs by construction, never
+    * all-pairs, never a full-corpus pass. The window runs inside a
+    * (a_id, b_id, diag) partition — millions of small partitions,
+    * no single-task funnel. */
+  def longestSharedSpan(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val pr = pairs.select(col("a_id"), col("b_id")).distinct()
+    val ids = pr.select(col("a_id").as("doc_id"))
+      .unionByName(pr.select(col("b_id").as("doc_id"))).distinct()
+    val tok = docs.join(ids, Seq("doc_id"), "left_semi")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("tok"))
+    val m = pr
+      .join(tok.select(col("doc_id").as("a_id"), col("pos").as("i"),
+        col("tok")), Seq("a_id"))
+      .join(tok.select(col("doc_id").as("b_id"), col("pos").as("j"),
+        col("tok")), Seq("b_id", "tok"))
+      .select(col("a_id"), col("b_id"), col("i"), col("j"),
+        (col("i") - col("j")).as("diag"))
+    // islands: within a diagonal, consecutive i's share i - row_number()
+    val isl = m
+      .withColumn("grp", col("i") - row_number().over(
+        Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+          .orderBy(col("i"))))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run_len"), min(col("i")).as("a_start"))
+      .select(col("a_id"), col("b_id"), col("run_len"),
+        col("a_start"), (col("a_start") - col("diag")).as("b_start"))
+    val agg = isl.groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("run_len")).as("lcs_tokens"))
+    val tied = isl.join(agg, Seq("a_id", "b_id"))
+      .filter(col("run_len") === col("lcs_tokens"))
+      .groupBy(col("a_id"), col("b_id"), col("lcs_tokens"))
+      .agg(count(lit(1)).as("n_max_runs"),
+        min(struct(col("a_start"), col("b_start"))).as("first"))
+      .select(col("a_id"), col("b_id"), col("lcs_tokens"),
+        col("n_max_runs"), col("first.a_start").as("a_start"),
+        col("first.b_start").as("b_start"))
+    pr.join(tied, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("lcs_tokens"), lit(0L)).as("lcs_tokens"),
+        coalesce(col("n_max_runs"), lit(0L)).as("n_max_runs"),
+        col("a_start"), col("b_start"))
   }
 
   /** MinHash signature geometry. Banding recall: a pair at Jaccard s is

@@ -111,9 +111,18 @@ object Graph {
     * (the PageRank loop's O(iters²) recompute guard). */
   def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
     require(iters >= 1, s"iteration count $iters must be positive")
+    // cache the symmetric frame ALREADY partitioned and sorted on the
+    // per-round join key: every iteration joins on dst, so at cluster
+    // scale (labels too big to broadcast) the edge frame — the 100 TB
+    // side — is never re-exchanged OR re-sorted in any round; only
+    // the nodes-sized label frame moves. When labels DO broadcast
+    // (local bench), the layout costs one setup shuffle and the join
+    // stays broadcast.
     val sym = edges
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .repartition(col("dst"))
+      .sortWithinPartitions(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var labels = sym.select(col("src").as("node")).distinct()
@@ -154,7 +163,10 @@ object Graph {
     * peel) is what the iteration exists for — spec-pinned on a
     * chain-into-clique construction, with convergence at fixture
     * scale pinned by an iters-vs-iters+1 equality check. Output: each
-    * surviving node with its WITHIN-CORE degree (≥ k by construction).
+    * surviving node with its within-remaining-graph degree, under a
+    * FINAL deg ≥ k filter — the invariant holds even when `iters`
+    * rounds did not converge (an under-peeled graph can only emit a
+    * SUPERSET of the true k-core, never an under-k row).
     *
     * Scale shape: per round, one map-side-combinable degree count and
     * two equi-joins keyed on the SAME node columns; the edge frame
@@ -187,7 +199,13 @@ object Graph {
         live.unpersist(blocking = false)
         live = next
       }
+      // final deg >= k filter: with a fixed iteration count a
+      // not-yet-converged peel could otherwise emit a node whose
+      // final degree sank below k — the filter makes the documented
+      // invariant hold REGARDLESS of iters (a converged peel is
+      // unchanged by it; the oracle applies the same HAVING).
       val out = live.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+        .filter(col("core_degree") >= k)
         .select(col("src").as("node"), col("core_degree"))
         .localCheckpoint(true)
       out

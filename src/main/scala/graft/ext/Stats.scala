@@ -2711,4 +2711,40 @@ object Stats {
           col("max_rhs_distinct"))
     }.reduce(_ unionByName _)
   }
+
+  /** IMPORTANCE-WEIGHT DIAGNOSTICS — effective sample size per group
+    * (Kish 1965, `ESS = (Σw)² / Σw²`), the standard health check on
+    * any weighted training mix: soft-dedup weights (X179), mixture
+    * weights, propensity weights. `ess_ppm = 10⁶ · ESS / n` reads as
+    * "what fraction of the group's rows the weighted sample is
+    * WORTH" — 10⁶ = all weights equal (dedup found nothing), a small
+    * value = a few heavy rows dominate and the group's effective
+    * diversity collapsed (train-mix red flag long before loss
+    * curves show it). Also emits the max-weight share `max_w_share_
+    * ppm = 10⁶ · max(w) div Σw` — the single-row domination view of
+    * the same failure.
+    *
+    * Exact integer end to end: weights are ppm integers; (Σw)² and
+    * Σw² ride DECIMAL(38,0) ↔ HUGEINT (10⁹ rows × 10⁶ ppm ⇒ Σw ≈
+    * 10¹⁵, squared 10³⁰ — past BIGINT, inside 38 digits). One
+    * map-side-combinable aggregate per group; dimension-sized
+    * output. */
+  def importanceDiagnostics(
+      weighted: DataFrame, group: String, weightCol: String): DataFrame = {
+    val w = weighted.select(col(group).as("grp"),
+      col(weightCol).cast("long").as("w"))
+    w.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("w")).as("sum_w"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("sum_w2"),
+        max(col("w")).as("max_w"))
+      .select(col("grp").as(group), col("n"), col("sum_w"),
+        when(col("sum_w2") > 0, expr(
+          "CAST(CAST(sum_w AS DECIMAL(38,0)) * sum_w * 1000000" +
+            " DIV (sum_w2 * n) AS BIGINT)")).otherwise(lit(0L))
+          .as("ess_ppm"),
+        when(col("sum_w") > 0, expr(
+          "CAST(CAST(max_w AS DECIMAL(38,0)) * 1000000 DIV sum_w" +
+            " AS BIGINT)")).otherwise(lit(0L)).as("max_w_share_ppm"))
+  }
 }

@@ -1070,12 +1070,31 @@ object TextStats {
       docs: DataFrame, k: Int = 5, queryMod: Int = 250): DataFrame = {
     require(k >= 1, s"k $k must be positive")
     val nDocs = docs.count()
+    // the tokenized weight frame feeds FOUR consumers (idf, norms,
+    // query postings, the posting join) whose exchanges differ by
+    // key, so ReuseExchange cannot dedupe the explode — persist it
+    // once, materialize the (small) top-k output eagerly, release
+    // (the kCore/labelPropagation loop discipline)
+    val tf = tfFrame(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try sparseCosTopKFrom(tf, nDocs, k, queryMod).localCheckpoint(true)
+    finally tf.unpersist(blocking = false)
+  }
+
+  /** The (doc, token, tf) frame [[sparseCosTopK]] persists. */
+  private[graft] def tfFrame(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+    .filter(length(col("token")) > 0)
+    .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+
+  /** Lazy scoring subtree over a supplied tf frame — split out so the
+    * plan audit can inspect the join strategy that the public
+    * operator's eager checkpoint would otherwise hide behind a
+    * `Scan ExistingRDD`. */
+  private[graft] def sparseCosTopKFrom(
+      tf: DataFrame, nDocs: Long, k: Int, queryMod: Int): DataFrame = {
     val scaleN = math.multiplyExact(1000000L, nDocs)
-    val tf = docs
-      .select(col("doc_id"),
-        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .select(col("token"), expr(s"${scaleN}L div df").as("idf"))
     val w = tf.join(broadcast(idf), Seq("token"))

@@ -2584,7 +2584,7 @@ object ExtOracles {
          |    UNION ALL SELECT b_id, a_id FROM pairs),
          |${kcorePeels(k = 2, iters = 4)}
          |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
-         |FROM e4 GROUP BY 1""".stripMargin,
+         |FROM e4 GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 
     // Basket affinity: distinct (order, part) frame, in-order pair
     // self-join, lift = c12·N // (c1·c2) in HUGEINT.
@@ -4621,10 +4621,14 @@ object ExtOracles {
         |FROM f""".stripMargin,
 
     // Negative sampling: identical salted md5-32 probe construction
-    // (probe -> item index mod n_items, existence semi-join, min-hash
-    // dedup, anti-join, (h, item) rank).
+    // (probe -> DENSE RANK of the item dimension mod n_items, min-hash
+    // dedup, anti-join, (h, item) rank). The rank mapping makes sparse
+    // or offset id spaces sample exactly like dense ones.
     "x182_negative_sampling" ->
-      """WITH items AS (SELECT p_partkey AS item_id FROM part),
+      """WITH items AS (SELECT DISTINCT p_partkey AS item_id FROM part),
+        |     idx AS (SELECT item_id,
+        |                    row_number() OVER (ORDER BY item_id) - 1 AS item_idx
+        |             FROM items),
         |     n AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM items),
         |     inter AS (SELECT DISTINCT o_custkey AS user_id,
         |                      l_partkey AS item_id
@@ -4634,9 +4638,9 @@ object ExtOracles {
         |                                       1, 8))::BIGINT AS h
         |                FROM (SELECT DISTINCT user_id FROM inter), range(0, 15) t(i)),
         |     cand AS (SELECT user_id, item_id, min(h) AS h
-        |              FROM (SELECT user_id, h % n_items AS item_id, h
+        |              FROM (SELECT user_id, h % n_items AS item_idx, h
         |                    FROM probes, n) c
-        |              JOIN items USING (item_id)
+        |              JOIN idx USING (item_idx)
         |              GROUP BY 1, 2),
         |     neg AS (SELECT cand.user_id, cand.item_id, cand.h
         |             FROM cand ANTI JOIN inter
@@ -5149,10 +5153,143 @@ object ExtOracles {
          |  ev AS (SELECT p.a_id, p.b_id, ea.g
          |         FROM pairs p
          |         JOIN ex ea ON ea.doc_id = p.a_id
-         |         JOIN ex eb ON eb.doc_id = p.b_id AND eb.g = ea.g)
-         |SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_shared,
-         |       min(g) AS evidence_gram
-         |FROM ev GROUP BY 1, 2""".stripMargin,
+         |         JOIN ex eb ON eb.doc_id = p.b_id AND eb.g = ea.g),
+         |  agg AS (SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_shared,
+         |                 min(g) AS evidence_gram
+         |          FROM ev GROUP BY 1, 2)
+         |SELECT p.a_id, p.b_id,
+         |       coalesce(agg.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+         |       agg.evidence_gram
+         |FROM pairs p LEFT JOIN agg USING (a_id, b_id)""".stripMargin,
+
+    // Longest shared token span: the same diagonal gaps-and-islands
+    // construction — position join on token equality, runs are
+    // consecutive-i islands per (pair, i - j) diagonal, anchor is the
+    // (a_start, b_start) minimum among max-length runs.
+    "x206_shared_span" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS MATERIALIZED (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS MATERIALIZED (
+         |    SELECT i.a_id, i.b_id
+         |    FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 7 * (sa.sz + sb.sz - i.i)),
+         |  tok AS (SELECT doc_id, r['p'] AS pos, r['t'] AS tok FROM (
+         |    SELECT doc_id,
+         |           unnest([{'p': i-1, 't': s[i]} FOR i IN range(1, len(s)+1)]) AS r
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS s
+         |          FROM documents WHERE text IS NOT NULL))),
+         |  m AS (SELECT p.a_id, p.b_id, a.pos AS i, b.pos AS j,
+         |               a.pos - b.pos AS diag
+         |        FROM pairs p
+         |        JOIN tok a ON a.doc_id = p.a_id
+         |        JOIN tok b ON b.doc_id = p.b_id AND b.tok = a.tok),
+         |  isl AS (SELECT a_id, b_id, diag, i,
+         |                 i - row_number() OVER (
+         |                   PARTITION BY a_id, b_id, diag ORDER BY i) AS grp
+         |          FROM m),
+         |  runs AS (SELECT a_id, b_id, diag,
+         |                  CAST(count(*) AS BIGINT) AS run_len,
+         |                  CAST(min(i) AS BIGINT) AS a_start
+         |           FROM isl GROUP BY a_id, b_id, diag, grp),
+         |  r2 AS (SELECT a_id, b_id, run_len, a_start,
+         |                CAST(a_start - diag AS BIGINT) AS b_start
+         |         FROM runs),
+         |  sel AS (SELECT a_id, b_id, run_len, a_start, b_start,
+         |                 row_number() OVER (PARTITION BY a_id, b_id
+         |                   ORDER BY run_len DESC, a_start, b_start) AS rn
+         |          FROM r2),
+         |  best AS (SELECT a_id, b_id, run_len AS lcs_tokens,
+         |                  a_start, b_start
+         |           FROM sel WHERE rn = 1),
+         |  cnts AS (SELECT r2.a_id, r2.b_id,
+         |                  CAST(count(*) AS BIGINT) AS n_max_runs
+         |           FROM r2 JOIN best b
+         |             ON b.a_id = r2.a_id AND b.b_id = r2.b_id
+         |            AND r2.run_len = b.lcs_tokens
+         |           GROUP BY 1, 2)
+         |SELECT p.a_id, p.b_id,
+         |       coalesce(best.lcs_tokens, CAST(0 AS BIGINT)) AS lcs_tokens,
+         |       coalesce(cnts.n_max_runs, CAST(0 AS BIGINT)) AS n_max_runs,
+         |       best.a_start, best.b_start
+         |FROM pairs p
+         |LEFT JOIN best USING (a_id, b_id)
+         |LEFT JOIN cnts USING (a_id, b_id)""".stripMargin,
+
+    // Epoch planner: identical integer waterfall — uniform target
+    // with remainder to the smallest source, cap, one proportional
+    // redistribution bounded by per-source headroom, HUGEINT staging.
+    "x207_epoch_plan" ->
+      """WITH per AS (SELECT source,
+        |                    CAST(sum(len(string_split(coalesce(text, ''),
+        |                                              ' '))) AS BIGINT)
+        |                      AS n_tokens
+        |             FROM documents GROUP BY source),
+        |  b AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget
+        |        FROM per),
+        |  base AS (SELECT * FROM per WHERE n_tokens > 0),
+        |  k AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS k,
+        |               min(source) AS first_source
+        |        FROM base),
+        |  t1 AS (SELECT source, n_tokens,
+        |                budget // k + CASE WHEN source = first_source
+        |                  THEN budget % k ELSE 0 END AS target_tokens,
+        |                CAST(CAST(n_tokens AS HUGEINT) * 1500000
+        |                     // 1000000 AS BIGINT) AS cap_tokens
+        |         FROM base, k, b),
+        |  t2 AS (SELECT *, least(target_tokens, cap_tokens) AS alloc1
+        |         FROM t1),
+        |  tot AS (SELECT CAST(sum(target_tokens - alloc1) AS BIGINT)
+        |                   AS surplus,
+        |                 CAST(sum(CASE WHEN alloc1 < cap_tokens
+        |                   THEN cap_tokens - alloc1 ELSE 0 END) AS BIGINT)
+        |                   AS headroom_total
+        |          FROM t2),
+        |  f AS (SELECT source, n_tokens, target_tokens, cap_tokens,
+        |               alloc1 + CASE WHEN headroom_total > 0 THEN
+        |                 least(CASE WHEN alloc1 < cap_tokens
+        |                         THEN cap_tokens - alloc1 ELSE 0 END,
+        |                       CAST(CAST(surplus AS HUGEINT) *
+        |                         (CASE WHEN alloc1 < cap_tokens
+        |                          THEN cap_tokens - alloc1 ELSE 0 END)
+        |                         // headroom_total AS BIGINT))
+        |                 ELSE 0 END AS alloc_tokens
+        |        FROM t2, tot)
+        |SELECT source, n_tokens, target_tokens, cap_tokens, alloc_tokens,
+        |       CAST(CAST(alloc_tokens AS HUGEINT) * 1000000 // n_tokens
+        |            AS BIGINT) AS epochs_ppm
+        |FROM f""".stripMargin,
+
+    // ESS diagnostics: the x164 weight construction joined back to
+    // the source dimension, then the Kish identity in HUGEINT.
+    "x208_ess_weights" ->
+      """WITH b AS (SELECT doc_id, source, md5(coalesce(text, '')) AS h
+        |           FROM documents),
+        |  c AS (SELECT h, CAST(count(*) AS BIGINT) AS n_copies
+        |        FROM b GROUP BY h),
+        |  w AS (SELECT b.doc_id, b.source,
+        |               CAST(1000000 // n_copies AS BIGINT) AS w
+        |        FROM b JOIN c USING (h)),
+        |  a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(w) AS BIGINT) AS sum_w,
+        |               sum(CAST(w AS HUGEINT) * w) AS sum_w2,
+        |               CAST(max(w) AS BIGINT) AS max_w
+        |        FROM w GROUP BY source)
+        |SELECT source, n, sum_w,
+        |       CASE WHEN sum_w2 > 0 THEN
+        |         CAST(CAST(sum_w AS HUGEINT) * sum_w * 1000000
+        |              // (sum_w2 * n) AS BIGINT) ELSE 0 END AS ess_ppm,
+        |       CASE WHEN sum_w > 0 THEN
+        |         CAST(CAST(max_w AS HUGEINT) * 1000000 // sum_w AS BIGINT)
+        |         ELSE 0 END AS max_w_share_ppm
+        |FROM a""".stripMargin,
 
     // Group mode: the tie policy resolved through a ranked window —
     // the cross-construction of the Spark side's struct argmin.

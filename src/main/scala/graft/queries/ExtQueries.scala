@@ -727,6 +727,34 @@ object ExtQueries {
     "x205_neardup_evidence" -> ((s, d) =>
       Dedup.neardupEvidence(
         ngramPairs(s, d).select("a_id", "b_id"), docs(s, d))),
+    // Longest shared token span per flagged pair: exact token-level
+    // LCS via the diagonal gaps-and-islands construction — the
+    // substring-level rewrite threshold (Lee et al. 2022), and the
+    // "similar wording vs block copy-paste" discriminator.
+    "x206_shared_span" -> ((s, d) =>
+      Dedup.longestSharedSpan(
+        ngramPairs(s, d).select("a_id", "b_id"), docs(s, d))),
+    // Epoch-repetition planner: half the corpus's tokens as budget,
+    // 1.5-epoch repetition cap — uniform targets, cap, ONE
+    // proportional redistribution round, all exact integers.
+    "x207_epoch_plan" -> ((s, d) => {
+      val per = docs(s, d).groupBy(col("source"))
+        .agg(sum(size(split(coalesce(col("text"), lit("")), " "))
+          .cast("long")).as("n_tokens"))
+      val budget =
+        per.agg(sum(col("n_tokens"))).collect()(0).getLong(0) / 2
+      Assemble.epochPlan(per, budget, capPpm = 1500000L)
+    }),
+    // Importance-weight diagnostics: Kish effective sample size per
+    // source over the x164 soft-dedup weights — the weighted-mix
+    // health check (10^6 = no dups; small = a few heavy rows
+    // dominate).
+    "x208_ess_weights" -> ((s, d) =>
+      Stats.importanceDiagnostics(
+        Dedup.softDedupWeights(docs(s, d))
+          .join(docs(s, d).select(col("doc_id"), col("source")),
+            Seq("doc_id")),
+        group = "source", weightCol = "weight_ppm")),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

@@ -43,10 +43,21 @@ final class GraftCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
+  /** The catalog is FLAT: entities live directly under `root`, so the
+    * only namespaces that exist are the empty one and `default`. Any
+    * other namespace must NOT silently resolve to the same table set
+    * — `a.b.ORDERS` and `a.ORDERS` are different names. */
+  private def namespaceExists(ns: Array[String]): Boolean =
+    ns.isEmpty || (ns.length == 1 && ns(0).equalsIgnoreCase("default"))
+
   /** Entities = the directories under `root` that hold page files. */
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
     val p = new Path(root)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // session Hadoop conf: roots on s3a/custom schemes need it
+    val fs = p.getFileSystem(ODataTableProvider.hadoopConf())
     if (!fs.exists(p)) Array.empty
     else fs.listStatus(p).filter(_.isDirectory)
       .filter(d => ODataTableProvider.pageFiles(d.getPath.toString).nonEmpty)
@@ -54,6 +65,9 @@ final class GraftCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    if (!namespaceExists(ident.namespace()))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
     val dir = new Path(new Path(root), ident.name).toString
     val pages = ODataTableProvider.pageFiles(dir)
     if (pages.isEmpty)
@@ -67,8 +81,9 @@ final class GraftCatalog extends TableCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    ODataTableProvider.pageFiles(
-      new Path(new Path(root), ident.name).toString).nonEmpty
+    namespaceExists(ident.namespace()) &&
+      ODataTableProvider.pageFiles(
+        new Path(new Path(root), ident.name).toString).nonEmpty
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(

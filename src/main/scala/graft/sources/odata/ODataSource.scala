@@ -100,9 +100,19 @@ object ODataTableProvider {
   /** Page files in page order — the offline stand-in for `$skiptoken`
     * pagination. Hadoop FileSystem API (same as the reader), so page
     * directories on HDFS/S3 plan correctly too. */
+  /** Hadoop conf for path resolution: the active session's (so
+    * catalogs rooted on filesystems needing session conf — s3a
+    * credentials, custom schemes — resolve) when a session exists,
+    * else a fresh default (executor-side readers, where no session
+    * is active and the scheme is already resolved). */
+  private[odata] def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   private[odata] def pageFiles(dir: String): Seq[String] = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf())
     if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) Nil
     else fs.listStatus(p).map(_.getPath.toString)
       .filter(_.endsWith(".json")).toSeq.sorted
@@ -112,7 +122,7 @@ object ODataTableProvider {
     * carry any scheme: file:, hdfs:, s3a:). */
   private[odata] def readPage(pathStr: String): JsonNode = {
     val p = new Path(pathStr)
-    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    val in = p.getFileSystem(hadoopConf()).open(p)
     try mapper.readTree(in) finally in.close()
   }
 }
@@ -459,7 +469,12 @@ final class ODataPartitionReader(
                 val raw = dt match {
                   case LongType      => java.lang.Long.compare(a.getLong(i), b.getLong(i))
                   case IntegerType   => Integer.compare(a.getInt(i), b.getInt(i))
-                  case DoubleType    => java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+                  // + 0.0 normalizes -0.0 to 0.0: Spark's sort treats
+                  // them as equal, Double.compare orders -0.0 < 0.0 —
+                  // without this a 0.0 row Spark's total order keeps
+                  // could lose the page-local cut to a -0.0 row.
+                  case DoubleType    => java.lang.Double.compare(
+                    a.getDouble(i) + 0.0d, b.getDouble(i) + 0.0d)
                   case BooleanType   => java.lang.Boolean.compare(a.getBoolean(i), b.getBoolean(i))
                   case TimestampType => java.lang.Long.compare(a.getLong(i), b.getLong(i))
                   case _ => a.getUTF8String(i).compareTo(b.getUTF8String(i))

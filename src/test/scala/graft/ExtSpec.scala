@@ -4623,7 +4623,11 @@ class ExtSpec extends SparkSpec {
 
   test("sparseCosTopK plan: posting-list equi-joins, broadcast query side, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val plan = graft.ext.TextStats.sparseCosTopK(docs)
+    // audit the lazy scoring subtree — the public operator checkpoints
+    // its (tiny) output eagerly, which folds the executed plan into a
+    // Scan ExistingRDD and would hide the join strategy
+    val plan = graft.ext.TextStats.sparseCosTopKFrom(
+      graft.ext.TextStats.tfFrame(docs), docs.count(), 5, 250)
       .queryExecution.executedPlan.toString
     // the inverted index IS the operator: candidates must come from
     // token/doc_id equi-joins (hash joins), never an all-pairs product
@@ -4755,6 +4759,154 @@ class ExtSpec extends SparkSpec {
     assert(got.forall { case (u, it, _) => !pos(u)(it) })
     assert(got.count(_._1 == 1L) <= 1)
     assert(got.filter(_._1 == 2L).map(_._3).toSeq.sorted == (1 to got.count(_._1 == 2L)).toSeq)
+  }
+
+  test("negativeSamples: sparse/offset item ids sample exactly like dense ones (rank mapping)") {
+    import spark.implicits._
+    // items are UUID-ish sparse longs — under the old id==index
+    // assumption every probe missed and users got EMPTY samples
+    val sparse = Seq(1000003L, 52L, 987654321L, 40000L)
+    val ranked = sparse.sorted // idx 0..3 by natural order
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val pos = Map(7L -> Set(ranked(0)), 9L -> Set(ranked(2)))
+    val (k, c, salt) = (2, 6, "neg7")
+    val expected = pos.keys.flatMap { u =>
+      val cands = (0 until c)
+        .map(i => (h32(s"$salt|$u|$i"), ranked((h32(s"$salt|$u|$i") % 4).toInt)))
+        .groupBy(_._2).map { case (it, hs) => (hs.map(_._1).min, it) }
+        .filter { case (_, it) => !pos(u)(it) }
+        .toSeq.sorted
+      cands.take(k).zipWithIndex.map { case ((_, it), r) => (u, it, r + 1) }
+    }.toSet
+    val inter = pos.toSeq.flatMap { case (u, is) => is.map(u -> _) }
+      .toDF("user_id", "item_id")
+    val got = graft.ext.Assemble.negativeSamples(
+      inter, sparse.toDF("item_id"), k = k, candidates = c, salt = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.nonEmpty, "sparse ids must not silently empty the sample")
+    // every sampled item is a REAL member of the sparse dimension
+    assert(got.forall { case (_, it, _) => sparse.contains(it) })
+  }
+
+  test("longestSharedSpan: hand-worked LCS, tie counting, zero-overlap row; matches a DP reference") {
+    import spark.implicits._
+    // pair (1,2): longest shared run is "c d e" (3 tokens), and the
+    // 2-token run "a b" also exists — max 3, one maximal run, anchor
+    // at a_start=2 (0-based), b_start=1.
+    // pair (1,3): two DISJOINT 2-token runs ("a b" at two sites) tie.
+    // pair (1,4): no shared token at all -> 0 / NULL anchors.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x c d e a b"),
+      (3L, "a b x x a b"),
+      (4L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a_id", "b_id")
+    val got = graft.ext.Dedup.longestSharedSpan(pairs, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    assert(got((1L, 2L)) == ((3L, 1L, Some(2L), Some(1L))), s"got $got")
+    // two disjoint maximal runs tie at 2; anchor is the (a,b) minimum
+    assert(got((1L, 3L)) == ((2L, 2L, Some(0L), Some(0L))), s"got $got")
+    assert(got((1L, 4L)) == ((0L, 0L, None, None)), s"got $got")
+
+    // cross-check vs a brute-force DP longest-common-substring on a
+    // deterministic fixture slice: every flagged pair's lcs_tokens
+    // must equal the O(n*m) table answer
+    def lcsDp(a: Array[String], b: Array[String]): Int = {
+      var best = 0
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          if (dp(i)(j) > best) best = dp(i)(j)
+        }
+      best
+    }
+    val fx = spark.read.parquet(s"$sf/documents.parquet")
+    val fp = graft.ext.Dedup.ngramJaccardJoinMaterialized(fx)
+      .select("a_id", "b_id")
+    val fGot = graft.ext.Dedup.longestSharedSpan(fp, fx)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val texts = fx.filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    fGot.foreach { case ((a, b), l) =>
+      val want = lcsDp(texts(a), texts(b))
+      assert(l == want, s"pair ($a,$b): got $l want $want")
+    }
+    assert(fGot.nonEmpty, "fixture must flag at least one pair")
+  }
+
+  test("epochPlan: worked waterfall — cap binds, surplus redistributes by headroom, dribble stays visible") {
+    import spark.implicits._
+    // budget 900, 3 sources -> target 300 each (no remainder);
+    // cap 1.5 epochs: A(1000)->1500, B(100)->150, C(200)->300.
+    // alloc1: A 300, B 150, C 300 -> surplus 150; headroom: A 1200
+    // (only A) -> A takes all 150 -> A 450, B 150, C 300; sum = 900.
+    val per = Seq(("A", 1000L), ("B", 100L), ("C", 200L))
+      .toDF("source", "n_tokens")
+    val got = graft.ext.Assemble.epochPlan(per, budget = 900L,
+      capPpm = 1500000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got("A") == ((1000L, 300L, 1500L, 450L, 450000L)), s"got $got")
+    assert(got("B") == ((100L, 300L, 150L, 150L, 1500000L)), s"got $got")
+    assert(got("C") == ((200L, 300L, 300L, 300L, 1500000L)), s"got $got")
+    assert(got.values.map(_._4).sum == 900L, "plan must exhaust the budget")
+
+    // remainder policy: budget 10, 3 equal sources -> smallest source
+    // name gets the extra token (stated, not task order)
+    val eq = Seq(("s1", 100L), ("s2", 100L), ("s3", 100L))
+      .toDF("source", "n_tokens")
+    val rem = graft.ext.Assemble.epochPlan(eq, budget = 10L,
+      capPpm = 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rem == Map("s1" -> 4L, "s2" -> 3L, "s3" -> 3L), s"got $rem")
+
+    // saturation: budget beyond what the cap admits -> every source
+    // saturates its cap; the deficit stays VISIBLE (sum alloc < budget)
+    val sat = graft.ext.Assemble.epochPlan(per, budget = 100000L,
+      capPpm = 1000000L)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    sat.foreach { case (src, cap, alloc) =>
+      assert(alloc == cap, s"$src: alloc $alloc must saturate cap $cap")
+    }
+    assert(sat.map(_._3).sum == 1300L, "saturated plan = total capped tokens")
+    // invariant on the big fixture: alloc <= cap, epochs <= capPpm
+    val fx = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("source"))
+      .agg(sum(size(split(coalesce(col("text"), lit("")), " "))
+        .cast("long")).as("n_tokens"))
+    val plan = graft.ext.Assemble.epochPlan(fx, budget = 500000L,
+      capPpm = 1500000L).collect()
+    plan.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), s"alloc over cap: $r")
+      assert(r.getLong(5) <= 1500000L, s"epochs over cap: $r")
+    }
+  }
+
+  test("importanceDiagnostics: hand-worked Kish ESS; uniform weights read 10^6; domination shows") {
+    import spark.implicits._
+    // group u: w = (4, 4, 4): ESS = 144/48 = 3 = n -> 10^6 exactly,
+    //   max share = 4*10^6 div 12 = 333333
+    // group d: w = (9, 1): ESS = 100/82 -> ess_ppm = 10^12/(82*2)
+    //   = 6097560975609/10^6... exact: (10)^2*10^6 div (82*2) = 609756
+    val df = Seq(("u", 4L), ("u", 4L), ("u", 4L), ("d", 9L), ("d", 1L))
+      .toDF("src", "w")
+    val got = graft.ext.Stats.importanceDiagnostics(df, "src", "w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("u") == ((3L, 12L, 1000000L, 333333L)), s"got $got")
+    assert(got("d") == ((2L, 10L, 609756L, 900000L)), s"got $got")
   }
 
   test("periodContribution: worked halves; segment deltas sum to the topline delta exactly") {
@@ -5184,12 +5336,19 @@ class ExtSpec extends SparkSpec {
       (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a_id", "b_id")
     def run(iters: Int) = graft.ext.Graph.kCore(edges, k = 2, iters = iters)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // 2 rounds are NOT enough: node 3 still looks 2-connected
+    // 2 rounds are NOT enough (node 4 still counts the 3-4 edge) but
+    // the final deg >= k filter guarantees no under-k row leaks out
+    // of an unconverged peel: node 3 (residual degree 1) is filtered,
+    // node 4 over-reports (3) — a SUPERSET of the true core, never an
+    // under-k row
     val early = run(2)
-    assert(early.contains(3L), s"cascade finished too early: $early")
+    assert(!early.contains(3L), s"under-k node leaked: $early")
+    assert(early == Map(4L -> 3L, 5L -> 2L, 6L -> 2L), s"early: $early")
+    assert(early.values.forall(_ >= 2L), s"invariant broken: $early")
     // 3 rounds converge; a 4th changes nothing (fixpoint)
     val done = run(3)
     assert(done == Map(4L -> 2L, 5L -> 2L, 6L -> 2L), s"core: $done")
+    assert(early != done, "2 rounds should not already be the fixpoint")
     assert(run(4) == done, "fixpoint not stable")
     // k above the max degree empties the graph
     assert(graft.ext.Graph.kCore(edges, k = 4, iters = 3).isEmpty)
@@ -5450,18 +5609,24 @@ class ExtSpec extends SparkSpec {
   test("neardupEvidence: exact shared-gram count, smallest-gram sample, null member degrades") {
     import spark.implicits._
     // docs 1 and 2 share exactly the grams "a b c" and "b c d"
-    // (doc 2 continues differently after d); doc 3 has NULL text
+    // (doc 2 continues differently after d); doc 3 has NULL text;
+    // doc 4 shares NOTHING with doc 1
     val docs = Seq(
       (1L, Option("a b c d")), (2L, Option("a b c d x")),
-      (3L, Option.empty[String]))
+      (3L, Option.empty[String]), (4L, Option("p q r s")))
       .toDF("doc_id", "text")
-    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a_id", "b_id")
     val got = graft.ext.Dedup.neardupEvidence(pairs, docs)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getString(3)))).toMap
+        ((r.getLong(2), Option(r.getString(3))))).toMap
     // doc1: {a b c, b c d}; doc2: {a b c, b c d, c d x} -> shared 2,
-    // smallest "a b c"; the NULL-text pair has nothing provable
-    assert(got == Map((1L, 2L) -> ((2L, "a b c"))), s"got $got")
+    // smallest "a b c". EVERY input pair reports: the NULL-text pair
+    // and the zero-overlap pair surface as n_shared = 0 / NULL gram —
+    // an auditor can tell "no evidence" from "not evaluated"
+    assert(got == Map(
+      (1L, 2L) -> ((2L, Some("a b c"))),
+      (1L, 3L) -> ((0L, None)),
+      (1L, 4L) -> ((0L, None))), s"got $got")
   }
 
   test("tableChecksum: identical tables all-equal; drop and corruption localize to their buckets") {
