@@ -2712,6 +2712,160 @@ object Stats {
     }.reduce(_ unionByName _)
   }
 
+  /** LEAD-LAG CROSS-CORRELATION between two event types' daily counts
+    * — "does X move BEFORE Y" (marketing clicks before purchases,
+    * errors before churn): for each lag L in [−maxLag, +maxLag], the
+    * signed squared Pearson between x(day) and y(day + L) over the
+    * dense day grid, in exact ppm. A positive-signed peak at L > 0
+    * reads "x leads y by L days". Absence is DATA: the grid is the
+    * dense [min, max] day span and a day with no events counts zero
+    * (a sparse join would silently correlate only busy days).
+    *
+    * The correlation is the x129 convention (signed squared Pearson,
+    * integer moments, no sqrt) under the x141 STAGED division —
+    * `q = 10⁶·|num| div max(denx, deny)` (≤ 10⁶ by Cauchy–Schwarz),
+    * then `q·|num| div min(denx, deny)` — so no intermediate product
+    * exceeds DECIMAL(38,0) even on long spans (the spearman overflow
+    * regression's cure). Guards: fewer than 2 overlapping days or a
+    * zero-variance side reports 0.
+    *
+    * Scale shape: one map-side-combinable (type, day) count, a
+    * dimension-sized dense grid (days, not events), a lags×grid
+    * frame that is still dimension-sized, and a 2·maxLag+1-row
+    * output. The event scan happens once; nothing corpus-scale ever
+    * joins all-pairs. */
+  def leadLagCorrelation(
+      events: DataFrame, typeX: String, typeY: String,
+      maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag $maxLag must be positive")
+    require(typeX != typeY, "lead-lag needs two distinct event types")
+    val daily = events
+      .filter(col("ts").isNotNull &&
+        col("event_type").isin(typeX, typeY))
+      .select(col("event_type"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    def series(t: String, out: String): DataFrame = grid
+      .join(daily.filter(col("event_type") === t)
+        .select(col("day"), col("c")), Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as(out))
+    val xs = series(typeX, "x")
+    val ys = series(typeY, "y")
+    val lagged = xs
+      .select(col("day"), col("x"),
+        explode(typedLit((-maxLag to maxLag).toList)).as("lag"))
+      .join(ys.select(col("day").as("yday"), col("y")),
+        col("yday") === col("day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .withColumn("num", expr("m * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("denx", expr("m * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("deny", expr("m * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+    lagged
+      .select(col("lag").cast("long").as("lag"), col("m").as("n_days"),
+        when(col("m") < 2 || col("denx") <= 0 || col("deny") <= 0, lit(0L))
+          .otherwise(expr(
+            "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) * " +
+              "((CAST(1000000 AS DECIMAL(38,0)) * abs(num)" +
+              " DIV greatest(denx, deny)) * abs(num)" +
+              " DIV least(denx, deny)) AS BIGINT)"))
+          .as("r2_signed_ppm"))
+  }
+
+  /** DETERMINISTIC SUBSAMPLING REPLICATES for the mean — the
+    * inference primitive behind "how stable is this metric"
+    * (Politis–Romano subsampling: B half-samples without
+    * replacement; the spread of replicate means IS the confidence
+    * band, no distributional assumption, no RNG): replicate b keeps
+    * the rows whose salted content hash `md5₃₂(salt|b|key) mod 2`
+    * is 0 — reproducible across runs, re-shards, and engines (the
+    * Assemble split discipline applied to inference), so two teams
+    * quoting "replicate 7" mean the same rows. Values are integer
+    * cents; each replicate reports its exact count, sum, and
+    * integral mean — quantiles of the 32 means are the caller's
+    * one-liner from the emitted frame.
+    *
+    * Scale shape: the replicate explode multiplies rows by B, but
+    * every row lands in a map-side-combinable B-group aggregate —
+    * the shuffle carries B partial rows per task, never data; cost
+    * is B hash evaluations riding the one scan. A replicate whose
+    * half-sample kept no rows is ABSENT from the output (possible
+    * only on toy inputs), never a divide-by-zero. */
+  def subsampleMeans(
+      df: DataFrame, keyCol: String, value: Column,
+      reps: Int = 32, salt: String = "ci"): DataFrame = {
+    require(reps >= 2, s"reps $reps must be at least 2")
+    df.select(col(keyCol).cast("string").as("k"), value.as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("k"), col("v"),
+        explode(typedLit((0 until reps).toList)).as("rep"))
+      .filter(pmod(OracleHash.md5Hash32(
+        concat(lit(salt + "|"), col("rep"), lit("|"), col("k"))),
+        lit(2L)) === 0)
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_cents"))
+      .select(col("rep").cast("long").as("rep"), col("n_rows"),
+        col("sum_cents"),
+        expr("sum_cents DIV n_rows").as("mean_cents"))
+  }
+
+  /** ANOVA effect size — the between-group share of variance
+    * (eta², the "does this categorical column explain this metric"
+    * screen next to x144's chi² for two categoricals and x147's
+    * Mann-Whitney for two groups): over integer values,
+    * `eta²_ppm = 10⁶ · (Σ_g S_g² div n_g − S² div N) div
+    * (Σx² − S² div N)`, where each per-group term is an INTEGRAL
+    * division — the x144 sums-of-floors convention, stated rather
+    * than hidden (exact rational arithmetic would need a common
+    * denominator of Π n_g). Floors can push the numerator a hair
+    * negative when groups explain nothing; it clamps at 0. All
+    * cross-products ride DECIMAL(38,0) ↔ HUGEINT (S_g ≈ 10¹² cents
+    * squares to 10²⁴), and the per-group/correction FLOORS stay in
+    * decimal too — `S_g² div n_g` itself exceeds BIGINT at fixture
+    * scale, so the floor is the exact `(a − pmod(a, b)) / b`
+    * construction (exactly divisible ⇒ no scale rounding), never a
+    * DIV whose Long result type would overflow (the wasserstein
+    * lesson, one step further).
+    *
+    * Scale shape: one map-side-combinable per-group (n, Σx) pass +
+    * one Σx² global — group-count-sized frames after the first
+    * aggregate; a single-row output. */
+  def anovaEta(df: DataFrame, group: String, value: Column): DataFrame = {
+    // exact decimal floor-div for non-negative a: subtracting the
+    // remainder first makes the decimal division exact (fraction is
+    // .000000, no HALF_UP boundary crossing)
+    def floorDivDec(a: String, b: String): String =
+      s"CAST((($a) - pmod($a, $b)) / ($b) AS DECIMAL(38,0))"
+    val base = df.select(col(group).as("g"), value.as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val per = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("v")).as("s_g"))
+      .agg(count(lit(1)).as("k_groups"),
+        sum(col("n_g")).as("n_total"),
+        sum(col("s_g")).as("s_total"),
+        sum(expr(floorDivDec("CAST(s_g AS DECIMAL(38,0)) * s_g", "n_g")))
+          .as("t_between"))
+    val q = base.agg(
+      sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("q_total"))
+    per.crossJoin(broadcast(q))
+      .withColumn("correction", expr(
+        floorDivDec("CAST(s_total AS DECIMAL(38,0)) * s_total", "n_total")))
+      .select(col("n_total"), col("k_groups"),
+        when(col("n_total") < 2 || col("k_groups") < 2 ||
+          expr("q_total - correction") <= 0, lit(0L))
+          .otherwise(greatest(lit(0L), expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * (t_between - correction)" +
+              " DIV (q_total - correction) AS BIGINT)")))
+          .as("eta2_ppm"))
+  }
+
   /** IMPORTANCE-WEIGHT DIAGNOSTICS — effective sample size per group
     * (Kish 1965, `ESS = (Σw)² / Σw²`), the standard health check on
     * any weighted training mix: soft-dedup weights (X179), mixture

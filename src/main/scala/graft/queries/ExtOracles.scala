@@ -5291,6 +5291,95 @@ object ExtOracles {
         |         ELSE 0 END AS max_w_share_ppm
         |FROM a""".stripMargin,
 
+    // Lead-lag: the x129 moment machinery per lag over the dense
+    // zero-filled day grid, staged |num| division (x141 convention).
+    "x209_lead_lag" ->
+      """WITH dc AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |  span AS (SELECT min(day) AS d0, max(day) AS d1 FROM dc),
+        |  grid AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM span),
+        |  xs AS (SELECT g.day, coalesce(dc.c, 0) AS x
+        |         FROM grid g LEFT JOIN dc
+        |           ON dc.day = g.day AND dc.event_type = 'click'),
+        |  ys AS (SELECT g.day, coalesce(dc.c, 0) AS y
+        |         FROM grid g LEFT JOIN dc
+        |           ON dc.day = g.day AND dc.event_type = 'purchase'),
+        |  m AS (SELECT l.lag, xs.x, ys.y
+        |        FROM xs, range(-3, 4) l(lag)
+        |        JOIN ys ON ys.day = xs.day + l.lag),
+        |  a AS (SELECT lag, CAST(count(*) AS BIGINT) AS m,
+        |               CAST(sum(x) AS BIGINT) AS sx,
+        |               CAST(sum(y) AS BIGINT) AS sy,
+        |               sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |               sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |               sum(CAST(y AS HUGEINT) * y) AS syy
+        |        FROM m GROUP BY 1),
+        |  b AS (SELECT lag, m,
+        |               m * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |               m * sxx - CAST(sx AS HUGEINT) * sx AS denx,
+        |               m * syy - CAST(sy AS HUGEINT) * sy AS deny
+        |        FROM a)
+        |SELECT CAST(lag AS BIGINT) AS lag, m AS n_days,
+        |       CASE WHEN m < 2 OR denx <= 0 OR deny <= 0 THEN 0
+        |            ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |                      ((CAST(1000000 AS HUGEINT) * abs(num)
+        |                        // greatest(denx, deny)) * abs(num)
+        |                       // least(denx, deny)) AS BIGINT) END
+        |         AS r2_signed_ppm
+        |FROM b""".stripMargin,
+
+    // Subsampling replicates: identical salted md5-32 half-sample
+    // membership, exact integer cents, integral replicate means.
+    "x210_subsample_ci" ->
+      """WITH v AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                    AS v
+        |           FROM orders WHERE o_totalprice IS NOT NULL),
+        |  e AS (SELECT k, v, r.rep FROM v, range(0, 32) r(rep)),
+        |  kept AS (SELECT rep, v FROM e
+        |           WHERE ('0x' || substr(md5('ci|' || rep || '|' || k),
+        |                                 1, 8))::BIGINT % 2 = 0)
+        |SELECT CAST(rep AS BIGINT) AS rep,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(v) AS BIGINT) AS sum_cents,
+        |       CAST(sum(v) // count(*) AS BIGINT) AS mean_cents
+        |FROM kept GROUP BY rep""".stripMargin,
+
+    // ANOVA eta^2: identical sums-of-floors construction in HUGEINT,
+    // clamped at zero on both engines.
+    "x211_anova_eta" ->
+      """WITH b AS (SELECT o_orderpriority AS g,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                    AS v
+        |           FROM orders
+        |           WHERE o_totalprice IS NOT NULL
+        |             AND o_orderpriority IS NOT NULL),
+        |  per AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+        |                 CAST(sum(v) AS BIGINT) AS s_g
+        |          FROM b GROUP BY g),
+        |  agg AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |                 CAST(sum(n_g) AS BIGINT) AS n_total,
+        |                 CAST(sum(s_g) AS BIGINT) AS s_total,
+        |                 sum(CAST(s_g AS HUGEINT) * s_g // n_g) AS t_between
+        |          FROM per),
+        |  q AS (SELECT sum(CAST(v AS HUGEINT) * v) AS q_total FROM b),
+        |  f AS (SELECT n_total, k_groups, t_between, q_total,
+        |               CAST(s_total AS HUGEINT) * s_total // n_total
+        |                 AS correction
+        |        FROM agg, q)
+        |SELECT n_total, k_groups,
+        |       CASE WHEN n_total < 2 OR k_groups < 2
+        |                 OR q_total - correction <= 0 THEN 0
+        |            ELSE greatest(0, CAST(
+        |              CAST(1000000 AS HUGEINT) * (t_between - correction)
+        |              // (q_total - correction) AS BIGINT)) END AS eta2_ppm
+        |FROM f""".stripMargin,
+
     // Group mode: the tie policy resolved through a ranked window —
     // the cross-construction of the Spark side's struct argmin.
     "x204_group_mode" ->

@@ -755,6 +755,26 @@ object ExtQueries {
           .join(docs(s, d).select(col("doc_id"), col("source")),
             Seq("doc_id")),
         group = "source", weightCol = "weight_ppm")),
+    // Lead-lag cross-correlation: does click activity move BEFORE
+    // purchases? Signed squared Pearson per lag in [-3, 3] over the
+    // dense day grid, zero-filled absences, staged integer division.
+    "x209_lead_lag" -> ((s, d) =>
+      Stats.leadLagCorrelation(events(s, d), "click", "purchase")),
+    // Deterministic subsampling replicates: 32 salted half-samples of
+    // order totals (integer cents) — the spread of replicate means is
+    // the metric's stability band, reproducible across engines.
+    "x210_subsample_ci" -> ((s, d) =>
+      Stats.subsampleMeans(
+        s.read.parquet(s"$d/orders.parquet"),
+        keyCol = "o_orderkey",
+        value = expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))),
+    // ANOVA effect size: does order priority explain order value?
+    // eta^2 in exact ppm under the sums-of-floors convention.
+    "x211_anova_eta" -> ((s, d) =>
+      Stats.anovaEta(
+        s.read.parquet(s"$d/orders.parquet"),
+        group = "o_orderpriority",
+        value = expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

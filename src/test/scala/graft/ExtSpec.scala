@@ -4894,6 +4894,95 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("leadLagCorrelation: planted 2-day lead peaks at lag 2; symmetric series peaks at 0") {
+    import spark.implicits._
+    // x = clicks on days 0..9 with a spike at day 3; y = purchases
+    // spiking at day 5 — y follows x by exactly 2 days. Build events
+    // as one row per (type, day, count) via explode.
+    def mk(t: String, counts: Seq[Int]): Seq[(String, Long)] =
+      counts.zipWithIndex.flatMap { case (c, day) =>
+        Seq.fill(c)((t, day.toLong * 86400000000L))
+      }
+    val x = Seq(1, 1, 1, 9, 1, 1, 1, 1, 2, 1)
+    val y = Seq(1, 1, 1, 1, 1, 9, 1, 1, 1, 2)
+    val ev = (mk("click", x) ++ mk("purchase", y)).zipWithIndex
+      .map { case ((t, us), i) => (i.toLong, t, us) }
+      .toDF("event_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.leadLagCorrelation(ev, "click", "purchase")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.keySet == (-3L to 3L).toSet, s"got $got")
+    // n_days shrinks by |lag|
+    assert(got(0L)._1 == 10L && got(3L)._1 == 7L && got(-3L)._1 == 7L)
+    // the planted lead: correlation peaks at lag +2 and is near-perfect
+    val best = got.maxBy(_._2._2)
+    assert(best._1 == 2L, s"peak at ${best._1}, want 2: $got")
+    assert(got(2L)._2 > 900000L, s"peak too weak: ${got(2L)}")
+    // self-correlation sanity: the click series against a copy of
+    // itself is EXACTLY 1e6 at lag 0 and weaker at every other lag
+    val clicks = ev.filter(col("event_type") === "click")
+    val self = graft.ext.Stats.leadLagCorrelation(
+      clicks.unionByName(
+        clicks.withColumn("event_type", lit("click2"))),
+      "click", "click2")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(self(0L) == 1000000L, s"got $self")
+    assert(self.filterKeys(_ != 0L).values.forall(_ < 1000000L), s"got $self")
+  }
+
+  test("subsampleMeans: membership is the salted hash, means are integral, replicates reproducible") {
+    import spark.implicits._
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val rows = (1L to 40L).map(k => (k, k * 100L))
+    val df = rows.toDF("k", "cents")
+    val got = graft.ext.Stats.subsampleMeans(
+      df, "k", col("cents"), reps = 8, salt = "ci")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // pure-Scala reference of the documented membership rule
+    val expected = (0 until 8).flatMap { rep =>
+      val kept = rows.filter { case (k, _) => h32(s"ci|$rep|$k") % 2 == 0 }
+      if (kept.isEmpty) None
+      else {
+        val s = kept.map(_._2).sum
+        Some(rep.toLong -> ((kept.size.toLong, s, s / kept.size)))
+      }
+    }.toMap
+    assert(got == expected, s"got $got expected $expected")
+    // determinism: a second run is byte-identical
+    val again = graft.ext.Stats.subsampleMeans(
+      df, "k", col("cents"), reps = 8, salt = "ci")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again == got)
+  }
+
+  test("anovaEta: hand-worked two-group split; identical groups read 0; perfect separation reads high") {
+    import spark.implicits._
+    // groups a = (2, 4), b = (10, 12): S=28, N=4, Q=4+16+100+144=264,
+    // correction = 784 div 4 = 196; T = 36 div 2 + 484 div 2 = 260;
+    // eta2 = 1e6*(260-196) div (264-196) = 64e6 div 68 = 941176
+    val df = Seq(("a", 2L), ("a", 4L), ("b", 10L), ("b", 12L))
+      .toDF("g", "v")
+    val r = graft.ext.Stats.anovaEta(df, "g", col("v")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((4L, 2L, 941176L)), s"got $r")
+    // identical group means -> between-variance 0
+    val flat = Seq(("a", 5L), ("a", 7L), ("b", 5L), ("b", 7L))
+      .toDF("g", "v")
+    val f = graft.ext.Stats.anovaEta(flat, "g", col("v")).collect().head
+    assert(f.getLong(2) == 0L, s"got $f")
+    // zero-variance input -> guarded 0, no crash
+    val const = Seq(("a", 3L), ("b", 3L)).toDF("g", "v")
+    assert(graft.ext.Stats.anovaEta(const, "g", col("v"))
+      .collect().head.getLong(2) == 0L)
+  }
+
   test("importanceDiagnostics: hand-worked Kish ESS; uniform weights read 10^6; domination shows") {
     import spark.implicits._
     // group u: w = (4, 4, 4): ESS = 144/48 = 3 = n -> 10^6 exactly,
