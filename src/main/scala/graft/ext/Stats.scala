@@ -2712,6 +2712,136 @@ object Stats {
     }.reduce(_ unionByName _)
   }
 
+  /** SHARE-OF-PARENT rollup — the drill-down contribution view every
+    * OLAP hierarchy report is built from (region → nation → …): per
+    * (parent, child), the child's exact value total and its ppm
+    * share of the parent's total. Shares within one parent sum to
+    * ≤ 10⁶ exactly (integral floors — the dribble is the floor
+    * remainder, visible, never re-spread).
+    *
+    * Exact integers: child and parent totals are long sums of cents;
+    * the share stages `10⁶ · child` through DECIMAL(38,0) ↔ HUGEINT
+    * (a 10¹⁶-cent parent would overflow the naive product). One
+    * map-side-combinable (parent, child) aggregate, a parent-count
+    * second aggregate, one broadcast join back — dimension-sized
+    * after the first pass. */
+  def hierarchyShares(
+      fact: DataFrame, childCol: String, parentCol: String,
+      value: Column): DataFrame = {
+    val base = fact
+      .select(col(parentCol).as("parent"), col(childCol).as("child"),
+        value.as("cents"))
+      .filter(col("cents").isNotNull && col("child").isNotNull &&
+        col("parent").isNotNull)
+    val ch = base.groupBy(col("parent"), col("child"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("child_cents"))
+    val pa = ch.groupBy(col("parent"))
+      .agg(sum(col("child_cents")).as("parent_cents"))
+    ch.join(broadcast(pa), Seq("parent"))
+      .select(col("parent"), col("child"), col("n_rows"),
+        col("child_cents"), col("parent_cents"),
+        when(col("parent_cents") === 0, lit(0L))
+          .otherwise(expr(
+            "CAST(CAST(child_cents AS DECIMAL(38,0)) * 1000000" +
+              " DIV parent_cents AS BIGINT)")).as("share_ppm"))
+  }
+
+  /** CUMULATIVE REACH — "how many distinct users have we EVER seen
+    * by day d" (the audience-growth curve; its derivative is the
+    * new-user rate, its plateau is saturation): each user counts on
+    * their FIRST-appearance day only, so the curve is the running
+    * sum of first-appearance counts — one distinct-user aggregate,
+    * never a per-day distinct over the whole history (the naive
+    * cumulative-distinct recomputes day × users).
+    *
+    * The running sum is a single-partition window over the
+    * first-day COUNT frame — days, not events; dimension-sized by
+    * construction (the x161 backlog-curve convention). */
+  def cumulativeReach(events: DataFrame): DataFrame = {
+    val firstDay = events.filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    firstDay.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("new_users"), col("cum_users"))
+  }
+
+  /** PEAK-RATE burst detection — each user's maximum event count in
+    * any sliding 60-second window (the rate-limit / abuse view of
+    * burstiness; X161's CV² says a user's gaps are IRREGULAR, this
+    * says how hard the densest burst actually hit): an exact
+    * value-RANGE window `(us − 60 s, us]` anchored at every event —
+    * the max over anchors equals the max over ALL windows because a
+    * window's count only changes at event arrivals. Top `k` users
+    * under the (peak desc, user_id) total order.
+    *
+    * Scale shape: the range window runs inside per-user partitions
+    * (millions of small partitions, no single-task funnel); the
+    * top-k is TakeOrderedAndProject over user-count rows. */
+  def peakRate(
+      events: DataFrame, windowUs: Long = 60000000L,
+      k: Int = 20): DataFrame = {
+    require(windowUs >= 1, s"window $windowUs must be positive")
+    require(k >= 1, s"k $k must be positive")
+    val base = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), expr(EpochUs).as("us"))
+    base
+      .withColumn("c", count(lit(1)).over(
+        Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-(windowUs - 1), 0)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("c")).as("peak_60s"))
+      .orderBy(col("peak_60s").desc, col("user_id"))
+      .limit(k)
+  }
+
+  /** INVOICE RECONCILIATION — the header-vs-detail integrity audit
+    * every billing/ELT pipeline runs (does the order header total
+    * equal the sum of its recomputed line amounts?): per line,
+    * `cents = ⌊price·(1−disc)·(1+tax)·100 + 0.5⌋` — ONE double
+    * expression tree per row, written identically on both engines
+    * (the x40 flag convention; no float ever crosses an aggregate) —
+    * summed per order and compared to the header's cents. Per order
+    * status: how many orders reconcile exactly, how many have no
+    * detail rows at all (charged their full header amount as delta),
+    * and the worst/total absolute drift.
+    *
+    * Scale shape: one map-side-combinable per-order line sum, one
+    * broadcast-free equi-join on the order key (both sides shuffle
+    * once on o_orderkey), one status-sized rollup. */
+  def invoiceReconcile(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lines = lineitem
+      .select(col("l_orderkey").as("o_orderkey"), expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)" +
+          " * 100 + 0.5) AS BIGINT)").as("line_cents"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(col("line_cents")).as("detail_cents"),
+        count(lit(1)).as("n_lines"))
+    orders
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("header_cents"))
+      .join(lines, Seq("o_orderkey"), "left")
+      .select(col("o_orderstatus"),
+        (col("header_cents") - coalesce(col("detail_cents"), lit(0L)))
+          .as("delta"),
+        col("n_lines"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        coalesce(sum(when(col("delta") === 0, 1L)), lit(0L))
+          .as("n_matched"),
+        coalesce(sum(when(col("n_lines").isNull, 1L)), lit(0L))
+          .as("n_no_lines"),
+        coalesce(max(abs(col("delta"))), lit(0L))
+          .as("max_abs_delta_cents"),
+        coalesce(sum(abs(col("delta"))), lit(0L))
+          .as("sum_abs_delta_cents"))
+  }
+
   /** LEAD-LAG CROSS-CORRELATION between two event types' daily counts
     * — "does X move BEFORE Y" (marketing clicks before purchases,
     * errors before churn): for each lag L in [−maxLag, +maxLag], the

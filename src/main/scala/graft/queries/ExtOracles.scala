@@ -5380,6 +5380,87 @@ object ExtOracles {
         |              // (q_total - correction) AS BIGINT)) END AS eta2_ppm
         |FROM f""".stripMargin,
 
+    // Share-of-parent: identical two-level cents rollup, HUGEINT
+    // staged share.
+    "x212_share_of_parent" ->
+      """WITH f AS (SELECT r_name AS parent, n_name AS child,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                    AS cents
+        |           FROM orders
+        |           JOIN customer ON c_custkey = o_custkey
+        |           JOIN nation ON n_nationkey = c_nationkey
+        |           JOIN region ON r_regionkey = n_regionkey
+        |           WHERE o_totalprice IS NOT NULL),
+        |  ch AS (SELECT parent, child, CAST(count(*) AS BIGINT) AS n_rows,
+        |                CAST(sum(cents) AS BIGINT) AS child_cents
+        |         FROM f GROUP BY 1, 2),
+        |  pa AS (SELECT parent, CAST(sum(child_cents) AS BIGINT)
+        |                          AS parent_cents
+        |         FROM ch GROUP BY 1)
+        |SELECT ch.parent, ch.child, ch.n_rows, ch.child_cents,
+        |       pa.parent_cents,
+        |       CASE WHEN pa.parent_cents = 0 THEN 0
+        |            ELSE CAST(CAST(ch.child_cents AS HUGEINT) * 1000000
+        |                      // pa.parent_cents AS BIGINT) END AS share_ppm
+        |FROM ch JOIN pa USING (parent)""".stripMargin,
+
+    // Cumulative reach: first-appearance day per user, running sum
+    // over the day order.
+    "x213_cumulative_reach" ->
+      """WITH fd AS (SELECT user_id,
+        |                   min(epoch_us(CAST(ts AS TIMESTAMP))
+        |                       // 86400000000) AS day
+        |            FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+        |  d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |        FROM fd GROUP BY day)
+        |SELECT day, new_users,
+        |       CAST(sum(new_users) OVER (ORDER BY day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum_users
+        |FROM d""".stripMargin,
+
+    // Peak rate: the same value-RANGE window anchored at every event,
+    // top-20 under (peak desc, user_id).
+    "x214_peak_rate" ->
+      """WITH e AS (SELECT user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |           FROM events WHERE ts IS NOT NULL),
+        |  w AS (SELECT user_id, CAST(count(*) OVER (
+        |               PARTITION BY user_id ORDER BY us
+        |               RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS c
+        |        FROM e),
+        |  p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |               max(c) AS peak_60s
+        |        FROM w GROUP BY user_id)
+        |SELECT user_id, n_events, peak_60s
+        |FROM p ORDER BY peak_60s DESC, user_id LIMIT 20""".stripMargin,
+
+    // Invoice reconciliation: identical per-line double tree floored
+    // to cents, per-order sum, status rollup.
+    "x215_invoice_reconcile" ->
+      """WITH li AS (SELECT l_orderkey AS o_orderkey,
+        |                   CAST(sum(CAST(floor(l_extendedprice *
+        |                     (1 - l_discount) * (1 + l_tax) * 100 + 0.5)
+        |                     AS BIGINT)) AS BIGINT) AS detail_cents,
+        |                   CAST(count(*) AS BIGINT) AS n_lines
+        |            FROM lineitem GROUP BY 1),
+        |  j AS (SELECT o.o_orderstatus,
+        |               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+        |                 - coalesce(li.detail_cents, 0) AS delta,
+        |               li.n_lines
+        |        FROM orders o LEFT JOIN li USING (o_orderkey))
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(coalesce(sum(CASE WHEN delta = 0 THEN 1 END), 0)
+        |            AS BIGINT) AS n_matched,
+        |       CAST(coalesce(sum(CASE WHEN n_lines IS NULL THEN 1 END), 0)
+        |            AS BIGINT) AS n_no_lines,
+        |       CAST(coalesce(max(abs(delta)), 0) AS BIGINT)
+        |         AS max_abs_delta_cents,
+        |       CAST(coalesce(sum(abs(delta)), 0) AS BIGINT)
+        |         AS sum_abs_delta_cents
+        |FROM j GROUP BY o_orderstatus""".stripMargin,
+
     // Group mode: the tie policy resolved through a ranked window —
     // the cross-construction of the Spark side's struct argmin.
     "x204_group_mode" ->

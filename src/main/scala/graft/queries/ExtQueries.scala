@@ -775,6 +775,32 @@ object ExtQueries {
         s.read.parquet(s"$d/orders.parquet"),
         group = "o_orderpriority",
         value = expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))),
+    // Share-of-parent rollup: nation revenue share within its region,
+    // exact cents and integral ppm shares.
+    "x212_share_of_parent" -> ((s, d) =>
+      Stats.hierarchyShares(
+        s.read.parquet(s"$d/orders.parquet")
+          .join(broadcast(s.read.parquet(s"$d/customer.parquet")),
+            col("c_custkey") === col("o_custkey"))
+          .join(broadcast(s.read.parquet(s"$d/nation.parquet")),
+            col("n_nationkey") === col("c_nationkey"))
+          .join(broadcast(s.read.parquet(s"$d/region.parquet")),
+            col("r_regionkey") === col("n_regionkey")),
+        childCol = "n_name", parentCol = "r_name",
+        value = expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))),
+    // Cumulative reach: distinct users ever seen by day d — running
+    // sum of first-appearance counts, one distinct pass.
+    "x213_cumulative_reach" -> ((s, d) =>
+      Stats.cumulativeReach(events(s, d))),
+    // Peak 60-second event rate per user, top-20 burstiest under the
+    // (peak desc, user) total order — the rate-limit audit view.
+    "x214_peak_rate" -> ((s, d) => Stats.peakRate(events(s, d))),
+    // Header-vs-detail reconciliation: order totals against recomputed
+    // line amounts, drift rolled up per order status.
+    "x215_invoice_reconcile" -> ((s, d) =>
+      Stats.invoiceReconcile(
+        s.read.parquet(s"$d/orders.parquet"),
+        s.read.parquet(s"$d/lineitem.parquet"))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

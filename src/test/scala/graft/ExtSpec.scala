@@ -4894,6 +4894,81 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("hierarchyShares: worked shares, floor dribble visible, zero-parent guard") {
+    import spark.implicits._
+    val f = Seq(("R1", "A", 100L), ("R1", "A", 200L), ("R1", "B", 601L),
+      ("R2", "C", 50L))
+      .toDF("parent", "child", "cents")
+    val got = graft.ext.Stats.hierarchyShares(f, "child", "parent",
+      col("cents"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // R1 total 901: A 300 -> 332963 ppm, B 601 -> 667036 ppm; the
+    // floor dribble (1 ppm) stays visible, shares sum to 999999
+    assert(got(("R1", "A")) == ((2L, 300L, 901L, 332963L)), s"got $got")
+    assert(got(("R1", "B")) == ((1L, 601L, 901L, 667036L)), s"got $got")
+    assert(got(("R2", "C")) == ((1L, 50L, 50L, 1000000L)), s"got $got")
+  }
+
+  test("cumulativeReach: users count on first-appearance day only; running sum monotone") {
+    import spark.implicits._
+    // u1 first on day 0 (returns day 2 - must NOT recount), u2 day 0,
+    // u3 day 2
+    val ev = Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 1L, 2L), (4L, 3L, 2L))
+      .map { case (e, u, day) => (e, u, day * 86400000000L) }
+      .toDF("event_id", "user_id", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.cumulativeReach(ev)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(0L -> ((2L, 2L)), 2L -> ((1L, 3L))), s"got $got")
+    // fixture property: the curve is monotone and ends at the exact
+    // distinct-user count
+    val fx = spark.read.parquet(s"$sf/events.parquet")
+      .filter($"ts".isNotNull)
+    val curve = graft.ext.Stats.cumulativeReach(fx)
+      .orderBy("day").collect().map(_.getLong(2))
+    assert(curve.zip(curve.tail).forall { case (a, b) => a < b } ||
+      curve.length <= 1)
+    assert(curve.last == fx.select("user_id").distinct().count())
+  }
+
+  test("peakRate: window boundary is exclusive at 60s; burst counted exactly; top-k order total") {
+    import spark.implicits._
+    // u1: burst of 3 within 2s, then one event exactly 60s after the
+    // first (NOT in its window: range is (us-60s, us]); u2: 2 spread
+    val rows = Seq(
+      (1L, 1L, 0L), (2L, 1L, 1000000L), (3L, 1L, 2000000L),
+      (4L, 1L, 60000000L),
+      (5L, 2L, 0L), (6L, 2L, 120000000L))
+    val ev = rows.toDF("event_id", "user_id", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.peakRate(ev, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // u1 peak: events at 0,1s,2s -> 3; the 60s event sees only
+    // (60s-59.999999s, 60s] = {1s, 2s, 60s} -> 3 as well (0 excluded)
+    assert(got.toSeq == Seq((1L, 4L, 3L), (2L, 2L, 1L)), s"got ${got.toSeq}")
+  }
+
+  test("invoiceReconcile: matched, drifted, and no-detail orders roll up per status") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, "O", 10.00), // matches its lines exactly
+      (2L, "O", 20.00), // lines sum to 19.00 -> delta 100
+      (3L, "F", 5.00))  // no lines -> delta 500, flagged
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val li = Seq(
+      (1L, 10.00, 0.0, 0.0),
+      (2L, 10.00, 0.0, 0.0), (2L, 10.00, 0.10, 0.0)) // 10 + 9 = 19
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val got = graft.ext.Stats.invoiceReconcile(orders, li)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got("O") == ((2L, 1L, 0L, 100L, 100L)), s"got $got")
+    assert(got("F") == ((1L, 0L, 1L, 500L, 500L)), s"got $got")
+  }
+
   test("leadLagCorrelation: planted 2-day lead peaks at lag 2; symmetric series peaks at 0") {
     import spark.implicits._
     // x = clicks on days 0..9 with a spike at day 3; y = purchases
