@@ -649,6 +649,59 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** NEAR-DUP THRESHOLD SENSITIVITY SWEEP — the tuning view a dedup
+    * rollout decides its cut on ("at 0.7 we rewrite 4% of the corpus;
+    * at 0.8, 1%"): for each Jaccard threshold t/10, how many pairs
+    * flag and how many distinct documents are touched. One shingle
+    * pass and ONE candidate join serve every threshold — candidates
+    * are prefix-filtered at the SWEEP MINIMUM (complete for every
+    * t ≥ min by the prefix bound's monotonicity), then each pair's
+    * exact (i, sz_a, sz_b) is re-thresholded per t by the same
+    * cross-multiplied integer test. Thresholds with no flagged pairs
+    * report explicit zero rows (a missing row would read as "not
+    * evaluated").
+    *
+    * Scale shape: the sweep costs ONE detector run at the loosest
+    * cut, not |thresholds| runs — the per-threshold explode happens
+    * on the flagged-pair frame (detector output, orders smaller than
+    * the corpus). */
+  def thresholdSweep(
+      docs: DataFrame,
+      thresholdsTenths: Seq[Int] = Seq(5, 6, 7, 8, 9)): DataFrame = {
+    require(thresholdsTenths.nonEmpty, "sweep needs at least one threshold")
+    require(thresholdsTenths.forall(t => t >= 1 && t <= 10),
+      s"thresholds $thresholdsTenths must be tenths in [1, 10]")
+    val tMin = thresholdsTenths.min
+    val hs = shingleHashes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val pairs = pairJaccard(hs, sizes,
+        ngramPrefixCandidates(hs, sizes, tMin, 10))
+        .filter(col("i") * 10 >= (col("sz_a") + col("sz_b") - col("i")) * tMin)
+        .select(col("a_id"), col("b_id"), col("i"),
+          (col("sz_a") + col("sz_b") - col("i")).as("un"))
+        .localCheckpoint(true)
+      val flagged = pairs
+        .select(col("a_id"), col("b_id"), col("i"), col("un"),
+          explode(typedLit(thresholdsTenths.toList)).as("t"))
+        .filter(col("i") * 10 >= col("un") * col("t"))
+      val perT = flagged.groupBy(col("t"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val docsT = flagged
+        .select(col("t"), col("a_id").as("doc_id"))
+        .unionByName(flagged.select(col("t"), col("b_id").as("doc_id")))
+        .distinct()
+        .groupBy(col("t")).agg(count(lit(1)).as("n_docs"))
+      val thr = docs.sparkSession.range(1).select(
+        explode(typedLit(thresholdsTenths.toList)).as("t"))
+      thr.join(perT, Seq("t"), "left").join(docsT, Seq("t"), "left")
+        .select(col("t").cast("long").as("threshold_tenths"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+    } finally hs.unpersist(blocking = false)
+  }
+
   /** Prefix-filtered candidate pairs (complete for Jaccard ≥ tNum/tDen).
     * Exposed for the exactness spec, which compares against the
     * unrestricted shared-shingle candidate set. */

@@ -260,4 +260,56 @@ object Graph {
           "1000000 * 2 * coalesce(n_triangles, 0) DIV (deg * (deg - 1))"))
           .as("closure_ppm"))
   }
+
+  /** BFS HOP DEPTH from a seed set — the blast-radius view of the
+    * near-dup graph ("if these documents are contaminated, what is
+    * transitively within k hops?"; components say REACHABLE, this
+    * says HOW CLOSE): synchronous frontier expansion, depth d = the
+    * minimum hop count from any seed, fixed `iters` rounds (the
+    * X111/X127/X217 fixed-iteration convention — a convergence test
+    * would be data-dependent; fixed rounds replay identically on
+    * both engines). Nodes beyond `iters` hops are ABSENT, not
+    * NULL-depth: the caller asked for the k-hop ball, and absence
+    * distinguishes "outside the ball" from "isolated seed" (depth 0).
+    * Seed ids that never appear in the edge list still report depth
+    * 0 — contamination of an isolated document is still
+    * contamination.
+    *
+    * Scale shape: per round, one equi-join of the (shrinking)
+    * frontier against the symmetric edge frame + one anti-join
+    * against the visited set — both keyed on the node; the visited
+    * frame grows monotonically but each round materializes and
+    * releases its predecessor (the PageRank loop discipline), so
+    * lineage stays one round deep. */
+  def bfsDepth(
+      edges: DataFrame, seeds: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iteration count $iters must be positive")
+    val sym = edges
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    try {
+      var vis = seeds.select(col("node")).distinct()
+        .withColumn("depth", lit(0L))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vis.count()
+      for (r <- 1 to iters) {
+        val frontier = vis.filter(col("depth") === (r - 1).toLong)
+          .select(col("node").as("src"))
+        val next = sym.join(frontier, Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(vis.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("depth", lit(r.toLong))
+        val grown = vis.unionByName(next)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        grown.count() // materialize before releasing the input lineage
+        vis.unpersist(blocking = false)
+        vis = grown
+      }
+      val out = vis.localCheckpoint(true)
+      vis.unpersist(blocking = false)
+      out
+    } finally sym.unpersist(blocking = false)
+  }
 }

@@ -2712,6 +2712,37 @@ object Stats {
     }.reduce(_ unionByName _)
   }
 
+  /** HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX per group — the
+    * market-concentration screen next to the Gini index and Pareto
+    * crossing (Gini asks "how unequal", HHI asks "how MONOPOLIZED":
+    * `Σ share_i²` — 10⁶ ppm = one unit owns everything, 10⁶/k = k
+    * equal contributors): per group, the unit-contribution
+    * concentration in exact ppm, `hhi_ppm = 10⁶·Σc_u² div N²`, plus
+    * the largest single contributor's share. Sums of squared counts
+    * and N² ride DECIMAL(38,0) ↔ HUGEINT (10⁹-event groups square
+    * past BIGINT).
+    *
+    * Scale shape: one map-side-combinable (group, unit) count, one
+    * per-group second aggregate — dimension-sized after the first
+    * pass, nothing all-pairs (Σc² needs no pair enumeration). */
+  def hhi(df: DataFrame, group: String, unit: String): DataFrame = {
+    val c = df
+      .filter(col(group).isNotNull && col(unit).isNotNull)
+      .groupBy(col(group).as("grp"), col(unit).as("u"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_units"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sum_c2"),
+        max(col("c")).as("max_c"))
+      .select(col("grp").as(group), col("n_events"), col("n_units"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * sum_c2" +
+          " DIV (CAST(n_events AS DECIMAL(38,0)) * n_events) AS BIGINT)")
+          .as("hhi_ppm"),
+        expr("CAST(CAST(max_c AS DECIMAL(38,0)) * 1000000" +
+          " DIV n_events AS BIGINT)").as("max_share_ppm"))
+  }
+
   /** SHARE-OF-PARENT rollup — the drill-down contribution view every
     * OLAP hierarchy report is built from (region → nation → …): per
     * (parent, child), the child's exact value total and its ppm

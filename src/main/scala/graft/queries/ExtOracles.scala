@@ -54,6 +54,22 @@ object ExtOracles {
          |  JOIN k$i b ON e.dst = b.src)""".stripMargin
     }.mkString(",\n")
 
+  /** Generated BFS frontier rounds over the symmetric pair edges `e0`
+    * from seed set `v0` (node, depth) — the x216 fixed-iteration
+    * convention: round i assigns depth i to unvisited neighbors of
+    * the depth-(i−1) frontier. Generated so the round count can
+    * never drift from the Spark side's. */
+  private def bfsRounds(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node FROM e0 e
+         |  JOIN v${i - 1} v ON v.node = e.src AND v.depth = ${i - 1}
+         |  WHERE e.dst NOT IN (SELECT node FROM v${i - 1})),
+         |v$i AS MATERIALIZED (
+         |  SELECT node, depth FROM v${i - 1}
+         |  UNION ALL SELECT node, $i FROM f$i)""".stripMargin
+    }.mkString(",\n")
+
   /** Per-language marker scores, generated from the SAME marker lists the
     * Spark side uses (single source of truth in TextStats.langMarkers). */
   private val langScore: String =
@@ -5435,6 +5451,83 @@ object ExtOracles {
         |        FROM w GROUP BY user_id)
         |SELECT user_id, n_events, peak_60s
         |FROM p ORDER BY peak_60s DESC, user_id LIMIT 20""".stripMargin,
+
+    // BFS hop depth: the x18 pair closure symmetrized, then generated
+    // frontier rounds from the smallest source's documents.
+    "x216_bfs_depth" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS MATERIALIZED (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS MATERIALIZED (
+         |    SELECT i.a_id, i.b_id
+         |    FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 7 * (sa.sz + sb.sz - i.i)),
+         |  e0 AS MATERIALIZED (
+         |    SELECT a_id AS src, b_id AS dst FROM pairs
+         |    UNION ALL SELECT b_id, a_id FROM pairs),
+         |  v0 AS MATERIALIZED (
+         |    SELECT DISTINCT doc_id AS node, CAST(0 AS BIGINT) AS depth
+         |    FROM documents
+         |    WHERE source = (SELECT min(source) FROM documents)),
+         |${bfsRounds(4)}
+         |SELECT node, CAST(depth AS BIGINT) AS depth FROM v4""".stripMargin,
+
+    // Threshold sweep: the full shared-shingle pair set re-cut per
+    // threshold, explicit zero rows via the threshold-list left join.
+    "x217_threshold_sweep" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS MATERIALIZED (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  tl AS (SELECT unnest([5, 6, 7, 8, 9]) AS t),
+         |  fl AS (SELECT tl.t, i.a_id, i.b_id
+         |         FROM inter i
+         |         JOIN sz sa ON sa.doc_id = i.a_id
+         |         JOIN sz sb ON sb.doc_id = i.b_id
+         |         CROSS JOIN tl
+         |         WHERE 10 * i.i >= tl.t * (sa.sz + sb.sz - i.i)),
+         |  p AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs
+         |        FROM fl GROUP BY t),
+         |  d AS (SELECT t, CAST(count(*) AS BIGINT) AS n_docs FROM (
+         |          SELECT DISTINCT t, doc FROM (
+         |            SELECT t, a_id AS doc FROM fl
+         |            UNION ALL SELECT t, b_id FROM fl))
+         |        GROUP BY t)
+         |SELECT CAST(tl.t AS BIGINT) AS threshold_tenths,
+         |       coalesce(p.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+         |       coalesce(d.n_docs, CAST(0 AS BIGINT)) AS n_docs
+         |FROM tl LEFT JOIN p USING (t) LEFT JOIN d USING (t)""".stripMargin,
+
+    // HHI: identical squared-count concentration in HUGEINT.
+    "x218_hhi" ->
+      """WITH c AS (SELECT event_type, user_id,
+        |                  CAST(count(*) AS BIGINT) AS c
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |           GROUP BY 1, 2),
+        |  a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+        |               CAST(count(*) AS BIGINT) AS n_units,
+        |               sum(CAST(c AS HUGEINT) * c) AS sum_c2,
+        |               CAST(max(c) AS BIGINT) AS max_c
+        |        FROM c GROUP BY 1)
+        |SELECT event_type, n_events, n_units,
+        |       CAST(CAST(1000000 AS HUGEINT) * sum_c2
+        |            // (CAST(n_events AS HUGEINT) * n_events) AS BIGINT)
+        |         AS hhi_ppm,
+        |       CAST(CAST(max_c AS HUGEINT) * 1000000 // n_events AS BIGINT)
+        |         AS max_share_ppm
+        |FROM a""".stripMargin,
 
     // Invoice reconciliation: identical per-line double tree floored
     // to cents, per-order sum, status rollup.

@@ -801,6 +801,25 @@ object ExtQueries {
       Stats.invoiceReconcile(
         s.read.parquet(s"$d/orders.parquet"),
         s.read.parquet(s"$d/lineitem.parquet"))),
+    // BFS hop depth over the near-dup graph from the smallest source's
+    // documents — the contamination blast-radius ball, fixed 4 rounds.
+    "x216_bfs_depth" -> ((s, d) => {
+      val seeds = docs(s, d)
+        .join(broadcast(docs(s, d).agg(min(col("source")).as("s0"))),
+          col("source") === col("s0"))
+        .select(col("doc_id").as("node"))
+      graft.ext.Graph.bfsDepth(
+        ngramPairs(s, d).select("a_id", "b_id"), seeds)
+    }),
+    // Near-dup threshold sensitivity: one detector run at the loosest
+    // cut, re-thresholded per t in {5..9}/10 — pairs and documents
+    // touched per threshold, explicit zeros.
+    "x217_threshold_sweep" -> ((s, d) =>
+      Dedup.thresholdSweep(docs(s, d))),
+    // HHI concentration: how monopolized is each event type by its
+    // heaviest users — exact ppm, squared sums in DECIMAL.
+    "x218_hhi" -> ((s, d) =>
+      Stats.hhi(events(s, d), group = "event_type", unit = "user_id")),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

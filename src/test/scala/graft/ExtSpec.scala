@@ -4894,6 +4894,67 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("bfsDepth: min-hop depths on a worked graph; isolated seed keeps depth 0; ball is cut at iters") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 with shortcut 1-4; seeds {1, 99} (99 isolated)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 4L)).toDF("a_id", "b_id")
+    val seeds = Seq(1L, 99L).toDF("node")
+    val got = graft.ext.Graph.bfsDepth(edges, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // depth(4) = 1 via the shortcut (min-hop, not chain order);
+    // 3 is depth 2 both ways; 6 is 3 hops -> OUTSIDE the 2-hop ball
+    assert(got == Map(1L -> 0L, 99L -> 0L, 2L -> 1L, 4L -> 1L,
+      3L -> 2L, 5L -> 2L), s"got $got")
+    // widening the ball reaches 6 without changing inner depths
+    val wide = graft.ext.Graph.bfsDepth(edges, seeds, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide == got + (6L -> 3L), s"got $wide")
+  }
+
+  test("thresholdSweep: monotone non-increasing counts; matches per-threshold detector runs; zeros explicit") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sweep = graft.ext.Dedup.thresholdSweep(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(sweep.keySet == Set(5L, 6L, 7L, 8L, 9L))
+    // tightening the cut can only shrink the flagged set
+    val ordered = Seq(5L, 6L, 7L, 8L, 9L).map(sweep)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) =>
+      a._1 >= b._1 && a._2 >= b._2 }, s"not monotone: $sweep")
+    // cross-proof: each threshold's pair count equals a full detector
+    // run at that threshold
+    for (t <- Seq(5, 7, 9)) {
+      val direct = graft.ext.Dedup
+        .ngramJaccardJoinMaterialized(docs, tNum = t, tDen = 10).count()
+      assert(sweep(t.toLong)._1 == direct,
+        s"t=$t sweep ${sweep(t.toLong)._1} != direct $direct")
+    }
+    // an impossible threshold reports an explicit zero row
+    val z = graft.ext.Dedup.thresholdSweep(
+      Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text"),
+      thresholdsTenths = Seq(9, 10))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(z == Map(9L -> 0L, 10L -> 0L), s"got $z")
+  }
+
+  test("hhi: uniform contributors read 1e6/k; a monopolist reads near 1e6") {
+    import spark.implicits._
+    // type u: 4 users x 3 events each -> HHI = 1e6/4 = 250000,
+    //   max share = 3e6 div 12 = 250000
+    // type m: one user 9 events + one 1 -> (81+1)*1e6 div 100 = 820000
+    val rows =
+      (for (u <- 1 to 4; _ <- 1 to 3) yield ("u", u.toLong)) ++
+        Seq.fill(9)(("m", 1L)) ++ Seq(("m", 2L))
+    val got = graft.ext.Stats.hhi(
+      rows.toDF("event_type", "user_id"), "event_type", "user_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("u") == ((12L, 4L, 250000L, 250000L)), s"got $got")
+    assert(got("m") == ((10L, 2L, 820000L, 900000L)), s"got $got")
+  }
+
   test("hierarchyShares: worked shares, floor dribble visible, zero-parent guard") {
     import spark.implicits._
     val f = Seq(("R1", "A", 100L), ("R1", "A", 200L), ("R1", "B", 601L),
