@@ -173,6 +173,65 @@ object Similarity {
         expr("1000000 DIV first_rel_rank"), lit(0L)))
   }
 
+  /** Rank discounts for [[ndcgAt10]] in exact micro-units: literal
+    * `round(10⁶ / log₂(r+1))` for ranks 1..10 — fixed literals (the
+    * x130 Benford convention: no float log at query time), the ONE
+    * source both the Spark side and the generated DuckDB oracle
+    * read. */
+  val NdcgDiscountsPpm: Seq[Long] = Seq(1000000L, 630930L, 500000L,
+    430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** nDCG@10 over the labeled-vector retrieval fixture — the graded
+    * companion to [[labelMrr]] (MRR sees only the FIRST relevant hit;
+    * nDCG credits every relevant hit in the top 10, discounted by
+    * rank): per query, `dcg = Σ_{r≤10, relevant} D_r` with the fixed
+    * integer discounts [[NdcgDiscountsPpm]], the ideal
+    * `idcg = Σ_{r≤min(10, n_relevant)} D_r` (prefix sums of the same
+    * literals), and `ndcg_ppm = 10⁶·dcg div idcg`. No float crosses
+    * an aggregate: gains are 0/1, discounts are literals, the ratio
+    * is one integral division. Ranking is the x3/x180 total order
+    * (cos desc, vec_id); zero-relevant queries report 0, not NULL.
+    *
+    * Scale shape: the x180 shape exactly — queries broadcast against
+    * the corpus, per-query rank windows inside query partitions, a
+    * query-count-sized output. */
+  def ndcgAt10(emb: DataFrame, queryMod: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val prefix: Seq[Long] =
+      NdcgDiscountsPpm.scanLeft(0L)(_ + _) // prefix(k) = Σ first k
+    val queries = emb.filter(col("vec_id") % queryMod === 0 &&
+        col("label").isNotNull)
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("q"), col("label").as("q_label"))
+      .withColumn("nq", norm(col("q")))
+      .filter(col("nq") > 0)
+    val corpus = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+      .withColumn("nv", norm(col("v")))
+      .filter(col("nv") > 0)
+    val ranked = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("q"), col("v")) / (col("nq") * col("nv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("query_id"),
+        (col("label") <=> col("q_label")).as("is_rel"), col("rnk"))
+    ranked.groupBy(col("query_id"))
+      .agg(
+        sum(when(col("is_rel"), 1L).otherwise(0L)).as("n_relevant"),
+        sum(when(col("is_rel") && col("rnk") <= 10,
+          element_at(typedLit(NdcgDiscountsPpm.toList),
+            col("rnk").cast("int"))).otherwise(0L)).as("dcg_micro"))
+      .withColumn("idcg_micro", element_at(
+        typedLit(prefix.toList),
+        (least(col("n_relevant"), lit(10L)) + 1).cast("int")))
+      .select(col("query_id"), col("n_relevant"), col("dcg_micro"),
+        when(col("idcg_micro") > 0,
+          expr("1000000 * dcg_micro DIV idcg_micro")).otherwise(lit(0L))
+          .as("ndcg_ppm"))
+  }
+
   /** Hard-negative mining over labeled vectors — the contrastive-
     * training data miner (Schroff et al. 2015's semi-hard mining is
     * the published ancestor): per sampled query, the nearest SAME-

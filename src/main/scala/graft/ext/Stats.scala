@@ -2712,6 +2712,82 @@ object Stats {
     }.reduce(_ unionByName _)
   }
 
+  /** TOP-K WITH AN "OTHERS" BUCKET — the reporting staple every
+    * dashboard table is (top 3 nations per region, everything else
+    * folded into one row so the group still SUMS to its total; a
+    * bare top-k silently drops the tail and the report stops
+    * reconciling): per group, the k largest keys by (value desc,
+    * key) with ranks 1..k, plus one `Others` row at rank k+1
+    * carrying the residual key count and value. A group with ≤ k
+    * keys has NO Others row — an explicit zero row would claim a
+    * tail that does not exist.
+    *
+    * Scale shape: one map-side-combinable (group, key) aggregate,
+    * one rank window inside group partitions (WindowGroupLimit
+    * prunes below the exchange for the top side), one group-sized
+    * residual aggregate. */
+  def topkOthers(
+      fact: DataFrame, groupCol: String, keyCol: String,
+      value: Column, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k $k must be positive")
+    val agg = fact
+      .select(col(groupCol).as("grp"), col(keyCol).as("key"),
+        value.as("cents"))
+      .filter(col("grp").isNotNull && col("key").isNotNull &&
+        col("cents").isNotNull)
+      .groupBy(col("grp"), col("key"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy(col("cents").desc, col("key"))).cast("long"))
+    val top = agg.filter(col("rnk") <= k)
+      .select(col("grp").as(groupCol), col("key").cast("string").as("bucket"),
+        col("rnk").as("rank"), lit(1L).as("n_keys"), col("n_rows"),
+        col("cents"))
+    val others = agg.filter(col("rnk") > k)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n_rows")).as("n_rows"),
+        sum(col("cents")).as("cents"))
+      .select(col("grp").as(groupCol), lit("Others").as("bucket"),
+        lit((k + 1).toLong).as("rank"), col("n_keys"), col("n_rows"),
+        col("cents"))
+    top.unionByName(others)
+  }
+
+  /** 2-D SKYLINE (Pareto front, maximize both) — the multi-objective
+    * shortlist query ("which documents are not beaten on BOTH length
+    * and vocabulary by anything else"; Börzsönyi et al. 2001's
+    * skyline operator): a row survives iff no other row is ≥ on both
+    * integer dimensions and > on at least one. The skyline SET is
+    * unique — no tie policy needed, equal points survive together.
+    *
+    * NOT the naive all-pairs dominance test: only rows carrying
+    * their x-value's MAX y can survive (a same-x row with higher y
+    * dominates), so the corpus reduces to one row per distinct x
+    * first — the running strictly-greater-x max then runs over a
+    * DISTINCT-X-sized frame (a value-domain window, dimension-sized
+    * by construction: the x36 budget-select convention), and
+    * survivors join back to pick up every tying row. */
+  def skyline2d(
+      df: DataFrame, idCol: String, xCol: String, yCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val perX = base.groupBy(col("x")).agg(max(col("y")).as("my"))
+    // max y over STRICTLY greater x: integer dims make the exclusive
+    // bound exact as a value-range frame
+    val runGt = perX.withColumn("gt_my",
+      max(col("my")).over(
+        Window.orderBy(col("x"))
+          .rangeBetween(1L, Window.unboundedFollowing)))
+    val frontier = runGt
+      .filter(col("gt_my").isNull || col("gt_my") < col("my"))
+      .select(col("x"), col("my").as("y"))
+    base.join(frontier, Seq("x", "y"))
+      .select(col("id").as(idCol), col("x").as(xCol), col("y").as(yCol))
+  }
+
   /** HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX per group — the
     * market-concentration screen next to the Gini index and Pareto
     * crossing (Gini asks "how unequal", HHI asks "how MONOPOLIZED":

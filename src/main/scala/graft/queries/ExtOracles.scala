@@ -5509,6 +5509,91 @@ object ExtOracles {
          |       coalesce(d.n_docs, CAST(0 AS BIGINT)) AS n_docs
          |FROM tl LEFT JOIN p USING (t) LEFT JOIN d USING (t)""".stripMargin,
 
+    // Top-k with Others: identical rank cut, residual fold, quoted
+    // "rank" alias.
+    "x219_topk_others" ->
+      """WITH f AS (SELECT r_name AS grp, n_name AS key,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                    AS cents
+        |           FROM orders
+        |           JOIN customer ON c_custkey = o_custkey
+        |           JOIN nation ON n_nationkey = c_nationkey
+        |           JOIN region ON r_regionkey = n_regionkey
+        |           WHERE o_totalprice IS NOT NULL),
+        |  a AS (SELECT grp, key, CAST(count(*) AS BIGINT) AS n_rows,
+        |               CAST(sum(cents) AS BIGINT) AS cents
+        |        FROM f GROUP BY 1, 2),
+        |  r AS (SELECT *, CAST(row_number() OVER (PARTITION BY grp
+        |               ORDER BY cents DESC, key) AS BIGINT) AS rnk
+        |        FROM a)
+        |SELECT grp AS r_name, CAST(key AS VARCHAR) AS bucket,
+        |       rnk AS "rank", CAST(1 AS BIGINT) AS n_keys, n_rows, cents
+        |FROM r WHERE rnk <= 3
+        |UNION ALL
+        |SELECT grp, 'Others', CAST(4 AS BIGINT),
+        |       CAST(count(*) AS BIGINT), CAST(sum(n_rows) AS BIGINT),
+        |       CAST(sum(cents) AS BIGINT)
+        |FROM r WHERE rnk > 3 GROUP BY grp""".stripMargin,
+
+    // Skyline: the INDEPENDENT naive NOT-EXISTS dominance test — a
+    // cross-construction of the Spark side's max-per-x reduction.
+    "x220_skyline" ->
+      """WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+        |                  CAST(len(string_split(coalesce(text, ''), ' '))
+        |                       AS BIGINT) AS y
+        |           FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT b.doc_id, b.x AS n_chars, b.y AS n_tokens
+        |FROM b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM b o
+        |  WHERE o.x >= b.x AND o.y >= b.y
+        |    AND (o.x > b.x OR o.y > b.y))""".stripMargin,
+
+    // nDCG@10: the x180 ranking machinery with the discount and
+    // ideal-prefix CASEs GENERATED from Similarity.NdcgDiscountsPpm —
+    // one source, no drift.
+    "x221_ndcg10" -> {
+      val disc = graft.ext.Similarity.NdcgDiscountsPpm
+      val discCase = disc.zipWithIndex
+        .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+      val prefix = disc.scanLeft(0L)(_ + _)
+      val prefCase = (0 to 10)
+        .map(k => s"WHEN $k THEN ${prefix(k)}").mkString(" ")
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |                  list_transform(embedding, x -> x::DOUBLE) AS qv,
+         |                  label AS q_label
+         |           FROM embeddings WHERE vec_id % 50 = 0 AND label IS NOT NULL),
+         |     c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         |                  label
+         |           FROM embeddings),
+         |     s AS (SELECT query_id, q_label, vec_id, label,
+         |                  list_dot_product(qv, v) /
+         |                    (sqrt(list_dot_product(qv, qv)) *
+         |                     sqrt(list_dot_product(v, v))) AS cos
+         |           FROM q, c WHERE vec_id <> query_id
+         |             AND list_dot_product(qv, qv) > 0
+         |             AND list_dot_product(v, v) > 0),
+         |     r AS (SELECT query_id,
+         |                  (label IS NOT DISTINCT FROM q_label) AS is_rel,
+         |                  CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+         |           FROM s),
+         |     a AS (SELECT query_id,
+         |                  CAST(count(*) FILTER (is_rel) AS BIGINT)
+         |                    AS n_relevant,
+         |                  CAST(coalesce(sum(CASE WHEN is_rel AND rnk <= 10
+         |                    THEN CASE rnk $discCase END END), 0) AS BIGINT)
+         |                    AS dcg_micro
+         |           FROM r GROUP BY query_id)
+         |SELECT query_id, n_relevant, dcg_micro,
+         |       CASE WHEN idcg > 0
+         |            THEN CAST(1000000 * dcg_micro // idcg AS BIGINT)
+         |            ELSE 0 END AS ndcg_ppm
+         |FROM (SELECT *, CAST(CASE least(n_relevant, 10) $prefCase END
+         |                     AS BIGINT) AS idcg
+         |      FROM a)""".stripMargin
+    },
+
     // HHI: identical squared-count concentration in HUGEINT.
     "x218_hhi" ->
       """WITH c AS (SELECT event_type, user_id,

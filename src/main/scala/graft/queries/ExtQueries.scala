@@ -820,6 +820,31 @@ object ExtQueries {
     // heaviest users — exact ppm, squared sums in DECIMAL.
     "x218_hhi" -> ((s, d) =>
       Stats.hhi(events(s, d), group = "event_type", unit = "user_id")),
+    // Top-3 nations per region with an Others residual row — the
+    // reconciling dashboard table (group still sums to its total).
+    "x219_topk_others" -> ((s, d) =>
+      Stats.topkOthers(
+        s.read.parquet(s"$d/orders.parquet")
+          .join(broadcast(s.read.parquet(s"$d/customer.parquet")),
+            col("c_custkey") === col("o_custkey"))
+          .join(broadcast(s.read.parquet(s"$d/nation.parquet")),
+            col("n_nationkey") === col("c_nationkey"))
+          .join(broadcast(s.read.parquet(s"$d/region.parquet")),
+            col("r_regionkey") === col("n_regionkey")),
+        groupCol = "r_name", keyCol = "n_name",
+        value = expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))),
+    // 2-D skyline: documents not beaten on BOTH length and token
+    // count — reduce-to-max-per-x, dimension-sized frontier window,
+    // vs the oracle's independent NOT EXISTS dominance test.
+    "x220_skyline" -> ((s, d) =>
+      Stats.skyline2d(
+        docs(s, d).select(col("doc_id"), col("n_chars"),
+          size(split(coalesce(col("text"), lit("")), " "))
+            .cast("long").as("n_tokens")),
+        idCol = "doc_id", xCol = "n_chars", yCol = "n_tokens")),
+    // nDCG@10 with fixed integer rank discounts (the Benford literal
+    // convention) — the graded companion to x180's MRR.
+    "x221_ndcg10" -> ((s, d) => Similarity.ndcgAt10(emb(s, d))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

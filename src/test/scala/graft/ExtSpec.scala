@@ -4894,6 +4894,89 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("topkOthers: rank cut, reconciling Others row, no phantom tail for small groups") {
+    import spark.implicits._
+    val f = Seq(("R", "a", 50L), ("R", "b", 40L), ("R", "c", 30L),
+      ("R", "d", 20L), ("R", "e", 10L),
+      ("S", "x", 5L), ("S", "y", 3L))
+      .toDF("grp", "key", "cents")
+    val got = graft.ext.Stats.topkOthers(f, "grp", "key", col("cents"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("R", "a")) == ((1L, 1L, 1L, 50L)), s"got $got")
+    assert(got(("R", "c")) == ((3L, 1L, 1L, 30L)), s"got $got")
+    // Others folds d+e: 2 keys, 30 cents at rank 4
+    assert(got(("R", "Others")) == ((4L, 2L, 2L, 30L)), s"got $got")
+    // the group still reconciles to its total
+    assert(got.filter(_._1._1 == "R").values.map(_._4).sum == 150L)
+    // S has only 2 keys -> no Others row
+    assert(!got.contains(("S", "Others")), s"got $got")
+    assert(got(("S", "x")) == ((1L, 1L, 1L, 5L)))
+  }
+
+  test("skyline2d: worked front with ties; equals the naive dominance test on the fixture") {
+    import spark.implicits._
+    // points: (1,9) front, (5,5) front, (5,5) dup -> BOTH survive,
+    // (9,1) front, (4,4) dominated by (5,5), (5,3) dominated (same x,
+    // lower y), (1,8) dominated by (1,9)
+    val pts = Seq((1L, 1L, 9L), (2L, 5L, 5L), (3L, 5L, 5L),
+      (4L, 9L, 1L), (5L, 4L, 4L), (6L, 5L, 3L), (7L, 1L, 8L))
+      .toDF("id", "x", "y")
+    val got = graft.ext.Stats.skyline2d(pts, "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L), s"got $got")
+    // fixture cross-proof vs naive all-pairs dominance
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"),
+        size(split(coalesce(col("text"), lit("")), " "))
+          .cast("long").as("n_tokens"))
+      .filter(col("n_chars").isNotNull)
+    val sky = graft.ext.Stats.skyline2d(docs, "doc_id", "n_chars", "n_tokens")
+      .collect().map(_.getLong(0)).toSet
+    val all = docs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val naive = all.filter { case (_, x, y) =>
+      !all.exists { case (_, ox, oy) =>
+        ox >= x && oy >= y && (ox > x || oy > y) }
+    }.map(_._1).toSet
+    assert(sky == naive, s"spark ${sky.size} vs naive ${naive.size}")
+  }
+
+  test("ndcgAt10: hand-worked graded ranking; perfect prefix reads 1e6; zero-relevant reads 0") {
+    import spark.implicits._
+    // query 0 (label 1): corpus v1..v4. Construct cosines by geometry:
+    // q = (1,0); v1 = (1,0) label 1 (cos 1, rel), v2 = (0.9,0.1) label
+    // 0 (irrelevant), v3 = (0.5,0.5) label 1 (rel), v4 = (0,1) label 0.
+    // Ranking: v1, v2, v3, v4 -> rel at ranks 1 and 3:
+    // dcg = 1000000 + 500000; idcg (2 rel) = 1000000 + 630930
+    val rows = Seq(
+      (0L, Array(1f, 0f), 1),
+      (1L, Array(1f, 0f), 1),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.5f, 0.5f), 1),
+      (4L, Array(0f, 1f), 0))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = graft.ext.Similarity.ndcgAt10(emb, queryMod = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val wantDcg = 1000000L + 500000L
+    val wantIdcg = 1000000L + 630930L
+    assert(got(0L) == ((2L, wantDcg, 1000000L * wantDcg / wantIdcg)),
+      s"got $got")
+    // a query whose label matches its whole top prefix reads exactly
+    // 1e6: query 0 with all-relevant corpus
+    val perfect = Seq(
+      (0L, Array(1f, 0f), 1), (1L, Array(1f, 0f), 1),
+      (2L, Array(0.9f, 0.1f), 1)).toDF("vec_id", "embedding", "label")
+    assert(graft.ext.Similarity.ndcgAt10(perfect, queryMod = 50)
+      .collect().head.getLong(3) == 1000000L)
+    // zero relevant -> 0, not NULL
+    val none = Seq(
+      (0L, Array(1f, 0f), 1), (1L, Array(1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.ext.Similarity.ndcgAt10(none, queryMod = 50)
+      .collect().head.getLong(3) == 0L)
+  }
+
   test("bfsDepth: min-hop depths on a worked graph; isolated seed keeps depth 0; ball is cut at iters") {
     import spark.implicits._
     // chain 1-2-3-4-5-6 with shortcut 1-4; seeds {1, 99} (99 isolated)
