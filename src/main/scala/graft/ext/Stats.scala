@@ -2712,6 +2712,91 @@ object Stats {
     }.reduce(_ unionByName _)
   }
 
+  /** DAILY TREND — exact ordinary-least-squares SLOPE of each event
+    * type's daily count over the dense zero-filled day grid (the
+    * direction-and-magnitude view next to X168's changepoint and
+    * X158's autocorrelation: is this feed GROWING, and how fast):
+    * with x = day index and y = count, `slope = (mΣxy − ΣxΣy) /
+    * (mΣx² − (Σx)²)` — numerator and denominator are exact integers,
+    * emitted as `slope_micro = sign · (10⁶·|num| div den)` (micro-
+    * events per day; the sign-DECOMPOSED division because Spark DIV
+    * truncates toward zero while DuckDB // floors — a negative slope
+    * must never reach the division, the x128 lesson). Absence is
+    * data: a day with no events counts zero (a sparse fit would see
+    * only busy days and bias the slope up). Products ride
+    * DECIMAL(38,0) ↔ HUGEINT.
+    *
+    * Scale shape: one (type, day) map-side count, a dimension-sized
+    * grid join, one per-type moment aggregate — type-count output. */
+  def dailyTrend(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"),
+        col("d0"))
+    val series = grid
+      .crossJoin(daily.select(col("event_type")).distinct())
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), (col("day") - col("d0")).as("x"),
+        coalesce(col("c"), lit(0L)).as("y"))
+    series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .withColumn("num", expr("m * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den", expr("m * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .select(col("event_type"), col("m").as("n_days"),
+        when(col("m") < 2 || col("den") <= 0, lit(0L))
+          .otherwise(expr(
+            "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) * " +
+              "(CAST(1000000 AS DECIMAL(38,0)) * abs(num) DIV den)" +
+              " AS BIGINT)")).as("slope_micro"))
+  }
+
+  /** WEEK-OVER-WEEK GROWTH per event type over the dense week grid —
+    * the growth-report row (X198's period contribution splits ONE
+    * boundary; this walks every week): `growth_ppm = sign ·
+    * (10⁶·|cur − prev| div prev)`, sign-decomposed (negative deltas
+    * never reach a cross-engine integer division). A zero-event
+    * previous week reports NULL growth — "up from nothing" is not a
+    * rate, and NULL is distinguishable from a real 0 (flat).
+    * The first week of the span has no predecessor and reports NULL
+    * too. Absence is data: empty weeks are zero rows in the grid,
+    * not gaps the lag silently skips.
+    *
+    * Scale shape: one (type, week) map-side count, dimension-sized
+    * grid, one lag window inside type partitions. */
+  def wowGrowth(events: DataFrame): DataFrame = {
+    val weekly = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr(epochFloorDiv(EpochUs, 7L * 86400000000L)).as("week"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(count(lit(1)).as("c"))
+    val span = weekly.agg(min(col("week")).as("w0"), max(col("week")).as("w1"))
+    val grid = span
+      .select(explode(sequence(col("w0"), col("w1"))).as("week"))
+      .crossJoin(weekly.select(col("event_type")).distinct())
+    val series = grid
+      .join(weekly, Seq("event_type", "week"), "left")
+      .select(col("event_type"), col("week"),
+        coalesce(col("c"), lit(0L)).as("n_events"))
+    series
+      .withColumn("prev_events", lag(col("n_events"), 1).over(
+        Window.partitionBy(col("event_type")).orderBy(col("week"))))
+      .withColumn("growth_ppm",
+        when(col("prev_events").isNull || col("prev_events") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CASE WHEN n_events < prev_events THEN -1 ELSE 1 END) * " +
+              "(1000000 * abs(n_events - prev_events) DIV prev_events)" +
+              " AS BIGINT)")))
+  }
+
   /** TOP-K WITH AN "OTHERS" BUCKET — the reporting staple every
     * dashboard table is (top 3 nations per region, everything else
     * folded into one row so the group still SUMS to its total; a

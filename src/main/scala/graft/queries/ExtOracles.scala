@@ -5594,6 +5594,67 @@ object ExtOracles {
          |      FROM a)""".stripMargin
     },
 
+    // Daily trend: identical dense-grid OLS moments, sign-decomposed
+    // slope division in HUGEINT.
+    "x222_daily_trend" ->
+      """WITH dc AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |  span AS (SELECT min(day) AS d0, max(day) AS d1 FROM dc),
+        |  grid AS (SELECT unnest(range(d0, d1 + 1)) AS day, d0 FROM span),
+        |  ty AS (SELECT DISTINCT event_type FROM dc),
+        |  s AS (SELECT ty.event_type, g.day - g.d0 AS x,
+        |               coalesce(dc.c, 0) AS y
+        |        FROM grid g CROSS JOIN ty
+        |        LEFT JOIN dc ON dc.event_type = ty.event_type
+        |                    AND dc.day = g.day),
+        |  a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+        |               CAST(sum(x) AS BIGINT) AS sx,
+        |               CAST(sum(y) AS BIGINT) AS sy,
+        |               sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |               sum(CAST(x AS HUGEINT) * x) AS sxx
+        |        FROM s GROUP BY 1),
+        |  b AS (SELECT event_type, m,
+        |               m * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |               m * sxx - CAST(sx AS HUGEINT) * sx AS den
+        |        FROM a)
+        |SELECT event_type, m AS n_days,
+        |       CASE WHEN m < 2 OR den <= 0 THEN 0
+        |            ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |                      (CAST(1000000 AS HUGEINT) * abs(num) // den)
+        |                      AS BIGINT) END AS slope_micro
+        |FROM b""".stripMargin,
+
+    // WoW growth: dense weeks, lag window, sign-decomposed rate,
+    // NULL on an empty base week.
+    "x223_wow_growth" ->
+      """WITH wc AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |  span AS (SELECT min(week) AS w0, max(week) AS w1 FROM wc),
+        |  grid AS (SELECT unnest(range(w0, w1 + 1)) AS week FROM span),
+        |  ty AS (SELECT DISTINCT event_type FROM wc),
+        |  s AS (SELECT ty.event_type, g.week,
+        |               coalesce(wc.c, 0) AS n_events
+        |        FROM grid g CROSS JOIN ty
+        |        LEFT JOIN wc ON wc.event_type = ty.event_type
+        |                    AND wc.week = g.week),
+        |  l AS (SELECT event_type, week, n_events,
+        |               lag(n_events) OVER (PARTITION BY event_type
+        |                                   ORDER BY week) AS prev_events
+        |        FROM s)
+        |SELECT event_type, week, n_events, prev_events,
+        |       CASE WHEN prev_events IS NULL OR prev_events = 0 THEN NULL
+        |            ELSE CAST((CASE WHEN n_events < prev_events
+        |                       THEN -1 ELSE 1 END) *
+        |                      (1000000 * abs(n_events - prev_events)
+        |                       // prev_events) AS BIGINT) END AS growth_ppm
+        |FROM l""".stripMargin,
+
     // HHI: identical squared-count concentration in HUGEINT.
     "x218_hhi" ->
       """WITH c AS (SELECT event_type, user_id,

@@ -845,6 +845,12 @@ object ExtQueries {
     // nDCG@10 with fixed integer rank discounts (the Benford literal
     // convention) — the graded companion to x180's MRR.
     "x221_ndcg10" -> ((s, d) => Similarity.ndcgAt10(emb(s, d))),
+    // Exact OLS slope of each type's daily count over the dense
+    // zero-filled grid — micro-events/day, sign-decomposed division.
+    "x222_daily_trend" -> ((s, d) => Stats.dailyTrend(events(s, d))),
+    // Week-over-week growth per type: dense weeks, sign-decomposed
+    // ppm rate, NULL (not 0) when the base week is empty.
+    "x223_wow_growth" -> ((s, d) => Stats.wowGrowth(events(s, d))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

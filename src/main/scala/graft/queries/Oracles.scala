@@ -267,6 +267,23 @@ object Oracles {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
 
+    // Unpivot: the q10 wide aggregate's columns unioned back to long
+    // form — the same full region x status grid incl. zero cells.
+    "q17_unpivot" ->
+      """WITH w AS (
+        |  SELECT r_name,
+        |         CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+        |         CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_filled,
+        |         CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_partial
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name)
+        |SELECT r_name, 'O' AS o_orderstatus, n_open AS n_orders FROM w
+        |UNION ALL SELECT r_name, 'F', n_filled FROM w
+        |UNION ALL SELECT r_name, 'P', n_partial FROM w""".stripMargin,
+
     "q11_intersect" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_retained FROM (
         |  SELECT o_custkey FROM orders

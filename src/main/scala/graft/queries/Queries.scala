@@ -235,6 +235,24 @@ object Queries {
         coalesce(col("F"), lit(0L)).as("n_filled"),
         coalesce(col("P"), lit(0L)).as("n_partial"))
 
+  /** UNPIVOT surface — the q10 inverse: the wide region × status
+    * count frame melted back to long form via the NATIVE
+    * `Dataset.unpivot` (Spark 3.4+ melt), status names restored from
+    * the pivot column labels. Zero cells survive the round trip (the
+    * pivot coalesced them), so the long frame is the FULL region ×
+    * status grid — the oracle rebuilds the same grid by unioning the
+    * q10 aggregate's columns. */
+  def q17Unpivot(spark: SparkSession, dir: String): DataFrame =
+    q10Pivot(spark, dir)
+      .unpivot(Array(col("r_name")),
+        Array(col("n_open"), col("n_filled"), col("n_partial")),
+        "status_col", "n_orders")
+      .select(col("r_name"),
+        when(col("status_col") === "n_open", "O")
+          .when(col("status_col") === "n_filled", "F")
+          .otherwise("P").as("o_orderstatus"),
+        col("n_orders"))
+
   /** INTERSECT surface: customers active in BOTH 1996 and 1997. */
   def q11Intersect(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
@@ -615,6 +633,7 @@ object Queries {
     "s5_odata_topn" -> (s5ODataTopN _),
     "s6_odata_agg" -> (s6ODataAgg _),
     "q16_sql_catalog" -> (q16SqlCatalog _),
+    "q17_unpivot" -> (q17Unpivot _),
     "k5_promote_latest" -> (k5PromoteLatest _),
     "k6_csv_roundtrip" -> (k6CsvRoundtrip _),
     "k7_orc_roundtrip" -> (k7OrcRoundtrip _),

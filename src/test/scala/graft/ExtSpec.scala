@@ -4894,6 +4894,50 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dailyTrend: worked slope on a planted ramp; flat series reads 0; empty days pull the fit") {
+    import spark.implicits._
+    // type "up": counts 1,2,3,4,5 over days 0..4 -> slope exactly 1
+    // event/day = 1e6 micro; type "flat": 3 every day -> slope 0;
+    // type "gap": 5 on day 0 only -> zeros days 1..4 drag it NEGATIVE
+    def mk(t: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, d) => Seq.fill(c)((t, d.toLong * 86400000000L))
+    }
+    val ev = (mk("up", Seq(1, 2, 3, 4, 5)) ++ mk("flat", Seq(3, 3, 3, 3, 3))
+      ++ mk("gap", Seq(5, 0, 0, 0, 0))).zipWithIndex
+      .map { case ((t, us), i) => (i.toLong, t, us) }
+      .toDF("event_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.dailyTrend(ev)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got("up") == ((5L, 1000000L)), s"got $got")
+    assert(got("flat") == ((5L, 0L)), s"got $got")
+    // gap: x=0..4, y=(5,0,0,0,0): num = 5*(-10)... = -50, den = 50
+    // -> exactly -1e6 micro/day
+    assert(got("gap") == ((5L, -1000000L)), s"got $got")
+  }
+
+  test("wowGrowth: dense weeks, NULL on empty base, sign-decomposed rate") {
+    import spark.implicits._
+    val wk = 7L * 86400000000L
+    // weeks 0..3 for type a: 4, 6, 0, 3 events
+    def mk(t: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, w) => (0 until c).map(j => (t, w * wk + j.toLong))
+    }
+    val ev = mk("a", Seq(4, 6, 0, 3)).zipWithIndex
+      .map { case ((t, us), i) => (i.toLong, t, us) }
+      .toDF("event_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.wowGrowth(ev)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), Option(r.get(3)), Option(r.get(4))))).toMap
+    // w0: no predecessor -> NULL; w1: +50%; w2: -100%; w3: base 0 -> NULL
+    assert(got(0L) == ((4L, None, None)), s"got $got")
+    assert(got(1L) == ((6L, Some(4L), Some(500000L))), s"got $got")
+    assert(got(2L) == ((0L, Some(6L), Some(-1000000L))), s"got $got")
+    assert(got(3L) == ((3L, Some(0L), None)), s"got $got")
+  }
+
   test("topkOthers: rank cut, reconciling Others row, no phantom tail for small groups") {
     import spark.implicits._
     val f = Seq(("R", "a", 50L), ("R", "b", 40L), ("R", "c", 30L),
