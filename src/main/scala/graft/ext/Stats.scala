@@ -3106,31 +3106,34 @@ object Stats {
     * (Politis–Romano subsampling: B half-samples without
     * replacement; the spread of replicate means IS the confidence
     * band, no distributional assumption, no RNG): replicate b keeps
-    * the rows whose salted content hash `md5₃₂(salt|b|key) mod 2`
-    * is 0 — reproducible across runs, re-shards, and engines (the
-    * Assemble split discipline applied to inference), so two teams
-    * quoting "replicate 7" mean the same rows. Values are integer
-    * cents; each replicate reports its exact count, sum, and
-    * integral mean — quantiles of the 32 means are the caller's
-    * one-liner from the emitted frame.
+    * the rows whose salted content hash has BIT b clear —
+    * `(md5₃₂(salt|key) >> b) & 1 = 0` — ONE hash per row serving all
+    * B ≤ 32 replicates (md5 bits are independent coin flips, so bit
+    * b is exactly the per-replicate fair coin the per-replicate
+    * rehash would be, at 1/B the hash cost); reproducible across
+    * runs, re-shards, and engines (the Assemble split discipline
+    * applied to inference), so two teams quoting "replicate 7" mean
+    * the same rows. Values are integer cents; each replicate reports
+    * its exact count, sum, and integral mean — quantiles of the 32
+    * means are the caller's one-liner from the emitted frame.
     *
     * Scale shape: the replicate explode multiplies rows by B, but
     * every row lands in a map-side-combinable B-group aggregate —
     * the shuffle carries B partial rows per task, never data; cost
-    * is B hash evaluations riding the one scan. A replicate whose
-    * half-sample kept no rows is ABSENT from the output (possible
-    * only on toy inputs), never a divide-by-zero. */
+    * is ONE hash evaluation riding the one scan (plus B shifts). A
+    * replicate whose half-sample kept no rows is ABSENT from the
+    * output (possible only on toy inputs), never a divide-by-zero. */
   def subsampleMeans(
       df: DataFrame, keyCol: String, value: Column,
       reps: Int = 32, salt: String = "ci"): DataFrame = {
-    require(reps >= 2, s"reps $reps must be at least 2")
+    require(reps >= 2 && reps <= 32,
+      s"reps $reps must be in [2, 32] (one bit per replicate)")
     df.select(col(keyCol).cast("string").as("k"), value.as("v"))
       .filter(col("v").isNotNull)
-      .select(col("k"), col("v"),
+      .withColumn("h", OracleHash.md5Hash32(concat(lit(salt + "|"), col("k"))))
+      .select(col("h"), col("v"),
         explode(typedLit((0 until reps).toList)).as("rep"))
-      .filter(pmod(OracleHash.md5Hash32(
-        concat(lit(salt + "|"), col("rep"), lit("|"), col("k"))),
-        lit(2L)) === 0)
+      .filter(expr("shiftright(h, rep) & 1") === 0)
       .groupBy(col("rep"))
       .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_cents"))
       .select(col("rep").cast("long").as("rep"), col("n_rows"),

@@ -5349,17 +5349,18 @@ object ExtOracles {
         |         AS r2_signed_ppm
         |FROM b""".stripMargin,
 
-    // Subsampling replicates: identical salted md5-32 half-sample
-    // membership, exact integer cents, integral replicate means.
+    // Subsampling replicates: identical one-hash bit-b membership
+    // (md5-32 bits are the 32 replicate coins), exact integer cents,
+    // integral replicate means.
     "x210_subsample_ci" ->
-      """WITH v AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+      """WITH v AS (SELECT ('0x' || substr(md5('ci|' || o_orderkey), 1, 8))
+        |                    ::BIGINT AS h,
         |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
         |                    AS v
         |           FROM orders WHERE o_totalprice IS NOT NULL),
-        |  e AS (SELECT k, v, r.rep FROM v, range(0, 32) r(rep)),
+        |  e AS (SELECT h, v, r.rep FROM v, range(0, 32) r(rep)),
         |  kept AS (SELECT rep, v FROM e
-        |           WHERE ('0x' || substr(md5('ci|' || rep || '|' || k),
-        |                                 1, 8))::BIGINT % 2 = 0)
+        |           WHERE (h >> rep) & 1 = 0)
         |SELECT CAST(rep AS BIGINT) AS rep,
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(v) AS BIGINT) AS sum_cents,

@@ -5207,9 +5207,10 @@ class ExtSpec extends SparkSpec {
       df, "k", col("cents"), reps = 8, salt = "ci")
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    // pure-Scala reference of the documented membership rule
+    // pure-Scala reference of the documented membership rule:
+    // replicate b keeps rows whose salted md5-32 has bit b clear
     val expected = (0 until 8).flatMap { rep =>
-      val kept = rows.filter { case (k, _) => h32(s"ci|$rep|$k") % 2 == 0 }
+      val kept = rows.filter { case (k, _) => ((h32(s"ci|$k") >> rep) & 1) == 0 }
       if (kept.isEmpty) None
       else {
         val s = kept.map(_._2).sum
