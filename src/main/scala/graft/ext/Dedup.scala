@@ -649,6 +649,63 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** BAG-OF-WORDS DEDUP — the reorder-robust exact-dup axis between
+    * byte-exact dedup (X1) and near-dup (X2): two documents with the
+    * SAME token multiset in a different order (shuffled boilerplate
+    * sections, list reorderings) hash apart under md5(text) but
+    * together under md5(sorted tokens). Per document: its exact-copy
+    * count, its bag-copy count, and `reordered_extra = bag − exact`
+    * — the copies only the order-insensitive view can see (≥ 0
+    * always: byte-equal ⟹ bag-equal). Sorting is the byte order of
+    * the tokens (both engines' binary collation), join is null-safe
+    * on the digest.
+    *
+    * Scale shape: two content digests per row at the scan, two
+    * map-side-combinable digest counts, two broadcast-friendly
+    * joins back — the X1 shape twice, never all-pairs. */
+  def bagDedup(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      md5(coalesce(col("text"), lit(""))).as("ex_h"),
+      md5(array_join(array_sort(split(coalesce(col("text"), lit("")), " ")),
+        " ")).as("bag_h"))
+    val exc = base.groupBy(col("ex_h")).agg(count(lit(1)).as("exact_copies"))
+    val bagc = base.groupBy(col("bag_h")).agg(count(lit(1)).as("bag_copies"))
+    base.join(exc, Seq("ex_h")).join(bagc, Seq("bag_h"))
+      .select(col("doc_id"), col("exact_copies"), col("bag_copies"),
+        (col("bag_copies") - col("exact_copies")).as("reordered_extra"))
+  }
+
+  /** CROSS-LANGUAGE DUPLICATE AUDIT — identical text carrying
+    * DIFFERENT language labels (a mislabeled-language screen: the
+    * same document cannot be both 'en' and 'de'; one label is wrong,
+    * and a lang-stratified mix double-counts the content): per
+    * byte-identical text group spanning >1 label, the keeper id
+    * (min doc_id — the x1 policy), copy count, label breadth, and
+    * the sorted label list. The fixture has no natural cross-label
+    * dups, so the GATE plants them (every `plantMod`-th doc rejoins
+    * at id + 3·10⁶ under the 'xx' label — the x13/x63 planted
+    * construction, mirrored in the oracle).
+    *
+    * Scale shape: one digest groupBy (map-side combinable), the
+    * label set bounded by the language inventory — never a pair
+    * join. */
+  def crosslangDups(docs: DataFrame, plantMod: Int = 40): DataFrame = {
+    require(plantMod >= 1, s"plantMod $plantMod must be positive")
+    val planted = docs
+      .select(col("doc_id"), col("text"), col("lang"))
+      .unionByName(docs.filter(col("doc_id") % plantMod === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+          lit("xx").as("lang")))
+    planted.filter(col("text").isNotNull && col("lang").isNotNull)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        array_join(sort_array(collect_set(col("lang"))), ",").as("langs"))
+      .filter(col("n_langs") > 1)
+      .select(col("keeper_id"), col("n_docs"), col("n_langs"), col("langs"))
+  }
+
   /** NEAR-DUP THRESHOLD SENSITIVITY SWEEP — the tuning view a dedup
     * rollout decides its cut on ("at 0.7 we rewrite 4% of the corpus;
     * at 0.8, 1%"): for each Jaccard threshold t/10, how many pairs

@@ -2873,6 +2873,41 @@ object Stats {
       .select(col("id").as(idCol), col("x").as(xCol), col("y").as(yCol))
   }
 
+  /** AUDIENCE OVERLAP between event types — "do the people who click
+    * also purchase" as exact set arithmetic (the segmentation
+    * question behind every cross-sell/funnel hypothesis): for every
+    * type pair (a < b), the two audience sizes, the intersection,
+    * and the exact Jaccard in ppm. Distinct-user audiences, so a
+    * heavy user counts once (the x150 distinct-before-pair rule).
+    *
+    * Scale shape: one distinct (type, user) projection, a user-keyed
+    * self-join whose fan-out is (types per user)² — bounded by the
+    * type inventory squared, NOT by users — then a pair-count
+    * aggregate and a broadcast of the type-count dimension. */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val ua = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = ua.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = ua.as("a")
+      .join(ua.as("b"), Seq("user_id"))
+      .filter(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        expr("1000000 * n_common DIV (n_a + n_b - n_common)")
+          .as("jaccard_ppm"))
+  }
+
   /** HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX per group — the
     * market-concentration screen next to the Gini index and Pareto
     * crossing (Gini asks "how unequal", HHI asks "how MONOPOLIZED":

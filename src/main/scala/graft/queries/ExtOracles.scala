@@ -5656,6 +5656,62 @@ object ExtOracles {
         |                       // prev_events) AS BIGINT) END AS growth_ppm
         |FROM l""".stripMargin,
 
+    // Bag dedup: identical two-digest construction; DuckDB sorts the
+    // token list with list_sort (binary order, same as array_sort).
+    "x224_bag_dedup" ->
+      """WITH b AS (SELECT doc_id,
+        |                  md5(coalesce(text, '')) AS ex_h,
+        |                  md5(array_to_string(
+        |                        list_sort(string_split(coalesce(text, ''),
+        |                                               ' ')), ' ')) AS bag_h
+        |           FROM documents),
+        |  e AS (SELECT ex_h, CAST(count(*) AS BIGINT) AS exact_copies
+        |        FROM b GROUP BY 1),
+        |  g AS (SELECT bag_h, CAST(count(*) AS BIGINT) AS bag_copies
+        |        FROM b GROUP BY 1)
+        |SELECT b.doc_id, e.exact_copies, g.bag_copies,
+        |       g.bag_copies - e.exact_copies AS reordered_extra
+        |FROM b JOIN e USING (ex_h) JOIN g USING (bag_h)""".stripMargin,
+
+    // Cross-language dups: the same planted union, digest group,
+    // sorted distinct-label list.
+    "x225_crosslang_dups" ->
+      """WITH p AS (SELECT doc_id, text, lang FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 3000000, text, 'xx' FROM documents
+        |           WHERE doc_id % 40 = 0),
+        |  g AS (SELECT md5(text) AS h,
+        |               CAST(min(doc_id) AS BIGINT) AS keeper_id,
+        |               CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |               array_to_string(list_sort(list(DISTINCT lang)), ',')
+        |                 AS langs
+        |        FROM p WHERE text IS NOT NULL AND lang IS NOT NULL
+        |        GROUP BY 1)
+        |SELECT keeper_id, n_docs, n_langs, langs
+        |FROM g WHERE n_langs > 1""".stripMargin,
+
+    // Audience overlap: distinct (type, user) sets, in-order pair
+    // self-join, exact Jaccard ppm.
+    "x226_audience_overlap" ->
+      """WITH ua AS (SELECT DISTINCT event_type, user_id FROM events
+        |            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |              AND event_type IS NOT NULL),
+        |  sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |         FROM ua GROUP BY 1),
+        |  pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |                CAST(count(*) AS BIGINT) AS n_common
+        |         FROM ua a JOIN ua b USING (user_id)
+        |         WHERE a.event_type < b.event_type
+        |         GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, sa.n AS n_a, sb.n AS n_b,
+        |       pr.n_common,
+        |       1000000 * pr.n_common // (sa.n + sb.n - pr.n_common)
+        |         AS jaccard_ppm
+        |FROM pr
+        |JOIN sz sa ON sa.event_type = pr.type_a
+        |JOIN sz sb ON sb.event_type = pr.type_b""".stripMargin,
+
     // HHI: identical squared-count concentration in HUGEINT.
     "x218_hhi" ->
       """WITH c AS (SELECT event_type, user_id,

@@ -851,6 +851,17 @@ object ExtQueries {
     // Week-over-week growth per type: dense weeks, sign-decomposed
     // ppm rate, NULL (not 0) when the base week is empty.
     "x223_wow_growth" -> ((s, d) => Stats.wowGrowth(events(s, d))),
+    // Bag-of-words dedup: reorder-robust copy counts next to the
+    // byte-exact ones; reordered_extra is what only the sorted-token
+    // view can see.
+    "x224_bag_dedup" -> ((s, d) => Dedup.bagDedup(docs(s, d))),
+    // Cross-language duplicate audit over the planted mislabeled
+    // frame (every 40th doc rejoins under the 'xx' label).
+    "x225_crosslang_dups" -> ((s, d) => Dedup.crosslangDups(docs(s, d))),
+    // Audience overlap: exact Jaccard between event-type user sets,
+    // distinct-before-pair.
+    "x226_audience_overlap" -> ((s, d) =>
+      Stats.audienceOverlap(events(s, d))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

@@ -4894,6 +4894,62 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("bagDedup: reordered copies collapse under the bag hash but not the exact hash") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "c b a"),      // reordered pair
+      (3L, "a b c"),                     // byte-exact copy of 1
+      (4L, "x y z"),                     // unique
+      (5L, Option.empty[String].orNull)) // NULL -> '' bag of one
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.bagDedup(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // docs 1,3 exact-equal (2 copies); bag group {1,2,3} has 3
+    assert(got(1L) == ((2L, 3L, 1L)), s"got $got")
+    assert(got(2L) == ((1L, 3L, 2L)), s"got $got")
+    assert(got(4L) == ((1L, 1L, 0L)), s"got $got")
+    // invariant: byte-equal implies bag-equal, so extra >= 0 always
+    val fx = graft.ext.Dedup.bagDedup(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    assert(fx.filter(col("reordered_extra") < 0).isEmpty)
+    assert(fx.count() ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("crosslangDups: planted mislabeled copies surface; single-label groups stay silent") {
+    import spark.implicits._
+    val docs = Seq(
+      (40L, "same words here", "en"),   // planted partner at 3000040
+      (41L, "other words", "de"),
+      (42L, "same words here", "fr"))   // natural cross-lang with 40
+      .toDF("doc_id", "text", "lang")
+    val got = graft.ext.Dedup.crosslangDups(docs, plantMod = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // one group: docs 40, 42, and the planted 3000040 under 'xx'
+    assert(got.toSeq == Seq((40L, 3L, 3L, "en,fr,xx")), s"got ${got.toSeq}")
+  }
+
+  test("audienceOverlap: worked Jaccard, heavy users count once") {
+    import spark.implicits._
+    // A users {1,2,3} (user 1 twice - must count once), B {2,3,4},
+    // C {9}: A^B = 2, union 4 -> 500000 ppm; C disjoint
+    val ev = Seq((1L, "A", 1L), (2L, "A", 1L), (3L, "A", 2L),
+      (4L, "A", 3L), (5L, "B", 2L), (6L, "B", 3L), (7L, "B", 4L),
+      (8L, "C", 9L))
+      .map { case (e, t, u) => (e, t, u, e * 1000000L) }
+      .toDF("event_id", "event_type", "user_id", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.audienceOverlap(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("A", "B")) == ((3L, 3L, 2L, 500000L)), s"got $got")
+    assert(!got.contains(("A", "C")) || got(("A", "C"))._3 == 0L)
+    // disjoint pairs simply don't appear (no shared user rows)
+    assert(!got.contains(("A", "C")) && !got.contains(("B", "C")))
+  }
+
   test("dailyTrend: worked slope on a planted ramp; flat series reads 0; empty days pull the fit") {
     import spark.implicits._
     // type "up": counts 1,2,3,4,5 over days 0..4 -> slope exactly 1
