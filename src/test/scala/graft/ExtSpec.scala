@@ -2342,6 +2342,57 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("plan shapes: the round-11 operators keep their scale contracts") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def plan(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+      val ev = new graft.sources.ParquetSimSource(spark, sf)
+        .fetch(graft.sources.FetchRequest("EVENTS"))
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val fact = spark.read.parquet(s"$sf/orders.parquet")
+        .join(broadcast(spark.read.parquet(s"$sf/customer.parquet")),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(spark.read.parquet(s"$sf/nation.parquet")),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(spark.read.parquet(s"$sf/region.parquet")),
+          col("r_regionkey") === col("n_regionkey"))
+      val cents = expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+
+      // hierarchyShares: the parent-total side rides a broadcast join
+      // back onto the child frame — never a shuffle of the child agg
+      val hs = graft.ext.Stats.hierarchyShares(fact, "n_name", "r_name", cents)
+      assert(plan(hs).contains("BroadcastHashJoin") &&
+        !plan(hs).contains("CartesianProduct"), plan(hs).take(1500))
+
+      // topkOthers: the top and Others branches hang off the SAME
+      // ranked frame — the window subtree's exchange must be REUSED,
+      // not re-shuffled per branch
+      val tk = graft.ext.Stats.topkOthers(fact, "r_name", "n_name", cents)
+      assert(plan(tk).contains("ReusedExchange") &&
+        !plan(tk).contains("CartesianProduct"), plan(tk).take(1500))
+
+      // peakRate: the top-k is TakeOrderedAndProject over user rows,
+      // never a global sort of everything; the range window runs
+      // inside user partitions (no single-partition window warn)
+      val pk = graft.ext.Stats.peakRate(ev)
+      assert(plan(pk).contains("TakeOrderedAndProject"), plan(pk).take(1500))
+
+      // audienceOverlap: the type-count dimension broadcasts; the
+      // user-keyed self-join is an equi join, never a product
+      val ao = graft.ext.Stats.audienceOverlap(ev)
+      assert(plan(ao).contains("BroadcastHashJoin") &&
+        !plan(ao).contains("CartesianProduct") &&
+        !plan(ao).contains("BroadcastNestedLoopJoin"), plan(ao).take(1500))
+
+      // bagDedup: two digest-keyed equi joins, no product anywhere
+      val bd = graft.ext.Dedup.bagDedup(docs)
+      assert(!plan(bd).contains("CartesianProduct") &&
+        !plan(bd).contains("BroadcastNestedLoopJoin"), plan(bd).take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("rareTokenScrub: corpus-count threshold, <unk> rebuild, clean docs untouched") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
