@@ -2944,7 +2944,11 @@ object Stats {
     * (parent, child), the child's exact value total and its ppm
     * share of the parent's total. Shares within one parent sum to
     * ≤ 10⁶ exactly (integral floors — the dribble is the floor
-    * remainder, visible, never re-spread).
+    * remainder, visible, never re-spread). Values are NON-NEGATIVE
+    * by contract — a share-of-parent over mixed-sign values is
+    * ill-defined (shares stop summing to the whole), and a negative
+    * numerator would also hit the trunc-vs-floor cross-engine
+    * divergence.
     *
     * Exact integers: child and parent totals are long sums of cents;
     * the share stages `10⁶ · child` through DECIMAL(38,0) ↔ HUGEINT
@@ -3173,7 +3177,11 @@ object Stats {
       .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_cents"))
       .select(col("rep").cast("long").as("rep"), col("n_rows"),
         col("sum_cents"),
-        expr("sum_cents DIV n_rows").as("mean_cents"))
+        // sign-decomposed: a refund-heavy replicate's negative sum
+        // must not reach a cross-engine integer division (Spark DIV
+        // truncates, DuckDB // floors — the x128 lesson)
+        expr("(CASE WHEN sum_cents < 0 THEN -1 ELSE 1 END)" +
+          " * (abs(sum_cents) DIV n_rows)").as("mean_cents"))
   }
 
   /** ANOVA effect size — the between-group share of variance

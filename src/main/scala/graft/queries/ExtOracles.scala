@@ -5364,7 +5364,8 @@ object ExtOracles {
         |SELECT CAST(rep AS BIGINT) AS rep,
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(v) AS BIGINT) AS sum_cents,
-        |       CAST(sum(v) // count(*) AS BIGINT) AS mean_cents
+        |       CAST((CASE WHEN sum(v) < 0 THEN -1 ELSE 1 END) *
+        |            (abs(sum(v)) // count(*)) AS BIGINT) AS mean_cents
         |FROM kept GROUP BY rep""".stripMargin,
 
     // ANOVA eta^2: identical sums-of-floors construction in HUGEINT,
