@@ -728,7 +728,10 @@ object Dedup {
     require(thresholdsTenths.nonEmpty, "sweep needs at least one threshold")
     require(thresholdsTenths.forall(t => t >= 1 && t <= 10),
       s"thresholds $thresholdsTenths must be tenths in [1, 10]")
-    val tMin = thresholdsTenths.min
+    // dedupe: a repeated threshold would double-count its pairs
+    // through the explode AND emit duplicate output rows
+    val ts = thresholdsTenths.distinct
+    val tMin = ts.min
     val hs = shingleHashes(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -741,7 +744,7 @@ object Dedup {
         .localCheckpoint(true)
       val flagged = pairs
         .select(col("a_id"), col("b_id"), col("i"), col("un"),
-          explode(typedLit(thresholdsTenths.toList)).as("t"))
+          explode(typedLit(ts.toList)).as("t"))
         .filter(col("i") * 10 >= col("un") * col("t"))
       val perT = flagged.groupBy(col("t"))
         .agg(count(lit(1)).as("n_pairs"))
@@ -751,7 +754,7 @@ object Dedup {
         .distinct()
         .groupBy(col("t")).agg(count(lit(1)).as("n_docs"))
       val thr = docs.sparkSession.range(1).select(
-        explode(typedLit(thresholdsTenths.toList)).as("t"))
+        explode(typedLit(ts.toList)).as("t"))
       thr.join(perT, Seq("t"), "left").join(docsT, Seq("t"), "left")
         .select(col("t").cast("long").as("threshold_tenths"),
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),

@@ -21,6 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** The shared loop preamble: symmetrize an undirected (`a_id`,
+    * `b_id`) edge list into (src, dst) BOTH ways and persist it for
+    * the iterations, optionally laid out (repartitioned + sorted)
+    * on the per-round join key so cluster-scale rounds never
+    * re-exchange or re-sort the big frame. One definition so the
+    * layout optimization and the unpersist discipline cannot drift
+    * across the four loop operators. Caller owns the unpersist. */
+  private def symEdges(
+      edges: DataFrame, layoutKey: Option[String] = None): DataFrame = {
+    val sym = edges
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    layoutKey.fold(sym)(k =>
+        sym.repartition(col(k)).sortWithinPartitions(col(k)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Fixed-iteration integer PageRank over an UNDIRECTED edge list
     * (`a_id`, `b_id`). Nodes = edge endpoints (an isolated doc has no
     * rank to receive — callers union it back at the base mass if they
@@ -45,10 +62,7 @@ object Graph {
     require(iters >= 1, s"iteration count $iters must be positive")
     require(dampingPpt >= 0 && dampingPpt <= 1000,
       s"dampingPpt $dampingPpt must be in [0, 1000]")
-    val directed = edges
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val directed = symEdges(edges)
     val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -118,12 +132,7 @@ object Graph {
     // the nodes-sized label frame moves. When labels DO broadcast
     // (local bench), the layout costs one setup shuffle and the join
     // stays broadcast.
-    val sym = edges
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .repartition(col("dst"))
-      .sortWithinPartitions(col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = symEdges(edges, layoutKey = Some("dst"))
     try {
       var labels = sym.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
@@ -180,10 +189,7 @@ object Graph {
   def kCore(edges: DataFrame, k: Int = 3, iters: Int = 6): DataFrame = {
     require(k >= 1, s"core order $k must be positive")
     require(iters >= 1, s"iteration count $iters must be positive")
-    var live = edges
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var live = symEdges(edges)
     live.count()
     try {
       for (_ <- 1 to iters) {
@@ -284,32 +290,29 @@ object Graph {
   def bfsDepth(
       edges: DataFrame, seeds: DataFrame, iters: Int = 4): DataFrame = {
     require(iters >= 1, s"iteration count $iters must be positive")
-    val sym = edges
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sym.count()
+    val sym = symEdges(edges)
     try {
+      sym.count() // inside try: a failing materialization must not leak
       var vis = seeds.select(col("node")).distinct()
         .withColumn("depth", lit(0L))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      vis.count()
-      for (r <- 1 to iters) {
-        val frontier = vis.filter(col("depth") === (r - 1).toLong)
-          .select(col("node").as("src"))
-        val next = sym.join(frontier, Seq("src"))
-          .select(col("dst").as("node")).distinct()
-          .join(vis.select(col("node")), Seq("node"), "left_anti")
-          .withColumn("depth", lit(r.toLong))
-        val grown = vis.unionByName(next)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        grown.count() // materialize before releasing the input lineage
-        vis.unpersist(blocking = false)
-        vis = grown
-      }
-      val out = vis.localCheckpoint(true)
-      vis.unpersist(blocking = false)
-      out
+      try {
+        vis.count()
+        for (r <- 1 to iters) {
+          val frontier = vis.filter(col("depth") === (r - 1).toLong)
+            .select(col("node").as("src"))
+          val next = sym.join(frontier, Seq("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(vis.select(col("node")), Seq("node"), "left_anti")
+            .withColumn("depth", lit(r.toLong))
+          val grown = vis.unionByName(next)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          grown.count() // materialize before releasing the input lineage
+          vis.unpersist(blocking = false)
+          vis = grown
+        }
+        vis.localCheckpoint(true)
+      } finally vis.unpersist(blocking = false)
     } finally sym.unpersist(blocking = false)
   }
 }

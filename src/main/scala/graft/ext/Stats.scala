@@ -2989,7 +2989,8 @@ object Stats {
     * first-day COUNT frame — days, not events; dimension-sized by
     * construction (the x161 backlog-curve convention). */
   def cumulativeReach(events: DataFrame): DataFrame = {
-    val firstDay = events.filter(col("ts").isNotNull)
+    val firstDay = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"),
         expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
       .groupBy(col("user_id")).agg(min(col("day")).as("day"))
@@ -3018,7 +3019,12 @@ object Stats {
       k: Int = 20): DataFrame = {
     require(windowUs >= 1, s"window $windowUs must be positive")
     require(k >= 1, s"k $k must be positive")
-    val base = events.filter(col("ts").isNotNull)
+    // NULL users out up front: an aggregated null-user row tying at
+    // the k boundary would sort NULLS FIRST here and NULLS LAST in
+    // DuckDB — the cross-engine cut divergence the sibling event
+    // operators already guard against
+    val base = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"), expr(EpochUs).as("us"))
     base
       .withColumn("c", count(lit(1)).over(

@@ -5428,7 +5428,9 @@ object ExtOracles {
       """WITH fd AS (SELECT user_id,
         |                   min(epoch_us(CAST(ts AS TIMESTAMP))
         |                       // 86400000000) AS day
-        |            FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+        |            FROM events
+        |            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |            GROUP BY user_id),
         |  d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
         |        FROM fd GROUP BY day)
         |SELECT day, new_users,
@@ -5442,7 +5444,8 @@ object ExtOracles {
     "x214_peak_rate" ->
       """WITH e AS (SELECT user_id,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
-        |           FROM events WHERE ts IS NOT NULL),
+        |           FROM events
+        |           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |  w AS (SELECT user_id, CAST(count(*) OVER (
         |               PARTITION BY user_id ORDER BY us
         |               RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW)

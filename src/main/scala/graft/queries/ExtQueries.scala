@@ -738,12 +738,20 @@ object ExtQueries {
     // 1.5-epoch repetition cap — uniform targets, cap, ONE
     // proportional redistribution round, all exact integers.
     "x207_epoch_plan" -> ((s, d) => {
+      // persist the per-source token counts: the budget collect and
+      // the planner's k/target/surplus branches would otherwise each
+      // re-run the corpus token-split scan; the K-row plan output is
+      // checkpointed eagerly so the cache can be released
       val per = docs(s, d).groupBy(col("source"))
         .agg(sum(size(split(coalesce(col("text"), lit("")), " "))
           .cast("long")).as("n_tokens"))
-      val budget =
-        per.agg(sum(col("n_tokens"))).collect()(0).getLong(0) / 2
-      Assemble.epochPlan(per, budget, capPpm = 1500000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val budget =
+          per.agg(sum(col("n_tokens"))).collect()(0).getLong(0) / 2
+        Assemble.epochPlan(per, budget, capPpm = 1500000L)
+          .localCheckpoint(true)
+      } finally per.unpersist(blocking = false)
     }),
     // Importance-weight diagnostics: Kish effective sample size per
     // source over the x164 soft-dedup weights — the weighted-mix

@@ -97,9 +97,6 @@ object ODataTableProvider {
       StructField(e.getKey, inferType(e.getValue))
     })
 
-  /** Page files in page order — the offline stand-in for `$skiptoken`
-    * pagination. Hadoop FileSystem API (same as the reader), so page
-    * directories on HDFS/S3 plan correctly too. */
   /** Hadoop conf for path resolution: the active session's (so
     * catalogs rooted on filesystems needing session conf — s3a
     * credentials, custom schemes — resolve) when a session exists,
@@ -110,6 +107,9 @@ object ODataTableProvider {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
+  /** Page files in page order — the offline stand-in for `$skiptoken`
+    * pagination. Hadoop FileSystem API (same as the reader), so page
+    * directories on HDFS/S3 plan correctly too. */
   private[odata] def pageFiles(dir: String): Seq[String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(hadoopConf())
