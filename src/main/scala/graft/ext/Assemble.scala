@@ -688,4 +688,42 @@ object Assemble {
         expr("CAST(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000" +
           " DIV n_tokens AS BIGINT)"))
   }
+
+  /** LEAVE-ONE-OUT TARGET ENCODING — the leakage-safe categorical
+    * feature every tabular training pipeline derives (turn a category
+    * into "the mean target of the OTHER rows in my category"): per
+    * row, `loo = ⌊(S_cat − x_row) / (n_cat − 1)⌋` — the row's own
+    * target is excluded, so the feature never memorizes its own
+    * label (the naive per-category mean leaks the row's target into
+    * its feature and a tree splits straight to it). Singleton
+    * categories report NULL — there are no other rows, and NULL
+    * stays distinguishable from a real mean of 0. X170's shrunk rate
+    * is the AGGREGATE view (one smoothed rate per group); this is
+    * the per-ROW feature column with self-exclusion.
+    *
+    * Exact integers: targets are cents (`⌊p·100 + 0.5⌋`, the x40
+    * convention); `S_cat` rides DECIMAL(38,0) (10⁹ rows × 10⁷ cents
+    * passes BIGINT); numerator and divisor are non-negative, so the
+    * integral DIV is floor on both engines (stated contract: the
+    * target is non-negative — mixed-sign targets would hit the
+    * trunc-vs-floor divergence).
+    *
+    * Scale shape: one map-side-combinable category aggregate
+    * (dimension-sized), broadcast back over the fact — no shuffle of
+    * the fact table at all. */
+  def looTargetEncoding(
+      fact: DataFrame, category: String, target: Column): DataFrame = {
+    val base = fact.select(col("o_orderkey"),
+      col(category).as("category"), target.as("cents"))
+      .filter(col("category").isNotNull && col("cents").isNotNull)
+    val cats = base.groupBy(col("category"))
+      .agg(count(lit(1)).as("n_cat"),
+        sum(expr("CAST(cents AS DECIMAL(38,0))")).as("s_cat"))
+    base.join(broadcast(cats), Seq("category"))
+      .select(col("o_orderkey"), col("category"), col("cents"),
+        col("n_cat"),
+        when(col("n_cat") > 1, expr(
+          "CAST((s_cat - cents) DIV (n_cat - 1) AS BIGINT)"))
+          .as("loo_mean_cents"))
+  }
 }

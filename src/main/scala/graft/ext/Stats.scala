@@ -3275,4 +3275,58 @@ object Stats {
           "CAST(CAST(max_w AS DECIMAL(38,0)) * 1000000 DIV sum_w" +
             " AS BIGINT)")).otherwise(lit(0L)).as("max_w_share_ppm"))
   }
+
+  /** EXACT-INTEGER EWMA TREND — the smoothed daily-volume view next to
+    * X237's OLS slope (the slope says where the WHOLE window points;
+    * the EWMA says where the series is NOW, recency-weighted): per
+    * event type and day, `ewma = Σ_{j=0..L} ⌊count(day−j) / 2^(j+1)⌋`
+    * over the DENSE zero-filled day grid. α = 1/2 as a power-of-two
+    * half-life keeps exponential decay EXACT cross-engine (the x169
+    * convention — no float pow ever enters), each term an independent
+    * floor via `>>` on non-negative counts (sums-of-floors, the x144
+    * convention, stated: this is Σ⌊·⌋, not ⌊Σ·⌋). The lookback is
+    * capped at `maxLookback` days: a day-j term is `count >> (j+1)`,
+    * already 0 for any realistic daily count beyond j ≈ 40, and the
+    * cap also keeps Java's 6-bit shift masking (`x >> 64 == x` — the
+    * x169 revival trap) permanently out of range.
+    *
+    * Zero-filled grid, not the sparse frame: absence is data — an
+    * EWMA over only-busy-days never decays, and a feed that stopped
+    * cold would look healthy forever. Days before the series start
+    * contribute no term (the series begins at its first observed
+    * day), so early days smooth over a shorter history — stated, not
+    * hidden.
+    *
+    * Scale shape: one map-side-combinable (type, day) count; the
+    * grid, the lag explode (×(L+1)) and the self-equi-join all run on
+    * the dimension-sized day-count frame — types × days × lags, never
+    * the event corpus. */
+  def ewmaTrend(events: DataFrame, maxLookback: Int = 20): DataFrame = {
+    require(maxLookback >= 0 && maxLookback <= 40,
+      s"maxLookback $maxLookback out of [0, 40]")
+    val daily = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = daily.select(col("event_type")).distinct()
+      .crossJoin(grid)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    dense
+      .select(col("event_type"), col("day"), col("c"),
+        explode(typedLit((0 to maxLookback).toList)).as("j"))
+      .withColumn("src_day", col("day") - col("j"))
+      .join(dense.select(col("event_type"), col("day").as("src_day"),
+        col("c").as("src_c")),
+        Seq("event_type", "src_day"))
+      .groupBy(col("event_type"), col("day"), col("c"))
+      .agg(sum(expr("shiftright(src_c, j + 1)")).as("ewma"))
+      .select(col("event_type"), col("day"), col("c").as("n_events"),
+        col("ewma"))
+  }
 }

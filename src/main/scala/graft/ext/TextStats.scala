@@ -1226,4 +1226,56 @@ object TextStats {
             " AS BIGINT)")).otherwise(0L).as("non_ascii_ppm"),
         col("n_replacement_docs"), col("control_chars"))
   }
+
+  /** UNICODE SCRIPT-MIX AUDIT — the writing-system view X187's
+    * charset triage doesn't give (encoding audit says the BYTES are
+    * damaged; this says the LETTERS come from the wrong alphabet):
+    * per source, letter counts in the four major scripts the corpus
+    * can carry (Latin, Han, Cyrillic, Arabic) as exact ppm of all
+    * script letters, plus the mixed-script doc count — a doc where
+    * ≥ 2 scripts each hold a MATERIAL share (`20·count ≥ letters`,
+    * i.e. ≥ 5 % — integer-only, no float threshold). Mixed-script
+    * mass is the classic spam/injection signature (Cyrillic
+    * homoglyphs inside an "English" page) and the mislabel signal a
+    * langID over the dominant script alone misses.
+    *
+    * Counting is length-difference under codegen'd `regexp_replace`
+    * script classes (Java `\p{IsLatin}` ≡ RE2 `\p{Latin}` for these
+    * four — same BMP code-point arithmetic as X187); ppm shares ride
+    * DECIMAL(38,0) against the summed letter mass. One projection +
+    * one map-side groupBy; output is source-dimension-sized. */
+  def scriptMix(docs: DataFrame): DataFrame = {
+    val text = coalesce(col("text"), lit(""))
+    def cnt(pattern: String): Column =
+      (length(text) - length(regexp_replace(text, pattern, ""))).cast("long")
+    def material(c: Column, letters: Column): Column =
+      when(c * 20 >= letters && c > 0, 1L).otherwise(0L)
+    val perDoc = docs
+      .filter(col("source").isNotNull)
+      .select(col("source"),
+        cnt("\\p{IsLatin}").as("lat"), cnt("\\p{IsHan}").as("han"),
+        cnt("\\p{IsCyrillic}").as("cyr"), cnt("\\p{IsArabic}").as("ara"))
+      .withColumn("letters",
+        col("lat") + col("han") + col("cyr") + col("ara"))
+    val mixed = perDoc.withColumn("n_scripts",
+      material(col("lat"), col("letters")) +
+        material(col("han"), col("letters")) +
+        material(col("cyr"), col("letters")) +
+        material(col("ara"), col("letters")))
+    def ppm(c: String): Column =
+      when(col("letters") > 0, expr(
+        s"CAST(CAST($c AS DECIMAL(38,0)) * 1000000 DIV letters" +
+          " AS BIGINT)")).otherwise(0L).as(s"${c}_ppm")
+    mixed
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("letters")).as("letters"),
+        sum(col("lat")).as("lat"), sum(col("han")).as("han"),
+        sum(col("cyr")).as("cyr"), sum(col("ara")).as("ara"),
+        sum(when(col("n_scripts") >= 2, 1L).otherwise(0L))
+          .as("n_mixed_docs"))
+      .select(col("source"), col("n_docs"), col("letters"),
+        ppm("lat"), ppm("han"), ppm("cyr"), ppm("ara"),
+        col("n_mixed_docs"))
+  }
 }

@@ -5716,6 +5716,100 @@ object ExtOracles {
         |JOIN sz sa ON sa.event_type = pr.type_a
         |JOIN sz sb ON sb.event_type = pr.type_b""".stripMargin,
 
+    // EWMA trend: identical dense zero-filled grid, identical
+    // sums-of-floors via >> on non-negative counts.
+    "x227_ewma_trend" ->
+      """WITH daily AS (
+        |    SELECT event_type,
+        |           epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |           CAST(count(*) AS BIGINT) AS c
+        |    FROM events
+        |    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |    GROUP BY 1, 2),
+        |  bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |  grid AS (SELECT unnest(generate_series(d0, d1)) AS day
+        |           FROM bounds),
+        |  ty AS (SELECT DISTINCT event_type FROM daily),
+        |  dense AS (SELECT t.event_type, g.day,
+        |                   CAST(coalesce(d.c, 0) AS BIGINT) AS c
+        |            FROM ty t CROSS JOIN grid g
+        |            LEFT JOIN daily d ON d.event_type = t.event_type
+        |                             AND d.day = g.day),
+        |  lags AS (SELECT CAST(j AS BIGINT) AS j FROM range(0, 21) t(j))
+        |SELECT a.event_type, a.day, a.c AS n_events,
+        |       CAST(sum(s.c >> (l.j + 1)) AS BIGINT) AS ewma
+        |FROM dense a
+        |CROSS JOIN lags l
+        |JOIN dense s ON s.event_type = a.event_type
+        |            AND s.day = a.day - l.j
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Script-mix audit: identical plant, RE2 script classes mirror
+    // Java's Is-prefixed ones, ppm over summed letter mass.
+    "x228_script_mix" ->
+      """WITH d AS (
+        |    SELECT source,
+        |           coalesce(CASE WHEN doc_id % 41 = 0
+        |                         THEN coalesce(text, '') || ' Привет مرحبا'
+        |                         ELSE text END, '') AS t
+        |    FROM documents WHERE source IS NOT NULL),
+        |  p AS (SELECT source,
+        |               CAST(length(t) - length(regexp_replace(t,
+        |                    '\p{Latin}', '', 'g')) AS BIGINT) AS lat,
+        |               CAST(length(t) - length(regexp_replace(t,
+        |                    '\p{Han}', '', 'g')) AS BIGINT) AS han,
+        |               CAST(length(t) - length(regexp_replace(t,
+        |                    '\p{Cyrillic}', '', 'g')) AS BIGINT) AS cyr,
+        |               CAST(length(t) - length(regexp_replace(t,
+        |                    '\p{Arabic}', '', 'g')) AS BIGINT) AS ara
+        |        FROM d),
+        |  m AS (SELECT source, lat, han, cyr, ara,
+        |               lat + han + cyr + ara AS letters,
+        |               (CASE WHEN lat * 20 >= lat + han + cyr + ara
+        |                      AND lat > 0 THEN 1 ELSE 0 END)
+        |             + (CASE WHEN han * 20 >= lat + han + cyr + ara
+        |                      AND han > 0 THEN 1 ELSE 0 END)
+        |             + (CASE WHEN cyr * 20 >= lat + han + cyr + ara
+        |                      AND cyr > 0 THEN 1 ELSE 0 END)
+        |             + (CASE WHEN ara * 20 >= lat + han + cyr + ara
+        |                      AND ara > 0 THEN 1 ELSE 0 END) AS n_scripts
+        |        FROM p)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(letters) AS BIGINT) AS letters,
+        |       CAST(CASE WHEN sum(letters) > 0 THEN
+        |            CAST(sum(lat) AS HUGEINT) * 1000000 // sum(letters)
+        |            ELSE 0 END AS BIGINT) AS lat_ppm,
+        |       CAST(CASE WHEN sum(letters) > 0 THEN
+        |            CAST(sum(han) AS HUGEINT) * 1000000 // sum(letters)
+        |            ELSE 0 END AS BIGINT) AS han_ppm,
+        |       CAST(CASE WHEN sum(letters) > 0 THEN
+        |            CAST(sum(cyr) AS HUGEINT) * 1000000 // sum(letters)
+        |            ELSE 0 END AS BIGINT) AS cyr_ppm,
+        |       CAST(CASE WHEN sum(letters) > 0 THEN
+        |            CAST(sum(ara) AS HUGEINT) * 1000000 // sum(letters)
+        |            ELSE 0 END AS BIGINT) AS ara_ppm,
+        |       CAST(sum(CASE WHEN n_scripts >= 2 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_mixed_docs
+        |FROM m GROUP BY source""".stripMargin,
+
+    // Leave-one-out target encoding: identical cents floor, identical
+    // self-excluded integral mean, NULL on singleton categories.
+    "x229_target_encoding" ->
+      """WITH b AS (
+        |    SELECT o_orderkey, o_orderpriority AS category,
+        |           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |             AS cents
+        |    FROM orders
+        |    WHERE o_orderpriority IS NOT NULL),
+        |  g AS (SELECT category, CAST(count(*) AS BIGINT) AS n_cat,
+        |               sum(CAST(cents AS HUGEINT)) AS s_cat
+        |        FROM b GROUP BY 1)
+        |SELECT b.o_orderkey, b.category, b.cents, g.n_cat,
+        |       CASE WHEN g.n_cat > 1 THEN
+        |            CAST((g.s_cat - b.cents) // (g.n_cat - 1) AS BIGINT)
+        |       END AS loo_mean_cents
+        |FROM b JOIN g USING (category)""".stripMargin,
+
     // HHI: identical squared-count concentration in HUGEINT.
     "x218_hhi" ->
       """WITH c AS (SELECT event_type, user_id,

@@ -870,6 +870,26 @@ object ExtQueries {
     // distinct-before-pair.
     "x226_audience_overlap" -> ((s, d) =>
       Stats.audienceOverlap(events(s, d))),
+    // Exact-integer EWMA trend over the dense zero-filled day grid
+    // (α = 1/2, sums-of-floors, 20-day lookback).
+    "x227_ewma_trend" -> ((s, d) => Stats.ewmaTrend(events(s, d))),
+    // Unicode script-mix audit; every 41st doc gets a planted
+    // Cyrillic+Arabic suffix (the x63/x172 plant convention —
+    // mirrored in the oracle) so those scripts are non-vacuous on
+    // the Latin/Han fixture.
+    "x228_script_mix" -> ((s, d) =>
+      TextStats.scriptMix(
+        docs(s, d).select(col("source"), col("doc_id"),
+          when(col("doc_id") % 41 === 0,
+            concat(coalesce(col("text"), lit("")),
+              lit(" Привет مرحبا")))
+            .otherwise(col("text")).as("text")))),
+    // Leave-one-out target encoding of order priority against the
+    // order's cents total — the leakage-safe per-row feature.
+    "x229_target_encoding" -> ((s, d) =>
+      Assemble.looTargetEncoding(
+        s.read.parquet(s"$d/orders.parquet"), "o_orderpriority",
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

@@ -6137,4 +6137,71 @@ class ExtSpec extends SparkSpec {
         s"dropped=$dropped mutated=$mutated flagged=$flagged2 want=$want")
     }
   }
+
+  test("ewmaTrend: hand-worked sums-of-floors, zero-filled gap, lookback cap") {
+    import spark.implicits._
+    def ev(t: String, day: Long, n: Int): Seq[(String, Long)] =
+      Seq.fill(n)((t, day * 86400000000L))
+    // counts 8 @d0, (gap) 0 @d1, 4 @d2, then nothing until d5
+    val rows = (ev("a", 0, 8) ++ ev("a", 2, 4) ++ ev("a", 5, 1))
+      .zipWithIndex
+      .map { case ((t, us), i) => (i.toLong, t, us) }
+      .toDF("event_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.ewmaTrend(rows)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // d0: 8>>1 = 4; d1 (zero-filled): 0>>1 + 8>>2 = 2;
+    // d2: 4>>1 + 0>>2 + 8>>3 = 2 + 0 + 1 = 3; d3: 0 + 4>>2 + 0 + 8>>4 = 1
+    assert(got(("a", 0L)) == ((8L, 4L)), s"got $got")
+    assert(got(("a", 1L)) == ((0L, 2L)), s"got $got")
+    assert(got(("a", 2L)) == ((4L, 3L)), s"got $got")
+    assert(got(("a", 3L)) == ((0L, 1L)), s"got $got")
+    // every grid day is a row: d0..d5
+    assert(got.size == 6, s"got ${got.size}")
+    // lookback cap: with maxLookback = 2 the d0 burst ages out of the
+    // d3 anchor entirely (j = 3 > 2), where the default still saw it
+    val capped = graft.ext.Stats.ewmaTrend(rows, maxLookback = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(capped(2L) == 3L, s"capped $capped") // 4>>1 + 0>>2 + 8>>3
+    assert(capped(3L) == 1L, s"capped $capped") // 4>>2 only
+    assert(capped(4L) == 0L, s"capped $capped") // 4>>3 = 0
+  }
+
+  test("scriptMix: per-script counts, 5% materiality, mixed-doc flag, empty text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "abc"),                  // pure latin
+      (2L, "s1", "абв"),                  // pure cyrillic
+      (3L, "s1", "abcdefghij Привет"),    // 10 lat + 6 cyr -> mixed
+      (4L, "s1", null.asInstanceOf[String]), // null text: counted, no letters
+      (5L, "s2", ("a" * 100) + "中"))      // han 1*20 < 101 -> NOT material
+      .toDF("doc_id", "source", "text")
+    val got = graft.ext.TextStats.scriptMix(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = got("s1")
+    assert(s1.getLong(1) == 4L && s1.getLong(2) == 22L, s"s1 $s1")
+    // lat 13/22, cyr 9/22 in floored ppm
+    assert(s1.getLong(3) == 13L * 1000000L / 22L, s"s1 $s1")
+    assert(s1.getLong(5) == 9L * 1000000L / 22L, s"s1 $s1")
+    assert(s1.getLong(7) == 1L, s"s1 mixed $s1")
+    val s2 = got("s2")
+    assert(s2.getLong(2) == 101L && s2.getLong(7) == 0L, s"s2 $s2")
+    assert(s2.getLong(4) == 1000000L * 1L / 101L, s"s2 han ppm $s2")
+  }
+
+  test("looTargetEncoding: self-excluded mean, singleton NULL") {
+    import spark.implicits._
+    val fact = Seq(
+      (1L, "A", 10L), (2L, "A", 20L), (3L, "A", 40L), (4L, "B", 7L))
+      .toDF("o_orderkey", "prio", "cents")
+    val got = graft.ext.Assemble
+      .looTargetEncoding(fact, "prio", col("cents"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got(1L) == ((3L, 30L)), s"got $got") // (70-10)/2
+    assert(got(2L) == ((3L, 25L)), s"got $got") // (70-20)/2
+    assert(got(3L) == ((3L, 15L)), s"got $got") // (70-40)/2
+    assert(got(4L) == ((1L, -1L)), s"got $got") // singleton -> NULL
+  }
 }
