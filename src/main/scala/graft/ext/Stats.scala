@@ -3276,6 +3276,55 @@ object Stats {
             " AS BIGINT)")).otherwise(lit(0L)).as("max_w_share_ppm"))
   }
 
+  /** FORWARD-FILL (last observation carried forward) over the dense
+    * day grid — the staleness-aware feature series every downstream
+    * model join consumes ("what was this feed's last known daily
+    * total, and how old is it?"): per event type and day, the day's
+    * exact cents total where the day has events, the most recent
+    * OBSERVED day at-or-before, its value carried forward, and the
+    * age in days. Absence is data (the x145/x209 dense-grid rule):
+    * a sparse frame can't distinguish "no row" from "stale by 5
+    * days", and the age column is the point. Days before a type's
+    * first observation stay NULL — "never seen" is distinguishable
+    * from "seen, value 0".
+    *
+    * The fill is a running `max(CASE observed day)` window + an
+    * equi-join back to the daily frame on the carried day — NOT a
+    * window `last_value IGNORE NULLS` (engines disagree on IGNORE
+    * NULLS availability/semantics in frames; a max-and-join is
+    * construction-identical on both). No division, no float
+    * aggregation — cents sums only.
+    *
+    * Scale shape: one map-side (type, day) aggregate; grid, running
+    * window (per-type partitions) and the join-back are all
+    * dimension-sized (types × days). */
+  def forwardFill(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_type"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("day_cents"))
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = daily.select(col("event_type")).distinct()
+      .crossJoin(grid)
+      .join(daily, Seq("event_type", "day"), "left")
+    val filled = dense.withColumn("last_day",
+      max(when(col("day_cents").isNotNull, col("day")))
+        .over(Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    filled
+      .join(daily.select(col("event_type"), col("day").as("last_day"),
+        col("day_cents").as("filled_cents")),
+        Seq("event_type", "last_day"), "left")
+      .select(col("event_type"), col("day"), col("day_cents"),
+        col("last_day"), (col("day") - col("last_day")).as("age_days"),
+        col("filled_cents"))
+  }
+
   /** EXACT-INTEGER EWMA TREND — the smoothed daily-volume view next to
     * X237's OLS slope (the slope says where the WHOLE window points;
     * the EWMA says where the series is NOW, recency-weighted): per

@@ -1227,6 +1227,53 @@ object TextStats {
         col("n_replacement_docs"), col("control_chars"))
   }
 
+  /** EXACT HEAVY HITTERS via bounded-state candidates-then-verify —
+    * every token holding more than 1/k of all token occurrences, with
+    * its exact count and ppm share. The naive `groupBy(token)` shuffles
+    * one partial cell per distinct token per task; over 100 TB with
+    * billions of distinct keys that shuffle IS the job. Here pass 1 is
+    * the [[graft.functions.MisraGriesCandidates]] aggregate (≤
+    * `stateSize` counters per partial buffer, decrement-preserving
+    * merge — a SUPERSET of every key above N/(stateSize+1) by the MG
+    * guarantee), and pass 2 exact-counts only the ≤ stateSize
+    * candidates (broadcast semi-join; the shuffle carries ≤ stateSize
+    * keys per task). The output is EXACT and order-deterministic: the
+    * candidate set may vary with partition order, but every true heavy
+    * hitter survives every order and impostors die at the exact
+    * threshold `k·count > N` (integer test — no division).
+    *
+    * `stateSize ≥ k` is required for the guarantee (N/(stateSize+1) <
+    * N/k); the default 512-vs-64 margin keeps candidates comfortably
+    * superset even of NEAR-threshold keys, so the recount, not the
+    * sketch, always decides. */
+  def heavyHitters(
+      docs: DataFrame, k: Int = 64, stateSize: Int = 512): DataFrame = {
+    require(k >= 2, s"k $k must be >= 2")
+    require(stateSize >= k, s"stateSize $stateSize must be >= k $k")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = docs
+      .select(explode(split(coalesce(col("text"), lit("")), " "))
+        .as("token"))
+      .filter(length(col("token")) > 0)
+    // one corpus pass -> one tiny row (total + candidate list);
+    // checkpointed eagerly so its two consumers don't re-run the scan
+    val sketch = toks
+      .agg(count(lit(1)).as("n_total"),
+        call_function("mg_candidates", col("token"), lit(stateSize))
+          .as("cand"))
+      .localCheckpoint(true)
+    val exact = toks
+      .join(broadcast(sketch.select(explode(col("cand")).as("token"))),
+        Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_token"))
+    exact
+      .crossJoin(broadcast(sketch.select(col("n_total"))))
+      .filter(col("n_token") * k > col("n_total"))
+      .select(col("token"), col("n_token"), col("n_total"),
+        expr("CAST(CAST(n_token AS DECIMAL(38,0)) * 1000000" +
+          " DIV n_total AS BIGINT)").as("share_ppm"))
+  }
+
   /** UNICODE SCRIPT-MIX AUDIT — the writing-system view X187's
     * charset triage doesn't give (encoding audit says the BYTES are
     * damaged; this says the LETTERS come from the wrong alphabet):

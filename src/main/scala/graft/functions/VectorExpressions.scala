@@ -680,7 +680,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => BpePieces(es(0), es(1), es(2))),
     ("lang_best",
       new ExpressionInfo(classOf[LangBest].getName, "lang_best"),
-      (es: Seq[Expression]) => LangBest(es(0), es(1), es(2), es(3))))
+      (es: Seq[Expression]) => LangBest(es(0), es(1), es(2), es(3))),
+    ("mg_candidates",
+      new ExpressionInfo(classOf[MisraGriesCandidates].getName, "mg_candidates"),
+      (es: Seq[Expression]) => MisraGriesCandidates(es(0),
+        es(1).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config). Skips a name ONLY when the existing
@@ -744,6 +748,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (es: Seq[Expression]) => BpePieces(es(0), es(1), es(2)): Expression),
       (FunctionIdentifier("lang_best"),
         new ExpressionInfo(classOf[LangBest].getName, "lang_best"),
-        (es: Seq[Expression]) => LangBest(es(0), es(1), es(2), es(3)): Expression))
+        (es: Seq[Expression]) => LangBest(es(0), es(1), es(2), es(3)): Expression),
+      (FunctionIdentifier("mg_candidates"),
+        new ExpressionInfo(classOf[MisraGriesCandidates].getName, "mg_candidates"),
+        (es: Seq[Expression]) => MisraGriesCandidates(es(0),
+          es(1).eval().asInstanceOf[Number].intValue()): Expression))
       .foreach(ext.injectFunction)
 }

@@ -5792,6 +5792,55 @@ object ExtOracles {
         |            AS BIGINT) AS n_mixed_docs
         |FROM m GROUP BY source""".stripMargin,
 
+    // Forward-fill: identical dense grid, running max of observed
+    // days, join-back on the carried day (never IGNORE NULLS).
+    "x230_forward_fill" ->
+      """WITH daily AS (
+        |    SELECT event_type,
+        |           epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |                AS BIGINT) AS day_cents
+        |    FROM events
+        |    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |      AND value IS NOT NULL
+        |    GROUP BY 1, 2),
+        |  bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |  grid AS (SELECT unnest(generate_series(d0, d1)) AS day
+        |           FROM bounds),
+        |  ty AS (SELECT DISTINCT event_type FROM daily),
+        |  dense AS (SELECT t.event_type, g.day, d.day_cents
+        |            FROM ty t CROSS JOIN grid g
+        |            LEFT JOIN daily d ON d.event_type = t.event_type
+        |                             AND d.day = g.day),
+        |  f AS (SELECT event_type, day, day_cents,
+        |               max(CASE WHEN day_cents IS NOT NULL THEN day END)
+        |                 OVER (PARTITION BY event_type ORDER BY day
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND CURRENT ROW) AS last_day
+        |        FROM dense)
+        |SELECT f.event_type, f.day, f.day_cents, f.last_day,
+        |       f.day - f.last_day AS age_days,
+        |       d2.day_cents AS filled_cents
+        |FROM f
+        |LEFT JOIN daily d2 ON d2.event_type = f.event_type
+        |                  AND d2.day = f.last_day""".stripMargin,
+
+    // Heavy hitters: the oracle states the SPEC naively (full groupBy
+    // + threshold) — the bounded-state MG candidate pass is the
+    // engine's scale construction, proved superset by ExtSpec.
+    "x231_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(coalesce(text, ''), ' '))
+        |                  AS token
+        |           FROM documents),
+        |  tt AS (SELECT token FROM t WHERE length(token) > 0),
+        |  n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tt),
+        |  g AS (SELECT token, CAST(count(*) AS BIGINT) AS n_token
+        |        FROM tt GROUP BY 1)
+        |SELECT g.token, g.n_token, n.n_total,
+        |       CAST(CAST(g.n_token AS HUGEINT) * 1000000 // n.n_total
+        |            AS BIGINT) AS share_ppm
+        |FROM g, n WHERE g.n_token * 64 > n.n_total""".stripMargin,
+
     // Leave-one-out target encoding: identical cents floor, identical
     // self-excluded integral mean, NULL on singleton categories.
     "x229_target_encoding" ->

@@ -890,6 +890,11 @@ object ExtQueries {
       Assemble.looTargetEncoding(
         s.read.parquet(s"$d/orders.parquet"), "o_orderpriority",
         expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))),
+    // Forward-fill with staleness age over the dense day grid.
+    "x230_forward_fill" -> ((s, d) => Stats.forwardFill(events(s, d))),
+    // Exact heavy hitters via the Misra-Gries candidates-then-verify
+    // aggregate (bounded state; exact recount decides).
+    "x231_heavy_hitters" -> ((s, d) => TextStats.heavyHitters(docs(s, d))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

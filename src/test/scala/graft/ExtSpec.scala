@@ -6190,6 +6190,81 @@ class ExtSpec extends SparkSpec {
     assert(s2.getLong(4) == 1000000L * 1L / 101L, s"s2 han ppm $s2")
   }
 
+  test("forwardFill: gap carries last value with age, pre-first days NULL") {
+    import spark.implicits._
+    // type a: cents 100 @d0, gap d1-d2, 250 @d3; type b: starts at d2
+    // (so b@d0/d1 are the never-seen NULL rows)
+    val rows = Seq(
+      ("a", 0L, 1.00), ("a", 3L, 2.50), ("b", 2L, 5.00), ("b", 3L, 1.00))
+      .zipWithIndex.map { case ((t, day, v), i) =>
+        (i.toLong, t, day * 86400000000L, v)
+      }
+      .toDF("event_id", "event_type", "usv", "value")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.forwardFill(rows)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(got(("a", 0L)) == ((100L, 0L, 0L, 100L)), s"got $got")
+    assert(got(("a", 1L)) == ((-1L, 0L, 1L, 100L)), s"got $got")
+    assert(got(("a", 2L)) == ((-1L, 0L, 2L, 100L)), s"got $got")
+    assert(got(("a", 3L)) == ((250L, 3L, 0L, 250L)), s"got $got")
+    // b before first observation: every column NULL
+    assert(got(("b", 0L)) == ((-1L, -1L, -1L, -1L)), s"got $got")
+    assert(got(("b", 1L)) == ((-1L, -1L, -1L, -1L)), s"got $got")
+    assert(got(("b", 2L)) == ((500L, 2L, 0L, 500L)), s"got $got")
+    assert(got.size == 8, s"got ${got.size}")
+  }
+
+  test("heavyHitters: MG candidates superset under tiny state, exact recount, order-invariant") {
+    import spark.implicits._
+    // zipf-ish stream: 'hot' holds ~40% of 1000 tokens, 'warm' ~10%,
+    // 60 distinct cold tokens share the rest -> with stateSize 4 the
+    // sketch decrements constantly, but hot/warm MUST survive
+    val toks = (Seq.fill(400)("hot") ++ Seq.fill(100)("warm") ++
+      (0 until 500).map(i => s"cold${i % 60}"))
+    val rng = new scala.util.Random(42)
+    val shuffled = rng.shuffle(toks)
+    def run(order: Seq[String], parts: Int, k: Int, state: Int) =
+      graft.ext.TextStats.heavyHitters(
+        order.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text").repartition(parts),
+        k = k, stateSize = state)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // truth from a plain count: hot=400, warm=100, cold*<=9
+    val want = Set(("hot", 400L), ("warm", 100L)) // k=8: need > 125 -> hot only
+    val wantK8 = Set(("hot", 400L))
+    assert(run(shuffled, 7, 8, 8) == wantK8, "k=8, state=8")
+    // k=4: threshold 250 -> hot only; k=16: threshold 62.5 -> hot+warm
+    assert(run(shuffled, 3, 16, 16) == want, "k=16, state=16")
+    // partition-order invariance: different layouts, same exact output
+    assert(run(shuffled.reverse, 11, 16, 16) == want, "reversed order")
+    assert(run(rng.shuffle(toks), 1, 16, 16) == want, "single partition")
+    // stateSize >= k required
+    intercept[IllegalArgumentException] {
+      graft.ext.TextStats.heavyHitters(
+        Seq((1L, "a")).toDF("doc_id", "text"), k = 16, stateSize = 8)
+    }
+  }
+
+  test("mg_candidates: bounded state and the N/(k+1) survival guarantee") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.call_function
+    graft.functions.GraftFunctions.register(spark)
+    // adversarial: heavy key interleaved among many distinct fillers
+    val stream = (0 until 900).flatMap(i => Seq(s"f$i", "heavy")) // heavy 900/1800 = 50%
+    val df = stream.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "tok").repartition(13)
+    val cand = df.agg(call_function("mg_candidates", col("tok"), lit(5)))
+      .collect()(0).getSeq[String](0)
+    assert(cand.size <= 5, s"state bound violated: ${cand.size}")
+    assert(cand.contains("heavy"), s"guarantee violated: $cand")
+    // output is sorted (deterministic rendering of the candidate set)
+    assert(cand == cand.sorted, s"unsorted: $cand")
+  }
+
   test("looTargetEncoding: self-excluded mean, singleton NULL") {
     import spark.implicits._
     val fact = Seq(
