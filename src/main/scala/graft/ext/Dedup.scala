@@ -649,6 +649,66 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** LSH TUNING CURVE — the detector-calibration view a dedup rollout
+    * picks its geometry from: per Jaccard decile bucket (0.5–1.0, the
+    * range banding decisions live in), the EXACT number of pairs the
+    * corpus holds there, next to the THEORETICAL detection probability
+    * of the production X2 geometry (b = 16 bands × r = 4 rows:
+    * `1 − (1 − s^4)^16`, the classic S-curve) evaluated at the bucket
+    * midpoint — "at 0.7 the corpus has 212 pairs and banding finds
+    * 98.6% of them; at 0.5, 340 pairs at 63%" is exactly the view that
+    * justifies (or indicts) a threshold. X232's sweep re-thresholds
+    * the measured pairs; THIS row joins them against theory.
+    *
+    * The S-curve is exact integer ppm end to end: `s⁴` and the 16th
+    * power are STAGED squarings, each an independent `DIV 10⁶` floor
+    * (sums-of-floors convention, stated; every product of two ppm
+    * values is ≤ 10¹² — inside BIGINT, no decimal staging needed),
+    * written identically on both engines. Pairs come from the exact
+    * prefix-filtered join at t = 1/2 (recall 1.0 by construction —
+    * the probabilistic detector under audit never generates its own
+    * calibration data); the bucket is an integer CASE descent
+    * (`10·i ≥ d·union`), never a float floor. Empty buckets emit
+    * explicit zero rows — "no pairs there" is a finding.
+    *
+    * Scale shape: the pair join is the X14 prefix-filter shape (its
+    * cost rises as the floor drops — t = 1/2 exposes longer
+    * prefixes; that is the honest price of an exact calibration
+    * corpus, paid once per tuning decision, not per ingest); the
+    * bucket rollup is 5 rows. */
+  def lshTuningCurve(docs: DataFrame): DataFrame = {
+    val hs = shingleHashes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val pairs = pairJaccard(hs, sizes, ngramPrefixCandidates(hs, sizes, 1, 2))
+        .filter(col("i") * 2 >= col("sz_a") + col("sz_b") - col("i"))
+        .select(col("i"), (col("sz_a") + col("sz_b") - col("i")).as("u"))
+      val counts = pairs
+        .select(when(col("i") * 10 >= col("u") * 9, 9L)
+          .when(col("i") * 10 >= col("u") * 8, 8L)
+          .when(col("i") * 10 >= col("u") * 7, 7L)
+          .when(col("i") * 10 >= col("u") * 6, 6L)
+          .otherwise(5L).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+        .localCheckpoint(true)
+      docs.sparkSession.range(5, 10)
+        .select(col("id").as("bucket"),
+          (col("id") * 100000L + 50000L).as("mid_ppm"))
+        .join(counts, Seq("bucket"), "left")
+        .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+        .withColumn("s2", expr("mid_ppm * mid_ppm DIV 1000000"))
+        .withColumn("s4", expr("s2 * s2 DIV 1000000"))
+        .withColumn("q1", expr("1000000 - s4"))
+        .withColumn("q2", expr("q1 * q1 DIV 1000000"))
+        .withColumn("q4", expr("q2 * q2 DIV 1000000"))
+        .withColumn("q8", expr("q4 * q4 DIV 1000000"))
+        .withColumn("q16", expr("q8 * q8 DIV 1000000"))
+        .select(col("bucket"), col("mid_ppm"), col("n_pairs"),
+          expr("1000000 - q16").as("theo_detect_ppm"))
+    } finally hs.unpersist(blocking = false)
+  }
+
   /** BAG-OF-WORDS DEDUP — the reorder-robust exact-dup axis between
     * byte-exact dedup (X1) and near-dup (X2): two documents with the
     * SAME token multiset in a different order (shuffled boilerplate

@@ -1227,6 +1227,44 @@ object TextStats {
         col("n_replacement_docs"), col("control_chars"))
   }
 
+  /** VOCABULARY COVERAGE CURVE — "how big must the vocab be for X %
+    * token coverage": per frequency rank V (count desc, token
+    * tiebreak — the [[vocabulary]] total order, so the curve and the
+    * top-N cut agree by construction), the exact ppm of all token
+    * occurrences the top-V vocabulary explains. x113's coverage is a
+    * fixed top-20 per source; x123's growth is docs-ordered distinct
+    * counts; THIS is the V-sweep a tokenizer-sizing decision reads
+    * ("99 % at V = 28 — the remaining 3 types are noise").
+    *
+    * The running sum is a single-partition window over the VOCAB
+    * histogram (types, not occurrences) — at 100 TB that is a
+    * vocab-sized frame (millions of types), so the sweep is capped at
+    * `maxRank` (the decision lives in the head of the curve; the tail
+    * is the x26 top-N's job). Total mass comes from the same
+    * histogram (one corpus aggregate, checkpointed for its two
+    * consumers), never a second corpus scan. */
+  def vocabCurve(docs: DataFrame, maxRank: Int = 1000): DataFrame = {
+    require(maxRank >= 1, s"maxRank $maxRank must be positive")
+    val counts = docs
+      .select(explode(split(coalesce(col("text"), lit("")), " "))
+        .as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("n_token"))
+      .localCheckpoint(true)
+    val w = Window.orderBy(col("n_token").desc, col("token"))
+    counts
+      .withColumn("v_rank", row_number().over(w))
+      .withColumn("run", sum(col("n_token")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("v_rank") <= maxRank)
+      .crossJoin(broadcast(
+        counts.agg(sum(col("n_token")).as("n_total"))))
+      .select(col("v_rank").cast("long").as("v_rank"), col("token"),
+        col("n_token"),
+        expr("CAST(CAST(run AS DECIMAL(38,0)) * 1000000 DIV n_total" +
+          " AS BIGINT)").as("covered_ppm"))
+  }
+
   /** EXACT HEAVY HITTERS via bounded-state candidates-then-verify —
     * every token holding more than 1/k of all token occurrences, with
     * its exact count and ppm share. The naive `groupBy(token)` shuffles

@@ -5841,6 +5841,77 @@ object ExtOracles {
         |            AS BIGINT) AS share_ppm
         |FROM g, n WHERE g.n_token * 64 > n.n_total""".stripMargin,
 
+    // LSH tuning curve: brute-force exact pairs at j >= 1/2 (the
+    // engine's prefix filter is recall-1.0 at the same cut — a
+    // cross-construction), identical CASE-descent bucketing and
+    // staged-squaring S-curve floors.
+    "x232_lsh_tuning" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS MATERIALIZED (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  p AS (SELECT i.i, (sa.sz + sb.sz - i.i) AS u
+         |        FROM inter i
+         |        JOIN sz sa ON sa.doc_id = i.a_id
+         |        JOIN sz sb ON sb.doc_id = i.b_id
+         |        WHERE 2 * i.i >= sa.sz + sb.sz - i.i),
+         |  bk AS (SELECT CASE WHEN i * 10 >= u * 9 THEN 9
+         |                     WHEN i * 10 >= u * 8 THEN 8
+         |                     WHEN i * 10 >= u * 7 THEN 7
+         |                     WHEN i * 10 >= u * 6 THEN 6
+         |                     ELSE 5 END AS bucket
+         |         FROM p),
+         |  c AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+         |               CAST(count(*) AS BIGINT) AS n_pairs
+         |        FROM bk GROUP BY 1),
+         |  b AS (SELECT CAST(d AS BIGINT) AS bucket,
+         |               CAST(d * 100000 + 50000 AS BIGINT) AS mid_ppm
+         |        FROM range(5, 10) t(d)),
+         |  t1 AS (SELECT bucket, mid_ppm,
+         |                (mid_ppm * mid_ppm) // 1000000 AS s2 FROM b),
+         |  t2 AS (SELECT bucket, mid_ppm, (s2 * s2) // 1000000 AS s4
+         |         FROM t1),
+         |  t3 AS (SELECT bucket, mid_ppm, 1000000 - s4 AS q1 FROM t2),
+         |  t4 AS (SELECT bucket, mid_ppm, q1, (q1 * q1) // 1000000 AS q2
+         |         FROM t3),
+         |  t5 AS (SELECT bucket, mid_ppm, (q2 * q2) // 1000000 AS q4
+         |         FROM t4),
+         |  t6 AS (SELECT bucket, mid_ppm, (q4 * q4) // 1000000 AS q8
+         |         FROM t5),
+         |  t7 AS (SELECT bucket, mid_ppm, (q8 * q8) // 1000000 AS q16
+         |         FROM t6)
+         |SELECT t7.bucket, t7.mid_ppm,
+         |       coalesce(c.n_pairs, 0) AS n_pairs,
+         |       1000000 - t7.q16 AS theo_detect_ppm
+         |FROM t7 LEFT JOIN c ON c.bucket = t7.bucket""".stripMargin,
+
+    // Vocabulary coverage curve: identical (count desc, token) total
+    // order, running sum over the vocab histogram.
+    "x233_vocab_curve" ->
+      """WITH t AS (SELECT unnest(string_split(coalesce(text, ''), ' '))
+        |                  AS token
+        |           FROM documents),
+        |  g AS (SELECT token, CAST(count(*) AS BIGINT) AS n_token
+        |        FROM t WHERE length(token) > 0 GROUP BY 1),
+        |  r AS (SELECT token, n_token,
+        |               CAST(row_number() OVER
+        |                    (ORDER BY n_token DESC, token) AS BIGINT)
+        |                 AS v_rank,
+        |               sum(n_token) OVER
+        |                    (ORDER BY n_token DESC, token
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING
+        |                     AND CURRENT ROW) AS run,
+        |               sum(n_token) OVER () AS n_total
+        |        FROM g)
+        |SELECT v_rank, token, n_token,
+        |       CAST(CAST(run AS HUGEINT) * 1000000 // n_total AS BIGINT)
+        |         AS covered_ppm
+        |FROM r WHERE v_rank <= 1000""".stripMargin,
+
     // Leave-one-out target encoding: identical cents floor, identical
     // self-excluded integral mean, NULL on singleton categories.
     "x229_target_encoding" ->

@@ -895,6 +895,11 @@ object ExtQueries {
     // Exact heavy hitters via the Misra-Gries candidates-then-verify
     // aggregate (bounded state; exact recount decides).
     "x231_heavy_hitters" -> ((s, d) => TextStats.heavyHitters(docs(s, d))),
+    // LSH tuning curve: exact pair histogram per Jaccard decile next
+    // to the theoretical 16x4 banding S-curve at the bucket midpoint.
+    "x232_lsh_tuning" -> ((s, d) => Dedup.lshTuningCurve(docs(s, d))),
+    // Vocabulary coverage curve: covered ppm at every frequency rank.
+    "x233_vocab_curve" -> ((s, d) => TextStats.vocabCurve(docs(s, d))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

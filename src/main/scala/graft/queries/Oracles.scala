@@ -299,6 +299,20 @@ object Oracles {
         |       CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
+    // Q18: mixed grouping sets; the packed grouping id is spelled
+    // explicitly (native grouping_id bit order is an engine
+    // convention).
+    "q18_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS cents,
+        |       CAST(GROUPING(o_orderstatus) * 2
+        |            + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))""".stripMargin,
+
     // Q14: the SAME SQL text the Spark side executes — shared constant,
     // drift impossible by construction.
     "q14_sql_entry" -> Queries.q14Sql,

@@ -271,6 +271,25 @@ object Queries {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
 
+  /** Mixed GROUPING SETS — the grouping surface between rollup (q6)
+    * and cube (q12): an explicit set list that is NEITHER (both
+    * one-dimension margins, no grand total), plus the packed grouping
+    * id spelled `grouping(a)·2 + grouping(b)` EXPLICITLY on both
+    * engines (native grouping_id bit order is an engine convention —
+    * never hash-gate it). grouping() must sit in the agg clause
+    * (the x42 lesson). */
+  def q18GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"),
+        (grouping(col("o_orderstatus")) * 2 +
+          grouping(col("o_orderpriority"))).cast("long").as("gid"))
+
   /** Goals-vs-actuals reporting — the drawio spec's
     * `events_goals{event_type, goal_period, goal}` shape (SURVEY §0):
     * daily actuals per event type ([[q5EventWindows]]) joined to the
@@ -659,6 +678,7 @@ object Queries {
     "q10_pivot" -> (q10Pivot _),
     "q11_intersect" -> (q11Intersect _),
     "q12_cube" -> (q12Cube _),
+    "q18_grouping_sets" -> (q18GroupingSets _),
     "q13_goals_vs_actuals" -> (q13GoalsVsActuals _),
     "q14_sql_entry" -> (q14SqlEntry _),
     "q15_sql_vector" -> (q15SqlVector _),

@@ -6265,6 +6265,58 @@ class ExtSpec extends SparkSpec {
     assert(cand == cand.sorted, s"unsorted: $cand")
   }
 
+  test("lshTuningCurve: staged S-curve floors, bucket counts vs exact join, zero rows") {
+    import spark.implicits._
+    // three planted pair levels: near-identical (j ~ high bucket), a
+    // mid pair, plus unrelated docs -> at least one empty bucket
+    val base = (0 until 12).map(i => s"w${i}a w${i}b w${i}c w${i}d").mkString(" ")
+    val docs = Seq(
+      (1L, base + " tail1 x y"),
+      (2L, base + " tail2 x y"),            // high-j pair with 1
+      (3L, "p q r s t u v w p2 q2 r2 s2"),
+      (4L, "p q r s t u v w p2 q2 a1 b1"),  // j = 8/12 -> bucket 6
+      (5L, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.lshTuningCurve(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(5L, 6L, 7L, 8L, 9L), s"got $got")
+    // total bucketed pairs == the exact join at the same floor
+    val exact = graft.ext.Dedup.ngramJaccardJoin(docs, 1, 2).count()
+    assert(got.values.map(_._2).sum == exact, s"got $got vs exact $exact")
+    // theoretical S-curve: recompute the staged floors in BigInt
+    def theo(mid: Long): Long = {
+      def fl(a: BigInt, b: BigInt) = a * b / 1000000
+      val s4 = fl(fl(mid, mid), fl(mid, mid))
+      val q = BigInt(1000000) - s4
+      val q16 = fl(fl(fl(fl(q, q), fl(q, q)), fl(fl(q, q), fl(q, q))),
+        fl(fl(fl(q, q), fl(q, q)), fl(fl(q, q), fl(q, q))))
+      (BigInt(1000000) - q16).toLong
+    }
+    (5L to 9L).foreach { b =>
+      val mid = b * 100000 + 50000
+      assert(got(b)._1 == mid && got(b)._3 == theo(mid),
+        s"bucket $b: ${got(b)} want theo ${theo(mid)}")
+    }
+    // the curve is monotone increasing in similarity
+    val curve = (5L to 9L).map(got(_)._3)
+    assert(curve.zip(curve.tail).forall { case (a, c) => a < c }, s"$curve")
+    // at least one bucket is empty and still reports an explicit 0 row
+    assert(got.values.exists(_._2 == 0L), s"got $got")
+  }
+
+  test("vocabCurve: hand-worked running coverage, ends at exactly 1e6") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = graft.ext.TextStats.vocabCurve(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // a=3, b=2, c=1 of 6 total
+    assert(got(1L) == (("a", 3L, 500000L)), s"got $got")
+    assert(got(2L) == (("b", 2L, 833333L)), s"got $got")
+    assert(got(3L) == (("c", 1L, 1000000L)), s"got $got")
+  }
+
   test("looTargetEncoding: self-excluded mean, singleton NULL") {
     import spark.implicits._
     val fact = Seq(
