@@ -6265,6 +6265,37 @@ class ExtSpec extends SparkSpec {
     assert(cand == cand.sorted, s"unsorted: $cand")
   }
 
+  test("round-11 batch plan shapes: loo broadcast, MG object-hash agg, ewma/ff dimension joins") {
+    import spark.implicits._
+    val fact = (1 to 200).map(i => (i.toLong, s"c${i % 5}", i.toLong * 10))
+      .toDF("o_orderkey", "prio", "cents")
+    // looTargetEncoding: the category stats come back via BROADCAST —
+    // the fact table itself must never shuffle for the join
+    val looPlan = graft.ext.Assemble
+      .looTargetEncoding(fact, "prio", col("cents"))
+      .queryExecution.executedPlan.toString
+    assert(looPlan.contains("BroadcastHashJoin"),
+      s"loo join must broadcast the category stats:\n${looPlan.take(1500)}")
+    // heavyHitters: the MG sketch runs as ObjectHashAggregate (the
+    // TypedImperativeAggregate path), and the recount join broadcasts
+    // the bounded candidate list
+    val docs = (1 to 300).map(i => (i.toLong, s"t${i % 7} t${i % 3} hot"))
+      .toDF("doc_id", "text")
+    val hh = graft.ext.TextStats.heavyHitters(docs, k = 4, stateSize = 8)
+    val hhPlan = hh.queryExecution.executedPlan.toString
+    assert(hhPlan.contains("BroadcastHashJoin"),
+      s"recount must broadcast the candidates:\n${hhPlan.take(1500)}")
+    // the sketch side: probe the single-row aggregate's own plan
+    import org.apache.spark.sql.functions.call_function
+    graft.functions.GraftFunctions.register(spark)
+    val sketchPlan = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(call_function("mg_candidates", col("token"), lit(8)))
+      .queryExecution.executedPlan.toString
+    assert(sketchPlan.contains("ObjectHashAggregate"),
+      s"mg_candidates must ride ObjectHashAggregate:\n${sketchPlan.take(1500)}")
+  }
+
   test("lshTuningCurve: staged S-curve floors, bucket counts vs exact join, zero rows") {
     import spark.implicits._
     // three planted pair levels: near-identical (j ~ high bucket), a
