@@ -689,6 +689,40 @@ object Assemble {
           " DIV n_tokens AS BIGINT)"))
   }
 
+  /** PACKING-EFFICIENCY AUDIT — the trainer-facing rollup of
+    * [[packBudget]]'s shard/sequence assignment ("how much of every
+    * 2048-token window is real data"): per shard, sequence count,
+    * docs, token mass, exact fill ppm against the budget, the count
+    * of OVERFLOW sequences and the worst one. packBudget assigns by
+    * START offset, so a sequence's last document can run past the
+    * budget — fill_ppm can exceed 10⁶ and `n_overflow_seqs` counts
+    * exactly the sequences where the trainer must truncate or spill;
+    * the complement (fill below 10⁶ on the shard's LAST sequence) is
+    * padding waste. Shares packBudget's construction verbatim, so the
+    * audit can never drift from the packing it audits.
+    *
+    * Exact integers end to end (token counts, one integral ppm
+    * division); two map-side rollups above the packing window —
+    * sequence-sized, then shard-sized. */
+  def packEfficiency(
+      docs: DataFrame, budgetTokens: Int = 2048, shards: Int = 32,
+      salt: String = "pack-v1"): DataFrame = {
+    val seqs = packBudget(docs, budgetTokens, shards, salt)
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(sum(col("n_tokens")).as("seq_tokens"),
+        count(lit(1)).as("n_docs"))
+    seqs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("seq_tokens")).as("n_tokens"),
+        sum(when(col("seq_tokens") > budgetTokens, 1L).otherwise(0L))
+          .as("n_overflow_seqs"),
+        max(col("seq_tokens")).as("max_seq_tokens"))
+      .withColumn("fill_ppm",
+        expr(s"CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000" +
+          s" DIV (n_seqs * ${budgetTokens}L) AS BIGINT)"))
+  }
+
   /** LEAVE-ONE-OUT TARGET ENCODING — the leakage-safe categorical
     * feature every tabular training pipeline derives (turn a category
     * into "the mean target of the OTHER rows in my category"): per

@@ -1559,6 +1559,45 @@ object Dedup {
         col("n_members"), col("quality_score").as("keeper_quality"))
   }
 
+  /** KEEPER-POLICY COMPARISON — "does the survivorship rule matter?":
+    * per duplicate component, the keeper each of the three standard
+    * policies would pick — smallest id (X51's stable default), best
+    * quality (X46's curation pick), longest text (the recall-greedy
+    * crawler default) — and how many DISTINCT keepers that is. A
+    * corpus where the policies agree can dedup with the cheap id rule;
+    * one where they diverge is losing content or quality to whichever
+    * rule it happens to run — the audit that decides BEFORE the
+    * rewrite. Rankings are rank-only under total orders
+    * ((quality desc, doc_id) / (chars desc, doc_id) — comparing
+    * doubles both engines computed identically is hash-safe, the x151
+    * rule); components come from the exact X24 closure.
+    *
+    * Scale shape: scoring joins the component membership FIRST (the
+    * X46 rationale — members are a few percent of a corpus), the two
+    * rank windows partition by component (no global sort), the rollup
+    * is component-sized. */
+  def keeperPolicies(docs: DataFrame, components: DataFrame): DataFrame = {
+    val members = docs.join(components, "doc_id")
+    val byComp = Window.partitionBy(col("component"))
+    val scored = TextStats.withQuality(members)
+      .withColumn("kp_chars",
+        length(coalesce(col("text"), lit(""))).cast("long"))
+      .select(col("doc_id"), col("component"), col("quality_score"),
+        col("kp_chars"))
+      .withColumn("rq", row_number().over(
+        byComp.orderBy(col("quality_score").desc, col("doc_id"))))
+      .withColumn("rl", row_number().over(
+        byComp.orderBy(col("kp_chars").desc, col("doc_id"))))
+    scored.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("keep_min_id"),
+        min(when(col("rq") === 1, col("doc_id"))).as("keep_best_quality"),
+        min(when(col("rl") === 1, col("doc_id"))).as("keep_longest"))
+      .withColumn("n_distinct_keepers",
+        size(array_distinct(array(col("keep_min_id"),
+          col("keep_best_quality"), col("keep_longest")))).cast("long"))
+  }
+
   /** (doc_id, simhash, band, band_val) rows — the SimHash blocking key
     * space, shared by the candidate join and its cap report. */
   private def simhashBands(docs: DataFrame): DataFrame =

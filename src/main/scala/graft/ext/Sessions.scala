@@ -591,6 +591,56 @@ object Sessions {
       .withColumn("prob_ppm", expr("1000000 * n_pairs DIV row_total"))
   }
 
+  /** TRANSITION DWELL-TIME percentiles — the TIME dimension
+    * [[transitionMatrix]] drops: per (from → to) transition, exact
+    * P50/P90 of the dwell in whole SECONDS ("users pause 4 s between
+    * view and click but 90 s before purchase" — the engagement-vs-
+    * hesitation read, and the timeout evidence a session-gap choice
+    * is defended with). Consecutive pairs under the (us, event_id)
+    * total order (same-microsecond ties are real in event streams —
+    * the x29 convention keeps both engines walking one sequence);
+    * dwell floors to seconds BEFORE the histogram (microsecond gaps
+    * are near-unique — seconds bound the value domain, stated).
+    *
+    * Percentiles are the x30 HISTOGRAM-rank carve (PERCENTILE_DISC
+    * re-derived in integers: smallest value whose cumulative count
+    * reaches ⌈p·n/100⌉) — after the one user-keyed window, everything
+    * is bounded by transitions × distinct dwell-seconds, never raw
+    * events in one task. */
+  def transitionDwell(
+      events: DataFrame, ps: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles $ps must be in [1, 100]")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"),
+        expr("(us - prev_us) DIV 1000000").as("dwell_s"))
+    val hist = gaps.groupBy(col("from_type"), col("to_type"), col("dwell_s"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy(col("from_type"), col("to_type"))
+        .orderBy(col("dwell_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val targets = hist.groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("cnt")).as("n"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        explode(typedLit(ps)).as("p"))
+      .withColumn("target_rn", expr("(p * n + 99) DIV 100"))
+    cum.join(broadcast(targets), Seq("from_type", "to_type"))
+      .filter(col("cum") >= col("target_rn") &&
+        col("cum") - col("cnt") < col("target_rn"))
+      .select(col("from_type"), col("to_type"), col("p"),
+        col("n").as("n_transitions"), col("dwell_s").as("dwell_s_at_p"))
+  }
+
   /** Conversion-lag percentiles: for each consecutive stage pair in
     * `stages`, the distribution of per-user lag between the FIRST
     * occurrence of each stage ("time to convert" — the product

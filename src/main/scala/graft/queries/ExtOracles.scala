@@ -5912,6 +5912,132 @@ object ExtOracles {
         |         AS covered_ppm
         |FROM r WHERE v_rank <= 1000""".stripMargin,
 
+    // Transition dwell: identical (us, event_id) total order, dwell
+    // floored to seconds before the histogram-rank carve.
+    "x234_transition_dwell" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |           FROM events
+        |           WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |             AND event_type IS NOT NULL),
+        |  g0 AS (SELECT lag(event_type) OVER w AS from_type,
+        |                event_type AS to_type,
+        |                (us - lag(us) OVER w) // 1000000 AS dwell_s
+        |         FROM e
+        |         WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |  g AS (SELECT * FROM g0 WHERE from_type IS NOT NULL),
+        |  hist AS (SELECT from_type, to_type, dwell_s,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM g GROUP BY 1, 2, 3),
+        |  cum AS (SELECT from_type, to_type, dwell_s, cnt,
+        |                 CAST(sum(cnt) OVER (
+        |                      PARTITION BY from_type, to_type
+        |                      ORDER BY dwell_s ROWS UNBOUNDED PRECEDING)
+        |                    AS BIGINT) AS cum
+        |          FROM hist),
+        |  tg AS (SELECT from_type, to_type,
+        |                CAST(sum(cnt) AS BIGINT) AS n
+        |         FROM hist GROUP BY 1, 2),
+        |  tt AS (SELECT from_type, to_type, n, p,
+        |                (p * n + 99) // 100 AS target_rn
+        |         FROM tg, (SELECT unnest([50, 90]) AS p))
+        |SELECT c.from_type, c.to_type, t.p,
+        |       t.n AS n_transitions, c.dwell_s AS dwell_s_at_p
+        |FROM cum c JOIN tt t USING (from_type, to_type)
+        |WHERE c.cum >= t.target_rn
+        |  AND c.cum - c.cnt < t.target_rn""".stripMargin,
+
+    // Keeper policies: the x46 recursive closure + quality spelling,
+    // three independent ranked picks, one component rollup.
+    "x235_keeper_policies" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS (
+         |    SELECT a_id, b_id FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 8 * (sa.sz + sb.sz - i.i)),
+         |  e AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |        UNION SELECT b_id, a_id FROM pairs),
+         |  reach(a, b) AS (
+         |    SELECT a, b FROM e
+         |    UNION
+         |    SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |  comp AS (SELECT n.a AS doc_id, least(min(r.b), n.a) AS component
+         |           FROM (SELECT DISTINCT a FROM e) n JOIN reach r ON r.a = n.a
+         |           GROUP BY n.a),
+         |  m AS (SELECT doc_id,
+         |          len(string_split(text, ' ')) AS n_tokens,
+         |          len(list_filter(string_split(text, ' '),
+         |              t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop,
+         |          length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+         |          length(text) AS n_chars
+         |        FROM documents),
+         |  q AS (SELECT doc_id,
+         |          (CASE WHEN n_tokens < 5 THEN 0.0
+         |                ELSE 1.0 - (CASE WHEN n_chars = 0 THEN 0e0
+         |                            ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 2.0
+         |                     + least((CAST(n_stop AS DOUBLE) / n_tokens) * 1.5, 0.3)
+         |           END) AS quality_score
+         |        FROM m),
+         |  nk AS (SELECT doc_id,
+         |                CAST(length(coalesce(text, '')) AS BIGINT) AS kp_chars
+         |         FROM documents),
+         |  ranked AS (
+         |    SELECT c.component, c.doc_id,
+         |           row_number() OVER (PARTITION BY c.component
+         |                ORDER BY q.quality_score DESC, c.doc_id) AS rq,
+         |           row_number() OVER (PARTITION BY c.component
+         |                ORDER BY k.kp_chars DESC, c.doc_id) AS rl
+         |    FROM comp c JOIN q USING (doc_id) JOIN nk k USING (doc_id)),
+         |  agg AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+         |                 min(doc_id) AS keep_min_id,
+         |                 min(CASE WHEN rq = 1 THEN doc_id END)
+         |                   AS keep_best_quality,
+         |                 min(CASE WHEN rl = 1 THEN doc_id END)
+         |                   AS keep_longest
+         |          FROM ranked GROUP BY 1)
+         |SELECT component, n_members, keep_min_id, keep_best_quality,
+         |       keep_longest,
+         |       CAST(len(list_distinct([keep_min_id, keep_best_quality,
+         |            keep_longest])) AS BIGINT) AS n_distinct_keepers
+         |FROM agg""".stripMargin,
+
+    // Pack efficiency: the x22 assignment verbatim, sequence rollup,
+    // shard rollup.
+    "x236_pack_efficiency" ->
+      """WITH p AS (
+        |    SELECT doc_id, shard, n_tokens,
+        |           CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_idx
+        |    FROM (SELECT doc_id, shard, n_tokens,
+        |            sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                                ROWS UNBOUNDED PRECEDING) AS cum
+        |          FROM (SELECT doc_id,
+        |                  ('0x' || substr(md5(text || 'pack-v1'), 1, 8))::BIGINT
+        |                    % 32 AS shard,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT)
+        |                    AS n_tokens
+        |                FROM documents))),
+        |  s AS (SELECT shard, seq_idx,
+        |               CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |               CAST(count(*) AS BIGINT) AS n_docs
+        |        FROM p GROUP BY 1, 2)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_seqs,
+        |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |       CAST(sum(seq_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN seq_tokens > 2048 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_overflow_seqs,
+        |       CAST(max(seq_tokens) AS BIGINT) AS max_seq_tokens,
+        |       CAST(CAST(sum(seq_tokens) AS HUGEINT) * 1000000
+        |            // (count(*) * 2048) AS BIGINT) AS fill_ppm
+        |FROM s GROUP BY shard""".stripMargin,
+
     // Leave-one-out target encoding: identical cents floor, identical
     // self-excluded integral mean, NULL on singleton categories.
     "x229_target_encoding" ->

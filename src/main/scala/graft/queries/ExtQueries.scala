@@ -900,6 +900,16 @@ object ExtQueries {
     "x232_lsh_tuning" -> ((s, d) => Dedup.lshTuningCurve(docs(s, d))),
     // Vocabulary coverage curve: covered ppm at every frequency rank.
     "x233_vocab_curve" -> ((s, d) => TextStats.vocabCurve(docs(s, d))),
+    // Transition dwell-time percentiles (the time dimension the x86
+    // transition matrix drops), histogram-rank carve over seconds.
+    "x234_transition_dwell" -> ((s, d) =>
+      Sessions.transitionDwell(events(s, d))),
+    // Keeper-policy comparison over the x24 duplicate components.
+    "x235_keeper_policies" -> ((s, d) =>
+      Dedup.keeperPolicies(docs(s, d), dupComps(s, d))),
+    // Packing-efficiency audit over the x22 shard/sequence assignment.
+    "x236_pack_efficiency" -> ((s, d) =>
+      Assemble.packEfficiency(docs(s, d))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

@@ -6296,6 +6296,62 @@ class ExtSpec extends SparkSpec {
       s"mg_candidates must ride ObjectHashAggregate:\n${sketchPlan.take(1500)}")
   }
 
+  test("transitionDwell: floor-to-seconds carve, percentile ranks, same-us tie order") {
+    import spark.implicits._
+    // u1 and u2 both view->click with dwells 2s and 10s; u3 has two
+    // same-microsecond events ordered by event_id (dwell 0)
+    val rows = Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 2000000L),
+      (3L, 2L, "view", 0L), (4L, 2L, "click", 10500000L),
+      (5L, 3L, "a", 7L), (6L, 3L, "b", 7L))
+      .toDF("event_id", "user_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Sessions.transitionDwell(rows)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // view->click dwells {2, 10}: p50 rank (50*2+99)//100 = 1 -> 2;
+    // p90 rank (90*2+99)//100 = 2 -> 10
+    assert(got(("view", "click", 50)) == ((2L, 2L)), s"got $got")
+    assert(got(("view", "click", 90)) == ((2L, 10L)), s"got $got")
+    // the same-us pair walks a -> b (event_id order), dwell 0
+    assert(got(("a", "b", 50)) == ((1L, 0L)), s"got $got")
+    assert(!got.contains(("b", "a", 50)), s"got $got")
+  }
+
+  test("keeperPolicies: the three policies diverge and agree as constructed") {
+    import spark.implicits._
+    val docs = Seq(
+      // comp 1: doc 10 wins quality (stopword bonus), doc 11 wins length
+      (10L, "the a of and to in xx"),
+      (11L, "zz zz zz zz zz zz zz zz zz zz zz zz"),
+      // comp 2: identical twins -> every policy picks 20
+      (20L, "same text five tokens here"),
+      (21L, "same text five tokens here"))
+      .toDF("doc_id", "text")
+    val comps = Seq((10L, 1L), (11L, 1L), (20L, 2L), (21L, 2L))
+      .toDF("doc_id", "component")
+    val got = graft.ext.Dedup.keeperPolicies(docs, comps)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got(1L) == ((2L, 10L, 10L, 11L, 2L)), s"got $got")
+    assert(got(2L) == ((2L, 20L, 20L, 20L, 1L)), s"got $got")
+  }
+
+  test("packEfficiency: overflow sequences counted, exact fill ppm") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w w w w w w"), (2L, "w w w w w w"), (3L, "w w w w w w"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Assemble
+      .packEfficiency(docs, budgetTokens = 10, shards = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // one shard: cum starts 0/6/12 -> seqs {0: 12 tokens 2 docs
+    // (overflow), 1: 6 tokens}; fill = 18e6 // (2*10)
+    assert(got.toSeq == Seq((2L, 3L, 18L, 1L, 12L, 900000L)), s"got ${got.toSeq}")
+  }
+
   test("lshTuningCurve: staged S-curve floors, bucket counts vs exact join, zero rows") {
     import spark.implicits._
     // three planted pair levels: near-identical (j ~ high bucket), a
