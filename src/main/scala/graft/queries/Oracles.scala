@@ -14,6 +14,13 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
         |FROM orders WHERE o_orderkey % 100 = 0 AND o_custkey >= 50""".stripMargin,
 
+    // the $skip (OFFSET) leg: pages serve o_orderkey order, so the
+    // pushed-offset slice is the deterministic ORDER BY ... OFFSET cut.
+    "s7_odata_offset" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey OFFSET 37""".stripMargin,
+
     // the $orderby+$top leg over the same page "server": the total
     // order (custkey DESC, orderkey) makes the selected 20 rows exact.
     "s5_odata_topn" ->

@@ -329,6 +329,24 @@ object Queries {
       .limit(2000000)
   }
 
+  /** S7: the `$skip` (OFFSET) leg — a pushed global offset converts
+    * into (first page, in-page skip) from the render-time page-count
+    * sidecar at PLAN time, pruning fully-skipped pages before any
+    * read (the production transport sends `$skip=n` and the server
+    * walks its own `$skiptoken` index). Pages serve rows in
+    * o_orderkey order, so the offset slice is the deterministic
+    * ORDER BY o_orderkey OFFSET cut the oracle states. COMPLETE
+    * pushdown by contract — acceptance is therefore guarded (raw
+    * page stream only, sidecar present; see ODataScanBuilder). */
+  def s7ODataOffset(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.odata.ODataPages
+    spark.read.format("graft-odata")
+      .schema(ODataPages.ordersSchema)
+      .option("path", ODataPages.ordersPages(spark, dir))
+      .load()
+      .offset(37)
+  }
+
   /** S5 through the PRODUCTION connector: the `$orderby`+`$top` leg —
     * ORDER BY + LIMIT fuse into the connector's TopN pushdown
     * (partial: each page serves its local top-n under the exact
@@ -650,6 +668,7 @@ object Queries {
     "s1_odata_scan" -> (s1ODataScan _),
     "s3_odata_expand" -> (s3ODataExpand _),
     "s5_odata_topn" -> (s5ODataTopN _),
+    "s7_odata_offset" -> (s7ODataOffset _),
     "s6_odata_agg" -> (s6ODataAgg _),
     "q16_sql_catalog" -> (q16SqlCatalog _),
     "q17_unpivot" -> (q17Unpivot _),

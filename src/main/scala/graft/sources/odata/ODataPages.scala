@@ -117,6 +117,7 @@ object ODataPages {
         .collect() // bounded: 1/Modulus of orders, sorted — see Scaladoc
       val dir = java.nio.file.Files.createTempDirectory("odata_pages")
       val m = ODataTableProvider.mapper
+      val counts = m.createObjectNode()
       rows.grouped(PageSize).zipWithIndex.foreach { case (page, i) =>
         val root = m.createObjectNode()
         val arr = root.putArray("value")
@@ -130,7 +131,14 @@ object ODataPages {
         java.nio.file.Files.write(
           dir.resolve(f"page_$i%05d.json"),
           m.writeValueAsBytes(root))
+        counts.put(f"page_$i%05d.json", page.length.toLong)
       }
+      // per-page row counts — the metadata that lets a pushed global
+      // OFFSET ($skip) convert into (start page, in-page skip) at PLAN
+      // time without reading any page. The production server publishes
+      // the same knowledge through $count/$skiptoken paging.
+      java.nio.file.Files.write(
+        dir.resolve("_counts.meta"), m.writeValueAsBytes(counts))
       dir.toString
     }
 }

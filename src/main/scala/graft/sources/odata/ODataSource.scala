@@ -125,6 +125,22 @@ object ODataTableProvider {
     val in = p.getFileSystem(hadoopConf()).open(p)
     try mapper.readTree(in) finally in.close()
   }
+
+  /** Per-page row counts from the render-time `_counts.meta` sidecar
+    * (page-file name → rows). None when the directory carries no
+    * sidecar — offset pushdown is then declined and Spark keeps the
+    * OFFSET operator. */
+  private[odata] def pageCounts(dir: String): Option[Map[String, Long]] = {
+    val p = new Path(dir, "_counts.meta")
+    val fs = p.getFileSystem(hadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val node = try mapper.readTree(in) finally in.close()
+      Some(node.fields().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap)
+    }
+  }
 }
 
 final class ODataTable(tableSchema: StructType, path: String) extends Table with SupportsRead {
@@ -151,14 +167,32 @@ final class ODataScanBuilder(fullSchema: StructType, path: String)
   with SupportsPushDownFilters
   with SupportsPushDownLimit
   with SupportsPushDownTopN
+  with SupportsPushDownOffset
   with SupportsPushDownAggregates
   with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
   private var topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None
   private var agg: Option[ODataAggregation] = None
   private var required: StructType = fullSchema
+
+  /** OFFSET pushdown — OData `$skip`, the sixth rung. Unlike every
+    * other rung this one is COMPLETE by contract (Spark removes its
+    * Offset operator entirely when accepted), so acceptance must
+    * guarantee GLOBAL exactness: only over the raw page stream (no
+    * pushed filter/TopN/aggregate reshaping per-page cardinality, no
+    * limit already below the offset) and only when the render-time
+    * `_counts.meta` sidecar is present — the planner converts the
+    * global skip into (first page, in-page skip) from page counts
+    * alone, reading zero data at plan time. The production transport
+    * would send `$skip=n` and let the server do the same walk over
+    * its `$skiptoken` index. */
+  override def pushOffset(n: Int): Boolean =
+    if (n <= 0 || pushed.nonEmpty || limit.isDefined || topN.isDefined ||
+      agg.isDefined || ODataTableProvider.pageCounts(path).isEmpty) false
+    else { offset = Some(n); true }
 
   /** Accept the filter shapes OData `$filter` can express on scalar
     * columns AND whose literal the reader can evaluate row-side;
@@ -189,7 +223,13 @@ final class ODataScanBuilder(fullSchema: StructType, path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  // When an offset is already pushed the plan shape is
+  // Limit(Offset(scan)): a per-page limit cap would have to apply
+  // AFTER the global skip — declinable for free since the per-page
+  // limit is only an optimization (Spark keeps its own Limit above a
+  // partially-pushed scan). Decline and keep the offset exact.
+  override def pushLimit(n: Int): Boolean =
+    if (offset.isDefined) false else { limit = Some(n); true }
 
   /** ORDER BY + LIMIT fuse into the OData `$orderby`/`$top` pair —
     * the fourth rung of the pushdown ladder. PARTIAL pushdown by
@@ -281,7 +321,7 @@ final class ODataScanBuilder(fullSchema: StructType, path: String)
   override def build(): Scan =
     new ODataScan(
       agg.map(a => ODataScan.aggSchema(fullSchema, a)).getOrElse(required),
-      path, pushed, limit, topN, agg)
+      path, pushed, limit, topN, agg, offset)
 }
 
 object ODataScan {
@@ -309,7 +349,8 @@ final class ODataScan(
     filters: Array[Filter],
     limit: Option[Int],
     topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None,
-    agg: Option[ODataAggregation] = None)
+    agg: Option[ODataAggregation] = None,
+    offset: Option[Int] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = schema
@@ -333,6 +374,7 @@ final class ODataScan(
           s"$$orderby=" + cols.map { case (c, asc, _) =>
             s"$c ${if (asc) "asc" else "desc"}" }.mkString(",")
         } ++
+        offset.map(n => s"$$skip=$n") ++
         (topN.map(t => s"$$top=${t._2}") orElse limit.map(n => s"$$top=$n")) ++
         (if (agg.isEmpty) Seq(s"$$select=${schema.fieldNames.mkString(",")}")
          else Nil)
@@ -342,15 +384,39 @@ final class ODataScan(
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    ODataTableProvider.pageFiles(path)
-      .map(p => ODataInputPartition(p): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = ODataTableProvider.pageFiles(path)
+    offset match {
+      case None =>
+        files.map(p => ODataInputPartition(p): InputPartition).toArray
+      case Some(n) =>
+        // counts sidecar guaranteed by pushOffset's acceptance check;
+        // fully-skipped pages are PRUNED at plan time, the first
+        // surviving page carries the in-page remainder
+        val counts = ODataTableProvider.pageCounts(path).getOrElse(
+          throw new IllegalStateException(
+            s"offset pushed but _counts.meta vanished under $path"))
+        var remaining = n.toLong
+        files.flatMap { f =>
+          val name = new Path(f).getName
+          val c = counts.getOrElse(name, throw new IllegalStateException(
+            s"page $name missing from _counts.meta under $path"))
+          if (remaining >= c) { remaining -= c; None }
+          else {
+            val skip = remaining
+            remaining = 0L
+            Some(ODataInputPartition(f, skip): InputPartition)
+          }
+        }.toArray
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ODataReaderFactory(schema, filters, limit, topN, agg)
 }
 
-final case class ODataInputPartition(pageFile: String) extends InputPartition
+final case class ODataInputPartition(pageFile: String, skipRows: Long = 0L)
+  extends InputPartition
 
 final class ODataReaderFactory(
     schema: StructType,
@@ -359,10 +425,11 @@ final class ODataReaderFactory(
     topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None,
     agg: Option[ODataAggregation] = None)
   extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ODataInputPartition]
     new ODataPartitionReader(
-      partition.asInstanceOf[ODataInputPartition].pageFile, schema, filters,
-      limit, topN, agg)
+      p.pageFile, schema, filters, limit, topN, agg, p.skipRows)
+  }
 }
 
 /** Reads one page (`{"value": [...]}`), applying pushed filters and the
@@ -374,11 +441,16 @@ final class ODataPartitionReader(
     filters: Array[Filter],
     limit: Option[Int],
     topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None,
-    agg: Option[ODataAggregation] = None)
+    agg: Option[ODataAggregation] = None,
+    skipRows: Long = 0L)
   extends PartitionReader[InternalRow] {
 
+  // skipRows is the planner's in-page remainder of a pushed global
+  // OFFSET; only ever non-zero on the raw-stream path (pushOffset
+  // rejects coexistence with filters/TopN/aggregates/limit)
   private val pageRows: Iterator[JsonNode] =
     ODataTableProvider.readPage(pageFile).get("value").elements().asScala
+      .drop(skipRows.toInt)
 
   /** Per-page PARTIAL aggregation when a GROUP BY was pushed: one
     * (group key → state) cell per group seen on this page, emitted as

@@ -223,6 +223,87 @@ class ODataSourceSpec extends SparkSpec {
     assert(got == all, s"got $got want $all")
   }
 
+  private def countsSidecar(dir: String, counts: (String, Long)*): Unit =
+    Files.write(Paths.get(s"$dir/_counts.meta"),
+      counts.map { case (f, n) => s""""$f": $n""" }
+        .mkString("{", ", ", "}").getBytes("UTF-8"))
+
+  test("offset pushdown: $skip lands in the scan, skipped pages pruned at plan time") {
+    val dir = fixture
+    countsSidecar(dir, "page-0.json" -> 2L, "page-1.json" -> 2L)
+    val df = spark.read.format("graft-odata").schema(schema)
+      .option("path", dir).load()
+    val q = df.offset(3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("$skip=3"), s"offset not pushed:\n$plan")
+    // page-0 (2 rows) is fully skipped -> pruned; only page-1 plans
+    assert(q.rdd.getNumPartitions == 1, s"skipped page not pruned")
+    assert(q.collect().map(_.getAs[String]("ordname")).toSeq == Seq("SO4"))
+    // offset spanning into a page mid-way: in-page remainder applied
+    val q1 = df.offset(1)
+    assert(q1.collect().map(_.getAs[String]("ordname")).toSeq ==
+      Seq("SO2", "SO3", "SO4"))
+    // offset beyond all rows: zero partitions, empty result
+    assert(df.offset(9).collect().isEmpty)
+  }
+
+  test("offset + limit: Spark fuses to a pushed $top=limit+offset and its own CollectLimit") {
+    val dir = fixture
+    countsSidecar(dir, "page-0.json" -> 2L, "page-1.json" -> 2L)
+    val df = spark.read.format("graft-odata").schema(schema)
+      .option("path", dir).load()
+    // Limit-over-Offset plans reach the source as pushLimit(limit +
+    // offset) FIRST (the per-page prefix is superset-consistent with
+    // the global one), then pushOffset — which must DECLINE under a
+    // pushed limit (the reader would skip before capping, the wrong
+    // order); Spark's CollectLimit(3, 1) re-applies both exactly.
+    val q = df.offset(1).limit(2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("$top=3"), s"fused limit+offset not pushed:\n$plan")
+    assert(!plan.contains("$skip="),
+      s"offset must decline under a pushed limit:\n$plan")
+    assert(plan.contains("CollectLimit 3, 1"),
+      s"Spark's own limit+offset must stay above:\n$plan")
+    assert(q.collect().map(_.getAs[String]("ordname")).toSeq ==
+      Seq("SO2", "SO3"))
+  }
+
+  test("offset declines without a counts sidecar or under a filter; results still exact") {
+    val noSidecar = fixture
+    val df = spark.read.format("graft-odata").schema(schema)
+      .option("path", noSidecar).load()
+    val q = df.offset(2)
+    assert(!q.queryExecution.executedPlan.toString.contains("$skip="),
+      "offset must not push without _counts.meta")
+    assert(q.collect().map(_.getAs[String]("ordname")).toSet.size == 2)
+
+    val withSidecar = fixture
+    countsSidecar(withSidecar, "page-0.json" -> 2L, "page-1.json" -> 2L)
+    val df2 = spark.read.format("graft-odata").schema(schema)
+      .option("path", withSidecar).load()
+    val qf = df2.filter(col("qty") >= 5).offset(1)
+    assert(!qf.queryExecution.executedPlan.toString.contains("$skip="),
+      "offset must not push over a pushed filter (per-page counts lie)")
+    assert(qf.collect().length == 2) // 3 rows qty>=5 minus offset 1
+  }
+
+  test("s7 gate shape: pushed $skip over the rendered pages matches the ordered parquet slice") {
+    import graft.sources.odata.ODataPages
+    val pages = ODataPages.ordersPages(spark, sf)
+    val df = spark.read.format("graft-odata").schema(ODataPages.ordersSchema)
+      .option("path", pages).load()
+    val q = df.offset(4)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("$skip=4"),
+      s"gate offset not pushed into the scan request:\n$plan")
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(pmod(col("o_orderkey"), lit(100)) === 0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .orderBy("o_orderkey").collect().drop(4).toSeq
+    assert(q.collect().sortBy(_.getLong(0)).toSeq == expect,
+      "offset slice differs from the ordered parquet slice")
+  }
+
   test("GraftCatalog: entities list as tables, SQL resolves with pushdown, writes refused") {
     val root = graft.sources.odata.ODataPages.ordersExpandRoot(spark, sf)
     val cat = s"spec_cat_${math.abs(root.hashCode).toString}"
