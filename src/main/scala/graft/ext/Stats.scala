@@ -982,6 +982,135 @@ object Stats {
           .as("dev_ppm"))
   }
 
+  /** SAMPLE-RATIO-MISMATCH (SRM) check — the #1 experiment health
+    * gate, run BEFORE any lift number is read (X125 reports arm
+    * deviations; this turns them into the chi² goodness-of-fit
+    * decision an experimentation platform actually alerts on — a
+    * deviation far above hash noise means the LOGGING is biased, and
+    * every downstream readout is garbage): one row with the total,
+    * the chi² statistic in micro-units, and the flag against the
+    * fixed 95 % critical value for k−1 degrees of freedom (df = 1 for
+    * the two-arm default: 3.841459 — a FIXED integer literal, the
+    * x130/x221 convention; no chi² distribution is ever evaluated at
+    * query time).
+    *
+    * Exact integers: per arm the term is
+    * `10⁶ · (1000·n_i − N·ppt_i)² div (1000 · N · ppt_i)` — an
+    * independent integral floor per arm (sums-of-floors, the x144
+    * convention, stated), every product inside DECIMAL(38,0) ↔
+    * HUGEINT. Scale shape: one codegen'd hash projection + an
+    * arm-bounded groupBy — the [[abAssignment]] plan with a one-row
+    * rollup on top. */
+  def srmCheck(units: DataFrame, idCol: String,
+      experiment: String = "exp1",
+      arms: Seq[(String, Int)] = Seq("control" -> 500, "treatment" -> 500),
+      critMicro: Long = 3841459L): DataFrame = {
+    val counts = units.filter(col(idCol).isNotNull)
+      .select(armColumn(idCol, experiment, arms).as("arm"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("n_units"))
+    val pptDf = arms.foldLeft(Option.empty[DataFrame]) { case (acc, (name, ppt)) =>
+      val row = counts.sparkSession.range(1)
+        .select(lit(name).as("arm"), lit(ppt.toLong).as("ppt"))
+      Some(acc.fold(row)(_.unionByName(row)))
+    }.get
+    val tot = counts.agg(sum(col("n_units")).as("n_total"))
+    counts.join(broadcast(pptDf), Seq("arm"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_total"),
+        expr("CAST(1000000 AS DECIMAL(38,0)) *" +
+          " (1000 * CAST(n_units AS DECIMAL(38,0)) - CAST(n_total AS" +
+          " DECIMAL(38,0)) * ppt) *" +
+          " (1000 * CAST(n_units AS DECIMAL(38,0)) - CAST(n_total AS" +
+          " DECIMAL(38,0)) * ppt)" +
+          " DIV (1000 * CAST(n_total AS DECIMAL(38,0)) * ppt)")
+          .as("term"))
+      .groupBy(col("n_total"))
+      .agg(sum(col("term")).cast("long").as("chi2_micro"))
+      .select(col("n_total"), col("chi2_micro"),
+        when(col("chi2_micro") > critMicro, 1L).otherwise(0L)
+          .as("srm_detected"))
+  }
+
+  /** ERROR-BUDGET BURN monitor — the SRE view of the event stream
+    * ("are we burning the 2 % error budget, and how fast"): per day
+    * over the DENSE grid, total events, error events, the day's
+    * exact error ppm, the rolling 7-day error ppm (the burn window an
+    * alert fires on — one bad hour inside a quiet week reads
+    * differently from a bad week), and the breach flag against the
+    * integer `budgetPpm`. Zero-traffic days report NULL ratios (no
+    * traffic is not zero errors — the x223 NULL-base rule) but still
+    * count as zero into the rolling window.
+    *
+    * Exact integers throughout (counts and integral ppm divisions);
+    * one map-side (day, is-error) aggregate, then windows over the
+    * day-dimension frame (the x161 convention). */
+  def errorBudget(
+      events: DataFrame, errorType: String = "error",
+      budgetPpm: Long = 20000L, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays $windowDays must be positive")
+    val daily = events.filter(col("ts").isNotNull)
+      .select(expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"),
+        when(col("event_type") === errorType, 1L).otherwise(0L).as("e"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("e")).as("errs"))
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = grid.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("errs"), lit(0L)).as("errs"))
+    val w = Window.orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    dense
+      .withColumn("n7", sum(col("n")).over(w))
+      .withColumn("e7", sum(col("errs")).over(w))
+      .select(col("day"), col("n"), col("errs"),
+        when(col("n") > 0,
+          expr("CAST(CAST(errs AS DECIMAL(38,0)) * 1000000 DIV n" +
+            " AS BIGINT)")).as("err_ppm"),
+        when(col("n7") > 0,
+          expr("CAST(CAST(e7 AS DECIMAL(38,0)) * 1000000 DIV n7" +
+            " AS BIGINT)")).as("burn7_ppm"))
+      .withColumn("breach",
+        when(col("burn7_ppm") > budgetPpm, 1L).otherwise(0L))
+  }
+
+  /** SUBSAMPLED MEDIAN confidence band — [[subsampleMeans]]'s order-
+    * statistic sibling (a mean CI says nothing about a skewed
+    * metric's center): per half-sample replicate (bit b of the ONE
+    * salted hash — the x210 membership construction verbatim), the
+    * exact P50 via the x30 histogram-rank carve. The spread of the
+    * `reps` medians IS the confidence band; no distributional
+    * assumption, no RNG, reproducible across engines and re-shards.
+    *
+    * Scale shape: the replicate explode lands in a map-side
+    * (rep, value) histogram; the carve windows run over reps ×
+    * distinct values — the x42 caveat applies (a near-unique value
+    * column bounds that frame by value cardinality, acceptable for
+    * the audited report, not the routine path). */
+  def subsampleMedians(
+      df: DataFrame, keyCol: String, value: Column,
+      reps: Int = 32, salt: String = "ci"): DataFrame = {
+    require(reps >= 2 && reps <= 32,
+      s"reps $reps must be in [2, 32] (one bit per replicate)")
+    val hist = df.select(col(keyCol).cast("string").as("k"), value.as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("h", OracleHash.md5Hash32(concat(lit(salt + "|"), col("k"))))
+      .select(col("h"), col("v"),
+        explode(typedLit((0 until reps).toList)).as("rep"))
+      .filter(expr("shiftright(h, rep) & 1") === 0)
+      .groupBy(col("rep"), col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy(col("rep")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val targets = hist.groupBy(col("rep")).agg(sum(col("cnt")).as("n_rows"))
+      .withColumn("target_rn", expr("(50 * n_rows + 99) DIV 100"))
+    cum.join(broadcast(targets), Seq("rep"))
+      .filter(col("cum") >= col("target_rn") &&
+        col("cum") - col("cnt") < col("target_rn"))
+      .select(col("rep").cast("long").as("rep"), col("n_rows"),
+        col("v").as("p50"))
+  }
+
   /** Exact Gini coefficient over per-user event counts — the
     * single-number companion of [[paretoConcentration]] (a Lorenz
     * point answers "how many users cover 80%"; Gini integrates the

@@ -6038,6 +6038,96 @@ object ExtOracles {
         |            // (count(*) * 2048) AS BIGINT) AS fill_ppm
         |FROM s GROUP BY shard""".stripMargin,
 
+    // SRM check: the x110 md5 arm assignment, per-arm chi^2 floors in
+    // HUGEINT, fixed 95% df=1 critical literal.
+    "x237_srm_check" ->
+      """WITH b AS (
+        |  SELECT ('0x' || substr(md5('exp1:' || CAST(c_custkey AS VARCHAR)),
+        |                         1, 8))::BIGINT % 1000 AS bucket
+        |  FROM customer WHERE c_custkey IS NOT NULL),
+        |  a AS (SELECT CASE WHEN bucket < 500 THEN 'control'
+        |               ELSE 'treatment' END AS arm FROM b),
+        |  c AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_units
+        |        FROM a GROUP BY 1),
+        |  p AS (SELECT * FROM (VALUES ('control', CAST(500 AS BIGINT)),
+        |                              ('treatment', CAST(500 AS BIGINT)))
+        |        t(arm, ppt)),
+        |  tt AS (SELECT CAST(sum(n_units) AS BIGINT) AS n_total FROM c),
+        |  terms AS (
+        |    SELECT tt.n_total,
+        |           CAST(1000000 AS HUGEINT) *
+        |             (1000 * CAST(c.n_units AS HUGEINT)
+        |              - CAST(tt.n_total AS HUGEINT) * p.ppt) *
+        |             (1000 * CAST(c.n_units AS HUGEINT)
+        |              - CAST(tt.n_total AS HUGEINT) * p.ppt)
+        |           // (1000 * CAST(tt.n_total AS HUGEINT) * p.ppt)
+        |             AS term
+        |    FROM c JOIN p USING (arm), tt)
+        |SELECT n_total, CAST(sum(term) AS BIGINT) AS chi2_micro,
+        |       CAST(CASE WHEN sum(term) > 3841459 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS srm_detected
+        |FROM terms GROUP BY n_total""".stripMargin,
+
+    // Error budget: dense grid, rolling 7-day RANGE window, NULL
+    // ratios on zero-traffic days.
+    "x238_error_budget" ->
+      """WITH daily AS (
+        |    SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |           CAST(count(*) AS BIGINT) AS n,
+        |           CAST(sum(CASE WHEN event_type = 'error' THEN 1
+        |                    ELSE 0 END) AS BIGINT) AS errs
+        |    FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |  bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |  grid AS (SELECT unnest(generate_series(d0, d1)) AS day
+        |           FROM bounds),
+        |  dense AS (SELECT g.day, coalesce(d.n, 0) AS n,
+        |                   coalesce(d.errs, 0) AS errs
+        |            FROM grid g LEFT JOIN daily d ON d.day = g.day),
+        |  r AS (SELECT day, n, errs,
+        |               CAST(sum(n) OVER (ORDER BY day
+        |                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |                  AS BIGINT) AS n7,
+        |               CAST(sum(errs) OVER (ORDER BY day
+        |                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |                  AS BIGINT) AS e7
+        |        FROM dense)
+        |SELECT day, CAST(n AS BIGINT) AS n, CAST(errs AS BIGINT) AS errs,
+        |       CASE WHEN n > 0 THEN
+        |            CAST(CAST(errs AS HUGEINT) * 1000000 // n AS BIGINT)
+        |       END AS err_ppm,
+        |       CASE WHEN n7 > 0 THEN
+        |            CAST(CAST(e7 AS HUGEINT) * 1000000 // n7 AS BIGINT)
+        |       END AS burn7_ppm,
+        |       CAST(CASE WHEN n7 > 0 AND
+        |                 CAST(e7 AS HUGEINT) * 1000000 // n7 > 20000
+        |            THEN 1 ELSE 0 END AS BIGINT) AS breach
+        |FROM r""".stripMargin,
+
+    // Subsampled median: the x210 one-hash bit membership, P50 via
+    // the ranked window per replicate.
+    "x239_subsample_p50" ->
+      """WITH v AS (SELECT ('0x' || substr(md5('ci|' || o_orderkey), 1, 8))
+        |                    ::BIGINT AS h,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                    AS v
+        |           FROM orders WHERE o_totalprice IS NOT NULL),
+        |  e AS (SELECT h, v, r.rep FROM v, range(0, 32) r(rep)),
+        |  kept AS (SELECT rep, v FROM e WHERE (h >> rep) & 1 = 0),
+        |  hist AS (SELECT rep, v, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM kept GROUP BY 1, 2),
+        |  cum AS (SELECT rep, v, cnt,
+        |                 CAST(sum(cnt) OVER (PARTITION BY rep ORDER BY v
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |          FROM hist),
+        |  tg AS (SELECT rep, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |                (50 * CAST(sum(cnt) AS BIGINT) + 99) // 100
+        |                  AS target_rn
+        |         FROM hist GROUP BY 1)
+        |SELECT CAST(c.rep AS BIGINT) AS rep, t.n_rows, c.v AS p50
+        |FROM cum c JOIN tg t USING (rep)
+        |WHERE c.cum >= t.target_rn
+        |  AND c.cum - c.cnt < t.target_rn""".stripMargin,
+
     // Leave-one-out target encoding: identical cents floor, identical
     // self-excluded integral mean, NULL on singleton categories.
     "x229_target_encoding" ->

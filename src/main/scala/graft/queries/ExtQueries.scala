@@ -910,6 +910,17 @@ object ExtQueries {
     // Packing-efficiency audit over the x22 shard/sequence assignment.
     "x236_pack_efficiency" -> ((s, d) =>
       Assemble.packEfficiency(docs(s, d))),
+    // Sample-ratio-mismatch chi^2 gate over the x110 assignment.
+    "x237_srm_check" -> ((s, d) =>
+      Stats.srmCheck(s.read.parquet(s"$d/customer.parquet"), "c_custkey")),
+    // Error-budget burn monitor over the dense day grid.
+    "x238_error_budget" -> ((s, d) => Stats.errorBudget(events(s, d))),
+    // Subsampled median band: the x210 half-sample membership, P50
+    // carve per replicate.
+    "x239_subsample_p50" -> ((s, d) =>
+      Stats.subsampleMedians(
+        s.read.parquet(s"$d/orders.parquet"), "o_orderkey",
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

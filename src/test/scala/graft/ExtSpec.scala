@@ -6296,6 +6296,91 @@ class ExtSpec extends SparkSpec {
       s"mg_candidates must ride ObjectHashAggregate:\n${sketchPlan.take(1500)}")
   }
 
+  test("srmCheck: chi2 floors match a BigInt recompute; bias trips the flag") {
+    import spark.implicits._
+    val units = (1L to 2000L).map(Tuple1(_)).toDF("c_custkey")
+    def chi2Ref(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val arms = df.select(graft.ext.Stats.armColumn("c_custkey", "exp1",
+        Seq("control" -> 500, "treatment" -> 500)).as("arm"))
+        .groupBy("arm").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = arms.values.sum
+      val chi2 = Seq("control", "treatment").map { a =>
+        val dev = BigInt(1000) * BigInt(arms.getOrElse(a, 0L)) - BigInt(n) * 500
+        BigInt(1000000) * dev * dev / (BigInt(1000) * n * 500)
+      }.sum
+      (n, chi2.toLong, if (chi2 > 3841459) 1L else 0L)
+    }
+    val got = graft.ext.Stats.srmCheck(units, "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(chi2Ref(units)), s"got ${got.toSeq}")
+    // an EXACTLY balanced arm set: 400 ids from each arm -> chi2 = 0
+    val armOf = graft.ext.Stats.armColumn("c_custkey", "exp1",
+      Seq("control" -> 500, "treatment" -> 500))
+    val balanced = units.withColumn("arm", armOf)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("arm"))
+          .orderBy(col("c_custkey"))))
+      .filter(col("rn") <= 400).select("c_custkey")
+    val gb = graft.ext.Stats.srmCheck(balanced, "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gb.toSeq == Seq((800L, 0L, 0L)), s"got ${gb.toSeq}")
+    // bias: drop 4/5 of the treatment arm -> SRM must fire
+    val biased = units.filter(
+      graft.ext.Stats.armColumn("c_custkey", "exp1",
+        Seq("control" -> 500, "treatment" -> 500)) === "control" ||
+        col("c_custkey") % 5 === 0)
+    val b = graft.ext.Stats.srmCheck(biased, "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(b.toSeq == Seq(chi2Ref(biased)), s"got ${b.toSeq}")
+    assert(b(0)._3 == 1L, s"4/5 treatment loss must flag: ${b(0)}")
+  }
+
+  test("errorBudget: dense grid, zero-traffic NULLs, rolling burn and breach") {
+    import spark.implicits._
+    def ev(day: Long, typ: String, n: Int) =
+      Seq.fill(n)((typ, day * 86400000000L))
+    val rows = (ev(0, "view", 9) ++ ev(0, "error", 1) ++
+      ev(7, "view", 2) ++ ev(7, "error", 2) ++ ev(14, "view", 5))
+      .zipWithIndex.map { case ((t, us), i) => (i.toLong, t, us) }
+      .toDF("event_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.errorBudget(rows)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))).toMap
+    // day 0: 1/10 errors = 100000 ppm, burn = same -> breach
+    assert(got(0L) == ((10L, 1L, 100000L, 100000L, 1L)), s"got $got")
+    // day 3: zero traffic -> NULL ratios, burn window still sees day 0
+    assert(got(3L) == ((0L, 0L, -1L, 100000L, 1L)), s"got $got")
+    // day 7: window is days 1..7 -> only day 7 traffic: 2/4 = 500000
+    assert(got(7L) == ((4L, 2L, 500000L, 500000L, 1L)), s"got $got")
+    // day 14: clean window (days 8..14) -> no breach
+    assert(got(14L) == ((5L, 0L, 0L, 0L, 0L)), s"got $got")
+    assert(got.size == 15, s"grid must be dense: ${got.size}")
+  }
+
+  test("subsampleMedians: every replicate matches a pure-Scala membership+median reference") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, (i * 37 % 211) + 1))
+    val df = rows.toDF("k", "v")
+    val got = graft.ext.Stats.subsampleMedians(df, "k", col("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    (0 until 32).foreach { rep =>
+      val kept = rows.filter { case (k, _) => ((h32(s"ci|$k") >> rep) & 1) == 0 }
+        .map(_._2).sorted
+      val target = (50 * kept.size + 99) / 100
+      assert(got(rep.toLong) == ((kept.size.toLong, kept(target - 1))),
+        s"rep $rep: got ${got(rep.toLong)} want (${kept.size}, ${kept(target - 1)})")
+    }
+  }
+
   test("transitionDwell: floor-to-seconds carve, percentile ranks, same-us tie order") {
     import spark.implicits._
     // u1 and u2 both view->click with dwells 2s and 10s; u3 has two
