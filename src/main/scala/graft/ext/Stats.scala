@@ -1111,6 +1111,89 @@ object Stats {
         col("v").as("p50"))
   }
 
+  /** JOIN-SIZE FORECAST — "how big will this join be, and which keys
+    * make it so", answered WITHOUT running the join: `|A ⋈_k B| =
+    * Σ_k a_k · b_k` from the two key histograms alone — two map-side
+    * counts, one dimension-sized histogram equi-join, never the data
+    * join it predicts (the planner-statistics view, done exactly: the
+    * audit a skew mitigation (X14) or a broadcast decision is
+    * defended with). Emits the top `topK` contributing keys under the
+    * (out_rows desc, key) total order plus ONE total row (NULL key,
+    * `is_total = 1`) carrying the exact predicted output size and the
+    * matched-key count. Per-key products and the total ride
+    * DECIMAL(38,0) ↔ HUGEINT (two 10⁶-row keys already pass BIGINT
+    * when multiplied at scale). */
+  def joinSizeForecast(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK $topK must be positive")
+    val a = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).cast("string").as("join_key"))
+      .agg(count(lit(1)).as("left_rows"))
+    val b = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).cast("string").as("join_key"))
+      .agg(count(lit(1)).as("right_rows"))
+    val prod = a.join(b, Seq("join_key"))
+      .select(col("join_key"), col("left_rows"), col("right_rows"),
+        expr("CAST(CAST(left_rows AS DECIMAL(38,0)) * right_rows" +
+          " AS DECIMAL(38,0))").as("outd"))
+    val top = prod
+      .orderBy(col("outd").desc, col("join_key"))
+      .limit(topK)
+      .select(col("join_key"), col("left_rows"), col("right_rows"),
+        col("outd").cast("long").as("out_rows"), lit(0L).as("is_total"))
+    val total = prod.agg(
+      count(lit(1)).as("n_keys"), sum(col("outd")).as("t"))
+      .select(lit(null).cast("string").as("join_key"),
+        col("n_keys").as("left_rows"), col("n_keys").as("right_rows"),
+        col("t").cast("long").as("out_rows"), lit(1L).as("is_total"))
+    top.unionByName(total)
+  }
+
+  /** RATE-vs-VOLUME change decomposition — the FP&A mix-shift read
+    * ("is revenue down because FEWER orders or SMALLER orders, and in
+    * which segment"): the period split is data-derived (`min + (max −
+    * min) div 2` on epoch days — the x176 convention, a pure function
+    * of the data); per segment, counts and exact cents for both
+    * periods, then the classic decomposition with every term exact
+    * and the floor dribble VISIBLE:
+    * `vol = (n₂ − n₁)·r₁`, `rate = n₂·(r₂ − r₁)`,
+    * `residual = Δ − vol − rate`, where `r_p = rev_p div n_p` is the
+    * floored per-order mean (0 for an empty period — absorbed by the
+    * residual, stated, never re-spread). No negative ever reaches a
+    * division: revenues are non-negative cents, only the PRODUCTS go
+    * signed. One map-side (segment, period) aggregate; output is
+    * segment-sized. */
+  def changeDecomposition(orders: DataFrame): DataFrame = {
+    val base = orders
+      .filter(col("o_orderdate").isNotNull && col("o_orderpriority").isNotNull)
+      .select(col("o_orderpriority").as("segment"),
+        expr(epochFloorDiv(
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP))",
+          86400000000L)).as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val split = base.agg(expr("min(day) + (max(day) - min(day)) DIV 2")
+      .as("split"))
+    base.crossJoin(broadcast(split))
+      .withColumn("p", when(col("day") < col("split"), 1).otherwise(2))
+      .groupBy(col("segment"))
+      .agg(sum(when(col("p") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("p") === 1, col("cents")).otherwise(0L)).as("rev1"),
+        sum(when(col("p") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("p") === 2, col("cents")).otherwise(0L)).as("rev2"))
+      .withColumn("r1", when(col("n1") > 0,
+        expr("rev1 DIV n1")).otherwise(0L))
+      .withColumn("r2", when(col("n2") > 0,
+        expr("rev2 DIV n2")).otherwise(0L))
+      .select(col("segment"), col("n1"), col("n2"),
+        col("rev1"), col("rev2"),
+        (col("rev2") - col("rev1")).as("delta_cents"),
+        ((col("n2") - col("n1")) * col("r1")).as("vol_effect"),
+        (col("n2") * (col("r2") - col("r1"))).as("rate_effect"),
+        (col("rev2") - col("rev1") - (col("n2") - col("n1")) * col("r1") -
+          col("n2") * (col("r2") - col("r1"))).as("residual"))
+  }
+
   /** Exact Gini coefficient over per-user event counts — the
     * single-number companion of [[paretoConcentration]] (a Lorenz
     * point answers "how many users cover 80%"; Gini integrates the

@@ -6128,6 +6128,65 @@ object ExtOracles {
         |WHERE c.cum >= t.target_rn
         |  AND c.cum - c.cnt < t.target_rn""".stripMargin,
 
+    // Join-size forecast: two key histograms, product in HUGEINT,
+    // top-10 under (out_rows desc, key) plus the NULL-key total row.
+    "x240_join_forecast" ->
+      """WITH a AS (SELECT CAST(user_id AS VARCHAR) AS join_key,
+        |                  CAST(count(*) AS BIGINT) AS left_rows
+        |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |  b AS (SELECT CAST(o_custkey AS VARCHAR) AS join_key,
+        |               CAST(count(*) AS BIGINT) AS right_rows
+        |        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |  p AS (SELECT a.join_key, a.left_rows, b.right_rows,
+        |               CAST(a.left_rows AS HUGEINT) * b.right_rows
+        |                 AS outd
+        |        FROM a JOIN b USING (join_key)),
+        |  top AS (SELECT join_key, left_rows, right_rows,
+        |                 CAST(outd AS BIGINT) AS out_rows,
+        |                 CAST(0 AS BIGINT) AS is_total
+        |          FROM p ORDER BY outd DESC, join_key LIMIT 10),
+        |  tot AS (SELECT CAST(NULL AS VARCHAR) AS join_key,
+        |                 CAST(count(*) AS BIGINT) AS left_rows,
+        |                 CAST(count(*) AS BIGINT) AS right_rows,
+        |                 CAST(sum(outd) AS BIGINT) AS out_rows,
+        |                 CAST(1 AS BIGINT) AS is_total
+        |          FROM p)
+        |SELECT * FROM top UNION ALL SELECT * FROM tot""".stripMargin,
+
+    // Change decomposition: data-derived split day (the x176
+    // convention), floored per-order means, residual visible.
+    "x241_change_decomposition" ->
+      """WITH base AS (
+        |    SELECT o_orderpriority AS segment,
+        |           epoch_us(CAST(o_orderdate AS TIMESTAMP))
+        |             // 86400000000 AS day,
+        |           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |             AS cents
+        |    FROM orders
+        |    WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |  sp AS (SELECT min(day) + (max(day) - min(day)) // 2 AS split
+        |         FROM base),
+        |  g AS (SELECT segment,
+        |               CAST(sum(CASE WHEN day < split THEN 1 ELSE 0 END)
+        |                    AS BIGINT) AS n1,
+        |               CAST(sum(CASE WHEN day < split THEN cents
+        |                        ELSE 0 END) AS BIGINT) AS rev1,
+        |               CAST(sum(CASE WHEN day >= split THEN 1 ELSE 0 END)
+        |                    AS BIGINT) AS n2,
+        |               CAST(sum(CASE WHEN day >= split THEN cents
+        |                        ELSE 0 END) AS BIGINT) AS rev2
+        |        FROM base, sp GROUP BY 1),
+        |  r AS (SELECT *,
+        |               CASE WHEN n1 > 0 THEN rev1 // n1 ELSE 0 END AS r1,
+        |               CASE WHEN n2 > 0 THEN rev2 // n2 ELSE 0 END AS r2
+        |        FROM g)
+        |SELECT segment, n1, n2, rev1, rev2,
+        |       rev2 - rev1 AS delta_cents,
+        |       (n2 - n1) * r1 AS vol_effect,
+        |       n2 * (r2 - r1) AS rate_effect,
+        |       rev2 - rev1 - (n2 - n1) * r1 - n2 * (r2 - r1) AS residual
+        |FROM r""".stripMargin,
+
     // Leave-one-out target encoding: identical cents floor, identical
     // self-excluded integral mean, NULL on singleton categories.
     "x229_target_encoding" ->

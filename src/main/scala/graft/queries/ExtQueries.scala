@@ -921,6 +921,15 @@ object ExtQueries {
       Stats.subsampleMedians(
         s.read.parquet(s"$d/orders.parquet"), "o_orderkey",
         expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))),
+    // Join-size forecast from key histograms: events x orders on the
+    // user/customer key, predicted without running the join.
+    "x240_join_forecast" -> ((s, d) =>
+      Stats.joinSizeForecast(
+        events(s, d), "user_id",
+        s.read.parquet(s"$d/orders.parquet"), "o_custkey")),
+    // Rate-vs-volume revenue change decomposition per priority.
+    "x241_change_decomposition" -> ((s, d) =>
+      Stats.changeDecomposition(s.read.parquet(s"$d/orders.parquet"))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

@@ -306,6 +306,18 @@ object Oracles {
         |       CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
+    // Q19: timestamp RANGE frame with an INTERVAL bound — frame by
+    // value, so same-timestamp peers need no tiebreak.
+    "q19_interval_frame" ->
+      """SELECT o_orderkey,
+        |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |            OVER (PARTITION BY o_custkey
+        |                  ORDER BY CAST(o_orderdate AS TIMESTAMP)
+        |                  RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+        |                  AND CURRENT ROW) AS BIGINT) AS trail7_cents
+        |FROM orders""".stripMargin,
+
     // Q18: mixed grouping sets; the packed grouping id is spelled
     // explicitly (native grouping_id bit order is an engine
     // convention).

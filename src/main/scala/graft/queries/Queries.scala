@@ -271,6 +271,24 @@ object Queries {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
 
+  /** RANGE frame over a TIMESTAMP ordering with an INTERVAL bound —
+    * the time-window analytic surface w1 (row frame) and x31 (integer
+    * epoch-day range) don't cover: each order's trailing-7-day
+    * revenue for its customer, `RANGE BETWEEN INTERVAL 7 DAYS
+    * PRECEDING AND CURRENT ROW`. A RANGE frame is defined by VALUE,
+    * so same-timestamp peers land in every peer's frame identically
+    * on both engines — no tiebreak column needed (the one window
+    * shape where ties are free). Exact cents sums only. */
+  def q19IntervalFrame(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("ots"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("trail7_cents", expr(
+        "sum(cents) OVER (PARTITION BY o_custkey ORDER BY ots" +
+          " RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)"))
+      .select(col("o_orderkey"), col("cents"), col("trail7_cents"))
+
   /** Mixed GROUPING SETS — the grouping surface between rollup (q6)
     * and cube (q12): an explicit set list that is NEITHER (both
     * one-dimension margins, no grand total), plus the packed grouping
@@ -698,6 +716,7 @@ object Queries {
     "q11_intersect" -> (q11Intersect _),
     "q12_cube" -> (q12Cube _),
     "q18_grouping_sets" -> (q18GroupingSets _),
+    "q19_interval_frame" -> (q19IntervalFrame _),
     "q13_goals_vs_actuals" -> (q13GoalsVsActuals _),
     "q14_sql_entry" -> (q14SqlEntry _),
     "q15_sql_vector" -> (q15SqlVector _),

@@ -6296,6 +6296,47 @@ class ExtSpec extends SparkSpec {
       s"mg_candidates must ride ObjectHashAggregate:\n${sketchPlan.take(1500)}")
   }
 
+  test("joinSizeForecast: histogram product equals the real join size; top order total") {
+    import spark.implicits._
+    val left = Seq(("A", 1), ("A", 2), ("A", 3), ("B", 1), ("B", 2))
+      .toDF("k", "x")
+    val right = Seq(("A", 1), ("A", 2), ("B", 1), ("C", 1), ("C", 2),
+      ("C", 3), ("C", 4), ("C", 5)).toDF("k", "y")
+    val got = graft.ext.Stats.joinSizeForecast(left, "k", right, "k", topK = 10)
+      .collect().map(r => (Option(r.getString(0)).getOrElse("-"),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("A", 3L, 2L, 6L, 0L), ("B", 2L, 1L, 2L, 0L),
+      ("-", 2L, 2L, 8L, 1L)), s"got ${got.toSeq}")
+    // the forecast equals the join it never ran
+    val actual = left.join(right, Seq("k")).count()
+    assert(got.last._4 == actual, s"forecast ${got.last._4} vs real $actual")
+  }
+
+  test("changeDecomposition: exact identity, floor dribble lands in residual") {
+    import spark.implicits._
+    def o(seg: String, day: Long, cents: Long) =
+      (seg, day * 86400000000L, cents / 100.0)
+    // split = 0 + (10-0) DIV 2 = 5; p1 = days < 5
+    val rows = Seq(
+      o("a", 0, 100), o("a", 1, 200),               // n1=2 rev1=300 r1=150
+      o("a", 6, 300), o("a", 7, 300), o("a", 10, 330), // n2=3 rev2=930 r2=310
+      o("b", 0, 101), o("b", 1, 200),               // rev1=301 -> r1=150 floor
+      o("b", 6, 300), o("b", 7, 300), o("b", 10, 330))
+      .toDF("o_orderpriority", "usv", "o_totalprice")
+      .withColumn("o_orderdate",
+        expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.changeDecomposition(rows)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    // a: delta 630 = vol 150 + rate 480 + residual 0
+    assert(got("a") == ((630L, 150L, 480L, 0L)), s"got $got")
+    // b: rev1=301, r1 floors to 150 -> delta 629 = 150 + 480 - 1
+    assert(got("b") == ((629L, 150L, 480L, -1L)), s"got $got")
+    // the identity holds by construction on every row
+    got.values.foreach { case (d, v, r, res) => assert(d == v + r + res) }
+  }
+
   test("srmCheck: chi2 floors match a BigInt recompute; bias trips the flag") {
     import spark.implicits._
     val units = (1L to 2000L).map(Tuple1(_)).toDF("c_custkey")
