@@ -983,7 +983,7 @@ object Stats {
   }
 
   /** SAMPLE-RATIO-MISMATCH (SRM) check — the #1 experiment health
-    * gate, run BEFORE any lift number is read (X125 reports arm
+    * gate, run BEFORE any lift number is read (X123 reports arm
     * deviations; this turns them into the chi² goodness-of-fit
     * decision an experimentation platform actually alerts on — a
     * deviation far above hash noise means the LOGGING is biased, and
