@@ -1732,4 +1732,84 @@ object Similarity {
                 " DIV (concordant + discordant)"))
           .as("tau_ppm"))
   }
+
+  /** EMBEDDING-DEDUP THRESHOLD SWEEP — the X232 tuning view for the
+    * EMBEDDING near-dup axis ("at cos ≥ 0.8 we'd rewrite 120 pairs;
+    * at 0.6, 900"): per cosine threshold, the exact pair count and
+    * distinct vectors touched, over LABEL-BLOCKED exact pairs (the
+    * X202 rationale — production blocks by IVF cell/LSH bucket; the
+    * label block keeps the DuckDB oracle exactly reproducible). ONE
+    * pair pass at the loosest cut serves every threshold.
+    *
+    * Cross-engine exactness of a FLOAT threshold compare: the cosine
+    * is written as the IDENTICAL expression tree on both engines —
+    * `dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b)))` with left-to-right
+    * dot accumulation (vec_dot ≡ list_dot_product bit-for-bit, the
+    * q15-pinned equivalence) — so every pair's cos is bit-equal and
+    * the comparison against the shared literal can never flip (the
+    * x151 rule, applied to a threshold instead of a rank). The
+    * gaussian fixture has almost no natural pairs above 0.5, so the
+    * gate PLANTS one rescaled-copy family per similarity level
+    * (alternating ±a per dimension ⇒ cos ≈ 1/√(1+a²) — a = 1.5 …
+    * 0.33 lands one family between each pair of thresholds); plants
+    * are mirrored in the oracle (the x13 convention). Zero-pair
+    * thresholds emit explicit zero rows (x217).
+    *
+    * Scale shape: pair volume is Σ (label-block size)², never
+    * all-pairs; the sweep costs one pass regardless of |thresholds|. */
+  def embedThresholdSweep(
+      emb: DataFrame,
+      plants: Seq[(Int, Double)] =
+        Seq(1 -> 1.5, 2 -> 1.2, 3 -> 0.9, 4 -> 0.6, 5 -> 0.33),
+      thresholds: Seq[Int] = Seq(50, 60, 70, 80, 90)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t >= 1 && t <= 99),
+      s"thresholds $thresholds must be percent values in [1, 99]")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val base = emb
+      .filter(col("label").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val withPlants = plants.foldLeft(base) { case (acc, (k, a)) =>
+      acc.unionByName(base.filter(col("vec_id") % 100 === k)
+        .select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          col("label"),
+          transform(col("v"),
+            (x, i) => x * (lit(1.0) + lit(a) * ((i % 2) * 2 - 1))).as("v")))
+    }
+    val withNorm = withPlants
+      .withColumn("n2",
+        graft.functions.GraftFunctions.vecDot(col("v"), col("v")))
+      .filter(col("n2") > 0) // zero-norm out by the cosine contract
+    val cos = withNorm.as("a")
+      .join(withNorm.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        (graft.functions.GraftFunctions.vecDot(col("a.v"), col("b.v")) /
+          (sqrt(col("a.n2")) * sqrt(col("b.n2")))).as("cos"))
+      .filter(col("cos") >= thresholds.min / 100.0)
+      .localCheckpoint(true)
+    val counts = cos
+      .select(col("a_id"), col("b_id"), col("cos"),
+        explode(typedLit(thresholds.toList)).as("threshold"))
+      .filter(col("cos") >= col("threshold") / lit(100.0))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    // exact touched-vector count per threshold (a_id/b_id sets overlap)
+    val touched = cos
+      .select(explode(array(col("a_id"), col("b_id"))).as("vid"),
+        col("cos"))
+      .select(col("vid"), explode(typedLit(thresholds.toList)).as("threshold"),
+        col("cos"))
+      .filter(col("cos") >= col("threshold") / lit(100.0))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("vid")).as("n_vecs"))
+    emb.sparkSession.range(1)
+      .select(explode(typedLit(thresholds.toList)).as("threshold"))
+      .join(counts, Seq("threshold"), "left")
+      .join(touched, Seq("threshold"), "left")
+      .select(col("threshold").cast("long").as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+  }
 }

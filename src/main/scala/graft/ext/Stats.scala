@@ -1194,6 +1194,71 @@ object Stats {
           col("n2") * (col("r2") - col("r1"))).as("residual"))
   }
 
+  /** WINSORIZED A/B LIFT — the ROBUST experiment readout next to the
+    * naive one (X124's lift moves with one whale purchase landing in
+    * either arm; the standard production metric clamps to global
+    * [p5, p95] first — X61's winsorize fused with X123's arm
+    * assignment): purchase cents clamped at the GLOBAL exact
+    * percentile bounds (the x126 histogram carve — bounds computed
+    * over BOTH arms together, so the clamp itself cannot favor an
+    * arm), then per-arm counts, clamped sums, floored means, and the
+    * sign-DECOMPOSED staged lift ppm `(mT − mC)/mC` (x141: `10⁶·|Δ|
+    * div max(mC,1)` — never a negative through a cross-engine
+    * division). One row; a real pipeline reads the SRM gate (X252)
+    * first, then this.
+    *
+    * Scale shape: one hash projection + value-histogram carve (value-
+    * domain bounded) + an arm-bounded aggregate; sums in
+    * DECIMAL(38,0) ↔ HUGEINT. */
+  def winsorizedLift(
+      events: DataFrame, experiment: String = "exp1",
+      loP: Int = 5, hiP: Int = 95): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        armColumn("user_id", experiment,
+          Seq("control" -> 500, "treatment" -> 500)).as("arm"))
+    val hist = purchases.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    val h = hist.crossJoin(broadcast(tot))
+    def bound(p: Int, name: String) =
+      h.filter(expr(s"cum >= ($p * n + 99) DIV 100"))
+        .agg(min(col("cents")).as(name))
+    val clamped = purchases
+      .crossJoin(broadcast(bound(loP, "lo")))
+      .crossJoin(broadcast(bound(hiP, "hi")))
+      .select(col("arm"), col("lo"), col("hi"),
+        least(greatest(col("cents"), col("lo")), col("hi")).as("w"))
+    clamped
+      .groupBy(col("lo"), col("hi"))
+      .agg(
+        sum(when(col("arm") === "control", 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === "control",
+          expr("CAST(w AS DECIMAL(38,0))")).otherwise(expr(
+          "CAST(0 AS DECIMAL(38,0))"))).as("s_c"),
+        sum(when(col("arm") === "treatment", 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === "treatment",
+          expr("CAST(w AS DECIMAL(38,0))")).otherwise(expr(
+          "CAST(0 AS DECIMAL(38,0))"))).as("s_t"))
+      .withColumn("mean_c",
+        when(col("n_c") > 0, expr("CAST(s_c DIV n_c AS BIGINT)"))
+          .otherwise(0L))
+      .withColumn("mean_t",
+        when(col("n_t") > 0, expr("CAST(s_t DIV n_t AS BIGINT)"))
+          .otherwise(0L))
+      .select(col("lo").as("lo_cents"), col("hi").as("hi_cents"),
+        col("n_c"), col("n_t"), col("mean_c"), col("mean_t"),
+        when(col("mean_c") > 0, expr(
+          "CAST((CASE WHEN mean_t < mean_c THEN -1 ELSE 1 END) *" +
+            " (CAST(1000000 AS DECIMAL(38,0)) * abs(mean_t - mean_c)" +
+            " DIV mean_c) AS BIGINT)")).as("lift_ppm"))
+  }
+
   /** Exact Gini coefficient over per-user event counts — the
     * single-number companion of [[paretoConcentration]] (a Lorenz
     * point answers "how many users cover 80%"; Gini integrates the

@@ -6187,6 +6187,100 @@ object ExtOracles {
         |       rev2 - rev1 - (n2 - n1) * r1 - n2 * (r2 - r1) AS residual
         |FROM r""".stripMargin,
 
+    // Embedding threshold sweep: identical plant ladder, the
+    // IDENTICAL cosine expression tree (list_dot_product ==
+    // vec_dot bit-for-bit, the q15 pin), zero rows explicit.
+    "x242_embed_sweep" ->
+      """WITH base AS (
+        |    SELECT vec_id, label,
+        |           list_transform(embedding, x -> x::DOUBLE) AS v
+        |    FROM embeddings
+        |    WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |  plants AS (SELECT k, CAST(a AS DOUBLE) AS a FROM (VALUES
+        |             (1, 1.5), (2, 1.2), (3, 0.9), (4, 0.6), (5, 0.33))
+        |             p(k, a)),
+        |  aug AS (
+        |    SELECT vec_id, label, v FROM base
+        |    UNION ALL
+        |    SELECT b.vec_id + p.k * 1000000, b.label,
+        |           list_transform(b.v,
+        |             (x, i) -> x * (1.0 + p.a * ((((i - 1) % 2) * 2) - 1)))
+        |    FROM base b JOIN plants p ON b.vec_id % 100 = p.k),
+        |  wn AS (SELECT vec_id, label, v, list_dot_product(v, v) AS n2
+        |         FROM aug),
+        |  wnz AS (SELECT * FROM wn WHERE n2 > 0),
+        |  cos AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |                 list_dot_product(a.v, b.v)
+        |                   / (sqrt(a.n2) * sqrt(b.n2)) AS c
+        |          FROM wnz a JOIN wnz b ON a.label = b.label
+        |                               AND a.vec_id < b.vec_id),
+        |  th AS (SELECT unnest([50, 60, 70, 80, 90]) AS threshold),
+        |  pc AS (SELECT t.threshold, CAST(count(*) AS BIGINT) AS n_pairs
+        |         FROM cos c JOIN th t ON c.c >= t.threshold / 100.0
+        |         GROUP BY 1),
+        |  tv AS (SELECT t.threshold,
+        |                CAST(count(DISTINCT u.vid) AS BIGINT) AS n_vecs
+        |         FROM cos c
+        |         JOIN th t ON c.c >= t.threshold / 100.0,
+        |              unnest([c.a_id, c.b_id]) u(vid)
+        |         GROUP BY 1)
+        |SELECT CAST(t.threshold AS BIGINT) AS threshold,
+        |       coalesce(pc.n_pairs, 0) AS n_pairs,
+        |       coalesce(tv.n_vecs, 0) AS n_vecs
+        |FROM th t
+        |LEFT JOIN pc ON pc.threshold = t.threshold
+        |LEFT JOIN tv ON tv.threshold = t.threshold""".stripMargin,
+
+    // Winsorized lift: identical global carve bounds, identical md5
+    // arms, floored means, sign-decomposed staged lift.
+    "x243_winsorized_lift" ->
+      """WITH p AS (
+        |    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |           CASE WHEN ('0x' || substr(md5('exp1:' ||
+        |                CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+        |                < 500 THEN 'control' ELSE 'treatment' END AS arm
+        |    FROM events
+        |    WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |      AND value IS NOT NULL),
+        |  hist AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM p GROUP BY 1),
+        |  cum AS (SELECT cents, cnt,
+        |                 CAST(sum(cnt) OVER (ORDER BY cents
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |          FROM hist),
+        |  tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+        |  lo AS (SELECT min(cents) AS lo FROM cum, tot
+        |         WHERE cum >= (5 * n + 99) // 100),
+        |  hi AS (SELECT min(cents) AS hi FROM cum, tot
+        |         WHERE cum >= (95 * n + 99) // 100),
+        |  w AS (SELECT arm, lo.lo, hi.hi,
+        |               least(greatest(cents, lo.lo), hi.hi) AS w
+        |        FROM p, lo, hi),
+        |  g AS (SELECT lo AS lo_cents, hi AS hi_cents,
+        |               CAST(sum(CASE WHEN arm = 'control' THEN 1
+        |                        ELSE 0 END) AS BIGINT) AS n_c,
+        |               sum(CASE WHEN arm = 'control'
+        |                   THEN CAST(w AS HUGEINT)
+        |                   ELSE CAST(0 AS HUGEINT) END) AS s_c,
+        |               CAST(sum(CASE WHEN arm = 'treatment' THEN 1
+        |                        ELSE 0 END) AS BIGINT) AS n_t,
+        |               sum(CASE WHEN arm = 'treatment'
+        |                   THEN CAST(w AS HUGEINT)
+        |                   ELSE CAST(0 AS HUGEINT) END) AS s_t
+        |        FROM w GROUP BY 1, 2),
+        |  m AS (SELECT lo_cents, hi_cents, n_c, n_t,
+        |               CASE WHEN n_c > 0 THEN CAST(s_c // n_c AS BIGINT)
+        |                    ELSE 0 END AS mean_c,
+        |               CASE WHEN n_t > 0 THEN CAST(s_t // n_t AS BIGINT)
+        |                    ELSE 0 END AS mean_t
+        |        FROM g)
+        |SELECT lo_cents, hi_cents, n_c, n_t, mean_c, mean_t,
+        |       CASE WHEN mean_c > 0 THEN
+        |            CAST((CASE WHEN mean_t < mean_c THEN -1 ELSE 1 END) *
+        |                 (CAST(1000000 AS HUGEINT) * abs(mean_t - mean_c)
+        |                  // mean_c) AS BIGINT) END AS lift_ppm
+        |FROM m""".stripMargin,
+
     // Leave-one-out target encoding: identical cents floor, identical
     // self-excluded integral mean, NULL on singleton categories.
     "x229_target_encoding" ->

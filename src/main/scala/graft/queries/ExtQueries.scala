@@ -930,6 +930,13 @@ object ExtQueries {
     // Rate-vs-volume revenue change decomposition per priority.
     "x241_change_decomposition" -> ((s, d) =>
       Stats.changeDecomposition(s.read.parquet(s"$d/orders.parquet"))),
+    // Embedding-dedup threshold sweep: label-blocked exact pairs, one
+    // pass re-thresholded, planted similarity ladder (x13 convention).
+    "x242_embed_sweep" -> ((s, d) =>
+      Similarity.embedThresholdSweep(emb(s, d))),
+    // Winsorized A/B lift: global [p5, p95] clamp then per-arm means.
+    "x243_winsorized_lift" -> ((s, d) =>
+      Stats.winsorizedLift(events(s, d))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

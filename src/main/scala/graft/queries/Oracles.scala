@@ -65,6 +65,16 @@ object Oracles {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
 
+    // K-series CSV escaping leg: the oracle states the planted
+    // CONTENT; the hostile quoting/newline transport is Spark-side.
+    "k12_csv_escaping" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 7 = 0
+        |            THEN c_name || '",' || chr(10) || '"x'
+        |            ELSE c_name END AS c_name,
+        |       c_acctbal
+        |FROM customer""".stripMargin,
+
     // K-series ORC leg: pure transport, oracle IS the plain projection
     // of the parquet source (same convention as k6).
     "k7_orc_roundtrip" ->

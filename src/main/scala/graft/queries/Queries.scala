@@ -506,6 +506,30 @@ object Queries {
       .csv(s"${w.path("customer_dump")}__debug_csv")
   }
 
+  /** K-series CSV ESCAPING leg — k6 proves the happy-path round trip;
+    * THIS one proves the hostile path every real CSV export dies on:
+    * embedded double quotes, field separators, and NEWLINES inside a
+    * value. Every 7th customer name gets the `",\n"x` suffix planted
+    * (query AND oracle — the oracle states the expected CONTENT; the
+    * CSV file is the Spark side's transport), written with Spark's
+    * default quoting/escaping and read back with `multiLine` (a
+    * newline inside quotes spans records otherwise). The oracle is
+    * the planted projection of the parquet source — the round trip
+    * must be byte-identical through the quote/escape/newline
+    * machinery. */
+  def k12CsvEscaping(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.util.Scratch.dir("csv_esc_gate")}/hostile_csv"
+    val planted = t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0,
+          concat(col("c_name"), lit("\",\n\"x")))
+          .otherwise(col("c_name")).as("c_name"),
+        col("c_acctbal"))
+    planted.write.mode("overwrite").option("header", true).csv(out)
+    spark.read.schema(planted.schema).option("header", true)
+      .option("multiLine", true).csv(out)
+  }
+
   /** K-series ORC leg: the staging sink contract is format-agnostic —
     * the same frame written as ORC (Spark's other first-class columnar
     * format; a warehouse migrating between lakehouse stacks must
@@ -692,6 +716,7 @@ object Queries {
     "q17_unpivot" -> (q17Unpivot _),
     "k5_promote_latest" -> (k5PromoteLatest _),
     "k6_csv_roundtrip" -> (k6CsvRoundtrip _),
+    "k12_csv_escaping" -> (k12CsvEscaping _),
     "k7_orc_roundtrip" -> (k7OrcRoundtrip _),
     "k10_jsonl_roundtrip" -> (k10JsonlRoundtrip _),
     "k11_schema_evolution" -> (k11SchemaEvolution _),

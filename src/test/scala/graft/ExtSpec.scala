@@ -6296,6 +6296,77 @@ class ExtSpec extends SparkSpec {
       s"mg_candidates must ride ObjectHashAggregate:\n${sketchPlan.take(1500)}")
   }
 
+  test("embedThresholdSweep: exact-cosine fixture counts, zero rows, monotone") {
+    import spark.implicits._
+    // hand-picked exact cosines inside one label block:
+    //   (3,4)x(4,3) = 24/25 = 0.96; (1,0)x(1,1) = 0.7071..;
+    //   (1,0)x(0,1) = 0 — plus a second block that contributes nothing
+    // vec_ids avoid the plant mod classes (x % 100 in 1..5) -> no plants
+    val rows = Seq(
+      (300L, Array(3f, 4f), 1), (311L, Array(4f, 3f), 1),
+      (322L, Array(1f, 0f), 2), (333L, Array(1f, 1f), 2),
+      (344L, Array(0f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ext.Similarity.embedThresholdSweep(rows)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 0.96 passes 50..90; the TWO 0.7071 pairs ((1,0)x(1,1) and
+    // (1,1)x(0,1)) pass 50,60,70; the orthogonal pair passes none
+    assert(got(50L) == ((3L, 5L)), s"got $got")
+    assert(got(60L) == ((3L, 5L)), s"got $got")
+    assert(got(70L) == ((3L, 5L)), s"got $got")
+    assert(got(80L) == ((1L, 2L)), s"got $got")
+    assert(got(90L) == ((1L, 2L)), s"got $got")
+    // plants land one family between each threshold pair: with them,
+    // counts stay monotone non-increasing and every bucket is hit
+    val planted = graft.ext.Similarity.embedThresholdSweep(
+      (1L to 400L).map(i =>
+        (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 + 1).toFloat),
+          (i % 4).toInt))
+        .toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seq = Seq(50L, 60L, 70L, 80L, 90L).map(planted)
+    assert(seq.zip(seq.tail).forall { case (a, b) => a >= b }, s"$seq")
+    assert(seq.last > 0, s"plants must reach the top bucket: $seq")
+  }
+
+  test("winsorizedLift: clamp bounds, floored means, and lift match a Scala reference") {
+    import spark.implicits._
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def armOf(u: Long): String =
+      if (h32(s"exp1:$u") % 1000 < 500) "control" else "treatment"
+    // 40 users, one purchase each; user 7 (whatever arm) is a whale
+    val vals = (1L to 40L).map(u => u -> (if (u == 7) 100000.0 else u * 1.0))
+    val ev = vals.zipWithIndex.map { case ((u, v), i) =>
+      (i.toLong, "purchase", u, v)
+    }.toDF("event_id", "event_type", "user_id", "value")
+      .withColumn("ts", expr("CAST(timestamp_micros(event_id * 1000000) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.winsorizedLift(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).head
+    // scala reference: same carve, clamp, floored means, staged lift
+    val cents = vals.map { case (u, v) => (u, math.floor(v * 100 + 0.5).toLong) }
+    val sorted = cents.map(_._2).sorted
+    def boundAt(p: Int) = sorted((p * sorted.size + 99) / 100 - 1)
+    val (lo, hi) = (boundAt(5), boundAt(95))
+    def mean(arm: String): Long = {
+      val w = cents.filter(c => armOf(c._1) == arm)
+        .map(c => math.min(math.max(c._2, lo), hi))
+      if (w.isEmpty) 0L else (w.map(BigInt(_)).sum / w.size).toLong
+    }
+    val (mc, mt) = (mean("control"), mean("treatment"))
+    val lift = (if (mt < mc) -1 else 1) *
+      (BigInt(1000000) * (mt - mc).abs / mc).toLong
+    val nc = cents.count(c => armOf(c._1) == "control").toLong
+    assert(got == ((lo, hi, nc, 40L - nc, mc, mt, lift)), s"got $got" +
+      s" want ($lo, $hi, $nc, ${40 - nc}, $mc, $mt, $lift)")
+    // the whale was actually clamped (hi far below the raw maximum)
+    assert(hi < 10000000L, s"hi $hi")
+  }
+
   test("joinSizeForecast: histogram product equals the real join size; top order total") {
     import spark.implicits._
     val left = Seq(("A", 1), ("A", 2), ("A", 3), ("B", 1), ("B", 2))
