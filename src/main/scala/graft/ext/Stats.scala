@@ -1259,6 +1259,63 @@ object Stats {
             " DIV mean_c) AS BIGINT)")).as("lift_ppm"))
   }
 
+  /** CUPED DIAGNOSTICS — the variance-reduction pre-read every modern
+    * experimentation platform computes before trusting (or sizing) an
+    * A/B test (Deng et al., WSDM'13): with pre-period user revenue as
+    * the covariate, `θ = cov(x,y)/var(x)` is the adjustment
+    * coefficient and `ρ² = cov²/(var_x·var_y)` is EXACTLY the
+    * fraction of metric variance CUPED removes — "ρ² = 0.4 means 40 %
+    * less variance, i.e. the same power at 60 % of the traffic". The
+    * period split is data-derived (x176); the user universe is
+    * everyone with a purchase in either period, absent periods count
+    * 0 (a new user's pre-period IS zero — dropping them would bias θ
+    * toward heavy users).
+    *
+    * Exact integers end to end: per-user cents, the x209/x129 moment
+    * machinery in DECIMAL(38,0) ↔ HUGEINT, θ sign-DECOMPOSED
+    * (`10⁶·|cov| div var_x`, x128 rule), ρ² through the x141 STAGED
+    * division (`(10⁶·|cov| div max) · |cov| div min` — Cauchy-Schwarz
+    * keeps the first quotient ≤ 10⁶). Zero-variance sides report 0.
+    * One map-side (user, period) aggregate → one user-keyed pivot →
+    * one one-row moment aggregate. */
+  def cupedDiagnostics(events: DataFrame): DataFrame = {
+    val base = events
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val split = base.agg(expr("min(day) + (max(day) - min(day)) DIV 2")
+      .as("split"))
+    val perUser = base.crossJoin(broadcast(split))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("split"), col("cents"))
+        .otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("split"), col("cents"))
+          .otherwise(0L)).as("y"))
+    perUser
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .withColumn("cov", expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("varx", expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("vary", expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .select(col("n").as("n_users"),
+        when(col("n") < 2 || col("varx") <= 0, lit(0L))
+          .otherwise(expr(
+            "CAST((CASE WHEN cov < 0 THEN -1 ELSE 1 END) *" +
+              " (CAST(1000000 AS DECIMAL(38,0)) * abs(cov) DIV varx)" +
+              " AS BIGINT)")).as("theta_ppm"),
+        when(col("n") < 2 || col("varx") <= 0 || col("vary") <= 0, lit(0L))
+          .otherwise(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(cov)" +
+              " DIV greatest(varx, vary)) * abs(cov)" +
+              " DIV least(varx, vary) AS BIGINT)"))
+          .as("var_reduction_ppm"))
+  }
+
   /** Exact Gini coefficient over per-user event counts — the
     * single-number companion of [[paretoConcentration]] (a Lorenz
     * point answers "how many users cover 80%"; Gini integrates the

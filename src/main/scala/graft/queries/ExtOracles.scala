@@ -6281,6 +6281,47 @@ object ExtOracles {
         |                  // mean_c) AS BIGINT) END AS lift_ppm
         |FROM m""".stripMargin,
 
+    // CUPED: identical data-derived split, moment machinery in
+    // HUGEINT, sign-decomposed theta, staged rho^2.
+    "x244_cuped" ->
+      """WITH base AS (
+        |    SELECT user_id,
+        |           epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |    FROM events
+        |    WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |      AND user_id IS NOT NULL AND value IS NOT NULL),
+        |  sp AS (SELECT min(day) + (max(day) - min(day)) // 2 AS split
+        |         FROM base),
+        |  pu AS (SELECT user_id,
+        |                CAST(sum(CASE WHEN day < split THEN cents
+        |                         ELSE 0 END) AS BIGINT) AS x,
+        |                CAST(sum(CASE WHEN day >= split THEN cents
+        |                         ELSE 0 END) AS BIGINT) AS y
+        |         FROM base, sp GROUP BY 1),
+        |  m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(x) AS HUGEINT) AS sx,
+        |               CAST(sum(y) AS HUGEINT) AS sy,
+        |               sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |               sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |               sum(CAST(y AS HUGEINT) * y) AS syy
+        |        FROM pu),
+        |  d AS (SELECT n, n * sxy - sx * sy AS cov,
+        |               n * sxx - sx * sx AS varx,
+        |               n * syy - sy * sy AS vary
+        |        FROM m)
+        |SELECT n AS n_users,
+        |       CAST(CASE WHEN n < 2 OR varx <= 0 THEN 0
+        |            ELSE (CASE WHEN cov < 0 THEN -1 ELSE 1 END) *
+        |                 (CAST(1000000 AS HUGEINT) * abs(cov) // varx)
+        |            END AS BIGINT) AS theta_ppm,
+        |       CAST(CASE WHEN n < 2 OR varx <= 0 OR vary <= 0 THEN 0
+        |            ELSE (CAST(1000000 AS HUGEINT) * abs(cov)
+        |                  // greatest(varx, vary)) * abs(cov)
+        |                 // least(varx, vary)
+        |            END AS BIGINT) AS var_reduction_ppm
+        |FROM d""".stripMargin,
+
     // Leave-one-out target encoding: identical cents floor, identical
     // self-excluded integral mean, NULL on singleton categories.
     "x229_target_encoding" ->

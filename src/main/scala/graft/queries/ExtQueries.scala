@@ -937,6 +937,9 @@ object ExtQueries {
     // Winsorized A/B lift: global [p5, p95] clamp then per-arm means.
     "x243_winsorized_lift" -> ((s, d) =>
       Stats.winsorizedLift(events(s, d))),
+    // CUPED diagnostics: theta and the exact variance-reduction
+    // fraction from pre-period revenue as covariate.
+    "x244_cuped" -> ((s, d) => Stats.cupedDiagnostics(events(s, d))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

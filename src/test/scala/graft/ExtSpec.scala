@@ -6296,6 +6296,29 @@ class ExtSpec extends SparkSpec {
       s"mg_candidates must ride ObjectHashAggregate:\n${sketchPlan.take(1500)}")
   }
 
+  test("cupedDiagnostics: perfect covariate hits exactly 1e6; zero-variance guards") {
+    import spark.implicits._
+    def ev(id: Long, u: Long, day: Long, v: Double) =
+      (id, "purchase", u, day * 86400000000L, v)
+    // y = 2x exactly: theta = 2e6, rho^2 = 1e6 exactly (the staged
+    // division collapses: cov^2 == varx*vary for an affine covariate)
+    val rows = (1L to 5L).flatMap(u => Seq(
+      ev(u, u, 0, u * 1.0), ev(u + 100, u, 10, u * 2.0)))
+      .toDF("event_id", "event_type", "user_id", "usv", "value")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.cupedDiagnostics(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(got == ((5L, 2000000L, 1000000L)), s"got $got")
+    // constant pre-period: varx = 0 -> both diagnostics report 0
+    val flat = (1L to 4L).flatMap(u => Seq(
+      ev(u, u, 0, 3.0), ev(u + 100, u, 10, u * 1.0)))
+      .toDF("event_id", "event_type", "user_id", "usv", "value")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val gz = graft.ext.Stats.cupedDiagnostics(flat)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(gz == ((0L, 0L)), s"got $gz")
+  }
+
   test("embedThresholdSweep: exact-cosine fixture counts, zero rows, monotone") {
     import spark.implicits._
     // hand-picked exact cosines inside one label block:
