@@ -1316,6 +1316,68 @@ object Stats {
           .as("var_reduction_ppm"))
   }
 
+  /** SRM TREND — the debugging follow-up to [[srmCheck]] ("the ratio
+    * broke: WHEN did it break?"): per day over the dense grid, the
+    * CUMULATIVE distinct users entered per arm (first-appearance
+    * counting, the x213 rule — a user enters an experiment once) and
+    * the chi² statistic over those cumulative counts, flagged against
+    * the same fixed df=1 critical literal. A logging bug shows as the
+    * day the flag turns on and stays on; hash noise flickers near the
+    * boundary and dies as N grows. Same per-arm integral floors as
+    * X252 (sums-of-floors, DECIMAL(38,0) ↔ HUGEINT).
+    *
+    * Scale shape: one distinct-user first-day aggregate, day×arm
+    * zero-filled grid, running sums and the chi² projection all over
+    * the day-dimension frame. */
+  def srmTrend(
+      events: DataFrame, experiment: String = "exp1",
+      critMicro: Long = 3841459L): DataFrame = {
+    val base = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
+    val firstDay = base
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .select(col("day"),
+        armColumn("user_id", experiment,
+          Seq("control" -> 500, "treatment" -> 500)).as("arm"))
+      .groupBy(col("day"), col("arm")).agg(count(lit(1)).as("c"))
+    // the grid spans the OBSERVED event range, not just entry days —
+    // "the day the ratio broke" must extend through quiet days too
+    val grid = base.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val daily = grid
+      .join(firstDay.filter(col("arm") === "control")
+        .select(col("day"), col("c").as("nc")), Seq("day"), "left")
+      .join(firstDay.filter(col("arm") === "treatment")
+        .select(col("day"), col("c").as("nt")), Seq("day"), "left")
+      .select(col("day"), coalesce(col("nc"), lit(0L)).as("nc"),
+        coalesce(col("nt"), lit(0L)).as("nt"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_c", sum(col("nc")).over(w))
+      .withColumn("cum_t", sum(col("nt")).over(w))
+      .withColumn("n", col("cum_c") + col("cum_t"))
+      .withColumn("chi2_micro", expr(
+        "CAST(" +
+          "CAST(1000000 AS DECIMAL(38,0)) *" +
+          " (1000 * CAST(cum_c AS DECIMAL(38,0)) - CAST(n AS" +
+          " DECIMAL(38,0)) * 500) *" +
+          " (1000 * CAST(cum_c AS DECIMAL(38,0)) - CAST(n AS" +
+          " DECIMAL(38,0)) * 500)" +
+          " DIV (1000 * CAST(n AS DECIMAL(38,0)) * 500)" +
+          " + CAST(1000000 AS DECIMAL(38,0)) *" +
+          " (1000 * CAST(cum_t AS DECIMAL(38,0)) - CAST(n AS" +
+          " DECIMAL(38,0)) * 500) *" +
+          " (1000 * CAST(cum_t AS DECIMAL(38,0)) - CAST(n AS" +
+          " DECIMAL(38,0)) * 500)" +
+          " DIV (1000 * CAST(n AS DECIMAL(38,0)) * 500) AS BIGINT)"))
+      .select(col("day"), col("cum_c"), col("cum_t"), col("chi2_micro"),
+        when(col("chi2_micro") > critMicro, 1L).otherwise(0L)
+          .as("srm_detected"))
+  }
+
   /** Exact Gini coefficient over per-user event counts — the
     * single-number companion of [[paretoConcentration]] (a Lorenz
     * point answers "how many users cover 80%"; Gini integrates the

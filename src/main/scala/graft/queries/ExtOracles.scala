@@ -6322,6 +6322,65 @@ object ExtOracles {
         |            END AS BIGINT) AS var_reduction_ppm
         |FROM d""".stripMargin,
 
+    // SRM trend: cumulative first-appearance arm entries per day,
+    // per-arm chi^2 floors in HUGEINT against the df=1 literal.
+    "x245_srm_trend" ->
+      """WITH fd AS (SELECT user_id,
+        |                   min(epoch_us(CAST(ts AS TIMESTAMP))
+        |                       // 86400000000) AS day
+        |            FROM events
+        |            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |            GROUP BY user_id),
+        |  fa AS (SELECT day,
+        |                CASE WHEN ('0x' || substr(md5('exp1:' ||
+        |                     CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |                     % 1000 < 500 THEN 'control'
+        |                ELSE 'treatment' END AS arm
+        |         FROM fd),
+        |  dc AS (SELECT day, arm, CAST(count(*) AS BIGINT) AS c
+        |         FROM fa GROUP BY 1, 2),
+        |  bounds AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))
+        |                        // 86400000000) AS d0,
+        |                    max(epoch_us(CAST(ts AS TIMESTAMP))
+        |                        // 86400000000) AS d1
+        |             FROM events
+        |             WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |  grid AS (SELECT unnest(generate_series(d0, d1)) AS day
+        |           FROM bounds),
+        |  dense AS (SELECT g.day,
+        |                   coalesce(c1.c, 0) AS nc, coalesce(c2.c, 0) AS nt
+        |            FROM grid g
+        |            LEFT JOIN dc c1 ON c1.day = g.day
+        |                           AND c1.arm = 'control'
+        |            LEFT JOIN dc c2 ON c2.day = g.day
+        |                           AND c2.arm = 'treatment'),
+        |  r AS (SELECT day,
+        |               CAST(sum(nc) OVER (ORDER BY day
+        |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+        |               CAST(sum(nt) OVER (ORDER BY day
+        |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_t
+        |        FROM dense),
+        |  s AS (SELECT day, cum_c, cum_t, cum_c + cum_t AS n FROM r),
+        |  t AS (SELECT day, cum_c, cum_t,
+        |               CAST(CAST(1000000 AS HUGEINT) *
+        |                    (1000 * CAST(cum_c AS HUGEINT) -
+        |                     CAST(n AS HUGEINT) * 500) *
+        |                    (1000 * CAST(cum_c AS HUGEINT) -
+        |                     CAST(n AS HUGEINT) * 500)
+        |                    // (1000 * CAST(n AS HUGEINT) * 500)
+        |                  + CAST(1000000 AS HUGEINT) *
+        |                    (1000 * CAST(cum_t AS HUGEINT) -
+        |                     CAST(n AS HUGEINT) * 500) *
+        |                    (1000 * CAST(cum_t AS HUGEINT) -
+        |                     CAST(n AS HUGEINT) * 500)
+        |                    // (1000 * CAST(n AS HUGEINT) * 500)
+        |                    AS BIGINT) AS chi2_micro
+        |        FROM s)
+        |SELECT day, cum_c, cum_t, chi2_micro,
+        |       CAST(CASE WHEN chi2_micro > 3841459 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS srm_detected
+        |FROM t""".stripMargin,
+
     // Leave-one-out target encoding: identical cents floor, identical
     // self-excluded integral mean, NULL on singleton categories.
     "x229_target_encoding" ->

@@ -940,6 +940,9 @@ object ExtQueries {
     // CUPED diagnostics: theta and the exact variance-reduction
     // fraction from pre-period revenue as covariate.
     "x244_cuped" -> ((s, d) => Stats.cupedDiagnostics(events(s, d))),
+    // SRM trend: the day the ratio broke — cumulative per-arm entries
+    // with the chi^2 flag per day.
+    "x245_srm_trend" -> ((s, d) => Stats.srmTrend(events(s, d))),
     // Functional-dependency audit over orders: the PK candidate holds
     // (o_orderkey -> o_custkey), the single- and two-column customer
     // determinants are violated — fan-out says by how much.

@@ -75,6 +75,14 @@ object Oracles {
         |       c_acctbal
         |FROM customer""".stripMargin,
 
+    // K-series dynamic partition overwrite: only the rewritten
+    // partition's rows change; the oracle states the expected content.
+    "k13_dynamic_overwrite" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1.0
+        |            ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
+
     // K-series ORC leg: pure transport, oracle IS the plain projection
     // of the parquet source (same convention as k6).
     "k7_orc_roundtrip" ->

@@ -530,6 +530,28 @@ object Queries {
       .option("multiLine", true).csv(out)
   }
 
+  /** K-series DYNAMIC PARTITION OVERWRITE leg — the lakehouse write
+    * semantics every incremental pipeline depends on (an overwrite
+    * must replace ONLY the partitions present in the incoming frame;
+    * static overwrite would drop the rest of the table): orders land
+    * partitioned by status, then the 'F' slice alone is rewritten
+    * with +1.00 on every total — the read-back must show modified 'F'
+    * rows next to UNTOUCHED 'O'/'P' rows. The +1.0 is one double add
+    * written identically in the oracle (the x40 rule); the partition
+    * column comes back from directory names with its values intact. */
+  def k13DynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.util.Scratch.dir("dynover_gate")}/orders_part"
+    val o = t(spark, dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    o.filter(col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(out)
+    spark.read.parquet(out)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+  }
+
   /** K-series ORC leg: the staging sink contract is format-agnostic —
     * the same frame written as ORC (Spark's other first-class columnar
     * format; a warehouse migrating between lakehouse stacks must
@@ -717,6 +739,7 @@ object Queries {
     "k5_promote_latest" -> (k5PromoteLatest _),
     "k6_csv_roundtrip" -> (k6CsvRoundtrip _),
     "k12_csv_escaping" -> (k12CsvEscaping _),
+    "k13_dynamic_overwrite" -> (k13DynamicOverwrite _),
     "k7_orc_roundtrip" -> (k7OrcRoundtrip _),
     "k10_jsonl_roundtrip" -> (k10JsonlRoundtrip _),
     "k11_schema_evolution" -> (k11SchemaEvolution _),

@@ -6296,6 +6296,40 @@ class ExtSpec extends SparkSpec {
       s"mg_candidates must ride ObjectHashAggregate:\n${sketchPlan.take(1500)}")
   }
 
+  test("srmTrend: per-day cumulative entries and chi2 match a Scala reference; no recount") {
+    import spark.implicits._
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def armOf(u: Long): String =
+      if (h32(s"exp1:$u") % 1000 < 500) "control" else "treatment"
+    // users enter on day u % 3; user 1 also fires again on day 5
+    // (must NOT recount); day 4 has no entries (zero-fill carry)
+    val evs = (1L to 200L).map(u => (u, u, (u % 3) * 86400000000L)) :+
+      ((999L, 1L, 5L * 86400000000L))
+    val df = evs.toDF("event_id", "user_id", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.srmTrend(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val first = (1L to 200L).map(u => u -> (u % 3)).toMap
+    (0L to 5L).foreach { d =>
+      val in = first.filter(_._2 <= d).keys
+      val cc = in.count(armOf(_) == "control").toLong
+      val ct = in.size - cc
+      val n = cc + ct
+      val chi2 = Seq(cc, ct).map { c =>
+        val dev = BigInt(1000) * BigInt(c) - BigInt(n) * 500
+        BigInt(1000000) * dev * dev / (BigInt(1000) * n * 500)
+      }.sum.toLong
+      assert(got(d) == ((cc, ct, chi2, if (chi2 > 3841459L) 1L else 0L)),
+        s"day $d: got ${got(d)} want ($cc, $ct, $chi2)")
+    }
+    assert(got.size == 6, s"grid must span day 0..5: ${got.size}")
+  }
+
   test("cupedDiagnostics: perfect covariate hits exactly 1e6; zero-variance guards") {
     import spark.implicits._
     def ev(id: Long, u: Long, day: Long, v: Double) =
