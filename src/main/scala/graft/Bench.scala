@@ -6,8 +6,86 @@ import org.apache.spark.sql.SparkSession
   * and — unlike round 1 — FAILS LOUDLY: a crashing query lands in the
   * `failed` map and the process exits non-zero, so a regression can never
   * hide behind a plausible total again (VERDICT r1 "What's wrong" #2).
+  *
+  * CONTENTION-AWARE (VERDICT r11 task 1): round 11's artifact recorded
+  * unchanged queries 15–43× their true cost because co-tenant load
+  * inflated wall time for the whole bench window — medians over in-JVM
+  * reps can't help when every rep is contended. Each timed rep now also
+  * measures THIS process's CPU time (OperatingSystemMXBean) and the
+  * MACHINE's busy CPU time (/proc/stat deltas): when other processes
+  * burned more than [[ContendedFrac]] of the machine's capacity during
+  * the rep, the rep is marked contended, excluded from the median when
+  * any clean rep exists, and re-run (bounded retries). The JSON reports
+  * per-query contended/clean rep counts and the run's loadavg envelope,
+  * so a contaminated number is VISIBLE instead of silently poisoning
+  * the round-over-round comparison.
   */
 object Bench {
+
+  /** A rep is contended when other processes' CPU burn exceeds this
+    * fraction of machine capacity (wall · nCpus) during the rep. 0.20
+    * leaves headroom for kernel threads and measurement jitter while
+    * catching any co-tenant big enough to move wall times (the r11
+    * contamination ran the box at near-saturation). */
+  val ContendedFrac = 0.20
+
+  /** Jiffy-scale /proc/stat reads are too coarse to judge sub-half-
+    * second reps (one 10 ms tick per CPU across 32 CPUs is 0.32 s of
+    * apparent burn); short reps are also too cheap to contaminate a
+    * total. Below this wall time a rep is never flagged. */
+  val MinJudgeableWallSec = 0.5
+
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+  /** Machine-wide busy jiffies from /proc/stat's aggregate cpu line
+    * (user+nice+system+irq+softirq+steal — idle and iowait excluded);
+    * None off-Linux or on parse failure (contention detection then
+    * disables itself rather than guessing). USER_HZ is 100 on every
+    * supported Linux ABI. */
+  private[graft] def sysBusyJiffies(): Option[Long] =
+    try {
+      val line = {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu ")) finally src.close()
+      }
+      line.map { l =>
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        // user nice system idle iowait irq softirq steal
+        f(0) + f(1) + f(2) + f.lift(5).getOrElse(0L) +
+          f.lift(6).getOrElse(0L) + f.lift(7).getOrElse(0L)
+      }
+    } catch { case _: Throwable => None }
+
+  private[graft] def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split("\\s+")(0).toDouble
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** One timed rep: (wallSec, othersFrac) where othersFrac is the share
+    * of machine capacity other processes burned during the rep (0.0
+    * when /proc/stat is unreadable — detection disabled, never a
+    * false flag). */
+  private[graft] def timedRep(work: => Unit): (Double, Double) = {
+    val nCpus = Runtime.getRuntime.availableProcessors().toDouble
+    val busy0 = sysBusyJiffies()
+    val cpu0 = osBean.getProcessCpuTime
+    val t0 = System.nanoTime()
+    work
+    val wall = (System.nanoTime() - t0) / 1e9
+    val procSec = (osBean.getProcessCpuTime - cpu0) / 1e9
+    val othersFrac = (busy0, sysBusyJiffies()) match {
+      case (Some(b0), Some(b1)) if wall > 0 =>
+        val othersSec = math.max(0.0, (b1 - b0) / 100.0 - procSec)
+        othersSec / (wall * nCpus)
+      case _ => 0.0
+    }
+    (wall, othersFrac)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,13 +137,20 @@ object Bench {
     val warmupFirst = Set(
       "x23_incr_neardup", "x44_incr_embed_neardup", "x62_prep_job",
       "x68_incr_funnel", "x38_source_overlap", "k5_promote_latest",
-      "s1_odata_scan", "s3_odata_expand", "x136_incr_media_neardup",
+      "s1_odata_scan", "s3_odata_expand", "s8_odata_nextlink",
+      "k14_jdbc_promote", "x136_incr_media_neardup",
       "k6_csv_roundtrip", "k7_orc_roundtrip", "k8_partition_prune",
       "k9_bucketed_join", "k10_jsonl_roundtrip", "k11_schema_evolution")
     // SPARK_GRAFT_BENCH_ONLY=x1,x2 — profile a subset locally; unset
     // (the driver's mode) runs the full inventory unchanged
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val loadStart = loadAvg()
+    // (name, median-basis walls, all samples (wall, othersFrac,
+    // contended), err) — the basis excludes contended reps whenever at
+    // least one clean rep exists, so one co-tenant burst can no longer
+    // poison the reported median; a query with NO clean rep reports the
+    // contended median and is flagged (visible, not silently wrong)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -77,16 +162,24 @@ object Bench {
         graft.util.Scratch.sweep()
         System.gc()
       }
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val samples =
+        scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Boolean)]
       var err: Option[String] = None
-      var r = 0
-      while (r < reps && err.isEmpty) {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+      var clean = 0
+      var attempts = 0
+      // bounded retries: a contended rep re-runs, but the budget caps
+      // at 3·reps attempts so a permanently-loaded box still terminates
+      while (clean < reps && attempts < 3 * reps && err.isEmpty) {
+        try {
+          val (wall, oth) = timedRep { fn(spark, sfDir).count() }
+          val contended =
+            wall >= MinJudgeableWallSec && oth > ContendedFrac
+          samples += ((wall, oth, contended))
+          if (!contended) clean += 1
+        } catch { case e: Throwable =>
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
         }
-        r += 1
+        attempts += 1
       }
       // reclaim this query's scratch warehouses before the next query
       // times anything (dead artifacts otherwise accumulate across the
@@ -94,15 +187,30 @@ object Bench {
       graft.util.Scratch.sweep()
       // a query that failed before producing any sample still reports a
       // wall time (its failing duration) so the JSON shape is stable
-      val samples = if (times.nonEmpty) times.toSeq else Seq(0.0)
-      (name, samples, err)
+      val all =
+        if (samples.nonEmpty) samples.toSeq else Seq((0.0, 0.0, false))
+      val cleanWalls = all.collect { case (w, _, false) => w }
+      val basis = if (cleanWalls.nonEmpty) cleanWalls else all.map(_._1)
+      (name, basis, all, err)
     }
+    val loadEnd = loadAvg()
     val qs = results
-      .map { case (k, v, _) => s""""${esc(k)}":${median(v)}""" }.mkString("{", ",", "}")
-    val spread = results.map { case (k, v, _) =>
+      .map { case (k, v, _, _) => s""""${esc(k)}":${median(v)}""" }.mkString("{", ",", "}")
+    val spread = results.map { case (k, v, _, _) =>
       s""""${esc(k)}":{"min":${v.min},"max":${v.max},"n":${v.size}}"""
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(e)) => s""""${esc(k)}":"${esc(e)}"""" }
+    // per-query contention record — only queries that saw a contended
+    // rep appear; oth_max is the worst co-tenant share observed
+    val contendedEntries = results.collect {
+      case (k, _, all, _) if all.exists(_._3) =>
+        val n = all.count(_._3)
+        val othMax = all.map(_._2).max
+        s""""${esc(k)}":{"n_contended":$n,"n_clean":${all.size - n},""" +
+          s""""oth_max":${math.rint(othMax * 1000) / 1000},""" +
+          s""""median_clean":${all.exists(!_._3)}}"""
+    }
+    val nContended = results.count(_._3.exists(_._3))
+    val failed = results.collect { case (k, _, _, Some(e)) => s""""${esc(k)}":"${esc(e)}"""" }
     val total = results.map(r => median(r._2)).sum
 
     // Direct comparison with the reference's ONE published wall time:
@@ -129,13 +237,24 @@ object Bench {
       }
       sb.append("</Schema></edmx>").toString
     }
-    val mt0 = System.nanoTime()
-    val registry = new graft.catalog.SchemaRegistry()
-    val mapper = graft.types.TypeMapper.default
-    val metas = graft.catalog.SchemaRegistry
-      .parseMetadataXml(xml, "priority").map(mapper.resolve)
-    registry.putAll(metas)
-    val metaSec = (System.nanoTime() - mt0) / 1e9
+    // the baseline-comparable leg gets the same contention treatment as
+    // the queries: a contended measurement re-runs (it's sub-second and
+    // side-effect-free), so the one number the judge compares to
+    // BASELINE.md can't be inflated by a co-tenant burst
+    var registry = new graft.catalog.SchemaRegistry()
+    var (metaSec, metaOth) = (0.0, 0.0)
+    var metaTries = 0
+    while ({
+      registry = new graft.catalog.SchemaRegistry()
+      val (w, o) = timedRep {
+        val mapper = graft.types.TypeMapper.default
+        val metas = graft.catalog.SchemaRegistry
+          .parseMetadataXml(xml, "priority").map(mapper.resolve)
+        registry.putAll(metas)
+      }
+      metaSec = w; metaOth = o; metaTries += 1
+      w >= MinJudgeableWallSec && o > ContendedFrac && metaTries < 5
+    }) ()
     require(registry.list.size == metaDocs)
 
     // Second reference-comparable datapoint: the full /initialDataLoad
@@ -198,7 +317,7 @@ object Bench {
     val ilRowsJson = ilRows.map { case (t, n) => s""""${esc(t)}":$n""" }.mkString("{", ",", "}")
     val allFailed = failed ++ ilErr.map(e => s""""initial_load":"${esc(e)}"""")
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"sf":"${esc(sfDir)}","meta_refresh":{"docs":$metaDocs,"sec":$metaSec,"reference_sec":21.8},"initial_load":{"sec":$ilSec,"rows":$ilRowsJson,"reference_rows":{"stg_orders":276,"stg_orderitems":123,"stg_ctype":5},"reference_sec_floor":21.8},"failed":${allFailed.mkString("{", ",", "}")},"ok":${allFailed.isEmpty}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"contended":${contendedEntries.mkString("{", ",", "}")},"n_contended":$nContended,"loadavg":{"start":$loadStart,"end":$loadEnd},"sf":"${esc(sfDir)}","meta_refresh":{"docs":$metaDocs,"sec":$metaSec,"others_frac":${math.rint(metaOth * 1000) / 1000},"reference_sec":21.8},"initial_load":{"sec":$ilSec,"rows":$ilRowsJson,"reference_rows":{"stg_orders":276,"stg_orderitems":123,"stg_ctype":5},"reference_sec_floor":21.8},"failed":${allFailed.mkString("{", ",", "}")},"ok":${allFailed.isEmpty}}"""
     // COMPACT summary, printed BEFORE and AFTER the full payload: the
     // driver captures only a 2,000-char window of stdout, which can
     // never hold the 154-query line — it parsed null every round
@@ -207,8 +326,8 @@ object Bench {
     // head or a tail capture; the full record still goes to stdout and
     // bench_last.json unchanged.
     val top5 = results.sortBy(r => -median(r._2)).take(5)
-      .map { case (k, v, _) => s""""${esc(k)}":${median(v)}""" }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_failed":${allFailed.size},"ok":${allFailed.isEmpty},"reps":$reps,"sf":"${esc(sfDir)}","meta_refresh_sec":$metaSec,"initial_load_sec":$ilSec,"top5":$top5}"""
+      .map { case (k, v, _, _) => s""""${esc(k)}":${median(v)}""" }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_failed":${allFailed.size},"n_contended":$nContended,"ok":${allFailed.isEmpty},"reps":$reps,"sf":"${esc(sfDir)}","meta_refresh_sec":$metaSec,"initial_load_sec":$ilSec,"top5":$top5}"""
     println(compact)
     println(json)
     println(compact)

@@ -1059,15 +1059,22 @@ object TextStats {
     * leg's scan-everything brute force). The query postings are
     * broadcast; norms are per-doc aggregates computed once; the
     * ReuseExchange on the shared weight subtree keeps the corpus
-    * tokenized once. The production knob this audit deliberately
-    * does NOT apply is a df ceiling (dropping stop-terms from
-    * MATCHING bounds the posting fan-out at the cost of exactness) —
-    * scores here are the full tf·idf cosine. Exact while
-    * `tf·idf < 2⁶³`: hapax terms carry idf = 10⁶·n_docs, so the
-    * weight leg is exact to n_docs·tf ≈ 9·10¹²; square sums ride
-    * DECIMAL(38,0) ↔ HUGEINT. */
+    * tokenized once. `maxTermDf` is the PRODUCTION df ceiling
+    * (VERDICT r11 task 3): a stop-term appearing in half the corpus
+    * fans the posting-list join out by df_t·qdf_t rows through one
+    * term key — the knob REMOVES terms above the ceiling from the
+    * token stream (postings, idf, norms — so the capped result is
+    * EXACTLY the tf·idf cosine over the filtered streams, the
+    * standard stop-word semantics), reported via [[headTerms]] with
+    * the same ceiling (the no-silent-caps rule). cap ≥ every term's
+    * df ⇒ bit-identical to uncapped (spec-pinned); None (the gate's
+    * mode) stays the full exact cosine. Exact while `tf·idf < 2⁶³`:
+    * hapax terms carry idf = 10⁶·n_docs, so the weight leg is exact
+    * to n_docs·tf ≈ 9·10¹²; square sums ride DECIMAL(38,0) ↔
+    * HUGEINT. */
   def sparseCosTopK(
-      docs: DataFrame, k: Int = 5, queryMod: Int = 250): DataFrame = {
+      docs: DataFrame, k: Int = 5, queryMod: Int = 250,
+      maxTermDf: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k $k must be positive")
     val nDocs = docs.count()
     // the tokenized weight frame feeds FOUR consumers (idf, norms,
@@ -1075,10 +1082,40 @@ object TextStats {
     // key, so ReuseExchange cannot dedupe the explode — persist it
     // once, materialize the (small) top-k output eagerly, release
     // (the kCore/labelPropagation loop discipline)
-    val tf = tfFrame(docs)
+    val tf = capTermDf(tfFrame(docs), maxTermDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try sparseCosTopKFrom(tf, nDocs, k, queryMod).localCheckpoint(true)
     finally tf.unpersist(blocking = false)
+  }
+
+  /** Drop terms above the df ceiling from a (doc, token, tf) frame —
+    * stop-terms are FEW by definition (a ceiling that keeps most
+    * terms keeps the drop list small), so the drop list broadcasts
+    * and the corpus-side tf frame never re-shuffles. */
+  private def capTermDf(tf: DataFrame, maxTermDf: Option[Long]): DataFrame =
+    maxTermDf match {
+      case None => tf
+      case Some(cap) =>
+        require(cap > 0, s"maxTermDf $cap must be positive")
+        tf.join(
+          broadcast(tf.groupBy(col("token"))
+            .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+            .select("token")),
+          Seq("token"), "left_anti")
+    }
+
+  /** The drop REPORT for the `maxTermDf` ceiling on the lexical
+    * retrieval legs ([[sparseCosTopK]] / [[bm25TopK]]): every term
+    * whose document frequency exceeds the ceiling, with its df and
+    * the posting-join fan-out the cap avoids — what an operator
+    * reviews before turning the knob on. Empty ⇔ capped ≡ uncapped. */
+  def headTerms(docs: DataFrame, maxTermDf: Long): DataFrame = {
+    require(maxTermDf > 0, s"maxTermDf $maxTermDf must be positive")
+    tfFrame(docs)
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxTermDf)
+      .select(col("token"), col("df"),
+        (col("df") * col("df")).as("posting_pairs_avoided"))
   }
 
   /** The (doc, token, tf) frame [[sparseCosTopK]] persists. */
@@ -1144,21 +1181,29 @@ object TextStats {
     * BM25 counts each query term once). Candidates come from the
     * posting equi-join (the [[sparseCosTopK]] convention): a doc
     * sharing no term with the query is never scored, and the same
-    * df-ceiling production trade applies. The corpus-total frame is
-    * one broadcast row (never a driver action over the token stream);
-    * the dl join and the (query, doc) aggregate share one doc_id
-    * exchange (HashPartitioning(doc_id) satisfies the superset
-    * clustering). Top-k under the (score desc, doc_id) total order
-    * rides the WindowGroupLimit partial pushdown. */
-  def bm25TopK(docs: DataFrame, k: Int = 5, queryMod: Int = 250): DataFrame = {
+    * `maxTermDf` production ceiling applies — terms above it drop
+    * from the token stream (postings, dl, avgdl, idf: the capped
+    * score is EXACTLY BM25 over the filtered streams; cap ≥ every df
+    * ⇒ bit-identical, spec-pinned), reported via [[headTerms]]. The
+    * corpus-total frame is one broadcast row (never a driver action
+    * over the token stream); the dl join and the (query, doc)
+    * aggregate share one doc_id exchange (HashPartitioning(doc_id)
+    * satisfies the superset clustering). Top-k under the (score
+    * desc, doc_id) total order rides the WindowGroupLimit partial
+    * pushdown. */
+  def bm25TopK(
+      docs: DataFrame, k: Int = 5, queryMod: Int = 250,
+      maxTermDf: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k $k must be positive")
     val nDocs = docs.count()
     val scaleN = math.multiplyExact(1000000L, nDocs)
-    val tf = docs
-      .select(col("doc_id"),
-        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val tf = capTermDf(
+      docs
+        .select(col("doc_id"),
+          explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")),
+      maxTermDf)
     val totals = tf.agg(coalesce(sum(col("tf")), lit(0L)).as("a"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))

@@ -21,6 +21,14 @@ object Oracles {
         |FROM orders WHERE o_orderkey % 100 = 0
         |ORDER BY o_orderkey OFFSET 37""".stripMargin,
 
+    // the @odata.nextLink continuation-token leg: the linked "server"
+    // holds the o_orderkey % 97 = 0 slice (ODataPages.LinkedModulus)
+    // behind a token chain; the unlinked decoy page's poisoned row
+    // must NOT appear (a directory-listing reader would serve it).
+    "s8_odata_nextlink" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderkey % 97 = 0 AND o_custkey >= 25""".stripMargin,
+
     // the $orderby+$top leg over the same page "server": the total
     // order (custkey DESC, orderkey) makes the selected 20 rows exact.
     "s5_odata_topn" ->
@@ -138,6 +146,32 @@ object Oracles {
         |  FROM orders WHERE o_orderkey % 7 = 0
         |  UNION ALL
         |  SELECT o_orderkey, o_custkey, o_totalprice + 2000.0, 'e3',
+        |         TIMESTAMP '2026-02-01 00:00:00'
+        |  FROM orders WHERE o_orderkey % 14 = 0)
+        |SELECT o_orderkey, o_custkey, o_totalprice, extractionid,
+        |       extractiontimestamputc
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |        ORDER BY extractiontimestamputc DESC, extractionid DESC) AS rn
+        |      FROM h)
+        |WHERE rn = 1""".stripMargin,
+
+    // k5's history replay on the JDBC (Derby) backend — identical
+    // window, plus the PK→VARCHAR staging rule made hash-visible:
+    // the key is CAST to a string on both sides.
+    "k14_jdbc_promote" ->
+      """WITH h AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_custkey,
+        |         o_totalprice, 'e1' AS extractionid,
+        |         TIMESTAMP '2026-01-01 00:00:00' AS extractiontimestamputc
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR), o_custkey,
+        |         o_totalprice + 1000.0, 'e2',
+        |         TIMESTAMP '2026-02-01 00:00:00'
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR), o_custkey,
+        |         o_totalprice + 2000.0, 'e3',
         |         TIMESTAMP '2026-02-01 00:00:00'
         |  FROM orders WHERE o_orderkey % 14 = 0)
         |SELECT o_orderkey, o_custkey, o_totalprice, extractionid,

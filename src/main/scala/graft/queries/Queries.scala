@@ -365,6 +365,26 @@ object Queries {
       .offset(37)
   }
 
+  /** S8: the `@odata.nextLink` CONTINUATION-TOKEN leg — the one
+    * sliver of the reference's transport loop previously without an
+    * engine counterpart (it walks `@odata.nextLink`,
+    * `resources/priorityDataSource.py:629-736`, where s7's `$skip` is
+    * client-driven): the page "server" here reveals page N+1's opaque
+    * token only inside page N, the connector walks the chain from the
+    * `_head.meta` entry token, and a DECOY page sitting unlinked in
+    * the same directory proves the walk — a directory-listing reader
+    * would serve the decoy row and hash-mismatch. The pushed filter
+    * still applies row-side; OFFSET pushdown self-declines (no counts
+    * sidecar exists for a token server, by construction). */
+  def s8ODataNextlink(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.odata.ODataPages
+    spark.read.format("graft-odata")
+      .schema(ODataPages.ordersSchema)
+      .option("path", ODataPages.ordersLinkedPages(spark, dir))
+      .load()
+      .filter(col("o_custkey") >= 25)
+  }
+
   /** S5 through the PRODUCTION connector: the `$orderby`+`$top` leg —
     * ORDER BY + LIMIT fuse into the connector's TopN pushdown
     * (partial: each page serves its local top-n under the exact
@@ -484,6 +504,51 @@ object Queries {
       "e3", "2026-02-01 00:00:00"), "ORDERS", append = true)
     w.promote("ORDERS", Seq("o_orderkey"))
     w.read("orders")
+  }
+
+  /** K14: the k5 promote semantics on the JDBC PRODUCTION backend
+    * (VERDICT r11 task 5 — the parquet leg was hash-gated, the Derby
+    * leg unit-only): the SAME e1/e2/e3 append history lands in a
+    * Derby warehouse through [[graft.sinks.JdbcStagingWriter]] with a
+    * TYPED catalog entry — the PK crosses as VARCHAR(255) (the
+    * reference's PK→String rule, sqlDwh.py:346-350, here hash-VISIBLE:
+    * the gate casts the key to string and the oracle mirrors it),
+    * money as DOUBLE, the audit timestamp as TIMESTAMP — then
+    * stg→final promotion runs ON the warehouse (rename swap) and the
+    * gate reads the promoted table back over JDBC. The oracle replays
+    * the identical history through the DuckDB latest-per-PK window
+    * (timestamp desc, extractionid desc — e3's same-timestamp re-run
+    * makes the tiebreak load-bearing, as in k5). In-memory Derby: one
+    * DB per JVM, every table rewritten per invocation (reps are
+    * deterministic). */
+  def k14JdbcPromote(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.{EntityMeta, FieldMeta}
+    val url = "jdbc:derby:memory:k14gate;create=true"
+    val w = new graft.sinks.JdbcStagingWriter(spark, url)
+    val meta = EntityMeta("ORDERS", "priority", fields = Seq(
+      FieldMeta("O_ORDERKEY", "Edm.Int64", keyFlag = true),
+      FieldMeta("O_CUSTKEY", "Edm.Int64", targetDataType = Some("BIGINT")),
+      FieldMeta("O_TOTALPRICE", "Edm.Decimal", targetDataType = Some("DOUBLE"))),
+      entityPk = Seq("O_ORDERKEY"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    def stamp(df: DataFrame, id: String, ts: String) = df
+      .withColumn("o_orderkey", col("o_orderkey").cast("string"))
+      .withColumn("extractionid", lit(id))
+      .withColumn("extractiontimestamputc", lit(Timestamp.valueOf(ts)))
+    w.writeEntity(stamp(o, "e1", "2026-01-01 00:00:00"), meta, append = false)
+    w.writeEntity(stamp(
+      o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      "e2", "2026-02-01 00:00:00"), meta, append = true)
+    w.writeEntity(stamp(
+      o.filter(col("o_orderkey") % 14 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(2000.0)),
+      "e3", "2026-02-01 00:00:00"), meta, append = true)
+    w.promote("ORDERS", Seq("o_orderkey"))
+    // the PROMOTED final table (JdbcStagingWriter.read targets the
+    // stg_ layer; promotion lands at the bare entity name)
+    spark.read.jdbc(url, "orders", new java.util.Properties)
   }
 
   /** K2 gate: the reference's debug CSV dump
@@ -733,10 +798,12 @@ object Queries {
     "s3_odata_expand" -> (s3ODataExpand _),
     "s5_odata_topn" -> (s5ODataTopN _),
     "s7_odata_offset" -> (s7ODataOffset _),
+    "s8_odata_nextlink" -> (s8ODataNextlink _),
     "s6_odata_agg" -> (s6ODataAgg _),
     "q16_sql_catalog" -> (q16SqlCatalog _),
     "q17_unpivot" -> (q17Unpivot _),
     "k5_promote_latest" -> (k5PromoteLatest _),
+    "k14_jdbc_promote" -> (k14JdbcPromote _),
     "k6_csv_roundtrip" -> (k6CsvRoundtrip _),
     "k12_csv_escaping" -> (k12CsvEscaping _),
     "k13_dynamic_overwrite" -> (k13DynamicOverwrite _),

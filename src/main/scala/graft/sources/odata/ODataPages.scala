@@ -107,6 +107,80 @@ object ODataPages {
       root.toString
     }
 
+  private val linkedCache = new graft.util.OnceCache[(String, String), String](8)
+  val LinkedModulus = 97
+  val LinkedPageSize = 60
+
+  /** Render (once) the CONTINUATION-TOKEN page "server": the
+    * `o_orderkey % 97 = 0` orders slice chunked into pages whose file
+    * names are opaque md5 tokens, each page carrying the next page's
+    * token as `@odata.nextLink` (the last page carries none) and a
+    * `_head.meta` sidecar declaring the entry token — the offline
+    * stand-in for a server that reveals page N+1 only with page N
+    * (the reference's `@odata.nextLink` walk,
+    * `resources/priorityDataSource.py:629-736`). Token names are NOT
+    * name-ordered like the `$skip` server's `page_%05d` files, and a
+    * DECOY page (valid JSON, one poisoned row, no inbound link) sits
+    * in the same directory: a connector that LISTED the directory
+    * instead of walking the chain would read pages out of chain
+    * shape AND serve the decoy row — the s8 hash gate and the
+    * ODataSourceSpec e2e both catch it. No `_counts.meta` is
+    * rendered: a token server cannot support plan-time OFFSET
+    * conversion, so `pushOffset` declines by construction. */
+  def ordersLinkedPages(spark: SparkSession, sfDir: String): String =
+    linkedCache.getOrCompute((spark.sparkContext.applicationId, sfDir)) {
+      val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(pmod(col("o_orderkey"), lit(LinkedModulus)) === 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .collect() // bounded: 1/LinkedModulus of orders — see Scaladoc
+      val dir = java.nio.file.Files.createTempDirectory("odata_linked")
+      val m = ODataTableProvider.mapper
+      def token(i: Int): String = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"graft-odata-page-$i".getBytes("UTF-8"))
+          .take(6).map(b => f"$b%02x").mkString
+        s"tok_$h.json"
+      }
+      // an empty slice still serves ONE (empty) head page — the chain
+      // walk needs a resolvable head, and an empty `value` array is
+      // exactly what a real server returns for an empty entity
+      val pages =
+        if (rows.isEmpty) Seq(Array.empty[org.apache.spark.sql.Row])
+        else rows.grouped(LinkedPageSize).toSeq
+      pages.zipWithIndex.foreach { case (page, i) =>
+        val root = m.createObjectNode()
+        val arr = root.putArray("value")
+        page.foreach { r =>
+          val o = arr.addObject()
+          o.put("o_orderkey", r.getLong(0))
+          o.put("o_custkey", r.getLong(1))
+          o.put("o_orderstatus", r.getString(2))
+          o.put("o_orderpriority", r.getString(3))
+        }
+        if (i + 1 < pages.size)
+          root.put(ODataTableProvider.NextLink, token(i + 1))
+        java.nio.file.Files.write(
+          dir.resolve(token(i)), m.writeValueAsBytes(root))
+      }
+      // the decoy: listed by a directory scan, unreachable by the chain
+      val decoy = m.createObjectNode()
+      val darr = decoy.putArray("value")
+      val drow = darr.addObject()
+      drow.put("o_orderkey", -1L)
+      drow.put("o_custkey", -1L)
+      drow.put("o_orderstatus", "X")
+      drow.put("o_orderpriority", "0-DECOY")
+      java.nio.file.Files.write(
+        dir.resolve("tok_decoy.json"), m.writeValueAsBytes(decoy))
+      val headMeta = m.createObjectNode()
+      headMeta.put("head", token(0))
+      java.nio.file.Files.write(
+        dir.resolve(ODataTableProvider.HeadMeta),
+        m.writeValueAsBytes(headMeta))
+      dir.toString
+    }
+
   /** Render (once) and return the page directory for `sfDir`'s orders. */
   def ordersPages(spark: SparkSession, sfDir: String): String =
     cache.getOrCompute((spark.sparkContext.applicationId, sfDir)) {

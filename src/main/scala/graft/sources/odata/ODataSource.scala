@@ -107,15 +107,72 @@ object ODataTableProvider {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
-  /** Page files in page order — the offline stand-in for `$skiptoken`
-    * pagination. Hadoop FileSystem API (same as the reader), so page
-    * directories on HDFS/S3 plan correctly too. */
-  private[odata] def pageFiles(dir: String): Seq[String] = {
+  /** Name of the head-page sidecar that switches a page directory
+    * into CONTINUATION-TOKEN mode (`{"head": "<page file>"}`). */
+  private[odata] val HeadMeta = "_head.meta"
+  /** The OData v4 continuation link property each non-final page
+    * carries in token mode (the reference's client walks the same
+    * property, `resources/priorityDataSource.py:629-736`). */
+  private[odata] val NextLink = "@odata.nextLink"
+
+  /** Page files in page order. Two server shapes (VERDICT r11 task 4):
+    *
+    *  - LISTED (no `_head.meta`): every `*.json` under the directory,
+    *    name-sorted — the offline stand-in for a server whose page set
+    *    is known up front (`$skip`/`$count` style; this is also the
+    *    shape whose `_counts.meta` sidecar enables OFFSET pushdown).
+    *  - LINKED (`_head.meta` present): the server drives paging via
+    *    `@odata.nextLink` continuation tokens — the walk starts at the
+    *    declared head page and follows each page's link until a page
+    *    carries none. ONLY chain-reachable pages are served (a file
+    *    sitting in the directory without an inbound link is invisible,
+    *    exactly as an unissued server token would be); cycles and
+    *    dangling links fail loudly. The walk is inherently SERIAL —
+    *    the protocol reveals page N+1's token only with page N, which
+    *    is why the reference's client is a serial driver loop. Here
+    *    the driver walks the chain at PLAN time (offline pages make
+    *    the re-read by executors cheap); a production transport
+    *    either streams rows during the walk (the reference's
+    *    behavior) or prefers the `$skip` planner when the server
+    *    publishes counts — parallelism across a cluster comes from
+    *    many entities, not from one entity's token chain.
+    *
+    * Hadoop FileSystem API (same as the reader), so page directories
+    * on HDFS/S3 plan correctly too. */
+  private[graft] def pageFiles(dir: String): Seq[String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(hadoopConf())
     if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) Nil
+    else if (fs.exists(new Path(p, HeadMeta))) walkChain(dir)
     else fs.listStatus(p).map(_.getPath.toString)
       .filter(_.endsWith(".json")).toSeq.sorted
+  }
+
+  /** Follow the `@odata.nextLink` chain from the `_head.meta` head
+    * page; returns full paths in chain order. */
+  private[graft] def walkChain(dir: String): Seq[String] = {
+    val head = {
+      val node = readPage(new Path(dir, HeadMeta).toString)
+      val h = node.get("head")
+      require(h != null && h.isTextual,
+        s"graft-odata: $dir/$HeadMeta carries no textual 'head'")
+      h.asText
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val seen = scala.collection.mutable.Set.empty[String]
+    var token: String = head
+    while (token != null) {
+      if (!seen.add(token)) throw new IllegalStateException(
+        s"graft-odata: $NextLink cycle at token '$token' under $dir")
+      val path = new Path(dir, token)
+      val fs = path.getFileSystem(hadoopConf())
+      if (!fs.exists(path)) throw new IllegalStateException(
+        s"graft-odata: $NextLink token '$token' resolves to no page under $dir")
+      out += path.toString
+      val next = readPage(path.toString).get(NextLink)
+      token = if (next == null || next.isNull) null else next.asText
+    }
+    out.toSeq
   }
 
   /** Read + parse one page through the Hadoop FileSystem (paths may

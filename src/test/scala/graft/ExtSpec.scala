@@ -5546,6 +5546,88 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("jaccardUserTopK maxItemDf: cap≡exact when nothing exceeds it; a planted head item collapses the pair set and is reported") {
+    import spark.implicits._
+    // 12 users; item 999 is the HEAD item every user touched (df=12 —
+    // the Zipfian scale-killer: it alone pairs all 12·11 ordered user
+    // pairs); genuine signal is a sparse chain — item i shared by
+    // users (i, i+1) only (df=2)
+    val users = (1L to 12L)
+    val inter = users.map(u => (u, 999L)) ++
+      (1L to 11L).flatMap(i => Seq((i, i), (i + 1, i)))
+    val df = inter.toDF("user_id", "item_id")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    // cap ≥ every item's df ⇒ bit-identical to uncapped
+    val uncapped = rows(Similarity.jaccardUserTopK(df, k = 100))
+    assert(rows(Similarity.jaccardUserTopK(df, k = 100,
+      maxItemDf = Some(12L))) == uncapped)
+    // head item connects EVERYONE uncapped: 12 users × 11 neighbors
+    assert(uncapped.size == 12 * 11)
+    // cap below the head df: the pair set collapses to the chain
+    // (each user pairs only with its ≤2 chain neighbors) and equals
+    // the EXACT Jaccard over the filtered interactions — the stated
+    // cap semantics
+    val capped = rows(Similarity.jaccardUserTopK(df, k = 100,
+      maxItemDf = Some(11L)))
+    val filteredExact = rows(Similarity.jaccardUserTopK(
+      df.filter($"item_id" =!= 999L), k = 100))
+    assert(capped == filteredExact)
+    assert(capped.size == 2 * 11, s"chain pairs: ${capped.size}")
+    // the drop is REPORTED: one head item, df 12, 144 pair rows avoided
+    val report = Similarity.headItems(df, 11L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(report.toSeq == Seq((999L, 12L, 144L)))
+    assert(Similarity.headItems(df, 12L).isEmpty)
+  }
+
+  test("sparseCosTopK/bm25TopK maxTermDf: cap≡exact when nothing exceeds it; a planted stop-term drops, equals the filtered corpus, and is reported") {
+    import spark.implicits._
+    // 8 docs built from token arrays; 'the' rides EVERY doc (df=8 —
+    // the posting-join stop-term); doc 7 is ONLY the stop term (its
+    // filtered form has no tokens at all — the empty-stream edge).
+    // queryMod=2 makes the even doc_ids the query slice.
+    val toks = Map(
+      0L -> Seq("the", "apple", "pear", "apple"),
+      1L -> Seq("pear", "the", "plum"),
+      2L -> Seq("apple", "plum", "the"),
+      3L -> Seq("kiwi", "the", "apple", "plum"),
+      4L -> Seq("the", "kiwi", "pear"),
+      5L -> Seq("plum", "plum", "the"),
+      6L -> Seq("the", "apple", "kiwi", "pear", "plum"),
+      7L -> Seq("the"))
+    val full = toks.toSeq.map { case (id, t) => (id, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val filtered = toks.toSeq
+      .map { case (id, t) => (id, t.filterNot(_ == "the").mkString(" ")) }
+      .toDF("doc_id", "text")
+    def cosRows(d: org.apache.spark.sql.DataFrame, cap: Option[Long]) =
+      TextStats.sparseCosTopK(d, k = 3, queryMod = 2, maxTermDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).toSet
+    def bmRows(d: org.apache.spark.sql.DataFrame, cap: Option[Long]) =
+      TextStats.bm25TopK(d, k = 3, queryMod = 2, maxTermDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).toSet
+    // cap ≥ every term's df ⇒ bit-identical to uncapped
+    assert(cosRows(full, Some(8L)) == cosRows(full, None))
+    assert(bmRows(full, Some(8L)) == bmRows(full, None))
+    // cap below the stop-term df ⇒ exactly the operator over the
+    // filtered token streams (same nDocs — the doc count is not
+    // changed by dropping terms)
+    assert(cosRows(full, Some(7L)) == cosRows(filtered, None))
+    assert(bmRows(full, Some(7L)) == bmRows(filtered, None))
+    // and the capped result differs from uncapped (the plant bites:
+    // 'the' was doc 7's only link to any query)
+    assert(cosRows(full, Some(7L)) != cosRows(full, None))
+    // the drop is REPORTED: one term, df 8, 64 posting pairs avoided
+    val report = TextStats.headTerms(full, 7L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(report.toSeq == Seq(("the", 8L, 64L)))
+    assert(TextStats.headTerms(full, 8L).isEmpty)
+  }
+
   test("mutualTopPairs equals the naive reciprocal-top-1 on random labeled vectors") {
     import spark.implicits._
     val rng = new scala.util.Random(777L)

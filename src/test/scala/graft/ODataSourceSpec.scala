@@ -304,6 +304,80 @@ class ODataSourceSpec extends SparkSpec {
       "offset slice differs from the ordered parquet slice")
   }
 
+  test("nextLink walk: token chain served in order, decoy page invisible, cycles/dangles loud") {
+    import graft.sources.odata.ODataTableProvider
+    val dir = tmpDir("odata_chain")
+    // three pages whose FILE NAMES reverse the chain order (a sorted
+    // directory listing would serve z→m→a; the chain says a→m→z),
+    // plus an unlinked decoy a listing would also serve
+    Files.write(Paths.get(s"$dir/_head.meta"), """{"head":"z_first.json"}""".getBytes("UTF-8"))
+    writeNamed(dir, "z_first.json",
+      """{"value":[{"ordname":"SO1","qty":1,"curdate":"2024-01-01T00:00:00"}],
+        |"@odata.nextLink":"m_mid.json"}""".stripMargin)
+    writeNamed(dir, "m_mid.json",
+      """{"value":[{"ordname":"SO2","qty":2,"curdate":"2024-02-01T00:00:00"}],
+        |"@odata.nextLink":"a_last.json"}""".stripMargin)
+    writeNamed(dir, "a_last.json",
+      """{"value":[{"ordname":"SO3","qty":3,"curdate":"2024-03-01T00:00:00"}]}""")
+    writeNamed(dir, "b_decoy.json",
+      """{"value":[{"ordname":"POISON","qty":99,"curdate":"2024-04-01T00:00:00"}]}""")
+    // planning follows the chain, not the listing
+    assert(ODataTableProvider.pageFiles(dir).map(p => p.substring(p.lastIndexOf('/') + 1))
+      == Seq("z_first.json", "m_mid.json", "a_last.json"))
+    val df = spark.read.format("graft-odata").schema(schema)
+      .option("path", dir).load()
+    assert(df.rdd.getNumPartitions == 3) // one partition per chain page
+    val got = df.select("ordname").collect().map(_.getString(0)).toSet
+    assert(got == Set("SO1", "SO2", "SO3"), s"decoy leaked or rows lost: $got")
+    // schema inference anchors on the CHAIN head, not the listing head
+    assert(spark.read.format("graft-odata").option("path", dir).load()
+      .columns.toSeq == Seq("ordname", "qty", "curdate"))
+    // pushed filter still applies row-side across the chain
+    assert(spark.read.format("graft-odata").schema(schema)
+      .option("path", dir).load().filter(col("qty") >= 2).count() == 2)
+    // OFFSET pushdown self-declines (no counts sidecar in token mode):
+    // Spark keeps its own global Offset and the slice is still exact
+    val off = df.offset(1)
+    assert(!off.queryExecution.executedPlan.toString.contains("$skip"),
+      "offset must not push against a token server")
+    assert(off.count() == 2)
+    // a dangling token fails loudly
+    writeNamed(dir, "a_last.json",
+      """{"value":[],"@odata.nextLink":"missing.json"}""")
+    val dangle = intercept[IllegalStateException](ODataTableProvider.pageFiles(dir))
+    assert(dangle.getMessage.contains("missing.json"))
+    // a cycle fails loudly
+    writeNamed(dir, "a_last.json",
+      """{"value":[],"@odata.nextLink":"z_first.json"}""")
+    val cycle = intercept[IllegalStateException](ODataTableProvider.pageFiles(dir))
+    assert(cycle.getMessage.contains("cycle"))
+  }
+
+  test("s8 gate shape: linked pages equal the parquet slice; a listing would serve the decoy") {
+    import graft.sources.odata.{ODataPages, ODataTableProvider}
+    val dir = ODataPages.ordersLinkedPages(spark, sf)
+    // the decoy and the head sidecar are really there
+    assert(Files.exists(Paths.get(s"$dir/tok_decoy.json")))
+    assert(Files.exists(Paths.get(s"$dir/_head.meta")))
+    // chain pages exclude the decoy a directory listing would include
+    val chain = ODataTableProvider.pageFiles(dir)
+    assert(!chain.exists(_.endsWith("tok_decoy.json")))
+    val got = spark.read.format("graft-odata").schema(ODataPages.ordersSchema)
+      .option("path", dir).load()
+      .filter(col("o_custkey") >= 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(pmod(col("o_orderkey"), lit(ODataPages.LinkedModulus)) === 0 &&
+        col("o_custkey") >= 25)
+      .select("o_orderkey", "o_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect && !got.exists(_._1 == -1L),
+      s"linked read drifted from the parquet slice (got ${got.size}, want ${expect.size})")
+  }
+
+  private def writeNamed(dir: String, name: String, body: String): Unit =
+    Files.write(Paths.get(s"$dir/$name"), body.getBytes("UTF-8"))
+
   test("GraftCatalog: entities list as tables, SQL resolves with pushdown, writes refused") {
     val root = graft.sources.odata.ODataPages.ordersExpandRoot(spark, sf)
     val cat = s"spec_cat_${math.abs(root.hashCode).toString}"

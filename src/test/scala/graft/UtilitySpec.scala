@@ -266,4 +266,46 @@ class UtilitySpec extends SparkSpec {
     val back = spark.read.option("header", true).csv(s"$wh/stg_t__debug_csv")
     assert(back.count() == 2 && back.columns.toSeq == Seq("k", "v"))
   }
+
+  test("bench contention probe: /proc/stat busy jiffies parse and advance") {
+    // the contention detector must actually read the machine on this
+    // platform — a silently-None probe would disable flagging and
+    // reproduce the r11 contaminated-artifact failure mode unnoticed
+    val b0 = Bench.sysBusyJiffies()
+    assert(b0.nonEmpty, "contention probe unreadable on this platform")
+    // burn CPU in THIS process: busy jiffies must advance at least as
+    // much as our own burn (machine busy ⊇ our burn)
+    val deadline = System.nanoTime() + 300000000L // 0.3 s
+    var sink = 0L
+    while (System.nanoTime() < deadline) sink += sink * 31 + 1
+    val b1 = Bench.sysBusyJiffies()
+    assert(b1.nonEmpty && b1.get >= b0.get, s"busy went backwards: $b0 -> $b1 ($sink)")
+    assert(Bench.loadAvg() >= 0.0)
+  }
+
+  test("bench timedRep: own CPU burn is NOT attributed to co-tenants") {
+    // burn a large share of the machine from INSIDE this process (8
+    // spinning threads): if timedRep failed to subtract process CPU
+    // from machine-busy, othersFrac would read ~8/nCpus ≈ 0.25 and the
+    // bench would flag (and endlessly re-run) its own work. Correctly
+    // subtracted, othersFrac reflects only genuine co-tenants — best
+    // of 3 attempts shields the assert from a real external burst.
+    def spinRep(): (Double, Double) = Bench.timedRep {
+      val threads = (1 to 8).map { _ =>
+        new Thread(() => {
+          val deadline = System.nanoTime() + 600000000L // 0.6 s — above MinJudgeableWallSec
+          var sink = 0L
+          while (System.nanoTime() < deadline) sink += sink * 31 + 1
+          if (sink == 42) println(sink) // defeat dead-code elimination
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+    }
+    val attempts = (1 to 3).map(_ => spinRep())
+    assert(attempts.forall(_._1 >= 0.5), s"spin ended early: $attempts")
+    val othMin = attempts.map(_._2).min
+    assert(othMin >= 0.0 && othMin < Bench.ContendedFrac,
+      s"self-burn misattributed to co-tenants: $attempts")
+  }
 }
