@@ -4712,6 +4712,136 @@ object ExtOracles {
         |              ORDER BY jppm DESC, u2) AS INT) AS "rank"
         |  FROM j) WHERE "rank" <= 5""".stripMargin,
 
+    // Capped CF neighbors: the x184 chain with the planted head item
+    // (-777 on every buyer) removed by the SAME df>500 ceiling the
+    // Spark knob applies — drop + exact-on-filtered in one hash.
+    "x246_capped_neighbors" ->
+      """WITH ui0 AS (SELECT DISTINCT o_custkey AS user_id,
+        |                             l_partkey AS item_id
+        |             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |             WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL
+        |             UNION ALL
+        |             SELECT DISTINCT o_custkey, -777
+        |             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |             WHERE o_custkey IS NOT NULL),
+        |     hdf AS (SELECT item_id
+        |             FROM (SELECT item_id, count(*) AS c FROM ui0 GROUP BY 1)
+        |             WHERE c > 500),
+        |     ui AS (SELECT * FROM ui0
+        |            WHERE item_id NOT IN (SELECT item_id FROM hdf)),
+        |     sz AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |            FROM ui GROUP BY user_id),
+        |     pr AS (SELECT a.user_id AS u1, b.user_id AS u2,
+        |                   CAST(count(*) AS BIGINT) AS inter
+        |            FROM ui a JOIN ui b USING (item_id)
+        |            WHERE a.user_id < b.user_id
+        |            GROUP BY 1, 2),
+        |     bo AS (SELECT u1, u2, inter FROM pr
+        |            UNION ALL SELECT u2, u1, inter FROM pr),
+        |     j AS (SELECT u1, u2, inter,
+        |                  1000000 * inter // (s1.n + s2.n - inter) AS jppm
+        |           FROM bo JOIN sz s1 ON s1.user_id = u1
+        |                   JOIN sz s2 ON s2.user_id = u2)
+        |SELECT user_id, neighbor_id, inter, jppm, "rank" FROM (
+        |  SELECT u1 AS user_id, u2 AS neighbor_id, inter, jppm,
+        |         CAST(row_number() OVER (PARTITION BY u1
+        |              ORDER BY jppm DESC, u2) AS INT) AS "rank"
+        |  FROM j) WHERE "rank" <= 5""".stripMargin,
+
+    // The stop-term drop report: tokens above the proportional 78%
+    // document-frequency ceiling, df and df² fan-out.
+    "x247_head_terms" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |     tok AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
+        |             FROM documents),
+        |     tf AS (SELECT doc_id, token FROM tok
+        |            WHERE len(token) > 0 GROUP BY 1, 2),
+        |     df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |            FROM tf GROUP BY 1)
+        |SELECT token, df, df * df AS posting_pairs_avoided
+        |FROM df, nd WHERE df > n_docs * 39 // 50""".stripMargin,
+
+    // Capped sparse retrieval: the x175 chain with terms above the
+    // proportional ceiling removed from the token stream (n_docs
+    // UNCHANGED — dropping terms does not drop documents).
+    "x248_capped_sparse" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |     tok AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
+        |             FROM documents),
+        |     tf0 AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |             FROM tok WHERE len(token) > 0 GROUP BY 1, 2),
+        |     hdf AS (SELECT token
+        |             FROM (SELECT token, CAST(count(*) AS BIGINT) AS c
+        |                   FROM tf0 GROUP BY 1), nd
+        |             WHERE c > n_docs * 39 // 50),
+        |     tf AS (SELECT * FROM tf0
+        |            WHERE token NOT IN (SELECT token FROM hdf)),
+        |     idf AS (SELECT token,
+        |                    CAST((1000000 * n_docs) // CAST(count(*) AS BIGINT) AS BIGINT) AS idf
+        |             FROM tf, nd GROUP BY token, n_docs),
+        |     w AS (SELECT doc_id, token, tf * idf AS w FROM tf JOIN idf USING (token)),
+        |     den AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS den
+        |             FROM w GROUP BY doc_id),
+        |     qw AS (SELECT doc_id AS query_id, token, w AS wq
+        |            FROM w WHERE doc_id % 250 = 0),
+        |     num AS (SELECT query_id, w.doc_id, sum(CAST(wq AS HUGEINT) * w.w) AS num
+        |             FROM qw JOIN w ON qw.token = w.token AND w.doc_id <> qw.query_id
+        |             GROUP BY 1, 2),
+        |     s AS (SELECT query_id, num.doc_id,
+        |                  CAST(((1000000 * num) // greatest(dq.den, dd.den))
+        |                       * num // least(dq.den, dd.den) AS BIGINT) AS score_ppm
+        |           FROM num JOIN den dq ON dq.doc_id = query_id
+        |                    JOIN den dd ON dd.doc_id = num.doc_id)
+        |SELECT query_id, doc_id, "rank", score_ppm FROM (
+        |  SELECT query_id, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY score_ppm DESC, doc_id) AS INT) AS "rank",
+        |         score_ppm
+        |  FROM s) WHERE "rank" <= 5""".stripMargin,
+
+    // Capped BM25: the x189 chain over the df-capped token stream —
+    // dl, totals and idf all reflect the FILTERED stream (drop a
+    // term, its occurrences leave the doc-length model too).
+    "x249_capped_bm25" ->
+      """WITH tf0 AS MATERIALIZED (
+        |  SELECT doc_id, w AS token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |               unnest(string_split(COALESCE(text, ''), ' ')) AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0 GROUP BY doc_id, w),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |hdf AS (SELECT token
+        |        FROM (SELECT token, CAST(count(*) AS BIGINT) AS c
+        |              FROM tf0 GROUP BY 1), nd
+        |        WHERE c > n * 39 // 50),
+        |tf AS MATERIALIZED (SELECT * FROM tf0
+        |      WHERE token NOT IN (SELECT token FROM hdf)),
+        |tot AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS a FROM tf),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY doc_id),
+        |idf AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY token),
+        |qt AS (SELECT doc_id AS query_id, token FROM tf
+        |       WHERE doc_id % 250 = 0),
+        |co AS (SELECT q.query_id, t.doc_id,
+        |         (CAST((1000000 * nd.n) // i.df AS HUGEINT)
+        |            * t.tf * 22 * tot.a) //
+        |         (CAST(10 AS HUGEINT) * tot.a * t.tf
+        |            + CAST(3 AS HUGEINT) * tot.a
+        |            + CAST(9 AS HUGEINT) * d.dl * nd.n) AS c
+        |       FROM tf t JOIN qt q USING (token)
+        |            JOIN idf i USING (token)
+        |            JOIN dl d ON d.doc_id = t.doc_id
+        |            CROSS JOIN tot CROSS JOIN nd
+        |       WHERE t.doc_id <> q.query_id),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score
+        |       FROM co GROUP BY 1, 2)
+        |SELECT query_id, doc_id, "rank", score FROM (
+        |  SELECT query_id, doc_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY score DESC, doc_id) AS INT) AS "rank"
+        |  FROM sc) WHERE "rank" <= 5""".stripMargin,
+
     // Incremental rollup merge: the oracle aggregates the WHOLE frame
     // in one pass — equality with the Spark side's stored+batch
     // partial-state merge IS the merge-identity proof.

@@ -637,6 +637,50 @@ object ExtQueries {
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("user_id"),
             col("l_partkey").as("item_id")))),
+    // The CAPPED CF leg (x184's production knob under the oracle, not
+    // just spec-pinned): item -777 is PLANTED on every customer — the
+    // popularity² head item incarnate (it alone would pair all users²
+    // through one shuffle key) — and maxItemDf=500 drops it while
+    // every genuine part (≤ ~60 buyers at any SF) survives; the
+    // oracle applies the identical df ceiling to the identical
+    // planted set, so the hash proves drop + exact-on-filtered.
+    "x246_capped_neighbors" -> ((s, d) => {
+      val inter = s.read.parquet(s"$d/orders.parquet")
+        .join(s.read.parquet(s"$d/lineitem.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user_id"),
+          col("l_partkey").as("item_id"))
+      val planted = inter.unionByName(
+        inter.select(col("user_id")).distinct()
+          .withColumn("item_id", lit(-777L)))
+      Similarity.jaccardUserTopK(planted, k = 5, maxItemDf = Some(500L))
+    }),
+    // The stop-term drop REPORT (no-silent-caps made oracle-visible):
+    // every token above the proportional df ceiling (78% of the
+    // corpus — bites at every SF since the synthetic head tokens sit
+    // near 80%), with the posting fan-out the cap avoids.
+    "x247_head_terms" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextStats.headTerms(dd, dd.count() * 39L / 50L)
+    }),
+    // The CAPPED BM25 leg (x189's knob under the oracle, completing
+    // the trio): same proportional ceiling; dl/avgdl/idf all reflect
+    // the filtered token stream — BM25 exactly over what remains.
+    "x249_capped_bm25" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextStats.bm25TopK(dd, k = 5, queryMod = 250,
+        maxTermDf = Some(dd.count() * 39L / 50L))
+    }),
+    // The CAPPED sparse-retrieval leg (x175's production knob under
+    // the oracle): the same proportional ceiling drops the head
+    // tokens from the token stream and the scores are EXACTLY the
+    // tf·idf cosine over the filtered streams (n_docs unchanged) —
+    // the oracle filters its tf CTE by the identical df rule.
+    "x248_capped_sparse" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextStats.sparseCosTopK(dd, k = 5, queryMod = 250,
+        maxTermDf = Some(dd.count() * 39L / 50L))
+    }),
     // Incremental rollup maintenance: stored-state + batch partial
     // aggregates MERGED per (day, event_type); the oracle aggregates
     // the whole frame directly — the merge-identity proof.
