@@ -43,6 +43,37 @@ object Merge {
       .drop("__rn")
   }
 
+  /** DELETE-AWARE CDC apply — [[latestWinsMerge]] with tombstones: the
+    * full replication contract a real change feed (Debezium-style
+    * op ∈ insert/update/delete) needs, which latest-wins alone cannot
+    * express (an upsert merge can only ever GROW the key set).
+    * `updates` carries `current`'s columns plus `seqCol` (values ≥ 1,
+    * unique per key — the feed's LSN) and `opCol` ∈ {'U','D'} ('U' is
+    * insert-or-update; snapshot rows rank at seq 0 op 'U'). Per key
+    * the HIGHEST-seq row decides: 'U' survives with its attrs, 'D'
+    * removes the key from the result entirely. The semantics fall out
+    * of one rank: delete-then-reinsert resurrects (the later 'U'
+    * outranks the tombstone), update-then-delete deletes, and a
+    * tombstone for a never-seen key is a no-op (its own rank-1 row is
+    * filtered — nothing to remove). The SCD2 sibling keeps every
+    * version; [[latestWinsMerge]] keeps one per key; this keeps one
+    * OR none — the three dimension-maintenance contracts.
+    *
+    * Scale shape: identical to [[latestWinsMerge]] — ONE shuffle on
+    * `key`, rank-1 rewriting to a partial WindowGroupLimit below the
+    * exchange, O(keys) moved, snapshot never self-joins. */
+  def cdcApply(
+      current: DataFrame, updates: DataFrame, key: String,
+      seqCol: String, opCol: String = "op"): DataFrame = {
+    val all = current
+      .withColumn(seqCol, lit(0L)).withColumn(opCol, lit("U"))
+      .unionByName(updates.withColumn(seqCol, col(seqCol).cast("long")))
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) === "U")
+      .drop("__rn", opCol)
+  }
+
   /** Point-in-time dimension lookup against an SCD2 history (the
     * [[Sessions.changeHistory]] output shape: `key`, attr columns,
     * `valid_from_us`, `valid_to_us` NULL-open) — the "what did this

@@ -614,6 +614,50 @@ object ExtOracles {
     // CDC latest-wins merge: snapshot rows rank at seq 0, the batch's
     // duplicate-key rows resolve on the higher seq, inserts survive
     // trivially.
+    // Delete-aware CDC apply: the op-tagged replay — highest seq per
+    // key decides, 'D' removes the key (rn=1 AND op='U'); the ghost
+    // tombstones and the update-then-delete keys vanish, the
+    // resurrected keys return with their seq-3 attrs.
+    "x250_cdc_apply" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |         CAST(0 AS BIGINT) AS seq, 'U' AS op FROM customer),
+        |u1 AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         c_acctbal + 100.0 AS c_acctbal,
+        |         'UPDATED' AS c_mktsegment, CAST(1 AS BIGINT), 'U'
+        |  FROM customer WHERE c_custkey % 11 = 0),
+        |del AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |         CAST(2 AS BIGINT), 'D'
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |res AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |         'RESURRECT' AS c_mktsegment, CAST(3 AS BIGINT), 'U'
+        |  FROM customer WHERE c_custkey % 26 = 0),
+        |delafter AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |         CAST(4 AS BIGINT), 'D'
+        |  FROM customer WHERE c_custkey % 22 = 0),
+        |ghost AS (
+        |  SELECT c_custkey + 7000000 AS c_custkey, c_name, c_nationkey,
+        |         c_acctbal, c_mktsegment, CAST(1 AS BIGINT), 'D'
+        |  FROM customer WHERE c_custkey % 19 = 0),
+        |ins AS (
+        |  SELECT c_custkey + 5000000 AS c_custkey, c_name, c_nationkey,
+        |         c_acctbal, 'NEW' AS c_mktsegment, CAST(1 AS BIGINT), 'U'
+        |  FROM customer WHERE c_custkey % 17 = 0),
+        |allr AS (
+        |  SELECT * FROM cur UNION ALL SELECT * FROM u1
+        |  UNION ALL SELECT * FROM del UNION ALL SELECT * FROM res
+        |  UNION ALL SELECT * FROM delafter UNION ALL SELECT * FROM ghost
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, seq
+        |FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |                                   ORDER BY seq DESC) AS rn
+        |      FROM allr)
+        |WHERE rn = 1 AND op = 'U'""".stripMargin,
+
     "x89_cdc_upsert" ->
       """WITH cur AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,

@@ -1183,6 +1183,36 @@ object ExtQueries {
             expr("substring(text, 16)")).as("text"))
       Dedup.editNeardup(dd.unionByName(typo))
     }),
+    // DELETE-AWARE CDC apply: op-tagged ledger over the customer
+    // snapshot — %11 updated (seq 1), %13 tombstoned (seq 2), %26
+    // RESURRECTED after their tombstone (seq 3 — the later 'U' must
+    // outrank the 'D'), %22 deleted AFTER their update (seq 4), a
+    // ghost tombstone for never-seen keys (%19 at id+7e6 — must
+    // no-op), inserts at id+5e6 (%17). %286 keys ride all four
+    // ledger rows with strictly increasing seqs (no per-key tie).
+    "x250_cdc_apply" -> ((s, d) => {
+      val cust = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+      def led(df: DataFrame, seq: Long, op: String) = df
+        .withColumn("seq", lit(seq)).withColumn("op", lit(op))
+      val u1 = led(cust.filter(col("c_custkey") % 11 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .withColumn("c_mktsegment", lit("UPDATED")), 1L, "U")
+      val del = led(cust.filter(col("c_custkey") % 13 === 0), 2L, "D")
+      val res = led(cust.filter(col("c_custkey") % 26 === 0)
+        .withColumn("c_mktsegment", lit("RESURRECT")), 3L, "U")
+      val delAfter = led(cust.filter(col("c_custkey") % 22 === 0), 4L, "D")
+      val ghost = led(cust.filter(col("c_custkey") % 19 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 7000000L), 1L, "D")
+      val ins = led(cust.filter(col("c_custkey") % 17 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 5000000L)
+        .withColumn("c_mktsegment", lit("NEW")), 1L, "U")
+      graft.ext.Merge.cdcApply(cust,
+        u1.unionByName(del).unionByName(res).unionByName(delAfter)
+          .unionByName(ghost).unionByName(ins),
+        "c_custkey", "seq")
+    }),
     // CDC latest-wins merge: the batch updates every %11 customer
     // (seq 1), re-updates every %33 (seq 2 — the within-batch
     // duplicate that must win), and inserts new keys at id+5e6; the

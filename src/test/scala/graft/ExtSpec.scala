@@ -2149,6 +2149,26 @@ class ExtSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("cdcApply: tombstone deletes, resurrection, ghost no-op, passthrough") {
+    val cur = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "val")
+    val led = Seq(
+      (1L, "x", 1L, "D"),  // plain delete — key 1 gone
+      (2L, "b2", 1L, "U"), // update survives
+      (3L, "x", 1L, "D"),  // delete...
+      (3L, "c2", 2L, "U"), // ...then resurrect: later U outranks the tombstone
+      (2L, "x", 2L, "D"),  // update-then-delete: key 2 gone
+      (9L, "x", 1L, "D"),  // ghost tombstone for a never-seen key: no-op
+      (5L, "e", 1L, "U"))  // insert
+      .toDF("k", "val", "seq", "op")
+    val got = graft.ext.Merge.cdcApply(cur, led, "k", "seq").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      3L -> (("c2", 2L)), // resurrected with the seq-2 attrs
+      4L -> (("d", 0L)),  // untouched passthrough
+      5L -> (("e", 1L))), // insert
+      s"got $got")
+  }
+
   test("linearAttribution: ppm split sums to 1e6, remainder to last, window gate") {
     val e = Seq(
       (10L, 1L, "view", "2024-01-01 00:10:00"),
