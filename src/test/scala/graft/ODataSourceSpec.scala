@@ -98,6 +98,43 @@ class ODataSourceSpec extends SparkSpec {
     assert(r2.tables.head.recordsWritten == 0)
   }
 
+  test("RefreshJob runs end-to-end over a LINKED (nextLink) page server") {
+    // the reference's actual transport is the continuation-token walk —
+    // the full refresh lifecycle (filter pushdown, watermark, strict->
+    // incremental resume) must compose with token paging unchanged,
+    // and the unlinked decoy must stay invisible to the pipeline
+    import graft.model._
+    val root = tmpDir("odata_lroot")
+    val items = s"$root/ITEMS"
+    Files.createDirectories(Paths.get(items))
+    Files.write(Paths.get(s"$items/_head.meta"), """{"head":"t9.json"}""".getBytes("UTF-8"))
+    writeNamed(items, "t9.json",
+      """{"value":[
+        |  {"itemid": 1, "moddate": "2024-01-01T00:00:00", "price": 10.5},
+        |  {"itemid": 2, "moddate": "2024-03-01T00:00:00", "price": 20.0}],
+        |"@odata.nextLink":"t1.json"}""".stripMargin)
+    writeNamed(items, "t1.json",
+      """{"value":[{"itemid": 3, "moddate": "2024-05-01T00:00:00", "price": 30.0}]}""")
+    writeNamed(items, "t5_decoy.json",
+      """{"value":[{"itemid": 99, "moddate": "2024-06-01T00:00:00", "price": 99.0}]}""")
+
+    val writer = new graft.sinks.StagingWriter(spark, tmpDir("odata_lwh"))
+    val job = new graft.run.RefreshJob(spark,
+      new graft.sources.odata.ODataEntitySource(spark, root), writer)
+    val cfg = ExtractionConfig("ds1", "n", "a1", systemTimezone = "UTC",
+      entities = Seq(EntityConfig("ITEMS", filterFlag = true,
+        filterField = "moddate", dataStartDate = "2024-02-01 00:00:00")))
+    val (report, updated) = job.run(cfg, incremental = false)
+    assert(report.errors.isEmpty)
+    // chain rows 2+3 pass the filter; decoy's 99 must NOT have landed
+    assert(report.tables.head.recordsWritten == 2)
+    assert(writer.read("stg_items").filter(col("itemid") === 99L).count() == 0)
+    // watermark from the CHAIN's max, not the decoy's later date
+    assert(updated.entities.head.lastRun.contains("2024-05-01 00:00:00"))
+    val (r2, _) = job.run(updated, incremental = true)
+    assert(r2.tables.head.recordsWritten == 0)
+  }
+
   test("nested $expand subforms: inferred array<struct>, normalized parent/child") {
     val root = tmpDir("odata_nested")
     Files.createDirectories(Paths.get(s"$root/ORDERS"))
