@@ -432,6 +432,56 @@ object EventsStream {
     } finally b.unpersist(blocking = false)
   }
 
+  /** Streaming delete-aware CDC apply — the online face of
+    * [[graft.ext.Merge.cdcApply]]: each micro-batch is an op-tagged
+    * ledger slice ('U'/'D' + per-key LSN `seqCol`) applied over the
+    * standing dimension table and swapped in crash-safe
+    * ([[graft.sinks.StagingWriter.writeAndSwap]] — readers only ever
+    * see a complete table). Replay-idempotent by ALGEBRA, not
+    * bookkeeping: applying a ledger to a state that already absorbed
+    * it is a fixpoint — an upsert rewrites identical attrs, a
+    * tombstone of an already-absent key no-ops — so the at-least-once
+    * `foreachBatch` contract needs no batch discriminator here
+    * (spec-pinned by applying one tick twice). The stored table keeps
+    * `seqCol` (the last-applied sequence per key); the next tick's
+    * snapshot re-ranks it at 0 under the incoming ledger. */
+  def cdcApplyIngestQuery(
+      ledger: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      key: String,
+      checkpoint: String,
+      seqCol: String = "seq",
+      opCol: String = "op"): org.apache.spark.sql.streaming.StreamingQuery =
+    ledger.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        cdcApplyBatch(batch.toDF(), writer, table, key, seqCol, opCol)
+        ()
+      }
+      .start()
+
+  /** One tick of [[cdcApplyIngestQuery]] — exposed for the replay
+    * (fixpoint) spec and for batch backfills. */
+  def cdcApplyBatch(
+      batch: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      key: String,
+      seqCol: String = "seq",
+      opCol: String = "op"): Unit = {
+    // one evaluation of the micro-batch; the standing-table read below
+    // is safe against the swap (tmp-write then rename — the live table
+    // is intact until the output is fully materialized)
+    val b = batch.localCheckpoint(true)
+    val current =
+      if (writer.exists(table)) writer.read(table)
+      else b.drop(opCol).filter(lit(false)) // first tick: empty snapshot in the stored shape
+    writer.writeAndSwap(
+      graft.ext.Merge.cdcApply(current, b, key, seqCol, opCol), table)
+    ()
+  }
+
   /** Stream rows straight into the RELATIONAL staging layer — the
     * warehouse-sink tick of the ingest family: each micro-batch lands
     * via [[graft.sinks.JdbcStagingWriter.writeBatchIdempotent]]

@@ -783,4 +783,43 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((1L, 100L), (2L, 103L)), s"got $got")
     } finally q.stop()
   }
+
+  test("cdcApplyIngestQuery: tombstones/resurrection across ticks; replay is a fixpoint") {
+    implicit val sc = spark.sqlContext
+    val wh = new graft.sinks.StagingWriter(spark, tmpDir("cdc_wh"))
+    val stream = MemoryStream[(Long, String, Long, String)]
+    val q = EventsStream.cdcApplyIngestQuery(
+      stream.toDF().toDF("k", "v", "seq", "op"),
+      wh, "dim", "k", tmpDir("cdc_ck"))
+    def state(): Map[Long, (String, Long)] = wh.read("dim").collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("v"), r.getAs[Long]("seq")))).toMap
+    try {
+      // tick 1: three inserts
+      stream.addData((1L, "a", 1L, "U"), (2L, "b", 1L, "U"), (3L, "c", 1L, "U"))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> (("a", 1L)), 2L -> (("b", 1L)), 3L -> (("c", 1L))))
+      // tick 2: delete k1, update k2, delete-then-resurrect k3,
+      // ghost-delete a never-seen key, insert k4
+      stream.addData(
+        (1L, "x", 1L, "D"), (2L, "b2", 1L, "U"),
+        (3L, "x", 1L, "D"), (3L, "c2", 2L, "U"),
+        (9L, "x", 1L, "D"), (4L, "d", 1L, "U"))
+      q.processAllAvailable()
+      val after = state()
+      assert(after == Map(
+        2L -> (("b2", 1L)), 3L -> (("c2", 2L)), 4L -> (("d", 1L))),
+        s"got $after")
+      // REPLAY fixpoint: at-least-once delivery re-applies tick 2's
+      // ledger against the already-absorbed state — nothing may change
+      import spark.implicits._
+      EventsStream.cdcApplyBatch(
+        Seq((1L, "x", 1L, "D"), (2L, "b2", 1L, "U"),
+          (3L, "x", 1L, "D"), (3L, "c2", 2L, "U"),
+          (9L, "x", 1L, "D"), (4L, "d", 1L, "U"))
+          .toDF("k", "v", "seq", "op"),
+        wh, "dim", "k")
+      assert(state() == after, "replayed tick changed the state")
+    } finally q.stop()
+  }
 }
