@@ -26,6 +26,27 @@ object ExtQueries {
   private val x68BaseCache =
     new graft.util.OnceCache[(String, String), String](4)
 
+  /** Recreate `src`'s tree under `dst` with HARD LINKS for regular
+    * files (copy fallback for cross-device or unsupported FS). Safe
+    * here because [[graft.run.CorpusPrepJob.increment]] only ever
+    * APPENDS new part files — parquet writers never modify existing
+    * files, and even an overwrite only unlinks the clone's directory
+    * entries, leaving the base's inodes intact. Turns the per-rep
+    * base-warehouse clone into metadata-only work. */
+  private def linkTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (!dst.exists()) dst.mkdirs()
+    val children = src.listFiles()
+    if (children != null) children.foreach { f =>
+      val t = new java.io.File(dst, f.getName)
+      if (f.isDirectory) linkTree(f, t)
+      else
+        try java.nio.file.Files.createLink(t.toPath, f.toPath)
+        catch { case _: Exception =>
+          org.apache.commons.io.FileUtils.copyFile(f, t)
+        }
+    }
+  }
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
@@ -434,8 +455,7 @@ object ExtQueries {
         baseDir
       }
       val wh = graft.util.Scratch.dir("incr_funnel")
-      org.apache.commons.io.FileUtils.copyDirectory(
-        new java.io.File(base), new java.io.File(wh))
+      linkTree(new java.io.File(base), new java.io.File(wh))
       graft.run.CorpusPrepJob.increment(batch, ev,
         new graft.sinks.StagingWriter(s, wh)).funnel
     }),

@@ -209,7 +209,7 @@ object CorpusPrepJob {
       // x62/x68 pin it), eager so it survives the finally-release of
       // the cached intermediates it counts
       val funnel = assembleFunnel(cfg, normalized, gatedCount,
-        gatedForDedup, exactKept, neardupKept, clean, corpus)
+        gatedForDedup, exactKept, neardupKept, corpus)
       writer.write(funnel, FunnelTable, append = false)
 
       val counts = funnel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -224,8 +224,7 @@ object CorpusPrepJob {
   private def assembleFunnel(
       cfg: PrepConfig, normalized: DataFrame, gatedCount: DataFrame,
       gatedForDedup: DataFrame, exactKept: DataFrame,
-      neardupKept: DataFrame, clean: DataFrame,
-      corpus: DataFrame): DataFrame = {
+      neardupKept: DataFrame, corpus: DataFrame): DataFrame = {
     def stage(name: String, d: DataFrame): DataFrame =
       d.agg(count(lit(1)).as("n_docs"))
         .select(lit(name).as("stage"), col("n_docs"))
@@ -235,7 +234,11 @@ object CorpusPrepJob {
      else head.unionByName(stage("2b_blocklist_passed", gatedForDedup)))
       .unionByName(stage("3_exact_unique", exactKept))
       .unionByName(stage("4_neardup_kept", neardupKept))
-      .unionByName(stage("5_clean", clean))
+      // 5_clean counts the written-back corpus (≡ clean: the split
+      // join is inner 1:1 and writeAndSwap observed every row) —
+      // counting `clean` here re-evaluated the whole decontamination
+      // subtree a second time per run
+      .unionByName(stage("5_clean", corpus))
       .unionByName(corpus.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
         .select(concat(lit("6_split_"), col("split")).as("stage"), col("n_docs")))
       .localCheckpoint(true)
@@ -339,7 +342,13 @@ object CorpusPrepJob {
       val dupOfHistory = Dedup
         .neardupAgainstIndex(batchKept, writer, IndexTable, cfg.neardupThreshold)
         .select(col("b_id").as("doc_id")).distinct()
+      // eager: the component rewrite + stored-index probe chain is the
+      // tick's most expensive subtree and BOTH the split chain and the
+      // funnel read it — without the checkpoint each consumer re-ran
+      // the probe (a second full evaluation per tick). Batch-bounded,
+      // so the materialization is cheap at any corpus scale.
       val neardupKept = batchKept.join(dupOfHistory, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
 
       val contaminatedIds = Dedup
         .decontaminate(neardupKept, evalDocs, cfg.decontamNgram)
@@ -361,11 +370,15 @@ object CorpusPrepJob {
       def stage(name: String, d: DataFrame): DataFrame =
         d.agg(count(lit(1)).as("n_docs"))
           .select(lit(name).as("stage"), col("n_docs"))
+      // every funnel leg reads a persisted or checkpointed frame:
+      // 5_clean counts withSplit (≡ clean — hashSplit emits exactly
+      // one row per input doc and the join is inner 1:1), so the
+      // decontamination subtree is never evaluated twice
       val funnel = stage("1_raw", normalized)
         .unionByName(stage("2_gate_passed", gatedCount))
         .unionByName(stage("3_exact_unique", exactKept))
         .unionByName(stage("4_neardup_kept", neardupKept))
-        .unionByName(stage("5_clean", clean))
+        .unionByName(stage("5_clean", withSplit))
         .unionByName(withSplit.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
           .select(concat(lit("6_split_"), col("split")).as("stage"), col("n_docs")))
         .localCheckpoint(true)
