@@ -48,6 +48,23 @@ object Assemble {
     docs.select(col("doc_id"),
       splitColumn(trainPermille, valPermille, salt).as("split"))
 
+  /** `docs` with the [[hashSplit]] assignment ATTACHED as a column —
+    * the composition form for pipelines that want every input row
+    * back with its split (exactly `docs ⋈ hashSplit(docs)` when
+    * doc_id is unique, minus the join): the split is a pure
+    * projection of the text, so joining it back forces the input
+    * subtree to evaluate twice (the two join inputs' exchanges differ
+    * and ReuseExchange cannot dedupe them — at corpus scale that was
+    * a second full decontamination pass in CorpusPrepJob). Shares the
+    * single assignment expression with [[hashSplit]]/[[splitBalance]]
+    * (drift = lying audit). */
+  def splitAssigned(
+      docs: DataFrame,
+      trainPermille: Int = 900,
+      valPermille: Int = 50,
+      salt: String = "split-v1"): DataFrame =
+    docs.withColumn("split", splitColumn(trainPermille, valPermille, salt))
+
   /** The [[hashSplit]] assignment as a column — shared with
     * [[splitBalance]] so the audit can never drift from the split it
     * audits. */

@@ -168,10 +168,12 @@ object CorpusPrepJob {
 
       // stage 6: content-hash split rides the cleaned corpus to disk —
       // THE durable deliverable; downstream stages read it back, so
-      // their lineage starts at the warehouse, not at the raw scan
-      val withSplit = clean.join(
-        Assemble.hashSplit(clean, cfg.trainPermille, cfg.valPermille, cfg.splitSalt),
-        "doc_id")
+      // their lineage starts at the warehouse, not at the raw scan.
+      // The split attaches as a COLUMN (splitAssigned): joining
+      // hashSplit back would evaluate the clean subtree — the whole
+      // decontamination pass — twice inside the one write action
+      val withSplit = Assemble.splitAssigned(
+        clean, cfg.trainPermille, cfg.valPermille, cfg.splitSalt)
       // through the crash-safe swap: a re-run that dies mid-write must
       // leave the PREVIOUS corpus readable (the curriculumExport
       // lesson); the cheap derived artifacts below are re-derivable
@@ -355,9 +357,8 @@ object CorpusPrepJob {
         .filter(col("contaminated")).select("doc_id")
       val clean = neardupKept.join(contaminatedIds, Seq("doc_id"), "left_anti")
 
-      val withSplit = clean.join(
-        Assemble.hashSplit(clean, cfg.trainPermille, cfg.valPermille, cfg.splitSalt),
-        "doc_id")
+      val withSplit = Assemble.splitAssigned(
+        clean, cfg.trainPermille, cfg.valPermille, cfg.splitSalt)
         // eager before the appends: the writes must see ONE evaluation
         // of the batch chain, and the corpus append must not re-read
         // the corpus it is appending to via the anti-join lineage
