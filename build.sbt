@@ -36,5 +36,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the 8g heap evicted persisted frames under the
+  // artifact queries' memory pressure and made the hybrid-retrieval
+  // bench key's spread roam 4-19 s (isolated medians were stable) —
+  // the box has 128 GiB, local[32] wants the headroom
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
