@@ -29,6 +29,15 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
         |FROM orders WHERE o_orderkey % 97 = 0 AND o_custkey >= 25""".stripMargin,
 
+    // the string-predicate rung: startswith/endswith/contains + the
+    // OData 4.01 `in` operator, spelled as LIKE/IN on the same slice.
+    "s9_odata_strings" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |  AND o_orderpriority LIKE '1%' AND o_orderpriority LIKE '%GENT'
+        |  AND o_orderpriority LIKE '%-URG%'
+        |  AND o_orderstatus IN ('F', 'P')""".stripMargin,
+
     // the $orderby+$top leg over the same page "server": the total
     // order (custkey DESC, orderkey) makes the selected 20 rows exact.
     "s5_odata_topn" ->

@@ -385,6 +385,29 @@ object Queries {
       .filter(col("o_custkey") >= 25)
   }
 
+  /** S9 through the PRODUCTION connector: the STRING-PREDICATE rung of
+    * the pushdown ladder — `startsWith`/`endsWith`/`contains` compile
+    * to the OData v4 string functions (`startswith(col,'v')`,
+    * `endswith`, `contains` — §5.1.1.5 of the protocol) and `isin`
+    * compiles to the OData 4.01 `in` operator, so the whole residual
+    * lands in `$filter` and the production server would return only
+    * matching rows. Row-side evaluation keeps correctness independent
+    * of the server (the connector's standing contract); acceptance of
+    * `in` requires every member row-side evaluable (a NULL member is
+    * declined — SQL IN is three-valued). The compiled request string
+    * is plan-pinned in ODataSourceSpec. */
+  def s9ODataStrings(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.odata.ODataPages
+    spark.read.format("graft-odata")
+      .schema(ODataPages.ordersSchema)
+      .option("path", ODataPages.ordersPages(spark, dir))
+      .load()
+      .filter(col("o_orderpriority").startsWith("1") &&
+        col("o_orderpriority").endsWith("GENT") &&
+        col("o_orderpriority").contains("-URG") &&
+        col("o_orderstatus").isin("F", "P"))
+  }
+
   /** S5 through the PRODUCTION connector: the `$orderby`+`$top` leg —
     * ORDER BY + LIMIT fuse into the connector's TopN pushdown
     * (partial: each page serves its local top-n under the exact
@@ -799,6 +822,7 @@ object Queries {
     "s5_odata_topn" -> (s5ODataTopN _),
     "s7_odata_offset" -> (s7ODataOffset _),
     "s8_odata_nextlink" -> (s8ODataNextlink _),
+    "s9_odata_strings" -> (s9ODataStrings _),
     "s6_odata_agg" -> (s6ODataAgg _),
     "q16_sql_catalog" -> (q16SqlCatalog _),
     "q17_unpivot" -> (q17Unpivot _),

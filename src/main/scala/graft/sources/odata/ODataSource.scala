@@ -273,6 +273,16 @@ final class ODataScanBuilder(fullSchema: StructType, path: String)
       // OData spells both null predicates (`ne null`/`eq null`) and the
       // reader evaluates them trivially, so accept them always.
       case IsNotNull(_) | IsNull(_) => true
+      // OData string functions (v4 §5.1.1.5): startswith/endswith/
+      // contains compile to $filter function calls; the literal is
+      // always a String by Spark's translation contract.
+      case StringStartsWith(_, _)   => true
+      case StringEndsWith(_, _)     => true
+      case StringContains(_, _)     => true
+      // OData 4.01 `in` operator — accepted only when EVERY member is
+      // row-side evaluable (a NULL member would make the residual-free
+      // contract unsound: SQL IN with NULL is three-valued).
+      case In(_, vs)                => vs.nonEmpty && vs.forall(evaluable)
       case _ => false
     }
     pushed = accepted
@@ -710,6 +720,10 @@ object ODataFilters {
     case EqualTo(a, v)            => s"$a eq ${lit(v)}"
     case IsNotNull(a)             => s"$a ne null"
     case IsNull(a)                => s"$a eq null"
+    case StringStartsWith(a, v)   => s"startswith($a,${lit(v)})"
+    case StringEndsWith(a, v)     => s"endswith($a,${lit(v)})"
+    case StringContains(a, v)     => s"contains($a,${lit(v)})"
+    case In(a, vs)                => s"$a in (${vs.map(lit).mkString(",")})"
     case other                    => throw new IllegalArgumentException(s"not pushable: $other")
   }
 
@@ -731,7 +745,19 @@ object ODataFilters {
     case EqualTo(a, v)            => cmp(node, a, v).contains(0)
     case IsNotNull(a)             => { val j = node.get(a); j != null && !j.isNull }
     case IsNull(a)                => { val j = node.get(a); j == null || j.isNull }
+    // NULL field → false for all three (matches Spark's NULL-strict
+    // string predicates); the literal is a String by translation.
+    case StringStartsWith(a, v)   => str(node, a).exists(_.startsWith(v))
+    case StringEndsWith(a, v)     => str(node, a).exists(_.endsWith(v))
+    case StringContains(a, v)     => str(node, a).exists(_.contains(v))
+    case In(a, vs)                => vs.exists(v => cmp(node, a, v).contains(0))
     case _                        => true
+  }
+
+  /** None = field null/absent. */
+  private def str(node: JsonNode, field: String): Option[String] = {
+    val j = node.get(field)
+    if (j == null || j.isNull) None else Some(j.asText)
   }
 
   /** None = field null/absent (comparisons with null are false). */

@@ -203,7 +203,46 @@ class ODataSourceSpec extends SparkSpec {
     val dir = fixture
     val df = spark.read.format("graft-odata").schema(schema)
       .option("path", dir).load()
-    val q = df.filter(col("ordname").endsWith("4")) // not OData-pushable
+    val q = df.filter(col("ordname").rlike("4$")) // regex: not OData-pushable
+    val plan = q.queryExecution.executedPlan.toString
+    // the IsNotNull guard still pushes, but the regex itself must stay
+    // a Spark-side Filter, never a compiled request fragment
+    assert(plan.contains("RLIKE"), "regex residual missing from the plan")
+    assert(!plan.contains("4$'"), "a regex predicate must not reach $filter")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("SO4"))
+  }
+
+  test("s9 gate: startswith/endswith/contains/in compile into $filter; " +
+    "rows equal the parquet slice") {
+    val q = graft.queries.Queries.s9ODataStrings(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    for (frag <- Seq("startswith(o_orderpriority,'1')",
+        "endswith(o_orderpriority,'GENT')",
+        "contains(o_orderpriority,'-URG')",
+        "o_orderstatus in ('F','P')"))
+      assert(plan.contains(frag),
+        s"string predicate `$frag` not compiled into the scan request:\n$plan")
+    // residual-free: no Filter node should survive above the scan for
+    // the pushed predicates (IsNotNull guards are accepted too)
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(pmod(col("o_orderkey"), lit(100)) === 0 &&
+        col("o_orderpriority").startsWith("1") &&
+        col("o_orderpriority").endsWith("GENT") &&
+        col("o_orderpriority").contains("-URG") &&
+        col("o_orderstatus").isin("F", "P"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    assert(q.count() > 0, "gate slice is empty — predicate plant regressed")
+    assert(q.exceptAll(expect).isEmpty && expect.exceptAll(q).isEmpty,
+      "connector rows differ from the parquet slice")
+  }
+
+  test("IN with a NULL member is declined (three-valued IN stays with Spark)") {
+    val dir = fixture
+    val df = spark.read.format("graft-odata").schema(schema)
+      .option("path", dir).load()
+    val q = df.filter(col("ordname").isin("SO4", null))
+    assert(!q.queryExecution.executedPlan.toString.contains(" in ("),
+      "a NULL-membered IN must not be pushed")
     assert(q.collect().map(_.getString(0)).toSeq == Seq("SO4"))
   }
 
