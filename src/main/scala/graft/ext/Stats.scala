@@ -3193,6 +3193,81 @@ object Stats {
               " AS BIGINT)")))
   }
 
+  /** THEIL–SEN ROBUST TREND — the median of all pairwise daily-count
+    * slopes per event type over the dense zero-filled day grid
+    * (Theil 1950; Sen 1968): the robust companion to [[dailyTrend]]'s
+    * OLS — one collector-outage day drags an OLS slope (the planted
+    * x87 shape) but moves at most half the pairwise slopes, so the
+    * MEDIAN slope holds (breakdown point ~29%).
+    *
+    * Exactness contract: each pair's slope is the exact rational
+    * `(y_j − y_i) / (x_j − x_i)` with a POSITIVE integer denominator;
+    * pairs are totally ordered by `(num/den AS DOUBLE, num, den)` —
+    * the IEEE double is identically rounded on both engines and the
+    * integer tiebreak makes the order total, so the selected element
+    * is engine-identical (two distinct rationals within one ulp may
+    * order by the tiebreak, in which case the selected VALUE is
+    * within one ulp of the true median — the documented
+    * quantization). Lower median at even pair counts (rank
+    * `(P+1) div 2` — selecting an ELEMENT keeps the output an exact
+    * rational; averaging the two middles would not). Output
+    * `slope_micro = sign·(10⁶·|num| div den)` — sign-DECOMPOSED, the
+    * x128 rule: a negative numerator never reaches a cross-engine
+    * integer division. Types with fewer than 2 grid days are absent
+    * (no pair, no slope).
+    *
+    * Scale shape: pair volume is days²·types — bounded by the TIME
+    * dimension, never by event volume (events fold to daily counts
+    * map-side first). The median is selected by the histogram-carve
+    * convention (x30/x132): pairs group to distinct slope keys, one
+    * cumulative window runs over DISTINCT keys per type (bounded by
+    * distinct slope values, not pair count), and the carve picks the
+    * first key whose cumulative count reaches the median rank. */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"), col("d0"))
+    val series = grid
+      .crossJoin(daily.select(col("event_type")).distinct())
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), (col("day") - col("d0")).as("x"),
+        coalesce(col("c"), lit(0L)).as("y"))
+    val pairs = series.as("i")
+      .join(series.as("j"),
+        col("i.event_type") === col("j.event_type") &&
+          col("i.x") < col("j.x"))
+      .select(col("i.event_type").as("event_type"),
+        (col("j.y") - col("i.y")).as("num"),
+        (col("j.x") - col("i.x")).as("den"))
+    // histogram carve over DISTINCT slope keys: the cumulative window
+    // never sees the raw pair rows
+    val keyed = pairs
+      .groupBy(col("event_type"),
+        (col("num").cast("double") / col("den").cast("double")).as("sd"),
+        col("num"), col("den"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("sd"), col("num"), col("den"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carved = keyed
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type"))))
+    carved
+      // median rank r = (P+1) DIV 2 (lower median); the key whose
+      // cumulative interval (cum-cnt, cum] straddles r is the median
+      .filter(col("cum") - col("cnt") < expr("(total + 1) DIV 2") &&
+        expr("(total + 1) DIV 2") <= col("cum"))
+      .select(col("event_type"), col("total").as("n_pairs"),
+        expr("CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) * " +
+          "(1000000 * abs(num) DIV den) AS BIGINT)").as("slope_micro"))
+  }
+
   /** TOP-K WITH AN "OTHERS" BUCKET — the reporting staple every
     * dashboard table is (top 3 nations per region, everything else
     * folded into one row so the group still SUMS to its total; a

@@ -5806,6 +5806,45 @@ object ExtOracles {
         |                      AS BIGINT) END AS slope_micro
         |FROM b""".stripMargin,
 
+    // Theil-Sen: median pairwise slope over the same dense grid; the
+    // (num/den DOUBLE, num, den) total order and the lower-median
+    // rank (P+1)//2 mirror the Spark carve exactly.
+    "x251_theilsen_trend" ->
+      """WITH dc AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |  span AS (SELECT min(day) AS d0, max(day) AS d1 FROM dc),
+        |  grid AS (SELECT unnest(range(d0, d1 + 1)) AS day, d0 FROM span),
+        |  ty AS (SELECT DISTINCT event_type FROM dc),
+        |  s AS (SELECT ty.event_type, g.day - g.d0 AS x,
+        |               coalesce(dc.c, 0) AS y
+        |        FROM grid g CROSS JOIN ty
+        |        LEFT JOIN dc ON dc.event_type = ty.event_type
+        |                    AND dc.day = g.day),
+        |  p AS (SELECT i.event_type,
+        |               CAST(j.y - i.y AS BIGINT) AS num,
+        |               CAST(j.x - i.x AS BIGINT) AS den
+        |        FROM s i JOIN s j ON i.event_type = j.event_type
+        |                         AND i.x < j.x),
+        |  k AS (SELECT event_type, num / den AS sd, num, den,
+        |               CAST(count(*) AS BIGINT) AS cnt
+        |        FROM p GROUP BY 1, 2, 3, 4),
+        |  cm AS (SELECT event_type, num, den, cnt,
+        |                CAST(sum(cnt) OVER (PARTITION BY event_type
+        |                  ORDER BY sd, num, den ROWS BETWEEN UNBOUNDED
+        |                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |                CAST(sum(cnt) OVER (PARTITION BY event_type)
+        |                  AS BIGINT) AS total
+        |         FROM k)
+        |SELECT event_type, total AS n_pairs,
+        |       CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |            (1000000 * abs(num) // den) AS BIGINT) AS slope_micro
+        |FROM cm
+        |WHERE cum - cnt < (total + 1) // 2
+        |  AND (total + 1) // 2 <= cum""".stripMargin,
+
     // WoW growth: dense weeks, lag window, sign-decomposed rate,
     // NULL on an empty base week.
     "x223_wow_growth" ->

@@ -946,6 +946,10 @@ object ExtQueries {
     // Exact OLS slope of each type's daily count over the dense
     // zero-filled grid — micro-events/day, sign-decomposed division.
     "x222_daily_trend" -> ((s, d) => Stats.dailyTrend(events(s, d))),
+    // Theil-Sen robust slope over the same dense grid — the median
+    // pairwise slope next to x222's OLS (one outage day can't move
+    // it; lower median, documented total order, sign-decomposed).
+    "x251_theilsen_trend" -> ((s, d) => Stats.theilSenTrend(events(s, d))),
     // Week-over-week growth per type: dense weeks, sign-decomposed
     // ppm rate, NULL (not 0) when the base week is empty.
     "x223_wow_growth" -> ((s, d) => Stats.wowGrowth(events(s, d))),

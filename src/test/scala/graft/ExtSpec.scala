@@ -5044,6 +5044,37 @@ class ExtSpec extends SparkSpec {
     assert(got("gap") == ((5L, -1000000L)), s"got $got")
   }
 
+  test("theilSenTrend: median slope holds under a planted outlier day; " +
+    "even pair count takes the lower median over the rational order") {
+    import spark.implicits._
+    def mk(t: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, d) => Seq.fill(c)((t, d.toLong * 86400000000L))
+    }
+    // "ramp": 1,2,3,4,5 -> every pairwise slope is exactly 1
+    // "spike": 1,2,3,4,100 -> 6 of 10 pairs still slope 1; median 1
+    //   (OLS on the same series reads ~19e6 — the robustness point)
+    // "mix": days 0..4 = (0,1,0,2,2) (grid is global across types):
+    //   P=10, r=5; sorted slopes
+    //   -1,0,0,1/3,1/2,1/2,2/3,1,1,2 -> median 1/2 -> 500000
+    val ev = (mk("ramp", Seq(1, 2, 3, 4, 5)) ++
+      mk("spike", Seq(1, 2, 3, 4, 100)) ++
+      mk("mix", Seq(0, 1, 0, 2, 2))).zipWithIndex
+      .map { case ((t, us), i) => (i.toLong, t, us) }
+      .toDF("event_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.theilSenTrend(ev)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got("ramp") == ((10L, 1000000L)), s"got $got")
+    assert(got("spike") == ((10L, 1000000L)), s"got $got")
+    assert(got("mix") == ((10L, 500000L)), s"got $got")
+    // the OLS companion DOES move on the spike — the contrast that
+    // justifies the operator
+    val ols = graft.ext.Stats.dailyTrend(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ols("spike") > 10000000L, s"OLS should chase the spike: $ols")
+  }
+
   test("wowGrowth: dense weeks, NULL on empty base, sign-decomposed rate") {
     import spark.implicits._
     val wk = 7L * 86400000000L
