@@ -561,6 +561,77 @@ object Sessions {
       .withColumn("is_current", col("valid_to_us").isNull)
   }
 
+  /** INCREMENTAL SCD2 MAINTENANCE — apply a late observation batch to
+    * a standing [[changeHistory]] dimension WITHOUT re-reading the old
+    * observation stream (at 100 TB the history table is small and the
+    * raw stream is not; a nightly batch must extend validity intervals
+    * from the history alone). CONTRACT: every batch observation of a
+    * key is strictly later than all of that key's historical
+    * observations (the watermark contract every incremental dimension
+    * load has). Under it, the output is EXACTLY
+    * `changeHistory(oldObs ∪ batch)` — the x252 gate proves the
+    * equality against a DuckDB full recompute, and the spec replays
+    * a three-way split associatively.
+    *
+    * Semantics: a batch run whose attribute equals the key's current
+    * attribute EXTENDS the current version (its observations add to
+    * `n_obs`, `valid_from_us` stays); a differing attribute closes the
+    * current version at the new run's first timestamp and appends the
+    * next `version_idx`; unseen keys start at version 1; untouched
+    * keys pass through byte-identically. NULL attributes compare
+    * null-safely (a NULL→NULL batch head is NOT a new version — the
+    * `__cur_ver` null test, not the attribute, detects a new key).
+    *
+    * Scale shape: one window over the BATCH (ordered within key), one
+    * version-count aggregate, one union with the history frame, one
+    * merge aggregate and one lead window over versions per key —
+    * every exchange is keyed on the dimension key; nothing rescans
+    * old observations. */
+  def scd2Apply(
+      history: DataFrame, batch: DataFrame, key: String, timeUs: String,
+      tieBreak: String, attr: String): DataFrame = {
+    val cur = history.filter(col("is_current"))
+      .select(col(key), col("version_idx").as("__cur_ver"),
+        col(attr).as("__cur_attr"))
+    val w = Window.partitionBy(col(key)).orderBy(col(timeUs), col(tieBreak))
+    val versioned = batch
+      .select(col(key), col(timeUs), col(tieBreak), col(attr))
+      .join(cur, Seq(key), "left")
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .withColumn("__first", row_number().over(w) === 1)
+      // seed of the first batch row = the standing current attribute;
+      // later rows seed from their batch predecessor
+      .withColumn("__seed",
+        when(col("__first"), col("__cur_attr")).otherwise(col("__prev")))
+      .withColumn("__change",
+        (col("__first") && col("__cur_ver").isNull) ||
+          !(col("__seed") <=> col(attr)))
+      .withColumn("version_idx",
+        coalesce(col("__cur_ver"), lit(0L)) +
+          sum(col("__change").cast("long"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val batchRuns = versioned.groupBy(col(key), col("version_idx"))
+      .agg(
+        min(col(attr)).as(attr), // constant within the run
+        min(col(timeUs)).as("valid_from_us"),
+        count(lit(1)).as("n_obs"))
+    // a continuing run shares its version_idx with the history's
+    // current row: the merge keeps the OLD valid_from (batch is
+    // strictly later) and sums the observation counts
+    val merged = history
+      .select(col(key), col("version_idx"), col(attr),
+        col("valid_from_us"), col("n_obs"))
+      .unionByName(batchRuns)
+      .groupBy(col(key), col("version_idx"))
+      .agg(min(col(attr)).as(attr),
+        min(col("valid_from_us")).as("valid_from_us"),
+        sum(col("n_obs")).as("n_obs"))
+    val byVersion = Window.partitionBy(col(key)).orderBy(col("version_idx"))
+    merged
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
   /** First-order Markov transition matrix over the per-user event
     * stream: for every consecutive pair (ordered by time, event_id
     * tiebreak) count `(event_type → next_type)` and report the

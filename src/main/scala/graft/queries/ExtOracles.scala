@@ -2871,6 +2871,41 @@ object ExtOracles {
         |FROM runs
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY version_idx)""".stripMargin,
 
+    // Incremental SCD2 apply: the oracle is the x85 FULL recompute
+    // over all observations — equality proves incremental ≡ batch.
+    "x252_scd2_apply" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority,
+        |         epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us
+        |  FROM orders),
+        |lagged AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority, us,
+        |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |                                    ORDER BY us, o_orderkey) AS prev_p,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY us, o_orderkey) AS rn
+        |  FROM o),
+        |versioned AS (
+        |  SELECT o_custkey, o_orderpriority, us,
+        |         CAST(sum(CASE WHEN rn = 1
+        |                         OR prev_p IS DISTINCT FROM o_orderpriority
+        |                       THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY o_custkey ORDER BY us, o_orderkey
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS version_idx
+        |  FROM lagged),
+        |runs AS (
+        |  SELECT o_custkey, version_idx,
+        |         min(o_orderpriority) AS o_orderpriority,
+        |         min(us) AS valid_from_us,
+        |         CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM versioned GROUP BY 1, 2)
+        |SELECT o_custkey, version_idx, o_orderpriority, valid_from_us,
+        |       lead(valid_from_us) OVER w AS valid_to_us, n_obs,
+        |       (lead(valid_from_us) OVER w IS NULL) AS is_current
+        |FROM runs
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY version_idx)""".stripMargin,
+
     // Transition matrix: the lead window mirrors Spark's
     // (us, event_id) ordering; the ppm division casts the HUGEINT
     // windowed total back to BIGINT before `//` (the x22 lesson).

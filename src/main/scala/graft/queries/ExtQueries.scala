@@ -1176,6 +1176,26 @@ object ExtQueries {
       Sessions.changeHistory(obs, key = "o_custkey", timeUs = "us",
         tieBreak = "o_orderkey", attr = "o_orderpriority")
     }),
+    // Incremental SCD2 maintenance: the x85 observation stream split
+    // at its data-derived time midpoint — changeHistory on the early
+    // half, scd2Apply of the late half onto it. The oracle recomputes
+    // the FULL history in one pass (x85's construction over all
+    // observations), so the gate IS the incremental ≡ batch proof.
+    "x252_scd2_apply" -> ((s, d) => {
+      val obs = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+        .crossJoin(broadcast(
+          s.read.parquet(s"$d/orders.parquet")
+            .select(unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+            .agg(expr("min(us) + (max(us) - min(us)) DIV 2").as("split_us"))))
+      val base = obs.filter(col("us") <= col("split_us")).drop("split_us")
+      val late = obs.filter(col("us") > col("split_us")).drop("split_us")
+      val history = Sessions.changeHistory(base, key = "o_custkey",
+        timeUs = "us", tieBreak = "o_orderkey", attr = "o_orderpriority")
+      Sessions.scd2Apply(history, late, key = "o_custkey", timeUs = "us",
+        tieBreak = "o_orderkey", attr = "o_orderpriority")
+    }),
     // Next-event transition matrix: 5 event types at ~13 events per
     // user fill most of the 25 cells with well-mixed counts.
     "x86_transition_matrix" -> ((s, d) =>

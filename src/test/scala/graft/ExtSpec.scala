@@ -2070,6 +2070,46 @@ class ExtSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("scd2Apply: two-batch incremental replay equals the one-shot " +
+    "changeHistory; continuations merge, new keys start at v1") {
+    val base = Seq(
+      (1L, 10L, 100L, "A"), (1L, 20L, 101L, "A"), // k1 current: A (n=2)
+      (2L, 10L, 200L, "X"))                       // k2: untouched later
+      .toDF("k", "us", "tb", "attr")
+    val batch1 = Seq(
+      (1L, 30L, 102L, "A"),                       // continues A -> n=3
+      (1L, 40L, 103L, "B"),                       // new version
+      (3L, 30L, 300L, null.asInstanceOf[String]), // new key, NULL run
+      (3L, 40L, 301L, null.asInstanceOf[String]))
+      .toDF("k", "us", "tb", "attr")
+    val batch2 = Seq(
+      (1L, 50L, 104L, "B"),                       // continues B
+      (3L, 50L, 302L, "C"),                       // NULL -> C: new version
+      (4L, 50L, 400L, "D"))                       // key born in batch 2
+      .toDF("k", "us", "tb", "attr")
+    val h1 = Sessions.changeHistory(base, "k", "us", "tb", "attr")
+    val h2 = Sessions.scd2Apply(h1, batch1, "k", "us", "tb", "attr")
+    val h3 = Sessions.scd2Apply(h2, batch2, "k", "us", "tb", "attr")
+    val full = Sessions.changeHistory(
+      base.unionByName(batch1).unionByName(batch2), "k", "us", "tb", "attr")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "version_idx", "attr", "valid_from_us", "n_obs",
+        "valid_to_us", "is_current")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(canon(h3) == canon(full),
+      s"incremental drifted from one-shot:\n${canon(h3)}\nvs\n${canon(full)}")
+    // spot-check the merge semantics directly
+    val m = h3.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      ((Option(r.getString(2)).getOrElse("∅"), r.getLong(3), r.getLong(4),
+        r.getBoolean(6)))).toMap
+    assert(m((1L, 1L)) == (("A", 10L, 3L, false)), s"got $m") // merged n_obs
+    assert(m((1L, 2L)) == (("B", 40L, 2L, true)), s"got $m")  // extended B
+    assert(m((2L, 1L)) == (("X", 10L, 1L, true)), s"got $m")  // passthrough
+    assert(m((3L, 1L)) == (("∅", 30L, 2L, false)), s"got $m") // NULL run
+    assert(m((3L, 2L)) == (("C", 50L, 1L, true)), s"got $m")
+    assert(m((4L, 1L)) == (("D", 50L, 1L, true)), s"got $m")  // late birth
+  }
+
   test("transitionMatrix: per-user lead pairs, ppm rounds down, last event drops") {
     val e = Seq(
       (1L, 1L, "a", "2024-01-01 00:00:01"),
