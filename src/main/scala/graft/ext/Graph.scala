@@ -267,6 +267,56 @@ object Graph {
           .as("closure_ppm"))
   }
 
+  /** RESOURCE-ALLOCATION LINK PREDICTION over an undirected
+    * `a_id < b_id` edge list — "which non-adjacent pairs look like
+    * they SHOULD be edges" (Zhou, Lü & Zhang 2009): for every
+    * non-edge (v, w) sharing at least one neighbor, `n_common` counts
+    * the shared neighbors and `ra_ppm = Σ_u 10⁶ div deg(u)` weights
+    * each shared neighbor u by the inverse of its degree — a shared
+    * rare neighbor is strong evidence, a shared hub is weak. On the
+    * near-dup graph this is the review queue: pairs the detector did
+    * NOT flag whose neighborhoods say it probably missed them. Exact
+    * integer (each term one integral division, summed in BIGINT).
+    *
+    * Scale shape: wedges pair two edges of the same CENTER node, so
+    * candidate volume is Σ_centers deg² — the head-node fan-out trap.
+    * `maxDeg` is the production ceiling: centers with deg > maxDeg
+    * generate no wedges (a 10⁶-degree hub's evidence is ~0 ppm per
+    * pair anyway — dropping it removes the quadratic blowup and
+    * almost none of the signal; spec-pinned cap-above-all ≡ uncapped,
+    * and the dropped-center report is [[hubCenters]] per the
+    * no-silent-caps rule). The candidate groupBy and the anti-join
+    * are equi-keyed on the pair. */
+  def linkPredictionRA(
+      edges: DataFrame, maxDeg: Option[Long] = None): DataFrame = {
+    maxDeg.foreach(c => require(c >= 1, s"maxDeg $c must be positive"))
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val centered = sym.join(
+      maxDeg.fold(deg)(c => deg.filter(col("deg") <= c)), Seq("src"))
+    val e1 = centered.select(col("src"), col("dst").as("v"), col("deg"))
+    val e2 = centered.select(col("src"), col("dst").as("w"))
+    e1.join(e2, Seq("src"))
+      .filter(col("v") < col("w"))
+      .join(edges.select(col("a_id").as("v"), col("b_id").as("w")),
+        Seq("v", "w"), "left_anti")
+      .groupBy(col("v").as("a_id"), col("w").as("b_id"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000 DIV deg")).as("ra_ppm"))
+  }
+
+  /** The [[linkPredictionRA]] drop report: the hub centers a `maxDeg`
+    * ceiling removes from wedge generation, with their degrees —
+    * capping must never be silent. */
+  def hubCenters(edges: DataFrame, maxDeg: Long): DataFrame = {
+    require(maxDeg >= 1, s"maxDeg $maxDeg must be positive")
+    edges.select(col("a_id").as("node"))
+      .unionByName(edges.select(col("b_id").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > maxDeg)
+  }
+
   /** BFS HOP DEPTH from a seed set — the blast-radius view of the
     * near-dup graph ("if these documents are contaminated, what is
     * transitively within k hops?"; components say REACHABLE, this

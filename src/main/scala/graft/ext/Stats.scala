@@ -3268,6 +3268,44 @@ object Stats {
           "(1000000 * abs(num) DIV den) AS BIGINT)").as("slope_micro"))
   }
 
+  /** WILSON SCORE INTERVAL per group — the 95% binomial proportion
+    * bounds every conversion/hit-rate report should carry instead of
+    * the normal approximation (Wilson 1927; the normal interval
+    * collapses to zero width at p̂∈{0,1} and escapes [0,1] at small n;
+    * Wilson does neither). `hit` is a boolean column; NULL hits are
+    * excluded from both numerator and denominator.
+    *
+    * Hash-exactness: the bounds are PER-ROW double expression trees
+    * over exact integer counts, spelled with identical text and
+    * parenthesization on both engines (the x40/x215 convention — every
+    * +,*,/,sqrt is correctly-rounded IEEE, so identical operand order
+    * gives bit-identical doubles; there is NO float aggregation across
+    * rows). z is the literal 1.96 — both SQL parsers bind it to the
+    * same double.
+    *
+    * Scale shape: one map-side-combinable count aggregate; group-count
+    * output. */
+  def wilsonCi(flags: DataFrame, group: String = "event_type"): DataFrame = {
+    val c = flags
+      .filter(col("hit").isNotNull)
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("hit").cast("long")).as("n_hit"))
+      .filter(col("n_total") > 0)
+    c.withColumn("p_hat",
+        expr("CAST(n_hit AS DOUBLE) / CAST(n_total AS DOUBLE)"))
+      .withColumn("__nd", expr("CAST(n_total AS DOUBLE)"))
+      .withColumn("wilson_low", expr(
+        "(p_hat + (1.96*1.96)/(2.0*__nd) - 1.96 * " +
+          "sqrt((p_hat*(1.0-p_hat))/__nd + (1.96*1.96)/(4.0*__nd*__nd)))" +
+          " / (1.0 + (1.96*1.96)/__nd)"))
+      .withColumn("wilson_high", expr(
+        "(p_hat + (1.96*1.96)/(2.0*__nd) + 1.96 * " +
+          "sqrt((p_hat*(1.0-p_hat))/__nd + (1.96*1.96)/(4.0*__nd*__nd)))" +
+          " / (1.0 + (1.96*1.96)/__nd)"))
+      .drop("__nd")
+  }
+
   /** TOP-K WITH AN "OTHERS" BUCKET — the reporting staple every
     * dashboard table is (top 3 nations per region, everything else
     * folded into one row so the group still SUMS to its total; a

@@ -2621,6 +2621,35 @@ object ExtOracles {
          |                 // (deg.deg * (deg.deg - 1)) END AS closure_ppm
          |FROM deg LEFT JOIN tn ON tn.n = deg.x""".stripMargin,
 
+    // RA link prediction: wedges from the symmetrized co-purchase
+    // graph (x115's basket-pair construction at support >= 2),
+    // anti-joined against
+    // the canonical edge set; each shared-neighbor term is one
+    // integral division summed in BIGINT.
+    "x254_link_prediction" ->
+      s"""WITH li AS (
+         |    SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |    FROM lineitem),
+         |  pairs AS MATERIALIZED (
+         |    SELECT a.p AS a_id, b.p AS b_id
+         |    FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+         |    GROUP BY 1, 2 HAVING count(*) >= 2),
+         |  sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |  deg AS (SELECT src AS x, CAST(count(*) AS BIGINT) AS deg
+         |          FROM sym GROUP BY 1),
+         |  wedge AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         |            FROM sym e1 JOIN sym e2
+         |              ON e1.src = e2.src AND e1.dst < e2.dst),
+         |  cand AS (SELECT wg.v AS a_id, wg.w AS b_id, wg.u
+         |           FROM wedge wg
+         |           LEFT JOIN pairs p ON p.a_id = wg.v AND p.b_id = wg.w
+         |           WHERE p.a_id IS NULL)
+         |SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS n_common,
+         |       CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_ppm
+         |FROM cand c JOIN deg d ON d.x = c.u
+         |GROUP BY 1, 2""".stripMargin,
+
     // k-core: the x114 pair closure + 4 generated peel stages; the
     // fixpoint is order-independent so fixed synchronous rounds
     // hash-gate exactly.
@@ -5840,6 +5869,24 @@ object ExtOracles {
         |                      (CAST(1000000 AS HUGEINT) * abs(num) // den)
         |                      AS BIGINT) END AS slope_micro
         |FROM b""".stripMargin,
+
+    // Wilson bounds: exact counts into the SAME per-row double tree
+    // (identical text and parenthesization — bit-identical IEEE).
+    "x253_wilson_ci" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+        |         CAST(count(*) FILTER (WHERE value >= 50.0) AS BIGINT)
+        |           AS n_hit
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |d AS (SELECT event_type, n_total, n_hit,
+        |             CAST(n_hit AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |               AS p_hat,
+        |             CAST(n_total AS DOUBLE) AS nd
+        |      FROM c WHERE n_total > 0)
+        |SELECT event_type, n_total, n_hit, p_hat,
+        |       (p_hat + (1.96*1.96)/(2.0*nd) - 1.96 * sqrt((p_hat*(1.0-p_hat))/nd + (1.96*1.96)/(4.0*nd*nd))) / (1.0 + (1.96*1.96)/nd) AS wilson_low,
+        |       (p_hat + (1.96*1.96)/(2.0*nd) + 1.96 * sqrt((p_hat*(1.0-p_hat))/nd + (1.96*1.96)/(4.0*nd*nd))) / (1.0 + (1.96*1.96)/nd) AS wilson_high
+        |FROM d""".stripMargin,
 
     // Theil-Sen: median pairwise slope over the same dense grid; the
     // (num/den DOUBLE, num, den) total order and the lower-median

@@ -950,6 +950,12 @@ object ExtQueries {
     // pairwise slope next to x222's OLS (one outage day can't move
     // it; lower median, documented total order, sign-decomposed).
     "x251_theilsen_trend" -> ((s, d) => Stats.theilSenTrend(events(s, d))),
+    // Wilson 95% bounds on the per-type high-value hit rate — exact
+    // counts into an identically-spelled per-row double tree (the
+    // x40/x215 convention; no float aggregation across rows).
+    "x253_wilson_ci" -> ((s, d) =>
+      Stats.wilsonCi(events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), (col("value") >= 50.0).as("hit")))),
     // Week-over-week growth per type: dense weeks, sign-decomposed
     // ppm rate, NULL (not 0) when the base week is empty.
     "x223_wow_growth" -> ((s, d) => Stats.wowGrowth(events(s, d))),
@@ -1424,6 +1430,26 @@ object ExtQueries {
     // independent constructions of the same count.
     "x114_triangle_count" -> ((s, d) =>
       graft.ext.Graph.triangleCounts(ngramPairs(s, d).select("a_id", "b_id"))),
+    // Resource-allocation link prediction over the CO-PURCHASE graph
+    // (x115's basket-pair construction at support >= 2; support 3 leaves
+    // 2 edges at sf0.1) — non-adjacent part pairs
+    // scored by inverse-degree-weighted shared neighbors. NOT the dup
+    // graph: duplicate clusters are cliques, every wedge closes and
+    // the prediction set is vacuously empty there.
+    "x254_link_prediction" -> ((s, d) => {
+      val items = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.select(col("o"), col("p").as("a_id"))
+        .join(items.select(col("o"), col("p").as("b_id")), Seq("o"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("pc"))
+        .filter(col("pc") >= 2).select("a_id", "b_id")
+        // three consumers (two sym legs + the anti-join): materialize
+        // once instead of re-running the basket self-join per leg
+        .localCheckpoint(true)
+      graft.ext.Graph.linkPredictionRA(edges)
+    }),
     // 2-core of the near-dup graph: incidental pairs and chains peel
     // away (47 -> 3 nodes at sf0.01), structural cliques survive —
     // 4 synchronous peels, fixpoint spec-pinned.

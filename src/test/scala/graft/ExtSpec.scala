@@ -5115,6 +5115,71 @@ class ExtSpec extends SparkSpec {
     assert(ols("spike") > 10000000L, s"OLS should chase the spike: $ols")
   }
 
+  test("wilsonCi: bounds match the closed form, bracket p_hat, stay in [0,1]") {
+    import spark.implicits._
+    val flags = (Seq.fill(7)(("a", true)) ++ Seq.fill(3)(("a", false)) ++
+      Seq.fill(1)(("b", true)) ++ Seq.fill(99)(("b", false)) ++
+      Seq(("c", true))) // p_hat = 1: the degenerate edge Wilson handles
+      .toDF("event_type", "hit")
+    val got = graft.ext.Stats.wilsonCi(flags).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    def ref(k: Long, n: Long): (Double, Double) = {
+      val nd = n.toDouble; val p = k.toDouble / nd; val z2 = 1.96 * 1.96
+      val c = p + z2 / (2.0 * nd)
+      val r = 1.96 * math.sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+      val d = 1.0 + z2 / nd
+      ((c - r) / d, (c + r) / d)
+    }
+    for ((t, (n, k, p, lo, hi)) <- got) {
+      val (rlo, rhi) = ref(k, n)
+      assert(lo == rlo && hi == rhi, s"$t: ($lo,$hi) != ref ($rlo,$rhi)")
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= p && p <= hi,
+        s"$t: bounds ($lo,$hi) must bracket p=$p inside [0,1]")
+    }
+    assert(got("a")._1 == 10L && got("a")._2 == 7L)
+    assert(got("c")._3 == 1.0 && got("c")._5 == 1.0, s"got $got")
+  }
+
+  test("linkPredictionRA: wedges score non-edges only; cap-above-all is " +
+    "identity and a planted hub's wedges vanish under the cap") {
+    import spark.implicits._
+    // square 1-2-3-4-1 (diagonals predicted, n_common=2, ra=2*(1e6/2));
+    // path 5-6-7 (one wedge, center deg 2); triangle 8-9-10 (no
+    // prediction — every wedge closes); hub 11 over 12..16 (star:
+    // C(5,2)=10 predictions at ra = 1e6 DIV 5)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (5L, 6L), (6L, 7L), (8L, 9L), (9L, 10L), (8L, 10L),
+      (11L, 12L), (11L, 13L), (11L, 14L), (11L, 15L), (11L, 16L))
+      .toDF("a_id", "b_id")
+    val got = graft.ext.Graph.linkPredictionRA(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got((1L, 3L)) == ((2L, 1000000L)), s"got $got")
+    assert(got((2L, 4L)) == ((2L, 1000000L)), s"got $got")
+    assert(got((5L, 7L)) == ((1L, 500000L)), s"got $got")
+    assert(!got.keySet.exists(p => p._1 >= 8L && p._2 <= 10L),
+      s"triangle pairs are edges — no prediction: $got")
+    val starPairs = got.keySet.filter(p => p._1 >= 12L)
+    assert(starPairs.size == 10 &&
+      starPairs.forall(p => got(p) == ((1L, 200000L))), s"got $got")
+    // cap above every degree (max deg = 5) is bit-identical
+    val capped = graft.ext.Graph.linkPredictionRA(edges, maxDeg = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(capped == got, "cap above all degrees must be identity")
+    // cap at 4 drops the hub's 10 star predictions, keeps the rest
+    val tight = graft.ext.Graph.linkPredictionRA(edges, maxDeg = Some(4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == got.keySet.filter(_._1 < 12L),
+      s"hub wedges must vanish under the cap: $tight")
+    // and the drop report names exactly the hub
+    val hubs = graft.ext.Graph.hubCenters(edges, maxDeg = 4L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hubs == Map(11L -> 5L), s"got $hubs")
+  }
+
   test("wowGrowth: dense weeks, NULL on empty base, sign-decomposed rate") {
     import spark.implicits._
     val wk = 7L * 86400000000L
