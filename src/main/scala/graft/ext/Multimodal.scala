@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column support: image/audio/video payloads carried as
@@ -329,6 +330,54 @@ object Multimodal {
       .select(col("doc_id_corpus"), col("doc_id_batch"), hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** SHOT-BOUNDARY DETECTION over the sampled frame stream — the
+    * video-curation row next to [[frameSample]]: a per-frame dHash-
+    * style signature (bit i = byte i > byte i+1, 15 bits over a
+    * 16-byte frame), then the hamming distance between CONSECUTIVE
+    * frames of a document; a transition whose distance reaches
+    * `threshold` is a cut. Real decoders would hand luma rows to the
+    * same signature; the deterministic byte payload keeps the
+    * Spark-side plumbing (frame plan, lag window, bit arithmetic)
+    * real and hex-faithful so the DuckDB oracle recomputes every bit
+    * from `hex(encode(text))` (the x17 technique). Short tail frames
+    * (payload ends mid-frame) are excluded on both engines by the
+    * exact-length guard; NULL payloads drop with them.
+    *
+    * Output per document: `n_transitions` (frames minus one),
+    * `n_boundaries` (cuts at the threshold), `max_hamming` — exact
+    * integers end to end.
+    *
+    * Scale shape: one projection computes signatures at the scan, one
+    * lag window inside doc partitions (frame count is a literal), one
+    * map-side-combinable per-doc aggregate. */
+  def shotBoundaries(
+      media: DataFrame, n: Int = 8, frameBytes: Int = 16,
+      threshold: Int = 10): DataFrame = {
+    require(n >= 2, s"frame count $n needs at least one transition")
+    require(frameBytes >= 2 && frameBytes <= 64,
+      s"frameBytes $frameBytes must fit a 63-bit signature")
+    require(threshold >= 0, s"threshold $threshold must be non-negative")
+    val frames = frameSample(media, n, frameBytes)
+      .filter(col("frame_bytes") === frameBytes)
+    def byteAt(i: Int) =
+      expr(s"CAST(conv(substring(frame_hex, ${2 * i + 1}, 2), 16, 10)" +
+        " AS BIGINT)")
+    val sig = (0 until frameBytes - 1)
+      .map(i => when(byteAt(i) > byteAt(i + 1), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("sig", sig)
+      .withColumn("prev_sig", lag(col("sig"), 1).over(w))
+      .filter(col("prev_sig").isNotNull)
+      .withColumn("hamming",
+        bit_count(col("sig").bitwiseXOR(col("prev_sig"))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum((col("hamming") >= threshold).cast("long")).as("n_boundaries"),
+        max(col("hamming")).as("max_hamming"))
   }
 
   def frameSample(media: DataFrame, n: Int = 4, frameBytes: Int = 16): DataFrame = {

@@ -16,6 +16,16 @@ package graft.queries
   */
 object ExtOracles {
 
+  /** The x255 15-bit frame signature, GENERATED from the same
+    * (i, i+1) byte comparisons [[graft.ext.Multimodal.shotBoundaries]]
+    * folds — the single-source-of-truth discipline langId's oracle
+    * established. */
+  private val shotSigTerms: String = (0 until 15).map { i =>
+    s"(CASE WHEN ('0x'||substr(fh,${2 * i + 1},2))::BIGINT > " +
+      s"('0x'||substr(fh,${2 * i + 3},2))::BIGINT THEN ${1L << i}" +
+      " ELSE 0 END)"
+  }.mkString(" + ")
+
   /** Distinct word 3-gram shingles per doc, as a DuckDB CTE. */
   private val shingleCte =
     """sh AS (
@@ -1287,6 +1297,33 @@ object ExtOracles {
     // Audio energy: hex-slice windows at 2 chars/byte (the x17
     // technique), per-window byte sum via a bounded comprehension;
     // DuckDB slicing is 1-based INCLUSIVE.
+    // Shot boundaries: the 15-bit per-frame signature GENERATED from
+    // the same (i, i+1) byte comparisons the Spark side folds (the x7
+    // generated-oracle discipline); lag window + bit_count(xor).
+    "x255_shot_boundaries" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, hex(encode(text)) AS ph,
+         |         greatest(octet_length(encode(text)) // 8, 1) AS step
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         |         substr(ph, 2*i*step + 1, 32) AS fh
+         |  FROM m, range(0, 8) t(i)
+         |  WHERE length(substr(ph, 2*i*step + 1, 32)) = 32),
+         |s AS (SELECT doc_id, frame_idx, ($shotSigTerms) AS sig FROM f),
+         |l AS (
+         |  SELECT doc_id, sig,
+         |         lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+         |           AS prev
+         |  FROM s),
+         |h AS (SELECT doc_id, bit_count(xor(sig, prev)) AS hamming
+         |      FROM l WHERE prev IS NOT NULL)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         |       CAST(sum(CASE WHEN hamming >= 10 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_boundaries,
+         |       CAST(max(hamming) AS BIGINT) AS max_hamming
+         |FROM h GROUP BY 1""".stripMargin,
+
     "x124_audio_energy" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -196,6 +196,11 @@ object ExtQueries {
     // hex(encode(text)) slices (the x17 technique).
     "x124_audio_energy" -> ((s, d) =>
       Multimodal.audioEnergy(Multimodal.mediaTable(docs(s, d)))),
+    // Shot-boundary detection: per-frame dHash signatures, hamming
+    // between consecutive frames, cuts at >= 10 of 15 bits — the
+    // video-curation row over the same hex-faithful frame plan.
+    "x255_shot_boundaries" -> ((s, d) =>
+      Multimodal.shotBoundaries(Multimodal.mediaTable(docs(s, d)))),
     // Perceptual media near-dup: dHash-banded pairs at hamming <= 3
     // over the deterministic payload. Planted: every 25th doc copied
     // (id + 2e6) with ONE same-length character substitution at

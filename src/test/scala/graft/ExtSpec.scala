@@ -2824,6 +2824,30 @@ class ExtSpec extends SparkSpec {
       4L -> ((2L, 3L, 3L, 390L * 3 / 2 + 11800L - 15590))), s"got $got")
   }
 
+  test("shotBoundaries: repeated frames cut nothing, inverted frames cut " +
+    "everything, short tail frames drop under the length guard") {
+    import spark.implicits._
+    val asc = "0123456789:;<=>?"  // strictly ascending bytes -> sig 0
+    val desc = asc.reverse         // strictly descending -> all 15 bits
+    // doc 1: 8 identical frames (128 chars, step 16) -> 7 transitions,
+    // hamming 0 everywhere; doc 2: alternating asc/desc -> hamming 15
+    // at every transition; doc 3: 20 chars, step 2 -> frames at
+    // offsets 0,2,4 are full, offset 6+ spill past the payload and
+    // drop -> exactly 2 transitions
+    val docs = Seq(
+      (1L, asc * 8),
+      (2L, (asc + desc) * 4),
+      (3L, "abcdefghijklmnopqrst"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Multimodal.shotBoundaries(
+      graft.ext.Multimodal.mediaTable(docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((7L, 0L, 0L)), s"got $got")
+    assert(got(2L) == ((7L, 7L, 15L)), s"got $got")
+    assert(got(3L)._1 == 2L, s"got $got")
+  }
+
   test("audioEnergy: per-window byte sums, short tail window, empty payload dropped") {
     import spark.implicits._
     // "ab" = 0x61 0x62 → one window, energy 195; a 33-char doc gets a
