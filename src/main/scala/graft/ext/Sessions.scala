@@ -662,6 +662,42 @@ object Sessions {
       .withColumn("prob_ppm", expr("1000000 * n_pairs DIV row_total"))
   }
 
+  /** PATH TRIGRAMS — the 3-step sequential-pattern row one rung above
+    * [[transitionMatrix]]'s first-order pairs ("view→click→purchase
+    * dominates; view→click→view is the browse loop"): every
+    * consecutive event-type triple per user under the (us, event_id)
+    * total order (the x29 tie convention), counted corpus-wide,
+    * top-k by (count desc, t1, t2, t3) with the share of ALL triples
+    * in exact ppm. Users with fewer than three events contribute
+    * nothing; the first-order matrix cannot see these dependencies
+    * (a Markov chain fitted to x86 predicts the third step from the
+    * second alone — this row is the evidence for or against that).
+    *
+    * Scale shape: one user-keyed window serves both leads, one
+    * map-side-combinable triple count (bounded by |types|³ keys), a
+    * one-row total broadcast, one WindowGroupLimit-prunable rank. */
+  def pathTrigrams(events: DataFrame, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK $topK must be positive")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val triples = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(col("event_type").as("t1"), col("t2"), col("t3"))
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+    triples
+      .crossJoin(broadcast(triples.agg(sum(col("n")).as("total"))))
+      .withColumn("share_ppm", expr("1000000 * n DIV total"))
+      .withColumn("pattern_rank", row_number().over(Window.orderBy(
+        col("n").desc, col("t1"), col("t2"), col("t3"))).cast("long"))
+      .filter(col("pattern_rank") <= topK)
+      .drop("total")
+  }
+
   /** TRANSITION DWELL-TIME percentiles — the TIME dimension
     * [[transitionMatrix]] drops: per (from → to) transition, exact
     * P50/P90 of the dwell in whole SECONDS ("users pause 4 s between

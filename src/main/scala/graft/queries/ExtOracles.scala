@@ -2972,6 +2972,31 @@ object ExtOracles {
         |FROM runs
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY version_idx)""".stripMargin,
 
+    // Path trigrams: two leads in one user window, triple counts,
+    // one-row total, (n desc, t1, t2, t3) rank cut at 20.
+    "x256_path_trigrams" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |l AS (
+        |  SELECT event_type AS t1,
+        |         lead(event_type, 1) OVER w AS t2,
+        |         lead(event_type, 2) OVER w AS t3
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |c AS (SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        |      FROM l WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |      GROUP BY 1, 2, 3),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |r AS (SELECT t1, t2, t3, n,
+        |             CAST(1000000 * n // total AS BIGINT) AS share_ppm,
+        |             CAST(row_number() OVER (ORDER BY n DESC, t1, t2, t3)
+        |                  AS BIGINT) AS pattern_rank
+        |      FROM c CROSS JOIN tt)
+        |SELECT t1, t2, t3, n, share_ppm, pattern_rank
+        |FROM r WHERE pattern_rank <= 20""".stripMargin,
+
     // Transition matrix: the lead window mirrors Spark's
     // (us, event_id) ordering; the ppm division casts the HUGEINT
     // windowed total back to BIGINT before `//` (the x22 lesson).

@@ -1212,6 +1212,12 @@ object ExtQueries {
     "x86_transition_matrix" -> ((s, d) =>
       Sessions.transitionMatrix(
         events(s, d).select("event_id", "user_id", "event_type", "ts"))),
+    // Sequential 3-step patterns: top-20 of the 125 possible type
+    // trigrams with exact ppm shares — the second-order view the
+    // first-order matrix cannot express.
+    "x256_path_trigrams" -> ((s, d) =>
+      Sessions.pathTrigrams(
+        events(s, d).select("event_id", "user_id", "event_type", "ts"))),
     // Event-rate anomaly: the uniform fixture has no natural 3σ day,
     // so one is planted — 90% of the clicks on 2024-01-08 are dropped
     // (a collector-outage shape). The damaged day lands ~5σ below the

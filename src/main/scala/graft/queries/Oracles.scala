@@ -29,6 +29,18 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
         |FROM orders WHERE o_orderkey % 97 = 0 AND o_custkey >= 25""".stripMargin,
 
+    // the LATERAL surface: DuckDB runs the identical statement.
+    "q20_lateral" ->
+      """SELECT r.r_name, t.n_name, t.n_customers
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_customers DESC, n.n_name
+        |  LIMIT 2) t""".stripMargin,
+
     // the string-predicate rung: startswith/endswith/contains + the
     // OData 4.01 `in` operator, spelled as LIKE/IN on the same slice.
     "s9_odata_strings" ->

@@ -773,6 +773,28 @@ object Queries {
     * DataFrame API. The latest-order-per-customer rollup (window +
     * join + aggregate) executes via `spark.sql` over temp views; the
     * oracle runs the IDENTICAL text. */
+  /** Q20: the LATERAL correlated-subquery SQL surface — a per-row
+    * dependent subquery in FROM (top-2 nations by customer count per
+    * region), the ANSI shape Spark decorrelates into a LateralJoin.
+    * Deterministic: the inner ORDER BY carries a full (count desc,
+    * name) tiebreak, so the selected rows hash-gate; DuckDB runs the
+    * IDENTICAL statement. */
+  def q20Lateral(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "region").createOrReplaceTempView("region")
+    t(spark, dir, "nation").createOrReplaceTempView("nation")
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+      """SELECT r.r_name, t.n_name, t.n_customers
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_customers DESC, n.n_name
+        |  LIMIT 2) t""".stripMargin)
+  }
+
   def q14SqlEntry(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "orders").createOrReplaceTempView("orders")
     t(spark, dir, "customer").createOrReplaceTempView("customer")
@@ -855,6 +877,7 @@ object Queries {
     "q11_intersect" -> (q11Intersect _),
     "q12_cube" -> (q12Cube _),
     "q18_grouping_sets" -> (q18GroupingSets _),
+    "q20_lateral" -> (q20Lateral _),
     "q19_interval_frame" -> (q19IntervalFrame _),
     "q13_goals_vs_actuals" -> (q13GoalsVsActuals _),
     "q14_sql_entry" -> (q14SqlEntry _),

@@ -2110,6 +2110,26 @@ class ExtSpec extends SparkSpec {
     assert(m((4L, 1L)) == (("D", 50L, 1L, true)), s"got $m")  // late birth
   }
 
+  test("pathTrigrams: per-user triples under the tie order, topK cut, " +
+    "short users contribute nothing") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 1L, "a", 10L), (2L, 1L, "b", 20L), (3L, 1L, "a", 30L),
+      (4L, 1L, "c", 40L),               // user 1: (a,b,a), (b,a,c)
+      (5L, 2L, "a", 10L), (6L, 2L, "b", 20L), (7L, 2L, "a", 30L),
+      // user 2: (a,b,a) again -> that triple counts 2
+      (8L, 3L, "x", 10L), (9L, 3L, "y", 20L)) // too short: nothing
+      .toDF("event_id", "user_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Sessions.pathTrigrams(e, topK = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // 3 triples total: (a,b,a) x2 at 666666 ppm rank 1, (b,a,c) x1 rank 2
+    assert(got == Map(
+      ("a", "b", "a") -> ((2L, 666666L, 1L)),
+      ("b", "a", "c") -> ((1L, 333333L, 2L))), s"got $got")
+  }
+
   test("transitionMatrix: per-user lead pairs, ppm rounds down, last event drops") {
     val e = Seq(
       (1L, 1L, "a", "2024-01-01 00:00:01"),
