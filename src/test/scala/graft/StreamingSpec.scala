@@ -784,6 +784,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickPurchaseJoin leftOuter: unconverted clicks emit NULL rows " +
+    "only after the watermark closes their horizon") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val joined = EventsStream.clickPurchaseJoin(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"),
+      horizon = "1 hour", delay = "10 minutes", joinType = "leftOuter")
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("cpj_outer").start()
+    def got() = spark.table("cpj_outer").collect()
+      .map(r => (r.getAs[Long]("click_id"),
+        Option(r.getAs[Any]("purchase_id")))).toSet
+    try {
+      clicks.addData(
+        (1L, 7L, Timestamp.valueOf("2024-01-01 01:00:00")), // converts
+        (2L, 7L, Timestamp.valueOf("2024-01-01 05:00:00"))) // never does
+      purchases.addData(
+        (100L, 7L, Timestamp.valueOf("2024-01-01 01:30:00")))
+      q.processAllAvailable()
+      // the match emits; the unconverted click must NOT have emitted a
+      // NULL row yet — its horizon is still open
+      assert(got() == Set((1L, Some(100L))), s"got ${got()}")
+      // push both watermarks past 05:00 + horizon + delay, then one
+      // more batch so eviction runs with the advanced watermark
+      clicks.addData((3L, 8L, Timestamp.valueOf("2024-01-01 09:00:00")))
+      purchases.addData((101L, 9L, Timestamp.valueOf("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      clicks.addData((4L, 8L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      purchases.addData((102L, 9L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(got().contains((2L, None)),
+        s"unconverted click must emit a NULL pair after eviction: ${got()}")
+      assert(!got().exists(p => p._1 == 3L || p._1 == 4L),
+        s"still-open clicks must not emit: ${got()}")
+    } finally q.stop()
+  }
+
   test("cdcApplyIngestQuery: tombstones/resurrection across ticks; replay is a fixpoint") {
     implicit val sc = spark.sqlContext
     val wh = new graft.sinks.StagingWriter(spark, tmpDir("cdc_wh"))
