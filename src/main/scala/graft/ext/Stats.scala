@@ -3268,6 +3268,59 @@ object Stats {
           "(1000000 * abs(num) DIV den) AS BIGINT)").as("slope_micro"))
   }
 
+  /** SEASONALITY STRENGTH — per event type, the share of daily-count
+    * variance the DAY OF WEEK explains (eta² of weekday on the dense
+    * zero-filled daily series): the screen that separates a feed with
+    * real weekly rhythm (capacity planning, seasonal-naive forecasts
+    * — x145 — are justified) from one whose weekday profile — x131 —
+    * is just noise. The x211 ANOVA machinery applied per type:
+    * `eta²_ppm = 10⁶·(Σ_w S_w² div n_w − S² div N) div (Σy² − S² div
+    * N)` under the stated sums-of-floors convention, every floor the
+    * exact decimal `(a − pmod(a,b))/b` construction (the x211
+    * overflow lesson), clamped at 0. Weekday is the x131 pure-integer
+    * `pmod(epoch_day + 3, 7) + 1` — no engine calendar functions.
+    *
+    * Scale shape: events fold to (type, day) counts map-side; the
+    * grid join and both moment aggregates are dimension-sized
+    * (types × days, then types × 7); type-count output. */
+  def seasonalityStrength(events: DataFrame): DataFrame = {
+    def floorDivDec(a: String, b: String): String =
+      s"CAST((($a) - pmod($a, $b)) / ($b) AS DECIMAL(38,0))"
+    val daily = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val series = grid
+      .crossJoin(daily.select(col("event_type")).distinct())
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        (pmod(col("day") + 3, lit(7)) + 1).as("weekday"),
+        coalesce(col("c"), lit(0L)).as("y"))
+    val per = series.groupBy(col("event_type"), col("weekday"))
+      .agg(count(lit(1)).as("n_w"), sum(col("y")).as("s_w"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k_groups"),
+        sum(col("n_w")).as("n_days"),
+        sum(col("s_w")).as("s_total"),
+        sum(expr(floorDivDec("CAST(s_w AS DECIMAL(38,0)) * s_w", "n_w")))
+          .as("t_between"))
+    val q = series.groupBy(col("event_type"))
+      .agg(sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("q_total"))
+    per.join(q, Seq("event_type"))
+      .withColumn("correction", expr(
+        floorDivDec("CAST(s_total AS DECIMAL(38,0)) * s_total", "n_days")))
+      .select(col("event_type"), col("n_days"),
+        when(col("n_days") < 2 || col("k_groups") < 2 ||
+          expr("q_total - correction") <= 0, lit(0L))
+          .otherwise(greatest(lit(0L), expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * (t_between - correction)" +
+              " DIV (q_total - correction) AS BIGINT)")))
+          .as("eta2_ppm"))
+  }
+
   /** WILSON SCORE INTERVAL per group — the 95% binomial proportion
     * bounds every conversion/hit-rate report should carry instead of
     * the normal approximation (Wilson 1927; the normal interval

@@ -5932,6 +5932,55 @@ object ExtOracles {
         |                      AS BIGINT) END AS slope_micro
         |FROM b""".stripMargin,
 
+    // Seasonality strength: the planted weekend drop mirrored, then
+    // per-type DOW eta2 under the x211 sums-of-floors convention
+    // (HUGEINT floors; the clamp hides the one negative-numerator
+    // division both engines would floor differently).
+    "x257_seasonality" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, ts FROM events
+        |  WHERE NOT (event_type = 'view'
+        |    AND ((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3)
+        |         % 7 + 7) % 7 IN (5, 6)
+        |    AND event_id % 5 <> 0)),
+        |dc AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM ev WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM dc),
+        |grid AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM span),
+        |ty AS (SELECT DISTINCT event_type FROM dc),
+        |s AS (SELECT ty.event_type,
+        |             ((g.day + 3) % 7 + 7) % 7 + 1 AS weekday,
+        |             coalesce(dc.c, 0) AS y
+        |      FROM grid g CROSS JOIN ty
+        |      LEFT JOIN dc ON dc.event_type = ty.event_type
+        |                  AND dc.day = g.day),
+        |pw AS (SELECT event_type, weekday,
+        |              CAST(count(*) AS BIGINT) AS n_w,
+        |              CAST(sum(y) AS BIGINT) AS s_w
+        |       FROM s GROUP BY 1, 2),
+        |per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k_groups,
+        |               CAST(sum(n_w) AS BIGINT) AS n_days,
+        |               CAST(sum(s_w) AS BIGINT) AS s_total,
+        |               sum((CAST(s_w AS HUGEINT) * s_w) // n_w) AS t_between
+        |        FROM pw GROUP BY 1),
+        |qq AS (SELECT event_type, sum(CAST(y AS HUGEINT) * y) AS q_total
+        |       FROM s GROUP BY 1),
+        |j AS (SELECT per.*, qq.q_total,
+        |             (CAST(s_total AS HUGEINT) * s_total) // n_days
+        |               AS correction
+        |      FROM per JOIN qq USING (event_type))
+        |SELECT event_type, n_days,
+        |       CASE WHEN n_days < 2 OR k_groups < 2
+        |              OR q_total - correction <= 0 THEN 0
+        |            ELSE greatest(CAST(0 AS BIGINT),
+        |              CAST(CAST(1000000 AS HUGEINT) * (t_between - correction)
+        |                   // (q_total - correction) AS BIGINT)) END
+        |         AS eta2_ppm
+        |FROM j""".stripMargin,
+
     // Wilson bounds: exact counts into the SAME per-row double tree
     // (identical text and parenthesization — bit-identical IEEE).
     "x253_wilson_ci" ->

@@ -955,6 +955,21 @@ object ExtQueries {
     // pairwise slope next to x222's OLS (one outage day can't move
     // it; lower median, documented total order, sign-decomposed).
     "x251_theilsen_trend" -> ((s, d) => Stats.theilSenTrend(events(s, d))),
+    // Seasonality strength: DOW eta2 per type over the dense daily
+    // grid. Planted weekly rhythm: 'view' keeps only every 5th event
+    // on Sat/Sun (pure integer weekday; the uniform fixture has no
+    // natural rhythm, the x87 plant convention) — view reads ~0.97e6
+    // while the untouched types sit at the k-group sampling noise
+    // floor E[eta2] ~ (k-1)/(n_days-1) ~ 0.21e6 (30-day fixture).
+    "x257_seasonality" -> ((s, d) => {
+      val dayExpr = Stats.epochFloorDiv(
+        "unix_micros(CAST(ts AS TIMESTAMP))", 86400000000L)
+      val damaged = events(s, d).select("event_id", "event_type", "ts")
+        .filter(!(col("event_type") === "view" &&
+          expr(s"pmod(($dayExpr) + 3, 7)").isin(5, 6) &&
+          col("event_id") % 5 =!= 0))
+      Stats.seasonalityStrength(damaged)
+    }),
     // Wilson 95% bounds on the per-type high-value hit rate — exact
     // counts into an identically-spelled per-row double tree (the
     // x40/x215 convention; no float aggregation across rows).

@@ -5159,6 +5159,30 @@ class ExtSpec extends SparkSpec {
     assert(ols("spike") > 10000000L, s"OLS should chase the spike: $ols")
   }
 
+  test("seasonalityStrength: a perfect weekly rhythm reads 1e6, a flat " +
+    "series reads 0 (zero total variance)") {
+    import spark.implicits._
+    // epoch days 0..13 (two full weeks); weekday (d+3)%7 puts Sat at
+    // d in {2,9}, Sun at {3,10}. "wk": 10 events on weekdays, 0 on
+    // weekends -> within-weekday variance is ZERO -> eta2 exactly 1e6
+    // (hand-worked: t_between=1000, correction=714, q_total=1000).
+    // "flat": 3 every day -> q_total == correction -> the 0 branch.
+    def mk(t: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, d) => Seq.fill(c)((t, d.toLong * 86400000000L))
+    }
+    val wkCounts = (0 until 14).map(d =>
+      if (Set(2, 3, 9, 10)(d)) 0 else 10)
+    val ev = (mk("wk", wkCounts) ++ mk("flat", Seq.fill(14)(3)))
+      .zipWithIndex.map { case ((t, us), i) => (i.toLong, t, us) }
+      .toDF("event_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.seasonalityStrength(ev)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got("wk") == ((14L, 1000000L)), s"got $got")
+    assert(got("flat") == ((14L, 0L)), s"got $got")
+  }
+
   test("wilsonCi: bounds match the closed form, bracket p_hat, stay in [0,1]") {
     import spark.implicits._
     val flags = (Seq.fill(7)(("a", true)) ++ Seq.fill(3)(("a", false)) ++
