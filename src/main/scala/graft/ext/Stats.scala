@@ -155,6 +155,46 @@ object Stats {
         col("n_chars").as("n_chars_at_p"))
   }
 
+  /** DAILY VALUE PERCENTILES per event type — THE ops metrics table
+    * ("p50/p90 order value by day": latency dashboards, SLO burn
+    * charts and pricing drift all read this shape): the x30
+    * PERCENTILE_DISC histogram carve partitioned by (type, day), so
+    * no (type, day) group ever funnels raw rows through one task —
+    * the only full-data stage is the map-side-combinable
+    * (type, day, cents) count. Cents via the shared
+    * floor(value·100 + 0.5) IEEE idiom; NULL values/timestamps
+    * excluded up front (the x30 NULL-ordering rationale).
+    *
+    * Scale shape: histogram count → per-group cumulative window over
+    * DISTINCT cents bins → broadcast rank-target join; output is
+    * types × days × percentiles. */
+  def dailyValueQuantiles(
+      events: DataFrame, ps: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles $ps must be in [1, 100]")
+    val hist = events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+    val targets = hist.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cnt")).as("n"))
+      .select(col("event_type"), col("day"), col("n"),
+        explode(typedLit(ps)).as("p"))
+      .withColumn("target_rn", expr("(p * n + 99) DIV 100"))
+    cum.join(broadcast(targets), Seq("event_type", "day"))
+      .filter(col("cum") >= col("target_rn") &&
+        col("cum") - col("cnt") < col("target_rn"))
+      .select(col("event_type"), col("day"), col("p"),
+        col("n").as("n_events"), col("cents").as("cents_at_p"))
+  }
+
   /** Cross-source overlap matrix: for every source pair, the count of
     * distinct 3-gram shingles both sources contain (plus each side's
     * distinct-shingle total, the containment denominators) — the

@@ -5932,6 +5932,32 @@ object ExtOracles {
         |                      AS BIGINT) END AS slope_micro
         |FROM b""".stripMargin,
 
+    // Daily value percentiles: the x30 rank-target construction
+    // partitioned by (type, day); shared cents idiom.
+    "x258_daily_value_p50" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |c AS (SELECT event_type, day, cents, cnt,
+        |             CAST(sum(cnt) OVER (PARTITION BY event_type, day
+        |               ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM h),
+        |t AS (SELECT event_type, day, CAST(sum(cnt) AS BIGINT) AS n,
+        |             unnest([50, 90]) AS p
+        |      FROM h GROUP BY 1, 2),
+        |t2 AS (SELECT event_type, day, n, CAST(p AS INT) AS p,
+        |              (p * n + 99) // 100 AS target_rn
+        |       FROM t)
+        |SELECT c.event_type, c.day, t2.p, t2.n AS n_events,
+        |       c.cents AS cents_at_p
+        |FROM c JOIN t2 ON c.event_type = t2.event_type AND c.day = t2.day
+        |WHERE c.cum >= t2.target_rn AND c.cum - c.cnt < t2.target_rn""".stripMargin,
+
     // Seasonality strength: the planted weekend drop mirrored, then
     // per-type DOW eta2 under the x211 sums-of-floors convention
     // (HUGEINT floors; the clamp hides the one negative-numerator

@@ -955,6 +955,10 @@ object ExtQueries {
     // pairwise slope next to x222's OLS (one outage day can't move
     // it; lower median, documented total order, sign-decomposed).
     "x251_theilsen_trend" -> ((s, d) => Stats.theilSenTrend(events(s, d))),
+    // Daily value percentiles: p50/p90 event value per (type, day)
+    // via the x30 carve partitioned by group — the ops metrics table.
+    "x258_daily_value_p50" -> ((s, d) =>
+      Stats.dailyValueQuantiles(events(s, d).select("event_type", "ts", "value"))),
     // Seasonality strength: DOW eta2 per type over the dense daily
     // grid. Planted weekly rhythm: 'view' keeps only every 5th event
     // on Sat/Sun (pure integer weekday; the uniform fixture has no

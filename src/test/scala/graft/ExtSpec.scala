@@ -5159,6 +5159,29 @@ class ExtSpec extends SparkSpec {
     assert(ols("spike") > 10000000L, s"OLS should chase the spike: $ols")
   }
 
+  test("dailyValueQuantiles: rank targets select the PERCENTILE_DISC bin " +
+    "per (type, day); NULL values drop") {
+    import spark.implicits._
+    // day 0, type a: cents 100,200,300,400,500 -> p50 = rank ceil(2.5)=3
+    // -> 300; p90 = rank ceil(4.5)=5 -> 500. day 1, type a: one value.
+    val rows = Seq(
+      ("a", 0L, Some(1.0)), ("a", 1L, Some(2.0)), ("a", 2L, Some(3.0)),
+      ("a", 3L, Some(4.0)), ("a", 4L, Some(5.0)),
+      ("a", 86400000000L, Some(9.0)),
+      ("a", 5L, None)) // NULL value: excluded
+      .toDF("event_type", "usv", "v")
+      .select(col("event_type"),
+        expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)").as("ts"),
+        col("v").cast("double").as("value"))
+    val got = graft.ext.Stats.dailyValueQuantiles(rows)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      ("a", 0L, 50) -> ((5L, 300L)), ("a", 0L, 90) -> ((5L, 500L)),
+      ("a", 1L, 50) -> ((1L, 900L)), ("a", 1L, 90) -> ((1L, 900L))),
+      s"got $got")
+  }
+
   test("seasonalityStrength: a perfect weekly rhythm reads 1e6, a flat " +
     "series reads 0 (zero total variance)") {
     import spark.implicits._
