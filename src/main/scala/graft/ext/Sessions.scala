@@ -662,6 +662,48 @@ object Sessions {
       .withColumn("prob_ppm", expr("1000000 * n_pairs DIV row_total"))
   }
 
+  /** SESSION-GAP SENSITIVITY SWEEP — how many sessions each candidate
+    * inactivity threshold would produce (the tuning curve that
+    * DEFENDS a session-gap choice, next to X249's dwell percentiles:
+    * a knee in this curve is where the gap starts cutting real visits
+    * apart): by gaps-and-islands algebra, `n_sessions(T) = n_users +
+    * #\{consecutive gaps > T\}` — so ONE user-keyed lag pass computes
+    * every threshold's answer from the same gap multiset, never
+    * re-sessionizing per candidate (the x217 one-run-rethresholded
+    * convention; spec cross-proves each row against a full
+    * [[sessionize]] run at that gap).
+    *
+    * Scale shape: one lag window inside user partitions, one
+    * gap × thresholds conditional count (thresholds is a literal
+    * handful), a one-row user count broadcast; threshold-count
+    * output. */
+  def gapSweep(
+      events: DataFrame,
+      thresholdsMinutes: Seq[Int] = Seq(5, 15, 30, 60)): DataFrame = {
+    require(thresholdsMinutes.nonEmpty && thresholdsMinutes.forall(_ >= 1),
+      s"thresholds $thresholdsMinutes must be positive minutes")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val based = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val gaps = based
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select((col("us") - col("prev_us")).as("gap_us"))
+    val users = based.agg(countDistinct(col("user_id")).as("n_users"))
+    val ts = events.sparkSession.range(1)
+      .select(explode(typedLit(thresholdsMinutes.toList)).as("tm"))
+    gaps
+      .crossJoin(broadcast(ts))
+      .groupBy(col("tm"))
+      .agg(sum((col("gap_us") > col("tm").cast("long") * 60000000L)
+        .cast("long")).as("n_gaps_over"))
+      .crossJoin(broadcast(users))
+      .select(col("tm").as("threshold_minutes"), col("n_users"),
+        col("n_gaps_over"),
+        (col("n_users") + col("n_gaps_over")).as("n_sessions"))
+  }
+
   /** PATH TRIGRAMS — the 3-step sequential-pattern row one rung above
     * [[transitionMatrix]]'s first-order pairs ("view→click→purchase
     * dominates; view→click→view is the browse loop"): every

@@ -2972,6 +2972,29 @@ object ExtOracles {
         |FROM runs
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY version_idx)""".stripMargin,
 
+    // Gap sweep: one lag pass, thresholds as a literal grid, the
+    // gaps-and-islands session-count algebra.
+    "x259_gap_sweep" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |l AS (
+        |  SELECT us - lag(us) OVER (PARTITION BY user_id
+        |                            ORDER BY us, event_id) AS gap_us
+        |  FROM e),
+        |g AS (SELECT gap_us FROM l WHERE gap_us IS NOT NULL),
+        |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |      FROM e),
+        |t AS (SELECT CAST(unnest([5, 15, 30, 60]) AS INT) AS tm),
+        |c AS (SELECT t.tm,
+        |             CAST(count(*) FILTER (WHERE g.gap_us >
+        |               CAST(t.tm AS BIGINT) * 60000000) AS BIGINT)
+        |               AS n_gaps_over
+        |      FROM t CROSS JOIN g GROUP BY 1)
+        |SELECT c.tm AS threshold_minutes, u.n_users, c.n_gaps_over,
+        |       u.n_users + c.n_gaps_over AS n_sessions
+        |FROM c CROSS JOIN u""".stripMargin,
+
     // Path trigrams: two leads in one user window, triple counts,
     // one-row total, (n desc, t1, t2, t3) rank cut at 20.
     "x256_path_trigrams" ->

@@ -1231,6 +1231,11 @@ object ExtQueries {
     "x86_transition_matrix" -> ((s, d) =>
       Sessions.transitionMatrix(
         events(s, d).select("event_id", "user_id", "event_type", "ts"))),
+    // Session-gap sensitivity sweep: n_sessions at each candidate
+    // threshold from ONE lag pass (n_users + gaps-over-T algebra);
+    // spec cross-proves each row against a full sessionize run.
+    "x259_gap_sweep" -> ((s, d) =>
+      Sessions.gapSweep(events(s, d).select("event_id", "user_id", "ts"))),
     // Sequential 3-step patterns: top-20 of the 125 possible type
     // trigrams with exact ppm shares — the second-order view the
     // first-order matrix cannot express.

@@ -2110,6 +2110,33 @@ class ExtSpec extends SparkSpec {
     assert(m((4L, 1L)) == (("D", 50L, 1L, true)), s"got $m")  // late birth
   }
 
+  test("gapSweep: every threshold row equals a full sessionize run at " +
+    "that gap (the one-pass algebra cross-proof)") {
+    import spark.implicits._
+    val min = 60000000L
+    // user 1: gaps of 10m and 40m; user 2: one event; user 3: 20m gap
+    val ev = Seq(
+      (1L, 1L, 0L), (2L, 1L, 10L * min), (3L, 1L, 50L * min),
+      (4L, 2L, 0L), (5L, 3L, 0L), (6L, 3L, 20L * min))
+      .map { case (e, u, us) => (e, u, us) }
+      .toDF("event_id", "user_id", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Sessions.gapSweep(ev, Seq(5, 15, 30)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      5 -> ((3L, 3L, 6L)),   // all three gaps exceed 5m
+      15 -> ((3L, 2L, 5L)),  // 40m and 20m
+      30 -> ((3L, 1L, 4L))), // only the 40m gap splits
+      s"got $got")
+    // cross-proof: n_sessions(T) == count of sessionize(T) rows
+    for (t <- Seq(5, 15, 30)) {
+      val full = graft.ext.Sessions.sessionize(
+        ev.select("event_id", "user_id", "ts"), gapMinutes = t).count()
+      assert(full == got(t)._3, s"algebra drifted at T=$t: $full vs $got")
+    }
+  }
+
   test("pathTrigrams: per-user triples under the tie order, topK cut, " +
     "short users contribute nothing") {
     import spark.implicits._
