@@ -118,6 +118,12 @@ object Oracles {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
 
+    // K-series ZSTD codec leg: same value contract as k7; the codec
+    // proof is the part-file suffix assert on the Spark side.
+    "k15_zstd_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
+
     // K-series JSONL leg: same transport convention (k6/k7).
     "k10_jsonl_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

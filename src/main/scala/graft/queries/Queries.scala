@@ -655,6 +655,23 @@ object Queries {
     spark.read.orc(out)
   }
 
+  /** K-series CODEC leg: the staging parquet transport under ZSTD —
+    * the codec a 100 TB corpus actually ships with (snappy trades
+    * ~30% more storage for marginal speed at modern zstd levels; the
+    * staging layer must prove the codec CONFIG reaches the files, not
+    * just that parquet round-trips). The part-file suffix assert
+    * makes a silently-ignored option loud; values then hash against
+    * the oracle's direct read like k7. */
+  def k15ZstdRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.util.Scratch.dir("zstd_gate")}/customer_zstd"
+    t(spark, dir, "customer").write.mode("overwrite")
+      .option("compression", "zstd").parquet(out)
+    val parts = new java.io.File(out).listFiles
+    require(parts != null && parts.exists(_.getName.endsWith(".zstd.parquet")),
+      s"no zstd-suffixed part files under $out — codec option ignored")
+    spark.read.parquet(out)
+  }
+
   /** K-series JSONL leg: the third transport format — and the one
     * every LLM corpus actually ships as. The staged customer frame
     * dumped as JSON Lines and read back under the original schema
@@ -854,6 +871,7 @@ object Queries {
     "k12_csv_escaping" -> (k12CsvEscaping _),
     "k13_dynamic_overwrite" -> (k13DynamicOverwrite _),
     "k7_orc_roundtrip" -> (k7OrcRoundtrip _),
+    "k15_zstd_roundtrip" -> (k15ZstdRoundtrip _),
     "k10_jsonl_roundtrip" -> (k10JsonlRoundtrip _),
     "k11_schema_evolution" -> (k11SchemaEvolution _),
     "k8_partition_prune" -> (k8PartitionPrune _),
