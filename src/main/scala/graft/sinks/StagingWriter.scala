@@ -103,13 +103,21 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
     * the backup path (recoverable by one rename), never a half-written
     * or missing table. Row count observed on the write job itself. */
   private[graft] def writeAndSwap(
-      df: DataFrame, table: String, partCol: Option[String] = None): Long = {
+      df: DataFrame, table: String, partCol: Option[String] = None,
+      appliedBatch: Option[Long] = None): Long = {
     val obs = Observation()
     val tmp = new Path(path(table) + "__swap_tmp")
     val bak = new Path(path(table) + "__swap_bak")
     val w = df.observe(obs, count(lit(1)).as("rows"))
       .write.mode(SaveMode.Overwrite)
     partCol.fold(w)(c => w.partitionBy(c)).parquet(tmp.toString)
+    // the applied-batch marker is written INTO tmp so it swaps in
+    // atomically with the data — a marker written after the swap would
+    // leave a crash window where the state is applied but unmarked
+    // (and a replay would double-apply a non-idempotent op)
+    appliedBatch.foreach { id =>
+      fs.create(new Path(tmp, s"_graft_applied_b$id"), true).close()
+    }
     val kept = obs.get("rows").asInstanceOf[Long]
     val dst = new Path(path(table))
     fs.delete(bak, true)
@@ -286,6 +294,16 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
     * ran after every one of the tick's slice appends). */
   def batchCommitted(table: String, batchId: Long): Boolean =
     fs.exists(commitMarker(table, batchId))
+
+  /** Whether the LIVE table was produced by a [[writeAndSwap]] carrying
+    * `appliedBatch = batchId` — the replay guard for swap-replacing
+    * (non-idempotent) ticks: the marker lives inside the table
+    * directory and swaps with it, so it can never disagree with the
+    * data. Only the LAST applied batch is knowable (each swap replaces
+    * the directory, markers included) — exactly what foreachBatch
+    * replay needs, since only the last uncommitted batch replays. */
+  def batchApplied(table: String, batchId: Long): Boolean =
+    fs.exists(new Path(path(table), s"_graft_applied_b$batchId"))
 
   /** The COMMIT POINT of a multi-table batch tick: an underscore-
     * prefixed marker file (invisible to Spark's readers) created after

@@ -482,6 +482,63 @@ object EventsStream {
     ()
   }
 
+  /** STREAMING SCD2 MAINTENANCE — each micro-batch of observations
+    * extends the standing dimension history via
+    * [[graft.ext.Sessions.scd2Apply]] (first tick seeds it with
+    * [[graft.ext.Sessions.changeHistory]]); the crash-safe swap
+    * publishes each new history atomically. Unlike the CDC tick,
+    * scd2Apply is NOT replay-idempotent (a replayed batch would
+    * double-count `n_obs` and could mint phantom versions), so each
+    * tick is EXACTLY-ONCE via the applied-batch marker that
+    * [[graft.sinks.StagingWriter.writeAndSwap]] writes INSIDE the
+    * swapped directory — marker and data publish in one rename, no
+    * crash window; a replay that finds the marker skips the tick.
+    * The batch-within-tick watermark contract is scd2Apply's: ticks
+    * arrive in event-time order per key (Structured Streaming +
+    * an ordered upstream give this; late data belongs in a
+    * corrections flow, not a validity rewrite). */
+  def scd2IngestQuery(
+      obs: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      key: String,
+      timeUs: String,
+      tieBreak: String,
+      attr: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    obs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          scd2ApplyBatch(batch.toDF(), writer, table, key, timeUs, tieBreak,
+            attr, batchId = Some(id))
+          ()
+      }
+      .start()
+
+  /** One tick of [[scd2IngestQuery]] — exposed for the replay spec and
+    * batch backfills. `batchId = None` applies unconditionally. */
+  def scd2ApplyBatch(
+      batch: DataFrame,
+      writer: graft.sinks.StagingWriter,
+      table: String,
+      key: String,
+      timeUs: String,
+      tieBreak: String,
+      attr: String,
+      batchId: Option[Long] = None): Unit = {
+    if (batchId.exists(id => writer.exists(table) &&
+        writer.batchApplied(table, id))) return
+    val b = batch.localCheckpoint(true)
+    val next =
+      if (writer.exists(table))
+        graft.ext.Sessions.scd2Apply(
+          writer.read(table), b, key, timeUs, tieBreak, attr)
+      else graft.ext.Sessions.changeHistory(b, key, timeUs, tieBreak, attr)
+    writer.writeAndSwap(next, table, appliedBatch = batchId)
+    ()
+  }
+
   /** Stream rows straight into the RELATIONAL staging layer — the
     * warehouse-sink tick of the ingest family: each micro-batch lands
     * via [[graft.sinks.JdbcStagingWriter.writeBatchIdempotent]]

@@ -823,6 +823,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2IngestQuery: ticks reproduce the one-shot changeHistory; " +
+    "an applied tick's replay is marker-skipped") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val wh = new graft.sinks.StagingWriter(spark, tmpDir("scd2_wh"))
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val q = EventsStream.scd2IngestQuery(
+      stream.toDF().toDF("k", "us", "tb", "attr"),
+      wh, "dim_hist", "k", "us", "tb", "attr", tmpDir("scd2_ck"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "version_idx", "attr", "valid_from_us", "n_obs",
+        "valid_to_us", "is_current")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val t1 = Seq((1L, 10L, 100L, "A"), (1L, 20L, 101L, "A"),
+      (2L, 10L, 200L, "X"))
+    val t2 = Seq((1L, 30L, 102L, "B"), (2L, 40L, 201L, "X"),
+      (3L, 30L, 300L, "C"))
+    try {
+      stream.addData(t1: _*); q.processAllAvailable()
+      stream.addData(t2: _*); q.processAllAvailable()
+      val oneShot = graft.ext.Sessions.changeHistory(
+        (t1 ++ t2).toDF("k", "us", "tb", "attr"), "k", "us", "tb", "attr")
+      assert(canon(wh.read("dim_hist")) == canon(oneShot),
+        "streamed history drifted from the one-shot recompute")
+      // replay of the applied tick (at-least-once): the in-directory
+      // marker skips it — n_obs must NOT double-count
+      val before = canon(wh.read("dim_hist"))
+      EventsStream.scd2ApplyBatch(t2.toDF("k", "us", "tb", "attr"),
+        wh, "dim_hist", "k", "us", "tb", "attr", batchId = Some(1L))
+      assert(canon(wh.read("dim_hist")) == before,
+        "replayed tick changed the applied state")
+      // a genuinely NEW tick still applies
+      EventsStream.scd2ApplyBatch(
+        Seq((3L, 50L, 301L, "D")).toDF("k", "us", "tb", "attr"),
+        wh, "dim_hist", "k", "us", "tb", "attr", batchId = Some(2L))
+      val after = canon(wh.read("dim_hist"))
+      assert(after != before && after == canon(
+        graft.ext.Sessions.changeHistory(
+          (t1 ++ t2 :+ ((3L, 50L, 301L, "D"))).toDF("k", "us", "tb", "attr"),
+          "k", "us", "tb", "attr")),
+        "new tick after the replay must apply and match one-shot")
+    } finally q.stop()
+  }
+
   test("cdcApplyIngestQuery: tombstones/resurrection across ticks; replay is a fixpoint") {
     implicit val sc = spark.sqlContext
     val wh = new graft.sinks.StagingWriter(spark, tmpDir("cdc_wh"))
