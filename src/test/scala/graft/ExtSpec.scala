@@ -2500,6 +2500,62 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("plan shapes: the round-12 session-2 operators keep their scale contracts") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def plan(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+      val ev = new graft.sources.ParquetSimSource(spark, sf)
+        .fetch(graft.sources.FetchRequest("EVENTS"))
+
+      // theilSenTrend: the pair join is an equi join on event_type
+      // (range residual inside), never a product; the median carve's
+      // cumulative window runs inside event_type partitions
+      val ts = graft.ext.Stats.theilSenTrend(ev)
+      assert(!plan(ts).contains("CartesianProduct"), plan(ts).take(1500))
+      assert(plan(ts).split('\n').filter(_.trim.startsWith("Window"))
+        .forall(_.contains("event_type")),
+        "theilSen window must partition by event_type:\n" + plan(ts).take(1500))
+
+      // dailyValueQuantiles: the rank-target join broadcasts; every
+      // window is (event_type, day)-partitioned — a global window
+      // here would funnel the corpus through one task
+      val dv = graft.ext.Stats.dailyValueQuantiles(ev)
+      assert(plan(dv).contains("BroadcastHashJoin") &&
+        !plan(dv).contains("CartesianProduct"), plan(dv).take(1500))
+      assert(plan(dv).split('\n').filter(_.trim.startsWith("Window"))
+        .forall(_.contains("event_type")), plan(dv).take(1500))
+
+      // pathTrigrams: ONE user-keyed window serves both leads (a
+      // second exchange on user_id would mean the leads split)
+      val pt = graft.ext.Sessions.pathTrigrams(ev)
+      val userExchanges = plan(pt).split('\n')
+        .count(l => l.contains("Exchange hashpartitioning(user_id"))
+      assert(userExchanges == 1,
+        s"expected one user_id exchange, got $userExchanges:\n" +
+          plan(pt).take(1500))
+
+      // gapSweep: one lag pass; thresholds and the user count ride
+      // broadcasts, never a shuffling product
+      val gs = graft.ext.Sessions.gapSweep(ev)
+      assert(!plan(gs).contains("CartesianProduct"), plan(gs).take(1500))
+
+      // linkPredictionRA: the non-edge filter is a genuine LeftAnti
+      // equi join; wedges join on the center key
+      import spark.implicits._
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+      val lp = graft.ext.Graph.linkPredictionRA(edges)
+      assert(plan(lp).contains("LeftAnti") &&
+        !plan(lp).contains("CartesianProduct"), plan(lp).take(1500))
+
+      // wilsonCi: a single aggregate + per-row projection — no join
+      val wc = graft.ext.Stats.wilsonCi(
+        ev.select(col("event_type"), (col("value") >= 50.0).as("hit")))
+      assert(!plan(wc).contains("Join"), plan(wc).take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("rareTokenScrub: corpus-count threshold, <unk> rebuild, clean docs untouched") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
