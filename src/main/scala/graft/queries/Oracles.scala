@@ -118,6 +118,14 @@ object Oracles {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
 
+    // K16 JDBC pushdown: the Derby round trip under pushed numeric
+    // predicates; the pushdown proof is the plan require on the
+    // Spark side, the values hash here.
+    "k16_jdbc_pushdown" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_acctbal > 1000.0 AND c_custkey <= 700""".stripMargin,
+
     // K-series ZSTD codec leg: same value contract as k7; the codec
     // proof is the part-file suffix assert on the Spark side.
     "k15_zstd_roundtrip" ->

@@ -574,6 +574,34 @@ object Queries {
     spark.read.jdbc(url, "orders", new java.util.Properties)
   }
 
+  /** K16: JDBC predicate pushdown — the warehouse-READ side of the
+    * JDBC leg (k14 proves the write/promote side): the numeric
+    * predicates must land in the JDBC scan's `PushedFilters` so the
+    * warehouse, not Spark, does the cut — at warehouse scale an
+    * unpushed filter ships the whole table over the wire. The filter
+    * deliberately touches only numeric columns: Spark's generic JDBC
+    * writer maps StringType to CLOB on Derby, and Derby cannot
+    * compare CLOBs — the string column rides along unfiltered, which
+    * is itself the documented dialect caveat. */
+  def k16JdbcPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val url = "jdbc:derby:memory:k16gate;create=true"
+    t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").jdbc(url, "customer_src", new java.util.Properties)
+    val r = spark.read.jdbc(url, "customer_src", new java.util.Properties)
+      .filter(col("c_acctbal") > 1000.0 && col("c_custkey") <= 700L)
+    // the rendered plan truncates long PushedFilters lists — read the
+    // scan node's UNtruncated metadata instead
+    val pushed = r.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.getOrElse("")
+    require(pushed.contains("GreaterThan(c_acctbal,1000.0)") &&
+      pushed.contains("LessThanOrEqual(c_custkey,700)"),
+      s"JDBC predicates not pushed: $pushed")
+    r
+  }
+
   /** K2 gate: the reference's debug CSV dump
     * (priorityDataSource.py:879) hash-proved as a ROUND TRIP — the
     * staged customer frame dumped through [[graft.sinks.StagingWriter
@@ -867,6 +895,7 @@ object Queries {
     "q17_unpivot" -> (q17Unpivot _),
     "k5_promote_latest" -> (k5PromoteLatest _),
     "k14_jdbc_promote" -> (k14JdbcPromote _),
+    "k16_jdbc_pushdown" -> (k16JdbcPushdown _),
     "k6_csv_roundtrip" -> (k6CsvRoundtrip _),
     "k12_csv_escaping" -> (k12CsvEscaping _),
     "k13_dynamic_overwrite" -> (k13DynamicOverwrite _),
