@@ -29,6 +29,18 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
         |FROM orders WHERE o_orderkey % 97 = 0 AND o_custkey >= 25""".stripMargin,
 
+    // the RECURSIVE CTE surface: identical recursion, `//` for DIV.
+    "q21_recursive" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS node, CAST(0 AS BIGINT) AS depth
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT node // 10 AS node, depth + 1 AS depth
+        |  FROM chain WHERE node > 0
+        |)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM chain GROUP BY depth""".stripMargin,
+
     // the LATERAL surface: DuckDB runs the identical statement.
     "q20_lateral" ->
       """SELECT r.r_name, t.n_name, t.n_customers

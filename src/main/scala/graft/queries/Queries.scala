@@ -840,6 +840,27 @@ object Queries {
         |  LIMIT 2) t""".stripMargin)
   }
 
+  /** Q21: the RECURSIVE CTE surface (Spark 4's WITH RECURSIVE) — a
+    * synthetic digit-chain hierarchy over customer keys (node →
+    * node DIV 10 until 0), folded to a depth histogram. The loop
+    * terminates in ≤ ⌈log₁₀ maxKey⌉ rounds, far inside Spark's
+    * recursion-level limit; DuckDB replays the identical recursion
+    * with `//` for the integral division (both floors agree on the
+    * non-negative keys). */
+  def q21Recursive(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS node, CAST(0 AS BIGINT) AS depth
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT node DIV 10 AS node, depth + 1 AS depth
+        |  FROM chain WHERE node > 0
+        |)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM chain GROUP BY depth""".stripMargin)
+  }
+
   def q14SqlEntry(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "orders").createOrReplaceTempView("orders")
     t(spark, dir, "customer").createOrReplaceTempView("customer")
@@ -925,6 +946,7 @@ object Queries {
     "q12_cube" -> (q12Cube _),
     "q18_grouping_sets" -> (q18GroupingSets _),
     "q20_lateral" -> (q20Lateral _),
+    "q21_recursive" -> (q21Recursive _),
     "q19_interval_frame" -> (q19IntervalFrame _),
     "q13_goals_vs_actuals" -> (q13GoalsVsActuals _),
     "q14_sql_entry" -> (q14SqlEntry _),
