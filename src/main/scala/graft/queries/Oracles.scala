@@ -130,6 +130,13 @@ object Oracles {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
 
+    // K17 corrupt-file tolerance: the good files' rows are the whole
+    // table; the corrupt plant and the strict-fail assert live on
+    // the Spark side.
+    "k17_corrupt_ignore" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
+
     // K16 JDBC pushdown: the Derby round trip under pushed numeric
     // predicates; the pushdown proof is the plan require on the
     // Spark side, the values hash here.

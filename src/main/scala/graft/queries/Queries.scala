@@ -602,6 +602,29 @@ object Queries {
     r
   }
 
+  /** K17: corrupt-file tolerance — a landing directory with one
+    * garbage `.parquet` alongside the good parts, read under the
+    * per-relation `ignoreCorruptFiles` option with an EXPLICIT schema
+    * (schema inference would open the corrupt footer before the
+    * option can apply). The strict read must FAIL LOUDLY (asserted
+    * in-gate) — tolerance is an explicit opt-in, never a default —
+    * and the tolerant read must serve exactly the good files' rows,
+    * which is what hashes against the oracle. */
+  def k17CorruptIgnore(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.util.Scratch.dir("corrupt_gate")}/customer_land"
+    val c = t(spark, dir, "customer")
+    c.write.mode("overwrite").parquet(out)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-99999-corrupt.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    val strictFails =
+      try { spark.read.schema(c.schema).parquet(out).count(); false }
+      catch { case _: Throwable => true }
+    require(strictFails, "strict read of a corrupt landing dir must fail")
+    spark.read.schema(c.schema)
+      .option("ignoreCorruptFiles", "true").parquet(out)
+  }
+
   /** K2 gate: the reference's debug CSV dump
     * (priorityDataSource.py:879) hash-proved as a ROUND TRIP — the
     * staged customer frame dumped through [[graft.sinks.StagingWriter
@@ -917,6 +940,7 @@ object Queries {
     "k5_promote_latest" -> (k5PromoteLatest _),
     "k14_jdbc_promote" -> (k14JdbcPromote _),
     "k16_jdbc_pushdown" -> (k16JdbcPushdown _),
+    "k17_corrupt_ignore" -> (k17CorruptIgnore _),
     "k6_csv_roundtrip" -> (k6CsvRoundtrip _),
     "k12_csv_escaping" -> (k12CsvEscaping _),
     "k13_dynamic_overwrite" -> (k13DynamicOverwrite _),
