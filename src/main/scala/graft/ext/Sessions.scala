@@ -662,6 +662,50 @@ object Sessions {
       .withColumn("prob_ppm", expr("1000000 * n_pairs DIV row_total"))
   }
 
+  /** NEGATIVE-PATTERN FUNNEL — users who went view → purchase with NO
+    * error strictly between (the "converted cleanly" segmentation a
+    * positive-chain funnel — X86/X91 — cannot express; the classic
+    * sequence-pattern NOT operator): a purchase converts CLEANLY iff
+    * its LATEST preceding view has no error after it — optimal by
+    * exchange (an error between the latest view and the purchase lies
+    * between every earlier view and it too, so checking the latest
+    * view decides existence over all pairs). Same-microsecond events
+    * do not count as "between" (strict `us` inequalities — stated;
+    * the contract is value-defined so both engines agree without a
+    * tiebreak).
+    *
+    * Computed with ONE user-keyed window: running max of view/error
+    * times over the strictly-earlier RANGE frame (integer micros, so
+    * `RANGE ... -1` IS strictly-earlier), then one counting
+    * aggregate. Counts are PER TARGET EVENT, not per user — a
+    * month-long stream saturates per-user existence (every user
+    * eventually has one clean pair; probed), while the per-purchase
+    * clean/dirty race splits ~50/50 and tracks real page health.
+    * Output: one row — target events, those with a preceding `from`,
+    * the cleanly-converted subset, and the dirty remainder. */
+  def negativeFunnel(
+      events: DataFrame, from: String = "view", to: String = "purchase",
+      avoid: String = "error"): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val marked = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("last_from_us",
+        max(when(col("event_type") === from, col("us"))).over(w))
+      .withColumn("last_avoid_us",
+        max(when(col("event_type") === avoid, col("us"))).over(w))
+    val isTo = col("event_type") === to
+    val withFrom = isTo && col("last_from_us").isNotNull
+    val clean = withFrom && (col("last_avoid_us").isNull ||
+      col("last_avoid_us") <= col("last_from_us"))
+    marked.agg(
+      sum(isTo.cast("long")).as("n_target"),
+      sum(withFrom.cast("long")).as("n_with_from"),
+      sum(clean.cast("long")).as("n_clean"),
+      (sum(withFrom.cast("long")) - sum(clean.cast("long"))).as("n_dirty"))
+  }
+
   /** SESSION-GAP SENSITIVITY SWEEP — how many sessions each candidate
     * inactivity threshold would produce (the tuning curve that
     * DEFENDS a session-gap choice, next to X249's dwell percentiles:

@@ -2972,6 +2972,42 @@ object ExtOracles {
         |FROM runs
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY version_idx)""".stripMargin,
 
+    // Negative funnel: the strictly-earlier RANGE frame (integer
+    // micros, -1 PRECEDING) computes both running maxes in one
+    // window; existence folds per user then totals.
+    "x260_negative_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, event_type,
+        |         max(CASE WHEN event_type = 'view' THEN us END)
+        |           OVER w AS last_from_us,
+        |         max(CASE WHEN event_type = 'error' THEN us END)
+        |           OVER w AS last_avoid_us
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |               RANGE BETWEEN UNBOUNDED PRECEDING
+        |                 AND 1 PRECEDING)),
+        |f AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |           AS is_to,
+        |         CASE WHEN event_type = 'purchase'
+        |               AND last_from_us IS NOT NULL THEN 1 ELSE 0 END
+        |           AS with_from,
+        |         CASE WHEN event_type = 'purchase'
+        |               AND last_from_us IS NOT NULL
+        |               AND (last_avoid_us IS NULL
+        |                    OR last_avoid_us <= last_from_us)
+        |              THEN 1 ELSE 0 END AS clean
+        |  FROM m)
+        |SELECT CAST(sum(is_to) AS BIGINT) AS n_target,
+        |       CAST(sum(with_from) AS BIGINT) AS n_with_from,
+        |       CAST(sum(clean) AS BIGINT) AS n_clean,
+        |       CAST(sum(with_from) - sum(clean) AS BIGINT) AS n_dirty
+        |FROM f""".stripMargin,
+
     // Gap sweep: one lag pass, thresholds as a literal grid, the
     // gaps-and-islands session-count algebra.
     "x259_gap_sweep" ->

@@ -1231,6 +1231,12 @@ object ExtQueries {
     "x86_transition_matrix" -> ((s, d) =>
       Sessions.transitionMatrix(
         events(s, d).select("event_id", "user_id", "event_type", "ts"))),
+    // Negative-pattern funnel: users who view->purchase with NO error
+    // strictly between — the sequence-NOT segmentation a positive
+    // chain can't express; latest-view optimality by exchange.
+    "x260_negative_funnel" -> ((s, d) =>
+      Sessions.negativeFunnel(
+        events(s, d).select("user_id", "event_type", "ts"))),
     // Session-gap sensitivity sweep: n_sessions at each candidate
     // threshold from ONE lag pass (n_users + gaps-over-T algebra);
     // spec cross-proves each row against a full sessionize run.

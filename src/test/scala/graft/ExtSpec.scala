@@ -2110,6 +2110,26 @@ class ExtSpec extends SparkSpec {
     assert(m((4L, 1L)) == (("D", 50L, 1L, true)), s"got $m")  // late birth
   }
 
+  test("negativeFunnel: latest-view optimality, same-us not between, " +
+    "pre-view errors harmless") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "error", 20L), (1L, "purchase", 30L), // dirty
+      (2L, "view", 10L), (2L, "purchase", 20L), (2L, "error", 30L), // clean
+      (3L, "purchase", 10L),                                        // no view
+      (4L, "error", 5L), (4L, "view", 10L), (4L, "purchase", 20L),  // clean
+      (5L, "view", 10L), (5L, "error", 10L), (5L, "purchase", 20L), // same-us
+      (6L, "view", 10L), (6L, "error", 15L), (6L, "view", 18L),
+      (6L, "purchase", 20L), // a LATER view rescues the pair
+      (1L, "purchase", 40L)) // user 1's SECOND purchase: also dirty —
+      // counts are per purchase, not per user
+      .toDF("user_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val r = graft.ext.Sessions.negativeFunnel(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((7L, 6L, 4L, 2L)), s"got $r")
+  }
+
   test("gapSweep: every threshold row equals a full sessionize run at " +
     "that gap (the one-pass algebra cross-proof)") {
     import spark.implicits._
