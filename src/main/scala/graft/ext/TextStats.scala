@@ -491,6 +491,33 @@ object TextStats {
     * fraction of a document's word bigrams that are repeats —
     * 1 − distinct/total. High values flag boilerplate/looping text for
     * removal. Integer-ratio doubles: hash-compare safe. */
+  /** PER-DOCUMENT SIMPSON CONCENTRATION — the probability two random
+    * token draws are the same TYPE, in exact ppm (`10⁶·Σc(c−1) div
+    * n(n−1)`): the type-concentration quality feature next to
+    * [[repetition]]'s bigram-duplication ratio — a keyword-stuffed or
+    * template doc reads high here even when its bigrams are all
+    * distinct (reorderings hide from bigram metrics, not from type
+    * counts). Docs with NULL/empty text report 0 over a 0 token
+    * count, never vanish (a quality-feature table must cover the
+    * corpus). Empty tokens drop (the vocabulary convention).
+    *
+    * Scale shape: one map-side-combinable (doc, token) count, one
+    * per-doc fold, one left join back to the doc list — all keyed on
+    * doc_id; per-doc products are bounded by doc length². */
+  def docSimpson(docs: DataFrame): DataFrame = {
+    val agg = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), sum(expr("c * (c - 1)")).as("s"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n"), lit(0L)) >= 2,
+          expr("1000000 * s DIV (n * (n - 1))")).otherwise(lit(0L))
+          .as("simpson_ppm"))
+  }
+
   def repetition(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = Dedup.shingles(col("text"), n = 2)

@@ -2972,6 +2972,23 @@ object ExtOracles {
         |FROM runs
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY version_idx)""".stripMargin,
 
+    // Doc Simpson: (doc, token) counts folded per doc; NULL/empty
+    // docs kept at 0 via the left join.
+    "x261_doc_simpson" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |      FROM t WHERE tok <> '' GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |             CAST(sum(c * (c - 1)) AS BIGINT) AS s
+        |      FROM c GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n, 0) AS n_tokens,
+        |       CASE WHEN coalesce(a.n, 0) >= 2
+        |            THEN 1000000 * a.s // (a.n * (a.n - 1))
+        |            ELSE 0 END AS simpson_ppm
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
     // Negative funnel: the strictly-earlier RANGE frame (integer
     // micros, -1 PRECEDING) computes both running maxes in one
     // window; existence folds per user then totals.

@@ -246,6 +246,9 @@ object ExtQueries {
       Multimodal.dhashNeardupAgainstIndex(Multimodal.mediaTable(batch), w, "media")
     }),
     "x16_repetition" -> ((s, d) => TextStats.repetition(docs(s, d))),
+    // Per-doc Simpson type concentration: catches reorder-hidden
+    // stuffing x16's bigram ratio misses; NULL-text docs report 0.
+    "x261_doc_simpson" -> ((s, d) => TextStats.docSimpson(docs(s, d))),
     // Exact (non-probabilistic) member of the dedup family: prefix-
     // filtered n-gram Jaccard join at 0.7 — a threshold where MinHash
     // banding recall already decays (~1.2% borderline miss), which is

@@ -2110,6 +2110,23 @@ class ExtSpec extends SparkSpec {
     assert(m((4L, 1L)) == (("D", 50L, 1L, true)), s"got $m")  // late birth
   }
 
+  test("docSimpson: uniform text reads 0, constant text reads 1e6, " +
+    "NULL text keeps its row at 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),        // all distinct: s=0 -> 0
+      (2L, "a a a a"),        // one type: s=n(n-1) -> exactly 1e6
+      (3L, "a a b b"),        // 2+2: s=4, n(n-1)=12 -> 333333
+      (4L, null.asInstanceOf[String]),
+      (5L, "solo"))           // n=1: below the n>=2 guard -> 0
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextStats.docSimpson(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((4L, 0L)), 2L -> ((4L, 1000000L)),
+      3L -> ((4L, 333333L)), 4L -> ((0L, 0L)), 5L -> ((1L, 0L))),
+      s"got $got")
+  }
+
   test("negativeFunnel: latest-view optimality, same-us not between, " +
     "pre-view errors harmless") {
     import spark.implicits._
