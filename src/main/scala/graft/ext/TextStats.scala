@@ -491,6 +491,45 @@ object TextStats {
     * fraction of a document's word bigrams that are repeats —
     * 1 − distinct/total. High values flag boilerplate/looping text for
     * removal. Integer-ratio doubles: hash-compare safe. */
+  /** SOURCE LANGUAGE PURITY — per source, the majority predicted
+    * language and the share of documents agreeing with it ("is this
+    * crawl the single-language feed its label claims"): the
+    * source-level rollup of [[langId]] next to X38's chunk-level
+    * per-doc consistency — a source can be 100% internally-consistent
+    * docs in TWO languages, which the doc view can't flag. Majority
+    * under the stated (count desc, lang asc) total order (the x204
+    * mode convention); purity in exact ppm. NULL sources are out of
+    * scope by contract (the x30 rationale); NULL text predicts 'und'
+    * like langId.
+    *
+    * Scale shape: the corpus folds to (source, lang) counts map-side
+    * via the codegen'd `lang_best` walk; everything after is
+    * dimension-sized windows. */
+  def sourceLangPurity(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val langs = langMarkers.map(_._1)
+    val flatMarkers = langMarkers.flatMap(_._2)
+    val markerLang = langMarkers.zipWithIndex.flatMap { case ((_, ms), i) =>
+      Seq.fill(ms.size)(i)
+    }
+    val best = graft.functions.GraftFunctions.langBest(
+      coalesce(col("text"), lit("")),
+      typedLit(langs), typedLit(flatMarkers), typedLit(markerLang))
+    val counts = docs.filter(col("source").isNotNull)
+      .select(col("source"), best.as("predicted"))
+      .groupBy(col("source"), col("predicted"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source"))
+    counts
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("c").desc, col("predicted"))))
+      .withColumn("n_docs", sum(col("c")).over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_docs"),
+        col("predicted").as("majority_lang"),
+        expr("CAST(1000000 * c DIV n_docs AS BIGINT)").as("purity_ppm"))
+  }
+
   /** PER-DOCUMENT SIMPSON CONCENTRATION — the probability two random
     * token draws are the same TYPE, in exact ppm (`10⁶·Σc(c−1) div
     * n(n−1)`): the type-concentration quality feature next to

@@ -2972,6 +2972,27 @@ object ExtOracles {
         |FROM runs
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY version_idx)""".stripMargin,
 
+    // Source lang purity: the GENERATED langScore/langCase over
+    // sources, mode under (count desc, lang) like x204.
+    "x262_source_lang_purity" ->
+      s"""WITH scored AS (
+         |  SELECT source, $langScore
+         |  FROM (SELECT source, string_split(coalesce(text, ''), ' ')
+         |          AS toks
+         |        FROM documents WHERE source IS NOT NULL)),
+         |best AS (SELECT source, $langCase AS predicted FROM scored),
+         |c AS (SELECT source, predicted, CAST(count(*) AS BIGINT) AS c
+         |      FROM best GROUP BY 1, 2),
+         |r AS (SELECT source, predicted, c,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY c DESC, predicted) AS INT) AS rn,
+         |        CAST(sum(c) OVER (PARTITION BY source) AS BIGINT)
+         |          AS n_docs
+         |      FROM c)
+         |SELECT source, n_docs, predicted AS majority_lang,
+         |       CAST(1000000 * c // n_docs AS BIGINT) AS purity_ppm
+         |FROM r WHERE rn = 1""".stripMargin,
+
     // Doc Simpson: (doc, token) counts folded per doc; NULL/empty
     // docs kept at 0 via the left join.
     "x261_doc_simpson" ->

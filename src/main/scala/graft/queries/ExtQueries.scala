@@ -249,6 +249,10 @@ object ExtQueries {
     // Per-doc Simpson type concentration: catches reorder-hidden
     // stuffing x16's bigram ratio misses; NULL-text docs report 0.
     "x261_doc_simpson" -> ((s, d) => TextStats.docSimpson(docs(s, d))),
+    // Source language purity: majority predicted lang + agreeing
+    // share per source — the crawl-labeling audit over lang_best.
+    "x262_source_lang_purity" -> ((s, d) =>
+      TextStats.sourceLangPurity(docs(s, d))),
     // Exact (non-probabilistic) member of the dedup family: prefix-
     // filtered n-gram Jaccard join at 0.7 — a threshold where MinHash
     // banding recall already decays (~1.2% borderline miss), which is

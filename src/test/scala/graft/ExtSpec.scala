@@ -2110,6 +2110,24 @@ class ExtSpec extends SparkSpec {
     assert(m((4L, 1L)) == (("D", 50L, 1L, true)), s"got $m")  // late birth
   }
 
+  test("sourceLangPurity: majority share in ppm, tie to the smaller lang, " +
+    "NULL source out of scope") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the a of x", "A"), (2L, "the and to y", "A"),
+      (3L, "the is a z", "A"), (4L, "der und die q", "A"), // A: 3 en, 1 de
+      (5L, "the a of w", "B"), (6L, "der und die v", "B"), // B: 1-1 tie ->
+      // 'de' < 'en' wins the (count desc, lang asc) order
+      (7L, "anything", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ext.TextStats.sourceLangPurity(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "A" -> ((4L, "en", 750000L)),
+      "B" -> ((2L, "de", 500000L))), s"got $got")
+  }
+
   test("docSimpson: uniform text reads 0, constant text reads 1e6, " +
     "NULL text keeps its row at 0") {
     import spark.implicits._
