@@ -3308,6 +3308,46 @@ object Stats {
           "(1000000 * abs(num) DIV den) AS BIGINT)").as("slope_micro"))
   }
 
+  /** MAX DRAWDOWN of the daily-count series per event type — the
+    * worst peak-to-trough collapse ("the feed fell to 40% of its
+    * prior peak") on the dense zero-filled grid: the single number
+    * that summarizes outage DEPTH where x87 flags days and x153 finds
+    * the break POINT. Per day, the running peak (running max over the
+    * inclusive prefix) and the day's drawdown `10⁶·(peak − y) div
+    * peak` (exact integral division per day; the max of per-day
+    * floors is deterministic — never a division of aggregates);
+    * output per type: the series peak, the worst drawdown in ppm,
+    * and the worst absolute drop. Types with an all-zero series
+    * report 0 (no peak to fall from — the guard, not a 0/0).
+    *
+    * Scale shape: events fold to daily counts map-side; one running
+    * window inside type partitions over the days-bounded grid; one
+    * type-sized aggregate. */
+  def dailyDrawdown(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val series = grid
+      .crossJoin(daily.select(col("event_type")).distinct())
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("c"), lit(0L)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .withColumn("peak", max(col("y")).over(w))
+      .groupBy(col("event_type"))
+      .agg(max(col("peak")).as("peak_count"),
+        max(when(col("peak") > 0,
+          expr("1000000 * (peak - y) DIV peak")).otherwise(lit(0L)))
+          .as("max_drawdown_ppm"),
+        max(col("peak") - col("y")).as("max_drop"))
+  }
+
   /** SEASONALITY STRENGTH — per event type, the share of daily-count
     * variance the DAY OF WEEK explains (eta² of weekday on the dense
     * zero-filled daily series): the screen that separates a feed with

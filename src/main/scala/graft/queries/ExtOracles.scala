@@ -6055,6 +6055,39 @@ object ExtOracles {
         |FROM c JOIN t2 ON c.event_type = t2.event_type AND c.day = t2.day
         |WHERE c.cum >= t2.target_rn AND c.cum - c.cnt < t2.target_rn""".stripMargin,
 
+    // Drawdown: the x87 planted outage mirrored; running peak over
+    // the inclusive prefix, per-day floors, max of floors.
+    "x263_drawdown" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, ts FROM events
+        |  WHERE NOT (event_type = 'click'
+        |    AND CAST(ts AS DATE) = DATE '2024-01-08'
+        |    AND event_id % 10 <> 0)),
+        |dc AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM ev WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM dc),
+        |grid AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM span),
+        |ty AS (SELECT DISTINCT event_type FROM dc),
+        |s AS (SELECT ty.event_type, g.day, coalesce(dc.c, 0) AS y
+        |      FROM grid g CROSS JOIN ty
+        |      LEFT JOIN dc ON dc.event_type = ty.event_type
+        |                  AND dc.day = g.day),
+        |p AS (SELECT event_type, y,
+        |             CAST(max(y) OVER (PARTITION BY event_type
+        |               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW) AS BIGINT) AS peak
+        |      FROM s)
+        |SELECT event_type,
+        |       CAST(max(peak) AS BIGINT) AS peak_count,
+        |       CAST(max(CASE WHEN peak > 0
+        |                     THEN 1000000 * (peak - y) // peak
+        |                     ELSE 0 END) AS BIGINT) AS max_drawdown_ppm,
+        |       CAST(max(peak - y) AS BIGINT) AS max_drop
+        |FROM p GROUP BY 1""".stripMargin,
+
     // Seasonality strength: the planted weekend drop mirrored, then
     // per-type DOW eta2 under the x211 sums-of-floors convention
     // (HUGEINT floors; the clamp hides the one negative-numerator

@@ -1267,6 +1267,17 @@ object ExtQueries {
           col("event_id") % 10 =!= 0))
       Stats.dailyAnomaly(damaged)
     }),
+    // Max drawdown over the SAME planted click outage: x87 flags the
+    // day, this reads the collapse DEPTH (clicks fall to ~10% of the
+    // prior peak on 2024-01-08; untouched types read routine noise).
+    "x263_drawdown" -> ((s, d) => {
+      val damaged = events(s, d)
+        .select(col("event_id"), col("event_type"), col("ts"))
+        .filter(!(col("event_type") === "click" &&
+          to_date(col("ts")) === lit("2024-01-08").cast("date") &&
+          col("event_id") % 10 =!= 0))
+      Stats.dailyDrawdown(damaged)
+    }),
     // Edit-distance near-dup: every %21 doc gets a typo copy at
     // id+8e6 — one 'Z' substitution at char 15 ('Z' never occurs in
     // the fixture, so distance is exactly 1), past the 10-char block

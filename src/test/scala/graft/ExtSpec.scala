@@ -2110,6 +2110,26 @@ class ExtSpec extends SparkSpec {
     assert(m((4L, 1L)) == (("D", 50L, 1L, true)), s"got $m")  // late birth
   }
 
+  test("dailyDrawdown: running-peak floors, zero-leading guard, worked max") {
+    import spark.implicits._
+    def mk(t: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, d) => Seq.fill(c)((t, d.toLong * 86400000000L))
+    }
+    // "d": 10,4,8,2,6 -> worst day 3: (10-2)/10 = 800000, drop 8
+    // "z": 0,0,5,1,5 -> leading zero-peak days guard to 0; day 3
+    //      reads (5-1)/5 = 800000, drop 4, peak 5
+    val ev = (mk("d", Seq(10, 4, 8, 2, 6)) ++ mk("z", Seq(0, 0, 5, 1, 5)))
+      .zipWithIndex.map { case ((t, us), i) => (i.toLong, t, us) }
+      .toDF("event_id", "event_type", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.dailyDrawdown(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "d" -> ((10L, 800000L, 8L)),
+      "z" -> ((5L, 800000L, 4L))), s"got $got")
+  }
+
   test("sourceLangPurity: majority share in ppm, tie to the smaller lang, " +
     "NULL source out of scope") {
     import spark.implicits._
