@@ -664,7 +664,7 @@ object Sessions {
 
   /** NEGATIVE-PATTERN FUNNEL — users who went view → purchase with NO
     * error strictly between (the "converted cleanly" segmentation a
-    * positive-chain funnel — X86/X91 — cannot express; the classic
+    * positive-chain funnel — x75/x167/x108 — cannot express; the classic
     * sequence-pattern NOT operator): a purchase converts CLEANLY iff
     * its LATEST preceding view has no error after it — optimal by
     * exchange (an error between the latest view and the purchase lies
@@ -708,7 +708,7 @@ object Sessions {
 
   /** SESSION-GAP SENSITIVITY SWEEP — how many sessions each candidate
     * inactivity threshold would produce (the tuning curve that
-    * DEFENDS a session-gap choice, next to X249's dwell percentiles:
+    * DEFENDS a session-gap choice, next to x234's dwell percentiles:
     * a knee in this curve is where the gap starts cutting real visits
     * apart): by gaps-and-islands algebra, `n_sessions(T) = n_users +
     * #\{consecutive gaps > T\}` — so ONE user-keyed lag pass computes

@@ -494,7 +494,7 @@ object TextStats {
   /** SOURCE LANGUAGE PURITY — per source, the majority predicted
     * language and the share of documents agreeing with it ("is this
     * crawl the single-language feed its label claims"): the
-    * source-level rollup of [[langId]] next to X38's chunk-level
+    * source-level rollup of [[langId]] next to x67's chunk-level
     * per-doc consistency — a source can be 100% internally-consistent
     * docs in TWO languages, which the doc view can't flag. Majority
     * under the stated (count desc, lang asc) total order (the x204
