@@ -2658,6 +2658,26 @@ object ExtOracles {
          |                 // (deg.deg * (deg.deg - 1)) END AS closure_ppm
          |FROM deg LEFT JOIN tn ON tn.n = deg.x""".stripMargin,
 
+    // Hub drop report: the planted part -999 rides every 3rd order;
+    // degree over the support>=2 pair graph, ceiling 50.
+    "x264_hub_report" ->
+      """WITH li AS (
+        |    SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |    FROM lineitem),
+        |  pl AS (SELECT o, p FROM li
+        |         UNION ALL
+        |         SELECT DISTINCT o, -999 AS p FROM li WHERE o % 3 = 0),
+        |  pairs AS (
+        |    SELECT a.p AS a_id, b.p AS b_id
+        |    FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+        |    GROUP BY 1, 2 HAVING count(*) >= 2),
+        |  deg AS (
+        |    SELECT x AS node, CAST(count(*) AS BIGINT) AS deg
+        |    FROM (SELECT a_id AS x FROM pairs
+        |          UNION ALL SELECT b_id FROM pairs)
+        |    GROUP BY 1)
+        |SELECT node, deg FROM deg WHERE deg > 50""".stripMargin,
+
     // RA link prediction: wedges from the symmetrized co-purchase
     // graph (x115's basket-pair construction at support >= 2),
     // anti-joined against

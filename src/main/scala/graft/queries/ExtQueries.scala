@@ -1489,6 +1489,25 @@ object ExtQueries {
     // independent constructions of the same count.
     "x114_triangle_count" -> ((s, d) =>
       graft.ext.Graph.triangleCounts(ngramPairs(s, d).select("a_id", "b_id"))),
+    // The hubCenters drop report HASH-GATED (the x246/x247 no-silent-
+    // caps discipline): part -999 planted into every 3rd order gives
+    // it pair-graph degree ~2000 while genuine parts top out at ~14 —
+    // the maxDeg=50 ceiling's report must name exactly the hub, with
+    // its degree, on both engines.
+    "x264_hub_report" -> ((s, d) => {
+      val items = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val planted = items.unionByName(
+        items.select(col("o")).distinct()
+          .filter(col("o") % 3 === 0).withColumn("p", lit(-999L)))
+      val edges = planted.select(col("o"), col("p").as("a_id"))
+        .join(planted.select(col("o"), col("p").as("b_id")), Seq("o"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("pc"))
+        .filter(col("pc") >= 2).select("a_id", "b_id")
+      graft.ext.Graph.hubCenters(edges, maxDeg = 50L)
+    }),
     // Resource-allocation link prediction over the CO-PURCHASE graph
     // (x115's basket-pair construction at support >= 2; support 3 leaves
     // 2 edges at sf0.1) — non-adjacent part pairs
