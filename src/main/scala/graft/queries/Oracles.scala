@@ -29,6 +29,14 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
         |FROM orders WHERE o_orderkey % 97 = 0 AND o_custkey >= 25""".stripMargin,
 
+    // GROUP BY ALL + aggregate FILTER: the identical statement.
+    "q22_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(count(*) FILTER (WHERE o_totalprice > 100000.0)
+        |            AS BIGINT) AS n_big
+        |FROM orders GROUP BY ALL""".stripMargin,
+
     // the RECURSIVE CTE surface: identical recursion, `//` for DIV.
     "q21_recursive" ->
       """WITH RECURSIVE chain AS (

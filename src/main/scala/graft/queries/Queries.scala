@@ -884,6 +884,20 @@ object Queries {
         |FROM chain GROUP BY depth""".stripMargin)
   }
 
+  /** Q22: two modern ANSI surfaces in one statement — `GROUP BY ALL`
+    * (group on every non-aggregate select item) and the aggregate
+    * `FILTER (WHERE ...)` clause; DuckDB pioneered the former and
+    * both engines run the IDENTICAL text. */
+  def q22GroupByAll(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(count(*) FILTER (WHERE o_totalprice > 100000.0)
+        |            AS BIGINT) AS n_big
+        |FROM orders GROUP BY ALL""".stripMargin)
+  }
+
   def q14SqlEntry(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "orders").createOrReplaceTempView("orders")
     t(spark, dir, "customer").createOrReplaceTempView("customer")
@@ -971,6 +985,7 @@ object Queries {
     "q18_grouping_sets" -> (q18GroupingSets _),
     "q20_lateral" -> (q20Lateral _),
     "q21_recursive" -> (q21Recursive _),
+    "q22_group_by_all" -> (q22GroupByAll _),
     "q19_interval_frame" -> (q19IntervalFrame _),
     "q13_goals_vs_actuals" -> (q13GoalsVsActuals _),
     "q14_sql_entry" -> (q14SqlEntry _),
