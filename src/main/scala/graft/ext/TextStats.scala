@@ -1423,6 +1423,50 @@ object TextStats {
           " DIV n_total AS BIGINT)").as("share_ppm"))
   }
 
+  /** GROUPED heavy hitters — [[heavyHitters]]' candidates-then-verify
+    * construction per group ("which tokens dominate each SOURCE"):
+    * the custom `mg_candidates` TypedImperativeAggregate composes
+    * with grouping exactly like any built-in aggregate — one grouped
+    * sketch pass (bounded state PER GROUP), an exact recount of only
+    * the candidates, the real integer threshold `k·count > N_g`
+    * against each group's own total. Same exactness argument as the
+    * global form: every key above N_g/(stateSize+1) survives its
+    * group's MG buffer, impostors die at the recount, so the output
+    * is partition-order-deterministic and hash-gates against the
+    * oracle's naive per-group groupBy (cross-construction proof).
+    *
+    * Scale shape: the grouped sketch is map-side-combinable with
+    * ≤ stateSize counters per (partition, group) buffer; the recount
+    * join carries only groups × stateSize candidate keys. */
+  def groupHeavyHitters(
+      docs: DataFrame, group: String = "source",
+      k: Int = 16, stateSize: Int = 128): DataFrame = {
+    require(k >= 2, s"k $k must be >= 2")
+    require(stateSize >= k, s"stateSize $stateSize must be >= k $k")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = docs.filter(col(group).isNotNull)
+      .select(col(group).as("grp"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val sketch = toks.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_total"),
+        call_function("mg_candidates", col("token"), lit(stateSize))
+          .as("cand"))
+      .localCheckpoint(true)
+    val exact = toks
+      .join(broadcast(
+        sketch.select(col("grp"), explode(col("cand")).as("token"))),
+        Seq("grp", "token"))
+      .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("n_token"))
+    exact
+      .join(broadcast(sketch.select(col("grp"), col("n_total"))), Seq("grp"))
+      .filter(col("n_token") * k > col("n_total"))
+      .select(col("grp").as(group), col("token"), col("n_token"),
+        col("n_total"),
+        expr("CAST(CAST(n_token AS DECIMAL(38,0)) * 1000000" +
+          " DIV n_total AS BIGINT)").as("share_ppm"))
+  }
+
   /** UNICODE SCRIPT-MIX AUDIT — the writing-system view X187's
     * charset triage doesn't give (encoding audit says the BYTES are
     * damaged; this says the LETTERS come from the wrong alphabet):

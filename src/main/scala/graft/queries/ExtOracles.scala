@@ -2992,6 +2992,23 @@ object ExtOracles {
         |FROM runs
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY version_idx)""".stripMargin,
 
+    // Grouped heavy hitters: naive per-group counts vs the sketch+
+    // recount construction — cross-construction proof like x231.
+    "x265_group_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT source AS grp,
+        |         unnest(string_split(coalesce(text, ''), ' ')) AS token
+        |  FROM documents WHERE source IS NOT NULL),
+        |t2 AS (SELECT grp, token FROM t WHERE length(token) > 0),
+        |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_total
+        |      FROM t2 GROUP BY 1),
+        |c AS (SELECT grp, token, CAST(count(*) AS BIGINT) AS n_token
+        |      FROM t2 GROUP BY 1, 2)
+        |SELECT c.grp AS source, c.token, c.n_token, n.n_total,
+        |       CAST(CAST(c.n_token AS HUGEINT) * 1000000 // n.n_total
+        |            AS BIGINT) AS share_ppm
+        |FROM c JOIN n USING (grp) WHERE c.n_token * 32 > n.n_total""".stripMargin,
+
     // Source lang purity: the GENERATED langScore/langCase over
     // sources, mode under (count desc, lang) like x204.
     "x262_source_lang_purity" ->

@@ -253,6 +253,12 @@ object ExtQueries {
     // share per source — the crawl-labeling audit over lang_best.
     "x262_source_lang_purity" -> ((s, d) =>
       TextStats.sourceLangPurity(docs(s, d))),
+    // Per-source heavy hitters: the mg_candidates custom aggregate in
+    // GROUPED mode, exact recount per group vs the naive oracle.
+    "x265_group_heavy_hitters" -> ((s, d) =>
+      // k=32 (3.125% share): the synthetic vocab tops out at ~5.4%
+      // per-source share at sf0.01 / 3.7% at sf0.1 — k=16 is vacuous
+      TextStats.groupHeavyHitters(docs(s, d), k = 32)),
     // Exact (non-probabilistic) member of the dedup family: prefix-
     // filtered n-gram Jaccard join at 0.7 — a threshold where MinHash
     // banding recall already decays (~1.2% borderline miss), which is

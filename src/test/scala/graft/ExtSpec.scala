@@ -2130,6 +2130,27 @@ class ExtSpec extends SparkSpec {
       "z" -> ((5L, 800000L, 4L))), s"got $got")
   }
 
+  test("groupHeavyHitters: per-group thresholds, grouped output equals " +
+    "the naive recount at tight state") {
+    import spark.implicits._
+    // group A: 'x' 6 of 10 (heavy at k=3: 6*3 > 10), 'y' 3 (not:
+    // 3*3 !> 10, boundary strictness), fillers; group B: 'z' 2 of 3
+    val docs = Seq(
+      (1L, "x x x y y", "A"), (2L, "x x x y a b", "A"),
+      (3L, "z z w", "B")).toDF("doc_id", "text", "source")
+    def run(state: Int) = graft.ext.TextStats
+      .groupHeavyHitters(docs, k = 3, stateSize = state)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val got = run(128)
+    assert(got == Map(
+      ("A", "x") -> ((6L, 11L, 545454L)),
+      ("B", "z") -> ((2L, 3L, 666666L))), s"got $got")
+    // the guarantee needs stateSize >= k only: the tightest legal
+    // state must produce the identical exact output per group
+    assert(run(3) == got, "tight-state grouped output drifted")
+  }
+
   test("sourceLangPurity: majority share in ppm, tie to the smaller lang, " +
     "NULL source out of scope") {
     import spark.implicits._
