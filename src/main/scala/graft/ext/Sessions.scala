@@ -737,15 +737,22 @@ object Sessions {
     val users = based.agg(countDistinct(col("user_id")).as("n_users"))
     val ts = events.sparkSession.range(1)
       .select(explode(typedLit(thresholdsMinutes.toList)).as("tm"))
-    gaps
+    val counts = gaps
       .crossJoin(broadcast(ts))
       .groupBy(col("tm"))
       .agg(sum((col("gap_us") > col("tm").cast("long") * 60000000L)
         .cast("long")).as("n_gaps_over"))
+    // the result is BUILT FROM the thresholds frame, not the gaps: a
+    // corpus where no user has two events has an empty gap multiset,
+    // and the algebra still owes one row per threshold with
+    // n_sessions = n_users + 0 (ADVICE r12 — a groupBy over the empty
+    // crossJoin would emit nothing and break the documented identity)
+    ts.join(counts, Seq("tm"), "left")
       .crossJoin(broadcast(users))
       .select(col("tm").as("threshold_minutes"), col("n_users"),
-        col("n_gaps_over"),
-        (col("n_users") + col("n_gaps_over")).as("n_sessions"))
+        coalesce(col("n_gaps_over"), lit(0L)).as("n_gaps_over"),
+        (col("n_users") + coalesce(col("n_gaps_over"), lit(0L)))
+          .as("n_sessions"))
   }
 
   /** PATH TRIGRAMS — the 3-step sequential-pattern row one rung above

@@ -550,11 +550,16 @@ object TextStats {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n"), sum(expr("c * (c - 1)")).as("s"))
+    // the 10⁶·s numerator runs in DECIMAL(38,0) ↔ HUGEINT (the file's
+    // ppm convention): s is up to n², so plain BIGINT wraps silently
+    // past ~3M-token docs while DuckDB raises — cross-engine divergence
+    // on exactly the documents a 100 TB corpus contains (ADVICE r12)
     docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_tokens"),
         when(coalesce(col("n"), lit(0L)) >= 2,
-          expr("1000000 * s DIV (n * (n - 1))")).otherwise(lit(0L))
-          .as("simpson_ppm"))
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * s DIV " +
+            "(CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"))
+          .otherwise(lit(0L)).as("simpson_ppm"))
   }
 
   def repetition(docs: DataFrame): DataFrame = {

@@ -3043,7 +3043,8 @@ object ExtOracles {
         |      FROM c GROUP BY 1)
         |SELECT d.doc_id, coalesce(a.n, 0) AS n_tokens,
         |       CASE WHEN coalesce(a.n, 0) >= 2
-        |            THEN 1000000 * a.s // (a.n * (a.n - 1))
+        |            THEN CAST(CAST(1000000 AS HUGEINT) * a.s //
+        |                   (CAST(a.n AS HUGEINT) * (a.n - 1)) AS BIGINT)
         |            ELSE 0 END AS simpson_ppm
         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
 
@@ -3102,9 +3103,10 @@ object ExtOracles {
         |               CAST(t.tm AS BIGINT) * 60000000) AS BIGINT)
         |               AS n_gaps_over
         |      FROM t CROSS JOIN g GROUP BY 1)
-        |SELECT c.tm AS threshold_minutes, u.n_users, c.n_gaps_over,
-        |       u.n_users + c.n_gaps_over AS n_sessions
-        |FROM c CROSS JOIN u""".stripMargin,
+        |SELECT t.tm AS threshold_minutes, u.n_users,
+        |       coalesce(c.n_gaps_over, 0) AS n_gaps_over,
+        |       u.n_users + coalesce(c.n_gaps_over, 0) AS n_sessions
+        |FROM t LEFT JOIN c ON t.tm = c.tm CROSS JOIN u""".stripMargin,
 
     // Path trigrams: two leads in one user window, triple counts,
     // one-row total, (n desc, t1, t2, t3) rank cut at 20.

@@ -617,9 +617,22 @@ object Queries {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(out, "part-99999-corrupt.parquet"),
       "this is not a parquet file".getBytes("UTF-8"))
+    // the strict read must fail FOR THE RIGHT REASON: only an error
+    // whose chain names the corrupt footer counts — a blanket catch
+    // would read an OOM or a scratch-permission error as "strict read
+    // correctly failed" and mask real regressions behind a passing
+    // gate (ADVICE r12)
     val strictFails =
       try { spark.read.schema(c.schema).parquet(out).count(); false }
-      catch { case _: Throwable => true }
+      catch { case e: Throwable =>
+        val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .take(10).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+        val expected = msgs.toLowerCase.contains("parquet") ||
+          msgs.toLowerCase.contains("footer") ||
+          msgs.toLowerCase.contains("corrupt")
+        if (!expected) throw e
+        true
+      }
     require(strictFails, "strict read of a corrupt landing dir must fail")
     spark.read.schema(c.schema)
       .option("ignoreCorruptFiles", "true").parquet(out)

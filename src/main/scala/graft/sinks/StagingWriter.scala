@@ -132,6 +132,29 @@ final class StagingWriter(spark: SparkSession, warehouseDir: String) extends Ent
     kept
   }
 
+  /** Crash recovery for the [[writeAndSwap]] protocol: a death between
+    * rename(live→backup) and rename(tmp→live) leaves the standing
+    * table at `<table>__swap_bak` and NOTHING live. Restore it with
+    * the one rename the protocol prescribes; returns true when a
+    * backup was restored. The non-idempotent apply ticks
+    * ([[graft.streaming.EventsStream.scd2ApplyBatch]]/`cdcApplyBatch`)
+    * call this BEFORE their `exists()` check — without it a tick
+    * replayed into that crash window would take the seed-fresh branch
+    * and silently discard the standing history (ADVICE r12). A stale
+    * backup NEXT TO a live table (crash after the activate rename,
+    * before the backup delete) is not restored — the live table is
+    * newer; the next swap's leading `delete(bak)` reaps it. */
+  def recoverSwap(table: String): Boolean = {
+    val dst = new Path(path(table))
+    val bak = new Path(path(table) + "__swap_bak")
+    if (!fs.exists(dst) && fs.exists(bak)) {
+      if (!fs.rename(bak, dst))
+        throw new java.io.IOException(
+          s"recoverSwap: cannot restore $bak to $dst")
+      true
+    } else false
+  }
+
   /** Write a table partitioned by a (low-cardinality) column — the
     * other half of the 100 TB layout story next to [[writeBucketed]]:
     * a predicate on the partition column prunes whole directories at

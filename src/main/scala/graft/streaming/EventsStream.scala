@@ -470,6 +470,11 @@ object EventsStream {
       key: String,
       seqCol: String = "seq",
       opCol: String = "op"): Unit = {
+    // a crash inside the previous tick's swap window leaves the
+    // standing table at __swap_bak and nothing live; restore it FIRST
+    // or the exists() check below would seed a fresh snapshot from
+    // this one ledger slice, silently discarding the standing state
+    writer.recoverSwap(table)
     // one evaluation of the micro-batch; the standing-table read below
     // is safe against the swap (tmp-write then rename — the live table
     // is intact until the output is fully materialized)
@@ -527,6 +532,13 @@ object EventsStream {
       tieBreak: String,
       attr: String,
       batchId: Option[Long] = None): Unit = {
+    // restore a history stranded at __swap_bak by a crash inside the
+    // previous tick's swap window BEFORE consulting exists()/markers —
+    // the applied-batch marker lives inside the swapped directory, so
+    // it cannot protect the branch that fires when the directory is
+    // absent (a replayed tick would otherwise seed a brand-new history
+    // from one batch and discard the standing one)
+    writer.recoverSwap(table)
     if (batchId.exists(id => writer.exists(table) &&
         writer.batchApplied(table, id))) return
     val b = batch.localCheckpoint(true)

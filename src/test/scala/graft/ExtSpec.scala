@@ -2233,6 +2233,22 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("gapSweep: a corpus with no multi-event user still emits every " +
+    "threshold row with n_sessions = n_users (ADVICE r12 edge)") {
+    import spark.implicits._
+    // three users, one event each: the gap multiset is EMPTY, and the
+    // algebra n_sessions(T) = n_users + gaps_over(T) owes one row per
+    // threshold with n_gaps_over = 0 — not zero rows
+    val ev = Seq((1L, 1L, 0L), (2L, 2L, 100L), (3L, 3L, 200L))
+      .toDF("event_id", "user_id", "usv")
+      .withColumn("ts", expr("CAST(timestamp_micros(usv) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Sessions.gapSweep(ev, Seq(5, 30)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(5 -> ((3L, 0L, 3L)), 30 -> ((3L, 0L, 3L))),
+      s"got $got")
+  }
+
   test("pathTrigrams: per-user triples under the tie order, topK cut, " +
     "short users contribute nothing") {
     import spark.implicits._

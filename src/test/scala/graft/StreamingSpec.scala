@@ -905,4 +905,65 @@ class StreamingSpec extends SparkSpec {
       assert(state() == after, "replayed tick changed the state")
     } finally q.stop()
   }
+
+  test("scd2ApplyBatch: a history stranded at __swap_bak by a crash " +
+    "inside the swap window is restored, never reseeded (ADVICE r12)") {
+    import spark.implicits._
+    val whDir = tmpDir("scd2_crash_wh")
+    val wh = new graft.sinks.StagingWriter(spark, whDir)
+    val t1 = Seq((1L, 10L, 100L, "A"), (1L, 20L, 101L, "B"),
+      (2L, 10L, 200L, "X"))
+    val t2 = Seq((1L, 30L, 102L, "C"), (3L, 30L, 300L, "Y"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "version_idx", "attr", "valid_from_us", "n_obs",
+        "valid_to_us", "is_current")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    EventsStream.scd2ApplyBatch(t1.toDF("k", "us", "tb", "attr"),
+      wh, "dim_hist", "k", "us", "tb", "attr", batchId = Some(0L))
+    // simulate death between rename(live→bak) and rename(tmp→live):
+    // the standing table sits at __swap_bak, nothing is live
+    val live = new java.io.File(whDir, "dim_hist")
+    val bak = new java.io.File(whDir, "dim_hist__swap_bak")
+    assert(live.renameTo(bak), "test setup: strand the table at bak")
+    // the replayed tick must restore the stranded history and apply
+    // on top of it — NOT seed a fresh history from t2 alone
+    EventsStream.scd2ApplyBatch(t2.toDF("k", "us", "tb", "attr"),
+      wh, "dim_hist", "k", "us", "tb", "attr", batchId = Some(1L))
+    val oneShot = graft.ext.Sessions.changeHistory(
+      (t1 ++ t2).toDF("k", "us", "tb", "attr"), "k", "us", "tb", "attr")
+    assert(canon(wh.read("dim_hist")) == canon(oneShot),
+      "crash-window replay discarded the standing history")
+    assert(!bak.exists, "restored backup must not linger")
+  }
+
+  test("cdcApplyBatch: crash-window recovery restores the stranded " +
+    "snapshot; a stale bak NEXT TO a live table is not restored") {
+    import spark.implicits._
+    val whDir = tmpDir("cdc_crash_wh")
+    val wh = new graft.sinks.StagingWriter(spark, whDir)
+    def state(): Map[Long, (String, Long)] = wh.read("dim").collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("v"), r.getAs[Long]("seq")))).toMap
+    EventsStream.cdcApplyBatch(
+      Seq((1L, "a", 1L, "U"), (2L, "b", 1L, "U"))
+        .toDF("k", "v", "seq", "op"), wh, "dim", "k")
+    val live = new java.io.File(whDir, "dim")
+    val bak = new java.io.File(whDir, "dim__swap_bak")
+    assert(live.renameTo(bak), "test setup: strand the table at bak")
+    EventsStream.cdcApplyBatch(
+      Seq((2L, "x", 1L, "D"), (3L, "c", 1L, "U"))
+        .toDF("k", "v", "seq", "op"), wh, "dim", "k")
+    // k1 survives only if the stranded snapshot was restored first
+    // (its stored seq re-ranks at 0 under the incoming ledger — the
+    // documented cdcApply snapshot convention)
+    assert(state() == Map(1L -> (("a", 0L)), 3L -> (("c", 1L))),
+      s"stranded snapshot lost: ${state()}")
+    // stale-bak-next-to-live (crash AFTER activate, before bak
+    // delete): the live table is newer — recoverSwap must not touch it
+    val staleBak = new java.io.File(whDir, "dim__swap_bak")
+    staleBak.mkdirs()
+    assert(!wh.recoverSwap("dim"), "stale bak beside a live table " +
+      "must not be restored over it")
+    assert(state() == Map(1L -> (("a", 0L)), 3L -> (("c", 1L))))
+  }
 }
