@@ -1163,7 +1163,7 @@ object TextStats {
     * stop-terms are FEW by definition (a ceiling that keeps most
     * terms keeps the drop list small), so the drop list broadcasts
     * and the corpus-side tf frame never re-shuffles. */
-  private def capTermDf(tf: DataFrame, maxTermDf: Option[Long]): DataFrame =
+  private[graft] def capTermDf(tf: DataFrame, maxTermDf: Option[Long]): DataFrame =
     maxTermDf match {
       case None => tf
       case Some(cap) =>
@@ -1180,10 +1180,17 @@ object TextStats {
     * whose document frequency exceeds the ceiling, with its df and
     * the posting-join fan-out the cap avoids — what an operator
     * reviews before turning the knob on. Empty ⇔ capped ≡ uncapped. */
-  def headTerms(docs: DataFrame, maxTermDf: Long): DataFrame = {
+  def headTerms(docs: DataFrame, maxTermDf: Long): DataFrame =
+    headTermsFrom(tfFrame(docs), maxTermDf)
+
+  /** [[headTerms]] over an already-built (doc, token, tf) frame — the
+    * entry the gate inventory uses to share ONE tokenized frame
+    * across the whole lexical retrieval family (the x2/x14 idiom;
+    * VERDICT r12 task 5: the quartet re-tokenized the corpus four
+    * times). */
+  private[graft] def headTermsFrom(tf: DataFrame, maxTermDf: Long): DataFrame = {
     require(maxTermDf > 0, s"maxTermDf $maxTermDf must be positive")
-    tfFrame(docs)
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxTermDf)
       .select(col("token"), col("df"),
         (col("df") * col("df")).as("posting_pairs_avoided"))
@@ -1264,17 +1271,19 @@ object TextStats {
     * pushdown. */
   def bm25TopK(
       docs: DataFrame, k: Int = 5, queryMod: Int = 250,
-      maxTermDf: Option[Long] = None): DataFrame = {
+      maxTermDf: Option[Long] = None): DataFrame =
+    bm25TopKFrom(capTermDf(tfFrame(docs), maxTermDf), docs.count(),
+      k, queryMod)
+
+  /** [[bm25TopK]] over an already-capped (doc, token, tf) frame with
+    * the corpus size supplied — the sharing entry (see
+    * [[headTermsFrom]]): the caller tokenizes once and derives the
+    * df ceiling without a second count action. `nDocs` counts ALL
+    * docs (incl. empty-text ones with no tf rows) — it scales idf. */
+  private[graft] def bm25TopKFrom(
+      tf: DataFrame, nDocs: Long, k: Int, queryMod: Int): DataFrame = {
     require(k >= 1, s"k $k must be positive")
-    val nDocs = docs.count()
     val scaleN = math.multiplyExact(1000000L, nDocs)
-    val tf = capTermDf(
-      docs
-        .select(col("doc_id"),
-          explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
-        .filter(length(col("token")) > 0)
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")),
-      maxTermDf)
     val totals = tf.agg(coalesce(sum(col("tf")), lit(0L)).as("a"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))

@@ -117,6 +117,22 @@ object ExtQueries {
       graft.ext.BpeTrain.trainMerges(docs(spark, dir), numMerges = 10)
     }
 
+  // the tokenized (doc, token, tf) frame + corpus size feed the WHOLE
+  // lexical retrieval family (x175 sparse cosine, x189 BM25, and the
+  // x247/x248/x249 capped trio) — five consumers that each
+  // re-tokenized the corpus before this share (VERDICT r12 task 5);
+  // the count rides the cache too, so the proportional df ceiling
+  // costs no extra action per gate run
+  private val tfStatsCache =
+    new graft.util.OnceCache[(String, String), (DataFrame, Long)](
+      MaxCachedPairSets)
+
+  private def docTfStats(spark: SparkSession, dir: String): (DataFrame, Long) =
+    tfStatsCache.getOrCompute((spark.sparkContext.applicationId, dir)) {
+      val dd = docs(spark, dir)
+      (graft.ext.TextStats.tfFrame(dd).localCheckpoint(true), dd.count())
+    }
+
   // component labels are consumed by x24 AND the x46 canonical pick —
   // the same ingest-artifact share as the pair sets they derive from
   private val componentCache =
@@ -624,8 +640,10 @@ object ExtQueries {
       Similarity.matryoshkaRecall(emb(s, d), dims = 16, k = 10)),
     // Sparse tf-idf cosine top-k via the inverted index: the lexical
     // retrieval leg (x50 idf proxy, x141 staged squared-cosine ppm).
-    "x175_sparse_topk" -> ((s, d) =>
-      TextStats.sparseCosTopK(docs(s, d))),
+    "x175_sparse_topk" -> ((s, d) => {
+      val (tf, n) = docTfStats(s, d)
+      TextStats.sparseCosTopKFrom(tf, n, k = 5, queryMod = 250)
+    }),
     // Markov next-event backtest: train argmax transition on the first
     // half of the time range, score accuracy per prior type on the
     // second (data-derived split, never wall clock).
@@ -698,16 +716,17 @@ object ExtQueries {
     // corpus — bites at every SF since the synthetic head tokens sit
     // near 80%), with the posting fan-out the cap avoids.
     "x247_head_terms" -> ((s, d) => {
-      val dd = docs(s, d)
-      TextStats.headTerms(dd, dd.count() * 39L / 50L)
+      val (tf, n) = docTfStats(s, d)
+      TextStats.headTermsFrom(tf, n * 39L / 50L)
     }),
     // The CAPPED BM25 leg (x189's knob under the oracle, completing
     // the trio): same proportional ceiling; dl/avgdl/idf all reflect
     // the filtered token stream — BM25 exactly over what remains.
     "x249_capped_bm25" -> ((s, d) => {
-      val dd = docs(s, d)
-      TextStats.bm25TopK(dd, k = 5, queryMod = 250,
-        maxTermDf = Some(dd.count() * 39L / 50L))
+      val (tf, n) = docTfStats(s, d)
+      TextStats.bm25TopKFrom(
+        TextStats.capTermDf(tf, Some(n * 39L / 50L)), n,
+        k = 5, queryMod = 250)
     }),
     // The CAPPED sparse-retrieval leg (x175's production knob under
     // the oracle): the same proportional ceiling drops the head
@@ -715,9 +734,10 @@ object ExtQueries {
     // tf·idf cosine over the filtered streams (n_docs unchanged) —
     // the oracle filters its tf CTE by the identical df rule.
     "x248_capped_sparse" -> ((s, d) => {
-      val dd = docs(s, d)
-      TextStats.sparseCosTopK(dd, k = 5, queryMod = 250,
-        maxTermDf = Some(dd.count() * 39L / 50L))
+      val (tf, n) = docTfStats(s, d)
+      TextStats.sparseCosTopKFrom(
+        TextStats.capTermDf(tf, Some(n * 39L / 50L)), n,
+        k = 5, queryMod = 250)
     }),
     // Incremental rollup maintenance: stored-state + batch partial
     // aggregates MERGED per (day, event_type); the oracle aggregates
@@ -751,7 +771,10 @@ object ExtQueries {
       Similarity.mutualTopPairs(emb(s, d))),
     // BM25 top-k over the inverted index: the canonical lexical
     // ranker with rational (k1=6/5, b=3/4) defaults made exact-integer.
-    "x189_bm25_topk" -> ((s, d) => TextStats.bm25TopK(docs(s, d))),
+    "x189_bm25_topk" -> ((s, d) => {
+      val (tf, n) = docTfStats(s, d)
+      TextStats.bm25TopKFrom(tf, n, k = 5, queryMod = 250)
+    }),
     // Watermark-lateness audit: arrival = event_id with every 7th
     // event delivered 25 positions late (the plant convention — the
     // synthetic log is otherwise perfectly ordered); P50/P90/P99/max
