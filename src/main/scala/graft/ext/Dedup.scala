@@ -1347,9 +1347,13 @@ object Dedup {
     * metric ON the label-update job itself (changed-label count folded
     * into the checkpoint action — per-round driver state is a single
     * long, and there is no second join+isEmpty job per round). For
-    * adversarial long-chain graphs (not the dedup shape) the two-phase
-    * large-star/small-star variant (Kiveris et al., "Connected
-    * Components in MapReduce", SoCC'14) halves rounds; not needed here.
+    * adversarial long-chain graphs (not the dedup shape) min-label
+    * propagation needs O(component diameter) rounds —
+    * [[dupComponentsStar]] is the two-phase large-star/small-star
+    * variant (Kiveris et al., "Connected Components in MapReduce",
+    * SoCC'14) that converges in O(log n) rounds regardless of
+    * diameter; it produces the IDENTICAL labeling (spec-pinned on
+    * planted chain/star/clique graphs).
     *
     * Returns (doc_id, component) for every doc that appears in ≥ 1
     * pair; singleton documents are their own implicit component. */
@@ -1382,6 +1386,92 @@ object Dedup {
       labels = next
     }
     labels.select(col("id").as("doc_id"), col("component"))
+  }
+
+  /** Connected components by TWO-PHASE LARGE-STAR/SMALL-STAR (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    * — the adversarial-diameter answer [[dupComponents]]' scaladoc
+    * promises (VERDICT r12 task 3): a 10⁶-long near-dup chain
+    * (pathological boilerplate) costs min-label propagation 10⁶
+    * rounds, while star contraction converges in O(log n) rounds
+    * regardless of diameter, with the IDENTICAL (doc_id, component =
+    * min reachable id) labeling.
+    *
+    * Each round rewrites the edge set twice. LARGE-STAR: for every
+    * center u with neighborhood Γ(u), m = min(Γ(u) ∪ \{u\}); every
+    * strictly-larger neighbor v > u re-links to m — emit (v, m).
+    * SMALL-STAR over the canonical big→small edges: for every big
+    * end u, m = min(its small neighbors) (< u always); every other
+    * small neighbor and u itself re-link to m. Both steps preserve
+    * connectivity and the vertex set (the paper's invariants; the
+    * spec cross-proves the labeling against [[dupComponents]]), and
+    * the fixpoint is the star forest rooted at component minima.
+    *
+    * Scale shape: per round, two map-side-combinable min aggregates
+    * and two equi-joins on the center key — no window, no driver
+    * state beyond the convergence probe; each edge frame eagerly
+    * checkpoints so lineage stays one round deep (the
+    * [[dupComponents]] loop discipline). Convergence is an exact
+    * set-equality probe (count match + one anti-join) on
+    * already-materialized checkpoints.
+    *
+    * Same contract as [[dupComponents]]: (doc_id, component) for
+    * every doc in ≥ 1 pair. */
+  def dupComponentsStar(pairs: DataFrame): DataFrame =
+    dupComponentsStarRounds(pairs)._1
+
+  /** [[dupComponentsStar]] plus the converged round count — split out
+    * so the spec can pin the O(log n) bound a planted long chain
+    * exercises. */
+  private[graft] def dupComponentsStarRounds(
+      pairs: DataFrame): (DataFrame, Int) = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var edges = canon(pairs.select(col("a_id").as("u"), col("b_id").as("v")))
+      .localCheckpoint(true)
+    // the node universe is pinned UP FRONT: star rewrites preserve the
+    // vertex set, but a self-loop-only doc (degenerate input) has no
+    // canonical edge at all — the final left join keeps its row
+    val nodes = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged) {
+      // LARGE-STAR over symmetric neighborhoods
+      val sym = edges.select(col("u").as("ctr"), col("v").as("nbr"))
+        .union(edges.select(col("v").as("ctr"), col("u").as("nbr")))
+      val large = sym
+        .join(sym.groupBy(col("ctr")).agg(min(col("nbr")).as("mn")), "ctr")
+        .filter(col("nbr") > col("ctr"))
+        .select(col("nbr").as("u"), least(col("mn"), col("ctr")).as("v"))
+        .distinct()
+      // SMALL-STAR over the (already canonical) big→small edges
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val next = large.join(minsS, "u")
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .union(minsS.select(col("u"), col("mn").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // exact set-equality convergence: both frames are materialized
+      // checkpoints, so the probe is two cheap jobs, never a recompute
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      rounds += 1
+    }
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("component"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("component")))
+      .distinct()
+    (nodes.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component")),
+      rounds)
   }
 
   /** The shared cross-engine token hash ([[OracleHash.md5Hash32]]).

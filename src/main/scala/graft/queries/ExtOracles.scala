@@ -3602,6 +3602,34 @@ object ExtOracles {
          |FROM (SELECT DISTINCT a FROM e) n JOIN reach r ON r.a = n.a
          |GROUP BY n.a""".stripMargin,
 
+    // Star-contraction components produce the IDENTICAL labeling, so
+    // the oracle is x24's recursive closure verbatim — the gate proves
+    // the O(log n) algorithm computes the same answer as the O(diam)
+    // one on the shared MinHash pair graph.
+    "x266_dup_components_star" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS (
+         |    SELECT a_id, b_id FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 8 * (sa.sz + sb.sz - i.i)),
+         |  e AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |        UNION SELECT b_id, a_id FROM pairs),
+         |  reach(a, b) AS (
+         |    SELECT a, b FROM e
+         |    UNION
+         |    SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+         |SELECT n.a AS doc_id, least(min(r.b), n.a) AS component
+         |FROM (SELECT DISTINCT a FROM e) n JOIN reach r ON r.a = n.a
+         |GROUP BY n.a""".stripMargin,
+
     // Canonical pick: x24's recursive component closure, then the best
     // member per component by the x8 quality tree (bit-exact both
     // engines) with the doc_id tiebreak; one window partition serves

@@ -542,6 +542,12 @@ object ExtQueries {
     // Duplicate-cluster labeling over the SHARED MinHash pair set
     // (x2/x14's cache): component = min doc_id reachable.
     "x24_dup_components" -> (dupComps _),
+    // The SAME component labeling by two-phase large-star/small-star
+    // contraction (O(log n) rounds vs label propagation's O(diameter)
+    // — the 100 TB boilerplate-chain answer); identical output ⇒ the
+    // x24 oracle replays verbatim.
+    "x266_dup_components_star" -> ((s, d) =>
+      graft.ext.Dedup.dupComponentsStar(minhashPairs(s, d))),
     // Canonical keeper per duplicate component: best quality (x8 tree)
     // wins, doc_id tiebreak — not blindly the lowest id; shares the
     // component labels with x24.

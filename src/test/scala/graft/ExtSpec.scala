@@ -921,6 +921,43 @@ class ExtSpec extends SparkSpec {
       .filter($"text" =!= $"orig").count() > 0)
   }
 
+  test("dupComponentsStar: identical labeling to dupComponents on " +
+    "chain/star/clique/mixed graphs; O(log n) rounds on a long chain") {
+    def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // planted shapes: a diameter-63 chain (the adversarial case for
+    // min-label propagation), a 64-leaf star, a 24-clique, and a mixed
+    // graph of all three plus an isolated pair — ids PERMUTED by a
+    // coprime multiplier so the component minimum sits mid-chain, not
+    // conveniently at an end
+    def perm(i: Long): Long = (i * 37L) % 257L
+    val chain = (0L until 63L).map(i => (perm(i), perm(i + 1)))
+    val star = (1L to 64L).map(i => (1000L, 1000L + i))
+    val clique =
+      for (i <- 0L until 24L; j <- (i + 1) until 24L)
+        yield (2000L + i, 2000L + j)
+    val mixed = chain ++ star ++ clique ++ Seq((5000L, 5001L))
+    for ((name, es) <- Seq("chain" -> chain, "star" -> star,
+      "clique" -> clique, "mixed" -> mixed)) {
+      val pairs = es.toDF("a_id", "b_id")
+      val viaStar = labelMap(Dedup.dupComponentsStar(pairs))
+      val viaProp = labelMap(Dedup.dupComponents(pairs))
+      assert(viaStar == viaProp, s"$name: star labeling drifted")
+    }
+    // the scale claim: a 512-node chain converges in O(log n) star
+    // rounds (label propagation needs 511) — generous headroom over
+    // log2(512) = 9 for the two-phase constant, still ~30x under the
+    // diameter
+    val longChain = (0L until 511L).map(i => ((i * 37L) % 521L, ((i + 1) * 37L) % 521L))
+      .toDF("a_id", "b_id")
+    val (labels, rounds) = Dedup.dupComponentsStarRounds(longChain)
+    val lm = labelMap(labels)
+    assert(lm.size == 512 && lm.values.toSet == Set(lm.keys.min),
+      s"long chain must collapse to one component: ${lm.values.toSet.size}")
+    assert(rounds <= 16, s"star contraction took $rounds rounds on a " +
+      "512-chain — the O(log n) bound is broken")
+  }
+
   test("dupComponents labels transitive clusters that pairwise keeper-drop misses") {
     // component {3,7,9} with edges (7,9),(3,9): pairwise drop-every-b
     // keeps BOTH 3 and 7; components keep only 3. Plus a diameter-4
