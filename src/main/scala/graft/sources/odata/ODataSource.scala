@@ -418,9 +418,56 @@ final class ODataScan(
     topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None,
     agg: Option[ODataAggregation] = None,
     offset: Option[Int] = None)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = schema
+
+  /** Planner statistics (VERDICT r12 task 4): without them EVERY DSv2
+    * relation planned as "unknown = huge" and a catalog join of a
+    * five-row REGION against ORDERS fell to sort-merge above the
+    * advisory threshold — the exact join a 1000-executor catalog
+    * query wants broadcast. Size is the page files' byte total (an
+    * upper bound on row data — JSON framing included; over-estimating
+    * never breaks correctness), rows come from the render-time
+    * `_counts.meta` sidecar when the scan's shape preserves
+    * cardinality: a pushed filter or aggregate drops the row count
+    * (selectivity unknown) and keeps the byte upper bound; a pushed
+    * limit/topN/offset caps rows — and scales bytes proportionally so
+    * a `$top` probe of a huge entity still broadcasts. Listing/stat
+    * failures degrade to empty estimates (planning must never crash
+    * on a stats probe); the scan itself still fails loudly. */
+  override def estimateStatistics(): Statistics = {
+    val bytes: Option[Long] =
+      try {
+        val conf = ODataTableProvider.hadoopConf()
+        Some(ODataTableProvider.pageFiles(path).map { f =>
+          val p = new Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum)
+      } catch { case _: Throwable => None }
+    val exactRows: Option[Long] =
+      if (filters.nonEmpty || agg.isDefined) None
+      else ODataTableProvider.pageCounts(path).map { c =>
+        val afterOffset =
+          math.max(0L, c.values.sum - offset.map(_.toLong).getOrElse(0L))
+        topN.map(_._2.toLong).orElse(limit.map(_.toLong))
+          .fold(afterOffset)(math.min(afterOffset, _))
+      }
+    val total = ODataTableProvider.pageCounts(path).map(_.values.sum)
+    val scaledBytes = (bytes, exactRows, total) match {
+      case (Some(b), Some(r), Some(t)) if t > 0 && r < t =>
+        Some(math.max(1L, b * r / t))
+      case _ => bytes
+    }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        scaledBytes.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+      override def numRows(): java.util.OptionalLong =
+        exactRows.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+    }
+  }
 
   /** The compiled OData request — what the production transport would
     * GET. Surfaced in explain so pushdown is observable. */

@@ -498,6 +498,65 @@ class ODataSourceSpec extends SparkSpec {
     assert(err.getMessage.toUpperCase.contains("NOPE"), s"err: $err")
   }
 
+  test("DSv2 statistics: a small entity BROADCASTS in a catalog join; " +
+    "stats report sidecar rows and scale under a pushed limit") {
+    // hand-rendered two-entity root: a five-row REGION (the dimension)
+    // and a multi-page ORDERS (the fact) — the join a 1000-executor
+    // catalog query wants broadcast; before SupportsReportStatistics
+    // every DSv2 relation planned as "unknown = huge" and this fell to
+    // sort-merge (VERDICT r12 task 4)
+    val root = tmpDir("odata_stats_root")
+    val rdir = Paths.get(root, "REGION"); Files.createDirectory(rdir)
+    Files.write(rdir.resolve("page-0.json"),
+      ("""{"value": [""" + (0 until 5).map(i =>
+        s"""{"r_regionkey": $i, "r_name": "R$i"}""").mkString(",") +
+        "]}").getBytes("UTF-8"))
+    Files.write(rdir.resolve("_counts.meta"),
+      """{"page-0.json": 5}""".getBytes("UTF-8"))
+    val odir = Paths.get(root, "ORDERS"); Files.createDirectory(odir)
+    (0 until 4).foreach { p =>
+      val rows = (0 until 250).map { i =>
+        val k = p * 250 + i
+        s"""{"o_orderkey": $k, "o_rkey": ${k % 5}, "o_status": "S${k % 3}"}"""
+      }
+      Files.write(odir.resolve(f"page-$p%03d.json"),
+        s"""{"value": [${rows.mkString(",")}]}""".getBytes("UTF-8"))
+    }
+    Files.write(odir.resolve("_counts.meta"),
+      (0 until 4).map(p => s""""page-${f"$p%03d"}.json": 250""")
+        .mkString("{", ",", "}").getBytes("UTF-8"))
+    val cat = s"stats_cat_${math.abs(root.hashCode).toString}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.odata.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // relation-level stats: rows from the sidecar, size from page bytes
+    val rStats = spark.sql(s"SELECT * FROM $cat.REGION")
+      .queryExecution.optimizedPlan.stats
+    assert(rStats.rowCount.contains(BigInt(5)), s"rowCount: ${rStats.rowCount}")
+    assert(rStats.sizeInBytes > 0 && rStats.sizeInBytes < 1000000,
+      s"sizeInBytes: ${rStats.sizeInBytes}")
+    // the join plans as BroadcastHashJoin with no broadcast hint
+    val q = spark.sql(
+      s"SELECT o.o_orderkey, r.r_name FROM $cat.ORDERS o " +
+        s"JOIN $cat.REGION r ON o.o_rkey = r.r_regionkey")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small-entity catalog join did not broadcast:\n$plan")
+    assert(q.count() == 1000, "join result wrong")
+    // a pushed $top caps the row estimate (and scales bytes), so a
+    // limit probe of a big entity reads as small too
+    val probe = spark.read.format("graft-odata")
+      .option("path", s"$root/ORDERS").load().limit(3)
+    val pStats = probe.queryExecution.optimizedPlan.stats
+    assert(pStats.rowCount.contains(BigInt(3)), s"probe rows: ${pStats.rowCount}")
+    // a pushed filter keeps the byte upper bound and DROPS the exact
+    // row count (selectivity unknown — never a fabricated estimate)
+    val filtered = spark.read.format("graft-odata")
+      .option("path", s"$root/ORDERS").load().filter(col("o_rkey") === 0)
+    assert(filtered.queryExecution.optimizedPlan.stats.rowCount.isEmpty,
+      "filtered scan must not claim an exact row count")
+  }
+
   test("s6 gate: GROUP BY pushes $apply into the scan; cells, not rows, cross the exchange") {
     val q = graft.queries.Queries.s6ODataAgg(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
