@@ -290,7 +290,7 @@ class UtilitySpec extends SparkSpec {
     // bench would flag (and endlessly re-run) its own work. Correctly
     // subtracted, othersFrac reflects only genuine co-tenants — best
     // of 3 attempts shields the assert from a real external burst.
-    def spinRep(): (Double, Double) = Bench.timedRep {
+    def spinRep(): Bench.Rep = Bench.timedRep {
       val threads = (1 to 8).map { _ =>
         new Thread(() => {
           val deadline = System.nanoTime() + 600000000L // 0.6 s — above MinJudgeableWallSec
@@ -303,9 +303,104 @@ class UtilitySpec extends SparkSpec {
       threads.foreach(_.join())
     }
     val attempts = (1 to 3).map(_ => spinRep())
-    assert(attempts.forall(_._1 >= 0.5), s"spin ended early: $attempts")
-    val othMin = attempts.map(_._2).min
+    assert(attempts.forall(_.wall >= 0.5), s"spin ended early: $attempts")
+    val othMin = attempts.map(_.othersFrac).min
     assert(othMin >= 0.0 && othMin < Bench.ContendedFrac,
       s"self-burn misattributed to co-tenants: $attempts")
+  }
+
+  test("bench contendedRep: starvation fires on wall-growth WITH share " +
+    "collapse; regressions and slow days do not flag") {
+    import Bench.{Rep, BaseEntry, contendedRep}
+    val base = Some(BaseEntry(wall = 5.0, cpu = 40.0)) // clean share 8.0
+    // the r12 contamination shape: unchanged code, wall 5.5x, CPU
+    // roughly unchanged -> share collapsed to ~1.3 -> flagged even
+    // with others' visible burn under the threshold
+    assert(contendedRep(Rep(27.5, 0.05, 36.0), base, None),
+      "starved rep must flag")
+    // a GENUINE regression: wall 4x because the work is 4x -> share
+    // holds -> NOT contention (it must land in drift, not be retried)
+    assert(!contendedRep(Rep(20.0, 0.05, 155.0), base, None),
+      "real regression must not flag as contention")
+    // a uniformly slower machine day (the r11 1.4x drift): wall 1.4x
+    // is under the 1.5x gate -> not flagged
+    assert(!contendedRep(Rep(7.0, 0.05, 42.0), base, None),
+      "machine drift must not flag")
+    // others-burn signal alone: 6 of 32 cores = 0.1875 > 0.10 (the
+    // r12 threshold missed exactly this co-tenant)
+    assert(contendedRep(Rep(2.0, 0.1875, 10.0), None, None),
+      "6/32-core co-tenant must flag via the others signal")
+    assert(!contendedRep(Rep(2.0, 0.08, 10.0), None, None))
+    // sub-judgeable reps never flag (jiffy noise)
+    assert(!contendedRep(Rep(0.3, 0.9, 0.1), base, None))
+    // within-run signal: no baseline, but the best rep of this run
+    // proves the query is fast when unstarved
+    val best = Some(Rep(2.0, 0.02, 16.0)) // share 8
+    assert(contendedRep(Rep(9.0, 0.05, 18.0), None, best),
+      "within-run starvation must flag")
+    assert(!contendedRep(Rep(2.2, 0.02, 17.0), None, best))
+  }
+
+  test("bench loadBaseline: parses the writer shape, rejects an sf " +
+    "mismatch, degrades to empty on garbage") {
+    val dir = java.nio.file.Files.createTempDirectory("bl").toString
+    val p = s"$dir/BENCH_BASELINE.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      ("""{"sf":"/data/sf0.1","reps":3,"loadavg_start":0.2,"queries":""" +
+        """{"q1_agg":{"wall":1.25,"cpu":9.5},"x68_incr_funnel":""" +
+        """{"wall":6.71,"cpu":52.0}}}""").getBytes("UTF-8"))
+    val b = Bench.loadBaseline(p, "/data/sf0.1")
+    assert(b.keySet == Set("q1_agg", "x68_incr_funnel"), s"got $b")
+    assert(b("x68_incr_funnel") == Bench.BaseEntry(6.71, 52.0))
+    assert(Bench.loadBaseline(p, "/data/sf0.01").isEmpty,
+      "cross-SF baseline must be rejected")
+    assert(Bench.loadBaseline(s"$dir/nope.json", "/data/sf0.1").isEmpty)
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      "not json at all".getBytes("UTF-8"))
+    assert(Bench.loadBaseline(p, "/data/sf0.1").isEmpty)
+  }
+
+  test("bench co-tenant integration: an EXTERNAL 6-core burn while a " +
+    "parallel job runs is flagged; the same job quiet is not") {
+    // the synthetic co-tenant the r12 gate missed (VERDICT task 1):
+    // 6 external busy-loop PROCESSES on a 32-CPU box sat under the
+    // old 0.20 others threshold while inflating walls 4-8x. Measure
+    // the job clean first (the baseline rep), then under the burn.
+    def job(): Unit = {
+      val threads = (1 to 16).map { _ =>
+        new Thread(() => {
+          val deadline = System.nanoTime() + 800000000L // 0.8 s
+          var sink = 0L
+          while (System.nanoTime() < deadline) sink += sink * 31 + 1
+          if (sink == 42) println(sink)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+    }
+    val clean = Bench.timedRep(job())
+    val burners = (1 to 6).map { _ =>
+      new ProcessBuilder("bash", "-c",
+        "end=$((SECONDS+15)); while [ $SECONDS -lt $end ]; do :; done")
+        .start()
+    }
+    try {
+      Thread.sleep(300) // let the burners reach steady state
+      val contendedReps = (1 to 3).map(_ => Bench.timedRep(job()))
+      // at least one burdened rep must be flagged by SOME signal
+      // (others-burn fires at ~6/32 = 0.1875; starvation backs it up
+      // if scheduling noise hides part of the burn)
+      val flagged = contendedReps.count(r => Bench.contendedRep(
+        r, Some(Bench.BaseEntry(clean.wall, clean.procSec)), None))
+      assert(flagged >= 1,
+        s"no rep flagged under a 6-core external burn: clean=$clean " +
+          s"contended=$contendedReps")
+    } finally burners.foreach(_.destroyForcibly())
+    // and the quiet job itself must NOT read as contended vs its own
+    // baseline (guards against a trigger-happy detector)
+    val quiet = Bench.timedRep(job())
+    assert(!Bench.contendedRep(
+      quiet, Some(Bench.BaseEntry(clean.wall, clean.procSec)), None) ||
+      quiet.othersFrac > Bench.ContendedFrac, // a real external burst
+      s"quiet rep misflagged: $quiet vs clean $clean")
   }
 }
