@@ -145,7 +145,12 @@ object Similarity {
     * bounded by the corpus per query, and at index scale the same
     * audit runs over the ANN candidates instead (rank-in-candidates
     * vs rank-exact is precisely the recall story x174 measures). */
-  def labelMrr(emb: DataFrame, queryMod: Int = 50): DataFrame = {
+  /** The (query_id, is_rel, rnk) frame every label-relevance eval row
+    * ranks over — x180 MRR, x221 nDCG and the MAP row share it
+    * verbatim: sampled non-NULL-label queries broadcast against one
+    * corpus scan, exact cosine under the (cos desc, vec_id) total
+    * order, zero-norm vectors excluded on both sides. */
+  private def labelRanked(emb: DataFrame, queryMod: Int): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val queries = emb.filter(col("vec_id") % queryMod === 0 &&
         col("label").isNotNull)
@@ -157,7 +162,7 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
       .withColumn("nv", norm(col("v")))
       .filter(col("nv") > 0)
-    val ranked = corpus
+    corpus
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("q"), col("v")) / (col("nq") * col("nv")))
       .withColumn("rnk", row_number().over(
@@ -165,7 +170,10 @@ object Similarity {
           .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
       .select(col("query_id"),
         (col("label") <=> col("q_label")).as("is_rel"), col("rnk"))
-    ranked.groupBy(col("query_id"))
+  }
+
+  def labelMrr(emb: DataFrame, queryMod: Int = 50): DataFrame = {
+    labelRanked(emb, queryMod).groupBy(col("query_id"))
       .agg(
         sum(when(col("is_rel"), 1L).otherwise(0L)).as("n_relevant"),
         min(when(col("is_rel"), col("rnk"))).as("first_rel_rank"))
@@ -196,28 +204,9 @@ object Similarity {
     * the corpus, per-query rank windows inside query partitions, a
     * query-count-sized output. */
   def ndcgAt10(emb: DataFrame, queryMod: Int = 50): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
     val prefix: Seq[Long] =
       NdcgDiscountsPpm.scanLeft(0L)(_ + _) // prefix(k) = Σ first k
-    val queries = emb.filter(col("vec_id") % queryMod === 0 &&
-        col("label").isNotNull)
-      .select(col("vec_id").as("query_id"),
-        asDouble(col("embedding")).as("q"), col("label").as("q_label"))
-      .withColumn("nq", norm(col("q")))
-      .filter(col("nq") > 0)
-    val corpus = emb
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
-      .withColumn("nv", norm(col("v")))
-      .filter(col("nv") > 0)
-    val ranked = corpus
-      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("q"), col("v")) / (col("nq") * col("nv")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-      .select(col("query_id"),
-        (col("label") <=> col("q_label")).as("is_rel"), col("rnk"))
-    ranked.groupBy(col("query_id"))
+    labelRanked(emb, queryMod).groupBy(col("query_id"))
       .agg(
         sum(when(col("is_rel"), 1L).otherwise(0L)).as("n_relevant"),
         sum(when(col("is_rel") && col("rnk") <= 10,
@@ -231,6 +220,39 @@ object Similarity {
           expr("1000000 * dcg_micro DIV idcg_micro")).otherwise(lit(0L))
           .as("ndcg_ppm"))
   }
+
+  /** Average precision @ 10 per query — the third face of the
+    * retrieval-eval harness (x180 MRR sees only the first relevant
+    * hit, x221 nDCG discounts by a fixed log curve; AP is the
+    * ORDER-SENSITIVE precision integral the ranking literature
+    * reports as MAP): per relevant hit at rank r ≤ 10, the precision
+    * term `10⁶ · rel_count@r div r` (each term an independent
+    * integral floor — the x144 sums-of-floors convention, stated),
+    * summed and normalized by `min(n_relevant, 10)` in one more
+    * integral division. Zero-relevant queries report 0 (the honest
+    * no-evidence row). The mean over queries — MAP — is then an
+    * integer-sum ratio the caller takes; no float ever crosses an
+    * aggregate.
+    *
+    * Scale shape: the x180 shape plus ONE more window (the running
+    * relevant count) on the SAME query partition key — the rank
+    * window's exchange is reused, nothing new shuffles. */
+  def mapAt10(emb: DataFrame, queryMod: Int = 50): DataFrame =
+    labelRanked(emb, queryMod)
+      .withColumn("rel_cnt", sum(when(col("is_rel"), 1L).otherwise(0L))
+        .over(Window.partitionBy(col("query_id")).orderBy(col("rnk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("is_rel"), 1L).otherwise(0L)).as("n_relevant"),
+        sum(when(col("is_rel") && col("rnk") <= 10, 1L).otherwise(0L))
+          .as("n_rel_top10"),
+        sum(when(col("is_rel") && col("rnk") <= 10,
+          expr("1000000 * rel_cnt DIV rnk")).otherwise(0L)).as("ap_micro"))
+      .select(col("query_id"), col("n_relevant"), col("n_rel_top10"),
+        when(col("n_relevant") > 0,
+          expr("ap_micro DIV least(n_relevant, 10L)")).otherwise(lit(0L))
+          .as("ap_ppm"))
 
   /** Hard-negative mining over labeled vectors — the contrastive-
     * training data miner (Schroff et al. 2015's semi-hard mining is

@@ -1747,6 +1747,62 @@ object Stats {
         col("score_lo"), col("score_hi"))
   }
 
+  /** MURPHY DECOMPOSITION of the binned Brier score — the calibration
+    * VERDICT where [[calibrationCurve]] is the picture and the
+    * Mann-Whitney AUC (x186) is only discrimination (a classifier can
+    * rank perfectly and still be wildly miscalibrated; training-data
+    * quality weighting needs the probabilities themselves to be
+    * honest): rows bin by forecast ntile (the [[calibrationCurve]]
+    * histogram carve — never a global sort), and per Murphy (1973)
+    * `brier = REL − RES + UNC` with reliability
+    * `Σ n_b·(f_b−o_b)² div N` (how far each bin's floored mean
+    * forecast sits from its observed rate — 0 is perfectly
+    * calibrated), resolution `Σ n_b·(o_b−ō)² div N` (how much the
+    * bins separate outcomes), and uncertainty `ō·(10⁶−ō)` (the
+    * no-skill floor). Forecasts are integer ppm in [0, 10⁶]; every
+    * squared term rides DECIMAL(38,0) ↔ HUGEINT and each reported
+    * component is one integral floor (sums-of-floors on the composed
+    * `brier_ppm2`, stated — the x144 convention). Output is ONE row
+    * in ppm² units: (n, n_pos, obar_ppm, rel_ppm2, res_ppm2,
+    * unc_ppm2, brier_ppm2).
+    *
+    * Scale shape: the [[calibrationCurve]] plan (value histogram +
+    * domain-bounded prefix window + map-side bucket aggregate), then
+    * everything lives on the `buckets`-row frame with a one-row
+    * broadcast total. */
+  def brierDecomposition(
+      df: DataFrame, forecastPpm: String, outcome: String, id: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"bucket count $buckets must be positive")
+    val scored = df
+      .filter(col(forecastPpm).isNotNull && col(outcome).isNotNull)
+      .select(col(id), col(forecastPpm),
+        col(outcome).cast("long").as("__pos"))
+    val byBin = globalNtile(scored, forecastPpm, descOrder = false, id,
+      buckets, "bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_b"), sum(col("__pos")).as("pos_b"),
+        sum(col(forecastPpm)).as("f_sum"))
+      .select(col("n_b"), col("pos_b"),
+        expr("f_sum DIV n_b").as("f_b"),
+        expr("1000000 * pos_b DIV n_b").as("o_b"))
+    val tot = byBin.agg(sum(col("n_b")).as("n"), sum(col("pos_b")).as("np"))
+      .select(col("n"), col("np"), expr("1000000 * np DIV n").as("obar"))
+    byBin.crossJoin(broadcast(tot))
+      .agg(first(col("n")).as("n"), first(col("np")).as("n_pos"),
+        first(col("obar")).as("obar_ppm"),
+        sum(expr("CAST(n_b AS DECIMAL(38,0)) * (f_b - o_b) * (f_b - o_b)"))
+          .as("rel_num"),
+        sum(expr("CAST(n_b AS DECIMAL(38,0)) * (o_b - obar) * (o_b - obar)"))
+          .as("res_num"))
+      .select(col("n"), col("n_pos"), col("obar_ppm"),
+        expr("CAST(rel_num DIV n AS BIGINT)").as("rel_ppm2"),
+        expr("CAST(res_num DIV n AS BIGINT)").as("res_ppm2"),
+        expr("obar_ppm * (1000000 - obar_ppm)").as("unc_ppm2"))
+      .withColumn("brier_ppm2",
+        expr("rel_ppm2 - res_ppm2 + unc_ppm2"))
+  }
+
   /** Per-group trimmed mean — the robust location estimate next to
     * [[winsorize]] (winsorize CLAMPS the tails, trim DROPS them):
     * per group, discard the lowest ⌈pLo·n/100⌉ and highest
@@ -4019,5 +4075,56 @@ object Stats {
       .agg(sum(expr("shiftright(src_c, j + 1)")).as("ewma"))
       .select(col("event_type"), col("day"), col("c").as("n_events"),
         col("ewma"))
+  }
+
+  /** BUCKET-OVER-BUCKET TOP-K CHURN — rank STABILITY, the audit
+    * behind every "top suppliers/products" dashboard ("is this
+    * leaderboard signal or noise? a set that reshuffles completely
+    * every quarter is noise; one that never moves needs no
+    * refresh"): per `bucketDays`-day shipping bucket, the top-k
+    * suppliers by lineitem count under the (count desc, suppkey)
+    * total order, then for every bucket with a PRESENT predecessor
+    * the set overlap — carried members, new entrants, exact Jaccard
+    * ppm. Gap buckets (no shipments at all) break the chain — a
+    * comparison across a dark quarter is not week-over-week churn
+    * (documented, not silently bridged).
+    *
+    * Scale shape: the only full-data stage is one map-side-combinable
+    * (bucket, supplier) count; the rank window runs per bucket over
+    * supplier-bounded groups with the WindowGroupLimit partial
+    * pushdown, and everything after lives on the buckets×k frame
+    * (checkpointed once — its two consumers join on shifted keys, so
+    * ReuseExchange cannot dedupe the subtree). Integer-exact
+    * throughout; denominator ≥ n_prev ≥ 1. */
+  def topkChurn(
+      lineitem: DataFrame, k: Int = 20, bucketDays: Long = 90L): DataFrame = {
+    require(k >= 1, s"k $k must be positive")
+    require(bucketDays >= 1, s"bucketDays $bucketDays must be positive")
+    val us = "unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+    val top = lineitem.filter(col("l_shipdate").isNotNull)
+      .select(expr(epochFloorDiv(us, bucketDays * 86400000000L)).as("bucket"),
+        col("l_suppkey"))
+      .groupBy(col("bucket"), col("l_suppkey"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col("c").desc, col("l_suppkey"))))
+      .filter(col("rnk") <= k)
+      .select(col("bucket"), col("l_suppkey"))
+      .localCheckpoint(true)
+    val sizes = top.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val commons = top
+      .join(top.select((col("bucket") + 1).as("bucket"), col("l_suppkey")),
+        Seq("bucket", "l_suppkey"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_common"))
+    sizes.select(col("bucket"), col("n").as("n_curr"))
+      .join(sizes.select((col("bucket") + 1).as("bucket"),
+        col("n").as("n_prev")), Seq("bucket"))
+      .join(commons, Seq("bucket"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .select(col("bucket"), col("n_prev"), col("n_curr"), col("n_common"),
+        (col("n_curr") - col("n_common")).as("n_new"),
+        expr("1000000 * n_common DIV (n_prev + n_curr - n_common)")
+          .as("jaccard_ppm"))
   }
 }

@@ -5196,6 +5196,94 @@ object ExtOracles {
     // labels re-derived, then the PER-ROW doubled tie-averaged rank
     // formula — the cross-construction partner of the Spark side's
     // histogram-decomposed Mann-Whitney.
+    // Brier/Murphy decomposition: the x186 NB pipeline verbatim
+    // through the held-out score, forecast p = r/(r+1e6) in ppm,
+    // native ntile(10) over the identical (fp, doc_id) total order
+    // as the independent binning construction (the x138 convention).
+    "x269_brier" ->
+      """WITH p0 AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 17 = 0 THEN replace(text, ' ', '')
+        |                  WHEN doc_id % 13 = 0 THEN text || ' !!! ### $$$'
+        |                  ELSE text END AS text
+        |           FROM documents),
+        |  p AS (SELECT doc_id, COALESCE(text, '') AS text FROM p0),
+        |  m AS (SELECT doc_id,
+        |          len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_words,
+        |          length(replace(text, ' ', '')) AS n_alpha,
+        |          length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_sym,
+        |          len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+        |        FROM p),
+        |  lab0 AS (SELECT doc_id,
+        |          ((n_words >= 50 AND n_words <= 100000)
+        |           AND ((CASE WHEN n_words = 0 THEN 0.0
+        |                 ELSE CAST(n_alpha AS DOUBLE) / n_words END) >= 3.0
+        |            AND (CASE WHEN n_words = 0 THEN 0.0
+        |                 ELSE CAST(n_alpha AS DOUBLE) / n_words END) <= 10.0)
+        |           AND (CASE WHEN n_words = 0 THEN 0.0
+        |                ELSE CAST(n_sym AS DOUBLE) / n_words END) <= 0.1
+        |           AND n_stop >= 2) AS passes
+        |        FROM m),
+        |  lab AS (SELECT doc_id, passes FROM lab0 WHERE doc_id % 2 = 0),
+        |  tok AS (SELECT doc_id, w FROM (
+        |            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM p)
+        |          WHERE length(w) > 0),
+        |  cnt AS (SELECT w,
+        |            CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS c_g,
+        |            CAST(sum(CASE WHEN passes THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |          FROM tok t JOIN lab l USING (doc_id) GROUP BY w),
+        |  tots AS (SELECT CAST(sum(c_g) AS BIGINT) AS n_g,
+        |                  CAST(sum(c_b) AS BIGINT) AS n_b,
+        |                  CAST(count(*) AS BIGINT) AS v
+        |           FROM cnt),
+        |  model AS (SELECT w,
+        |              (1000000::HUGEINT * (tots.n_b + tots.v) * (c_g + 1)) //
+        |              ((tots.n_g + tots.v)::HUGEINT * (c_b + 1)) AS r_ppm
+        |            FROM cnt CROSS JOIN tots),
+        |  r0 AS (SELECT (1000000::HUGEINT * (n_b + v)) // (n_g + v) AS r FROM tots),
+        |  sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |           sum(COALESCE(mo.r_ppm, r0.r)) AS tot
+        |         FROM tok t LEFT JOIN model mo USING (w) CROSS JOIN r0
+        |         WHERE t.doc_id % 2 <> 0
+        |         GROUP BY t.doc_id),
+        |  score AS (SELECT d.doc_id,
+        |              CAST(COALESCE(s.tot // s.n_tokens, 0) AS BIGINT) AS v
+        |            FROM p d LEFT JOIN sc s USING (doc_id)
+        |            WHERE d.doc_id % 2 <> 0),
+        |  f AS (SELECT s.doc_id,
+        |           CAST(1000000::HUGEINT * s.v // (s.v + 1000000) AS BIGINT)
+        |             AS fp,
+        |           l.passes
+        |        FROM score s JOIN lab0 l USING (doc_id)),
+        |  b AS (SELECT fp, passes,
+        |          CAST(ntile(10) OVER (ORDER BY fp, doc_id) AS BIGINT)
+        |            AS bucket
+        |        FROM f),
+        |  bb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nb,
+        |           CAST(count(*) FILTER (passes) AS BIGINT) AS pos_b,
+        |           CAST(sum(fp) AS BIGINT) AS f_sum
+        |         FROM b GROUP BY 1),
+        |  b2 AS (SELECT nb, pos_b, f_sum // nb AS f_b,
+        |           1000000 * pos_b // nb AS o_b
+        |         FROM bb),
+        |  t AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+        |          CAST(sum(pos_b) AS BIGINT) AS np
+        |        FROM b2),
+        |  t2 AS (SELECT n, np, 1000000 * np // n AS obar FROM t),
+        |  agg AS (SELECT
+        |            sum(CAST(nb AS HUGEINT) * (f_b - o_b) * (f_b - o_b))
+        |              AS rel_num,
+        |            sum(CAST(nb AS HUGEINT) * (o_b - t2.obar) *
+        |                (o_b - t2.obar)) AS res_num
+        |          FROM b2 CROSS JOIN t2)
+        |SELECT t2.n, t2.np AS n_pos, t2.obar AS obar_ppm,
+        |       CAST(rel_num // t2.n AS BIGINT) AS rel_ppm2,
+        |       CAST(res_num // t2.n AS BIGINT) AS res_ppm2,
+        |       CAST(t2.obar * (1000000 - t2.obar) AS BIGINT) AS unc_ppm2,
+        |       CAST(rel_num // t2.n - res_num // t2.n +
+        |            t2.obar * (1000000 - t2.obar) AS BIGINT) AS brier_ppm2
+        |FROM agg CROSS JOIN t2""".stripMargin,
+
     "x186_nb_auc" ->
       """WITH p0 AS (SELECT doc_id,
         |             CASE WHEN doc_id % 17 = 0 THEN replace(text, ' ', '')
@@ -5433,6 +5521,35 @@ object ExtOracles {
     // strictly-earlier rows under the SAME total order, island cut
     // where start passes it, extents summed per key. End clamped to
     // start; ppm through HUGEINT (Spark DECIMAL(38,0)).
+    // Top-k churn: 90-day buckets, (count desc, suppkey) rank cut,
+    // consecutive-present buckets joined on the shifted key.
+    "x267_topk_churn" ->
+      """WITH t AS (
+        |  SELECT epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 7776000000000
+        |           AS bucket,
+        |         l_suppkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT bucket, l_suppkey,
+        |         row_number() OVER (PARTITION BY bucket
+        |                            ORDER BY c DESC, l_suppkey) AS rnk
+        |  FROM t),
+        |tp AS (SELECT bucket, l_suppkey FROM r WHERE rnk <= 20),
+        |sz AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+        |       FROM tp GROUP BY 1),
+        |cm AS (SELECT a.bucket, CAST(count(*) AS BIGINT) AS n_common
+        |       FROM tp a JOIN tp b ON a.bucket = b.bucket + 1
+        |                          AND a.l_suppkey = b.l_suppkey
+        |       GROUP BY 1)
+        |SELECT c.bucket, p.n AS n_prev, c.n AS n_curr,
+        |       coalesce(cm.n_common, 0) AS n_common,
+        |       c.n - coalesce(cm.n_common, 0) AS n_new,
+        |       CAST(1000000 * coalesce(cm.n_common, 0) //
+        |         (p.n + c.n - coalesce(cm.n_common, 0)) AS BIGINT)
+        |         AS jaccard_ppm
+        |FROM sz c JOIN sz p ON c.bucket = p.bucket + 1
+        |LEFT JOIN cm ON cm.bucket = c.bucket""".stripMargin,
+
     "x192_interval_union" ->
       """WITH iv AS (
         |  SELECT l_suppkey AS k,
@@ -6021,6 +6138,48 @@ object ExtOracles {
     // nDCG@10: the x180 ranking machinery with the discount and
     // ideal-prefix CASEs GENERATED from Similarity.NdcgDiscountsPpm —
     // one source, no drift.
+    // MAP@10: the x221 ranked frame plus a running relevant count;
+    // per-hit precision terms as independent integral floors.
+    "x268_map_eval" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS qv,
+        |                  label AS q_label
+        |           FROM embeddings WHERE vec_id % 50 = 0 AND label IS NOT NULL),
+        |     c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+        |                  label
+        |           FROM embeddings),
+        |     s AS (SELECT query_id, q_label, vec_id, label,
+        |                  list_dot_product(qv, v) /
+        |                    (sqrt(list_dot_product(qv, qv)) *
+        |                     sqrt(list_dot_product(v, v))) AS cos
+        |           FROM q, c WHERE vec_id <> query_id
+        |             AND list_dot_product(qv, qv) > 0
+        |             AND list_dot_product(v, v) > 0),
+        |     r AS (SELECT query_id,
+        |                  (label IS NOT DISTINCT FROM q_label) AS is_rel,
+        |                  CAST(row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        |           FROM s),
+        |     w AS (SELECT query_id, is_rel, rnk,
+        |                  CAST(count(*) FILTER (is_rel) OVER (
+        |                    PARTITION BY query_id ORDER BY rnk) AS BIGINT)
+        |                    AS rel_cnt
+        |           FROM r),
+        |     a AS (SELECT query_id,
+        |                  CAST(count(*) FILTER (is_rel) AS BIGINT)
+        |                    AS n_relevant,
+        |                  CAST(count(*) FILTER (is_rel AND rnk <= 10)
+        |                    AS BIGINT) AS n_rel_top10,
+        |                  CAST(coalesce(sum(1000000 * rel_cnt // rnk)
+        |                    FILTER (is_rel AND rnk <= 10), 0) AS BIGINT)
+        |                    AS ap_micro
+        |           FROM w GROUP BY query_id)
+        |SELECT query_id, n_relevant, n_rel_top10,
+        |       CASE WHEN n_relevant > 0
+        |            THEN CAST(ap_micro // least(n_relevant, 10) AS BIGINT)
+        |            ELSE 0 END AS ap_ppm
+        |FROM a""".stripMargin,
+
     "x221_ndcg10" -> {
       val disc = graft.ext.Similarity.NdcgDiscountsPpm
       val discCase = disc.zipWithIndex

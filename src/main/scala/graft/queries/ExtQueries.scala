@@ -133,6 +133,25 @@ object ExtQueries {
       (graft.ext.TextStats.tfFrame(dd).localCheckpoint(true), dd.count())
     }
 
+  /** The x186 held-out NB-scored frame (doc_id, nb_ppm, passes) — the
+    * planted-damage corpus, gopher labels trained on the even half,
+    * scores + truth on the odd half. Shared by the AUC gate (x186,
+    * discrimination) and the Brier gate (x269, calibration). */
+  private def nbHeldOut(s: SparkSession, d: String): DataFrame = {
+    val planted = docs(s, d).select(col("doc_id"),
+      when(col("doc_id") % 17 === 0, regexp_replace(col("text"), " ", ""))
+        .when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" !!! ### $$$")))
+        .otherwise(col("text")).as("text"))
+    val trainLabels =
+      TextStats.gopherRules(planted.filter(col("doc_id") % 2 === 0))
+        .select(col("doc_id"), col("passes"))
+    TextStats.nbScore(planted, trainLabels)
+      .filter(col("doc_id") % 2 =!= 0)
+      .join(TextStats.gopherRules(planted.filter(col("doc_id") % 2 =!= 0))
+        .select(col("doc_id"), col("passes")), "doc_id")
+  }
+
   // component labels are consumed by x24 AND the x46 canonical pick —
   // the same ingest-artifact share as the pair sets they derive from
   private val componentCache =
@@ -754,23 +773,21 @@ object ExtQueries {
     // EVEN half's gopher labels, score the held-out ODD half, exact
     // ROC-AUC (tie-averaged doubled-rank Mann-Whitney form) of the
     // score against the odd half's true gopher labels.
-    "x186_nb_auc" -> ((s, d) => {
-      val planted = docs(s, d).select(col("doc_id"),
-        when(col("doc_id") % 17 === 0, regexp_replace(col("text"), " ", ""))
-          .when(col("doc_id") % 13 === 0,
-            concat(col("text"), lit(" !!! ### $$$")))
-          .otherwise(col("text")).as("text"))
-      val trainLabels =
-        TextStats.gopherRules(planted.filter(col("doc_id") % 2 === 0))
-          .select(col("doc_id"), col("passes"))
-      val heldOut = TextStats.nbScore(planted, trainLabels)
-        .filter(col("doc_id") % 2 =!= 0)
-        .join(TextStats.gopherRules(planted.filter(col("doc_id") % 2 =!= 0))
-          .select(col("doc_id"), col("passes")), "doc_id")
-      Stats.mannWhitneyU(heldOut, "nb_ppm", "passes")
+    "x186_nb_auc" -> ((s, d) =>
+      Stats.mannWhitneyU(nbHeldOut(s, d), "nb_ppm", "passes")
         .select(col("n_a").as("n_pass"), col("n_b").as("n_fail"),
-          col("u2_a").as("u2"), col("cles_ppm").as("auc_ppm"))
-    }),
+          col("u2_a").as("u2"), col("cles_ppm").as("auc_ppm"))),
+    // Murphy decomposition of the NB score's CALIBRATION (x186 is
+    // only discrimination): the likelihood-ratio ppm maps to a
+    // forecast probability p = r/(r + 1e6) in exact ppm, bins by
+    // forecast decile, Brier = REL - RES + UNC in ppm^2.
+    "x269_brier" -> ((s, d) =>
+      Stats.brierDecomposition(
+        nbHeldOut(s, d).select(col("doc_id"),
+          expr("1000000 * nb_ppm DIV (nb_ppm + 1000000)")
+            .as("forecast_ppm"),
+          col("passes")),
+        "forecast_ppm", "passes", "doc_id")),
     // Mutual-NN pair mining within label blocks: reciprocal cosine
     // top-1 pairs, canonical a < b — the alignment-mining primitive.
     "x187_mutual_knn" -> ((s, d) =>
@@ -809,6 +826,10 @@ object ExtQueries {
     // clusters/docs/corpus-share per size, singletons at size 1.
     "x193_dup_size_histogram" -> ((s, d) =>
       Dedup.dupSizeHistogram(dupComps(s, d), docs(s, d))),
+    // Quarter-over-quarter top-20 supplier churn: rank stability of
+    // the leaderboard — carried members, new entrants, exact Jaccard.
+    "x267_topk_churn" -> ((s, d) =>
+      Stats.topkChurn(s.read.parquet(s"$d/lineitem.parquet"))),
     // Z-order layout audit: Morton key over (partkey, suppkey), fixed
     // z-range quadtree regions, per-region count + exact bounding box.
     "x191_zorder_layout" -> ((s, d) =>
@@ -990,6 +1011,10 @@ object ExtQueries {
     // nDCG@10 with fixed integer rank discounts (the Benford literal
     // convention) — the graded companion to x180's MRR.
     "x221_ndcg10" -> ((s, d) => Similarity.ndcgAt10(emb(s, d))),
+    // Average precision @ 10 per labeled query — the order-sensitive
+    // third face of the retrieval-eval harness (x180 MRR, x221 nDCG);
+    // per-hit precision terms as independent integral floors.
+    "x268_map_eval" -> ((s, d) => Similarity.mapAt10(emb(s, d))),
     // Exact OLS slope of each type's daily count over the dense
     // zero-filled grid — micro-events/day, sign-decomposed division.
     "x222_daily_trend" -> ((s, d) => Stats.dailyTrend(events(s, d))),

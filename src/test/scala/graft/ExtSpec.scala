@@ -2270,6 +2270,65 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("brierDecomposition: Murphy identity on per-bin-constant " +
+    "forecasts; perfect calibration reads REL = 0 and brier = 0") {
+    import spark.implicits._
+    // per-bin-constant forecasts so the binned identity is exact:
+    // bin1 {0.2, 0.2} outcomes {0, 1}; bin2 {0.8, 0.8} outcomes {1, 1}
+    val df = Seq(
+      (1L, 200000L, 0), (2L, 200000L, 1),
+      (3L, 800000L, 1), (4L, 800000L, 1))
+      .toDF("doc_id", "forecast_ppm", "passes")
+    val r = graft.ext.Stats.brierDecomposition(
+      df, "forecast_ppm", "passes", "doc_id", buckets = 2).collect().head
+    // N=4 np=3 obar=750000; rel=(2*9e10+2*4e10)/4; res=4*6.25e10/4;
+    // unc=750000*250000; brier = rel - res + unc = 1.9e11 — equals the
+    // direct binned Brier sum((f_b - o_i)^2)/N hand-worked in comments
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 3L, 750000L)))
+    assert(r.getLong(3) == 65000000000L, s"rel: ${r.getLong(3)}")
+    assert(r.getLong(4) == 62500000000L, s"res: ${r.getLong(4)}")
+    assert(r.getLong(5) == 187500000000L, s"unc: ${r.getLong(5)}")
+    assert(r.getLong(6) == 190000000000L, s"brier: ${r.getLong(6)}")
+    // perfectly calibrated forecasts: REL = 0 and brier = 0 (RES
+    // exactly cancels UNC when the bins explain everything)
+    val perfect = Seq(
+      (1L, 0L, 0), (2L, 0L, 0),
+      (3L, 1000000L, 1), (4L, 1000000L, 1))
+      .toDF("doc_id", "forecast_ppm", "passes")
+    val pr = graft.ext.Stats.brierDecomposition(
+      perfect, "forecast_ppm", "passes", "doc_id", buckets = 2)
+      .collect().head
+    assert(pr.getLong(3) == 0L && pr.getLong(6) == 0L, s"got $pr")
+  }
+
+  test("topkChurn: hand-worked overlap/new-entrant/Jaccard rows, tie " +
+    "order, and a gap bucket breaking the chain") {
+    import spark.implicits._
+    def rows(bucket: Int, supp: Long, n: Int) =
+      (1 to n).map(_ => (bucket * 90, supp))
+    // bucket 0: S1 x3, S2 x2, S3 x1 -> top2 {S1, S2}
+    // bucket 1: S2 x5, S5 x2, S1 x1 -> top2 {S2, S5}: common {S2}
+    // bucket 2: S7 x2, S6 x2, S9 x2 -> tie, (c desc, suppkey) -> {S6, S7}
+    // bucket 3: EMPTY (gap) — bucket 4 exists but must emit NO row
+    // bucket 4: S1 x1
+    val li = (rows(0, 1L, 3) ++ rows(0, 2L, 2) ++ rows(0, 3L, 1) ++
+      rows(1, 2L, 5) ++ rows(1, 5L, 2) ++ rows(1, 1L, 1) ++
+      rows(2, 7L, 2) ++ rows(2, 6L, 2) ++ rows(2, 9L, 2) ++
+      rows(4, 1L, 1))
+      .toDF("dv", "l_suppkey")
+      .withColumn("l_shipdate", expr("date_add(DATE'1970-01-01', dv)"))
+    val got = graft.ext.Stats.topkChurn(li, k = 2, bucketDays = 90L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1L, 1L, 333333L)), // common {S2}, J = 1/3
+      2L -> ((2L, 2L, 0L, 2L, 0L))),     // full reshuffle
+      s"got $got")
+  }
+
   test("gapSweep: a corpus with no multi-event user still emits every " +
     "threshold row with n_sessions = n_users (ADVICE r12 edge)") {
     import spark.implicits._
@@ -5604,6 +5663,37 @@ class ExtSpec extends SparkSpec {
       (0L, Array(1f, 0f), 1), (1L, Array(1f, 0f), 0))
       .toDF("vec_id", "embedding", "label")
     assert(graft.ext.Similarity.ndcgAt10(none, queryMod = 50)
+      .collect().head.getLong(3) == 0L)
+  }
+
+  test("mapAt10: hand-worked precision terms; perfect prefix reads 1e6; " +
+    "zero-relevant reads 0") {
+    import spark.implicits._
+    // the x221 geometry fixture: ranking v1, v2, v3, v4 with relevant
+    // hits at ranks 1 and 3 -> AP terms 10^6*1/1 and 10^6*2 DIV 3;
+    // n_relevant = 2 -> ap_ppm = (1000000 + 666666) DIV 2 = 833333
+    val rows = Seq(
+      (0L, Array(1f, 0f), 1),
+      (1L, Array(1f, 0f), 1),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.5f, 0.5f), 1),
+      (4L, Array(0f, 1f), 0))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = graft.ext.Similarity.mapAt10(emb, queryMod = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((2L, 2L, 833333L)), s"got $got")
+    // all-relevant prefix -> exactly 1e6
+    val perfect = Seq(
+      (0L, Array(1f, 0f), 1), (1L, Array(1f, 0f), 1),
+      (2L, Array(0.9f, 0.1f), 1)).toDF("vec_id", "embedding", "label")
+    assert(graft.ext.Similarity.mapAt10(perfect, queryMod = 50)
+      .collect().head.getLong(3) == 1000000L)
+    // zero relevant -> 0, not NULL
+    val none = Seq(
+      (0L, Array(1f, 0f), 1), (1L, Array(1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.ext.Similarity.mapAt10(none, queryMod = 50)
       .collect().head.getLong(3) == 0L)
   }
 
