@@ -483,6 +483,54 @@ object Stats {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** SCHEMA-DRIFT AUDIT between two snapshots of "the same" table —
+    * the structural companion to [[corpusDiff]]'s row-level diff (a
+    * refreshed upstream export silently dropping a column, widening a
+    * type, or flooding a column with NULLs is the classic pipeline
+    * breakage that row counts never catch): per column across BOTH
+    * schemas — status ∈ added / removed / kept / type_changed (from
+    * the driver-known StructTypes; schemas are metadata, never a
+    * data job), the declared type on each side, and the exact NULL
+    * rate in ppm on each present side (the data-level face of the
+    * drift: a column can keep its type and still go dark).
+    *
+    * Scale shape: ONE single-pass aggregate per side computes every
+    * column's null count map-side (the x51 one-pass-profile idiom —
+    * never a per-column scan), unpivoted via a map explode to a
+    * columns-sized frame; everything after lives on that tiny frame.
+    * Empty sides report NULL rates as NULL (0/0 is unknown, not 0). */
+  def schemaDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+    require(v1.schema.nonEmpty && v2.schema.nonEmpty,
+      "schemaDrift needs at least one column per side")
+    def profile(df: DataFrame, out: String): DataFrame = {
+      val cols = df.schema.fieldNames.toSeq
+      val aggs = cols.map(c =>
+        sum(isnull(col(c)).cast("long")).as(s"__nulls_$c"))
+      df.agg(count(lit(1)).as("__n"), aggs: _*)
+        .select(col("__n"), explode(map(
+          cols.flatMap(c => Seq(lit(c), col(s"__nulls_$c"))): _*))
+          .as(Seq("column", "nulls")))
+        .select(col("column"),
+          when(col("__n") > 0, expr("1000000 * nulls DIV __n")).as(out))
+    }
+    val m1 = v1.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val m2 = v2.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val session = v1.sparkSession
+    import session.implicits._
+    val statuses = (m1.keySet ++ m2.keySet).toSeq.sorted.map { c =>
+      val st = (m1.get(c), m2.get(c)) match {
+        case (Some(a), Some(b)) if a == b => "kept"
+        case (Some(_), Some(_)) => "type_changed"
+        case (Some(_), None) => "removed"
+        case (None, Some(_)) => "added"
+      }
+      (c, st, m1.get(c).orNull, m2.get(c).orNull)
+    }.toDF("column", "status", "type_v1", "type_v2")
+    statuses
+      .join(profile(v1, "null_ppm_v1"), Seq("column"), "left")
+      .join(profile(v2, "null_ppm_v2"), Seq("column"), "left")
+  }
+
   def sketchDistinct(docs: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.filter(col("text").isNotNull)

@@ -5521,6 +5521,43 @@ object ExtOracles {
     // strictly-earlier rows under the SAME total order, island cut
     // where start passes it, extents summed per key. End clamped to
     // start; ppm through HUGEINT (Spark DECIMAL(38,0)).
+    // Schema drift: statuses are authored literals (schemas are
+    // metadata), null rates recomputed per side; type names spell
+    // Spark's dataType.sql ('BIGINT'/'STRING'/'INT').
+    "x270_schema_drift" ->
+      """WITH p1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(*) FILTER (doc_id IS NULL) AS BIGINT) AS n_doc,
+        |         CAST(count(*) FILTER (text IS NULL) AS BIGINT) AS n_text,
+        |         CAST(count(*) FILTER (lang IS NULL) AS BIGINT) AS n_lang,
+        |         CAST(count(*) FILTER (source IS NULL) AS BIGINT) AS n_src
+        |       FROM documents),
+        |p2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(*) FILTER (doc_id IS NULL) AS BIGINT) AS n_doc,
+        |         CAST(count(*) FILTER (doc_id % 31 = 0 OR text IS NULL)
+        |           AS BIGINT) AS n_text,
+        |         CAST(count(*) FILTER (source IS NULL) AS BIGINT) AS n_src,
+        |         CAST(count(*) FILTER (text IS NULL) AS BIGINT) AS n_chars
+        |       FROM documents)
+        |SELECT 'doc_id' AS "column", 'type_changed' AS status,
+        |       'BIGINT' AS type_v1, 'STRING' AS type_v2,
+        |       CAST(1000000 * p1.n_doc // p1.n AS BIGINT) AS null_ppm_v1,
+        |       CAST(1000000 * p2.n_doc // p2.n AS BIGINT) AS null_ppm_v2
+        |FROM p1, p2
+        |UNION ALL SELECT 'lang', 'removed', 'STRING',
+        |       CAST(NULL AS VARCHAR),
+        |       CAST(1000000 * p1.n_lang // p1.n AS BIGINT),
+        |       CAST(NULL AS BIGINT) FROM p1, p2
+        |UNION ALL SELECT 'n_chars', 'added', CAST(NULL AS VARCHAR),
+        |       'INT', CAST(NULL AS BIGINT),
+        |       CAST(1000000 * p2.n_chars // p2.n AS BIGINT) FROM p1, p2
+        |UNION ALL SELECT 'source', 'kept', 'STRING', 'STRING',
+        |       CAST(1000000 * p1.n_src // p1.n AS BIGINT),
+        |       CAST(1000000 * p2.n_src // p2.n AS BIGINT) FROM p1, p2
+        |UNION ALL SELECT 'text', 'kept', 'STRING', 'STRING',
+        |       CAST(1000000 * p1.n_text // p1.n AS BIGINT),
+        |       CAST(1000000 * p2.n_text // p2.n AS BIGINT)
+        |       FROM p1, p2""".stripMargin,
+
     // Top-k churn: 90-day buckets, (count desc, suppkey) rank cut,
     // consecutive-present buckets joined on the shifted key.
     "x267_topk_churn" ->

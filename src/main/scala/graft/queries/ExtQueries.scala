@@ -826,6 +826,19 @@ object ExtQueries {
     // clusters/docs/corpus-share per size, singletons at size 1.
     "x193_dup_size_histogram" -> ((s, d) =>
       Dedup.dupSizeHistogram(dupComps(s, d), docs(s, d))),
+    // Schema-drift audit: v2 drops lang, adds n_chars, retypes doc_id
+    // to string and floods text with planted NULLs — one of every
+    // status plus the null-rate face of the drift.
+    "x270_schema_drift" -> ((s, d) => {
+      val dd = docs(s, d)
+      Stats.schemaDrift(
+        dd.select(col("doc_id"), col("text"), col("lang"), col("source")),
+        dd.select(col("doc_id").cast("string").as("doc_id"),
+          when(col("doc_id") % 31 === 0, lit(null).cast("string"))
+            .otherwise(col("text")).as("text"),
+          col("source"),
+          length(col("text")).as("n_chars")))
+    }),
     // Quarter-over-quarter top-20 supplier churn: rank stability of
     // the leaderboard — carried members, new entrants, exact Jaccard.
     "x267_topk_churn" -> ((s, d) =>

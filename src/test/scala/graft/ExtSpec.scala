@@ -2270,6 +2270,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("schemaDrift: all four statuses, exact null rates, empty side " +
+    "reports NULL rates not zeros") {
+    import spark.implicits._
+    val v1 = Seq((1L, Option("a"), "x"), (2L, None, "y"))
+      .toDF("id", "t", "keep")
+    val v2 = Seq((1, "x", 7L), (2, null.asInstanceOf[String], 8L),
+      (3, "z", 9L))
+      .toDF("id", "keep", "nw") // id retyped long->int, t removed, nw added
+    val got = graft.ext.Stats.schemaDrift(v1, v2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3),
+          Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(got == Map(
+      "id" -> (("type_changed", "BIGINT", "INT", Some(0L), Some(0L))),
+      "t" -> (("removed", "STRING", null, Some(500000L), None)),
+      "keep" -> (("kept", "STRING", "STRING", Some(0L), Some(333333L))),
+      "nw" -> (("added", null, "BIGINT", None, Some(0L)))), s"got $got")
+    // an empty side has no rate to report — NULL, never 0/0 = 0
+    val empty = v2.filter(lit(false))
+    val e = graft.ext.Stats.schemaDrift(v1, empty).collect()
+      .map(r => r.getString(0) -> Option(r.get(5))).toMap
+    assert(e("id").isEmpty && e("keep").isEmpty, s"got $e")
+  }
+
   test("brierDecomposition: Murphy identity on per-bin-constant " +
     "forecasts; perfect calibration reads REL = 0 and brier = 0") {
     import spark.implicits._
