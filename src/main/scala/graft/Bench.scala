@@ -74,6 +74,20 @@ object Bench {
           rep.wall > StarveWallFactor * b.wall &&
           rep.share < StarveShareFactor * b.share))
 
+  /** POST-HOC judgment of a query's full sample set against its final
+    * best (fastest) rep + the baseline: an early slow rep was accepted
+    * on arrival (nothing to compare against yet) — re-judging every
+    * sample once the fastest rep is known keeps it out of the median.
+    * Pure; UtilitySpec pins that a starved rep is flagged AND excluded
+    * from the clean median basis. */
+  private[graft] def judgeSamples(
+      samples: Seq[Rep], base: Option[BaseEntry]): Seq[(Rep, Boolean)] =
+    if (samples.isEmpty) Seq((Rep(0.0, 0.0, 0.0), false))
+    else {
+      val best = samples.minBy(_.wall)
+      samples.map(s => (s, contendedRep(s, base, Some(best))))
+    }
+
   /** Parse the checked-in clean baseline (`BENCH_BASELINE.json`,
     * override via SPARK_GRAFT_BENCH_BASELINE): per-query clean-run
     * wall + CPU medians from a quiet sweep. Only honored when its
@@ -261,17 +275,10 @@ object Bench {
       // times anything (dead artifacts otherwise accumulate across the
       // whole sweep — disk + page-cache pressure on late queries)
       graft.util.Scratch.sweep()
-      // POST-HOC judgment against the final best rep: an early slow
-      // rep was accepted on arrival (nothing to compare against yet) —
-      // re-judging every sample once the fastest rep is known keeps it
-      // out of the median (a query with NO clean rep reports the
-      // contended median and is flagged — visible, not silently wrong)
-      val all: Seq[(Rep, Boolean)] =
-        if (samples.isEmpty) Seq((Rep(0.0, 0.0, 0.0), false))
-        else {
-          val best = samples.minBy(_.wall)
-          samples.toSeq.map(s => (s, contendedRep(s, base, Some(best))))
-        }
+      // post-hoc re-judgment vs the final best rep ([[judgeSamples]]):
+      // a query with NO clean rep reports the contended median and is
+      // flagged — visible, not silently wrong
+      val all: Seq[(Rep, Boolean)] = judgeSamples(samples.toSeq, base)
       val cleanReps = all.collect { case (r, false) => r }
       val basisReps = if (cleanReps.nonEmpty) cleanReps else all.map(_._1)
       QRes(name, basisReps.map(_.wall), all, err,

@@ -360,6 +360,31 @@ class UtilitySpec extends SparkSpec {
     assert(Bench.loadBaseline(p, "/data/sf0.1").isEmpty)
   }
 
+  test("bench judgeSamples: a starved early rep is excluded from the " +
+    "clean basis once faster reps land (the clean-median contract)") {
+    import Bench.{Rep, judgeSamples}
+    // rep 1 arrived starved (wall 5x the later reps, share collapsed);
+    // reps 2-3 are clean — post-hoc judgment vs the best rep must flag
+    // rep 1 even with NO baseline on file
+    val samples = Seq(
+      Rep(10.0, 0.05, 15.0),  // share 1.5 — starved
+      Rep(2.0, 0.02, 14.0),   // share 7.0 — clean (the best)
+      Rep(2.1, 0.02, 14.5))   // share 6.9 — clean
+    val judged = judgeSamples(samples, None)
+    assert(judged.map(_._2) == Seq(true, false, false), s"got $judged")
+    val cleanWalls = judged.collect { case (r, false) => r.wall }
+    assert(cleanWalls == Seq(2.0, 2.1),
+      "clean basis must exclude the starved rep")
+    // ALL reps starved vs baseline: every rep flags (visible), and the
+    // caller falls back to the contended median rather than dropping
+    // the query
+    val allBad = Seq(Rep(10.0, 0.05, 15.0), Rep(11.0, 0.05, 16.0))
+    val vsBase = judgeSamples(allBad, Some(Bench.BaseEntry(2.0, 14.0)))
+    assert(vsBase.forall(_._2), s"got $vsBase")
+    // empty input keeps the stable JSON shape
+    assert(judgeSamples(Nil, None) == Seq((Rep(0.0, 0.0, 0.0), false)))
+  }
+
   test("bench co-tenant integration: an EXTERNAL 6-core burn while a " +
     "parallel job runs is flagged; the same job quiet is not") {
     // the synthetic co-tenant the r12 gate missed (VERDICT task 1):
