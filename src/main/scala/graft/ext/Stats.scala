@@ -531,6 +531,119 @@ object Stats {
       .join(profile(v2, "null_ppm_v2"), Seq("column"), "left")
   }
 
+  /** CLASSIFIER OPERATING POINT — the confusion matrix + derived
+    * rates at one decision threshold, the deployment-facing row the
+    * rank metrics (x186 AUC, x269 Brier) deliberately are not (a
+    * pipeline gate doesn't rank documents, it CUTS at a threshold;
+    * tp/fp/fn/tn at that cut is what the curator actually ships):
+    * exact counts in one map-side aggregate, precision/recall in ppm,
+    * F1 as the single integral division `2·10⁶·tp div (2tp+fp+fn)`
+    * (algebraically 2PR/(P+R) without intermediate floors). Empty
+    * denominators report 0 under explicit guards (no positives
+    * predicted ⇒ precision 0, stated). One row out. */
+  def confusionAtThreshold(
+      df: DataFrame, scorePpm: String, outcome: String,
+      thresholdPpm: Long = 500000L): DataFrame = {
+    val pos = col(outcome).cast("boolean")
+    val pred = col(scorePpm) >= thresholdPpm
+    df.filter(col(scorePpm).isNotNull && col(outcome).isNotNull)
+      .agg(
+        sum((pred && pos).cast("long")).as("tp"),
+        sum((pred && !pos).cast("long")).as("fp"),
+        sum((!pred && pos).cast("long")).as("fn"),
+        sum((!pred && !pos).cast("long")).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          expr("1000000 * tp DIV (tp + fp)")).otherwise(lit(0L))
+          .as("precision_ppm"),
+        when(col("tp") + col("fn") > 0,
+          expr("1000000 * tp DIV (tp + fn)")).otherwise(lit(0L))
+          .as("recall_ppm"),
+        when(expr("2 * tp + fp + fn") > 0,
+          expr("2000000 * tp DIV (2 * tp + fp + fn)")).otherwise(lit(0L))
+          .as("f1_ppm"))
+  }
+
+  /** CUMULATIVE GAINS TABLE — "score the corpus, work the top deciles
+    * first: how much of the target does each prefix capture?" (the
+    * targeting/triage view of a quality score; x153's calibration
+    * bins ask a different question): rows bin into score DECILES
+    * DESCENDING (best first) via the [[calibrationCurve]] histogram
+    * carve, then per decile the cumulative positives captured
+    * (`capture_ppm = 10⁶·cum_pos div total_pos`) and the prefix lift
+    * vs random (`lift_ppm = 10⁶·cum_pos·N div (cum_n·P)` — 10⁶ is
+    * "exactly as good as random", one staged integral division with
+    * products in DECIMAL(38,0)). A zero-positive corpus reports
+    * capture/lift 0 under explicit guards.
+    *
+    * Scale shape: the [[calibrationCurve]] plan, then cumulative
+    * windows over the 10-row decile frame with a one-row broadcast
+    * total. */
+  def gainsTable(
+      df: DataFrame, scorePpm: String, outcome: String, id: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"bucket count $buckets must be positive")
+    val scored = df
+      .filter(col(scorePpm).isNotNull && col(outcome).isNotNull)
+      .select(col(id), col(scorePpm), col(outcome).cast("long").as("__pos"))
+    val byBin = globalNtile(scored, scorePpm, descOrder = true, id,
+      buckets, "decile")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("__pos")).as("pos"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byBin
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+    val tot = byBin.agg(sum(col("n")).as("tot_n"), sum(col("pos")).as("tot_pos"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("pos"), col("cum_n"),
+        col("cum_pos"),
+        when(col("tot_pos") > 0,
+          expr("1000000 * cum_pos DIV tot_pos")).otherwise(lit(0L))
+          .as("capture_ppm"),
+        when(col("tot_pos") > 0,
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * cum_pos * tot_n DIV " +
+            "(CAST(cum_n AS DECIMAL(38,0)) * tot_pos) AS BIGINT)"))
+          .otherwise(lit(0L)).as("lift_ppm"))
+  }
+
+  /** MANN-KENDALL TREND STATISTIC per event type — the nonparametric
+    * companion to the OLS slope (x222) and Theil-Sen (x251): over the
+    * dense zero-filled daily grid, `S = Σ_{i<j} sign(c_j − c_i)` with
+    * the exact concordant/discordant/tied pair counts (the inputs to
+    * any MK significance table; the statistic is pure integer — no
+    * variance approximation, no float, nothing to diverge
+    * cross-engine). Pair volume is days² per type — TIME-bounded,
+    * never event-bounded (events fold to daily counts map-side
+    * first, the x251 shape). */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = daily.select(col("event_type")).distinct()
+      .crossJoin(grid)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    dense.as("a")
+      .join(dense.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(
+        (countDistinct(col("a.day")) + 1).as("n_days"),
+        sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"),
+        sum((col("b.c") > col("a.c")).cast("long")).as("n_concordant"),
+        sum((col("b.c") < col("a.c")).cast("long")).as("n_discordant"),
+        sum((col("b.c") === col("a.c")).cast("long")).as("n_tied"))
+  }
+
   def sketchDistinct(docs: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.filter(col("text").isNotNull)

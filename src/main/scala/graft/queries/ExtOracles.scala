@@ -5196,6 +5196,195 @@ object ExtOracles {
     // labels re-derived, then the PER-ROW doubled tie-averaged rank
     // formula — the cross-construction partner of the Spark side's
     // histogram-decomposed Mann-Whitney.
+    // Confusion at p >= 0.5: the x186 NB pipeline verbatim through
+    // the held-out score; exact counts, P/R/F1 in ppm.
+    "x271_confusion" ->
+      """WITH p0 AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 17 = 0 THEN replace(text, ' ', '')
+        |                  WHEN doc_id % 13 = 0 THEN text || ' !!! ### $$$'
+        |                  ELSE text END AS text
+        |           FROM documents),
+        |  p AS (SELECT doc_id, COALESCE(text, '') AS text FROM p0),
+        |  m AS (SELECT doc_id,
+        |          len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_words,
+        |          length(replace(text, ' ', '')) AS n_alpha,
+        |          length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_sym,
+        |          len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+        |        FROM p),
+        |  lab0 AS (SELECT doc_id,
+        |          ((n_words >= 50 AND n_words <= 100000)
+        |           AND ((CASE WHEN n_words = 0 THEN 0.0
+        |                 ELSE CAST(n_alpha AS DOUBLE) / n_words END) >= 3.0
+        |            AND (CASE WHEN n_words = 0 THEN 0.0
+        |                 ELSE CAST(n_alpha AS DOUBLE) / n_words END) <= 10.0)
+        |           AND (CASE WHEN n_words = 0 THEN 0.0
+        |                ELSE CAST(n_sym AS DOUBLE) / n_words END) <= 0.1
+        |           AND n_stop >= 2) AS passes
+        |        FROM m),
+        |  lab AS (SELECT doc_id, passes FROM lab0 WHERE doc_id % 2 = 0),
+        |  tok AS (SELECT doc_id, w FROM (
+        |            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM p)
+        |          WHERE length(w) > 0),
+        |  cnt AS (SELECT w,
+        |            CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS c_g,
+        |            CAST(sum(CASE WHEN passes THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |          FROM tok t JOIN lab l USING (doc_id) GROUP BY w),
+        |  tots AS (SELECT CAST(sum(c_g) AS BIGINT) AS n_g,
+        |                  CAST(sum(c_b) AS BIGINT) AS n_b,
+        |                  CAST(count(*) AS BIGINT) AS v
+        |           FROM cnt),
+        |  model AS (SELECT w,
+        |              (1000000::HUGEINT * (tots.n_b + tots.v) * (c_g + 1)) //
+        |              ((tots.n_g + tots.v)::HUGEINT * (c_b + 1)) AS r_ppm
+        |            FROM cnt CROSS JOIN tots),
+        |  r0 AS (SELECT (1000000::HUGEINT * (n_b + v)) // (n_g + v) AS r FROM tots),
+        |  sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |           sum(COALESCE(mo.r_ppm, r0.r)) AS tot
+        |         FROM tok t LEFT JOIN model mo USING (w) CROSS JOIN r0
+        |         WHERE t.doc_id % 2 <> 0
+        |         GROUP BY t.doc_id),
+        |  score AS (SELECT d.doc_id,
+        |              CAST(COALESCE(s.tot // s.n_tokens, 0) AS BIGINT) AS v
+        |            FROM p d LEFT JOIN sc s USING (doc_id)
+        |            WHERE d.doc_id % 2 <> 0),
+        |  f AS (SELECT CAST(1000000::HUGEINT * s.v // (s.v + 1000000)
+        |             AS BIGINT) AS fp_ppm,
+        |           l.passes
+        |        FROM score s JOIN lab0 l USING (doc_id)),
+        |  cmx AS (SELECT
+        |      CAST(count(*) FILTER (fp_ppm >= 500000 AND passes)
+        |        AS BIGINT) AS tp,
+        |      CAST(count(*) FILTER (fp_ppm >= 500000 AND NOT passes)
+        |        AS BIGINT) AS fp,
+        |      CAST(count(*) FILTER (fp_ppm < 500000 AND passes)
+        |        AS BIGINT) AS fn,
+        |      CAST(count(*) FILTER (fp_ppm < 500000 AND NOT passes)
+        |        AS BIGINT) AS tn
+        |    FROM f)
+        |SELECT tp, fp, fn, tn,
+        |       CASE WHEN tp + fp > 0
+        |            THEN CAST(1000000 * tp // (tp + fp) AS BIGINT)
+        |            ELSE 0 END AS precision_ppm,
+        |       CASE WHEN tp + fn > 0
+        |            THEN CAST(1000000 * tp // (tp + fn) AS BIGINT)
+        |            ELSE 0 END AS recall_ppm,
+        |       CASE WHEN 2 * tp + fp + fn > 0
+        |            THEN CAST(2000000 * tp // (2 * tp + fp + fn) AS BIGINT)
+        |            ELSE 0 END AS f1_ppm
+        |FROM cmx""".stripMargin,
+
+    // Cumulative gains: native ntile DESC over the identical
+    // (forecast desc, doc_id) total order; prefix capture + staged
+    // lift with HUGEINT products.
+    "x272_gains" ->
+      """WITH p0 AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 17 = 0 THEN replace(text, ' ', '')
+        |                  WHEN doc_id % 13 = 0 THEN text || ' !!! ### $$$'
+        |                  ELSE text END AS text
+        |           FROM documents),
+        |  p AS (SELECT doc_id, COALESCE(text, '') AS text FROM p0),
+        |  m AS (SELECT doc_id,
+        |          len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_words,
+        |          length(replace(text, ' ', '')) AS n_alpha,
+        |          length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_sym,
+        |          len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+        |        FROM p),
+        |  lab0 AS (SELECT doc_id,
+        |          ((n_words >= 50 AND n_words <= 100000)
+        |           AND ((CASE WHEN n_words = 0 THEN 0.0
+        |                 ELSE CAST(n_alpha AS DOUBLE) / n_words END) >= 3.0
+        |            AND (CASE WHEN n_words = 0 THEN 0.0
+        |                 ELSE CAST(n_alpha AS DOUBLE) / n_words END) <= 10.0)
+        |           AND (CASE WHEN n_words = 0 THEN 0.0
+        |                ELSE CAST(n_sym AS DOUBLE) / n_words END) <= 0.1
+        |           AND n_stop >= 2) AS passes
+        |        FROM m),
+        |  lab AS (SELECT doc_id, passes FROM lab0 WHERE doc_id % 2 = 0),
+        |  tok AS (SELECT doc_id, w FROM (
+        |            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM p)
+        |          WHERE length(w) > 0),
+        |  cnt AS (SELECT w,
+        |            CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS c_g,
+        |            CAST(sum(CASE WHEN passes THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |          FROM tok t JOIN lab l USING (doc_id) GROUP BY w),
+        |  tots AS (SELECT CAST(sum(c_g) AS BIGINT) AS n_g,
+        |                  CAST(sum(c_b) AS BIGINT) AS n_b,
+        |                  CAST(count(*) AS BIGINT) AS v
+        |           FROM cnt),
+        |  model AS (SELECT w,
+        |              (1000000::HUGEINT * (tots.n_b + tots.v) * (c_g + 1)) //
+        |              ((tots.n_g + tots.v)::HUGEINT * (c_b + 1)) AS r_ppm
+        |            FROM cnt CROSS JOIN tots),
+        |  r0 AS (SELECT (1000000::HUGEINT * (n_b + v)) // (n_g + v) AS r FROM tots),
+        |  sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |           sum(COALESCE(mo.r_ppm, r0.r)) AS tot
+        |         FROM tok t LEFT JOIN model mo USING (w) CROSS JOIN r0
+        |         WHERE t.doc_id % 2 <> 0
+        |         GROUP BY t.doc_id),
+        |  score AS (SELECT d.doc_id,
+        |              CAST(COALESCE(s.tot // s.n_tokens, 0) AS BIGINT) AS v
+        |            FROM p d LEFT JOIN sc s USING (doc_id)
+        |            WHERE d.doc_id % 2 <> 0),
+        |  f AS (SELECT s.doc_id,
+        |           CAST(1000000::HUGEINT * s.v // (s.v + 1000000)
+        |             AS BIGINT) AS fp_ppm,
+        |           l.passes
+        |        FROM score s JOIN lab0 l USING (doc_id)),
+        |  b AS (SELECT fp_ppm, passes,
+        |          CAST(ntile(10) OVER (ORDER BY fp_ppm DESC, doc_id)
+        |            AS BIGINT) AS decile
+        |        FROM f),
+        |  bb AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |           CAST(count(*) FILTER (passes) AS BIGINT) AS pos
+        |         FROM b GROUP BY 1),
+        |  cum AS (SELECT decile, n, pos,
+        |            CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+        |            CAST(sum(pos) OVER (ORDER BY decile) AS BIGINT)
+        |              AS cum_pos
+        |          FROM bb),
+        |  tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+        |            CAST(sum(pos) AS BIGINT) AS tot_pos
+        |          FROM bb)
+        |SELECT decile, n, pos, cum_n, cum_pos,
+        |       CASE WHEN tot_pos > 0
+        |            THEN CAST(1000000 * cum_pos // tot_pos AS BIGINT)
+        |            ELSE 0 END AS capture_ppm,
+        |       CASE WHEN tot_pos > 0
+        |            THEN CAST(CAST(1000000 AS HUGEINT) * cum_pos * tot_n //
+        |                 (CAST(cum_n AS HUGEINT) * tot_pos) AS BIGINT)
+        |            ELSE 0 END AS lift_ppm
+        |FROM cum CROSS JOIN tot""".stripMargin,
+
+    // Mann-Kendall: dense zero-filled grid, day-pair self-join,
+    // integer sign sums — the x222 grid idiom with i < j pairs.
+    "x273_mann_kendall" ->
+      """WITH dc AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |  span AS (SELECT min(day) AS d0, max(day) AS d1 FROM dc),
+        |  grid AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM span),
+        |  ty AS (SELECT DISTINCT event_type FROM dc),
+        |  s AS (SELECT ty.event_type, g.day, coalesce(dc.c, 0) AS c
+        |        FROM grid g CROSS JOIN ty
+        |        LEFT JOIN dc ON dc.event_type = ty.event_type
+        |                    AND dc.day = g.day)
+        |SELECT a.event_type,
+        |       CAST(count(DISTINCT a.day) + 1 AS BIGINT) AS n_days,
+        |       CAST(sum(CASE WHEN b.c > a.c THEN 1
+        |                     WHEN b.c < a.c THEN -1 ELSE 0 END)
+        |         AS BIGINT) AS s_stat,
+        |       CAST(count(*) FILTER (b.c > a.c) AS BIGINT) AS n_concordant,
+        |       CAST(count(*) FILTER (b.c < a.c) AS BIGINT) AS n_discordant,
+        |       CAST(count(*) FILTER (b.c = a.c) AS BIGINT) AS n_tied
+        |FROM s a JOIN s b ON a.event_type = b.event_type
+        |                 AND a.day < b.day
+        |GROUP BY 1""".stripMargin,
+
     // Brier/Murphy decomposition: the x186 NB pipeline verbatim
     // through the held-out score, forecast p = r/(r+1e6) in ppm,
     // native ntile(10) over the identical (fp, doc_id) total order

@@ -777,6 +777,27 @@ object ExtQueries {
       Stats.mannWhitneyU(nbHeldOut(s, d), "nb_ppm", "passes")
         .select(col("n_a").as("n_pass"), col("n_b").as("n_fail"),
           col("u2_a").as("u2"), col("cles_ppm").as("auc_ppm"))),
+    // Classifier operating point: the confusion matrix + P/R/F1 at
+    // the p >= 0.5 cut — what a deployed quality gate actually ships.
+    "x271_confusion" -> ((s, d) =>
+      Stats.confusionAtThreshold(
+        nbHeldOut(s, d).select(col("doc_id"),
+          expr("1000000 * nb_ppm DIV (nb_ppm + 1000000)")
+            .as("forecast_ppm"),
+          col("passes")),
+        "forecast_ppm", "passes")),
+    // Cumulative gains: score deciles best-first, prefix capture and
+    // lift vs random — the triage view of the same NB score.
+    "x272_gains" -> ((s, d) =>
+      Stats.gainsTable(
+        nbHeldOut(s, d).select(col("doc_id"),
+          expr("1000000 * nb_ppm DIV (nb_ppm + 1000000)")
+            .as("forecast_ppm"),
+          col("passes")),
+        "forecast_ppm", "passes", "doc_id")),
+    // Mann-Kendall S per event type over the dense daily grid: the
+    // nonparametric trend verdict next to OLS (x222) / Theil-Sen (x251).
+    "x273_mann_kendall" -> ((s, d) => Stats.mannKendall(events(s, d))),
     // Murphy decomposition of the NB score's CALIBRATION (x186 is
     // only discrimination): the likelihood-ratio ppm maps to a
     // forecast probability p = r/(r + 1e6) in exact ppm, bins by

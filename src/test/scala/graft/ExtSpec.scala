@@ -2270,6 +2270,62 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("confusionAtThreshold: worked counts and P/R/F1; empty-positive " +
+    "guards read 0") {
+    import spark.implicits._
+    // scores >= 500000 predict positive: tp=2 fp=1 fn=1 tn=1
+    val df = Seq((900000L, true), (600000L, true), (700000L, false),
+      (100000L, true), (200000L, false))
+      .toDF("score_ppm", "pos")
+    val r = graft.ext.Stats.confusionAtThreshold(df, "score_ppm", "pos")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 1L)), s"got $r")
+    assert(r.getLong(4) == 666666L) // precision 2/3
+    assert(r.getLong(5) == 666666L) // recall 2/3
+    assert(r.getLong(6) == 666666L) // f1 = 4/6
+    // nothing predicted positive: precision guard reads 0, not a crash
+    val low = Seq((100000L, true), (200000L, false)).toDF("score_ppm", "pos")
+    val lr = graft.ext.Stats.confusionAtThreshold(low, "score_ppm", "pos")
+      .collect().head
+    assert(lr.getLong(0) == 0L && lr.getLong(4) == 0L && lr.getLong(5) == 0L)
+  }
+
+  test("gainsTable: best-first deciles, prefix capture and lift; the " +
+    "full prefix reads capture 1e6 and lift 1e6") {
+    import spark.implicits._
+    val df = Seq((1L, 900000L, 1), (2L, 800000L, 1), (3L, 200000L, 0),
+      (4L, 100000L, 1)).toDF("doc_id", "score_ppm", "pos")
+    val got = graft.ext.Stats.gainsTable(df, "score_ppm", "pos", "doc_id",
+      buckets = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 2L, 2L, 666666L, 1333333L)),
+      2L -> ((2L, 1L, 4L, 3L, 1000000L, 1000000L))), s"got $got")
+  }
+
+  test("mannKendall: worked sign sums over the dense grid; a zero-filled " +
+    "gap day participates in the pairs") {
+    import spark.implicits._
+    val day = 86400000000L
+    // type A: days 0/1/2 with counts 1/2/3 (monotone: S = 3);
+    // type B: counts 2 on day 0, NOTHING on day 1 (zero-filled), 2 on
+    // day 2 -> pairs (2,0) disc, (2,2) tie, (0,2) conc -> S = 0
+    val ev = (Seq.fill(1)(("A", 0L)) ++ Seq.fill(2)(("A", 1L)) ++
+      Seq.fill(3)(("A", 2L)) ++ Seq.fill(2)(("B", 0L)) ++
+      Seq.fill(2)(("B", 2L)))
+      .toDF("event_type", "d")
+      .withColumn("ts",
+        expr(s"CAST(timestamp_micros(d * ${day}L) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.mannKendall(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      "A" -> ((3L, 3L, 3L, 0L, 0L)),
+      "B" -> ((3L, 0L, 1L, 1L, 1L))), s"got $got")
+  }
+
   test("schemaDrift: all four statuses, exact null rates, empty side " +
     "reports NULL rates not zeros") {
     import spark.implicits._
