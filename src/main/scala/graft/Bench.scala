@@ -224,7 +224,8 @@ object Bench {
       "k14_jdbc_promote", "x136_incr_media_neardup",
       "k6_csv_roundtrip", "k7_orc_roundtrip", "k8_partition_prune",
       "k9_bucketed_join", "k10_jsonl_roundtrip", "k11_schema_evolution",
-      "k12_csv_escaping", "k13_dynamic_overwrite", "k15_zstd_roundtrip")
+      "k12_csv_escaping", "k13_dynamic_overwrite", "k15_zstd_roundtrip",
+      "k18_jdbc_partitioned")
     // SPARK_GRAFT_BENCH_ONLY=x1,x2 — profile a subset locally; unset
     // (the driver's mode) runs the full inventory unchanged
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -153,6 +153,13 @@ object Oracles {
         |FROM customer
         |WHERE c_acctbal > 1000.0 AND c_custkey <= 700""".stripMargin,
 
+    // K18 parallel partitioned JDBC read: the stride is an access
+    // plan, not a filter — the hash proves the 4 range slices serve
+    // EXACTLY the full table.
+    "k18_jdbc_partitioned" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
+
     // K-series ZSTD codec leg: same value contract as k7; the codec
     // proof is the part-file suffix assert on the Spark side.
     "k15_zstd_roundtrip" ->

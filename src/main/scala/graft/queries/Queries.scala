@@ -602,6 +602,30 @@ object Queries {
     r
   }
 
+  /** K18: PARALLEL partitioned JDBC read — the scale face of the JDBC
+    * source next to K2j's predicate pushdown: a plain `spark.read
+    * .jdbc` serializes the whole warehouse table through ONE task and
+    * one connection; `partitionColumn`/bounds/`numPartitions` split
+    * the scan into range-predicate slices read CONCURRENTLY, each
+    * task its own connection and `WHERE` stride — the only way a
+    * 10⁹-row warehouse table ingests in cluster time. Bounds only
+    * steer the stride (rows outside them land in the edge
+    * partitions — completeness never depends on the guess, which is
+    * what the hash against the full-table oracle proves); the
+    * partition count is asserted on the planned RDD. */
+  def k18JdbcPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val url = "jdbc:derby:memory:k18gate;create=true"
+    t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite")
+      .jdbc(url, "customer_src", new java.util.Properties)
+    val r = spark.read.jdbc(url, "customer_src", "c_custkey",
+      0L, 100000L, 4, new java.util.Properties)
+    require(r.rdd.getNumPartitions == 4,
+      s"expected 4 range partitions, got ${r.rdd.getNumPartitions}")
+    r
+  }
+
   /** K17: corrupt-file tolerance — a landing directory with one
     * garbage `.parquet` alongside the good parts, read under the
     * per-relation `ignoreCorruptFiles` option with an EXPLICIT schema
@@ -968,6 +992,7 @@ object Queries {
     "k14_jdbc_promote" -> (k14JdbcPromote _),
     "k16_jdbc_pushdown" -> (k16JdbcPushdown _),
     "k17_corrupt_ignore" -> (k17CorruptIgnore _),
+    "k18_jdbc_partitioned" -> (k18JdbcPartitioned _),
     "k6_csv_roundtrip" -> (k6CsvRoundtrip _),
     "k12_csv_escaping" -> (k12CsvEscaping _),
     "k13_dynamic_overwrite" -> (k13DynamicOverwrite _),
