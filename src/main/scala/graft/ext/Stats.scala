@@ -504,11 +504,19 @@ object Stats {
       "schemaDrift needs at least one column per side")
     def profile(df: DataFrame, out: String): DataFrame = {
       val cols = df.schema.fieldNames.toSeq
-      val aggs = cols.map(c =>
-        sum(isnull(col(c)).cast("long")).as(s"__nulls_$c"))
+      // backtick-quoted references throughout: an upstream export's
+      // column named `user.id` must profile as a top-level column,
+      // not parse as a nested-field path (this audit exists for
+      // exactly the irregular schemas that would otherwise crash it)
+      def q(name: String): Column = col(s"`$name`")
+      val aggs = cols.zipWithIndex.map { case (c, i) =>
+        sum(isnull(q(c)).cast("long")).as(s"__nulls_$i")
+      }
       df.agg(count(lit(1)).as("__n"), aggs: _*)
         .select(col("__n"), explode(map(
-          cols.flatMap(c => Seq(lit(c), col(s"__nulls_$c"))): _*))
+          cols.zipWithIndex.flatMap { case (c, i) =>
+            Seq(lit(c), col(s"__nulls_$i"))
+          }: _*))
           .as(Seq("column", "nulls")))
         .select(col("column"),
           when(col("__n") > 0, expr("1000000 * nulls DIV __n")).as(out))
@@ -546,12 +554,15 @@ object Stats {
       thresholdPpm: Long = 500000L): DataFrame = {
     val pos = col(outcome).cast("boolean")
     val pred = col(scorePpm) >= thresholdPpm
+    // coalesce: an all-NULL input (a dark upstream column) leaves the
+    // filter empty and a global sum NULL — the counts must read 0,
+    // matching the oracle's count(*) FILTER shape
     df.filter(col(scorePpm).isNotNull && col(outcome).isNotNull)
       .agg(
-        sum((pred && pos).cast("long")).as("tp"),
-        sum((pred && !pos).cast("long")).as("fp"),
-        sum((!pred && pos).cast("long")).as("fn"),
-        sum((!pred && !pos).cast("long")).as("tn"))
+        coalesce(sum((pred && pos).cast("long")), lit(0L)).as("tp"),
+        coalesce(sum((pred && !pos).cast("long")), lit(0L)).as("fp"),
+        coalesce(sum((!pred && pos).cast("long")), lit(0L)).as("fn"),
+        coalesce(sum((!pred && !pos).cast("long")), lit(0L)).as("tn"))
       .select(col("tp"), col("fp"), col("fn"), col("tn"),
         when(col("tp") + col("fp") > 0,
           expr("1000000 * tp DIV (tp + fp)")).otherwise(lit(0L))

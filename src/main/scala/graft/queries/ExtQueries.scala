@@ -137,20 +137,42 @@ object ExtQueries {
     * planted-damage corpus, gopher labels trained on the even half,
     * scores + truth on the odd half. Shared by the AUC gate (x186,
     * discrimination) and the Brier gate (x269, calibration). */
-  private def nbHeldOut(s: SparkSession, d: String): DataFrame = {
-    val planted = docs(s, d).select(col("doc_id"),
-      when(col("doc_id") % 17 === 0, regexp_replace(col("text"), " ", ""))
-        .when(col("doc_id") % 13 === 0,
-          concat(col("text"), lit(" !!! ### $$$")))
-        .otherwise(col("text")).as("text"))
-    val trainLabels =
-      TextStats.gopherRules(planted.filter(col("doc_id") % 2 === 0))
-        .select(col("doc_id"), col("passes"))
-    TextStats.nbScore(planted, trainLabels)
-      .filter(col("doc_id") % 2 =!= 0)
-      .join(TextStats.gopherRules(planted.filter(col("doc_id") % 2 =!= 0))
-        .select(col("doc_id"), col("passes")), "doc_id")
-  }
+  private val nbHeldOutCache =
+    new graft.util.OnceCache[(String, String), DataFrame](MaxCachedPairSets)
+
+  private def nbHeldOut(s: SparkSession, d: String): DataFrame =
+    nbHeldOutCache.getOrCompute((s.sparkContext.applicationId, d)) {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, regexp_replace(col("text"), " ", ""))
+          .when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" !!! ### $$$")))
+          .otherwise(col("text")).as("text"))
+      val trainLabels =
+        TextStats.gopherRules(planted.filter(col("doc_id") % 2 === 0))
+          .select(col("doc_id"), col("passes"))
+      // materialized once per (app, dir): four gates consume it (x186
+      // AUC, x269 Brier, x271 confusion, x272 gains) — without the
+      // share each rebuilt the tokenize + gopher labels + NB fit
+      TextStats.nbScore(planted, trainLabels)
+        .filter(col("doc_id") % 2 =!= 0)
+        .join(TextStats.gopherRules(planted.filter(col("doc_id") % 2 =!= 0))
+          .select(col("doc_id"), col("passes")), "doc_id")
+        .localCheckpoint(true)
+    }
+
+  // the CAPPED tf frame (proportional df ceiling applied) feeds both
+  // capped lexical legs (x248/x249) — the drop anti-join would
+  // otherwise re-run per consumer over the shared checkpoint
+  private val cappedTfCache =
+    new graft.util.OnceCache[(String, String), (DataFrame, Long)](
+      MaxCachedPairSets)
+
+  private def cappedTfStats(spark: SparkSession, dir: String): (DataFrame, Long) =
+    cappedTfCache.getOrCompute((spark.sparkContext.applicationId, dir)) {
+      val (tf, n) = docTfStats(spark, dir)
+      (graft.ext.TextStats.capTermDf(tf, Some(n * 39L / 50L))
+        .localCheckpoint(true), n)
+    }
 
   // component labels are consumed by x24 AND the x46 canonical pick —
   // the same ingest-artifact share as the pair sets they derive from
@@ -748,10 +770,8 @@ object ExtQueries {
     // the trio): same proportional ceiling; dl/avgdl/idf all reflect
     // the filtered token stream — BM25 exactly over what remains.
     "x249_capped_bm25" -> ((s, d) => {
-      val (tf, n) = docTfStats(s, d)
-      TextStats.bm25TopKFrom(
-        TextStats.capTermDf(tf, Some(n * 39L / 50L)), n,
-        k = 5, queryMod = 250)
+      val (tf, n) = cappedTfStats(s, d)
+      TextStats.bm25TopKFrom(tf, n, k = 5, queryMod = 250)
     }),
     // The CAPPED sparse-retrieval leg (x175's production knob under
     // the oracle): the same proportional ceiling drops the head
@@ -759,10 +779,8 @@ object ExtQueries {
     // tf·idf cosine over the filtered streams (n_docs unchanged) —
     // the oracle filters its tf CTE by the identical df rule.
     "x248_capped_sparse" -> ((s, d) => {
-      val (tf, n) = docTfStats(s, d)
-      TextStats.sparseCosTopKFrom(
-        TextStats.capTermDf(tf, Some(n * 39L / 50L)), n,
-        k = 5, queryMod = 250)
+      val (tf, n) = cappedTfStats(s, d)
+      TextStats.sparseCosTopKFrom(tf, n, k = 5, queryMod = 250)
     }),
     // Incremental rollup maintenance: stored-state + batch partial
     // aggregates MERGED per (day, event_type); the oracle aggregates
@@ -782,7 +800,8 @@ object ExtQueries {
     "x271_confusion" -> ((s, d) =>
       Stats.confusionAtThreshold(
         nbHeldOut(s, d).select(col("doc_id"),
-          expr("1000000 * nb_ppm DIV (nb_ppm + 1000000)")
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * nb_ppm DIV " +
+            "(nb_ppm + 1000000) AS BIGINT)")
             .as("forecast_ppm"),
           col("passes")),
         "forecast_ppm", "passes")),
@@ -791,7 +810,8 @@ object ExtQueries {
     "x272_gains" -> ((s, d) =>
       Stats.gainsTable(
         nbHeldOut(s, d).select(col("doc_id"),
-          expr("1000000 * nb_ppm DIV (nb_ppm + 1000000)")
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * nb_ppm DIV " +
+            "(nb_ppm + 1000000) AS BIGINT)")
             .as("forecast_ppm"),
           col("passes")),
         "forecast_ppm", "passes", "doc_id")),
@@ -805,7 +825,8 @@ object ExtQueries {
     "x269_brier" -> ((s, d) =>
       Stats.brierDecomposition(
         nbHeldOut(s, d).select(col("doc_id"),
-          expr("1000000 * nb_ppm DIV (nb_ppm + 1000000)")
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * nb_ppm DIV " +
+            "(nb_ppm + 1000000) AS BIGINT)")
             .as("forecast_ppm"),
           col("passes")),
         "forecast_ppm", "passes", "doc_id")),

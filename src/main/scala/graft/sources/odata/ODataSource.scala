@@ -445,18 +445,28 @@ final class ODataScan(
           p.getFileSystem(conf).getFileStatus(p).getLen
         }.sum)
       } catch { case _: Throwable => None }
+    // ONE guarded sidecar read serves both the row estimate and the
+    // byte scaling: a corrupt _counts.meta degrades to empty estimates
+    // (the documented contract — the scan itself still fails loudly),
+    // never a plan-time crash
+    val counts: Option[Map[String, Long]] =
+      try ODataTableProvider.pageCounts(path)
+      catch { case _: Throwable => None }
+    val total = counts.map(_.values.sum)
     val exactRows: Option[Long] =
       if (filters.nonEmpty || agg.isDefined) None
-      else ODataTableProvider.pageCounts(path).map { c =>
+      else total.map { t =>
         val afterOffset =
-          math.max(0L, c.values.sum - offset.map(_.toLong).getOrElse(0L))
+          math.max(0L, t - offset.map(_.toLong).getOrElse(0L))
         topN.map(_._2.toLong).orElse(limit.map(_.toLong))
           .fold(afterOffset)(math.min(afterOffset, _))
       }
-    val total = ODataTableProvider.pageCounts(path).map(_.values.sum)
+    // scale through BigInt: b·r overflows Long at ~10 GB × 10⁹ rows,
+    // and a wrapped-negative size would advertise a huge scan as
+    // broadcastable
     val scaledBytes = (bytes, exactRows, total) match {
       case (Some(b), Some(r), Some(t)) if t > 0 && r < t =>
-        Some(math.max(1L, b * r / t))
+        Some((BigInt(b) * r / t).max(1).toLong)
       case _ => bytes
     }
     new Statistics {

@@ -2289,6 +2289,13 @@ class ExtSpec extends SparkSpec {
     val lr = graft.ext.Stats.confusionAtThreshold(low, "score_ppm", "pos")
       .collect().head
     assert(lr.getLong(0) == 0L && lr.getLong(4) == 0L && lr.getLong(5) == 0L)
+    // an all-NULL input (dark upstream column) reads ZERO counts, not
+    // NULLs — the oracle's count FILTER shape
+    val dark = Seq((Option.empty[Long], true)).toDF("score_ppm", "pos")
+    val dr = graft.ext.Stats.confusionAtThreshold(dark, "score_ppm", "pos")
+      .collect().head
+    assert((dr.getLong(0), dr.getLong(1), dr.getLong(2), dr.getLong(3)) ==
+      ((0L, 0L, 0L, 0L)), s"got $dr")
   }
 
   test("gainsTable: best-first deciles, prefix capture and lift; the " +
@@ -2348,6 +2355,13 @@ class ExtSpec extends SparkSpec {
     val e = graft.ext.Stats.schemaDrift(v1, empty).collect()
       .map(r => r.getString(0) -> Option(r.get(5))).toMap
     assert(e("id").isEmpty && e("keep").isEmpty, s"got $e")
+    // a DOTTED column name (JSON-derived upstream export) profiles as
+    // a top-level column, never parses as a nested-field path
+    val dotted = Seq((1L, Option("a")), (2L, None)).toDF("id", "user.id")
+    val d = graft.ext.Stats.schemaDrift(dotted, dotted).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), Option(r.get(4)))))
+      .toMap
+    assert(d("user.id") == (("kept", Some(500000L))), s"got $d")
   }
 
   test("brierDecomposition: Murphy identity on per-bin-constant " +
