@@ -1412,8 +1412,9 @@ object Dedup {
     * state beyond the convergence probe; each edge frame eagerly
     * checkpoints so lineage stays one round deep (the
     * [[dupComponents]] loop discipline). Convergence is an exact
-    * set-equality probe (count match + one anti-join) on
-    * already-materialized checkpoints.
+    * set-equality probe (|B| = |A∩B| = |A|) whose inputs ride the
+    * checkpoint action as observe metrics — one Spark action per
+    * round, the [[dupComponents]] idiom.
     *
     * Same contract as [[dupComponents]]: (doc_id, component) for
     * every doc in ≥ 1 pair. */
@@ -1439,7 +1440,15 @@ object Dedup {
       .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .distinct()
       .localCheckpoint(true)
-    var converged = edges.isEmpty
+    // ONE action per round (VERDICT r13 task 3 — the observe-metric
+    // idiom [[dupComponents]] pinned): the set-equality probe rides
+    // the checkpoint action itself. New edge set B equals old set A
+    // iff |B| = |A∩B| and |B| = |A| (both sides are distinct); |A| is
+    // last round's |B| (seeded by one count of the canonical edges),
+    // |B| and |A∩B| are observe metrics on the SAME job that
+    // materializes B — no count()+left_anti follow-up jobs.
+    var prevCount = edges.count()
+    var converged = prevCount == 0L
     var rounds = 0
     while (!converged) {
       // LARGE-STAR over symmetric neighborhoods
@@ -1452,16 +1461,26 @@ object Dedup {
         .distinct()
       // SMALL-STAR over the (already canonical) big→small edges
       val minsS = large.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val obs = org.apache.spark.sql.Observation()
       val next = large.join(minsS, "u")
         .filter(col("v") =!= col("mn"))
         .select(col("v").as("u"), col("mn").as("v"))
         .union(minsS.select(col("u"), col("mn").as("v")))
         .distinct()
+        // old edges are unique on (u,v), so the membership tag never
+        // duplicates a new edge; the left join feeds the n_shared
+        // metric and is projected away before the checkpoint lands
+        .join(edges.select(col("u"), col("v"), lit(1L).as("__old")),
+          Seq("u", "v"), "left")
+        .observe(obs, count(lit(1)).as("n_new"),
+          sum(coalesce(col("__old"), lit(0L))).as("n_shared"))
+        .select(col("u"), col("v"))
         .localCheckpoint(true)
-      // exact set-equality convergence: both frames are materialized
-      // checkpoints, so the probe is two cheap jobs, never a recompute
-      converged = next.count() == edges.count() &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      val nNew = obs.get("n_new").asInstanceOf[Long]
+      val nShared = Option(obs.get("n_shared"))
+        .fold(0L)(_.asInstanceOf[Long])
+      converged = nNew == nShared && nNew == prevCount
+      prevCount = nNew
       edges = next
       rounds += 1
     }
@@ -1700,4 +1719,55 @@ object Dedup {
   /** Dropped-bucket report for [[simhashNeardup]]'s cap. */
   def simhashCapReport(docs: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame =
     BucketCap.droppedReport(simhashBands(docs), Seq("band", "band_val"), maxBucket)
+
+  /** CROSS-SPLIT LEAKAGE AUDIT — near-dup pairs straddling a
+    * train/val/test assignment (the evaluation-integrity row every
+    * split ships with: a test document whose near-duplicate sits in
+    * train inflates every benchmark number, and the x20 hash split is
+    * CONTENT-blind by design, so near-dups land in different splits at
+    * the background rate). Input: the flagged pair set (a_id, b_id)
+    * and the (doc_id, split) assignment; output: one row per ordered
+    * (split_a, split_b) cell with the pair count and the cross flag —
+    * any `is_cross` row with n_pairs > 0 is actionable (dedup before
+    * splitting, or co-assign components).
+    *
+    * Scale shape: two broadcast-or-shuffle equi-joins on doc ids over
+    * the (already small) pair set, then a map-side-combinable count
+    * over ≤ 9 cells. The corpus itself is never re-scanned. */
+  def splitLeakage(pairs: DataFrame, splits: DataFrame): DataFrame =
+    pairs.select(col("a_id"), col("b_id"))
+      .join(splits.select(col("doc_id").as("a_id"),
+        col("split").as("split_a")), Seq("a_id"))
+      .join(splits.select(col("doc_id").as("b_id"),
+        col("split").as("split_b")), Seq("b_id"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_cross", col("split_a") =!= col("split_b"))
+
+  /** N-GRAM NOVELTY of an incoming batch against the standing corpus —
+    * the ingest-time "is this new data or more of the same" score a
+    * dedup-aware crawler reads before paying for full processing: per
+    * batch document, the ppm of its distinct word n-grams that appear
+    * NOWHERE in the corpus. 0 = fully redundant (an exact or near
+    * duplicate), 1e6 = entirely novel vocabulary context. Documents
+    * with no n-gram (under n tokens, NULL text) have no novelty to
+    * report and are absent — stated, mirrored in the oracle.
+    *
+    * Scale shape: both sides reduce to (id, gram-hash) at the scan
+    * (the [[shingleHashes]] projection — no text shuffles); the
+    * corpus side folds to DISTINCT hashes (map-side combine), the
+    * membership probe is ONE narrow equi-join on the hash followed by
+    * a per-doc count — the chunk-dedup shuffle shape. Counts compare
+    * cross-engine (hashes here, gram strings in the oracle) — the
+    * x18/x35 collision caveat applies. */
+  def ngramNovelty(corpus: DataFrame, batch: DataFrame, n: Int = 3): DataFrame = {
+    val corpusGrams = shingleHashes(corpus, n).select(col("h")).distinct()
+    shingleHashes(batch, n).distinct()
+      .join(corpusGrams.withColumn("__seen", lit(1L)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_new"))
+      .select(col("doc_id"), col("n_shingles"), col("n_new"),
+        expr("1000000 * n_new DIV n_shingles").as("novelty_ppm"))
+  }
 }

@@ -507,8 +507,10 @@ object Stats {
       // backtick-quoted references throughout: an upstream export's
       // column named `user.id` must profile as a top-level column,
       // not parse as a nested-field path (this audit exists for
-      // exactly the irregular schemas that would otherwise crash it)
-      def q(name: String): Column = col(s"`$name`")
+      // exactly the irregular schemas that would otherwise crash it);
+      // embedded backticks double per the quoting grammar — a column
+      // literally named "a`b" must not break the parse (ADVICE r13)
+      def q(name: String): Column = col("`" + name.replace("`", "``") + "`")
       val aggs = cols.zipWithIndex.map { case (c, i) =>
         sum(isnull(q(c)).cast("long")).as(s"__nulls_$i")
       }
@@ -627,7 +629,14 @@ object Stats {
     * variance approximation, no float, nothing to diverge
     * cross-engine). Pair volume is days² per type — TIME-bounded,
     * never event-bounded (events fold to daily counts map-side
-    * first, the x251 shape). */
+    * first, the x251 shape).
+    *
+    * The aggregate LEFT-ANCHORS on the distinct event-type frame
+    * (ADVICE r13): a single-day grid has no `a.day < b.day` pair at
+    * all, and a pair-anchored aggregate would silently emit NOTHING —
+    * every type must still report its row (n_days from the grid span,
+    * zero pairs), because "no trend observable yet" is a monitoring
+    * datum, not an absence. */
   def mannKendall(events: DataFrame): DataFrame = {
     val daily = events
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
@@ -635,24 +644,34 @@ object Stats {
         expr(epochFloorDiv(EpochUs, 86400000000L)).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("c"))
-    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-    val dense = daily.select(col("event_type")).distinct()
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = daily.select(col("event_type")).distinct()
+    val dense = types
       .crossJoin(grid)
       .join(daily, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"),
         coalesce(col("c"), lit(0L)).as("c"))
-    dense.as("a")
+    val pairs = dense.as("a")
       .join(dense.as("b"),
         col("a.event_type") === col("b.event_type") &&
           col("a.day") < col("b.day"))
       .groupBy(col("a.event_type").as("event_type"))
       .agg(
-        (countDistinct(col("a.day")) + 1).as("n_days"),
         sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"),
         sum((col("b.c") > col("a.c")).cast("long")).as("n_concordant"),
         sum((col("b.c") < col("a.c")).cast("long")).as("n_discordant"),
         sum((col("b.c") === col("a.c")).cast("long")).as("n_tied"))
+    // span is one row, types is vocabulary-scale: both broadcast; the
+    // pair aggregate (the only data-scale frame) joins back by type
+    types.crossJoin(broadcast(span))
+      .join(pairs, Seq("event_type"), "left")
+      .select(col("event_type"),
+        (col("d1") - col("d0") + 1).as("n_days"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        coalesce(col("n_concordant"), lit(0L)).as("n_concordant"),
+        coalesce(col("n_discordant"), lit(0L)).as("n_discordant"),
+        coalesce(col("n_tied"), lit(0L)).as("n_tied"))
   }
 
   def sketchDistinct(docs: DataFrame, n: Int = 3): DataFrame = {

@@ -1532,4 +1532,34 @@ object TextStats {
         ppm("lat"), ppm("han"), ppm("cyr"), ppm("ara"),
         col("n_mixed_docs"))
   }
+
+  /** WITHIN-DOCUMENT REPETITION RATIO — the Gopher-family repetition
+    * signal (Rae et al. 2021 §A1.2 filter on repeated n-grams) the
+    * x40 word/symbol ratios deliberately don't cover: per document,
+    * the ppm of its word n-gram WINDOWS that duplicate an earlier
+    * window — `1e6 · (n_windows − n_distinct) div n_windows`.
+    * Boilerplate, chorus-like spam, and degenerate generations score
+    * high; natural prose sits near 0. Windows come from the native
+    * `word_ngrams_all` (ALL positions, not the deduped shingle set —
+    * repetition is exactly the difference between the two). Documents
+    * with no window (under n tokens, NULL text) are absent — stated,
+    * mirrored in the oracle.
+    *
+    * Scale shape: one scan, explode, one map-side-combinable
+    * (count, countDistinct) aggregate per doc_id — embarrassingly
+    * parallel; the gram strings never leave their partition unhased
+    * (the fused distinct aggregate shuffles doc-local hashes only). */
+  def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.wordNgramsAll(
+          col("text"), lit(n))).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("g")).as("n_distinct"))
+      .select(col("doc_id"), col("n_windows"), col("n_distinct"),
+        expr("1000000 * (n_windows - n_distinct) DIV n_windows")
+          .as("repetition_ppm"))
+  }
 }

@@ -5372,18 +5372,92 @@ object ExtOracles {
         |  s AS (SELECT ty.event_type, g.day, coalesce(dc.c, 0) AS c
         |        FROM grid g CROSS JOIN ty
         |        LEFT JOIN dc ON dc.event_type = ty.event_type
-        |                    AND dc.day = g.day)
-        |SELECT a.event_type,
-        |       CAST(count(DISTINCT a.day) + 1 AS BIGINT) AS n_days,
-        |       CAST(sum(CASE WHEN b.c > a.c THEN 1
-        |                     WHEN b.c < a.c THEN -1 ELSE 0 END)
-        |         AS BIGINT) AS s_stat,
-        |       CAST(count(*) FILTER (b.c > a.c) AS BIGINT) AS n_concordant,
-        |       CAST(count(*) FILTER (b.c < a.c) AS BIGINT) AS n_discordant,
-        |       CAST(count(*) FILTER (b.c = a.c) AS BIGINT) AS n_tied
-        |FROM s a JOIN s b ON a.event_type = b.event_type
-        |                 AND a.day < b.day
-        |GROUP BY 1""".stripMargin,
+        |                    AND dc.day = g.day),
+        |  pr AS (SELECT a.event_type,
+        |           CAST(sum(CASE WHEN b.c > a.c THEN 1
+        |                         WHEN b.c < a.c THEN -1 ELSE 0 END)
+        |             AS BIGINT) AS s_stat,
+        |           CAST(count(*) FILTER (b.c > a.c) AS BIGINT) AS n_concordant,
+        |           CAST(count(*) FILTER (b.c < a.c) AS BIGINT) AS n_discordant,
+        |           CAST(count(*) FILTER (b.c = a.c) AS BIGINT) AS n_tied
+        |         FROM s a JOIN s b ON a.event_type = b.event_type
+        |                          AND a.day < b.day
+        |         GROUP BY 1)
+        |SELECT ty.event_type,
+        |       CAST(sp.d1 - sp.d0 + 1 AS BIGINT) AS n_days,
+        |       coalesce(pr.s_stat, 0) AS s_stat,
+        |       coalesce(pr.n_concordant, 0) AS n_concordant,
+        |       coalesce(pr.n_discordant, 0) AS n_discordant,
+        |       coalesce(pr.n_tied, 0) AS n_tied
+        |FROM ty CROSS JOIN span sp
+        |LEFT JOIN pr ON pr.event_type = ty.event_type""".stripMargin,
+
+    // Cross-split leakage: the x18 exact-Jaccard pair construction
+    // verbatim, each side joined to the x20 split CASE, rolled up to
+    // (split_a, split_b) cells with the cross flag.
+    "x274_split_leakage" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS (
+         |    SELECT i.a_id, i.b_id FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 7 * (sa.sz + sb.sz - i.i)),
+         |  sp AS (SELECT doc_id,
+         |           CASE WHEN b < 900 THEN 'train'
+         |                WHEN b < 950 THEN 'val'
+         |                ELSE 'test' END AS split
+         |         FROM (SELECT doc_id,
+         |                 ('0x' || substr(md5(text || 'split-v1'), 1, 8))::BIGINT % 1000 AS b
+         |               FROM documents))
+         |SELECT sa.split AS split_a, sb.split AS split_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       sa.split != sb.split AS is_cross
+         |FROM pairs p
+         |JOIN sp sa ON sa.doc_id = p.a_id
+         |JOIN sp sb ON sb.doc_id = p.b_id
+         |GROUP BY 1, 2, 4""".stripMargin,
+
+    // N-gram novelty of the %50 batch vs the standing corpus: distinct
+    // batch shingles probed against the corpus's distinct shingle set
+    // (gram strings here, 64-bit hashes Spark-side — the x18/x35
+    // collision caveat).
+    "x275_ngram_novelty" ->
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  corp AS (SELECT DISTINCT g FROM ex WHERE doc_id % 50 != 0),
+         |  b AS (SELECT e.doc_id,
+         |          CAST(count(*) AS BIGINT) AS n_shingles,
+         |          CAST(count(*) FILTER (c.g IS NULL) AS BIGINT) AS n_new
+         |        FROM ex e LEFT JOIN corp c ON e.g = c.g
+         |        WHERE e.doc_id % 50 = 0
+         |        GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_new,
+         |       1000000 * n_new // n_shingles AS novelty_ppm
+         |FROM b""".stripMargin,
+
+    // Within-doc repetition over ALL 3-gram windows (raw string_split,
+    // the x35 window idiom — word_ngrams_all mirrors raw split
+    // semantics including empty tokens).
+    "x276_repetition_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
+        |           FROM documents WHERE text IS NOT NULL),
+        |  w AS (SELECT doc_id,
+        |          [s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |           FOR i IN range(1, len(s) - 1)] AS win
+        |        FROM t)
+        |SELECT doc_id,
+        |       CAST(len(win) AS BIGINT) AS n_windows,
+        |       CAST(len(list_distinct(win)) AS BIGINT) AS n_distinct,
+        |       1000000 * (len(win) - len(list_distinct(win))) // len(win)
+        |         AS repetition_ppm
+        |FROM w WHERE len(win) >= 1""".stripMargin,
 
     // Brier/Murphy decomposition: the x186 NB pipeline verbatim
     // through the held-out score, forecast p = r/(r+1e6) in ppm,

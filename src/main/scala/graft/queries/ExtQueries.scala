@@ -181,8 +181,52 @@ object ExtQueries {
 
   private def dupComps(spark: SparkSession, dir: String): DataFrame =
     componentCache.getOrCompute((spark.sparkContext.applicationId, dir)) {
-      Dedup.dupComponents(minhashPairs(spark, dir))
+      // the LARGE-STAR/SMALL-STAR variant is the producer (VERDICT r13
+      // task 2): min-label propagation needs O(component diameter)
+      // rounds, so a pathological boilerplate chain would stall every
+      // consumer of this cache (x24/x46/x116/x235) even though the
+      // labeling is identical; star contraction converges in O(log n)
+      // rounds regardless of diameter and is spec-proved to emit the
+      // same (doc_id, min reachable id) labels
+      Dedup.dupComponentsStar(minhashPairs(spark, dir))
     }
+
+  /** Build every shared (app, dir)-cached artifact in one DEDICATED
+    * warm-up phase, returning (artifact, seconds) per build — the
+    * bench convention that makes per-key clean cost SWEEP-ORDER
+    * INDEPENDENT (VERDICT r13 task 4): without this, whichever family
+    * member runs first (alphabetically) pays the shared compute, so a
+    * key's baseline number shifts whenever a new key lands earlier in
+    * sort order, and `SPARK_GRAFT_BENCH_ONLY=<one key>` can't
+    * reproduce the full-sweep median. At ingest scale these artifacts
+    * (pair sets, tf frames, component labels, the NB fit, the BPE
+    * table) are standing outputs of the ingest pipeline, not
+    * per-query work — charging them to a named warm-up phase is the
+    * honest account, the `meta_refresh` convention. */
+  def warmShared(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(name: String)(body: => Any): (String, Double) = {
+      val t0 = System.nanoTime()
+      body
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("odata_pages") {
+        graft.sources.odata.ODataPages.ordersPages(spark, dir) },
+      timed("odata_expand") {
+        graft.sources.odata.ODataPages.ordersExpandRoot(spark, dir) },
+      timed("odata_linked") {
+        graft.sources.odata.ODataPages.ordersLinkedPages(spark, dir) },
+      timed("tf_frame") { docTfStats(spark, dir) },
+      timed("capped_tf") { cappedTfStats(spark, dir) },
+      timed("minhash_pairs") { minhashPairs(spark, dir) },
+      timed("ngram_pairs") { ngramPairs(spark, dir) },
+      timed("bpe_merges") { bpeMerges(spark, dir) },
+      timed("nb_held_out") { nbHeldOut(spark, dir) },
+      // the label frame's expensive part (the star-contraction loop)
+      // runs eagerly inside the producer; force the final join too so
+      // consumers pay only their own aggregates
+      timed("dup_components") { dupComps(spark, dir).count() })
+  }
 
   /** Drop all cached pair sets (e.g. after fixtures change). */
   def clearPairCache(): Unit = {
@@ -818,6 +862,23 @@ object ExtQueries {
     // Mann-Kendall S per event type over the dense daily grid: the
     // nonparametric trend verdict next to OLS (x222) / Theil-Sen (x251).
     "x273_mann_kendall" -> ((s, d) => Stats.mannKendall(events(s, d))),
+    // Cross-split leakage audit: the x18 exact-Jaccard pair set (shared
+    // OnceCache) against the x20 hash-split assignment — near-dup pairs
+    // straddling train/val/test (1 train-test + 1 train-val at sf0.01).
+    "x274_split_leakage" -> ((s, d) =>
+      Dedup.splitLeakage(ngramPairs(s, d),
+        graft.ext.Assemble.hashSplit(docs(s, d)))),
+    // N-gram novelty of the %50 "incoming batch" docs vs the rest as
+    // the standing corpus — ppm of batch shingles unseen in the corpus.
+    "x275_ngram_novelty" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.ngramNovelty(dd.filter(col("doc_id") % 50 =!= 0),
+        dd.filter(col("doc_id") % 50 === 0))
+    }),
+    // Gopher-family within-doc repetition ratio over ALL 3-gram windows
+    // (27 docs with repeats at sf0.01, max ~71k ppm — non-vacuous).
+    "x276_repetition_ratio" -> ((s, d) =>
+      TextStats.repetitionRatio(docs(s, d))),
     // Murphy decomposition of the NB score's CALIBRATION (x186 is
     // only discrimination): the likelihood-ratio ppm maps to a
     // forecast probability p = r/(r + 1e6) in exact ppm, bins by

@@ -70,6 +70,20 @@ object Oracles {
         |  AND o_orderpriority LIKE '%-URG%'
         |  AND o_orderstatus IN ('F', 'P')""".stripMargin,
 
+    // the runtime-filtering leg: a selective low-key dim joined to the
+    // paged slice — pruning is a pure optimization, so the join result
+    // must equal the plain relational join over the same parquet rows
+    "s10_odata_runtime_prune" ->
+      """SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus,
+        |       f.o_orderpriority, d.d_cents
+        |FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |      FROM orders WHERE o_orderkey % 100 = 0) f
+        |JOIN (SELECT o_orderkey AS d_key,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS d_cents
+        |      FROM orders
+        |      WHERE o_orderkey % 2000 = 0 AND o_orderkey <= 6000) d
+        |  ON f.o_orderkey = d.d_key""".stripMargin,
+
     // the $orderby+$top leg over the same page "server": the total
     // order (custkey DESC, orderkey) makes the selected 20 rows exact.
     "s5_odata_topn" ->

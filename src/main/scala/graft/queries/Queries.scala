@@ -408,6 +408,58 @@ object Queries {
         col("o_orderstatus").isin("F", "P"))
   }
 
+  /** S10: RUNTIME FILTERING through the production connector — the
+    * rung above planner statistics (VERDICT r13 task 6). A selective
+    * dim (a handful of low order keys from the parquet warehouse)
+    * joins the paged OData slice: Spark plans dynamic partition
+    * pruning against the scan's `SupportsRuntimeFiltering` face, the
+    * dim's build keys arrive at EXECUTION time, and the scan drops
+    * every page whose render-time `_ranges.meta` key range can't
+    * contain any of them — at 100 TB this is the catalog dim⋈fact
+    * join reading only the pages the join can hit. The join result
+    * hash-gates against DuckDB (pruning must never change rows); when
+    * the slice spans more than one page the gate also REQUIRES that a
+    * runtime filter reached the scan and pruned (post-filter pages <
+    * directory pages) — plan-pinned in-gate, k8's numFiles
+    * convention. Money exact via the shared cents idiom. */
+  def s10ODataRuntimePrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.odata.{ODataPages, ODataScan, ODataTableProvider}
+    val pagesDir = ODataPages.ordersPages(spark, dir)
+    val fact = spark.read.format("graft-odata")
+      .schema(ODataPages.ordersSchema)
+      .option("path", pagesDir)
+      .load()
+    val dim = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(pmod(col("o_orderkey"), lit(2000)) === 0 &&
+        col("o_orderkey") <= 6000)
+      .select(col("o_orderkey").as("d_key"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("d_cents"))
+    // explicit broadcast: the dim must be the BUILD side for its keys
+    // to flow back into the scan — without the hint the planner may
+    // broadcast the (statistically tiny, thanks to S4h) OData slice
+    // itself, and a broadcast scan side has no exchange for dynamic
+    // pruning to reuse (the runtime filter degrades to `true`)
+    val joined = fact.join(broadcast(dim), col("o_orderkey") === col("d_key"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("d_cents"))
+    val nPages = ODataTableProvider.pageFiles(pagesDir).size
+    if (nPages > 1) {
+      // collect() executes THIS dataset's own query execution, so the
+      // scan instance the assertion reads is the one that just ran
+      // (the join output is a handful of rows — the fact side never
+      // reaches the driver)
+      joined.collect()
+      val scan = ODataScan.scansIn(joined.queryExecution.executedPlan)
+        .headOption.getOrElse(
+          throw new IllegalStateException("no ODataScan in executed plan"))
+      require(scan.runtimeFilterCount > 0,
+        "runtime filter never reached the scan (DPP not planned)")
+      require(scan.lastPlannedPages < nPages,
+        s"no page pruned: planned ${scan.lastPlannedPages} of $nPages")
+    }
+    joined
+  }
+
   /** S5 through the PRODUCTION connector: the `$orderby`+`$top` leg —
     * ORDER BY + LIMIT fuse into the connector's TopN pushdown
     * (partial: each page serves its local top-n under the exact
@@ -642,18 +694,29 @@ object Queries {
       java.nio.file.Paths.get(out, "part-99999-corrupt.parquet"),
       "this is not a parquet file".getBytes("UTF-8"))
     // the strict read must fail FOR THE RIGHT REASON: only an error
-    // whose chain names the corrupt footer counts — a blanket catch
-    // would read an OOM or a scratch-permission error as "strict read
-    // correctly failed" and mask real regressions behind a passing
-    // gate (ADVICE r12)
+    // whose chain carries FOOTER-SPECIFIC evidence counts. Bare
+    // "parquet"/"corrupt" substrings don't discriminate — the planted
+    // file is NAMED part-99999-corrupt.parquet, so any unrelated I/O
+    // failure (permissions, FileNotFound) that merely quotes the path
+    // would satisfy a path-insensitive substring match (ADVICE r13).
+    // Evidence accepted: the reader's footer diagnostics ("not a
+    // parquet file", "magic number", "footer"), or a decode-layer
+    // exception CLASS in the cause chain.
     val strictFails =
       try { spark.read.schema(c.schema).parquet(out).count(); false }
       catch { case e: Throwable =>
-        val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-          .take(10).map(t => String.valueOf(t.getMessage)).mkString(" | ")
-        val expected = msgs.toLowerCase.contains("parquet") ||
-          msgs.toLowerCase.contains("footer") ||
-          msgs.toLowerCase.contains("corrupt")
+        val chain = Iterator.iterate(e)(_.getCause)
+          .takeWhile(_ != null).take(10).toSeq
+        val msgs = chain.map(t =>
+          String.valueOf(t.getMessage).toLowerCase).mkString(" | ")
+        val classes = chain.map(_.getClass.getName.toLowerCase)
+        val expected =
+          msgs.contains("not a parquet file") ||
+            msgs.contains("magic number") ||
+            msgs.contains("footer") ||
+            classes.exists(cn => cn.contains("parquetdecoding") ||
+              cn.contains("parquetcrypto") ||
+              cn.endsWith("corruptedparquetfileexception"))
         if (!expected) throw e
         true
       }
@@ -985,6 +1048,7 @@ object Queries {
     "s7_odata_offset" -> (s7ODataOffset _),
     "s8_odata_nextlink" -> (s8ODataNextlink _),
     "s9_odata_strings" -> (s9ODataStrings _),
+    "s10_odata_runtime_prune" -> (s10ODataRuntimePrune _),
     "s6_odata_agg" -> (s6ODataAgg _),
     "q16_sql_catalog" -> (q16SqlCatalog _),
     "q17_unpivot" -> (q17Unpivot _),

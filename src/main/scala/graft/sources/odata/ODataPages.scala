@@ -192,6 +192,7 @@ object ODataPages {
       val dir = java.nio.file.Files.createTempDirectory("odata_pages")
       val m = ODataTableProvider.mapper
       val counts = m.createObjectNode()
+      val ranges = m.createObjectNode()
       rows.grouped(PageSize).zipWithIndex.foreach { case (page, i) =>
         val root = m.createObjectNode()
         val arr = root.putArray("value")
@@ -206,6 +207,16 @@ object ODataPages {
           dir.resolve(f"page_$i%05d.json"),
           m.writeValueAsBytes(root))
         counts.put(f"page_$i%05d.json", page.length.toLong)
+        // per-page [min, max] of the long key columns — what a paged
+        // server ordered by key knows for free about each page slice
+        // (the runtime-filtering analogue of a parquet footer's
+        // column range): page pruning metadata, never row data
+        val pr = ranges.putObject(f"page_$i%05d.json")
+        Seq("o_orderkey" -> 0, "o_custkey" -> 1).foreach { case (c, idx) =>
+          val vs = page.map(_.getLong(idx))
+          val ar = pr.putArray(c)
+          ar.add(vs.min); ar.add(vs.max)
+        }
       }
       // per-page row counts — the metadata that lets a pushed global
       // OFFSET ($skip) convert into (start page, in-page skip) at PLAN
@@ -213,6 +224,11 @@ object ODataPages {
       // the same knowledge through $count/$skiptoken paging.
       java.nio.file.Files.write(
         dir.resolve("_counts.meta"), m.writeValueAsBytes(counts))
+      // per-page key ranges — feeds SupportsRuntimeFiltering page
+      // pruning (dim-join build keys pruning fact pages at EXECUTION
+      // time, the DSv2 dynamic-partition-pruning rung)
+      java.nio.file.Files.write(
+        dir.resolve("_ranges.meta"), m.writeValueAsBytes(ranges))
       dir.toString
     }
 }

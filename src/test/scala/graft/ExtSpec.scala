@@ -958,6 +958,45 @@ class ExtSpec extends SparkSpec {
       "512-chain — the O(log n) bound is broken")
   }
 
+  test("dupComponentsStar: ONE action per round (set-equality probe " +
+    "rides the checkpoint as observe metrics)") {
+    // the x24 one-action-per-round idiom applied to the star loop
+    // (VERDICT r13 task 3): counting SQL executions — a count() +
+    // left_anti.isEmpty convergence probe would add 2 per round
+    val pairs = Seq(
+      (7L, 9L), (3L, 9L),
+      (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (100L, 101L)).toDF("a_id", "b_id")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        if (e.getClass.getSimpleName == "SparkListenerSQLExecutionStart")
+          jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (comp, rounds) =
+      try {
+        val (labels, r) = Dedup.dupComponentsStarRounds(pairs)
+        val m = labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        // the listener bus is async — poll until the count is stable
+        var last = -1
+        var spins = 0
+        while (jobs.get() != last && spins < 50) {
+          last = jobs.get(); Thread.sleep(100); spins += 1
+        }
+        (m, r)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(comp == Map(
+      3L -> 3L, 7L -> 3L, 9L -> 3L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L, 15L -> 11L,
+      100L -> 100L, 101L -> 100L), s"got $comp")
+    // 2 setup checkpoints (edges, nodes) + 1 seed count + ONE
+    // checkpoint action per converged round + the final collect
+    assert(jobs.get() <= 3 + rounds + 1,
+      s"too many actions: ${jobs.get()} for $rounds rounds — is the " +
+        "convergence probe running separate count/anti-join jobs again?")
+  }
+
   test("dupComponents labels transitive clusters that pairwise keeper-drop misses") {
     // component {3,7,9} with edges (7,9),(3,9): pairwise drop-every-b
     // keeps BOTH 3 and 7; components keep only 3. Plus a diameter-4
@@ -7416,5 +7455,63 @@ class ExtSpec extends SparkSpec {
     assert(got(2L) == ((3L, 25L)), s"got $got") // (70-20)/2
     assert(got(3L) == ((3L, 15L)), s"got $got") // (70-40)/2
     assert(got(4L) == ((1L, -1L)), s"got $got") // singleton -> NULL
+  }
+
+  test("splitLeakage: cross-split cells flagged, totals reconcile") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L))
+      .toDF("a_id", "b_id")
+    val splits = Seq(
+      1L -> "train", 2L -> "train", 3L -> "test",
+      4L -> "val", 5L -> "train", 6L -> "test", 7L -> "test")
+      .toDF("doc_id", "split")
+    val got = Dedup.splitLeakage(pairs, splits).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      ("train", "train") -> ((1L, false)),
+      ("train", "test") -> ((1L, true)),
+      ("val", "train") -> ((1L, true)),
+      ("test", "test") -> ((1L, false))), s"got $got")
+    // reconciliation: every pair lands in exactly one cell
+    assert(got.values.map(_._1).sum == 4L)
+  }
+
+  test("ngramNovelty: redundant = 0 ppm, novel = 1e6, partial in between, " +
+    "sub-n docs absent") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "pack my box with five dozen jugs")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps"),      // exact dup -> 0
+      (11L, "zebra xylophone quartz vortex"),  // fully novel -> 1e6
+      // shares "the quick brown"/"quick brown fox" with doc 1, adds
+      // two novel windows -> 2 of 4 new = 500000
+      (12L, "the quick brown fox zebra vortex"),
+      (13L, "too short"),                      // no 3-gram -> absent
+      (14L, null.asInstanceOf[String]))        // NULL text -> absent
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.ngramNovelty(corpus, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == Set(10L, 11L, 12L), s"got $got")
+    assert(got(10L) == ((3L, 0L, 0L)), s"got $got")
+    assert(got(11L) == ((2L, 2L, 1000000L)), s"got $got")
+    assert(got(12L)._3 == 500000L, s"got $got")
+  }
+
+  test("repetitionRatio: all-windows vs distinct difference in ppm; " +
+    "clean prose 0; sub-n docs absent") {
+    val docs = Seq(
+      (1L, "a b a b a b"),          // windows aba bab aba bab -> 2/4 dup
+      (2L, "one two three four"),   // no repeats -> 0
+      (3L, "x y"),                  // no 3-gram -> absent
+      (4L, null.asInstanceOf[String])) // NULL -> absent
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextStats.repetitionRatio(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L), s"got $got")
+    assert(got(1L) == ((4L, 2L, 500000L)), s"got $got")
+    assert(got(2L) == ((2L, 2L, 0L)), s"got $got")
   }
 }
