@@ -84,6 +84,14 @@ object Oracles {
         |      WHERE o_orderkey % 2000 = 0 AND o_orderkey <= 6000) d
         |  ON f.o_orderkey = d.d_key""".stripMargin,
 
+    // the static plan-time pruning leg: a pushed key band served from
+    // the pages whose ranges can contain it — pruning must never
+    // change rows, so the result equals the plain filtered projection
+    "s11_odata_static_prune" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |  AND o_orderkey >= 400 AND o_orderkey <= 1200""".stripMargin,
+
     // the $orderby+$top leg over the same page "server": the total
     // order (custkey DESC, orderkey) makes the selected 20 rows exact.
     "s5_odata_topn" ->

@@ -460,6 +460,40 @@ object Queries {
     joined
   }
 
+  /** S11: STATIC page pruning from PUSHED filters — the plan-time
+    * complement of s10's runtime filtering (the parquet-footer
+    * analogue for a paged server): a pushed `$filter` range predicate
+    * is judged against each page's render-time `_ranges.meta` key
+    * range and whole pages with no possible match never become input
+    * partitions — at 100 TB an incremental `key >= watermark` catalog
+    * query reads only the tail pages instead of every page the entity
+    * ever served. Sound for every pushed-operator combination:
+    * `$filter` precedes `$skip`/`$top`/`$apply` in OData evaluation
+    * order, so a zero-match page contributes nothing to any of them.
+    * The selected band sits in page 0 at every SF (9 rows); when the
+    * slice spans >1 page the gate REQUIRES pruning (plan-pinned
+    * in-gate, the s10 convention). */
+  def s11ODataStaticPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.odata.{ODataPages, ODataScan, ODataTableProvider}
+    val pagesDir = ODataPages.ordersPages(spark, dir)
+    val q = spark.read.format("graft-odata")
+      .schema(ODataPages.ordersSchema)
+      .option("path", pagesDir)
+      .load()
+      .filter(col("o_orderkey") >= 400L && col("o_orderkey") <= 1200L)
+    val nPages = ODataTableProvider.pageFiles(pagesDir).size
+    if (nPages > 1) {
+      q.collect()
+      val scan = ODataScan.scansIn(q.queryExecution.executedPlan)
+        .headOption.getOrElse(
+          throw new IllegalStateException("no ODataScan in executed plan"))
+      require(scan.lastPlannedPages < nPages,
+        s"pushed range filter pruned nothing: " +
+          s"${scan.lastPlannedPages} of $nPages pages planned")
+    }
+    q
+  }
+
   /** S5 through the PRODUCTION connector: the `$orderby`+`$top` leg —
     * ORDER BY + LIMIT fuse into the connector's TopN pushdown
     * (partial: each page serves its local top-n under the exact
@@ -1049,6 +1083,7 @@ object Queries {
     "s8_odata_nextlink" -> (s8ODataNextlink _),
     "s9_odata_strings" -> (s9ODataStrings _),
     "s10_odata_runtime_prune" -> (s10ODataRuntimePrune _),
+    "s11_odata_static_prune" -> (s11ODataStaticPrune _),
     "s6_odata_agg" -> (s6ODataAgg _),
     "q16_sql_catalog" -> (q16SqlCatalog _),
     "q17_unpivot" -> (q17Unpivot _),

@@ -285,7 +285,7 @@ final class ODataScanBuilder(fullSchema: StructType, path: String)
            _: java.sql.Timestamp | _: java.time.Instant => true
       case _ => false
     }
-    val (accepted, residual) = filters.partition {
+    def pushable(f: Filter): Boolean = f match {
       case GreaterThanOrEqual(_, v) => evaluable(v)
       case GreaterThan(_, v)        => evaluable(v)
       case LessThan(_, v)           => evaluable(v)
@@ -306,8 +306,20 @@ final class ODataScanBuilder(fullSchema: StructType, path: String)
       // row-side evaluable (a NULL member would make the residual-free
       // contract unsound: SQL IN with NULL is three-valued).
       case In(_, vs)                => vs.nonEmpty && vs.forall(evaluable)
+      // `and`/`or` are first-class $filter grammar — accepted when
+      // both legs are (an unsound leg poisons the whole tree). The
+      // row-side eval contract stays exact: eval(f) means "f is TRUE",
+      // and TRUE-propagation through and/or matches SQL three-valued
+      // logic at the kept/dropped boundary (NULL legs read false,
+      // `null or true` still evaluates true through the other leg).
+      // `not` is NOT pushable: eval can't express "is FALSE" (a NULL
+      // comparison under `not` must stay dropped, but eval(leg)=false
+      // would flip to kept).
+      case And(l, r)                => pushable(l) && pushable(r)
+      case Or(l, r)                 => pushable(l) && pushable(r)
       case _ => false
     }
+    val (accepted, residual) = filters.partition(pushable)
     pushed = accepted
     residual
   }
@@ -522,18 +534,28 @@ final class ODataScan(
 
   private[graft] def runtimeFilterCount: Int = runtimeFilters.length
 
-  /** Drop pages that no runtime-filter value can hit. A page keeps
-    * its partition unless EVERY conjunct rules it out-of-range —
-    * untranslatable conjuncts, non-integral values, and pages absent
-    * from the sidecar are all conservative keeps. */
-  private def pruneByRuntimeFilters(files: Seq[String]): Seq[String] =
-    if (runtimeFilters.isEmpty) files
+  /** Drop pages no surviving row can come from, judged against the
+    * render-time per-page key ranges: PUSHED filters prune at PLAN
+    * time (S4j — the parquet-footer analogue: `$filter` semantics put
+    * the predicate BEFORE any pushed `$skip`/`$top`/`$apply`, so a
+    * page with zero matching rows contributes nothing to any of them
+    * and skipping it is always sound), runtime filters prune at
+    * EXECUTION time (S4i). A page keeps its partition unless a
+    * conjunct rules its whole range out — untranslatable conjuncts,
+    * non-integral values, and pages absent from the sidecar are all
+    * conservative keeps. */
+  private def prunePages(
+      files: Seq[String], preds: Array[Filter]): Seq[String] =
+    if (preds.isEmpty) files
     else ODataScan.statsProbe(ODataTableProvider.pageRanges(path)).flatten
       .fold(files) { ranges =>
+        def long(v: Any): Option[Long] = v match {
+          case n: java.lang.Number => Some(n.longValue)
+          case _ => None
+        }
         def inRange(v: Any, lo: Long, hi: Long): Boolean = v match {
-          case null => false // join keys: a NULL never matches
-          case n: java.lang.Number => n.longValue >= lo && n.longValue <= hi
-          case _ => true
+          case null => false // equality/membership: NULL never matches
+          case _ => long(v).forall(l => l >= lo && l <= hi)
         }
         def mayMatch(pr: Map[String, (Long, Long)], f: Filter): Boolean =
           f match {
@@ -542,12 +564,22 @@ final class ODataScan(
                 vs.exists(inRange(_, lo, hi)) }
             case EqualTo(c, v) =>
               pr.get(c).forall { case (lo, hi) => inRange(v, lo, hi) }
-            case _ => true
+            case GreaterThan(c, v) =>
+              pr.get(c).forall { case (_, hi) => long(v).forall(hi > _) }
+            case GreaterThanOrEqual(c, v) =>
+              pr.get(c).forall { case (_, hi) => long(v).forall(hi >= _) }
+            case LessThan(c, v) =>
+              pr.get(c).forall { case (lo, _) => long(v).forall(lo < _) }
+            case LessThanOrEqual(c, v) =>
+              pr.get(c).forall { case (lo, _) => long(v).forall(lo <= _) }
+            case And(l, r) => mayMatch(pr, l) && mayMatch(pr, r)
+            case Or(l, r) => mayMatch(pr, l) || mayMatch(pr, r)
+            case _ => true // Not/IsNull/strings/…: ranges can't rule out
           }
         files.filter { f =>
           val name = new Path(f).getName
           ranges.get(name)
-            .forall(pr => runtimeFilters.forall(mayMatch(pr, _)))
+            .forall(pr => preds.forall(mayMatch(pr, _)))
         }
       }
 
@@ -636,10 +668,13 @@ final class ODataScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // runtime filters only ever arrive on a bare scan (filter
-    // attributes are withheld otherwise), so pruning here can never
+    // pushed-filter pruning is always sound ($filter precedes every
+    // other pushed operator — and offset acceptance requires no pushed
+    // filter anyway); runtime filters only ever arrive on a bare scan
+    // (filter attributes are withheld otherwise), so pruning can never
     // interact with the offset page-skip arithmetic below
-    val files = pruneByRuntimeFilters(ODataTableProvider.pageFiles(path))
+    val files = prunePages(
+      ODataTableProvider.pageFiles(path), filters ++ runtimeFilters)
     lastPlannedPages = files.size
     offset match {
       case None =>
@@ -912,6 +947,8 @@ object ODataFilters {
     case StringEndsWith(a, v)     => s"endswith($a,${lit(v)})"
     case StringContains(a, v)     => s"contains($a,${lit(v)})"
     case In(a, vs)                => s"$a in (${vs.map(lit).mkString(",")})"
+    case And(l, r)                => s"(${compile(l)} and ${compile(r)})"
+    case Or(l, r)                 => s"(${compile(l)} or ${compile(r)})"
     case other                    => throw new IllegalArgumentException(s"not pushable: $other")
   }
 
@@ -939,6 +976,8 @@ object ODataFilters {
     case StringEndsWith(a, v)     => str(node, a).exists(_.endsWith(v))
     case StringContains(a, v)     => str(node, a).exists(_.contains(v))
     case In(a, vs)                => vs.exists(v => cmp(node, a, v).contains(0))
+    case And(l, r)                => eval(l, node) && eval(r, node)
+    case Or(l, r)                 => eval(l, node) || eval(r, node)
     case _                        => true
   }
 

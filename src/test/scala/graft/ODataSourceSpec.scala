@@ -772,6 +772,41 @@ class ODataSourceSpec extends SparkSpec {
     assert(viaOData == expected, s"pruned join diverged: $viaOData")
   }
 
+  test("static page pruning: pushed range/equality/In filters prune at " +
+    "plan time; And/Or compose; string predicates never prune") {
+    val (dir, sch) = rtfFixture()
+    val fact = spark.read.format("graft-odata").schema(sch)
+      .option("path", dir).load()
+    def planned(df: org.apache.spark.sql.DataFrame): (Int, Long) = {
+      val n = df.count()
+      val scan = odataScans(df.queryExecution.executedPlan).head
+      (scan.lastPlannedPages, n)
+    }
+    // count() builds its own plan; execute the frame itself
+    def plannedRows(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val rows = df.collect().length
+      val scan = odataScans(df.queryExecution.executedPlan).head
+      (scan.lastPlannedPages, rows)
+    }
+    // page p holds keys [p*250, p*250+249] across 4 pages
+    assert(plannedRows(fact.filter(col("o_orderkey") < 250)) == ((1, 250)))
+    assert(plannedRows(fact.filter(col("o_orderkey") >= 750)) == ((1, 250)))
+    assert(plannedRows(fact.filter(col("o_orderkey") === 500L)) == ((1, 1)))
+    assert(plannedRows(fact.filter(
+      col("o_orderkey").isin(10L, 260L))) == ((2, 2)))
+    // conjunction narrows to the overlap; disjunction unions the bands
+    assert(plannedRows(fact.filter(
+      col("o_orderkey") >= 200 && col("o_orderkey") <= 300)) == ((2, 101)))
+    assert(plannedRows(fact.filter(
+      col("o_orderkey") < 100 || col("o_orderkey") >= 900)) == ((2, 200)))
+    // boundary: >= page max must keep that page
+    assert(plannedRows(fact.filter(col("o_orderkey") >= 249)) == ((4, 751)))
+    // a predicate on an unranged column prunes nothing
+    assert(plannedRows(fact.filter(col("o_status") === "S0"))._1 == 4)
+    // all-out-of-range prunes everything, result still correct (empty)
+    assert(plannedRows(fact.filter(col("o_orderkey") > 5000)) == ((0, 0)))
+  }
+
   test("stats probes degrade on IO/parse failure, propagate fatal errors") {
     import graft.sources.odata.ODataScan
     // NonFatal -> None (the degrade-to-empty contract)
