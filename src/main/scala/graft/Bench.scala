@@ -550,8 +550,12 @@ object Bench {
       val qjson = results.filter(_.err.isEmpty).map { r =>
         s""""${esc(r.name)}":{"wall":${median(r.basis)},"cpu":${r.cpuMedian}}"""
       }.mkString("{", ",", "}")
+      // load_at_gate is the co-tenancy indicator (read BEFORE the
+      // session/warm-up's own burn inflates the 1-min average);
+      // loadavg_start keeps the post-warm envelope for transparency
       val bjson =
-        s"""{"sf":"${esc(sfDir)}","reps":$reps,"loadavg_start":$loadStart,"queries":$qjson}"""
+        s"""{"sf":"${esc(sfDir)}","reps":$reps,"load_at_gate":$gateLoad,""" +
+          s""""loadavg_start":$loadStart,"queries":$qjson}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(bp), (bjson + "\n").getBytes("UTF-8"))
       catch { case e: Throwable =>
