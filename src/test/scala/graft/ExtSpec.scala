@@ -2372,6 +2372,34 @@ class ExtSpec extends SparkSpec {
       "B" -> ((3L, 0L, 1L, 1L, 1L))), s"got $got")
   }
 
+  test("mannKendall: a single-day grid still reports every type " +
+    "(n_days = 1, zero pairs) — never zero rows") {
+    import spark.implicits._
+    // both types' events land on ONE day: no a.day < b.day pair exists,
+    // and a pair-anchored aggregate would emit NOTHING (ADVICE r13)
+    val ev = Seq(("A", 1L), ("A", 2L), ("B", 3L)).toDF("event_type", "o")
+      .withColumn("ts",
+        expr("CAST(timestamp_micros(o * 1000000) AS TIMESTAMP_NTZ)"))
+    val got = graft.ext.Stats.mannKendall(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      "A" -> ((1L, 0L, 0L, 0L, 0L)),
+      "B" -> ((1L, 0L, 0L, 0L, 0L))), s"got $got")
+  }
+
+  test("schemaDrift: a column name CONTAINING a backtick profiles " +
+    "without a parse error") {
+    import spark.implicits._
+    val v1 = Seq((1L, Option("a")), (2L, None))
+      .toDF("id", "we`ird")
+    val v2 = Seq((1L, "x")).toDF("id", "we`ird")
+    val got = graft.ext.Stats.schemaDrift(v1, v2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(got("we`ird") == (("kept", Some(500000L), Some(0L))), s"got $got")
+  }
+
   test("schemaDrift: all four statuses, exact null rates, empty side " +
     "reports NULL rates not zeros") {
     import spark.implicits._
