@@ -549,8 +549,16 @@ final class ODataScan(
     if (preds.isEmpty) files
     else ODataScan.statsProbe(ODataTableProvider.pageRanges(path)).flatten
       .fold(files) { ranges =>
+        // INTEGRAL literals only: longValue on a fractional literal
+        // truncates toward zero and flips strict comparisons at the
+        // boundary (GreaterThan(c, -0.5) vs a page with hi = 0 —
+        // truncation says prune, the true predicate says keep).
+        // Fractional/decimal literals are conservative keeps.
         def long(v: Any): Option[Long] = v match {
-          case n: java.lang.Number => Some(n.longValue)
+          case l: java.lang.Long    => Some(l)
+          case i: java.lang.Integer => Some(i.longValue)
+          case s: java.lang.Short   => Some(s.longValue)
+          case b: java.lang.Byte    => Some(b.longValue)
           case _ => None
         }
         def inRange(v: Any, lo: Long, hi: Long): Boolean = v match {

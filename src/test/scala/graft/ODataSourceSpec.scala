@@ -805,6 +805,10 @@ class ODataSourceSpec extends SparkSpec {
     assert(plannedRows(fact.filter(col("o_status") === "S0"))._1 == 4)
     // all-out-of-range prunes everything, result still correct (empty)
     assert(plannedRows(fact.filter(col("o_orderkey") > 5000)) == ((0, 0)))
+    // fractional literals are conservative keeps (longValue truncation
+    // would flip strict comparisons at the boundary)
+    assert(plannedRows(fact.filter(
+      col("o_orderkey") > -0.5))._1 == 4)
   }
 
   test("stats probes degrade on IO/parse failure, propagate fatal errors") {
