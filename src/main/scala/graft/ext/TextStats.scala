@@ -1533,6 +1533,44 @@ object TextStats {
         col("n_mixed_docs"))
   }
 
+  /** PII pattern registry — the ONE source of truth for [[piiScan]];
+    * the DuckDB oracle's regexp calls are GENERATED from it (the
+    * langMarkers convention, so engine and oracle can never drift).
+    * Patterns restrict themselves to syntax Java regex and RE2
+    * evaluate identically: character classes, bounded repetition,
+    * ASCII word boundaries (the x96 readability precedent). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** PII CONTENT SCAN — the privacy audit the structural k-anonymity /
+    * l-diversity / erasure family deliberately is not (those reason
+    * about quasi-identifier COLUMNS; training text leaks PII inside
+    * the content itself): per (source, pii_type), how many documents
+    * contain at least one match and the total hit count, for the
+    * email / phone / IPv4 registry patterns. The row a scrubbing
+    * rollout is sized and prioritized from ("source X: 4% of docs
+    * carry emails").
+    *
+    * Scale shape: one scan, three codegen'd regexp_count columns,
+    * a types-sized stack unpivot, one map-side-combinable aggregate
+    * over sources × types — embarrassingly parallel, the corpus never
+    * shuffles rows (only the tiny per-doc count triples). */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val perDoc = docs.select(
+      col("source") +: PiiPatterns.map { case (n, p) =>
+        regexp_count(t, lit(p)).cast("long").as(s"c_$n")
+      }: _*)
+    perDoc.select(col("source"), expr(
+      s"stack(${PiiPatterns.size}, " + PiiPatterns.map { case (n, _) =>
+        s"'$n', c_$n" }.mkString(", ") + ") AS (pii_type, c)"))
+      .groupBy(col("source"), col("pii_type"))
+      .agg(sum((col("c") > 0).cast("long")).as("n_docs"),
+        sum(col("c")).as("n_hits"))
+  }
+
   /** WITHIN-DOCUMENT REPETITION RATIO — the Gopher-family repetition
     * signal (Rae et al. 2021 §A1.2 filter on repeated n-grams) the
     * x40 word/symbol ratios deliberately don't cover: per document,

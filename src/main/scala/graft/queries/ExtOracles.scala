@@ -5442,6 +5442,27 @@ object ExtOracles {
          |       1000000 * n_new // n_shingles AS novelty_ppm
          |FROM b""".stripMargin,
 
+    // PII scan: the plant CASEs + one UNION leg per registry pattern,
+    // all GENERATED from TextStats.PiiPatterns (single source of truth).
+    "x277_pii_scan" -> {
+      // ONE line: the enclosing stripMargin must never see a line that
+      // starts with the first bar of a SQL || concatenation
+      val plant = "COALESCE(text, '')" +
+        " || CASE WHEN doc_id % 23 = 0 THEN ' contact a.user@example.com now' ELSE '' END" +
+        " || CASE WHEN doc_id % 29 = 0 THEN ' call 555-867-5309 soon' ELSE '' END" +
+        " || CASE WHEN doc_id % 31 = 0 THEN ' from 192.168.10.42 gateway' ELSE '' END"
+      val legs = graft.ext.TextStats.PiiPatterns.map { case (n, p) =>
+        s"SELECT source, '$n' AS pii_type, " +
+          s"len(regexp_extract_all(text, '$p')) AS c FROM p"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH p AS (SELECT source, $plant AS text FROM documents),
+         |  c AS ($legs)
+         |SELECT source, pii_type,
+         |       CAST(count(*) FILTER (c > 0) AS BIGINT) AS n_docs,
+         |       CAST(sum(c) AS BIGINT) AS n_hits
+         |FROM c GROUP BY 1, 2""".stripMargin
+    },
+
     // Within-doc repetition over ALL 3-gram windows (raw string_split,
     // the x35 window idiom — word_ngrams_all mirrors raw split
     // semantics including empty tokens).

@@ -879,6 +879,21 @@ object ExtQueries {
     // (27 docs with repeats at sf0.01, max ~71k ppm — non-vacuous).
     "x276_repetition_ratio" -> ((s, d) =>
       TextStats.repetitionRatio(docs(s, d))),
+    // PII content scan over a planted corpus: %23 docs get an email,
+    // %29 a phone, %31 an IPv4 (plants inside query AND oracle — the
+    // x13 convention); patterns from the ONE TextStats registry.
+    "x277_pii_scan" -> ((s, d) => {
+      val planted = docs(s, d).select(col("source"), concat(
+        coalesce(col("text"), lit("")),
+        when(col("doc_id") % 23 === 0,
+          lit(" contact a.user@example.com now")).otherwise(lit("")),
+        when(col("doc_id") % 29 === 0,
+          lit(" call 555-867-5309 soon")).otherwise(lit("")),
+        when(col("doc_id") % 31 === 0,
+          lit(" from 192.168.10.42 gateway")).otherwise(lit("")))
+        .as("text"))
+      TextStats.piiScan(planted)
+    }),
     // Murphy decomposition of the NB score's CALIBRATION (x186 is
     // only discrimination): the likelihood-ratio ppm maps to a
     // forecast probability p = r/(r + 1e6) in exact ppm, bins by

@@ -7527,6 +7527,29 @@ class ExtSpec extends SparkSpec {
     assert(got(12L)._3 == 500000L, s"got $got")
   }
 
+  test("piiScan: per-(source, type) doc and hit counts; multi-hit docs " +
+    "count once in n_docs; NULL text scans clean") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "write a@b.io or c@d.org today"),    // 2 email hits, 1 doc
+      ("s1", "call 555-123-4567 now"),             // 1 phone
+      ("s1", "plain prose, no identifiers"),
+      ("s2", "node 10.0.0.1 and 10.0.0.2 up"),     // 2 ipv4 hits
+      ("s2", null.asInstanceOf[String]))
+      .toDF("source", "text")
+    val got = graft.ext.TextStats.piiScan(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("s1", "email")) == ((1L, 2L)), s"got $got")
+    assert(got(("s1", "phone")) == ((1L, 1L)), s"got $got")
+    assert(got(("s1", "ipv4")) == ((0L, 0L)), s"got $got")
+    assert(got(("s2", "ipv4")) == ((1L, 2L)), s"got $got")
+    assert(got(("s2", "email")) == ((0L, 0L)), s"got $got")
+    // every (source, type) cell exists — absent is indistinguishable
+    // from clean otherwise
+    assert(got.size == 6, s"got $got")
+  }
+
   test("repetitionRatio: all-windows vs distinct difference in ppm; " +
     "clean prose 0; sub-n docs absent") {
     val docs = Seq(
