@@ -801,6 +801,13 @@ class ODataSourceSpec extends SparkSpec {
       col("o_orderkey") < 100 || col("o_orderkey") >= 900)) == ((2, 200)))
     // boundary: >= page max must keep that page
     assert(plannedRows(fact.filter(col("o_orderkey") >= 249)) == ((4, 751)))
+    // the disjunction COMPILES into the $filter request (first-class
+    // OData grammar), not just into pruning arithmetic
+    val orPlan = fact.filter(
+      col("o_orderkey") < 100 || col("o_orderkey") >= 900)
+      .queryExecution.executedPlan.toString
+    assert(orPlan.contains("(o_orderkey lt 100 or o_orderkey ge 900)"),
+      "disjunction not compiled into the filter request:\n" + orPlan)
     // a predicate on an unranged column prunes nothing
     assert(plannedRows(fact.filter(col("o_status") === "S0"))._1 == 4)
     // all-out-of-range prunes everything, result still correct (empty)
