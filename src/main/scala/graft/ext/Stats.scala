@@ -1994,6 +1994,46 @@ object Stats {
         expr("rel_ppm2 - res_ppm2 + unc_ppm2"))
   }
 
+  /** EXPECTED CALIBRATION ERROR — the single headline number on top of
+    * [[calibrationCurve]]'s picture and [[brierDecomposition]]'s
+    * decomposition (the number an LLM-judge or quality-gate rollout
+    * is actually thresholded on): bin by forecast ntile exactly as
+    * the Brier path does, then `ece_ppm = Σ n_b·|f̄_b − ō_b| div N`
+    * plus the max-bin gap (MCE). Pure integer throughout — bin means
+    * are the same floored ppm quantities as [[brierDecomposition]]'s,
+    * the weighted products stage through DECIMAL(38,0) ↔ HUGEINT
+    * (n_b·10⁶ brushes int64 at 10¹² rows), and the final division is
+    * one integral floor. One row out.
+    *
+    * Scale shape: identical to the Brier leg — the histogram-carve
+    * ntile (never a global sort), then everything lives on the
+    * buckets-row frame. */
+  def ece(
+      df: DataFrame, forecastPpm: String, outcome: String, id: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"bucket count $buckets must be positive")
+    val scored = df
+      .filter(col(forecastPpm).isNotNull && col(outcome).isNotNull)
+      .select(col(id), col(forecastPpm),
+        col(outcome).cast("long").as("__pos"))
+    val byBin = globalNtile(scored, forecastPpm, descOrder = false, id,
+      buckets, "bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_b"), sum(col("__pos")).as("pos_b"),
+        sum(col(forecastPpm)).as("f_sum"))
+      .select(col("n_b"), col("pos_b"),
+        expr("f_sum DIV n_b").as("f_b"),
+        expr("1000000 * pos_b DIV n_b").as("o_b"))
+    byBin
+      .agg(sum(col("n_b")).as("__n"), sum(col("pos_b")).as("__np"),
+        sum(expr("CAST(n_b AS DECIMAL(38,0)) * abs(f_b - o_b)"))
+          .as("__gap"),
+        max(expr("abs(f_b - o_b)")).as("mce_ppm"))
+      .select(col("__n").as("n"), col("__np").as("n_pos"),
+        expr("CAST(__gap DIV __n AS BIGINT)").as("ece_ppm"),
+        col("mce_ppm"))
+  }
+
   /** Per-group trimmed mean — the robust location estimate next to
     * [[winsorize]] (winsorize CLAMPS the tails, trim DROPS them):
     * per group, discard the lowest ⌈pLo·n/100⌉ and highest

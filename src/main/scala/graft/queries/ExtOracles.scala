@@ -5484,6 +5484,87 @@ object ExtOracles {
     // through the held-out score, forecast p = r/(r+1e6) in ppm,
     // native ntile(10) over the identical (fp, doc_id) total order
     // as the independent binning construction (the x138 convention).
+    
+    // Expected calibration error: the x269 NB chain verbatim through
+    // the b2 bin table (FIFTH clone of the x186 oracle prefix — edits
+    // to the NB pipeline must touch all five in lockstep), then the
+    // single weighted-|gap| division + the max-bin gap.
+    "x278_ece" ->
+      """WITH p0 AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 17 = 0 THEN replace(text, ' ', '')
+        |                  WHEN doc_id % 13 = 0 THEN text || ' !!! ### $$$'
+        |                  ELSE text END AS text
+        |           FROM documents),
+        |  p AS (SELECT doc_id, COALESCE(text, '') AS text FROM p0),
+        |  m AS (SELECT doc_id,
+        |          len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_words,
+        |          length(replace(text, ' ', '')) AS n_alpha,
+        |          length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_sym,
+        |          len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+        |        FROM p),
+        |  lab0 AS (SELECT doc_id,
+        |          ((n_words >= 50 AND n_words <= 100000)
+        |           AND ((CASE WHEN n_words = 0 THEN 0.0
+        |                 ELSE CAST(n_alpha AS DOUBLE) / n_words END) >= 3.0
+        |            AND (CASE WHEN n_words = 0 THEN 0.0
+        |                 ELSE CAST(n_alpha AS DOUBLE) / n_words END) <= 10.0)
+        |           AND (CASE WHEN n_words = 0 THEN 0.0
+        |                ELSE CAST(n_sym AS DOUBLE) / n_words END) <= 0.1
+        |           AND n_stop >= 2) AS passes
+        |        FROM m),
+        |  lab AS (SELECT doc_id, passes FROM lab0 WHERE doc_id % 2 = 0),
+        |  tok AS (SELECT doc_id, w FROM (
+        |            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM p)
+        |          WHERE length(w) > 0),
+        |  cnt AS (SELECT w,
+        |            CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS c_g,
+        |            CAST(sum(CASE WHEN passes THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |          FROM tok t JOIN lab l USING (doc_id) GROUP BY w),
+        |  tots AS (SELECT CAST(sum(c_g) AS BIGINT) AS n_g,
+        |                  CAST(sum(c_b) AS BIGINT) AS n_b,
+        |                  CAST(count(*) AS BIGINT) AS v
+        |           FROM cnt),
+        |  model AS (SELECT w,
+        |              (1000000::HUGEINT * (tots.n_b + tots.v) * (c_g + 1)) //
+        |              ((tots.n_g + tots.v)::HUGEINT * (c_b + 1)) AS r_ppm
+        |            FROM cnt CROSS JOIN tots),
+        |  r0 AS (SELECT (1000000::HUGEINT * (n_b + v)) // (n_g + v) AS r FROM tots),
+        |  sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |           sum(COALESCE(mo.r_ppm, r0.r)) AS tot
+        |         FROM tok t LEFT JOIN model mo USING (w) CROSS JOIN r0
+        |         WHERE t.doc_id % 2 <> 0
+        |         GROUP BY t.doc_id),
+        |  score AS (SELECT d.doc_id,
+        |              CAST(COALESCE(s.tot // s.n_tokens, 0) AS BIGINT) AS v
+        |            FROM p d LEFT JOIN sc s USING (doc_id)
+        |            WHERE d.doc_id % 2 <> 0),
+        |  f AS (SELECT s.doc_id,
+        |           CAST(1000000::HUGEINT * s.v // (s.v + 1000000) AS BIGINT)
+        |             AS fp,
+        |           l.passes
+        |        FROM score s JOIN lab0 l USING (doc_id)),
+        |  b AS (SELECT fp, passes,
+        |          CAST(ntile(10) OVER (ORDER BY fp, doc_id) AS BIGINT)
+        |            AS bucket
+        |        FROM f),
+        |  bb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nb,
+        |           CAST(count(*) FILTER (passes) AS BIGINT) AS pos_b,
+        |           CAST(sum(fp) AS BIGINT) AS f_sum
+        |         FROM b GROUP BY 1),
+        |  b2 AS (SELECT nb, pos_b, f_sum // nb AS f_b,
+        |           1000000 * pos_b // nb AS o_b
+        |         FROM bb),
+        |  t AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+        |          CAST(sum(pos_b) AS BIGINT) AS np
+        |        FROM b2)
+        |SELECT t.n, t.np AS n_pos,
+        |       CAST(sum(CAST(nb AS HUGEINT) * abs(f_b - o_b)) // t.n
+        |         AS BIGINT) AS ece_ppm,
+        |       CAST(max(abs(f_b - o_b)) AS BIGINT) AS mce_ppm
+        |FROM b2 CROSS JOIN t
+        |GROUP BY 1, 2""".stripMargin,
+
     "x269_brier" ->
       """WITH p0 AS (SELECT doc_id,
         |             CASE WHEN doc_id % 17 = 0 THEN replace(text, ' ', '')

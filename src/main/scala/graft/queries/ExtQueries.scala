@@ -862,6 +862,17 @@ object ExtQueries {
     // Mann-Kendall S per event type over the dense daily grid: the
     // nonparametric trend verdict next to OLS (x222) / Theil-Sen (x251).
     "x273_mann_kendall" -> ((s, d) => Stats.mannKendall(events(s, d))),
+    // Expected calibration error over the shared NB held-out forecast
+    // (the x269 binning, one headline ppm number + the max-bin gap) —
+    // the FIFTH member of the x186 NB oracle-clone family.
+    "x278_ece" -> ((s, d) =>
+      Stats.ece(
+        nbHeldOut(s, d).select(col("doc_id"),
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * nb_ppm DIV " +
+            "(nb_ppm + 1000000) AS BIGINT)")
+            .as("forecast_ppm"),
+          col("passes")),
+        "forecast_ppm", "passes", "doc_id")),
     // Cross-split leakage audit: the x18 exact-Jaccard pair set (shared
     // OnceCache) against the x20 hash-split assignment — near-dup pairs
     // straddling train/val/test (1 train-test + 1 train-val at sf0.01).

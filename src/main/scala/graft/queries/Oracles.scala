@@ -29,6 +29,23 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
         |FROM orders WHERE o_orderkey % 97 = 0 AND o_custkey >= 25""".stripMargin,
 
+    // the set-operation surface: INTERSECT (distinct) + the bag
+    // variants (EXCEPT ALL / INTERSECT ALL) — identical statement.
+    "q23_set_ops" ->
+      """SELECT 'intersect' AS leg, k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'except_all' AS leg, k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'intersect_all' AS leg, k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin,
+
     // GROUP BY ALL + aggregate FILTER: the identical statement.
     "q22_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority,

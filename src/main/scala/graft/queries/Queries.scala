@@ -1032,6 +1032,32 @@ object Queries {
         |FROM orders GROUP BY ALL""".stripMargin)
   }
 
+  /** Q23: the SQL SET-OPERATION surface with both duplicate
+    * semantics — `INTERSECT` (distinct), `INTERSECT ALL` /
+    * `EXCEPT ALL` (bag semantics: min / difference of
+    * multiplicities) — the pandas `isin`/`merge(indicator)` shapes
+    * the reference's report handling composes by hand. The three
+    * legs are tagged and unioned into one frame so one gate pins all
+    * three semantics; both engines run the IDENTICAL statement text
+    * (oracle side), the DataFrame API side uses the typed
+    * `intersect`/`intersectAll`/`exceptAll` operators — two
+    * independent spellings of the same semantics. */
+  def q23SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey").as("k"))
+    val ord = t(spark, dir, "orders")
+    def keys(status: String) =
+      ord.filter(col("o_orderstatus") === status)
+        .select(col("o_custkey").as("k"))
+    cust.intersect(ord.select(col("o_custkey").as("k")))
+      .select(lit("intersect").as("leg"), col("k"))
+      .unionByName(keys("F").exceptAll(keys("O"))
+        .select(lit("except_all").as("leg"), col("k")))
+      .unionByName(keys("F").intersectAll(keys("P"))
+        .select(lit("intersect_all").as("leg"), col("k")))
+  }
+
   def q14SqlEntry(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "orders").createOrReplaceTempView("orders")
     t(spark, dir, "customer").createOrReplaceTempView("customer")
@@ -1123,6 +1149,7 @@ object Queries {
     "q20_lateral" -> (q20Lateral _),
     "q21_recursive" -> (q21Recursive _),
     "q22_group_by_all" -> (q22GroupByAll _),
+    "q23_set_ops" -> (q23SetOps _),
     "q19_interval_frame" -> (q19IntervalFrame _),
     "q13_goals_vs_actuals" -> (q13GoalsVsActuals _),
     "q14_sql_entry" -> (q14SqlEntry _),

@@ -7546,6 +7546,28 @@ class ExtSpec extends SparkSpec {
         s"(${first.map(_._2).sum} s) — cache miss?")
   }
 
+  test("ece: perfectly calibrated bins read 0; a flipped outcome set " +
+    "reads the exact weighted gap") {
+    import spark.implicits._
+    // two forecast levels, 5 rows each, bucket count 2: bin means are
+    // 200000/800000 ppm by construction
+    def frame(posLo: Int, posHi: Int) =
+      ((1 to 5).map(i => (i.toLong, 200000L, i <= posLo)) ++
+        (6 to 10).map(i => (i.toLong, 800000L, i - 5 <= posHi)))
+        .toDF("id", "fp", "y")
+    val calibrated = graft.ext.Stats.ece(frame(1, 4), "fp", "y", "id",
+      buckets = 2).head()
+    assert((calibrated.getLong(0), calibrated.getLong(1),
+      calibrated.getLong(2), calibrated.getLong(3)) == ((10L, 5L, 0L, 0L)),
+      s"got $calibrated")
+    // flip: low bin observes 800000, high observes 200000 -> every
+    // bin gaps 600000 -> ece = mce = 600000
+    val flipped = graft.ext.Stats.ece(frame(4, 1), "fp", "y", "id",
+      buckets = 2).head()
+    assert((flipped.getLong(2), flipped.getLong(3)) == ((600000L, 600000L)),
+      s"got $flipped")
+  }
+
   test("piiScan: per-(source, type) doc and hit counts; multi-hit docs " +
     "count once in n_docs; NULL text scans clean") {
     import spark.implicits._
