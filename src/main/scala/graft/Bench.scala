@@ -238,9 +238,13 @@ object Bench {
     // meta_refresh convention. Per-key medians then measure the key's
     // OWN work regardless of sweep order or a BENCH_ONLY subset.
     // Best-effort: on a bad fixture dir every query fails loudly below.
+    // NonFatal only: an OOM during the warm build must kill the run —
+    // sweeping on after it would record contaminated medians from a
+    // damaged JVM into the artifact the round-over-round comparison
+    // trusts (the statsProbe discipline applied to the harness itself)
     val warmShared: Seq[(String, Double)] =
       try graft.queries.ExtQueries.warmShared(spark, sfDir)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"bench: shared warm-up failed: $e")
         Nil
       }

@@ -2024,7 +2024,10 @@ object Stats {
       .select(col("n_b"), col("pos_b"),
         expr("f_sum DIV n_b").as("f_b"),
         expr("1000000 * pos_b DIV n_b").as("o_b"))
-    byBin
+    // grouped on a constant, NOT a global aggregate: an empty or
+    // all-NULL input must yield ZERO rows (matching the oracle's
+    // GROUP BY shape), never one all-NULL row
+    byBin.groupBy(lit(1).as("__g"))
       .agg(sum(col("n_b")).as("__n"), sum(col("pos_b")).as("__np"),
         sum(expr("CAST(n_b AS DECIMAL(38,0)) * abs(f_b - o_b)"))
           .as("__gap"),

@@ -5480,11 +5480,6 @@ object ExtOracles {
         |         AS repetition_ppm
         |FROM w WHERE len(win) >= 1""".stripMargin,
 
-    // Brier/Murphy decomposition: the x186 NB pipeline verbatim
-    // through the held-out score, forecast p = r/(r+1e6) in ppm,
-    // native ntile(10) over the identical (fp, doc_id) total order
-    // as the independent binning construction (the x138 convention).
-    
     // Expected calibration error: the x269 NB chain verbatim through
     // the b2 bin table (FIFTH clone of the x186 oracle prefix — edits
     // to the NB pipeline must touch all five in lockstep), then the
@@ -5565,6 +5560,10 @@ object ExtOracles {
         |FROM b2 CROSS JOIN t
         |GROUP BY 1, 2""".stripMargin,
 
+    // Brier/Murphy decomposition: the x186 NB pipeline verbatim
+    // through the held-out score, forecast p = r/(r+1e6) in ppm,
+    // native ntile(10) over the identical (fp, doc_id) total order
+    // as the independent binning construction (the x138 convention).
     "x269_brier" ->
       """WITH p0 AS (SELECT doc_id,
         |             CASE WHEN doc_id % 17 = 0 THEN replace(text, ' ', '')

@@ -199,6 +199,16 @@ object ODataTableProvider {
     }
   }
 
+  // path-keyed memo for the ranges sidecar: one planning pass reads it
+  // from filterAttributes AND planInputPartitions (twice under AQE's
+  // runtime-filter re-plan) — on a remote FS each read is a network
+  // round trip. Sound because page directories are IMMUTABLE once
+  // rendered (new renders create new paths); a mutable server must
+  // version its path. Absent sidecars memoize as None too — a dir
+  // never gains one after the fact.
+  private val rangesCache =
+    new graft.util.OnceCache[String, Option[Map[String, Map[String, (Long, Long)]]]](64)
+
   /** Per-page [min, max] key ranges from the render-time
     * `_ranges.meta` sidecar (page-file name → column → inclusive
     * bounds) — the page-pruning metadata behind
@@ -207,20 +217,21 @@ object ODataTableProvider {
     * (correctness never depends on pruning — Spark re-applies the
     * join above the scan). */
   private[odata] def pageRanges(
-      dir: String): Option[Map[String, Map[String, (Long, Long)]]] = {
-    val p = new Path(dir, "_ranges.meta")
-    val fs = p.getFileSystem(hadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val node = try mapper.readTree(in) finally in.close()
-      Some(node.fields().asScala.map { e =>
-        e.getKey -> e.getValue.fields().asScala.map { c =>
-          c.getKey -> (c.getValue.get(0).asLong(), c.getValue.get(1).asLong())
-        }.toMap
-      }.toMap)
+      dir: String): Option[Map[String, Map[String, (Long, Long)]]] =
+    rangesCache.getOrCompute(dir) {
+      val p = new Path(dir, "_ranges.meta")
+      val fs = p.getFileSystem(hadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val node = try mapper.readTree(in) finally in.close()
+        Some(node.fields().asScala.map { e =>
+          e.getKey -> e.getValue.fields().asScala.map { c =>
+            c.getKey -> (c.getValue.get(0).asLong(), c.getValue.get(1).asLong())
+          }.toMap
+        }.toMap)
+      }
     }
-  }
 }
 
 final class ODataTable(tableSchema: StructType, path: String) extends Table with SupportsRead {
@@ -270,8 +281,17 @@ final class ODataScanBuilder(fullSchema: StructType, path: String)
     * would send `$skip=n` and let the server do the same walk over
     * its `$skiptoken` index. */
   override def pushOffset(n: Int): Boolean =
+    // the sidecar read is a plan-time PROBE: a corrupt/unreadable
+    // _counts.meta must DECLINE the pushdown (Spark keeps its own
+    // Offset operator and the query still runs), never crash the
+    // optimizer — the statsProbe contract (VERDICT r13 task 5; the
+    // execution-time read in planInputPartitions stays fail-loud,
+    // because there the offset is already accepted and silently
+    // mis-skipping rows would be wrong, not slow)
     if (n <= 0 || pushed.nonEmpty || limit.isDefined || topN.isDefined ||
-      agg.isDefined || ODataTableProvider.pageCounts(path).isEmpty) false
+      agg.isDefined ||
+      ODataScan.statsProbe(ODataTableProvider.pageCounts(path))
+        .flatten.isEmpty) false
     else { offset = Some(n); true }
 
   /** Accept the filter shapes OData `$filter` can express on scalar

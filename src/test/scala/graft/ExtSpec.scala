@@ -7566,6 +7566,11 @@ class ExtSpec extends SparkSpec {
       buckets = 2).head()
     assert((flipped.getLong(2), flipped.getLong(3)) == ((600000L, 600000L)),
       s"got $flipped")
+  
+    // empty / all-NULL input yields ZERO rows (the oracle's GROUP BY
+    // shape), never one all-NULL row
+    assert(graft.ext.Stats.ece(
+      frame(1, 4).filter(lit(false)), "fp", "y", "id").isEmpty)
   }
 
   test("piiScan: per-(source, type) doc and hit counts; multi-hit docs " +

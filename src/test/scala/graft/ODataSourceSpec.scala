@@ -675,26 +675,12 @@ class ODataSourceSpec extends SparkSpec {
       StructField("o_status", StringType))))
   }
 
-  /** Every ODataScan in the executed plan, reaching through AQE
-    * wrappers and materialized query stages. */
+  /** Delegates to the ONE shared AQE-reaching traversal (the gate
+    * uses the same one — a second copy would silently diverge when a
+    * new wrapper node type needs handling). */
   private def odataScans(
-      p: org.apache.spark.sql.execution.SparkPlan): Seq[graft.sources.odata.ODataScan] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-    val here = p match {
-      case b: BatchScanExec => b.scan match {
-        case o: graft.sources.odata.ODataScan => Seq(o)
-        case _ => Nil
-      }
-      case _ => Nil
-    }
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case other => other.children
-    }
-    here ++ kids.flatMap(odataScans)
-  }
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[graft.sources.odata.ODataScan] =
+    graft.sources.odata.ODataScan.scansIn(p)
 
   test("runtime filtering: dim-join build keys prune fact pages at execution") {
     val (dir, sch) = rtfFixture()
@@ -830,6 +816,18 @@ class ODataSourceSpec extends SparkSpec {
     intercept[InterruptedException] {
       ODataScan.statsProbe[Long] { throw new InterruptedException() }
     }
+    // a corrupt sidecar must DECLINE offset pushdown (Spark keeps its
+    // own Offset and the query still answers), never crash planning
+    val (odir, osch) = rtfFixture()
+    Files.write(Paths.get(odir, "_counts.meta"),
+      "{not json either".getBytes("UTF-8"))
+    val off = spark.read.format("graft-odata").schema(osch)
+      .option("path", odir).load()
+      .orderBy(col("o_orderkey")).offset(995)
+    assert(off.collect().map(_.getLong(0)).toSeq ==
+      (995L to 999L), "offset result wrong under a corrupt sidecar")
+    assert(!off.queryExecution.executedPlan.toString.contains("$skip"),
+      "offset must not push through a corrupt _counts.meta")
     // e2e: a CORRUPT _counts.meta degrades to byte-only statistics
     // (no row count, no crash) and the scan itself still reads
     val (dir, sch) = rtfFixture()
