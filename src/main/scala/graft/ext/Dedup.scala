@@ -1431,7 +1431,13 @@ object Dedup {
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+    // the seed |A| rides the canonical edges' own checkpoint action as
+    // an observe metric — a follow-up count() was a second pass over
+    // the just-materialized edge set (ADVICE r14), contradicting the
+    // one-action-per-round discipline the loop below pins
+    val seedObs = org.apache.spark.sql.Observation()
     var edges = canon(pairs.select(col("a_id").as("u"), col("b_id").as("v")))
+      .observe(seedObs, count(lit(1)).as("n_edges"))
       .localCheckpoint(true)
     // the node universe is pinned UP FRONT: star rewrites preserve the
     // vertex set, but a self-loop-only doc (degenerate input) has no
@@ -1444,10 +1450,11 @@ object Dedup {
     // idiom [[dupComponents]] pinned): the set-equality probe rides
     // the checkpoint action itself. New edge set B equals old set A
     // iff |B| = |A∩B| and |B| = |A| (both sides are distinct); |A| is
-    // last round's |B| (seeded by one count of the canonical edges),
-    // |B| and |A∩B| are observe metrics on the SAME job that
-    // materializes B — no count()+left_anti follow-up jobs.
-    var prevCount = edges.count()
+    // last round's |B| (seeded by the observe metric on the canonical
+    // edges' checkpoint — no separate count() job), |B| and |A∩B| are
+    // observe metrics on the SAME job that materializes B — no
+    // count()+left_anti follow-up jobs.
+    var prevCount = seedObs.get("n_edges").asInstanceOf[Long]
     var converged = prevCount == 0L
     var rounds = 0
     while (!converged) {

@@ -151,8 +151,13 @@ object CorpusPrepJob {
       // stage 4: near-dup pairs → components → canonical keeper per
       // component; non-keepers are rewritten away. The pair set is the
       // ingest artifact shape — materialized once, consumed twice.
+      // Components via star contraction (label-identical to min-label
+      // propagation, spec-proved): the production path must converge
+      // in O(log n) rounds even on an adversarial-diameter near-dup
+      // chain (10⁶ pathological boilerplate docs), where min-label
+      // propagation needs O(diameter) rounds and stalls the funnel.
       val pairs = Dedup.minhashNeardupMaterialized(exactKept, cfg.neardupThreshold)
-      val components = Dedup.dupComponents(pairs)
+      val components = Dedup.dupComponentsStar(pairs)
       val keepers = Dedup.canonicalPick(exactKept, components)
       val dropIds = components
         .join(keepers.select(col("component"), col("keeper_id")), "component")
@@ -332,9 +337,11 @@ object CorpusPrepJob {
     try {
       val gatedCount = TextStats.gopherRules(normalized).filter(col("passes"))
 
-      // within-batch near-dup rewrite, then the history probe
+      // within-batch near-dup rewrite, then the history probe —
+      // star-contraction components here too (the [[run]] rationale:
+      // diameter-safe in O(log n) rounds, label-identical)
       val pairs = Dedup.minhashNeardupMaterialized(exactKept, cfg.neardupThreshold)
-      val components = Dedup.dupComponents(pairs)
+      val components = Dedup.dupComponentsStar(pairs)
       val keepers = Dedup.canonicalPick(exactKept, components)
       val dropIds = components
         .join(keepers.select(col("component"), col("keeper_id")), "component")

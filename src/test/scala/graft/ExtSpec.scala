@@ -990,9 +990,10 @@ class ExtSpec extends SparkSpec {
       3L -> 3L, 7L -> 3L, 9L -> 3L,
       11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L, 15L -> 11L,
       100L -> 100L, 101L -> 100L), s"got $comp")
-    // 2 setup checkpoints (edges, nodes) + 1 seed count + ONE
+    // 2 setup checkpoints (edges — which carries the seed |A| as an
+    // observe metric, no separate count job — and nodes) + ONE
     // checkpoint action per converged round + the final collect
-    assert(jobs.get() <= 3 + rounds + 1,
+    assert(jobs.get() <= 2 + rounds + 1,
       s"too many actions: ${jobs.get()} for $rounds rounds — is the " +
         "convergence probe running separate count/anti-join jobs again?")
   }
