@@ -1538,7 +1538,11 @@ object TextStats {
     * langMarkers convention, so engine and oracle can never drift).
     * Patterns restrict themselves to syntax Java regex and RE2
     * evaluate identically: character classes, bounded repetition,
-    * ASCII word boundaries (the x96 readability precedent). */
+    * ASCII word boundaries (the x96 readability precedent). Patterns
+    * are written lowercase and [[piiScan]] matches them against
+    * `lower(text)` — case-robust without per-pattern (?i) flags,
+    * whose semantics the two regex engines don't share
+    * (`A.User@EXAMPLE.COM` counts; ADVICE r14). */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
     "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b",
@@ -1558,7 +1562,10 @@ object TextStats {
     * over sources × types — embarrassingly parallel, the corpus never
     * shuffles rows (only the tiny per-doc count triples). */
   def piiScan(docs: DataFrame): DataFrame = {
-    val t = coalesce(col("text"), lit(""))
+    // lower() BEFORE matching: the registry's patterns are lowercase,
+    // so an uppercase email/hostname would otherwise escape the audit
+    // (the oracle legs scan lower(text) in lockstep — generated)
+    val t = lower(coalesce(col("text"), lit("")))
     val perDoc = docs.select(
       col("source") +: PiiPatterns.map { case (n, p) =>
         regexp_count(t, lit(p)).cast("long").as(s"c_$n")

@@ -5444,16 +5444,18 @@ object ExtOracles {
 
     // PII scan: the plant CASEs + one UNION leg per registry pattern,
     // all GENERATED from TextStats.PiiPatterns (single source of truth).
+    // The %23 email plant is deliberately MIXED-CASE: it only counts
+    // because both engines scan lower(text) — the case-robustness proof.
     "x277_pii_scan" -> {
       // ONE line: the enclosing stripMargin must never see a line that
       // starts with the first bar of a SQL || concatenation
       val plant = "COALESCE(text, '')" +
-        " || CASE WHEN doc_id % 23 = 0 THEN ' contact a.user@example.com now' ELSE '' END" +
+        " || CASE WHEN doc_id % 23 = 0 THEN ' contact A.User@EXAMPLE.COM now' ELSE '' END" +
         " || CASE WHEN doc_id % 29 = 0 THEN ' call 555-867-5309 soon' ELSE '' END" +
         " || CASE WHEN doc_id % 31 = 0 THEN ' from 192.168.10.42 gateway' ELSE '' END"
       val legs = graft.ext.TextStats.PiiPatterns.map { case (n, p) =>
         s"SELECT source, '$n' AS pii_type, " +
-          s"len(regexp_extract_all(text, '$p')) AS c FROM p"
+          s"len(regexp_extract_all(lower(text), '$p')) AS c FROM p"
       }.mkString("\n        UNION ALL ")
       s"""WITH p AS (SELECT source, $plant AS text FROM documents),
          |  c AS ($legs)

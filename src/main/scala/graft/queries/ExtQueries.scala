@@ -890,14 +890,16 @@ object ExtQueries {
     // (27 docs with repeats at sf0.01, max ~71k ppm — non-vacuous).
     "x276_repetition_ratio" -> ((s, d) =>
       TextStats.repetitionRatio(docs(s, d))),
-    // PII content scan over a planted corpus: %23 docs get an email,
-    // %29 a phone, %31 an IPv4 (plants inside query AND oracle — the
-    // x13 convention); patterns from the ONE TextStats registry.
+    // PII content scan over a planted corpus: %23 docs get an email
+    // (MIXED-CASE — it only counts because the scan lowercases, the
+    // case-robustness proof), %29 a phone, %31 an IPv4 (plants inside
+    // query AND oracle — the x13 convention); patterns from the ONE
+    // TextStats registry.
     "x277_pii_scan" -> ((s, d) => {
       val planted = docs(s, d).select(col("source"), concat(
         coalesce(col("text"), lit("")),
         when(col("doc_id") % 23 === 0,
-          lit(" contact a.user@example.com now")).otherwise(lit("")),
+          lit(" contact A.User@EXAMPLE.COM now")).otherwise(lit("")),
         when(col("doc_id") % 29 === 0,
           lit(" call 555-867-5309 soon")).otherwise(lit("")),
         when(col("doc_id") % 31 === 0,

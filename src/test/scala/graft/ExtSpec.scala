@@ -7575,10 +7575,12 @@ class ExtSpec extends SparkSpec {
   }
 
   test("piiScan: per-(source, type) doc and hit counts; multi-hit docs " +
-    "count once in n_docs; NULL text scans clean") {
+    "count once in n_docs; UPPERCASE hits count; NULL text scans clean") {
     import spark.implicits._
     val docs = Seq(
-      ("s1", "write a@b.io or c@d.org today"),    // 2 email hits, 1 doc
+      // the second address is uppercase — the lowercase-only registry
+      // would miss it without the lower(text) scan (ADVICE r14)
+      ("s1", "write a@b.io or C@D.ORG today"),     // 2 email hits, 1 doc
       ("s1", "call 555-123-4567 now"),             // 1 phone
       ("s1", "plain prose, no identifiers"),
       ("s2", "node 10.0.0.1 and 10.0.0.2 up"),     // 2 ipv4 hits
