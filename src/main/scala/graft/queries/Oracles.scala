@@ -109,6 +109,14 @@ object Oracles {
         |FROM orders WHERE o_orderkey % 100 = 0
         |  AND o_orderkey >= 400 AND o_orderkey <= 1200""".stripMargin,
 
+    // the TIMESTAMP watermark pruning leg: pruning must never change
+    // rows, so the result equals the plain filtered projection of the
+    // events slice the page server renders
+    "s12_odata_ts_prune" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |FROM events WHERE event_id % 40 = 0
+        |  AND ts >= TIMESTAMP '2024-01-25 00:00:00'""".stripMargin,
+
     // the $orderby+$top leg over the same page "server": the total
     // order (custkey DESC, orderkey) makes the selected 20 rows exact.
     "s5_odata_topn" ->

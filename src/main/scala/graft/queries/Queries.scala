@@ -32,6 +32,18 @@ object Queries {
   private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Gate-side PLAN assertions (the s10/s11/s12 pruning pins) execute
+    * the query once INSIDE the builder — correct for the correctness
+    * gate (Verify proves pruning happened on the gated run itself),
+    * wrong for the bench (each timed rep would run the scan job twice
+    * and read mutable per-scan state a concurrent execution could
+    * race — ADVICE r14). System property `graft.gate.asserts=off`
+    * (set by [[graft.Bench]]) skips them; the same assertions are
+    * ALSO independently spec-pinned in ODataSourceSpec, so switching
+    * them off never un-pins the behavior. Default ON. */
+  private[graft] def gateAsserts: Boolean =
+    !sys.props.get("graft.gate.asserts").contains("off")
+
   // ---------------------------------------------------------------- scans
 
   /** S2: incremental predicate pushed into the parquet scan. */
@@ -443,7 +455,7 @@ object Queries {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_orderpriority"), col("d_cents"))
     val nPages = ODataTableProvider.pageFiles(pagesDir).size
-    if (nPages > 1) {
+    if (nPages > 1 && gateAsserts) {
       // collect() executes THIS dataset's own query execution, so the
       // scan instance the assertion reads is the one that just ran
       // (the join output is a handful of rows — the fact side never
@@ -482,13 +494,48 @@ object Queries {
       .load()
       .filter(col("o_orderkey") >= 400L && col("o_orderkey") <= 1200L)
     val nPages = ODataTableProvider.pageFiles(pagesDir).size
-    if (nPages > 1) {
+    if (nPages > 1 && gateAsserts) {
       q.collect()
       val scan = ODataScan.scansIn(q.queryExecution.executedPlan)
         .headOption.getOrElse(
           throw new IllegalStateException("no ODataScan in executed plan"))
       require(scan.lastPlannedPages < nPages,
         s"pushed range filter pruned nothing: " +
+          s"${scan.lastPlannedPages} of $nPages pages planned")
+    }
+    q
+  }
+
+  /** S12: TIMESTAMP page pruning — the literal production shape of
+    * S11's watermark claim. The reference's ONE incremental predicate
+    * is `filterField ge <ISO timestamp>`
+    * (`resources/priorityDataSource.py:646-675`); a sidecar that can
+    * only bound long keys never prunes it. The events page server
+    * (arrival-ordered, `_ranges.meta` carrying tagged epoch-micros
+    * `ts` bounds next to plain long `event_id` bounds) takes the
+    * pushed `ts >= watermark` and plans only the TAIL pages — at
+    * 100 TB the nightly refresh reads the new slice, not every page
+    * the entity ever served. Fractional/string literals and
+    * kind-mismatched columns stay conservative keeps (spec-pinned).
+    * When the slice spans >1 page the gate REQUIRES pruning (the s11
+    * convention, behind [[gateAsserts]]). */
+  def s12ODataTsPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.odata.{ODataPages, ODataScan, ODataTableProvider}
+    val pagesDir = ODataPages.eventsPages(spark, dir)
+    val q = spark.read.format("graft-odata")
+      .schema(ODataPages.eventsSchema)
+      .option("path", pagesDir)
+      .load()
+      .filter(col("ts") >=
+        lit(Timestamp.valueOf("2024-01-25 00:00:00")))
+    val nPages = ODataTableProvider.pageFiles(pagesDir).size
+    if (nPages > 1 && gateAsserts) {
+      q.collect()
+      val scan = ODataScan.scansIn(q.queryExecution.executedPlan)
+        .headOption.getOrElse(
+          throw new IllegalStateException("no ODataScan in executed plan"))
+      require(scan.lastPlannedPages < nPages,
+        s"pushed watermark pruned nothing: " +
           s"${scan.lastPlannedPages} of $nPages pages planned")
     }
     q
@@ -1110,6 +1157,7 @@ object Queries {
     "s9_odata_strings" -> (s9ODataStrings _),
     "s10_odata_runtime_prune" -> (s10ODataRuntimePrune _),
     "s11_odata_static_prune" -> (s11ODataStaticPrune _),
+    "s12_odata_ts_prune" -> (s12ODataTsPrune _),
     "s6_odata_agg" -> (s6ODataAgg _),
     "q16_sql_catalog" -> (q16SqlCatalog _),
     "q17_unpivot" -> (q17Unpivot _),

@@ -107,6 +107,86 @@ object ODataPages {
       root.toString
     }
 
+  val EventsModulus = 40
+  val EventsPageSize = 60
+
+  /** The watermark-server gate's explicit read schema (s12): the
+    * timestamp column is the point — the reference's ONE production
+    * incremental predicate is `filterField ge <ISO timestamp>`
+    * (`resources/priorityDataSource.py:646-675`). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType)))
+
+  private val eventsCache = new graft.util.OnceCache[(String, String), String](8)
+
+  /** Render (once) the TIMESTAMP-ordered events page server: the
+    * `event_id % 40 = 0` slice sorted by (ts, event_id) and chunked
+    * [[EventsPageSize]] per page — the layout a server that serves
+    * rows in arrival order produces, where a watermark predicate
+    * should read only the TAIL pages. `ts` serializes as a naive ISO
+    * string with exact microseconds (OData's Edm.DateTimeOffset wire
+    * shape; [[ODataFilters.toMicros]] parses naive as UTC — the
+    * session convention — so the round trip is exact at micro
+    * precision, none of the float/timezone hazards the orders pages'
+    * scaladoc avoids). The `_ranges.meta` sidecar carries `event_id`
+    * as plain long bounds AND `ts` as tagged epoch-micros bounds
+    * (`{"t":"ts","lo":…,"hi":…}`) — both sidecar shapes in one
+    * directory, exercising the mixed-shape reader. */
+  def eventsPages(spark: SparkSession, sfDir: String): String =
+    eventsCache.getOrCompute((spark.sparkContext.applicationId, sfDir)) {
+      val rows = spark.read.parquet(s"$sfDir/events.parquet")
+        .filter(pmod(col("event_id"), lit(EventsModulus)) === 0)
+        // the fixture's physical ts is TIMESTAMP_NTZ (or raw nanos on
+        // old renders) — cast through TimestampType under the session
+        // UTC zone, the ParquetSimSource convention
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"))
+        .orderBy("ts", "event_id")
+        .collect() // bounded: 1/EventsModulus of events — see Scaladoc
+      val dir = java.nio.file.Files.createTempDirectory("odata_events")
+      val m = ODataTableProvider.mapper
+      val counts = m.createObjectNode()
+      val ranges = m.createObjectNode()
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+      def iso(us: Long): String = {
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+        java.time.format.DateTimeFormatter
+          .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSSSSS")
+          .withZone(java.time.ZoneOffset.UTC).format(inst)
+      }
+      rows.grouped(EventsPageSize).zipWithIndex.foreach { case (page, i) =>
+        val root = m.createObjectNode()
+        val arr = root.putArray("value")
+        page.foreach { r =>
+          val o = arr.addObject()
+          o.put("event_id", r.getLong(0))
+          o.put("ts", iso(micros(r.getTimestamp(1))))
+          o.put("user_id", r.getLong(2))
+          o.put("event_type", r.getString(3))
+        }
+        java.nio.file.Files.write(
+          dir.resolve(f"page_$i%05d.json"), m.writeValueAsBytes(root))
+        counts.put(f"page_$i%05d.json", page.length.toLong)
+        val pr = ranges.putObject(f"page_$i%05d.json")
+        val ids = page.map(_.getLong(0))
+        val ar = pr.putArray("event_id")
+        ar.add(ids.min); ar.add(ids.max)
+        val tss = page.map(r => micros(r.getTimestamp(1)))
+        val tr = pr.putObject("ts")
+        tr.put("t", "ts"); tr.put("lo", tss.min); tr.put("hi", tss.max)
+      }
+      java.nio.file.Files.write(
+        dir.resolve("_counts.meta"), m.writeValueAsBytes(counts))
+      java.nio.file.Files.write(
+        dir.resolve("_ranges.meta"), m.writeValueAsBytes(ranges))
+      dir.toString
+    }
+
   private val linkedCache = new graft.util.OnceCache[(String, String), String](8)
   val LinkedModulus = 97
   val LinkedPageSize = 60

@@ -207,17 +207,25 @@ object ODataTableProvider {
   // version its path. Absent sidecars memoize as None too — a dir
   // never gains one after the fact.
   private val rangesCache =
-    new graft.util.OnceCache[String, Option[Map[String, Map[String, (Long, Long)]]]](64)
+    new graft.util.OnceCache[String, Option[Map[String, Map[String, ODataPageRange]]]](64)
 
   /** Per-page [min, max] key ranges from the render-time
     * `_ranges.meta` sidecar (page-file name → column → inclusive
     * bounds) — the page-pruning metadata behind
-    * `SupportsRuntimeFiltering`. None when the directory carries no
-    * sidecar: runtime filters are then accepted but prune nothing
+    * `SupportsRuntimeFiltering`. Two value shapes per column: a bare
+    * `[lo, hi]` array is a LONG range; a tagged object
+    * `{"t":"ts","lo":µs,"hi":µs}` is a TIMESTAMP range in
+    * epoch-micros — the watermark (`filterField ge <ISO ts>`,
+    * reference priorityDataSource.py:646-675) is a timestamp, and a
+    * sidecar that can only bound longs can never prune the one
+    * incremental predicate every production refresh pushes. An
+    * unrecognized shape drops just that column (it prunes nothing —
+    * conservative). None when the directory carries no sidecar:
+    * runtime filters are then accepted but prune nothing
     * (correctness never depends on pruning — Spark re-applies the
     * join above the scan). */
   private[odata] def pageRanges(
-      dir: String): Option[Map[String, Map[String, (Long, Long)]]] =
+      dir: String): Option[Map[String, Map[String, ODataPageRange]]] =
     rangesCache.getOrCompute(dir) {
       val p = new Path(dir, "_ranges.meta")
       val fs = p.getFileSystem(hadoopConf())
@@ -226,13 +234,29 @@ object ODataTableProvider {
         val in = fs.open(p)
         val node = try mapper.readTree(in) finally in.close()
         Some(node.fields().asScala.map { e =>
-          e.getKey -> e.getValue.fields().asScala.map { c =>
-            c.getKey -> (c.getValue.get(0).asLong(), c.getValue.get(1).asLong())
+          e.getKey -> e.getValue.fields().asScala.flatMap { c =>
+            val v = c.getValue
+            if (v.isArray && v.size() == 2)
+              Some(c.getKey -> ODataPageRange(isTs = false,
+                v.get(0).asLong(), v.get(1).asLong()))
+            else if (v.isObject && v.has("t") && v.get("t").asText == "ts" &&
+              v.has("lo") && v.has("hi"))
+              Some(c.getKey -> ODataPageRange(isTs = true,
+                v.get("lo").asLong(), v.get("hi").asLong()))
+            else None
           }.toMap
         }.toMap)
       }
     }
 }
+
+/** One column's per-page value range from the `_ranges.meta` sidecar:
+  * inclusive [lo, hi] — plain long bounds, or epoch-micros timestamp
+  * bounds when `isTs` (the tagged-object sidecar shape). The kind
+  * gates which literal types may be judged against it: a long
+  * literal never prunes a timestamp range and vice versa
+  * (conservative keeps, never a silent epoch/number conflation). */
+final case class ODataPageRange(isTs: Boolean, lo: Long, hi: Long)
 
 final class ODataTable(tableSchema: StructType, path: String) extends Table with SupportsRead {
   override def name(): String = s"odata:$path"
@@ -562,18 +586,19 @@ final class ODataScan(
     * and skipping it is always sound), runtime filters prune at
     * EXECUTION time (S4i). A page keeps its partition unless a
     * conjunct rules its whole range out — untranslatable conjuncts,
-    * non-integral values, and pages absent from the sidecar are all
-    * conservative keeps. */
+    * kind-mismatched or non-integral/non-timestamp literals, and
+    * pages absent from the sidecar are all conservative keeps. */
   private def prunePages(
       files: Seq[String], preds: Array[Filter]): Seq[String] =
     if (preds.isEmpty) files
     else ODataScan.statsProbe(ODataTableProvider.pageRanges(path)).flatten
       .fold(files) { ranges =>
-        // INTEGRAL literals only: longValue on a fractional literal
-        // truncates toward zero and flips strict comparisons at the
-        // boundary (GreaterThan(c, -0.5) vs a page with hi = 0 —
-        // truncation says prune, the true predicate says keep).
-        // Fractional/decimal literals are conservative keeps.
+        // INTEGRAL literals only against long ranges: longValue on a
+        // fractional literal truncates toward zero and flips strict
+        // comparisons at the boundary (GreaterThan(c, -0.5) vs a page
+        // with hi = 0 — truncation says prune, the true predicate
+        // says keep). Fractional/decimal literals are conservative
+        // keeps.
         def long(v: Any): Option[Long] = v match {
           case l: java.lang.Long    => Some(l)
           case i: java.lang.Integer => Some(i.longValue)
@@ -581,25 +606,44 @@ final class ODataScan(
           case b: java.lang.Byte    => Some(b.longValue)
           case _ => None
         }
-        def inRange(v: Any, lo: Long, hi: Long): Boolean = v match {
-          case null => false // equality/membership: NULL never matches
-          case _ => long(v).forall(l => l >= lo && l <= hi)
+        // TIMESTAMP literals against timestamp ranges, in the exact
+        // epoch-micros the sidecar carries (both Spark DSv2 literal
+        // spellings; micro precision is exact — no truncation hazard
+        // like the fractional-long case). A year-out-of-long-micros
+        // Instant overflows → conservative keep, never a wrap.
+        def tsMicros(v: Any): Option[Long] = v match {
+          case t: java.sql.Timestamp =>
+            Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000L)
+          case i: java.time.Instant =>
+            try Some(Math.addExact(
+              Math.multiplyExact(i.getEpochSecond, 1000000L),
+              i.getNano / 1000L))
+            catch { case _: ArithmeticException => None }
+          case _ => None
         }
-        def mayMatch(pr: Map[String, (Long, Long)], f: Filter): Boolean =
+        // the range's KIND picks the conversion: a long literal never
+        // judges a timestamp range (and vice versa) — None is the
+        // conservative keep
+        def bound(v: Any, r: ODataPageRange): Option[Long] =
+          if (r.isTs) tsMicros(v) else long(v)
+        def inRange(v: Any, r: ODataPageRange): Boolean = v match {
+          case null => false // equality/membership: NULL never matches
+          case _ => bound(v, r).forall(l => l >= r.lo && l <= r.hi)
+        }
+        def mayMatch(pr: Map[String, ODataPageRange], f: Filter): Boolean =
           f match {
             case In(c, vs) =>
-              pr.get(c).forall { case (lo, hi) =>
-                vs.exists(inRange(_, lo, hi)) }
+              pr.get(c).forall(r => vs.exists(inRange(_, r)))
             case EqualTo(c, v) =>
-              pr.get(c).forall { case (lo, hi) => inRange(v, lo, hi) }
+              pr.get(c).forall(r => inRange(v, r))
             case GreaterThan(c, v) =>
-              pr.get(c).forall { case (_, hi) => long(v).forall(hi > _) }
+              pr.get(c).forall(r => bound(v, r).forall(r.hi > _))
             case GreaterThanOrEqual(c, v) =>
-              pr.get(c).forall { case (_, hi) => long(v).forall(hi >= _) }
+              pr.get(c).forall(r => bound(v, r).forall(r.hi >= _))
             case LessThan(c, v) =>
-              pr.get(c).forall { case (lo, _) => long(v).forall(lo < _) }
+              pr.get(c).forall(r => bound(v, r).forall(r.lo < _))
             case LessThanOrEqual(c, v) =>
-              pr.get(c).forall { case (lo, _) => long(v).forall(lo <= _) }
+              pr.get(c).forall(r => bound(v, r).forall(r.lo <= _))
             case And(l, r) => mayMatch(pr, l) && mayMatch(pr, r)
             case Or(l, r) => mayMatch(pr, l) || mayMatch(pr, r)
             case _ => true // Not/IsNull/strings/…: ranges can't rule out

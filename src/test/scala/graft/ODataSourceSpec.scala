@@ -804,6 +804,159 @@ class ODataSourceSpec extends SparkSpec {
       col("o_orderkey") > -0.5))._1 == 4)
   }
 
+  /** Render a 4-page EVENTS directory with a timestamp column: page p
+    * holds ids [p*100, p*100+99] and ts spanning day p (hours 0..23,
+    * cycling), with `_ranges.meta` carrying `event_id` as plain long
+    * bounds AND `ts` as tagged epoch-micros bounds — the mixed-shape
+    * sidecar [[graft.sources.odata.ODataPages.eventsPages]] renders. */
+  private def tsFixture(): (String, StructType) = {
+    val dir = tmpDir("odata_ts")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val counts = m.createObjectNode()
+    val ranges = m.createObjectNode()
+    def micros(day: Int, hour: Int): Long =
+      java.time.LocalDateTime.of(2024, 3, 1 + day, hour, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+    (0 until 4).foreach { p =>
+      val rows = (0 until 100).map { i =>
+        val k = p * 100 + i
+        val ts = java.time.LocalDateTime.of(2024, 3, 1 + p, i % 24, 0, 0)
+        s"""{"event_id": $k, "ts": "$ts:00.000000", "etype": "t${k % 3}"}"""
+      }
+      val name = f"page_$p%05d.json"
+      Files.write(Paths.get(dir, name),
+        s"""{"value": [${rows.mkString(",")}]}""".getBytes("UTF-8"))
+      counts.put(name, 100L)
+      val pr = ranges.putObject(name)
+      val ak = pr.putArray("event_id")
+      ak.add(p * 100L); ak.add(p * 100L + 99L)
+      val tr = pr.putObject("ts")
+      tr.put("t", "ts")
+      tr.put("lo", micros(p, 0)); tr.put("hi", micros(p, 23))
+    }
+    Files.write(Paths.get(dir, "_counts.meta"), m.writeValueAsBytes(counts))
+    Files.write(Paths.get(dir, "_ranges.meta"), m.writeValueAsBytes(ranges))
+    (dir, StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("etype", StringType))))
+  }
+
+  test("timestamp page pruning: a pushed ts watermark plans only the " +
+    "tail pages; boundaries keep; long bounds still prune beside it") {
+    val (dir, sch) = tsFixture()
+    val fact = spark.read.format("graft-odata").schema(sch)
+      .option("path", dir).load()
+    def plannedRows(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val rows = df.collect().length
+      val scan = graft.sources.odata.ODataScan
+        .scansIn(df.queryExecution.executedPlan).head
+      (scan.lastPlannedPages, rows)
+    }
+    def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    // watermark at day 2's midnight: days 0-1 prune, 2-3 plan
+    assert(plannedRows(fact.filter(
+      col("ts") >= lit(ts("2024-03-03 00:00:00")))) == ((2, 200)))
+    // strictly-after the last page's hi prunes everything, rows empty
+    assert(plannedRows(fact.filter(
+      col("ts") > lit(ts("2024-03-04 23:00:00")))) == ((0, 0)))
+    // boundary: >= page hi keeps that page (inclusive bounds)
+    assert(plannedRows(fact.filter(
+      col("ts") >= lit(ts("2024-03-01 23:00:00"))))._1 == 4)
+    // equality inside one page's range plans just that page (hours
+    // cycle i % 24, so hour 5 hits rows i = 5, 29, 53, 77)
+    assert(plannedRows(fact.filter(
+      col("ts") === lit(ts("2024-03-02 05:00:00")))) == ((1, 4)))
+    // upper bound prunes the tail
+    assert(plannedRows(fact.filter(
+      col("ts") < lit(ts("2024-03-02 00:00:00")))) == ((1, 100)))
+    // conjunction with the LONG-ranged key narrows to the overlap —
+    // both sidecar shapes judge in one conjunction
+    assert(plannedRows(fact.filter(
+      col("ts") >= lit(ts("2024-03-02 00:00:00")) &&
+        col("event_id") < 300)) == ((2, 200)))
+    // an unranged column never prunes
+    assert(plannedRows(fact.filter(col("etype") === "t0"))._1 == 4)
+  }
+
+  test("timestamp page pruning: kind mismatches and unknown sidecar " +
+    "shapes are conservative keeps, results unchanged") {
+    // sidecar/schema drift: the sidecar tags ts bounds on a column the
+    // schema types as LONG — a long literal must NOT judge the
+    // epoch-micros range (silent conflation would prune live pages)
+    val dir = tmpDir("odata_ts_drift")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ranges = m.createObjectNode()
+    (0 until 2).foreach { p =>
+      val rows = (0 until 10).map { i =>
+        s"""{"k": ${p * 10 + i}}"""
+      }
+      val name = f"page_$p%05d.json"
+      Files.write(Paths.get(dir, name),
+        s"""{"value": [${rows.mkString(",")}]}""".getBytes("UTF-8"))
+      val pr = ranges.putObject(name)
+      if (p == 0) { // ts-tagged bounds under a long-typed column
+        val tr = pr.putObject("k")
+        tr.put("t", "ts"); tr.put("lo", 0L); tr.put("hi", 9L)
+      } else { // unknown shape: dropped at parse, prunes nothing
+        val tr = pr.putObject("k")
+        tr.put("t", "weird"); tr.put("lo", 10L); tr.put("hi", 19L)
+      }
+    }
+    Files.write(Paths.get(dir, "_ranges.meta"), m.writeValueAsBytes(ranges))
+    val sch = StructType(Seq(StructField("k", LongType)))
+    val df = spark.read.format("graft-odata").schema(sch)
+      .option("path", dir).load().filter(col("k") >= 15)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (15L to 19L),
+      "rows wrong under sidecar kind drift")
+    val scan = graft.sources.odata.ODataScan
+      .scansIn(df.queryExecution.executedPlan).head
+    assert(scan.lastPlannedPages == 2,
+      s"kind-mismatched/unknown ranges must keep all pages, " +
+        s"planned ${scan.lastPlannedPages}")
+  }
+
+  test("catalog-routed DPP: a spark.sql dim join against <cat>.ORDERS " +
+    "prunes pages, rows unchanged") {
+    // the s10 gate proves DPP on the format reader; this pins the SAME
+    // ODataTable pruning when the scan is planned through GraftCatalog
+    val root = tmpDir("odata_cat_dpp")
+    val (pages, _) = rtfFixture()
+    val entityDir = Paths.get(root, "ORDERS")
+    Files.createDirectories(entityDir)
+    Files.list(Paths.get(pages)).forEach { p =>
+      Files.copy(p, entityDir.resolve(p.getFileName))
+    }
+    // catalog name derived from the root: CatalogManager caches
+    // plugins by name (the q16 gotcha)
+    val cat = "cat_dpp_" + Integer.toHexString(root.hashCode).takeRight(6)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.odata.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    import spark.implicits._
+    val dimPath = tmpDir("cat_dpp_dim")
+    // the selective flag predicate is load-bearing: PartitionPruning
+    // only plans DPP when the build side carries one (the s10 fixture
+    // convention)
+    Seq((10L, 1), (20L, 1), (30L, 0)).toDF("k", "flag")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("cat_dpp_dim")
+    val q = spark.sql(
+      s"""SELECT /*+ BROADCAST(d) */ f.o_orderkey, f.o_custkey
+         |FROM $cat.ORDERS f
+         |JOIN cat_dpp_dim d ON f.o_orderkey = d.k AND d.flag = 1
+         |""".stripMargin)
+    val rows = q.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L),
+      s"catalog join rows wrong: ${rows.mkString(",")}")
+    val scan = graft.sources.odata.ODataScan
+      .scansIn(q.queryExecution.executedPlan).head
+    assert(scan.runtimeFilterCount > 0,
+      "no runtime filter reached the catalog-routed scan")
+    assert(scan.lastPlannedPages < 4,
+      s"catalog-routed scan pruned nothing: ${scan.lastPlannedPages} of 4")
+  }
+
   test("stats probes degrade on IO/parse failure, propagate fatal errors") {
     import graft.sources.odata.ODataScan
     // NonFatal -> None (the degrade-to-empty contract)
