@@ -216,6 +216,8 @@ object ExtQueries {
         graft.sources.odata.ODataPages.ordersExpandRoot(spark, dir) },
       timed("odata_linked") {
         graft.sources.odata.ODataPages.ordersLinkedPages(spark, dir) },
+      timed("odata_events") {
+        graft.sources.odata.ODataPages.eventsPages(spark, dir) },
       timed("tf_frame") { docTfStats(spark, dir) },
       timed("capped_tf") { cappedTfStats(spark, dir) },
       timed("minhash_pairs") { minhashPairs(spark, dir) },

@@ -7531,8 +7531,8 @@ class ExtSpec extends SparkSpec {
   test("warmShared builds every shared-artifact family and is " +
     "idempotent (second call is cache hits)") {
     val expected = Set("odata_pages", "odata_expand", "odata_linked",
-      "tf_frame", "capped_tf", "minhash_pairs", "ngram_pairs",
-      "bpe_merges", "nb_held_out", "dup_components")
+      "odata_events", "tf_frame", "capped_tf", "minhash_pairs",
+      "ngram_pairs", "bpe_merges", "nb_held_out", "dup_components")
     val first = graft.queries.ExtQueries.warmShared(spark, sf)
     assert(first.map(_._1).toSet == expected,
       s"artifact set drifted: ${first.map(_._1)}")
