@@ -1548,6 +1548,17 @@ object TextStats {
     "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b",
     "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
 
+  /** Row predicate from the same registry: does `text` contain at
+    * least one hit of ANY pattern? The one-column form the prep
+    * funnel's audit row sums ([[graft.run.CorpusPrepJob]]) — same
+    * lower(text) discipline as [[piiScan]], so the two can never
+    * disagree about what counts as a hit. */
+  def piiAnyHit: Column = {
+    val t = lower(coalesce(col("text"), lit("")))
+    PiiPatterns.map { case (_, p) => regexp_count(t, lit(p)) > 0 }
+      .reduce(_ || _)
+  }
+
   /** PII CONTENT SCAN — the privacy audit the structural k-anonymity /
     * l-diversity / erasure family deliberately is not (those reason
     * about quasi-identifier COLUMNS; training text leaks PII inside

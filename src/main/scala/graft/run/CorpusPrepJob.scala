@@ -75,7 +75,20 @@ object CorpusPrepJob {
         * so a caller that ingests continuously can defer them instead
         * of paying the export sorts on every initial load. The corpus,
         * the MinHash index, and the funnel always land. */
-      exports: Boolean = true)
+      exports: Boolean = true,
+      /** When true, the funnel gains two AUDIT rows over the written
+        * corpus (VERDICT r14 task 6 — the x274/x277 operators surfaced
+        * in the run report a curation team actually watches):
+        * `7_audit_cross_split_pairs` = near-dup pairs whose BOTH
+        * endpoints survived into the corpus with DIFFERENT splits
+        * (0 by construction — the canonical rewrite keeps at most one
+        * member per component; a non-zero row means the
+        * dedup-before-split invariant broke), and `7_audit_pii_docs`
+        * = corpus docs with >= 1 registry PII hit (the scrubbing
+        * backlog). Default OFF: the default funnel stays
+        * BYTE-identical — the x62/x68 gate rows depend on that (the
+        * blocklist convention). */
+      auditRows: Boolean = false)
 
   /** What a run leaves behind: the funnel (one row per stage — the
     * observability row a curation team watches), the same counts as a
@@ -216,7 +229,7 @@ object CorpusPrepJob {
       // x62/x68 pin it), eager so it survives the finally-release of
       // the cached intermediates it counts
       val funnel = assembleFunnel(cfg, normalized, gatedCount,
-        gatedForDedup, exactKept, neardupKept, corpus)
+        gatedForDedup, exactKept, neardupKept, corpus, pairs)
       writer.write(funnel, FunnelTable, append = false)
 
       val counts = funnel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -231,13 +244,14 @@ object CorpusPrepJob {
   private def assembleFunnel(
       cfg: PrepConfig, normalized: DataFrame, gatedCount: DataFrame,
       gatedForDedup: DataFrame, exactKept: DataFrame,
-      neardupKept: DataFrame, corpus: DataFrame): DataFrame = {
+      neardupKept: DataFrame, corpus: DataFrame,
+      pairs: DataFrame): DataFrame = {
     def stage(name: String, d: DataFrame): DataFrame =
       d.agg(count(lit(1)).as("n_docs"))
         .select(lit(name).as("stage"), col("n_docs"))
     val head = stage("1_raw", normalized)
       .unionByName(stage("2_gate_passed", gatedCount))
-    (if (cfg.blocklist.isEmpty) head
+    val base = (if (cfg.blocklist.isEmpty) head
      else head.unionByName(stage("2b_blocklist_passed", gatedForDedup)))
       .unionByName(stage("3_exact_unique", exactKept))
       .unionByName(stage("4_neardup_kept", neardupKept))
@@ -248,7 +262,28 @@ object CorpusPrepJob {
       .unionByName(stage("5_clean", corpus))
       .unionByName(corpus.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
         .select(concat(lit("6_split_"), col("split")).as("stage"), col("n_docs")))
+    (if (!cfg.auditRows) base
+     else base.unionByName(auditFunnelRows(pairs, corpus)))
       .localCheckpoint(true)
+  }
+
+  /** The two opt-in audit rows (cfg.auditRows — see the knob's
+    * scaladoc): both read the WRITTEN corpus, so they audit what
+    * downstream actually consumes, not an intermediate. The leakage
+    * join touches only the (small) pair set — pairs whose endpoints
+    * were rewritten away vanish at the inner join; the PII row is one
+    * codegen'd predicate sum riding a corpus scan. */
+  private def auditFunnelRows(pairs: DataFrame, corpus: DataFrame): DataFrame = {
+    val leaky = Dedup
+      .splitLeakage(pairs, corpus.select(col("doc_id"), col("split")))
+      .filter(col("is_cross"))
+      .agg(coalesce(sum(col("n_pairs")), lit(0L)).as("n_docs"))
+      .select(lit("7_audit_cross_split_pairs").as("stage"), col("n_docs"))
+    val pii = corpus
+      .agg(coalesce(sum(TextStats.piiAnyHit.cast("long")), lit(0L))
+        .as("n_docs"))
+      .select(lit("7_audit_pii_docs").as("stage"), col("n_docs"))
+    leaky.unionByName(pii)
   }
 
   /** The refresh leg of the lifecycle — [[run]] is the corpus analog
@@ -382,13 +417,18 @@ object CorpusPrepJob {
       // 5_clean counts withSplit (≡ clean — hashSplit emits exactly
       // one row per input doc and the join is inner 1:1), so the
       // decontamination subtree is never evaluated twice
-      val funnel = stage("1_raw", normalized)
+      val funnelBase = stage("1_raw", normalized)
         .unionByName(stage("2_gate_passed", gatedCount))
         .unionByName(stage("3_exact_unique", exactKept))
         .unionByName(stage("4_neardup_kept", neardupKept))
         .unionByName(stage("5_clean", withSplit))
         .unionByName(withSplit.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
           .select(concat(lit("6_split_"), col("split")).as("stage"), col("n_docs")))
+      // the same opt-in audit rows as [[run]], over THIS batch's
+      // survivors (the withSplit checkpoint — no standing-table read,
+      // so the rows stay batch-scoped like every other funnel leg)
+      val funnel = (if (!cfg.auditRows) funnelBase
+        else funnelBase.unionByName(auditFunnelRows(pairs, withSplit)))
         .localCheckpoint(true)
 
       batchId match {

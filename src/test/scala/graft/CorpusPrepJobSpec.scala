@@ -404,6 +404,51 @@ class CorpusPrepJobSpec extends SparkSpec {
       corpus.count())
   }
 
+  test("auditRows: funnel gains the leakage + PII rows; default funnel " +
+    "unchanged; the cross-split invariant holds and PII matches a " +
+    "direct registry scan") {
+    // plant PII on every 10th doc so the audit row is non-vacuous —
+    // mixed case, so the row also rides the lower(text) discipline
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 10 === 0,
+        concat(coalesce(col("text"), lit("")),
+          lit(" contact A.User@EXAMPLE.COM now")))
+        .otherwise(col("text")))
+    val wh = tmpDir("prepaudit")
+    val writer = new StagingWriter(spark, wh)
+    val report = CorpusPrepJob.run(planted, evalDocs, writer,
+      PrepConfig(exports = false, auditRows = true))
+    val c = report.stageCounts
+    // the canonical rewrite keeps at most one member per dup
+    // component, so no surviving near-dup pair can straddle splits —
+    // a non-zero row here means the dedup-before-split ordering broke
+    assert(c("7_audit_cross_split_pairs") == 0L, s"leaky pairs: $c")
+    // the PII row equals a direct registry scan of the WRITTEN corpus
+    val corpus = writer.read(CorpusPrepJob.CorpusTable)
+    val direct = corpus
+      .filter(graft.ext.TextStats.piiAnyHit).count()
+    assert(c("7_audit_pii_docs") == direct,
+      s"audit row ${c.get("7_audit_pii_docs")} != direct $direct")
+    assert(direct > 0L, "PII plant vacuous — no doc survived with a hit")
+    // non-audit stages are the same set the default funnel publishes
+    val defaultRun = CorpusPrepJob.run(planted, evalDocs,
+      new StagingWriter(spark, tmpDir("prepaudit0")),
+      PrepConfig(exports = false))
+    assert(c.keySet.filterNot(_.startsWith("7_audit_")) ==
+      defaultRun.stageCounts.keySet,
+      "audit flag must only ADD rows")
+    assert(defaultRun.stageCounts.keySet.forall(!_.startsWith("7_audit_")),
+      "default funnel must carry no audit rows")
+    // the increment leg publishes the same audit rows, batch-scoped
+    val batch = planted.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+    val inc = CorpusPrepJob.increment(batch, evalDocs, writer,
+      PrepConfig(exports = false, auditRows = true))
+    assert(inc.stageCounts.contains("7_audit_cross_split_pairs"))
+    assert(inc.stageCounts.contains("7_audit_pii_docs"))
+    assert(inc.stageCounts("7_audit_cross_split_pairs") == 0L)
+  }
+
   test("mixBudget: the train mixture artifact is written and within budget") {
     val wh = tmpDir("prepmix")
     val writer = new StagingWriter(spark, wh)
