@@ -1751,6 +1751,61 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("is_cross", col("split_a") =!= col("split_b"))
 
+  /** REVERSE contamination audit — the per-EVAL-ITEM view
+    * [[decontaminate]]'s per-training-doc flag cannot give: for every
+    * eval item, how many DISTINCT training documents quote at least
+    * one of its word `n`-grams, and how many of its distinct grams are
+    * quoted at all. The report an eval-suite owner reads to decide
+    * which benchmark items are BURNED (quoted by half the corpus —
+    * scrubbing the corpus is hopeless, retire the item) versus
+    * lightly leaked (drop the few offending docs). `evalDocs` carries
+    * (eval_id, text); every eval item reports, zeros included.
+    *
+    * Scale shape: identical to [[decontaminate]] — the benchmark-sized
+    * (eval_id, hash) pairs BROADCAST, the corpus streams through its
+    * deduped shingle hashes once, and the two distinct-counts ride one
+    * map-side-combinable aggregate per eval item. Counting on 64-bit
+    * shingle hashes, the standing x18/x35 collision trade. */
+  def contaminationSources(
+      train: DataFrame, evalDocs: DataFrame, n: Int = 13): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val evalHashes = broadcast(
+      evalDocs.select(col("eval_id"),
+        explode(transform(shingles(col("text"), n), s => xxhash64(s)))
+          .as("h"))
+        .distinct())
+    val hits = shingleHashes(train, n)
+      .join(evalHashes, "h")
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("doc_id")).as("n_contaminating_docs"),
+        countDistinct(col("h")).as("n_matched_ngrams"))
+    evalDocs.select(col("eval_id")).distinct()
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_contaminating_docs"), lit(0L))
+          .as("n_contaminating_docs"),
+        coalesce(col("n_matched_ngrams"), lit(0L)).as("n_matched_ngrams"))
+  }
+
+  /** Duplicate-cluster SIZE DISTRIBUTION over a component labeling —
+    * the one-page answer to "where does the duplicate mass sit":
+    * boilerplate shows up as a few giant components (one keeper,
+    * thousands dropped), organic duplication as many pairs. One row
+    * per component size: how many components have it and how many
+    * docs they hold. Feeds capacity planning for the canonical
+    * rewrite (a 10⁶-doc component means 10⁶−1 deletions riding one
+    * keeper pick).
+    *
+    * Scale shape: two map-side-combinable aggregates over the
+    * (doc_id, component) labels — the corpus never appears. */
+  def componentSizeDist(components: DataFrame): DataFrame =
+    components.groupBy(col("component"))
+      .agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_components"))
+      .select(col("size"), col("n_components"),
+        (col("size") * col("n_components")).as("n_docs"))
+
   /** N-GRAM NOVELTY of an incoming batch against the standing corpus —
     * the ingest-time "is this new data or more of the same" score a
     * dedup-aware crawler reads before paying for full processing: per

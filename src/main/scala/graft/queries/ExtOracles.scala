@@ -3602,6 +3602,64 @@ object ExtOracles {
          |FROM (SELECT DISTINCT a FROM e) n JOIN reach r ON r.a = n.a
          |GROUP BY n.a""".stripMargin,
 
+    // Component size histogram: x24's recursive closure extended by
+    // two grouped counts — sizes are exact integers, so the histogram
+    // hash-gates directly.
+    "x279_component_sizes" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS (
+         |    SELECT a_id, b_id FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 8 * (sa.sz + sb.sz - i.i)),
+         |  e AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |        UNION SELECT b_id, a_id FROM pairs),
+         |  reach(a, b) AS (
+         |    SELECT a, b FROM e
+         |    UNION
+         |    SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |  comp AS (
+         |    SELECT n.a AS doc_id, least(min(r.b), n.a) AS component
+         |    FROM (SELECT DISTINCT a FROM e) n JOIN reach r ON r.a = n.a
+         |    GROUP BY n.a),
+         |  cs AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+         |         FROM comp GROUP BY 1)
+         |SELECT size, CAST(count(*) AS BIGINT) AS n_components,
+         |       size * CAST(count(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY 1""".stripMargin,
+
+    // Reverse contamination audit: x19's gram construction with the
+    // eval side KEYED (eval_id = source doc_id) and the aggregate
+    // grouped per eval item; two distinct-counts (grams string-side
+    // here, 64-bit hashes engine-side — the x18/x35 collision trade).
+    "x280_contamination_sources" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |  tg AS (SELECT doc_id, unnest(list_distinct(
+        |           [array_to_string(s[i:i+12], ' ') FOR i IN range(1, len(s)-11)])) AS g
+        |         FROM tr),
+        |  ev_src AS (SELECT doc_id AS eval_id,
+        |               list_slice(string_split(text, ' '), 5, 30) AS s
+        |             FROM documents WHERE doc_id % 50 = 0),
+        |  eg AS (SELECT DISTINCT eval_id, unnest(
+        |           [array_to_string(s[i:i+12], ' ') FOR i IN range(1, len(s)-11)]) AS g
+        |         FROM ev_src),
+        |  hits AS (SELECT eval_id,
+        |             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminating_docs,
+        |             CAST(count(DISTINCT g) AS BIGINT) AS n_matched_ngrams
+        |           FROM eg JOIN tg USING (g) GROUP BY 1)
+        |SELECT e.eval_id,
+        |       coalesce(h.n_contaminating_docs, 0) AS n_contaminating_docs,
+        |       coalesce(h.n_matched_ngrams, 0) AS n_matched_ngrams
+        |FROM (SELECT DISTINCT eval_id FROM ev_src) e
+        |LEFT JOIN hits h ON e.eval_id = h.eval_id""".stripMargin,
+
     // Star-contraction components produce the IDENTICAL labeling, so
     // the oracle is x24's recursive closure verbatim — the gate proves
     // the O(log n) algorithm computes the same answer as the O(diam)

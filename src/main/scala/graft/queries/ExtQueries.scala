@@ -635,6 +635,21 @@ object ExtQueries {
     // x24 oracle replays verbatim.
     "x266_dup_components_star" -> ((s, d) =>
       graft.ext.Dedup.dupComponentsStar(minhashPairs(s, d))),
+    // Duplicate-cluster size histogram over the shared labeling —
+    // where the duplicate mass sits (giant boilerplate components vs
+    // organic pairs); rides the x24 component cache.
+    "x279_component_sizes" -> ((s, d) =>
+      Dedup.componentSizeDist(dupComps(s, d))),
+    // REVERSE contamination audit over the x19 planted eval set: per
+    // eval item, distinct quoting docs + distinct quoted grams — the
+    // burned-benchmark-item report (x19 answers per-TRAINING-doc).
+    "x280_contamination_sources" -> ((s, d) => {
+      val dd = docs(s, d)
+      val ev = dd.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("eval_id"),
+          array_join(slice(split(col("text"), " "), 5, 26), " ").as("text"))
+      Dedup.contaminationSources(dd, ev)
+    }),
     // Canonical keeper per duplicate component: best quality (x8 tree)
     // wins, doc_id tiebreak — not blindly the lowest id; shares the
     // component labels with x24.

@@ -7599,6 +7599,44 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 6, s"got $got")
   }
 
+  test("componentSizeDist: histogram over hand-labeled components; " +
+    "docs reconcile to the label count") {
+    import spark.implicits._
+    // components: {1,2} size 2, {5,6,7} size 3, {9,10} size 2
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (7L, 5L),
+      (9L, 9L), (10L, 9L)).toDF("doc_id", "component")
+    val got = graft.ext.Dedup.componentSizeDist(labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(2L -> ((2L, 4L)), 3L -> ((1L, 3L))), s"got $got")
+    assert(got.values.map(_._2).sum == labels.count())
+  }
+
+  test("contaminationSources: per-eval-item distinct quoting docs and " +
+    "quoted grams; zero rows survive; multi-doc quotes count once each") {
+    import spark.implicits._
+    // 3-gram shingles: eval item 100's text appears in docs 1 AND 2;
+    // eval 200's in doc 3 only; eval 300 is quoted nowhere
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),         // grams: abc, bcd
+      (2L, "zzz alpha beta gamma"),           // quotes abg too
+      (3L, "one two three four five"),
+      (4L, "unrelated text entirely here"))
+      .toDF("doc_id", "text")
+    val ev = Seq(
+      (100L, "alpha beta gamma"),
+      (200L, "two three four"),
+      (300L, "never seen words"))
+      .toDF("eval_id", "text")
+    val got = graft.ext.Dedup.contaminationSources(train, ev, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(100L) == ((2L, 1L)), s"got $got") // docs 1+2 quote the one gram
+    assert(got(200L) == ((1L, 1L)), s"got $got")
+    assert(got(300L) == ((0L, 0L)), s"got $got") // burned-nowhere row survives
+    assert(got.size == 3)
+  }
+
   test("repetitionRatio: all-windows vs distinct difference in ppm; " +
     "clean prose 0; sub-n docs absent") {
     val docs = Seq(
