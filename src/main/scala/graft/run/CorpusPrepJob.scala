@@ -161,14 +161,11 @@ object CorpusPrepJob {
       // count, not a second text scan)
       val gatedCount = TextStats.gopherRules(normalized).filter(col("passes"))
 
-      // stage 4: near-dup pairs → components → canonical keeper per
-      // component; non-keepers are rewritten away. The pair set is the
-      // ingest artifact shape — materialized once, consumed twice.
-      // Components via star contraction (label-identical to min-label
-      // propagation, spec-proved): the production path must converge
-      // in O(log n) rounds even on an adversarial-diameter near-dup
-      // chain (10⁶ pathological boilerplate docs), where min-label
-      // propagation needs O(diameter) rounds and stalls the funnel.
+      // stage 4: near-dup pairs → components (star contraction —
+      // label-identical to min-label propagation, spec-proved, but
+      // O(log n) rounds where a boilerplate chain stalls min-label) →
+      // canonical keeper; non-keepers are rewritten away. The pair
+      // set is the ingest artifact shape — built once, consumed twice.
       val pairs = Dedup.minhashNeardupMaterialized(exactKept, cfg.neardupThreshold)
       val components = Dedup.dupComponentsStar(pairs)
       val keepers = Dedup.canonicalPick(exactKept, components)
