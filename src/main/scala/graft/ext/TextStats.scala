@@ -1548,6 +1548,48 @@ object TextStats {
     "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b",
     "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
 
+  /** PER-SOURCE DATASET CARDS — the one-table summary a curation team
+    * publishes next to a corpus release (the "data card" convention:
+    * HuggingFace dataset cards, Dolma's per-source tables): for every
+    * source, volume (docs, raw-split tokens, chars), language spread
+    * (distinct langs + dominant lang under the x204 tie policy: count
+    * desc, lang asc), near-duplicate exposure (docs appearing in >= 1
+    * flagged pair — the pair set is the SHARED ingest artifact, not a
+    * new scan), and the PII backlog ([[piiAnyHit]] registry). Every
+    * cell is an exact integer or a deterministically-picked string,
+    * so the card hash-gates.
+    *
+    * Scale shape: one corpus scan feeding a source-sized aggregate,
+    * one source×lang aggregate + a source-partitioned rank window,
+    * and one narrow join of the (small) dup-doc id set back to the
+    * corpus — no all-pairs work here; the pair set is an input. */
+  def dataCards(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(coalesce(col("text"), lit("")), " ")).cast("long"))
+        .as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(piiAnyHit.cast("long")).as("n_pii_docs"))
+    val dupDocs = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val dups = docs.join(dupDocs, "doc_id").groupBy(col("source"))
+      .agg(count(lit(1)).as("n_dup_docs"))
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("c").desc, col("lang"))
+    val topLang = docs.filter(col("lang").isNotNull)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(byLang))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    base.join(dups, Seq("source"), "left")
+      .join(topLang, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("n_langs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        col("n_pii_docs"), col("top_lang"))
+  }
+
   /** Row predicate from the same registry: does `text` contain at
     * least one hit of ANY pattern? The one-column form the prep
     * funnel's audit row sums ([[graft.run.CorpusPrepJob]]) — same

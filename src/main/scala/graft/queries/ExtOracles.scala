@@ -3635,6 +3635,52 @@ object ExtOracles {
          |       size * CAST(count(*) AS BIGINT) AS n_docs
          |FROM cs GROUP BY 1""".stripMargin,
 
+    // Per-source dataset cards: the x24 pair construction feeds the
+    // dup-exposure leg; the PII predicate legs are GENERATED from
+    // TextStats.PiiPatterns (lower(text), the x277 convention); the
+    // dominant lang rides the x204 tie policy (count desc, lang asc).
+    "x281_data_cards" -> {
+      val piiHit = graft.ext.TextStats.PiiPatterns.map { case (_, p) =>
+        s"len(regexp_extract_all(lower(coalesce(text, '')), '$p')) > 0"
+      }.mkString("(", " OR ", ")")
+      s"""WITH $shingleCte,
+         |  ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |  sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         |  inter AS (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(count(*) AS BIGINT) AS i
+         |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  pairs AS (
+         |    SELECT a_id, b_id FROM inter i
+         |    JOIN sz sa ON sa.doc_id = i.a_id
+         |    JOIN sz sb ON sb.doc_id = i.b_id
+         |    WHERE 10 * i.i >= 8 * (sa.sz + sb.sz - i.i)),
+         |  dup AS (SELECT a_id AS doc_id FROM pairs
+         |          UNION SELECT b_id FROM pairs),
+         |  base AS (SELECT source,
+         |      CAST(count(*) AS BIGINT) AS n_docs,
+         |      CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tokens,
+         |      CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |      CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |      CAST(count(*) FILTER ($piiHit) AS BIGINT) AS n_pii_docs
+         |    FROM documents GROUP BY 1),
+         |  du AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_dup_docs
+         |         FROM documents d JOIN dup USING (doc_id) GROUP BY 1),
+         |  tl AS (SELECT source, lang AS top_lang FROM (
+         |      SELECT source, lang,
+         |             row_number() OVER (PARTITION BY source
+         |               ORDER BY count(*) DESC, lang) AS rn
+         |      FROM documents WHERE lang IS NOT NULL
+         |      GROUP BY source, lang) WHERE rn = 1)
+         |SELECT b.source, b.n_docs, b.n_tokens, b.n_chars, b.n_langs,
+         |       coalesce(du.n_dup_docs, 0) AS n_dup_docs, b.n_pii_docs,
+         |       tl.top_lang
+         |FROM base b
+         |LEFT JOIN du ON b.source = du.source
+         |LEFT JOIN tl ON b.source = tl.source""".stripMargin
+    },
+
     // Reverse contamination audit: x19's gram construction with the
     // eval side KEYED (eval_id = source doc_id) and the aggregate
     // grouped per eval item; two distinct-counts (grams string-side

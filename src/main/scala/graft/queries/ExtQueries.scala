@@ -640,6 +640,11 @@ object ExtQueries {
     // organic pairs); rides the x24 component cache.
     "x279_component_sizes" -> ((s, d) =>
       Dedup.componentSizeDist(dupComps(s, d))),
+    // Per-source dataset cards: volume, language spread (x204 tie
+    // policy), near-dup exposure over the SHARED pair set, PII
+    // backlog — the release-table composition row.
+    "x281_data_cards" -> ((s, d) =>
+      TextStats.dataCards(docs(s, d), minhashPairs(s, d))),
     // REVERSE contamination audit over the x19 planted eval set: per
     // eval item, distinct quoting docs + distinct quoted grams — the
     // burned-benchmark-item report (x19 answers per-TRAINING-doc).

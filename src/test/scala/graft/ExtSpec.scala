@@ -7599,6 +7599,34 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 6, s"got $got")
   }
 
+  test("dataCards: per-source volume/lang/dup/PII cells; the lang tie " +
+    "breaks (count desc, lang asc); pairless sources report zero dups") {
+    import spark.implicits._
+    val docs = Seq(
+      // s1: 3 docs, langs en/en/de -> top en; doc 2 carries PII; docs
+      // 1+2 sit in a flagged pair
+      (1L, "alpha beta", "en", "s1", 10L),
+      (2L, "email A.User@EXAMPLE.COM here", "en", "s1", 29L),
+      (3L, "drei worte hier", "de", "s1", 15L),
+      // s2: 2 docs, one lang each -> tie on count, 'de' < 'en' wins;
+      // no pairs, no PII; NULL text counts 1 raw-split token
+      (4L, null.asInstanceOf[String], "en", "s2", 0L),
+      (5L, "ein zwei", "de", "s2", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val got = graft.ext.TextStats.dataCards(docs, pairs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = got("s1")
+    assert(s1.getLong(1) == 3L && s1.getLong(5) == 2L && // docs, dups
+      s1.getLong(6) == 1L && s1.getString(7) == "en", s"s1: $s1")
+    assert(s1.getLong(2) == 2L + 3L + 3L, s"s1 tokens: $s1")
+    assert(s1.getLong(3) == 54L && s1.getLong(4) == 2L, s"s1: $s1")
+    val s2 = got("s2")
+    assert(s2.getLong(5) == 0L && s2.getLong(6) == 0L, s"s2: $s2")
+    assert(s2.getString(7) == "de", s"s2 tie must break to de: $s2")
+    assert(s2.getLong(2) == 1L + 2L, s"s2 NULL text = 1 raw token: $s2")
+  }
+
   test("componentSizeDist: histogram over hand-labeled components; " +
     "docs reconcile to the label count") {
     import spark.implicits._
