@@ -36,6 +36,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JVM-default TZ pinned too: Timestamp.valueOf literals in gates
+  // and specs parse in the JVM default zone while pages, sidecar
+  // bounds, and the DuckDB oracle's naive timestamps are UTC-anchored
+  // — on a non-UTC machine every boundary-exact assertion would skew
+  "-Duser.timezone=UTC",
   // 16g default: the 8g heap evicted persisted frames under the
   // artifact queries' memory pressure and made the hybrid-retrieval
   // bench key's spread roam 4-19 s (isolated medians were stable) —

@@ -46,11 +46,13 @@ import org.apache.spark.sql.SparkSession
   *     arriving mid-sweep now delays measurement instead of
   *     contaminating it, and substitution is the last resort.
   *   - CORROBORATED SUBSTITUTION: a drift-flagged key takes its
-  *     baseline wall only when >= 1 of its reps was judged
-  *     contended/starved; all-clean drift is a candidate code
-  *     REGRESSION and keeps its measured median in the headline
-  *     (listed in `regressed`) — a >2x slowdown can no longer hide
-  *     behind the substitution rule.
+  *     baseline wall only when its median basis is itself
+  *     contaminated (EVERY rep flagged — no clean rep survived);
+  *     drift evidenced by clean reps is a candidate code REGRESSION
+  *     and keeps its measured median in the headline (listed in
+  *     `regressed`) — a >2x slowdown can no longer hide behind the
+  *     substitution rule, even when a transient co-tenant blip
+  *     flagged one discarded rep.
   */
 object Bench {
 
@@ -431,12 +433,16 @@ object Bench {
     // rule a genuine >2x code regression was reported at its
     // pre-regression speed — contamination and regression were
     // indistinguishable. A drifted key takes its baseline wall ONLY
-    // when contamination is evidenced (>= 1 of its reps was judged
-    // contended/starved this run); a drifted key whose reps are all
-    // clean is a candidate REGRESSION — its measured median stays in
-    // the headline and the key lands in "regressed".
+    // when its median BASIS is itself contaminated — i.e. NO clean
+    // rep exists, so the reported median is built from flagged
+    // samples. If any clean rep exists, the basis is the clean reps
+    // (QRes construction), and a clean median >2x baseline is
+    // evidence of a code REGRESSION, not contamination: one transient
+    // co-tenant blip on a DISCARDED rep must not launder a real
+    // slowdown into "substituted". Such keys keep their measured
+    // median in the headline and land in "regressed".
     val rawTotal = results.map(r => median(r.basis)).sum
-    def corroborated(r: QRes): Boolean = r.all.exists(_._2)
+    def corroborated(r: QRes): Boolean = r.all.forall(_._2)
     val substituted = results.flatMap { r =>
       drifted(r).filter(_ => corroborated(r)).map(b => r.name -> b.wall)
     }

@@ -31,6 +31,12 @@ object GraftSession {
 
   def create(master: String = "local[*]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    // pin the JVM-default zone alongside the session zone: gate/spec
+    // Timestamp.valueOf literals parse in the JVM default, and the
+    // page sidecars + DuckDB oracle's naive timestamps are UTC —
+    // without this, a non-UTC host skews every boundary-exact
+    // comparison (java-launched mains bypass build.sbt's -Duser.timezone)
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val spark = builder(master, shufflePartitions).getOrCreate()
     // getOrCreate may return a pre-existing session whose extensions
     // config didn't apply — runtime registration is idempotent

@@ -1564,21 +1564,36 @@ object TextStats {
     * and one narrow join of the (small) dup-doc id set back to the
     * corpus — no all-pairs work here; the pair set is an input. */
   def dataCards(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val base = docs.groupBy(col("source")).agg(
+    // ONE text-bearing corpus scan: pre-aggregate at (source, lang)
+    // granularity — fine enough for the dominant-lang pick and every
+    // source-level cell rolls up from it. The pre-aggregate is
+    // source×lang-sized (tiny) and feeds two consumers whose plans
+    // diverge above it, so it eagerly checkpoints (the sparseCosTopK
+    // convention) instead of re-running the regex scan per consumer.
+    val perLang = docs.groupBy(col("source"), col("lang")).agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(coalesce(col("text"), lit("")), " ")).cast("long"))
         .as("n_tokens"),
       sum(col("n_chars")).as("n_chars"),
-      countDistinct(col("lang")).as("n_langs"),
       sum(piiAnyHit.cast("long")).as("n_pii_docs"))
+      .localCheckpoint(true)
+    // n_langs = non-NULL lang groups per source (≡ countDistinct over
+    // the raw rows: the pre-aggregate holds exactly one row per group)
+    val base = perLang.groupBy(col("source")).agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      count(when(col("lang").isNotNull, lit(1))).as("n_langs"),
+      sum(col("n_pii_docs")).as("n_pii_docs"))
+    // the dup leg joins doc ids, so it cannot ride the lang rollup —
+    // but its corpus scan prunes to (doc_id, source), never the text
     val dupDocs = pairs.select(col("a_id").as("doc_id"))
       .union(pairs.select(col("b_id").as("doc_id"))).distinct()
     val dups = docs.join(dupDocs, "doc_id").groupBy(col("source"))
       .agg(count(lit(1)).as("n_dup_docs"))
     val byLang = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("c").desc, col("lang"))
-    val topLang = docs.filter(col("lang").isNotNull)
-      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      .partitionBy(col("source")).orderBy(col("n_docs").desc, col("lang"))
+    val topLang = perLang.filter(col("lang").isNotNull)
       .withColumn("rn", row_number().over(byLang))
       .filter(col("rn") === 1)
       .select(col("source"), col("lang").as("top_lang"))

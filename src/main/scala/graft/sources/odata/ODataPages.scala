@@ -150,8 +150,9 @@ object ODataPages {
       val m = ODataTableProvider.mapper
       val counts = m.createObjectNode()
       val ranges = m.createObjectNode()
-      def micros(t: java.sql.Timestamp): Long =
-        t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+      // the ONE shared Timestamp→micros conversion (ODataFilters):
+      // sidecar bounds and row-side eval must agree bit-for-bit
+      def micros(t: java.sql.Timestamp): Long = ODataFilters.micros(t)
       def iso(us: Long): String = {
         val inst = java.time.Instant.ofEpochSecond(
           Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)

@@ -236,11 +236,18 @@ object ODataTableProvider {
         Some(node.fields().asScala.map { e =>
           e.getKey -> e.getValue.fields().asScala.flatMap { c =>
             val v = c.getValue
-            if (v.isArray && v.size() == 2)
+            // NUMERIC bounds only: Jackson's asLong() coerces a
+            // non-numeric node to 0, and a silently-minted [0, 0]
+            // range would PRUNE live pages — the one failure mode the
+            // conservative-keep contract forbids. Anything not
+            // exactly the expected shape drops the column.
+            def longs(ns: JsonNode*): Boolean =
+              ns.forall(n => n != null && n.isIntegralNumber)
+            if (v.isArray && v.size() == 2 && longs(v.get(0), v.get(1)))
               Some(c.getKey -> ODataPageRange(isTs = false,
                 v.get(0).asLong(), v.get(1).asLong()))
             else if (v.isObject && v.has("t") && v.get("t").asText == "ts" &&
-              v.has("lo") && v.has("hi"))
+              longs(v.get("lo"), v.get("hi")))
               Some(c.getKey -> ODataPageRange(isTs = true,
                 v.get("lo").asLong(), v.get("hi").asLong()))
             else None
@@ -608,16 +615,15 @@ final class ODataScan(
         }
         // TIMESTAMP literals against timestamp ranges, in the exact
         // epoch-micros the sidecar carries (both Spark DSv2 literal
-        // spellings; micro precision is exact — no truncation hazard
-        // like the fractional-long case). A year-out-of-long-micros
-        // Instant overflows → conservative keep, never a wrap.
+        // spellings, via the ONE shared ODataFilters.micros — the
+        // renderer and the row-side eval use the same conversion;
+        // micro precision is exact, no truncation hazard like the
+        // fractional-long case). A year-out-of-long-micros Instant
+        // overflows → conservative keep, never a wrap.
         def tsMicros(v: Any): Option[Long] = v match {
-          case t: java.sql.Timestamp =>
-            Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000L)
+          case t: java.sql.Timestamp => Some(ODataFilters.micros(t))
           case i: java.time.Instant =>
-            try Some(Math.addExact(
-              Math.multiplyExact(i.getEpochSecond, 1000000L),
-              i.getNano / 1000L))
+            try Some(ODataFilters.micros(i))
             catch { case _: ArithmeticException => None }
           case _ => None
         }
@@ -994,6 +1000,22 @@ object ODataAuth {
   * (so correctness never depends on the server). */
 object ODataFilters {
 
+  /** Exact epoch-micros of a java.sql.Timestamp. getTime already
+    * carries the millisecond part of getNanos, so only the sub-milli
+    * remainder is added — the ONE conversion the page renderer's
+    * sidecar bounds, the plan-time pruning judgment, and row-side
+    * filter evaluation share (three hand-copies would drift, and the
+    * three MUST agree bit-for-bit or pruning silently drops rows). */
+  def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+
+  /** Exact epoch-micros of an Instant; throws ArithmeticException
+    * past the long-micros range (a caller that must degrade instead
+    * catches it — the pruning judgment's conservative keep). */
+  def micros(i: java.time.Instant): Long =
+    Math.addExact(
+      Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+
   /** ISO-ish timestamp → epoch micros. Handles naive ("2024-01-01
     * 00:00:00"), Zulu ("...Z"), and explicit-offset ("...+02:00")
     * forms — offsets are APPLIED, not stripped. */
@@ -1068,10 +1090,10 @@ object ODataFilters {
       case x: Int                 => java.lang.Long.compare(j.asLong, x.toLong)
       case x: Double              => java.lang.Double.compare(j.asDouble, x)
       case x: String              => j.asText.compareTo(x)
-      case x: java.sql.Timestamp  => java.lang.Long.compare(toMicros(j.asText), x.getTime * 1000L + (x.getNanos / 1000) % 1000)
+      case x: java.sql.Timestamp  =>
+        java.lang.Long.compare(toMicros(j.asText), micros(x))
       case x: java.time.Instant   =>
-        java.lang.Long.compare(toMicros(j.asText),
-          x.getEpochSecond * 1000000L + x.getNano / 1000)
+        java.lang.Long.compare(toMicros(j.asText), micros(x))
       case other =>
         throw new IllegalArgumentException(s"unsupported literal: $other")
     })

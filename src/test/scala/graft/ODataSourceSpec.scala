@@ -879,6 +879,38 @@ class ODataSourceSpec extends SparkSpec {
     assert(plannedRows(fact.filter(col("etype") === "t0"))._1 == 4)
   }
 
+  test("timestamp page pruning: NON-NUMERIC sidecar bounds (ISO strings " +
+    "from a drifted writer) drop the column — Jackson's asLong() must " +
+    "never coerce them to a [0,0] range that prunes live pages") {
+    val (dir, sch) = tsFixture()
+    // rewrite the sidecar: ts bounds as ISO STRINGS on every page
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ranges = m.createObjectNode()
+    (0 until 4).foreach { p =>
+      val pr = ranges.putObject(f"page_$p%05d.json")
+      val tr = pr.putObject("ts")
+      tr.put("t", "ts")
+      tr.put("lo", s"2024-03-0${1 + p}T00:00:00")
+      tr.put("hi", s"2024-03-0${1 + p}T23:00:00")
+    }
+    // fresh fixture dir: no pageRanges memo exists yet, so this write
+    // is what the first (and only) sidecar read sees
+    Files.write(Paths.get(dir, "_ranges.meta"), m.writeValueAsBytes(ranges))
+    val fact = spark.read.format("graft-odata").schema(sch)
+      .option("path", dir).load()
+      .filter(col("ts") >=
+        lit(java.sql.Timestamp.valueOf("2024-03-03 00:00:00")))
+    // a coerced [0,0] range would judge hi(0) >= watermark false and
+    // prune EVERYTHING; the contract is keep-all + correct rows
+    val rows = fact.collect()
+    assert(rows.length == 200, s"rows wrong: ${rows.length}")
+    val scan = graft.sources.odata.ODataScan
+      .scansIn(fact.queryExecution.executedPlan).head
+    assert(scan.lastPlannedPages == 4,
+      s"string-bounds sidecar must keep all pages, " +
+        s"planned ${scan.lastPlannedPages}")
+  }
+
   test("timestamp page pruning: kind mismatches and unknown sidecar " +
     "shapes are conservative keeps, results unchanged") {
     // sidecar/schema drift: the sidecar tags ts bounds on a column the
