@@ -46,6 +46,10 @@ object Oracles {
         |  INTERSECT ALL
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin,
 
+    // the SQL PIVOT surface: the identical statement (Queries.q24Sql
+    // — one source, so the two sides can never drift).
+    "q24_sql_pivot" -> graft.queries.Queries.q24Sql,
+
     // GROUP BY ALL + aggregate FILTER: the identical statement.
     "q22_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority,

@@ -1105,6 +1105,28 @@ object Queries {
         .select(lit("intersect_all").as("leg"), col("k")))
   }
 
+  /** Q24: the SQL PIVOT surface — the relational pivot spoken as the
+    * SQL-standard subquery clause (`FROM (...) PIVOT (agg FOR col IN
+    * (...))`), which Spark 4 and DuckDB both parse, next to q10's
+    * Column-API pivot. Both engines run the IDENTICAL statement (the
+    * q22/q23 convention). Naming discipline that makes the identical
+    * text work: the grouping column must NOT collide case-insensitively
+    * with a pivot value (DuckDB dedupes `P` to `P_1` next to a group
+    * column `p`), the aggregate carries NO alias (Spark names value
+    * columns bare `F`/`O`/`P`, DuckDB appends `_alias` when one is
+    * given), and the outer SELECT re-aliases + COALESCEs every cell so
+    * sparse fixtures can't diverge on NULL-vs-0 empty cells. */
+  val q24Sql: String =
+    """SELECT prio, coalesce(F, 0) AS n_f, coalesce(O, 0) AS n_o,
+      |       coalesce(P, 0) AS n_p
+      |FROM (SELECT o_orderstatus AS s, o_orderpriority AS prio FROM orders)
+      |PIVOT (count(*) FOR s IN ('F', 'O', 'P'))""".stripMargin
+
+  def q24SqlPivot(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(q24Sql)
+  }
+
   def q14SqlEntry(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "orders").createOrReplaceTempView("orders")
     t(spark, dir, "customer").createOrReplaceTempView("customer")
@@ -1198,6 +1220,7 @@ object Queries {
     "q21_recursive" -> (q21Recursive _),
     "q22_group_by_all" -> (q22GroupByAll _),
     "q23_set_ops" -> (q23SetOps _),
+    "q24_sql_pivot" -> (q24SqlPivot _),
     "q19_interval_frame" -> (q19IntervalFrame _),
     "q13_goals_vs_actuals" -> (q13GoalsVsActuals _),
     "q14_sql_entry" -> (q14SqlEntry _),
