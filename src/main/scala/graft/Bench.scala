@@ -91,6 +91,43 @@ object Bench {
     def share: Double = if (wall > 0) cpu / wall else 0.0
   }
 
+  /** One key's inputs to the headline assembly: reported median,
+    * whether the median BASIS is contaminated (every rep flagged — no
+    * clean rep survived), and the checked-in clean baseline wall. */
+  final case class HeadKey(
+      name: String, median: Double, basisContaminated: Boolean,
+      baseWall: Option[Double])
+
+  /** The assembled headline: clean-verified total + the two flag
+    * lists. */
+  final case class Headline(
+      total: Double,
+      substituted: Seq[(String, Double)],
+      regressed: Seq[(String, (Double, Double))])
+
+  /** PURE headline assembly (UtilitySpec drives it): a key whose
+    * median exceeds 2x its judgeable baseline is drift-flagged; it
+    * contributes the BASELINE wall (and lands in `substituted`) ONLY
+    * when its basis is contaminated — the median was built from
+    * flagged samples, so the measurement itself is untrustworthy. A
+    * drifted key whose basis is clean reps is a candidate code
+    * REGRESSION: the measured median stays in the total and the key
+    * lands in `regressed` (ADVICE r14 — one transient co-tenant blip
+    * on a DISCARDED rep must never launder a real slowdown). */
+  private[graft] def assembleHeadline(keys: Seq[HeadKey]): Headline = {
+    def drifted(k: HeadKey): Option[Double] =
+      k.baseWall.filter(b =>
+        b >= MinJudgeableWallSec && k.median > 2.0 * b)
+    val substituted = keys.flatMap(k =>
+      drifted(k).filter(_ => k.basisContaminated).map(k.name -> _))
+    val regressed = keys.flatMap(k =>
+      drifted(k).filterNot(_ => k.basisContaminated)
+        .map(b => k.name -> ((k.median, b))))
+    val total = keys.map(k =>
+      drifted(k).filter(_ => k.basisContaminated).getOrElse(k.median)).sum
+    Headline(total, substituted, regressed)
+  }
+
   /** The contention judgment for one rep (pure — UtilitySpec drives it
     * with synthetic and live co-tenant numbers): the others-burn
     * signal, the baseline starvation signal, and the within-run
@@ -429,31 +466,17 @@ object Bench {
     // its CHECKED-IN BASELINE wall to the headline instead of the
     // contaminated median — flagged per-key in "substituted", with
     // the raw sum preserved as "raw_total" so nothing is hidden.
-    // SUBSTITUTION REQUIRES CORROBORATION (ADVICE r14): under the old
-    // rule a genuine >2x code regression was reported at its
-    // pre-regression speed — contamination and regression were
-    // indistinguishable. A drifted key takes its baseline wall ONLY
-    // when its median BASIS is itself contaminated — i.e. NO clean
-    // rep exists, so the reported median is built from flagged
-    // samples. If any clean rep exists, the basis is the clean reps
-    // (QRes construction), and a clean median >2x baseline is
-    // evidence of a code REGRESSION, not contamination: one transient
-    // co-tenant blip on a DISCARDED rep must not launder a real
-    // slowdown into "substituted". Such keys keep their measured
-    // median in the headline and land in "regressed".
+    // SUBSTITUTION REQUIRES CORROBORATION (ADVICE r14): the pure
+    // [[assembleHeadline]] rule, spec-pinned in UtilitySpec — see its
+    // Scaladoc for the substituted-vs-regressed distinction.
     val rawTotal = results.map(r => median(r.basis)).sum
-    def corroborated(r: QRes): Boolean = r.all.forall(_._2)
-    val substituted = results.flatMap { r =>
-      drifted(r).filter(_ => corroborated(r)).map(b => r.name -> b.wall)
-    }
-    val regressed = results.flatMap { r =>
-      drifted(r).filterNot(_ => corroborated(r))
-        .map(b => r.name -> (median(r.basis), b.wall))
-    }
-    val total = results.map { r =>
-      drifted(r).filter(_ => corroborated(r)).map(_.wall)
-        .getOrElse(median(r.basis))
-    }.sum
+    val headline = assembleHeadline(results.map(r => HeadKey(
+      r.name, median(r.basis),
+      basisContaminated = r.all.forall(_._2),
+      baseWall = baseline.get(r.name).map(_.wall))))
+    val substituted = headline.substituted
+    val regressed = headline.regressed
+    val total = headline.total
     val substitutedJson = substituted.map { case (n, w) =>
       s""""${esc(n)}":$w""" }.mkString("{", ",", "}")
     val regressedJson = regressed.map { case (n, (m, b)) =>

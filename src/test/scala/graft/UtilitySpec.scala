@@ -360,6 +360,30 @@ class UtilitySpec extends SparkSpec {
     assert(Bench.loadBaseline(p, "/data/sf0.1").isEmpty)
   }
 
+  test("bench assembleHeadline: substitution only for a contaminated " +
+    "basis; clean-rep drift is a regression and keeps its median; " +
+    "sub-judgeable baselines never flag") {
+    import Bench.{HeadKey, assembleHeadline}
+    val h = assembleHeadline(Seq(
+      // drifted (6 > 2*2) with a CONTAMINATED basis -> substituted,
+      // contributes the baseline wall
+      HeadKey("contaminated", 6.0, basisContaminated = true, Some(2.0)),
+      // drifted with a CLEAN basis -> regression: measured median
+      // stays in the total (the ADVICE r14 laundering fix)
+      HeadKey("regressed", 6.0, basisContaminated = false, Some(2.0)),
+      // not drifted (1.5 <= 2*1.0) -> plain median either way
+      HeadKey("steady", 1.5, basisContaminated = true, Some(1.0)),
+      // baseline below MinJudgeableWallSec -> never drift-flagged,
+      // even at 100x
+      HeadKey("tiny", 10.0, basisContaminated = true, Some(0.1)),
+      // no baseline at all -> plain median
+      HeadKey("unbaselined", 3.0, basisContaminated = true, None)))
+    assert(h.substituted == Seq("contaminated" -> 2.0), s"got $h")
+    assert(h.regressed == Seq("regressed" -> ((6.0, 2.0))), s"got $h")
+    // total = 2.0 (substituted) + 6.0 (regressed median!) + 1.5 + 10 + 3
+    assert(math.abs(h.total - 22.5) < 1e-9, s"got ${h.total}")
+  }
+
   test("bench judgeSamples: a starved early rep is excluded from the " +
     "clean basis once faster reps land (the clean-median contract)") {
     import Bench.{Rep, judgeSamples}
