@@ -1421,11 +1421,27 @@ object Dedup {
   def dupComponentsStar(pairs: DataFrame): DataFrame =
     dupComponentsStarRounds(pairs)._1
 
+  /** Below this canonical-edge count the component labeling computes
+    * DRIVER-SIDE by union-find instead of iterating star rounds — the
+    * broadcast-join-threshold pattern: each distributed round costs a
+    * fixed handful of jobs (two joins, two aggregates, a checkpoint)
+    * regardless of data size, so a small graph pays ~5 rounds of pure
+    * scheduling overhead for work a μs-scale union-find finishes
+    * instantly. 100k edges ≈ 1.6 MB on the driver — the config-bounded
+    * collect class (centroids/codebooks/Bloom words), never a
+    * data-scale pull: the bound is CHECKED against the observe-metric
+    * seed count before any collect. Labeling is identical by
+    * construction (component = min reachable id; spec cross-proves
+    * threshold-0 vs default on chain/star/clique graphs). */
+  val StarLocalMaxEdges = 100000L
+
   /** [[dupComponentsStar]] plus the converged round count — split out
     * so the spec can pin the O(log n) bound a planted long chain
-    * exercises. */
+    * exercises (pass `localMaxEdges = 0` to force the distributed
+    * path; the local fast path reports 0 rounds). */
   private[graft] def dupComponentsStarRounds(
-      pairs: DataFrame): (DataFrame, Int) = {
+      pairs: DataFrame,
+      localMaxEdges: Long = StarLocalMaxEdges): (DataFrame, Int) = {
     def canon(e: DataFrame): DataFrame = e
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
@@ -1446,6 +1462,51 @@ object Dedup {
       .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .distinct()
       .localCheckpoint(true)
+    val seedCount = seedObs.get("n_edges").asInstanceOf[Long]
+    if (seedCount <= localMaxEdges) {
+      // SMALL-GRAPH FAST PATH: union-find over the (bounded, just
+      // counted) edge set; label = min member per component — the
+      // same labeling the star fixpoint converges to. The node
+      // universe stays DISTRIBUTED (self-loop-only docs may outnumber
+      // edges): only the edge endpoints' labels ship back.
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        // union by MIN root: the root IS the component label
+        if (ru != rv) {
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
+        parent.getOrElseUpdate(u, find(u))
+        parent.getOrElseUpdate(v, find(v))
+      }
+      val endpoints = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      val spark = pairs.sparkSession
+      val labelRows: java.util.List[org.apache.spark.sql.Row] = {
+        import scala.jdk.CollectionConverters._
+        endpoints.toSeq.sorted
+          .map(d => org.apache.spark.sql.Row(d, find(d)): org.apache.spark.sql.Row)
+          .asJava
+      }
+      val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val labels = spark.createDataFrame(labelRows, labelSchema)
+      return (nodes.join(broadcast(labels), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component")), 0)
+    }
     // ONE action per round (VERDICT r13 task 3 — the observe-metric
     // idiom [[dupComponents]] pinned): the set-equality probe rides
     // the checkpoint action itself. New edge set B equals old set A
@@ -1454,7 +1515,7 @@ object Dedup {
     // edges' checkpoint — no separate count() job), |B| and |A∩B| are
     // observe metrics on the SAME job that materializes B — no
     // count()+left_anti follow-up jobs.
-    var prevCount = seedObs.get("n_edges").asInstanceOf[Long]
+    var prevCount = seedCount
     var converged = prevCount == 0L
     var rounds = 0
     while (!converged) {

@@ -940,17 +940,27 @@ class ExtSpec extends SparkSpec {
     for ((name, es) <- Seq("chain" -> chain, "star" -> star,
       "clique" -> clique, "mixed" -> mixed)) {
       val pairs = es.toDF("a_id", "b_id")
+      // default path (these graphs sit under StarLocalMaxEdges, so
+      // this exercises the driver-side union-find fast path)...
       val viaStar = labelMap(Dedup.dupComponentsStar(pairs))
       val viaProp = labelMap(Dedup.dupComponents(pairs))
       assert(viaStar == viaProp, s"$name: star labeling drifted")
+      // ...and the DISTRIBUTED star path (threshold 0) must emit the
+      // IDENTICAL labels — the fast path is an optimization, never a
+      // semantic fork
+      val viaDist = labelMap(
+        Dedup.dupComponentsStarRounds(pairs, localMaxEdges = 0L)._1)
+      assert(viaDist == viaProp, s"$name: distributed star drifted")
     }
     // the scale claim: a 512-node chain converges in O(log n) star
     // rounds (label propagation needs 511) — generous headroom over
     // log2(512) = 9 for the two-phase constant, still ~30x under the
-    // diameter
+    // diameter. threshold 0 forces the DISTRIBUTED path (the default
+    // would solve this chain driver-side and report 0 rounds).
     val longChain = (0L until 511L).map(i => ((i * 37L) % 521L, ((i + 1) * 37L) % 521L))
       .toDF("a_id", "b_id")
-    val (labels, rounds) = Dedup.dupComponentsStarRounds(longChain)
+    val (labels, rounds) =
+      Dedup.dupComponentsStarRounds(longChain, localMaxEdges = 0L)
     val lm = labelMap(labels)
     assert(lm.size == 512 && lm.values.toSet == Set(lm.keys.min),
       s"long chain must collapse to one component: ${lm.values.toSet.size}")
@@ -976,7 +986,10 @@ class ExtSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     val (comp, rounds) =
       try {
-        val (labels, r) = Dedup.dupComponentsStarRounds(pairs)
+        // threshold 0 forces the DISTRIBUTED loop — the action-count
+        // claim is about the star rounds, not the local fast path
+        val (labels, r) =
+          Dedup.dupComponentsStarRounds(pairs, localMaxEdges = 0L)
         val m = labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
         // the listener bus is async — poll until the count is stable
         var last = -1
