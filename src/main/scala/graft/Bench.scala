@@ -639,9 +639,15 @@ object Bench {
     // BASELINE WRITER (run on a quiet box — loadavg(start) < 1 by
     // protocol): per-query clean wall + CPU medians, the file the
     // starvation signal and drift report compare against. Errored
-    // queries are omitted (their walls are failure durations).
+    // queries are omitted (their walls are failure durations), and so
+    // are CONTAMINATED-BASIS keys (every rep flagged — writing their
+    // median would enshrine a co-tenant burst as the key's "clean"
+    // wall and silently loosen next round's drift gate; an absent
+    // entry degrades that key's detection to the within-run signals,
+    // which is honest).
     sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").foreach { bp =>
-      val qjson = results.filter(_.err.isEmpty).map { r =>
+      val qjson = results
+        .filter(r => r.err.isEmpty && !r.all.forall(_._2)).map { r =>
         s""""${esc(r.name)}":{"wall":${median(r.basis)},"cpu":${r.cpuMedian}}"""
       }.mkString("{", ",", "}")
       // load_at_gate is the co-tenancy indicator (read BEFORE the
