@@ -114,10 +114,16 @@ object Bench {
     * REGRESSION: the measured median stays in the total and the key
     * lands in `regressed` (ADVICE r14 — one transient co-tenant blip
     * on a DISCARDED rep must never launder a real slowdown). */
+  /** The ONE drift rule — shared by the JSON drift report and
+    * [[assembleHeadline]], so the two can never disagree about which
+    * keys drifted: median above 2x a JUDGEABLE baseline wall. */
+  private[graft] def driftedBase(
+      median: Double, baseWall: Option[Double]): Option[Double] =
+    baseWall.filter(b => b >= MinJudgeableWallSec && median > 2.0 * b)
+
   private[graft] def assembleHeadline(keys: Seq[HeadKey]): Headline = {
     def drifted(k: HeadKey): Option[Double] =
-      k.baseWall.filter(b =>
-        b >= MinJudgeableWallSec && k.median > 2.0 * b)
+      driftedBase(k.median, k.baseWall)
     val substituted = keys.flatMap(k =>
       drifted(k).filter(_ => k.basisContaminated).map(k.name -> _))
     val regressed = keys.flatMap(k =>
@@ -449,14 +455,13 @@ object Bench {
     // DRIFT vs the checked-in baseline: keys whose reported median
     // exceeds 2x their clean-baseline wall, with the rep spread
     // — the round-over-round comparator the raw totals never were
-    // (machine breathing made every total a noise adjudication)
-    def drifted(r: QRes): Option[BaseEntry] =
-      baseline.get(r.name).filter(b => b.wall >= MinJudgeableWallSec &&
-        median(r.basis) > 2.0 * b.wall)
+    // (machine breathing made every total a noise adjudication).
+    // The SAME driftedBase rule feeds assembleHeadline, so this
+    // report and the substituted/regressed lists can never skew.
     val driftEntries = results.flatMap { r =>
-      drifted(r).map { b =>
+      driftedBase(median(r.basis), baseline.get(r.name).map(_.wall)).map { b =>
         s""""${esc(r.name)}":{"median":${median(r.basis)},""" +
-          s""""base":${b.wall},"min":${r.basis.min},"max":${r.basis.max}}"""
+          s""""base":$b,"min":${r.basis.min},"max":${r.basis.max}}"""
       }
     }
     // HEADLINE from clean-verified medians (VERDICT r13 task 1): the
@@ -639,16 +644,21 @@ object Bench {
     // BASELINE WRITER (run on a quiet box — loadavg(start) < 1 by
     // protocol): per-query clean wall + CPU medians, the file the
     // starvation signal and drift report compare against. Errored
-    // queries are omitted (their walls are failure durations), and so
-    // are CONTAMINATED-BASIS keys (every rep flagged — writing their
-    // median would enshrine a co-tenant burst as the key's "clean"
-    // wall and silently loosen next round's drift gate; an absent
-    // entry degrades that key's detection to the within-run signals,
-    // which is honest).
+    // queries are omitted (their walls are failure durations).
+    // CONTAMINATED-BASIS keys (every rep flagged) never write their
+    // own median — that would enshrine a co-tenant burst as the key's
+    // "clean" wall and silently loosen next round's drift gate.
+    // Instead the PRIOR baseline's entry (same sf, already loaded)
+    // carries forward mechanically, so one noisy key no longer
+    // shrinks detection coverage or needs the hand-restore the r15
+    // record documents; with no prior entry the key is omitted
+    // (within-run signals still judge it — honest degradation).
     sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").foreach { bp =>
-      val qjson = results
-        .filter(r => r.err.isEmpty && !r.all.forall(_._2)).map { r =>
-        s""""${esc(r.name)}":{"wall":${median(r.basis)},"cpu":${r.cpuMedian}}"""
+      val qjson = results.filter(_.err.isEmpty).flatMap { r =>
+        if (!r.all.forall(_._2))
+          Some(s""""${esc(r.name)}":{"wall":${median(r.basis)},"cpu":${r.cpuMedian}}""")
+        else baseline.get(r.name).map(b =>
+          s""""${esc(r.name)}":{"wall":${b.wall},"cpu":${b.cpu}}""")
       }.mkString("{", ",", "}")
       // load_at_gate is the co-tenancy indicator (read BEFORE the
       // session/warm-up's own burn inflates the 1-min average);

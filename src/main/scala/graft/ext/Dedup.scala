@@ -1438,7 +1438,9 @@ object Dedup {
   /** [[dupComponentsStar]] plus the converged round count — split out
     * so the spec can pin the O(log n) bound a planted long chain
     * exercises (pass `localMaxEdges = 0` to force the distributed
-    * path; the local fast path reports 0 rounds). */
+    * path — honored even on an empty edge set; the local fast path
+    * reports 0 rounds and additionally requires LONG id columns,
+    * falling through to the type-generic star loop otherwise). */
   private[graft] def dupComponentsStarRounds(
       pairs: DataFrame,
       localMaxEdges: Long = StarLocalMaxEdges): (DataFrame, Int) = {
@@ -1463,7 +1465,14 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     val seedCount = seedObs.get("n_edges").asInstanceOf[Long]
-    if (seedCount <= localMaxEdges) {
+    // fast-path eligibility: a POSITIVE threshold (0 = disabled — the
+    // documented force-distributed switch, which must hold even for an
+    // empty edge set), the bounded size, and LONG ids — the union-find
+    // below is Long-typed while the star loop is type-generic, so a
+    // non-long id column must fall through, never ClassCastException.
+    val longIds = edges.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (localMaxEdges > 0 && seedCount <= localMaxEdges && longIds) {
       // SMALL-GRAPH FAST PATH: union-find over the (bounded, just
       // counted) edge set; label = min member per component — the
       // same labeling the star fixpoint converges to. The node
@@ -1480,14 +1489,14 @@ object Dedup {
         }
         r
       }
+      // union by MIN root: every union keeps "root = min of the merged
+      // roots", so by induction the root IS the component minimum —
+      // find() tolerates absent keys (an unseen id is its own root)
       es.foreach { case (u, v) =>
         val (ru, rv) = (find(u), find(v))
-        // union by MIN root: the root IS the component label
         if (ru != rv) {
           if (ru < rv) parent(rv) = ru else parent(ru) = rv
         }
-        parent.getOrElseUpdate(u, find(u))
-        parent.getOrElseUpdate(v, find(v))
       }
       val endpoints = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
       val spark = pairs.sparkSession
