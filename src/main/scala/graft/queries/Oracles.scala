@@ -50,6 +50,16 @@ object Oracles {
     // — one source, so the two sides can never drift).
     "q24_sql_pivot" -> graft.queries.Queries.q24Sql,
 
+    // the ordered string-agg surface: LISTAGG WITHIN GROUP on the
+    // engine, DuckDB's string_agg(x, sep ORDER BY ...) dialect here —
+    // same semantics, total inner order, deterministic string.
+    "q25_listagg" ->
+      """SELECT r.r_name,
+        |       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+        |       CAST(count(*) AS BIGINT) AS n_nations
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name""".stripMargin,
+
     // GROUP BY ALL + aggregate FILTER: the identical statement.
     "q22_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority,

@@ -1127,6 +1127,27 @@ object Queries {
     spark.sql(q24Sql)
   }
 
+  /** Q25: the ordered string-aggregation SQL surface — ANSI
+    * `LISTAGG(x, sep) WITHIN GROUP (ORDER BY ...)` (Spark 4 speaks
+    * it natively; x95 proves the same SEMANTIC via collect_list +
+    * array_join, this proves the SQL spelling). The inner ORDER BY is
+    * a total order (nation names are unique within a region), so the
+    * concatenated string is deterministic and hash-gates; the oracle
+    * spells the identical semantics in DuckDB's dialect
+    * (`string_agg(x, sep ORDER BY ...)` — LISTAGG WITHIN GROUP is not
+    * its grammar), the standard two-spellings convention. */
+  def q25Listagg(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "region").createOrReplaceTempView("region")
+    t(spark, dir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT r.r_name,
+        |       listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+        |         AS nations,
+        |       CAST(count(*) AS BIGINT) AS n_nations
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name""".stripMargin)
+  }
+
   def q14SqlEntry(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "orders").createOrReplaceTempView("orders")
     t(spark, dir, "customer").createOrReplaceTempView("customer")
@@ -1221,6 +1242,7 @@ object Queries {
     "q22_group_by_all" -> (q22GroupByAll _),
     "q23_set_ops" -> (q23SetOps _),
     "q24_sql_pivot" -> (q24SqlPivot _),
+    "q25_listagg" -> (q25Listagg _),
     "q19_interval_frame" -> (q19IntervalFrame _),
     "q13_goals_vs_actuals" -> (q13GoalsVsActuals _),
     "q14_sql_entry" -> (q14SqlEntry _),
