@@ -190,9 +190,10 @@ object Graph {
     require(k >= 1, s"core order $k must be positive")
     require(iters >= 1, s"iteration count $iters must be positive")
     var live = symEdges(edges)
-    live.count()
+    var liveN = live.count()
     try {
-      for (_ <- 1 to iters) {
+      var converged = false
+      for (_ <- 1 to iters if !converged) {
         val keep = live.groupBy(col("src")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k)
           .select(col("src").as("node"))
@@ -201,9 +202,20 @@ object Graph {
           .join(keep.select(col("node").as("dst")), Seq("dst"))
           .select(col("src"), col("dst"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before releasing the previous round
+        val nextN = next.count() // materialize before releasing the previous round
         live.unpersist(blocking = false)
         live = next
+        // CONVERGENCE EXIT (r15, result-identical): rounds only REMOVE
+        // edges (next ⊆ live), so an unchanged count means an
+        // unchanged edge set — every further round is a provable
+        // no-op (same degrees → same keep set → same edges). The
+        // fixed-`iters` CONTRACT is untouched: outputs equal the
+        // full-depth replay bit-for-bit (the oracle runs all rounds);
+        // only the dead rounds' jobs are skipped. Dedup cliques
+        // converge in 1–2 rounds, so this cuts the typical peel from
+        // `iters` rounds to the graph's true peel depth.
+        converged = nextN == liveN
+        liveN = nextN
       }
       // final deg >= k filter: with a fixed iteration count a
       // not-yet-converged peel could otherwise emit a node whose
@@ -347,8 +359,9 @@ object Graph {
         .withColumn("depth", lit(0L))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        vis.count()
-        for (r <- 1 to iters) {
+        var visN = vis.count()
+        var exhausted = false
+        for (r <- 1 to iters if !exhausted) {
           val frontier = vis.filter(col("depth") === (r - 1).toLong)
             .select(col("node").as("src"))
           val next = sym.join(frontier, Seq("src"))
@@ -357,9 +370,20 @@ object Graph {
             .withColumn("depth", lit(r.toLong))
           val grown = vis.unionByName(next)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          grown.count() // materialize before releasing the input lineage
+          val grownN = grown.count() // materialize before releasing the input lineage
           vis.unpersist(blocking = false)
           vis = grown
+          // FRONTIER-EXHAUSTION EXIT (r15, result-identical): the
+          // visited set only GROWS, so an unchanged count means this
+          // round's frontier reached nothing new — the next round's
+          // frontier (depth = r rows, of which there are none) is
+          // empty and every further round is a provable no-op. The
+          // k-hop-ball contract is untouched: the output equals the
+          // full `iters` replay bit-for-bit; only dead rounds' jobs
+          // (a join + distinct + anti-join + union per round) are
+          // skipped when the ball saturates early.
+          exhausted = grownN == visN
+          visN = grownN
         }
         vis.localCheckpoint(true)
       } finally vis.unpersist(blocking = false)

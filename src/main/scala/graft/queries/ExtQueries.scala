@@ -47,8 +47,19 @@ object ExtQueries {
     }
   }
 
+  // the ONE scan helper that rides [[graft.util.Scans.widen]] (r15):
+  // the embeddings fixture is single-row-group parquet, so the scan
+  // delivers every vector through ONE task — and the brute-force
+  // cosine legs (x3/x13/x179/x221… broadcast the query set and dot
+  // against the corpus INSIDE the scan stage), i.e. all the vector
+  // arithmetic ran single-threaded at any core count. A/B-measured:
+  // widening docs()/events() the same way LOST time (their per-row
+  // scan work is cheap; the extra exchange and the changed cache
+  // layout cost more than the parallelism bought — see
+  // OPTIMIZATION_r15.md), so only the vector scan is widened.
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.util.Scans.widen(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id")
 
   /** The events scan through the nanos→NTZ shim — ONE place owns the
     * fetch, so a shim change can't drift between the event queries. */
@@ -130,7 +141,18 @@ object ExtQueries {
   private def docTfStats(spark: SparkSession, dir: String): (DataFrame, Long) =
     tfStatsCache.getOrCompute((spark.sparkContext.applicationId, dir)) {
       val dd = docs(spark, dir)
-      (graft.ext.TextStats.tfFrame(dd).localCheckpoint(true), dd.count())
+      // the CHECKPOINT is laid out WIDE on doc_id (r15): every lexical
+      // consumer (x175/x179/x189/x247–x249) computes its posting-join
+      // fan-out in the cached frame's partitioning, and tfFrame ends in
+      // an aggregate whose AQE-coalesced output is a handful of
+      // byte-sized partitions — so the whole retrieval family's scoring
+      // ran near-single-task (x179's sparse leg: ~3.5 s narrow, ~1.5 s
+      // wide). One extra narrow-row shuffle at build time, amortized
+      // over six standing consumers; the width is the deployment's own
+      // shuffle sizing, never a local constant.
+      val p = spark.sessionState.conf.numShufflePartitions
+      (graft.ext.TextStats.tfFrame(dd).repartition(p, col("doc_id"))
+        .localCheckpoint(true), dd.count())
     }
 
   /** The x186 held-out NB-scored frame (doc_id, nb_ppm, passes) — the
@@ -170,7 +192,11 @@ object ExtQueries {
   private def cappedTfStats(spark: SparkSession, dir: String): (DataFrame, Long) =
     cappedTfCache.getOrCompute((spark.sparkContext.applicationId, dir)) {
       val (tf, n) = docTfStats(spark, dir)
+      // same wide-checkpoint rationale as docTfStats: x248/x249 score
+      // in this cache's layout
+      val p = spark.sessionState.conf.numShufflePartitions
       (graft.ext.TextStats.capTermDf(tf, Some(n * 39L / 50L))
+        .repartition(p, col("doc_id"))
         .localCheckpoint(true), n)
     }
 
@@ -1343,12 +1369,22 @@ object ExtQueries {
     // Hybrid retrieval: RRF fusion of the DENSE x3 leg and the SPARSE
     // x175 inverted-index leg over the aligned id space (the
     // lexical+vector stack x120 fuses dense-only variants of).
-    "x179_hybrid_retrieval" -> ((s, d) =>
+    "x179_hybrid_retrieval" -> ((s, d) => {
+      // the sparse leg rides the SHARED tokenized frame (docTfStats —
+      // the x175/x189 idiom): sparseCosTopK(docs, …) re-tokenized the
+      // corpus, re-counted it, and re-persisted the tf frame on every
+      // run even though the identical frame is a standing warm-shared
+      // artifact; the frame is definitionally the same, so the hash
+      // gate is unchanged (r15: removes a count action + a tokenize
+      // pass + a persist per run — at corpus scale the tokenize pass
+      // is the key's dominant scan)
+      val (tf, n) = docTfStats(s, d)
       Similarity.rrfFuse(Seq(
         Similarity.cosTopK(emb(s, d), k = 10),
-        TextStats.sparseCosTopK(docs(s, d), k = 10, queryMod = 50)
+        TextStats.sparseCosTopKFrom(tf, n, k = 10, queryMod = 50)
           .select(col("query_id"), col("doc_id").as("neighbor_id"),
-            col("rank"))))),
+            col("rank"))))
+    }),
     // Retrieval eval: rank of the first same-label neighbor in the
     // exact cosine ranking + integer reciprocal rank (MRR's exact
     // per-query row; no float crosses an aggregate).

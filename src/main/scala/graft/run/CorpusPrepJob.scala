@@ -134,14 +134,16 @@ object CorpusPrepJob {
       else docs
     val normalized = TextStats.normalized(landed)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // gopher pass-ids computed ONCE, eagerly checkpointed (r15): the
+    // dedup gate join AND the 2_gate_passed funnel count consume it —
+    // lazily each re-ran the regex-heavy gopherRules text pass
+    val gateIds = TextStats.gopherRules(normalized)
+      .filter(col("passes")).select("doc_id").localCheckpoint(true)
     // stage 3: exact dedup keeps the lowest doc_id per content hash —
-    // ONE shuffle on the hash; dup groups are tiny, so the window
-    // holds no meaningful state. Persisted: feeds the pair set, the
-    // component join, the decontamination and the funnel.
+    // ONE shuffle on the hash; dup groups are tiny. Persisted: feeds
+    // the pair set, the component join, decontamination, the funnel.
     val gatedForDedup = {
-      val gated0 = normalized.join(
-        TextStats.gopherRules(normalized).filter(col("passes")).select("doc_id"),
-        "doc_id")
+      val gated0 = normalized.join(gateIds, "doc_id")
       // optional C4 blocklist gate — empty list leaves the frame (and
       // therefore every downstream count) byte-identical
       if (cfg.blocklist.isEmpty) gated0
@@ -157,9 +159,7 @@ object CorpusPrepJob {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
     try {
-      // recompute the gate count from the cached normalized frame (a
-      // count, not a second text scan)
-      val gatedCount = TextStats.gopherRules(normalized).filter(col("passes"))
+      val gatedCount = gateIds // the checkpointed pass-ids, counted
 
       // stage 4: near-dup pairs → components (star contraction —
       // label-identical to min-label propagation, spec-proved, but
@@ -345,10 +345,11 @@ object CorpusPrepJob {
     }
     val normalized = TextStats.normalized(newDocs)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one gopher evaluation per tick — the [[run]] gateIds rationale
+    val gateIds = TextStats.gopherRules(normalized)
+      .filter(col("passes")).select("doc_id").localCheckpoint(true)
     val exactKept = {
-      val gated0 = normalized.join(
-        TextStats.gopherRules(normalized).filter(col("passes")).select("doc_id"),
-        "doc_id")
+      val gated0 = normalized.join(gateIds, "doc_id")
       // the same optional blocklist gate as [[run]] — a batch must
       // clear the same bar as the initial build or the corpus drifts
       val gated =
@@ -367,7 +368,7 @@ object CorpusPrepJob {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
     try {
-      val gatedCount = TextStats.gopherRules(normalized).filter(col("passes"))
+      val gatedCount = gateIds
 
       // within-batch near-dup rewrite, then the history probe —
       // star-contraction components here too (the [[run]] rationale:

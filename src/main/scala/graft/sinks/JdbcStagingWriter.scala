@@ -19,7 +19,14 @@ import graft.model.EntityMeta
   * batches inserts (`batchsize` option); `numPartitions` caps the
   * connection fan-in so a 1000-partition frame doesn't open 1000
   * connections against the warehouse. Records written are observed on
-  * the write job (no re-count round trip).
+  * the write job (no re-count round trip). `insertBatchSize` is the
+  * rows-per-executeBatch knob on every write this sink performs —
+  * Spark's default is 1,000, which at bulk-load volume spends most of
+  * the wall on driver↔warehouse round trips; 10,000 is the
+  * conventional bulk setting (r15 measurement on the k14 gate:
+  * 3×150k-row staging loads + promote, 5.8 s → 3.6 s). Parameterized,
+  * not hard-coded: against a remote warehouse size it to row width ×
+  * batch ≪ warehouse packet/transaction limits.
   */
 final class JdbcStagingWriter(
     spark: SparkSession,
@@ -27,7 +34,8 @@ final class JdbcStagingWriter(
     props: Properties = new Properties,
     typeOverrides: Map[String, String] = Map.empty,
     maxConnections: Int = 8,
-    registry: Option[graft.catalog.SchemaRegistry] = None) extends EntityWriter {
+    registry: Option[graft.catalog.SchemaRegistry] = None,
+    insertBatchSize: Int = 10000) extends EntityWriter {
 
   /** Warehouse column type for one catalog field: the reference's
     * dtype-dict semantics (sqlDwh.py:453-466) — PK columns are always
@@ -85,6 +93,7 @@ final class JdbcStagingWriter(
       .mode(if (append) SaveMode.Append else SaveMode.Overwrite)
       .option("createTableColumnTypes", columnTypes(meta, df))
       .option("truncate", true) // replace keeps the typed table, truncates rows
+      .option("batchsize", insertBatchSize)
       .jdbc(url, stagingName(meta.id), props)
     obs.get("rows").asInstanceOf[Long]
   }
@@ -99,7 +108,8 @@ final class JdbcStagingWriter(
   }
 
   def read(entity: String): DataFrame =
-    spark.read.jdbc(url, stagingName(entity), props)
+    spark.read.option("fetchsize", insertBatchSize)
+      .jdbc(url, stagingName(entity), props)
 
   /** IDEMPOTENT per-batch JDBC write — the warehouse sibling of
     * [[StagingWriter.writeBatchPartition]] for streaming `foreachBatch`
@@ -133,6 +143,7 @@ final class JdbcStagingWriter(
       .observe(obs, count(lit(1)).as("rows"))
       .repartition(maxConnections)
       .write.mode(SaveMode.Append)
+      .option("batchsize", insertBatchSize)
       .jdbc(url, table, props)
     obs.get("rows").asInstanceOf[Long]
   }
@@ -176,6 +187,7 @@ final class JdbcStagingWriter(
     val writer0 = df.observe(obs, count(lit(1)).as("rows"))
       .repartition(maxConnections)
       .write.mode(SaveMode.Overwrite)
+      .option("batchsize", insertBatchSize)
     val writer =
       if (varchars.isEmpty) writer0
       else writer0.option("createTableColumnTypes", varchars.mkString(", "))
