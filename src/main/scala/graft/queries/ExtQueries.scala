@@ -1300,9 +1300,15 @@ object ExtQueries {
     "x238_error_budget" -> ((s, d) => Stats.errorBudget(events(s, d))),
     // Subsampled median band: the x210 half-sample membership, P50
     // carve per replicate.
+    // the replicate explode (×32) + salted md5 run fused into the
+    // orders scan — a single task on the one-row-group fixture file
+    // (r15 profile: a 2 s single-task job); widen parallelizes the
+    // per-row work, no-op once the table plans as many splits
     "x239_subsample_p50" -> ((s, d) =>
       Stats.subsampleMedians(
-        s.read.parquet(s"$d/orders.parquet"), "o_orderkey",
+        graft.util.Scans.widen(
+          s.read.parquet(s"$d/orders.parquet"), "o_orderkey"),
+        "o_orderkey",
         expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))),
     // Join-size forecast from key histograms: events x orders on the
     // user/customer key, predicted without running the join.
