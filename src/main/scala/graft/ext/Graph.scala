@@ -137,16 +137,42 @@ object Graph {
       var labels = sym.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
       var prev: Option[DataFrame] = None
-      for (_ <- 1 to iters) {
-        val next = sym
+      var converged = false
+      for (r <- 1 to iters if !converged) {
+        // CONVERGENCE EXIT (r15, result-identical — the kCore
+        // discipline): the synchronous update is a pure function of
+        // (sym, labels), so an unchanged label FRAME is a proven
+        // fixpoint — every further round reproduces it bit-for-bit
+        // and the fixed-`iters` contract (the oracle replays all
+        // rounds) is untouched. Unlike kCore's monotone edge set, a
+        // count can't prove this, so the round LEFT-joins its
+        // argmax back to the previous labels (node-sized vs the
+        // edges-sized round it can skip) and the changed-label count
+        // rides the materialization action as an observe metric —
+        // one action per round, no follow-up probe job. The joined
+        // prev label is dropped BEFORE the persist, so the cached
+        // frame is unchanged. Skipped on the last round (nothing
+        // left to save).
+        val vote = sym
           .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
           .groupBy(col("src"), col("label"))
           .agg(count(lit(1)).as("cnt"))
           .groupBy(col("src"))
           .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
           .select(col("src").as("node"), (-col("m.neg")).as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val chgObs =
+          if (r < iters) Some(org.apache.spark.sql.Observation()) else None
+        val next = chgObs.fold(vote) { obs =>
+          vote
+            .join(labels.withColumnRenamed("label", "label_prev"),
+              Seq("node"), "left")
+            .observe(obs, count(when(col("label_prev").isNull ||
+              col("label") =!= col("label_prev"), 1)).as("n_changed"))
+            .select(col("node"), col("label"))
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before releasing the input lineage
+        converged =
+          chgObs.exists(_.get("n_changed").asInstanceOf[Long] == 0L)
         prev.foreach(_.unpersist(blocking = false))
         prev = Some(next)
         labels = next

@@ -365,8 +365,20 @@ object Similarity {
           Seq("item_id"), "left_anti")
     }
     val sizes = ui.groupBy(col("user_id")).agg(count(lit(1)).as("n_items"))
-    val inter = ui.as("a")
-      .join(ui.as("b"), Seq("item_id"))
+    // the per-item self-join's fan-out (popularity² pair rows + the
+    // partial pair-count aggregate) executes in the partitioning of
+    // the interaction frame's exchange, which AQE coalesces to a
+    // handful of byte-sized partitions (narrow 2-col rows) — the
+    // candidate generation ran near-single-task at local[32] (r15
+    // profile). Pin the join-side width to the session's shuffle
+    // sizing (scale-adaptive conf; at cluster scale the exchange is
+    // already this wide and the pin is a no-op). The join stays SMJ;
+    // no broadcast path is displaced (the pairJaccardCross lesson).
+    val uiJ = ui.repartition(
+      interactions.sparkSession.sessionState.conf.numShufflePartitions,
+      col("item_id"))
+    val inter = uiJ.as("a")
+      .join(uiJ.as("b"), Seq("item_id"))
       .filter(col("a.user_id") < col("b.user_id"))
       .groupBy(col("a.user_id").as("u1"), col("b.user_id").as("u2"))
       .agg(count(lit(1)).as("inter"))

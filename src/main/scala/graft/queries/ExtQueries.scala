@@ -1364,8 +1364,18 @@ object ExtQueries {
     // Synchronous label propagation (4 fixed iterations) over the
     // co-purchase part graph — communities inside x114's components.
     "x188_label_prop" -> ((s, d) => {
+      // the co-purchase self-join's fan-out (order-size² pair rows)
+      // runs in the partitioning of the distinct's output, which AQE
+      // coalesces to a handful of byte-sized partitions (narrow
+      // 2-col rows) — the edge build ran on 3–8 of 32 cores (r15
+      // profile: ~1.9 s of the key's 5.5 s). Pin the join-side width
+      // to the session's shuffle sizing (scale-adaptive conf, not a
+      // local constant; at cluster scale the exchange is already
+      // this wide and the pin is a no-op).
       val li = s.read.parquet(s"$d/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("l_orderkey"))
       val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
         .filter(col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("a_id"),

@@ -6663,6 +6663,30 @@ class ExtSpec extends SparkSpec {
       4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
   }
 
+  test("labelPropagation convergence exit replays the full fixed depth bit-for-bit") {
+    import spark.implicits._
+    // the bridged-triangles graph reaches its fixpoint well before 8
+    // rounds, so iters=8 exercises the r15 early exit — the output
+    // must still equal the NAIVE full-depth synchronous replay (the
+    // oracle runs every round; the exit may only skip proven no-ops)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var lab: Map[Long, Long] = adj.keys.map(k => k -> k).toMap
+    for (_ <- 1 to 8) {
+      val prev = lab
+      lab = adj.map { case (node, nbrs) =>
+        val counts = nbrs.groupBy(prev).map { case (l, g) => (l, g.size) }
+        node -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = graft.ext.Graph
+      .labelPropagation(edges.toDF("a_id", "b_id"), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lab, s"early exit diverged from full replay: $got vs $lab")
+  }
+
   test("nb_auc composition: perfect separation and all-tied score extremes") {
     import spark.implicits._
     // the gate key's terminal stage is mannWhitneyU renamed — pin the
