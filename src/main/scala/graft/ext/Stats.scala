@@ -1140,8 +1140,16 @@ object Stats {
     // the distinct item frame feeds FOUR consumers (total, both sides
     // of the pair self-join, the marginals) — persist it or each
     // re-pays the lineitem scan + distinct (the sourceOverlap lesson)
+    // cached WIDE on the join key (the x188 fan-out width pin): AQE
+    // coalesces the distinct's byte-sized output to a few partitions
+    // and the pair self-join's order-size² expansion would run there;
+    // the pin is the session's shuffle sizing — a no-op at cluster
+    // scale where the exchange already plans that wide
     val items = lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .repartition(
+        lineitem.sparkSession.sessionState.conf.numShufflePartitions,
+        col("o"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val tot = items.agg(countDistinct(col("o")).as("n_orders"))

@@ -1773,9 +1773,12 @@ object ExtQueries {
     // the maxDeg=50 ceiling's report must name exactly the hub, with
     // its degree, on both engines.
     "x264_hub_report" -> ((s, d) => {
+      // same fan-out width pin as x188: the self-join's order-size²
+      // expansion runs in the distinct's AQE-coalesced partitioning
       val items = s.read.parquet(s"$d/lineitem.parquet")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+        .repartition(s.sessionState.conf.numShufflePartitions, col("o"))
       val planted = items.unionByName(
         items.select(col("o")).distinct()
           .filter(col("o") % 3 === 0).withColumn("p", lit(-999L)))
@@ -1793,9 +1796,12 @@ object ExtQueries {
     // graph: duplicate clusters are cliques, every wedge closes and
     // the prediction set is vacuously empty there.
     "x254_link_prediction" -> ((s, d) => {
+      // same fan-out width pin as x188 (the edge build is the key's
+      // corpus-scale stage; the checkpointed edge set stays tiny)
       val items = s.read.parquet(s"$d/lineitem.parquet")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+        .repartition(s.sessionState.conf.numShufflePartitions, col("o"))
       val edges = items.select(col("o"), col("p").as("a_id"))
         .join(items.select(col("o"), col("p").as("b_id")), Seq("o"))
         .filter(col("a_id") < col("b_id"))

@@ -201,33 +201,61 @@ object CorpusPrepJob {
       // caller defers them to compaction cadence (cfg.exports) — the
       // packed train sequences, the curriculum export, the optional
       // mixture
-      Dedup.buildMinhashIndex(corpus, writer, IndexTable)
-      val exportArtifacts =
-        if (!cfg.exports) Nil
-        else {
-          writer.write(
-            Assemble.packBudget(corpus.filter(col("split") === "train"),
-              cfg.packTokens, cfg.packShards),
-            PackedTable, append = false)
-          Assemble.curriculumExport(corpus, writer, CurriculumTable, cfg.curriculumShards)
-          val mixArtifacts = cfg.mixBudget.toSeq.map { budget =>
-            writer.write(
-              Assemble.temperatureMix(corpus.filter(col("split") === "train"), budget),
-              MixTable, append = false)
-            MixTable
+      // the index build, the derived exports and the funnel are
+      // INDEPENDENT actions over disjoint tables, all downstream of
+      // the one corpus write — run them from a small thread pool so
+      // each job's tasks back-fill the ramp/tail idle of the others
+      // (guide §2.6 overlap; r15 — the tail was 4-6 sequential
+      // actions, each leaving most cores idle at bench scale). Every
+      // per-table artifact is byte-identical to the sequential order;
+      // Await rethrows the first failure.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val (funnel, exportArtifacts) =
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          val fIndex = scala.concurrent.Future {
+            Dedup.buildMinhashIndex(corpus, writer, IndexTable)
           }
-          Seq(PackedTable, CurriculumTable) ++ mixArtifacts
-        }
-
-      // the funnel: one unioned aggregate query — every count is an
-      // integer aggregate, map-side combinable, one small row per
-      // stage; assembled in [[assembleFunnel]] (blocklist row only
-      // when configured — the default funnel stays byte-identical,
-      // x62/x68 pin it), eager so it survives the finally-release of
-      // the cached intermediates it counts
-      val funnel = assembleFunnel(cfg, normalized, gatedCount,
-        gatedForDedup, exactKept, neardupKept, corpus, pairs)
-      writer.write(funnel, FunnelTable, append = false)
+          val fExports = scala.concurrent.Future {
+            if (!cfg.exports) Nil
+            else {
+              writer.write(
+                Assemble.packBudget(corpus.filter(col("split") === "train"),
+                  cfg.packTokens, cfg.packShards),
+                PackedTable, append = false)
+              Assemble.curriculumExport(corpus, writer, CurriculumTable,
+                cfg.curriculumShards)
+              val mixArtifacts = cfg.mixBudget.toSeq.map { budget =>
+                writer.write(
+                  Assemble.temperatureMix(
+                    corpus.filter(col("split") === "train"), budget),
+                  MixTable, append = false)
+                MixTable
+              }
+              Seq(PackedTable, CurriculumTable) ++ mixArtifacts
+            }
+          }
+          // the funnel: one unioned aggregate query — every count is
+          // an integer aggregate, map-side combinable, one small row
+          // per stage; assembled in [[assembleFunnel]] (blocklist row
+          // only when configured — the default funnel stays
+          // byte-identical, x62/x68 pin it), eager so it survives the
+          // finally-release of the cached intermediates it counts
+          val fFunnel = scala.concurrent.Future {
+            val f = assembleFunnel(cfg, normalized, gatedCount,
+              gatedForDedup, exactKept, neardupKept, corpus, pairs)
+            writer.write(f, FunnelTable, append = false)
+            f
+          }
+          val funnelF = scala.concurrent.Await
+            .result(fFunnel, scala.concurrent.duration.Duration.Inf)
+          val exportsF = scala.concurrent.Await
+            .result(fExports, scala.concurrent.duration.Duration.Inf)
+          scala.concurrent.Await
+            .result(fIndex, scala.concurrent.duration.Duration.Inf)
+          (funnelF, exportsF)
+        } finally pool.shutdown()
 
       val counts = funnel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       PrepReport(funnel, counts, quarantined = 0L,
