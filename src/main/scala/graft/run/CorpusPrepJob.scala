@@ -203,59 +203,14 @@ object CorpusPrepJob {
       // mixture
       // the index build, the derived exports and the funnel are
       // INDEPENDENT actions over disjoint tables, all downstream of
-      // the one corpus write — run them from a small thread pool so
-      // each job's tasks back-fill the ramp/tail idle of the others
-      // (guide §2.6 overlap; r15 — the tail was 4-6 sequential
-      // actions, each leaving most cores idle at bench scale). Every
-      // per-table artifact is byte-identical to the sequential order;
-      // Await rethrows the first failure.
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-      val (funnel, exportArtifacts) =
-        try {
-          implicit val ec: scala.concurrent.ExecutionContext =
-            scala.concurrent.ExecutionContext.fromExecutorService(pool)
-          val fIndex = scala.concurrent.Future {
-            Dedup.buildMinhashIndex(corpus, writer, IndexTable)
-          }
-          val fExports = scala.concurrent.Future {
-            if (!cfg.exports) Nil
-            else {
-              writer.write(
-                Assemble.packBudget(corpus.filter(col("split") === "train"),
-                  cfg.packTokens, cfg.packShards),
-                PackedTable, append = false)
-              Assemble.curriculumExport(corpus, writer, CurriculumTable,
-                cfg.curriculumShards)
-              val mixArtifacts = cfg.mixBudget.toSeq.map { budget =>
-                writer.write(
-                  Assemble.temperatureMix(
-                    corpus.filter(col("split") === "train"), budget),
-                  MixTable, append = false)
-                MixTable
-              }
-              Seq(PackedTable, CurriculumTable) ++ mixArtifacts
-            }
-          }
-          // the funnel: one unioned aggregate query — every count is
-          // an integer aggregate, map-side combinable, one small row
-          // per stage; assembled in [[assembleFunnel]] (blocklist row
-          // only when configured — the default funnel stays
-          // byte-identical, x62/x68 pin it), eager so it survives the
-          // finally-release of the cached intermediates it counts
-          val fFunnel = scala.concurrent.Future {
-            val f = assembleFunnel(cfg, normalized, gatedCount,
-              gatedForDedup, exactKept, neardupKept, corpus, pairs)
-            writer.write(f, FunnelTable, append = false)
-            f
-          }
-          val funnelF = scala.concurrent.Await
-            .result(fFunnel, scala.concurrent.duration.Duration.Inf)
-          val exportsF = scala.concurrent.Await
-            .result(fExports, scala.concurrent.duration.Duration.Inf)
-          scala.concurrent.Await
-            .result(fIndex, scala.concurrent.duration.Duration.Inf)
-          (funnelF, exportsF)
-        } finally pool.shutdown()
+      // the one corpus write — [[writeTailArtifacts]] runs them from
+      // a small thread pool (guide §2.6 overlap; r15 — the tail was
+      // 4-6 sequential actions, each leaving most cores idle at
+      // bench scale). Per-table artifacts are byte-identical to the
+      // sequential order.
+      val (funnel, exportArtifacts) = writeTailArtifacts(cfg, writer,
+        corpus, assembleFunnel(cfg, normalized, gatedCount,
+          gatedForDedup, exactKept, neardupKept, corpus, pairs))
 
       val counts = funnel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       PrepReport(funnel, counts, quarantined = 0L,
@@ -264,6 +219,66 @@ object CorpusPrepJob {
       normalized.unpersist(blocking = false)
       exactKept.unpersist(blocking = false)
     }
+  }
+
+  /** The tail of [[run]]: the MinHash index build, the derived
+    * exports (pack/curriculum/mix) and the funnel write — independent
+    * jobs over disjoint tables, all downstream of the corpus write —
+    * submitted from a 3-thread pool so each job's tasks back-fill the
+    * ramp/tail idle of the others (guide §2.6; r15). The funnel frame
+    * passed in is LAZY — it materializes inside its future. Await
+    * rethrows the first failure; the pool always shuts down. */
+  private def writeTailArtifacts(
+      cfg: PrepConfig, writer: StagingWriter, corpus: DataFrame,
+      funnelLazy: DataFrame): (DataFrame, Seq[String]) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val fIndex = scala.concurrent.Future {
+        Dedup.buildMinhashIndex(corpus, writer, IndexTable)
+      }
+      val fExports = scala.concurrent.Future {
+        if (!cfg.exports) Nil
+        else {
+          writer.write(
+            Assemble.packBudget(corpus.filter(col("split") === "train"),
+              cfg.packTokens, cfg.packShards),
+            PackedTable, append = false)
+          Assemble.curriculumExport(corpus, writer, CurriculumTable,
+            cfg.curriculumShards)
+          val mixArtifacts = cfg.mixBudget.toSeq.map { budget =>
+            writer.write(
+              Assemble.temperatureMix(
+                corpus.filter(col("split") === "train"), budget),
+              MixTable, append = false)
+            MixTable
+          }
+          Seq(PackedTable, CurriculumTable) ++ mixArtifacts
+        }
+      }
+      // the funnel: one unioned aggregate query — every count is an
+      // integer aggregate, map-side combinable, one small row per
+      // stage (blocklist row only when configured — the default
+      // funnel stays byte-identical, x62/x68 pin it), written eagerly
+      // so it survives the caller's finally-release of the cached
+      // intermediates it counts
+      val fFunnel = scala.concurrent.Future {
+        // checkpoint BEFORE the write: lazily the unioned aggregate
+        // evaluated TWICE per run (once for the table write, once for
+        // the caller's counts collect) — the increment() idiom
+        val f = funnelLazy.localCheckpoint(true)
+        writer.write(f, FunnelTable, append = false)
+        f
+      }
+      val funnel = scala.concurrent.Await
+        .result(fFunnel, scala.concurrent.duration.Duration.Inf)
+      val exports = scala.concurrent.Await
+        .result(fExports, scala.concurrent.duration.Duration.Inf)
+      scala.concurrent.Await
+        .result(fIndex, scala.concurrent.duration.Duration.Inf)
+      (funnel, exports)
+    } finally pool.shutdown()
   }
 
   private def assembleFunnel(
